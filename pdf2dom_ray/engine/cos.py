@@ -1,0 +1,503 @@
+"""Minimal PDF object-graph parser (COS layer).
+
+The reference delegates this to Apache PDFBox (``PDDocument.load`` —
+`/root/reference/src/main/java/org/fit/pdfdom/PDFToHTML.java:73`); this
+engine implements the subset of ISO 32000 needed by the walker from
+scratch:
+
+* object lexer: numbers, names (#xx), literal + hex strings, arrays,
+  dicts, booleans, null, indirect references,
+* robust document scan: instead of trusting the xref table the loader
+  scans for ``N G obj`` headers and parses objects lazily — the same
+  recovery strategy PDFBox applies to broken files, used here
+  unconditionally because at 10^12-document web scale a meaningful
+  fraction of inputs has damaged xrefs,
+* streams with /Length resolution and FlateDecode / ASCIIHexDecode,
+* page-tree walk with inheritable attributes (Resources, MediaBox,
+  CropBox, Rotate),
+* numeric/string coercions mirroring ``intValue`` / ``floatValue`` /
+  ``stringValue`` (`PDFBoxTree.java:862-906`).
+
+Unsupported constructs (xref streams with compressed object streams,
+encryption, predictors) raise ``PdfParseError`` which the pipeline maps
+to an ``error`` row — a malformed document never kills a worker.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+
+__all__ = [
+    "Name", "Ref", "Stream", "PdfParseError", "PdfDocument", "Page",
+    "Lexer", "int_value", "float_value", "string_value",
+]
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class PdfParseError(Exception):
+    pass
+
+
+class Name(str):
+    """A PDF name object (``/Foo``)."""
+    __slots__ = ()
+
+
+class Ref(tuple):
+    """Indirect reference (num, gen)."""
+    __slots__ = ()
+
+    def __new__(cls, num: int, gen: int):
+        return super().__new__(cls, (num, gen))
+
+
+class Stream:
+    __slots__ = ("dict", "raw", "_doc", "_decoded")
+
+    def __init__(self, d: dict, raw: bytes, doc: "PdfDocument | None"):
+        self.dict = d
+        self.raw = raw
+        self._doc = doc
+        self._decoded: bytes | None = None
+
+    def data(self) -> bytes:
+        if self._decoded is None:
+            self._decoded = _decode_stream(self.dict, self.raw, self._doc)
+        return self._decoded
+
+
+def _decode_stream(d: dict, raw: bytes, doc) -> bytes:
+    filt = d.get("Filter")
+    if doc is not None:
+        filt = doc.resolve(filt)
+    if filt is None:
+        return raw
+    filters = filt if isinstance(filt, list) else [filt]
+    if d.get("DecodeParms") is not None:
+        raise PdfParseError("stream predictors/DecodeParms not supported")
+    data = raw
+    for f in filters:
+        if f == "FlateDecode":
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as e:
+                raise PdfParseError(f"FlateDecode failed: {e}") from e
+        elif f == "ASCIIHexDecode":
+            hx = re.sub(rb"[^0-9A-Fa-f]", b"", data.split(b">", 1)[0])
+            if len(hx) % 2:
+                hx += b"0"
+            data = bytes.fromhex(hx.decode("ascii"))
+        elif f in ("DCTDecode", "JPXDecode"):
+            # opaque compressed image payloads pass through; the image
+            # layer decides whether it can decode them
+            return data
+        else:
+            raise PdfParseError(f"unsupported filter {f}")
+    return data
+
+
+class Lexer:
+    """Tokenizer/parser for PDF object syntax over a bytes buffer."""
+
+    __slots__ = ("buf", "pos", "end")
+
+    def __init__(self, buf: bytes, pos: int = 0, end: int | None = None):
+        self.buf = buf
+        self.pos = pos
+        self.end = len(buf) if end is None else end
+
+    def skip_ws(self) -> None:
+        buf, pos, end = self.buf, self.pos, self.end
+        while pos < end:
+            c = buf[pos]
+            if c in _WS:
+                pos += 1
+            elif c == 0x25:  # '%' comment to EOL
+                while pos < end and buf[pos] not in b"\r\n":
+                    pos += 1
+            else:
+                break
+        self.pos = pos
+
+    def peek(self) -> int:
+        return self.buf[self.pos] if self.pos < self.end else -1
+
+    def _read_token_word(self) -> bytes:
+        start = self.pos
+        buf, end = self.buf, self.end
+        while self.pos < end and buf[self.pos] not in _WS and buf[self.pos] not in _DELIM:
+            self.pos += 1
+        return buf[start:self.pos]
+
+    def read_name(self) -> Name:
+        assert self.buf[self.pos] == 0x2F  # '/'
+        self.pos += 1
+        raw = self._read_token_word()
+        if b"#" in raw:
+            out = bytearray()
+            i = 0
+            while i < len(raw):
+                if raw[i] == 0x23 and i + 2 < len(raw):
+                    out.append(int(raw[i + 1:i + 3], 16))
+                    i += 3
+                else:
+                    out.append(raw[i])
+                    i += 1
+            raw = bytes(out)
+        return Name(raw.decode("latin-1"))
+
+    def read_literal_string(self) -> bytes:
+        # assumes at '('
+        buf, end = self.buf, self.end
+        pos = self.pos + 1
+        depth = 1
+        out = bytearray()
+        while pos < end:
+            c = buf[pos]
+            if c == 0x5C:  # backslash
+                pos += 1
+                if pos >= end:
+                    break
+                e = buf[pos]
+                if e in b"nrtbf":
+                    out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}[e])
+                    pos += 1
+                elif e in b"()\\":
+                    out.append(e)
+                    pos += 1
+                elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                    oct_digits = bytearray([e])
+                    pos += 1
+                    while pos < end and len(oct_digits) < 3 and 0x30 <= buf[pos] <= 0x37:
+                        oct_digits.append(buf[pos])
+                        pos += 1
+                    out.append(int(oct_digits, 8) & 0xFF)
+                elif e in b"\r\n":  # line continuation
+                    pos += 1
+                    if e == 0x0D and pos < end and buf[pos] == 0x0A:
+                        pos += 1
+                else:
+                    out.append(e)
+                    pos += 1
+            elif c == 0x28:  # '('
+                depth += 1
+                out.append(c)
+                pos += 1
+            elif c == 0x29:  # ')'
+                depth -= 1
+                if depth == 0:
+                    pos += 1
+                    break
+                out.append(c)
+                pos += 1
+            else:
+                out.append(c)
+                pos += 1
+        self.pos = pos
+        return bytes(out)
+
+    def read_hex_string(self) -> bytes:
+        # assumes at '<' (single)
+        endidx = self.buf.find(b">", self.pos + 1)
+        if endidx < 0:
+            raise PdfParseError("unterminated hex string")
+        hx = re.sub(rb"[^0-9A-Fa-f]", b"", self.buf[self.pos + 1:endidx])
+        self.pos = endidx + 1
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii"))
+
+    _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+
+    def parse_object(self, allow_ref: bool = True):
+        self.skip_ws()
+        if self.pos >= self.end:
+            raise PdfParseError("unexpected end of data")
+        c = self.buf[self.pos]
+        if c == 0x2F:  # '/'
+            return self.read_name()
+        if c == 0x28:  # '('
+            return self.read_literal_string()
+        if c == 0x3C:  # '<'
+            if self.buf[self.pos + 1:self.pos + 2] == b"<":
+                return self._parse_dict()
+            return self.read_hex_string()
+        if c == 0x5B:  # '['
+            self.pos += 1
+            arr = []
+            while True:
+                self.skip_ws()
+                if self.pos >= self.end:
+                    raise PdfParseError("unterminated array")
+                if self.buf[self.pos] == 0x5D:
+                    self.pos += 1
+                    return arr
+                arr.append(self.parse_object(allow_ref))
+        if c in b"+-.0123456789":
+            m = self._NUM_RE.match(self.buf, self.pos)
+            if not m:
+                raise PdfParseError(f"bad number at {self.pos}")
+            tok = m.group(0)
+            self.pos = m.end()
+            if b"." in tok:
+                return float(tok)
+            n = int(tok)
+            if allow_ref:
+                # look ahead for "gen R"
+                save = self.pos
+                self.skip_ws()
+                m2 = re.compile(rb"(\d+)\s+R(?![A-Za-z0-9])").match(
+                    self.buf, self.pos)
+                # ensure only whitespace was skipped (no comments altering semantics)
+                if m2:
+                    self.pos = m2.end()
+                    return Ref(n, int(m2.group(1)))
+                self.pos = save
+            return n
+        word = self._read_token_word()
+        if word == b"true":
+            return True
+        if word == b"false":
+            return False
+        if word == b"null":
+            return None
+        raise PdfParseError(f"unexpected token {word[:20]!r} at {self.pos}")
+
+    def _parse_dict(self) -> dict:
+        self.pos += 2  # '<<'
+        d: dict = {}
+        while True:
+            self.skip_ws()
+            if self.pos >= self.end:
+                raise PdfParseError("unterminated dict")
+            if self.buf[self.pos:self.pos + 2] == b">>":
+                self.pos += 2
+                return d
+            if self.buf[self.pos] != 0x2F:
+                raise PdfParseError(f"dict key is not a name at {self.pos}")
+            key = self.read_name()
+            d[key] = self.parse_object()
+
+
+_OBJ_HEADER_RE = re.compile(rb"(?<![0-9])(\d{1,10})[\x00\t\n\x0c\r ]+(\d{1,5})"
+                            rb"[\x00\t\n\x0c\r ]+obj\b")
+_TRAILER_RE = re.compile(rb"trailer")
+
+
+def int_value(v) -> int:
+    """``intValue`` coercion (PDFBoxTree.java:862-868)."""
+    if isinstance(v, bool):
+        return 0
+    if isinstance(v, (int, float)):
+        return int(v)
+    return 0
+
+
+def float_value(v) -> float:
+    """``floatValue`` coercion (PDFBoxTree.java:875-881) — Java float."""
+    if isinstance(v, bool):
+        return float(np.float32(0))
+    if isinstance(v, (int, float)):
+        return float(np.float32(v))
+    return float(np.float32(0))
+
+
+def string_value(v) -> str:
+    """``stringValue`` coercion (PDFBoxTree.java:898-906)."""
+    if isinstance(v, bytes):
+        return decode_pdf_text_string(v)
+    if isinstance(v, bool):
+        return ""
+    if isinstance(v, (int, float)):
+        from .javafloat import jfloat_str
+        return jfloat_str(v)
+    return ""
+
+
+def decode_pdf_text_string(b: bytes) -> str:
+    """PDF text string: UTF-16BE with BOM, else PDFDocEncoding (≈latin-1)."""
+    if b[:2] == b"\xfe\xff":
+        return b[2:].decode("utf-16-be", errors="replace")
+    return b.decode("latin-1")
+
+
+class Page:
+    __slots__ = ("dict", "resources", "media_box", "crop_box", "rotation", "doc")
+
+    def __init__(self, doc: "PdfDocument", d: dict, inherited: dict):
+        self.doc = doc
+        self.dict = d
+
+        def attr(name, default=None):
+            v = d.get(name, inherited.get(name, default))
+            return doc.resolve(v)
+
+        self.resources = attr("Resources", {}) or {}
+        mb = attr("MediaBox", [0, 0, 612, 792])
+        cb = attr("CropBox", mb)
+        self.media_box = [float_value(doc.resolve(x)) for x in mb]
+        self.crop_box = [float_value(doc.resolve(x)) for x in cb]
+        rot = int_value(attr("Rotate", 0)) % 360
+        if rot < 0:
+            rot += 360
+        self.rotation = rot if rot in (90, 180, 270) else 0
+
+    # crop box helpers (PDRectangle semantics)
+    @property
+    def crop_w(self) -> float:
+        return float(np.float32(self.crop_box[2] - self.crop_box[0]))
+
+    @property
+    def crop_h(self) -> float:
+        return float(np.float32(self.crop_box[3] - self.crop_box[1]))
+
+    def content_bytes(self) -> bytes:
+        c = self.doc.resolve(self.dict.get("Contents"))
+        if c is None:
+            return b""
+        if isinstance(c, Stream):
+            return c.data()
+        if isinstance(c, list):
+            parts = []
+            for item in c:
+                s = self.doc.resolve(item)
+                if isinstance(s, Stream):
+                    parts.append(s.data())
+            return b"\n".join(parts)
+        return b""
+
+
+class PdfDocument:
+    """A parsed PDF: lazy object map built by a full-file object scan."""
+
+    def __init__(self, data: bytes):
+        if not data or b"%PDF" not in data[:1024]:
+            raise PdfParseError("not a PDF (missing %PDF header)")
+        self.data = data
+        self._offsets: dict[int, int] = {}
+        for m in _OBJ_HEADER_RE.finditer(data):
+            # later definitions win (incremental updates)
+            self._offsets[int(m.group(1))] = m.end()
+        if not self._offsets:
+            raise PdfParseError("no objects found")
+        self._cache: dict[int, object] = {}
+        self.trailer = self._find_trailer()
+        self.catalog = self._find_catalog()
+        self.info = self.resolve(self.trailer.get("Info")) if self.trailer else None
+        self.pages = self._collect_pages()
+
+    # -- object access -------------------------------------------------
+    def get_object(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        off = self._offsets.get(num)
+        if off is None:
+            return None
+        self._cache[num] = None  # cycle guard
+        lex = Lexer(self.data, off)
+        obj = lex.parse_object()
+        lex.skip_ws()
+        if isinstance(obj, dict) and self.data[lex.pos:lex.pos + 6] == b"stream":
+            pos = lex.pos + 6
+            if self.data[pos:pos + 2] == b"\r\n":
+                pos += 2
+            elif self.data[pos:pos + 1] in (b"\n", b"\r"):
+                pos += 1
+            length = self.resolve(obj.get("Length"))
+            if isinstance(length, (int, float)) and length >= 0 \
+                    and self.data[pos + int(length):pos + int(length) + 32].lstrip(
+                        bytes(_WS)).startswith(b"endstream"):
+                raw = self.data[pos:pos + int(length)]
+            else:
+                endidx = self.data.find(b"endstream", pos)
+                if endidx < 0:
+                    raise PdfParseError(f"unterminated stream in object {num}")
+                raw = self.data[pos:endidx]
+                if raw.endswith(b"\r\n"):
+                    raw = raw[:-2]
+                elif raw.endswith(b"\n") or raw.endswith(b"\r"):
+                    raw = raw[:-1]
+            obj = Stream(obj, raw, self)
+        self._cache[num] = obj
+        return obj
+
+    def resolve(self, v):
+        seen = 0
+        while isinstance(v, Ref):
+            v = self.get_object(v[0])
+            seen += 1
+            if seen > 32:
+                raise PdfParseError("reference cycle")
+        return v
+
+    # -- document structure --------------------------------------------
+    def _find_trailer(self) -> dict:
+        best: dict = {}
+        for m in _TRAILER_RE.finditer(self.data):
+            try:
+                lex = Lexer(self.data, m.end())
+                d = lex.parse_object()
+                if isinstance(d, dict):
+                    best = d
+            except PdfParseError:
+                continue
+        return best
+
+    def _find_catalog(self) -> dict:
+        root = self.resolve(self.trailer.get("Root")) if self.trailer else None
+        if isinstance(root, dict) and "Pages" in root:
+            return root
+        # recovery: scan for /Type /Catalog
+        for num in self._offsets:
+            try:
+                obj = self.get_object(num)
+            except PdfParseError:
+                continue
+            if isinstance(obj, dict) and obj.get("Type") == "Catalog":
+                return obj
+        raise PdfParseError("no document catalog")
+
+    def _collect_pages(self) -> list[Page]:
+        pages: list[Page] = []
+        root = self.resolve(self.catalog.get("Pages"))
+        if not isinstance(root, dict):
+            raise PdfParseError("catalog has no page tree")
+        inheritable = ("Resources", "MediaBox", "CropBox", "Rotate")
+        seen: set[int] = set()
+
+        def walk(node_ref, node, inherited: dict, depth: int):
+            if depth > 64 or len(pages) > 100_000:
+                raise PdfParseError("page tree too deep/large")
+            if isinstance(node_ref, Ref):
+                if node_ref[0] in seen:
+                    return
+                seen.add(node_ref[0])
+            t = node.get("Type")
+            if t == "Page" or ("Kids" not in node and t != "Pages"):
+                pages.append(Page(self, node, inherited))
+                return
+            inh = dict(inherited)
+            for k in inheritable:
+                if k in node:
+                    inh[k] = node[k]
+            for kid_ref in self.resolve(node.get("Kids")) or []:
+                kid = self.resolve(kid_ref)
+                if isinstance(kid, dict):
+                    walk(kid_ref, kid, inh, depth + 1)
+
+        walk(None, root, {}, 0)
+        if not pages:
+            raise PdfParseError("document has no pages")
+        return pages
+
+    def title(self) -> str | None:
+        if isinstance(self.info, dict):
+            t = self.resolve(self.info.get("Title"))
+            if isinstance(t, bytes):
+                return decode_pdf_text_string(t)
+        return None

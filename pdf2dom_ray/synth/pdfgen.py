@@ -1,0 +1,290 @@
+"""Deterministic minimal PDF writer for the synthetic corpus.
+
+The engine's test inputs are Parquet tables of Common-Crawl-style pages
+whose ``html`` column carries document payload bytes (BASELINE.json
+input_hint). This module synthesizes those payloads: small, valid,
+fully deterministic PDFs exercising the reference's feature surface
+(text runs, rendering modes, rects/lines/polygons, images, embedded
+fonts, page rotation, multi-page docs — mirroring the reference's
+conformance corpus, see FIXTURES.md §2). No external data; a given
+spec always produces identical bytes.
+
+The writer emits classic xref PDFs with uncompressed content streams
+(images are FlateDecoded). The engine's parser does not special-case
+these files — it runs its normal object scan.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+__all__ = ["PdfBuilder", "PageSpec", "escape_pdf_string", "tiny_ttf",
+           "CORE_FONTS"]
+
+CORE_FONTS = [
+    "Helvetica", "Helvetica-Bold", "Helvetica-Oblique",
+    "Times-Roman", "Times-Bold", "Times-Italic",
+    "Courier", "Courier-Bold",
+]
+
+
+def escape_pdf_string(s: str) -> bytes:
+    out = bytearray()
+    for ch in s.encode("latin-1", errors="replace"):
+        if ch in b"()\\":
+            out.append(0x5C)
+        out.append(ch)
+    return bytes(out)
+
+
+def tiny_ttf(seed: int) -> bytes:
+    """A deterministic sfnt-shaped blob used as an embedded TTF payload.
+
+    Structurally a TrueType header + table directory (head/hhea/maxp)
+    with deterministic contents varying by ``seed``. The engine's font
+    path treats embedded TTF bytes as opaque (passthrough normalize,
+    see engine.fonts), so structural plausibility is all that matters.
+    """
+    rng = np.random.default_rng(seed)
+    head = struct.pack(">IHHIIHHQQhhhhHHhhh", 0x00010000, 0, 0, 0x5F0F3CF5,
+                       0, 16, 2048, 0, 0, -100, -200, 1000, 900, 0, 8, 2, 0, 0)
+    hhea = struct.pack(">IhhhHhhhhhhhhhhhH", 0x00010000, 800, -200, 90, 1000,
+                       0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 3)
+    maxp = struct.pack(">IH", 0x00005000, 3) + bytes(rng.integers(0, 255, 26,
+                                                                  dtype=np.uint8))
+    tables = [(b"head", head), (b"hhea", hhea), (b"maxp", maxp)]
+    n = len(tables)
+    search_range = 16 * (2 ** (n.bit_length() - 1))
+    out = struct.pack(">IHHHH", 0x00010000, n, search_range,
+                      n.bit_length() - 1, 16 * n - search_range)
+    offset = 12 + 16 * n
+    directory = b""
+    payload = b""
+    for tag, data in tables:
+        pad = (-len(data)) % 4
+        directory += struct.pack(">4sIII", tag, zlib.crc32(data), offset,
+                                 len(data))
+        payload += data + b"\0" * pad
+        offset += len(data) + pad
+    return out + directory + payload
+
+
+class PageSpec:
+    """One page: content-stream source + resource declarations."""
+
+    def __init__(self, width: float = 612, height: float = 792,
+                 rotate: int = 0):
+        self.width = width
+        self.height = height
+        self.rotate = rotate
+        self.ops: list[bytes] = []
+        self.fonts: dict[str, dict] = {}     # resource name -> font spec
+        self.images: dict[str, dict] = {}    # resource name -> image spec
+
+    # -- resources -----------------------------------------------------
+    def use_core_font(self, res_name: str, base_font: str) -> None:
+        self.fonts[res_name] = {"kind": "core", "base": base_font}
+
+    def use_embedded_ttf(self, res_name: str, base_font: str, seed: int,
+                         widths: list[int] | None = None,
+                         first_char: int = 32) -> None:
+        self.fonts[res_name] = {"kind": "ttf", "base": base_font,
+                                "seed": seed, "widths": widths,
+                                "first_char": first_char}
+
+    def use_image(self, res_name: str, rgb: np.ndarray) -> None:
+        self.images[res_name] = {"rgb": np.ascontiguousarray(rgb, np.uint8)}
+
+    # -- content helpers ----------------------------------------------
+    def raw(self, op: bytes) -> None:
+        self.ops.append(op)
+
+    def text_block(self, font_res: str, size: float, x: float, y: float,
+                   lines: list[str], leading: float = 14.0,
+                   color=None, mode: int | None = None,
+                   stroke_color=None, tm: tuple | None = None) -> None:
+        b = [b"BT"]
+        b.append(f"/{font_res} {size:g} Tf".encode())
+        if color is not None:
+            b.append(f"{color[0]:g} {color[1]:g} {color[2]:g} rg".encode())
+        if stroke_color is not None:
+            b.append((f"{stroke_color[0]:g} {stroke_color[1]:g} "
+                      f"{stroke_color[2]:g} RG").encode())
+        if mode is not None:
+            b.append(f"{mode} Tr".encode())
+        if tm is not None:
+            b.append((" ".join(f"{v:g}" for v in tm) + " Tm").encode())
+        else:
+            b.append(f"1 0 0 1 {x:g} {y:g} Tm".encode())
+        b.append(f"{leading:g} TL".encode())
+        for i, line in enumerate(lines):
+            if i > 0:
+                b.append(b"T*")
+            b.append(b"(" + escape_pdf_string(line) + b") Tj")
+        b.append(b"ET")
+        self.ops.append(b"\n".join(b))
+
+    def rect(self, x, y, w, h, fill=None, stroke=None, line_width=None) -> None:
+        b = []
+        if line_width is not None:
+            b.append(f"{line_width:g} w".encode())
+        if fill is not None:
+            b.append(f"{fill[0]:g} {fill[1]:g} {fill[2]:g} rg".encode())
+        if stroke is not None:
+            b.append(f"{stroke[0]:g} {stroke[1]:g} {stroke[2]:g} RG".encode())
+        b.append(f"{x:g} {y:g} {w:g} {h:g} re".encode())
+        if fill is not None and stroke is not None:
+            b.append(b"B")
+        elif fill is not None:
+            b.append(b"f")
+        else:
+            b.append(b"S")
+        self.ops.append(b"\n".join(b))
+
+    def line(self, x1, y1, x2, y2, stroke=(0, 0, 0), line_width=1.0) -> None:
+        self.ops.append(
+            f"{line_width:g} w\n{stroke[0]:g} {stroke[1]:g} {stroke[2]:g} RG\n"
+            f"{x1:g} {y1:g} m\n{x2:g} {y2:g} l\nS".encode())
+
+    def polygon(self, pts: list[tuple], fill=(0.85, 0.85, 0.85)) -> None:
+        b = [f"{fill[0]:g} {fill[1]:g} {fill[2]:g} rg".encode()]
+        b.append(f"{pts[0][0]:g} {pts[0][1]:g} m".encode())
+        for px, py in pts[1:]:
+            b.append(f"{px:g} {py:g} l".encode())
+        b.append(b"h")
+        b.append(b"f")
+        self.ops.append(b"\n".join(b))
+
+    def draw_image(self, res_name: str, x, y, w, h) -> None:
+        self.ops.append(
+            f"q\n{w:g} 0 0 {h:g} {x:g} {y:g} cm\n/{res_name} Do\nQ".encode())
+
+    def content(self) -> bytes:
+        return b"\n".join(self.ops) + b"\n"
+
+
+class PdfBuilder:
+    """Assembles PageSpecs into deterministic classic-xref PDF bytes."""
+
+    def __init__(self, title: str | None = None):
+        self.title = title
+        self.pages: list[PageSpec] = []
+
+    def add_page(self, page: PageSpec) -> PageSpec:
+        self.pages.append(page)
+        return page
+
+    def build(self) -> bytes:
+        objects: list[bytes] = []  # 1-indexed object bodies
+
+        def add(body: bytes) -> int:
+            objects.append(body)
+            return len(objects)
+
+        font_obj_cache: dict[tuple, int] = {}
+
+        def font_object(spec: dict) -> int:
+            if spec["kind"] == "core":
+                key = ("core", spec["base"])
+                if key not in font_obj_cache:
+                    font_obj_cache[key] = add(
+                        f"<< /Type /Font /Subtype /Type1 /BaseFont /{spec['base']} >>"
+                        .encode())
+                return font_obj_cache[key]
+            # embedded TTF
+            key = ("ttf", spec["base"], spec["seed"])
+            if key in font_obj_cache:
+                return font_obj_cache[key]
+            ttf = tiny_ttf(spec["seed"])
+            ff_num = add(
+                f"<< /Length {len(ttf)} /Length1 {len(ttf)} >>".encode()
+                + b"\nstream\n" + ttf + b"\nendstream")
+            desc_num = add((
+                f"<< /Type /FontDescriptor /FontName /{spec['base']} /Flags 32 "
+                f"/FontBBox [-100 -200 1000 900] /ItalicAngle 0 /Ascent 800 "
+                f"/Descent -200 /CapHeight 700 /StemV 80 "
+                f"/FontFile2 {ff_num} 0 R >>").encode())
+            widths = spec["widths"] or [500] * 95
+            warr = "[" + " ".join(str(w) for w in widths) + "]"
+            fc = spec["first_char"]
+            key_num = add((
+                f"<< /Type /Font /Subtype /TrueType /BaseFont /{spec['base']} "
+                f"/FirstChar {fc} /LastChar {fc + len(widths) - 1} "
+                f"/Widths {warr} /FontDescriptor {desc_num} 0 R >>").encode())
+            font_obj_cache[key] = key_num
+            return key_num
+
+        page_nums: list[int] = []
+        pages_obj_placeholder = None
+        # reserve the Pages object number up front: catalog → pages → kids
+        # (we append bodies in dependency order and patch refs textually)
+        kids_entries = []
+
+        built_pages = []
+        for p in self.pages:
+            res_parts = []
+            if p.fonts:
+                fonts = " ".join(f"/{name} {font_object(spec)} 0 R"
+                                 for name, spec in p.fonts.items())
+                res_parts.append(f"/Font << {fonts} >>")
+            if p.images:
+                xo = []
+                for name, spec in p.images.items():
+                    rgb = spec["rgb"]
+                    h, w = rgb.shape[:2]
+                    data = zlib.compress(rgb.tobytes(), 6)
+                    num = add((
+                        f"<< /Type /XObject /Subtype /Image /Width {w} "
+                        f"/Height {h} /ColorSpace /DeviceRGB "
+                        f"/BitsPerComponent 8 /Filter /FlateDecode "
+                        f"/Length {len(data)} >>").encode()
+                        + b"\nstream\n" + data + b"\nendstream")
+                    xo.append(f"/{name} {num} 0 R")
+                res_parts.append(f"/XObject << {' '.join(xo)} >>")
+            resources = "<< " + " ".join(res_parts) + " >>" if res_parts else "<< >>"
+            content = p.content()
+            content_num = add(f"<< /Length {len(content)} >>".encode()
+                              + b"\nstream\n" + content + b"\nendstream")
+            built_pages.append((p, resources, content_num))
+
+        pages_num_holder = len(objects) + len(built_pages) + 1
+        for p, resources, content_num in built_pages:
+            rot = f" /Rotate {p.rotate}" if p.rotate else ""
+            num = add((
+                f"<< /Type /Page /Parent {pages_num_holder} 0 R "
+                f"/MediaBox [0 0 {p.width:g} {p.height:g}]{rot} "
+                f"/Resources {resources} /Contents {content_num} 0 R >>").encode())
+            page_nums.append(num)
+            kids_entries.append(f"{num} 0 R")
+
+        pages_num = add((
+            f"<< /Type /Pages /Count {len(page_nums)} "
+            f"/Kids [{' '.join(kids_entries)}] >>").encode())
+        assert pages_num == pages_num_holder
+        catalog_num = add(f"<< /Type /Catalog /Pages {pages_num} 0 R >>".encode())
+        info_num = None
+        if self.title is not None:
+            info_num = add(b"<< /Title (" + escape_pdf_string(self.title)
+                           + b") >>")
+
+        # assemble with classic xref
+        out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+        offsets = [0]
+        for i, body in enumerate(objects, start=1):
+            offsets.append(len(out))
+            out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+        xref_off = len(out)
+        n = len(objects) + 1
+        out += f"xref\n0 {n}\n".encode()
+        out += b"0000000000 65535 f \n"
+        for off in offsets[1:]:
+            out += f"{off:010d} 00000 n \n".encode()
+        trailer = f"trailer\n<< /Size {n} /Root {catalog_num} 0 R"
+        if info_num is not None:
+            trailer += f" /Info {info_num} 0 R"
+        trailer += f" >>\nstartxref\n{xref_off}\n%%EOF\n"
+        out += trailer.encode()
+        return bytes(out)
