@@ -1,16 +1,11 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native extraction engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship pipeline (documents → synthetic
+Common-Crawl-style pages → PdfDomParser actor pool → parsed table) on
+sf0.001. ``queries()`` exposes one callable per implemented operator
+(SURVEY.md §2 + the training-data operators); ``oracle_sql()`` provides
+DuckDB-checkable oracles for every SQL-expressible pipeline. Ray is
+initialised by the driver — nothing here calls ray.init/shutdown.
 """
 
 from __future__ import annotations
@@ -18,27 +13,264 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SF0001 = "/root/testdata/sf0.001"
+
+_URL_SQL = "'https://docs.synth.test/' || CAST(doc_id AS VARCHAR)"
+_STOP_SQL = "('the', 'a', 'of', 'and', 'to')"  # functions.text_stats.STOPWORDS
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _extracted(sf_dir: str, emit_html: bool = False, emit_spans: bool = False):
+    from pdf2dom_ray.config import PdfDomConfig
+    from pdf2dom_ray.pipelines.extract import extract_from_documents
+    cfg = PdfDomConfig(emit_spans=emit_spans)
+    return extract_from_documents(sf_dir, cfg, emit_html=emit_html)
+
+
+def _documents(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+
+def _images_table(sf_dir: str):
+    """Multimodal input: (url, image) binary column for image-bearing docs."""
+    import ray.data as rd
+    from pdf2dom_ray.engine.png import encode_png
+    from pdf2dom_ray.synth.corpus import URL_PREFIX, has_image, synth_image
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = [d for d in t.column("doc_id").to_pylist() if has_image(d)]
+        return pa.table({
+            "url": pa.array([f"{URL_PREFIX}{d}" for d in ids], pa.string()),
+            "image": pa.array([encode_png(synth_image(d)) for d in ids],
+                              pa.binary()),
+        })
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).map_batches(
+        build, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# driver API
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full extraction (DOM + text + spans) on sf0.001."""
+    return _extracted(SF0001, emit_html=True, emit_spans=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # -- extraction pipeline (SURVEY.md §2.1-2.2, kernel end-to-end)
+        "extract_text_roundtrip": _q_roundtrip,
+        "extract_span_stats": _q_span_stats,
+        "extract_errors": _q_errors,
+        "extract_full": _q_full,                      # rows-only
+        # -- text analysis (training-data ops)
+        "doc_fingerprint": _q_fingerprint,
+        "text_quality": _q_quality,
+        "lang_id": _q_lang_id,                        # rows-only
+        # -- dedup family
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,            # rows-only
+        "dedup_simhash": _q_dedup_simhash,            # rows-only
+        # -- similarity search
+        "ann_brute_topk": _q_ann_brute,
+        "ann_lsh_topk": _q_ann_lsh,                   # rows-only
+        # -- aggregations / joins
+        "events_hourly": _q_events_hourly,
+        "orders_by_segment": _q_orders_by_segment,
+        # -- multimodal plumbing
+        "image_decode": _q_image_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_text_roundtrip": f"""
+            SELECT {_URL_SQL} AS url, text
+            FROM documents WHERE doc_id % 97 <> 13
+        """,
+        "extract_span_stats": f"""
+            SELECT {_URL_SQL} AS url,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_spans,
+                   CAST(ceil(ceil(len(string_split(text, ' ')) / 10.0) / 40.0)
+                        AS BIGINT) AS num_pages,
+                   CAST(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END AS BIGINT)
+                        AS n_images
+            FROM documents WHERE doc_id % 97 <> 13
+        """,
+        "extract_errors": f"""
+            SELECT {_URL_SQL} AS url FROM documents WHERE doc_id % 97 = 13
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   round(CAST(len(list_filter(string_split(text, ' '),
+                                              x -> x IN {_STOP_SQL})) AS DOUBLE)
+                         / len(string_split(text, ' ')), 6) AS stop_ratio,
+                   round(CAST(list_sum(list_transform(string_split(text, ' '),
+                                                      x -> length(x))) AS DOUBLE)
+                         / len(string_split(text, ' ')), 6) AS mean_token_len
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT substr(text, 1, 20) AS k, min(doc_id) AS doc_id
+            FROM documents GROUP BY 1
+        """,
+        "ann_brute_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                                (SELECT qv FROM q)), 4) AS sim
+            FROM embeddings
+            ORDER BY sim DESC, vec_id ASC LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "orders_by_segment": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
+        "image_decode": f"""
+            SELECT {_URL_SQL} AS url,
+                   CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+                   CAST(doc_id % 251 AS DOUBLE) AS mean_r,
+                   94.5 AS mean_g,
+                   CAST((doc_id * 7) % 251 AS DOUBLE) AS mean_b
+            FROM documents WHERE doc_id % 7 = 3
+        """,
+    }
+
+
+# ---------------------------------------------------------------------------
+# query impls
+# ---------------------------------------------------------------------------
+
+def _q_roundtrip(sf_dir: str):
+    ds = _extracted(sf_dir)
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t.column("error")))
+        text = pc.replace_substring(t.column("extracted_text"), "\n", " ")
+        return pa.table({"url": t.column("url"), "text": text})
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _q_span_stats(sf_dir: str):
+    ds = _extracted(sf_dir)
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t.column("error")))
+        return pa.table({
+            "url": t.column("url"),
+            "n_spans": pc.cast(t.column("n_spans"), pa.int64()),
+            "num_pages": pc.cast(t.column("num_pages"), pa.int64()),
+            "n_images": pc.cast(t.column("n_images"), pa.int64()),
+        })
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _q_errors(sf_dir: str):
+    ds = _extracted(sf_dir)
+    return ds.map_batches(
+        lambda t: pa.table({"url": t.filter(
+            pc.is_valid(t.column("error"))).column("url")}),
+        batch_format="pyarrow")
+
+
+def _q_full(sf_dir: str):
+    return _extracted(sf_dir, emit_html=True, emit_spans=True)
+
+
+def _q_fingerprint(sf_dir: str):
+    from pdf2dom_ray.functions.text_stats import fingerprint
+    ds = fingerprint(_documents(sf_dir))
+    return ds.select_columns(["doc_id", "fp"])
+
+
+def _q_quality(sf_dir: str):
+    from pdf2dom_ray.functions.text_stats import text_quality
+    return text_quality(_documents(sf_dir))
+
+
+def _q_lang_id(sf_dir: str):
+    import ray.data as rd
+    from pdf2dom_ray.functions.text_stats import lang_id
+    return lang_id(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"]))
+
+
+def _q_dedup_exact(sf_dir: str):
+    from pdf2dom_ray.functions.dedup import exact_dedup
+    return exact_dedup(_documents(sf_dir))
+
+
+def _q_dedup_minhash(sf_dir: str):
+    from pdf2dom_ray.functions.dedup import minhash_cluster
+    return minhash_cluster(_documents(sf_dir))
+
+
+def _q_dedup_simhash(sf_dir: str):
+    from pdf2dom_ray.functions.dedup import simhash
+    return simhash(_documents(sf_dir))
+
+
+def _ann_query_vec(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    idx = t.column("vec_id").to_pylist().index(0)
+    return np.asarray(t.column("embedding")[idx].as_py(), dtype=np.float64)
+
+
+def _q_ann_brute(sf_dir: str):
+    import ray.data as rd
+    from pdf2dom_ray.functions.ann import brute_topk
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return brute_topk(ds, _ann_query_vec(sf_dir), k=10)
+
+
+def _q_ann_lsh(sf_dir: str):
+    import ray.data as rd
+    from pdf2dom_ray.functions.ann import lsh_topk
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return lsh_topk(ds, _ann_query_vec(sf_dir), k=10)
+
+
+def _q_events_hourly(sf_dir: str):
+    from pdf2dom_ray.pipelines.metrics import events_hourly
+    return events_hourly(sf_dir)
+
+
+def _q_orders_by_segment(sf_dir: str):
+    from pdf2dom_ray.pipelines.metrics import orders_by_segment
+    return orders_by_segment(sf_dir)
+
+
+def _q_image_decode(sf_dir: str):
+    from pdf2dom_ray.functions.multimodal import decode_images
+    ds = decode_images(_images_table(sf_dir))
+    return ds.select_columns(["url", "width", "height", "mean_r", "mean_g",
+                              "mean_b"])

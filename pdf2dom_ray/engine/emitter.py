@@ -66,6 +66,7 @@ class DomEmitter:
         self._prev_top: float | None = None
         self._prev_page = -1
         self._saved_names: list[str] = []
+        self.n_images = 0  # raster images placed via Do (not path rasters)
 
     # -- document shell (PDFDomTree.java:118-174) ----------------------
     def start_document(self, pdf) -> None:
@@ -265,6 +266,7 @@ class DomEmitter:
 
     # -- images (PDFDomTree.java:254-258, 421-441) ---------------------
     def render_image(self, walker, x, y, width, height, img) -> None:
+        self.n_images += 1
         self.curpage.append(self._create_image_element(
             walker, x, y, width, height, img, name=walker.get_title()))
 

@@ -28,6 +28,8 @@ class ParseResult:
     spans: list = field(default_factory=list)
     resources: list = field(default_factory=list)
     num_pages: int = 0
+    n_images: int = 0
+    n_boxes: int = 0
     error: str | None = None
 
 
@@ -44,6 +46,8 @@ def parse_document(data: bytes, config: PdfDomConfig = DEFAULT_CONFIG) -> ParseR
             spans=emitter.spans,
             resources=emitter.resources,
             num_pages=emitter.pagecnt,
+            n_images=emitter.n_images,
+            n_boxes=emitter.textcnt,
             error=None,
         )
     except PdfParseError as e:

@@ -756,7 +756,7 @@ class Walker:
         for code, uni in font.decode(raw):
             trm = params.multiply(self.tm).multiply(self.gs.ctm)
             w0 = font.width(code)
-            # advance in text space
+            # pen advance in text space INCLUDES char/word spacing...
             adv = (w0 / 1000.0 * fs + ts.char_spacing
                    + (ts.word_spacing if (code == 32 and not font.is_type0) else 0.0)) * hs
 
@@ -775,7 +775,11 @@ class Walker:
 
             sx = trm.scaling_factor_x()
             sy = trm.scaling_factor_y()
-            disp_w = adv * (sx / (fs * hs) if fs and hs else 1.0)
+            # ...but TextPosition.width is the glyph displacement ONLY
+            # (PDFBox LegacyPDFStreamEngine: dxDisplay from displacement,
+            # not from the Tc/Tw-augmented pen advance) — this is what
+            # makes letter-spaced text split per glyph in the reference
+            disp_w = w0 / 1000.0 * sx
             disp_h = glyph_height / 1000.0 * sy
             tp = TextPosition(gx, gy, disp_w, disp_h, sx, sy, uni, font,
                               fs * self.tm.scaling_factor_x(), code)
@@ -835,7 +839,10 @@ class Walker:
             self.emitter.render_text(self, s, m)
             self.text_line = []
             self.text_metrics = None
-        self.last_text = None
+        # note: the reference does NOT reset lastText here
+        # (PDFBoxTree.java:661-679) — a page boundary flushes the box but
+        # the next page's first glyph still compares against the previous
+        # page's last glyph; replicated for bug-compatibility.
 
     # -- style update (PDFBoxTree.java:706-791) ------------------------
     def update_style(self, bstyle: BoxStyle, text: TextPosition) -> None:

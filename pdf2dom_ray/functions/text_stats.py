@@ -1,0 +1,139 @@
+"""Text analysis stages for training-data pipelines.
+
+Vectorized per-batch kernels over the ``documents`` table (or any table
+with a ``text`` column): token counting, quality scoring, document
+fingerprinting (md5 + rolling hash), n-gram-profile language ID. All
+stages are single-pass ``map_batches`` — no shuffle anywhere.
+
+The token/stopword semantics are deliberately SQL-expressible
+(``string_split(text, ' ')`` + list lambdas) so DuckDB oracles verify
+them value-for-value.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+__all__ = ["STOPWORDS", "text_quality_batch", "text_quality",
+           "fingerprint_batch", "fingerprint", "lang_id_batch", "lang_id"]
+
+# fixed set, mirrored verbatim in the SQL oracle (__ray_entry__)
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+# tiny per-language stopword profiles for the heuristic language ID
+# (n-gram/stopword scoring; deterministic, no model download)
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is"},
+    "de": {"der", "die", "das", "und", "ist", "ein"},
+    "fr": {"le", "la", "et", "est", "un", "une"},
+    "es": {"el", "la", "y", "es", "un", "una"},
+    "zh": set(),  # non-latin: detected via script ratio below
+}
+
+
+def _tokens_flat(texts: list[str]):
+    """Flatten whitespace-split tokens; returns (values, offsets)."""
+    counts = np.empty(len(texts), dtype=np.int64)
+    values: list[str] = []
+    for i, t in enumerate(texts):
+        toks = t.split(" ") if t else []
+        counts[i] = len(toks)
+        values.extend(toks)
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return np.asarray(values, dtype=object), offsets, counts
+
+
+def text_quality_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens, n_chars, stop_ratio, mean_token_len)."""
+    texts = batch.column("text").to_pylist()
+    values, offsets, counts = _tokens_flat(texts)
+    is_stop = np.isin(values, STOPWORDS) if len(values) else np.empty(0, bool)
+    tok_lens = np.fromiter((len(v) for v in values), dtype=np.float64,
+                           count=len(values))
+    stop_counts = np.add.reduceat(
+        is_stop.astype(np.float64), offsets[:-1]) if len(values) else \
+        np.zeros(len(texts))
+    stop_counts[counts == 0] = 0.0
+    len_sums = np.add.reduceat(tok_lens, offsets[:-1]) if len(values) else \
+        np.zeros(len(texts))
+    len_sums[counts == 0] = 0.0
+    safe = np.maximum(counts, 1).astype(np.float64)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens": pa.array(counts, pa.int64()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        "stop_ratio": pa.array(np.round(stop_counts / safe, 6), pa.float64()),
+        "mean_token_len": pa.array(np.round(len_sums / safe, 6), pa.float64()),
+    })
+
+
+def text_quality(ds: rd.Dataset) -> rd.Dataset:
+    return ds.map_batches(text_quality_batch, batch_format="pyarrow")
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, fp=md5 hex, rolling=crc32-based rolling hash)."""
+    texts = batch.column("text").to_pylist()
+    fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+    # 64-bit rolling fingerprint over 8-char windows (Rabin-Karp-ish)
+    rolls = []
+    for t in texts:
+        h = 0
+        for w in range(0, max(len(t) - 7, 1), 8):
+            h = (h * 1099511628211 + zlib.crc32(t[w:w + 8].encode())) \
+                & 0x7FFFFFFFFFFFFFFF
+        rolls.append(h)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "fp": pa.array(fps, pa.string()),
+        "rolling_fp": pa.array(rolls, pa.int64()),
+    })
+
+
+def fingerprint(ds: rd.Dataset) -> rd.Dataset:
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+class LangId:
+    """Actor-pool language-ID stage (stateful: profiles built once)."""
+
+    def __init__(self):
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        preds = [self._predict(t) for t in texts]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang_pred": pa.array(preds, pa.string()),
+        })
+
+    def _predict(self, text: str) -> str:
+        if not text:
+            return "und"
+        non_ascii = sum(1 for ch in text[:200] if ord(ch) > 0x2E80)
+        if non_ascii > len(text[:200]) * 0.3:
+            return "zh"
+        toks = set(text.lower().split(" ")[:100])
+        best, best_score = "und", 0
+        for lang, prof in self.profiles.items():
+            score = len(toks & prof)
+            if score > best_score:
+                best, best_score = lang, score
+        return best
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    return LangId()(batch)
+
+
+def lang_id(ds: rd.Dataset, concurrency=None) -> rd.Dataset:
+    return ds.map_batches(LangId, batch_format="pyarrow",
+                          concurrency=concurrency or 4)

@@ -1,0 +1,82 @@
+"""The flagship pipeline: pages table → parsed DOM/text/spans table.
+
+Ray-Data lifecycle (SURVEY.md §3):
+
+    read_parquet(pages shards)                 # or synth stage from documents
+      → project (url, html)                    # prune at the read
+      → size-aware split (skew routing, §4)
+      → map_batches(PdfDomParser, pyarrow, actor pool)
+      → union(small, giant)
+      → write_parquet(out, partitioned)        # resumable checkpoint unit
+
+Skew handling (north_rule): a cheap vectorized pre-pass computes
+payload size; rows above ``skew_threshold`` bytes are parsed in
+singleton batches on their own actor pool so one giant document never
+hides inside a batch of small ones and never stalls a whole block.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..config import DEFAULT_CONFIG, PdfDomConfig
+from ..stages.parser_stage import PdfDomParser
+from ..synth.corpus import pages_batch_from_documents
+
+__all__ = ["synth_pages", "extract", "extract_from_documents"]
+
+
+def synth_pages(sf_dir: str, *, concurrency: int | None = None) -> rd.Dataset:
+    """documents.parquet → deterministic pages table (url, warc_ts, html,
+    text, lang). Column-pruned read; embarrassingly parallel."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    return ds.map_batches(pages_batch_from_documents, batch_format="pyarrow",
+                          batch_size=64, concurrency=concurrency)
+
+
+def extract(pages: rd.Dataset, config: PdfDomConfig = DEFAULT_CONFIG, *,
+            emit_html: bool = True,
+            batch_size: int = 16,
+            concurrency=None,
+            skew_threshold: int = 8 * 1024 * 1024) -> rd.Dataset:
+    """Parse a pages Dataset into the output table (OUTPUT_SCHEMA).
+
+    ``concurrency``: actor-pool size (or (min, max)); None lets Ray size
+    the pool to the cluster. ``skew_threshold``: byte size above which a
+    document is routed to the singleton-batch giant pool.
+    """
+    pages = pages.select_columns(["url", "html"])
+
+    small = pages.map_batches(
+        lambda t: t.filter(pc.less(pc.binary_length(t.column("html")),
+                                   skew_threshold)),
+        batch_format="pyarrow")
+    giant = pages.map_batches(
+        lambda t: t.filter(pc.greater_equal(pc.binary_length(t.column("html")),
+                                            skew_threshold)),
+        batch_format="pyarrow")
+
+    parsed_small = small.map_batches(
+        PdfDomParser, fn_constructor_kwargs={"config": config,
+                                             "emit_html": emit_html},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+    parsed_giant = giant.map_batches(
+        PdfDomParser, fn_constructor_kwargs={"config": config,
+                                             "emit_html": emit_html},
+        batch_format="pyarrow", batch_size=1,
+        concurrency=(1, 2) if concurrency is None else (1, 2), num_cpus=1)
+    return parsed_small.union(parsed_giant)
+
+
+def extract_from_documents(sf_dir: str,
+                           config: PdfDomConfig = DEFAULT_CONFIG, *,
+                           emit_html: bool = True,
+                           batch_size: int = 16,
+                           concurrency=None) -> rd.Dataset:
+    """End-to-end: documents.parquet → synth pages → parsed table."""
+    return extract(synth_pages(sf_dir), config, emit_html=emit_html,
+                   batch_size=batch_size, concurrency=concurrency)

@@ -1,0 +1,119 @@
+"""Corpus-level aggregations: metrics, windowed event aggregation,
+broadcast joins.
+
+These are the A3 operators from SURVEY.md §2.5 — required by the north
+rule, absent in the single-document reference. Every aggregation uses
+the combiner pattern: vectorized per-batch partial aggregation inside
+``map_batches``, then a small global ``groupby`` over the partials, so
+the shuffle moves (keys × batches) rows, never the raw table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+__all__ = ["corpus_metrics", "events_hourly", "orders_by_segment"]
+
+
+def corpus_metrics(parsed: rd.Dataset) -> pd.DataFrame:
+    """Whole-corpus extraction metrics from the parser output table."""
+    def partial(t: pa.Table) -> pa.Table:
+        err = pc.is_valid(t.column("error"))
+        return pa.table({
+            "g": pa.array([0], pa.int32()),
+            "docs": pa.array([t.num_rows], pa.int64()),
+            "errors": pa.array([pc.sum(pc.cast(err, pa.int64())).as_py() or 0],
+                               pa.int64()),
+            "pages": pa.array([pc.sum(t.column("num_pages")).as_py() or 0],
+                              pa.int64()),
+            "spans": pa.array([pc.sum(t.column("n_spans")).as_py() or 0],
+                              pa.int64()),
+            "bytes": pa.array([pc.sum(t.column("payload_bytes")).as_py() or 0],
+                              pa.int64()),
+            "parse_ms": pa.array(
+                [pc.sum(pc.cast(t.column("parse_ms"), pa.float64())).as_py() or 0.0],
+                pa.float64()),
+        })
+    out = (parsed.map_batches(partial, batch_format="pyarrow")
+                 .groupby("g")
+                 .aggregate(Sum("docs", alias_name="docs"),
+                            Sum("errors", alias_name="errors"),
+                            Sum("pages", alias_name="pages"),
+                            Sum("spans", alias_name="spans"),
+                            Sum("bytes", alias_name="bytes"),
+                            Sum("parse_ms", alias_name="parse_ms"))
+                 .to_pandas())
+    return out.drop(columns=["g"])
+
+
+def events_hourly(sf_dir: str) -> rd.Dataset:
+    """Tumbling-window aggregate: (user_id, hour) → count + sum(value).
+
+    Partial per-batch pandas groupby, then global groupby over partials.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(hour=df["ts"].dt.floor("h"))
+        out = (df.groupby(["user_id", "hour"], as_index=False)
+                 .agg(n=("value", "size"), sum_value=("value", "sum")))
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    agg = (partials.groupby(["user_id", "hour"])
+                   .aggregate(Sum("n", alias_name="n"),
+                              Sum("sum_value", alias_name="sum_value")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n"] = df["n"].astype("int64")
+        df["sum_value"] = df["sum_value"].round(6)
+        return df
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def orders_by_segment(sf_dir: str) -> rd.Dataset:
+    """Broadcast join: orders ⋈ customer on custkey → per-segment totals.
+
+    The small side (customer) is ``ray.put`` once and looked up inside
+    each batch — no shuffle join. The global groupby runs over ≤
+    |segments| × batches partial rows.
+    """
+    import pyarrow.parquet as pq
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    lookup_ref = ray.put(dict(zip(cust.column("c_custkey").to_pylist(),
+                                  cust.column("c_mktsegment").to_pylist())))
+
+    class JoinAgg:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            seg = df["o_custkey"].map(self.lookup)
+            out = (df.assign(c_mktsegment=seg)
+                     .groupby("c_mktsegment", as_index=False)
+                     .agg(n_orders=("o_orderkey", "size"),
+                          total=("o_totalprice", "sum")))
+            return out
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_totalprice"])
+    partials = orders.map_batches(JoinAgg, batch_format="pandas",
+                                  concurrency=2)
+    agg = (partials.groupby("c_mktsegment")
+                   .aggregate(Sum("n_orders", alias_name="n_orders"),
+                              Sum("total", alias_name="total")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_orders"] = df["n_orders"].astype("int64")
+        df["total"] = df["total"].round(2)
+        return df
+    return agg.map_batches(finish, batch_format="pandas")

@@ -1,0 +1,118 @@
+"""Resumable partitioned output + per-partition lineage metrics.
+
+north_rule: "resumable from checkpoint with per-partition lineage +
+metrics". The unit of resume is a deterministic hash partition of the
+url key space:
+
+    part_id = crc32(url) % num_partitions        (stable across runs)
+
+``write_resumable`` writes ``out_dir/part_id=K/*.parquet`` via Ray's
+partitioned parquet sink and then a ``_lineage.json`` manifest recording
+per-partition row counts, error counts, payload bytes and wall time.
+``resume_filter`` drops rows whose partition is already recorded in the
+manifest, so a restarted job re-parses only unfinished partitions.
+The manifest is written atomically (tmp + rename).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import zlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+__all__ = ["add_part_id", "write_resumable", "completed_partitions",
+           "resume_filter"]
+
+LINEAGE_FILE = "_lineage.json"
+
+
+def _crc_part(urls: list[str], num_partitions: int) -> list[int]:
+    return [zlib.crc32(u.encode("utf-8")) % num_partitions for u in urls]
+
+
+def add_part_id(ds: rd.Dataset, num_partitions: int = 64,
+                key: str = "url") -> rd.Dataset:
+    def fn(t: pa.Table) -> pa.Table:
+        parts = _crc_part(t.column(key).to_pylist(), num_partitions)
+        return t.append_column("part_id", pa.array(parts, pa.int32()))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def completed_partitions(out_dir: str) -> set[int]:
+    path = os.path.join(out_dir, LINEAGE_FILE)
+    if not os.path.exists(path):
+        return set()
+    with open(path) as f:
+        manifest = json.load(f)
+    return {int(p["part_id"]) for p in manifest.get("partitions", [])}
+
+
+def resume_filter(ds: rd.Dataset, out_dir: str, num_partitions: int = 64,
+                  key: str = "url") -> rd.Dataset:
+    """Drop rows whose partition already completed in a previous run."""
+    done = completed_partitions(out_dir)
+    if not done:
+        return ds
+
+    def fn(t: pa.Table) -> pa.Table:
+        parts = _crc_part(t.column(key).to_pylist(), num_partitions)
+        mask = pa.array([p not in done for p in parts], pa.bool_())
+        return t.filter(mask)
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def write_resumable(ds: rd.Dataset, out_dir: str,
+                    num_partitions: int = 64) -> dict:
+    """Write partition-keyed parquet + lineage manifest; returns manifest.
+
+    The input dataset must carry the parser OUTPUT_SCHEMA columns
+    (payload_bytes / error used for lineage metrics).
+    """
+    t0 = time.time()
+    ds = add_part_id(ds, num_partitions)
+    # stream to disk — never materialize the full output in the object store
+    ds.write_parquet(out_dir, partition_cols=["part_id"])
+
+    # lineage metrics from a column-pruned second read of the written
+    # output (3 narrow columns; row counts come from parquet footers)
+    from ray.data.aggregate import Count, Sum
+    written = rd.read_parquet(out_dir,
+                              columns=["part_id", "payload_bytes", "n_spans",
+                                       "error"])
+    stats = (written.map_batches(
+                lambda t: pa.table({
+                    "part_id": pc.cast(t.column("part_id"), pa.int32()),
+                    "payload_bytes": t.column("payload_bytes"),
+                    "n_spans": pc.cast(t.column("n_spans"), pa.int64()),
+                    "is_err": pc.cast(pc.is_valid(t.column("error")),
+                                      pa.int64()),
+                }), batch_format="pyarrow")
+             .groupby("part_id")
+             .aggregate(Count(alias_name="rows"),
+                        Sum("payload_bytes", alias_name="payload_bytes"),
+                        Sum("n_spans", alias_name="n_spans"),
+                        Sum("is_err", alias_name="errors"))
+             .to_pandas())
+    manifest = {
+        "completed_at": time.time(),
+        "duration_s": time.time() - t0,
+        "num_partitions": num_partitions,
+        "partitions": [
+            {"part_id": int(r.part_id), "rows": int(r.rows),
+             "payload_bytes": int(r.payload_bytes),
+             "n_spans": int(r.n_spans),
+             "errors": int(r.errors)}
+            for r in stats.itertuples()
+        ],
+    }
+    tmp = os.path.join(out_dir, LINEAGE_FILE + ".tmp")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(out_dir, LINEAGE_FILE))
+    return manifest

@@ -1,0 +1,321 @@
+"""Conformance fixtures mirroring the reference's test corpus
+(SURVEY.md §5; /root/reference/src/test/java/org/fit/pdfdom/*.java).
+
+Each fixture is a deterministic synthetic PDF exercising one feature;
+assertions are structural (like the reference's Jsoup checks) plus
+byte-determinism checks.
+"""
+
+import re
+
+import numpy as np
+import pytest
+
+from pdf2dom_ray.config import IGNORE, SAVE_TO_DIR, PdfDomConfig
+from pdf2dom_ray.engine.parse import parse_document
+from pdf2dom_ray.synth.pdfgen import PageSpec, PdfBuilder
+
+
+def build_text_pdf(mode=None, fill=(0, 0, 0), stroke=None, title=None):
+    b = PdfBuilder(title=title)
+    p = PageSpec()
+    p.use_core_font("F1", "Helvetica")
+    p.text_block("F1", 12, 36, 750, ["hello"], color=fill, mode=mode,
+                 stroke_color=stroke)
+    b.add_page(p)
+    return b.build()
+
+
+def span_styles(result):
+    return [(s["color"], s["stroke_color"]) for s in result.spans]
+
+
+# -- text rendering modes (TestPDFDomTree.java:27-74) -----------------------
+
+def test_mode_fill():
+    r = parse_document(build_text_pdf(mode=0, fill=(1, 0, 0)))
+    assert r.error is None
+    color, stroke = span_styles(r)[0]
+    assert color == "#ff0000"
+    assert stroke == "rgba(0,0,0,0)"
+    # no inline text-stroke on the box (the default stylesheet's @supports
+    # rule always mentions webkit-text-stroke, so scope to the box style)
+    box_style = re.search(r'id="p0"[^>]*style="([^"]*)"', r.html_dom).group(1)
+    assert "webkit-text-stroke" not in box_style
+
+
+def test_mode_stroke():
+    r = parse_document(build_text_pdf(mode=1, fill=(1, 0, 0), stroke=(1, 0, 1)))
+    color, stroke = span_styles(r)[0]
+    assert color == "rgba(0,0,0,0)"  # transparent fill
+    assert stroke == "#ff00ff"
+    assert "-webkit-text-stroke: #ff00ff 1px ;" in r.html_dom
+
+
+def test_mode_stroke_and_fill():
+    r = parse_document(build_text_pdf(mode=2, fill=(0, 0, 1), stroke=(1, 0, 1)))
+    color, stroke = span_styles(r)[0]
+    assert color == "#0000ff"
+    assert stroke == "#ff00ff"
+
+
+def test_mode_neither_invisible_text_still_emitted():
+    r = parse_document(build_text_pdf(mode=3, fill=(1, 0, 0)))
+    color, stroke = span_styles(r)[0]
+    assert color == "rgba(0,0,0,0)"
+    assert stroke == "rgba(0,0,0,0)"
+    assert "hello" in r.extracted_text
+
+
+def test_color_truncation_not_rounding():
+    # (int)(r*255): 0.999 * 255 = 254.745 → 254 (PDFBoxTree.java:929)
+    r = parse_document(build_text_pdf(mode=0, fill=(0.999, 0, 0)))
+    assert span_styles(r)[0][0] == "#fe0000"
+
+
+# -- page ranges (TestPDFDomTree.java:76-86) --------------------------------
+
+def build_3page():
+    b = PdfBuilder()
+    for i in (1, 2, 3):
+        p = PageSpec()
+        p.use_core_font("F1", "Helvetica")
+        p.text_block("F1", 12, 36, 750, [f"#{i}"])
+        b.add_page(p)
+    return b.build()
+
+
+def test_page_range_endpage():
+    data = build_3page()
+    r = parse_document(data, PdfDomConfig(end_page=1))
+    assert "#1" in r.extracted_text
+    assert "#2" not in r.extracted_text
+    assert r.num_pages == 1
+    rall = parse_document(data)
+    assert rall.num_pages == 3
+    assert "#3" in rall.extracted_text
+
+
+def test_page_range_startpage():
+    r = parse_document(build_3page(), PdfDomConfig(start_page=3))
+    assert r.extracted_text == "#3"
+
+
+# -- rectangles / lines (M5-M7) ---------------------------------------------
+
+def test_filled_rect():
+    b = PdfBuilder()
+    p = PageSpec()
+    p.rect(100, 100, 50, 30, fill=(1, 0, 0))
+    b.add_page(p)
+    r = parse_document(b.build())
+    assert 'class="r"' in r.html_dom
+    assert "background-color:#ff0000;" in r.html_dom
+    # y flip: top = 792 - (100+30) = 662
+    assert "top:662.0pt;" in r.html_dom
+    assert "&nbsp;" in r.html_dom
+
+
+def test_stroked_rect_border_and_offset():
+    b = PdfBuilder()
+    p = PageSpec()
+    p.rect(100, 100, 50, 30, stroke=(0, 0, 1), line_width=2)
+    b.add_page(p)
+    r = parse_document(b.build())
+    assert "border:2.0pt solid #0000ff;" in r.html_dom
+    # stroke offset: left = 100 - 1, width = 50 - 2
+    assert "left:99.0pt;" in r.html_dom
+    assert "width:48.0pt;" in r.html_dom
+
+
+def test_horizontal_line():
+    b = PdfBuilder()
+    p = PageSpec()
+    p.line(100, 400, 200, 400, stroke=(0, 0, 0), line_width=1)
+    b.add_page(p)
+    r = parse_document(b.build())
+    assert "border-bottom:1.0pt solid #000000;" in r.html_dom
+    assert "width:100.0pt;" in r.html_dom
+    assert "height:0.0pt;" in r.html_dom
+
+
+def test_oblique_line_rotation():
+    b = PdfBuilder()
+    p = PageSpec()
+    p.line(100, 100, 200, 200, stroke=(0, 0, 0), line_width=1)
+    b.add_page(p)
+    r = parse_document(b.build())
+    m = re.search(r"transform:rotate\((-?[\d.]+)deg\);", r.html_dom)
+    assert m, r.html_dom
+    assert abs(abs(float(m.group(1))) - 45.0) < 0.01
+
+
+def test_vertical_line():
+    b = PdfBuilder()
+    p = PageSpec()
+    p.line(150, 100, 150, 300, stroke=(0, 1, 0), line_width=0.2)
+    b.add_page(p)
+    r = parse_document(b.build())
+    # stroke width clamps to >= 0.5 (HtmlDivLine.java:77-83)
+    assert "border-right:0.5pt solid #00ff00;" in r.html_dom
+
+
+# -- filled polygon → image (TestPaths.java:37-60) --------------------------
+
+def test_polygon_renders_image():
+    b = PdfBuilder()
+    p = PageSpec()
+    p.polygon([(100, 100), (150, 200), (200, 100)],
+              fill=(217 / 255, 217 / 255, 217 / 255))
+    b.add_page(p)
+    r = parse_document(b.build())
+    assert "<img" in r.html_dom
+    assert "data:image/png;base64," in r.html_dom
+    # decode the png and assert the fill color is present (GfxAssert-like)
+    import base64
+    from pdf2dom_ray.functions.multimodal import decode_engine_png
+    m = re.search(r'src="data:image/png;base64,([^"]+)"', r.html_dom)
+    img = decode_engine_png(base64.b64decode(m.group(1)))
+    filled = (img[..., 3] == 255)
+    assert filled.any()
+    rgb = img[filled][:, :3]
+    assert (rgb == 216).all() or (rgb == 217).all()  # trunc of 217/255*255
+
+
+def test_disable_graphics():
+    b = PdfBuilder()
+    p = PageSpec()
+    p.rect(100, 100, 50, 30, fill=(1, 0, 0))
+    p.use_core_font("F1", "Helvetica")
+    p.text_block("F1", 12, 36, 750, ["visible"])
+    b.add_page(p)
+    r = parse_document(b.build(), PdfDomConfig(disable_graphics=True))
+    assert 'class="r"' not in r.html_dom
+    assert "visible" in r.extracted_text
+
+
+# -- images (TestImages.java:38-75) -----------------------------------------
+
+def make_image_pdf(title="Untitled", n=1):
+    b = PdfBuilder(title=title)
+    p = PageSpec()
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[..., 0] = 200
+    for i in range(n):
+        p.use_image(f"Im{i}", img)
+        p.draw_image(f"Im{i}", 100 + i * 80, 600, 64, 64)
+    b.add_page(p)
+    return b.build()
+
+
+def test_image_embed_base64():
+    r = parse_document(make_image_pdf())
+    assert r.n_images == 1
+    assert 'src="data:image/png;base64,' in r.html_dom
+    assert "left:100.0pt;" in r.html_dom
+    # top = 792 - (600 + 64) = 128
+    assert "top:128.0pt;" in r.html_dom
+
+
+def test_image_name_dedup_save_handler():
+    r = parse_document(make_image_pdf(n=2),
+                       PdfDomConfig(image_handler=SAVE_TO_DIR))
+    names = [res["path"] for res in r.resources]
+    assert names == ["resources/Untitled.png", "resources/Untitled1.png"]
+
+
+def test_disable_image_data():
+    r = parse_document(make_image_pdf(),
+                       PdfDomConfig(disable_image_data=True))
+    assert 'src=""' in r.html_dom
+
+
+def test_disable_images():
+    r = parse_document(make_image_pdf(), PdfDomConfig(disable_images=True))
+    assert "<img" not in r.html_dom
+
+
+# -- fonts (TestFonts.java:29-107) ------------------------------------------
+
+def make_embedded_font_pdf():
+    b = PdfBuilder()
+    p = PageSpec()
+    p.use_embedded_ttf("F1", "EKCFJL+Omsym2", seed=3)
+    p.text_block("F1", 12, 36, 750, ["Bye"])
+    b.add_page(p)
+    return b.build()
+
+
+def test_embedded_ttf_font_face():
+    r = parse_document(make_embedded_font_pdf())
+    assert '@font-face {font-family:"EKCFJL Omsym2";' in r.html_dom
+    assert "data:application/x-font-truetype;base64," in r.html_dom
+    # the text box uses the allocated family name
+    assert r.spans[0]["font_family"] == "EKCFJL Omsym2"
+
+
+def test_ignore_fonts_no_font_face():
+    r = parse_document(make_embedded_font_pdf(),
+                       PdfDomConfig(font_handler=IGNORE))
+    assert "@font-face" not in r.html_dom
+    # family falls back to the raw PostScript name
+    assert r.spans[0]["font_family"] == "EKCFJL+Omsym2"
+    assert "Bye" in r.extracted_text
+
+
+def test_known_family_not_embedded():
+    r = parse_document(build_text_pdf())
+    assert "@font-face" not in r.html_dom
+    assert r.spans[0]["font_family"] == "Helvetica"
+
+
+def test_bold_weight_mapping():
+    b = PdfBuilder()
+    p = PageSpec()
+    p.use_core_font("F1", "Helvetica-Bold")
+    p.text_block("F1", 12, 36, 750, ["bold"])
+    b.add_page(p)
+    r = parse_document(b.build())
+    assert r.spans[0]["font_weight"] == "bold"
+    # Java quirk: 'bold' matches before 'bolditalic' in the subtype loop
+    # (PDFBoxTree.java:719-727), so BoldItalic → weight bold, style normal
+    b2 = PdfBuilder()
+    p2 = PageSpec()
+    p2.use_core_font("F1", "Times-BoldItalic")
+    p2.text_block("F1", 12, 36, 750, ["x"])
+    b2.add_page(p2)
+    r2 = parse_document(b2.build())
+    assert r2.spans[0]["font_weight"] == "bold"
+    assert r2.spans[0]["font_style"] == "normal"
+    # known-family substring match: "times-bolditalic" lacks
+    # "timesnewroman", so the second entry "Times" wins (PDFBoxTree.java:91)
+    assert r2.spans[0]["font_family"] == "Times"
+
+
+# -- title / determinism -----------------------------------------------------
+
+def test_title_fallback():
+    r = parse_document(build_text_pdf())
+    assert "<title>PDF Document</title>" in r.html_dom
+    r2 = parse_document(build_text_pdf(title="My Doc"))
+    assert "<title>My Doc</title>" in r2.html_dom
+
+
+def test_byte_determinism():
+    data = make_image_pdf()
+    a = parse_document(data)
+    b = parse_document(data)
+    assert a.html_dom == b.html_dom
+    assert a.extracted_text == b.extracted_text
+
+
+# -- malformed ---------------------------------------------------------------
+
+@pytest.mark.parametrize("payload", [
+    b"", b"garbage", b"%PDF-1.4\nnothing here",
+    b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog >>\nendobj",
+])
+def test_malformed_isolated(payload):
+    r = parse_document(payload)
+    assert r.error is not None
+    assert r.html_dom == ""
