@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+``--scaling`` runs the headline extraction twice in fresh subprocesses
+(num_cpus=8 then num_cpus=32) on the same input and reports both
+throughputs plus the scaling efficiency (north_rule evidence; recorded
+in BENCH/BASELINE.md).
+
+The synthetic pages corpus for the headline pipeline is derived from
+``documents.parquet`` once per (sf, machine) and cached as parquet under
+/tmp so the timed section measures read → parse → write, not corpus
+synthesis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def sf_dir() -> str:
+    return os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def num_cpus() -> int:
+    return int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def pages_cache_dir(sf: str) -> str:
+    tag = sf.strip("/").replace("/", "_")
+    return f"/tmp/pdf2dom_bench/pages_{tag}"
+
+
+def ensure_pages(sf: str) -> str:
+    """Materialize the synthetic pages corpus once (untimed)."""
+    out = pages_cache_dir(sf)
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    from pdf2dom_ray.pipelines.extract import synth_pages
+    ds = synth_pages(sf)
+    ds.write_parquet(out)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+def run_bench() -> dict:
+    import ray
+    ray.init(address="local", num_cpus=num_cpus(), include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data as rd
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    sf = sf_dir()
+    pages_path = ensure_pages(sf)
+    queries: dict[str, float] = {}
+
+    # headline: pages parquet → parse (DOM+text+spans) → parquet
+    from pdf2dom_ray.config import PdfDomConfig
+    from pdf2dom_ray.pipelines.extract import extract
+
+    # warm the page cache (untimed read)
+    rd.read_parquet(pages_path).count()
+
+    n_docs = 0
+    t0 = time.time()
+    pages = rd.read_parquet(pages_path, columns=["url", "html"])
+    parsed = extract(pages, PdfDomConfig(), emit_html=True)
+    out_dir = f"/tmp/pdf2dom_bench/out_{num_cpus()}"
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
+    parsed.write_parquet(out_dir)
+    t_extract = time.time() - t0
+    queries["extract"] = round(t_extract, 3)
+    import pyarrow.dataset as pads
+    n_docs = pads.dataset(out_dir).count_rows()
+
+    # secondary pipelines (timed individually)
+    import __ray_entry__ as E
+    qs = E.queries()
+    for name in ("text_quality", "dedup_exact", "dedup_minhash",
+                 "ann_brute_topk", "events_hourly", "orders_by_segment"):
+        t0 = time.time()
+        res = qs[name](sf)
+        if hasattr(res, "materialize"):
+            res = res.materialize()
+        queries[name] = round(time.time() - t0, 3)
+
+    total = sum(queries.values())
+    result = {
+        "metric": "pdf2dom_ray_bench_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus(),
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / t_extract, 2) if t_extract else None,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same extraction at two parallelism levels in fresh processes."""
+    out = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, capture_output=True, text=True,
+                              check=True, cwd=os.path.dirname(
+                                  os.path.abspath(__file__)))
+        line = json.loads(proc.stdout.strip().splitlines()[-1])
+        out[ncpu] = line
+    tput8 = out[8]["docs_per_sec"]
+    tput32 = out[32]["docs_per_sec"]
+    eff = (tput32 / tput8) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "docs_per_sec_8": tput8,
+        "docs_per_sec_32": tput32,
+        "extract_sec_8": out[8]["queries"]["extract"],
+        "extract_sec_32": out[32]["queries"]["extract"],
+        "sf": sf_dir(),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

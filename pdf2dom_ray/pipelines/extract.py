@@ -44,10 +44,15 @@ def extract(pages: rd.Dataset, config: PdfDomConfig = DEFAULT_CONFIG, *,
             skew_threshold: int = 8 * 1024 * 1024) -> rd.Dataset:
     """Parse a pages Dataset into the output table (OUTPUT_SCHEMA).
 
-    ``concurrency``: actor-pool size (or (min, max)); None lets Ray size
-    the pool to the cluster. ``skew_threshold``: byte size above which a
-    document is routed to the singleton-batch giant pool.
+    ``concurrency``: actor-pool size (or (min, max)); None sizes an
+    autoscaling pool to the cluster CPUs. ``skew_threshold``: byte size
+    above which a document is routed to the singleton-batch giant pool.
     """
+    if concurrency is None:
+        import ray
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if \
+            ray.is_initialized() else 8
+        concurrency = (1, max(ncpu, 1))
     pages = pages.select_columns(["url", "html"])
 
     small = pages.map_batches(
@@ -67,8 +72,7 @@ def extract(pages: rd.Dataset, config: PdfDomConfig = DEFAULT_CONFIG, *,
     parsed_giant = giant.map_batches(
         PdfDomParser, fn_constructor_kwargs={"config": config,
                                              "emit_html": emit_html},
-        batch_format="pyarrow", batch_size=1,
-        concurrency=(1, 2) if concurrency is None else (1, 2), num_cpus=1)
+        batch_format="pyarrow", batch_size=1, concurrency=(1, 2), num_cpus=1)
     return parsed_small.union(parsed_giant)
 
 

@@ -1,0 +1,139 @@
+"""Unit + small-Ray tests for the training-data operators:
+dedup (exact / minhash / simhash), ANN, text stats, multimodal."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+# -- pure kernels ------------------------------------------------------------
+
+def test_shingles_and_jaccard():
+    from pdf2dom_ray.functions.dedup import jaccard, shingles
+    a = shingles("the quick brown fox jumps", k=3)
+    b = shingles("the quick brown fox leaps", k=3)
+    assert 0 < jaccard(a, b) < 1
+    assert jaccard(a, a) == 1.0
+
+
+def test_minhash_estimates_jaccard():
+    from pdf2dom_ray.functions.dedup import MinHasher, jaccard, shingles
+    mh = MinHasher(num_perm=128)
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy")
+    far = "completely different words in this sentence here now"
+    s0, s1, s2 = (mh.signature(t) for t in (base, near, far))
+    true_near = jaccard(shingles(base), shingles(near))
+    assert (s0 == s1).mean() == pytest.approx(true_near, abs=0.15)
+    assert (s0 == s2).mean() < 0.2
+    assert (s0 == s0).mean() == 1.0
+
+
+def test_simhash_batch_near_vs_far():
+    from pdf2dom_ray.functions.dedup import _simhash_batch
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": ["alpha beta gamma delta epsilon zeta eta theta",
+                 "alpha beta gamma delta epsilon zeta eta iota",
+                 "unrelated totally different content entirely"],
+    })
+    out = _simhash_batch(t)
+    sigs = out.column("simhash").to_pylist()
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert hamming(sigs[0], sigs[1]) < hamming(sigs[0], sigs[2])
+
+
+def test_text_quality_batch():
+    from pdf2dom_ray.functions.text_stats import text_quality_batch
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": ["the cat sat on a mat"]})
+    out = text_quality_batch(t).to_pydict()
+    assert out["n_tokens"] == [6]
+    assert out["n_chars"] == [20]
+    assert out["stop_ratio"] == [pytest.approx(2 / 6, abs=1e-6)]
+
+
+def test_lang_id_heuristic():
+    from pdf2dom_ray.functions.text_stats import LangId
+    li = LangId()
+    assert li._predict("the cat and the dog in the house") == "en"
+    assert li._predict("der hund und die katze ist hier") == "de"
+    assert li._predict("日本語のテキストです" * 10) == "zh"
+
+
+def test_png_roundtrip_and_resize():
+    from pdf2dom_ray.engine.png import encode_png
+    from pdf2dom_ray.functions.multimodal import (decode_engine_png,
+                                                  resize_nearest)
+    img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    assert (decode_engine_png(encode_png(img)) == img).all()
+    small = resize_nearest(img, 4, 4)
+    assert small.shape == (4, 4, 3)
+    with pytest.raises(NotImplementedError):
+        decode_engine_png(b"\xff\xd8\xff\xe0 not a png")
+
+
+# -- Ray-level ---------------------------------------------------------------
+
+def test_exact_dedup_min_doc_id(ray_session):
+    import ray.data as rd
+    from pdf2dom_ray.functions.dedup import exact_dedup
+    ds = rd.from_items([
+        {"doc_id": 5, "text": "aaaa identical prefix here plus tail one"},
+        {"doc_id": 2, "text": "aaaa identical prefix here plus tail two"},
+        {"doc_id": 9, "text": "bbbb other prefix entirely different xxx"},
+    ])
+    out = exact_dedup(ds, key_prefix_chars=20).to_pandas()
+    m = dict(zip(out.k, out.doc_id))
+    assert m["aaaa identical prefi"] == 2
+    assert m["bbbb other prefix en"] == 9
+
+
+def test_minhash_cluster_groups_duplicates(ray_session):
+    import ray.data as rd
+    from pdf2dom_ray.functions.dedup import minhash_cluster
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    ds = rd.from_items([
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},                      # exact dup
+        {"doc_id": 3, "text": base.replace("dog", "cat")},  # near dup
+        {"doc_id": 4, "text": "totally different content with other words "
+                              "nothing shared at all here whatsoever okay"},
+    ])
+    out = minhash_cluster(ds).to_pandas().set_index("doc_id").cluster_id
+    assert out[2] == out[1] == 1
+    assert out[4] == 4
+
+
+def test_brute_topk_matches_numpy(ray_session):
+    import ray.data as rd
+    from pdf2dom_ray.functions.ann import brute_topk
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((100, 16)).astype(np.float32)
+    q = emb[0].astype(np.float64)
+    ds = rd.from_items([{"vec_id": i, "embedding": emb[i].tolist()}
+                        for i in range(100)])
+    out = brute_topk(ds, q, k=5).to_pandas()
+    sims = emb.astype(np.float64) @ q / (
+        np.linalg.norm(emb.astype(np.float64), axis=1) * np.linalg.norm(q))
+    expect = np.argsort(-sims)[:5]
+    assert list(out.vec_id) == list(expect)
+    assert out.sim.iloc[0] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_image_decoder_stage(ray_session):
+    import ray.data as rd
+    from pdf2dom_ray.engine.png import encode_png
+    from pdf2dom_ray.functions.multimodal import decode_images
+    img = np.full((6, 4, 3), 100, np.uint8)
+    ds = rd.from_items([
+        {"url": "a", "image": encode_png(img)},
+        {"url": "b", "image": b"not a png"},
+    ])
+    out = decode_images(ds).to_pandas().set_index("url")
+    assert out.loc["a", "width"] == 4
+    assert out.loc["a", "height"] == 6
+    assert out.loc["a", "mean_r"] == pytest.approx(100.0)
+    assert out.loc["a", "error"] is None or np.isnan(out.loc["a", "error"])
+    assert out.loc["b", "error"] is not None
