@@ -23,6 +23,7 @@ generation for both float32 and float64.
 from __future__ import annotations
 
 import math
+from functools import lru_cache
 
 import numpy as np
 
@@ -59,9 +60,14 @@ def _java_format(v: float, dtype) -> str:
     return f"{mant}E{expi}"
 
 
+@lru_cache(maxsize=1 << 16)
+def _jfloat_cached(v: float) -> str:
+    return _java_format(v, np.float32)
+
+
 def jfloat_str(v) -> str:
-    """Java ``Float.toString(float)``."""
-    return _java_format(float(np.float32(v)), np.float32)
+    """Java ``Float.toString(float)`` (memoized — CSS lengths repeat)."""
+    return _jfloat_cached(float(np.float32(v)))
 
 
 def jdouble_str(v) -> str:

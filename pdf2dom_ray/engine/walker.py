@@ -61,6 +61,9 @@ _STROKE_MODES = {1, 2, 5, 6}
 
 _RTL_BIDI = {"R", "AL", "RLE", "RLO"}  # isReversed classes, PDFBoxTree.java:686-699
 
+# test hook: disable the vectorized ASCII path to exercise the glyph loop
+FAST_ASCII = True
+
 __all__ = ["Matrix", "GraphicsState", "TextPosition", "Walker", "colorstr"]
 
 
@@ -283,6 +286,7 @@ class Walker:
         self.config = config
         self.font_table = FontTable()
         self.font_cache: dict[int, PdfFont] = {}
+        self._style_cache: dict[int, tuple] = {}
 
         # per-document walker state (PDFBoxTree.java:118-150)
         self.style = BoxStyle(UNIT)
@@ -740,6 +744,18 @@ class Walker:
         fs = ts.font_size
         hs = ts.h_scale
         rise = ts.rise
+
+        # vectorized fast path: simple font, printable-ASCII payload, no
+        # pending diacritic. Bit-identical to the glyph loop below (same
+        # float op order; see _show_text_ascii). FAST_ASCII is a test
+        # hook for equivalence checks.
+        if (FAST_ASCII and not font.is_type0 and font.to_unicode is None
+                and raw and self.last_dia is None):
+            codes = np.frombuffer(raw, dtype=np.uint8)
+            if codes.min() >= 32 and codes.max() < 127:
+                self._show_text_ascii(codes, ts, font, fs, hs, rise)
+                return
+
         params = Matrix(fs * hs, 0, 0, fs, 0, rise)
         llx, lly, urx, ury = self.crop
         crop_w = urx - llx
@@ -785,6 +801,138 @@ class Walker:
                               fs * self.tm.scaling_factor_x(), code)
             self.process_text_position(tp)
             self.tm = Matrix.translate(adv, 0).multiply(self.tm)
+
+    def _glyph_height_factor(self, font: PdfFont) -> float:
+        # PDFBox LegacyPDFStreamEngine.showGlyph height heuristic
+        bbox_h = font.bbox_ury - font.bbox_lly
+        glyph_height = bbox_h / 2.0
+        cap = font.cap_height
+        if cap != 0 and (cap < glyph_height or glyph_height == 0):
+            glyph_height = cap
+        return glyph_height
+
+    def _show_text_ascii(self, codes: np.ndarray, ts, font: PdfFont,
+                         fs: float, hs: float, rise: float) -> None:
+        """Vectorized glyph processing for printable-ASCII runs.
+
+        Replicates the per-glyph loop's float64 operation order exactly:
+        the Tm translation recurrence becomes a cumsum seeded with the
+        current tm.e/f (identical sequential rounding), and per-glyph
+        display coords are computed with the same expression shapes.
+        Within one run the style (font, scale, colors, spacing) is
+        constant, so the style update + equality check run once and box
+        splits reduce to a vectorized distx/disty predicate.
+        """
+        tm = self.tm
+        ctm = self.gs.ctm
+        n = len(codes)
+        w0 = font.widths[codes]                      # float64 (n,)
+        tw = np.where(codes == 32, float(ts.word_spacing), 0.0)
+        adv = (w0 / 1000.0 * fs + float(ts.char_spacing) + tw) * hs
+
+        # tm.e/f sequence BEFORE each glyph's advance (loop-order cumsum)
+        ce = np.cumsum(np.concatenate(([tm.e], adv * tm.a)))
+        cf = np.cumsum(np.concatenate(([tm.f], adv * tm.b)))
+        tme = ce[:-1]
+        tmf = cf[:-1]
+
+        # m1 = params·Tm (params = [fs*hs 0; 0 fs; 0 rise])
+        m1a = fs * hs * tm.a
+        m1b = fs * hs * tm.b
+        m1c = fs * tm.c
+        m1d = fs * tm.d
+        m1e = rise * tm.c + tme
+        m1f = rise * tm.d + tmf
+        # trm = m1·CTM
+        tra = m1a * ctm.a + m1b * ctm.c
+        trb = m1a * ctm.b + m1b * ctm.d
+        trc = m1c * ctm.a + m1d * ctm.c
+        trd = m1c * ctm.b + m1d * ctm.d
+        tre = m1e * ctm.a + m1f * ctm.c + ctm.e
+        trf = m1e * ctm.b + m1f * ctm.d + ctm.f
+
+        sx = math.sqrt(tra * tra + trb * trb) if trb != 0.0 else tra
+        sy = math.sqrt(trc * trc + trd * trd) if trc != 0.0 else trd
+        fpt = fs * tm.scaling_factor_x()
+        disp_h = f32(self._glyph_height_factor(font) / 1000.0 * sy)
+
+        llx, lly, urx, ury = self.crop
+        crop_w = urx - llx
+        crop_h = ury - lly
+        rot = self.page_rotation
+        txd = tre - llx
+        tyd = trf - lly
+        if rot == 0:
+            gx, gy = txd, crop_h - tyd
+        elif rot == 90:
+            gx, gy = tyd, crop_w - txd
+        elif rot == 180:
+            gx, gy = crop_w - txd, tyd
+        else:
+            gx, gy = crop_h - tyd, txd
+
+        # advance the text matrix past the whole run
+        tm.e = float(ce[-1])
+        tm.f = float(cf[-1])
+
+        kept = codes > 32                     # space glyphs are skipped
+        if not kept.any():
+            return
+        idx = np.flatnonzero(kept)
+        kcodes = codes[idx]
+        xk = gx[idx].astype(np.float32)
+        yk = gy[idx].astype(np.float32)
+        wk = (w0[idx] / 1000.0 * sx).astype(np.float32)
+
+        def make_tp(i: int) -> TextPosition:
+            return TextPosition(xk[i], yk[i], wk[i], disp_h, sx, sy,
+                                chr(kcodes[i]), font, fpt, int(kcodes[i]))
+
+        # style once per run (constant: same font/scale/colors throughout)
+        first_tp = make_tp(0)
+        self.update_style(self.style, first_tp)
+        style_changed = not self.style.style_eq(self.curstyle)
+
+        lt = self.last_text
+        if lt is None:
+            split0 = True
+        else:
+            distx0 = float(xk[0]) - (float(lt.x) + float(lt.width))
+            disty0 = float(yk[0]) - float(lt.y)
+            split0 = (distx0 > 1.0 or distx0 < -6.0 or abs(disty0) > 1.0
+                      or _is_reversed(lt.unicode))  # ASCII glyph is LTR
+        if style_changed:
+            split0 = True
+
+        xd = xk.astype(np.float64)
+        yd = yk.astype(np.float64)
+        wd = wk.astype(np.float64)
+        distx = xd[1:] - (xd[:-1] + wd[:-1])
+        disty = yd[1:] - yd[:-1]
+        internal = (distx > 1.0) | (distx < -6.0) | (np.abs(disty) > 1.0)
+        bounds = np.flatnonzero(internal) + 1
+        frag_starts = np.concatenate(([0], bounds))
+        frag_ends = np.concatenate((bounds, [len(idx)]))
+
+        chars = kcodes.tobytes().decode("latin-1")
+        for s, e in zip(frag_starts, frag_ends):
+            if s == 0 and not split0:
+                # continuation of the current box
+                if self.text_metrics is None:
+                    self.text_metrics = TextMetrics(make_tp(s))
+                    if e - s > 1:
+                        self.text_metrics.append(make_tp(e - 1))
+                else:
+                    self.text_metrics.append(make_tp(e - 1))
+            else:
+                if self.last_text is not None:
+                    self.finish_box()
+                self.curstyle = self.style.copy()
+                self.text_metrics = TextMetrics(make_tp(s))
+                if e - s > 1:
+                    self.text_metrics.append(make_tp(e - 1))
+            self.text_line.append(chars[s:e])
+            self.last_text = make_tp(e - 1)
 
     # -- box state machine (PDFBoxTree.java:593-679) -------------------
     def process_text_position(self, text: TextPosition) -> None:
@@ -845,32 +993,50 @@ class Walker:
         # page's last glyph; replicated for bug-compatibility.
 
     # -- style update (PDFBoxTree.java:706-791) ------------------------
+    def _font_style_triple(self, font: PdfFont) -> tuple:
+        """(weight, style, family) for a font — cached per document
+        (pure function of the font name + font table, PDFBoxTree.java:706-764)."""
+        cached = self._style_cache.get(id(font))
+        if cached is not None:
+            return cached
+        font_name = font.name
+        lower = font_name.lower()
+        weight = None
+        fstyle = None
+        for i, t in enumerate(PD_FONT_TYPE):
+            if lower.rfind(t) >= 0:
+                weight = CSS_FONT_WEIGHT[i]
+                fstyle = CSS_FONT_STYLE[i]
+                break
+        weight = weight if weight is not None else CSS_FONT_WEIGHT[0]
+        fstyle = fstyle if fstyle is not None else CSS_FONT_STYLE[0]
+        family = ""
+        for fam in CSS_FONT_FAMILY:
+            if lower.rfind(fam.lower().replace(" ", "")) >= 0:
+                family = fam
+                break
+        cacheable = True
+        if not family:
+            family = self.font_table.get_used_name(font)
+            if family is None:
+                # raw-name fallback: a later page may still admit this font
+                # to the table (reference recomputes per glyph) — don't cache
+                family = font_name
+                cacheable = False
+        triple = (weight, fstyle, family)
+        if cacheable:
+            self._style_cache[id(font)] = triple
+        return triple
+
     def update_style(self, bstyle: BoxStyle, text: TextPosition) -> None:
         font_name = text.font.name
         bstyle.set_font_size(text.x_scale)
         bstyle.set_line_height(text.height)
 
         if font_name is not None:
-            lower = font_name.lower()
-            weight = None
-            fstyle = None
-            for i, t in enumerate(PD_FONT_TYPE):
-                if lower.rfind(t) >= 0:
-                    weight = CSS_FONT_WEIGHT[i]
-                    fstyle = CSS_FONT_STYLE[i]
-                    break
-            bstyle.font_weight = weight if weight is not None else CSS_FONT_WEIGHT[0]
-            bstyle.font_style = fstyle if fstyle is not None else CSS_FONT_STYLE[0]
-
-            family = ""
-            for fam in CSS_FONT_FAMILY:
-                if lower.rfind(fam.lower().replace(" ", "")) >= 0:
-                    family = fam
-                    break
-            if not family:
-                family = self.font_table.get_used_name(text.font)
-                if family is None:
-                    family = font_name
+            weight, fstyle, family = self._font_style_triple(text.font)
+            bstyle.font_weight = weight
+            bstyle.font_style = fstyle
             if family:
                 bstyle.font_family = family
 
