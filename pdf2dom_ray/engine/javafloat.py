@@ -61,13 +61,15 @@ def _java_format(v: float, dtype) -> str:
 
 
 @lru_cache(maxsize=1 << 16)
-def _jfloat_cached(v: float) -> str:
-    return _java_format(v, np.float32)
+def _jfloat_cached(bits: int) -> str:
+    # keyed on raw float32 bits: -0.0 and 0.0 hash equal as floats but
+    # must format differently
+    return _java_format(float(np.uint32(bits).view(np.float32)), np.float32)
 
 
 def jfloat_str(v) -> str:
     """Java ``Float.toString(float)`` (memoized — CSS lengths repeat)."""
-    return _jfloat_cached(float(np.float32(v)))
+    return _jfloat_cached(int(np.float32(v).view(np.uint32)))
 
 
 def jdouble_str(v) -> str:
