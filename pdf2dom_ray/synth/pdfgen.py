@@ -95,6 +95,21 @@ class PageSpec:
                                 "seed": seed, "widths": widths,
                                 "first_char": first_char}
 
+    def use_type0_font(self, res_name: str, base_font: str, seed: int,
+                       cid_width: int = 600) -> None:
+        """Composite font: Type0 + Identity-H + CIDFontType2 descendant
+        with an embedded TTF and a ToUnicode CMap covering ASCII
+        (2-byte codes = codepoints)."""
+        self.fonts[res_name] = {"kind": "type0", "base": base_font,
+                                "seed": seed, "cid_width": cid_width}
+
+    def use_form(self, res_name: str, content: bytes,
+                 matrix: tuple = (1, 0, 0, 1, 0, 0),
+                 fonts: dict | None = None) -> None:
+        """Form XObject with its own content stream (+ optional fonts)."""
+        self.images[res_name] = {"form": content, "matrix": matrix,
+                                 "fonts": fonts or {}}
+
     def use_image(self, res_name: str, rgb: np.ndarray) -> None:
         self.images[res_name] = {"rgb": np.ascontiguousarray(rgb, np.uint8)}
 
@@ -162,6 +177,17 @@ class PageSpec:
         self.ops.append(
             f"q\n{w:g} 0 0 {h:g} {x:g} {y:g} cm\n/{res_name} Do\nQ".encode())
 
+    def draw_form(self, res_name: str) -> None:
+        self.ops.append(f"/{res_name} Do".encode())
+
+    def text_hex(self, font_res: str, size: float, x: float, y: float,
+                 text: str) -> None:
+        """Show text with 2-byte hex codes (Type0/Identity-H fonts)."""
+        hexstr = "".join(f"{ord(c):04X}" for c in text)
+        self.ops.append(
+            f"BT /{font_res} {size:g} Tf 1 0 0 1 {x:g} {y:g} Tm "
+            f"<{hexstr}> Tj ET".encode())
+
     def content(self) -> bytes:
         return b"\n".join(self.ops) + b"\n"
 
@@ -194,6 +220,39 @@ class PdfBuilder:
                         f"<< /Type /Font /Subtype /Type1 /BaseFont /{spec['base']} >>"
                         .encode())
                 return font_obj_cache[key]
+            if spec["kind"] == "type0":
+                key = ("type0", spec["base"], spec["seed"])
+                if key in font_obj_cache:
+                    return font_obj_cache[key]
+                ttf = tiny_ttf(spec["seed"])
+                ff_num = add(
+                    f"<< /Length {len(ttf)} /Length1 {len(ttf)} >>".encode()
+                    + b"\nstream\n" + ttf + b"\nendstream")
+                desc_num = add((
+                    f"<< /Type /FontDescriptor /FontName /{spec['base']} "
+                    f"/Flags 4 /FontBBox [-100 -200 1000 900] /ItalicAngle 0 "
+                    f"/Ascent 800 /Descent -200 /CapHeight 700 /StemV 80 "
+                    f"/FontFile2 {ff_num} 0 R >>").encode())
+                cw = spec["cid_width"]
+                cid_num = add((
+                    f"<< /Type /Font /Subtype /CIDFontType2 "
+                    f"/BaseFont /{spec['base']} "
+                    f"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+                    f"/Supplement 0 >> /FontDescriptor {desc_num} 0 R "
+                    f"/DW {cw} /CIDToGIDMap /Identity >>").encode())
+                # ToUnicode: identity for the BMP ASCII range
+                cmap = (b"/CIDInit /ProcSet findresource begin\n"
+                        b"begincmap\n1 begincodespacerange <0000> <FFFF> "
+                        b"endcodespacerange\n1 beginbfrange\n"
+                        b"<0020> <007E> <0020>\nendbfrange\nendcmap\nend")
+                tu_num = add(f"<< /Length {len(cmap)} >>".encode()
+                             + b"\nstream\n" + cmap + b"\nendstream")
+                num = add((
+                    f"<< /Type /Font /Subtype /Type0 /BaseFont /{spec['base']} "
+                    f"/Encoding /Identity-H /DescendantFonts [{cid_num} 0 R] "
+                    f"/ToUnicode {tu_num} 0 R >>").encode())
+                font_obj_cache[key] = num
+                return num
             # embedded TTF
             key = ("ttf", spec["base"], spec["seed"])
             if key in font_obj_cache:
@@ -233,15 +292,29 @@ class PdfBuilder:
             if p.images:
                 xo = []
                 for name, spec in p.images.items():
-                    rgb = spec["rgb"]
-                    h, w = rgb.shape[:2]
-                    data = zlib.compress(rgb.tobytes(), 6)
-                    num = add((
-                        f"<< /Type /XObject /Subtype /Image /Width {w} "
-                        f"/Height {h} /ColorSpace /DeviceRGB "
-                        f"/BitsPerComponent 8 /Filter /FlateDecode "
-                        f"/Length {len(data)} >>").encode()
-                        + b"\nstream\n" + data + b"\nendstream")
+                    if "form" in spec:
+                        fres = ""
+                        if spec["fonts"]:
+                            ff = " ".join(f"/{n} {font_object(s)} 0 R"
+                                          for n, s in spec["fonts"].items())
+                            fres = f" /Resources << /Font << {ff} >> >>"
+                        mtx = " ".join(f"{v:g}" for v in spec["matrix"])
+                        body = spec["form"]
+                        num = add((
+                            f"<< /Type /XObject /Subtype /Form "
+                            f"/BBox [0 0 612 792] /Matrix [{mtx}]{fres} "
+                            f"/Length {len(body)} >>").encode()
+                            + b"\nstream\n" + body + b"\nendstream")
+                    else:
+                        rgb = spec["rgb"]
+                        h, w = rgb.shape[:2]
+                        data = zlib.compress(rgb.tobytes(), 6)
+                        num = add((
+                            f"<< /Type /XObject /Subtype /Image /Width {w} "
+                            f"/Height {h} /ColorSpace /DeviceRGB "
+                            f"/BitsPerComponent 8 /Filter /FlateDecode "
+                            f"/Length {len(data)} >>").encode()
+                            + b"\nstream\n" + data + b"\nendstream")
                     xo.append(f"/{name} {num} 0 R")
                 res_parts.append(f"/XObject << {' '.join(xo)} >>")
             resources = "<< " + " ".join(res_parts) + " >>" if res_parts else "<< >>"
