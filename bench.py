@@ -33,20 +33,46 @@ def num_cpus() -> int:
     return int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
-def pages_cache_dir(sf: str) -> str:
+def pages_cache_dir(sf: str, replicate: int) -> str:
     tag = sf.strip("/").replace("/", "_")
-    return f"/tmp/pdf2dom_bench/pages_{tag}"
+    return f"/tmp/pdf2dom_bench/pages_{tag}_x{replicate}"
 
 
-def ensure_pages(sf: str) -> str:
+def replication_factor(sf: str) -> int:
+    """Replicate the corpus so the timed run is long enough to amortize
+    fixed costs (pool startup ~2s) the way a real multi-hour corpus run
+    would; urls stay unique. Override with GRAFT_BENCH_REPLICATE."""
+    env = os.environ.get("GRAFT_BENCH_REPLICATE")
+    if env:
+        return max(1, int(env))
+    import pyarrow.parquet as pq
+    n = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    return max(1, 40_000 // n)
+
+
+def ensure_pages(sf: str, replicate: int) -> str:
     """Materialize the synthetic pages corpus once (untimed)."""
-    out = pages_cache_dir(sf)
+    out = pages_cache_dir(sf, replicate)
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out
+    import pyarrow as pa
     from pdf2dom_ray.pipelines.extract import synth_pages
     ds = synth_pages(sf)
-    ds.write_parquet(out)
+
+    def replicate_batch(t: pa.Table) -> pa.Table:
+        if replicate == 1:
+            return t
+        parts = []
+        urls = t.column("url").to_pylist()
+        for r in range(replicate):
+            rt = t.set_column(0, "url",
+                              pa.array([f"{u}#r{r}" for u in urls]))
+            parts.append(rt)
+        return pa.concat_tables(parts)
+
+    ds = ds.map_batches(replicate_batch, batch_format="pyarrow")
+    ds.write_parquet(out, max_rows_per_file=2000)
     with open(done, "w") as f:
         f.write("ok")
     return out
@@ -60,7 +86,8 @@ def run_bench() -> dict:
     rd.DataContext.get_current().enable_progress_bars = False
 
     sf = sf_dir()
-    pages_path = ensure_pages(sf)
+    replicate = replication_factor(sf)
+    pages_path = ensure_pages(sf, replicate)
     queries: dict[str, float] = {}
 
     # headline: pages parquet → parse (DOM+text+spans) → parquet

@@ -308,6 +308,20 @@ class Walker:
         self.tm = Matrix()
         self.tlm = Matrix()
 
+        # cooperative per-document wall-clock budget: checked at page
+        # boundaries and every ~4096 operators; exceeded → error row
+        # (a pathological document must never hang a worker — SURVEY §4)
+        import time as _time
+        self._deadline = (_time.monotonic() + config.timeout_s
+                          if getattr(config, "timeout_s", 0) else None)
+        self._op_count = 0
+
+    def _check_deadline(self) -> None:
+        if self._deadline is not None:
+            import time as _time
+            if _time.monotonic() > self._deadline:
+                raise PdfParseError("document timeout exceeded")
+
     # ------------------------------------------------------------------
     def process_document(self) -> None:
         self.emitter.start_document(self.doc)
@@ -316,6 +330,7 @@ class Walker:
         for pageno, page in enumerate(self.doc.pages, start=1):
             if pageno < start or pageno > end:
                 continue
+            self._check_deadline()
             self.page = page
             self.page_rotation = page.rotation
             self.crop = tuple(page.crop_box)
@@ -443,10 +458,14 @@ class Walker:
                 lex.pos = lex.end if endidx < 0 else endidx + 2
                 operands = []
                 continue
+            self._op_count += 1
+            if self._op_count % 4096 == 0:
+                self._check_deadline()
             try:
                 self._op(op, operands, resources, depth)
-            except PdfParseError:
-                pass
+            except PdfParseError as e:
+                if "timeout" in str(e):
+                    raise
             operands = []
 
     def _op(self, op: str, args: list, resources, depth: int) -> None:

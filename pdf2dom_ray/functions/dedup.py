@@ -117,22 +117,51 @@ class _MinHashBands:
 def minhash_cluster(ds: rd.Dataset, *, num_perm: int = 64, bands: int = 16,
                     shingle_k: int = 3, concurrency=None) -> rd.Dataset:
     """(doc_id, cluster_id): cluster = min doc_id across shared LSH buckets
-    (single label-propagation round)."""
+    (single label-propagation round; run again for transitive closure).
+
+    Shuffle plan: one native groupby over narrow (band, hash) rows to
+    find buckets with >1 member; those collision buckets are a small
+    fraction of the corpus (≈ the duplicate rate), so their min-labels
+    are broadcast via ``ray.put`` and applied in a vectorized
+    ``map_batches`` — no per-group Python and no large join.
+    """
+    import ray
+    from ray.data.aggregate import Count, Min
+
     band_rows = ds.map_batches(
         _MinHashBands,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
                                "shingle_k": shingle_k},
         batch_format="pyarrow", concurrency=concurrency or 4)
 
-    def bucket_min(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": group["doc_id"],
-                             "bucket_min": group["doc_id"].min()})
+    stats = (band_rows.groupby(["band_id", "band_hash"])
+             .aggregate(Count(alias_name="n"),
+                        Min("doc_id", alias_name="bucket_min")))
+    dup_buckets = stats.map_batches(
+        lambda t: t.filter(pa.compute.greater(t.column("n"), 1)),
+        batch_format="pyarrow").to_pandas()
+    lookup = {(b, h): m for b, h, m in zip(dup_buckets.band_id,
+                                           dup_buckets.band_hash,
+                                           dup_buckets.bucket_min)}
+    lookup_ref = ray.put(lookup)
 
-    labeled = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_min, batch_format="pandas")
-    from ray.data.aggregate import Min
+    class Label:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            docs = t.column("doc_id").to_pylist()
+            bb = t.column("band_id").to_pylist()
+            hh = t.column("band_hash").to_pylist()
+            lk = self.lookup
+            cand = [lk.get((b, h), d) for d, b, h in zip(docs, bb, hh)]
+            return pa.table({"doc_id": pa.array(docs, pa.int64()),
+                             "cand": pa.array(cand, pa.int64())})
+
+    labeled = band_rows.map_batches(Label, batch_format="pyarrow",
+                                    concurrency=concurrency or 4)
     return labeled.groupby("doc_id").aggregate(
-        Min("bucket_min", alias_name="cluster_id"))
+        Min("cand", alias_name="cluster_id"))
 
 
 # ---------------------------------------------------------------------------

@@ -49,10 +49,15 @@ def extract(pages: rd.Dataset, config: PdfDomConfig = DEFAULT_CONFIG, *,
     above which a document is routed to the singleton-batch giant pool.
     """
     if concurrency is None:
+        # size the main pool to the cluster but leave headroom for the
+        # giant-document pool (min 1 actor) and the read/write tasks —
+        # a pool that reserves every CPU deadlocks actor creation of the
+        # second pool and starves the sinks
         import ray
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if \
             ray.is_initialized() else 8
-        concurrency = (1, max(ncpu, 1))
+        hi = max(ncpu - 2, 1)
+        concurrency = (max(hi // 2, 1), hi)
     pages = pages.select_columns(["url", "html"])
 
     small = pages.map_batches(
