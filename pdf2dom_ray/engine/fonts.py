@@ -234,10 +234,17 @@ def load_font(doc, font_dict: dict) -> PdfFont:
         if isinstance(widths, list):
             w = np.array(builtin[0] if builtin is not None
                          else np.zeros(256), dtype=np.float64)
+            # Type3 widths are in glyph space scaled by /FontMatrix[0]
+            # (PDF 32000 9.6.5); normalize to the /1000 convention
+            scale = 1.0
+            if subtype == "Type3":
+                fm = doc.resolve(d.get("FontMatrix"))
+                if isinstance(fm, list) and len(fm) == 6:
+                    scale = float_value(doc.resolve(fm[0])) * 1000.0
             for j, wv in enumerate(widths):
                 c = first + j
                 if 0 <= c < 256:
-                    w[c] = float_value(doc.resolve(wv))
+                    w[c] = float_value(doc.resolve(wv)) * scale
             font.widths = w
 
     # descriptor metrics
