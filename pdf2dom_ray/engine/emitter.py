@@ -66,6 +66,7 @@ class DomEmitter:
         self._prev_top: float | None = None
         self._prev_page = -1
         self._saved_names: list[str] = []
+        self._css_tail_cache: dict[tuple, str] = {}
         self.n_images = 0  # raster images placed via Do (not path rasters)
 
     # -- document shell (PDFDomTree.java:118-174) ----------------------
@@ -150,7 +151,15 @@ class DomEmitter:
         self.textcnt += 1
         el.set("class", "p")
         style = walker.curstyle
-        css = style.to_css() + f"width:{jfloat_str(metrics.get_width())}{UNIT};"
+        # cache the non-positional CSS tail per style identity — boxes in a
+        # run share it, only top/left/line-height/width vary
+        tk = style.tail_key()
+        tail = self._css_tail_cache.get(tk)
+        if tail is None:
+            tail = style.css_tail()
+            self._css_tail_cache[tk] = tail
+        css = (style.css_head() + tail
+               + f"width:{jfloat_str(metrics.get_width())}{UNIT};")
         el.set("style", css)
         el.append(TextNode(data))
         self.curpage.append(el)

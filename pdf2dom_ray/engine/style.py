@@ -92,14 +92,28 @@ class BoxStyle:
         """``formatLength``: Java Float.toString + units (BoxStyle.java:132-136)."""
         return jfloat_str(length) + self.units
 
-    def to_css(self) -> str:
-        """``BoxStyle.toString`` property order and suppression (BoxStyle.java:88-114)."""
+    def tail_key(self) -> tuple:
+        """Identity of the non-positional CSS properties (everything after
+        line-height in the fixed order) — used by emitters to cache the
+        formatted tail across boxes sharing a style."""
+        return (self.font_family, self._fbits(self.font_size),
+                self.font_weight, self.font_style,
+                self._fbits(self.word_spacing), self._fbits(self.letter_spacing),
+                self.color, self.stroke_color)
+
+    def css_head(self) -> str:
+        """position/top/left/line-height prefix (per-box values)."""
         out: list[str] = []
         if self.position is not None and self.position != DEFAULT_POSITION:
             out.append(f"position:{self.position};")
         out.append(f"top:{self.format_length(self.top)};")
         out.append(f"left:{self.format_length(self.left)};")
         out.append(f"line-height:{self.format_length(self.line_height)};")
+        return "".join(out)
+
+    def css_tail(self) -> str:
+        """font/spacing/color suffix (style-identity values)."""
+        out: list[str] = []
         if self.font_family is not None:
             out.append(f"font-family:{self.font_family};")
         if self.font_size != 0:
@@ -117,6 +131,10 @@ class BoxStyle:
         if self.stroke_color is not None and self.stroke_color != TRANSPARENT_COLOR:
             out.append(_TEXT_STROKE_CSS.format(c=self.stroke_color))
         return "".join(out)
+
+    def to_css(self) -> str:
+        """``BoxStyle.toString`` property order and suppression (BoxStyle.java:88-114)."""
+        return self.css_head() + self.css_tail()
 
     # equality over style-identity fields only (BoxStyle.java:366-405);
     # Java compares floats via floatToIntBits, i.e. bit equality (NaN==NaN,

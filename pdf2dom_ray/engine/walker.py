@@ -275,6 +275,24 @@ class TextPosition:
         self.font_size_pt = f32(font_size_pt)
         self.code = code
 
+    @classmethod
+    def raw(cls, x, y, width, height, x_scale, y_scale, unicode, font,
+            font_size_pt, code):
+        """Cast-free constructor for values already in float32 (the
+        vectorized path) — same field semantics, no per-field np calls."""
+        tp = cls.__new__(cls)
+        tp.x = x
+        tp.y = y
+        tp.width = width
+        tp.height = height
+        tp.x_scale = x_scale
+        tp.y_scale = y_scale
+        tp.unicode = unicode
+        tp.font = font
+        tp.font_size_pt = font_size_pt
+        tp.code = code
+        return tp
+
 
 class Walker:
     """One instance per document parse (cheap; heavy caches live on the
@@ -903,9 +921,14 @@ class Walker:
         yk = gy[idx].astype(np.float32)
         wk = (w0[idx] / 1000.0 * sx).astype(np.float32)
 
+        sx32 = f32(sx)
+        sy32 = f32(sy)
+        fpt32 = f32(fpt)
+
         def make_tp(i: int) -> TextPosition:
-            return TextPosition(xk[i], yk[i], wk[i], disp_h, sx, sy,
-                                chr(kcodes[i]), font, fpt, int(kcodes[i]))
+            return TextPosition.raw(xk[i], yk[i], wk[i], disp_h, sx32, sy32,
+                                    chr(kcodes[i]), font, fpt32,
+                                    int(kcodes[i]))
 
         # style once per run (constant: same font/scale/colors throughout)
         first_tp = make_tp(0)
