@@ -85,8 +85,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- similarity search
         "ann_brute_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,                   # rows-only
-        # -- aggregations / joins
+        # -- aggregations / joins / windows
         "events_hourly": _q_events_hourly,
+        "events_sessionize": _q_sessionize,
+        "pricing_summary": _q_pricing_summary,
         "orders_by_segment": _q_orders_by_segment,
         # -- multimodal plumbing
         "image_decode": _q_image_decode,
@@ -150,6 +152,27 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS total
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH gaps AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions
+            FROM gaps GROUP BY user_id
         """,
         "image_decode": f"""
             SELECT {_URL_SQL} AS url,
@@ -267,6 +290,16 @@ def _q_events_hourly(sf_dir: str):
 def _q_orders_by_segment(sf_dir: str):
     from pdf2dom_ray.pipelines.metrics import orders_by_segment
     return orders_by_segment(sf_dir)
+
+
+def _q_pricing_summary(sf_dir: str):
+    from pdf2dom_ray.pipelines.metrics import pricing_summary
+    return pricing_summary(sf_dir)
+
+
+def _q_sessionize(sf_dir: str):
+    from pdf2dom_ray.pipelines.metrics import sessionize
+    return sessionize(sf_dir)
 
 
 def _q_image_decode(sf_dir: str):
