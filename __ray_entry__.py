@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": _q_orders_by_segment,
         # -- multimodal plumbing
         "image_decode": _q_image_decode,
+        # -- join-back (spans ⋈ pages on url → per-language span totals)
+        "extract_join_lang": _q_join_lang,
     }
 
 
@@ -173,6 +175,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions
             FROM gaps GROUP BY user_id
+        """,
+        "extract_join_lang": f"""
+            SELECT lang,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS total_spans,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents WHERE doc_id % 97 <> 13
+            GROUP BY lang
         """,
         "image_decode": f"""
             SELECT {_URL_SQL} AS url,
@@ -300,6 +310,35 @@ def _q_pricing_summary(sf_dir: str):
 def _q_sessionize(sf_dir: str):
     from pdf2dom_ray.pipelines.metrics import sessionize
     return sessionize(sf_dir)
+
+
+def _q_join_lang(sf_dir: str):
+    """Hash join of the parsed output back to the pages table on url
+    (SURVEY §2.4 note / §7.6), then a per-language aggregate."""
+    from pdf2dom_ray.pipelines.extract import extract_from_documents, synth_pages
+    from ray.data.aggregate import Count, Sum
+
+    parsed = extract_from_documents(sf_dir).map_batches(
+        lambda t: pa.table({
+            "url": t.filter(pc.is_null(t.column("error"))).column("url"),
+            "n_spans": pc.cast(
+                t.filter(pc.is_null(t.column("error"))).column("n_spans"),
+                pa.int64()),
+        }), batch_format="pyarrow")
+    langs = synth_pages(sf_dir).select_columns(["url", "lang"])
+    joined = parsed.join(langs, join_type="inner", num_partitions=8,
+                         on=("url",))
+    agg = (joined.groupby("lang")
+                 .aggregate(Sum("n_spans", alias_name="total_spans"),
+                            Count(alias_name="n_docs")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t.column("lang"),
+            "total_spans": pc.cast(t.column("total_spans"), pa.int64()),
+            "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
+        })
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def _q_image_decode(sf_dir: str):
