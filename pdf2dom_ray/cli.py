@@ -43,8 +43,12 @@ def build_config(args) -> PdfDomConfig:
 def convert_single(path: str, out: str | None, cfg: PdfDomConfig) -> int:
     """One-file parity mode (PDFToHTML.java:56-98) — no Ray needed."""
     from .engine.parse import parse_document
-    with open(path, "rb") as f:
-        data = f.read()
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+    except OSError as e:
+        print(f"error: cannot read {path}: {e.strerror}", file=sys.stderr)
+        return 1
     r = parse_document(data, cfg)
     if r.error:
         print(f"error: {r.error}", file=sys.stderr)
