@@ -16,6 +16,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..stages.pool import default_pool
+
 __all__ = ["brute_topk", "lsh_buckets", "lsh_topk"]
 
 
@@ -56,7 +58,7 @@ def brute_topk(ds: rd.Dataset, query: np.ndarray, k: int = 10, *,
     query_ref = ray.put(np.asarray(query, dtype=np.float64))
     local = ds.map_batches(
         _BruteScorer, fn_constructor_kwargs={"query_ref": query_ref, "k": k},
-        batch_format="pyarrow", concurrency=concurrency or 4)
+        batch_format="pyarrow", concurrency=concurrency or default_pool())
     return local.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
 
 
@@ -78,7 +80,7 @@ def lsh_buckets(ds: rd.Dataset, dim: int, planes: int = 8,
     """Append a random-hyperplane LSH bucket column."""
     return ds.map_batches(_LshSigner,
                           fn_constructor_kwargs={"dim": dim, "planes": planes},
-                          batch_format="pyarrow", concurrency=concurrency or 4)
+                          batch_format="pyarrow", concurrency=concurrency or default_pool())
 
 
 def lsh_topk(ds: rd.Dataset, query: np.ndarray, k: int = 10,

@@ -1,5 +1,12 @@
 """Deduplication operators for training-data pipelines.
 
+Algorithms follow the published formulations: MinHash resemblance
+sketches (Broder, "On the resemblance and containment of documents",
+SEQUENCES 1997) with banded LSH (Leskovec/Rajaraman/Ullman, Mining of
+Massive Datasets ch.3), and SimHash random-hyperplane signatures
+(Charikar, "Similarity estimation techniques from rounding
+algorithms", STOC 2002).
+
 * exact: partial (per-batch) min-doc_id per key, then a small global
   ``groupby(key)`` over the pre-aggregated rows — the combiner pattern
   keeps the shuffle tiny (keys × batches, not rows).
@@ -24,6 +31,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
+
+from ..stages.pool import default_pool
 
 __all__ = ["exact_dedup", "minhash_cluster", "simhash", "shingles",
            "jaccard"]
@@ -132,7 +141,7 @@ def minhash_cluster(ds: rd.Dataset, *, num_perm: int = 64, bands: int = 16,
         _MinHashBands,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
                                "shingle_k": shingle_k},
-        batch_format="pyarrow", concurrency=concurrency or 4)
+        batch_format="pyarrow", concurrency=concurrency or default_pool())
 
     stats = (band_rows.groupby(["band_id", "band_hash"])
              .aggregate(Count(alias_name="n"),
@@ -159,7 +168,7 @@ def minhash_cluster(ds: rd.Dataset, *, num_perm: int = 64, bands: int = 16,
                              "cand": pa.array(cand, pa.int64())})
 
     labeled = band_rows.map_batches(Label, batch_format="pyarrow",
-                                    concurrency=concurrency or 4)
+                                    concurrency=concurrency or default_pool())
     return labeled.groupby("doc_id").aggregate(
         Min("cand", alias_name="cluster_id"))
 

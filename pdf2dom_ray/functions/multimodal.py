@@ -23,6 +23,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
+from ..stages.pool import default_pool
+
 __all__ = ["decode_engine_png", "ImageDecoder", "decode_images",
            "resize_nearest"]
 
@@ -116,5 +118,5 @@ class ImageDecoder:
 def decode_images(ds: rd.Dataset, *, batch_size: int = 32,
                   concurrency=None) -> rd.Dataset:
     return ds.map_batches(ImageDecoder, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=concurrency or 4,
+                          batch_size=batch_size, concurrency=concurrency or default_pool(),
                           num_cpus=1)

@@ -20,6 +20,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from ..stages.pool import default_pool
+
 __all__ = ["STOPWORDS", "text_quality_batch", "text_quality",
            "fingerprint_batch", "fingerprint", "lang_id_batch", "lang_id"]
 
@@ -136,4 +138,4 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
 
 def lang_id(ds: rd.Dataset, concurrency=None) -> rd.Dataset:
     return ds.map_batches(LangId, batch_format="pyarrow",
-                          concurrency=concurrency or 4)
+                          concurrency=concurrency or default_pool())
