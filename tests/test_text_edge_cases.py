@@ -1,0 +1,100 @@
+"""Text-path edge cases: NBSP, diacritic merge, horizontal scaling (Tz),
+text rise (Ts), multi-char ToUnicode (ligatures)."""
+
+from pdf2dom_ray.engine.parse import parse_document
+from pdf2dom_ray.synth.pdfgen import PageSpec, PdfBuilder
+
+
+def build(content: bytes, splice_tounicode: dict | None = None) -> bytes:
+    b = PdfBuilder()
+    p = PageSpec()
+    p.use_core_font("F1", "Courier")
+    p.raw(content)
+    b.add_page(p)
+    data = b.build()
+    if splice_tounicode:
+        entries = "".join(f"<{c:02X}> <{u}>\n" for c, u in
+                          splice_tounicode.items())
+        cmap = (f"1 begincodespacerange <00> <FF> endcodespacerange\n"
+                f"{len(splice_tounicode)} beginbfchar\n{entries}endbfchar\n"
+                ).encode()
+        obj = (b"9 0 obj\n<< /Length " + str(len(cmap)).encode() +
+               b" >>\nstream\n" + cmap + b"\nendstream\nendobj\n")
+        data = data.replace(b"/BaseFont /Courier >>",
+                            b"/BaseFont /Courier /ToUnicode 9 0 R >>")
+        data = data.replace(b"\nxref\n", b"\n" + obj + b"\nxref\n", 1)
+    return data
+
+
+def texts(r):
+    return [s["text"] for s in r.spans]
+
+
+def test_nbsp_not_whitespace():
+    """Java trim strips only chars <= U+0020 — NBSP stays in the box
+    (PDFBoxTree.java:599)."""
+    r = parse_document(build(
+        b"BT /F1 10 Tf 1 0 0 1 100 700 Tm (a\xa0b) Tj ET",
+        splice_tounicode={0x61: "0061", 0xA0: "00A0", 0x62: "0062"}))
+    assert texts(r) == ["a b"]
+
+
+def test_diacritic_merged_into_following_glyph():
+    """The reference holds a pending diacritic and merges it into the
+    NEXT glyph iff they overlap (PDFBoxTree.java:595-605) — a diacritic
+    drawn over the *previous* glyph is dropped. Replicate both."""
+    # dia drawn at the position where 'x' will land → overlap → merged
+    r = parse_document(build(
+        b"BT /F1 10 Tf 1 0 0 1 100 700 Tm (e) Tj "
+        b"1 0 0 1 106 700 Tm (\x80) Tj "
+        b"1 0 0 1 106 700 Tm (x) Tj ET",
+        splice_tounicode={0x65: "0065", 0x80: "0301", 0x78: "0078"}))
+    assert "".join(texts(r)) == "ex́"
+
+    # dia drawn over the PREVIOUS glyph, no overlap with the next →
+    # dropped exactly like the reference
+    r2 = parse_document(build(
+        b"BT /F1 10 Tf 1 0 0 1 100 700 Tm (e) Tj "
+        b"1 0 0 1 100 700 Tm (\x80) Tj "
+        b"1 0 0 1 106 700 Tm (x) Tj ET",
+        splice_tounicode={0x65: "0065", 0x80: "0301", 0x78: "0078"}))
+    assert "".join(texts(r2)) == "ex"
+
+
+def test_tz_horizontal_scaling_halves_widths():
+    r = parse_document(build(
+        b"BT /F1 10 Tf 50 Tz 1 0 0 1 100 700 Tm (mm) Tj ET"))
+    # Courier 600/1000*10 = 6pt per glyph at 100%; at 50% → 3pt each
+    assert abs(r.spans[0]["width"] - 6.0) < 0.01
+    r2 = parse_document(build(
+        b"BT /F1 10 Tf 1 0 0 1 100 700 Tm (mm) Tj ET"))
+    assert abs(r2.spans[0]["width"] - 12.0) < 0.01
+
+
+def test_ts_rise_shifts_baseline():
+    r = parse_document(build(
+        b"BT /F1 10 Tf 1 0 0 1 100 700 Tm (base) Tj "
+        b"3 Ts (sup) Tj 0 Ts ET"))
+    tops = [s["top"] for s in r.spans]
+    # rise 3 moves the baseline up → smaller top; also forces a split
+    # via |disty| > 1
+    assert len(tops) == 2
+    assert abs((tops[0] - tops[1]) - 3.0) < 0.01
+
+
+def test_multichar_tounicode_ligature():
+    r = parse_document(build(
+        b"BT /F1 10 Tf 1 0 0 1 100 700 Tm (a\x81b) Tj ET",
+        splice_tounicode={0x61: "0061", 0x81: "006600660069", 0x62: "0062"}))
+    assert texts(r) == ["affib"]
+
+
+def test_fast_and_slow_interleave():
+    """An ASCII run (fast path) followed by a ToUnicode run (slow path)
+    continuing the same box."""
+    r = parse_document(build(
+        b"BT /F1 10 Tf 1 0 0 1 100 700 Tm (ab) Tj ET\n"
+        b"BT /F1 10 Tf 1 0 0 1 112 700 Tm (\xe9) Tj ET",
+        splice_tounicode={0x61: "0061", 0x62: "0062", 0xE9: "00E9"}))
+    # é at exactly the pen position → same box, no split
+    assert texts(r) == ["abé"]
