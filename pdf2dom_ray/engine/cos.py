@@ -386,10 +386,50 @@ class PdfDocument:
         if not self._offsets:
             raise PdfParseError("no objects found")
         self._cache: dict[int, object] = {}
+        # objects living inside compressed object streams (PDF 1.5
+        # /ObjStm): num -> (objstm_num, header offset). Registered up
+        # front by scanning every ObjStm header; bodies parse lazily.
+        self._compressed: dict[int, tuple[int, int]] = {}
+        self._scan_object_streams()
         self.trailer = self._find_trailer()
+        if "Encrypt" in self.trailer:
+            raise PdfParseError("encrypted PDF not supported")
         self.catalog = self._find_catalog()
         self.info = self.resolve(self.trailer.get("Info")) if self.trailer else None
         self.pages = self._collect_pages()
+
+    def _scan_object_streams(self) -> None:
+        for num in list(self._offsets):
+            off = self._offsets[num]
+            # cheap peek: only parse objects whose dict mentions /ObjStm
+            window = self.data[off:off + 512]
+            if b"/ObjStm" not in window:
+                continue
+            try:
+                obj = self.get_object(num)
+            except PdfParseError:
+                continue
+            if not (isinstance(obj, Stream) and obj.dict.get("Type") == "ObjStm"):
+                continue
+            try:
+                payload = obj.data()
+                n = int_value(self.resolve(obj.dict.get("N", 0)))
+                first = int_value(self.resolve(obj.dict.get("First", 0)))
+            except PdfParseError:
+                continue
+            lex = Lexer(payload, 0, min(first, len(payload)))
+            for _ in range(min(n, 10_000)):
+                try:
+                    onum = lex.parse_object(allow_ref=False)
+                    ooff = lex.parse_object(allow_ref=False)
+                except PdfParseError:
+                    break
+                if isinstance(onum, int) and isinstance(ooff, int):
+                    # top-level (uncompressed) definitions win only when
+                    # they appear later in the file; compressed objects
+                    # fill gaps the header scan cannot see
+                    if onum not in self._offsets:
+                        self._compressed[onum] = (num, first + ooff)
 
     # -- object access -------------------------------------------------
     def get_object(self, num: int):
@@ -397,7 +437,20 @@ class PdfDocument:
             return self._cache[num]
         off = self._offsets.get(num)
         if off is None:
-            return None
+            loc = self._compressed.get(num)
+            if loc is None:
+                return None
+            self._cache[num] = None  # cycle guard
+            stm = self.get_object(loc[0])
+            if not isinstance(stm, Stream):
+                return None
+            lex = Lexer(stm.data(), loc[1])
+            try:
+                obj = lex.parse_object(allow_ref=True)
+            except PdfParseError:
+                obj = None
+            self._cache[num] = obj
+            return obj
         self._cache[num] = None  # cycle guard
         lex = Lexer(self.data, off)
         obj = lex.parse_object()
@@ -452,8 +505,8 @@ class PdfDocument:
         root = self.resolve(self.trailer.get("Root")) if self.trailer else None
         if isinstance(root, dict) and "Pages" in root:
             return root
-        # recovery: scan for /Type /Catalog
-        for num in self._offsets:
+        # recovery: scan for /Type /Catalog (top-level and compressed)
+        for num in list(self._offsets) + list(self._compressed):
             try:
                 obj = self.get_object(num)
             except PdfParseError:
