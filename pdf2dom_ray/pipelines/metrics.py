@@ -60,20 +60,22 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "value"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(hour=df["ts"].dt.floor("h"))
-        out = (df.groupby(["user_id", "hour"], as_index=False)
-                 .agg(n=("value", "size"), sum_value=("value", "sum")))
-        return out
+    from ..stages.hashagg import hash_aggregate
 
-    partials = ds.map_batches(partial, batch_format="pandas")
-    agg = (partials.groupby(["user_id", "hour"])
-                   .aggregate(Sum("n", alias_name="n"),
-                              Sum("sum_value", alias_name="sum_value")))
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if "hour" not in df.columns:
+            df = df.assign(hour=df["ts"].dt.floor("h"))
+            return (df.groupby(["user_id", "hour"], as_index=False)
+                      .agg(n=("value", "size"), sum_value=("value", "sum")))
+        return (df.groupby(["user_id", "hour"], as_index=False)
+                  .agg(n=("n", "sum"), sum_value=("sum_value", "sum")))
+
+    agg = hash_aggregate(ds, ["user_id", "hour"], combine)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df["n"] = df["n"].astype("int64")
         df["sum_value"] = df["sum_value"].round(6)
+        df["hour"] = df["hour"].astype("datetime64[us]")
         return df
     return agg.map_batches(finish, batch_format="pandas")
 

@@ -1,0 +1,53 @@
+"""Hash-partitioned aggregation for high-cardinality keys.
+
+Ray Data's built-in ``groupby().aggregate()`` sort-shuffles on the raw
+key tuple; with ~10^5+ nearly-unique composite keys the sort-based
+aggregate becomes pathologically slow (measured: 500 CPU-seconds for
+95k (user, hour) rows). This helper implements the classic
+hash-shuffle aggregate with cheap primitives:
+
+1. vectorized per-batch pandas combiner (caller-provided),
+2. a small int partition column ``crc32(key) % P``,
+3. ``groupby(part).map_groups`` — sorting P distinct small ints is
+   near-free — with a pandas merge per partition.
+
+The partition count bounds per-task memory (keys/P per task) and is
+the knob for scale; skewed key distributions are immune because the
+partition key is a hash.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+__all__ = ["hash_aggregate"]
+
+
+def hash_aggregate(ds: rd.Dataset, keys: list[str],
+                   combine: "callable[[pd.DataFrame], pd.DataFrame]",
+                   num_partitions: int = 16) -> rd.Dataset:
+    """``combine`` must be a per-frame pandas groupby-reduce that is
+    idempotent under re-application (sum-of-sums etc.). It is applied
+    once per input batch (combiner) and once per hash partition
+    (merge)."""
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        out = combine(df)
+        key_str = out[keys[0]].astype(str)
+        for k in keys[1:]:
+            key_str = key_str + "\x1f" + out[k].astype(str)
+        out["__part"] = [zlib.crc32(s.encode()) % num_partitions
+                         for s in key_str]
+        return out
+
+    partials = ds.map_batches(local, batch_format="pandas")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return combine(group.drop(columns="__part"))
+
+    return partials.groupby("__part").map_groups(merge,
+                                                 batch_format="pandas")
