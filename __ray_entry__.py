@@ -82,9 +82,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,            # rows-only
         "dedup_simhash": _q_dedup_simhash,            # rows-only
-        # -- similarity search
+        # -- similarity search / embedding dedup
         "ann_brute_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,                   # rows-only
+        "ann_ivf_topk": _q_ann_ivf,                   # rows-only
+        "dedup_embedding": _q_dedup_embedding,
+        # -- sort / limit
+        "top_docs_by_length": _q_top_docs,
         # -- aggregations / joins / windows
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_sessionize,
@@ -142,6 +146,20 @@ def oracle_sql() -> dict[str, str]:
                                                 (SELECT qv FROM q)), 4) AS sim
             FROM embeddings
             ORDER BY sim DESC, vec_id ASC LIMIT 10
+        """,
+        "dedup_embedding": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])),
+                         4) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) > 0.3
+        """,
+        "top_docs_by_length": """
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 20
         """,
         "events_hourly": """
             SELECT user_id, date_trunc('hour', ts) AS hour,
@@ -290,6 +308,30 @@ def _q_ann_lsh(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     return lsh_topk(ds, _ann_query_vec(sf_dir), k=10)
+
+
+def _q_ann_ivf(sf_dir: str):
+    import ray.data as rd
+    from pdf2dom_ray.functions.ann import ivf_topk
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return ivf_topk(ds, _ann_query_vec(sf_dir), k=10)
+
+
+def _q_dedup_embedding(sf_dir: str):
+    import ray.data as rd
+    from pdf2dom_ray.functions.ann import embedding_near_dup_pairs
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return embedding_near_dup_pairs(ds, threshold=0.3)
+
+
+def _q_top_docs(sf_dir: str):
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    return (ds.sort(["n_chars", "doc_id"], descending=[True, False])
+              .limit(20))
 
 
 def _q_events_hourly(sf_dir: str):

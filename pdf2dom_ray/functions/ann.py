@@ -18,7 +18,8 @@ import ray.data as rd
 
 from ..stages.pool import default_pool
 
-__all__ = ["brute_topk", "lsh_buckets", "lsh_topk"]
+__all__ = ["brute_topk", "lsh_buckets", "lsh_topk", "ivf_topk",
+           "embedding_near_dup_pairs", "ivf_build_centroids"]
 
 
 def _emb_matrix(batch: pa.Table) -> np.ndarray:
@@ -81,6 +82,101 @@ def lsh_buckets(ds: rd.Dataset, dim: int, planes: int = 8,
     return ds.map_batches(_LshSigner,
                           fn_constructor_kwargs={"dim": dim, "planes": planes},
                           batch_format="pyarrow", concurrency=concurrency or default_pool())
+
+
+class _PairScorer:
+    """All-pairs cosine against a broadcast matrix (exact near-dup).
+
+    The full (id, vector) matrix is ``ray.put`` once; each batch
+    computes its rows × all-columns similarity block and emits pairs
+    above ``threshold`` with a < b. Exact (no LSH recall loss); the
+    broadcast side must fit in worker memory — for larger corpora use
+    ``lsh_buckets`` + per-bucket pairs instead.
+    """
+
+    def __init__(self, mat_ref, ids_ref, threshold: float):
+        self.mat = ray.get(mat_ref)
+        self.ids = ray.get(ids_ref)
+        self.norms = np.linalg.norm(self.mat, axis=1)
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        e = _emb_matrix(batch).astype(np.float64)
+        ids = np.asarray(batch.column("vec_id"))
+        sims = (e @ self.mat.T) / np.maximum(
+            np.linalg.norm(e, axis=1)[:, None] * self.norms[None, :], 1e-30)
+        rows, cols = np.nonzero(sims > self.threshold)
+        a = ids[rows]
+        b = self.ids[cols]
+        keep = a < b
+        return pa.table({
+            "id_a": pa.array(a[keep], pa.int64()),
+            "id_b": pa.array(b[keep], pa.int64()),
+            "sim": pa.array(np.round(sims[rows, cols][keep], 4), pa.float64()),
+        })
+
+
+def embedding_near_dup_pairs(ds: rd.Dataset, threshold: float = 0.85, *,
+                             concurrency=None) -> rd.Dataset:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b)."""
+    rows = ds.take_all()  # small side materialized once for broadcast
+    mat = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
+    mat_ref = ray.put(mat)
+    ids_ref = ray.put(ids)
+    return ds.map_batches(
+        _PairScorer,
+        fn_constructor_kwargs={"mat_ref": mat_ref, "ids_ref": ids_ref,
+                               "threshold": threshold},
+        batch_format="pyarrow", concurrency=concurrency or default_pool())
+
+
+class _IvfAssign:
+    def __init__(self, cents_ref):
+        self.cents = ray.get(cents_ref)          # (C, D), L2-normalized
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        e = _emb_matrix(batch).astype(np.float64)
+        en = e / np.maximum(np.linalg.norm(e, axis=1)[:, None], 1e-30)
+        cells = np.argmax(en @ self.cents.T, axis=1)
+        return batch.append_column("cell", pa.array(cells, pa.int64()))
+
+
+def ivf_build_centroids(ds: rd.Dataset, n_cells: int = 16,
+                        iters: int = 5) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side sample (the
+    coarse quantizer is tiny; training data is a bounded sample)."""
+    sample = ds.limit(4096).take_all()
+    x = np.asarray([r["embedding"] for r in sample], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1)[:, None], 1e-30)
+    cents = x[:n_cells].copy()                    # deterministic init
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(n_cells):
+            members = x[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-30)
+    return cents
+
+
+def ivf_topk(ds: rd.Dataset, query: np.ndarray, k: int = 10,
+             n_cells: int = 16, nprobe: int = 2) -> rd.Dataset:
+    """IVF ANN: coarse-quantize into cells, search only the query's
+    ``nprobe`` nearest cells (the scale path next to ``lsh_topk``)."""
+    cents = ivf_build_centroids(ds, n_cells)
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    probe = set(np.argsort(-(cents @ qn))[:nprobe].tolist())
+    cents_ref = ray.put(cents)
+    assigned = ds.map_batches(_IvfAssign,
+                              fn_constructor_kwargs={"cents_ref": cents_ref},
+                              batch_format="pyarrow",
+                              concurrency=default_pool())
+    mine = assigned.map_batches(
+        lambda t: t.filter(pa.compute.is_in(
+            t.column("cell"), value_set=pa.array(sorted(probe), pa.int64()))),
+        batch_format="pyarrow")
+    return brute_topk(mine, q, k)
 
 
 def lsh_topk(ds: rd.Dataset, query: np.ndarray, k: int = 10,

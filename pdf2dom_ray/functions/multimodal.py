@@ -120,3 +120,70 @@ def decode_images(ds: rd.Dataset, *, batch_size: int = 32,
     return ds.map_batches(ImageDecoder, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency or default_pool(),
                           num_cpus=1)
+
+
+class AudioFeatureStub:
+    """Audio feature-extraction stage: REAL Ray plumbing (schema, actor
+    signature, small batches), STUBBED decode — no audio codec exists in
+    this container, so every payload yields an ``error`` row with the
+    stable output schema. Swap ``_decode`` for a real decoder on a
+    cluster image that ships one.
+    """
+
+    OUTPUT = pa.schema([("url", pa.string()),
+                        ("duration_s", pa.float64()),
+                        ("sample_rate", pa.int64()),
+                        ("mfcc", pa.list_(pa.float64())),
+                        ("error", pa.string())])
+
+    def _decode(self, blob: bytes):
+        raise NotImplementedError("no audio codec in this environment")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        out_err = []
+        for blob in batch.column("audio").to_pylist():
+            try:
+                self._decode(blob or b"")
+                out_err.append(None)
+            except NotImplementedError as e:
+                out_err.append(str(e))
+        n = len(urls)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "duration_s": pa.array([0.0] * n, pa.float64()),
+            "sample_rate": pa.array([0] * n, pa.int64()),
+            "mfcc": pa.array([[]] * n, pa.list_(pa.float64())),
+            "error": pa.array(out_err, pa.string()),
+        })
+
+
+class VideoFrameSampleStub:
+    """Video frame-sampling stage: same contract as AudioFeatureStub —
+    deterministic fake frames (so downstream plumbing is testable)
+    plus an ``error`` marking the decode as stubbed."""
+
+    def __init__(self, frames_per_doc: int = 2, thumb: int = 4):
+        self.frames_per_doc = frames_per_doc
+        self.thumb = thumb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = []
+        frame_idx = []
+        frames = []
+        errs = []
+        for url, blob in zip(batch.column("url").to_pylist(),
+                             batch.column("video").to_pylist()):
+            for i in range(self.frames_per_doc):
+                urls.append(url)
+                frame_idx.append(i)
+                # deterministic fake frame derived from payload bytes
+                seed = (zlib.crc32(blob or b"") + i) % 256
+                frames.append(bytes([seed]) * (self.thumb * self.thumb * 3))
+                errs.append("stub: no video codec in this environment")
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "frame_idx": pa.array(frame_idx, pa.int32()),
+            "frame_rgb": pa.array(frames, pa.binary()),
+            "error": pa.array(errs, pa.string()),
+        })

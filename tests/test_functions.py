@@ -137,3 +137,55 @@ def test_image_decoder_stage(ray_session):
     assert out.loc["a", "mean_r"] == pytest.approx(100.0)
     assert out.loc["a", "error"] is None or np.isnan(out.loc["a", "error"])
     assert out.loc["b", "error"] is not None
+
+
+def test_embedding_near_dup_pairs(ray_session):
+    import ray.data as rd
+    from pdf2dom_ray.functions.ann import embedding_near_dup_pairs
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal(16)
+    near = base + rng.standard_normal(16) * 0.05
+    far = rng.standard_normal(16)
+    ds = rd.from_items([
+        {"vec_id": 1, "embedding": base.tolist()},
+        {"vec_id": 2, "embedding": near.tolist()},
+        {"vec_id": 3, "embedding": far.tolist()},
+    ])
+    out = embedding_near_dup_pairs(ds, threshold=0.9).to_pandas()
+    assert set(zip(out.id_a, out.id_b)) == {(1, 2)}
+    assert out.sim.iloc[0] > 0.99
+
+
+def test_ivf_topk_finds_query(ray_session):
+    import ray.data as rd
+    from pdf2dom_ray.functions.ann import ivf_topk
+    rng = np.random.default_rng(2)
+    emb = rng.standard_normal((200, 16))
+    ds = rd.from_items([{"vec_id": i, "embedding": emb[i].tolist()}
+                        for i in range(200)])
+    out = ivf_topk(ds, emb[17], k=5, n_cells=8, nprobe=3).to_pandas()
+    # the query vector itself lives in the probed cell → rank 1
+    assert out.vec_id.iloc[0] == 17
+    assert out.sim.iloc[0] > 0.999
+
+
+def test_video_frame_stub(ray_session):
+    import ray.data as rd
+    from pdf2dom_ray.functions.multimodal import VideoFrameSampleStub
+    ds = rd.from_items([{"url": "v1", "video": b"fakepayload"}])
+    out = ds.map_batches(VideoFrameSampleStub, batch_format="pyarrow",
+                         concurrency=1).to_pandas()
+    assert list(out.frame_idx) == [0, 1]
+    assert all("stub" in e for e in out.error)
+    assert len(out.frame_rgb.iloc[0]) == 4 * 4 * 3
+
+
+def test_audio_stub_schema(ray_session):
+    import ray.data as rd
+    from pdf2dom_ray.functions.multimodal import AudioFeatureStub
+    ds = rd.from_items([{"url": "a1", "audio": b"RIFFfake"}])
+    out = ds.map_batches(AudioFeatureStub, batch_format="pyarrow",
+                         concurrency=1).to_pandas()
+    assert out.error.iloc[0] is not None
+    assert list(out.columns) == ["url", "duration_s", "sample_rate",
+                                 "mfcc", "error"]
