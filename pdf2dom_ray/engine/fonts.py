@@ -102,7 +102,7 @@ class PdfFont:
     __slots__ = ("name", "pd_type", "subtype", "widths", "cap_height",
                  "ascent", "descent", "bbox_lly", "bbox_ury", "to_unicode",
                  "font_file", "font_file2", "font_file3", "font_file3_subtype",
-                 "is_type0", "descendant_is_cid2", "is_type1c")
+                 "is_type0", "descendant_is_cid2", "is_type1c", "_fast")
 
     def __init__(self, name: str):
         self.name = name
@@ -122,6 +122,7 @@ class PdfFont:
         self.is_type0 = False
         self.descendant_is_cid2 = False
         self.is_type1c = False
+        self._fast = None  # lazy (uni, clean, is_ws) vectorization tables
 
     # -- decoding ------------------------------------------------------
     def decode(self, b: bytes) -> list[tuple[int, str]]:
@@ -138,6 +139,45 @@ class PdfFont:
         if self.is_type0:
             return [(c, "�") for c in codes]
         return [(c, chr(c) if c else "�") for c in codes]
+
+    def fast_tables(self):
+        """Per-code vectorization tables: (uni: uint32 codepoints,
+        clean: bool, is_ws: bool), sized to the code space.
+
+        ``clean`` marks codes whose unicode is a single char that is
+        neither a combining mark nor RTL — a run of only clean codes
+        can take the vectorized box path (walker._show_text_vec);
+        anything else falls back to the per-glyph loop. ``is_ws``
+        mirrors Java ``trim`` (chars <= U+0020 are dropped glyphs).
+        """
+        if self._fast is None:
+            import unicodedata
+            n = 65536 if self.is_type0 else 256
+            uni = np.zeros(n, dtype=np.uint32)
+            clean = np.zeros(n, dtype=bool)
+            tu = self.to_unicode
+            if tu is None and self.is_type0:
+                self._fast = (uni, clean, np.zeros(n, dtype=bool))
+                return self._fast
+            rtl = {"R", "AL", "RLE", "RLO"}
+            if tu is None:
+                # code 0 decodes to U+FFFD like PdfFont.decode
+                pairs = ((c, chr(c) if c else "�") for c in range(256))
+            else:
+                pairs = ((c, u) for c, u in tu.items() if 0 <= c < n)
+            for c, u in pairs:
+                if len(u) != 1:
+                    continue
+                cp = ord(u)
+                if unicodedata.category(u) in ("Mn", "Mc", "Me"):
+                    continue
+                if unicodedata.bidirectional(u) in rtl:
+                    continue
+                uni[c] = cp
+                clean[c] = True
+            is_ws = clean & (uni <= 0x20)
+            self._fast = (uni, clean, is_ws)
+        return self._fast
 
     def width(self, code: int) -> float:
         return float(self.widths[code]) if 0 <= code < len(self.widths) else 0.0

@@ -782,16 +782,24 @@ class Walker:
         hs = ts.h_scale
         rise = ts.rise
 
-        # vectorized fast path: simple font, printable-ASCII payload, no
-        # pending diacritic. Bit-identical to the glyph loop below (same
-        # float op order; see _show_text_ascii). FAST_ASCII is a test
-        # hook for equivalence checks.
-        if (FAST_ASCII and not font.is_type0 and font.to_unicode is None
-                and raw and self.last_dia is None):
-            codes = np.frombuffer(raw, dtype=np.uint8)
-            if codes.min() >= 32 and codes.max() < 127:
-                self._show_text_ascii(codes, ts, font, fs, hs, rise)
-                return
+        # vectorized fast path: every code in the run maps to a single
+        # non-combining, non-RTL char (covers ASCII, Latin-1, CJK via
+        # ToUnicode) and no diacritic is pending. Bit-identical to the
+        # glyph loop below (same float op order; see _show_text_vec).
+        # FAST_ASCII is a test hook for equivalence checks.
+        if FAST_ASCII and raw and self.last_dia is None:
+            if font.is_type0:
+                codes = (np.frombuffer(raw[:len(raw) - len(raw) % 2],
+                                       dtype=">u2").astype(np.int64)
+                         if len(raw) >= 2 else None)
+            else:
+                codes = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+            if codes is not None and len(codes):
+                uni, clean, is_ws = font.fast_tables()
+                if clean[codes].all():
+                    self._show_text_vec(codes, uni[codes], is_ws[codes],
+                                        ts, font, fs, hs, rise)
+                    return
 
         params = Matrix(fs * hs, 0, 0, fs, 0, rise)
         llx, lly, urx, ury = self.crop
@@ -848,9 +856,10 @@ class Walker:
             glyph_height = cap
         return glyph_height
 
-    def _show_text_ascii(self, codes: np.ndarray, ts, font: PdfFont,
-                         fs: float, hs: float, rise: float) -> None:
-        """Vectorized glyph processing for printable-ASCII runs.
+    def _show_text_vec(self, codes: np.ndarray, uni: np.ndarray,
+                       ws_mask: np.ndarray, ts, font: PdfFont,
+                       fs: float, hs: float, rise: float) -> None:
+        """Vectorized glyph processing for clean single-char runs.
 
         Replicates the per-glyph loop's float64 operation order exactly:
         the Tm translation recurrence becomes a cumsum seeded with the
@@ -864,7 +873,10 @@ class Walker:
         ctm = self.gs.ctm
         n = len(codes)
         w0 = font.widths[codes]                      # float64 (n,)
-        tw = np.where(codes == 32, float(ts.word_spacing), 0.0)
+        if font.is_type0:
+            tw = 0.0  # Tw applies to 1-byte code 32 only (PDF 9.3.3)
+        else:
+            tw = np.where(codes == 32, float(ts.word_spacing), 0.0)
         adv = (w0 / 1000.0 * fs + float(ts.char_spacing) + tw) * hs
 
         # tm.e/f sequence BEFORE each glyph's advance (loop-order cumsum)
@@ -912,11 +924,12 @@ class Walker:
         tm.e = float(ce[-1])
         tm.f = float(cf[-1])
 
-        kept = codes > 32                     # space glyphs are skipped
+        kept = ~ws_mask                     # whitespace glyphs are skipped
         if not kept.any():
             return
         idx = np.flatnonzero(kept)
         kcodes = codes[idx]
+        kuni = uni[idx]
         xk = gx[idx].astype(np.float32)
         yk = gy[idx].astype(np.float32)
         wk = (w0[idx] / 1000.0 * sx).astype(np.float32)
@@ -927,7 +940,7 @@ class Walker:
 
         def make_tp(i: int) -> TextPosition:
             return TextPosition.raw(xk[i], yk[i], wk[i], disp_h, sx32, sy32,
-                                    chr(kcodes[i]), font, fpt32,
+                                    chr(kuni[i]), font, fpt32,
                                     int(kcodes[i]))
 
         # style once per run (constant: same font/scale/colors throughout)
@@ -956,7 +969,7 @@ class Walker:
         frag_starts = np.concatenate(([0], bounds))
         frag_ends = np.concatenate((bounds, [len(idx)]))
 
-        chars = kcodes.tobytes().decode("latin-1")
+        chars = kuni.astype("<u4").tobytes().decode("utf-32-le")
         for s, e in zip(frag_starts, frag_ends):
             if s == 0 and not split0:
                 # continuation of the current box
