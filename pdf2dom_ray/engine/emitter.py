@@ -96,8 +96,12 @@ class DomEmitter:
         # PDFDomTree.java:464-492
         out = []
         for entry in walker.font_table.entries:
+            # resource NAME is the raw font name (HtmlResource ctor gets
+            # fontName — FontTable.java:131-135; the save-to-dir file is
+            # e.g. "EKCFJL+Omsym2.woff", TestFonts.java:76), while the
+            # @font-face family uses the deduped usedName
             src = self._handle_resource(entry.get_data(), entry.get_mime_type(),
-                                        entry.used_name, entry.get_file_ending(),
+                                        entry.font_name, entry.get_file_ending(),
                                         self.config.font_handler)
             if src is not None and src.strip():
                 out.append('@font-face {font-family:"' + entry.used_name

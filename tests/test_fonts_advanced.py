@@ -146,3 +146,20 @@ def test_fast_slow_equivalence(content):
     assert slow.html_dom == fast.html_dom
     assert slow.extracted_text == fast.extracted_text
     assert slow.spans == fast.spans
+
+
+def test_font_save_to_dir_uses_raw_name(tmp_path):
+    """Save-to-dir font files are named by the RAW PostScript name
+    (TestFonts.java:76 expects 'EKCFJL+Omsym2.woff'), while @font-face
+    uses the deduped family usedName."""
+    from pdf2dom_ray.config import SAVE_TO_DIR, PdfDomConfig
+    b = PdfBuilder()
+    p = PageSpec()
+    p.use_embedded_ttf("F1", "EKCFJL+Omsym2", seed=3)
+    p.text_block("F1", 12, 36, 750, ["x"])
+    b.add_page(p)
+    r = parse_document(b.build(), PdfDomConfig(font_handler=SAVE_TO_DIR))
+    paths = [res["path"] for res in r.resources]
+    assert paths == ["resources/EKCFJL+Omsym2.otf"]
+    assert "src:url('resources/EKCFJL+Omsym2.otf')" in r.html_dom
+    assert 'font-family:"EKCFJL Omsym2"' in r.html_dom
