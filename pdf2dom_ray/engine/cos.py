@@ -499,6 +499,20 @@ class PdfDocument:
                     best = d
             except PdfParseError:
                 continue
+        if not best:
+            # PDF 1.5 cross-reference STREAMS carry the trailer fields
+            # (/Root /Info /Size) in the /Type /XRef stream dict and have
+            # no "trailer" keyword at all
+            for num in self._offsets:
+                window = self.data[self._offsets[num]:self._offsets[num] + 512]
+                if b"/XRef" not in window:
+                    continue
+                try:
+                    obj = self.get_object(num)
+                except PdfParseError:
+                    continue
+                if isinstance(obj, Stream) and obj.dict.get("Type") == "XRef":
+                    best = obj.dict
         return best
 
     def _find_catalog(self) -> dict:
