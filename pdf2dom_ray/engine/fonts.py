@@ -369,9 +369,16 @@ class FontTableEntry:
             # Type 1 unsupported (FontTable.java:214-218)
             self._cached = b""
         elif f.font_file3 is not None:
-            # bare CFF→WOFF not implemented in round 1 (FontTable.java:220-238
-            # degradation path: empty data, html still usable)
-            self._cached = b""
+            # bare CFF → OTF wrap → WOFF (FontTable.java:220-238); any
+            # conversion failure degrades to empty data like the
+            # reference ("html still useable without")
+            try:
+                from .woff import cff_to_woff
+                self._cached = cff_to_woff(f.font_file3)
+                self.mime_type = "application/x-font-woff"
+                self.file_ending = "woff"
+            except Exception:
+                self._cached = b""
         else:
             self._cached = b""
         return self._cached

@@ -72,6 +72,36 @@ def tiny_ttf(seed: int) -> bytes:
     return out + directory + payload
 
 
+def tiny_cff(name: str, n_glyphs: int = 4) -> bytes:
+    """A minimal bare-CFF program (header + Name/TopDICT/String/GSubr
+    INDEXes + CharStrings INDEX) — enough structure for the engine's
+    CFF→WOFF converter and any CFF header parser."""
+    def index(items: list[bytes]) -> bytes:
+        if not items:
+            return struct.pack(">H", 0)
+        offs = [1]
+        for it in items:
+            offs.append(offs[-1] + len(it))
+        return (struct.pack(">HB", len(items), 4)
+                + b"".join(struct.pack(">I", o) for o in offs)
+                + b"".join(items))
+
+    header = bytes([1, 0, 4, 4])
+    name_idx = index([name.encode("latin-1")])
+    charstrings = index([bytes([139, 14])] * n_glyphs)  # "0 endchar"
+    # TopDICT: CharStrings offset (op 17) — offset filled after layout
+    def top_dict(cs_off: int) -> bytes:
+        return index([b"\x1d" + struct.pack(">i", cs_off) + b"\x11"])
+    # two-pass: dict size is constant (5-byte int operand)
+    dummy = top_dict(0)
+    string_idx = index([])
+    gsubr_idx = index([])
+    cs_off = len(header) + len(name_idx) + len(dummy) + len(string_idx) \
+        + len(gsubr_idx)
+    return header + name_idx + top_dict(cs_off) + string_idx + gsubr_idx \
+        + charstrings
+
+
 class PageSpec:
     """One page: content-stream source + resource declarations."""
 
@@ -94,6 +124,13 @@ class PageSpec:
         self.fonts[res_name] = {"kind": "ttf", "base": base_font,
                                 "seed": seed, "widths": widths,
                                 "first_char": first_char}
+
+    def use_type1c_font(self, res_name: str, base_font: str,
+                        n_glyphs: int = 4) -> None:
+        """Type1 font whose program is a bare-CFF FontFile3 (/Type1C) —
+        the reference's CFF→WOFF conversion path (fonts/bare-cff.pdf)."""
+        self.fonts[res_name] = {"kind": "type1c", "base": base_font,
+                                "n_glyphs": n_glyphs}
 
     def use_type0_font(self, res_name: str, base_font: str, seed: int,
                        cid_width: int = 600) -> None:
@@ -220,6 +257,26 @@ class PdfBuilder:
                         f"<< /Type /Font /Subtype /Type1 /BaseFont /{spec['base']} >>"
                         .encode())
                 return font_obj_cache[key]
+            if spec["kind"] == "type1c":
+                key = ("type1c", spec["base"], spec["n_glyphs"])
+                if key in font_obj_cache:
+                    return font_obj_cache[key]
+                cff = tiny_cff(spec["base"], spec["n_glyphs"])
+                ff_num = add(
+                    f"<< /Length {len(cff)} /Subtype /Type1C >>".encode()
+                    + b"\nstream\n" + cff + b"\nendstream")
+                desc_num = add((
+                    f"<< /Type /FontDescriptor /FontName /{spec['base']} "
+                    f"/Flags 4 /FontBBox [-100 -200 1000 900] /ItalicAngle 0 "
+                    f"/Ascent 800 /Descent -200 /CapHeight 700 /StemV 80 "
+                    f"/FontFile3 {ff_num} 0 R >>").encode())
+                num = add((
+                    f"<< /Type /Font /Subtype /Type1 /BaseFont /{spec['base']} "
+                    f"/FirstChar 32 /LastChar 126 "
+                    f"/Widths [{' '.join(['500'] * 95)}] "
+                    f"/FontDescriptor {desc_num} 0 R >>").encode())
+                font_obj_cache[key] = num
+                return num
             if spec["kind"] == "type0":
                 key = ("type0", spec["base"], spec["seed"])
                 if key in font_obj_cache:

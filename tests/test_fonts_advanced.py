@@ -163,3 +163,49 @@ def test_font_save_to_dir_uses_raw_name(tmp_path):
     assert paths == ["resources/EKCFJL+Omsym2.otf"]
     assert "src:url('resources/EKCFJL+Omsym2.otf')" in r.html_dom
     assert 'font-family:"EKCFJL Omsym2"' in r.html_dom
+
+
+def test_bare_cff_font_converted_to_woff():
+    """The bare-CFF fixture mirror (TestFonts.java:29-53): @font-face
+    present, x-font-woff mime, WOFF parses with >1 tables."""
+    import base64
+    import re
+    from pdf2dom_ray.engine.woff import parse_woff_header
+    b = PdfBuilder()
+    p = PageSpec()
+    p.use_type1c_font("F1", "EKCFJL+Omsym2")
+    p.text_block("F1", 12, 36, 750, ["Bye"])
+    b.add_page(p)
+    r = parse_document(b.build())
+    assert "@font-face" in r.html_dom
+    assert "data:application/x-font-woff;base64," in r.html_dom
+    m = re.search(r"x-font-woff;base64,([^']*)'", r.html_dom)
+    woff = base64.b64decode(m.group(1))
+    num_tables, tags = parse_woff_header(woff)
+    assert num_tables > 1
+    assert b"CFF " in tags
+    # div.p uses the font family (TestFonts.java:56-65)
+    assert r.spans[0]["font_family"] == "EKCFJL Omsym2"
+
+
+def test_bare_cff_save_to_dir_woff_ending():
+    from pdf2dom_ray.config import SAVE_TO_DIR, PdfDomConfig
+    b = PdfBuilder()
+    p = PageSpec()
+    p.use_type1c_font("F1", "EKCFJL+Omsym2")
+    p.text_block("F1", 12, 36, 750, ["x"])
+    b.add_page(p)
+    r = parse_document(b.build(), PdfDomConfig(font_handler=SAVE_TO_DIR))
+    assert [res["path"] for res in r.resources] == \
+        ["resources/EKCFJL+Omsym2.woff"]
+
+
+def test_cff_roundtrip_info():
+    from pdf2dom_ray.engine.woff import cff_info, cff_to_woff
+    from pdf2dom_ray.synth.pdfgen import tiny_cff
+    cff = tiny_cff("MyFont", n_glyphs=7)
+    name, n = cff_info(cff)
+    assert name == "MyFont"
+    assert n == 7
+    woff = cff_to_woff(cff)
+    assert woff[:4] == b"wOFF"
