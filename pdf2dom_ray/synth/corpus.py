@@ -13,6 +13,7 @@ Rules (all deterministic, seedless):
 * font          = CORE_FONTS[doc_id % 8]; size = 10 + doc_id % 4
 * color         = PALETTE[doc_id % 5]
 * embedded TTF  = used when doc_id % 11 == 5 (exercises the FontTable)
+* bare CFF      = when doc_id % 13 == 7 (and not TTF) — WOFF conversion
 * image         = one 8×8 RGB image when doc_id % 7 == 3
 * filled rect   = when doc_id % 5 == 2
 * malformed     = truncated garbage payload when doc_id % 97 == 13
@@ -62,6 +63,11 @@ def uses_embedded_font(doc_id: int) -> bool:
     return doc_id % 11 == 5
 
 
+def uses_cff_font(doc_id: int) -> bool:
+    # bare-CFF (FontFile3/Type1C → WOFF) docs; embedded-TTF rule wins
+    return doc_id % 13 == 7 and not uses_embedded_font(doc_id)
+
+
 def synth_image(doc_id: int) -> np.ndarray:
     g = np.arange(64, dtype=np.uint8).reshape(8, 8)
     r = np.full((8, 8), doc_id % 251, dtype=np.uint8)
@@ -88,6 +94,9 @@ def doc_to_pdf(doc_id: int, text: str) -> bytes:
         p = PageSpec(612, 792)
         if uses_embedded_font(doc_id):
             p.use_embedded_ttf("F1", f"AAAAAA+SynthFont{doc_id % 3}", doc_id % 17)
+        elif uses_cff_font(doc_id):
+            p.use_type1c_font("F1", f"BBBBBB+SynthCff{doc_id % 3}",
+                              n_glyphs=3 + doc_id % 5)
         else:
             p.use_core_font("F1", CORE_FONTS[doc_id % 8])
         if pi == 0 and has_rect(doc_id):
