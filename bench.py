@@ -34,8 +34,9 @@ def num_cpus() -> int:
 
 
 def pages_cache_dir(sf: str, replicate: int) -> str:
+    from pdf2dom_ray.synth.corpus import CORPUS_VERSION
     tag = sf.strip("/").replace("/", "_")
-    return f"/tmp/pdf2dom_bench/pages_{tag}_x{replicate}"
+    return f"/tmp/pdf2dom_bench/pages_{tag}_x{replicate}_v{CORPUS_VERSION}"
 
 
 def replication_factor(sf: str) -> int:

@@ -77,17 +77,52 @@ def decode_image(doc, xobj: Stream) -> np.ndarray:
 
 
 def rotate_image_90s(img: np.ndarray, theta_radians: float) -> np.ndarray:
-    """Rotate by the nearest multiple of 90° of ``theta`` (see module doc).
+    """Rotate the raster by ``theta`` (ImageUtils.rotateImage semantics:
+    Java ``getRotateInstance(-theta)`` around the center with a bilinear
+    AffineTransformOp and an expanded destination raster).
 
-    Positive ``theta`` follows Java's ``getRotateInstance(-theta)`` in
-    y-down raster space: theta=+90° turns the raster clockwise.
+    Exact ``np.rot90`` for multiples of 90°; bilinear inverse-mapped
+    resampling (numpy) for arbitrary angles.
     """
     deg = math.degrees(theta_radians)
     quarter = round(deg / 90.0) % 4
-    if abs(deg - round(deg / 90.0) * 90.0) > 1.0:
-        return img  # non-axis-aligned: leave unrotated (documented divergence)
-    if quarter == 0:
-        return img
-    # np.rot90 rotates counter-clockwise in array coords (y down), which
-    # appears clockwise on screen; match Java's -theta screen rotation.
-    return np.rot90(img, k=quarter)
+    if abs(deg - round(deg / 90.0) * 90.0) <= 1.0:
+        if quarter == 0:
+            return img
+        # np.rot90 rotates counter-clockwise in array coords (y down),
+        # which appears clockwise on screen; matches Java's -theta.
+        return np.rot90(img, k=quarter)
+    return _rotate_bilinear(img, -theta_radians)
+
+
+def _rotate_bilinear(img: np.ndarray, theta: float) -> np.ndarray:
+    """Center rotation with expanded bounds and bilinear sampling."""
+    h, w = img.shape[:2]
+    c, s = math.cos(theta), math.sin(theta)
+    # expanded destination bounds (like AffineTransformOp.getBounds2D)
+    nw = int(math.ceil(abs(w * c) + abs(h * s)))
+    nh = int(math.ceil(abs(w * s) + abs(h * c)))
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ncy, ncx = (nh - 1) / 2.0, (nw - 1) / 2.0
+    yy, xx = np.meshgrid(np.arange(nh, dtype=np.float64),
+                         np.arange(nw, dtype=np.float64), indexing="ij")
+    # inverse map: rotate destination coords by -theta around the center
+    xs = (xx - ncx) * c + (yy - ncy) * s + cx
+    ys = -(xx - ncx) * s + (yy - ncy) * c + cy
+    x0 = np.floor(xs).astype(np.int64)
+    y0 = np.floor(ys).astype(np.int64)
+    fx = xs - x0
+    fy = ys - y0
+    valid = (x0 >= 0) & (x0 < w - 1) & (y0 >= 0) & (y0 < h - 1)
+    x0c = np.clip(x0, 0, w - 2)
+    y0c = np.clip(y0, 0, h - 2)
+    p00 = img[y0c, x0c].astype(np.float64)
+    p01 = img[y0c, x0c + 1].astype(np.float64)
+    p10 = img[y0c + 1, x0c].astype(np.float64)
+    p11 = img[y0c + 1, x0c + 1].astype(np.float64)
+    fxe = fx[..., None]
+    fye = fy[..., None]
+    out = (p00 * (1 - fxe) * (1 - fye) + p01 * fxe * (1 - fye)
+           + p10 * (1 - fxe) * fye + p11 * fxe * fye)
+    out = np.where(valid[..., None], out, 0.0)
+    return out.round().astype(np.uint8)

@@ -33,6 +33,7 @@ __all__ = ["WORDS_PER_LINE", "LINES_PER_PAGE", "URL_PREFIX",
 WORDS_PER_LINE = 10
 LINES_PER_PAGE = 40
 URL_PREFIX = "https://docs.synth.test/"
+CORPUS_VERSION = 2  # bump when generation rules change (bench cache key)
 _EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
 
 PALETTE = [(0, 0, 0), (0.2, 0.4, 0.6), (0.8, 0.1, 0.1),

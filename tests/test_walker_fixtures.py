@@ -319,3 +319,30 @@ def test_malformed_isolated(payload):
     r = parse_document(payload)
     assert r.error is not None
     assert r.html_dom == ""
+
+
+def test_arbitrary_angle_image_rotation():
+    """A CTM with shear rotates the decoded raster by the shear angle
+    (PDFBoxTree.java:564-575); non-90° angles use bilinear resampling."""
+    b = PdfBuilder()
+    p = PageSpec()
+    img = np.zeros((10, 10, 3), np.uint8)
+    img[:, :5] = 255  # left half white
+    p.use_image("Im0", img)
+    # cm = rotate(30°)·scale: a=cosθ*s, b=sinθ*s ...
+    import math
+    th = math.radians(30)
+    s = 50
+    p.raw((f"q\n{s*math.cos(th):.4f} {s*math.sin(th):.4f} "
+           f"{-s*math.sin(th):.4f} {s*math.cos(th):.4f} 200 400 cm\n"
+           f"/Im0 Do\nQ").encode())
+    b.add_page(p)
+    r = parse_document(b.build())
+    assert r.error is None
+    assert r.n_images == 1
+    import base64, re
+    from pdf2dom_ray.functions.multimodal import decode_engine_png
+    m = re.search(r'src="data:image/png;base64,([^"]+)"', r.html_dom)
+    out = decode_engine_png(base64.b64decode(m.group(1)))
+    # expanded bounds: rotated 10x10 → ~13-14 px square
+    assert out.shape[0] > 10 and out.shape[1] > 10
