@@ -101,7 +101,10 @@ def run_bench() -> dict:
     n_docs = 0
     t0 = time.time()
     pages = rd.read_parquet(pages_path, columns=["url", "html"])
-    parsed = extract(pages, PdfDomConfig(), emit_html=True)
+    # fixed pool: fresh process, one-shot run → no ramp tax, no
+    # second-pipeline livelock risk (see pipelines/extract.py note)
+    parsed = extract(pages, PdfDomConfig(), emit_html=True,
+                     concurrency=max(num_cpus() - 2, 1))
     out_dir = f"/tmp/pdf2dom_bench/out_{num_cpus()}"
     import shutil
     shutil.rmtree(out_dir, ignore_errors=True)

@@ -49,10 +49,12 @@ def extract(pages: rd.Dataset, config: PdfDomConfig = DEFAULT_CONFIG, *,
     above which a document is routed to the singleton-batch giant pool.
     """
     if concurrency is None:
-        # size the main pool to the cluster but leave headroom for the
-        # giant-document pool (min 1 actor) and the read/write tasks —
-        # a pool that reserves every CPU deadlocks actor creation of the
-        # second pool and starves the sinks
+        # autoscaling (hi/2, hi) with hi = cpus − 2: headroom for the
+        # giant-document pool (min 1 actor) + read/write tasks. A fixed
+        # hi-sized pool is ~25% faster on a one-shot corpus run (no
+        # ramp; bench passes it explicitly) but livelocks a SECOND
+        # extract in the same session while the first pool's actors
+        # linger during shutdown — the autoscaling default is always safe.
         import ray
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if \
             ray.is_initialized() else 8
