@@ -101,10 +101,14 @@ def run_bench() -> dict:
     n_docs = 0
     t0 = time.time()
     pages = rd.read_parquet(pages_path, columns=["url", "html"])
-    # fixed pool: fresh process, one-shot run → no ramp tax, no
-    # second-pipeline livelock risk (see pipelines/extract.py note)
+    # fixed pool: fresh process, one-shot run → no ramp tax. The CPU
+    # reserve scales with the cluster — the write stage needs ~ncpu/8
+    # CPUs to keep up with the parse output volume; reserving only 2 at
+    # 32 CPUs starves the sink and collapses throughput (measured).
+    ncpu = num_cpus()
+    pool = max(ncpu - max(2, ncpu // 8), 1)
     parsed = extract(pages, PdfDomConfig(), emit_html=True,
-                     concurrency=max(num_cpus() - 2, 1))
+                     concurrency=pool)
     out_dir = f"/tmp/pdf2dom_bench/out_{num_cpus()}"
     import shutil
     shutil.rmtree(out_dir, ignore_errors=True)
