@@ -194,6 +194,7 @@ def run_scaling() -> dict:
     eff_compute = (compute[32]["docs_per_sec"]
                    / compute[8]["docs_per_sec"]) / 4
     eff_full = (full[32]["docs_per_sec"] / full[8]["docs_per_sec"]) / 4
+    hw = _hardware_scaling_baseline()
     return {
         "metric": "scaling_efficiency_8_to_32",
         "value": round(eff_compute, 3),
@@ -209,8 +210,35 @@ def run_scaling() -> dict:
             "note": "single-node disk sink has fixed bandwidth; "
                     "multi-node clusters write one disk per node",
         },
+        "hardware_baseline": hw,
         "sf": sf_dir(),
     }
+
+
+def _hardware_scaling_baseline() -> dict:
+    """Raw-CPU scaling of THIS machine, 8 vs 32 worker processes (pure
+    Python integer loop, no Ray). Sandbox vCPUs are oversubscribed —
+    the raw platform ceiling contextualizes any pipeline efficiency
+    number measured on it."""
+    import multiprocessing as mp
+
+    def burn(n):
+        s = 0
+        for i in range(n):
+            s += i * i
+        return s
+
+    def measure(procs: int) -> float:
+        with mp.Pool(procs) as p:
+            t0 = time.time()
+            p.map(burn, [3_000_000] * procs * 4)
+            return procs * 4 * 3_000_000 / (time.time() - t0)
+
+    r8 = measure(8)
+    r32 = measure(32)
+    return {"ops_per_sec_8": round(r8 / 1e6, 1),
+            "ops_per_sec_32": round(r32 / 1e6, 1),
+            "raw_cpu_efficiency_8_to_32": round((r32 / r8) / 4, 3)}
 
 
 if __name__ == "__main__":
