@@ -215,6 +215,13 @@ def run_scaling() -> dict:
     }
 
 
+def _burn(n):
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
 def _hardware_scaling_baseline() -> dict:
     """Raw-CPU scaling of THIS machine, 8 vs 32 worker processes (pure
     Python integer loop, no Ray). Sandbox vCPUs are oversubscribed —
@@ -222,11 +229,7 @@ def _hardware_scaling_baseline() -> dict:
     number measured on it."""
     import multiprocessing as mp
 
-    def burn(n):
-        s = 0
-        for i in range(n):
-            s += i * i
-        return s
+    burn = _burn
 
     def measure(procs: int) -> float:
         with mp.Pool(procs) as p:
