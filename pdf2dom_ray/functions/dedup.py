@@ -135,7 +135,6 @@ def minhash_cluster(ds: rd.Dataset, *, num_perm: int = 64, bands: int = 16,
     ``map_batches`` — no per-group Python and no large join.
     """
     import ray
-    from ray.data.aggregate import Count, Min
 
     band_rows = ds.map_batches(
         _MinHashBands,
@@ -143,12 +142,20 @@ def minhash_cluster(ds: rd.Dataset, *, num_perm: int = 64, bands: int = 16,
                                "shingle_k": shingle_k},
         batch_format="pyarrow", concurrency=concurrency or default_pool())
 
-    stats = (band_rows.groupby(["band_id", "band_hash"])
-             .aggregate(Count(alias_name="n"),
-                        Min("doc_id", alias_name="bucket_min")))
+    # high-cardinality (band, hash) keys: the hash-partitioned aggregate
+    # (stages/hashagg.py) avoids Ray's slow sort-based Aggregate here
+    from ..stages.hashagg import hash_aggregate
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if "n" not in df.columns:
+            return (df.groupby(["band_id", "band_hash"], as_index=False)
+                      .agg(n=("doc_id", "size"), bucket_min=("doc_id", "min")))
+        return (df.groupby(["band_id", "band_hash"], as_index=False)
+                  .agg(n=("n", "sum"), bucket_min=("bucket_min", "min")))
+
+    stats = hash_aggregate(band_rows, ["band_id", "band_hash"], combine)
     dup_buckets = stats.map_batches(
-        lambda t: t.filter(pa.compute.greater(t.column("n"), 1)),
-        batch_format="pyarrow").to_pandas()
+        lambda df: df[df.n > 1], batch_format="pandas").to_pandas()
     lookup = {(b, h): m for b, h, m in zip(dup_buckets.band_id,
                                            dup_buckets.band_hash,
                                            dup_buckets.bucket_min)}
@@ -169,8 +176,14 @@ def minhash_cluster(ds: rd.Dataset, *, num_perm: int = 64, bands: int = 16,
 
     labeled = band_rows.map_batches(Label, batch_format="pyarrow",
                                     concurrency=concurrency or default_pool())
-    return labeled.groupby("doc_id").aggregate(
-        Min("cand", alias_name="cluster_id"))
+
+    def combine_docs(df: pd.DataFrame) -> pd.DataFrame:
+        col = "cand" if "cand" in df.columns else "cluster_id"
+        out = (df.groupby("doc_id", as_index=False)
+                 .agg(cluster_id=(col, "min")))
+        return out
+
+    return hash_aggregate(labeled, ["doc_id"], combine_docs)
 
 
 # ---------------------------------------------------------------------------
