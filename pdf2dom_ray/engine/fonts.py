@@ -18,10 +18,10 @@ Replaces PDFBox's PDFont hierarchy plus the reference's ``FontTable``
   no-op for well-formed fonts — normalization of broken TTFs is out of
   scope and degrades to passthrough); Type1 (FontFile) is unsupported
   and yields empty data exactly like the reference
-  (`FontTable.java:214-218`); bare-CFF→WOFF conversion (FontFile3,
-  `FontTable.java:220-238`) is not implemented in round 1 and yields
-  empty data (entry dropped; the text path stays correct, matching the
-  reference's own "html still usable without" degradation).
+  (`FontTable.java:214-218`); bare-CFF FontFile3 programs are converted
+  to WOFF via ``engine.woff`` (OTF wrap + WOFF1 container, mirroring
+  the reference's FontVerter path, `FontTable.java:220-238`), degrading
+  to empty data on any conversion failure.
 """
 
 from __future__ import annotations
@@ -33,6 +33,9 @@ import numpy as np
 from .cos import Name, PdfParseError, Stream, float_value, int_value
 
 f32 = np.float32
+
+# process-wide shared fast tables for simple fonts without ToUnicode
+_LATIN1_FAST = None
 
 __all__ = ["PdfFont", "FontTable", "FontTableEntry", "load_font"]
 
@@ -153,31 +156,42 @@ class PdfFont:
         if self._fast is None:
             import unicodedata
             n = 65536 if self.is_type0 else 256
-            uni = np.zeros(n, dtype=np.uint32)
-            clean = np.zeros(n, dtype=bool)
             tu = self.to_unicode
             if tu is None and self.is_type0:
-                self._fast = (uni, clean, np.zeros(n, dtype=bool))
+                self._fast = (np.zeros(n, np.uint32), np.zeros(n, bool),
+                              np.zeros(n, bool))
                 return self._fast
-            rtl = {"R", "AL", "RLE", "RLO"}
             if tu is None:
-                # code 0 decodes to U+FFFD like PdfFont.decode
-                pairs = ((c, chr(c) if c else "�") for c in range(256))
-            else:
-                pairs = ((c, u) for c, u in tu.items() if 0 <= c < n)
-            for c, u in pairs:
-                if len(u) != 1:
-                    continue
-                cp = ord(u)
-                if unicodedata.category(u) in ("Mn", "Mc", "Me"):
-                    continue
-                if unicodedata.bidirectional(u) in rtl:
-                    continue
-                uni[c] = cp
-                clean[c] = True
-            is_ws = clean & (uni <= 0x20)
-            self._fast = (uni, clean, is_ws)
+                # font-independent: all simple fonts without ToUnicode
+                # share one process-wide table
+                global _LATIN1_FAST
+                if _LATIN1_FAST is None:
+                    _LATIN1_FAST = self._build_fast_tables(
+                        ((c, chr(c) if c else "�") for c in range(256)), 256)
+                self._fast = _LATIN1_FAST
+                return self._fast
+            self._fast = self._build_fast_tables(
+                ((c, u) for c, u in tu.items() if 0 <= c < n), n)
         return self._fast
+
+    @staticmethod
+    def _build_fast_tables(pairs, n: int):
+        import unicodedata
+        uni = np.zeros(n, dtype=np.uint32)
+        clean = np.zeros(n, dtype=bool)
+        rtl = {"R", "AL", "RLE", "RLO"}
+        for c, u in pairs:
+            if len(u) != 1:
+                continue
+            cp = ord(u)
+            if unicodedata.category(u) in ("Mn", "Mc", "Me"):
+                continue
+            if unicodedata.bidirectional(u) in rtl:
+                continue
+            uni[c] = cp
+            clean[c] = True
+        is_ws = clean & (uni <= 0x20)
+        return (uni, clean, is_ws)
 
     def width(self, code: int) -> float:
         return float(self.widths[code]) if 0 <= code < len(self.widths) else 0.0
