@@ -205,3 +205,36 @@ def test_incremental_update_wins():
              b" >>\nstream\n" + newc + b"\nendstream\nendobj\n")
     r = parse_document(base + patch)
     assert texts(r) == ["new"]
+
+
+def test_cr_only_line_endings():
+    """Classic MacOS CR-only PDFs must parse (EOL handling in the
+    stream scanner and lexer)."""
+    pdf = (b"%PDF-1.4\r"
+           b"1 0 obj\r<< /Type /Catalog /Pages 2 0 R >>\rendobj\r"
+           b"2 0 obj\r<< /Type /Pages /Count 1 /Kids [3 0 R] >>\rendobj\r"
+           b"3 0 obj\r<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+           b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>\rendobj\r"
+           b"4 0 obj\r<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>\rendobj\r"
+           b"5 0 obj\r<< /Length 44 >>\rstream\r"
+           b"BT /F1 10 Tf 1 0 0 1 10 700 Tm (crmac) Tj ET\rendstream\rendobj\r")
+    r = parse_document(pdf)
+    assert r.error is None
+    assert texts(r) == ["crmac"]
+
+
+def test_unbalanced_q_Q():
+    """Extra Q pops are ignored; unclosed q leaves state as-is (PDFBox
+    tolerates both)."""
+    r = parse_document(simple_pdf(
+        b"Q Q\nq q 1 0 0 rg\n"
+        b"BT /F1 10 Tf 1 0 0 1 100 700 Tm (ok) Tj ET"))
+    assert r.error is None
+    assert r.spans[0]["color"] == "#ff0000"
+
+
+def test_comment_inside_object():
+    r = parse_document(simple_pdf(
+        b"% leading comment\n"
+        b"BT /F1 10 Tf % inline comment\n1 0 0 1 100 700 Tm (c) Tj ET"))
+    assert texts(r) == ["c"]
