@@ -7,7 +7,7 @@ and the ``PDFBoxTree`` flags (`PDFBoxTree.java:100-109`).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 # resource handler strategies (PDFDomTreeConfig.java:40-52)
 EMBED_BASE64 = "embed_base64"

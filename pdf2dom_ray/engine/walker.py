@@ -39,8 +39,7 @@ from .cos import (Name, PdfDocument, PdfParseError, Stream, float_value)
 from .fonts import FontTable, PdfFont, load_font
 from .images import UnsupportedImageError, decode_image, rotate_image_90s
 from .metrics import TextMetrics
-from .path import HtmlDivLine, PathSegment, to_rectangle
-from .pathdrawer import draw_path
+from .path import PathSegment
 from .style import BoxStyle, TRANSPARENT_COLOR
 
 f32 = np.float32

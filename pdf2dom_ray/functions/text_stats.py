@@ -17,7 +17,6 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data as rd
 
 from ..stages.pool import default_pool

@@ -17,7 +17,6 @@ hides inside a batch of small ones and never stalls a whole block.
 
 from __future__ import annotations
 
-import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 

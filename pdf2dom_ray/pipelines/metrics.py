@@ -10,13 +10,12 @@ the shuffle moves (keys × batches) rows, never the raw table.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Sum
 
 __all__ = ["corpus_metrics", "events_hourly", "orders_by_segment"]
 

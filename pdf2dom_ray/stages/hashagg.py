@@ -21,7 +21,6 @@ from __future__ import annotations
 import zlib
 
 import pandas as pd
-import pyarrow as pa
 import ray.data as rd
 
 __all__ = ["hash_aggregate"]
