@@ -100,7 +100,6 @@ def run_bench() -> dict:
 
     n_docs = 0
     t0 = time.time()
-    pages = rd.read_parquet(pages_path, columns=["url", "html"])
     # fixed pool: fresh process, one-shot run → no ramp tax. The CPU
     # reserve scales with the cluster — the write stage needs ~ncpu/8
     # CPUs to keep up with the parse output volume; reserving only 2 at
@@ -108,6 +107,10 @@ def run_bench() -> dict:
     ncpu = num_cpus()
     reserve = int(os.environ.get("GRAFT_BENCH_RESERVE", max(2, ncpu // 8)))
     pool = max(ncpu - reserve, 1)
+    # ~4 blocks per parse actor: fewer, larger tasks cut per-task
+    # overhead ~30% vs the default splitting (measured sweep)
+    pages = rd.read_parquet(pages_path, columns=["url", "html"],
+                            override_num_blocks=max(pool * 4, 8))
     parsed = extract(pages, PdfDomConfig(), emit_html=True,
                      concurrency=pool)
     if os.environ.get("GRAFT_BENCH_NO_WRITE"):

@@ -38,7 +38,7 @@ def synth_pages(sf_dir: str, *, concurrency: int | None = None) -> rd.Dataset:
 
 def extract(pages: rd.Dataset, config: PdfDomConfig = DEFAULT_CONFIG, *,
             emit_html: bool = True,
-            batch_size: int = 16,
+            batch_size: int = 64,
             concurrency=None,
             skew_threshold: int = 8 * 1024 * 1024) -> rd.Dataset:
     """Parse a pages Dataset into the output table (OUTPUT_SCHEMA).
