@@ -44,6 +44,22 @@ class TextNode:
         self.data = data
 
 
+class RawInline:
+    """A pre-rendered leaf element (one line of markup, already escaped).
+
+    Emitters use this for the hot leaf nodes (text boxes, rects, lines,
+    images) to skip per-node Element construction; the serializer emits
+    ``indent + markup`` exactly as the equivalent Element would have
+    produced. ``text`` carries the logical text content for the
+    ``text_content`` helper."""
+
+    __slots__ = ("markup", "text")
+
+    def __init__(self, markup: str, text: str = ""):
+        self.markup = markup
+        self.text = text
+
+
 class EntityRef:
     __slots__ = ("name",)
 
@@ -84,6 +100,8 @@ class Element:
                 out.append(c.data)
             elif isinstance(c, EntityRef):
                 out.append(" " if c.name == "nbsp" else f"&{c.name};")
+            elif isinstance(c, RawInline):
+                out.append(c.text)
             elif isinstance(c, Element):
                 out.append(c.text_content())
         return "".join(out)
@@ -100,6 +118,16 @@ class Document:
 
 def _inline_only(el: Element) -> bool:
     return all(isinstance(c, (TextNode, EntityRef)) for c in el.children)
+
+
+def escape_text(s: str) -> str:
+    """Public text escaper for RawInline builders."""
+    return _esc_text(s)
+
+
+def escape_attr(s: str) -> str:
+    """Public attribute escaper for RawInline builders."""
+    return _esc_attr(s)
 
 
 def _render_inline_children(el: Element) -> str:
@@ -126,13 +154,16 @@ def _serialize_el(el: Element, depth: int, out: list[str]) -> None:
         out.append(f"{pad}{_open_tag(el)}>{_render_inline_children(el)}</{el.tag}>")
         return
     out.append(f"{pad}{_open_tag(el)}>")
+    child_pad = _INDENT * (depth + 1)
     for c in el.children:
-        if isinstance(c, Element):
+        if isinstance(c, RawInline):
+            out.append(child_pad + c.markup)
+        elif isinstance(c, Element):
             _serialize_el(c, depth + 1, out)
         elif isinstance(c, TextNode):
-            out.append(f"{_INDENT * (depth + 1)}{_esc_text(c.data)}")
+            out.append(f"{child_pad}{_esc_text(c.data)}")
         else:
-            out.append(f"{_INDENT * (depth + 1)}&{c.name};")
+            out.append(f"{child_pad}&{c.name};")
     out.append(f"{pad}</{el.tag}>")
 
 

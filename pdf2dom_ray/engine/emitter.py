@@ -23,7 +23,8 @@ import base64
 import numpy as np
 
 from ..config import EMBED_BASE64, IGNORE, SAVE_TO_DIR, PdfDomConfig
-from .dom import Document, Element, EntityRef, TextNode, serialize
+from .dom import (Document, Element, EntityRef, RawInline, TextNode,
+                  escape_attr, escape_text, serialize)
 from .javafloat import jfloat_str, jdouble_str
 from .path import HtmlDivLine, to_rectangle
 from .pathdrawer import draw_path
@@ -150,10 +151,8 @@ class DomEmitter:
 
     # -- text boxes (PDFDomTree.java:228-232, 303-325) -----------------
     def render_text(self, walker, data: str, metrics) -> None:
-        el = Element("div")
-        el.set("id", f"p{self.textcnt}")
+        box_id = f"p{self.textcnt}"
         self.textcnt += 1
-        el.set("class", "p")
         style = walker.curstyle
         # cache the non-positional CSS tail per style identity — boxes in a
         # run share it, only top/left/line-height/width vary
@@ -164,9 +163,10 @@ class DomEmitter:
             self._css_tail_cache[tk] = tail
         css = (style.css_head() + tail
                + f"width:{jfloat_str(metrics.get_width())}{UNIT};")
-        el.set("style", css)
-        el.append(TextNode(data))
-        self.curpage.append(el)
+        # pre-rendered leaf (hot path): byte-identical to the Element form
+        self.curpage.append(RawInline(
+            f'<div id="{box_id}" class="p" style="{escape_attr(css)}">'
+            f"{escape_text(data)}</div>", data))
 
         # side outputs: extracted_text joining rule + span offsets
         page_idx = self.pagecnt - 1
@@ -241,11 +241,9 @@ class DomEmitter:
         if fill:
             fcolor = walker.gs.nonstroke_color_str()
             p.append(f"background-color:{fcolor};")
-        el = Element("div")
-        el.set("class", "r")
-        el.set("style", "".join(p))
-        el.append(EntityRef("nbsp"))
-        return el
+        return RawInline(
+            f'<div class="r" style="{escape_attr("".join(p))}">&nbsp;</div>',
+            " ")
 
     def _create_line(self, walker, x1, y1, x2, y2) -> Element:
         # PDFDomTree.java:378-397
@@ -262,11 +260,9 @@ class DomEmitter:
         angle = line.get_angle_degrees()
         if angle != 0:
             p.append(f"transform:rotate({jdouble_str(angle)}deg);")
-        el = Element("div")
-        el.set("class", "r")
-        el.set("style", "".join(p))
-        el.append(EntityRef("nbsp"))
-        return el
+        return RawInline(
+            f'<div class="r" style="{escape_attr("".join(p))}">&nbsp;</div>',
+            " ")
 
     def _create_path_image(self, walker, path) -> Element | None:
         # PDFDomTree.java:399-409 + PathDrawer
@@ -290,16 +286,15 @@ class DomEmitter:
              f"top:{jfloat_str(y)}{UNIT};"
              f"width:{jfloat_str(width)}{UNIT};"
              f"height:{jfloat_str(height)}{UNIT};")
-        el = Element("img")
-        el.set("style", p)
         if img is not None and not self.config.disable_image_data:
             png = encode_png(img)
             src = self._handle_resource(png, "image/png", name, "png",
                                         self.config.image_handler)
-            el.set("src", src if src else "")
+            src = src if src else ""
         else:
-            el.set("src", "")
-        return el
+            src = ""
+        return RawInline(
+            f'<img style="{escape_attr(p)}" src="{escape_attr(src)}"/>')
 
     # -- final outputs -------------------------------------------------
     def html(self) -> str:
