@@ -154,13 +154,17 @@ class DomEmitter:
         box_id = f"p{self.textcnt}"
         self.textcnt += 1
         style = walker.curstyle
-        # cache the non-positional CSS tail per style identity — boxes in a
-        # run share it, only top/left/line-height/width vary
-        tk = style.tail_key()
-        tail = self._css_tail_cache.get(tk)
+        # cache the rendered CSS tail per frozen curstyle instance (the
+        # split copies never mutate tail fields), with a per-document
+        # fallback dict keyed on style identity
+        tail = style._tail
         if tail is None:
-            tail = style.css_tail()
-            self._css_tail_cache[tk] = tail
+            tk = style.tail_key()
+            tail = self._css_tail_cache.get(tk)
+            if tail is None:
+                tail = style.css_tail()
+                self._css_tail_cache[tk] = tail
+            style._tail = tail
         css = (style.css_head() + tail
                + f"width:{jfloat_str(metrics.get_width())}{UNIT};")
         # pre-rendered leaf (hot path): byte-identical to the Element form

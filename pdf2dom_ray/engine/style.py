@@ -44,7 +44,7 @@ class BoxStyle:
     __slots__ = (
         "units", "font_family", "font_size", "font_weight", "font_style",
         "line_height", "word_spacing", "letter_spacing", "color",
-        "stroke_color", "position", "left", "top",
+        "stroke_color", "position", "left", "top", "_tail",
     )
 
     def __init__(self, units: str = "pt"):
@@ -61,12 +61,14 @@ class BoxStyle:
         self.position: str | None = None
         self.left = _F32_ZERO
         self.top = _F32_ZERO
+        self._tail = None  # memoized css_tail for frozen copies
 
     def copy(self) -> "BoxStyle":
         # BoxStyle copy constructor, BoxStyle.java:71-86
         c = BoxStyle(self.units)
         for k in self.__slots__:
             setattr(c, k, getattr(self, k))
+        c._tail = None
         return c
 
     # -- setters coerce to float32 like Java float fields --------------
