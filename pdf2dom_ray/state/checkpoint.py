@@ -75,8 +75,11 @@ def write_resumable(ds: rd.Dataset, out_dir: str,
     """
     t0 = time.time()
     ds = add_part_id(ds, num_partitions)
-    # stream to disk — never materialize the full output in the object store
-    ds.write_parquet(out_dir, partition_cols=["part_id"])
+    # stream to disk — never materialize the full output in the object
+    # store; large row groups + zstd keep the sink off the critical path
+    ds.write_parquet(out_dir, partition_cols=["part_id"],
+                     min_rows_per_file=5000,
+                     arrow_parquet_args_fn=lambda: {"compression": "zstd"})
 
     # lineage metrics from a column-pruned second read of the written
     # output (3 narrow columns; row counts come from parquet footers)
