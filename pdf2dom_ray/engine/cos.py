@@ -71,6 +71,53 @@ class Stream:
         return self._decoded
 
 
+def _apply_png_predictor(data: bytes, colors: int, bpc: int,
+                         columns: int) -> bytes:
+    """PNG predictors (Sub/Up/Average/Paeth) per RFC 2083 — used by
+    Flate/LZW DecodeParms with /Predictor >= 10."""
+    bpp = max(1, (colors * bpc + 7) // 8)
+    row_len = (columns * colors * bpc + 7) // 8
+    stride = row_len + 1
+    nrows = len(data) // stride
+    if nrows == 0:
+        return data
+    arr = np.frombuffer(data[:nrows * stride], dtype=np.uint8).reshape(
+        nrows, stride)
+    out = np.zeros((nrows, row_len), dtype=np.uint8)
+    prev = np.zeros(row_len, dtype=np.int32)
+    for r in range(nrows):
+        ftype = arr[r, 0]
+        row = arr[r, 1:].astype(np.int32)
+        if ftype == 0:
+            cur = row
+        elif ftype == 1:  # Sub
+            cur = row.copy()
+            for i in range(bpp, row_len):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = row.copy()
+            for i in range(row_len):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = row.copy()
+            for i in range(row_len):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise PdfParseError(f"unknown PNG predictor row filter {ftype}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    return out.tobytes()
+
+
 def _decode_stream(d: dict, raw: bytes, doc) -> bytes:
     filt = d.get("Filter")
     if doc is not None:
@@ -78,15 +125,30 @@ def _decode_stream(d: dict, raw: bytes, doc) -> bytes:
     if filt is None:
         return raw
     filters = filt if isinstance(filt, list) else [filt]
-    if d.get("DecodeParms") is not None:
-        raise PdfParseError("stream predictors/DecodeParms not supported")
+
+    def resolve(v):
+        return doc.resolve(v) if doc is not None else v
+
+    parms = resolve(d.get("DecodeParms"))
+    parms_list = parms if isinstance(parms, list) else [parms]
     data = raw
-    for f in filters:
+    for i, f in enumerate(filters):
+        p = resolve(parms_list[i]) if i < len(parms_list) else None
         if f == "FlateDecode":
             try:
                 data = zlib.decompress(data)
             except zlib.error as e:
                 raise PdfParseError(f"FlateDecode failed: {e}") from e
+            if isinstance(p, dict):
+                pred = int(resolve(p.get("Predictor", 1)) or 1)
+                if pred >= 10:
+                    data = _apply_png_predictor(
+                        data,
+                        int(resolve(p.get("Colors", 1)) or 1),
+                        int(resolve(p.get("BitsPerComponent", 8)) or 8),
+                        int(resolve(p.get("Columns", 1)) or 1))
+                elif pred != 1:
+                    raise PdfParseError(f"TIFF predictor {pred} unsupported")
         elif f == "ASCIIHexDecode":
             hx = re.sub(rb"[^0-9A-Fa-f]", b"", data.split(b">", 1)[0])
             if len(hx) % 2:

@@ -335,7 +335,45 @@ def load_font(doc, font_dict: dict) -> PdfFont:
             font.to_unicode = _parse_to_unicode(tu.data())
         except Exception:
             font.to_unicode = None
+
+    # simple-font /Encoding with /Differences (PDF 32000 9.6.6): codes
+    # remap to glyph names resolved via the AGL; an explicit ToUnicode
+    # CMap takes precedence (spec-ordered source of truth)
+    if font.to_unicode is None and not font.is_type0:
+        enc = doc.resolve(d.get("Encoding"))
+        enc_dict = enc if isinstance(enc, dict) else None
+        base_name = str(enc) if isinstance(enc, Name) else (
+            str(doc.resolve(enc_dict.get("BaseEncoding")))
+            if enc_dict and enc_dict.get("BaseEncoding") else None)
+        diffs = doc.resolve(enc_dict.get("Differences")) if enc_dict else None
+        if base_name == "WinAnsiEncoding" or isinstance(diffs, list):
+            emap = {c: (chr(c) if c else "�") for c in range(256)}
+            if base_name == "WinAnsiEncoding":
+                emap.update(_WINANSI_HIGH)
+            if isinstance(diffs, list):
+                from .glyphlist import glyph_to_unicode
+                code = 0
+                for item in diffs:
+                    item = doc.resolve(item)
+                    if isinstance(item, (int, float)):
+                        code = int(item)
+                    elif isinstance(item, Name):
+                        u = glyph_to_unicode(str(item))
+                        if u is not None and 0 <= code < 256:
+                            emap[code] = u
+                        code += 1
+            font.to_unicode = emap
     return font
+
+
+# WinAnsi (CP1252) 0x80–0x9F, where it differs from Latin-1
+_WINANSI_HIGH = {
+    0x80: "€", 0x82: "‚", 0x83: "ƒ", 0x84: "„", 0x85: "…", 0x86: "†",
+    0x87: "‡", 0x88: "ˆ", 0x89: "‰", 0x8A: "Š", 0x8B: "‹", 0x8C: "Œ",
+    0x8E: "Ž", 0x91: "‘", 0x92: "’", 0x93: "“", 0x94: "”", 0x95: "•",
+    0x96: "–", 0x97: "—", 0x98: "˜", 0x99: "™", 0x9A: "š", 0x9B: "›",
+    0x9C: "œ", 0x9E: "ž", 0x9F: "Ÿ",
+}
 
 
 # ---------------------------------------------------------------------------

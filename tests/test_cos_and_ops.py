@@ -238,3 +238,39 @@ def test_comment_inside_object():
         b"% leading comment\n"
         b"BT /F1 10 Tf % inline comment\n1 0 0 1 100 700 Tm (c) Tj ET"))
     assert texts(r) == ["c"]
+
+
+def test_png_predictor_decoding():
+    """FlateDecode with /Predictor 12 (PNG Up) — common in xref and
+    image streams of real web PDFs."""
+    import zlib as _z
+    import numpy as np
+    from pdf2dom_ray.engine.cos import Stream
+    # build predictor-encoded data: 3 rows × 4 cols, Up filter
+    rows = np.array([[10, 20, 30, 40], [11, 21, 31, 41], [12, 22, 32, 42]],
+                    dtype=np.uint8)
+    enc = bytearray()
+    prev = np.zeros(4, dtype=np.int32)
+    for r in rows:
+        enc.append(2)  # Up
+        enc.extend(((r.astype(np.int32) - prev) & 0xFF).astype(np.uint8))
+        prev = r.astype(np.int32)
+    payload = _z.compress(bytes(enc))
+    s = Stream({"Filter": "FlateDecode",
+                "DecodeParms": {"Predictor": 12, "Colors": 1,
+                                "BitsPerComponent": 8, "Columns": 4}},
+               payload, None)
+    assert s.data() == rows.tobytes()
+
+
+def test_png_predictor_paeth_sub():
+    import zlib as _z
+    import numpy as np
+    from pdf2dom_ray.engine.cos import _apply_png_predictor
+    # round-trip check: encode with Sub then decode
+    row = np.array([5, 10, 20, 35, 55], dtype=np.uint8)
+    enc = bytearray([1, 5])  # Sub filter, first byte raw
+    for i in range(1, 5):
+        enc.append((int(row[i]) - int(row[i - 1])) & 0xFF)
+    out = _apply_png_predictor(bytes(enc), 1, 8, 5)
+    assert out == row.tobytes()

@@ -98,3 +98,44 @@ def test_fast_and_slow_interleave():
         splice_tounicode={0x61: "0061", 0x62: "0062", 0xE9: "00E9"}))
     # é at exactly the pen position → same box, no split
     assert texts(r) == ["abé"]
+
+
+def test_differences_encoding():
+    """Simple font with /Encoding /Differences remapping codes to AGL
+    glyph names (PDF 32000 9.6.6)."""
+    b = PdfBuilder()
+    p = PageSpec()
+    p.use_core_font("F1", "Courier")
+    p.raw(b"BT /F1 10 Tf 1 0 0 1 100 700 Tm (ab\x80) Tj ET")
+    b.add_page(p)
+    data = b.build()
+    data = data.replace(
+        b"/BaseFont /Courier >>",
+        b"/BaseFont /Courier /Encoding << /Type /Encoding "
+        b"/Differences [ 97 /eacute 128 /Euro ] >> >>")
+    r = parse_document(data)
+    assert r.error is None
+    # code 97 ('a') → é via Differences; 'b' untouched; 0x80 → €
+    assert "".join(s["text"] for s in r.spans) == "éb€"
+
+
+def test_winansi_encoding_high_bytes():
+    b = PdfBuilder()
+    p = PageSpec()
+    p.use_core_font("F1", "Courier")
+    p.raw(b"BT /F1 10 Tf 1 0 0 1 100 700 Tm (x\x93y\x94) Tj ET")
+    b.add_page(p)
+    data = b.build().replace(
+        b"/BaseFont /Courier >>",
+        b"/BaseFont /Courier /Encoding /WinAnsiEncoding >>")
+    r = parse_document(data)
+    assert "".join(s["text"] for s in r.spans) == "x“y”"
+
+
+def test_glyphlist_uni_names():
+    from pdf2dom_ray.engine.glyphlist import glyph_to_unicode
+    assert glyph_to_unicode("eacute") == "é"
+    assert glyph_to_unicode("uni05D0") == "א"
+    assert glyph_to_unicode("u1F600") == "😀"
+    assert glyph_to_unicode("nosuchglyphname") is None
+    assert glyph_to_unicode("a") == "a"
