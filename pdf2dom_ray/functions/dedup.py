@@ -125,14 +125,17 @@ class _MinHashBands:
 
 def minhash_cluster(ds: rd.Dataset, *, num_perm: int = 64, bands: int = 16,
                     shingle_k: int = 3, concurrency=None) -> rd.Dataset:
-    """(doc_id, cluster_id): cluster = min doc_id across shared LSH buckets
-    (single label-propagation round; run again for transitive closure).
+    """(doc_id, cluster_id): EXACT connected components over the LSH
+    candidate graph; cluster_id = min doc_id in the component.
 
-    Shuffle plan: one native groupby over narrow (band, hash) rows to
-    find buckets with >1 member; those collision buckets are a small
-    fraction of the corpus (≈ the duplicate rate), so their min-labels
-    are broadcast via ``ray.put`` and applied in a vectorized
-    ``map_batches`` — no per-group Python and no large join.
+    Shuffle plan: one hash-partitioned aggregate over narrow (band,
+    hash) rows finds buckets with >1 member; those collision buckets
+    are ≈ the duplicate rate of the corpus, so their member edges fit
+    on the driver, where union-find computes the transitive closure
+    (the "union-find on the driver only when the candidate set is
+    provably small" pattern). The root map is then broadcast and every
+    doc labeled in a vectorized pass — no per-group Python, no large
+    join, no iteration.
     """
     import ray
 
@@ -156,34 +159,75 @@ def minhash_cluster(ds: rd.Dataset, *, num_perm: int = 64, bands: int = 16,
     stats = hash_aggregate(band_rows, ["band_id", "band_hash"], combine)
     dup_buckets = stats.map_batches(
         lambda df: df[df.n > 1], batch_format="pandas").to_pandas()
-    lookup = {(b, h): m for b, h, m in zip(dup_buckets.band_id,
-                                           dup_buckets.band_hash,
-                                           dup_buckets.bucket_min)}
-    lookup_ref = ray.put(lookup)
+    dup_keys = set(zip(dup_buckets.band_id, dup_buckets.band_hash))
+    keys_ref = ray.put(dup_keys)
 
-    class Label:
+    # collect (bucket, member) edges for collision buckets only (small)
+    class Edges:
         def __init__(self):
-            self.lookup = ray.get(lookup_ref)
+            self.keys = ray.get(keys_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
             docs = t.column("doc_id").to_pylist()
             bb = t.column("band_id").to_pylist()
             hh = t.column("band_hash").to_pylist()
-            lk = self.lookup
-            cand = [lk.get((b, h), d) for d, b, h in zip(docs, bb, hh)]
-            return pa.table({"doc_id": pa.array(docs, pa.int64()),
-                             "cand": pa.array(cand, pa.int64())})
+            ks = self.keys
+            rows = [(d, b, h) for d, b, h in zip(docs, bb, hh)
+                    if (b, h) in ks]
+            return pa.table({
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "band_id": pa.array([r[1] for r in rows], pa.int32()),
+                "band_hash": pa.array([r[2] for r in rows], pa.int64()),
+            })
 
-    labeled = band_rows.map_batches(Label, batch_format="pyarrow",
-                                    concurrency=concurrency or default_pool())
+    edges = band_rows.map_batches(
+        Edges, batch_format="pyarrow",
+        concurrency=concurrency or default_pool()).to_pandas()
 
-    def combine_docs(df: pd.DataFrame) -> pd.DataFrame:
-        col = "cand" if "cand" in df.columns else "cluster_id"
-        out = (df.groupby("doc_id", as_index=False)
-                 .agg(cluster_id=(col, "min")))
-        return out
+    # union-find over collision-bucket membership → exact components
+    parent: dict[int, int] = {}
 
-    return hash_aggregate(labeled, ["doc_id"], combine_docs)
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # deterministic: smaller id becomes the root
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    first_member: dict[tuple, int] = {}
+    for d, b, h in zip(edges.doc_id, edges.band_id, edges.band_hash):
+        k = (b, h)
+        if k in first_member:
+            union(first_member[k], int(d))
+        else:
+            first_member[k] = int(d)
+    roots = {d: find(int(d)) for d in edges.doc_id.unique()}
+    roots_ref = ray.put(roots)
+
+    class Label:
+        def __init__(self):
+            self.roots = ray.get(roots_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            docs = t.column("doc_id").to_pylist()
+            rt = self.roots
+            return pa.table({
+                "doc_id": pa.array(docs, pa.int64()),
+                "cluster_id": pa.array([rt.get(d, d) for d in docs],
+                                       pa.int64()),
+            })
+
+    return ds.select_columns(["doc_id"]).map_batches(
+        Label, batch_format="pyarrow",
+        concurrency=concurrency or default_pool())
 
 
 # ---------------------------------------------------------------------------
