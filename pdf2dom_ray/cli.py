@@ -73,14 +73,19 @@ def convert_table(path: str, out: str, cfg: PdfDomConfig, args) -> int:
     rd.DataContext.get_current().enable_progress_bars = False
     from .pipelines.extract import extract
     from .state.checkpoint import resume_filter, write_resumable
+    from .state.checkpoint import completed_partitions
     pages = rd.read_parquet(path, columns=["url", "html"])
+    skipped = 0
     if args.resume:
+        skipped = len(completed_partitions(out))
         pages = resume_filter(pages, out, args.partitions)
     parsed = extract(pages, cfg)
     manifest = write_resumable(parsed, out, args.partitions)
     done = sum(p["rows"] for p in manifest["partitions"])
     errs = sum(p["errors"] for p in manifest["partitions"])
-    print(f"wrote {done} docs ({errs} errors) to {out}")
+    note = f" (skipped {skipped} completed partitions)" if skipped else ""
+    print(f"corpus complete: {done} docs / {errs} errors across "
+          f"{len(manifest['partitions'])} partitions at {out}{note}")
     ray.shutdown()
     return 0
 
