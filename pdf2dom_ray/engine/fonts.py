@@ -145,21 +145,23 @@ class PdfFont:
 
     def fast_tables(self):
         """Per-code vectorization tables: (uni: uint32 codepoints,
-        clean: bool, is_ws: bool), sized to the code space.
+        clean: bool, is_ws: bool, rtl: bool), sized to the code space.
 
-        ``clean`` marks codes whose unicode is a single char that is
-        neither a combining mark nor RTL — a run of only clean codes
+        ``clean`` marks codes whose unicode is a single non-combining
+        char — a run of only clean codes with UNIFORM directionality
         can take the vectorized box path (walker._show_text_vec);
         anything else falls back to the per-glyph loop. ``is_ws``
-        mirrors Java ``trim`` (chars <= U+0020 are dropped glyphs).
+        mirrors Java ``trim`` (chars <= U+0020 are dropped glyphs);
+        ``rtl`` marks isReversed directionality classes
+        (PDFBoxTree.java:686-699).
         """
         if self._fast is None:
             import unicodedata
             n = 65536 if self.is_type0 else 256
             tu = self.to_unicode
             if tu is None and self.is_type0:
-                self._fast = (np.zeros(n, np.uint32), np.zeros(n, bool),
-                              np.zeros(n, bool))
+                z = np.zeros(n, bool)
+                self._fast = (np.zeros(n, np.uint32), z, z, z)
                 return self._fast
             if tu is None:
                 # font-independent: all simple fonts without ToUnicode
@@ -179,19 +181,19 @@ class PdfFont:
         import unicodedata
         uni = np.zeros(n, dtype=np.uint32)
         clean = np.zeros(n, dtype=bool)
-        rtl = {"R", "AL", "RLE", "RLO"}
+        rtl = np.zeros(n, dtype=bool)
+        rtl_classes = {"R", "AL", "RLE", "RLO"}
         for c, u in pairs:
             if len(u) != 1:
                 continue
-            cp = ord(u)
             if unicodedata.category(u) in ("Mn", "Mc", "Me"):
                 continue
-            if unicodedata.bidirectional(u) in rtl:
-                continue
-            uni[c] = cp
+            uni[c] = ord(u)
             clean[c] = True
+            if unicodedata.bidirectional(u) in rtl_classes:
+                rtl[c] = True
         is_ws = clean & (uni <= 0x20)
-        return (uni, clean, is_ws)
+        return (uni, clean, is_ws, rtl)
 
     def width(self, code: int) -> float:
         return float(self.widths[code]) if 0 <= code < len(self.widths) else 0.0

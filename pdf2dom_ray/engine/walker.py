@@ -794,10 +794,10 @@ class Walker:
             else:
                 codes = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
             if codes is not None and len(codes):
-                uni, clean, is_ws = font.fast_tables()
-                if clean[codes].all():
-                    self._show_text_vec(codes, uni[codes], is_ws[codes],
-                                        ts, font, fs, hs, rise)
+                uni, clean, is_ws, rtl = font.fast_tables()
+                if clean[codes].all() and self._show_text_vec(
+                        codes, uni[codes], is_ws[codes], rtl[codes],
+                        ts, font, fs, hs, rise):
                     return
 
         params = Matrix(fs * hs, 0, 0, fs, 0, rise)
@@ -856,9 +856,12 @@ class Walker:
         return glyph_height
 
     def _show_text_vec(self, codes: np.ndarray, uni: np.ndarray,
-                       ws_mask: np.ndarray, ts, font: PdfFont,
-                       fs: float, hs: float, rise: float) -> None:
-        """Vectorized glyph processing for clean single-char runs.
+                       ws_mask: np.ndarray, rtl_mask: np.ndarray,
+                       ts, font: PdfFont,
+                       fs: float, hs: float, rise: float) -> bool:
+        """Vectorized glyph processing for clean single-char runs of
+        uniform directionality (LTR or RTL). Returns False when the
+        run mixes directions (caller falls back to the glyph loop).
 
         Replicates the per-glyph loop's float64 operation order exactly:
         the Tm translation recurrence becomes a cumsum seeded with the
@@ -919,14 +922,19 @@ class Walker:
         else:
             gx, gy = crop_h - tyd, txd
 
-        # advance the text matrix past the whole run
+        kept = ~ws_mask                     # whitespace glyphs are skipped
+        if kept.any():
+            idx0 = np.flatnonzero(kept)
+            krtl = rtl_mask[idx0]
+            run_rtl = bool(krtl[0])
+            if not (krtl == run_rtl).all():
+                return False  # mixed directionality → per-glyph loop
+        # advance the text matrix past the whole run (only once committed)
         tm.e = float(ce[-1])
         tm.f = float(cf[-1])
-
-        kept = ~ws_mask                     # whitespace glyphs are skipped
         if not kept.any():
-            return
-        idx = np.flatnonzero(kept)
+            return True
+        idx = idx0
         kcodes = codes[idx]
         kuni = uni[idx]
         xk = gx[idx].astype(np.float32)
@@ -954,7 +962,7 @@ class Walker:
             distx0 = float(xk[0]) - (float(lt.x) + float(lt.width))
             disty0 = float(yk[0]) - float(lt.y)
             split0 = (distx0 > 1.0 or distx0 < -6.0 or abs(disty0) > 1.0
-                      or _is_reversed(lt.unicode))  # ASCII glyph is LTR
+                      or _is_reversed(lt.unicode) != run_rtl)
         if style_changed:
             split0 = True
 
@@ -987,6 +995,7 @@ class Walker:
                     self.text_metrics.append(make_tp(e - 1))
             self.text_line.append(chars[s:e])
             self.last_text = make_tp(e - 1)
+        return True
 
     # -- box state machine (PDFBoxTree.java:593-679) -------------------
     def process_text_position(self, text: TextPosition) -> None:

@@ -139,3 +139,37 @@ def test_glyphlist_uni_names():
     assert glyph_to_unicode("u1F600") == "😀"
     assert glyph_to_unicode("nosuchglyphname") is None
     assert glyph_to_unicode("a") == "a"
+
+
+def test_rtl_vectorized_equivalence():
+    """Uniform-RTL runs take the vectorized path; output must be
+    bit-identical to the per-glyph loop (incl. box reversal)."""
+    from pdf2dom_ray.engine import walker as W
+    b = PdfBuilder()
+    p = PageSpec()
+    p.use_core_font("F1", "Courier")
+    p.raw(b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (abc de) Tj "
+          b"1 0 0 1 100 686 Tm (fgh ab) Tj ET")
+    b.add_page(p)
+    data = b.build()
+    cmap = (b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+            b"9 beginbfchar\n<20> <0020>\n"
+            b"<61> <05D0>\n<62> <05D1>\n<63> <05D2>\n<64> <05D3>\n"
+            b"<65> <05D4>\n<66> <05D5>\n<67> <05D6>\n<68> <05D7>\nendbfchar\n")
+    obj = (b"9 0 obj\n<< /Length " + str(len(cmap)).encode() +
+           b" >>\nstream\n" + cmap + b"\nendstream\nendobj\n")
+    data = data.replace(b"/BaseFont /Courier >>",
+                        b"/BaseFont /Courier /ToUnicode 9 0 R >>")
+    data = data.replace(b"\nxref\n", b"\n" + obj + b"\nxref\n", 1)
+    try:
+        W.FAST_ASCII = False
+        slow = parse_document(data)
+        W.FAST_ASCII = True
+        fast = parse_document(data)
+    finally:
+        W.FAST_ASCII = True
+    assert slow.error is None and fast.error is None
+    assert slow.html_dom == fast.html_dom
+    assert slow.spans == fast.spans
+    # boxes are reversed strings (finishBox RTL rule)
+    assert fast.spans[0]["text"] == "גבא"
