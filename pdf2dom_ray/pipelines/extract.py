@@ -4,20 +4,19 @@ Ray-Data lifecycle (SURVEY.md §3):
 
     read_parquet(pages shards)                 # or synth stage from documents
       → project (url, html)                    # prune at the read
-      → size-aware split (skew routing, §4)
-      → map_batches(PdfDomParser, pyarrow, actor pool)
-      → union(small, giant)
+      → map_batches(PdfDomParser, pyarrow, actor pool)  # in-stage skew routing
       → write_parquet(out, partitioned)        # resumable checkpoint unit
 
-Skew handling (north_rule): a cheap vectorized pre-pass computes
-payload size; rows above ``skew_threshold`` bytes are parsed in
-singleton batches on their own actor pool so one giant document never
-hides inside a batch of small ones and never stalls a whole block.
+Skew handling (north_rule): the parser stage itself routes by payload
+size — rows below ``skew_threshold`` bytes are parsed and yielded as
+one block, each giant row is parsed alone and yielded as its own block
+(generator UDF). This is a SINGLE scan of the input: the previous
+two-branch filter fork executed the upstream read once per branch
+(Ray Data does not dedupe shared lineage), doubling payload I/O.
 """
 
 from __future__ import annotations
 
-import pyarrow.compute as pc
 import ray.data as rd
 
 from ..config import DEFAULT_CONFIG, PdfDomConfig
@@ -48,12 +47,12 @@ def extract(pages: rd.Dataset, config: PdfDomConfig = DEFAULT_CONFIG, *,
     above which a document is routed to the singleton-batch giant pool.
     """
     if concurrency is None:
-        # autoscaling (hi/2, hi) with hi = cpus − 2: headroom for the
-        # giant-document pool (min 1 actor) + read/write tasks. A fixed
-        # hi-sized pool is ~25% faster on a one-shot corpus run (no
-        # ramp; bench passes it explicitly) but livelocks a SECOND
-        # extract in the same session while the first pool's actors
-        # linger during shutdown — the autoscaling default is always safe.
+        # autoscaling (hi/2, hi) with hi = cpus − 2: headroom for
+        # read/write tasks. A fixed hi-sized pool is ~25% faster on a
+        # one-shot corpus run (no ramp; bench passes it explicitly) but
+        # livelocks a SECOND extract in the same session while the
+        # first pool's actors linger during shutdown — the autoscaling
+        # default is always safe.
         import ray
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if \
             ray.is_initialized() else 8
@@ -61,25 +60,12 @@ def extract(pages: rd.Dataset, config: PdfDomConfig = DEFAULT_CONFIG, *,
         concurrency = (max(hi // 2, 1), hi)
     pages = pages.select_columns(["url", "html"])
 
-    small = pages.map_batches(
-        lambda t: t.filter(pc.less(pc.binary_length(t.column("html")),
-                                   skew_threshold)),
-        batch_format="pyarrow")
-    giant = pages.map_batches(
-        lambda t: t.filter(pc.greater_equal(pc.binary_length(t.column("html")),
-                                            skew_threshold)),
-        batch_format="pyarrow")
-
-    parsed_small = small.map_batches(
+    return pages.map_batches(
         PdfDomParser, fn_constructor_kwargs={"config": config,
-                                             "emit_html": emit_html},
+                                             "emit_html": emit_html,
+                                             "skew_threshold": skew_threshold},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
-    parsed_giant = giant.map_batches(
-        PdfDomParser, fn_constructor_kwargs={"config": config,
-                                             "emit_html": emit_html},
-        batch_format="pyarrow", batch_size=1, concurrency=(1, 2), num_cpus=1)
-    return parsed_small.union(parsed_giant)
 
 
 def extract_from_documents(sf_dir: str,

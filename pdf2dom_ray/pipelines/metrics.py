@@ -167,11 +167,13 @@ def orders_by_segment(sf_dir: str) -> rd.Dataset:
                           total=("o_totalprice", "sum")))
             return out
 
+    from ..stages.pool import default_pool
+
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey",
                                       "o_totalprice"])
     partials = orders.map_batches(JoinAgg, batch_format="pandas",
-                                  concurrency=2)
+                                  concurrency=default_pool())
     agg = (partials.groupby("c_mktsegment")
                    .aggregate(Sum("n_orders", alias_name="n_orders"),
                               Sum("total", alias_name="total")))

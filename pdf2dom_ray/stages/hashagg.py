@@ -7,7 +7,8 @@ aggregate becomes pathologically slow (measured: 500 CPU-seconds for
 hash-shuffle aggregate with cheap primitives:
 
 1. vectorized per-batch pandas combiner (caller-provided),
-2. a small int partition column ``crc32(key) % P``,
+2. a small int partition column ``hash(key) % P`` (vectorized
+   ``pd.util.hash_pandas_object`` over the key columns),
 3. ``groupby(part).map_groups`` — sorting P distinct small ints is
    near-free — with a pandas merge per partition.
 
@@ -17,8 +18,6 @@ partition key is a hash.
 """
 
 from __future__ import annotations
-
-import zlib
 
 import pandas as pd
 import ray.data as rd
@@ -36,11 +35,8 @@ def hash_aggregate(ds: rd.Dataset, keys: list[str],
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
         out = combine(df)
-        key_str = out[keys[0]].astype(str)
-        for k in keys[1:]:
-            key_str = key_str + "\x1f" + out[k].astype(str)
-        out["__part"] = [zlib.crc32(s.encode()) % num_partitions
-                         for s in key_str]
+        h = pd.util.hash_pandas_object(out[keys], index=False)
+        out["__part"] = (h % num_partitions).astype("int64").to_numpy()
         return out
 
     partials = ds.map_batches(local, batch_format="pandas")

@@ -107,15 +107,34 @@ def parse_batch(batch: pa.Table, config: PdfDomConfig = DEFAULT_CONFIG,
 
 class PdfDomParser:
     """Callable class for ``ds.map_batches(PdfDomParser, concurrency=N,
-    batch_format="pyarrow", batch_size=B)``."""
+    batch_format="pyarrow", batch_size=B)``.
+
+    Skew routing happens INSIDE the stage (single input scan — a
+    dataset-level filter fork would re-execute the upstream read once
+    per branch): rows below ``skew_threshold`` bytes are parsed and
+    yielded first as one block, then each giant row is parsed alone and
+    yielded as its own block. Downstream consumers therefore never wait
+    on a giant document to see the small rows of the same batch, and a
+    giant never inflates an output block past its own size.
+    """
 
     def __init__(self, config: PdfDomConfig | None = None,
-                 emit_html: bool = True):
+                 emit_html: bool = True,
+                 skew_threshold: int = 8 * 1024 * 1024):
         # once per actor: config + warm state (compiled regexes and the
         # standard-14 metric tables are module-level singletons, loaded
         # at import time in this worker process)
         self.config = config or DEFAULT_CONFIG
         self.emit_html = emit_html
+        self.skew_threshold = skew_threshold
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        return parse_batch(batch, self.config, self.emit_html)
+    def __call__(self, batch: pa.Table):
+        import pyarrow.compute as pc
+        lens = pc.binary_length(batch.column("html"))
+        small_mask = pc.fill_null(pc.less(lens, self.skew_threshold), True)
+        small = batch.filter(small_mask)
+        if small.num_rows:
+            yield parse_batch(small, self.config, self.emit_html)
+        giant = batch.filter(pc.invert(small_mask))
+        for i in range(giant.num_rows):
+            yield parse_batch(giant.slice(i, 1), self.config, self.emit_html)
