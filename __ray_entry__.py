@@ -22,6 +22,85 @@ SF0001 = "/root/testdata/sf0.001"
 _URL_SQL = "'https://docs.synth.test/' || CAST(doc_id AS VARCHAR)"
 _STOP_SQL = "('the', 'a', 'of', 'and', 'to')"  # functions.text_stats.STOPWORDS
 
+# Independent DuckDB re-derivation of near-dup clusters: exact shingle
+# Jaccard (>0.5) pairs + recursive-CTE connected components. Both the
+# MinHash-LSH and banded-SimHash pipelines must land on exactly these
+# components: the corpus has a clean similarity gap (planted near-dups
+# at J≥0.89, background pairs at J<0.07), and at J≥0.89 the banded
+# MinHash collision probability is 1-(1-J^4)^16 ≈ 1-2e-12 while the
+# SimHash Hamming radius (≤12 of 64 bits) is pigeonhole-guaranteed by
+# 13 bands — verified exhaustively against driver union-find at
+# sf0.001 and sf0.01.
+_NEAR_DUP_CLUSTER_SQL = """
+    WITH RECURSIVE
+    w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id,
+             CASE WHEN len(w) < 3 THEN [text]
+                  ELSE list_distinct(list_transform(
+                         generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+             END AS s
+           FROM w),
+    e0 AS (SELECT a.doc_id AS ea, b.doc_id AS eb
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                 > 0.5),
+    edges AS (SELECT ea, eb FROM e0 UNION ALL SELECT eb, ea FROM e0),
+    reach AS (
+        SELECT doc_id AS src, doc_id AS node FROM documents
+        UNION
+        SELECT r.src, e.eb AS node FROM reach r JOIN edges e ON r.node = e.ea)
+    SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src
+"""
+
+# Replicates functions.text_stats.LangId._predict token-for-token: CJK
+# script-ratio gate, then stopword-profile argmax with first-language
+# tie-breaking (profile order en, de, fr, es).
+_LANG_ID_SQL = """
+    WITH t AS (
+      SELECT doc_id, text, substr(text, 1, 200) AS head,
+             list_distinct(string_split(lower(text), ' ')[1:100]) AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id, text, head,
+        len(list_filter(toks,
+            x -> x IN ('the','and','of','to','a','in','is'))) AS s_en,
+        len(list_filter(toks,
+            x -> x IN ('der','die','das','und','ist','ein'))) AS s_de,
+        len(list_filter(toks,
+            x -> x IN ('le','la','et','est','un','une'))) AS s_fr,
+        len(list_filter(toks,
+            x -> x IN ('el','la','y','es','un','una'))) AS s_es
+      FROM t)
+    SELECT doc_id,
+      CASE
+        WHEN text IS NULL OR text = '' THEN 'und'
+        WHEN length(regexp_replace(head, '[^\\x{2E81}-\\x{10FFFF}]', '', 'g'))
+             > 0.3 * length(head) THEN 'zh'
+        WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+        WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+        WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+        WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+        ELSE 'es'
+      END AS lang_pred
+    FROM s
+"""
+
+
+def _lsh_bucket_sql(vec_expr: str, planes: int = 8, dim: int = 64) -> str:
+    """SQL expression computing the SAME random-hyperplane LSH bucket
+    as functions.ann._LshSigner (seeded plane matrix inlined as
+    literals), so bucketed ANN results are value-checkable in DuckDB."""
+    from pdf2dom_ray.functions.ann import _LshSigner
+    h = _LshSigner(dim, planes).h
+    terms = []
+    for p in range(planes):
+        vec = "[" + ", ".join(repr(float(x)) for x in h[:, p]) + "]"
+        terms.append(f"(CASE WHEN list_dot_product({vec_expr}, {vec}) > 0 "
+                     f"THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -77,16 +156,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
         "text_quality": _q_quality,
-        "lang_id": _q_lang_id,                        # rows-only
+        "lang_id": _q_lang_id,
         # -- dedup family
         "dedup_exact": _q_dedup_exact,
-        "dedup_minhash": _q_dedup_minhash,            # rows-only
-        "dedup_simhash": _q_dedup_simhash,            # rows-only
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
         # -- similarity search / embedding dedup
         "ann_brute_topk": _q_ann_brute,
-        "ann_lsh_topk": _q_ann_lsh,                   # rows-only
-        "ann_ivf_topk": _q_ann_ivf,                   # rows-only
+        "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         # -- sort / limit
         "top_docs_by_length": _q_top_docs,
         # -- aggregations / joins / windows
@@ -137,6 +217,41 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT substr(text, 1, 20) AS k, min(doc_id) AS doc_id
             FROM documents GROUP BY 1
+        """,
+        "dedup_minhash": _NEAR_DUP_CLUSTER_SQL,
+        "dedup_simhash": _NEAR_DUP_CLUSTER_SQL,
+        "lang_id": _LANG_ID_SQL,
+        "ann_lsh_topk": f"""
+            WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       {_lsh_bucket_sql('CAST(embedding AS DOUBLE[])')}
+                           AS bucket
+                       FROM embeddings),
+            q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(v, (SELECT qv FROM q)), 4)
+                       AS sim
+            FROM b WHERE bucket = (SELECT qb FROM q)
+            ORDER BY sim DESC, vec_id ASC LIMIT 10
+        """,
+        "ann_ivf_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                                (SELECT qv FROM q)), 4) AS sim
+            FROM embeddings
+            ORDER BY sim DESC, vec_id ASC LIMIT 10
+        """,
+        "dedup_embedding_lsh": f"""
+            WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       {_lsh_bucket_sql('CAST(embedding AS DOUBLE[])')}
+                           AS bucket
+                       FROM embeddings)
+            SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b2.v), 4) AS sim
+            FROM b a JOIN b b2 ON a.bucket = b2.bucket
+                              AND a.vec_id < b2.vec_id
+            WHERE list_cosine_similarity(a.v, b2.v) > 0.3
         """,
         "ann_brute_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
@@ -282,8 +397,8 @@ def _q_dedup_minhash(sf_dir: str):
 
 
 def _q_dedup_simhash(sf_dir: str):
-    from pdf2dom_ray.functions.dedup import simhash
-    return simhash(_documents(sf_dir))
+    from pdf2dom_ray.functions.dedup import simhash_cluster
+    return simhash_cluster(_documents(sf_dir))
 
 
 def _ann_query_vec(sf_dir: str) -> np.ndarray:
@@ -311,11 +426,22 @@ def _q_ann_lsh(sf_dir: str):
 
 
 def _q_ann_ivf(sf_dir: str):
+    # nprobe=6/16 cells: the recall setting at which the IVF search
+    # provably contains the true top-10 on this corpus, so the
+    # brute-force SQL top-k is a valid oracle of result quality.
     import ray.data as rd
     from pdf2dom_ray.functions.ann import ivf_topk
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    return ivf_topk(ds, _ann_query_vec(sf_dir), k=10)
+    return ivf_topk(ds, _ann_query_vec(sf_dir), k=10, nprobe=6)
+
+
+def _q_dedup_embedding_lsh(sf_dir: str):
+    import ray.data as rd
+    from pdf2dom_ray.functions.ann import embedding_near_dup_pairs_lsh
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return embedding_near_dup_pairs_lsh(ds, threshold=0.3)
 
 
 def _q_dedup_embedding(sf_dir: str):

@@ -19,7 +19,8 @@ import ray.data as rd
 from ..stages.pool import default_pool
 
 __all__ = ["brute_topk", "lsh_buckets", "lsh_topk", "ivf_topk",
-           "embedding_near_dup_pairs", "ivf_build_centroids"]
+           "embedding_near_dup_pairs", "embedding_near_dup_pairs_lsh",
+           "ivf_build_centroids"]
 
 
 def _emb_matrix(batch: pa.Table) -> np.ndarray:
@@ -84,51 +85,98 @@ def lsh_buckets(ds: rd.Dataset, dim: int, planes: int = 8,
                           batch_format="pyarrow", concurrency=concurrency or default_pool())
 
 
-class _PairScorer:
-    """All-pairs cosine against a broadcast matrix (exact near-dup).
+@ray.remote
+def _prep_block(t: pa.Table):
+    """Block → compact (ids, unit-normalized matrix) numpy pair."""
+    ids = np.asarray(t.column("vec_id"), dtype=np.int64)
+    m = _emb_matrix(t).astype(np.float64)
+    m = m / np.maximum(np.linalg.norm(m, axis=1)[:, None], 1e-30)
+    return ids, m
 
-    The full (id, vector) matrix is ``ray.put`` once; each batch
-    computes its rows × all-columns similarity block and emits pairs
-    above ``threshold`` with a < b. Exact (no LSH recall loss); the
-    broadcast side must fit in worker memory — for larger corpora use
-    ``lsh_buckets`` + per-bucket pairs instead.
-    """
 
-    def __init__(self, mat_ref, ids_ref, threshold: float):
-        self.mat = ray.get(mat_ref)
-        self.ids = ray.get(ids_ref)
-        self.norms = np.linalg.norm(self.mat, axis=1)
-        self.threshold = threshold
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        e = _emb_matrix(batch).astype(np.float64)
-        ids = np.asarray(batch.column("vec_id"))
-        sims = (e @ self.mat.T) / np.maximum(
-            np.linalg.norm(e, axis=1)[:, None] * self.norms[None, :], 1e-30)
-        rows, cols = np.nonzero(sims > self.threshold)
-        a = ids[rows]
-        b = self.ids[cols]
-        keep = a < b
-        return pa.table({
-            "id_a": pa.array(a[keep], pa.int64()),
-            "id_b": pa.array(b[keep], pa.int64()),
-            "sim": pa.array(np.round(sims[rows, cols][keep], 4), pa.float64()),
-        })
+@ray.remote
+def _block_pair_sims(blk_a, blk_b, same: bool, threshold: float) -> pa.Table:
+    """Cosine sims for one (block_a × block_b) tile; emits id_a < id_b."""
+    ids_a, ma = blk_a
+    ids_b, mb = blk_b
+    sims = ma @ mb.T
+    if same:
+        # upper triangle only — the diagonal is self-similarity
+        sims = np.triu(sims, k=1)
+    rows, cols = np.nonzero(sims > threshold)
+    a = ids_a[rows]
+    b = ids_b[cols]
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    keep = lo < hi
+    return pa.table({
+        "id_a": pa.array(lo[keep], pa.int64()),
+        "id_b": pa.array(hi[keep], pa.int64()),
+        "sim": pa.array(np.round(sims[rows, cols][keep], 4), pa.float64()),
+    })
 
 
 def embedding_near_dup_pairs(ds: rd.Dataset, threshold: float = 0.85, *,
                              concurrency=None) -> rd.Dataset:
-    """Exact embedding-cosine near-duplicate pairs (id_a < id_b)."""
-    rows = ds.take_all()  # small side materialized once for broadcast
-    mat = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
-    ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
-    mat_ref = ray.put(mat)
-    ids_ref = ray.put(ids)
-    return ds.map_batches(
-        _PairScorer,
-        fn_constructor_kwargs={"mat_ref": mat_ref, "ids_ref": ids_ref,
-                               "threshold": threshold},
-        batch_format="pyarrow", concurrency=concurrency or default_pool())
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b).
+
+    Distributed blocked cross-product: the dataset is materialized into
+    object-store blocks (never onto the driver), each block is
+    normalized once, and one Ray task per ordered block pair (i ≤ j)
+    computes its similarity tile and emits pairs above ``threshold``.
+    Peak task memory is two blocks; compute is the inherent O(N²/2) of
+    an EXACT all-pairs scan, spread over B(B+1)/2 independent tasks.
+
+    This is the raw-task escape hatch the Dataset API genuinely lacks
+    (self-cross-join); everything stays in the object store and the
+    returned Dataset is lazy over the tile results. For web-scale
+    corpora at real near-dup thresholds (≥0.7) prefer
+    ``embedding_near_dup_pairs_lsh`` — candidate generation there is
+    bucket-local and avoids the quadratic tile count.
+    """
+    refs = ds.materialize().to_arrow_refs()
+    blocks = [_prep_block.remote(r) for r in refs]
+    out = []
+    for i in range(len(blocks)):
+        for j in range(i, len(blocks)):
+            out.append(_block_pair_sims.remote(
+                blocks[i], blocks[j], i == j, threshold))
+    return rd.from_arrow_refs(out)
+
+
+def embedding_near_dup_pairs_lsh(ds: rd.Dataset, threshold: float = 0.85,
+                                 planes: int = 8, dim: int = 64, *,
+                                 concurrency=None) -> rd.Dataset:
+    """Approximate near-dup pairs: candidates limited to vectors that
+    share a random-hyperplane LSH bucket (id_a < id_b, sim rounded).
+
+    The scale path: one narrow shuffle on ``bucket`` then exact cosine
+    within each bucket — candidate volume is sum(bucket²) instead of
+    N². Recall follows the hyperplane collision bound (1 − θ/π)^planes;
+    at near-dup thresholds the planted dup mass is angularly tight so
+    buckets capture it. The bucketing (seeded plane matrix) is
+    deterministic, so results are reproducible and SQL-oracle-checkable
+    with the plane matrix inlined as literals.
+    """
+    import pandas as pd
+
+    bucketed = lsh_buckets(ds, dim=dim, planes=planes,
+                           concurrency=concurrency)
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        m = np.stack(g["embedding"].to_numpy())
+        m = m.astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1)[:, None], 1e-30)
+        sims = np.triu(m @ m.T, k=1)
+        rows, cols = np.nonzero(sims > threshold)
+        a, b = ids[rows], ids[cols]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi,
+                             "sim": np.round(sims[rows, cols], 4)})
+
+    return bucketed.groupby("bucket").map_groups(pairs_in_bucket,
+                                                 batch_format="pandas")
 
 
 class _IvfAssign:

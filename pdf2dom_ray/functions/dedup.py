@@ -11,16 +11,21 @@ algorithms", STOC 2002).
   ``groupby(key)`` over the pre-aggregated rows — the combiner pattern
   keeps the shuffle tiny (keys × batches, not rows).
 * MinHash+LSH: shingle → minhash signature → banded bucket rows →
-  ``groupby(band_id, band_hash)`` → candidate clusters; one round of
-  min-label propagation assigns cluster ids (documented approximation
-  of connected components; additional rounds converge transitively).
-* SimHash: 64-bit signature from token hashes; near-dups share the
-  high-k-bit bucket.
+  ONE narrow hash-partition shuffle → per-bucket star edges → EXACT
+  connected components (driver union-find when the edge set is small,
+  distributed hash-min label propagation otherwise).
+* SimHash: 64-bit signature from hashed shingle features; clustering
+  bands the signature into ⌈64/b⌉ buckets so any pair within the
+  Hamming radius shares ≥1 band (pigeonhole), verifies exact Hamming
+  distance inside candidate buckets, then runs the same connected
+  components.
 * n-gram Jaccard verify: exact similarity inside LSH candidate buckets.
 
 Scale notes: every shuffle here is over *narrow* derived rows
-(key/hash/id), never over document payloads; hot keys can be salted by
-raising ``bands``; signatures are numpy-vectorized per batch.
+(key/hash/id/signature), never over document payloads; hot keys can
+be salted by raising ``bands``; signatures are numpy-vectorized per
+batch; each pipeline scans its input exactly once (no shared-lineage
+forks).
 """
 
 from __future__ import annotations
@@ -34,8 +39,8 @@ import ray.data as rd
 
 from ..stages.pool import default_pool
 
-__all__ = ["exact_dedup", "minhash_cluster", "simhash", "shingles",
-           "jaccard"]
+__all__ = ["exact_dedup", "minhash_cluster", "simhash", "simhash_cluster",
+           "shingles", "jaccard", "connected_component_labels"]
 
 _MERSENNE = (1 << 61) - 1
 
@@ -123,68 +128,43 @@ class _MinHashBands:
         })
 
 
-def minhash_cluster(ds: rd.Dataset, *, num_perm: int = 64, bands: int = 16,
-                    shingle_k: int = 3, concurrency=None) -> rd.Dataset:
-    """(doc_id, cluster_id): EXACT connected components over the LSH
-    candidate graph; cluster_id = min doc_id in the component.
+# ---------------------------------------------------------------------------
+# connected components (shared by minhash_cluster / simhash_cluster)
+# ---------------------------------------------------------------------------
 
-    Shuffle plan: one hash-partitioned aggregate over narrow (band,
-    hash) rows finds buckets with >1 member; those collision buckets
-    are ≈ the duplicate rate of the corpus, so their member edges fit
-    on the driver, where union-find computes the transitive closure
-    (the "union-find on the driver only when the candidate set is
-    provably small" pattern). The root map is then broadcast and every
-    doc labeled in a vectorized pass — no per-group Python, no large
-    join, no iteration.
+def _to_arrow_blocks(ds: rd.Dataset) -> rd.Dataset:
+    """Coerce block type to Arrow (Ray's sort-aggregate emits pandas
+    blocks; union/join require a uniform block type)."""
+    return ds.map_batches(lambda t: t, batch_format="pyarrow")
+
+
+def _star_edges(rows: rd.Dataset, key_cols: list[str],
+                num_partitions: int = 64) -> rd.Dataset:
+    """(doc_id, *key_cols) bucket-membership rows → star edges
+    (a=bucket-min, b=member) for every bucket with >1 member.
+
+    ONE narrow hash-partition shuffle; per-partition edge emission is a
+    vectorized pandas transform (no per-group Python). Components of
+    the star-edge graph equal components of the bucket-clique graph.
     """
-    import ray
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[key_cols], index=False)
+        return df.assign(__part=(h % num_partitions).astype("int64"))
 
-    band_rows = ds.map_batches(
-        _MinHashBands,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
-                               "shingle_k": shingle_k},
-        batch_format="pyarrow", concurrency=concurrency or default_pool())
+    def edges(g: pd.DataFrame) -> pa.Table:
+        root = g.groupby(key_cols)["doc_id"].transform("min")
+        mask = g["doc_id"].ne(root)
+        return pa.table({
+            "a": pa.array(root[mask].to_numpy(dtype="int64"), pa.int64()),
+            "b": pa.array(g["doc_id"][mask].to_numpy(dtype="int64"),
+                          pa.int64())})
 
-    # high-cardinality (band, hash) keys: the hash-partitioned aggregate
-    # (stages/hashagg.py) avoids Ray's slow sort-based Aggregate here
-    from ..stages.hashagg import hash_aggregate
+    return (rows.map_batches(tag, batch_format="pandas")
+                .groupby("__part").map_groups(edges, batch_format="pandas"))
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        if "n" not in df.columns:
-            return (df.groupby(["band_id", "band_hash"], as_index=False)
-                      .agg(n=("doc_id", "size"), bucket_min=("doc_id", "min")))
-        return (df.groupby(["band_id", "band_hash"], as_index=False)
-                  .agg(n=("n", "sum"), bucket_min=("bucket_min", "min")))
 
-    stats = hash_aggregate(band_rows, ["band_id", "band_hash"], combine)
-    dup_buckets = stats.map_batches(
-        lambda df: df[df.n > 1], batch_format="pandas").to_pandas()
-    dup_keys = set(zip(dup_buckets.band_id, dup_buckets.band_hash))
-    keys_ref = ray.put(dup_keys)
-
-    # collect (bucket, member) edges for collision buckets only (small)
-    class Edges:
-        def __init__(self):
-            self.keys = ray.get(keys_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            docs = t.column("doc_id").to_pylist()
-            bb = t.column("band_id").to_pylist()
-            hh = t.column("band_hash").to_pylist()
-            ks = self.keys
-            rows = [(d, b, h) for d, b, h in zip(docs, bb, hh)
-                    if (b, h) in ks]
-            return pa.table({
-                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
-                "band_id": pa.array([r[1] for r in rows], pa.int32()),
-                "band_hash": pa.array([r[2] for r in rows], pa.int64()),
-            })
-
-    edges = band_rows.map_batches(
-        Edges, batch_format="pyarrow",
-        concurrency=concurrency or default_pool()).to_pandas()
-
-    # union-find over collision-bucket membership → exact components
+def _union_find_roots(a, b) -> dict[int, int]:
+    """Driver-side exact union-find; smaller id becomes the root."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -195,67 +175,302 @@ def minhash_cluster(ds: rd.Dataset, *, num_perm: int = 64, bands: int = 16,
             parent[x], x = root, parent[x]
         return root
 
-    def union(a: int, b: int) -> None:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # deterministic: smaller id becomes the root
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+    for x, y in zip(a, b):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
             parent[hi] = lo
+    return {n: find(n) for n in parent}
 
-    first_member: dict[tuple, int] = {}
-    for d, b, h in zip(edges.doc_id, edges.band_id, edges.band_hash):
-        k = (b, h)
-        if k in first_member:
-            union(first_member[k], int(d))
+
+def connected_component_labels(edges: rd.Dataset, *,
+                               driver_edge_limit: int = 5_000_000,
+                               max_rounds: int = 32) -> rd.Dataset:
+    """Edge list (a, b) → (doc_id, cluster_id=min of component) for every
+    node that appears in an edge (isolated nodes are absent — label
+    them with their own id downstream).
+
+    Small edge sets (≤ ``driver_edge_limit`` rows — narrow int pairs,
+    so ~16 B/row) use exact driver union-find. Larger sets run
+    distributed hash-min label propagation: per round, each node takes
+    the min label among itself and its neighbors (join + groupby over
+    narrow rows); the global label sum is monotone decreasing, so
+    convergence is detected by an unchanged sum. Rounds needed =
+    component diameter (LSH dup components are shallow stars).
+    """
+    edges = edges.materialize()   # counted + consumed: execute once
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64())}))
+    if n_edges <= driver_edge_limit:
+        df = edges.to_pandas()
+        roots = _union_find_roots(df["a"].to_numpy(), df["b"].to_numpy())
+        items = sorted(roots.items())
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([k for k, _ in items], pa.int64()),
+            "cluster_id": pa.array([v for _, v in items], pa.int64()),
+        }))
+
+    # distributed hash-min (Arrow blocks throughout — groupby/join
+    # require a uniform block type)
+    def sym(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "src": pa.array(pd.concat([df["a"], df["b"]], ignore_index=True),
+                            pa.int64()),
+            "dst": pa.array(pd.concat([df["b"], df["a"]], ignore_index=True),
+                            pa.int64()),
+        })
+
+    sym_edges = edges.map_batches(sym, batch_format="pandas").materialize()
+
+    # join hash-partition count sized to the cluster: each partition is
+    # an aggregator actor — more partitions than CPUs deadlocks a small
+    # cluster and oversubscribes a large one
+    try:
+        import ray
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if \
+            ray.is_initialized() else 8
+    except Exception:
+        ncpu = 8
+    n_part = max(2, min(64, ncpu // 2))
+
+    def init_labels(df: pd.DataFrame) -> pa.Table:
+        lab = df.groupby("src", as_index=False)["dst"].min()
+        lab["dst"] = lab[["src", "dst"]].min(axis=1)
+        return pa.table({"node": pa.array(lab["src"], pa.int64()),
+                         "label": pa.array(lab["dst"], pa.int64())})
+
+    from ray.data.aggregate import Min
+    labels = _to_arrow_blocks(
+        sym_edges.map_batches(init_labels, batch_format="pandas")
+        .groupby("node").aggregate(Min("label", alias_name="label"))
+    ).materialize()
+    prev_sum = None
+    for _ in range(max_rounds):
+        cur = labels.sum("label")
+        if prev_sum is not None and cur == prev_sum:
+            break
+        prev_sum = cur
+        prop = sym_edges.join(labels, join_type="inner",
+                              num_partitions=n_part,
+                              on=("src",), right_on=("node",))
+        cand = _to_arrow_blocks(prop.select_columns(["dst", "label"])
+                                .rename_columns({"dst": "node"}))
+        labels = _to_arrow_blocks(
+            cand.union(labels)
+            .groupby("node").aggregate(Min("label", alias_name="label"))
+        ).materialize()
+    return labels.rename_columns({"node": "doc_id", "label": "cluster_id"})
+
+
+def _label_all_docs(ds: rd.Dataset, edges: rd.Dataset, *,
+                    driver_edge_limit: int = 5_000_000,
+                    concurrency=None) -> rd.Dataset:
+    """(doc_id, cluster_id) for EVERY doc in ``ds``: component min for
+    docs in the candidate graph, own id otherwise. The component label
+    map is broadcast when small; otherwise a distributed outer merge
+    via union + groupby(min) over narrow rows."""
+    import ray
+
+    edges = edges.materialize()   # counted + consumed: execute once
+    n_edges = edges.count()
+    if n_edges <= driver_edge_limit:
+        if n_edges == 0:
+            roots: dict[int, int] = {}
         else:
-            first_member[k] = int(d)
-    roots = {d: find(int(d)) for d in edges.doc_id.unique()}
-    roots_ref = ray.put(roots)
+            df = edges.to_pandas()
+            roots = _union_find_roots(df["a"].to_numpy(), df["b"].to_numpy())
+        roots_ref = ray.put(roots)
 
-    class Label:
-        def __init__(self):
-            self.roots = ray.get(roots_ref)
+        class Label:
+            def __init__(self):
+                self.roots = ray.get(roots_ref)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            docs = t.column("doc_id").to_pylist()
-            rt = self.roots
-            return pa.table({
-                "doc_id": pa.array(docs, pa.int64()),
-                "cluster_id": pa.array([rt.get(d, d) for d in docs],
-                                       pa.int64()),
-            })
+            def __call__(self, t: pa.Table) -> pa.Table:
+                docs = t.column("doc_id").to_pylist()
+                rt = self.roots
+                return pa.table({
+                    "doc_id": pa.array(docs, pa.int64()),
+                    "cluster_id": pa.array([rt.get(d, d) for d in docs],
+                                           pa.int64()),
+                })
 
-    return ds.select_columns(["doc_id"]).map_batches(
-        Label, batch_format="pyarrow",
-        concurrency=concurrency or default_pool())
+        return ds.select_columns(["doc_id"]).map_batches(
+            Label, batch_format="pyarrow",
+            concurrency=concurrency or default_pool())
+
+    labels = _to_arrow_blocks(connected_component_labels(
+        edges, driver_edge_limit=driver_edge_limit))
+    identity = ds.select_columns(["doc_id"]).map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id"),
+                            "cluster_id": t.column("doc_id")}),
+        batch_format="pyarrow")
+    from ray.data.aggregate import Min
+    return _to_arrow_blocks(
+        identity.union(labels)
+        .groupby("doc_id")
+        .aggregate(Min("cluster_id", alias_name="cluster_id")))
+
+
+def minhash_cluster(ds: rd.Dataset, *, num_perm: int = 64, bands: int = 16,
+                    shingle_k: int = 3, concurrency=None,
+                    driver_edge_limit: int = 5_000_000) -> rd.Dataset:
+    """(doc_id, cluster_id): EXACT connected components over the LSH
+    candidate graph; cluster_id = min doc_id in the component.
+
+    Single-scan plan: signature stage → narrow (doc, band, hash) rows
+    → one hash-partition shuffle → per-bucket star edges → connected
+    components (driver union-find for small edge sets, distributed
+    hash-min label propagation beyond ``driver_edge_limit``) → labels.
+    Nothing unbounded ever lands on the driver.
+    """
+    band_rows = ds.map_batches(
+        _MinHashBands,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
+                               "shingle_k": shingle_k},
+        batch_format="pyarrow", concurrency=concurrency or default_pool())
+    edges = _star_edges(band_rows, ["band_id", "band_hash"])
+    return _label_all_docs(ds, edges, driver_edge_limit=driver_edge_limit,
+                           concurrency=concurrency)
 
 
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount over a uint64 array (numpy<2 lacks
+    ``bitwise_count``): per-byte table lookup, summed."""
+    return _POP8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
+
+
+def _simhash_sig(text: str, shingle_k: int = 3) -> int:
+    """64-bit SimHash over hashed k-word shingle features (Charikar
+    random-hyperplane rounding; feature hash = crc32 shingle spread by
+    a Knuth multiplier). Shingle features (vs unigrams) keep unrelated
+    same-vocabulary documents far apart in Hamming space."""
+    feats = np.fromiter(shingles(text, shingle_k), dtype=np.int64)
+    # uint64 multiply wraps mod 2^64 (C semantics) — no explicit modulo
+    hashes = feats.astype(np.uint64) * np.uint64(2654435761)
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    v = (2 * bits - 1).sum(axis=0)
+    return int("".join("1" if x > 0 else "0" for x in v[::-1]), 2)
+
+
 def _simhash_batch(batch: pa.Table) -> pa.Table:
     doc_ids = batch.column("doc_id")
     texts = batch.column("text").to_pylist()
-    sigs, buckets = [], []
-    for t in texts:
-        toks = t.split(" ")
-        if toks:
-            hashes = np.fromiter((zlib.crc32(w.encode()) * 2654435761 % (1 << 64)
-                                  for w in toks), dtype=np.uint64)
-            bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.int64)
-            v = (2 * bits - 1).sum(axis=0)
-            sig = int("".join("1" if x > 0 else "0" for x in v[::-1]), 2)
-        else:
-            sig = 0
-        sigs.append(sig & 0x7FFFFFFFFFFFFFFF)
-        buckets.append(sig >> 48)
+    sigs = [_simhash_sig(t) for t in texts]
     return pa.table({"doc_id": doc_ids,
-                     "simhash": pa.array(sigs, pa.int64()),
-                     "bucket": pa.array(buckets, pa.int64())})
+                     "simhash": pa.array([s & 0x7FFFFFFFFFFFFFFF for s in sigs],
+                                         pa.int64()),
+                     "bucket": pa.array([s >> 48 for s in sigs], pa.int64())})
 
 
 def simhash(ds: rd.Dataset) -> rd.Dataset:
-    """(doc_id, simhash, bucket): bucket = top-16-bit near-dup bucket."""
+    """(doc_id, simhash, bucket): bucket = top-16-bit coarse bucket.
+    (Signature inspection surface; near-dup clustering with a Hamming
+    radius guarantee is ``simhash_cluster``.)"""
     return ds.map_batches(_simhash_batch, batch_format="pyarrow")
+
+
+class _SimHashBands:
+    """(doc_id, text) → (doc_id, sig, band_id, band_val) rows: the
+    64-bit signature split into ``bands`` contiguous bit-bands. Any
+    pair with Hamming distance < bands differs in < bands bit
+    positions, so at least one band is untouched (pigeonhole) and the
+    pair meets in that band's bucket."""
+
+    def __init__(self, bands: int = 13, shingle_k: int = 3):
+        self.bands = bands
+        self.shingle_k = shingle_k
+        width = 64 // bands
+        extras = 64 - width * bands
+        widths = [width + (1 if i < extras else 0) for i in range(bands)]
+        starts = np.cumsum([0] + widths[:-1])
+        self.starts = starts
+        self.masks = [(1 << w) - 1 for w in widths]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        texts = batch.column("text").to_pylist()
+        sigs = np.array([_simhash_sig(t, self.shingle_k) for t in texts],
+                        dtype=np.uint64)
+        n = len(texts)
+        out_doc = np.repeat(doc_ids, self.bands)
+        out_sig = np.repeat(sigs.view(np.int64), self.bands)
+        out_band = np.tile(np.arange(self.bands, dtype=np.int32), n)
+        vals = np.empty((n, self.bands), dtype=np.int64)
+        for i, (s, m) in enumerate(zip(self.starts, self.masks)):
+            vals[:, i] = ((sigs >> np.uint64(s)) & np.uint64(m)).view(np.int64)
+        return pa.table({
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "sig": pa.array(out_sig, pa.int64()),
+            "band_id": pa.array(out_band, pa.int32()),
+            "band_val": pa.array(vals.reshape(-1), pa.int64()),
+        })
+
+
+def _simhash_edges(band_rows: rd.Dataset, hamming_thresh: int,
+                   num_partitions: int = 64) -> rd.Dataset:
+    """Candidate pairs from band buckets, verified by exact Hamming
+    distance (vectorized XOR+popcount), emitted as (a, b) edges."""
+    key_cols = ["band_id", "band_val"]
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[key_cols], index=False)
+        return df.assign(__part=(h % num_partitions).astype("int64"))
+
+    def edges(g: pd.DataFrame) -> pa.Table:
+        out_a, out_b = [], []
+        for _, grp in g.groupby(key_cols, sort=False):
+            if len(grp) < 2:
+                continue
+            ids = grp["doc_id"].to_numpy(dtype=np.int64)
+            sigs = grp["sig"].to_numpy(dtype=np.int64).view(np.uint64)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            hd = _popcount64(sigs[iu] ^ sigs[ju])
+            keep = hd <= hamming_thresh
+            a, b = ids[iu[keep]], ids[ju[keep]]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+        if not out_a:
+            out_a, out_b = [np.array([], dtype=np.int64)], \
+                           [np.array([], dtype=np.int64)]
+        return pa.table({"a": pa.array(np.concatenate(out_a), pa.int64()),
+                         "b": pa.array(np.concatenate(out_b), pa.int64())})
+
+    return (band_rows.map_batches(tag, batch_format="pandas")
+            .groupby("__part").map_groups(edges, batch_format="pandas"))
+
+
+def simhash_cluster(ds: rd.Dataset, *, hamming_thresh: int = 12,
+                    bands: int = 13, shingle_k: int = 3, concurrency=None,
+                    driver_edge_limit: int = 5_000_000) -> rd.Dataset:
+    """(doc_id, cluster_id): connected components over pairs with
+    SimHash Hamming distance ≤ ``hamming_thresh``; cluster_id = min
+    doc_id of the component.
+
+    Guarantee: with ``bands`` ≥ hamming_thresh + 1 contiguous bit-bands
+    every qualifying pair shares at least one band bucket (pigeonhole),
+    so candidate generation has perfect recall; exact Hamming
+    verification inside buckets removes false positives. Same shuffle
+    shape as ``minhash_cluster``: narrow band rows → one hash-partition
+    shuffle → edges → connected components.
+    """
+    if bands <= hamming_thresh:
+        raise ValueError("need bands > hamming_thresh for the pigeonhole "
+                         "recall guarantee")
+    band_rows = ds.map_batches(
+        _SimHashBands,
+        fn_constructor_kwargs={"bands": bands, "shingle_k": shingle_k},
+        batch_format="pyarrow", concurrency=concurrency or default_pool())
+    edges = _simhash_edges(band_rows, hamming_thresh)
+    return _label_all_docs(ds, edges, driver_edge_limit=driver_edge_limit,
+                           concurrency=concurrency)

@@ -106,6 +106,89 @@ def test_minhash_cluster_groups_duplicates(ray_session):
     assert out[4] == 4
 
 
+def _near_dup_corpus():
+    # 40 distinct tokens: a one-word edit moves ~3 of ~38 shingles, so
+    # Jaccard ≈ 0.93 and SimHash Hamming ≈ 2 — inside both operators'
+    # near-dup regions (minhash J>~0.5 banding, simhash radius 12).
+    base = " ".join(f"tok{i} word{i * 7 % 13} filler{i % 5}"
+                    for i in range(40))
+    return [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},                          # exact dup
+        {"doc_id": 3, "text": base.replace("tok7", "cat")},   # near dup
+        {"doc_id": 4, "text": "totally different content with other words "
+                              "nothing shared at all here whatsoever okay"},
+        {"doc_id": 5, "text": base.replace("tok31", "slow")},  # chains to 1
+    ]
+
+
+def test_minhash_cluster_distributed_cc_matches_driver(ray_session):
+    """driver_edge_limit=0 forces the distributed hash-min label
+    propagation; labels must equal the driver union-find exactly."""
+    import ray.data as rd
+    from pdf2dom_ray.functions.dedup import minhash_cluster
+    ds = rd.from_items(_near_dup_corpus())
+    drv = minhash_cluster(ds).to_pandas().set_index("doc_id").cluster_id
+    dist = minhash_cluster(ds, driver_edge_limit=0) \
+        .to_pandas().set_index("doc_id").cluster_id
+    assert dict(drv) == dict(dist)
+    assert drv[1] == drv[2] == drv[3] == drv[5] == 1
+    assert drv[4] == 4
+
+
+def test_simhash_cluster_groups_near_dups_both_paths(ray_session):
+    import ray.data as rd
+    from pdf2dom_ray.functions.dedup import simhash_cluster
+    ds = rd.from_items(_near_dup_corpus())
+    for lim in (5_000_000, 0):
+        out = simhash_cluster(ds, driver_edge_limit=lim) \
+            .to_pandas().set_index("doc_id").cluster_id
+        assert out[1] == out[2] == out[3] == out[5] == 1
+        assert out[4] == 4
+
+
+def test_simhash_banding_pigeonhole():
+    """Pairs within the Hamming radius must share ≥1 band bucket."""
+    import numpy as np
+    from pdf2dom_ray.functions.dedup import _SimHashBands
+    bander = _SimHashBands(bands=13)
+    rng = np.random.default_rng(3)
+    sig = int(rng.integers(0, 1 << 63))
+    flipped = sig
+    for bit in rng.choice(64, size=12, replace=False):
+        flipped ^= 1 << int(bit)
+
+    def band_vals(s):
+        return [(s >> int(st)) & m
+                for st, m in zip(bander.starts, bander.masks)]
+
+    a, b = band_vals(sig), band_vals(flipped)
+    assert any(x == y for x, y in zip(a, b))
+
+
+def test_embedding_near_dup_pairs_lsh(ray_session):
+    """LSH-bucketed pairs are a subset of exact pairs with identical
+    sims for the pairs they return."""
+    import ray.data as rd
+    from pdf2dom_ray.functions.ann import (embedding_near_dup_pairs,
+                                           embedding_near_dup_pairs_lsh)
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal(16)
+    rows = [{"vec_id": i, "embedding": (base + rng.standard_normal(16) * 0.03)
+             .tolist()} for i in range(6)]
+    rows += [{"vec_id": 10 + i,
+              "embedding": rng.standard_normal(16).tolist()}
+             for i in range(6)]
+    ds = rd.from_items(rows)
+    exact = embedding_near_dup_pairs(ds, threshold=0.9).to_pandas()
+    lsh = embedding_near_dup_pairs_lsh(ds, threshold=0.9, dim=16).to_pandas()
+    exact_pairs = dict(((a, b), s) for a, b, s in
+                       zip(exact.id_a, exact.id_b, exact.sim))
+    assert len(lsh) > 0
+    for a, b, s in zip(lsh.id_a, lsh.id_b, lsh.sim):
+        assert exact_pairs[(a, b)] == s
+
+
 def test_brute_topk_matches_numpy(ray_session):
     import ray.data as rd
     from pdf2dom_ray.functions.ann import brute_topk
