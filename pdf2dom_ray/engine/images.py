@@ -3,18 +3,18 @@
 Replaces ``PDImageXObject.getImage()`` + ``ImageUtils.rotateImage``
 (`/root/reference/src/main/java/org/fit/pdfdom/PDFBoxTree.java:544-590`,
 `ImageUtils.java:11-54`). Supported pixel formats: 8-bit /DeviceRGB and
-/DeviceGray rasters behind Flate/ASCIIHex (what the synthetic corpus
-emits, and the dominant lossless web-PDF case); 1-bit gray is expanded.
-DCT/JPX payloads cannot be decoded without an image codec in this
-container — they raise ``UnsupportedImageError`` and the walker emits
-the ``<img>`` element with empty ``src`` (schema-correct plumbing, data
-stubbed; see SURVEY.md multimodal note).
+/DeviceGray rasters behind Flate/ASCIIHex (the dominant lossless
+web-PDF case); 1-bit gray is expanded; DCTDecode (baseline JPEG — the
+single most common image filter in real PDFs) is decoded by the
+pure-numpy decoder in ``engine/jpeg.py``. JPX/JBIG2/CCITT remain
+unsupported in this container and raise ``UnsupportedImageError`` →
+the walker emits the ``<img>`` element with empty ``src``.
 
 Rotation: the reference rotates the decoded raster by the CTM shear
-angle minus the page rotation with a bilinear AffineTransformOp. Web
-PDFs overwhelmingly use axis-aligned CTMs, so the angle is a multiple
-of 90°; this engine handles those exactly via ``np.rot90`` and leaves
-other angles unrotated (logged divergence).
+angle minus the page rotation with a bilinear AffineTransformOp
+(``ImageUtils.java:11-54``); this engine matches — exact ``np.rot90``
+for multiples of 90°, expanded-bounds bilinear inverse mapping
+(``_rotate_bilinear``) for arbitrary angles.
 """
 
 from __future__ import annotations
@@ -37,7 +37,7 @@ def decode_image(doc, xobj: Stream) -> np.ndarray:
     d = xobj.dict
     filt = doc.resolve(d.get("Filter"))
     filters = filt if isinstance(filt, list) else ([filt] if filt else [])
-    if any(f in ("DCTDecode", "JPXDecode", "JBIG2Decode", "CCITTFaxDecode")
+    if any(f in ("JPXDecode", "JBIG2Decode", "CCITTFaxDecode")
            for f in filters):
         raise UnsupportedImageError(f"codec not available: {filters}")
     w = int(doc.resolve(d.get("Width", 0)) or 0)
@@ -51,6 +51,23 @@ def decode_image(doc, xobj: Stream) -> np.ndarray:
         data = xobj.data()
     except PdfParseError as e:
         raise UnsupportedImageError(str(e)) from e
+
+    if "DCTDecode" in filters:
+        # baseline JPEG via the pure-numpy decoder (engine/jpeg.py);
+        # mirrors PDImageXObject.getImage() handing DCT payloads to the
+        # platform JPEG reader (PDFBoxTree.java:544-590)
+        from .jpeg import JpegError, decode_baseline_jpeg
+        try:
+            img = decode_baseline_jpeg(data)
+        except JpegError as e:
+            raise UnsupportedImageError(f"DCT decode failed: {e}") from e
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        if img.shape[0] != h or img.shape[1] != w:
+            raise UnsupportedImageError(
+                f"DCT dims {img.shape[1]}x{img.shape[0]} != /Width/Height "
+                f"{w}x{h}")
+        return img
 
     if cs_name == "DeviceRGB" and bpc == 8:
         need = w * h * 3

@@ -150,6 +150,14 @@ class PageSpec:
     def use_image(self, res_name: str, rgb: np.ndarray) -> None:
         self.images[res_name] = {"rgb": np.ascontiguousarray(rgb, np.uint8)}
 
+    def use_jpeg_image(self, res_name: str, rgb: np.ndarray,
+                       quality: int = 85, subsampling: str = "444") -> None:
+        """Embed an image XObject with /Filter /DCTDecode (baseline
+        JPEG via engine.jpeg — deterministic, no codec libs)."""
+        self.images[res_name] = {
+            "jpeg": np.ascontiguousarray(rgb, np.uint8),
+            "quality": quality, "subsampling": subsampling}
+
     # -- content helpers ----------------------------------------------
     def raw(self, op: bytes) -> None:
         self.ops.append(op)
@@ -362,6 +370,20 @@ class PdfBuilder:
                             f"/BBox [0 0 612 792] /Matrix [{mtx}]{fres} "
                             f"/Length {len(body)} >>").encode()
                             + b"\nstream\n" + body + b"\nendstream")
+                    elif "jpeg" in spec:
+                        from ..engine.jpeg import encode_baseline_jpeg
+                        rgb = spec["jpeg"]
+                        h, w = rgb.shape[:2]
+                        gray = rgb.ndim == 2
+                        data = encode_baseline_jpeg(
+                            rgb, spec["quality"], spec["subsampling"])
+                        cs = "/DeviceGray" if gray else "/DeviceRGB"
+                        num = add((
+                            f"<< /Type /XObject /Subtype /Image /Width {w} "
+                            f"/Height {h} /ColorSpace {cs} "
+                            f"/BitsPerComponent 8 /Filter /DCTDecode "
+                            f"/Length {len(data)} >>").encode()
+                            + b"\nstream\n" + data + b"\nendstream")
                     else:
                         rgb = spec["rgb"]
                         h, w = rgb.shape[:2]

@@ -1,0 +1,105 @@
+"""Baseline JPEG codec (engine/jpeg.py) + DCTDecode end-to-end.
+
+The reference decodes DCT images via PDFBox/ImageIO
+(`PDFBoxTree.java:544-590`); this engine carries its own baseline
+decoder. Tests: encoder/decoder roundtrip across subsampling modes,
+restart intervals, odd sizes, grayscale, error paths, determinism, and
+a DCT-image PDF parsing to a non-empty PNG data URI.
+"""
+
+import base64
+import re
+
+import numpy as np
+import pytest
+
+from pdf2dom_ray.engine.jpeg import (JpegError, decode_baseline_jpeg,
+                                     encode_baseline_jpeg)
+
+
+def _smooth(h, w):
+    x = np.linspace(0, 200, w)
+    y = np.linspace(0, 180, h)
+    return np.stack([np.add.outer(y * 0.5, x * 0.5),
+                     np.add.outer(y * 0.3, x * 0.6),
+                     np.tile(x * 0.9, (h, 1))], axis=-1).astype(np.uint8)
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("ri", [0, 2])
+def test_roundtrip_smooth(sub, ri):
+    img = _smooth(48, 64)
+    dec = decode_baseline_jpeg(
+        encode_baseline_jpeg(img, 90, subsampling=sub, restart_interval=ri))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 2.0
+    assert err.max() < 16
+
+
+def test_roundtrip_odd_dims_and_gray():
+    g = (np.add.outer(np.arange(19), np.arange(13)) % 256).astype(np.uint8)
+    dec = decode_baseline_jpeg(encode_baseline_jpeg(g, 95, restart_interval=1))
+    assert dec.shape == g.shape
+    assert np.abs(dec.astype(int) - g.astype(int)).max() <= 2
+
+
+def test_flat_color_lossless():
+    img = np.full((16, 24, 3), 77, np.uint8)
+    dec = decode_baseline_jpeg(encode_baseline_jpeg(img, 85))
+    assert (dec == img).all()
+
+
+def test_encoder_deterministic():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (20, 20, 3), dtype=np.uint8).astype(np.uint8)
+    assert encode_baseline_jpeg(img, 85) == encode_baseline_jpeg(img, 85)
+
+
+def test_decode_errors():
+    with pytest.raises(JpegError):
+        decode_baseline_jpeg(b"")
+    with pytest.raises(JpegError):
+        decode_baseline_jpeg(b"\x89PNG not a jpeg")
+    with pytest.raises(JpegError):   # progressive SOF2
+        decode_baseline_jpeg(b"\xff\xd8\xff\xc2\x00\x04\x00\x00")
+
+
+def test_pdf_with_dct_image_parses():
+    from pdf2dom_ray.engine.parse import parse_document
+    from pdf2dom_ray.functions.multimodal import decode_engine_png
+    from pdf2dom_ray.synth.pdfgen import PageSpec, PdfBuilder
+
+    b = PdfBuilder(title="dct")
+    p = PageSpec()
+    img = np.full((16, 16, 3), 0, np.uint8)
+    img[..., 0] = 180      # red-ish block: survives JPEG quantization
+    p.use_jpeg_image("Im0", img, quality=90)
+    p.draw_image("Im0", 100, 600, 64, 64)
+    b.add_page(p)
+    r = parse_document(b.build())
+    assert r.error is None
+    assert r.n_images == 1
+    m = re.search(r'src="data:image/png;base64,([^"]+)"', r.html_dom)
+    assert m, "DCT image must produce a non-empty PNG data URI"
+    png = decode_engine_png(base64.b64decode(m.group(1)))
+    assert png.shape[0] == 16 and png.shape[1] == 16
+    # decoded color within JPEG quantization error of the original
+    assert abs(int(png[..., 0].mean()) - 180) < 8
+    assert int(png[..., 1].mean()) < 24
+
+
+def test_pdf_with_gray_dct_image_parses():
+    from pdf2dom_ray.engine.parse import parse_document
+    from pdf2dom_ray.synth.pdfgen import PageSpec, PdfBuilder
+
+    b = PdfBuilder(title="dct-gray")
+    p = PageSpec()
+    g = (np.add.outer(np.arange(8), np.arange(8)) * 4).astype(np.uint8)
+    p.use_jpeg_image("Im0", g, quality=95)
+    p.draw_image("Im0", 100, 600, 32, 32)
+    b.add_page(p)
+    r = parse_document(b.build())
+    assert r.error is None
+    assert r.n_images == 1
+    assert 'src="data:image/png;base64,' in r.html_dom
