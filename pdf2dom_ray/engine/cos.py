@@ -442,9 +442,12 @@ class PdfDocument:
             raise PdfParseError("not a PDF (missing %PDF header)")
         self.data = data
         self._offsets: dict[int, int] = {}
+        self._gens: dict[int, int] = {}
         for m in _OBJ_HEADER_RE.finditer(data):
             # later definitions win (incremental updates)
-            self._offsets[int(m.group(1))] = m.end()
+            num = int(m.group(1))
+            self._offsets[num] = m.end()
+            self._gens[num] = int(m.group(2))
         if not self._offsets:
             raise PdfParseError("no objects found")
         self._cache: dict[int, object] = {}
@@ -452,13 +455,64 @@ class PdfDocument:
         # /ObjStm): num -> (objstm_num, header offset). Registered up
         # front by scanning every ObjStm header; bodies parse lazily.
         self._compressed: dict[int, tuple[int, int]] = {}
-        self._scan_object_streams()
+        self._decryptor = None
+        self._encrypt_obj_num: int | None = None
+        # trailer first: the /Encrypt handler must exist before any
+        # encrypted stream (ObjStm payloads included) is touched.
+        # XRef streams parsed here are unencrypted by spec.
         self.trailer = self._find_trailer()
         if "Encrypt" in self.trailer:
-            raise PdfParseError("encrypted PDF not supported")
+            self._setup_decryption()
+        self._scan_object_streams()
         self.catalog = self._find_catalog()
         self.info = self.resolve(self.trailer.get("Info")) if self.trailer else None
         self.pages = self._collect_pages()
+
+    def _setup_decryption(self) -> None:
+        """Standard security handler with the empty user password
+        (PDFBox decrypts these transparently on load —
+        `PDFToHTML.java:73`). Anything else degrades to a clean
+        PdfParseError → error row."""
+        from .crypt import (StandardSecurityHandler,
+                            UnsupportedEncryptionError, WrongPasswordError)
+        enc_ref = self.trailer.get("Encrypt")
+        if isinstance(enc_ref, Ref):
+            self._encrypt_obj_num = enc_ref[0]
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict):
+            raise PdfParseError("malformed /Encrypt dictionary")
+        ids = self.resolve(self.trailer.get("ID"))
+        fid = b""
+        if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
+            fid = ids[0]
+        try:
+            self._decryptor = StandardSecurityHandler(enc, fid, self.resolve)
+        except (WrongPasswordError, UnsupportedEncryptionError) as e:
+            raise PdfParseError(f"encrypted PDF: {e}") from e
+
+    def _decrypt_object(self, obj, num: int, gen: int):
+        """Apply the object cipher to strings (recursively) and stream
+        payloads of a freshly parsed top-level object. XRef streams and
+        (when /EncryptMetadata false) Metadata streams stay raw."""
+        dec = self._decryptor
+
+        def walk(v):
+            if isinstance(v, bytes):
+                return dec.decrypt(num, gen, v, is_string=True)
+            if isinstance(v, dict):
+                return {k: walk(x) for k, x in v.items()}
+            if isinstance(v, list):
+                return [walk(x) for x in v]
+            return v
+
+        if isinstance(obj, Stream):
+            obj.dict = walk(obj.dict)
+            t = obj.dict.get("Type")
+            if t != "XRef" and not (t == "Metadata"
+                                    and not dec.encrypt_metadata):
+                obj.raw = dec.decrypt(num, gen, obj.raw, is_string=False)
+            return obj
+        return walk(obj)
 
     def _scan_object_streams(self) -> None:
         for num in list(self._offsets):
@@ -538,6 +592,8 @@ class PdfDocument:
                 elif raw.endswith(b"\n") or raw.endswith(b"\r"):
                     raw = raw[:-1]
             obj = Stream(obj, raw, self)
+        if self._decryptor is not None and num != self._encrypt_obj_num:
+            obj = self._decrypt_object(obj, num, self._gens.get(num, 0))
         self._cache[num] = obj
         return obj
 
