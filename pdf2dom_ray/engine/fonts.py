@@ -410,15 +410,20 @@ class FontTableEntry:
         f = self.font
         if f.font_file2 is not None and f.is_type0:
             # Type0→OpenType conversion (FontTable.java:193-212): the
-            # descendant TTF program is already an sfnt — passthrough.
+            # descendant TTF program is already an sfnt; normalized
+            # like the reference's FontVerter pass.
+            from .sfnt import normalize_ttf
             self.mime_type = "application/x-font-truetype"
             self.file_ending = "ttf"
-            self._cached = f.font_file2
+            self._cached = normalize_ttf(f.font_file2)
         elif f.font_file2 is not None:
-            # TTF normalize (FontTable.java:172-191) — passthrough
+            # TTF normalize (FontTable.java:172-191): FontVerter-style
+            # re-serialize (rebuilt directory/checksums); passthrough
+            # only when the data does not parse as an sfnt.
+            from .sfnt import normalize_ttf
             self.mime_type = "application/x-font-truetype"
             self.file_ending = "otf"
-            self._cached = f.font_file2
+            self._cached = normalize_ttf(f.font_file2)
         elif f.font_file is not None:
             # Type 1 unsupported (FontTable.java:214-218)
             self._cached = b""

@@ -103,3 +103,28 @@ def test_pdf_with_gray_dct_image_parses():
     assert r.error is None
     assert r.n_images == 1
     assert 'src="data:image/png;base64,' in r.html_dom
+
+
+# -- sfnt normalization (FontTable.java:172-191 FontVerter parity) ----------
+
+def test_sfnt_normalize_rebuilds_checksums():
+    import struct
+    from pdf2dom_ray.engine.sfnt import _checksum, normalize_ttf
+    from pdf2dom_ray.synth.pdfgen import tiny_ttf
+    raw = tiny_ttf(5)
+    norm = normalize_ttf(raw)
+    assert norm != raw
+    assert normalize_ttf(norm) == norm               # idempotent
+    assert _checksum(norm) == 0xB1B0AFBA             # head adjustment
+    def tags(d):
+        n = struct.unpack(">H", d[4:6])[0]
+        return sorted(d[12 + 16 * i:12 + 16 * i + 4] for i in range(n))
+    assert tags(raw) == tags(norm)                   # table set preserved
+
+
+def test_sfnt_normalize_passthrough_on_garbage():
+    from pdf2dom_ray.engine.sfnt import normalize_ttf
+    assert normalize_ttf(b"not a font") == b"not a font"
+    assert normalize_ttf(b"") == b""
+    assert normalize_ttf(b"\x00\x01\x00\x00\xff\xff") == \
+        b"\x00\x01\x00\x00\xff\xff"
