@@ -15,8 +15,16 @@ Rules (all deterministic, seedless):
 * embedded TTF  = used when doc_id % 11 == 5 (exercises the FontTable)
 * bare CFF      = when doc_id % 13 == 7 (and not TTF) — WOFF conversion
 * image         = one 8×8 RGB image when doc_id % 7 == 3
+  (stored as DCT/baseline-JPEG when additionally doc_id % 3 == 1,
+  Flate PNG-raster otherwise — exercises engine/jpeg.py in the
+  flagship pipeline; the decoded <img> PNG differs only by the JPEG
+  quantization roundtrip, n_images is unchanged)
 * filled rect   = when doc_id % 5 == 2
 * malformed     = truncated garbage payload when doc_id % 97 == 13
+* encrypted     = standard security handler, empty user password:
+  RC4-128 when doc_id % 29 == 11, AES-128 when doc_id % 29 == 23
+  (transparent decrypt — extracted text/html byte-identical to the
+  unencrypted form, so the SQL oracles are unaffected)
 * title         = "Doc {doc_id}"
 """
 
@@ -33,7 +41,7 @@ __all__ = ["WORDS_PER_LINE", "LINES_PER_PAGE", "URL_PREFIX",
 WORDS_PER_LINE = 10
 LINES_PER_PAGE = 40
 URL_PREFIX = "https://docs.synth.test/"
-CORPUS_VERSION = 2  # bump when generation rules change (bench cache key)
+CORPUS_VERSION = 3  # bump when generation rules change (bench cache key)
 _EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
 
 PALETTE = [(0, 0, 0), (0.2, 0.4, 0.6), (0.8, 0.1, 0.1),
@@ -67,6 +75,18 @@ def uses_embedded_font(doc_id: int) -> bool:
 def uses_cff_font(doc_id: int) -> bool:
     # bare-CFF (FontFile3/Type1C → WOFF) docs; embedded-TTF rule wins
     return doc_id % 13 == 7 and not uses_embedded_font(doc_id)
+
+
+def uses_dct_image(doc_id: int) -> bool:
+    return has_image(doc_id) and doc_id % 3 == 1
+
+
+def encryption_method(doc_id: int) -> str | None:
+    if doc_id % 29 == 11:
+        return "rc4"
+    if doc_id % 29 == 23:
+        return "aesv2"
+    return None
 
 
 def synth_image(doc_id: int) -> np.ndarray:
@@ -103,12 +123,20 @@ def doc_to_pdf(doc_id: int, text: str) -> bytes:
         if pi == 0 and has_rect(doc_id):
             p.rect(400, 80, 60 + doc_id % 40, 25, fill=(0.9, 0.9, 0.2))
         if pi == 0 and has_image(doc_id):
-            p.use_image("Im0", synth_image(doc_id))
+            if uses_dct_image(doc_id):
+                p.use_jpeg_image("Im0", synth_image(doc_id), quality=90)
+            else:
+                p.use_image("Im0", synth_image(doc_id))
             p.draw_image("Im0", 480, 700, 64, 64)
         p.text_block("F1", size, 36, 750, page_lines, leading=16.0,
                      color=color if color != (0, 0, 0) else None)
         b.add_page(p)
-    return b.build()
+    pdf = b.build()
+    method = encryption_method(doc_id)
+    if method is not None:
+        from .encrypt import encrypt_pdf
+        pdf = encrypt_pdf(pdf, method)
+    return pdf
 
 
 def pages_batch_from_documents(batch: pa.Table) -> pa.Table:
