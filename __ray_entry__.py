@@ -176,6 +176,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": _q_orders_by_segment,
         # -- multimodal plumbing
         "image_decode": _q_image_decode,
+        "audio_features": _q_audio_features,
+        "video_frames": _q_video_frames,
         # -- join-back (spans ⋈ pages on url → per-language span totals)
         "extract_join_lang": _q_join_lang,
     }
@@ -324,6 +326,21 @@ def oracle_sql() -> dict[str, str]:
                    94.5 AS mean_g,
                    CAST((doc_id * 7) % 251 AS DOUBLE) AS mean_b
             FROM documents WHERE doc_id % 7 = 3
+        """,
+        # synth_wav rule: PCM16 mono 8 kHz, duration (1+doc_id%4)/4 s
+        "audio_features": f"""
+            SELECT {_URL_SQL} AS url,
+                   CAST((1 + doc_id % 4) / 4.0 AS DOUBLE) AS duration_s,
+                   CAST(8000 AS BIGINT) AS sample_rate
+            FROM documents WHERE doc_id % 6 = 1
+        """,
+        # synth_avi_mjpeg rule: 4 MJPEG frames of 16x16; sampler takes 2
+        "video_frames": f"""
+            SELECT {_URL_SQL} AS url,
+                   CAST(fi AS BIGINT) AS frame_idx,
+                   CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height
+            FROM documents, (VALUES (0), (1)) AS f(fi)
+            WHERE doc_id % 6 = 4
         """,
     }
 
@@ -514,3 +531,50 @@ def _q_image_decode(sf_dir: str):
     ds = decode_images(_images_table(sf_dir))
     return ds.select_columns(["url", "width", "height", "mean_r", "mean_g",
                               "mean_b"])
+
+
+def _q_audio_features(sf_dir: str):
+    import ray.data as rd
+    from pdf2dom_ray.functions.multimodal import audio_features, synth_wav
+    from pdf2dom_ray.synth.corpus import URL_PREFIX
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = [d for d in t.column("doc_id").to_pylist() if d % 6 == 1]
+        return pa.table({
+            "url": pa.array([f"{URL_PREFIX}{d}" for d in ids], pa.string()),
+            "audio": pa.array([synth_wav(d) for d in ids], pa.binary()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"]).map_batches(
+        build, batch_format="pyarrow")
+    return audio_features(ds).select_columns(
+        ["url", "duration_s", "sample_rate"])
+
+
+def _q_video_frames(sf_dir: str):
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from pdf2dom_ray.functions.multimodal import (sample_video_frames,
+                                                  synth_avi_mjpeg)
+    from pdf2dom_ray.synth.corpus import URL_PREFIX
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = [d for d in t.column("doc_id").to_pylist() if d % 6 == 4]
+        return pa.table({
+            "url": pa.array([f"{URL_PREFIX}{d}" for d in ids], pa.string()),
+            "video": pa.array([synth_avi_mjpeg(d) for d in ids],
+                              pa.binary()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"]).map_batches(
+        build, batch_format="pyarrow")
+    frames = sample_video_frames(ds, frames_per_doc=2, thumb=4)
+    return frames.map_batches(
+        lambda t: pa.table({
+            "url": t.column("url"),
+            "frame_idx": pc.cast(t.column("frame_idx"), pa.int64()),
+            "width": t.column("width"),
+            "height": t.column("height"),
+        }), batch_format="pyarrow")

@@ -4,14 +4,16 @@ Images/audio/video ride through the engine as ``binary`` columns with
 typed metadata; decode / feature-extract stages are actor-pool
 ``map_batches`` stages with small batch sizes (payload-heavy rows).
 
-Real vs stubbed (per build instructions — no image/audio libs in this
-container):
-* PNG produced by this engine (filter-0, 8-bit RGB/RGBA, zlib) is
-  decoded for real by ``decode_engine_png`` (numpy + zlib).
-* Other codecs (JPEG/audio/video frame sampling) raise
-  ``NotImplementedError`` inside the stage, which converts them to
-  ``error`` rows — the Ray-side plumbing (schema, batch size, actor
-  signature, output layout) is real and tested.
+All three modalities decode for REAL without external libraries:
+* images: engine PNG (filter-0, 8-bit, zlib) via ``decode_engine_png``
+  and baseline JPEG via ``engine/jpeg.py`` (``ImageDecoder`` sniffs).
+* audio: RIFF/WAVE PCM (8/16-bit, any channel count) via
+  ``decode_wav``; ``AudioFeatures`` computes duration/sample-rate and
+  FFT band energies per batch.
+* video: MJPEG-in-AVI via ``iter_avi_mjpeg_frames`` +
+  the baseline JPEG decoder; ``VideoFrameSampler`` samples N frames
+  evenly and emits RGB thumbnails.
+Unsupported codecs degrade to ``error`` rows with the stable schema.
 """
 
 from __future__ import annotations
@@ -26,7 +28,9 @@ import ray.data as rd
 from ..stages.pool import default_pool
 
 __all__ = ["decode_engine_png", "ImageDecoder", "decode_images",
-           "resize_nearest"]
+           "resize_nearest", "decode_wav", "AudioFeatures",
+           "audio_features", "iter_avi_mjpeg_frames", "VideoFrameSampler",
+           "sample_video_frames", "synth_wav", "synth_avi_mjpeg"]
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -80,6 +84,16 @@ class ImageDecoder:
     def __init__(self, thumb: int | None = None):
         self.thumb = thumb
 
+    @staticmethod
+    def _decode(blob: bytes) -> np.ndarray:
+        if blob[:2] == b"\xff\xd8":        # baseline JPEG
+            from ..engine.jpeg import decode_baseline_jpeg
+            img = decode_baseline_jpeg(blob)
+            if img.ndim == 2:
+                img = np.stack([img] * 3, axis=-1)
+            return img
+        return decode_engine_png(blob)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
         blobs = batch.column("image").to_pylist()
@@ -87,7 +101,7 @@ class ImageDecoder:
         mr, mg, mb, err = [], [], [], []
         for blob in blobs:
             try:
-                img = decode_engine_png(blob or b"")
+                img = self._decode(blob or b"")
                 if self.thumb:
                     img = resize_nearest(img, self.thumb, self.thumb)
                 height.append(img.shape[0])
@@ -122,68 +136,227 @@ def decode_images(ds: rd.Dataset, *, batch_size: int = 32,
                           num_cpus=1)
 
 
-class AudioFeatureStub:
-    """Audio feature-extraction stage: REAL Ray plumbing (schema, actor
-    signature, small batches), STUBBED decode — no audio codec exists in
-    this container, so every payload yields an ``error`` row with the
-    stable output schema. Swap ``_decode`` for a real decoder on a
-    cluster image that ships one.
+# ---------------------------------------------------------------------------
+# audio: RIFF/WAVE PCM
+# ---------------------------------------------------------------------------
+
+def decode_wav(blob: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM → (sample_rate, mono float64 samples in [-1, 1]).
+
+    Pure stdlib/numpy parse: fmt chunk (PCM 8/16-bit, any channel
+    count, channels mixed down), data chunk. Anything else raises
+    ``NotImplementedError`` (→ error row in the stage)."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    pos = 12
+    rate = None
+    bits = None
+    nch = None
+    data = None
+    while pos + 8 <= len(blob):
+        tag, length = struct.unpack("<4sI", blob[pos:pos + 8])
+        payload = blob[pos + 8:pos + 8 + length]
+        if tag == b"fmt ":
+            fmt_code, nch, rate = struct.unpack("<HHI", payload[:8])
+            bits = struct.unpack("<H", payload[14:16])[0]
+            if fmt_code != 1:
+                raise NotImplementedError(f"non-PCM WAVE format {fmt_code}")
+        elif tag == b"data":
+            data = payload
+        pos += 8 + length + (length & 1)
+    if rate is None or data is None:
+        raise NotImplementedError("missing fmt/data chunk")
+    if bits == 16:
+        x = np.frombuffer(data[:len(data) // 2 * 2], dtype="<i2") \
+            .astype(np.float64) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+             - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM unsupported")
+    if nch and nch > 1:
+        x = x[:len(x) // nch * nch].reshape(-1, nch).mean(axis=1)
+    return rate, x
+
+
+class AudioFeatures:
+    """Actor-pool audio feature stage — REAL decode (PCM WAV).
+
+    Input batch: (url, audio: binary). Output: (url, duration_s,
+    sample_rate, band_energy: list<float> FFT octave-band energies,
+    error). Non-WAV payloads produce error rows with the same schema.
     """
 
     OUTPUT = pa.schema([("url", pa.string()),
                         ("duration_s", pa.float64()),
                         ("sample_rate", pa.int64()),
-                        ("mfcc", pa.list_(pa.float64())),
+                        ("band_energy", pa.list_(pa.float64())),
                         ("error", pa.string())])
 
-    def _decode(self, blob: bytes):
-        raise NotImplementedError("no audio codec in this environment")
+    def __init__(self, n_bands: int = 8):
+        self.n_bands = n_bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
-        out_err = []
+        dur, rate_out, bands_out, errs = [], [], [], []
         for blob in batch.column("audio").to_pylist():
             try:
-                self._decode(blob or b"")
-                out_err.append(None)
-            except NotImplementedError as e:
-                out_err.append(str(e))
-        n = len(urls)
+                rate, x = decode_wav(blob or b"")
+                dur.append(round(len(x) / rate, 6))
+                rate_out.append(rate)
+                spec = np.abs(np.fft.rfft(x))
+                edges = np.linspace(0, len(spec), self.n_bands + 1,
+                                    dtype=np.int64)
+                e = [float(np.round((spec[a:b] ** 2).sum(), 6))
+                     for a, b in zip(edges[:-1], edges[1:])]
+                bands_out.append(e)
+                errs.append(None)
+            except (NotImplementedError, Exception) as e:  # noqa: BLE001
+                dur.append(0.0)
+                rate_out.append(0)
+                bands_out.append([])
+                errs.append(f"{type(e).__name__}: {e}")
         return pa.table({
             "url": pa.array(urls, pa.string()),
-            "duration_s": pa.array([0.0] * n, pa.float64()),
-            "sample_rate": pa.array([0] * n, pa.int64()),
-            "mfcc": pa.array([[]] * n, pa.list_(pa.float64())),
-            "error": pa.array(out_err, pa.string()),
+            "duration_s": pa.array(dur, pa.float64()),
+            "sample_rate": pa.array(rate_out, pa.int64()),
+            "band_energy": pa.array(bands_out, pa.list_(pa.float64())),
+            "error": pa.array(errs, pa.string()),
         })
 
 
-class VideoFrameSampleStub:
-    """Video frame-sampling stage: same contract as AudioFeatureStub —
-    deterministic fake frames (so downstream plumbing is testable)
-    plus an ``error`` marking the decode as stubbed."""
+def audio_features(ds: rd.Dataset, *, batch_size: int = 32,
+                   concurrency=None) -> rd.Dataset:
+    return ds.map_batches(AudioFeatures, batch_format="pyarrow",
+                          batch_size=batch_size,
+                          concurrency=concurrency or default_pool(),
+                          num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# video: MJPEG in AVI
+# ---------------------------------------------------------------------------
+
+def iter_avi_mjpeg_frames(blob: bytes):
+    """Yield raw JPEG bytes for every ``00dc``/``00db`` chunk in the
+    RIFF-AVI ``movi`` list. Minimal RIFF walk; raises
+    ``NotImplementedError`` for non-AVI payloads."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise NotImplementedError("not a RIFF/AVI payload")
+
+    def walk(start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            tag, length = struct.unpack("<4sI", blob[pos:pos + 8])
+            body_start = pos + 8
+            if tag == b"LIST":
+                list_type = blob[body_start:body_start + 4]
+                if list_type in (b"movi", b"rec "):
+                    yield from walk(body_start + 4, body_start + length)
+            elif tag in (b"00dc", b"00db") and length > 0:
+                yield blob[body_start:body_start + length]
+            pos = body_start + length + (length & 1)
+
+    yield from walk(12, len(blob))
+
+
+class VideoFrameSampler:
+    """Actor-pool frame-sampling stage — REAL decode (MJPEG-AVI via the
+    engine's baseline JPEG decoder).
+
+    Input batch: (url, video: binary). Output: one row per sampled
+    frame — (url, frame_idx, width, height, frame_rgb: raw RGB bytes
+    of the ``thumb``×``thumb`` nearest-neighbour thumbnail, error).
+    ``frames_per_doc`` frames are sampled evenly across the stream.
+    """
 
     def __init__(self, frames_per_doc: int = 2, thumb: int = 4):
         self.frames_per_doc = frames_per_doc
         self.thumb = thumb
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = []
-        frame_idx = []
-        frames = []
-        errs = []
+        from ..engine.jpeg import decode_baseline_jpeg
+        urls, frame_idx, widths, heights, frames, errs = \
+            [], [], [], [], [], []
         for url, blob in zip(batch.column("url").to_pylist(),
                              batch.column("video").to_pylist()):
-            for i in range(self.frames_per_doc):
+            try:
+                jpegs = list(iter_avi_mjpeg_frames(blob or b""))
+                if not jpegs:
+                    raise NotImplementedError("AVI has no MJPEG frames")
+                n = min(self.frames_per_doc, len(jpegs))
+                picks = [int(i * (len(jpegs) - 1) / max(n - 1, 1))
+                         for i in range(n)]
+                for i, p in enumerate(picks):
+                    img = decode_baseline_jpeg(jpegs[p])
+                    if img.ndim == 2:
+                        img = np.stack([img] * 3, axis=-1)
+                    urls.append(url)
+                    frame_idx.append(i)
+                    heights.append(img.shape[0])
+                    widths.append(img.shape[1])
+                    frames.append(resize_nearest(
+                        img, self.thumb, self.thumb).tobytes())
+                    errs.append(None)
+            except (NotImplementedError, Exception) as e:  # noqa: BLE001
                 urls.append(url)
-                frame_idx.append(i)
-                # deterministic fake frame derived from payload bytes
-                seed = (zlib.crc32(blob or b"") + i) % 256
-                frames.append(bytes([seed]) * (self.thumb * self.thumb * 3))
-                errs.append("stub: no video codec in this environment")
+                frame_idx.append(-1)
+                widths.append(0)
+                heights.append(0)
+                frames.append(b"")
+                errs.append(f"{type(e).__name__}: {e}")
         return pa.table({
             "url": pa.array(urls, pa.string()),
             "frame_idx": pa.array(frame_idx, pa.int32()),
+            "width": pa.array(widths, pa.int64()),
+            "height": pa.array(heights, pa.int64()),
             "frame_rgb": pa.array(frames, pa.binary()),
             "error": pa.array(errs, pa.string()),
         })
+
+
+def sample_video_frames(ds: rd.Dataset, *, frames_per_doc: int = 2,
+                        thumb: int = 4, batch_size: int = 8,
+                        concurrency=None) -> rd.Dataset:
+    return ds.map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={"frames_per_doc": frames_per_doc,
+                               "thumb": thumb},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or default_pool(), num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# deterministic fixture synthesis (no external data)
+# ---------------------------------------------------------------------------
+
+def synth_wav(doc_id: int, rate: int = 8000) -> bytes:
+    """Deterministic PCM-16 mono WAV: duration 0.25·(1+doc_id%4) s,
+    sine at 200+35·(doc_id%10) Hz."""
+    dur_samples = rate * (1 + doc_id % 4) // 4
+    freq = 200.0 + 35.0 * (doc_id % 10)
+    t = np.arange(dur_samples, dtype=np.float64) / rate
+    x = (np.sin(2 * np.pi * freq * t) * 0.5 * 32767).astype("<i2")
+    data = x.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    out = b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(out)) + out
+
+
+def synth_avi_mjpeg(doc_id: int, n_frames: int = 4, size: int = 16) -> bytes:
+    """Deterministic MJPEG-AVI: ``n_frames`` flat-color JPEG frames
+    (R channel = (doc_id·11+frame·40) % 256) inside a minimal RIFF."""
+    from ..engine.jpeg import encode_baseline_jpeg
+    movi = b"movi"
+    for f in range(n_frames):
+        img = np.zeros((size, size, 3), np.uint8)
+        img[..., 0] = (doc_id * 11 + f * 40) % 256
+        img[..., 1] = 64
+        jpg = encode_baseline_jpeg(img, quality=92)
+        movi += b"00dc" + struct.pack("<I", len(jpg)) + jpg
+        if len(jpg) & 1:
+            movi += b"\x00"
+    body = b"AVI " + b"LIST" + struct.pack("<I", len(movi)) + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -252,23 +252,44 @@ def test_ivf_topk_finds_query(ray_session):
     assert out.sim.iloc[0] > 0.999
 
 
-def test_video_frame_stub(ray_session):
-    import ray.data as rd
-    from pdf2dom_ray.functions.multimodal import VideoFrameSampleStub
-    ds = rd.from_items([{"url": "v1", "video": b"fakepayload"}])
-    out = ds.map_batches(VideoFrameSampleStub, batch_format="pyarrow",
-                         concurrency=1).to_pandas()
-    assert list(out.frame_idx) == [0, 1]
-    assert all("stub" in e for e in out.error)
-    assert len(out.frame_rgb.iloc[0]) == 4 * 4 * 3
+def test_wav_decode_roundtrip():
+    from pdf2dom_ray.functions.multimodal import decode_wav, synth_wav
+    rate, x = decode_wav(synth_wav(2))
+    assert rate == 8000
+    assert len(x) / rate == pytest.approx(0.75)
+    assert np.abs(x).max() <= 0.51          # 0.5-amplitude sine
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"RIFFfake not a wave")
 
 
-def test_audio_stub_schema(ray_session):
+def test_video_frame_sampler_real_decode(ray_session):
     import ray.data as rd
-    from pdf2dom_ray.functions.multimodal import AudioFeatureStub
-    ds = rd.from_items([{"url": "a1", "audio": b"RIFFfake"}])
-    out = ds.map_batches(AudioFeatureStub, batch_format="pyarrow",
-                         concurrency=1).to_pandas()
-    assert out.error.iloc[0] is not None
-    assert list(out.columns) == ["url", "duration_s", "sample_rate",
-                                 "mfcc", "error"]
+    from pdf2dom_ray.functions.multimodal import (VideoFrameSampler,
+                                                  synth_avi_mjpeg)
+    ds = rd.from_items([{"url": "v1", "video": synth_avi_mjpeg(3)},
+                        {"url": "bad", "video": b"fakepayload"}])
+    out = ds.map_batches(VideoFrameSampler, batch_format="pyarrow",
+                         concurrency=1).to_pandas().set_index(
+        ["url", "frame_idx"]).sort_index()
+    assert list(out.loc["v1"].index) == [0, 1]
+    assert (out.loc["v1"].width == 16).all()
+    # planted R channel survives the JPEG roundtrip (first frame: 33)
+    img = np.frombuffer(out.loc[("v1", 0)].frame_rgb,
+                        np.uint8).reshape(4, 4, 3)
+    assert abs(int(img[..., 0].mean()) - 33) < 8
+    assert out.loc[("bad", -1)].error is not None
+
+
+def test_audio_features_real_decode(ray_session):
+    import ray.data as rd
+    from pdf2dom_ray.functions.multimodal import AudioFeatures, synth_wav
+    ds = rd.from_items([{"url": "a1", "audio": synth_wav(1)},
+                        {"url": "bad", "audio": b"RIFFfake"}])
+    out = ds.map_batches(AudioFeatures, batch_format="pyarrow",
+                         concurrency=1).to_pandas().set_index("url")
+    assert out.loc["a1"].duration_s == pytest.approx(0.5)
+    assert out.loc["a1"].sample_rate == 8000
+    assert sum(out.loc["a1"].band_energy) > 0
+    assert out.loc["bad"].error is not None
+    assert list(out.columns) == ["duration_s", "sample_rate",
+                                 "band_energy", "error"]
