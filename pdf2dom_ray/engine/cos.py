@@ -118,6 +118,23 @@ def _apply_png_predictor(data: bytes, colors: int, bpc: int,
     return out.tobytes()
 
 
+def _apply_tiff_predictor(data: bytes, colors: int, bpc: int,
+                          columns: int) -> bytes:
+    """TIFF predictor 2 (horizontal differencing) — 8-bit components
+    only; cumulative sum per component column, vectorized per row."""
+    if bpc != 8:
+        raise PdfParseError(f"TIFF predictor with {bpc}-bit "
+                            "components unsupported")
+    row_len = columns * colors
+    nrows = len(data) // row_len
+    if nrows == 0:
+        return data
+    arr = np.frombuffer(data[:nrows * row_len], dtype=np.uint8).reshape(
+        nrows, columns, colors)
+    out = np.cumsum(arr.astype(np.int64), axis=1, dtype=np.int64) & 0xFF
+    return out.astype(np.uint8).tobytes() + data[nrows * row_len:]
+
+
 def _decode_stream(d: dict, raw: bytes, doc) -> bytes:
     filt = d.get("Filter")
     if doc is not None:
@@ -147,14 +164,21 @@ def _decode_stream(d: dict, raw: bytes, doc) -> bytes:
                         int(resolve(p.get("Colors", 1)) or 1),
                         int(resolve(p.get("BitsPerComponent", 8)) or 8),
                         int(resolve(p.get("Columns", 1)) or 1))
+                elif pred == 2:
+                    data = _apply_tiff_predictor(
+                        data,
+                        int(resolve(p.get("Colors", 1)) or 1),
+                        int(resolve(p.get("BitsPerComponent", 8)) or 8),
+                        int(resolve(p.get("Columns", 1)) or 1))
                 elif pred != 1:
-                    raise PdfParseError(f"TIFF predictor {pred} unsupported")
+                    raise PdfParseError(f"predictor {pred} unsupported")
         elif f == "ASCIIHexDecode":
             hx = re.sub(rb"[^0-9A-Fa-f]", b"", data.split(b">", 1)[0])
             if len(hx) % 2:
                 hx += b"0"
             data = bytes.fromhex(hx.decode("ascii"))
-        elif f in ("DCTDecode", "JPXDecode"):
+        elif f in ("DCTDecode", "JPXDecode", "CCITTFaxDecode",
+                   "JBIG2Decode"):
             # opaque compressed image payloads pass through; the image
             # layer decides whether it can decode them
             return data

@@ -37,8 +37,7 @@ def decode_image(doc, xobj: Stream) -> np.ndarray:
     d = xobj.dict
     filt = doc.resolve(d.get("Filter"))
     filters = filt if isinstance(filt, list) else ([filt] if filt else [])
-    if any(f in ("JPXDecode", "JBIG2Decode", "CCITTFaxDecode")
-           for f in filters):
+    if any(f in ("JPXDecode", "JBIG2Decode") for f in filters):
         raise UnsupportedImageError(f"codec not available: {filters}")
     w = int(doc.resolve(d.get("Width", 0)) or 0)
     h = int(doc.resolve(d.get("Height", 0)) or 0)
@@ -51,6 +50,37 @@ def decode_image(doc, xobj: Stream) -> np.ndarray:
         data = xobj.data()
     except PdfParseError as e:
         raise UnsupportedImageError(str(e)) from e
+
+    if "CCITTFaxDecode" in filters:
+        # Group 4 fax (K < 0 — the dominant scanned-PDF case) via the
+        # engine codec; G3 (K >= 0) degrades like any missing codec
+        from .ccitt import CcittError, decode_g4
+        parms = doc.resolve(d.get("DecodeParms")) or {}
+        if isinstance(parms, list):
+            parms = next((doc.resolve(x) for x in parms
+                          if isinstance(doc.resolve(x), dict)), {})
+        k = int(doc.resolve(parms.get("K", 0)) or 0)
+        if k >= 0:
+            raise UnsupportedImageError(f"CCITT G3 (K={k}) unsupported")
+        cols = int(doc.resolve(parms.get("Columns", 1728)) or 1728)
+        black_is_1 = bool(doc.resolve(parms.get("BlackIs1", False)))
+        try:
+            bitmap = decode_g4(data, cols, h)   # 1 = black
+        except CcittError as e:
+            raise UnsupportedImageError(f"CCITT decode failed: {e}") from e
+        if bitmap.shape[1] < w:
+            raise UnsupportedImageError(
+                f"CCITT columns {bitmap.shape[1]} < /Width {w}")
+        bitmap = bitmap[:h, :w]
+        # decode_g4 gives semantic black=1; the filter's SAMPLE for a
+        # black pixel is 1 iff /BlackIs1, and the image /Decode array
+        # (default [0 1] for 1-bpc gray) maps samples to gray
+        sample = bitmap if black_is_1 else (1 - bitmap)
+        dec = doc.resolve(d.get("Decode"))
+        d0, d1 = (float(dec[0]), float(dec[1])) if \
+            isinstance(dec, list) and len(dec) == 2 else (0.0, 1.0)
+        g = np.round((d0 + sample * (d1 - d0)) * 255).astype(np.uint8)
+        return np.stack([g] * 3, axis=-1)
 
     if "DCTDecode" in filters:
         # baseline JPEG via the pure-numpy decoder (engine/jpeg.py);

@@ -69,13 +69,14 @@ def exact_dedup(ds: rd.Dataset, key_prefix_chars: int = 20) -> rd.Dataset:
 
     Combiner-style: per-batch local min first, tiny global groupby after.
     """
+    import pyarrow.compute as pc
+
     def local_min(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "k": [t[:key_prefix_chars] for t in batch.column("text").to_pylist()],
-            "doc_id": batch.column("doc_id").to_pylist(),
-        })
-        out = df.groupby("k", as_index=False)["doc_id"].min()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        k = pc.utf8_slice_codeunits(batch.column("text"), 0,
+                                    key_prefix_chars)
+        return pa.table({"k": k, "doc_id": batch.column("doc_id")}) \
+            .group_by("k").aggregate([("doc_id", "min")]) \
+            .rename_columns(["k", "doc_id"])
 
     from ray.data.aggregate import Min
     partial = ds.map_batches(local_min, batch_format="pyarrow")

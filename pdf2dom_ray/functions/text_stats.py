@@ -37,38 +37,49 @@ _LANG_PROFILES = {
 }
 
 
-def _tokens_flat(texts: list[str]):
-    """Flatten whitespace-split tokens; returns (values, offsets)."""
-    counts = np.empty(len(texts), dtype=np.int64)
-    values: list[str] = []
-    for i, t in enumerate(texts):
-        toks = t.split(" ") if t else []
-        counts[i] = len(toks)
-        values.extend(toks)
-    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
-    np.cumsum(counts, out=offsets[1:])
-    return np.asarray(values, dtype=object), offsets, counts
-
-
 def text_quality_batch(batch: pa.Table) -> pa.Table:
-    """(doc_id, n_tokens, n_chars, stop_ratio, mean_token_len)."""
-    texts = batch.column("text").to_pylist()
-    values, offsets, counts = _tokens_flat(texts)
-    is_stop = np.isin(values, STOPWORDS) if len(values) else np.empty(0, bool)
-    tok_lens = np.fromiter((len(v) for v in values), dtype=np.float64,
-                           count=len(values))
-    stop_counts = np.add.reduceat(
-        is_stop.astype(np.float64), offsets[:-1]) if len(values) else \
-        np.zeros(len(texts))
+    """(doc_id, n_tokens, n_chars, stop_ratio, mean_token_len).
+
+    Fully Arrow-vectorized: split_pattern → list lengths + flattened
+    per-token kernels (is_in / utf8_length) + segment sums via
+    ``np.add.reduceat`` over the list offsets. Empty texts get zero
+    tokens (mirroring ``"".split(" ") == []`` in the SQL-less path)."""
+    import pyarrow.compute as pc
+    text_col = batch.column("text")
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    toks = pc.split_pattern(text_col, " ")
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    # Python semantics: "".split(" ") → [] (Arrow gives [""])
+    empty = pc.equal(pc.utf8_length(text_col), 0).to_numpy(
+        zero_copy_only=False)
+    counts[empty] = 0
+    flat = pc.list_flatten(toks)
+    is_stop = pc.is_in(flat, value_set=pa.array(STOPWORDS)) \
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+    tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    offsets = np.asarray(toks.offsets).astype(np.int64)
+    offsets = (offsets - offsets[0])[:-1]   # rebase (sliced arrays)
+    n = len(counts)
+    if len(flat):
+        idx = np.minimum(offsets, len(flat) - 1)
+        stop_counts = np.add.reduceat(is_stop, idx)
+        len_sums = np.add.reduceat(tok_lens, idx)
+        tail_empty = offsets >= len(flat)
+        stop_counts[tail_empty] = 0.0
+        len_sums[tail_empty] = 0.0
+    else:
+        stop_counts = np.zeros(n)
+        len_sums = np.zeros(n)
     stop_counts[counts == 0] = 0.0
-    len_sums = np.add.reduceat(tok_lens, offsets[:-1]) if len(values) else \
-        np.zeros(len(texts))
     len_sums[counts == 0] = 0.0
     safe = np.maximum(counts, 1).astype(np.float64)
     return pa.table({
         "doc_id": batch.column("doc_id"),
         "n_tokens": pa.array(counts, pa.int64()),
-        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        "n_chars": pc.cast(pc.utf8_length(text_col), pa.int64()),
         "stop_ratio": pa.array(np.round(stop_counts / safe, 6), pa.float64()),
         "mean_token_len": pa.array(np.round(len_sums / safe, 6), pa.float64()),
     })

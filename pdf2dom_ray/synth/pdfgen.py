@@ -158,6 +158,12 @@ class PageSpec:
             "jpeg": np.ascontiguousarray(rgb, np.uint8),
             "quality": quality, "subsampling": subsampling}
 
+    def use_ccitt_image(self, res_name: str, bitmap: np.ndarray) -> None:
+        """Embed a 1-bit image XObject with /Filter /CCITTFaxDecode
+        (Group 4, K=-1; nonzero = black) via engine.ccitt."""
+        self.images[res_name] = {
+            "ccitt": np.ascontiguousarray(bitmap, np.uint8)}
+
     # -- content helpers ----------------------------------------------
     def raw(self, op: bytes) -> None:
         self.ops.append(op)
@@ -370,6 +376,19 @@ class PdfBuilder:
                             f"/BBox [0 0 612 792] /Matrix [{mtx}]{fres} "
                             f"/Length {len(body)} >>").encode()
                             + b"\nstream\n" + body + b"\nendstream")
+                    elif "ccitt" in spec:
+                        from ..engine.ccitt import encode_g4
+                        bm = spec["ccitt"]
+                        h, w = bm.shape[:2]
+                        data = encode_g4(bm)
+                        num = add((
+                            f"<< /Type /XObject /Subtype /Image /Width {w} "
+                            f"/Height {h} /ColorSpace /DeviceGray "
+                            f"/BitsPerComponent 1 /Filter /CCITTFaxDecode "
+                            f"/DecodeParms << /K -1 /Columns {w} "
+                            f"/Rows {h} >> "
+                            f"/Length {len(data)} >>").encode()
+                            + b"\nstream\n" + data + b"\nendstream")
                     elif "jpeg" in spec:
                         from ..engine.jpeg import encode_baseline_jpeg
                         rgb = spec["jpeg"]

@@ -128,3 +128,53 @@ def test_sfnt_normalize_passthrough_on_garbage():
     assert normalize_ttf(b"") == b""
     assert normalize_ttf(b"\x00\x01\x00\x00\xff\xff") == \
         b"\x00\x01\x00\x00\xff\xff"
+
+
+# -- CCITT Group 4 (T.6) -----------------------------------------------------
+
+def test_ccitt_g4_roundtrip_variety():
+    from pdf2dom_ray.engine.ccitt import decode_g4, encode_g4
+    rng = np.random.default_rng(0)
+    cases = [
+        np.zeros((5, 40), np.uint8),
+        np.ones((4, 40), np.uint8),
+        (rng.random((20, 100)) > 0.7).astype(np.uint8),
+        (rng.random((12, 1728)) > 0.98).astype(np.uint8),
+    ]
+    for img in cases:
+        dec = decode_g4(encode_g4(img), img.shape[1], img.shape[0])
+        assert (dec == img).all()
+
+
+def test_ccitt_g4_bad_data_raises():
+    from pdf2dom_ray.engine.ccitt import CcittError, decode_g4
+    with pytest.raises(CcittError):
+        # an all-ones run of 14 bits cannot start any mode code chain
+        # that terminates; row decode detects no progress / bad code
+        decode_g4(b"\x00\x08\x00\x00", 64, 4)   # invalid 0-run prefix
+    with pytest.raises(CcittError):
+        decode_g4(b"", 64, 4)                   # no rows at all
+
+
+def test_pdf_with_ccitt_image_parses():
+    from pdf2dom_ray.engine.parse import parse_document
+    from pdf2dom_ray.functions.multimodal import decode_engine_png
+    from pdf2dom_ray.synth.pdfgen import PageSpec, PdfBuilder
+    import base64
+
+    bm = np.zeros((16, 24), np.uint8)
+    bm[4:12, 6:18] = 1                  # black box on white
+    b = PdfBuilder(title="fax")
+    p = PageSpec()
+    p.use_ccitt_image("Im0", bm)
+    p.draw_image("Im0", 100, 600, 96, 64)
+    b.add_page(p)
+    r = parse_document(b.build())
+    assert r.error is None
+    assert r.n_images == 1
+    m = re.search(r'src="data:image/png;base64,([^"]+)"', r.html_dom)
+    assert m
+    png = decode_engine_png(base64.b64decode(m.group(1)))
+    assert png.shape[:2] == (16, 24)
+    assert png[8, 12, 0] == 0      # black inside the box
+    assert png[0, 0, 0] == 255     # white background
