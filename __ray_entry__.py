@@ -22,6 +22,14 @@ SF0001 = "/root/testdata/sf0.001"
 _URL_SQL = "'https://docs.synth.test/' || CAST(doc_id AS VARCHAR)"
 _STOP_SQL = "('the', 'a', 'of', 'and', 'to')"  # functions.text_stats.STOPWORDS
 
+
+def _bpe_sql_pattern() -> str:
+    from pdf2dom_ray.functions.text_stats import BPE_SPLIT_PATTERN
+    return BPE_SPLIT_PATTERN.replace("'", "''")
+
+
+_BPE_SQL_PATTERN = _bpe_sql_pattern()
+
 # Independent DuckDB re-derivation of near-dup clusters: exact shingle
 # Jaccard (>0.5) pairs + recursive-CTE connected components. Both the
 # MinHash-LSH and banded-SimHash pipelines must land on exactly these
@@ -156,6 +164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
         "text_quality": _q_quality,
+        "token_stats_bpe": _q_bpe_tokens,
+        "quality_filter": _q_gopher,
         "lang_id": _q_lang_id,
         # -- dedup family
         "dedup_exact": _q_dedup_exact,
@@ -219,6 +229,40 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT substr(text, 1, 20) AS k, min(doc_id) AS doc_id
             FROM documents GROUP BY 1
+        """,
+        "token_stats_bpe": f"""
+            SELECT doc_id,
+                   CAST(len(list_filter(
+                        regexp_extract_all(text, '{_BPE_SQL_PATTERN}'),
+                        x -> trim(x) <> '')) AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        """,
+        "quality_filter": f"""
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+                              length(text) AS L FROM documents),
+            s AS (SELECT doc_id,
+                    CASE WHEN L = 0 THEN 0 ELSE len(w) END AS n_words,
+                    CASE WHEN L = 0 THEN 0.0 ELSE
+                      round(CAST(list_sum(list_transform(w, x -> length(x)))
+                                 AS DOUBLE) / len(w), 6) END AS mean_word_len,
+                    CASE WHEN L = 0 THEN 0.0 ELSE
+                      round(CAST(len(list_filter(w,
+                            x -> regexp_matches(x, '[A-Za-z]')))
+                                 AS DOUBLE) / len(w), 6) END AS alpha_ratio,
+                    CASE WHEN L > 0 AND len(list_filter(w,
+                            x -> x IN {_STOP_SQL})) > 0
+                         THEN 1 ELSE 0 END AS has_stopword
+                  FROM t)
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                   mean_word_len, alpha_ratio,
+                   CAST(has_stopword AS BIGINT) AS has_stopword,
+                   CAST(CASE WHEN n_words >= 3
+                             AND mean_word_len >= 1.0
+                             AND mean_word_len <= 10.0
+                             AND alpha_ratio >= 0.8
+                             AND has_stopword = 1
+                        THEN 1 ELSE 0 END AS BIGINT) AS passes
+            FROM s
         """,
         "dedup_minhash": _NEAR_DUP_CLUSTER_SQL,
         "dedup_simhash": _NEAR_DUP_CLUSTER_SQL,
@@ -394,6 +438,26 @@ def _q_fingerprint(sf_dir: str):
 def _q_quality(sf_dir: str):
     from pdf2dom_ray.functions.text_stats import text_quality
     return text_quality(_documents(sf_dir))
+
+
+def _q_bpe_tokens(sf_dir: str):
+    from pdf2dom_ray.functions.text_stats import bpe_token_count
+    return bpe_token_count(_documents(sf_dir))
+
+
+def _q_gopher(sf_dir: str):
+    import pyarrow.compute as pc
+    from pdf2dom_ray.functions.text_stats import gopher_quality
+    ds = gopher_quality(_documents(sf_dir))
+    return ds.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_words": t.column("n_words"),
+            "mean_word_len": t.column("mean_word_len"),
+            "alpha_ratio": t.column("alpha_ratio"),
+            "has_stopword": pc.cast(t.column("has_stopword"), pa.int64()),
+            "passes": pc.cast(t.column("passes"), pa.int64()),
+        }), batch_format="pyarrow")
 
 
 def _q_lang_id(sf_dir: str):

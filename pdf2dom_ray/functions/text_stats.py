@@ -21,7 +21,9 @@ import ray.data as rd
 from ..stages.pool import default_pool
 
 __all__ = ["STOPWORDS", "text_quality_batch", "text_quality",
-           "fingerprint_batch", "fingerprint", "lang_id_batch", "lang_id"]
+           "fingerprint_batch", "fingerprint", "lang_id_batch", "lang_id",
+           "BPE_SPLIT_PATTERN", "bpe_token_count_batch", "bpe_token_count",
+           "gopher_quality_batch", "gopher_quality"]
 
 # fixed set, mirrored verbatim in the SQL oracle (__ray_entry__)
 STOPWORDS = ("the", "a", "of", "and", "to")
@@ -125,6 +127,111 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
 
 def fingerprint(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+# GPT-2-style pre-tokenizer split, restricted to constructs RE2 and
+# Python `re` evaluate identically (no lookahead, ASCII classes) so the
+# DuckDB oracle can run the SAME pattern. Both engines use
+# leftmost-first alternation.
+BPE_SPLIT_PATTERN = (r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+"
+                     r"| ?[^ A-Za-z0-9]+| +")
+
+_BPE_RE = None
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_bpe_tokens): BPE-ish regex pre-tokenization count
+    (whitespace-only matches excluded — they merge into neighbours in a
+    real BPE)."""
+    global _BPE_RE
+    if _BPE_RE is None:
+        import re
+        _BPE_RE = re.compile(BPE_SPLIT_PATTERN)
+    texts = batch.column("text").to_pylist()
+    counts = [sum(1 for m in _BPE_RE.findall(t) if m.strip())
+              for t in texts]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_bpe_tokens": pa.array(counts, pa.int64()),
+    })
+
+
+def bpe_token_count(ds: rd.Dataset) -> rd.Dataset:
+    return ds.map_batches(bpe_token_count_batch, batch_format="pyarrow")
+
+
+# Gopher-style document-quality rules (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", §A1.1 — public filter heuristics),
+# restricted to the rules meaningful for single-line corpus text and
+# expressed identically in SQL:
+#   R1: 3 ≤ word count (whitespace tokens)
+#   R2: 1 ≤ mean word length ≤ 10
+#   R3: alpha ratio — ≥ 80% of words contain an alphabetic character
+#   R4: stopword signal — at least one STOPWORDS member present
+GOPHER_MIN_WORDS = 3
+GOPHER_MEAN_LEN_LO = 1.0
+GOPHER_MEAN_LEN_HI = 10.0
+GOPHER_ALPHA_RATIO = 0.8
+
+
+def gopher_quality_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_words, mean_word_len, alpha_ratio, has_stopword,
+    passes)."""
+    import pyarrow.compute as pc
+    text_col = batch.column("text")
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    toks = pc.split_pattern(text_col, " ")
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    empty = pc.equal(pc.utf8_length(text_col), 0).to_numpy(
+        zero_copy_only=False)
+    counts[empty] = 0
+    flat = pc.list_flatten(toks)
+    tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    has_alpha = pc.match_substring_regex(flat, "[A-Za-z]") \
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+    is_stop = pc.is_in(flat, value_set=pa.array(STOPWORDS)) \
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+    offsets = np.asarray(toks.offsets).astype(np.int64)
+    offsets = (offsets - offsets[0])[:-1]
+    n = len(counts)
+    if len(flat):
+        idx = np.minimum(offsets, len(flat) - 1)
+        len_sums = np.add.reduceat(tok_lens, idx)
+        alpha_counts = np.add.reduceat(has_alpha, idx)
+        stop_counts = np.add.reduceat(is_stop, idx)
+        tail_empty = offsets >= len(flat)
+        for a in (len_sums, alpha_counts, stop_counts):
+            a[tail_empty] = 0.0
+    else:
+        len_sums = np.zeros(n)
+        alpha_counts = np.zeros(n)
+        stop_counts = np.zeros(n)
+    for a in (len_sums, alpha_counts, stop_counts):
+        a[counts == 0] = 0.0
+    safe = np.maximum(counts, 1).astype(np.float64)
+    mean_len = np.round(len_sums / safe, 6)
+    alpha_ratio = np.round(alpha_counts / safe, 6)
+    has_stop = stop_counts > 0
+    passes = ((counts >= GOPHER_MIN_WORDS)
+              & (mean_len >= GOPHER_MEAN_LEN_LO)
+              & (mean_len <= GOPHER_MEAN_LEN_HI)
+              & (alpha_ratio >= GOPHER_ALPHA_RATIO)
+              & has_stop)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_words": pa.array(counts, pa.int64()),
+        "mean_word_len": pa.array(mean_len, pa.float64()),
+        "alpha_ratio": pa.array(alpha_ratio, pa.float64()),
+        "has_stopword": pa.array(has_stop, pa.bool_()),
+        "passes": pa.array(passes, pa.bool_()),
+    })
+
+
+def gopher_quality(ds: rd.Dataset) -> rd.Dataset:
+    return ds.map_batches(gopher_quality_batch, batch_format="pyarrow")
 
 
 class LangId:

@@ -293,3 +293,27 @@ def test_audio_features_real_decode(ray_session):
     assert out.loc["bad"].error is not None
     assert list(out.columns) == ["duration_s", "sample_rate",
                                  "band_energy", "error"]
+
+
+def test_bpe_token_count_batch():
+    from pdf2dom_ray.functions.text_stats import bpe_token_count_batch
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": ["it's a test-case, No.42!", "", "plain words"]})
+    out = bpe_token_count_batch(t).to_pydict()
+    # it|'s| a| test|-|case|,| No|.|42|! = 11
+    assert out["n_bpe_tokens"] == [11, 0, 2]
+
+
+def test_gopher_quality_batch_rules():
+    from pdf2dom_ray.functions.text_stats import gopher_quality_batch
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": [
+                      "the quick brown fox jumps over a lazy dog",  # passes
+                      "xx yy",                      # too few words
+                      "0 1 2 3 4 5 6 7 8 9",        # no alpha, no stopword
+                      "supercalifragilisticexpialidocious " * 5 + "the",
+                  ]})
+    out = gopher_quality_batch(t).to_pydict()
+    assert out["passes"] == [True, False, False, False]
+    assert out["has_stopword"] == [True, False, False, True]
+    assert out["n_words"][0] == 9
