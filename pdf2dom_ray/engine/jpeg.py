@@ -8,16 +8,20 @@ baseline sequential decoder (ITU-T T.81 §F.2): marker parse → Huffman
 entropy decode (16-bit lookup tables) → dequantize → batched matrix
 IDCT → chroma upsample → YCbCr→RGB.
 
-Supported: 8-bit baseline/extended-sequential (SOF0/SOF1), grayscale
-and 3-component YCbCr with any 1-2 sampling factors (4:4:4 / 4:2:2 /
-4:2:0), restart intervals. Not supported (raise ``JpegError`` → the
-image degrades to an empty ``<img src>`` exactly like any other
-unsupported codec): progressive (SOF2), arithmetic coding, 12-bit,
-CMYK/YCCK.
+Supported: 8-bit baseline/extended-sequential (SOF0/SOF1) AND
+progressive (SOF2 — spectral selection, successive approximation,
+EOB runs), grayscale and 3-component YCbCr with any 1-2 sampling
+factors (4:4:4 / 4:2:2 / 4:2:0), restart intervals. Not supported
+(raise ``JpegError`` → the image degrades to an empty ``<img src>``
+exactly like any other unsupported codec): arithmetic coding, 12-bit,
+CMYK/YCCK, lossless SOFs.
 
-The encoder (baseline, 4:4:4, Annex K tables at a fixed quality) exists
-for deterministic test fixtures: the synthetic corpus can plant
-DCT-encoded XObjects without any external image library.
+Two encoders exist for deterministic test fixtures (no image libs in
+this container): baseline (Annex K tables) and progressive (DC
+first/refine + per-component AC first/refine scans). Progressive
+re-orders the SAME quantized coefficients, so its decode is
+bit-identical to the baseline file's decode — the cross-path property
+the tests assert.
 """
 
 from __future__ import annotations
@@ -26,7 +30,8 @@ import struct
 
 import numpy as np
 
-__all__ = ["JpegError", "decode_baseline_jpeg", "encode_baseline_jpeg"]
+__all__ = ["JpegError", "decode_baseline_jpeg", "encode_baseline_jpeg",
+           "encode_progressive_jpeg"]
 
 
 class JpegError(Exception):
@@ -128,7 +133,11 @@ def _extend(v: int, s: int) -> int:
 # ---------------------------------------------------------------------------
 
 def decode_baseline_jpeg(data: bytes) -> np.ndarray:
-    """JPEG bytes → (H, W, 3) RGB or (H, W) grayscale uint8 array."""
+    """JPEG bytes → (H, W, 3) RGB or (H, W) grayscale uint8 array.
+
+    Baseline/extended sequential (SOF0/SOF1) AND progressive (SOF2,
+    spectral selection + successive approximation) are decoded; the
+    name is kept for API stability."""
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise JpegError("not a JPEG (missing SOI)")
     pos = 2
@@ -136,6 +145,8 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
     huff_dc: dict[int, _HuffLookup] = {}
     huff_ac: dict[int, _HuffLookup] = {}
     frame = None
+    progressive = False
+    prog_init = False
     restart_interval = 0
 
     while pos + 4 <= len(data):
@@ -165,10 +176,11 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                                         ).astype(np.int32)
                     p += 128
                 qt[tq] = tbl
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline/ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
             prec = seg[0]
             if prec != 8:
                 raise JpegError(f"unsupported precision {prec}")
+            progressive = marker == 0xC2
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
             comps = []
@@ -177,10 +189,10 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
             frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError(f"unsupported SOF marker 0xFF{marker:02X} "
-                            "(progressive/arithmetic)")
+                            "(lossless/arithmetic)")
         elif marker == 0xC4:        # DHT
             p = 0
             while p < len(seg):
@@ -203,10 +215,25 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 comp = next(c for c in frame["comps"] if c["id"] == cid)
                 scan.append({**comp, "td": tt >> 4, "ta": tt & 15})
             ecs_start = pos + seglen
-            return _decode_scan(data, ecs_start, frame, scan, qt,
-                                huff_dc, huff_ac, restart_interval)
+            if not progressive:
+                return _decode_scan(data, ecs_start, frame, scan, qt,
+                                    huff_dc, huff_ac, restart_interval)
+            if not prog_init:
+                _prog_init_frame(frame)
+                prog_init = True
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahl = seg[3 + 2 * ns]
+            pos = _decode_prog_scan(
+                data, ecs_start, frame, scan, huff_dc, huff_ac,
+                restart_interval, ss, se, ahl >> 4, ahl & 15)
+            continue
         # APPn / COM / others: skip
         pos += seglen
+
+    if progressive and prog_init:
+        comps = frame["comps"]
+        return _reconstruct(frame["w"], frame["h"], comps,
+                            frame["hmax"], frame["vmax"], qt)
     raise JpegError("no SOS marker found")
 
 
@@ -322,9 +349,17 @@ def _decode_scan(data, ecs_start, frame, scan, qt, huff_dc, huff_ac,
                     c["blocks"][row * c["bw"] + col] = coef
         since_restart += 1
 
-    # dequantize + dezigzag + batched IDCT per component
+    return _reconstruct(w, h, comps, hmax, vmax, qt)
+
+
+def _reconstruct(w, h, comps, hmax, vmax, qt) -> np.ndarray:
+    """Coefficient stores → pixels: dequantize + dezigzag + batched
+    matrix IDCT + chroma upsample + YCbCr→RGB (shared by the
+    sequential and progressive paths)."""
     planes = []
     for c in comps:
+        if c["tq"] not in qt:
+            raise JpegError(f"missing quant table {c['tq']}")
         q = qt[c["tq"]][np.newaxis, :]
         deq = (c["blocks"] * q).astype(np.float64)
         blocks8 = np.zeros((len(deq), 64), dtype=np.float64)
@@ -339,7 +374,7 @@ def _decode_scan(data, ecs_start, frame, scan, qt, huff_dc, huff_ac,
                           hmax // c["h"], axis=1)
         planes.append(plane[:h, :w])
 
-    if ncomp == 1:
+    if len(comps) == 1:
         return planes[0]
     y = planes[0].astype(np.float64)
     cb = planes[1].astype(np.float64) - 128.0
@@ -349,6 +384,198 @@ def _decode_scan(data, ecs_start, frame, scan, qt, huff_dc, huff_ac,
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) scan decoding
+# ---------------------------------------------------------------------------
+
+def _prog_init_frame(frame) -> None:
+    w, h = frame["w"], frame["h"]
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        raise JpegError(f"bad dimensions {w}x{h}")
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
+        raise JpegError(f"unsupported sampling {hmax}x{vmax}")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    frame.update(hmax=hmax, vmax=vmax, mcux=mcux, mcuy=mcuy)
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        # non-interleaved scan grid: ceil over the component's samples
+        c["cw"] = ((w * c["h"] + hmax - 1) // hmax + 7) // 8
+        c["chh"] = ((h * c["v"] + vmax - 1) // vmax + 7) // 8
+        c["blocks"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+        c["pred"] = 0
+
+
+def _split_destuff_end(data: bytes, start: int) -> tuple[list[bytes], int]:
+    """Like _split_destuff but also returns the file offset of the
+    terminating marker (the 0xFF byte)."""
+    segs = []
+    cur = bytearray()
+    i = start
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b == 0xFF:
+            nxt = data[i + 1] if i + 1 < n else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segs.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break
+        cur.append(b)
+        i += 1
+    segs.append(bytes(cur))
+    return segs, min(i, n)
+
+
+def _huff_sym(br: _BitReader, tbl: _HuffLookup) -> int:
+    v = br.peek16()
+    ln = tbl.length[v]
+    if ln == 0:
+        raise JpegError("bad Huffman code in progressive scan")
+    br.skip(int(ln))
+    return int(tbl.symbol[v])
+
+
+def _prog_ac_first(br, block, ac, ss, se, al, eobrun) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_sym(br, ac)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.read(r)
+                return eobrun
+            k += 16            # ZRL
+            continue
+        k += r
+        if k > se:
+            raise JpegError("AC run past spectral band")
+        block[k] = _extend(br.read(s), s) << al
+        k += 1
+    return 0
+
+
+def _prog_ac_refine(br, block, ac, ss, se, al, eobrun) -> int:
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_sym(br, ac)
+            r, s = rs >> 4, rs & 15
+            s_val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r)
+                    if r:
+                        eobrun += br.read(r)
+                    break
+                # r == 15 → run of 16 zero-history coefficients
+            else:
+                s_val = p1 if br.read(1) else m1
+            while k <= se:
+                coef = int(block[k])
+                if coef != 0:
+                    if br.read(1) and (coef & p1) == 0:
+                        block[k] = coef + (p1 if coef >= 0 else m1)
+                else:
+                    if r == 0:
+                        if s_val:
+                            block[k] = s_val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            coef = int(block[k])
+            if coef != 0:
+                if br.read(1) and (coef & p1) == 0:
+                    block[k] = coef + (p1 if coef >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(data, ecs_start, frame, scan, huff_dc, huff_ac,
+                      restart_interval, ss, se, ah, al) -> int:
+    """Decode one progressive scan into the frame coefficient stores;
+    returns the file offset just past the entropy data."""
+    comps = [next(c for c in frame["comps"] if c["id"] == s["id"])
+             for s in scan]
+    tds = [s["td"] for s in scan]
+    tas = [s["ta"] for s in scan]
+    segs, end = _split_destuff_end(data, ecs_start)
+    seg_idx = 0
+    br = _BitReader(segs[0])
+    eobrun = 0
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise JpegError("DC scan with Se != 0")
+    if not is_dc and len(comps) != 1:
+        raise JpegError("interleaved AC progressive scan")
+
+    def maybe_restart(count, per):
+        nonlocal seg_idx, br, eobrun
+        if restart_interval and count and count % restart_interval == 0 \
+                and count < per:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise JpegError("missing restart segment")
+            br = _BitReader(segs[seg_idx])
+            eobrun = 0
+            for c in comps:
+                c["pred"] = 0
+
+    if is_dc:
+        mcux, mcuy = frame["mcux"], frame["mcuy"]
+        n_mcus = mcux * mcuy
+        for m in range(n_mcus):
+            maybe_restart(m, n_mcus)
+            my, mx = divmod(m, mcux)
+            for ci, c in enumerate(comps):
+                for by, bx in [(by, bx) for by in range(c["v"])
+                               for bx in range(c["h"])]:
+                    row = my * c["v"] + by
+                    col = mx * c["h"] + bx
+                    block = c["blocks"][row * c["bw"] + col]
+                    if ah == 0:
+                        sym = _huff_sym(br, huff_dc[tds[ci]])
+                        diff = _extend(br.read(sym), sym)
+                        c["pred"] += diff
+                        block[0] = c["pred"] << al
+                    else:
+                        if br.read(1):
+                            block[0] = int(block[0]) | (1 << al)
+    else:
+        c = comps[0]
+        ac = huff_ac[tas[0]]
+        nblocks = c["cw"] * c["chh"]
+        for bi in range(nblocks):
+            maybe_restart(bi, nblocks)
+            row, col = divmod(bi, c["cw"])
+            block = c["blocks"][row * c["bw"] + col]
+            if ah == 0:
+                eobrun = _prog_ac_first(br, block, ac, ss, se, al, eobrun)
+            else:
+                eobrun = _prog_ac_refine(br, block, ac, ss, se, al, eobrun)
+    return end
 
 
 # ---------------------------------------------------------------------------
@@ -605,5 +832,275 @@ def encode_baseline_jpeg(img: np.ndarray, quality: int = 85,
         out += bytes([ci + 1, (c["ti"] << 4) | c["ti"]])
     out += b"\x00\x3F\x00"
     out += entropy
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (fixtures / cross-path validation)
+# ---------------------------------------------------------------------------
+
+class _ProgWriter(_BitWriter):
+    def sym(self, codes: dict, symbol: int):
+        code, ln = codes[symbol]
+        self.write(code, ln)
+
+
+def _prog_prep(img: np.ndarray, quality: int, subsampling: str):
+    """Shared prep: components with quantized zigzag blocks on the MCU
+    grid plus the non-interleaved ceil grid dims."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise JpegError("empty image")
+    sub = 2 if (subsampling == "420" and not gray) else 1
+    if gray:
+        planes = [img.astype(np.float64) - 128.0]
+        qtabs = [_scale_q(_QL, quality)]
+        comps = [{"qi": 0, "ti": 0, "h": 1, "v": 1}]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if sub == 2:
+            he, we = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+
+            def down(p):
+                pp = np.empty((he, we), dtype=np.float64)
+                pp[:h, :w] = p
+                if he > h:
+                    pp[h:, :w] = p[-1:, :]
+                if we > w:
+                    pp[:, w:] = pp[:, w - 1:w]
+                return pp.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+            cb, cr = down(cb), down(cr)
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        qtabs = [_scale_q(_QL, quality), _scale_q(_QC, quality)]
+        comps = [{"qi": 0, "ti": 0, "h": sub, "v": sub},
+                 {"qi": 1, "ti": 1, "h": 1, "v": 1},
+                 {"qi": 1, "ti": 1, "h": 1, "v": 1}]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for c, p in zip(comps, planes):
+        cbw, cbh = mcux * c["h"], mcuy * c["v"]
+        ph, pw = p.shape
+        pp = np.zeros((cbh * 8, cbw * 8), dtype=np.float64)
+        pp[:ph, :pw] = p
+        if ph < cbh * 8:
+            pp[ph:, :pw] = p[-1:, :]
+        if pw < cbw * 8:
+            pp[:, pw:] = pp[:, pw - 1:pw]
+        blocks = pp.reshape(cbh, 8, cbw, 8).transpose(0, 2, 1, 3) \
+            .reshape(-1, 8, 8)
+        dct = np.einsum("ij,njk,kl->nil", _C, blocks, _C.T)
+        q = qtabs[c["qi"]].reshape(8, 8)[np.newaxis]
+        c["zz"] = np.round(dct / q).astype(np.int32) \
+            .reshape(-1, 64)[:, _ZIGZAG]
+        c["bw"] = cbw
+        c["cw"] = ((w * c["h"] + hmax - 1) // hmax + 7) // 8
+        c["chh"] = ((h * c["v"] + vmax - 1) // vmax + 7) // 8
+    return comps, qtabs, h, w, mcux, mcuy
+
+
+def _enc_ac_first(bw: _ProgWriter, blocks, ac_codes, al: int):
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun > 0:
+            nbits = eobrun.bit_length() - 1
+            bw.sym(ac_codes, nbits << 4)
+            if nbits:
+                bw.write(eobrun - (1 << nbits), nbits)
+            eobrun = 0
+
+    for block in blocks:
+        vals = [int(v) // (1 << al) if v >= 0 else -((-int(v)) >> al)
+                for v in block[1:64]]
+        vals = [0] + vals          # index aligned to k
+        nz = [k for k in range(1, 64) if vals[k] != 0]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        r = 0
+        for k in range(1, nz[-1] + 1):
+            v = vals[k]
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                bw.sym(ac_codes, 0xF0)
+                r -= 16
+            s, bits = _mag(v)
+            bw.sym(ac_codes, (r << 4) | s)
+            bw.write(bits, s)
+            r = 0
+        if nz[-1] < 63:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _enc_ac_refine(bw: _ProgWriter, blocks, ac_codes, al: int):
+    eobrun = 0
+    run_bits: list[int] = []
+
+    def flush():
+        nonlocal eobrun
+        if eobrun > 0:
+            nbits = eobrun.bit_length() - 1
+            bw.sym(ac_codes, nbits << 4)
+            if nbits:
+                bw.write(eobrun - (1 << nbits), nbits)
+            for b in run_bits:
+                bw.write(b, 1)
+            run_bits.clear()
+            eobrun = 0
+
+    for block in blocks:
+        absv = [0] * 64
+        eob = 0
+        for k in range(1, 64):
+            t = abs(int(block[k])) >> al
+            absv[k] = t
+            if t == 1:
+                eob = k
+        r = 0
+        cur_bits: list[int] = []
+        for k in range(1, 64):
+            t = absv[k]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                flush()
+                bw.sym(ac_codes, 0xF0)
+                r -= 16
+                for b in cur_bits:
+                    bw.write(b, 1)
+                cur_bits = []
+            if t > 1:
+                cur_bits.append(t & 1)
+                continue
+            flush()
+            bw.sym(ac_codes, (r << 4) | 1)
+            bw.write(1 if int(block[k]) > 0 else 0, 1)
+            for b in cur_bits:
+                bw.write(b, 1)
+            cur_bits = []
+            r = 0
+        if r > 0 or cur_bits:
+            eobrun += 1
+            run_bits.extend(cur_bits)
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+# progressive AC scans need EOBn symbols (0x10..0xE0) that the std
+# baseline AC tables lack; a flat canonical table (255 nine-bit codes)
+# covers every RS value — bit-inefficient but valid and simple
+_PROG_AC = ([0, 0, 0, 0, 0, 0, 0, 0, 255, 0, 0, 0, 0, 0, 0, 0],
+            list(range(255)))
+
+
+def encode_progressive_jpeg(img: np.ndarray, quality: int = 85,
+                            subsampling: str = "444") -> bytes:
+    """Progressive (SOF2) JFIF with spectral selection + successive
+    approximation: DC first (Al=1) → DC refine → per-component AC
+    first (1-63, Al=1) → AC refine. Same quantized coefficients as the
+    baseline encoder, so decoded pixels are bit-identical to the
+    baseline file's — the cross-path validation the tests rely on."""
+    if subsampling not in ("444", "420"):
+        raise JpegError(f"unsupported subsampling {subsampling}")
+    comps, qtabs, h, w, mcux, mcuy = _prog_prep(img, quality, subsampling)
+    ncomp = len(comps)
+    dc_codes = [_enc_codes(*_STD_DC_L), _enc_codes(*_STD_DC_C)]
+    prog_ac = _enc_codes(*_PROG_AC)
+    ac_codes = [prog_ac, prog_ac]
+
+    def sos_header(scan_comps, ss, se, ah, al) -> bytes:
+        out = b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * len(scan_comps),
+                                        len(scan_comps))
+        for ci in scan_comps:
+            ti = comps[ci]["ti"]
+            out += bytes([ci + 1, (ti << 4) | ti])
+        return out + bytes([ss, se, (ah << 4) | al])
+
+    scans: list[bytes] = []
+
+    # scan 1: DC first, interleaved, Al=1
+    bw = _ProgWriter()
+    preds = [0] * ncomp
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci, c in enumerate(comps):
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    row = my * c["v"] + by
+                    col = mx * c["h"] + bx
+                    v = int(c["zz"][row * c["bw"] + col][0]) >> 1
+                    s, bits = _mag(v - preds[ci])
+                    preds[ci] = v
+                    bw.sym(dc_codes[c["ti"]], s)
+                    if s:
+                        bw.write(bits, s)
+    bw.flush()
+    scans.append(sos_header(list(range(ncomp)), 0, 0, 0, 1) + bytes(bw.out))
+
+    # scan 2: DC refine (raw bits), Ah=1 Al=0
+    bw = _ProgWriter()
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for c in comps:
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    row = my * c["v"] + by
+                    col = mx * c["h"] + bx
+                    bw.write(int(c["zz"][row * c["bw"] + col][0]) & 1, 1)
+    bw.flush()
+    scans.append(sos_header(list(range(ncomp)), 0, 0, 1, 0) + bytes(bw.out))
+
+    # per-component AC scans over the ceil grid
+    for ci, c in enumerate(comps):
+        blocks = [c["zz"][row * c["bw"] + col]
+                  for row in range(c["chh"]) for col in range(c["cw"])]
+        bw = _ProgWriter()
+        _enc_ac_first(bw, blocks, ac_codes[c["ti"]], 1)
+        bw.flush()
+        scans.append(sos_header([ci], 1, 63, 0, 1) + bytes(bw.out))
+    for ci, c in enumerate(comps):
+        blocks = [c["zz"][row * c["bw"] + col]
+                  for row in range(c["chh"]) for col in range(c["cw"])]
+        bw = _ProgWriter()
+        _enc_ac_refine(bw, blocks, ac_codes[c["ti"]], 0)
+        bw.flush()
+        scans.append(sos_header([ci], 1, 63, 1, 0) + bytes(bw.out))
+
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
+        struct.pack(">HHBB", 1, 1, 0, 0)
+    for i, q in enumerate(qtabs):
+        out += b"\xFF\xDB" + struct.pack(">HB", 67, i) + bytes(
+            int(x) for x in q[_ZIGZAG])
+    out += b"\xFF\xC2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci, c in enumerate(comps):
+        out += bytes([ci + 1, (c["h"] << 4) | c["v"], c["qi"]])
+    for tc, tabs in ((0, (_STD_DC_L, _STD_DC_C)), (1, (_PROG_AC, _PROG_AC))):
+        for th in range(2 if ncomp == 3 else 1):
+            counts, symbols = tabs[th]
+            out += b"\xFF\xC4" + struct.pack(
+                ">HB", 3 + 16 + len(symbols), (tc << 4) | th)
+            out += bytes(counts) + bytes(symbols)
+    for s in scans:
+        out += s
     out += b"\xFF\xD9"
     return bytes(out)

@@ -151,12 +151,15 @@ class PageSpec:
         self.images[res_name] = {"rgb": np.ascontiguousarray(rgb, np.uint8)}
 
     def use_jpeg_image(self, res_name: str, rgb: np.ndarray,
-                       quality: int = 85, subsampling: str = "444") -> None:
-        """Embed an image XObject with /Filter /DCTDecode (baseline
-        JPEG via engine.jpeg — deterministic, no codec libs)."""
+                       quality: int = 85, subsampling: str = "444",
+                       progressive: bool = False) -> None:
+        """Embed an image XObject with /Filter /DCTDecode (baseline or
+        progressive JPEG via engine.jpeg — deterministic, no codec
+        libs)."""
         self.images[res_name] = {
             "jpeg": np.ascontiguousarray(rgb, np.uint8),
-            "quality": quality, "subsampling": subsampling}
+            "quality": quality, "subsampling": subsampling,
+            "progressive": progressive}
 
     def use_ccitt_image(self, res_name: str, bitmap: np.ndarray) -> None:
         """Embed a 1-bit image XObject with /Filter /CCITTFaxDecode
@@ -390,12 +393,17 @@ class PdfBuilder:
                             f"/Length {len(data)} >>").encode()
                             + b"\nstream\n" + data + b"\nendstream")
                     elif "jpeg" in spec:
-                        from ..engine.jpeg import encode_baseline_jpeg
+                        from ..engine.jpeg import (encode_baseline_jpeg,
+                                                   encode_progressive_jpeg)
                         rgb = spec["jpeg"]
                         h, w = rgb.shape[:2]
                         gray = rgb.ndim == 2
-                        data = encode_baseline_jpeg(
-                            rgb, spec["quality"], spec["subsampling"])
+                        if spec.get("progressive"):
+                            data = encode_progressive_jpeg(
+                                rgb, spec["quality"], spec["subsampling"])
+                        else:
+                            data = encode_baseline_jpeg(
+                                rgb, spec["quality"], spec["subsampling"])
                         cs = "/DeviceGray" if gray else "/DeviceRGB"
                         num = add((
                             f"<< /Type /XObject /Subtype /Image /Width {w} "

@@ -61,8 +61,10 @@ def test_decode_errors():
         decode_baseline_jpeg(b"")
     with pytest.raises(JpegError):
         decode_baseline_jpeg(b"\x89PNG not a jpeg")
-    with pytest.raises(JpegError):   # progressive SOF2
+    with pytest.raises(JpegError):   # truncated SOF (precision 0)
         decode_baseline_jpeg(b"\xff\xd8\xff\xc2\x00\x04\x00\x00")
+    with pytest.raises(JpegError):   # arithmetic-coded SOF9
+        decode_baseline_jpeg(b"\xff\xd8\xff\xc9\x00\x04\x08\x00")
 
 
 def test_pdf_with_dct_image_parses():
@@ -178,3 +180,60 @@ def test_pdf_with_ccitt_image_parses():
     assert png.shape[:2] == (16, 24)
     assert png[8, 12, 0] == 0      # black inside the box
     assert png[0, 0, 0] == 255     # white background
+
+
+# -- progressive (SOF2) ------------------------------------------------------
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_progressive_decodes_bit_identical_to_baseline(sub):
+    """Progressive scans reorder the same quantized coefficients, so
+    decoded pixels must equal the baseline file's decode EXACTLY."""
+    from pdf2dom_ray.engine.jpeg import (decode_baseline_jpeg,
+                                         encode_baseline_jpeg,
+                                         encode_progressive_jpeg)
+    rng = np.random.default_rng(7)
+    imgs = [
+        rng.integers(0, 256, (33, 41, 3), dtype=np.uint8).astype(np.uint8),
+        _smooth(48, 64),
+    ]
+    sparse = np.zeros((40, 56, 3), np.uint8)
+    sparse[8:10, 8:10] = 200          # long EOB runs + AC refinement
+    imgs.append(sparse)
+    for img in imgs:
+        base = decode_baseline_jpeg(
+            encode_baseline_jpeg(img, 85, subsampling=sub))
+        prog = decode_baseline_jpeg(
+            encode_progressive_jpeg(img, 85, subsampling=sub))
+        assert prog.shape == base.shape
+        assert (prog == base).all()
+
+
+def test_progressive_gray_and_pdf_end_to_end():
+    import re as _re
+    from pdf2dom_ray.engine.jpeg import (decode_baseline_jpeg,
+                                         encode_baseline_jpeg,
+                                         encode_progressive_jpeg)
+    g = (np.add.outer(np.arange(19), np.arange(13)) % 256).astype(np.uint8)
+    assert (decode_baseline_jpeg(encode_progressive_jpeg(g, 95))
+            == decode_baseline_jpeg(encode_baseline_jpeg(g, 95))).all()
+
+
+def test_pdf_with_progressive_dct_image_parses():
+    from pdf2dom_ray.engine.parse import parse_document
+    from pdf2dom_ray.functions.multimodal import decode_engine_png
+    from pdf2dom_ray.synth.pdfgen import PageSpec, PdfBuilder
+
+    b = PdfBuilder(title="prog")
+    p = PageSpec()
+    img = np.full((16, 16, 3), 0, np.uint8)
+    img[..., 2] = 200
+    p.use_jpeg_image("Im0", img, quality=90, progressive=True)
+    p.draw_image("Im0", 100, 600, 64, 64)
+    b.add_page(p)
+    r = parse_document(b.build())
+    assert r.error is None
+    assert r.n_images == 1
+    m = re.search(r'src="data:image/png;base64,([^"]+)"', r.html_dom)
+    assert m
+    png = decode_engine_png(base64.b64decode(m.group(1)))
+    assert abs(int(png[..., 2].mean()) - 200) < 8
