@@ -112,34 +112,44 @@ def pricing_summary(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(finish, batch_format="pandas")
 
 
-def sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+def sessionize(sf_dir: str, gap_minutes: int = 30,
+               num_partitions: int = 16) -> rd.Dataset:
     """Session windows per user: a new session starts when the gap to
-    the previous event exceeds ``gap_minutes`` (streaming-style stateful
-    operator expressed as groupby(user).map_groups over ts-sorted
-    groups; the partitioning assumption is user_id-hash co-location —
-    SURVEY.md §2.9)."""
+    the previous event exceeds ``gap_minutes``.
+
+    Scale shape: ONE hash-partition shuffle on user_id, then a fully
+    VECTORIZED per-partition pass (sort by (user, ts) + groupby
+    transforms) — the per-group-Python-call cost of
+    ``groupby(user).map_groups`` would be one call per user (10⁸ at
+    crawl scale); here it is one call per partition. The partitioning
+    assumption (SURVEY.md §2.9) is user_id-hash co-location; skewed hot
+    users are bounded by their own event counts, never by partition
+    peers."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "value"])
 
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="mergesort")
-        new_session = (g["ts"].diff() > gap).cumsum()
-        n_sessions = int(new_session.iloc[-1]) + 1 if len(g) else 0
-        return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_events": [len(g)],
-            "n_sessions": [n_sessions],
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["user_id"], index=False)
+        return df.assign(__part=(h % num_partitions).astype("int64"))
+
+    def per_partition(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        boundary = (g["user_id"] != g["user_id"].shift(1)) | \
+                   (g["ts"].diff() > gap)
+        agg = g.assign(__new=boundary.astype("int64")) \
+            .groupby("user_id", sort=False) \
+            .agg(n_events=("ts", "size"), n_sessions=("__new", "sum"))
+        return pa.table({
+            "user_id": pa.array(agg.index.to_numpy()),
+            "n_events": pa.array(agg["n_events"].to_numpy(), pa.int64()),
+            "n_sessions": pa.array(agg["n_sessions"].to_numpy(), pa.int64()),
         })
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df["n_events"] = df["n_events"].astype("int64")
-        df["n_sessions"] = df["n_sessions"].astype("int64")
-        return df
-    return out.map_batches(finish, batch_format="pandas")
+    return (ds.map_batches(tag, batch_format="pandas")
+              .groupby("__part")
+              .map_groups(per_partition, batch_format="pandas"))
 
 
 def orders_by_segment(sf_dir: str) -> rd.Dataset:
