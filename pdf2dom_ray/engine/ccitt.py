@@ -1,9 +1,9 @@
 """CCITT Group 4 (ITU-T T.6 MMR) fax codec — decoder + encoder.
 
-Covers the PDF ``CCITTFaxDecode`` filter with ``/K < 0`` (pure 2D G4,
-the overwhelmingly common case in scanned PDFs; PDFBox decodes it via
-its own `CCITTFaxDecoderStream`). ``/K >= 0`` (G3) is not implemented
-and degrades to ``UnsupportedImageError`` upstream.
+Covers the PDF ``CCITTFaxDecode`` filter: ``/K < 0`` (pure 2D G4, the
+overwhelmingly common case in scanned PDFs; PDFBox decodes it via its
+own `CCITTFaxDecoderStream`), ``/K == 0`` (pure 1D MH Group 3) and
+``/K > 0`` (mixed 1D/2D with EOL+tag framing).
 
 The run-length code tables are the standard ITU-T T.4 white/black
 terminating + make-up codes (public, reproduced in every fax codec:
@@ -21,7 +21,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["CcittError", "decode_g4", "encode_g4"]
+__all__ = ["CcittError", "decode_g4", "encode_g4",
+           "decode_g3", "encode_g3"]
 
 
 class CcittError(Exception):
@@ -179,6 +180,84 @@ def _read_run(bits: _Bits, white: bool) -> int:
             return total
 
 
+def _decode_2d_row(bits: _Bits, ref: np.ndarray, columns: int
+                   ) -> np.ndarray:
+    """One 2D-coded row (T.6 modes) against a reference line."""
+    cur = np.zeros(columns, dtype=np.uint8)
+    a0 = -1
+    color = 0   # 0 white, 1 black
+    guard = 0
+    while a0 < columns:
+        guard += 1
+        if guard > 4 * columns + 8:
+            raise CcittError("no progress in row decode")
+        # changing elements on the reference line (pixel differs
+        # from its left neighbour; imaginary white at -1)
+        ref_changes = np.nonzero(
+            ref != np.concatenate(([0], ref[:-1])))[0]
+        b1 = columns
+        for c in ref_changes:
+            if c > (a0 if a0 >= 0 else -1) and (ref[c] != color):
+                b1 = c
+                break
+        b2 = columns
+        after = ref_changes[ref_changes > b1]
+        if len(after):
+            b2 = int(after[0])
+        mode = bits.take_code(_MODE_DEC, _MAX_MODE)
+        if mode == "P":
+            start = max(a0, 0)
+            if color:
+                cur[start:b2] = 1
+            a0 = b2
+        elif mode == "H":
+            r1 = _read_run(bits, white=(color == 0))
+            r2 = _read_run(bits, white=(color == 1))
+            start = max(a0, 0)
+            a1 = min(start + r1, columns)
+            a2 = min(a1 + r2, columns)
+            if color:
+                cur[start:a1] = 1
+            else:
+                cur[a1:a2] = 1
+            a0 = a2
+        else:   # vertical
+            delta = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
+                     "VL1": -1, "VL2": -2, "VL3": -3}[mode]
+            a1 = min(max(b1 + delta, 0), columns)
+            start = max(a0, 0)
+            if color:
+                cur[start:a1] = 1
+            a0 = a1
+            color ^= 1
+    return cur
+
+
+def _decode_1d_row(bits: _Bits, columns: int) -> np.ndarray:
+    """One 1D MH row: alternating white/black T.4 runs summing to
+    ``columns`` (first run is white, possibly 0)."""
+    cur = np.zeros(columns, dtype=np.uint8)
+    pos = 0
+    white = True
+    guard = 0
+    while pos < columns:
+        guard += 1
+        if guard > 2 * columns + 8:
+            raise CcittError("no progress in 1D row decode")
+        run = _read_run(bits, white=white)
+        end = min(pos + run, columns)
+        if not white:
+            cur[pos:end] = 1
+        pos = end
+        white = not white
+    return cur
+
+
+def _at_eol(bits: _Bits) -> bool:
+    rem = bits.s[bits.pos:bits.pos + 12]
+    return len(rem) >= 12 and not rem[:11].any() and bool(rem[11])
+
+
 def decode_g4(data: bytes, columns: int, rows: int | None = None
               ) -> np.ndarray:
     """T.6 2D decode → (rows, columns) uint8, 1 = black."""
@@ -198,54 +277,55 @@ def decode_g4(data: bytes, columns: int, rows: int | None = None
                              and not rem[:11].any() and rem[11]
                              and not rem[12:23].any() and rem[23]):
             break
-        cur = np.zeros(columns, dtype=np.uint8)
-        a0 = -1
-        color = 0   # 0 white, 1 black
-        guard = 0
-        while a0 < columns:
-            guard += 1
-            if guard > 4 * columns + 8:
-                raise CcittError("no progress in row decode")
-            # changing elements on the reference line (pixel differs
-            # from its left neighbour; imaginary white at -1)
-            ref_changes = np.nonzero(
-                ref != np.concatenate(([0], ref[:-1])))[0]
-            b1 = columns
-            for c in ref_changes:
-                if c > (a0 if a0 >= 0 else -1) and \
-                        (ref[c] != color):
-                    b1 = c
-                    break
-            b2 = columns
-            after = ref_changes[ref_changes > b1]
-            if len(after):
-                b2 = int(after[0])
-            mode = bits.take_code(_MODE_DEC, _MAX_MODE)
-            if mode == "P":
-                start = max(a0, 0)
-                if color:
-                    cur[start:b2] = 1
-                a0 = b2
-            elif mode == "H":
-                r1 = _read_run(bits, white=(color == 0))
-                r2 = _read_run(bits, white=(color == 1))
-                start = max(a0, 0)
-                a1 = min(start + r1, columns)
-                a2 = min(a1 + r2, columns)
-                if color:
-                    cur[start:a1] = 1
-                else:
-                    cur[a1:a2] = 1
-                a0 = a2
-            else:   # vertical
-                delta = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
-                         "VL1": -1, "VL2": -2, "VL3": -3}[mode]
-                a1 = min(max(b1 + delta, 0), columns)
-                start = max(a0, 0)
-                if color:
-                    cur[start:a1] = 1
-                a0 = a1
-                color ^= 1
+        cur = _decode_2d_row(bits, ref, columns)
+        out_rows.append(cur)
+        ref = cur
+    if rows and len(out_rows) < rows:
+        raise CcittError(f"decoded {len(out_rows)} rows, expected {rows}")
+    if not out_rows:
+        raise CcittError("no rows decoded")
+    return np.stack(out_rows[:rows] if rows else out_rows)
+
+
+def decode_g3(data: bytes, columns: int, rows: int | None = None, *,
+              k: int = 0, byte_align: bool = False) -> np.ndarray:
+    """T.4 Group 3 decode → (rows, columns) uint8, 1 = black.
+
+    ``k == 0``: pure 1D MH rows (PDF default framing: no EOLs required,
+    but leading/interleaved EOLs are tolerated). ``k > 0``: mixed mode —
+    every row is prefixed by EOL + 1 tag bit (1 = 1D, 0 = 2D against
+    the previous row)."""
+    if columns <= 0 or columns > 1 << 16:
+        raise CcittError(f"bad columns {columns}")
+    bits = _Bits(data)
+    ref = np.zeros(columns, dtype=np.uint8)
+    out_rows: list[np.ndarray] = []
+    max_rows = rows if rows else 1 << 20
+
+    while len(out_rows) < max_rows:
+        if byte_align and bits.pos % 8:
+            bits.pos += 8 - bits.pos % 8
+        if bits.exhausted():
+            break
+        eols = 0
+        while _at_eol(bits):
+            bits.pos += 12
+            eols += 1
+            if eols >= 6:        # RTC: six consecutive EOLs end the page
+                break
+        if eols >= 6 or bits.exhausted():
+            break
+        if len(bits.s) - bits.pos < 4:
+            break                # trailing pad bits
+        if k > 0:
+            if eols == 0 and out_rows:
+                raise CcittError("missing EOL in K>0 stream")
+            one_d = bool(bits.s[bits.pos])
+            bits.pos += 1
+            cur = _decode_1d_row(bits, columns) if one_d else \
+                _decode_2d_row(bits, ref, columns)
+        else:
+            cur = _decode_1d_row(bits, columns)
         out_rows.append(cur)
         ref = cur
     if rows and len(out_rows) < rows:
@@ -329,6 +409,38 @@ def encode_g4(img: np.ndarray) -> bytes:
                 a0 = a2
         ref = cur
     bits.append("000000000001" * 2)   # EOFB
+    s = "".join(bits)
+    s += "0" * ((-len(s)) % 8)
+    return bytes(int(s[i:i + 8], 2) for i in range(0, len(s), 8))
+
+
+def _row_runs(cur: np.ndarray) -> list[int]:
+    """Alternating run lengths starting with white (first may be 0)."""
+    n = len(cur)
+    changes = (np.nonzero(np.diff(cur))[0] + 1).tolist()
+    bounds = [0] + changes + [n]
+    runs = [bounds[i + 1] - bounds[i] for i in range(len(bounds) - 1)]
+    if cur[0] == 1:
+        runs = [0] + runs
+    return runs
+
+
+def encode_g3(img: np.ndarray, *, k: int = 0) -> bytes:
+    """T.4 Group 3 encode (1D MH rows; ``k>0`` adds EOL+tag framing and
+    a 6-EOL RTC trailer). Fixture-side counterpart of ``decode_g3``."""
+    img = (np.asarray(img) != 0).astype(np.uint8)
+    rows, _columns = img.shape
+    bits: list[str] = []
+    eol = "000000000001"
+    for r in range(rows):
+        if k > 0:
+            bits.append(eol + "1")      # every row 1D-coded
+        white = True
+        for run in _row_runs(img[r]):
+            bits.append(_run_code(run, white))
+            white = not white
+    if k > 0:
+        bits.append(eol * 6)            # RTC
     s = "".join(bits)
     s += "0" * ((-len(s)) % 8)
     return bytes(int(s[i:i + 8], 2) for i in range(0, len(s), 8))

@@ -52,20 +52,23 @@ def decode_image(doc, xobj: Stream) -> np.ndarray:
         raise UnsupportedImageError(str(e)) from e
 
     if "CCITTFaxDecode" in filters:
-        # Group 4 fax (K < 0 — the dominant scanned-PDF case) via the
-        # engine codec; G3 (K >= 0) degrades like any missing codec
-        from .ccitt import CcittError, decode_g4
+        # Group 4 (K<0) and Group 3 (K=0 pure 1D / K>0 mixed) via the
+        # engine codec
+        from .ccitt import CcittError, decode_g3, decode_g4
         parms = doc.resolve(d.get("DecodeParms")) or {}
         if isinstance(parms, list):
             parms = next((doc.resolve(x) for x in parms
                           if isinstance(doc.resolve(x), dict)), {})
         k = int(doc.resolve(parms.get("K", 0)) or 0)
-        if k >= 0:
-            raise UnsupportedImageError(f"CCITT G3 (K={k}) unsupported")
         cols = int(doc.resolve(parms.get("Columns", 1728)) or 1728)
         black_is_1 = bool(doc.resolve(parms.get("BlackIs1", False)))
+        byte_align = bool(doc.resolve(parms.get("EncodedByteAlign", False)))
         try:
-            bitmap = decode_g4(data, cols, h)   # 1 = black
+            if k < 0:
+                bitmap = decode_g4(data, cols, h)   # 1 = black
+            else:
+                bitmap = decode_g3(data, cols, h, k=k,
+                                   byte_align=byte_align)
         except CcittError as e:
             raise UnsupportedImageError(f"CCITT decode failed: {e}") from e
         if bitmap.shape[1] < w:

@@ -161,11 +161,13 @@ class PageSpec:
             "quality": quality, "subsampling": subsampling,
             "progressive": progressive}
 
-    def use_ccitt_image(self, res_name: str, bitmap: np.ndarray) -> None:
+    def use_ccitt_image(self, res_name: str, bitmap: np.ndarray,
+                        k: int = -1) -> None:
         """Embed a 1-bit image XObject with /Filter /CCITTFaxDecode
-        (Group 4, K=-1; nonzero = black) via engine.ccitt."""
+        (K=-1 Group 4, K=0 pure-1D G3, K>0 mixed G3; nonzero = black)
+        via engine.ccitt."""
         self.images[res_name] = {
-            "ccitt": np.ascontiguousarray(bitmap, np.uint8)}
+            "ccitt": np.ascontiguousarray(bitmap, np.uint8), "k": k}
 
     # -- content helpers ----------------------------------------------
     def raw(self, op: bytes) -> None:
@@ -380,15 +382,17 @@ class PdfBuilder:
                             f"/Length {len(body)} >>").encode()
                             + b"\nstream\n" + body + b"\nendstream")
                     elif "ccitt" in spec:
-                        from ..engine.ccitt import encode_g4
+                        from ..engine.ccitt import encode_g3, encode_g4
                         bm = spec["ccitt"]
+                        kk = spec.get("k", -1)
                         h, w = bm.shape[:2]
-                        data = encode_g4(bm)
+                        data = encode_g4(bm) if kk < 0 else \
+                            encode_g3(bm, k=kk)
                         num = add((
                             f"<< /Type /XObject /Subtype /Image /Width {w} "
                             f"/Height {h} /ColorSpace /DeviceGray "
                             f"/BitsPerComponent 1 /Filter /CCITTFaxDecode "
-                            f"/DecodeParms << /K -1 /Columns {w} "
+                            f"/DecodeParms << /K {kk} /Columns {w} "
                             f"/Rows {h} >> "
                             f"/Length {len(data)} >>").encode()
                             + b"\nstream\n" + data + b"\nendstream")

@@ -237,3 +237,28 @@ def test_pdf_with_progressive_dct_image_parses():
     assert m
     png = decode_engine_png(base64.b64decode(m.group(1)))
     assert abs(int(png[..., 2].mean()) - 200) < 8
+
+
+def test_ccitt_g3_roundtrip_and_pdf():
+    from pdf2dom_ray.engine.ccitt import decode_g3, encode_g3
+    from pdf2dom_ray.engine.parse import parse_document
+    from pdf2dom_ray.synth.pdfgen import PageSpec, PdfBuilder
+    rng = np.random.default_rng(1)
+    for k in (0, 1):
+        for img in [np.zeros((5, 40), np.uint8),
+                    (rng.random((12, 80)) > 0.8).astype(np.uint8)]:
+            dec = decode_g3(encode_g3(img, k=k), img.shape[1],
+                            img.shape[0], k=k)
+            assert (dec == img).all()
+    bm = np.zeros((10, 16), np.uint8)
+    bm[2:8, 4:12] = 1
+    for k in (0, 2):
+        b = PdfBuilder(title=f"g3k{k}")
+        p = PageSpec()
+        p.use_ccitt_image("Im0", bm, k=k)
+        p.draw_image("Im0", 100, 600, 64, 40)
+        b.add_page(p)
+        r = parse_document(b.build())
+        assert r.error is None
+        assert r.n_images == 1
+        assert 'src="data:image/png;base64,' in r.html_dom
