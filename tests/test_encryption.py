@@ -72,3 +72,30 @@ def test_unsupported_handler_degrades_to_error_row():
     r = parse_document(epdf)
     assert r.error is not None
     assert "encrypted" in r.error or "security" in r.error
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_encrypted_objstm_document(method):
+    """Encryption applies to the ObjStm CONTAINER stream; objects
+    inside it are not individually encrypted — the loader must decrypt
+    the container before the compressed-object scan."""
+    from tests.test_objstm import build_objstm_pdf
+    plain = build_objstm_pdf(compress=True)
+    base = parse_document(plain)
+    r = parse_document(encrypt_pdf(plain, method))
+    assert r.error is None
+    assert r.extracted_text == base.extracted_text
+    assert r.html_dom == base.html_dom
+
+
+def test_encryption_roundtrip_property():
+    """Property sweep: many corpus documents × all methods decode to
+    byte-identical output."""
+    for doc_id in (0, 2, 3, 5, 11, 16, 23, 40):
+        text = f"property doc {doc_id} " + "word " * (10 + doc_id * 3)
+        plain = doc_to_pdf(doc_id, text.strip())
+        base = parse_document(plain)
+        for method in METHODS:
+            r = parse_document(encrypt_pdf(plain, method))
+            assert r.error is None, (doc_id, method, r.error)
+            assert r.html_dom == base.html_dom, (doc_id, method)
