@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _q_quality,
         "token_stats_bpe": _q_bpe_tokens,
         "quality_filter": _q_gopher,
+        "unigram_logprob": _q_unigram_logprob,
         "lang_id": _q_lang_id,
         # -- dedup family
         "dedup_exact": _q_dedup_exact,
@@ -263,6 +264,18 @@ def oracle_sql() -> dict[str, str]:
                              AND has_stopword = 1
                         THEN 1 ELSE 0 END AS BIGINT) AS passes
             FROM s
+        """,
+        "unigram_logprob": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents),
+            cnt AS (SELECT word, count(*) AS n FROM toks GROUP BY word),
+            tot AS (SELECT sum(n) AS t FROM cnt)
+            SELECT d.doc_id,
+                   round(avg(ln(CAST(c.n AS DOUBLE)
+                                / (SELECT t FROM tot))), 6) AS mean_logprob
+            FROM toks d JOIN cnt c USING (word)
+            GROUP BY d.doc_id
         """,
         "dedup_minhash": _NEAR_DUP_CLUSTER_SQL,
         "dedup_simhash": _NEAR_DUP_CLUSTER_SQL,
@@ -458,6 +471,11 @@ def _q_gopher(sf_dir: str):
             "has_stopword": pc.cast(t.column("has_stopword"), pa.int64()),
             "passes": pc.cast(t.column("passes"), pa.int64()),
         }), batch_format="pyarrow")
+
+
+def _q_unigram_logprob(sf_dir: str):
+    from pdf2dom_ray.functions.text_stats import unigram_logprob
+    return unigram_logprob(_documents(sf_dir))
 
 
 def _q_lang_id(sf_dir: str):

@@ -23,7 +23,8 @@ from ..stages.pool import default_pool
 __all__ = ["STOPWORDS", "text_quality_batch", "text_quality",
            "fingerprint_batch", "fingerprint", "lang_id_batch", "lang_id",
            "BPE_SPLIT_PATTERN", "bpe_token_count_batch", "bpe_token_count",
-           "gopher_quality_batch", "gopher_quality"]
+           "gopher_quality_batch", "gopher_quality", "unigram_counts",
+           "unigram_logprob"]
 
 # fixed set, mirrored verbatim in the SQL oracle (__ray_entry__)
 STOPWORDS = ("the", "a", "of", "and", "to")
@@ -232,6 +233,70 @@ def gopher_quality_batch(batch: pa.Table) -> pa.Table:
 
 def gopher_quality(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(gopher_quality_batch, batch_format="pyarrow")
+
+
+def unigram_counts(ds: rd.Dataset) -> rd.Dataset:
+    """(word, n): corpus-wide whitespace-token counts via the combiner
+    pattern — per-batch Arrow group_by first, tiny global groupby over
+    the partial (word, n) rows. The shuffle moves vocab × batches rows,
+    never the corpus."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        text_col = t.column("text")
+        if isinstance(text_col, pa.ChunkedArray):
+            text_col = text_col.combine_chunks()
+        flat = pc.list_flatten(pc.split_pattern(text_col, " "))
+        g = pa.table({"word": flat}).group_by("word") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["word", "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("word").aggregate(Sum("n", alias_name="n"))
+
+
+def unigram_logprob(ds: rd.Dataset, *, concurrency=None) -> rd.Dataset:
+    """(doc_id, mean_logprob): per-document mean natural-log unigram
+    probability under the corpus' own empirical distribution.
+
+    The aggregate→broadcast pattern: corpus unigram counts are computed
+    distributed (one narrow combiner shuffle), ``ray.put`` once, and
+    fetched per actor in ``__init__`` — the scoring pass is a single
+    map_batches with no join. Scale note: for crawl-scale vocabularies
+    broadcast the top-K table with an OOV floor instead of the full
+    vocab (the synthetic corpus vocabulary is tiny, so the full table
+    is exact and keeps the SQL oracle exact too)."""
+    import ray
+
+    counts = unigram_counts(ds).to_pandas()
+    total = float(counts["n"].sum())
+    table_ref = ray.put(dict(zip(counts["word"],
+                                 np.log(counts["n"].to_numpy(dtype=float)
+                                        / total))))
+
+    class Score:
+        def __init__(self):
+            self.logp = ray.get(table_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            texts = t.column("text").to_pylist()
+            lp = self.logp
+            out = []
+            for txt in texts:
+                toks = txt.split(" ") if txt else []
+                if not toks:
+                    out.append(0.0)
+                    continue
+                s = sum(lp.get(w, 0.0) for w in toks)
+                out.append(round(s / len(toks), 6))
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "mean_logprob": pa.array(out, pa.float64()),
+            })
+
+    return ds.map_batches(Score, batch_format="pyarrow",
+                          concurrency=concurrency or default_pool())
 
 
 class LangId:

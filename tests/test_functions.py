@@ -317,3 +317,19 @@ def test_gopher_quality_batch_rules():
     assert out["passes"] == [True, False, False, False]
     assert out["has_stopword"] == [True, False, False, True]
     assert out["n_words"][0] == 9
+
+
+def test_unigram_logprob(ray_session):
+    import math
+    import ray.data as rd
+    from pdf2dom_ray.functions.text_stats import unigram_logprob
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "a a b"},
+        {"doc_id": 2, "text": "b c"},
+    ])
+    out = unigram_logprob(ds).to_pandas().set_index("doc_id")
+    # corpus: a=2, b=2, c=1, total=5
+    exp1 = (2 * math.log(2 / 5) + math.log(2 / 5)) / 3
+    exp2 = (math.log(2 / 5) + math.log(1 / 5)) / 2
+    assert out.loc[1, "mean_logprob"] == pytest.approx(exp1, abs=1e-6)
+    assert out.loc[2, "mean_logprob"] == pytest.approx(exp2, abs=1e-6)
