@@ -135,6 +135,87 @@ def _apply_tiff_predictor(data: bytes, colors: int, bpc: int,
     return out.astype(np.uint8).tobytes() + data[nrows * row_len:]
 
 
+def _ascii85_decode(data: bytes) -> bytes:
+    """ASCII85 with PDF framing (optional <~, terminating ~>, ws
+    ignored, 'z' shorthand)."""
+    body = data.split(b"~>", 1)[0]
+    if body.startswith(b"<~"):
+        body = body[2:]
+    body = re.sub(rb"\s", b"", body)
+    import base64
+    try:
+        return base64.a85decode(body, adobe=False)
+    except ValueError as e:
+        raise PdfParseError(f"ASCII85Decode failed: {e}") from e
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """RunLengthDecode (PDF 32000 §7.4.5): length byte L — L<128 copies
+    L+1 literals, L>128 repeats the next byte 257−L times, 128 = EOD."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        ln = data[i]
+        i += 1
+        if ln == 128:
+            break
+        if ln < 128:
+            out += data[i:i + ln + 1]
+            i += ln + 1
+        else:
+            if i >= n:
+                raise PdfParseError("RunLengthDecode truncated")
+            out += bytes([data[i]]) * (257 - ln)
+            i += 1
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """LZWDecode (PDF 32000 §7.4.4 / TIFF variant): MSB-first variable
+    9-12 bit codes, EarlyChange=1 semantics (code width bumps one code
+    early), 256 = clear table, 257 = EOD."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    buf = 0
+    cnt = 0
+    for byte in data:
+        buf = (buf << 8) | byte
+        cnt += 8
+        while cnt >= width:
+            cnt -= width
+            code = (buf >> cnt) & ((1 << width) - 1)
+            if code == 256:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise PdfParseError("bad first LZW code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise PdfParseError("LZW code out of range")
+            out += entry
+            prev = entry
+            # EarlyChange=1: widen one code early; the decoder's table
+            # lags the encoder's by one entry, hence the extra −1
+            if len(table) >= (1 << width) - 2 and width < 12:
+                width += 1
+    return bytes(out)
+
+
 def _decode_stream(d: dict, raw: bytes, doc) -> bytes:
     filt = d.get("Filter")
     if doc is not None:
@@ -177,6 +258,26 @@ def _decode_stream(d: dict, raw: bytes, doc) -> bytes:
             if len(hx) % 2:
                 hx += b"0"
             data = bytes.fromhex(hx.decode("ascii"))
+        elif f == "ASCII85Decode":
+            data = _ascii85_decode(data)
+        elif f == "RunLengthDecode":
+            data = _runlength_decode(data)
+        elif f == "LZWDecode":
+            data = _lzw_decode(data)
+            if isinstance(p, dict):
+                pred = int(resolve(p.get("Predictor", 1)) or 1)
+                if pred >= 10:
+                    data = _apply_png_predictor(
+                        data,
+                        int(resolve(p.get("Colors", 1)) or 1),
+                        int(resolve(p.get("BitsPerComponent", 8)) or 8),
+                        int(resolve(p.get("Columns", 1)) or 1))
+                elif pred == 2:
+                    data = _apply_tiff_predictor(
+                        data,
+                        int(resolve(p.get("Colors", 1)) or 1),
+                        int(resolve(p.get("BitsPerComponent", 8)) or 8),
+                        int(resolve(p.get("Columns", 1)) or 1))
         elif f in ("DCTDecode", "JPXDecode", "CCITTFaxDecode",
                    "JBIG2Decode"):
             # opaque compressed image payloads pass through; the image
