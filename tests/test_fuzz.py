@@ -49,3 +49,52 @@ def test_mutated_pdf_never_raises(pos, length, junk):
 def test_truncations_never_raise(cut):
     r = parse_document(_BASE[:cut])
     assert isinstance(r.extracted_text, str)
+
+
+# -- round-2 codecs: garbage must yield TYPED errors, never hangs or
+# foreign tracebacks ---------------------------------------------------------
+
+@settings(max_examples=80, deadline=None)
+@given(data=st.binary(max_size=300))
+def test_jpeg_decoder_typed_errors(data):
+    from pdf2dom_ray.engine.jpeg import JpegError, decode_baseline_jpeg
+    try:
+        decode_baseline_jpeg(b"\xff\xd8" + data)
+    except JpegError:
+        pass
+
+
+@settings(max_examples=80, deadline=None)
+@given(data=st.binary(max_size=200))
+def test_ccitt_decoder_typed_errors(data):
+    from pdf2dom_ray.engine.ccitt import CcittError, decode_g3, decode_g4
+    for fn in (lambda d: decode_g4(d, 64, 4),
+               lambda d: decode_g3(d, 64, 4, k=0)):
+        try:
+            fn(data)
+        except CcittError:
+            pass
+
+
+@settings(max_examples=80, deadline=None)
+@given(data=st.binary(max_size=200))
+def test_lzw_decoder_typed_errors(data):
+    from pdf2dom_ray.engine.cos import PdfParseError, _lzw_decode
+    try:
+        _lzw_decode(data)
+    except PdfParseError:
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(max_size=160))
+def test_mutated_encrypted_pdf_never_raises(data):
+    """Splice junk into an encrypted PDF: parse_document must produce a
+    row (possibly an error row), never a traceback."""
+    from pdf2dom_ray.synth.corpus import doc_to_pdf
+    from pdf2dom_ray.synth.encrypt import encrypt_pdf
+    base = encrypt_pdf(doc_to_pdf(3, "fuzzable encrypted body"), "aesv2")
+    pos = (sum(data) * 131) % max(len(base) - len(data), 1)
+    mutated = base[:pos] + data + base[pos + len(data):]
+    r = parse_document(mutated)
+    assert r is not None
