@@ -582,7 +582,9 @@ def _q_sessionize(sf_dir: str):
 def _q_join_lang(sf_dir: str):
     """Hash join of the parsed output back to the pages table on url
     (SURVEY §2.4 note / §7.6), then a per-language aggregate."""
-    from pdf2dom_ray.pipelines.extract import extract_from_documents, synth_pages
+    import ray.data as rd
+    from pdf2dom_ray.pipelines.extract import extract_from_documents
+    from pdf2dom_ray.synth.corpus import URL_PREFIX
     from ray.data.aggregate import Count, Sum
 
     parsed = extract_from_documents(sf_dir).map_batches(
@@ -592,7 +594,16 @@ def _q_join_lang(sf_dir: str):
                 t.filter(pc.is_null(t.column("error"))).column("n_spans"),
                 pa.int64()),
         }), batch_format="pyarrow")
-    langs = synth_pages(sf_dir).select_columns(["url", "lang"])
+    # (url, lang) is a pure doc_id projection — no need to synthesize
+    # the PDF payloads a second time just to drop them
+    langs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"]).map_batches(
+        lambda t: pa.table({
+            "url": pa.array([f"{URL_PREFIX}{d}"
+                             for d in t.column("doc_id").to_pylist()],
+                            pa.string()),
+            "lang": t.column("lang"),
+        }), batch_format="pyarrow")
     joined = parsed.join(langs, join_type="inner", num_partitions=8,
                          on=("url",))
     agg = (joined.groupby("lang")
