@@ -151,7 +151,9 @@ def run_bench() -> dict:
     import __ray_entry__ as E
     qs = E.queries()
     for name in ("text_quality", "dedup_exact", "dedup_minhash",
-                 "ann_brute_topk", "events_hourly", "orders_by_segment"):
+                 "dedup_simhash", "dedup_embedding", "ann_brute_topk",
+                 "events_hourly", "events_sessionize",
+                 "orders_by_segment", "unigram_logprob"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
