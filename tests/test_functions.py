@@ -333,3 +333,30 @@ def test_unigram_logprob(ray_session):
     exp2 = (math.log(2 / 5) + math.log(1 / 5)) / 2
     assert out.loc[1, "mean_logprob"] == pytest.approx(exp1, abs=1e-6)
     assert out.loc[2, "mean_logprob"] == pytest.approx(exp2, abs=1e-6)
+
+
+def test_connected_components_random_graphs_match_union_find(ray_session):
+    """Distributed hash-min label propagation must equal driver
+    union-find on arbitrary random graphs (chains, cliques, isolates)."""
+    import ray.data as rd
+    from pdf2dom_ray.functions.dedup import (_union_find_roots,
+                                             connected_component_labels)
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        n_nodes = int(rng.integers(6, 40))
+        n_edges = int(rng.integers(1, 60))
+        a = rng.integers(0, n_nodes, n_edges).astype("int64")
+        b = rng.integers(0, n_nodes, n_edges).astype("int64")
+        keep = a != b
+        a, b = a[keep], b[keep]
+        if not len(a):
+            continue
+        edges = rd.from_items([{"a": int(x), "b": int(y)}
+                               for x, y in zip(a, b)])
+        dist = dict(connected_component_labels(edges, driver_edge_limit=0)
+                    .to_pandas().itertuples(index=False, name=None))
+        roots = _union_find_roots(a, b)
+        # union-find map only covers touched nodes; normalize both
+        expect = {n: roots.get(n, n) for n in set(a) | set(b)}
+        got = {n: dist.get(n, n) for n in set(a) | set(b)}
+        assert got == expect, (trial, got, expect)
