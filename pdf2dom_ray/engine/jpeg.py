@@ -148,6 +148,7 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
     progressive = False
     prog_init = False
     restart_interval = 0
+    adobe_transform = None
 
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -205,6 +206,8 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 p += 17 + nsym
         elif marker == 0xDD:        # DRI
             restart_interval = struct.unpack(">H", seg[0:2])[0]
+        elif marker == 0xEE and seg[:5] == b"Adobe":   # APP14
+            adobe_transform = seg[11] if len(seg) >= 12 else 0
         elif marker == 0xDA:        # SOS
             if frame is None:
                 raise JpegError("SOS before SOF")
@@ -217,7 +220,8 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
             ecs_start = pos + seglen
             if not progressive:
                 return _decode_scan(data, ecs_start, frame, scan, qt,
-                                    huff_dc, huff_ac, restart_interval)
+                                    huff_dc, huff_ac, restart_interval,
+                                    adobe_transform)
             if not prog_init:
                 _prog_init_frame(frame)
                 prog_init = True
@@ -233,7 +237,8 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
     if progressive and prog_init:
         comps = frame["comps"]
         return _reconstruct(frame["w"], frame["h"], comps,
-                            frame["hmax"], frame["vmax"], qt)
+                            frame["hmax"], frame["vmax"], qt,
+                            adobe_transform)
     raise JpegError("no SOS marker found")
 
 
@@ -299,13 +304,13 @@ def _decode_block(br: _BitReader, dc: _HuffLookup, ac: _HuffLookup,
 
 
 def _decode_scan(data, ecs_start, frame, scan, qt, huff_dc, huff_ac,
-                 restart_interval):
+                 restart_interval, adobe_transform=None):
     w, h = frame["w"], frame["h"]
     if w <= 0 or h <= 0 or w * h > 64_000_000:
         raise JpegError(f"bad dimensions {w}x{h}")
     comps = scan
     ncomp = len(comps)
-    if ncomp not in (1, 3):
+    if ncomp not in (1, 3, 4):
         raise JpegError(f"unsupported component count {ncomp}")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -349,13 +354,20 @@ def _decode_scan(data, ecs_start, frame, scan, qt, huff_dc, huff_ac,
                     c["blocks"][row * c["bw"] + col] = coef
         since_restart += 1
 
-    return _reconstruct(w, h, comps, hmax, vmax, qt)
+    return _reconstruct(w, h, comps, hmax, vmax, qt, adobe_transform)
 
 
-def _reconstruct(w, h, comps, hmax, vmax, qt) -> np.ndarray:
+def _reconstruct(w, h, comps, hmax, vmax, qt,
+                 adobe_transform=None) -> np.ndarray:
     """Coefficient stores → pixels: dequantize + dezigzag + batched
-    matrix IDCT + chroma upsample + YCbCr→RGB (shared by the
-    sequential and progressive paths)."""
+    matrix IDCT + chroma upsample + color conversion (shared by the
+    sequential and progressive paths).
+
+    4-component images follow the Adobe convention (APP14): samples are
+    INVERTED CMYK; transform 2 additionally stores the first three
+    channels as YCbCr of the inverted CMY (YCCK). Final mapping:
+    RGB = stored_CMY · stored_K / 255 — exact for Adobe-written files
+    and the identity for K=0 fixtures."""
     planes = []
     for c in comps:
         if c["tq"] not in qt:
@@ -376,13 +388,27 @@ def _reconstruct(w, h, comps, hmax, vmax, qt) -> np.ndarray:
 
     if len(comps) == 1:
         return planes[0]
-    y = planes[0].astype(np.float64)
-    cb = planes[1].astype(np.float64) - 128.0
-    cr = planes[2].astype(np.float64) - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    rgb = np.stack([r, g, b], axis=-1)
+
+    def ycbcr_to_rgb(p0, p1, p2):
+        y = p0.astype(np.float64)
+        cb = p1.astype(np.float64) - 128.0
+        cr = p2.astype(np.float64) - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        return np.stack([r, g, b], axis=-1)
+
+    if len(comps) == 4:
+        if adobe_transform == 2:      # YCCK → inverted CMY
+            cmy = ycbcr_to_rgb(planes[0], planes[1], planes[2])
+        else:                         # raw (inverted) CMYK
+            cmy = np.stack([p.astype(np.float64) for p in planes[:3]],
+                           axis=-1)
+        k = planes[3].astype(np.float64)[..., np.newaxis]
+        rgb = np.clip(cmy, 0, 255) * k / 255.0
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+    rgb = ycbcr_to_rgb(planes[0], planes[1], planes[2])
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
@@ -1102,5 +1128,74 @@ def encode_progressive_jpeg(img: np.ndarray, quality: int = 85,
             out += bytes(counts) + bytes(symbols)
     for s in scans:
         out += s
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def encode_cmyk_jpeg(stored: np.ndarray, quality: int = 85,
+                     transform: int = 0) -> bytes:
+    """(H, W, 4) STORED-sample array (Adobe-inverted CMYK convention)
+    → 4-component baseline JFIF with an APP14 Adobe marker.
+    ``transform=2`` stores the first three channels as YCbCr of the
+    inverted CMY (YCCK). Fixture encoder for the 4-component decode
+    path; 4:4:4 only."""
+    if stored.ndim != 3 or stored.shape[2] != 4:
+        raise JpegError("encode_cmyk_jpeg wants (H, W, 4) samples")
+    h, w = stored.shape[:2]
+    planes = [stored[..., i].astype(np.float64) for i in range(4)]
+    if transform == 2:
+        r, g, b = planes[0], planes[1], planes[2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr, planes[3]]
+    planes = [p - 128.0 for p in planes]
+    qtab = _scale_q(_QL, quality)
+    dc_codes = _enc_codes(*_STD_DC_L)
+    ac_codes = _enc_codes(*_STD_AC_L)
+    bw_blocks, bh_blocks = (w + 7) // 8, (h + 7) // 8
+
+    zz = []
+    for p in planes:
+        pp = np.zeros((bh_blocks * 8, bw_blocks * 8), dtype=np.float64)
+        pp[:h, :w] = p
+        if h < bh_blocks * 8:
+            pp[h:, :w] = p[-1:, :]
+        if w < bw_blocks * 8:
+            pp[:, w:] = pp[:, w - 1:w]
+        blocks = pp.reshape(bh_blocks, 8, bw_blocks, 8) \
+            .transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        dct = np.einsum("ij,njk,kl->nil", _C, blocks, _C.T)
+        q = qtab.reshape(8, 8)[np.newaxis]
+        zz.append(np.round(dct / q).astype(np.int32)
+                  .reshape(-1, 64)[:, _ZIGZAG])
+
+    bwri = _BitWriter()
+    preds = [0, 0, 0, 0]
+    for bi in range(bh_blocks * bw_blocks):
+        for ci in range(4):
+            preds[ci] = _encode_block(bwri, zz[ci][bi], preds[ci],
+                                      dc_codes, ac_codes)
+    bwri.flush()
+
+    out = bytearray(b"\xFF\xD8")
+    adobe = b"Adobe" + struct.pack(">HHHB", 100, 0, 0, transform)
+    out += b"\xFF\xEE" + struct.pack(">H", 2 + len(adobe)) + adobe
+    out += b"\xFF\xDB" + struct.pack(">HB", 67, 0) + bytes(
+        int(x) for x in qtab[_ZIGZAG])
+    out += b"\xFF\xC0" + struct.pack(">HBHHB", 8 + 12, 8, h, w, 4)
+    for ci in range(4):
+        out += bytes([ci + 1, 0x11, 0])
+    counts, symbols = _STD_DC_L
+    out += b"\xFF\xC4" + struct.pack(">HB", 3 + 16 + len(symbols), 0x00)
+    out += bytes(counts) + bytes(symbols)
+    counts, symbols = _STD_AC_L
+    out += b"\xFF\xC4" + struct.pack(">HB", 3 + 16 + len(symbols), 0x10)
+    out += bytes(counts) + bytes(symbols)
+    out += b"\xFF\xDA" + struct.pack(">HB", 6 + 8, 4)
+    for ci in range(4):
+        out += bytes([ci + 1, 0x00])
+    out += b"\x00\x3F\x00"
+    out += bwri.out
     out += b"\xFF\xD9"
     return bytes(out)

@@ -262,3 +262,27 @@ def test_ccitt_g3_roundtrip_and_pdf():
         assert r.error is None
         assert r.n_images == 1
         assert 'src="data:image/png;base64,' in r.html_dom
+
+
+@pytest.mark.parametrize("transform", [0, 2])
+def test_cmyk_jpeg_decode(transform):
+    """4-component Adobe CMYK/YCCK: stored inverted-CMYK samples map to
+    RGB = CMY·K/255 (identity at stored K=255)."""
+    from pdf2dom_ray.engine.jpeg import (decode_baseline_jpeg,
+                                         encode_cmyk_jpeg)
+    stored = np.zeros((24, 32, 4), np.uint8)
+    stored[..., 0] = 180
+    stored[..., 1] = 60
+    stored[..., 2] = 220
+    stored[..., 3] = 255
+    dec = decode_baseline_jpeg(encode_cmyk_jpeg(stored, 92,
+                                                transform=transform))
+    assert dec.shape == (24, 32, 3)
+    means = dec.reshape(-1, 3).mean(axis=0)
+    assert np.allclose(means, [180, 60, 220], atol=3)
+    half = stored.copy()
+    half[..., 3] = 128
+    dec2 = decode_baseline_jpeg(encode_cmyk_jpeg(half, 92,
+                                                 transform=transform))
+    assert np.allclose(dec2.reshape(-1, 3).mean(axis=0),
+                       np.array([180, 60, 220]) * 128 / 255, atol=3)
