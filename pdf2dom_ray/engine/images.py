@@ -32,9 +32,41 @@ class UnsupportedImageError(Exception):
     pass
 
 
-def decode_image(doc, xobj: Stream) -> np.ndarray:
-    """Decode an Image XObject into an (H, W, 3) uint8 RGB array."""
+def decode_image(doc, xobj: Stream,
+                 fill_rgb: tuple[float, float, float] | None = None
+                 ) -> np.ndarray:
+    """Decode an Image XObject into an (H, W, 3) uint8 RGB array —
+    or, for ``/ImageMask true`` stencil masks, an (H, W, 4) RGBA array
+    painted with ``fill_rgb`` (the current non-stroking color, like
+    PDFBox's stencil ``getImage``/``getOpaqueImage`` path) where the
+    mask paints, transparent elsewhere."""
     d = xobj.dict
+    if doc.resolve(d.get("ImageMask")) is True:
+        w = int(doc.resolve(d.get("Width", 0)) or 0)
+        h = int(doc.resolve(d.get("Height", 0)) or 0)
+        if w <= 0 or h <= 0 or w * h > 64_000_000:
+            raise UnsupportedImageError(f"bad mask dims {w}x{h}")
+        try:
+            data = xobj.data()
+        except PdfParseError as e:
+            raise UnsupportedImageError(str(e)) from e
+        row_bytes = (w + 7) // 8
+        if len(data) < row_bytes * h:
+            raise UnsupportedImageError("truncated image mask data")
+        bits = np.unpackbits(
+            np.frombuffer(data[:row_bytes * h], dtype=np.uint8)
+            .reshape(h, row_bytes), axis=1)[:, :w]
+        dec = doc.resolve(d.get("Decode"))
+        # default Decode [0 1]: sample 0 paints; [1 0] inverts
+        paints = (bits == 1) if (isinstance(dec, list) and len(dec) == 2
+                                 and float(dec[0]) == 1.0) else (bits == 0)
+        r, g, b = fill_rgb if fill_rgb is not None else (0.0, 0.0, 0.0)
+        out = np.zeros((h, w, 4), dtype=np.uint8)
+        out[paints, 0] = int(r * 255) & 0xFF
+        out[paints, 1] = int(g * 255) & 0xFF
+        out[paints, 2] = int(b * 255) & 0xFF
+        out[paints, 3] = 255
+        return out
     filt = doc.resolve(d.get("Filter"))
     filters = filt if isinstance(filt, list) else ([filt] if filt else [])
     if any(f in ("JPXDecode", "JBIG2Decode") for f in filters):

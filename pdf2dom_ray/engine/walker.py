@@ -739,7 +739,9 @@ class Walker:
 
     def _process_image(self, xo: Stream) -> None:
         try:
-            img = decode_image(self.doc, xo)
+            fill = _components_to_rgb(self.gs.nonstroke_cs,
+                                      self.gs.nonstroke_comps) or (0, 0, 0)
+            img = decode_image(self.doc, xo, fill_rgb=fill)
         except UnsupportedImageError:
             img = None
         ctm = self.gs.ctm

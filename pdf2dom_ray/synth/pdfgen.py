@@ -161,6 +161,14 @@ class PageSpec:
             "quality": quality, "subsampling": subsampling,
             "progressive": progressive}
 
+    def use_mask_image(self, res_name: str, bitmap: np.ndarray,
+                       decode_inverted: bool = False) -> None:
+        """Embed an /ImageMask true stencil (1-bit; sample 0 paints by
+        default, Decode [1 0] when ``decode_inverted``)."""
+        self.images[res_name] = {
+            "mask": np.ascontiguousarray(bitmap, np.uint8),
+            "inverted": decode_inverted}
+
     def use_ccitt_image(self, res_name: str, bitmap: np.ndarray,
                         k: int = -1) -> None:
         """Embed a 1-bit image XObject with /Filter /CCITTFaxDecode
@@ -381,6 +389,25 @@ class PdfBuilder:
                             f"/BBox [0 0 612 792] /Matrix [{mtx}]{fres} "
                             f"/Length {len(body)} >>").encode()
                             + b"\nstream\n" + body + b"\nendstream")
+                    elif "mask" in spec:
+                        bm = spec["mask"]      # 1 = painted sample
+                        h, w = bm.shape[:2]
+                        # pack bits: default Decode → sample 0 paints
+                        samples = (bm == 0).astype(np.uint8) if \
+                            not spec["inverted"] else bm.astype(np.uint8)
+                        row_bytes = (w + 7) // 8
+                        padded = np.zeros((h, row_bytes * 8), np.uint8)
+                        padded[:, :w] = samples
+                        data = zlib.compress(
+                            np.packbits(padded, axis=1).tobytes(), 6)
+                        dec = " /Decode [1 0]" if spec["inverted"] else ""
+                        num = add((
+                            f"<< /Type /XObject /Subtype /Image /Width {w} "
+                            f"/Height {h} /ImageMask true "
+                            f"/BitsPerComponent 1{dec} "
+                            f"/Filter /FlateDecode "
+                            f"/Length {len(data)} >>").encode()
+                            + b"\nstream\n" + data + b"\nendstream")
                     elif "ccitt" in spec:
                         from ..engine.ccitt import encode_g3, encode_g4
                         bm = spec["ccitt"]

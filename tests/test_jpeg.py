@@ -286,3 +286,30 @@ def test_cmyk_jpeg_decode(transform):
                                                  transform=transform))
     assert np.allclose(dec2.reshape(-1, 3).mean(axis=0),
                        np.array([180, 60, 220]) * 128 / 255, atol=3)
+
+
+@pytest.mark.parametrize("inverted", [False, True])
+def test_image_mask_stencil(inverted):
+    """/ImageMask true paints the current non-stroking color where the
+    mask paints, transparent elsewhere (PDFBox stencil getImage path)."""
+    from pdf2dom_ray.engine.parse import parse_document
+    from pdf2dom_ray.functions.multimodal import decode_engine_png
+    from pdf2dom_ray.synth.pdfgen import PageSpec, PdfBuilder
+
+    bm = np.zeros((8, 12), np.uint8)
+    bm[2:6, 3:9] = 1                   # painted region
+    b = PdfBuilder(title="stencil")
+    p = PageSpec()
+    p.use_mask_image("Im0", bm, decode_inverted=inverted)
+    p.raw(b"1 0 0 rg")                 # red non-stroking color
+    p.draw_image("Im0", 100, 600, 48, 32)
+    b.add_page(p)
+    r = parse_document(b.build())
+    assert r.error is None
+    assert r.n_images == 1
+    m = re.search(r'src="data:image/png;base64,([^"]+)"', r.html_dom)
+    assert m
+    png = decode_engine_png(base64.b64decode(m.group(1)))
+    assert png.shape == (8, 12, 4)
+    assert png[4, 6, 0] == 255 and png[4, 6, 3] == 255   # red, opaque
+    assert png[0, 0, 3] == 0                             # transparent
