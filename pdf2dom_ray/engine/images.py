@@ -32,14 +32,119 @@ class UnsupportedImageError(Exception):
     pass
 
 
+def _resolve_cs(doc, cs):
+    """ColorSpace entry → ("rgb"|"gray"|"cmyk", None) or
+    ("indexed", (base_kind, palette_bytes)). CalRGB/CalGray map to the
+    device spaces; ICCBased maps by /N (PDFBox alternate-space path)."""
+    cs = doc.resolve(cs)
+    if cs is None:
+        return ("gray", None)
+    if isinstance(cs, str):
+        if cs in ("DeviceRGB", "CalRGB"):
+            return ("rgb", None)
+        if cs in ("DeviceGray", "CalGray"):
+            return ("gray", None)
+        if cs == "DeviceCMYK":
+            return ("cmyk", None)
+        raise UnsupportedImageError(f"unsupported colorspace {cs}")
+    if isinstance(cs, list) and cs:
+        head = str(doc.resolve(cs[0]))
+        if head == "ICCBased" and len(cs) >= 2:
+            stm = doc.resolve(cs[1])
+            n = 3
+            if isinstance(stm, Stream):
+                n = int(doc.resolve(stm.dict.get("N", 3)) or 3)
+            kind = {1: "gray", 3: "rgb", 4: "cmyk"}.get(n)
+            if kind is None:
+                raise UnsupportedImageError(f"ICCBased N={n}")
+            return (kind, None)
+        if head == "Indexed" and len(cs) >= 4:
+            base_kind, _ = _resolve_cs(doc, cs[1])
+            if base_kind == "indexed":
+                raise UnsupportedImageError("nested Indexed colorspace")
+            lookup = doc.resolve(cs[3])
+            if isinstance(lookup, Stream):
+                lookup = lookup.data()
+            if not isinstance(lookup, bytes):
+                raise UnsupportedImageError("bad Indexed lookup")
+            return ("indexed", (base_kind, lookup))
+        if head in ("CalRGB", "Lab"):
+            return ("rgb", None)
+        if head == "CalGray":
+            return ("gray", None)
+    raise UnsupportedImageError(f"unsupported colorspace {cs!r}")
+
+
+_NCOMP = {"rgb": 3, "gray": 1, "cmyk": 4, "indexed": 1}
+
+
+def _unpack_samples(data: bytes, w: int, h: int, ncomp: int,
+                    bpc: int) -> np.ndarray:
+    """Raster bytes → (h, w, ncomp) int sample array (rows padded to
+    byte boundaries for bpc < 8)."""
+    if bpc == 8:
+        need = w * h * ncomp
+        if len(data) < need:
+            raise UnsupportedImageError("truncated image data")
+        return np.frombuffer(data[:need], dtype=np.uint8)             .reshape(h, w, ncomp).astype(np.int32)
+    if bpc in (1, 2, 4):
+        row_bits = w * ncomp * bpc
+        row_bytes = (row_bits + 7) // 8
+        need = row_bytes * h
+        if len(data) < need:
+            raise UnsupportedImageError("truncated image data")
+        bits = np.unpackbits(
+            np.frombuffer(data[:need], dtype=np.uint8).reshape(h, row_bytes),
+            axis=1)[:, :w * ncomp * bpc]
+        grouped = bits.reshape(h, w * ncomp, bpc)
+        weights = (1 << np.arange(bpc - 1, -1, -1)).astype(np.int32)
+        vals = (grouped * weights).sum(axis=2)
+        return vals.reshape(h, w, ncomp)
+    raise UnsupportedImageError(f"unsupported BitsPerComponent {bpc}")
+
+
+def _cmyk_to_rgb(c, m, y, k):
+    """Engine-wide CMYK convention (walker._components_to_rgb parity)."""
+    r = 1.0 - np.minimum(1.0, c + k)
+    g = 1.0 - np.minimum(1.0, m + k)
+    b = 1.0 - np.minimum(1.0, y + k)
+    return np.stack([r, g, b], axis=-1)
+
+
 def decode_image(doc, xobj: Stream,
                  fill_rgb: tuple[float, float, float] | None = None
                  ) -> np.ndarray:
-    """Decode an Image XObject into an (H, W, 3) uint8 RGB array —
-    or, for ``/ImageMask true`` stencil masks, an (H, W, 4) RGBA array
-    painted with ``fill_rgb`` (the current non-stroking color, like
-    PDFBox's stencil ``getImage``/``getOpaqueImage`` path) where the
-    mask paints, transparent elsewhere."""
+    """Decode an Image XObject into an (H, W, 3) uint8 RGB array (or
+    (H, W, 4) RGBA when an /SMask soft mask or /ImageMask stencil
+    contributes alpha)."""
+    img = _decode_image_base(doc, xobj, fill_rgb)
+    if img.shape[2] == 4:          # stencil already carries alpha
+        return img
+    smask = doc.resolve(xobj.dict.get("SMask"))
+    if isinstance(smask, Stream):
+        try:
+            alpha_img = _decode_image_base(doc, smask, None)
+        except UnsupportedImageError:
+            return img
+        alpha = alpha_img[..., 0]
+        h, w = img.shape[:2]
+        if alpha.shape != (h, w):   # nearest-neighbour resize
+            yi = (np.arange(h) * alpha.shape[0] // h).clip(
+                0, alpha.shape[0] - 1)
+            xi = (np.arange(w) * alpha.shape[1] // w).clip(
+                0, alpha.shape[1] - 1)
+            alpha = alpha[yi][:, xi]
+        return np.concatenate([img, alpha[..., np.newaxis]], axis=2)
+    return img
+
+
+def _decode_image_base(doc, xobj: Stream,
+                       fill_rgb: tuple[float, float, float] | None = None
+                       ) -> np.ndarray:
+    """Single-image decode (no soft mask): (H, W, 3) RGB, or (H, W, 4)
+    RGBA for ``/ImageMask true`` stencils painted with ``fill_rgb``
+    (the current non-stroking color, like PDFBox's stencil
+    ``getImage`` path), transparent elsewhere."""
     d = xobj.dict
     if doc.resolve(d.get("ImageMask")) is True:
         w = int(doc.resolve(d.get("Width", 0)) or 0)
@@ -134,28 +239,35 @@ def decode_image(doc, xobj: Stream,
                 f"{w}x{h}")
         return img
 
-    if cs_name == "DeviceRGB" and bpc == 8:
-        need = w * h * 3
-        if len(data) < need:
-            raise UnsupportedImageError("truncated RGB image data")
-        return np.frombuffer(data[:need], dtype=np.uint8).reshape(h, w, 3).copy()
-    if cs_name == "DeviceGray" and bpc == 8:
-        need = w * h
-        if len(data) < need:
-            raise UnsupportedImageError("truncated gray image data")
-        g = np.frombuffer(data[:need], dtype=np.uint8).reshape(h, w)
+    kind, extra = _resolve_cs(doc, cs)
+    samples = _unpack_samples(data, w, h, _NCOMP[kind], bpc)
+    maxval = float((1 << bpc) - 1)
+    if kind == "rgb":
+        return np.round(samples * (255.0 / maxval)).astype(np.uint8)
+    if kind == "gray":
+        g = np.round(samples[..., 0] * (255.0 / maxval)).astype(np.uint8)
         return np.stack([g] * 3, axis=-1)
-    if cs_name == "DeviceGray" and bpc == 1:
-        row_bytes = (w + 7) // 8
-        need = row_bytes * h
-        if len(data) < need:
-            raise UnsupportedImageError("truncated 1-bit image data")
-        bits = np.unpackbits(
-            np.frombuffer(data[:need], dtype=np.uint8).reshape(h, row_bytes),
-            axis=1)[:, :w]
-        g = (bits * 255).astype(np.uint8)
-        return np.stack([g] * 3, axis=-1)
-    raise UnsupportedImageError(f"unsupported colorspace/bpc {cs_name}/{bpc}")
+    if kind == "cmyk":
+        f = samples.astype(np.float64) / maxval
+        rgb = _cmyk_to_rgb(f[..., 0], f[..., 1], f[..., 2], f[..., 3])
+        return np.round(rgb * 255.0).astype(np.uint8)
+    # indexed: samples are palette indices into the base-space lookup
+    base_kind, lookup = extra
+    stride = _NCOMP[base_kind]
+    pal = np.frombuffer(lookup, dtype=np.uint8)
+    n_entries = len(pal) // stride
+    if n_entries == 0:
+        raise UnsupportedImageError("empty Indexed palette")
+    idx = np.minimum(samples[..., 0], n_entries - 1)
+    pal = pal[:n_entries * stride].reshape(n_entries, stride)
+    looked = pal[idx]                       # (h, w, stride)
+    if base_kind == "rgb":
+        return looked.astype(np.uint8)
+    if base_kind == "gray":
+        return np.repeat(looked, 3, axis=2).astype(np.uint8)
+    f = looked.astype(np.float64) / 255.0
+    rgb = _cmyk_to_rgb(f[..., 0], f[..., 1], f[..., 2], f[..., 3])
+    return np.round(rgb * 255.0).astype(np.uint8)
 
 
 def rotate_image_90s(img: np.ndarray, theta_radians: float) -> np.ndarray:

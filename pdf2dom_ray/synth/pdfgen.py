@@ -161,6 +161,18 @@ class PageSpec:
             "quality": quality, "subsampling": subsampling,
             "progressive": progressive}
 
+    def use_custom_image(self, res_name: str, dict_extra: str,
+                         data: bytes, compress: bool = True,
+                         smask: tuple | None = None) -> None:
+        """Escape hatch: image XObject with caller-supplied dictionary
+        entries (colorspace tests: Indexed palettes, ICCBased, CMYK,
+        SMask references). ``dict_extra`` is spliced into the dict;
+        /Length and /Filter (when ``compress``) are added. ``smask`` =
+        (dict_extra, data) builds a soft-mask stream object and splices
+        an /SMask reference."""
+        self.images[res_name] = {"custom": data, "extra": dict_extra,
+                                 "compress": compress, "smask": smask}
+
     def use_mask_image(self, res_name: str, bitmap: np.ndarray,
                        decode_inverted: bool = False) -> None:
         """Embed an /ImageMask true stencil (1-bit; sample 0 paints by
@@ -389,6 +401,28 @@ class PdfBuilder:
                             f"/BBox [0 0 612 792] /Matrix [{mtx}]{fres} "
                             f"/Length {len(body)} >>").encode()
                             + b"\nstream\n" + body + b"\nendstream")
+                    elif "custom" in spec:
+                        extra = spec["extra"]
+                        if spec.get("smask"):
+                            sm_extra, sm_data = spec["smask"]
+                            sm_payload = zlib.compress(sm_data, 6)
+                            sm_num = add((
+                                f"<< /Type /XObject /Subtype /Image "
+                                f"{sm_extra} /Filter /FlateDecode "
+                                f"/Length {len(sm_payload)} >>").encode()
+                                + b"\nstream\n" + sm_payload
+                                + b"\nendstream")
+                            extra = f"{extra} /SMask {sm_num} 0 R"
+                        payload = spec["custom"]
+                        filt = ""
+                        if spec["compress"]:
+                            payload = zlib.compress(payload, 6)
+                            filt = " /Filter /FlateDecode"
+                        num = add((
+                            f"<< /Type /XObject /Subtype /Image "
+                            f"{extra}{filt} "
+                            f"/Length {len(payload)} >>").encode()
+                            + b"\nstream\n" + payload + b"\nendstream")
                     elif "mask" in spec:
                         bm = spec["mask"]      # 1 = painted sample
                         h, w = bm.shape[:2]
