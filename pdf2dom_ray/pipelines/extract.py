@@ -39,12 +39,14 @@ def extract(pages: rd.Dataset, config: PdfDomConfig = DEFAULT_CONFIG, *,
             emit_html: bool = True,
             batch_size: int = 64,
             concurrency=None,
-            skew_threshold: int = 8 * 1024 * 1024) -> rd.Dataset:
+            skew_threshold: int = 1024 * 1024) -> rd.Dataset:
     """Parse a pages Dataset into the output table (OUTPUT_SCHEMA).
 
     ``concurrency``: actor-pool size (or (min, max)); None sizes an
     autoscaling pool to the cluster CPUs. ``skew_threshold``: byte size
-    above which a document is routed to the singleton-batch giant pool.
+    above which a document is parsed alone and yielded as its own
+    output block inside the parser stage (1 MB ≈ 6 s of kernel work —
+    anything slower must not hide inside a batch of small docs).
     """
     if concurrency is None:
         # autoscaling (hi/2, hi) with hi = cpus − 2: headroom for

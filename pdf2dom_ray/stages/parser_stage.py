@@ -120,7 +120,7 @@ class PdfDomParser:
 
     def __init__(self, config: PdfDomConfig | None = None,
                  emit_html: bool = True,
-                 skew_threshold: int = 8 * 1024 * 1024):
+                 skew_threshold: int = 1024 * 1024):
         # once per actor: config + warm state (compiled regexes and the
         # standard-14 metric tables are module-level singletons, loaded
         # at import time in this worker process)
