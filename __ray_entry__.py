@@ -39,9 +39,8 @@ _BPE_SQL_PATTERN = _bpe_sql_pattern()
 # SimHash Hamming radius (≤12 of 64 bits) is pigeonhole-guaranteed by
 # 13 bands — verified exhaustively against driver union-find at
 # sf0.001 and sf0.01.
-_NEAR_DUP_CLUSTER_SQL = """
-    WITH RECURSIVE
-    w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+_NEAR_DUP_CLUSTER_BODY = """
+    w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM {base}),
     sh AS (SELECT doc_id,
              CASE WHEN len(w) < 3 THEN [text]
                   ELSE list_distinct(list_transform(
@@ -56,11 +55,53 @@ _NEAR_DUP_CLUSTER_SQL = """
                  > 0.5),
     edges AS (SELECT ea, eb FROM e0 UNION ALL SELECT eb, ea FROM e0),
     reach AS (
-        SELECT doc_id AS src, doc_id AS node FROM documents
+        SELECT doc_id AS src, doc_id AS node FROM {base}
         UNION
         SELECT r.src, e.eb AS node FROM reach r JOIN edges e ON r.node = e.ea)
-    SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src
 """
+
+_NEAR_DUP_CLUSTER_SQL = ("WITH RECURSIVE "
+                         + _NEAR_DUP_CLUSTER_BODY.format(base="documents")
+                         + """
+    SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src
+""")
+
+# Gopher-passing predicate as a reusable CTE chain producing `passing`
+# (doc_id, text) — mirrored from functions.text_stats.gopher_quality.
+_GOPHER_PASSING_CTE = """
+    gt AS (SELECT doc_id, text, string_split(text, ' ') AS gw,
+                  length(text) AS gl FROM documents),
+    gs AS (SELECT doc_id, text,
+             CASE WHEN gl = 0 THEN 0 ELSE len(gw) END AS n_words,
+             CASE WHEN gl = 0 THEN 0.0 ELSE
+               round(CAST(list_sum(list_transform(gw, x -> length(x)))
+                          AS DOUBLE) / len(gw), 6) END AS mean_word_len,
+             CASE WHEN gl = 0 THEN 0.0 ELSE
+               round(CAST(len(list_filter(gw,
+                     x -> regexp_matches(x, '[A-Za-z]')))
+                          AS DOUBLE) / len(gw), 6) END AS alpha_ratio,
+             CASE WHEN gl > 0 AND len(list_filter(gw,
+                     x -> x IN {stops})) > 0
+                  THEN 1 ELSE 0 END AS has_stopword
+           FROM gt),
+    passing AS (SELECT doc_id, text FROM gs
+                WHERE n_words >= 3 AND mean_word_len >= 1.0
+                  AND mean_word_len <= 10.0 AND alpha_ratio >= 0.8
+                  AND has_stopword = 1)
+"""
+
+# Composite pipeline oracle: quality filter → near-dup CC over the
+# SURVIVING docs → keep each cluster's min doc_id.
+_CORPUS_PIPELINE_SQL = ("WITH RECURSIVE "
+                        + _GOPHER_PASSING_CTE.format(
+                            stops="('the', 'a', 'of', 'and', 'to')")
+                        + ", "
+                        + _NEAR_DUP_CLUSTER_BODY.format(base="passing")
+                        + """
+    SELECT src AS doc_id
+    FROM (SELECT src, min(node) AS m FROM reach GROUP BY src)
+    WHERE src = m
+""")
 
 # Replicates functions.text_stats.LangId._predict token-for-token: CJK
 # script-ratio gate, then stopword-profile argmax with first-language
@@ -170,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         # -- dedup family
         "dedup_exact": _q_dedup_exact,
+        "corpus_dedup_pipeline": _q_corpus_pipeline,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         # -- similarity search / embedding dedup
@@ -279,6 +321,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash": _NEAR_DUP_CLUSTER_SQL,
         "dedup_simhash": _NEAR_DUP_CLUSTER_SQL,
+        "corpus_dedup_pipeline": _CORPUS_PIPELINE_SQL,
         "lang_id": _LANG_ID_SQL,
         "ann_lsh_topk": f"""
             WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -483,6 +526,30 @@ def _q_lang_id(sf_dir: str):
     from pdf2dom_ray.functions.text_stats import lang_id
     return lang_id(rd.read_parquet(f"{sf_dir}/documents.parquet",
                                    columns=["doc_id", "text"]))
+
+
+def _q_corpus_pipeline(sf_dir: str):
+    """Composite training-data pipeline: Gopher quality filter →
+    MinHash near-dup clustering over the survivors → keep the min
+    doc_id of each cluster. The headline LLM-data flow, end to end."""
+    import pyarrow.compute as pc
+    from pdf2dom_ray.functions.dedup import minhash_cluster
+    from pdf2dom_ray.functions.text_stats import gopher_quality_batch
+
+    docs = _documents(sf_dir)
+
+    def keep_passing(t: pa.Table) -> pa.Table:
+        q = gopher_quality_batch(t)
+        return t.filter(q.column("passes"))
+
+    passing = docs.map_batches(keep_passing, batch_format="pyarrow")
+    clusters = minhash_cluster(passing)
+    survivors = clusters.map_batches(
+        lambda t: pa.table({"doc_id": t.filter(
+            pc.equal(t.column("doc_id"), t.column("cluster_id")))
+            .column("doc_id")}),
+        batch_format="pyarrow")
+    return survivors
 
 
 def _q_dedup_exact(sf_dir: str):
