@@ -68,10 +68,14 @@ def _resolve_cs(doc, cs):
             if not isinstance(lookup, bytes):
                 raise UnsupportedImageError("bad Indexed lookup")
             return ("indexed", (base_kind, lookup))
-        if head in ("CalRGB", "Lab"):
+        if head == "CalRGB":
             return ("rgb", None)
         if head == "CalGray":
             return ("gray", None)
+        if head in ("Lab", "Separation", "DeviceN"):
+            # honest degradation: decoding these as another space would
+            # render wrong colors silently
+            raise UnsupportedImageError(f"unsupported colorspace {head}")
     raise UnsupportedImageError(f"unsupported colorspace {cs!r}")
 
 
