@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_span_stats": _q_span_stats,
         "extract_errors": _q_errors,
         "extract_full": _q_full,                      # rows-only
+        "html_main_text": _q_html_main,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
         "text_quality": _q_quality,
@@ -253,6 +254,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_errors": f"""
             SELECT {_URL_SQL} AS url FROM documents WHERE doc_id % 97 = 13
+        """,
+        # htmlgen rules (synth/htmlgen.py docstring): article carries the
+        # doc text in ceil(n_words / (8 + doc_id%7)) paragraphs; nav +
+        # one-of(breadcrumb|sidebar) + footer always, ad at %4==1,
+        # share bar at %5==3; <h1>Doc N</h1> becomes the title.
+        "html_main_text": f"""
+            SELECT {_URL_SQL} AS url,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                   text AS main_text,
+                   CAST(4 + CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END
+                          + CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END
+                          + ceil(len(string_split(text, ' '))
+                                 / CAST(8 + doc_id % 7 AS DOUBLE))
+                        AS BIGINT) AS n_blocks,
+                   CAST(3 + CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END
+                          + CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_boilerplate
+            FROM documents
         """,
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents
@@ -483,6 +502,25 @@ def _q_errors(sf_dir: str):
 
 def _q_full(sf_dir: str):
     return _extracted(sf_dir, emit_html=True, emit_spans=True)
+
+
+def _q_html_main(sf_dir: str):
+    """HTML boilerplate strip (north_rule: main-content extraction over
+    Common-Crawl-style pages). Payloads synthesized by htmlgen rules;
+    the extractor is the feature-based kernel in engine/htmltext.py."""
+    from pdf2dom_ray.pipelines.html_extract import extract_html_from_documents
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t.column("url"),
+            "title": t.column("title"),
+            "main_text": pc.replace_substring(t.column("main_text"),
+                                              "\n", " "),
+            "n_blocks": t.column("n_blocks"),
+            "n_boilerplate": t.column("n_boilerplate"),
+        })
+    return extract_html_from_documents(sf_dir).map_batches(
+        project, batch_format="pyarrow")
 
 
 def _q_fingerprint(sf_dir: str):

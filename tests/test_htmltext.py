@@ -1,0 +1,118 @@
+"""HTML boilerplate strip: kernel unit tests + Ray stage E2E.
+
+Kernel spec: jusText/Boilerpipe-style shallow-text-block heuristics
+(engine/htmltext.py docstring). The synthetic corpus rules in
+synth/htmlgen.py are the SQL oracle for the driver query
+``html_main_text`` — the E2E test here locks the same invariant.
+"""
+
+import math
+
+import pytest
+
+from pdf2dom_ray.engine.htmltext import (MAX_LINK_DENSITY, classify_blocks,
+                                         extract_main, segment_blocks)
+from pdf2dom_ray.synth.htmlgen import doc_to_html, words_per_paragraph
+
+REALISTIC = b"""<!DOCTYPE html><html><head><title>t</title>
+<style>nav{color:red}</style><script>var x=1;</script></head><body>
+<header><nav><a href="/">Home</a> | <a href="/a">About</a> |
+<a href="/c">Contact</a></nav></header>
+<article><h1>Quarterly results beat expectations</h1>
+<p>The company reported revenue of four billion for the quarter,
+beating analyst expectations by a wide margin and raising its
+guidance for the rest of the year.</p>
+<p>Shares rose five percent in after-hours trading as investors
+digested the stronger than expected outlook, with analysts citing
+the cloud division as the main driver of the growth.</p>
+<p>More below.</p>
+<p>Margins expanded for the third consecutive quarter, helped by
+cost controls and a favorable shift in the overall product mix of
+the business according to the earnings call.</p></article>
+<ul><li><a href="/r1">Related story one</a></li>
+<li><a href="/r2">Related story two</a></li></ul>
+<div>&copy; 2024 Example Corp. All rights reserved.
+<a href="/p">Privacy</a></div>
+</body></html>"""
+
+
+def test_realistic_page_keeps_article_drops_chrome():
+    mc = extract_main(REALISTIC)
+    assert mc.title == "Quarterly results beat expectations"
+    paras = mc.main_text.split("\n")
+    assert len(paras) == 4
+    assert paras[0].startswith("The company reported revenue")
+    assert paras[2] == "More below."          # short → inherits good prev
+    assert "Home" not in mc.main_text         # nav stripped
+    assert "Related story" not in mc.main_text
+    assert "All rights reserved" not in mc.main_text
+    assert "var x=1" not in mc.main_text      # script skipped
+    assert "color:red" not in mc.main_text    # style skipped
+
+
+def test_link_density_feature():
+    blocks = segment_blocks(
+        b'<p><a href="/x">click here now</a> ok</p>'
+        b'<p>plain text with just <a href="/y">one</a> link in a long '
+        b'enough sentence to be content</p>')
+    assert blocks[0].link_density > MAX_LINK_DENSITY
+    assert blocks[1].link_density < MAX_LINK_DENSITY
+    classify_blocks(blocks)
+    assert blocks[0].label == "bad"
+    assert blocks[1].label == "good"
+
+
+def test_short_block_inherits_bad_neighbour():
+    blocks = classify_blocks(segment_blocks(
+        b'<nav><a href="/">Home</a> <a href="/n">News</a></nav>'
+        b'<div>Menu</div>'))  # short, prev is bad nav
+    assert [b.label for b in blocks] == ["bad", "bad"]
+
+
+def test_entities_and_li_blocks():
+    blocks = segment_blocks(b"<p>a &amp; b &lt;c&gt;</p><ul><li>x</li>"
+                            b"<li>y</li></ul>")
+    assert blocks[0].text == "a & b <c>"
+    assert [b.text for b in blocks[1:]] == ["x", "y"]
+
+
+def test_heading_is_title_not_body():
+    mc = extract_main(b"<h1>The Headline</h1><p>Body text long enough to "
+                      b"stand on its own as content.</p>")
+    assert mc.title == "The Headline"
+    assert "Headline" not in mc.main_text
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 5, 13, 23, 97])
+def test_synth_rules_roundtrip(doc_id):
+    text = " ".join(["alpha beta gamma delta epsilon zeta eta theta"] * 3)
+    mc = extract_main(doc_to_html(doc_id, text))
+    assert mc.title == f"Doc {doc_id}"
+    assert mc.main_text.replace("\n", " ") == text
+    n_para = math.ceil(len(text.split(" ")) / words_per_paragraph(doc_id))
+    n_bp = 3 + (doc_id % 4 == 1) + (doc_id % 5 == 3)
+    assert mc.n_boilerplate == n_bp
+    assert mc.n_blocks == n_bp + 1 + n_para
+
+
+def test_extract_determinism():
+    payload = doc_to_html(42, "one two three four five six seven eight "
+                              "nine ten eleven twelve")
+    a, b = extract_main(payload), extract_main(payload)
+    assert (a.title, a.main_text, a.n_blocks, a.n_boilerplate) == \
+           (b.title, b.main_text, b.n_blocks, b.n_boilerplate)
+
+
+def test_ray_stage_e2e(ray_session, sf_dir):
+    import pyarrow.parquet as pq
+    from pdf2dom_ray.pipelines.html_extract import extract_html_from_documents
+
+    out = extract_html_from_documents(sf_dir).to_pandas()
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    exp = {f"https://docs.synth.test/{d}": t
+           for d, t in zip(docs.doc_id, docs.text)}
+    assert len(out) == len(docs)
+    got = {u: t.replace("\n", " ")
+           for u, t in zip(out.url, out.main_text)}
+    assert got == exp
