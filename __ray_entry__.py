@@ -137,6 +137,64 @@ _LANG_ID_SQL = """
 """
 
 
+def _pii_sql() -> str:
+    """Same plant rules as functions.pii.plant_pii, same RE2 patterns
+    (DuckDB regexp_* is RE2, like pyarrow) — redaction order email →
+    phone → ip is part of the spec."""
+    from pdf2dom_ray.functions.pii import EMAIL_RE, IP_RE, PHONE_RE
+    e, p, i = EMAIL_RE, PHONE_RE, IP_RE
+    return f"""
+        WITH aug AS (
+          SELECT doc_id,
+            text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                 || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.example.com or call 555-'
+                 || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                              || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                         ELSE '' END AS t
+          FROM documents)
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(
+              t, '{e}', '<EMAIL>', 'g'), '{p}', '<PHONE>', 'g'),
+              '{i}', '<IP>', 'g') AS clean_text,
+          CAST(len(regexp_extract_all(t, '{e}')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(t, '{p}')) AS BIGINT) AS n_phones,
+          CAST(len(regexp_extract_all(t, '{i}')) AS BIGINT) AS n_ips
+        FROM aug
+    """
+
+
+_PII_SQL = _pii_sql()
+
+# Line-level dedup oracle: 10-word lines, strip lines in ≥2 docs
+# (mirrors functions.linedup rules — LINE_WORDS=10, min_docs=2).
+_LINE_DEDUP_SQL = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    nl AS (SELECT doc_id, w,
+                  unnest(generate_series(
+                      1, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS i
+           FROM w),
+    l AS (SELECT doc_id, i,
+                 array_to_string(list_slice(w, (i-1)*10 + 1,
+                                            least(i*10, len(w))), ' ')
+                     AS line
+          FROM nl),
+    c AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS n
+                            FROM l GROUP BY line) WHERE n >= 2)
+    SELECT doc_id,
+           coalesce(string_agg(line, ' ' ORDER BY i)
+                    FILTER (WHERE line NOT IN (SELECT line FROM c)), '')
+               AS kept_text,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (WHERE line IN (SELECT line FROM c))
+                AS BIGINT) AS n_dropped
+    FROM l GROUP BY doc_id
+"""
+
+
 def _lsh_bucket_sql(vec_expr: str, planes: int = 8, dim: int = 64) -> str:
     """SQL expression computing the SAME random-hyperplane LSH bucket
     as functions.ann._LshSigner (seeded plane matrix inlined as
@@ -210,6 +268,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": _q_gopher,
         "unigram_logprob": _q_unigram_logprob,
         "lang_id": _q_lang_id,
+        "pii_redact": _q_pii_redact,
+        "line_dedup": _q_line_dedup,
         # -- dedup family
         "dedup_exact": _q_dedup_exact,
         "corpus_dedup_pipeline": _q_corpus_pipeline,
@@ -338,6 +398,8 @@ def oracle_sql() -> dict[str, str]:
             FROM toks d JOIN cnt c USING (word)
             GROUP BY d.doc_id
         """,
+        "pii_redact": _PII_SQL,
+        "line_dedup": _LINE_DEDUP_SQL,
         "dedup_minhash": _NEAR_DUP_CLUSTER_SQL,
         "dedup_simhash": _NEAR_DUP_CLUSTER_SQL,
         "corpus_dedup_pipeline": _CORPUS_PIPELINE_SQL,
@@ -588,6 +650,30 @@ def _q_corpus_pipeline(sf_dir: str):
             .column("doc_id")}),
         batch_format="pyarrow")
     return survivors
+
+
+def _q_pii_redact(sf_dir: str):
+    """PII scrubbing: plant deterministic synthetic PII (docs carry
+    none), then vectorized RE2 redaction (functions/pii.py)."""
+    from pdf2dom_ray.functions.pii import plant_pii, redact_pii_batch
+
+    def aug(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "text": pa.array([plant_pii(d, x)
+                              for d, x in zip(ids, texts)], pa.string()),
+        })
+    return _documents(sf_dir).map_batches(aug, batch_format="pyarrow") \
+        .map_batches(redact_pii_batch, batch_format="pyarrow")
+
+
+def _q_line_dedup(sf_dir: str):
+    """CCNet-style line-level dedup: strip 10-word lines occurring in
+    ≥2 documents (functions/linedup.py)."""
+    from pdf2dom_ray.functions.linedup import common_line_filter
+    return common_line_filter(_documents(sf_dir), min_docs=2)
 
 
 def _q_dedup_exact(sf_dir: str):
