@@ -153,7 +153,8 @@ def run_bench() -> dict:
     for name in ("text_quality", "dedup_exact", "dedup_minhash",
                  "dedup_simhash", "dedup_embedding", "ann_brute_topk",
                  "events_hourly", "events_sessionize",
-                 "orders_by_segment", "unigram_logprob"):
+                 "orders_by_segment", "unigram_logprob",
+                 "html_main_text", "pii_redact", "line_dedup"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
