@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_errors": _q_errors,
         "extract_full": _q_full,                      # rows-only
         "html_main_text": _q_html_main,
+        "html_outlinks": _q_html_outlinks,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
         "text_quality": _q_quality,
@@ -332,6 +333,41 @@ def oracle_sql() -> dict[str, str]:
                           + CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END
                         AS BIGINT) AS n_boilerplate
             FROM documents
+        """,
+        # web-graph in-degree from the htmlgen link rules (nav/footer on
+        # every page; breadcrumb XOR sidebar by %3; ad %4==1; share bar
+        # %5==3 links the page to itself twice — canonicalization strips
+        # the #fragment; inline content link /ref at %6==2)
+        "html_outlinks": """
+            WITH l AS (
+              SELECT doc_id, unnest(['/', '/news', '/archive', '/about',
+                                     '/contact', '/privacy', '/terms'])
+                         AS path, FALSE AS is_content
+              FROM documents
+              UNION ALL
+              SELECT doc_id,
+                     unnest(['/', '/s' || CAST(doc_id % 5 AS VARCHAR)]),
+                     FALSE
+              FROM documents WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id, unnest(['/r0', '/r1', '/r2', '/r3']), FALSE
+              FROM documents WHERE doc_id % 3 <> 0
+              UNION ALL
+              SELECT doc_id, '/buy', FALSE FROM documents
+              WHERE doc_id % 4 = 1
+              UNION ALL
+              SELECT doc_id, unnest(['/' || CAST(doc_id AS VARCHAR),
+                                     '/' || CAST(doc_id AS VARCHAR)]),
+                     FALSE
+              FROM documents WHERE doc_id % 5 = 3
+              UNION ALL
+              SELECT doc_id, '/ref', TRUE FROM documents
+              WHERE doc_id % 6 = 2
+            )
+            SELECT 'https://docs.synth.test' || path AS target, is_content,
+                   CAST(count(*) AS BIGINT) AS n_refs,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM l GROUP BY 1, 2
         """,
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents
@@ -583,6 +619,15 @@ def _q_html_main(sf_dir: str):
         })
     return extract_html_from_documents(sf_dir).map_batches(
         project, batch_format="pyarrow")
+
+
+def _q_html_outlinks(sf_dir: str):
+    """Web-graph build: pages → canonicalized outlink edges →
+    per-target in-degree (content vs chrome links separated)."""
+    from pdf2dom_ray.pipelines.html_extract import (extract_outlinks_ds,
+                                                    outlink_degree,
+                                                    synth_html_pages)
+    return outlink_degree(extract_outlinks_ds(synth_html_pages(sf_dir)))
 
 
 def _q_fingerprint(sf_dir: str):

@@ -36,8 +36,10 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
+from urllib.parse import urljoin, urlsplit, urlunsplit
 
 __all__ = ["Block", "segment_blocks", "classify_blocks", "extract_main",
+           "canonical_url", "extract_outlinks",
            "MAX_LINK_DENSITY", "MIN_BLOCK_CHARS"]
 
 MAX_LINK_DENSITY = 0.33
@@ -72,6 +74,7 @@ class Block:
     text: str = ""
     link_chars: int = 0
     label: str = ""       # filled by classify_blocks
+    hrefs: list = field(default_factory=list)
 
     @property
     def n_chars(self) -> int:
@@ -98,21 +101,27 @@ class _BlockParser(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.blocks: list[Block] = []
         self._frags: list[tuple[str, bool]] = []
+        self._hrefs: list[str] = []
         self._cur_tag = "body"
         self._skip_depth = 0
         self._link_depth = 0
 
     # -- flush ------------------------------------------------------------
     def _flush(self) -> None:
-        if not self._frags:
+        if not self._frags and not self._hrefs:
             return
         raw = "".join(f for f, _ in self._frags)
         text = " ".join(raw.split())
-        if text:
+        if text or self._hrefs:
+            # text-less blocks (image links etc.) are kept so their
+            # hrefs survive for outlink extraction; they are never
+            # content and are excluded from block counts
             link_chars = sum(
                 len(" ".join(f.split())) for f, in_link in self._frags
                 if in_link)
-            self.blocks.append(Block(self._cur_tag, text, link_chars))
+            self.blocks.append(Block(self._cur_tag, text, link_chars,
+                                     hrefs=self._hrefs))
+            self._hrefs = []
         self._frags = []
 
     # -- HTMLParser hooks -------------------------------------------------
@@ -124,6 +133,9 @@ class _BlockParser(HTMLParser):
             return
         if tag == "a":
             self._link_depth += 1
+            href = next((v for k, v in attrs if k == "href"), None)
+            if href:
+                self._hrefs.append(href)
         elif tag in _BLOCK_TAGS:
             self._flush()
             if tag not in ("br", "hr"):
@@ -168,7 +180,9 @@ def segment_blocks(html: bytes | str) -> list[Block]:
 def classify_blocks(blocks: list[Block]) -> list[Block]:
     """Context-free labels, then the short-block context pass (in place)."""
     for b in blocks:
-        if b.tag in _HEADING_TAGS:
+        if not b.text:
+            b.label = "bad"   # href-only block: never content
+        elif b.tag in _HEADING_TAGS:
             b.label = "heading"
         elif b.link_density > MAX_LINK_DENSITY or _COPYRIGHT_RE.search(b.text):
             b.label = "bad"
@@ -208,7 +222,51 @@ class MainContent:
 def extract_main(html: bytes | str) -> MainContent:
     """Boilerplate-strip one page: (title, main_text, block counts)."""
     blocks = classify_blocks(segment_blocks(html))
-    title = next((b.text for b in blocks if b.tag == "h1"), "")
+    title = next((b.text for b in blocks if b.tag == "h1" and b.text), "")
     main_text = "\n".join(b.text for b in blocks if b.label == "good")
-    n_bad = sum(1 for b in blocks if b.label == "bad")
-    return MainContent(title, main_text, len(blocks), n_bad, blocks)
+    n_text = sum(1 for b in blocks if b.text)
+    n_bad = sum(1 for b in blocks if b.label == "bad" and b.text)
+    return MainContent(title, main_text, n_text, n_bad, blocks)
+
+
+_DEFAULT_PORT = {"http": ":80", "https": ":443"}
+
+
+def canonical_url(base: str, href: str) -> str | None:
+    """Resolve + canonicalize an outlink target.
+
+    Rules (the standard crawl-frontier normalization): resolve relative
+    against the page url, lowercase scheme/host, drop the fragment,
+    drop an explicit default port, empty path → "/". Non-fetchable
+    schemes (javascript:, mailto:, data:) → None.
+    """
+    try:
+        u = urlsplit(urljoin(base, href.strip()))
+    except ValueError:
+        return None
+    scheme = u.scheme.lower()
+    if scheme not in ("http", "https"):
+        return None
+    netloc = u.netloc.lower()
+    if netloc.endswith(_DEFAULT_PORT[scheme]):
+        netloc = netloc.rsplit(":", 1)[0]
+    return urlunsplit((scheme, netloc, u.path or "/", u.query, ""))
+
+
+def extract_outlinks(html: bytes | str, base_url: str) \
+        -> list[tuple[str, bool]]:
+    """(target, is_content) per canonicalized outlink of a page.
+
+    ``is_content`` = the link sits in a main-content (good) block vs
+    page chrome (nav / sidebar / footer / ads) — the distinction a
+    web-graph builder wants (content links carry editorial signal;
+    chrome links are template artifacts repeated site-wide).
+    """
+    blocks = classify_blocks(segment_blocks(html))
+    out: list[tuple[str, bool]] = []
+    for b in blocks:
+        for href in b.hrefs:
+            target = canonical_url(base_url, href)
+            if target is not None:
+                out.append((target, b.label == "good"))
+    return out

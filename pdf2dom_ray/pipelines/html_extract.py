@@ -24,7 +24,8 @@ from ..stages.pool import default_pool
 from ..synth.htmlgen import html_pages_batch_from_documents
 
 __all__ = ["HtmlMainExtractor", "extract_html_main",
-           "extract_html_from_documents", "synth_html_pages"]
+           "extract_html_from_documents", "synth_html_pages",
+           "OutlinkExtractor", "extract_outlinks_ds", "outlink_degree"]
 
 OUTPUT_SCHEMA = pa.schema([
     ("url", pa.string()),
@@ -87,3 +88,77 @@ def extract_html_main(pages: rd.Dataset, *, batch_size: int = 128,
 def extract_html_from_documents(sf_dir: str, **kw) -> rd.Dataset:
     """End-to-end: documents.parquet → synth HTML pages → main content."""
     return extract_html_main(synth_html_pages(sf_dir), **kw)
+
+
+# ---------------------------------------------------------------------------
+# outlinks / web graph
+# ---------------------------------------------------------------------------
+
+class OutlinkExtractor:
+    """Actor-pool UDF: page → (src, target, is_content) link rows.
+
+    Targets are canonicalized (resolve relative, lowercase host, strip
+    fragment/default port) by ``engine.htmltext.canonical_url``;
+    ``is_content`` marks links inside main-content blocks vs page
+    chrome."""
+
+    def __init__(self) -> None:
+        from ..engine.htmltext import extract_outlinks
+        self._links = extract_outlinks
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src, tgt, isc = [], [], []
+        for url, payload in zip(batch.column("url").to_pylist(),
+                                batch.column("html")):
+            for target, is_content in self._links(payload.as_py(), url):
+                src.append(url)
+                tgt.append(target)
+                isc.append(is_content)
+        return pa.table({"src": pa.array(src, pa.string()),
+                         "target": pa.array(tgt, pa.string()),
+                         "is_content": pa.array(isc, pa.bool_())})
+
+
+def extract_outlinks_ds(pages: rd.Dataset, *, batch_size: int = 128,
+                        concurrency=None) -> rd.Dataset:
+    """Pages → outlink edge rows (src, target, is_content)."""
+    if concurrency is None:
+        concurrency = default_pool()
+    return pages.select_columns(["url", "html"]).map_batches(
+        OutlinkExtractor, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
+def outlink_degree(links: rd.Dataset) -> rd.Dataset:
+    """Web-graph in-degree per (target, is_content): total reference
+    count and distinct referencing pages.
+
+    Combiner pattern: each batch holds complete pages (one map task's
+    link rows never split a page), so a per-batch Arrow group_by with
+    ``count`` + ``count_distinct(src)`` is an exact partial; the global
+    groupby then sums narrow partial rows only — the payload-wide rows
+    never shuffle."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["target", "is_content"]).aggregate(
+            [("src", "count"), ("src", "count_distinct")])
+        return g.rename_columns(["target", "is_content", "n_refs",
+                                 "n_docs"])
+
+    # batch_size=None → whole upstream block per call: a block is one
+    # extractor task's output, which holds complete pages, so the
+    # count_distinct(src) partial never splits a page across batches
+    parts = links.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+    agg = parts.groupby(["target", "is_content"]).aggregate(
+        Sum("n_refs", alias_name="n_refs"),
+        Sum("n_docs", alias_name="n_docs"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "target": t.column("target"),
+            "is_content": t.column("is_content"),
+            "n_refs": pc.cast(t.column("n_refs"), pa.int64()),
+            "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
+        }), batch_format="pyarrow")

@@ -116,3 +116,69 @@ def test_ray_stage_e2e(ray_session, sf_dir):
     got = {u: t.replace("\n", " ")
            for u, t in zip(out.url, out.main_text)}
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# outlinks / web graph
+# ---------------------------------------------------------------------------
+
+from pdf2dom_ray.engine.htmltext import canonical_url, extract_outlinks
+
+
+@pytest.mark.parametrize("href,expect", [
+    ("/news", "https://ex.com/news"),
+    ("sub/page.html", "https://ex.com/dir/sub/page.html"),
+    ("../up", "https://ex.com/up"),
+    ("#frag", "https://ex.com/dir/page"),
+    ("HTTPS://Other.COM:443/X?q=1#f", "https://other.com/X?q=1"),
+    ("http://h.com:80/", "http://h.com/"),
+    ("http://h.com:8080/", "http://h.com:8080/"),
+    ("https://h.com", "https://h.com/"),
+    ("mailto:x@y.z", None),
+    ("javascript:void(0)", None),
+    ("ftp://h.com/f", None),
+])
+def test_canonical_url(href, expect):
+    assert canonical_url("https://ex.com/dir/page", href) == expect
+
+
+def test_extract_outlinks_content_vs_chrome():
+    html = (b'<nav><a href="/a">A</a> <a href="/b">B</a></nav>'
+            b'<p>A long enough paragraph of editorial prose with an '
+            b'<a href="/ref">inline link</a> inside real content text '
+            b'that keeps the link density well below the threshold.</p>'
+            b'<footer>All rights reserved <a href="/legal">Legal</a>'
+            b'</footer>')
+    links = extract_outlinks(html, "https://ex.com/p")
+    assert ("https://ex.com/ref", True) in links
+    assert ("https://ex.com/a", False) in links
+    assert ("https://ex.com/legal", False) in links
+    assert len(links) == 4
+
+
+def test_extract_outlinks_imagelink_block_kept():
+    # an <a> with no text (image link) must still yield its href, as chrome
+    links = extract_outlinks(b'<div><a href="/img-target"></a></div>'
+                             b'<p>Plain paragraph with enough words to be '
+                             b'counted as actual page content here.</p>',
+                             "https://ex.com/")
+    assert links == [("https://ex.com/img-target", False)]
+
+
+def test_synth_outlink_rules(ray_session, sf_dir):
+    """Ray E2E: edge counts per page follow the htmlgen modular rules."""
+    from pdf2dom_ray.pipelines.html_extract import (extract_outlinks_ds,
+                                                    synth_html_pages)
+    out = extract_outlinks_ds(synth_html_pages(sf_dir)).to_pandas()
+    per_src = out.groupby("src").size()
+    for url, n in per_src.items():
+        d = int(url.rsplit("/", 1)[1])
+        exp = 7                       # nav(5) + footer(2)
+        exp += 2 if d % 3 == 0 else 4  # breadcrumb xor sidebar
+        exp += d % 4 == 1              # ad
+        exp += 2 * (d % 5 == 3)        # share bar (fragment self-links)
+        exp += d % 6 == 2              # inline content link
+        assert n == exp, url
+    n_content = out[out.is_content].groupby("src").size()
+    for url in n_content.index:
+        assert int(url.rsplit("/", 1)[1]) % 6 == 2
