@@ -20,6 +20,37 @@ import pyarrow.compute as pc
 SF0001 = "/root/testdata/sf0.001"
 
 _URL_SQL = "'https://docs.synth.test/' || CAST(doc_id AS VARCHAR)"
+
+# per-page outlink rules from synth/htmlgen.py (nav/footer on every
+# page; breadcrumb XOR sidebar by %3; ad %4==1; share bar %5==3 links
+# the page to itself twice — canonicalization strips the #fragment;
+# inline content link /ref at %6==2) — shared by the html_outlinks
+# and pagerank oracles
+_LINKS_SQL = """
+              SELECT doc_id, unnest(['/', '/news', '/archive', '/about',
+                                     '/contact', '/privacy', '/terms'])
+                         AS path, FALSE AS is_content
+              FROM documents
+              UNION ALL
+              SELECT doc_id,
+                     unnest(['/', '/s' || CAST(doc_id % 5 AS VARCHAR)]),
+                     FALSE
+              FROM documents WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id, unnest(['/r0', '/r1', '/r2', '/r3']), FALSE
+              FROM documents WHERE doc_id % 3 <> 0
+              UNION ALL
+              SELECT doc_id, '/buy', FALSE FROM documents
+              WHERE doc_id % 4 = 1
+              UNION ALL
+              SELECT doc_id, unnest(['/' || CAST(doc_id AS VARCHAR),
+                                     '/' || CAST(doc_id AS VARCHAR)]),
+                     FALSE
+              FROM documents WHERE doc_id % 5 = 3
+              UNION ALL
+              SELECT doc_id, '/ref', TRUE FROM documents
+              WHERE doc_id % 6 = 2
+"""
 _STOP_SQL = "('the', 'a', 'of', 'and', 'to')"  # functions.text_stats.STOPWORDS
 
 
@@ -262,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_full": _q_full,                      # rows-only
         "html_main_text": _q_html_main,
         "html_outlinks": _q_html_outlinks,
+        "pagerank": _q_pagerank,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
         "text_quality": _q_quality,
@@ -334,41 +366,14 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_boilerplate
             FROM documents
         """,
-        # web-graph in-degree from the htmlgen link rules (nav/footer on
-        # every page; breadcrumb XOR sidebar by %3; ad %4==1; share bar
-        # %5==3 links the page to itself twice — canonicalization strips
-        # the #fragment; inline content link /ref at %6==2)
-        "html_outlinks": """
-            WITH l AS (
-              SELECT doc_id, unnest(['/', '/news', '/archive', '/about',
-                                     '/contact', '/privacy', '/terms'])
-                         AS path, FALSE AS is_content
-              FROM documents
-              UNION ALL
-              SELECT doc_id,
-                     unnest(['/', '/s' || CAST(doc_id % 5 AS VARCHAR)]),
-                     FALSE
-              FROM documents WHERE doc_id % 3 = 0
-              UNION ALL
-              SELECT doc_id, unnest(['/r0', '/r1', '/r2', '/r3']), FALSE
-              FROM documents WHERE doc_id % 3 <> 0
-              UNION ALL
-              SELECT doc_id, '/buy', FALSE FROM documents
-              WHERE doc_id % 4 = 1
-              UNION ALL
-              SELECT doc_id, unnest(['/' || CAST(doc_id AS VARCHAR),
-                                     '/' || CAST(doc_id AS VARCHAR)]),
-                     FALSE
-              FROM documents WHERE doc_id % 5 = 3
-              UNION ALL
-              SELECT doc_id, '/ref', TRUE FROM documents
-              WHERE doc_id % 6 = 2
-            )
+        "html_outlinks": f"""
+            WITH l AS ({_LINKS_SQL})
             SELECT 'https://docs.synth.test' || path AS target, is_content,
                    CAST(count(*) AS BIGINT) AS n_refs,
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
             FROM l GROUP BY 1, 2
         """,
+        "pagerank": _pagerank_sql(),
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents
         """,
@@ -628,6 +633,24 @@ def _q_html_outlinks(sf_dir: str):
                                                     outlink_degree,
                                                     synth_html_pages)
     return outlink_degree(extract_outlinks_ds(synth_html_pages(sf_dir)))
+
+
+def _pagerank_sql() -> str:
+    from pdf2dom_ray.functions.pagerank import pagerank_oracle_sql
+    edges = (f"SELECT {_URL_SQL} AS src, "
+             f"'https://docs.synth.test' || path AS target "
+             f"FROM ({_LINKS_SQL}) l")
+    return pagerank_oracle_sql(edges, iterations=5)
+
+
+def _q_pagerank(sf_dir: str):
+    """Distributed PageRank (5 fixed-point iterations) over the
+    canonicalized outlink graph of the synth pages."""
+    from pdf2dom_ray.functions.pagerank import pagerank
+    from pdf2dom_ray.pipelines.html_extract import (extract_outlinks_ds,
+                                                    synth_html_pages)
+    return pagerank(extract_outlinks_ds(synth_html_pages(sf_dir)),
+                    iterations=5)
 
 
 def _q_fingerprint(sf_dir: str):

@@ -154,7 +154,8 @@ def run_bench() -> dict:
                  "dedup_simhash", "dedup_embedding", "ann_brute_topk",
                  "events_hourly", "events_sessionize",
                  "orders_by_segment", "unigram_logprob",
-                 "html_main_text", "pii_redact", "line_dedup"):
+                 "html_main_text", "html_outlinks", "pagerank",
+                 "pii_redact", "line_dedup"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

@@ -1,0 +1,213 @@
+"""Distributed PageRank over the outlink web graph.
+
+The classic iterative graph op a Common-Crawl-scale pipeline needs
+(harmonic/PageRank centrality drives crawl prioritization and quality
+weighting — cf. Common Crawl's published host-level rank datasets).
+The reference engine has no graph op; this is a corpus-level addition
+in the spirit of SURVEY §2's training-data operators.
+
+Semantics
+---------
+Standard damped PageRank with uniform dangling-mass redistribution,
+over the *distinct* canonicalized edge set (self-loops kept — the
+share-bar fragment links canonicalize to the page itself):
+
+    r0(v)   = 1                                    (unnormalized unit mass)
+    r_{k+1}(v) = (1-d) + d * ( sum_{u->v} r_k(u)/outdeg(u) + dang_k/N )
+    dang_k  = sum of r_k over nodes with outdeg 0
+
+**Fixed-point int64 arithmetic** (SCALE = 1e9, d = 85/100): every
+division is an integer floor, so the distributed per-target sums are
+order-independent — the result is bit-exact regardless of shuffle
+partitioning, and the DuckDB oracle (the same unrolled integer
+recurrence in SQL, see ``pagerank_oracle_sql``) hash-matches exactly.
+Float PageRank would differ in the last ulps between any two runs.
+Mass bound: sum of all ranks <= N*SCALE, so int64 is safe to ~9e9
+nodes; beyond that drop SCALE or shard the dangling accumulator.
+
+Scale shape (100 TB reading)
+----------------------------
+Per iteration: one hash join (edges x ranks on src) + one groupby
+(contributions on target) + one left join (nodes x in-sums) + one
+scalar aggregate (dangling mass). Two all-to-all exchanges per
+iteration is the floor for join-based PageRank in a Dataset API —
+the alternating key (src, then target) prevents partition reuse
+without a persistent partitioned-state abstraction. Edges are
+materialized once (narrow string pairs); the rank state is O(nodes)
+and is materialized per iteration (iterative lineage would otherwise
+re-execute all prior rounds). Dangling mass is a single int64 scalar
+on the driver — the only driver-side state.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from .dedup import _to_arrow_blocks
+
+__all__ = ["SCALE", "DAMP_NUM", "DAMP_DEN", "pagerank",
+           "pagerank_reference", "pagerank_oracle_sql"]
+
+SCALE = 10 ** 9
+DAMP_NUM, DAMP_DEN = 85, 100      # d = 0.85
+
+
+def _n_partitions() -> int:
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if \
+        ray.is_initialized() else 8
+    return max(2, min(16, ncpu // 2))
+
+
+def _distinct(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
+    """Distinct rows: per-batch Arrow distinct partial, then a global
+    groupby on the (already thinned) narrow rows."""
+    part = ds.select_columns(cols).map_batches(
+        lambda t: t.group_by(cols).aggregate([]),
+        batch_format="pyarrow")
+    agg = part.groupby(cols).aggregate(Count(alias_name="__c"))
+    return _to_arrow_blocks(agg).select_columns(cols)
+
+
+def pagerank(edges: rd.Dataset, *, iterations: int = 5,
+             scale: int = SCALE) -> rd.Dataset:
+    """(src, target) edge rows -> (url, rank:int64) fixed-point ranks.
+
+    ``edges`` may carry extra columns (e.g. ``is_content``) and
+    duplicate edges; the graph is the distinct (src, target) set.
+    """
+    e = _distinct(edges, ["src", "target"]).materialize()
+    if e.count() == 0:
+        empty = pa.table({"url": pa.array([], pa.string()),
+                          "rank": pa.array([], pa.int64())})
+        return rd.from_arrow(empty)
+    n_part = _n_partitions()
+
+    outdeg = _to_arrow_blocks(
+        e.groupby("src").aggregate(Count(alias_name="outdeg")))
+    srcs = e.select_columns(["src"]).rename_columns({"src": "url"})
+    tgts = e.select_columns(["target"]).rename_columns({"target": "url"})
+    nodes = _distinct(srcs.union(tgts), ["url"])
+    # node state: (url, outdeg, rank); outdeg 0 = dangling
+    state = nodes.join(outdeg, join_type="left_outer",
+                       num_partitions=n_part, on=("url",),
+                       right_on=("src",))
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        od = pc.coalesce(t.column("outdeg"),
+                         pa.scalar(0, pa.int64())).cast(pa.int64())
+        return pa.table({
+            "url": t.column("url"),
+            "outdeg": od,
+            "rank": pa.array([scale] * len(t), pa.int64()),
+        })
+
+    ranks = state.map_batches(init_rank,
+                              batch_format="pyarrow").materialize()
+    n_nodes = ranks.count()
+    if n_nodes == 0:
+        return ranks.select_columns(["url", "rank"])
+    base = scale * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+
+    for _ in range(iterations):
+        dang = ranks.map_batches(
+            lambda t: pa.table({"rank": t.filter(
+                pc.equal(t.column("outdeg"), 0)).column("rank")}),
+            batch_format="pyarrow").sum("rank") or 0
+        dang_share = dang // n_nodes
+
+        joined = e.join(ranks, join_type="inner", num_partitions=n_part,
+                        on=("src",), right_on=("url",))
+        contrib = joined.map_batches(
+            lambda t: pa.table({
+                "target": t.column("target"),
+                "contrib": pc.divide(t.column("rank"),
+                                     t.column("outdeg")),
+            }), batch_format="pyarrow")
+        in_sums = _to_arrow_blocks(
+            contrib.groupby("target").aggregate(
+                Sum("contrib", alias_name="in_sum")))
+
+        new = ranks.join(in_sums, join_type="left_outer",
+                         num_partitions=n_part, on=("url",),
+                         right_on=("target",))
+
+        def update(t: pa.Table, _base=base, _share=dang_share) -> pa.Table:
+            in_s = pc.coalesce(t.column("in_sum"),
+                               pa.scalar(0, pa.int64())).cast(pa.int64())
+            rank = pc.add(
+                _base,
+                pc.divide(pc.multiply(pc.add(in_s, _share), DAMP_NUM),
+                          DAMP_DEN))
+            return pa.table({"url": t.column("url"),
+                             "outdeg": t.column("outdeg").cast(pa.int64()),
+                             "rank": rank.cast(pa.int64())})
+
+        ranks = new.map_batches(update,
+                                batch_format="pyarrow").materialize()
+
+    return ranks.select_columns(["url", "rank"])
+
+
+def pagerank_reference(edge_list, *, iterations: int = 5,
+                       scale: int = SCALE) -> dict[str, int]:
+    """Pure-Python reference of the same integer recurrence (tests)."""
+    edges = sorted(set(edge_list))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    out: dict[str, int] = {}
+    for u, _ in edges:
+        out[u] = out.get(u, 0) + 1
+    rank = {v: scale for v in nodes}
+    n = len(nodes)
+    base = scale * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+    for _ in range(iterations):
+        dang_share = sum(r for v, r in rank.items()
+                         if out.get(v, 0) == 0) // n
+        in_sum = {v: 0 for v in nodes}
+        for u, v in edges:
+            in_sum[v] += rank[u] // out[u]
+        rank = {v: base + (in_sum[v] + dang_share) * DAMP_NUM // DAMP_DEN
+                for v in nodes}
+    return rank
+
+
+def pagerank_oracle_sql(edges_cte: str, *, iterations: int = 5,
+                        scale: int = SCALE) -> str:
+    """Unrolled-iteration DuckDB SQL for the same integer recurrence.
+
+    ``edges_cte`` must be a SELECT yielding (src, target) with
+    possible duplicates — typically the htmlgen link-rule CTE shared
+    with the ``html_outlinks`` oracle.
+    """
+    base = scale * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+    parts = [f"""
+        WITH raw_e AS ({edges_cte}),
+        e AS (SELECT DISTINCT src, target FROM raw_e),
+        outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS od
+                   FROM e GROUP BY src),
+        nodes AS (SELECT DISTINCT url FROM
+                  (SELECT src AS url FROM e
+                   UNION ALL SELECT target FROM e)),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        r0 AS (SELECT url, CAST({scale} AS BIGINT) AS rank FROM nodes)"""]
+    for k in range(iterations):
+        parts.append(f""",
+        d{k} AS (SELECT COALESCE(SUM(r.rank), 0) // (SELECT n FROM nn)
+                        AS share
+                 FROM r{k} r LEFT JOIN outdeg o ON r.url = o.src
+                 WHERE o.src IS NULL),
+        s{k} AS (SELECT e.target AS url,
+                        SUM(r.rank // o.od) AS in_sum
+                 FROM e JOIN r{k} r ON e.src = r.url
+                        JOIN outdeg o ON e.src = o.src
+                 GROUP BY e.target),
+        r{k + 1} AS (SELECT nd.url,
+                        CAST({base} + (COALESCE(s.in_sum, 0)
+                             + (SELECT share FROM d{k}))
+                            * {DAMP_NUM} // {DAMP_DEN} AS BIGINT) AS rank
+                     FROM nodes nd LEFT JOIN s{k} s ON nd.url = s.url)""")
+    parts.append(f"\n        SELECT url, rank FROM r{iterations}")
+    return "".join(parts)

@@ -1,0 +1,72 @@
+"""PageRank: integer recurrence consistency across all three
+implementations (Ray distributed / pure-Python reference / DuckDB
+unrolled SQL) — the fixed-point arithmetic makes all comparisons
+bit-exact, regardless of shuffle partitioning.
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from pdf2dom_ray.functions.pagerank import (SCALE, pagerank,
+                                            pagerank_oracle_sql,
+                                            pagerank_reference)
+
+TINY = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"),            # d is never a target
+        ("c", "e"),            # e is dangling (no outlinks)
+        ("b", "b")]            # self-loop
+
+
+def _sql_ranks(edge_list, iterations):
+    rows = ", ".join(f"('{u}', '{v}')" for u, v in edge_list)
+    cte = f"SELECT * FROM (VALUES {rows}) AS t(src, target)"
+    sql = pagerank_oracle_sql(cte, iterations=iterations)
+    df = duckdb.connect().execute(sql).fetchdf()
+    return dict(zip(df.url, df["rank"].astype(int)))
+
+
+@pytest.mark.parametrize("iterations", [1, 3, 5])
+def test_reference_matches_sql_tiny(iterations):
+    assert pagerank_reference(TINY, iterations=iterations) == \
+        _sql_ranks(TINY, iterations)
+
+
+def test_reference_conserves_bounded_mass():
+    r = pagerank_reference(TINY, iterations=8)
+    assert 0 < sum(r.values()) <= len(r) * SCALE
+    # c has the most in-links -> highest rank
+    assert max(r, key=r.get) == "c"
+
+
+def test_ray_matches_reference_tiny(ray_session):
+    import ray.data as rd
+    ds = rd.from_items([{"src": u, "target": v} for u, v in TINY]
+                       + [{"src": "a", "target": "b"}])  # dup edge
+    got = {r["url"]: r["rank"] for r in pagerank(ds, iterations=3).take_all()}
+    assert got == pagerank_reference(TINY, iterations=3)
+
+
+def test_ray_matches_reference_synth(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.html_extract import (extract_outlinks_ds,
+                                                    synth_html_pages)
+    edges = extract_outlinks_ds(synth_html_pages(sf_dir))
+    edge_list = [(r["src"], r["target"])
+                 for r in edges.select_columns(["src", "target"]).take_all()]
+    got = {r["url"]: r["rank"]
+           for r in pagerank(edges, iterations=5).take_all()}
+    exp = pagerank_reference(edge_list, iterations=5)
+    assert got == exp
+    # site-chrome hubs out-rank every article page
+    top = max(got, key=got.get)
+    assert top.rstrip("/") in ("https://docs.synth.test",) or \
+        top.rsplit("/", 1)[1] in ("news", "archive", "about", "contact",
+                                  "privacy", "terms")
+
+
+def test_empty_edges(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    ds = rd.from_arrow(pa.table({"src": pa.array([], pa.string()),
+                                 "target": pa.array([], pa.string())}))
+    assert pagerank(ds, iterations=2).take_all() == []
