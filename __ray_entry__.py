@@ -294,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_main_text": _q_html_main,
         "html_outlinks": _q_html_outlinks,
         "pagerank": _q_pagerank,
+        "warc_extract": _q_warc_extract,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
         "text_quality": _q_quality,
@@ -374,6 +375,20 @@ def oracle_sql() -> dict[str, str]:
             FROM l GROUP BY 1, 2
         """,
         "pagerank": _pagerank_sql(),
+        # WARC ingestion E2E: shard files carry the htmlgen pages, so
+        # reading + HTTP-parsing + boilerplate-stripping them must
+        # reproduce the documents table (warc_ts is whole seconds from
+        # the 2024-01-01 epoch, so the second-granularity WARC-Date
+        # roundtrips exactly)
+        "warc_extract": f"""
+            SELECT {_URL_SQL} AS url,
+                   TIMESTAMP '2024-01-01 00:00:00'
+                       + to_seconds(CAST(doc_id AS BIGINT)) AS warc_ts,
+                   CAST(200 AS BIGINT) AS http_status,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                   text AS main_text
+            FROM documents
+        """,
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents
         """,
@@ -651,6 +666,30 @@ def _q_pagerank(sf_dir: str):
                                                     synth_html_pages)
     return pagerank(extract_outlinks_ds(synth_html_pages(sf_dir)),
                     iterations=5)
+
+
+def _q_warc_extract(sf_dir: str):
+    """Crawl-archive ingestion: .warc.gz shards (written once per sf to
+    a /tmp cache) → file-parallel WARC scan → HTTP parse → boilerplate
+    strip. The main_text joined back equals documents.text."""
+    from pdf2dom_ray.pipelines.html_extract import extract_warc_main
+    from pdf2dom_ray.synth.htmlgen import HTMLGEN_VERSION
+    from pdf2dom_ray.synth.warcgen import WARCGEN_VERSION, write_warc_shards
+    tag = sf_dir.strip("/").replace("/", "_")
+    cache = (f"/tmp/pdf2dom_warc/{tag}"
+             f"_v{WARCGEN_VERSION}.{HTMLGEN_VERSION}")
+    out = extract_warc_main(write_warc_shards(sf_dir, cache))
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t.column("url"),
+            "warc_ts": t.column("warc_ts"),
+            "http_status": t.column("http_status"),
+            "title": t.column("title"),
+            "main_text": pc.replace_substring(t.column("main_text"),
+                                              "\n", " "),
+        })
+    return out.map_batches(project, batch_format="pyarrow")
 
 
 def _q_fingerprint(sf_dir: str):

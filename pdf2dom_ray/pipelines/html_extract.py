@@ -162,3 +162,31 @@ def outlink_degree(links: rd.Dataset) -> rd.Dataset:
             "n_refs": pc.cast(t.column("n_refs"), pa.int64()),
             "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
         }), batch_format="pyarrow")
+
+# ---------------------------------------------------------------------------
+# WARC ingestion
+# ---------------------------------------------------------------------------
+
+class WarcMainExtractor(HtmlMainExtractor):
+    """HtmlMainExtractor that passes the WARC envelope columns
+    (warc_ts, http_status) through alongside the extracted content."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = super().__call__(batch)
+        return out.append_column("warc_ts", batch.column("warc_ts")) \
+                  .append_column("http_status", batch.column("http_status"))
+
+
+def extract_warc_main(paths, *, batch_size: int = 128,
+                      concurrency=None) -> rd.Dataset:
+    """WARC shards → boilerplate-stripped pages (crawl ingestion E2E).
+
+    File-parallel WARC scan (sources/warc.py) feeding the actor-pool
+    strip stage — the full Common-Crawl-shape path: .warc.gz bytes →
+    response records → main text, streaming with backpressure."""
+    from ..sources.warc import read_warc
+    if concurrency is None:
+        concurrency = default_pool()
+    return read_warc(paths).map_batches(
+        WarcMainExtractor, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
