@@ -6,9 +6,11 @@ Replaces ``PDImageXObject.getImage()`` + ``ImageUtils.rotateImage``
 /DeviceGray rasters behind Flate/ASCIIHex (the dominant lossless
 web-PDF case); 1-bit gray is expanded; DCTDecode (baseline JPEG — the
 single most common image filter in real PDFs) is decoded by the
-pure-numpy decoder in ``engine/jpeg.py``. JPX/JBIG2/CCITT remain
-unsupported in this container and raise ``UnsupportedImageError`` →
-the walker emits the ``<img>`` element with empty ``src``.
+pure-numpy decoder in ``engine/jpeg.py``; CCITT G3/G4 by
+``engine/ccitt.py``; JBIG2 MMR generic regions by ``engine/jbig2.py``.
+JPX and arithmetic-coded JBIG2 remain unsupported in this container
+and raise ``UnsupportedImageError`` → the walker emits the ``<img>``
+element with empty ``src``.
 
 Rotation: the reference rotates the decoded raster by the CTM shear
 angle minus the page rotation with a bilinear AffineTransformOp
@@ -178,7 +180,7 @@ def _decode_image_base(doc, xobj: Stream,
         return out
     filt = doc.resolve(d.get("Filter"))
     filters = filt if isinstance(filt, list) else ([filt] if filt else [])
-    if any(f in ("JPXDecode", "JBIG2Decode") for f in filters):
+    if "JPXDecode" in filters:
         raise UnsupportedImageError(f"codec not available: {filters}")
     w = int(doc.resolve(d.get("Width", 0)) or 0)
     h = int(doc.resolve(d.get("Height", 0)) or 0)
@@ -220,6 +222,34 @@ def _decode_image_base(doc, xobj: Stream,
         # black pixel is 1 iff /BlackIs1, and the image /Decode array
         # (default [0 1] for 1-bpc gray) maps samples to gray
         sample = bitmap if black_is_1 else (1 - bitmap)
+        dec = doc.resolve(d.get("Decode"))
+        d0, d1 = (float(dec[0]), float(dec[1])) if \
+            isinstance(dec, list) and len(dec) == 2 else (0.0, 1.0)
+        g = np.round((d0 + sample * (d1 - d0)) * 255).astype(np.uint8)
+        return np.stack([g] * 3, axis=-1)
+
+    if "JBIG2Decode" in filters:
+        # MMR generic regions via engine/jbig2.py (T.6 reuse);
+        # arithmetic/symbol/halftone streams degrade honestly
+        from .jbig2 import Jbig2Error, decode_jbig2
+        parms = doc.resolve(d.get("DecodeParms")) or {}
+        if isinstance(parms, list):
+            parms = next((doc.resolve(x) for x in parms
+                          if isinstance(doc.resolve(x), dict)), {})
+        gstream = doc.resolve(parms.get("JBIG2Globals"))
+        try:
+            gdata = gstream.data() if gstream is not None else b""
+        except PdfParseError as e:
+            raise UnsupportedImageError(str(e)) from e
+        try:
+            bitmap = decode_jbig2(data, globals_data=gdata,
+                                  width=w, height=h)
+        except Jbig2Error as e:
+            raise UnsupportedImageError(f"JBIG2 decode failed: {e}") from e
+        bitmap = bitmap[:h, :w]
+        # JBIG2 bit 1 = black (T.88); sample semantics invert like
+        # CCITT without /BlackIs1, then the /Decode array maps to gray
+        sample = 1 - bitmap
         dec = doc.resolve(d.get("Decode"))
         d0, d1 = (float(dec[0]), float(dec[1])) if \
             isinstance(dec, list) and len(dec) == 2 else (0.0, 1.0)

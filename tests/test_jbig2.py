@@ -1,0 +1,133 @@
+"""JBIG2 (engine/jbig2.py): MMR generic-region roundtrip, segment
+framing, honest degradation for arithmetic/symbol streams, and the
+JBIG2Decode PDF path end-to-end.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from pdf2dom_ray.engine.jbig2 import (Jbig2Error, decode_jbig2,
+                                      encode_jbig2_mmr)
+
+
+def _checker(h, w, period=3):
+    y, x = np.mgrid[0:h, 0:w]
+    return ((x // period + y // period) % 2).astype(np.uint8)
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (8, 8), (13, 37), (64, 48)])
+def test_mmr_roundtrip(shape):
+    img = _checker(*shape)
+    assert np.array_equal(decode_jbig2(encode_jbig2_mmr(img)), img)
+
+
+def test_mmr_roundtrip_sparse_and_solid():
+    for img in (np.zeros((9, 17), np.uint8),
+                np.ones((9, 17), np.uint8),
+                np.eye(12, dtype=np.uint8)):
+        assert np.array_equal(decode_jbig2(encode_jbig2_mmr(img)), img)
+
+
+def test_encoder_deterministic():
+    img = _checker(20, 31)
+    assert encode_jbig2_mmr(img) == encode_jbig2_mmr(img)
+
+
+def test_width_height_crop():
+    img = _checker(10, 10)
+    out = decode_jbig2(encode_jbig2_mmr(img), width=8, height=6)
+    assert out.shape == (6, 8)
+    assert np.array_equal(out, img[:6, :8])
+
+
+def test_arithmetic_region_rejected():
+    # flip the MMR bit off in the region flags byte
+    data = bytearray(encode_jbig2_mmr(_checker(8, 8)))
+    # segment 2 starts after seg1 header (11 bytes) + page info (19)
+    seg2_payload = 11 + 19 + 11
+    gflags_off = seg2_payload + 17
+    assert data[gflags_off] == 0x01
+    data[gflags_off] = 0x00
+    with pytest.raises(Jbig2Error, match="arithmetic"):
+        decode_jbig2(bytes(data))
+
+
+def test_symbol_dictionary_rejected():
+    seg = struct.pack(">IB", 1, 0) + b"\x00\x01" + struct.pack(">I", 4) \
+        + b"\x00\x00\x00\x00"
+    with pytest.raises(Jbig2Error, match="symbol"):
+        decode_jbig2(seg)
+
+
+@pytest.mark.parametrize("cut", [3, 12, 40])
+def test_truncated_raises(cut):
+    data = encode_jbig2_mmr(_checker(16, 16))
+    with pytest.raises(Jbig2Error):
+        decode_jbig2(data[:cut])
+
+
+def test_no_regions_raises():
+    with pytest.raises(Jbig2Error, match="no decodable"):
+        decode_jbig2(b"")
+
+
+def test_globals_stream_carries_page_info():
+    full = encode_jbig2_mmr(_checker(12, 12))
+    page_info_seg = full[:11 + 19]
+    rest = full[11 + 19:]
+    out = decode_jbig2(rest, globals_data=page_info_seg)
+    assert np.array_equal(out, _checker(12, 12))
+
+
+def test_pdf_with_jbig2_image_parses():
+    import base64
+    import re
+
+    from pdf2dom_ray.engine.parse import parse_document
+    from pdf2dom_ray.functions.multimodal import decode_engine_png
+    from pdf2dom_ray.synth.pdfgen import PageSpec, PdfBuilder
+
+    bm = _checker(16, 16, period=4)
+    b = PdfBuilder(title="jbig2")
+    p = PageSpec()
+    p.use_custom_image(
+        "Im0",
+        "/Width 16 /Height 16 /ColorSpace /DeviceGray "
+        "/BitsPerComponent 1 /Filter /JBIG2Decode",
+        encode_jbig2_mmr(bm), compress=False)
+    p.draw_image("Im0", 100, 600, 64, 64)
+    b.add_page(p)
+    r = parse_document(b.build())
+    assert r.error is None
+    assert r.n_images == 1
+    m = re.search(r'src="data:image/png;base64,([^"]+)"', r.html_dom)
+    assert m, "JBIG2 image must produce a non-empty PNG data URI"
+    png = decode_engine_png(base64.b64decode(m.group(1)))
+    assert png.shape[:2] == (16, 16)
+    # black where bitmap=1, white elsewhere
+    exp = np.repeat(np.where(bm[..., None] == 1, 0, 255), 3,
+                    axis=-1).astype(np.uint8)
+    assert np.array_equal(png[..., :3], exp)
+
+
+def test_pdf_with_arithmetic_jbig2_degrades_to_empty_src():
+    from pdf2dom_ray.engine.parse import parse_document
+    from pdf2dom_ray.synth.pdfgen import PageSpec, PdfBuilder
+
+    data = bytearray(encode_jbig2_mmr(_checker(8, 8)))
+    data[11 + 19 + 11 + 17] = 0x00          # MMR -> arithmetic
+    b = PdfBuilder(title="jbig2-arith")
+    p = PageSpec()
+    p.use_custom_image(
+        "Im0",
+        "/Width 8 /Height 8 /ColorSpace /DeviceGray "
+        "/BitsPerComponent 1 /Filter /JBIG2Decode",
+        bytes(data), compress=False)
+    p.draw_image("Im0", 100, 600, 64, 64)
+    b.add_page(p)
+    r = parse_document(b.build())
+    assert r.error is None
+    assert r.n_images == 1
+    assert 'src=""' in r.html_dom
