@@ -73,17 +73,30 @@ def _distinct(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
 
 
 def pagerank(edges: rd.Dataset, *, iterations: int = 5,
-             scale: int = SCALE) -> rd.Dataset:
+             scale: int = SCALE,
+             driver_edge_limit: int = 5_000_000) -> rd.Dataset:
     """(src, target) edge rows -> (url, rank:int64) fixed-point ranks.
 
     ``edges`` may carry extra columns (e.g. ``is_content``) and
     duplicate edges; the graph is the distinct (src, target) set.
+
+    Below ``driver_edge_limit`` distinct edges the iteration runs as a
+    vectorized numpy loop on the driver (the K x 4 Ray jobs of the
+    distributed path are pure fixed overhead at that size) — same
+    pattern as ``minhash_cluster``'s driver union-find and
+    ``line_dedup``'s broadcast set, and because the recurrence is
+    integer-exact the two paths return bit-identical ranks (locked by
+    ``test_driver_and_distributed_paths_identical``). Set the limit to
+    0 to force the distributed path.
     """
     e = _distinct(edges, ["src", "target"]).materialize()
-    if e.count() == 0:
+    n_edges = e.count()
+    if n_edges == 0:
         empty = pa.table({"url": pa.array([], pa.string()),
                           "rank": pa.array([], pa.int64())})
         return rd.from_arrow(empty)
+    if n_edges <= driver_edge_limit:
+        return _pagerank_driver(e, iterations, scale)
     n_part = _n_partitions()
 
     outdeg = _to_arrow_blocks(
@@ -150,6 +163,39 @@ def pagerank(edges: rd.Dataset, *, iterations: int = 5,
                                 batch_format="pyarrow").materialize()
 
     return ranks.select_columns(["url", "rank"])
+
+
+def _pagerank_driver(e: rd.Dataset, iterations: int,
+                     scale: int) -> rd.Dataset:
+    """Bounded-size exact path: factorize urls, numpy int64 iteration.
+
+    ``np.add.at`` on an int64 accumulator is an order-independent
+    integer scatter-add — identical to the distributed groupby sums.
+    """
+    import numpy as np
+    # schema-less zero-row blocks (groupby artifacts) break concat
+    t = pa.concat_tables(b for b in ray.get(e.to_arrow_refs())
+                         if b.num_columns)
+    src = np.asarray(t.column("src").to_pandas(), dtype=object)
+    tgt = np.asarray(t.column("target").to_pandas(), dtype=object)
+    urls, idx = np.unique(np.concatenate([src, tgt]), return_inverse=True)
+    src_id, tgt_id = idx[:len(src)], idx[len(src):]
+    n = len(urls)
+    outdeg = np.bincount(src_id, minlength=n).astype(np.int64)
+    rank = np.full(n, scale, dtype=np.int64)
+    base = scale * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+    dangling = outdeg == 0
+    safe_od = np.where(dangling, 1, outdeg)
+    for _ in range(iterations):
+        dang_share = int(rank[dangling].sum()) // n
+        contrib = rank // safe_od
+        in_sum = np.zeros(n, dtype=np.int64)
+        np.add.at(in_sum, tgt_id, contrib[src_id])
+        rank = base + (in_sum + dang_share) * DAMP_NUM // DAMP_DEN
+    return rd.from_arrow(pa.table({
+        "url": pa.array(urls.tolist(), pa.string()),
+        "rank": pa.array(rank, pa.int64()),
+    }))
 
 
 def pagerank_reference(edge_list, *, iterations: int = 5,

@@ -43,8 +43,21 @@ def test_ray_matches_reference_tiny(ray_session):
     import ray.data as rd
     ds = rd.from_items([{"src": u, "target": v} for u, v in TINY]
                        + [{"src": "a", "target": "b"}])  # dup edge
-    got = {r["url"]: r["rank"] for r in pagerank(ds, iterations=3).take_all()}
+    got = {r["url"]: r["rank"]
+           for r in pagerank(ds, iterations=3,
+                             driver_edge_limit=0).take_all()}
     assert got == pagerank_reference(TINY, iterations=3)
+
+
+def test_driver_and_distributed_paths_identical(ray_session):
+    import ray.data as rd
+    ds = rd.from_items([{"src": u, "target": v} for u, v in TINY])
+    dist = {r["url"]: r["rank"]
+            for r in pagerank(ds, iterations=4,
+                              driver_edge_limit=0).take_all()}
+    drv = {r["url"]: r["rank"]
+           for r in pagerank(ds, iterations=4).take_all()}
+    assert dist == drv == pagerank_reference(TINY, iterations=4)
 
 
 def test_ray_matches_reference_synth(ray_session, sf_dir):
@@ -54,7 +67,8 @@ def test_ray_matches_reference_synth(ray_session, sf_dir):
     edge_list = [(r["src"], r["target"])
                  for r in edges.select_columns(["src", "target"]).take_all()]
     got = {r["url"]: r["rank"]
-           for r in pagerank(edges, iterations=5).take_all()}
+           for r in pagerank(edges, iterations=5,
+                             driver_edge_limit=0).take_all()}
     exp = pagerank_reference(edge_list, iterations=5)
     assert got == exp
     # site-chrome hubs out-rank every article page
