@@ -295,6 +295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_outlinks": _q_html_outlinks,
         "pagerank": _q_pagerank,
         "warc_extract": _q_warc_extract,
+        "corpus_sample": _q_corpus_sample,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
         "text_quality": _q_quality,
@@ -375,6 +376,7 @@ def oracle_sql() -> dict[str, str]:
             FROM l GROUP BY 1, 2
         """,
         "pagerank": _pagerank_sql(),
+        "corpus_sample": _sample_sql(),
         # WARC ingestion E2E: shard files carry the htmlgen pages, so
         # reading + HTTP-parsing + boilerplate-stripping them must
         # reproduce the documents table (warc_ts is whole seconds from
@@ -666,6 +668,44 @@ def _q_pagerank(sf_dir: str):
                                                     synth_html_pages)
     return pagerank(extract_outlinks_ds(synth_html_pages(sf_dir)),
                     iterations=5)
+
+
+_SAMPLE_FRACS = {"en": 0.5, "zh": 0.125, "es": 0.25, "de": 0.25}
+_SAMPLE_DEFAULT = 0.75        # fr etc.
+
+
+def _sample_sql() -> str:
+    """The md5-threshold sampling decision replayed in DuckDB — the
+    thresholds come from the same constants as the Ray path, so the
+    two sides cannot drift."""
+    from pdf2dom_ray.functions.sampling import hash_threshold
+    cases = " ".join(f"WHEN '{s}' THEN '{hash_threshold(f)}'"
+                     for s, f in _SAMPLE_FRACS.items())
+    return f"""
+        SELECT doc_id, lang, url FROM
+            (SELECT doc_id, lang, {_URL_SQL} AS url FROM documents)
+        WHERE substr(md5(url), 1, 8) <
+              CASE lang {cases}
+                   ELSE '{hash_threshold(_SAMPLE_DEFAULT)}' END
+    """
+
+
+def _q_corpus_sample(sf_dir: str):
+    """Stratified corpus mixing: per-language keep fractions decided
+    row-locally by an md5 threshold — shuffle-free, reproducible
+    under any partitioning, replayed exactly by the SQL oracle."""
+    import ray.data as rd
+    from pdf2dom_ray.functions.sampling import stratified_sample
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "url", pa.array([f"https://docs.synth.test/{d}"
+                             for d in t.column("doc_id").to_pylist()],
+                            pa.string())),
+        batch_format="pyarrow")
+    out = stratified_sample(ds, _SAMPLE_FRACS, default=_SAMPLE_DEFAULT)
+    return out.select_columns(["doc_id", "lang", "url"])
 
 
 def _q_warc_extract(sf_dir: str):

@@ -1,0 +1,87 @@
+"""Deterministic hash sampling and stratified corpus mixing.
+
+Training-data pipelines down-sample and re-mix corpora by source /
+language / quality bucket (e.g. the C4 / Gopher / LLaMA data recipes:
+"keep X% of stratum S"). Requirements at 100 TB: no global state, no
+shuffle, reproducible under re-runs and partition changes — i.e. a
+pure row-local decision. The standard construction: hash a stable key
+to a uniform value and keep the row iff ``hash < fraction``.
+
+Key design point here: the hash is **md5 of the key column**, and the
+threshold compare happens on the first 8 hex characters as a STRING —
+``substr(md5(url), 1, 8) < hex(floor(frac * 16^8))`` — which DuckDB
+evaluates identically (md5 is a SQL builtin), making every sampling
+decision bit-reproducible in the oracle with no integer-parsing or
+endianness pitfalls. md5's uniformity makes the realized rate converge
+to ``frac`` with binomial error.
+
+Row-local => embarrassingly parallel `map_batches`; the only cost is
+one md5 per row over a NARROW key column (the payload never moves).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+__all__ = ["hash_threshold", "sample_hash", "stratified_sample",
+           "sample_sql_predicate"]
+
+_SPACE = 1 << 32      # first 8 hex chars
+
+
+def hash_threshold(fraction: float) -> str:
+    """fraction in [0,1] → lexicographic threshold over 8 hex chars.
+
+    fraction >= 1 returns "g", which every hex string sorts below."""
+    f = min(max(float(fraction), 0.0), 1.0)
+    if f >= 1.0:
+        return "g"
+    return format(int(f * _SPACE), "08x")
+
+
+def _keep_mask(keys: list[str], threshold: str) -> np.ndarray:
+    return np.array([hashlib.md5(k.encode("utf-8")).hexdigest()[:8]
+                     < threshold for k in keys], dtype=bool)
+
+
+def sample_hash(ds: rd.Dataset, fraction: float, *,
+                key: str = "url") -> rd.Dataset:
+    """Keep each row iff md5(key)[:8] < threshold(fraction)."""
+    thr = hash_threshold(fraction)
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(
+            _keep_mask(t.column(key).to_pylist(), thr)))
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample(ds: rd.Dataset, fractions: dict[str, float], *,
+                      stratum: str = "lang", key: str = "url",
+                      default: float = 0.0) -> rd.Dataset:
+    """Per-stratum keep fractions (corpus mixing).
+
+    ``fractions`` maps stratum value → keep fraction; strata not
+    listed use ``default``. Decision stays row-local — no shuffle,
+    no global pass, stable under re-partitioning.
+    """
+    thresholds = {s: hash_threshold(f) for s, f in fractions.items()}
+    thr_default = hash_threshold(default)
+
+    def keep(t: pa.Table) -> pa.Table:
+        keys = t.column(key).to_pylist()
+        strata = t.column(stratum).to_pylist()
+        mask = np.array(
+            [hashlib.md5(k.encode("utf-8")).hexdigest()[:8]
+             < thresholds.get(s, thr_default)
+             for k, s in zip(keys, strata)], dtype=bool)
+        return t.filter(pa.array(mask))
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def sample_sql_predicate(fraction: float, key_sql: str = "url") -> str:
+    """The DuckDB predicate that replays ``sample_hash`` exactly."""
+    return f"substr(md5({key_sql}), 1, 8) < '{hash_threshold(fraction)}'"

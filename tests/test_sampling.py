@@ -1,0 +1,68 @@
+"""Hash sampling / stratified mixing: determinism, rate convergence,
+partitioning invariance, and DuckDB predicate equivalence.
+"""
+
+import duckdb
+import numpy as np
+import pytest
+
+from pdf2dom_ray.functions.sampling import (hash_threshold,
+                                            sample_sql_predicate)
+
+
+def test_threshold_bounds():
+    assert hash_threshold(0.0) == "00000000"
+    assert hash_threshold(0.5) == "80000000"
+    assert hash_threshold(1.0) == "g"
+    assert hash_threshold(-3) == "00000000"
+    assert hash_threshold(7) == "g"
+
+
+@pytest.mark.parametrize("frac", [0.1, 0.25, 0.5, 0.9])
+def test_rate_converges_and_matches_duckdb(frac):
+    urls = [f"https://ex.com/{i}" for i in range(4000)]
+    import hashlib
+    thr = hash_threshold(frac)
+    kept = [u for u in urls
+            if hashlib.md5(u.encode()).hexdigest()[:8] < thr]
+    rate = len(kept) / len(urls)
+    assert abs(rate - frac) < 0.03
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u in urls])
+    sql_kept = [r[0] for r in con.execute(
+        f"SELECT url FROM t WHERE {sample_sql_predicate(frac)}").fetchall()]
+    assert sorted(sql_kept) == sorted(kept)
+
+
+def test_stratified_partitioning_invariance(ray_session):
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.sampling import stratified_sample
+    rows = [{"url": f"https://ex.com/{i}", "lang": ["en", "de", "fr"][i % 3]}
+            for i in range(900)]
+    fr = {"en": 0.5, "de": 0.2}
+    a = stratified_sample(rd.from_items(rows, override_num_blocks=1),
+                          fr, default=0.9)
+    b = stratified_sample(rd.from_items(rows, override_num_blocks=17),
+                          fr, default=0.9)
+    ua = sorted(r["url"] for r in a.take_all())
+    ub = sorted(r["url"] for r in b.take_all())
+    assert ua == ub and 0 < len(ua) < len(rows)
+    # per-stratum realized rates near targets
+    langs = {u: ["en", "de", "fr"][int(u.rsplit("/", 1)[1]) % 3]
+             for u in ua}
+    counts = {s: sum(1 for v in langs.values() if v == s)
+              for s in ("en", "de", "fr")}
+    assert abs(counts["en"] / 300 - 0.5) < 0.1
+    assert abs(counts["de"] / 300 - 0.2) < 0.1
+    assert abs(counts["fr"] / 300 - 0.9) < 0.1
+
+
+def test_sample_hash_zero_and_one(ray_session):
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.sampling import sample_hash
+    ds = rd.from_items([{"url": f"u{i}"} for i in range(50)])
+    assert sample_hash(ds, 0.0).count() == 0
+    assert sample_hash(ds, 1.0).count() == 50
