@@ -296,6 +296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "warc_extract": _q_warc_extract,
         "corpus_sample": _q_corpus_sample,
+        "crawl_latest": _q_crawl_latest,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
         "text_quality": _q_quality,
@@ -377,6 +378,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(),
         "corpus_sample": _sample_sql(),
+        # latest-capture-wins over the two-snapshot synth crawl:
+        # every doc has a version-0 capture at its warc_ts; doc_id%3==0
+        # re-captured one day later as version 1
+        "crawl_latest": f"""
+            SELECT {_URL_SQL} AS url,
+                   TIMESTAMP '2024-01-01 00:00:00'
+                     + to_seconds(CAST(doc_id AS BIGINT))
+                     + to_seconds(CASE WHEN doc_id % 3 = 0
+                                       THEN 86400 ELSE 0 END) AS warc_ts,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS version,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END
+                        AS BIGINT) AS n_captures
+            FROM documents
+        """,
         # WARC ingestion E2E: shard files carry the htmlgen pages, so
         # reading + HTTP-parsing + boilerplate-stripping them must
         # reproduce the documents table (warc_ts is whole seconds from
@@ -706,6 +722,15 @@ def _q_corpus_sample(sf_dir: str):
         batch_format="pyarrow")
     out = stratified_sample(ds, _SAMPLE_FRACS, default=_SAMPLE_DEFAULT)
     return out.select_columns(["doc_id", "lang", "url"])
+
+
+def _q_crawl_latest(sf_dir: str):
+    """CDX-style snapshot dedup: per-batch combiner drops non-newest
+    captures early, then one groupby(url) argmax on the survivors."""
+    from pdf2dom_ray.functions.crawl import latest_capture
+    from pdf2dom_ray.pipelines.html_extract import synth_snapshots
+    out = latest_capture(synth_snapshots(sf_dir), tiebreak="version")
+    return out.select_columns(["url", "warc_ts", "version", "n_captures"])
 
 
 def _q_warc_extract(sf_dir: str):

@@ -163,7 +163,8 @@ def run_bench() -> dict:
                  "events_hourly", "events_sessionize",
                  "orders_by_segment", "unigram_logprob",
                  "html_main_text", "html_outlinks", "pagerank",
-                 "warc_extract", "pii_redact", "line_dedup"):
+                 "warc_extract", "crawl_latest", "corpus_sample",
+                 "pii_redact", "line_dedup"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

@@ -190,3 +190,41 @@ def extract_warc_main(paths, *, batch_size: int = 128,
     return read_warc(paths).map_batches(
         WarcMainExtractor, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
+
+# ---------------------------------------------------------------------------
+# multi-snapshot crawl (latest-capture dedup input)
+# ---------------------------------------------------------------------------
+
+_RECRAWL_US = 86_400_000_000          # re-crawl lands one day later
+
+
+def synth_snapshots(sf_dir: str) -> rd.Dataset:
+    """Two-snapshot crawl: every page at its warc_ts (version 0) plus a
+    next-day re-capture (version 1) for doc_id % 3 == 0 — the input
+    shape for CDX-style latest-capture dedup."""
+    import pyarrow.compute as pc
+
+    def explode(t: pa.Table) -> pa.Table:
+        base = html_pages_batch_from_documents(t)
+        doc_ids = t.column("doc_id")
+        v0 = pa.table({
+            "url": base.column("url"),
+            "warc_ts": base.column("warc_ts"),
+            "version": pa.array([0] * len(base), pa.int64()),
+            "html": base.column("html"),
+        })
+        import numpy as np
+        mask = pa.array(np.asarray(doc_ids.to_pylist()) % 3 == 0)
+        re1 = v0.filter(mask)
+        re1 = pa.table({
+            "url": re1.column("url"),
+            "warc_ts": pc.add(re1.column("warc_ts").cast(pa.int64()),
+                              _RECRAWL_US).cast(pa.timestamp("us")),
+            "version": pa.array([1] * len(re1), pa.int64()),
+            "html": re1.column("html"),
+        })
+        return pa.concat_tables([v0, re1])
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    return ds.map_batches(explode, batch_format="pyarrow", batch_size=128)
