@@ -297,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_extract": _q_warc_extract,
         "corpus_sample": _q_corpus_sample,
         "crawl_latest": _q_crawl_latest,
+        "top_unshipped_orders": _q_top_unshipped,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
         "text_quality": _q_quality,
@@ -378,6 +379,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(),
         "corpus_sample": _sample_sql(),
+        "top_unshipped_orders": """
+            SELECT o_orderkey, o_orderdate, o_orderpriority,
+                   CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue_cents DESC, o_orderkey
+            LIMIT 10
+        """,
         # latest-capture-wins over the two-snapshot synth crawl:
         # every doc has a version-0 capture at its warc_ts; doc_id%3==0
         # re-captured one day later as version 1
@@ -722,6 +738,14 @@ def _q_corpus_sample(sf_dir: str):
         batch_format="pyarrow")
     out = stratified_sample(ds, _SAMPLE_FRACS, default=_SAMPLE_DEFAULT)
     return out.select_columns(["doc_id", "lang", "url"])
+
+
+def _q_top_unshipped(sf_dir: str):
+    """TPC-H Q3 shape: broadcast semi-join (customer segment) +
+    combiner-then-hash-join (lineitem x orders) + integer-cents
+    revenue so the distributed sum is order-independent."""
+    from pdf2dom_ray.pipelines.tpch import q3_top_unshipped
+    return q3_top_unshipped(sf_dir)
 
 
 def _q_crawl_latest(sf_dir: str):

@@ -1,0 +1,132 @@
+"""TPC-H-style relational pipelines over the driver tables.
+
+`q3_top_unshipped` is the Q3 shape — the canonical multi-way
+distributed join — expressed Ray-Data-first:
+
+1. **small side broadcast**: the segment's customer keys are collected
+   once (bounded: one segment ≈ 1/5 of customers), `ray.put` into the
+   object store, and each orders batch filters map-side with a sorted
+   `np.searchsorted` membership probe — no customer⋈orders shuffle.
+   Past ``broadcast_limit`` keys it falls back to a `left_semi`
+   hash join (the honest big-side path).
+2. **combiner before the join**: lineitem rows collapse to per-batch
+   (l_orderkey, revenue_cents) partials before the orders join, so the
+   big⋈big hash exchange moves pre-aggregated narrow rows.
+3. **integer money**: revenue is accumulated in int64 cents
+   (``floor(extendedprice*(1-discount)*100)``) — distributed sums are
+   order-independent and the DuckDB oracle is bit-exact (float sums
+   would differ in the last ulps between partitionings).
+
+Reads are column-pruned; dates filter at the batch level (Arrow
+compute) right after the scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+__all__ = ["q3_top_unshipped"]
+
+
+def _n_partitions() -> int:
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if \
+        ray.is_initialized() else 8
+    return max(2, min(16, ncpu // 2))
+
+
+def q3_top_unshipped(sf_dir: str, *, segment: str = "BUILDING",
+                     cutoff: str = "1998-06-01", limit: int = 10,
+                     broadcast_limit: int = 5_000_000) -> rd.Dataset:
+    """Top unshipped orders by revenue for one market segment."""
+    cut = np.datetime64(cutoff, "us")
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.equal(t.column("c_mktsegment"), segment))
+                   .select(["c_custkey"]),
+        batch_format="pyarrow")
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.less(t.column("o_orderdate"),
+                                   pa.scalar(cut.item(),
+                                             pa.timestamp("us")))),
+        batch_format="pyarrow")
+
+    n_keys = cust.count()
+    if n_keys <= broadcast_limit:
+        keys = np.sort(np.concatenate(
+            [b["c_custkey"].to_numpy()
+             for b in cust.iter_batches(batch_format="pyarrow")]
+            or [np.array([], dtype=np.int64)]))
+        keys_ref = ray.put(keys)
+
+        class InSegment:
+            def __init__(self) -> None:
+                self._keys = ray.get(keys_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                ck = t.column("o_custkey").to_numpy()
+                idx = np.searchsorted(self._keys, ck)
+                idx[idx == len(self._keys)] = 0
+                hit = (len(self._keys) > 0) & (self._keys[idx] == ck)
+                return t.filter(pa.array(hit)).select(
+                    ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+        orders = orders.map_batches(InSegment, batch_format="pyarrow",
+                                    concurrency=(1, 4))
+    else:
+        orders = orders.join(cust, join_type="left_semi",
+                             num_partitions=_n_partitions(),
+                             on=("o_custkey",), right_on=("c_custkey",)) \
+            .select_columns(["o_orderkey", "o_orderdate",
+                             "o_orderpriority"])
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t.column("l_shipdate"),
+                          pa.scalar(cut.item(), pa.timestamp("us")))
+        t = t.filter(keep)
+        ok = t.column("l_orderkey").to_numpy()
+        ep = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        cents = np.floor(ep * (1.0 - disc) * 100.0).astype(np.int64)
+        df = pd.DataFrame({"l_orderkey": ok, "revenue_cents": cents})
+        g = df.groupby("l_orderkey", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = li.map_batches(li_partial, batch_format="pyarrow")
+
+    joined = parts.join(orders, join_type="inner",
+                        num_partitions=_n_partitions(),
+                        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    agg = joined.groupby(["l_orderkey", "o_orderdate",
+                          "o_orderpriority"]).aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t.column("l_orderkey").cast(pa.int64()),
+            "o_orderdate": t.column("o_orderdate"),
+            "o_orderpriority": t.column("o_orderpriority"),
+            "revenue_cents": t.column("revenue_cents").cast(pa.int64()),
+        })
+
+    out = agg.map_batches(finish, batch_format="pyarrow")
+    return out.sort(["revenue_cents", "o_orderkey"],
+                    descending=[True, False]).limit(limit)

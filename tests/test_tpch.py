@@ -1,0 +1,45 @@
+"""TPC-H Q3 pipeline: broadcast vs semi-join path equality and
+DuckDB ground truth (integer-cents revenue is bit-exact).
+"""
+
+import duckdb
+
+
+def _duck(sf_dir, segment="BUILDING", cutoff="1998-06-01"):
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    return con.execute(f"""
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = '{segment}' AND c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '{cutoff}'
+          AND l_shipdate > TIMESTAMP '{cutoff}'
+        GROUP BY 1, 2, 3 ORDER BY revenue_cents DESC, o_orderkey
+        LIMIT 10""").fetchdf()
+
+
+def _rows(df):
+    return [(int(r.o_orderkey), str(r.o_orderdate),
+             r.o_orderpriority, int(r.revenue_cents))
+            for r in df.itertuples()]
+
+
+def test_q3_broadcast_path_matches_duckdb(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q3_top_unshipped
+    got = q3_top_unshipped(sf_dir).to_pandas()
+    assert _rows(got) == _rows(_duck(sf_dir))
+
+
+def test_q3_semi_join_path_identical(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q3_top_unshipped
+    a = q3_top_unshipped(sf_dir, segment="MACHINERY").to_pandas()
+    b = q3_top_unshipped(sf_dir, segment="MACHINERY",
+                         broadcast_limit=0).to_pandas()
+    assert _rows(a) == _rows(b) == \
+        _rows(_duck(sf_dir, segment="MACHINERY"))
