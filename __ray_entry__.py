@@ -298,6 +298,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_sample": _q_corpus_sample,
         "crawl_latest": _q_crawl_latest,
         "top_unshipped_orders": _q_top_unshipped,
+        "length_percentiles": _q_length_percentiles,
+        "link_adjacency": _q_link_adjacency,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
         "text_quality": _q_quality,
@@ -379,6 +381,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(),
         "corpus_sample": _sample_sql(),
+        # rank semantics pinned: rank = max(1, ceil(q*n)), 1-based over
+        # the sorted column (same formula as exact_percentiles)
+        "length_percentiles": """
+            WITH s AS (SELECT n_chars,
+                              row_number() OVER (ORDER BY n_chars) AS rn,
+                              count(*) OVER () AS n
+                       FROM documents),
+                 qs AS (SELECT * FROM (VALUES (0.25), (0.5), (0.75),
+                                              (0.9), (0.99)) t(q))
+            SELECT CAST(q AS DOUBLE) AS q,
+                   CAST(n_chars AS BIGINT) AS value
+            FROM qs JOIN s
+              ON s.rn = greatest(1, CAST(ceil(q * s.n) AS BIGINT))
+        """,
+        "link_adjacency": f"""
+            WITH l AS (SELECT {_URL_SQL} AS src,
+                              'https://docs.synth.test' || path AS target
+                       FROM ({_LINKS_SQL}) t)
+            SELECT src,
+                   CAST(count(DISTINCT target) AS BIGINT) AS n_targets,
+                   string_agg(DISTINCT target, ',' ORDER BY target)
+                       AS targets
+            FROM l GROUP BY src
+        """,
         "top_unshipped_orders": """
             SELECT o_orderkey, o_orderdate, o_orderpriority,
                    CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
@@ -738,6 +764,26 @@ def _q_corpus_sample(sf_dir: str):
         batch_format="pyarrow")
     out = stratified_sample(ds, _SAMPLE_FRACS, default=_SAMPLE_DEFAULT)
     return out.select_columns(["doc_id", "lang", "url"])
+
+
+def _q_length_percentiles(sf_dir: str):
+    """Exact distributed percentiles by value histogram (partial
+    value_counts → narrow groupby → O(distinct) driver walk)."""
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.percentiles import exact_percentiles
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["n_chars"])
+    return exact_percentiles(ds, "n_chars")
+
+
+def _q_link_adjacency(sf_dir: str):
+    """Web-graph adjacency materialization (sorted distinct outlink
+    set per page, comma-joined for a stable cross-engine compare)."""
+    from pdf2dom_ray.pipelines.html_extract import (adjacency_lists,
+                                                    extract_outlinks_ds,
+                                                    synth_html_pages)
+    return adjacency_lists(extract_outlinks_ds(synth_html_pages(sf_dir)))
 
 
 def _q_top_unshipped(sf_dir: str):

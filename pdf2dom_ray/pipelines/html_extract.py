@@ -228,3 +228,33 @@ def synth_snapshots(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang"])
     return ds.map_batches(explode, batch_format="pyarrow", batch_size=128)
+
+
+def adjacency_lists(links: rd.Dataset) -> rd.Dataset:
+    """Web-graph adjacency materialization: (src, n_targets, targets)
+    with targets the comma-joined sorted distinct outlink set — the
+    storage layout a link-graph consumer (PageRank preprocessing,
+    host-level analysis) reads.
+
+    Per-batch Arrow distinct partial thins duplicate edges before the
+    single groupby(src); rows stay narrow strings throughout."""
+    import pandas as pd
+
+    def thin(t: pa.Table) -> pa.Table:
+        return t.select(["src", "target"]).group_by(
+            ["src", "target"]).aggregate([])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ts = sorted(set(g["target"]))
+        return pd.DataFrame({"src": [g["src"].iloc[0]],
+                             "n_targets": [len(ts)],
+                             "targets": [",".join(ts)]})
+
+    parts = links.map_batches(thin, batch_format="pyarrow")
+    out = parts.groupby("src").map_groups(fold, batch_format="pandas")
+    return out.map_batches(
+        lambda t: pa.table({
+            "src": t.column("src"),
+            "n_targets": t.column("n_targets").cast(pa.int64()),
+            "targets": t.column("targets"),
+        }), batch_format="pyarrow")

@@ -360,3 +360,20 @@ def test_connected_components_random_graphs_match_union_find(ray_session):
         expect = {n: roots.get(n, n) for n in set(a) | set(b)}
         got = {n: dist.get(n, n) for n in set(a) | set(b)}
         assert got == expect, (trial, got, expect)
+
+
+def test_exact_percentiles_vs_numpy(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.percentiles import exact_percentiles
+    rng = np.random.RandomState(7)
+    vals = rng.randint(0, 50, size=2000)
+    ds = rd.from_items([{"x": int(v)} for v in vals],
+                       override_num_blocks=9)
+    out = exact_percentiles(ds, "x", qs=(0.1, 0.5, 0.9, 1.0))
+    s = np.sort(vals)
+    for q, v in zip(out.column("q").to_pylist(),
+                    out.column("value").to_pylist()):
+        import math
+        assert v == int(s[max(1, math.ceil(q * len(s))) - 1]), q

@@ -182,3 +182,18 @@ def test_synth_outlink_rules(ray_session, sf_dir):
     n_content = out[out.is_content].groupby("src").size()
     for url in n_content.index:
         assert int(url.rsplit("/", 1)[1]) % 6 == 2
+
+
+def test_adjacency_lists(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.html_extract import (adjacency_lists,
+                                                    extract_outlinks_ds,
+                                                    synth_html_pages)
+    edges = extract_outlinks_ds(synth_html_pages(sf_dir))
+    adj = adjacency_lists(edges).to_pandas()
+    raw = edges.to_pandas()
+    exp = raw.groupby("src")["target"].apply(
+        lambda s: sorted(set(s)))
+    assert len(adj) == len(exp)
+    for r in adj.itertuples():
+        assert r.targets.split(",") == exp[r.src]
+        assert r.n_targets == len(exp[r.src])
