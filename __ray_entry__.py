@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_latest": _q_crawl_latest,
         "top_unshipped_orders": _q_top_unshipped,
         "length_percentiles": _q_length_percentiles,
+        "text_normalize": _q_text_normalize,
         "link_adjacency": _q_link_adjacency,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
@@ -381,6 +382,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(),
         "corpus_sample": _sample_sql(),
+        # planted mess: ' Cafe'+chr(769)+'  '+chr(7)+' fin' (see
+        # _MESS_SUFFIX); NFC composes the accent, the BEL is stripped,
+        # whitespace runs collapse, ends trimmed
+        "text_normalize": """
+            WITH p AS (SELECT doc_id,
+                              text || ' Cafe' || chr(769) || '  '
+                                   || chr(7) || ' fin' AS planted
+                       FROM documents)
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(
+                        nfc_normalize(planted),
+                        '[\\x00-\\x08\\x0b-\\x1f\\x7f-\\x9f]', '', 'g'),
+                        '[ \\t\\n]+', ' ', 'g'), ' ') AS clean_text,
+                   CAST(length(planted) AS BIGINT) AS n_chars_in,
+                   CAST(length(trim(regexp_replace(regexp_replace(
+                        nfc_normalize(planted),
+                        '[\\x00-\\x08\\x0b-\\x1f\\x7f-\\x9f]', '', 'g'),
+                        '[ \\t\\n]+', ' ', 'g'), ' ')) AS BIGINT)
+                       AS n_chars_out
+            FROM p
+        """,
         # rank semantics pinned: rank = max(1, ceil(q*n)), 1-based over
         # the sorted column (same formula as exact_percentiles)
         "length_percentiles": """
@@ -764,6 +786,32 @@ def _q_corpus_sample(sf_dir: str):
         batch_format="pyarrow")
     out = stratified_sample(ds, _SAMPLE_FRACS, default=_SAMPLE_DEFAULT)
     return out.select_columns(["doc_id", "lang", "url"])
+
+
+_MESS_SUFFIX = " Café  \x07 fin"     # NFD accent + ctrl + ragged ws
+
+
+def _q_text_normalize(sf_dir: str):
+    """Unicode NFC + control strip + whitespace collapse, all Arrow
+    kernels; the fixture plants a deterministic messy suffix on each
+    doc (decomposed accent, BEL, double spaces) that the SQL oracle
+    reconstructs with chr() so both sides normalize the same bytes."""
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.textnorm import normalize_text
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("text"), "text",
+            pa.array([x + _MESS_SUFFIX
+                      for x in t.column("text").to_pylist()],
+                     pa.string()))
+
+    out = normalize_text(ds.map_batches(plant, batch_format="pyarrow"))
+    return out.select_columns(["doc_id", "clean_text", "n_chars_in",
+                               "n_chars_out"])
 
 
 def _q_length_percentiles(sf_dir: str):

@@ -164,7 +164,8 @@ def run_bench() -> dict:
                  "orders_by_segment", "unigram_logprob",
                  "html_main_text", "html_outlinks", "pagerank",
                  "warc_extract", "crawl_latest", "corpus_sample",
-                 "top_unshipped_orders", "pii_redact", "line_dedup"):
+                 "top_unshipped_orders", "text_normalize",
+                 "pii_redact", "line_dedup"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

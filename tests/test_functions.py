@@ -377,3 +377,16 @@ def test_exact_percentiles_vs_numpy(ray_session):
                     out.column("value").to_pylist()):
         import math
         assert v == int(s[max(1, math.ceil(q * len(s))) - 1]), q
+
+
+def test_normalize_batch_unit():
+    import pyarrow as pa
+
+    from pdf2dom_ray.functions.textnorm import normalize_batch
+    t = pa.table({"text": ["Café  \x07\ttext \x00here ",
+                           "plain", "", "åb"]})
+    out = normalize_batch(t)
+    assert out.column("clean_text").to_pylist() == \
+        ["Café text here", "plain", "", "åb"]
+    assert out.column("n_chars_in").to_pylist() == [20, 5, 0, 3]
+    assert out.column("n_chars_out").to_pylist() == [14, 5, 0, 2]
