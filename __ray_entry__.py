@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_unshipped_orders": _q_top_unshipped,
         "length_percentiles": _q_length_percentiles,
         "text_normalize": _q_text_normalize,
+        "frontier_filter": _q_frontier_filter,
         "link_adjacency": _q_link_adjacency,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
@@ -402,6 +403,17 @@ def oracle_sql() -> dict[str, str]:
                         '[ \\t\\n]+', ' ', 'g'), ' ')) AS BIGINT)
                        AS n_chars_out
             FROM p
+        """,
+        # SYNTH_ROBOTS decisions: /r-prefixed paths blocked except the
+        # exact /r2 (longest-match Allow), /buy blocked ($-anchored),
+        # everything else allowed
+        "frontier_filter": f"""
+            WITH l AS ({_LINKS_SQL}),
+                 t AS (SELECT DISTINCT path FROM l)
+            SELECT 'https://docs.synth.test' || path AS target,
+                   NOT ((path LIKE '/r%' AND path <> '/r2')
+                        OR path = '/buy') AS allowed
+            FROM t
         """,
         # rank semantics pinned: rank = max(1, ceil(q*n)), 1-based over
         # the sorted column (same formula as exact_percentiles)
@@ -812,6 +824,20 @@ def _q_text_normalize(sf_dir: str):
     out = normalize_text(ds.map_batches(plant, batch_format="pyarrow"))
     return out.select_columns(["doc_id", "clean_text", "n_chars_in",
                                "n_chars_out"])
+
+
+def _q_frontier_filter(sf_dir: str):
+    """Crawl-frontier robots filtering: distinct link targets ->
+    per-host robots.txt decision (RFC 9309 longest-match semantics),
+    rules parsed once per actor from a broadcast host map."""
+    from pdf2dom_ray.functions.frontier import SYNTH_ROBOTS, filter_frontier
+    from pdf2dom_ray.functions.pagerank import _distinct
+    from pdf2dom_ray.pipelines.html_extract import (extract_outlinks_ds,
+                                                    synth_html_pages)
+    edges = extract_outlinks_ds(synth_html_pages(sf_dir))
+    targets = _distinct(edges, ["target"])
+    return filter_frontier(targets,
+                           {"docs.synth.test": SYNTH_ROBOTS})
 
 
 def _q_length_percentiles(sf_dir: str):
