@@ -301,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_percentiles": _q_length_percentiles,
         "text_normalize": _q_text_normalize,
         "frontier_filter": _q_frontier_filter,
+        "distinct_users_hll": _q_distinct_hll,        # rows-only
         "link_adjacency": _q_link_adjacency,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
@@ -824,6 +825,24 @@ def _q_text_normalize(sf_dir: str):
     out = normalize_text(ds.map_batches(plant, batch_format="pyarrow"))
     return out.select_columns(["doc_id", "clean_text", "n_chars_in",
                                "n_chars_out"])
+
+
+def _q_distinct_hll(sf_dir: str):
+    """HyperLogLog distinct user_ids over events (mergeable sketch;
+    no SQL oracle — DuckDB's approx_count_distinct uses its own hash —
+    so this is a rows-only driver check; accuracy/merge invariance are
+    locked by tests/test_functions.py)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.hll import hll_distinct
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    ds = ds.map_batches(
+        lambda t: pa.table({"user_id": t.column("user_id")
+                            .cast(pa.string())}),
+        batch_format="pyarrow")
+    est = hll_distinct(ds, "user_id")
+    return pd.DataFrame({"p": [12], "estimate": [est]})
 
 
 def _q_frontier_filter(sf_dir: str):

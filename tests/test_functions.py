@@ -390,3 +390,45 @@ def test_normalize_batch_unit():
         ["Café text here", "plain", "", "åb"]
     assert out.column("n_chars_in").to_pylist() == [20, 5, 0, 3]
     assert out.column("n_chars_out").to_pylist() == [14, 5, 0, 2]
+
+
+def test_hll_accuracy_and_reference():
+    from pdf2dom_ray.functions.hll import hll_estimate, hll_sketch_batch
+    keys = [f"https://h{i % 7}.com/p{i}" for i in range(20000)]
+    est = hll_estimate(hll_sketch_batch(keys, p=12))
+    assert abs(est - 20000) / 20000 < 0.05
+    # duplicates change nothing: sketch of the SET
+    est2 = hll_estimate(hll_sketch_batch(keys * 3, p=12))
+    assert est2 == est
+
+
+def test_hll_small_range_linear_counting():
+    from pdf2dom_ray.functions.hll import hll_estimate, hll_sketch_batch
+    keys = [f"k{i}" for i in range(100)]
+    est = hll_estimate(hll_sketch_batch(keys, p=12))
+    assert abs(est - 100) <= 3
+
+
+def test_hll_merge_equals_single_pass():
+    import numpy as np
+
+    from pdf2dom_ray.functions.hll import hll_merge, hll_sketch_batch
+    keys = [f"x{i}" for i in range(5000)]
+    whole = hll_sketch_batch(keys, p=12)
+    merged = np.zeros(1 << 12, dtype=np.uint8)
+    for i in range(0, len(keys), 611):
+        merged = hll_merge(merged, hll_sketch_batch(keys[i:i + 611], 12))
+    assert np.array_equal(whole, merged)
+
+
+def test_hll_distributed_block_invariance(ray_session):
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.hll import (hll_distinct, hll_estimate,
+                                           hll_sketch_batch)
+    keys = [f"https://ex.com/{i % 3000}" for i in range(9000)]
+    exp = hll_estimate(hll_sketch_batch(sorted(set(keys)), p=12))
+    for blocks in (1, 5, 23):
+        ds = rd.from_items([{"url": k} for k in keys],
+                           override_num_blocks=blocks)
+        assert hll_distinct(ds, "url") == exp, blocks
