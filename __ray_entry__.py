@@ -302,6 +302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_normalize": _q_text_normalize,
         "frontier_filter": _q_frontier_filter,
         "distinct_users_hll": _q_distinct_hll,        # rows-only
+        "inverted_index": _q_inverted_index,
         "link_adjacency": _q_link_adjacency,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
@@ -404,6 +405,24 @@ def oracle_sql() -> dict[str, str]:
                         '[ \\t\\n]+', ' ', 'g'), ' ')) AS BIGINT)
                        AS n_chars_out
             FROM p
+        """,
+        "inverted_index": """
+            WITH pairs AS (
+              SELECT DISTINCT token, doc_id FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents)
+              WHERE token <> ''
+            ), ranked AS (
+              SELECT token, doc_id,
+                     row_number() OVER (PARTITION BY token
+                                        ORDER BY doc_id) AS rn
+              FROM pairs
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS n_docs,
+                   string_agg(CASE WHEN rn <= 20
+                                   THEN CAST(doc_id AS VARCHAR) END,
+                              ',' ORDER BY doc_id) AS postings
+            FROM ranked GROUP BY token
         """,
         # SYNTH_ROBOTS decisions: /r-prefixed paths blocked except the
         # exact /r2 (longest-match Allow), /buy blocked ($-anchored),
@@ -825,6 +844,14 @@ def _q_text_normalize(sf_dir: str):
     out = normalize_text(ds.map_batches(plant, batch_format="pyarrow"))
     return out.select_columns(["doc_id", "clean_text", "n_chars_in",
                                "n_chars_out"])
+
+
+def _q_inverted_index(sf_dir: str):
+    """Token → (doc-frequency, first-20 posting list); hot keys
+    (stopwords hitting every doc) stay O(K) per shuffled row via the
+    per-batch first-K partial."""
+    from pdf2dom_ray.functions.index import inverted_index
+    return inverted_index(_documents(sf_dir), k=20)
 
 
 def _q_distinct_hll(sf_dir: str):

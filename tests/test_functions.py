@@ -432,3 +432,20 @@ def test_hll_distributed_block_invariance(ray_session):
         ds = rd.from_items([{"url": k} for k in keys],
                            override_num_blocks=blocks)
         assert hll_distinct(ds, "url") == exp, blocks
+
+
+def test_inverted_index_block_invariant_and_hot_key(ray_session):
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.index import inverted_index
+    rows = [{"doc_id": i,
+             "text": "the quick fox" + (" rare" if i == 41 else "")}
+            for i in range(60)]
+    expect_the = (60, ",".join(str(i) for i in range(20)))
+    for blocks in (1, 7):
+        ds = rd.from_items(rows, override_num_blocks=blocks)
+        out = {r["token"]: (r["n_docs"], r["postings"])
+               for r in inverted_index(ds, k=20).take_all()}
+        assert out["the"] == expect_the, blocks      # hot key capped
+        assert out["rare"] == (1, "41")
+        assert out["quick"][0] == 60
