@@ -303,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frontier_filter": _q_frontier_filter,
         "distinct_users_hll": _q_distinct_hll,        # rows-only
         "inverted_index": _q_inverted_index,
+        "bigram_stats": _q_bigram_stats,
         "link_adjacency": _q_link_adjacency,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
@@ -405,6 +406,31 @@ def oracle_sql() -> dict[str, str]:
                         '[ \\t\\n]+', ' ', 'g'), ' ')) AS BIGINT)
                        AS n_chars_out
             FROM p
+        """,
+        "bigram_stats": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 x -> x <> '') AS ts
+              FROM documents
+            ), pairs AS (
+              SELECT u.pz[1] AS w1, u.pz[2] AS w2
+              FROM (SELECT unnest(list_zip(ts, ts[2:])) AS pz
+                    FROM toks) u
+              WHERE u.pz[2] IS NOT NULL
+            ), bi AS (
+              SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+              FROM pairs GROUP BY 1, 2
+            ), uni AS (
+              SELECT u.token, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT unnest(ts) AS token FROM toks) u
+              WHERE u.token <> '' GROUP BY 1
+            )
+            SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,
+                   CAST(b.c12 * 1000000 // (u1.c * u2.c) AS BIGINT)
+                       AS assoc_ppm
+            FROM bi b JOIN uni u1 ON b.w1 = u1.token
+                      JOIN uni u2 ON b.w2 = u2.token
         """,
         "inverted_index": """
             WITH pairs AS (
@@ -844,6 +870,13 @@ def _q_text_normalize(sf_dir: str):
     out = normalize_text(ds.map_batches(plant, batch_format="pyarrow"))
     return out.select_columns(["doc_id", "clean_text", "n_chars_in",
                                "n_chars_out"])
+
+
+def _q_bigram_stats(sf_dir: str):
+    """Bigram collocations: Counter partials → groupby merges → two
+    hash joins to attach unigram counts; integer PMI-core score."""
+    from pdf2dom_ray.functions.ngrams import bigram_stats
+    return bigram_stats(_documents(sf_dir))
 
 
 def _q_inverted_index(sf_dir: str):

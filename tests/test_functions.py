@@ -449,3 +449,20 @@ def test_inverted_index_block_invariant_and_hot_key(ray_session):
         assert out["the"] == expect_the, blocks      # hot key capped
         assert out["rare"] == (1, "41")
         assert out["quick"][0] == 60
+
+
+def test_bigram_stats_block_invariant(ray_session):
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.ngrams import bigram_stats
+    rows = [{"text": "a b a b c"}, {"text": "b c"}, {"text": "a"}]
+    # unigrams: a=3 b=3 c=2; bigrams: (a,b)=2 (b,a)=1 (b,c)=2
+    exp = {("a", "b"): (2, 3, 3, 2 * 10**6 // 9),
+           ("b", "a"): (1, 3, 3, 10**6 // 9),
+           ("b", "c"): (2, 3, 2, 2 * 10**6 // 6)}
+    for blocks in (1, 3):
+        ds = rd.from_items(rows, override_num_blocks=blocks)
+        got = {(r["w1"], r["w2"]): (r["c12"], r["c1"], r["c2"],
+                                    r["assoc_ppm"])
+               for r in bigram_stats(ds).take_all()}
+        assert got == exp, blocks
