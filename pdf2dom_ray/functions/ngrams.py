@@ -61,7 +61,11 @@ def bigram_stats(ds: rd.Dataset, *, text_col: str = "text",
     text_only = ds.select_columns([text_col])
     uni = text_only.map_batches(uni_partial, batch_format="pyarrow") \
         .groupby("token").aggregate(Sum("c", alias_name="c"))
-    uni = uni.map_batches(lambda t: t, batch_format="pyarrow")
+    # the two w1/w2 joins both consume uni — materialize the narrow
+    # vocab table once, or its lineage (including the payload scan)
+    # would execute twice (Ray does not dedupe shared lineage)
+    uni = uni.map_batches(lambda t: t,
+                          batch_format="pyarrow").materialize()
     bi = text_only.map_batches(bi_partial, batch_format="pyarrow") \
         .groupby(["w1", "w2"]).aggregate(Sum("c12", alias_name="c12"))
     bi = bi.map_batches(lambda t: t, batch_format="pyarrow")
