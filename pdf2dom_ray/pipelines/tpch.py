@@ -51,7 +51,9 @@ def q3_top_unshipped(sf_dir: str, *, segment: str = "BUILDING",
     cust = cust.map_batches(
         lambda t: t.filter(pc.equal(t.column("c_mktsegment"), segment))
                    .select(["c_custkey"]),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
+    # materialized: count() + the key collection (or the semi-join)
+    # would otherwise re-execute the customer scan (shared lineage)
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
