@@ -304,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": _q_distinct_hll,        # rows-only
         "inverted_index": _q_inverted_index,
         "bigram_stats": _q_bigram_stats,
+        "events_props_agg": _q_events_props,
         "link_adjacency": _q_link_adjacency,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
@@ -406,6 +407,17 @@ def oracle_sql() -> dict[str, str]:
                         '[ \\t\\n]+', ' ', 'g'), ' ')) AS BIGINT)
                        AS n_chars_out
             FROM p
+        """,
+        "events_props_agg": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(COALESCE(SUM(CAST(json_extract(props, '$.k')
+                                          AS BIGINT)), 0) AS BIGINT)
+                       AS sum_k,
+                   CAST(count(*) FILTER (
+                        WHERE json_extract(props, '$.k') IS NULL)
+                        AS BIGINT) AS n_bad
+            FROM events GROUP BY 1
         """,
         "bigram_stats": """
             WITH toks AS (
@@ -870,6 +882,18 @@ def _q_text_normalize(sf_dir: str):
     out = normalize_text(ds.map_batches(plant, batch_format="pyarrow"))
     return out.select_columns(["doc_id", "clean_text", "n_chars_in",
                                "n_chars_out"])
+
+
+def _q_events_props(sf_dir: str):
+    """Semi-structured extraction: parse the events JSON props column
+    and aggregate an int field per event_type (combiner + narrow
+    groupby; JSON strings never shuffle)."""
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.jsonprops import json_field_agg
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+    return json_field_agg(ds)
 
 
 def _q_bigram_stats(sf_dir: str):

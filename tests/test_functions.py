@@ -466,3 +466,22 @@ def test_bigram_stats_block_invariant(ray_session):
                                     r["assoc_ppm"])
                for r in bigram_stats(ds).take_all()}
         assert got == exp, blocks
+
+
+def test_json_field_agg_malformed_rows(ray_session):
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.jsonprops import json_field_agg
+    rows = [
+        {"event_type": "a", "props": '{"k": 3}'},
+        {"event_type": "a", "props": '{"k": 4}'},
+        {"event_type": "a", "props": 'not json'},
+        {"event_type": "b", "props": '{"x": 1}'},        # missing field
+        {"event_type": "b", "props": '{"k": "s"}'},      # wrong type
+        {"event_type": "b", "props": '{"k": true}'},     # bool is not int
+    ]
+    for blocks in (1, 3):
+        ds = rd.from_items(rows, override_num_blocks=blocks)
+        got = {r["event_type"]: (r["n_events"], r["sum_k"], r["n_bad"])
+               for r in json_field_agg(ds).take_all()}
+        assert got == {"a": (3, 7, 1), "b": (3, 0, 3)}, blocks
