@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_latest": _q_crawl_latest,
         "top_unshipped_orders": _q_top_unshipped,
         "length_percentiles": _q_length_percentiles,
+        "length_percentiles_by_lang": _q_length_percentiles_by,
         "text_normalize": _q_text_normalize,
         "frontier_filter": _q_frontier_filter,
         "distinct_users_hll": _q_distinct_hll,        # rows-only
@@ -496,6 +497,19 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(DISTINCT target, ',' ORDER BY target)
                        AS targets
             FROM l GROUP BY src
+        """,
+        "length_percentiles_by_lang": """
+            WITH s AS (SELECT lang, n_chars,
+                              row_number() OVER (PARTITION BY lang
+                                                 ORDER BY n_chars) AS rn,
+                              count(*) OVER (PARTITION BY lang) AS n
+                       FROM documents),
+                 qs AS (SELECT * FROM (VALUES (0.25), (0.5), (0.75),
+                                              (0.9), (0.99)) t(q))
+            SELECT s.lang, CAST(q AS DOUBLE) AS q,
+                   CAST(n_chars AS BIGINT) AS value
+            FROM qs JOIN s
+              ON s.rn = greatest(1, CAST(ceil(q * s.n) AS BIGINT))
         """,
         "top_unshipped_orders": """
             SELECT o_orderkey, o_orderdate, o_orderpriority,
@@ -961,6 +975,17 @@ def _q_link_adjacency(sf_dir: str):
                                                     extract_outlinks_ds,
                                                     synth_html_pages)
     return adjacency_lists(extract_outlinks_ds(synth_html_pages(sf_dir)))
+
+
+def _q_length_percentiles_by(sf_dir: str):
+    """Grouped exact percentiles (p-length per language) — histogram
+    method keyed by (lang, value)."""
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.percentiles import exact_percentiles_by
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "n_chars"])
+    return exact_percentiles_by(ds, "n_chars", "lang")
 
 
 def _q_top_unshipped(sf_dir: str):

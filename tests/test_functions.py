@@ -485,3 +485,24 @@ def test_json_field_agg_malformed_rows(ray_session):
         got = {r["event_type"]: (r["n_events"], r["sum_k"], r["n_bad"])
                for r in json_field_agg(ds).take_all()}
         assert got == {"a": (3, 7, 1), "b": (3, 0, 3)}, blocks
+
+
+def test_exact_percentiles_by_group(ray_session):
+    import math
+
+    import numpy as np
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.percentiles import exact_percentiles_by
+    rng = np.random.RandomState(3)
+    rows = [{"g": ["x", "y"][i % 2], "v": int(rng.randint(0, 40))}
+            for i in range(1000)]
+    out = exact_percentiles_by(
+        rd.from_items(rows, override_num_blocks=7), "v", "g",
+        qs=(0.5, 0.9))
+    for g in ("x", "y"):
+        s = np.sort([r["v"] for r in rows if r["g"] == g])
+        for q in (0.5, 0.9):
+            got = [r["value"] for r in out.to_pylist()
+                   if r["g"] == g and r["q"] == q]
+            assert got == [int(s[max(1, math.ceil(q * len(s))) - 1])]
