@@ -295,6 +295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_outlinks": _q_html_outlinks,
         "pagerank": _q_pagerank,
         "warc_extract": _q_warc_extract,
+        "web_pipeline": _q_web_pipeline,
         "corpus_sample": _q_corpus_sample,
         "crawl_latest": _q_crawl_latest,
         "top_unshipped_orders": _q_top_unshipped,
@@ -525,6 +526,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
             ORDER BY revenue_cents DESC, o_orderkey
             LIMIT 10
+        """,
+        "web_pipeline": f"""
+            SELECT url, text AS main_text,
+                   CAST(len(string_split(text, ' ')) AS BIGINT)
+                       AS n_tokens
+            FROM (SELECT {_URL_SQL} AS url, text FROM documents)
+            WHERE substr(md5(url), 1, 8) < '80000000'
         """,
         # latest-capture-wins over the two-snapshot synth crawl:
         # every doc has a version-0 capture at its warc_ts; doc_id%3==0
@@ -994,6 +1002,31 @@ def _q_top_unshipped(sf_dir: str):
     revenue so the distributed sum is order-independent."""
     from pdf2dom_ray.pipelines.tpch import q3_top_unshipped
     return q3_top_unshipped(sf_dir)
+
+
+def _q_web_pipeline(sf_dir: str):
+    """End-to-end crawl composite: WARC shards → boilerplate strip →
+    token count → 50% deterministic hash sample — the operator chain a
+    production corpus build runs, streaming throughout (no stage
+    materializes)."""
+    from pdf2dom_ray.functions.sampling import sample_hash
+    from pdf2dom_ray.pipelines.html_extract import extract_warc_main
+    from pdf2dom_ray.synth.htmlgen import HTMLGEN_VERSION
+    from pdf2dom_ray.synth.warcgen import WARCGEN_VERSION, write_warc_shards
+    tag = sf_dir.strip("/").replace("/", "_")
+    cache = (f"/tmp/pdf2dom_warc/{tag}"
+             f"_v{WARCGEN_VERSION}.{HTMLGEN_VERSION}")
+    pages = extract_warc_main(write_warc_shards(sf_dir, cache))
+
+    def project(t: pa.Table) -> pa.Table:
+        s = pc.replace_substring(t.column("main_text"), "\n", " ")
+        n_tok = pc.list_value_length(
+            pc.split_pattern(s, " ")).cast(pa.int64())
+        return pa.table({"url": t.column("url"), "main_text": s,
+                         "n_tokens": n_tok})
+
+    return sample_hash(pages.map_batches(project,
+                                         batch_format="pyarrow"), 0.5)
 
 
 def _q_crawl_latest(sf_dir: str):
