@@ -307,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "bigram_stats": _q_bigram_stats,
         "events_props_agg": _q_events_props,
+        "doc_chunks": _q_doc_chunks,
         "link_adjacency": _q_link_adjacency,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
@@ -409,6 +410,28 @@ def oracle_sql() -> dict[str, str]:
                         '[ \\t\\n]+', ' ', 'g'), ' ')) AS BIGINT)
                        AS n_chars_out
             FROM p
+        """,
+        # per-doc 64-token chunks via list slices (last chunk = short
+        # remainder), chunk_idx 1-based
+        "doc_chunks": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+            ), ch AS (
+              SELECT doc_id,
+                     [ts[(x - 1) * 64 + 1 : x * 64]
+                      for x in generate_series(
+                          1, CAST(ceil(len(ts) / 64.0) AS BIGINT))]
+                         AS chunks
+              FROM toks
+            )
+            SELECT doc_id,
+                   CAST(u.z[2] AS BIGINT) AS chunk_idx,
+                   CAST(len(u.z[1]) AS BIGINT) AS n_tokens,
+                   array_to_string(u.z[1], ' ') AS chunk_text
+            FROM (SELECT doc_id,
+                         unnest(list_zip(chunks,
+                                generate_series(1, len(chunks)))) AS z
+                  FROM ch) u
         """,
         "events_props_agg": """
             SELECT event_type,
@@ -904,6 +927,13 @@ def _q_text_normalize(sf_dir: str):
     out = normalize_text(ds.map_batches(plant, batch_format="pyarrow"))
     return out.select_columns(["doc_id", "clean_text", "n_chars_in",
                                "n_chars_out"])
+
+
+def _q_doc_chunks(sf_dir: str):
+    """Per-document fixed-size sequence chunking (seq_len=64 tokens):
+    row-local, shuffle-free, the training-data last mile."""
+    from pdf2dom_ray.functions.chunking import chunk_documents
+    return chunk_documents(_documents(sf_dir), seq_len=64)
 
 
 def _q_events_props(sf_dir: str):

@@ -506,3 +506,18 @@ def test_exact_percentiles_by_group(ray_session):
             got = [r["value"] for r in out.to_pylist()
                    if r["g"] == g and r["q"] == q]
             assert got == [int(s[max(1, math.ceil(q * len(s))) - 1])]
+
+
+def test_chunk_documents_semantics(ray_session):
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.chunking import chunk_documents
+    rows = [{"doc_id": 1, "text": "a b c d e"},
+            {"doc_id": 2, "text": "x"},
+            {"doc_id": 3, "text": ""}]
+    out = chunk_documents(rd.from_items(rows), seq_len=2).take_all()
+    got = {(r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+           for r in out}
+    assert got == {(1, 1): (2, "a b"), (1, 2): (2, "c d"),
+                   (1, 3): (1, "e"), (2, 1): (1, "x"),
+                   (3, 1): (1, "")}
