@@ -130,5 +130,23 @@ def q3_top_unshipped(sf_dir: str, *, segment: str = "BUILDING",
         })
 
     out = agg.map_batches(finish, batch_format="pyarrow")
-    return out.sort(["revenue_cents", "o_orderkey"],
-                    descending=[True, False]).limit(limit)
+
+    # take-ordered instead of a global sort: per-batch top-k partial,
+    # then a driver merge over <= blocks*k narrow rows (the pattern of
+    # Spark takeOrdered) — a full Sort operator is pure fixed cost for
+    # a k-row result
+    def topk_partial(t: pa.Table) -> pa.Table:
+        idx = pa.compute.sort_indices(
+            t, sort_keys=[("revenue_cents", "descending"),
+                          ("o_orderkey", "ascending")])
+        return t.take(idx[:limit])
+
+    parts = out.map_batches(topk_partial, batch_format="pyarrow")
+    tables = [b for b in ray.get(parts.to_arrow_refs()) if b.num_rows]
+    if not tables:
+        return parts.limit(0)
+    merged = pa.concat_tables(tables)
+    idx = pa.compute.sort_indices(
+        merged, sort_keys=[("revenue_cents", "descending"),
+                           ("o_orderkey", "ascending")])
+    return rd.from_arrow(merged.take(idx[:limit]))
