@@ -336,6 +336,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": _q_sessionize,
         "pricing_summary": _q_pricing_summary,
         "orders_by_segment": _q_orders_by_segment,
+        # -- temporal joins / windows Ray Data lacks as built-ins
+        "asof_last_purchase": _q_asof_last_purchase,
+        "range_join_window": _q_range_join_window,
+        "rolling_user_totals": _q_rolling_user_totals,
+        "top_docs_per_lang": _q_top_docs_per_lang,
         # -- multimodal plumbing
         "image_decode": _q_image_decode,
         "audio_features": _q_audio_features,
@@ -775,6 +780,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height
             FROM documents, (VALUES (0), (1)) AS f(fi)
             WHERE doc_id % 6 = 4
+        """,
+        # backward as-of join: each event attributed to the same user's
+        # most recent strictly-prior purchase (ties → max event_id)
+        "asof_last_purchase": """
+            SELECT e.event_id, e.user_id, e.ts,
+                   p.event_id AS anchor_id, p.ts AS anchor_ts
+            FROM events e JOIN events p
+              ON p.user_id = e.user_id AND p.event_type = 'purchase'
+             AND p.ts < e.ts
+            QUALIFY row_number() OVER (PARTITION BY e.event_id
+                ORDER BY p.ts DESC, p.event_id DESC) = 1
+        """,
+        # banded range join: same-user events within 7 days after each
+        # signup (the anchor itself excluded; zero-match anchors drop)
+        "range_join_window": """
+            SELECT s.event_id AS anchor_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events s JOIN events e
+              ON e.user_id = s.user_id AND s.event_type = 'signup'
+             AND e.ts >= s.ts AND e.ts < s.ts + INTERVAL 7 DAY
+             AND e.event_id != s.event_id
+            GROUP BY s.event_id
+        """,
+        # unbounded-preceding running totals per user; integer cents so
+        # the cumulative sum is partitioning-independent
+        "rolling_user_totals": """
+            SELECT event_id, user_id, ts,
+                   CAST(row_number() OVER w AS BIGINT) AS cum_n,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER w
+                        AS BIGINT) AS cum_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+        """,
+        "top_docs_per_lang": """
+            SELECT lang, doc_id, n_chars,
+                   CAST(row_number() OVER (PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+            FROM documents
+            QUALIFY rank <= 3
         """,
     }
 
@@ -1369,3 +1414,27 @@ def _q_video_frames(sf_dir: str):
             "width": t.column("width"),
             "height": t.column("height"),
         }), batch_format="pyarrow")
+
+
+def _q_asof_last_purchase(sf_dir: str):
+    from pdf2dom_ray.functions.temporal import asof_join_last_purchase
+    return asof_join_last_purchase(sf_dir)
+
+
+def _q_range_join_window(sf_dir: str):
+    from pdf2dom_ray.functions.temporal import range_join_event_window
+    return range_join_event_window(sf_dir)
+
+
+def _q_rolling_user_totals(sf_dir: str):
+    from pdf2dom_ray.functions.temporal import rolling_user_totals
+    return rolling_user_totals(sf_dir)
+
+
+def _q_top_docs_per_lang(sf_dir: str):
+    import ray.data as rd
+    from pdf2dom_ray.functions.topk import grouped_topk
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "doc_id", "n_chars"])
+    return grouped_topk(ds, "lang", ["n_chars", "doc_id"],
+                        ascending=[False, True], k=3)

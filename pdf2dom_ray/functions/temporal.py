@@ -1,0 +1,243 @@
+"""Temporal joins Ray Data lacks as built-ins: as-of join, banded
+range join, per-key rolling (cumulative) windows.
+
+All three follow the repo's one-shuffle hash-partition shape
+(SURVEY.md §2.9, same machinery as ``pipelines/metrics.py::sessionize``):
+tag every row with ``part = hash(key) % P``, one
+``groupby(part).map_groups`` exchange, then a fully VECTORIZED pandas
+pass per partition (``merge_asof`` / interval merge / ``cumsum``) —
+one Python call per partition, never per key. The partitioning
+assumption is key-hash co-location; hot keys are bounded by their own
+row counts, never by partition peers.
+
+Determinism rules (CLAUDE.md): every oracle-checked value column is
+integer (cents via ``floor(value*100)``) and every ordering has a
+total tie-break (event_id / o_orderkey), so the driver's value-hash is
+partitioning-independent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+__all__ = ["asof_join_last_purchase", "range_join_event_window",
+           "rolling_user_totals"]
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _part_of(s: pd.Series, num_partitions: int) -> np.ndarray:
+    h = pd.util.hash_pandas_object(s, index=False)
+    return (h % num_partitions).astype("int64").to_numpy()
+
+
+def asof_join_last_purchase(sf_dir: str, anchor_type: str = "purchase",
+                            num_partitions: int = 16) -> rd.Dataset:
+    """For every event, the same user's most recent STRICTLY-PRIOR
+    ``anchor_type`` event (classic backward as-of join — "attribute
+    each event to the last purchase"; ties on ts break to the highest
+    anchor event_id). Events with no prior anchor are dropped (inner
+    as-of).
+
+    Scale shape: both sides are hash-partitioned on the join key into
+    the SAME partition space and exchanged once; each partition runs
+    one ``pd.merge_asof`` (vectorized binary-search merge) over its
+    co-located slice. No broadcast, no N×M expansion, no global sort —
+    the per-partition sort is local and bounded by the partition's own
+    rows. The right side is derived from the same scan via a batch
+    filter, so the events table is read once per side of the union
+    (two column-pruned scans total — at crawl scale the anchor side
+    would be a pre-materialized narrow table).
+    """
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "ts",
+                                      "event_type"])
+
+    # Both sides mapped to ONE common Arrow schema so the union has a
+    # uniform block type (CLAUDE.md groupby gotcha):
+    #   key i64 | t ts[us] | event_id i64 | anchor_id i64 | __part i64
+    # with -1 sentinels marking the absent side's id column.
+    def tag_left(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "key": pa.array(df["user_id"].to_numpy(), pa.int64()),
+            "t": pa.array(df["ts"].astype("datetime64[us]")),
+            "event_id": pa.array(df["event_id"].to_numpy(), pa.int64()),
+            "anchor_id": pa.array(np.full(len(df), -1, dtype=np.int64)),
+            "__part": pa.array(_part_of(df["user_id"], num_partitions)),
+        })
+
+    def tag_right(df: pd.DataFrame) -> pa.Table:
+        df = df[df["event_type"] == anchor_type]
+        return pa.table({
+            "key": pa.array(df["user_id"].to_numpy(), pa.int64()),
+            "t": pa.array(df["ts"].astype("datetime64[us]")),
+            "event_id": pa.array(np.full(len(df), -1, dtype=np.int64)),
+            "anchor_id": pa.array(df["event_id"].to_numpy(), pa.int64()),
+            "__part": pa.array(_part_of(df["user_id"], num_partitions)),
+        })
+
+    both = events.map_batches(tag_left, batch_format="pandas").union(
+        events.map_batches(tag_right, batch_format="pandas"))
+
+    def per_partition(g: pd.DataFrame) -> pa.Table:
+        left = g[g["event_id"] >= 0]
+        right = g[g["event_id"] < 0]
+        # merge_asof takes the LAST right row before each left t — the
+        # mergesort by (t, anchor_id) makes that the max anchor_id
+        # among equal-ts anchors; allow_exact_matches=False makes the
+        # match strictly prior (an anchor never matches itself).
+        left = left.sort_values("t", kind="mergesort")
+        right = right.sort_values(["t", "anchor_id"], kind="mergesort")
+        m = pd.merge_asof(
+            left[["key", "t", "event_id"]],
+            right[["key", "t", "anchor_id"]].rename(
+                columns={"t": "anchor_ts"}),
+            left_on="t", right_on="anchor_ts", by="key",
+            direction="backward", allow_exact_matches=False)
+        m = m.dropna(subset=["anchor_id"])
+        return pa.table({
+            "event_id": pa.array(m["event_id"].to_numpy(), pa.int64()),
+            "user_id": pa.array(m["key"].to_numpy(), pa.int64()),
+            "ts": pa.array(m["t"].astype("datetime64[us]")),
+            "anchor_id": pa.array(
+                m["anchor_id"].to_numpy().astype(np.int64)),
+            "anchor_ts": pa.array(
+                m["anchor_ts"].astype("datetime64[us]")),
+        })
+
+    return both.groupby("__part").map_groups(per_partition,
+                                             batch_format="pandas")
+
+
+def range_join_event_window(sf_dir: str, anchor_type: str = "signup",
+                            window_days: int = 7,
+                            num_partitions: int = 16) -> rd.Dataset:
+    """Banded range join: per ``anchor_type`` event, how many OTHER
+    events of the same user fall in ``[ts, ts + window_days)``
+    ("activity in the week after signup"). Anchors with zero in-window
+    events are dropped (inner).
+
+    Scale shape: time is bucketed at the window width, so an anchor's
+    window spans at most TWO buckets — the anchor side is replicated
+    ×2 into ``(key, bucket)`` space (bounded fan-out, never N×M), the
+    probe side lands in its own bucket, and one hash exchange
+    co-locates candidates. Each partition does an equi-merge on
+    ``(key, bucket)`` plus a vectorized range filter; per-anchor
+    counts then collapse through the usual combiner → small-groupby
+    chain (an anchor's two buckets may land in different partitions).
+    """
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "ts",
+                                      "event_type"])
+    width = np.int64(window_days) * _US_PER_DAY
+
+    def tag_probe(df: pd.DataFrame) -> pa.Table:
+        t = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        key = df["user_id"].to_numpy().astype(np.int64)
+        eid = df["event_id"].to_numpy().astype(np.int64)
+        bucket = t // width
+        part = pd.util.hash_pandas_object(
+            pd.DataFrame({"k": key, "b": bucket}), index=False)
+        return pa.table({
+            "key": pa.array(key), "bucket": pa.array(bucket),
+            "t": pa.array(t), "probe_id": pa.array(eid),
+            "anchor_id": pa.array(np.full(len(df), -1, np.int64)),
+            "__part": pa.array((part % num_partitions)
+                               .astype("int64").to_numpy()),
+        })
+
+    def tag_anchor(df: pd.DataFrame) -> pa.Table:
+        df = df[df["event_type"] == anchor_type]
+        t0 = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        key = df["user_id"].to_numpy().astype(np.int64)
+        aid = df["event_id"].to_numpy().astype(np.int64)
+        b0 = t0 // width
+        # replicate each anchor into the two buckets its window touches
+        key2 = np.concatenate([key, key])
+        aid2 = np.concatenate([aid, aid])
+        t2 = np.concatenate([t0, t0])
+        b2 = np.concatenate([b0, b0 + 1])
+        part = pd.util.hash_pandas_object(
+            pd.DataFrame({"k": key2, "b": b2}), index=False)
+        return pa.table({
+            "key": pa.array(key2), "bucket": pa.array(b2),
+            "t": pa.array(t2),
+            "probe_id": pa.array(np.full(len(key2), -1, np.int64)),
+            "anchor_id": pa.array(aid2),
+            "__part": pa.array((part % num_partitions)
+                               .astype("int64").to_numpy()),
+        })
+
+    both = events.map_batches(tag_probe, batch_format="pandas").union(
+        events.map_batches(tag_anchor, batch_format="pandas"))
+
+    def per_partition(g: pd.DataFrame) -> pa.Table:
+        ev = g[g["anchor_id"] < 0]
+        an = g[g["anchor_id"] >= 0]
+        if not len(ev) or not len(an):
+            return pa.table({"anchor_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64())})
+        m = an.merge(ev[["key", "bucket", "t", "probe_id"]],
+                     on=["key", "bucket"], suffixes=("", "_e"))
+        hit = (m["t_e"] >= m["t"]) & (m["t_e"] < m["t"] + width) & \
+              (m["probe_id_e"] != m["anchor_id"])
+        n = (m[hit].groupby("anchor_id", sort=False).size())
+        return pa.table({
+            "anchor_id": pa.array(n.index.to_numpy(), pa.int64()),
+            "n_events": pa.array(n.to_numpy(), pa.int64()),
+        })
+
+    partials = both.groupby("__part").map_groups(per_partition,
+                                                 batch_format="pandas")
+
+    from ..stages.hashagg import hash_aggregate
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("anchor_id", as_index=False) \
+                 .agg(n_events=("n_events", "sum"))
+
+    out = hash_aggregate(partials, ["anchor_id"], combine,
+                         num_partitions=num_partitions)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_events"] = df["n_events"].astype("int64")
+        return df
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def rolling_user_totals(sf_dir: str,
+                        num_partitions: int = 16) -> rd.Dataset:
+    """Per-event running totals per user: cumulative event count and
+    cumulative integer cents of ``value``, ordered by (ts, event_id).
+
+    The unbounded-preceding window needs every key's full history in
+    one place → one hash exchange on user_id, then a vectorized sort +
+    ``groupby(...).cumsum()`` per partition.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__part=_part_of(df["user_id"], num_partitions))
+
+    def per_partition(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        cents = np.floor(g["value"].to_numpy() * 100.0).astype(np.int64)
+        g = g.assign(__cents=cents)
+        grp = g.groupby("user_id", sort=False)
+        return pa.table({
+            "event_id": pa.array(g["event_id"].to_numpy(), pa.int64()),
+            "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+            "ts": pa.array(g["ts"].astype("datetime64[us]")),
+            "cum_n": pa.array(grp.cumcount().to_numpy() + 1, pa.int64()),
+            "cum_cents": pa.array(grp["__cents"].cumsum().to_numpy(),
+                                  pa.int64()),
+        })
+
+    return (ds.map_batches(tag, batch_format="pandas")
+              .groupby("__part")
+              .map_groups(per_partition, batch_format="pandas"))

@@ -1,0 +1,119 @@
+"""Temporal joins (functions/temporal.py): as-of join, banded range
+join, rolling windows, grouped top-k — partition-count invariance,
+tie-breaking, and a pandas reference cross-check on the real tables.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdf2dom_ray.functions.temporal import (
+    asof_join_last_purchase, range_join_event_window,
+    rolling_user_totals)
+from pdf2dom_ray.functions.topk import grouped_topk
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+def _events(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "user_id", "ts",
+                                    "event_type", "value"])
+
+
+def _ref_asof(ev: pd.DataFrame) -> pd.DataFrame:
+    purchases = ev[ev["event_type"] == "purchase"]
+    rows = []
+    for r in ev.itertuples():
+        prior = purchases[(purchases["user_id"] == r.user_id)
+                          & (purchases["ts"] < r.ts)]
+        if len(prior):
+            best = prior.sort_values(["ts", "event_id"]).iloc[-1]
+            rows.append((r.event_id, r.user_id, r.ts,
+                         best["event_id"], best["ts"]))
+    return pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                       "anchor_id", "anchor_ts"])
+
+
+@pytest.mark.parametrize("parts", [1, 4, 16])
+def test_asof_partition_invariant(ray_session, sf_dir, parts):
+    got = _sorted(asof_join_last_purchase(
+        sf_dir, num_partitions=parts).to_pandas())
+    want = _sorted(_ref_asof(_events(sf_dir)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def _ref_range(ev: pd.DataFrame, days=7) -> pd.DataFrame:
+    w = pd.Timedelta(days=days)
+    anchors = ev[ev["event_type"] == "signup"]
+    rows = []
+    for a in anchors.itertuples():
+        n = ((ev["user_id"] == a.user_id) & (ev["ts"] >= a.ts)
+             & (ev["ts"] < a.ts + w)
+             & (ev["event_id"] != a.event_id)).sum()
+        if n:
+            rows.append((a.event_id, int(n)))
+    return pd.DataFrame(rows, columns=["anchor_id", "n_events"])
+
+
+@pytest.mark.parametrize("parts", [1, 5, 16])
+def test_range_join_partition_invariant(ray_session, sf_dir, parts):
+    got = _sorted(range_join_event_window(
+        sf_dir, num_partitions=parts).to_pandas())
+    want = _sorted(_ref_range(_events(sf_dir)))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_range_join_window_straddles_buckets(ray_session, sf_dir):
+    # windows that cross a bucket boundary must still count events in
+    # the following bucket: widen the window so nearly every anchor's
+    # window straddles, and cross-check the reference
+    got = _sorted(range_join_event_window(
+        sf_dir, window_days=11, num_partitions=4).to_pandas())
+    want = _sorted(_ref_range(_events(sf_dir), days=11))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_rolling_totals(ray_session, sf_dir):
+    got = _sorted(rolling_user_totals(sf_dir).to_pandas())
+    ev = _events(sf_dir).sort_values(["user_id", "ts", "event_id"])
+    ev = ev.assign(
+        __cents=np.floor(ev["value"].to_numpy() * 100.0).astype(np.int64))
+    g = ev.groupby("user_id", sort=False)
+    want = _sorted(pd.DataFrame({
+        "event_id": ev["event_id"], "user_id": ev["user_id"],
+        "ts": ev["ts"], "cum_n": g.cumcount() + 1,
+        "cum_cents": g["__cents"].cumsum()}))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("blocks", [1, 3, 8])
+def test_grouped_topk_block_invariant(ray_session, blocks):
+    import ray.data as rd
+    rows = [{"g": f"g{i % 3}", "v": (i * 7) % 13, "id": i}
+            for i in range(30)]
+    ds = rd.from_items(rows, override_num_blocks=blocks)
+    out = grouped_topk(ds, "g", ["v", "id"], ascending=[False, True],
+                       k=2).to_pandas()
+    want = (pd.DataFrame(rows)
+            .sort_values(["v", "id"], ascending=[False, True])
+            .groupby("g", sort=False).head(2))
+    want = want.assign(
+        rank=want.groupby("g", sort=False).cumcount() + 1)
+    pd.testing.assert_frame_equal(
+        _sorted(out), _sorted(want), check_dtype=False)
+
+
+def test_grouped_topk_rank_is_dense_per_group(ray_session, sf_dir):
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "doc_id", "n_chars"])
+    out = grouped_topk(ds, "lang", ["n_chars", "doc_id"],
+                       ascending=[False, True], k=3).to_pandas()
+    for _, g in out.groupby("lang"):
+        assert sorted(g["rank"]) == list(range(1, len(g) + 1))
+        assert (g.sort_values("rank")["n_chars"].diff().dropna()
+                <= 0).all()
