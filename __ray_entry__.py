@@ -323,7 +323,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_dedup_pipeline": _q_corpus_pipeline,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
-        # -- similarity search / embedding dedup
+        # -- similarity search / embedding dedup / clustering
+        "kmeans_clusters": _q_kmeans,
         "ann_brute_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -781,6 +782,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents, (VALUES (0), (1)) AS f(fi)
             WHERE doc_id % 6 = 4
         """,
+        # fixed-point distributed k-means (functions/kmeans.py): the
+        # whole algorithm — farthest-point init + 2 Lloyd updates —
+        # unrolled into materialized CTEs; int64 math end-to-end makes
+        # the distributed result bit-equal to the sequential SQL
+        "kmeans_clusters": _kmeans_oracle(),
         # backward as-of join: each event attributed to the same user's
         # most recent strictly-prior purchase (ties → max event_id)
         "asof_last_purchase": """
@@ -1438,3 +1444,13 @@ def _q_top_docs_per_lang(sf_dir: str):
                          columns=["lang", "doc_id", "n_chars"])
     return grouped_topk(ds, "lang", ["n_chars", "doc_id"],
                         ascending=[False, True], k=3)
+
+
+def _kmeans_oracle() -> str:
+    from pdf2dom_ray.functions.kmeans import kmeans_oracle_sql
+    return kmeans_oracle_sql()
+
+
+def _q_kmeans(sf_dir: str):
+    from pdf2dom_ray.functions.kmeans import kmeans_clusters
+    return kmeans_clusters(sf_dir)

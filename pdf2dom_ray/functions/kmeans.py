@@ -1,0 +1,239 @@
+"""Distributed Lloyd's k-means over the embeddings table, bit-exact.
+
+Corpus clustering is the standard "understand / mix your training
+data" op (cluster-then-sample curation). The twist here is
+determinism under distribution: float centroid updates are
+order-dependent in the last ulps, so the same data can assign a
+boundary vector differently between runs — and would flake the
+driver's value-hash. Everything therefore runs in int64 fixed point:
+
+- quantize once: ``q = floor(float64(x) * 2^20)`` (exact — the
+  float32→float64 widening and the 2^20 exponent shift are both
+  lossless, so floor is the only rounding and it matches SQL FLOOR),
+- distances are integer squared-L2 (64 dims × (2^21)² ≈ 2^42, safely
+  inside int64; argmin ties break to the lowest cluster index),
+- centroid update is ``floor(sum / count)`` per dimension — integer
+  sums are associative, so the result is partitioning-independent.
+
+Scale shape per Lloyd iteration: centroids are tiny (k×D int64) and
+broadcast via ``ray.put``; each batch computes its own per-cluster
+partial sums (≤ k×(D+1) narrow rows per batch — a combiner), which a
+small ``groupby((cluster, dim))`` reduces; the driver only ever holds
+the k×(D+1) reduced table. The quantized table is materialized once
+because every iteration re-consumes it (re-executing the parquet scan
+per iteration would re-read the corpus L times — CLAUDE.md lineage
+rule). Empty clusters keep their previous centroid.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+__all__ = ["kmeans_clusters", "kmeans_oracle_sql"]
+
+SCALE_BITS = 20
+
+
+def _quantize(t: pa.Table) -> pa.Table:
+    emb = t.column("embedding")
+    flat = emb.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    n = t.num_rows
+    dim = len(flat) // n if n else 0
+    q = np.floor(flat.astype(np.float64)
+                 * (1 << SCALE_BITS)).astype(np.int64)
+    offsets = pa.array(np.arange(n + 1, dtype=np.int32) * dim)
+    return pa.table({
+        "vec_id": t.column("vec_id").cast(pa.int64()),
+        "v": pa.ListArray.from_arrays(offsets, pa.array(q)),
+    })
+
+
+def _assign(x: np.ndarray, cent: np.ndarray):
+    # (N,1,D) - (k,D) broadcast: exact int64 squared distances
+    d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    cl = d2.argmin(axis=1)            # first minimum → lowest index
+    return cl, d2[np.arange(len(cl)), cl]
+
+
+def _farthest_point_seeds(quant: rd.Dataset, k: int) -> np.ndarray:
+    """Deterministic farthest-point init (the greedy 2-approximation
+    k-center sweep kmeans++ randomizes): seed 0 is vec_id 0; each
+    round adds the vector with the largest min-distance to the chosen
+    seeds (ties → lowest vec_id). Each round is one map_batches pass
+    emitting ONE candidate row per batch (max is associative, so the
+    batch-local argmax then tiny driver reduce is exact); k passes
+    over the materialized quantized table total."""
+    first = quant.filter(expr="vec_id == 0").take_all()
+    seeds = [np.asarray(first[0]["v"], dtype=np.int64)]
+    for _ in range(1, k):
+        ref = ray.put(np.stack(seeds))
+
+        def best_in_batch(t: pa.Table, _ref=ref) -> pa.Table:
+            s = ray.get(_ref)
+            x = t.column("v").combine_chunks().flatten().to_numpy() \
+                 .reshape(t.num_rows, -1)
+            md = ((x[:, None, :] - s[None, :, :]) ** 2) \
+                .sum(axis=2).min(axis=1)
+            ids = t.column("vec_id").to_numpy()
+            # batch argmax with lowest-id tie-break
+            top = md.max()
+            i = ids[md == top].min()
+            row = np.flatnonzero(ids == i)[0]
+            return pa.table({
+                "vec_id": pa.array([int(i)], pa.int64()),
+                "md": pa.array([int(top)], pa.int64()),
+                "v": pa.array([x[row].tolist()],
+                              pa.list_(pa.int64())),
+            })
+
+        cands = quant.map_batches(best_in_batch,
+                                  batch_format="pyarrow").take_all()
+        cands.sort(key=lambda r: (-r["md"], r["vec_id"]))
+        seeds.append(np.asarray(cands[0]["v"], dtype=np.int64))
+    return np.stack(seeds)
+
+
+def kmeans_clusters(sf_dir: str, k: int = 10,
+                    iters: int = 2) -> rd.Dataset:
+    """Fit k-means (deterministic farthest-point init, ``iters``
+    centroid updates), then emit the final assignment
+    ``(vec_id, cluster, dist2)``."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    quant = ds.map_batches(_quantize, batch_format="pyarrow") \
+              .materialize()
+
+    cent = _farthest_point_seeds(quant, k)
+    dim = cent.shape[1]
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(t: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)
+            x = t.column("v").combine_chunks().flatten().to_numpy() \
+                 .reshape(t.num_rows, -1)
+            cl, _ = _assign(x, c)
+            rows_c, rows_d, rows_s = [], [], []
+            for j in np.unique(cl):
+                xj = x[cl == j]
+                rows_c.extend([j] * (dim + 1))
+                rows_d.extend(range(dim))
+                rows_d.append(dim)               # dim==D carries count
+                rows_s.extend(xj.sum(axis=0).tolist())
+                rows_s.append(len(xj))
+            return pa.table({
+                "cluster": pa.array(np.asarray(rows_c, np.int64)),
+                "dim": pa.array(np.asarray(rows_d, np.int64)),
+                "s": pa.array(np.asarray(rows_s, np.int64)),
+            })
+
+        red = (quant.map_batches(partial, batch_format="pyarrow")
+                    .groupby(["cluster", "dim"])
+                    .aggregate(Sum("s", alias_name="s"))
+                    .to_pandas())
+        nxt = cent.copy()                 # empty cluster → keep old
+        for j, g in red.groupby("cluster"):
+            g = g.set_index("dim")["s"]
+            cnt = int(g[dim])
+            if cnt > 0:
+                sums = g.reindex(range(dim)).to_numpy(dtype=np.int64)
+                nxt[int(j)] = np.floor_divide(sums, cnt)
+        cent = nxt
+
+    ref = ray.put(cent)
+
+    def final(t: pa.Table, _ref=ref) -> pa.Table:
+        c = ray.get(_ref)
+        x = t.column("v").combine_chunks().flatten().to_numpy() \
+             .reshape(t.num_rows, -1)
+        cl, d2 = _assign(x, c)
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "cluster": pa.array(cl.astype(np.int64)),
+            "dist2": pa.array(d2.astype(np.int64)),
+        })
+
+    return quant.map_batches(final, batch_format="pyarrow")
+
+
+def kmeans_oracle_sql(k: int = 10, iters: int = 2) -> str:
+    """The same fixed-point algorithm unrolled into CTEs: positional
+    UNNEST zips the vector lists; the farthest-point init is k-1
+    chained rounds of "min-dist so far → argmax pick" (incremental
+    LEAST against only the newest seed); each Lloyd assignment is an
+    argmin via QUALIFY, each update a floor-division GROUP BY
+    (COALESCE keeps the previous centroid for empty clusters)."""
+    scale = 1 << SCALE_BITS
+    sql = [f"""
+        WITH q AS MATERIALIZED (
+          SELECT vec_id, i, CAST(FLOOR(CAST(e AS DOUBLE) * {scale})
+                                 AS BIGINT) AS qe
+          FROM (SELECT vec_id, unnest(embedding) AS e,
+                       unnest(range(len(embedding))) AS i
+                FROM embeddings)
+        ),
+        s_0 AS MATERIALIZED (SELECT 0 AS cl, i, qe AS ce FROM q WHERE vec_id = 0),
+        md_0 AS MATERIALIZED (
+          SELECT q.vec_id, SUM((q.qe - s.ce) * (q.qe - s.ce)) AS md
+          FROM q JOIN s_0 s ON q.i = s.i GROUP BY q.vec_id
+        )"""]
+    for j in range(1, k):
+        sql.append(f""",
+        p_{j} AS MATERIALIZED (
+          SELECT vec_id FROM md_{j - 1}
+          QUALIFY row_number() OVER (ORDER BY md DESC, vec_id) = 1
+        ),
+        s_{j} AS MATERIALIZED (
+          SELECT {j} AS cl, q.i, q.qe AS ce
+          FROM q JOIN p_{j} p ON q.vec_id = p.vec_id
+        )""")
+        if j < k - 1:
+            sql.append(f""",
+        md_{j} AS MATERIALIZED (
+          SELECT m.vec_id, LEAST(m.md, d.d) AS md
+          FROM md_{j - 1} m JOIN (
+            SELECT q.vec_id, SUM((q.qe - s.ce) * (q.qe - s.ce)) AS d
+            FROM q JOIN s_{j} s ON q.i = s.i GROUP BY q.vec_id
+          ) d ON d.vec_id = m.vec_id
+        )""")
+    seed_union = " UNION ALL ".join(
+        f"SELECT * FROM s_{j}" for j in range(k))
+    sql.append(f""",
+        c_0 AS MATERIALIZED ({seed_union})""")
+    for it in range(iters):
+        sql.append(f""",
+        a_{it} AS MATERIALIZED (
+          SELECT q.vec_id, c.cl,
+                 SUM((q.qe - c.ce) * (q.qe - c.ce)) AS d2
+          FROM q JOIN c_{it} c ON q.i = c.i
+          GROUP BY q.vec_id, c.cl
+          QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                                     ORDER BY d2, c.cl) = 1
+        ),
+        u_{it} AS MATERIALIZED (
+          SELECT a.cl, q.i,
+                 CAST(FLOOR(CAST(SUM(q.qe) AS DOUBLE) / COUNT(*))
+                      AS BIGINT) AS ce
+          FROM a_{it} a JOIN q ON q.vec_id = a.vec_id
+          GROUP BY a.cl, q.i
+        ),
+        c_{it + 1} AS MATERIALIZED (
+          SELECT p.cl, p.i, COALESCE(u.ce, p.ce) AS ce
+          FROM c_{it} p LEFT JOIN u_{it} u
+            ON u.cl = p.cl AND u.i = p.i
+        )""")
+    sql.append(f"""
+        SELECT q.vec_id, c.cl AS cluster,
+               SUM((q.qe - c.ce) * (q.qe - c.ce)) AS dist2
+        FROM q JOIN c_{iters} c ON q.i = c.i
+        GROUP BY q.vec_id, c.cl
+        QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                                   ORDER BY dist2, c.cl) = 1
+    """)
+    return "".join(sql)
