@@ -306,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": _q_distinct_hll,        # rows-only
         "inverted_index": _q_inverted_index,
         "bigram_stats": _q_bigram_stats,
+        "tfidf_topk": _q_tfidf_topk,
         "events_props_agg": _q_events_props,
         "doc_chunks": _q_doc_chunks,
         "link_adjacency": _q_link_adjacency,
@@ -474,6 +475,37 @@ def oracle_sql() -> dict[str, str]:
                        AS assoc_ppm
             FROM bi b JOIN uni u1 ON b.w1 = u1.token
                       JOIN uni u2 ON b.w2 = u2.token
+        """,
+        # integer fixed-point idf: score_ppm = tf * ((1e6 * N) // df)
+        # (linear inverse-df weight — monotone per token in log-idf at
+        # fixed N; float log would flake the value-hash across engines)
+        "tfidf_topk": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS token
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+              FROM toks WHERE token <> '' GROUP BY 1, 2
+            ), df AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY 1
+            ), n AS (
+              SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+            ), scored AS (
+              SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                     CAST(tf.tf * ((1000000 * n.n) // df.df)
+                          AS BIGINT) AS score_ppm
+              FROM tf JOIN df USING (token) CROSS JOIN n
+            ), ranked AS (
+              SELECT *, row_number() OVER (
+                        PARTITION BY doc_id
+                        ORDER BY score_ppm DESC, token) AS rnk
+              FROM scored
+            )
+            SELECT doc_id, token, tf, df, score_ppm,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM ranked WHERE rnk <= 5
         """,
         "inverted_index": """
             WITH pairs AS (
@@ -1004,6 +1036,14 @@ def _q_bigram_stats(sf_dir: str):
     hash joins to attach unigram counts; integer PMI-core score."""
     from pdf2dom_ray.functions.ngrams import bigram_stats
     return bigram_stats(_documents(sf_dir))
+
+
+def _q_tfidf_topk(sf_dir: str):
+    """Per-doc top-5 TF-IDF terms; vocab broadcast via ray.put (join
+    fallback beyond 2M tokens); integer score_ppm so the DuckDB oracle
+    hash-matches."""
+    from pdf2dom_ray.functions.tfidf import tfidf_topk
+    return tfidf_topk(_documents(sf_dir), k=5)
 
 
 def _q_inverted_index(sf_dir: str):

@@ -521,3 +521,44 @@ def test_chunk_documents_semantics(ray_session):
     assert got == {(1, 1): (2, "a b"), (1, 2): (2, "c d"),
                    (1, 3): (1, "e"), (2, 1): (1, "x"),
                    (3, 1): (1, "")}
+
+
+def test_tfidf_topk_hand_case_and_strategy_equivalence(ray_session):
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.tfidf import tfidf_topk
+    # N=4 docs (one empty still counts in N).  df: the=3, fox=2,
+    # rare=1, dog=1.  idf_ppm = (1e6*4)//df.
+    rows = [{"doc_id": 0, "text": "the fox the fox rare"},
+            {"doc_id": 1, "text": "the fox"},
+            {"doc_id": 2, "text": "the dog"},
+            {"doc_id": 3, "text": ""}]
+    idf = {"the": 4_000_000 // 3, "fox": 2_000_000,
+           "rare": 4_000_000, "dog": 4_000_000}
+    exp0 = [("fox", 2 * idf["fox"], 1), ("rare", idf["rare"], 2),
+            ("the", 2 * idf["the"], 3)]
+    for strategy in ("broadcast", "join"):
+        for blocks in (1, 3):
+            ds = rd.from_items(rows, override_num_blocks=blocks)
+            out = tfidf_topk(ds, k=5, strategy=strategy).take_all()
+            got0 = [(r["token"], r["score_ppm"], r["rnk"])
+                    for r in sorted(out, key=lambda r: r["rnk"])
+                    if r["doc_id"] == 0]
+            assert got0 == exp0, (strategy, blocks)
+            assert not any(r["doc_id"] == 3 for r in out)
+            d2 = {r["token"]: (r["tf"], r["df"]) for r in out
+                  if r["doc_id"] == 2}
+            assert d2 == {"dog": (1, 1), "the": (1, 3)}, strategy
+
+
+def test_tfidf_topk_k_cap_and_tie_break(ray_session):
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.tfidf import tfidf_topk
+    # every token unique within the doc and df=1 → all scores equal →
+    # rank order is token-ascending; k=2 caps the output
+    ds = rd.from_items([{"doc_id": 7, "text": "zeta alpha mid"}])
+    out = sorted(tfidf_topk(ds, k=2, strategy="broadcast").take_all(),
+                 key=lambda r: r["rnk"])
+    assert [(r["token"], r["rnk"]) for r in out] == [("alpha", 1),
+                                                     ("mid", 2)]
