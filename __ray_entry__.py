@@ -307,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "bigram_stats": _q_bigram_stats,
         "tfidf_topk": _q_tfidf_topk,
+        "bm25_topk": _q_bm25_topk,
         "events_props_agg": _q_events_props,
         "doc_chunks": _q_doc_chunks,
         "link_adjacency": _q_link_adjacency,
@@ -504,6 +505,53 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT doc_id, token, tf, df, score_ppm,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM ranked WHERE rnk <= 5
+        """,
+        # exact-rational BM25 (k1=6/5, b=3/4) in HUGEINT fixed-point:
+        #   idf_ppm = (1e6*(2N-2df+1)) // (2df+1)
+        #   tfn_ppm = (22*tf*L*1e6) // (10*L*tf + 3*L + 9*dl*N)
+        #   score   = (idf_ppm * tfn_ppm) // 1e6
+        # mirrors functions/tfidf.py:_bm25_ppm bigint-for-bigint
+        "bm25_topk": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS token
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+              FROM toks WHERE token <> '' GROUP BY 1, 2
+            ), df AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY 1
+            ), dl AS (
+              SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+              FROM tf GROUP BY 1
+            ), nl AS (
+              SELECT (SELECT CAST(count(*) AS HUGEINT)
+                      FROM documents) AS n,
+                     (SELECT CAST(sum(tf) AS HUGEINT) FROM tf) AS l
+            ), scored AS (
+              SELECT tf.doc_id, tf.token, tf.tf, df.df, dl.dl,
+                     CAST((
+                       ((1000000 * (2*nl.n - 2*CAST(df.df AS HUGEINT)
+                                    + 1))
+                        // (2*CAST(df.df AS HUGEINT) + 1))
+                       *
+                       ((22 * CAST(tf.tf AS HUGEINT) * nl.l * 1000000)
+                        // (10 * nl.l * CAST(tf.tf AS HUGEINT)
+                            + 3 * nl.l
+                            + 9 * CAST(dl.dl AS HUGEINT) * nl.n))
+                     ) // 1000000 AS BIGINT) AS score_ppm
+              FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+                      CROSS JOIN nl
+            ), ranked AS (
+              SELECT *, row_number() OVER (
+                        PARTITION BY doc_id
+                        ORDER BY score_ppm DESC, token) AS rnk
+              FROM scored
+            )
+            SELECT doc_id, token, tf, df, dl, score_ppm,
                    CAST(rnk AS BIGINT) AS rnk
             FROM ranked WHERE rnk <= 5
         """,
@@ -1044,6 +1092,14 @@ def _q_tfidf_topk(sf_dir: str):
     hash-matches."""
     from pdf2dom_ray.functions.tfidf import tfidf_topk
     return tfidf_topk(_documents(sf_dir), k=5)
+
+
+def _q_bm25_topk(sf_dir: str):
+    """Per-doc top-5 BM25 terms (k1=1.2, b=0.75) in exact rational
+    fixed-point so the HUGEINT DuckDB oracle hash-matches; same
+    broadcast/join vocabulary split as tfidf_topk."""
+    from pdf2dom_ray.functions.tfidf import bm25_topk
+    return bm25_topk(_documents(sf_dir), k=5)
 
 
 def _q_inverted_index(sf_dir: str):

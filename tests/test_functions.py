@@ -562,3 +562,49 @@ def test_tfidf_topk_k_cap_and_tie_break(ray_session):
                  key=lambda r: r["rnk"])
     assert [(r["token"], r["rnk"]) for r in out] == [("alpha", 1),
                                                      ("mid", 2)]
+
+
+def test_bm25_topk_formula_and_strategy_equivalence(ray_session):
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.tfidf import _bm25_ppm, bm25_topk
+    # N=4 (empty doc counts in N, contributes 0 to L).  L = 5+2+2 = 9.
+    rows = [{"doc_id": 0, "text": "the fox the fox rare"},
+            {"doc_id": 1, "text": "the fox"},
+            {"doc_id": 2, "text": "the dog"},
+            {"doc_id": 3, "text": ""}]
+    n, l = 4, 9
+    df = {"the": 3, "fox": 2, "rare": 1, "dog": 1}
+    # local reference: per-doc scores via the same exact-rational core
+    exp0 = sorted(
+        [(_bm25_ppm(tf, df[tok], 5, n, l), tok, tf)
+         for tok, tf in (("the", 2), ("fox", 2), ("rare", 1))],
+        key=lambda s: (-s[0], s[1]))
+    # hand-check one score end-to-end: rare, tf=1, df=1, dl=5
+    #   idf_ppm = (1e6 * (8-2+1)) // 3 = 2_333_333
+    #   tfn_ppm = (22*1*9*1e6) // (10*9*1 + 3*9 + 9*5*4) = 198e6//297
+    assert _bm25_ppm(1, 1, 5, n, l) == \
+        (2_333_333 * (198_000_000 // 297)) // 1_000_000
+    for strategy in ("broadcast", "join"):
+        for blocks in (1, 3):
+            ds = rd.from_items(rows, override_num_blocks=blocks)
+            out = bm25_topk(ds, k=5, strategy=strategy).take_all()
+            got0 = [(r["score_ppm"], r["token"], r["tf"])
+                    for r in sorted(out, key=lambda r: r["rnk"])
+                    if r["doc_id"] == 0]
+            assert got0 == exp0, (strategy, blocks)
+            assert not any(r["doc_id"] == 3 for r in out)
+            assert all(r["dl"] == 2 for r in out if r["doc_id"] == 1)
+
+
+def test_bm25_topk_rare_term_beats_stopword(ray_session):
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.tfidf import bm25_topk
+    # 'common' is in every doc (df=N -> idf floor); 'needle' df=1.
+    ds = rd.from_items(
+        [{"doc_id": i, "text": "common needle" if i == 0 else
+          "common filler"} for i in range(6)])
+    top = {r["doc_id"]: r["token"]
+           for r in bm25_topk(ds, k=1).take_all()}
+    assert top[0] == "needle"
