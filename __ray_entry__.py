@@ -308,6 +308,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_stats": _q_bigram_stats,
         "tfidf_topk": _q_tfidf_topk,
         "bm25_topk": _q_bm25_topk,
+        "decontam_ngram": _q_decontam_ngram,
+        "dedup_substring": _q_dedup_substring,
         "events_props_agg": _q_events_props,
         "doc_chunks": _q_doc_chunks,
         "link_adjacency": _q_link_adjacency,
@@ -554,6 +556,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, token, tf, df, dl, score_ppm,
                    CAST(rnk AS BIGINT) AS rnk
             FROM ranked WHERE rnk <= 5
+        """,
+        # 8-gram overlap vs the deterministic benchmark slice
+        # (doc_id % 41 = 0); n_ngrams / n_overlap count DISTINCT grams
+        "decontam_ngram": """
+            WITH clean AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 t -> t <> '') AS ts
+              FROM documents
+            ), dg AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(ts[i:i+7], ' ') AS g
+              FROM clean, LATERAL unnest(generate_series(
+                     1, greatest(len(ts) - 7, 0))) AS t(i)
+            ), bench AS (
+              SELECT DISTINCT g FROM dg WHERE doc_id % 41 = 0
+            ), ov AS (
+              SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+              FROM dg d JOIN bench USING (g) GROUP BY 1
+            ), ng AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams
+              FROM dg GROUP BY 1
+            )
+            SELECT doc.doc_id,
+                   COALESCE(ng.n_ngrams, 0) AS n_ngrams,
+                   COALESCE(ov.n_overlap, 0) AS n_overlap,
+                   COALESCE(ov.n_overlap, 0) >= 1 AS contaminated
+            FROM documents doc
+            LEFT JOIN ng USING (doc_id) LEFT JOIN ov USING (doc_id)
+        """,
+        # 20-token windows present in >= 2 distinct docs (ExactSubstr)
+        "dedup_substring": """
+            WITH clean AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 t -> t <> '') AS ts
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, array_to_string(ts[i:i+19], ' ') AS g
+              FROM clean, LATERAL unnest(generate_series(
+                     1, greatest(len(ts) - 19, 0))) AS t(i)
+            ), dg AS (
+              SELECT doc_id, g, CAST(count(*) AS BIGINT) AS occ
+              FROM grams GROUP BY 1, 2
+            )
+            SELECT g AS gram, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(occ) AS BIGINT) AS n_occ
+            FROM dg GROUP BY g HAVING count(*) >= 2
         """,
         "inverted_index": """
             WITH pairs AS (
@@ -1100,6 +1150,32 @@ def _q_bm25_topk(sf_dir: str):
     broadcast/join vocabulary split as tfidf_topk."""
     from pdf2dom_ray.functions.tfidf import bm25_topk
     return bm25_topk(_documents(sf_dir), k=5)
+
+
+def _q_decontam_ngram(sf_dir: str):
+    """Benchmark decontamination: docs sharing any 8-token window
+    with the deterministic 'benchmark' slice (doc_id % 41 == 0) are
+    flagged; benchmark gram set broadcast once via ray.put."""
+    import numpy as np
+
+    from pdf2dom_ray.functions.decontam import contamination_flags
+    docs = _documents(sf_dir)
+
+    def is_bench(t):
+        ids = t.column("doc_id").to_numpy()
+        return t.filter(np.mod(ids, 41) == 0)
+
+    bench = _documents(sf_dir).map_batches(
+        is_bench, batch_format="pyarrow")
+    return contamination_flags(docs, bench, n=8)
+
+
+def _q_dedup_substring(sf_dir: str):
+    """ExactSubstr signal (Lee et al. 2107.06499): 20-token windows
+    occurring in >=2 distinct docs, via one narrow (gram, doc, occ)
+    groupby — payloads never shuffle."""
+    from pdf2dom_ray.functions.decontam import duplicate_spans
+    return duplicate_spans(_documents(sf_dir), w=20)
 
 
 def _q_inverted_index(sf_dir: str):

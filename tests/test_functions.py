@@ -608,3 +608,54 @@ def test_bm25_topk_rare_term_beats_stopword(ray_session):
     top = {r["doc_id"]: r["token"]
            for r in bm25_topk(ds, k=1).take_all()}
     assert top[0] == "needle"
+
+
+def test_contamination_flags_hand_case(ray_session):
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.decontam import contamination_flags
+    # n=3 windows; bench doc shares 'b c d' with doc 1 only
+    docs = [{"doc_id": 1, "text": "a b c d e"},
+            {"doc_id": 2, "text": "x y z w"},
+            {"doc_id": 3, "text": "a b"}]          # shorter than n
+    bench = [{"doc_id": 9, "text": "q b c d"}]
+    for blocks in (1, 2):
+        out = {r["doc_id"]: r for r in contamination_flags(
+            rd.from_items(docs, override_num_blocks=blocks),
+            rd.from_items(bench), n=3).take_all()}
+        assert (out[1]["n_ngrams"], out[1]["n_overlap"],
+                out[1]["contaminated"]) == (3, 1, True)
+        assert (out[2]["n_overlap"], out[2]["contaminated"]) == \
+            (0, False)
+        assert (out[3]["n_ngrams"], out[3]["contaminated"]) == \
+            (0, False)
+
+
+def test_contamination_distinct_gram_counting(ray_session):
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.decontam import contamination_flags
+    # 'a b a b a b' has windows {a b a, b a b} -> 2 DISTINCT 3-grams,
+    # both in bench -> overlap 2 even though 4 window positions exist
+    out = contamination_flags(
+        rd.from_items([{"doc_id": 1, "text": "a b a b a b"}]),
+        rd.from_items([{"doc_id": 9, "text": "a b a b"}]),
+        n=3).take_all()
+    assert (out[0]["n_ngrams"], out[0]["n_overlap"]) == (2, 2)
+
+
+def test_duplicate_spans_hand_case(ray_session):
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.decontam import duplicate_spans
+    # w=3: 'a b c' occurs twice in doc 1 and once in doc 2; every
+    # other window is single-doc and must not appear
+    docs = [{"doc_id": 1, "text": "a b c q a b c"},
+            {"doc_id": 2, "text": "z a b c"},
+            {"doc_id": 3, "text": "unrelated words entirely here"}]
+    for blocks in (1, 3):
+        out = duplicate_spans(
+            rd.from_items(docs, override_num_blocks=blocks),
+            w=3).take_all()
+        assert [(r["gram"], r["n_docs"], r["n_occ"])
+                for r in out] == [("a b c", 2, 3)], blocks
