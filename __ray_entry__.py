@@ -310,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "decontam_ngram": _q_decontam_ngram,
         "dedup_substring": _q_dedup_substring,
+        "lm_buckets": _q_lm_buckets,
         "events_props_agg": _q_events_props,
         "doc_chunks": _q_doc_chunks,
         "link_adjacency": _q_link_adjacency,
@@ -585,6 +586,59 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(ov.n_overlap, 0) >= 1 AS contaminated
             FROM documents doc
             LEFT JOIN ng USING (doc_id) LEFT JOIN ov USING (doc_id)
+        """,
+        # bigram-LM mean probability in ppm (self-trained model;
+        # c1 derives from the bigram table so both sides share one
+        # count source); tercile buckets at the pinned percentile
+        # rank formula rank = max(1, ceil(q*n))
+        "lm_buckets": """
+            WITH clean AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 t -> t <> '') AS ts
+              FROM documents
+            ), pairs AS (
+              SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+              FROM clean, LATERAL unnest(generate_series(
+                     1, greatest(len(ts) - 1, 0))) AS t(i)
+            ), bi AS (
+              SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+              FROM pairs GROUP BY 1, 2
+            ), uni AS (
+              SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+              FROM bi GROUP BY 1
+            ), persum AS (
+              SELECT p.doc_id,
+                     sum((1000000 * b.c12) // u.c1) AS s,
+                     CAST(count(*) AS BIGINT) AS np
+              FROM pairs p JOIN bi b USING (w1, w2)
+                           JOIN uni u USING (w1)
+              GROUP BY 1
+            ), scored AS (
+              SELECT d.doc_id,
+                     CAST(COALESCE(p.s // p.np, 0) AS BIGINT)
+                         AS score_ppm
+              FROM documents d LEFT JOIN persum p USING (doc_id)
+            ), ranked AS (
+              SELECT score_ppm,
+                     row_number() OVER (ORDER BY score_ppm) AS rnk
+              FROM scored
+            ), th AS (
+              SELECT
+                (SELECT score_ppm FROM ranked WHERE rnk =
+                  (SELECT greatest(1, CAST(ceil(0.33 * count(*))
+                                           AS BIGINT)) FROM scored))
+                    AS t33,
+                (SELECT score_ppm FROM ranked WHERE rnk =
+                  (SELECT greatest(1, CAST(ceil(0.66 * count(*))
+                                           AS BIGINT)) FROM scored))
+                    AS t66
+            )
+            SELECT s.doc_id, s.score_ppm,
+                   CASE WHEN s.score_ppm > th.t66 THEN 'head'
+                        WHEN s.score_ppm > th.t33 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored s CROSS JOIN th
         """,
         # 20-token windows present in >= 2 distinct docs (ExactSubstr)
         "dedup_substring": """
@@ -1176,6 +1230,14 @@ def _q_dedup_substring(sf_dir: str):
     groupby — payloads never shuffle."""
     from pdf2dom_ray.functions.decontam import duplicate_spans
     return duplicate_spans(_documents(sf_dir), w=20)
+
+
+def _q_lm_buckets(sf_dir: str):
+    """CCNet-style quality tiers: integer bigram-LM score_ppm per doc
+    (self-trained model, one count shuffle + broadcast), head/middle/
+    tail split at the exact 33rd/66th score percentiles."""
+    from pdf2dom_ray.functions.lmscore import bigram_lm_buckets
+    return bigram_lm_buckets(_documents(sf_dir))
 
 
 def _q_inverted_index(sf_dir: str):

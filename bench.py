@@ -165,7 +165,8 @@ def run_bench() -> dict:
                  "html_main_text", "html_outlinks", "pagerank",
                  "warc_extract", "crawl_latest", "corpus_sample",
                  "top_unshipped_orders", "text_normalize",
-                 "pii_redact", "line_dedup"):
+                 "pii_redact", "line_dedup", "bm25_topk",
+                 "decontam_ngram", "dedup_substring"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

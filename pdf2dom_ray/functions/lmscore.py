@@ -1,0 +1,132 @@
+"""CCNet-style language-model scoring with head/middle/tail buckets.
+
+CCNet (Wenzek et al., arXiv:1911.00359) ranks crawl documents by
+perplexity under a KenLM n-gram model and splits the corpus into
+head/middle/tail terciles for quality-tiered training mixes.  This
+operator re-expresses that pass with an oracle-exact integer score:
+
+* **Model** — a bigram LM trained on the corpus itself (one pass,
+  combiner-pattern counts).  Context counts derive from the bigram
+  table (``c1(w) = Σ_w2 c12(w, w2)``), so a single count shuffle
+  builds both tables and every scored bigram is by construction in
+  the model (self-trained: no OOV arm needed).
+* **Score** — ``score_ppm = (Σ_pairs (1e6·c12)//c1) // n_pairs``,
+  the arithmetic-mean bigram probability in ppm.  Monotone in
+  corpus-fluency like negative perplexity, but pure int64 — a float
+  ``log``/``exp`` perplexity would flake the driver's value-hash
+  (CLAUDE.md integer-aggregate rule).  int64 is safe to ~1e12
+  occurrences of a single bigram (1e6·c12 < 2^63).
+* **Buckets** — tercile thresholds t33/t66 via the repo's pinned
+  exact-percentile semantics (rank = max(1, ceil(q·n)) over the
+  sorted scores, value-histogram walk — driver state is O(distinct
+  scores), no global sort); then ``head`` if score > t66, ``middle``
+  if > t33, else ``tail``.  Threshold comparisons make ties
+  deterministic where a global ntile would depend on row order.
+
+Scale shape: counts are narrow combiner shuffles; the model tables
+broadcast via ``ray.put`` once (for crawl-scale vocabularies ship the
+top-K bigrams with a floor, as CCNet's pruned KenLM does); scoring is
+one actor-pool pass over the payload with no join; the scored
+(doc_id, score_ppm) table is materialized narrow before its two
+consumers (histogram + bucket tag) so lineage doesn't re-run.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+__all__ = ["bigram_lm_buckets", "bigram_lm_scores"]
+
+
+def _bigram_counts(ds: rd.Dataset, text_col: str) -> rd.Dataset:
+    """(w1, w2, c12) corpus bigram counts, combiner pattern."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for text in t.column(text_col).to_pylist():
+            toks = [w for w in (text or "").split(" ") if w]
+            c.update(zip(toks, toks[1:]))
+        w1, w2 = zip(*c.keys()) if c else ((), ())
+        return pa.table({"w1": pa.array(list(w1), pa.string()),
+                         "w2": pa.array(list(w2), pa.string()),
+                         "c12": pa.array(list(c.values()), pa.int64())})
+
+    agg = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow") \
+        .groupby(["w1", "w2"]).aggregate(Sum("c12", alias_name="c12"))
+    return agg.map_batches(lambda t: t, batch_format="pyarrow")
+
+
+class _LmScorer:
+    """Actor-pool stage: bigram + context tables fetched once."""
+
+    def __init__(self, model_ref, text_col: str, id_col: str):
+        self.c12, self.c1 = ray.get(model_ref)
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, scores = [], []
+        c12, c1 = self.c12, self.c1
+        for d, text in zip(t.column(self.id_col).to_pylist(),
+                           t.column(self.text_col).to_pylist()):
+            toks = [w for w in (text or "").split(" ") if w]
+            pairs = list(zip(toks, toks[1:]))
+            if pairs:
+                s = sum((1_000_000 * c12[p]) // c1[p[0]]
+                        for p in pairs)
+                scores.append(s // len(pairs))
+            else:
+                scores.append(0)
+            ids.append(d)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "score_ppm": pa.array(scores, pa.int64())})
+
+
+def bigram_lm_scores(ds: rd.Dataset, *, text_col: str = "text",
+                     id_col: str = "doc_id") -> rd.Dataset:
+    """(doc_id, score_ppm) for every document (docs with <2 tokens
+    score 0)."""
+    from pdf2dom_ray.stages.pool import default_pool
+
+    bi = _bigram_counts(ds, text_col)
+    c12: dict = {}
+    c1: dict = {}
+    for b in ray.get(bi.to_arrow_refs()):
+        if not b.num_columns:
+            continue
+        for w1, w2, n in zip(b.column("w1").to_pylist(),
+                             b.column("w2").to_pylist(),
+                             b.column("c12").to_pylist()):
+            c12[(w1, w2)] = c12.get((w1, w2), 0) + n
+            c1[w1] = c1.get(w1, 0) + n
+    model_ref = ray.put((c12, c1))
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _LmScorer, batch_format="pyarrow",
+        concurrency=default_pool(),
+        fn_constructor_args=(model_ref, text_col, id_col))
+
+
+def bigram_lm_buckets(ds: rd.Dataset, *, text_col: str = "text",
+                      id_col: str = "doc_id") -> rd.Dataset:
+    """(doc_id, score_ppm, bucket) with bucket ∈ head/middle/tail by
+    the corpus score terciles (pinned percentile rank formula)."""
+    from pdf2dom_ray.functions.percentiles import exact_percentiles
+
+    scored = bigram_lm_scores(
+        ds, text_col=text_col, id_col=id_col).materialize()
+    pct = exact_percentiles(scored, "score_ppm", qs=(0.33, 0.66))
+    t33, t66 = pct.column("value").to_pylist()
+
+    def tag(t: pa.Table) -> pa.Table:
+        import numpy as np
+        s = t.column("score_ppm").to_numpy()
+        buckets = np.where(s > t66, "head",
+                           np.where(s > t33, "middle", "tail"))
+        return t.append_column(
+            "bucket", pa.array(buckets.tolist(), pa.string()))
+
+    return scored.map_batches(tag, batch_format="pyarrow")

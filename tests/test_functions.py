@@ -659,3 +659,38 @@ def test_duplicate_spans_hand_case(ray_session):
             w=3).take_all()
         assert [(r["gram"], r["n_docs"], r["n_occ"])
                 for r in out] == [("a b c", 2, 3)], blocks
+
+
+def test_bigram_lm_buckets_hand_case(ray_session):
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.lmscore import bigram_lm_buckets
+    # corpus bigrams: (a,a)x2, (a,b)x1 -> c1[a]=3
+    #   d1 "a a a": ((1e6*2)//3)*2 // 2 = 666666
+    #   d2 "a b":   (1e6*1)//3      = 333333
+    #   d3 "":      no pairs        = 0
+    # terciles over [0, 333333, 666666]: t33 = rank 1 = 0,
+    # t66 = rank 2 = 333333 -> head / middle / tail
+    docs = [{"doc_id": 1, "text": "a a a"},
+            {"doc_id": 2, "text": "a b"},
+            {"doc_id": 3, "text": ""}]
+    for blocks in (1, 3):
+        out = {r["doc_id"]: (r["score_ppm"], r["bucket"])
+               for r in bigram_lm_buckets(
+                   rd.from_items(docs,
+                                 override_num_blocks=blocks)).take_all()}
+        assert out == {1: (666666, "head"), 2: (333333, "middle"),
+                       3: (0, "tail")}, blocks
+
+
+def test_bigram_lm_scores_self_trained_no_oov(ray_session):
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.lmscore import bigram_lm_scores
+    # every bigram the scorer sees is in the self-trained model, so a
+    # one-doc corpus of a repeated pair scores the full 1e6 ppm
+    out = bigram_lm_scores(rd.from_items(
+        [{"doc_id": 5, "text": "x y x y"}])).take_all()
+    # bigrams: (x,y)x2, (y,x)x1; c1[x]=2, c1[y]=1
+    # pairs: (x,y)->1e6*2//2=1e6, (y,x)->1e6, (x,y)->1e6 -> mean 1e6
+    assert out[0]["score_ppm"] == 1_000_000
