@@ -313,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_buckets": _q_lm_buckets,
         "events_props_agg": _q_events_props,
         "doc_chunks": _q_doc_chunks,
+        "pack_sequences": _q_pack_sequences,
         "link_adjacency": _q_link_adjacency,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
@@ -421,6 +422,28 @@ def oracle_sql() -> dict[str, str]:
                         '[ \\t\\n]+', ' ', 'g'), ' ')) AS BIGINT)
                        AS n_chars_out
             FROM p
+        """,
+        # concat-and-split packing: global token offset per doc via a
+        # window prefix sum, then one row per (doc, 128-token sequence)
+        # it overlaps; all-integer output so the value-hash is exact
+        "pack_sequences": """
+            WITH m AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+                     CAST(COALESCE(SUM(CAST(len(string_split(text, ' '))
+                                            AS BIGINT))
+                          OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT) AS off
+              FROM documents
+            )
+            SELECT doc_id, CAST(g.s AS BIGINT) AS seq_id,
+                   CAST(GREATEST(off, g.s * 128) - off AS BIGINT)
+                       AS tok_start,
+                   CAST(LEAST(off + ntok, (g.s + 1) * 128)
+                        - GREATEST(off, g.s * 128) AS BIGINT) AS n_toks
+            FROM m, LATERAL (SELECT unnest(generate_series(
+                     off // 128, (off + ntok - 1) // 128)) AS s) g
         """,
         # per-doc 64-token chunks via list slices (last chunk = short
         # remainder), chunk_idx 1-based
@@ -1169,6 +1192,15 @@ def _q_doc_chunks(sf_dir: str):
     row-local, shuffle-free, the training-data last mile."""
     from pdf2dom_ray.functions.chunking import chunk_documents
     return chunk_documents(_documents(sf_dir), seq_len=64)
+
+
+def _q_pack_sequences(sf_dir: str):
+    """GPT-style concat-and-split sequence packing (seq_len=128): the
+    corpus token stream in doc_id order is cut into fixed training
+    sequences; the global offset is a distributed prefix sum (per-block
+    token totals -> O(blocks) driver bases -> parallel span emission)."""
+    from pdf2dom_ray.functions.chunking import pack_sequences
+    return pack_sequences(_documents(sf_dir), seq_len=128)
 
 
 def _q_events_props(sf_dir: str):

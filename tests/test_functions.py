@@ -523,6 +523,41 @@ def test_chunk_documents_semantics(ray_session):
                    (3, 1): (1, "")}
 
 
+def test_pack_sequences_hand_case(ray_session):
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.chunking import pack_sequences
+    # doc 1: 5 toks (offsets 0-4), doc 2: 1 tok (5), doc 3: "" = 1 tok
+    # (6), doc 4: 4 toks (7-10).  seq_len=4 cuts at 4 and 8.
+    rows = [{"doc_id": 1, "text": "a b c d e"},
+            {"doc_id": 2, "text": "x"},
+            {"doc_id": 3, "text": ""},
+            {"doc_id": 4, "text": "p q r s"}]
+    out = pack_sequences(rd.from_items(rows), seq_len=4).take_all()
+    got = sorted((r["doc_id"], r["seq_id"], r["tok_start"], r["n_toks"])
+                 for r in out)
+    assert got == [(1, 0, 0, 4), (1, 1, 4, 1), (2, 1, 0, 1),
+                   (3, 1, 0, 1), (4, 1, 0, 1), (4, 2, 1, 3)]
+
+
+def test_pack_sequences_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.chunking import pack_sequences
+    rows = [{"doc_id": i, "text": " ".join(["w"] * (1 + i * 7 % 13))}
+            for i in range(40)]
+    a = pack_sequences(rd.from_items(rows), seq_len=8).take_all()
+    b = pack_sequences(rd.from_items(rows).repartition(7),
+                       seq_len=8).take_all()
+    key = lambda r: (r["doc_id"], r["seq_id"])
+    assert sorted(map(dict.items, a)) == sorted(map(dict.items, b))
+    # span rows per doc tile the doc exactly
+    tot = {}
+    for r in a:
+        tot[r["doc_id"]] = tot.get(r["doc_id"], 0) + r["n_toks"]
+    assert tot == {i: 1 + i * 7 % 13 for i in range(40)}
+
+
 def test_tfidf_topk_hand_case_and_strategy_equivalence(ray_session):
     import ray.data as rd
 
