@@ -321,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats_bpe": _q_bpe_tokens,
         "quality_filter": _q_gopher,
         "unigram_logprob": _q_unigram_logprob,
+        "quality_classifier": _q_quality_classifier,
         "lang_id": _q_lang_id,
         "pii_redact": _q_pii_redact,
         "line_dedup": _q_line_dedup,
@@ -863,6 +864,40 @@ def oracle_sql() -> dict[str, str]:
                                 / (SELECT t FROM tot))), 6) AS mean_logprob
             FROM toks d JOIN cnt c USING (word)
             GROUP BY d.doc_id
+        """,
+        # NB-style linear quality classifier trained on the corpus
+        # itself (label: lang='en'): per-class token counts -> smoothed
+        # class-normalized likelihood-ratio weights in ppm (clamped to
+        # 1e12), doc score = integer mean token weight; all-integer so
+        # the value-hash is exact
+        "quality_classifier": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents),
+            lab AS (
+              SELECT doc_id,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+              FROM documents),
+            cnt AS (
+              SELECT word,
+                     CAST(SUM(y) AS BIGINT) AS n_pos,
+                     CAST(SUM(1 - y) AS BIGINT) AS n_neg
+              FROM toks JOIN lab USING (doc_id) GROUP BY word),
+            tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS tp,
+                           CAST(SUM(n_neg) AS BIGINT) AS tn,
+                           CAST(COUNT(*) AS BIGINT) AS v FROM cnt),
+            w AS (SELECT word,
+                         LEAST((CAST(1000000 AS HUGEINT) * (n_pos + 1)
+                                * (tn + v))
+                               // ((n_neg + 1) * (tp + v)),
+                               CAST(1000000000000 AS HUGEINT)) AS w_ppm
+                  FROM cnt, tot)
+            SELECT t.doc_id,
+                   CAST(SUM(w_ppm) // COUNT(*) AS BIGINT) AS score_ppm,
+                   CAST(CASE WHEN SUM(w_ppm) // COUNT(*) >= 1000000
+                             THEN 1 ELSE 0 END AS BIGINT) AS pred
+            FROM toks t JOIN w USING (word)
+            GROUP BY t.doc_id
         """,
         "pii_redact": _PII_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
@@ -1443,6 +1478,19 @@ def _q_gopher(sf_dir: str):
 def _q_unigram_logprob(sf_dir: str):
     from pdf2dom_ray.functions.text_stats import unigram_logprob
     return unigram_logprob(_documents(sf_dir))
+
+
+def _q_quality_classifier(sf_dir: str):
+    """fastText/DCLM-style linear quality classifier trained on the
+    corpus (label: lang='en'): distributed per-class token counts ->
+    broadcast integer likelihood-ratio weights -> one vectorized
+    scoring pass (flatten/reindex/segment-sum), no join."""
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.classifier import classifier_score
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    return classifier_score(ds)
 
 
 def _q_lang_id(sf_dir: str):

@@ -558,6 +558,42 @@ def test_pack_sequences_partition_invariance(ray_session):
     assert tot == {i: 1 + i * 7 % 13 for i in range(40)}
 
 
+def test_classifier_score_hand_case(ray_session):
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.classifier import classifier_score
+    # 'good' only in en docs, 'bad' only in non-en; 'mid' in both.
+    rows = [{"doc_id": 0, "text": "good good mid", "lang": "en"},
+            {"doc_id": 1, "text": "good mid", "lang": "en"},
+            {"doc_id": 2, "text": "bad bad mid", "lang": "fr"},
+            {"doc_id": 3, "text": "bad mid", "lang": "de"}]
+    out = {r["doc_id"]: r for r in
+           classifier_score(rd.from_items(rows)).take_all()}
+    # counts: good (3,0) bad (0,3) mid (2,2); T_pos=5 T_neg=5 V=3
+    w = {"good": 1_000_000 * 4 * 8 // (1 * 8),
+         "bad": 1_000_000 * 1 * 8 // (4 * 8),
+         "mid": 1_000_000 * 3 * 8 // (3 * 8)}
+    assert out[0]["score_ppm"] == (2 * w["good"] + w["mid"]) // 3
+    assert out[2]["score_ppm"] == (2 * w["bad"] + w["mid"]) // 3
+    assert [out[i]["pred"] for i in range(4)] == [1, 1, 0, 0]
+
+
+def test_classifier_max_vocab_oov_neutral(ray_session):
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.classifier import (NEUTRAL_PPM,
+                                                  classifier_score)
+    # cap vocab at 1: only the most frequent word ('mid', 4 occurrences)
+    # keeps a weight; every other token scores the neutral 1e6
+    rows = [{"doc_id": 0, "text": "good mid mid", "lang": "en"},
+            {"doc_id": 1, "text": "bad mid mid", "lang": "fr"}]
+    out = {r["doc_id"]: r for r in classifier_score(
+        rd.from_items(rows), max_vocab=1).take_all()}
+    # mid: (2,2), capped totals T_pos=T_neg=2, V=1 -> ratio exactly 1
+    assert out[0]["score_ppm"] == NEUTRAL_PPM
+    assert out[1]["score_ppm"] == NEUTRAL_PPM
+
+
 def test_tfidf_topk_hand_case_and_strategy_equivalence(ray_session):
     import ray.data as rd
 
