@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_agg": _q_events_props,
         "doc_chunks": _q_doc_chunks,
         "pack_sequences": _q_pack_sequences,
+        "corpus_shuffle": _q_corpus_shuffle,
         "link_adjacency": _q_link_adjacency,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
@@ -445,6 +446,21 @@ def oracle_sql() -> dict[str, str]:
                         - GREATEST(off, g.s * 128) AS BIGINT) AS n_toks
             FROM m, LATERAL (SELECT unnest(generate_series(
                      off // 128, (off + ntok - 1) // 128)) AS s) g
+        """,
+        # seeded global shuffle: md5 sort key, global position via
+        # row_number, training shard = rank % 16; machine-stable md5
+        # and all-integer output keep the value-hash exact
+        "corpus_shuffle": """
+            WITH k AS (SELECT doc_id,
+                              md5('graft:' || CAST(doc_id AS VARCHAR))
+                                  AS key
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY key, doc_id) - 1
+                        AS BIGINT) AS rank,
+                   CAST((row_number() OVER (ORDER BY key, doc_id) - 1)
+                        % 16 AS BIGINT) AS shard
+            FROM k
         """,
         # per-doc 64-token chunks via list slices (last chunk = short
         # remainder), chunk_idx 1-based
@@ -1236,6 +1252,18 @@ def _q_pack_sequences(sf_dir: str):
     token totals -> O(blocks) driver bases -> parallel span emission)."""
     from pdf2dom_ray.functions.chunking import pack_sequences
     return pack_sequences(_documents(sf_dir), seq_len=128)
+
+
+def _q_corpus_shuffle(sf_dir: str):
+    """Reproducible global shuffle for training-shard assignment:
+    seeded md5 sort key over the narrow id column, one all-to-all sort,
+    distributed zip-with-index for the global position."""
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.shuffle import seeded_shuffle
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+    return seeded_shuffle(ds, seed="graft", n_shards=16)
 
 
 def _q_events_props(sf_dir: str):

@@ -558,6 +558,34 @@ def test_pack_sequences_partition_invariance(ray_session):
     assert tot == {i: 1 + i * 7 % 13 for i in range(40)}
 
 
+def test_seeded_shuffle_reproducible_permutation(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.shuffle import seeded_shuffle
+    rows = [{"doc_id": i} for i in range(50)]
+    out = seeded_shuffle(rd.from_items(rows), seed="s1",
+                         n_shards=4).take_all()
+    # ranks form an exact permutation; order matches the md5 key sort
+    got = sorted((r["rank"], r["doc_id"], r["shard"]) for r in out)
+    assert [r[0] for r in got] == list(range(50))
+    exp_order = sorted(range(50), key=lambda d: (
+        hashlib.md5(f"s1:{d}".encode()).hexdigest(), d))
+    assert [r[1] for r in got] == exp_order
+    assert all(r[2] == r[0] % 4 for r in got)
+    # partition invariance
+    out2 = seeded_shuffle(rd.from_items(rows).repartition(7),
+                          seed="s1", n_shards=4).take_all()
+    assert sorted(map(dict.items, out)) == sorted(map(dict.items, out2))
+    # a different seed gives a different permutation
+    out3 = seeded_shuffle(rd.from_items(rows), seed="s2",
+                          n_shards=4).take_all()
+    order3 = [d for _, d in sorted((r["rank"], r["doc_id"])
+                                   for r in out3)]
+    assert order3 != exp_order
+
+
 def test_classifier_score_hand_case(ray_session):
     import ray.data as rd
 
