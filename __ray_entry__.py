@@ -321,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _q_quality,
         "token_stats_bpe": _q_bpe_tokens,
         "quality_filter": _q_gopher,
+        "repetition_stats": _q_repetition,
         "unigram_logprob": _q_unigram_logprob,
         "quality_classifier": _q_quality_classifier,
         "lang_id": _q_lang_id,
@@ -868,6 +869,44 @@ def oracle_sql() -> dict[str, str]:
                              AND has_stopword = 1
                         THEN 1 ELSE 0 END AS BIGINT) AS passes
             FROM s
+        """,
+        # Gopher-style repetition signals: per-doc distinct/max token
+        # counts + max adjacent-pair count, all integer ppm ratios
+        "repetition_stats": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+                          FROM documents),
+            u AS (SELECT doc_id, unnest(ts) AS w FROM toks),
+            uc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+                   FROM u GROUP BY 1, 2),
+            ustat AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS maxu,
+                             CAST(count(*) AS BIGINT) AS ndis,
+                             CAST(sum(c) AS BIGINT) AS ntok
+                      FROM uc GROUP BY 1),
+            bg AS (SELECT doc_id,
+                          unnest(list_zip(ts[1:len(ts)-1],
+                                          ts[2:len(ts)])) AS p
+                   FROM toks WHERE len(ts) >= 2),
+            bc AS (SELECT doc_id, p, CAST(count(*) AS BIGINT) AS c
+                   FROM bg GROUP BY 1, 2),
+            bstat AS (SELECT doc_id,
+                             CAST(CASE WHEN max(c) >= 2 THEN max(c)
+                                  ELSE 0 END AS BIGINT) AS maxb
+                      FROM bc GROUP BY 1),
+            j AS (SELECT u.doc_id, u.maxu, u.ndis, u.ntok,
+                         COALESCE(b.maxb, 0) AS maxb
+                  FROM ustat u LEFT JOIN bstat b USING (doc_id))
+            SELECT doc_id,
+                   CAST(1000000 * (ntok - ndis) // ntok AS BIGINT)
+                       AS dup_token_ppm,
+                   CAST(1000000 * maxu // ntok AS BIGINT)
+                       AS top_token_ppm,
+                   CAST(1000000 * 2 * maxb // ntok AS BIGINT)
+                       AS top_bigram_ppm,
+                   CAST(CASE WHEN 1000000 * (ntok - ndis) // ntok
+                                  > 300000
+                               OR 1000000 * 2 * maxb // ntok > 200000
+                        THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+            FROM j
         """,
         "unigram_logprob": """
             WITH toks AS (
@@ -1506,6 +1545,14 @@ def _q_gopher(sf_dir: str):
 def _q_unigram_logprob(sf_dir: str):
     from pdf2dom_ray.functions.text_stats import unigram_logprob
     return unigram_logprob(_documents(sf_dir))
+
+
+def _q_repetition(sf_dir: str):
+    """Gopher-style repetition signals (dup-token / top-token /
+    top-bigram mass in ppm + reject flag): row-local, shuffle-free,
+    pandas C-level groupbys inside the batch."""
+    from pdf2dom_ray.functions.text_stats import repetition_stats
+    return repetition_stats(_documents(sf_dir))
 
 
 def _q_quality_classifier(sf_dir: str):

@@ -24,7 +24,8 @@ __all__ = ["STOPWORDS", "text_quality_batch", "text_quality",
            "fingerprint_batch", "fingerprint", "lang_id_batch", "lang_id",
            "BPE_SPLIT_PATTERN", "bpe_token_count_batch", "bpe_token_count",
            "gopher_quality_batch", "gopher_quality", "unigram_counts",
-           "unigram_logprob"]
+           "unigram_logprob", "repetition_stats_batch",
+           "repetition_stats"]
 
 # fixed set, mirrored verbatim in the SQL oracle (__ray_entry__)
 STOPWORDS = ("the", "a", "of", "and", "to")
@@ -335,3 +336,71 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
 def lang_id(ds: rd.Dataset, concurrency=None) -> rd.Dataset:
     return ds.map_batches(LangId, batch_format="pyarrow",
                           concurrency=concurrency or default_pool())
+
+
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, dup_token_ppm, top_token_ppm, top_bigram_ppm,
+    repetitive): Gopher-style repetition signals, row-local and
+    integer-exact.
+
+    * dup_token_ppm — fraction of tokens that are repeats of an
+      already-counted token: ``1e6 * (ntok - ndistinct) // ntok``.
+    * top_token_ppm — mass of the most frequent token.
+    * top_bigram_ppm — token mass covered by the most frequent
+      *duplicated* adjacent pair, ``1e6 * 2 * max_bigram_count //
+      ntok`` with max taken over pairs occurring >= 2 times (0
+      otherwise — a unique bigram is not repetition, and without the
+      floor every short doc would trip the flag).
+    * repetitive — the Gopher-inspired reject flag:
+      dup_token_ppm > 300_000 or top_bigram_ppm > 200_000.
+
+    Vectorized: flatten tokens once, pandas C-level groupbys for the
+    per-doc distinct/max counts; no Python loop over rows.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    text_col = batch.column("text")
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    toks = pc.split_pattern(text_col, " ")
+    flat = pc.list_flatten(toks).to_pandas()
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    n = batch.num_rows
+    ntok = np.bincount(parent, minlength=n).astype(np.int64)
+    df = pd.DataFrame({"p": parent, "w": flat})
+    uc = df.groupby(["p", "w"], sort=False).size()
+    per = uc.groupby(level=0)
+    ndis = np.zeros(n, np.int64)
+    maxu = np.zeros(n, np.int64)
+    ndis[per.size().index] = per.size().to_numpy()
+    maxu[per.max().index] = per.max().to_numpy()
+    # adjacent pairs: shift the flat array, mask doc boundaries
+    maxb = np.zeros(n, np.int64)
+    if len(df) > 1:
+        same = parent[1:] == parent[:-1]
+        bg = pd.DataFrame({"p": parent[1:][same],
+                           "a": flat.to_numpy()[:-1][same],
+                           "b": flat.to_numpy()[1:][same]})
+        if len(bg):
+            bc = bg.groupby(["p", "a", "b"], sort=False).size() \
+                .groupby(level=0).max()
+            mb = bc.to_numpy()
+            maxb[bc.index] = np.where(mb >= 2, mb, 0)
+    safe = np.maximum(ntok, 1)
+    dup = 1_000_000 * (ntok - ndis) // safe
+    topu = 1_000_000 * maxu // safe
+    topb = 1_000_000 * 2 * maxb // safe
+    return pa.table({
+        "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+        "dup_token_ppm": pa.array(dup, pa.int64()),
+        "top_token_ppm": pa.array(topu, pa.int64()),
+        "top_bigram_ppm": pa.array(topb, pa.int64()),
+        "repetitive": pa.array(
+            ((dup > 300_000) | (topb > 200_000)).astype(np.int64),
+            pa.int64()),
+    })
+
+
+def repetition_stats(ds: rd.Dataset) -> rd.Dataset:
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        repetition_stats_batch, batch_format="pyarrow")

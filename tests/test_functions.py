@@ -558,6 +558,33 @@ def test_pack_sequences_partition_invariance(ray_session):
     assert tot == {i: 1 + i * 7 % 13 for i in range(40)}
 
 
+def test_repetition_stats_hand_case(ray_session):
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.text_stats import repetition_stats
+    rows = [
+        # 6 toks, 3 distinct (a,b,c); top tok a=3; top bigram (a,a)=2
+        {"doc_id": 0, "text": "a a a b c b"},
+        # no repetition at all
+        {"doc_id": 1, "text": "u v w x"},
+        # single token: bigram mass 0, top token 100%
+        {"doc_id": 2, "text": "solo"},
+    ]
+    out = {r["doc_id"]: r for r in
+           repetition_stats(rd.from_items(rows)).take_all()}
+    assert out[0]["dup_token_ppm"] == 1_000_000 * 3 // 6
+    assert out[0]["top_token_ppm"] == 1_000_000 * 3 // 6
+    assert out[0]["top_bigram_ppm"] == 1_000_000 * 2 * 2 // 6
+    assert out[0]["repetitive"] == 1
+    # every bigram unique -> no duplicated-bigram mass, not flagged
+    assert out[1]["dup_token_ppm"] == 0
+    assert out[1]["top_bigram_ppm"] == 0
+    assert out[1]["repetitive"] == 0
+    assert out[2] == {"doc_id": 2, "dup_token_ppm": 0,
+                      "top_token_ppm": 1_000_000, "top_bigram_ppm": 0,
+                      "repetitive": 0}
+
+
 def test_seeded_shuffle_reproducible_permutation(ray_session):
     import hashlib
 
