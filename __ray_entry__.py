@@ -315,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         "pack_sequences": _q_pack_sequences,
         "corpus_shuffle": _q_corpus_shuffle,
+        "source_quota": _q_source_quota,
         "link_adjacency": _q_link_adjacency,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
@@ -447,6 +448,19 @@ def oracle_sql() -> dict[str, str]:
                         - GREATEST(off, g.s * 128) AS BIGINT) AS n_toks
             FROM m, LATERAL (SELECT unnest(generate_series(
                      off // 128, (off + ntok - 1) // 128)) AS s) g
+        """,
+        # per-source document quota: top-10 per source by md5 priority
+        # (C4-style domain cap); rank is the within-group priority
+        "source_quota": """
+            WITH k AS (SELECT doc_id, source,
+                              md5('cap:' || CAST(doc_id AS VARCHAR))
+                                  AS pri
+                       FROM documents)
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (PARTITION BY source
+                                           ORDER BY pri, doc_id)
+                        AS BIGINT) AS rank
+            FROM k QUALIFY rank <= 10
         """,
         # seeded global shuffle: md5 sort key, global position via
         # row_number, training shard = rank % 16; machine-stable md5
@@ -1291,6 +1305,18 @@ def _q_pack_sequences(sf_dir: str):
     token totals -> O(blocks) driver bases -> parallel span emission)."""
     from pdf2dom_ray.functions.chunking import pack_sequences
     return pack_sequences(_documents(sf_dir), seq_len=128)
+
+
+def _q_source_quota(sf_dir: str):
+    """C4-style per-domain document quota: keep the 10 highest-priority
+    docs per source (md5 priority), via the bounded grouped-top-k
+    combiner — the exchange moves <= cap x groups narrow rows."""
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.sampling import group_quota
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+    return group_quota(ds, group_col="source", cap=10)
 
 
 def _q_corpus_shuffle(sf_dir: str):

@@ -28,7 +28,7 @@ import pyarrow as pa
 import ray.data as rd
 
 __all__ = ["hash_threshold", "sample_hash", "stratified_sample",
-           "sample_sql_predicate"]
+           "sample_sql_predicate", "group_quota"]
 
 _SPACE = 1 << 32      # first 8 hex chars
 
@@ -85,3 +85,37 @@ def stratified_sample(ds: rd.Dataset, fractions: dict[str, float], *,
 def sample_sql_predicate(fraction: float, key_sql: str = "url") -> str:
     """The DuckDB predicate that replays ``sample_hash`` exactly."""
     return f"substr(md5({key_sql}), 1, 8) < '{hash_threshold(fraction)}'"
+
+
+def group_quota(ds: rd.Dataset, *, group_col: str,
+                id_col: str = "doc_id", cap: int = 60,
+                seed: str = "cap") -> rd.Dataset:
+    """(id, group, rank): keep at most ``cap`` rows per group, chosen
+    by deterministic md5 priority — the C4/CommonCrawl "per-domain
+    document quota" that stops boilerplate-heavy hosts from dominating
+    a training mix.
+
+    The selection must be a *global* per-group cut (row-local hash
+    thresholding can't bound a group's count), so it rides the bounded
+    grouped-top-k combiner: each batch is cut to its own per-group
+    top-``cap`` first, and the exchange moves <= cap × groups narrow
+    (id, group, priority) rows — never payloads. rank is 1-based
+    priority order within the group, usable downstream as an epoch-
+    weighting signal.
+    """
+    from .topk import grouped_topk
+
+    def key(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ids = t.column(id_col).to_pylist()
+        pri = [hashlib.md5(f"{seed}:{d}".encode()).hexdigest()
+               for d in ids]
+        return pa.table({id_col: pc.cast(t.column(id_col), pa.int64()),
+                         group_col: t.column(group_col),
+                         "pri": pa.array(pri, pa.string())})
+
+    narrow = ds.select_columns([id_col, group_col]).map_batches(
+        key, batch_format="pyarrow")
+    return grouped_topk(narrow, group_col, ["pri", id_col],
+                        [True, True], cap) \
+        .select_columns([id_col, group_col, "rank"])

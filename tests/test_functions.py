@@ -558,6 +558,28 @@ def test_pack_sequences_partition_invariance(ray_session):
     assert tot == {i: 1 + i * 7 % 13 for i in range(40)}
 
 
+def test_group_quota_caps_each_group(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.sampling import group_quota
+    rows = [{"doc_id": i, "source": f"s{i % 3}"} for i in range(30)]
+    out = group_quota(rd.from_items(rows), group_col="source",
+                      cap=4, seed="cap").take_all()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == {"s0", "s1", "s2"}
+    for src, got in by_src.items():
+        ids = [i for i in range(30) if f"s{i % 3}" == src]
+        exp = sorted(ids, key=lambda d: (
+            hashlib.md5(f"cap:{d}".encode()).hexdigest(), d))[:4]
+        got.sort(key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in got] == exp
+        assert [r["rank"] for r in got] == [1, 2, 3, 4]
+
+
 def test_repetition_stats_hand_case(ray_session):
     import ray.data as rd
 
