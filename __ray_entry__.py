@@ -310,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "decontam_ngram": _q_decontam_ngram,
         "dedup_substring": _q_dedup_substring,
+        "source_overlap": _q_source_overlap,
         "lm_buckets": _q_lm_buckets,
         "events_props_agg": _q_events_props,
         "doc_chunks": _q_doc_chunks,
@@ -713,6 +714,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT g AS gram, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(occ) AS BIGINT) AS n_occ
             FROM dg GROUP BY g HAVING count(*) >= 2
+        """,
+        # cross-source contamination matrix: distinct 8-gram windows
+        # per source, then shared-gram counts per unordered pair
+        "source_overlap": """
+            WITH clean AS (
+              SELECT source, list_filter(string_split(text, ' '),
+                                         t -> t <> '') AS ts
+              FROM documents
+            ), grams AS (
+              SELECT DISTINCT source,
+                     array_to_string(ts[i:i+7], ' ') AS g
+              FROM clean, LATERAL unnest(generate_series(
+                     1, greatest(len(ts) - 7, 0))) AS t(i)
+            )
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(count(*) AS BIGINT) AS shared_ngrams
+            FROM grams a JOIN grams b
+              ON a.g = b.g AND a.source < b.source
+            GROUP BY 1, 2
         """,
         "inverted_index": """
             WITH pairs AS (
@@ -1571,6 +1591,18 @@ def _q_gopher(sf_dir: str):
 def _q_unigram_logprob(sf_dir: str):
     from pdf2dom_ray.functions.text_stats import unigram_logprob
     return unigram_logprob(_documents(sf_dir))
+
+
+def _q_source_overlap(sf_dir: str):
+    """Cross-source contamination matrix: distinct (8-gram, source)
+    partials -> per-gram source-pair expansion (group size bounded by
+    the mixture's component count) -> narrow pair-count groupby."""
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.decontam import source_overlap
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+    return source_overlap(ds, n=8)
 
 
 def _q_repetition(sf_dir: str):

@@ -37,7 +37,8 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
-__all__ = ["contamination_flags", "duplicate_spans"]
+__all__ = ["contamination_flags", "duplicate_spans",
+           "source_overlap"]
 
 
 def _doc_grams(text: str | None, n: int) -> list[str]:
@@ -143,3 +144,63 @@ def duplicate_spans(ds: rd.Dataset, *, text_col: str = "text",
             "n_occ": t.column("n_occ").cast(pa.int64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def source_overlap(ds: rd.Dataset, *, text_col: str = "text",
+                   source_col: str = "source",
+                   n: int = 8) -> rd.Dataset:
+    """(src_a, src_b, shared_ngrams): cross-source contamination
+    matrix — for every unordered source pair, how many distinct
+    n-token windows the two sources share.  The corpus-mixing
+    diagnostic behind "is Common Crawl already inside my Wikipedia
+    slice": high overlap means the mixture double-counts content.
+
+    Scale shape: per-batch *distinct* (gram, source) partials first,
+    then one narrow groupby on the gram whose group size is bounded by
+    the number of sources (the distinct reduction, not the corpus,
+    bounds the join blowup — C(k,2) pairs per gram where k <= the
+    mixture's component count).  This targets source-level mixtures
+    (tens of components); for host-level granularity cap k per gram or
+    pre-bucket hosts, or the hot grams explode quadratically.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        gs, srcs = [], []
+        for s, text in zip(t.column(source_col).to_pylist(),
+                           t.column(text_col).to_pylist()):
+            for g in set(_doc_grams(text, n)):
+                gs.append(g)
+                srcs.append(s)
+        return pa.table({"gram": pa.array(gs, pa.string()),
+                         "source": pa.array(srcs, pa.string())})
+
+    def pairs_of(g) -> pa.Table:
+        # g: all (gram, source) rows for one gram (per-batch distinct,
+        # so <= n_batches x n_sources rows); emit ordered source pairs
+        srcs = sorted(set(g.column("source").to_pylist()))
+        a = [srcs[i] for i in range(len(srcs))
+             for _ in range(len(srcs) - i - 1)]
+        b = [srcs[j] for i in range(len(srcs))
+             for j in range(i + 1, len(srcs))]
+        return pa.table({"src_a": pa.array(a, pa.string()),
+                         "src_b": pa.array(b, pa.string())})
+
+    grams = ds.select_columns([source_col, text_col]).map_batches(
+        partial, batch_format="pyarrow")
+    pair_rows = grams.groupby("gram").map_groups(
+        pairs_of, batch_format="pyarrow")
+    return pair_rows.groupby(["src_a", "src_b"]).aggregate(
+        Count(alias_name="shared_ngrams")) \
+        .map_batches(_overlap_finish, batch_format="pyarrow")
+
+
+def _overlap_finish(t: pa.Table) -> pa.Table:
+    # sort-aggregate can emit pandas/schema-less empty blocks
+    if not t.num_columns:
+        return pa.table({"src_a": pa.array([], pa.string()),
+                         "src_b": pa.array([], pa.string()),
+                         "shared_ngrams": pa.array([], pa.int64())})
+    return pa.table({
+        "src_a": t.column("src_a").cast(pa.string()),
+        "src_b": t.column("src_b").cast(pa.string()),
+        "shared_ngrams": t.column("shared_ngrams").cast(pa.int64())})

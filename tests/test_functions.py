@@ -558,6 +558,22 @@ def test_pack_sequences_partition_invariance(ray_session):
     assert tot == {i: 1 + i * 7 % 13 for i in range(40)}
 
 
+def test_source_overlap_hand_case(ray_session):
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.decontam import source_overlap
+    # 2-grams: s0 has {a b, b c}; s1 has {b c, c d}; s2 has {x y}.
+    # s0∩s1 = {b c} -> 1 shared; no other pair overlaps. The repeated
+    # "b c" inside doc 3 must not double-count (distinct per source).
+    rows = [{"doc_id": 0, "source": "s0", "text": "a b c"},
+            {"doc_id": 1, "source": "s1", "text": "b c d"},
+            {"doc_id": 2, "source": "s2", "text": "x y"},
+            {"doc_id": 3, "source": "s1", "text": "b c"}]
+    out = source_overlap(rd.from_items(rows), n=2).take_all()
+    assert [(r["src_a"], r["src_b"], r["shared_ngrams"])
+            for r in out] == [("s0", "s1", 1)]
+
+
 def test_group_quota_caps_each_group(ray_session):
     import hashlib
 
