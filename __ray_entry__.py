@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_sample": _q_corpus_sample,
         "crawl_latest": _q_crawl_latest,
         "top_unshipped_orders": _q_top_unshipped,
+        "local_supplier_volume": _q_local_supplier_volume,
         "length_percentiles": _q_length_percentiles,
         "length_percentiles_by_lang": _q_length_percentiles_by,
         "text_normalize": _q_text_normalize,
@@ -799,6 +800,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_chars AS BIGINT) AS value
             FROM qs JOIN s
               ON s.rn = greatest(1, CAST(ceil(q * s.n) AS BIGINT))
+        """,
+        # TPC-H Q5 shape: same-nation customer/supplier revenue per
+        # nation for one region + year; integer cents
+        "local_supplier_volume": """
+            SELECT n_name,
+                   CAST(SUM(CAST(floor(l_extendedprice
+                                       * (1 - l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1997-01-01'
+            GROUP BY n_name
         """,
         "top_unshipped_orders": """
             SELECT o_orderkey, o_orderdate, o_orderpriority,
@@ -1489,6 +1509,15 @@ def _q_length_percentiles_by(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["lang", "n_chars"])
     return exact_percentiles_by(ds, "n_chars", "lang")
+
+
+def _q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape: six-table join with broadcast dims (nation/
+    region driver-side, supplier map-side, customer broadcast-or-join)
+    and a single big⋈big orderkey exchange over combiner partials;
+    integer-cents revenue keeps the sum bit-exact."""
+    from pdf2dom_ray.pipelines.tpch import q5_local_supplier_volume
+    return q5_local_supplier_volume(sf_dir)
 
 
 def _q_top_unshipped(sf_dir: str):

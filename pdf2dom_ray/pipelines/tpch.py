@@ -31,7 +31,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-__all__ = ["q3_top_unshipped"]
+__all__ = ["q3_top_unshipped", "q5_local_supplier_volume"]
 
 
 def _n_partitions() -> int:
@@ -150,3 +150,164 @@ def q3_top_unshipped(sf_dir: str, *, segment: str = "BUILDING",
         merged, sort_keys=[("revenue_cents", "descending"),
                            ("o_orderkey", "ascending")])
     return rd.from_arrow(merged.take(idx[:limit]))
+
+
+def q5_local_supplier_volume(sf_dir: str, *, region: str = "ASIA",
+                             date_lo: str = "1996-01-01",
+                             date_hi: str = "1997-01-01",
+                             broadcast_limit: int = 5_000_000
+                             ) -> rd.Dataset:
+    """TPC-H Q5 shape: revenue per nation where the customer and the
+    supplier share the nation, for one region and a one-year window.
+
+    Distributed shape (six tables, one big⋈big exchange):
+
+    * region⋈nation is driver-side (tens of rows), producing the
+      in-region nationkey→name map.
+    * supplier is the classic broadcast dim: suppkey→nationkey for
+      in-region suppliers, ``ray.put`` once and applied map-side
+      inside the lineitem combiner (TPC-H supplier is 1/10000 of
+      lineitem — if a real deployment outgrows ``broadcast_limit``
+      the same hash-join fallback as the customer arm applies).
+    * customer is the big dim: broadcast custkey→nationkey probe
+      under ``broadcast_limit``, else an inner hash join.
+    * lineitem collapses to per-batch (l_orderkey, s_nationkey,
+      cents) partials before the single orderkey hash exchange with
+      the filtered orders; the c_nation = s_nation equality filters
+      after the join, then one tiny nationkey groupby finishes.
+    * integer cents keep the distributed sum bit-exact vs the oracle.
+    """
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = rd.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    rk = reg.loc[reg["r_name"] == region, "r_regionkey"]
+    nat = nat[nat["n_regionkey"].isin(rk)]
+    nation_name = dict(zip(nat["n_nationkey"].astype(int),
+                           nat["n_name"]))
+    nkeys = np.sort(nat["n_nationkey"].to_numpy(np.int64))
+
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"]) \
+        .to_pandas()
+    supp = supp[supp["s_nationkey"].isin(nkeys)]
+    s_keys = np.sort(supp["s_suppkey"].to_numpy(np.int64))
+    s_nat = supp.set_index("s_suppkey")["s_nationkey"] \
+        .loc[s_keys].to_numpy(np.int64)
+    supp_ref = ray.put((s_keys, s_nat))
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    in_region = pa.array(nkeys)
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("c_nationkey"),
+                                    value_set=in_region)),
+        batch_format="pyarrow").materialize()
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def date_filter(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        keep = pc.and_(pc.greater_equal(
+            d, pa.scalar(lo.item(), pa.timestamp("us"))),
+            pc.less(d, pa.scalar(hi.item(), pa.timestamp("us"))))
+        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    orders = orders.map_batches(date_filter, batch_format="pyarrow")
+
+    if cust.count() <= broadcast_limit:
+        cdf = cust.to_pandas()
+        c_keys = np.sort(cdf["c_custkey"].to_numpy(np.int64))
+        c_nat = cdf.set_index("c_custkey")["c_nationkey"] \
+            .loc[c_keys].to_numpy(np.int64)
+        cust_ref = ray.put((c_keys, c_nat))
+
+        class AttachCustNation:
+            def __init__(self) -> None:
+                self._keys, self._nat = ray.get(cust_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                ck = t.column("o_custkey").to_numpy()
+                idx = np.searchsorted(self._keys, ck)
+                idx[idx == len(self._keys)] = 0
+                hit = (len(self._keys) > 0) & (self._keys[idx] == ck)
+                t = t.filter(pa.array(hit))
+                nk = self._nat[np.searchsorted(
+                    self._keys, t.column("o_custkey").to_numpy())]
+                return pa.table({
+                    "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+                    "c_nationkey": pa.array(nk, pa.int64())})
+
+        orders = orders.map_batches(AttachCustNation,
+                                    batch_format="pyarrow",
+                                    concurrency=(1, 4))
+    else:
+        orders = orders.join(cust, join_type="inner",
+                             num_partitions=_n_partitions(),
+                             on=("o_custkey",), right_on=("c_custkey",)) \
+            .select_columns(["o_orderkey", "c_nationkey"])
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+
+    class LiPartial:
+        def __init__(self) -> None:
+            self._skeys, self._snat = ray.get(supp_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            sk = t.column("l_suppkey").to_numpy()
+            idx = np.searchsorted(self._skeys, sk)
+            idx[idx == len(self._skeys)] = 0
+            hit = (len(self._skeys) > 0) & (self._skeys[idx] == sk)
+            t = t.filter(pa.array(hit))
+            sk = t.column("l_suppkey").to_numpy()
+            snat = self._snat[np.searchsorted(self._skeys, sk)]
+            ep = t.column("l_extendedprice").to_numpy()
+            disc = t.column("l_discount").to_numpy()
+            cents = np.floor(ep * (1.0 - disc) * 100.0).astype(np.int64)
+            df = pd.DataFrame({
+                "l_orderkey": t.column("l_orderkey").to_numpy(),
+                "s_nationkey": snat, "revenue_cents": cents})
+            g = df.groupby(["l_orderkey", "s_nationkey"], sort=False,
+                           as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = li.map_batches(LiPartial, batch_format="pyarrow",
+                           concurrency=(1, 4))
+
+    joined = parts.join(orders, join_type="inner",
+                        num_partitions=_n_partitions(),
+                        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def local_only(t: pa.Table) -> pa.Table:
+        if not t.num_rows or "s_nationkey" not in t.schema.names:
+            return pa.table({"s_nationkey": pa.array([], pa.int64()),
+                             "revenue_cents": pa.array([], pa.int64())})
+        keep = pc.equal(t.column("s_nationkey"),
+                        t.column("c_nationkey"))
+        t = t.filter(keep)
+        return pa.table({
+            "s_nationkey": t.column("s_nationkey").cast(pa.int64()),
+            "revenue_cents": t.column("revenue_cents").cast(pa.int64())})
+
+    agg = joined.map_batches(local_only, batch_format="pyarrow") \
+        .groupby("s_nationkey") \
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+
+    def finish(t) -> pa.Table:
+        t = t if isinstance(t, pa.Table) else \
+            pa.Table.from_pandas(t, preserve_index=False)
+        if not t.num_columns:
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "revenue_cents": pa.array([], pa.int64())})
+        nk = t.column("s_nationkey").to_pylist()
+        return pa.table({
+            "n_name": pa.array([nation_name[k] for k in nk],
+                               pa.string()),
+            "revenue_cents": t.column("revenue_cents").cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

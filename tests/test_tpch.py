@@ -43,3 +43,45 @@ def test_q3_semi_join_path_identical(ray_session, sf_dir):
                          broadcast_limit=0).to_pandas()
     assert _rows(a) == _rows(b) == \
         _rows(_duck(sf_dir, segment="MACHINERY"))
+
+
+def _duck_q5(sf_dir, region="ASIA"):
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "supplier",
+              "nation", "region"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    return con.execute(f"""
+        SELECT n_name,
+               CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = '{region}'
+          AND o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1997-01-01'
+        GROUP BY n_name ORDER BY n_name""").fetchdf()
+
+
+def _q5_rows(df):
+    return sorted((r.n_name, int(r.revenue_cents))
+                  for r in df.itertuples())
+
+
+def test_q5_broadcast_path_matches_duckdb(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q5_local_supplier_volume
+    got = q5_local_supplier_volume(sf_dir).to_pandas()
+    assert _q5_rows(got) == _q5_rows(_duck_q5(sf_dir))
+    assert len(got) > 0
+
+
+def test_q5_join_path_identical(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q5_local_supplier_volume
+    a = q5_local_supplier_volume(sf_dir, region="EUROPE").to_pandas()
+    b = q5_local_supplier_volume(sf_dir, region="EUROPE",
+                                 broadcast_limit=0).to_pandas()
+    assert _q5_rows(a) == _q5_rows(b) == \
+        _q5_rows(_duck_q5(sf_dir, region="EUROPE"))
