@@ -298,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_pipeline": _q_web_pipeline,
         "corpus_sample": _q_corpus_sample,
         "crawl_latest": _q_crawl_latest,
+        "stale_urls": _q_stale_urls,
         "top_unshipped_orders": _q_top_unshipped,
         "local_supplier_volume": _q_local_supplier_volume,
         "length_percentiles": _q_length_percentiles,
@@ -843,6 +844,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE substr(md5(url), 1, 8) < '80000000'
         """,
         # latest-capture-wins over the two-snapshot synth crawl:
+        # recrawl work list: urls with an old capture and no
+        # latest-snapshot (version 1) capture = doc_id % 3 <> 0
+        "stale_urls": f"""
+            SELECT {_URL_SQL} AS url,
+                   TIMESTAMP '2024-01-01 00:00:00'
+                     + to_seconds(CAST(doc_id AS BIGINT)) AS last_ts
+            FROM documents WHERE doc_id % 3 <> 0
+        """,
         # every doc has a version-0 capture at its warc_ts; doc_id%3==0
         # re-captured one day later as version 1
         "crawl_latest": f"""
@@ -1560,6 +1569,15 @@ def _q_crawl_latest(sf_dir: str):
     from pdf2dom_ray.pipelines.html_extract import synth_snapshots
     out = latest_capture(synth_snapshots(sf_dir), tiebreak="version")
     return out.select_columns(["url", "warc_ts", "version", "n_captures"])
+
+
+def _q_stale_urls(sf_dir: str):
+    """Recrawl scheduling: distinct-key partials on both sides, then
+    one hash-partitioned left_anti join (native set difference) —
+    urls captured before but missing from the latest snapshot."""
+    from pdf2dom_ray.functions.crawl import stale_urls
+    from pdf2dom_ray.pipelines.html_extract import synth_snapshots
+    return stale_urls(synth_snapshots(sf_dir))
 
 
 def _q_warc_extract(sf_dir: str):

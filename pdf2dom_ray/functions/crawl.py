@@ -21,7 +21,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-__all__ = ["latest_capture"]
+__all__ = ["latest_capture", "stale_urls"]
 
 
 def latest_capture(ds: rd.Dataset, *, key: str = "url",
@@ -52,3 +52,79 @@ def latest_capture(ds: rd.Dataset, *, key: str = "url",
     parts = ds.map_batches(partial, batch_format="pandas")
     out = parts.groupby(key).map_groups(final, batch_format="pandas")
     return out.map_batches(lambda t: t, batch_format="pyarrow")
+
+
+def stale_urls(ds: rd.Dataset, *, key: str = "url",
+               ts: str = "warc_ts", version_col: str = "version",
+               latest: int = 1) -> rd.Dataset:
+    """(url, last_ts): URLs captured in older snapshots but absent
+    from the latest one — the recrawl-scheduler's work list.
+
+    Scale shape: both sides reduce to narrow per-batch distinct
+    partials first (old side keeps the max old-capture ts per key, the
+    latest side just distinct keys), then ONE hash-partitioned
+    ``left_anti`` join decides absence — set-difference semantics the
+    Dataset API has natively; no payload ever enters the exchange.
+    """
+    import pyarrow as pa_
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    from .dedup import _to_arrow_blocks
+
+    def old_partial(t: pa_.Table) -> pa_.Table:
+        t = t.filter(pc.less(t.column(version_col), latest))
+        df = t.select([key, ts]).to_pandas()
+        g = df.groupby(key, as_index=False)[ts].max()
+        return pa_.Table.from_pandas(g, preserve_index=False)
+
+    def new_partial(t: pa_.Table) -> pa_.Table:
+        t = t.filter(pc.equal(t.column(version_col), latest))
+        col = t.column(key)
+        if isinstance(col, pa_.ChunkedArray):
+            col = col.combine_chunks()
+        return pa_.table({"latest_key": pc.unique(col)})
+
+    narrow = ds.select_columns([key, ts, version_col]).materialize()
+    sch = narrow.schema()
+    ts_type = sch.types[sch.names.index(ts)]
+    key_type = sch.types[sch.names.index(key)]
+
+    def fix_empty(t: pa_.Table) -> pa_.Table:
+        # empty groupby outputs can be schema-less (CLAUDE.md Arrow
+        # gaps) and a schema-less block poisons the join's hash
+        # partitioning — give empties the real schema
+        if not t.num_columns:
+            return pa_.table({key: pa_.array([], key_type),
+                              "last_ts": pa_.array([], ts_type)})
+        return t
+
+    old = _to_arrow_blocks(
+        narrow.map_batches(old_partial, batch_format="pyarrow")
+        .groupby(key).aggregate(Max(ts, alias_name="last_ts"))) \
+        .map_batches(fix_empty, batch_format="pyarrow")
+    new = narrow.map_batches(new_partial,
+                             batch_format="pyarrow").materialize()
+
+    def finish(t: pa_.Table) -> pa_.Table:
+        if not t.num_columns:
+            return pa_.table({key: pa_.array([], key_type),
+                              "last_ts": pa_.array([], ts_type)})
+        return t.select([key, "last_ts"])
+
+    # Ray's hash join rejects 0-row right-side blocks ("no match for
+    # key field"): even-repartition the narrow key set so every block
+    # is non-empty, and short-circuit an empty latest snapshot (the
+    # anti-join would keep everything anyway)
+    n_new = new.count()
+    if n_new == 0:
+        return old.map_batches(finish, batch_format="pyarrow")
+    import ray
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if \
+        ray.is_initialized() else 8
+    n_part = max(2, min(16, ncpu // 2))
+    new = new.repartition(min(n_part, n_new))
+    out = old.join(new, join_type="left_anti",
+                   num_partitions=n_part,
+                   on=(key,), right_on=("latest_key",))
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -558,6 +558,22 @@ def test_pack_sequences_partition_invariance(ray_session):
     assert tot == {i: 1 + i * 7 % 13 for i in range(40)}
 
 
+def test_stale_urls_anti_join(ray_session):
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.crawl import stale_urls
+    rows = [
+        {"url": "a", "warc_ts": 10, "version": 0},
+        {"url": "a", "warc_ts": 5, "version": 0},   # max old ts wins
+        {"url": "b", "warc_ts": 20, "version": 0},
+        {"url": "b", "warc_ts": 30, "version": 1},  # recaptured
+        {"url": "c", "warc_ts": 7, "version": 0},
+    ]
+    out = sorted((r["url"], r["last_ts"]) for r in
+                 stale_urls(rd.from_items(rows)).take_all())
+    assert out == [("a", 10), ("c", 7)]
+
+
 def test_source_overlap_hand_case(ray_session):
     import ray.data as rd
 
