@@ -348,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- aggregations / joins / windows
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_sessionize,
+        "cohort_retention": _q_cohort_retention,
         "pricing_summary": _q_pricing_summary,
         "orders_by_segment": _q_orders_by_segment,
         # -- temporal joins / windows Ray Data lacks as built-ins
@@ -1017,6 +1018,23 @@ def oracle_sql() -> dict[str, str]:
             FROM toks t JOIN w USING (word)
             GROUP BY t.doc_id
         """,
+        # cohort retention: dimension derived from the fact table
+        # (per-user first-seen day) joined back, integer day offsets
+        "cohort_retention": """
+            WITH fs AS (SELECT user_id,
+                               CAST(date_trunc('day', min(ts))
+                                    AS TIMESTAMP) AS cohort_day
+                        FROM events GROUP BY 1),
+            act AS (SELECT DISTINCT user_id,
+                           CAST(date_trunc('day', ts) AS TIMESTAMP)
+                               AS day
+                    FROM events)
+            SELECT cohort_day,
+                   CAST(date_diff('day', cohort_day, day) AS BIGINT)
+                       AS day_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM act JOIN fs USING (user_id) GROUP BY 1, 2
+        """,
         "pii_redact": _PII_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
         "dedup_minhash": _NEAR_DUP_CLUSTER_SQL,
@@ -1569,6 +1587,19 @@ def _q_crawl_latest(sf_dir: str):
     from pdf2dom_ray.pipelines.html_extract import synth_snapshots
     out = latest_capture(synth_snapshots(sf_dir), tiebreak="version")
     return out.select_columns(["url", "warc_ts", "version", "n_captures"])
+
+
+def _q_cohort_retention(sf_dir: str):
+    """Cohort retention: per-user first-seen day (narrow combiner
+    groupby) broadcast back over distinct (user, day) activity rows,
+    final tiny (cohort, offset) count; hash-join fallback beyond the
+    broadcast limit."""
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.cohort import cohort_retention
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return cohort_retention(ds)
 
 
 def _q_stale_urls(sf_dir: str):

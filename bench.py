@@ -166,7 +166,11 @@ def run_bench() -> dict:
                  "warc_extract", "crawl_latest", "corpus_sample",
                  "top_unshipped_orders", "text_normalize",
                  "pii_redact", "line_dedup", "bm25_topk",
-                 "decontam_ngram", "dedup_substring"):
+                 "decontam_ngram", "dedup_substring",
+                 "quality_classifier", "corpus_shuffle",
+                 "pack_sequences", "repetition_stats",
+                 "source_overlap", "local_supplier_volume",
+                 "stale_urls"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

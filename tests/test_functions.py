@@ -558,6 +558,30 @@ def test_pack_sequences_partition_invariance(ray_session):
     assert tot == {i: 1 + i * 7 % 13 for i in range(40)}
 
 
+def test_cohort_retention_hand_case(ray_session):
+    from datetime import datetime as dt
+
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.cohort import cohort_retention
+    rows = [
+        # u1 first seen day 0, active days 0 and 2 (two events day 2
+        # must count once); u2 first seen day 1, active day 1 only
+        {"user_id": 1, "ts": dt(2024, 1, 1, 5)},
+        {"user_id": 1, "ts": dt(2024, 1, 3, 1)},
+        {"user_id": 1, "ts": dt(2024, 1, 3, 9)},
+        {"user_id": 2, "ts": dt(2024, 1, 2, 12)},
+    ]
+    for lim in (5_000_000, 0):   # broadcast arm, then join arm
+        out = sorted((str(r["cohort_day"]), r["day_offset"],
+                      r["n_users"]) for r in cohort_retention(
+                        rd.from_items(rows),
+                        broadcast_limit=lim).take_all())
+        assert out == [("2024-01-01 00:00:00", 0, 1),
+                       ("2024-01-01 00:00:00", 2, 1),
+                       ("2024-01-02 00:00:00", 0, 1)]
+
+
 def test_stale_urls_anti_join(ray_session):
     import ray.data as rd
 
