@@ -307,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frontier_filter": _q_frontier_filter,
         "distinct_users_hll": _q_distinct_hll,        # rows-only
         "inverted_index": _q_inverted_index,
+        "top_tokens": _q_top_tokens,
         "bigram_stats": _q_bigram_stats,
         "tfidf_topk": _q_tfidf_topk,
         "bm25_topk": _q_bm25_topk,
@@ -717,6 +718,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT g AS gram, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(occ) AS BIGINT) AS n_occ
             FROM dg GROUP BY g HAVING count(*) >= 2
+        """,
+        # Misra-Gries heavy hitters in the exact regime (capacity >=
+        # synth vocab => err 0 => count_min == count_max == true count)
+        "top_tokens": """
+            WITH c AS (SELECT unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+            cnt AS (SELECT w AS token, CAST(count(*) AS BIGINT) AS n
+                    FROM c GROUP BY 1)
+            SELECT token, n AS count_min, n AS count_max
+            FROM cnt
+            QUALIFY row_number() OVER (ORDER BY n DESC, token) <= 20
         """,
         # cross-source contamination matrix: distinct 8-gram windows
         # per source, then shared-gram counts per unordered pair
@@ -1669,6 +1681,14 @@ def _q_gopher(sf_dir: str):
 def _q_unigram_logprob(sf_dir: str):
     from pdf2dom_ray.functions.text_stats import unigram_logprob
     return unigram_logprob(_documents(sf_dir))
+
+
+def _q_top_tokens(sf_dir: str):
+    """Misra-Gries heavy-hitters sketch: per-batch exact counts cut to
+    capacity-sized mergeable summaries, driver fold of O(blocks x
+    capacity) state, no shuffle; exact when capacity >= vocab."""
+    from pdf2dom_ray.functions.heavyhitters import top_tokens_sketch
+    return top_tokens_sketch(_documents(sf_dir), k=20, capacity=4096)
 
 
 def _q_source_overlap(sf_dir: str):

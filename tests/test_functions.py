@@ -558,6 +558,45 @@ def test_pack_sequences_partition_invariance(ray_session):
     assert tot == {i: 1 + i * 7 % 13 for i in range(40)}
 
 
+def test_heavy_hitters_exact_regime(ray_session):
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.heavyhitters import top_tokens_sketch
+    rows = [{"text": "a a a b b c"}, {"text": "a b d"}]
+    out = top_tokens_sketch(rd.from_items(rows), k=3,
+                            capacity=100).to_pylist()
+    assert [(r["token"], r["count_min"], r["count_max"])
+            for r in out] == [("a", 4, 4), ("b", 3, 3), ("c", 1, 1)]
+
+
+def test_heavy_hitters_lossy_bounds(ray_session):
+    from collections import Counter
+
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.heavyhitters import top_tokens_sketch
+    # skewed stream: t0 (500 of n=2270) clears the MG survival bound
+    # n/(capacity+1) ~ 253; vocab 60 >> capacity 8
+    toks = []
+    for i in range(60):
+        toks.extend([f"t{i}"] * (500 if i == 0 else 60 - i))
+    rows = [{"text": " ".join(toks[i:i + 37])}
+            for i in range(0, len(toks), 37)]
+    true = Counter(toks)
+    out = top_tokens_sketch(rd.from_items(rows), k=8,
+                            capacity=8).to_pylist()
+    tokens = [r["token"] for r in out]
+    # the guaranteed heavy hitter (count > n/capacity) must survive
+    assert "t0" in tokens
+    for r in out:   # MG bound: count_min <= true <= count_max
+        assert r["count_min"] <= true[r["token"]] <= r["count_max"]
+    # bounds hold under any partitioning of the same stream
+    out2 = top_tokens_sketch(rd.from_items(rows).repartition(5),
+                             k=8, capacity=8).to_pylist()
+    for r in out2:
+        assert r["count_min"] <= true[r["token"]] <= r["count_max"]
+
+
 def test_cohort_retention_hand_case(ray_session):
     from datetime import datetime as dt
 
