@@ -348,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_by_length": _q_top_docs,
         # -- aggregations / joins / windows
         "events_hourly": _q_events_hourly,
+        "purchases_hourly": _q_purchases_hourly,
         "events_sessionize": _q_sessionize,
         "cohort_retention": _q_cohort_retention,
         "pricing_summary": _q_pricing_summary,
@@ -1030,6 +1031,17 @@ def oracle_sql() -> dict[str, str]:
             FROM toks t JOIN w USING (word)
             GROUP BY t.doc_id
         """,
+        # hourly purchase volume; the Ray side pushes the predicate
+        # into the parquet scan (row-group pruning at storage)
+        "purchases_hourly": """
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(floor(value * 100) AS BIGINT))
+                        AS BIGINT) AS value_cents
+            FROM events
+            WHERE event_type = 'purchase' AND value >= 100
+            GROUP BY 1
+        """,
         # cohort retention: dimension derived from the fact table
         # (per-user first-seen day) joined back, integer day offsets
         "cohort_retention": """
@@ -1599,6 +1611,14 @@ def _q_crawl_latest(sf_dir: str):
     from pdf2dom_ray.pipelines.html_extract import synth_snapshots
     out = latest_capture(synth_snapshots(sf_dir), tiebreak="version")
     return out.select_columns(["url", "warc_ts", "version", "n_captures"])
+
+
+def _q_purchases_hourly(sf_dir: str):
+    """Prune-at-the-read demo: read_parquet(filter=...) pushes the
+    purchase/value predicate into the Arrow scan (row-group pruning),
+    then a combiner partial + narrow hourly groupby in integer cents."""
+    from pdf2dom_ray.pipelines.metrics import purchases_hourly_pushdown
+    return purchases_hourly_pushdown(sf_dir)
 
 
 def _q_cohort_retention(sf_dir: str):

@@ -17,7 +17,8 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-__all__ = ["corpus_metrics", "events_hourly", "orders_by_segment"]
+__all__ = ["corpus_metrics", "events_hourly", "orders_by_segment",
+           "purchases_hourly_pushdown"]
 
 
 def corpus_metrics(parsed: rd.Dataset) -> pd.DataFrame:
@@ -193,3 +194,53 @@ def orders_by_segment(sf_dir: str) -> rd.Dataset:
         df["total"] = df["total"].round(2)
         return df
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def purchases_hourly_pushdown(sf_dir: str) -> rd.Dataset:
+    """(hour, n, value_cents): hourly purchase volume with the filter
+    PUSHED INTO THE SCAN — ``read_parquet(filter=...)`` hands the
+    predicate to the Arrow dataset reader, so non-matching row groups
+    are pruned at storage and non-purchase rows never enter the object
+    store (prune-at-the-read, the complement of the column pruning
+    every other query already does). Integer cents keep the oracle
+    sum exact."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"],
+        filter=((pads.field("event_type") == "purchase")
+                & (pads.field("value") >= 100.0)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (us // 3_600_000_000) * 3_600_000_000
+        cents = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame({"hour_us": hour, "n": 1, "cents": cents})
+        g = df.groupby("hour_us", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("hour_us").aggregate(Sum("n", alias_name="n"),
+                                      Sum("cents",
+                                          alias_name="value_cents"))
+
+    def finish(t) -> pa.Table:
+        t = t if isinstance(t, pa.Table) else \
+            pa.Table.from_pandas(t, preserve_index=False)
+        if not t.num_columns:
+            return pa.table({"hour": pa.array([], pa.timestamp("us")),
+                             "n": pa.array([], pa.int64()),
+                             "value_cents": pa.array([], pa.int64())})
+        hour = t.column("hour_us").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "hour": pa.array(hour.astype("datetime64[us]")),
+            "n": t.column("n").cast(pa.int64()),
+            "value_cents": t.column("value_cents").cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
