@@ -323,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_adjacency": _q_link_adjacency,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
+        "hashed_features": _q_hashed_features,
         "text_quality": _q_quality,
         "token_stats_bpe": _q_bpe_tokens,
         "quality_filter": _q_gopher,
@@ -946,6 +947,18 @@ def oracle_sql() -> dict[str, str]:
                              AND has_stopword = 1
                         THEN 1 ELSE 0 END AS BIGINT) AS passes
             FROM s
+        """,
+        # hashing-trick bag-of-words: md5 bucket per token (hex-cast
+        # reproduces the Python bucket decision exactly), long form
+        "hashed_features": """
+            WITH toks AS (SELECT doc_id,
+                                 unnest(string_split(text, ' ')) AS w
+                          FROM documents)
+            SELECT doc_id,
+                   CAST(CAST(('0x' || substr(md5(w), 1, 8)) AS UBIGINT)
+                        % 16 AS BIGINT) AS dim,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM toks GROUP BY 1, 2
         """,
         # Gopher-style repetition signals: per-doc distinct/max token
         # counts + max adjacent-pair count, all integer ppm ratios
@@ -1701,6 +1714,14 @@ def _q_gopher(sf_dir: str):
 def _q_unigram_logprob(sf_dir: str):
     from pdf2dom_ray.functions.text_stats import unigram_logprob
     return unigram_logprob(_documents(sf_dir))
+
+
+def _q_hashed_features(sf_dir: str):
+    """Feature-hashing embedding: md5-bucket token counts per doc
+    (dim=16), actor-pool with a per-actor token->bucket memo cache;
+    row-local and shuffle-free."""
+    from pdf2dom_ray.functions.hashfeat import hashed_features
+    return hashed_features(_documents(sf_dir), dim=16)
 
 
 def _q_top_tokens(sf_dir: str):

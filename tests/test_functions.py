@@ -558,6 +558,21 @@ def test_pack_sequences_partition_invariance(ray_session):
     assert tot == {i: 1 + i * 7 % 13 for i in range(40)}
 
 
+def test_hashed_features_hand_case(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.hashfeat import hashed_features
+    rows = [{"doc_id": 0, "text": "x x y"}, {"doc_id": 1, "text": "y"}]
+    bx = int(hashlib.md5(b"x").hexdigest()[:8], 16) % 16
+    by = int(hashlib.md5(b"y").hexdigest()[:8], 16) % 16
+    out = sorted((r["doc_id"], r["dim"], r["cnt"]) for r in
+                 hashed_features(rd.from_items(rows),
+                                 dim=16).take_all())
+    assert out == sorted([(0, bx, 2), (0, by, 1), (1, by, 1)])
+
+
 def test_heavy_hitters_exact_regime(ray_session):
     import ray.data as rd
 
