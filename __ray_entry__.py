@@ -200,6 +200,18 @@ def _pii_sql() -> str:
 
 _PII_SQL = _pii_sql()
 
+
+def _sketch_sqls():
+    from pdf2dom_ray.functions.bloom import bloom_semijoin_sql
+    from pdf2dom_ray.functions.cms import cms_token_counts_sql
+    from pdf2dom_ray.functions.dsir import dsir_weights_sql
+    from pdf2dom_ray.functions.windows import hopping_window_sql
+    return (hopping_window_sql(), bloom_semijoin_sql(),
+            cms_token_counts_sql(), dsir_weights_sql())
+
+
+_HOPPING_SQL, _BLOOM_SQL, _CMS_SQL, _DSIR_SQL = _sketch_sqls()
+
 # Line-level dedup oracle: 10-word lines, strip lines in ≥2 docs
 # (mirrors functions.linedup rules — LINE_WORDS=10, min_docs=2).
 _LINE_DEDUP_SQL = """
@@ -308,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": _q_distinct_hll,        # rows-only
         "inverted_index": _q_inverted_index,
         "top_tokens": _q_top_tokens,
+        "cms_token_counts": _q_cms_token_counts,
         "bigram_stats": _q_bigram_stats,
         "tfidf_topk": _q_tfidf_topk,
         "bm25_topk": _q_bm25_topk,
@@ -330,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition,
         "unigram_logprob": _q_unigram_logprob,
         "quality_classifier": _q_quality_classifier,
+        "dsir_weights": _q_dsir_weights,
         "lang_id": _q_lang_id,
         "pii_redact": _q_pii_redact,
         "line_dedup": _q_line_dedup,
@@ -350,10 +364,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- aggregations / joins / windows
         "events_hourly": _q_events_hourly,
         "purchases_hourly": _q_purchases_hourly,
+        "events_hopping_window": _q_events_hopping,
         "events_sessionize": _q_sessionize,
         "cohort_retention": _q_cohort_retention,
         "pricing_summary": _q_pricing_summary,
         "orders_by_segment": _q_orders_by_segment,
+        "bloom_semijoin": _q_bloom_semijoin,
         # -- temporal joins / windows Ray Data lacks as built-ins
         "asof_last_purchase": _q_asof_last_purchase,
         "range_join_window": _q_range_join_window,
@@ -1055,6 +1071,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_type = 'purchase' AND value >= 100
             GROUP BY 1
         """,
+        # hopping windows: every event in width//hop overlapping
+        # windows, integer epoch-us window arithmetic + micros sums
+        "events_hopping_window": _HOPPING_SQL,
+        # bloom-filter semi-join pre-filter: md5 bit decisions replayed
+        # exactly, false positives included
+        "bloom_semijoin": _BLOOM_SQL,
+        # count-min sketch estimates: min over rows of collided-bucket
+        # count sums, collisions replayed via md5 hex casts
+        "cms_token_counts": _CMS_SQL,
+        # DSIR importance weights: integer per-token likelihood ratios
+        # over md5 feature buckets (HUGEINT intermediates)
+        "dsir_weights": _DSIR_SQL,
         # cohort retention: dimension derived from the fact table
         # (per-user first-seen day) joined back, integer day offsets
         "cohort_retention": """
@@ -1632,6 +1660,42 @@ def _q_purchases_hourly(sf_dir: str):
     then a combiner partial + narrow hourly groupby in integer cents."""
     from pdf2dom_ray.pipelines.metrics import purchases_hourly_pushdown
     return purchases_hourly_pushdown(sf_dir)
+
+
+def _q_events_hopping(sf_dir: str):
+    """Hopping-window aggregate (1h window / 15min hop): row-local
+    ×4 window explode inside map_batches, per-batch partial groupby
+    cuts the exploded rows before one narrow window groupby; integer
+    epoch-us window starts + floor-micros sums (order-independent)."""
+    from pdf2dom_ray.functions.windows import hopping_window_volume
+    return hopping_window_volume(sf_dir)
+
+
+def _q_bloom_semijoin(sf_dir: str):
+    """Bloom-join pre-filter: distributed OR-merged m-bit bitmap over
+    orders.o_custkey (one m/8-byte partial per block), ray.put
+    broadcast, vectorized probe over customers. The md5 bit decisions
+    (false positives included) are replayed exactly by the oracle."""
+    from pdf2dom_ray.functions.bloom import bloom_semijoin_flags
+    return bloom_semijoin_flags(sf_dir)
+
+
+def _q_cms_token_counts(sf_dir: str):
+    """Count-min sketch: per-batch exact-count partial sketches,
+    associative d×w sum-merge on the driver (one blob per block),
+    point estimates for a deterministic probe set; the oracle replays
+    every md5 bucket collision."""
+    from pdf2dom_ray.functions.cms import cms_token_counts
+    return cms_token_counts(sf_dir)
+
+
+def _q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (hashed features, lang='en' target):
+    narrow D-bucket count groupby, broadcast integer ratio table,
+    actor-pool scoring with per-actor token→bucket memo; integer
+    ppm ratios instead of float log-sums so the oracle hash-matches."""
+    from pdf2dom_ray.functions.dsir import dsir_weights
+    return dsir_weights(sf_dir)
 
 
 def _q_cohort_retention(sf_dir: str):

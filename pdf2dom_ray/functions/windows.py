@@ -1,0 +1,102 @@
+"""Hopping (sliding) window aggregation over the event stream.
+
+`pipelines/metrics.py::events_hourly` is the tumbling case: each event
+belongs to exactly one window. Monitoring and rate-limiting pipelines
+need the *hopping* generalization — window width W, hop H < W — where
+each event belongs to ``W // H`` overlapping windows (e.g. "events in
+the trailing hour, reported every 15 minutes").
+
+Distributed shape: the fan-out is row-local (an event's window set
+depends only on its own timestamp), so the replicate-by-``W//H``
+explode happens vectorized inside ``map_batches`` and is followed by
+the usual combiner: a per-batch partial groupby cuts the exploded rows
+down to (windows-per-batch) partial rows BEFORE the exchange, then one
+narrow global groupby merges partials. The shuffle volume is bounded
+by ``n_batches × n_windows``, independent of event count.
+
+Determinism (CLAUDE.md integer-aggregate rule): the measure summed is
+``floor(value * 1e6)`` per event — int64 micros — so the distributed
+sum is order-independent and the DuckDB oracle hash-matches exactly.
+Window starts are computed in integer epoch-microseconds:
+``base = epoch_us // hop_us * hop_us``; the k-th window start is
+``base - k * hop_us`` for k in [0, W//H).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+__all__ = ["hopping_window_volume", "hopping_window_sql"]
+
+
+def hopping_window_volume(sf_dir: str, *, width_s: int = 3600,
+                          hop_s: int = 900) -> rd.Dataset:
+    """(window_start, n, sum_micros) over events, window ``width_s``
+    hopping every ``hop_s`` (width must be a multiple of hop)."""
+    if width_s % hop_s:
+        raise ValueError("width_s must be a multiple of hop_s")
+    k = width_s // hop_s
+    hop_us = hop_s * 1_000_000
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        micros = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 1e6
+        ).astype(np.int64)
+        base = us // hop_us * hop_us
+        # one row per (event, k): window_start = base - k*hop_us
+        starts = (base[:, None]
+                  - np.arange(k, dtype=np.int64)[None, :] * hop_us
+                  ).ravel()
+        m = np.repeat(micros, k)
+        df = pd.DataFrame({"window_start": starts, "micros": m})
+        g = df.groupby("window_start", as_index=False).agg(
+            n=("micros", "size"), sum_micros=("micros", "sum"))
+        return pa.table({
+            "window_start": pa.array(g["window_start"].to_numpy(np.int64)),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "sum_micros": pa.array(g["sum_micros"].to_numpy(np.int64)),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("window_start")
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("sum_micros", alias_name="sum_micros")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": t.column("window_start").cast(
+                pa.timestamp("us")),
+            "n": t.column("n").cast(pa.int64()),
+            "sum_micros": t.column("sum_micros").cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def hopping_window_sql(*, width_s: int = 3600, hop_s: int = 900) -> str:
+    """DuckDB twin: identical integer epoch-us window arithmetic."""
+    k = width_s // hop_s
+    hop_us = hop_s * 1_000_000
+    ks = ", ".join(str(i) for i in range(k))
+    return f"""
+        WITH e AS (SELECT (epoch_us(ts) // {hop_us}) * {hop_us}
+                              AS base_us,
+                          CAST(floor(value * 1000000) AS BIGINT)
+                              AS micros
+                   FROM events),
+        g AS (SELECT CAST(unnest([{ks}]) AS BIGINT) AS k)
+        SELECT make_timestamp(base_us - k * {hop_us}) AS window_start,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(micros) AS BIGINT) AS sum_micros
+        FROM e CROSS JOIN g
+        GROUP BY 1
+    """
