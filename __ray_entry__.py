@@ -354,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         # -- similarity search / embedding dedup / clustering
         "kmeans_clusters": _q_kmeans,
+        "semdedup": _q_semdedup,
         "ann_brute_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -1230,6 +1231,10 @@ def oracle_sql() -> dict[str, str]:
         # unrolled into materialized CTEs; int64 math end-to-end makes
         # the distributed result bit-equal to the sequential SQL
         "kmeans_clusters": _kmeans_oracle(),
+        # SemDeDup (cluster-local semantic near-dup prune): the shared
+        # k-means CTEs plus a same-cluster pair scan; the τ=0.95 cosine
+        # test is a HUGEINT cross-multiplication, never a float cosine
+        "semdedup": _semdedup_oracle(),
         # backward as-of join: each event attributed to the same user's
         # most recent strictly-prior purchase (ties → max event_id)
         "asof_last_purchase": """
@@ -2104,3 +2109,18 @@ def _kmeans_oracle() -> str:
 def _q_kmeans(sf_dir: str):
     from pdf2dom_ray.functions.kmeans import kmeans_clusters
     return kmeans_clusters(sf_dir)
+
+
+def _semdedup_oracle() -> str:
+    from pdf2dom_ray.functions.semdedup import semdedup_oracle_sql
+    return semdedup_oracle_sql()
+
+
+def _q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): bit-exact k-means reuse, then one
+    map_groups task per cluster computes the int64 gram matrix and
+    drops every vector with a smaller-vec_id τ-similar cluster-mate;
+    the cosine test is exact integer cross-multiplication (128-bit via
+    Python ints / HUGEINT) so the oracle hash-matches."""
+    from pdf2dom_ray.functions.semdedup import semdedup_keep
+    return semdedup_keep(sf_dir)

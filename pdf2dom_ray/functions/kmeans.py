@@ -34,7 +34,8 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-__all__ = ["kmeans_clusters", "kmeans_oracle_sql"]
+__all__ = ["kmeans_clusters", "kmeans_fit", "kmeans_oracle_sql",
+           "kmeans_with_clause"]
 
 SCALE_BITS = 20
 
@@ -98,11 +99,12 @@ def _farthest_point_seeds(quant: rd.Dataset, k: int) -> np.ndarray:
     return np.stack(seeds)
 
 
-def kmeans_clusters(sf_dir: str, k: int = 10,
-                    iters: int = 2) -> rd.Dataset:
+def kmeans_fit(sf_dir: str, k: int = 10,
+               iters: int = 2) -> tuple[rd.Dataset, np.ndarray]:
     """Fit k-means (deterministic farthest-point init, ``iters``
-    centroid updates), then emit the final assignment
-    ``(vec_id, cluster, dist2)``."""
+    centroid updates); return the materialized quantized table
+    ``(vec_id, v)`` and the final ``k×D`` int64 centroid matrix —
+    the reusable core shared with the SemDeDup operator."""
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     quant = ds.map_batches(_quantize, batch_format="pyarrow") \
@@ -146,6 +148,14 @@ def kmeans_clusters(sf_dir: str, k: int = 10,
                 nxt[int(j)] = np.floor_divide(sums, cnt)
         cent = nxt
 
+    return quant, cent
+
+
+def kmeans_clusters(sf_dir: str, k: int = 10,
+                    iters: int = 2) -> rd.Dataset:
+    """Fit k-means, then emit the final assignment
+    ``(vec_id, cluster, dist2)``."""
+    quant, cent = kmeans_fit(sf_dir, k, iters)
     ref = ray.put(cent)
 
     def final(t: pa.Table, _ref=ref) -> pa.Table:
@@ -162,13 +172,16 @@ def kmeans_clusters(sf_dir: str, k: int = 10,
     return quant.map_batches(final, batch_format="pyarrow")
 
 
-def kmeans_oracle_sql(k: int = 10, iters: int = 2) -> str:
-    """The same fixed-point algorithm unrolled into CTEs: positional
-    UNNEST zips the vector lists; the farthest-point init is k-1
-    chained rounds of "min-dist so far → argmax pick" (incremental
-    LEAST against only the newest seed); each Lloyd assignment is an
-    argmin via QUALIFY, each update a floor-division GROUP BY
-    (COALESCE keeps the previous centroid for empty clusters)."""
+def kmeans_with_clause(k: int = 10, iters: int = 2) -> str:
+    """The fixed-point algorithm unrolled into a WITH clause ending in
+    an ``assign(vec_id, cluster, dist2)`` CTE — shared by the k-means
+    oracle and the SemDeDup oracle (which appends pair CTEs over the
+    same ``q`` and ``assign``): positional UNNEST zips the vector
+    lists; the farthest-point init is k-1 chained rounds of "min-dist
+    so far → argmax pick" (incremental LEAST against only the newest
+    seed); each Lloyd assignment is an argmin via QUALIFY, each update
+    a floor-division GROUP BY (COALESCE keeps the previous centroid
+    for empty clusters)."""
     scale = 1 << SCALE_BITS
     sql = [f"""
         WITH q AS MATERIALIZED (
@@ -228,12 +241,19 @@ def kmeans_oracle_sql(k: int = 10, iters: int = 2) -> str:
           FROM c_{it} p LEFT JOIN u_{it} u
             ON u.cl = p.cl AND u.i = p.i
         )""")
-    sql.append(f"""
-        SELECT q.vec_id, c.cl AS cluster,
-               SUM((q.qe - c.ce) * (q.qe - c.ce)) AS dist2
-        FROM q JOIN c_{iters} c ON q.i = c.i
-        GROUP BY q.vec_id, c.cl
-        QUALIFY row_number() OVER (PARTITION BY q.vec_id
-                                   ORDER BY dist2, c.cl) = 1
-    """)
+    sql.append(f""",
+        assign AS MATERIALIZED (
+          SELECT q.vec_id, c.cl AS cluster,
+                 SUM((q.qe - c.ce) * (q.qe - c.ce)) AS dist2
+          FROM q JOIN c_{iters} c ON q.i = c.i
+          GROUP BY q.vec_id, c.cl
+          QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                                     ORDER BY dist2, c.cl) = 1
+        )""")
     return "".join(sql)
+
+
+def kmeans_oracle_sql(k: int = 10, iters: int = 2) -> str:
+    """`kmeans_with_clause` + the assignment projection."""
+    return (kmeans_with_clause(k, iters)
+            + "\n        SELECT vec_id, cluster, dist2 FROM assign")

@@ -1,0 +1,89 @@
+"""SemDeDup (functions/semdedup.py): hand cases for the keep rule and
+its cluster-locality, numpy-reference equality on the driver table,
+and the DuckDB unrolled-CTE oracle."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pdf2dom_ray.functions.semdedup import (
+    TAU2_DEN, TAU2_NUM, semdedup_keep, semdedup_oracle_sql)
+
+
+def _write(tmp_path, vecs):
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(len(vecs), dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    }), tmp_path / "embeddings.parquet")
+    return str(tmp_path)
+
+
+def test_keep_rule_single_cluster(ray_session, tmp_path):
+    # k=1: pure cosine NOT-EXISTS semantics, no clustering effects.
+    sf = _write(tmp_path, [
+        (1.0, 0.0),     # 0: kept (first)
+        (1.0, 0.01),    # 1: cos≈1 with 0 → dropped
+        (0.0, 1.0),     # 2: orthogonal → kept
+        (-1.0, 0.0),    # 3: negative dot with everything → kept
+        (0.0, 1.5),     # 4: cos 1 with 2 → dropped
+    ])
+    got = semdedup_keep(sf, k=1, iters=1).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert got["kept"].tolist() == [True, False, True, True, False]
+
+
+def test_keep_rule_is_cluster_local(ray_session, tmp_path):
+    # Same direction, different magnitude → different k-means cluster:
+    # vec 2 has cos=1 with vec 0 but is NOT dropped (different
+    # cluster); within each cluster the later member is dropped.
+    sf = _write(tmp_path, [
+        (1000.0, 0.0),   # 0: cluster A, kept
+        (1000.0, 50.0),  # 1: cluster A, cos≈0.999 with 0 → dropped
+        (10.0, 0.0),     # 2: cluster B, kept despite cos=1 with 0
+        (12.0, 0.0),     # 3: cluster B, cos=1 with 2 → dropped
+    ])
+    got = semdedup_keep(sf, k=2, iters=1).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert got["kept"].tolist() == [True, False, True, False]
+    assert got.loc[0, "cluster"] != got.loc[2, "cluster"]
+    assert got.loc[0, "cluster"] == got.loc[1, "cluster"]
+    assert got.loc[2, "cluster"] == got.loc[3, "cluster"]
+
+
+def test_matches_numpy_reference(ray_session, sf_dir):
+    got = semdedup_keep(sf_dir).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet") \
+        .sort_values("vec_id").reset_index(drop=True)
+    q = np.floor(np.stack(emb["embedding"].to_numpy())
+                 .astype(np.float64) * (1 << 20)).astype(np.int64)
+    # replay the keep rule per cluster with exact integer arithmetic
+    kept = np.ones(len(q), dtype=bool)
+    for cl, grp in got.groupby("cluster"):
+        ids = grp["vec_id"].to_numpy()
+        x = q[ids]
+        gram = x @ x.T
+        n2 = np.diag(gram).copy()
+        go, n2o = gram.astype(object), n2.astype(object)
+        dup = (gram > 0) & (go * go * TAU2_DEN
+                            >= TAU2_NUM * (n2o[:, None] * n2o[None, :]))
+        kept[ids] = ~np.tril(dup, -1).any(axis=1)
+    assert (got["kept"].to_numpy() == kept).all()
+    assert (~got["kept"]).sum() > 0          # non-vacuous at sf0.001
+
+
+def test_matches_sql_oracle(ray_session, sf_dir):
+    import duckdb
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{sf_dir}/embeddings.parquet'")
+    want = con.sql(semdedup_oracle_sql()).df() \
+        .sort_values("vec_id").reset_index(drop=True)
+    got = semdedup_keep(sf_dir).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert (got["cluster"].to_numpy()
+            == want["cluster"].to_numpy()).all()
+    assert (got["kept"].to_numpy()
+            == want["kept"].to_numpy().astype(bool)).all()
