@@ -333,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "corpus_shuffle": _q_corpus_shuffle,
         "source_quota": _q_source_quota,
+        "weighted_sample": _q_weighted_sample,
         "link_adjacency": _q_link_adjacency,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
@@ -486,6 +487,10 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS rank
             FROM k QUALIFY rank <= 10
         """,
+        # weighted sampling without replacement (k per language):
+        # integer Efraimidis-Spirakis — priority = (md5_32 << 20) //
+        # length(text), bottom-k per stratum, bit-reproducible
+        "weighted_sample": _weighted_sample_oracle(),
         # seeded global shuffle: md5 sort key, global position via
         # row_number, training shard = rank % 16; machine-stable md5
         # and all-integer output keep the value-hash exact
@@ -1454,6 +1459,25 @@ def _q_source_quota(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "source"])
     return group_quota(ds, group_col="source", cap=10)
+
+
+def _weighted_sample_oracle() -> str:
+    from pdf2dom_ray.functions.sampling import weighted_sample_sql
+    return weighted_sample_sql()
+
+
+def _q_weighted_sample(sf_dir: str):
+    """Weighted sampling without replacement, 25 docs per language,
+    inclusion odds proportional to text length: integer
+    Efraimidis-Spirakis priorities ((md5_32 << 20) // weight) cut by
+    the bounded grouped-top-k combiner — the payload never leaves the
+    scan task, the exchange moves <= k x strata narrow rows."""
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.sampling import weighted_sample
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "text"])
+    return weighted_sample(ds)
 
 
 def _q_corpus_shuffle(sf_dir: str):

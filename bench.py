@@ -170,7 +170,9 @@ def run_bench() -> dict:
                  "quality_classifier", "corpus_shuffle",
                  "pack_sequences", "repetition_stats",
                  "source_overlap", "local_supplier_volume",
-                 "stale_urls"):
+                 "stale_urls", "events_hopping_window",
+                 "bloom_semijoin", "cms_token_counts",
+                 "dsir_weights", "semdedup"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

@@ -28,7 +28,8 @@ import pyarrow as pa
 import ray.data as rd
 
 __all__ = ["hash_threshold", "sample_hash", "stratified_sample",
-           "sample_sql_predicate", "group_quota"]
+           "sample_sql_predicate", "group_quota", "weighted_sample",
+           "weighted_sample_sql"]
 
 _SPACE = 1 << 32      # first 8 hex chars
 
@@ -119,3 +120,77 @@ def group_quota(ds: rd.Dataset, *, group_col: str,
     return grouped_topk(narrow, group_col, ["pri", id_col],
                         [True, True], cap) \
         .select_columns([id_col, group_col, "rank"])
+
+
+SAMPLE_SCALE_BITS = 20
+
+
+def weighted_sample(ds: rd.Dataset, *, k: int = 25,
+                    stratum: str = "lang", id_col: str = "doc_id",
+                    text_col: str = "text",
+                    seed: str = "ws") -> rd.Dataset:
+    """Weighted sampling without replacement, ``k`` rows per stratum,
+    inclusion odds ∝ text length (the "token-budget" pick: longer
+    documents proportionally likelier, the fixed-point analogue of
+    Efraimidis-Spirakis priority sampling).
+
+    Priority = ``(md5_32(seed:id) << SCALE_BITS) // weight`` — an
+    integer division, never ``u^(1/w)`` floats, so the bottom-k cut is
+    bit-reproducible in SQL. Smaller priority wins; a heavier row
+    divides its uniform hash by more and sinks toward the front.
+    h < 2³², shift 20 → products < 2⁵², safely int64.
+
+    Scale shape: one narrow (id, stratum, weight, priority) projection
+    per batch (payload length via `pc.utf8_length` — the payload
+    itself never leaves the scan task), then the bounded grouped-top-k
+    combiner: exchange ≤ k × strata rows per batch.
+    """
+    import pyarrow.compute as pc
+
+    from .topk import grouped_topk
+
+    def pri(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        h = np.array([int(hashlib.md5(f"{seed}:{d}".encode())
+                          .hexdigest()[:8], 16) for d in ids],
+                     dtype=np.int64)
+        w = np.maximum(
+            pc.utf8_length(t.column(text_col)).to_numpy(
+                zero_copy_only=False).astype(np.int64), 1)
+        return pa.table({
+            id_col: pc.cast(t.column(id_col), pa.int64()),
+            stratum: t.column(stratum),
+            "weight": pa.array(w),
+            "priority": pa.array((h << SAMPLE_SCALE_BITS) // w),
+        })
+
+    narrow = ds.select_columns([id_col, stratum, text_col]) \
+        .map_batches(pri, batch_format="pyarrow")
+    return grouped_topk(narrow, stratum, ["priority", id_col],
+                        [True, True], k)
+
+
+def weighted_sample_sql(*, k: int = 25, stratum: str = "lang",
+                        id_col: str = "doc_id", text_col: str = "text",
+                        table: str = "documents",
+                        seed: str = "ws") -> str:
+    """DuckDB twin of ``weighted_sample`` — identical md5 priorities."""
+    shift = 1 << SAMPLE_SCALE_BITS
+    return f"""
+        WITH w AS (
+          SELECT {id_col}, {stratum},
+                 GREATEST(CAST(length({text_col}) AS BIGINT), 1)
+                   AS weight,
+                 CAST(('0x' || substr(md5('{seed}:' ||
+                      CAST({id_col} AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+          FROM {table}
+        )
+        SELECT {id_col}, {stratum}, weight,
+               (h * {shift}) // weight AS priority,
+               CAST(row_number() OVER (
+                    PARTITION BY {stratum}
+                    ORDER BY (h * {shift}) // weight, {id_col})
+                 AS BIGINT) AS rank
+        FROM w
+        QUALIFY rank <= {k}
+    """

@@ -66,3 +66,42 @@ def test_sample_hash_zero_and_one(ray_session):
     ds = rd.from_items([{"url": f"u{i}"} for i in range(50)])
     assert sample_hash(ds, 0.0).count() == 0
     assert sample_hash(ds, 1.0).count() == 50
+
+
+def test_weighted_sample_partitioning_invariance_and_bias(ray_session):
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.sampling import weighted_sample
+    # weights 1 vs 1000: heavy docs should dominate the per-stratum cut
+    rows = [{"doc_id": i, "lang": ["en", "de"][i % 2],
+             "text": "x" * (1000 if i < 100 else 1)}
+            for i in range(1000)]
+    a = weighted_sample(rd.from_items(rows, override_num_blocks=1),
+                        k=20).to_pandas()
+    b = weighted_sample(rd.from_items(rows, override_num_blocks=13),
+                        k=20).to_pandas()
+    key = ["lang", "rank", "doc_id", "priority", "weight"]
+    assert a.sort_values(key).reset_index(drop=True) \
+        .equals(b.sort_values(key).reset_index(drop=True))
+    assert len(a) == 40 and set(a["rank"]) == set(range(1, 21))
+    # of 100 heavy docs vs 900 light, heavies should take most slots
+    assert (a["weight"] > 1).sum() >= 30
+
+
+def test_weighted_sample_matches_duckdb(ray_session, sf_dir):
+    import duckdb as dk
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.sampling import (weighted_sample,
+                                                weighted_sample_sql)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "text"])
+    got = weighted_sample(ds).to_pandas() \
+        .sort_values(["lang", "rank"]).reset_index(drop=True)
+    con = dk.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'")
+    want = con.sql(weighted_sample_sql()).df() \
+        .sort_values(["lang", "rank"]).reset_index(drop=True)
+    for c in ("doc_id", "lang", "weight", "priority", "rank"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
