@@ -287,6 +287,25 @@ def _images_table(sf_dir: str):
         build, batch_format="pyarrow")
 
 
+def _phash_images_table(sf_dir: str):
+    """Multimodal near-dup input: one deterministic PNG per document
+    (synth_phash_image rule = the SQL oracle; see functions/phash.py)."""
+    import ray.data as rd
+    from pdf2dom_ray.engine.png import encode_png
+    from pdf2dom_ray.functions.phash import synth_phash_image
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "image": pa.array([encode_png(synth_phash_image(d))
+                               for d in ids], pa.binary()),
+        })
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).map_batches(
+        build, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -313,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stale_urls": _q_stale_urls,
         "top_unshipped_orders": _q_top_unshipped,
         "local_supplier_volume": _q_local_supplier_volume,
+        "customer_distribution": _q_customer_distribution,
         "length_percentiles": _q_length_percentiles,
         "length_percentiles_by_lang": _q_length_percentiles_by,
         "text_normalize": _q_text_normalize,
@@ -379,6 +399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": _q_top_docs_per_lang,
         # -- multimodal plumbing
         "image_decode": _q_image_decode,
+        "image_phash_dedup": _q_image_phash_dedup,
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
         # -- join-back (spans ⋈ pages on url → per-language span totals)
@@ -858,6 +879,21 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < DATE '1997-01-01'
             GROUP BY n_name
         """,
+        # TPC-H Q13 shape: order-count distribution over ALL customers
+        # (LEFT OUTER keeps the zero-order bucket); the reference
+        # Q13 comment anti-filter maps to o_orderpriority <> '5-LOW'
+        "customer_distribution": """
+            WITH per_cust AS (
+              SELECT c.c_custkey,
+                     count(o.o_custkey) AS c_count
+              FROM customer c LEFT OUTER JOIN orders o
+                ON c.c_custkey = o.o_custkey
+               AND o.o_orderpriority <> '5-LOW'
+              GROUP BY c.c_custkey)
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(count(*) AS BIGINT) AS custdist
+            FROM per_cust GROUP BY c_count
+        """,
         "top_unshipped_orders": """
             SELECT o_orderkey, o_orderdate, o_orderpriority,
                    CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
@@ -1215,6 +1251,18 @@ def oracle_sql() -> dict[str, str]:
                    94.5 AS mean_g,
                    CAST((doc_id * 7) % 251 AS DOUBLE) AS mean_b
             FROM documents WHERE doc_id % 7 = 3
+        """,
+        # synth_phash_image rule (functions/phash.py): same
+        # doc_id % 17 ⇒ near-dup (≤4 bits apart), else ≥13 bits —
+        # dHash clustering must reproduce the mod-17 partition exactly
+        "image_phash_dedup": """
+            SELECT doc_id,
+                   CAST(min(doc_id) OVER (PARTITION BY doc_id % 17)
+                        AS BIGINT) AS cluster_id,
+                   CAST(CASE WHEN doc_id = min(doc_id)
+                                  OVER (PARTITION BY doc_id % 17)
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM documents
         """,
         # synth_wav rule: PCM16 mono 8 kHz, duration (1+doc_id%4)/4 s
         "audio_features": f"""
@@ -1641,6 +1689,15 @@ def _q_local_supplier_volume(sf_dir: str):
     return q5_local_supplier_volume(sf_dir)
 
 
+def _q_customer_distribution(sf_dir: str):
+    """TPC-H Q13 shape: per-customer order-count histogram including
+    zero-order customers via ONE hash-partitioned left_outer join over
+    pre-aggregated narrow rows (counts combiner on the orders side,
+    key-only customer side); all-integer output."""
+    from pdf2dom_ray.pipelines.tpch import q13_customer_distribution
+    return q13_customer_distribution(sf_dir)
+
+
 def _q_top_unshipped(sf_dir: str):
     """TPC-H Q3 shape: broadcast semi-join (customer segment) +
     combiner-then-hash-join (lineitem x orders) + integer-cents
@@ -2052,6 +2109,15 @@ def _q_image_decode(sf_dir: str):
     ds = decode_images(_images_table(sf_dir))
     return ds.select_columns(["url", "width", "height", "mean_r", "mean_g",
                               "mean_b"])
+
+
+def _q_image_phash_dedup(sf_dir: str):
+    """Perceptual (dHash) image near-dup clustering: actor-pool
+    decode+hash → banded Hamming LSH → exact verify → connected
+    components; the planted synth_phash_image group rule
+    (doc_id % 17) is the oracle."""
+    from pdf2dom_ray.functions.phash import phash_cluster
+    return phash_cluster(_phash_images_table(sf_dir))
 
 
 def _q_audio_features(sf_dir: str):

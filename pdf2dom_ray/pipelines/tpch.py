@@ -31,7 +31,8 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-__all__ = ["q3_top_unshipped", "q5_local_supplier_volume"]
+__all__ = ["q3_top_unshipped", "q5_local_supplier_volume",
+           "q13_customer_distribution"]
 
 
 def _n_partitions() -> int:
@@ -311,3 +312,101 @@ def q5_local_supplier_volume(sf_dir: str, *, region: str = "ASIA",
             "revenue_cents": t.column("revenue_cents").cast(pa.int64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q13_customer_distribution(sf_dir: str, *,
+                              exclude_priority: str = "5-LOW"
+                              ) -> rd.Dataset:
+    """TPC-H Q13 shape: the distribution of per-customer order counts,
+    INCLUDING customers with zero qualifying orders — the canonical
+    LEFT OUTER join (the one outer-join arm the other TPC-H pipelines
+    don't exercise).  Q13's ``o_comment NOT LIKE`` anti-filter becomes
+    ``o_orderpriority <> exclude_priority`` (the driver's orders table
+    carries no comment column).
+
+    Distributed shape — both join sides are pre-aggregated narrow rows,
+    so the LEFT OUTER exchange moves one row per key, never raw orders:
+
+    1. orders collapse to per-batch ``(o_custkey, n)`` count partials
+       (combiner), then one small ``groupby(o_custkey)`` sums them —
+       the per-customer order count, one row per active customer.
+    2. customer contributes only ``c_custkey`` (column-pruned read).
+    3. ONE hash-partitioned ``left_outer`` join keys-to-counts; the
+       null fill on the right side IS the zero-order customer arm.
+    4. a tiny second-level ``groupby(c_count)`` row-count finishes.
+
+    All-integer output keeps the driver's value-hash exact.
+    """
+    from ray.data.aggregate import Count
+
+    from ..functions.dedup import _to_arrow_blocks
+
+    n_part = _n_partitions()
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderpriority"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("o_orderpriority"),
+                                  exclude_priority))
+        df = t.select(["o_custkey"]).to_pandas()
+        g = df.groupby("o_custkey", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = _to_arrow_blocks(
+        orders.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("o_custkey").aggregate(Sum("n", alias_name="c_count")))
+
+    def fix_empty(t: pa.Table) -> pa.Table:
+        # empty groupby outputs can be schema-less (CLAUDE.md Arrow
+        # gaps); a schema-less block poisons the join's partitioning
+        if not t.num_columns:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "c_count": pa.array([], pa.int64())})
+        return pa.table({"o_custkey": t.column("o_custkey")
+                         .cast(pa.int64()),
+                         "c_count": t.column("c_count").cast(pa.int64())})
+
+    counts = counts.map_batches(fix_empty,
+                                batch_format="pyarrow").materialize()
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"]).materialize()
+    n_cust = cust.count()
+    n_counts = counts.count()
+    if n_counts == 0:  # every order excluded → one all-zero bucket
+        return rd.from_arrow(pa.table({
+            "c_count": pa.array([0], pa.int64()),
+            "custdist": pa.array([n_cust], pa.int64())}))
+
+    # the hash join rejects 0-row blocks on either side: even-
+    # repartition both narrow sides so no block is empty
+    cust = cust.repartition(min(n_part, max(1, n_cust)))
+    counts = counts.repartition(min(n_part, n_counts))
+
+    joined = cust.join(counts, join_type="left_outer",
+                       num_partitions=n_part,
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def to_hist_key(t: pa.Table) -> pa.Table:
+        c = t.column("c_count") if "c_count" in t.schema.names else \
+            pa.nulls(t.num_rows, pa.int64())
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        return pa.table({"c_count": pc.fill_null(c.cast(pa.int64()), 0)})
+
+    hist = joined.map_batches(to_hist_key, batch_format="pyarrow") \
+        .groupby("c_count").aggregate(Count(alias_name="custdist"))
+
+    def finish(t) -> pa.Table:
+        t = t if isinstance(t, pa.Table) else \
+            pa.Table.from_pandas(t, preserve_index=False)
+        if not t.num_columns:
+            return pa.table({"c_count": pa.array([], pa.int64()),
+                             "custdist": pa.array([], pa.int64())})
+        return pa.table({
+            "c_count": t.column("c_count").cast(pa.int64()),
+            "custdist": t.column("custdist").cast(pa.int64())})
+
+    return hist.map_batches(finish, batch_format="pyarrow")

@@ -85,3 +85,44 @@ def test_q5_join_path_identical(ray_session, sf_dir):
                                  broadcast_limit=0).to_pandas()
     assert _q5_rows(a) == _q5_rows(b) == \
         _q5_rows(_duck_q5(sf_dir, region="EUROPE"))
+
+
+def _duck_q13(sf_dir, exclude="5-LOW"):
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    return con.execute(f"""
+        WITH per_cust AS (
+          SELECT c.c_custkey, count(o.o_custkey) AS c_count
+          FROM customer c LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority <> '{exclude}'
+          GROUP BY c.c_custkey)
+        SELECT CAST(c_count AS BIGINT) AS c_count,
+               CAST(count(*) AS BIGINT) AS custdist
+        FROM per_cust GROUP BY c_count""").fetchdf()
+
+
+def _q13_rows(df):
+    return sorted((int(r.c_count), int(r.custdist))
+                  for r in df.itertuples())
+
+
+def test_q13_matches_duckdb(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q13_customer_distribution
+    got = q13_customer_distribution(sf_dir).to_pandas()
+    want = _duck_q13(sf_dir)
+    assert _q13_rows(got) == _q13_rows(want)
+    # the LEFT OUTER arm is live: customers and histogram mass agree
+    assert got["custdist"].sum() == want["custdist"].sum() > 0
+
+
+def test_q13_all_orders_excluded_collapses_to_zero_bucket(
+        ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q13_customer_distribution
+    got = q13_customer_distribution(
+        sf_dir, exclude_priority="__no_such_priority__").to_pandas()
+    # nothing excluded → no zero bucket unless a customer has no orders
+    want = _duck_q13(sf_dir, exclude="__no_such_priority__")
+    assert _q13_rows(got) == _q13_rows(want)
