@@ -338,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_normalize": _q_text_normalize,
         "frontier_filter": _q_frontier_filter,
         "distinct_users_hll": _q_distinct_hll,        # rows-only
+        "distinct_users_by_type": _q_distinct_by_type,  # rows-only
         "inverted_index": _q_inverted_index,
         "top_tokens": _q_top_tokens,
         "cms_token_counts": _q_cms_token_counts,
@@ -1633,6 +1634,25 @@ def _q_distinct_hll(sf_dir: str):
         batch_format="pyarrow")
     est = hll_distinct(ds, "user_id")
     return pd.DataFrame({"p": [12], "estimate": [est]})
+
+
+def _q_distinct_by_type(sf_dir: str):
+    """Per-group HLL: distinct users per event type. One sketch row
+    per (group, block) enters the shuffle — skew-immune approximate
+    GROUP BY COUNT(DISTINCT). Rows-only driver check (the estimate
+    hash depends on our md5 registers, not SQL-reproducible);
+    accuracy and partitioning-invariance are locked by tests."""
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.hll import hll_distinct_by
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    ds = ds.map_batches(
+        lambda t: pa.table({"event_type": t.column("event_type"),
+                            "user_id": t.column("user_id")
+                            .cast(pa.string())}),
+        batch_format="pyarrow")
+    return hll_distinct_by(ds, "user_id", "event_type")
 
 
 def _q_frontier_filter(sf_dir: str):

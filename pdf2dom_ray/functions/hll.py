@@ -35,7 +35,7 @@ import ray
 import ray.data as rd
 
 __all__ = ["hll_sketch_batch", "hll_merge", "hll_estimate",
-           "hll_distinct"]
+           "hll_distinct", "hll_distinct_by"]
 
 
 def _alpha(m: int) -> float:
@@ -105,3 +105,42 @@ def hll_distinct(ds: rd.Dataset, col: str, *, p: int = 12) -> int:
             merged = hll_merge(merged,
                                np.frombuffer(blob, dtype=np.uint8))
     return hll_estimate(merged)
+
+
+def hll_distinct_by(ds: rd.Dataset, col: str, by: str, *,
+                    p: int = 12) -> rd.Dataset:
+    """(by, distinct_est): per-group HLL distinct count of ``col``.
+
+    GROUP BY x, approx_count_distinct(y) — the shape an exact
+    distributed distinct-groupby can't afford at 100 TB (it shuffles
+    every (by, col) pair). Here each batch collapses to one 2^p-byte
+    register row PER GROUP PRESENT IN THE BATCH, so the shuffle moves
+    ≤ groups × blocks sketch rows (4 KiB each at p=12, independent of
+    row count); ``groupby(by).map_groups`` merges registers
+    elementwise (associative/commutative → partitioning-invariant)
+    and estimates. Skew-immune: a hot group costs one register row
+    per block, same as a cold one.
+    """
+    import pandas as pd
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        groups, regs = [], []
+        for g, grp in df.groupby(by, sort=False):
+            groups.append(g)
+            keys = [k for k in grp[col] if k is not None]
+            regs.append(hll_sketch_batch(keys, p).tobytes())
+        return pa.table({by: pa.array(groups),
+                         "regs": pa.array(regs, pa.binary())})
+
+    parts = ds.select_columns([by, col]).map_batches(
+        partial, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        merged = np.zeros(1 << p, dtype=np.uint8)
+        for blob in g["regs"]:
+            merged = hll_merge(merged, np.frombuffer(blob, np.uint8))
+        return pa.table({
+            by: pa.array([g[by].iloc[0]]),
+            "distinct_est": pa.array([hll_estimate(merged)], pa.int64())})
+
+    return parts.groupby(by).map_groups(merge, batch_format="pandas")

@@ -434,6 +434,30 @@ def test_hll_distributed_block_invariance(ray_session):
         assert hll_distinct(ds, "url") == exp, blocks
 
 
+def test_hll_distinct_by_group_accuracy_and_invariance(ray_session):
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.hll import (hll_distinct_by, hll_estimate,
+                                           hll_sketch_batch)
+    # group g has 400*(g+1) distinct users, each seen 3 times
+    rows = []
+    for g in range(4):
+        for i in range(400 * (g + 1)):
+            rows.extend({"grp": f"g{g}", "user": f"u{g}-{i}"}
+                        for _ in range(3))
+    exp = {f"g{g}": hll_estimate(hll_sketch_batch(
+        sorted({f"u{g}-{i}" for i in range(400 * (g + 1))}), p=12))
+        for g in range(4)}
+    for blocks in (1, 9):
+        ds = rd.from_items(rows, override_num_blocks=blocks)
+        got = {r["grp"]: r["distinct_est"]
+               for r in hll_distinct_by(ds, "user", "grp").take_all()}
+        assert got == exp, blocks          # partitioning-invariant
+    for g in range(4):
+        true = 400 * (g + 1)
+        assert abs(exp[f"g{g}"] - true) / true < 0.06
+
+
 def test_inverted_index_block_invariant_and_hot_key(ray_session):
     import ray.data as rd
 
