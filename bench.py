@@ -172,7 +172,8 @@ def run_bench() -> dict:
                  "source_overlap", "local_supplier_volume",
                  "stale_urls", "events_hopping_window",
                  "bloom_semijoin", "cms_token_counts",
-                 "dsir_weights", "semdedup"):
+                 "dsir_weights", "semdedup", "customer_distribution",
+                 "image_phash_dedup", "distinct_users_by_type"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
