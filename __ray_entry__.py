@@ -330,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_sample": _q_corpus_sample,
         "crawl_latest": _q_crawl_latest,
         "stale_urls": _q_stale_urls,
+        "snapshot_diff": _q_snapshot_diff,
         "top_unshipped_orders": _q_top_unshipped,
         "local_supplier_volume": _q_local_supplier_volume,
         "customer_distribution": _q_customer_distribution,
@@ -390,6 +391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": _q_events_hopping,
         "events_sessionize": _q_sessionize,
         "cohort_retention": _q_cohort_retention,
+        "funnel_steps": _q_funnel,
         "pricing_summary": _q_pricing_summary,
         "orders_by_segment": _q_orders_by_segment,
         "bloom_semijoin": _q_bloom_semijoin,
@@ -917,6 +919,23 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT {_URL_SQL} AS url, text FROM documents)
             WHERE substr(md5(url), 1, 8) < '80000000'
         """,
+        # incremental-crawl delta over two synthetic snapshots
+        # (rules in _q_snapshot_diff: old=%5≠4, new=%3≠1, content
+        # bumped ' v2' at %7==2); FULL OUTER presence classes
+        "snapshot_diff": f"""
+            WITH o AS (SELECT {_URL_SQL} AS url, md5(text) AS fp
+                       FROM documents WHERE doc_id % 5 <> 4),
+                 n AS (SELECT {_URL_SQL} AS url,
+                              md5(CASE WHEN doc_id % 7 = 2
+                                  THEN text || ' v2' ELSE text END) AS fp
+                       FROM documents WHERE doc_id % 3 <> 1)
+            SELECT COALESCE(o.url, n.url) AS url,
+                   CASE WHEN o.fp IS NULL THEN 'added'
+                        WHEN n.fp IS NULL THEN 'removed'
+                        WHEN o.fp = n.fp THEN 'same'
+                        ELSE 'changed' END AS status
+            FROM o FULL OUTER JOIN n ON o.url = n.url
+        """,
         # latest-capture-wins over the two-snapshot synth crawl:
         # recrawl work list: urls with an old capture and no
         # latest-snapshot (version 1) capture = doc_id % 3 <> 0
@@ -1128,6 +1147,27 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": _DSIR_SQL,
         # cohort retention: dimension derived from the fact table
         # (per-user first-seen day) joined back, integer day offsets
+        # earliest-completion funnel: step k binds to the earliest
+        # step-k event STRICTLY after the user's step-(k-1) completion
+        "funnel_steps": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+                 s2 AS (SELECT e.user_id, min(e.ts) AS t
+                        FROM events e JOIN s1 ON e.user_id = s1.user_id
+                        WHERE e.event_type = 'click' AND e.ts > s1.t
+                        GROUP BY e.user_id),
+                 s3 AS (SELECT e.user_id, min(e.ts) AS t
+                        FROM events e JOIN s2 ON e.user_id = s2.user_id
+                        WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                        GROUP BY e.user_id)
+            SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+                   (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+            UNION ALL
+            SELECT 2, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s2)
+            UNION ALL
+            SELECT 3, 'purchase',
+                   (SELECT CAST(count(*) AS BIGINT) FROM s3)
+        """,
         "cohort_retention": """
             WITH fs AS (SELECT user_id,
                                CAST(date_trunc('day', min(ts))
@@ -1804,6 +1844,18 @@ def _q_dsir_weights(sf_dir: str):
     return dsir_weights(sf_dir)
 
 
+def _q_funnel(sf_dir: str):
+    """Ordered funnel view → click → purchase: one hash exchange on
+    user_id, per-partition vectorized groupby-min chain (one pass per
+    step), integer counts summed globally."""
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.funnel import funnel_counts
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    return funnel_counts(ds, ("view", "click", "purchase"))
+
+
 def _q_cohort_retention(sf_dir: str):
     """Cohort retention: per-user first-seen day (narrow combiner
     groupby) broadcast back over distinct (user, day) activity rows,
@@ -1815,6 +1867,53 @@ def _q_cohort_retention(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts"])
     return cohort_retention(ds)
+
+
+def _q_snapshot_diff(sf_dir: str):
+    """Incremental-crawl delta: two synthetic snapshots (old = docs
+    with doc_id%5≠4, new = docs with doc_id%3≠1; content bumped to
+    'text v2' when doc_id%7==2) → full_outer join over md5
+    fingerprints → added/removed/changed/same per URL. The snapshot
+    membership/content rules here ARE the SQL oracle."""
+    import hashlib
+
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.crawl import snapshot_diff
+    from pdf2dom_ray.synth.corpus import URL_PREFIX
+
+    # ONE payload scan → narrow (url, fp, membership) rows, THEN the
+    # materialized narrow table forks into the two snapshot sides
+    # (forking the raw read would re-execute the full-payload scan —
+    # the double-scan anti-pattern)
+    def fingerprint(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        return pa.table({
+            "url": pa.array([f"{URL_PREFIX}{d}" for d in ids],
+                            pa.string()),
+            "old_fp": pa.array([hashlib.md5(x.encode()).hexdigest()
+                                for x in texts], pa.string()),
+            "new_fp": pa.array(
+                [hashlib.md5(((x + " v2") if d % 7 == 2 else x)
+                             .encode()).hexdigest()
+                 for d, x in zip(ids, texts)], pa.string()),
+            "in_old": pa.array([d % 5 != 4 for d in ids], pa.bool_()),
+            "in_new": pa.array([d % 3 != 1 for d in ids], pa.bool_()),
+        })
+
+    narrow = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]) \
+        .map_batches(fingerprint, batch_format="pyarrow").materialize()
+    old = narrow.filter(expr="in_old") \
+        .map_batches(lambda t: pa.table({"url": t.column("url"),
+                                         "fp": t.column("old_fp")}),
+                     batch_format="pyarrow")
+    new = narrow.filter(expr="in_new") \
+        .map_batches(lambda t: pa.table({"url": t.column("url"),
+                                         "fp": t.column("new_fp")}),
+                     batch_format="pyarrow")
+    return snapshot_diff(old, new)
 
 
 def _q_stale_urls(sf_dir: str):

@@ -173,7 +173,8 @@ def run_bench() -> dict:
                  "stale_urls", "events_hopping_window",
                  "bloom_semijoin", "cms_token_counts",
                  "dsir_weights", "semdedup", "customer_distribution",
-                 "image_phash_dedup", "distinct_users_by_type"):
+                 "image_phash_dedup", "distinct_users_by_type",
+                 "snapshot_diff", "funnel_steps"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

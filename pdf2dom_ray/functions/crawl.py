@@ -21,7 +21,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-__all__ = ["latest_capture", "stale_urls"]
+__all__ = ["latest_capture", "stale_urls", "snapshot_diff"]
 
 
 def latest_capture(ds: rd.Dataset, *, key: str = "url",
@@ -128,3 +128,80 @@ def stale_urls(ds: rd.Dataset, *, key: str = "url",
                    num_partitions=n_part,
                    on=(key,), right_on=("latest_key",))
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def snapshot_diff(old: rd.Dataset, new: rd.Dataset, *, key: str = "url",
+                  fp: str = "fp") -> rd.Dataset:
+    """(key, status): classify every URL across two crawl snapshots —
+    ``added`` (new only), ``removed`` (old only), ``changed`` (both,
+    different content fingerprint), ``same`` — the incremental-crawl
+    delta a recrawl scheduler and a training-data refresher consume.
+
+    Scale shape: both snapshots reduce map-side to ONE narrow
+    (key, fp) row per key (payloads hash to fingerprints before any
+    exchange), then a single hash-partitioned ``full_outer`` join —
+    the only join type that can see all three presence classes at
+    once — and a vectorized per-row classifier. Assumes one capture
+    per key per snapshot (run ``latest_capture`` first otherwise).
+    """
+    import numpy as np
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if \
+        ray.is_initialized() else 8
+    n_part = max(2, min(16, ncpu // 2))
+
+    def narrow(ds: rd.Dataset, fp_out: str) -> rd.Dataset:
+        return ds.map_batches(
+            lambda t: pa.table({key: t.column(key),
+                                fp_out: t.column(fp).cast(pa.string())}),
+            batch_format="pyarrow").materialize()
+
+    o = narrow(old, "old_fp")
+    n = narrow(new, "new_fp")
+    n_old, n_new = o.count(), n.count()
+
+    def classify(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        names = t.schema.names
+        k_old = t.column(key) if key in names else \
+            pa.nulls(t.num_rows, pa.string())
+        k_new = t.column(f"{key}_1") if f"{key}_1" in names else \
+            pa.nulls(t.num_rows, pa.string())
+        ofp = t.column("old_fp") if "old_fp" in names else \
+            pa.nulls(t.num_rows, pa.string())
+        nfp = t.column("new_fp") if "new_fp" in names else \
+            pa.nulls(t.num_rows, pa.string())
+        url = pc.coalesce(k_old, k_new)
+        o_null = pc.is_null(ofp).to_numpy(zero_copy_only=False)
+        n_null = pc.is_null(nfp).to_numpy(zero_copy_only=False)
+        eq = pc.equal(ofp, nfp).to_numpy(zero_copy_only=False)
+        eq = np.where(o_null | n_null, False, eq)
+        status = np.where(o_null, "added",
+                          np.where(n_null, "removed",
+                                   np.where(eq, "same", "changed")))
+        return pa.table({key: url.cast(pa.string()),
+                         "status": pa.array(status, pa.string())})
+
+    if n_old == 0 and n_new == 0:
+        return rd.from_arrow(pa.table({key: pa.array([], pa.string()),
+                                       "status": pa.array([], pa.string())}))
+    if n_old == 0:
+        return n.map_batches(
+            lambda t: pa.table({key: t.column(key),
+                                "status": pa.array(["added"] * t.num_rows,
+                                                   pa.string())}),
+            batch_format="pyarrow")
+    if n_new == 0:
+        return o.map_batches(
+            lambda t: pa.table({key: t.column(key),
+                                "status": pa.array(["removed"] * t.num_rows,
+                                                   pa.string())}),
+            batch_format="pyarrow")
+
+    # hash join rejects 0-row blocks on either side — even-repartition
+    o = o.repartition(min(n_part, n_old))
+    n = n.repartition(min(n_part, n_new))
+    joined = o.join(n, join_type="full_outer", num_partitions=n_part,
+                    on=(key,), right_on=(key,))
+    return joined.map_batches(classify, batch_format="pyarrow")

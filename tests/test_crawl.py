@@ -50,3 +50,54 @@ def test_latest_capture_synth_e2e(ray_session, sf_dir):
         assert r.n_captures == (2 if recrawled else 1)
         assert bytes(r.html) == doc_to_html(d, t)
 
+
+
+def _snap_ds(rows):
+    import pyarrow as pa
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "fp": pa.array([r[1] for r in rows], pa.string())}))
+
+
+def test_snapshot_diff_all_classes(ray_session):
+    from pdf2dom_ray.functions.crawl import snapshot_diff
+    old = _snap_ds([("a", "1"), ("b", "2"), ("c", "3")])
+    new = _snap_ds([("b", "2"), ("c", "X"), ("d", "4")])
+    got = {r["url"]: r["status"]
+           for r in snapshot_diff(old, new).take_all()}
+    assert got == {"a": "removed", "b": "same",
+                   "c": "changed", "d": "added"}
+
+
+def test_snapshot_diff_empty_sides(ray_session):
+    from pdf2dom_ray.functions.crawl import snapshot_diff
+    rows = [("a", "1"), ("b", "2")]
+    empty = _snap_ds([])
+    got_new = {r["url"]: r["status"]
+               for r in snapshot_diff(empty, _snap_ds(rows)).take_all()}
+    assert got_new == {"a": "added", "b": "added"}
+    got_old = {r["url"]: r["status"]
+               for r in snapshot_diff(_snap_ds(rows), empty).take_all()}
+    assert got_old == {"a": "removed", "b": "removed"}
+    assert snapshot_diff(empty, empty).count() == 0
+
+
+def test_snapshot_diff_partitioning_invariant(ray_session):
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.crawl import snapshot_diff
+    old = [(f"u{i}", f"f{i}") for i in range(40)]
+    new = [(f"u{i}", f"f{i+1}" if i % 4 == 0 else f"f{i}")
+           for i in range(5, 45)]
+    want = None
+    for blocks in (1, 7):
+        o = _snap_ds(old).repartition(blocks)
+        n = _snap_ds(new).repartition(blocks)
+        got = sorted((r["url"], r["status"])
+                     for r in snapshot_diff(o, n).take_all())
+        if want is None:
+            want = got
+        assert got == want, blocks
+    assert ("u0", "removed") in want and ("u44", "added") in want
+    assert ("u8", "changed") in want and ("u6", "same") in want
