@@ -387,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_by_length": _q_top_docs,
         # -- aggregations / joins / windows
         "events_hourly": _q_events_hourly,
+        "events_rollup": _q_events_rollup,
         "purchases_hourly": _q_purchases_hourly,
         "events_hopping_window": _q_events_hopping,
         "events_sessionize": _q_sessionize,
@@ -399,6 +400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_purchase": _q_asof_last_purchase,
         "range_join_window": _q_range_join_window,
         "rolling_user_totals": _q_rolling_user_totals,
+        "event_transitions": _q_event_transitions,
         "top_docs_per_lang": _q_top_docs_per_lang,
         # -- multimodal plumbing
         "image_decode": _q_image_decode,
@@ -1147,6 +1149,39 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": _DSIR_SQL,
         # cohort retention: dimension derived from the fact table
         # (per-user first-seen day) joined back, integer day offsets
+        # one-scan ROLLUP: finest level exact, coarser levels derived
+        # (additive measures); hour = epoch-us truncated, -1 = ALL
+        "events_rollup": """
+            WITH f AS (
+              SELECT event_type,
+                     CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT)
+                         AS hour,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM events GROUP BY 1, 2)
+            SELECT event_type, hour, n, cents FROM f
+            UNION ALL
+            SELECT event_type, CAST(-1 AS BIGINT),
+                   CAST(sum(n) AS BIGINT), CAST(sum(cents) AS BIGINT)
+            FROM f GROUP BY event_type
+            UNION ALL
+            SELECT 'ALL', CAST(-1 AS BIGINT),
+                   CAST(sum(n) AS BIGINT), CAST(sum(cents) AS BIGINT)
+            FROM f
+        """,
+        # LEAD-window transition matrix: (ts, event_id) total order
+        "event_transitions": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         AS next_type
+              FROM events)
+            SELECT event_type AS from_type, next_type AS to_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2
+        """,
         # earliest-completion funnel: step k binds to the earliest
         # step-k event STRICTLY after the user's step-(k-1) completion
         "funnel_steps": """
@@ -1842,6 +1877,28 @@ def _q_dsir_weights(sf_dir: str):
     ppm ratios instead of float log-sums so the oracle hash-matches."""
     from pdf2dom_ray.functions.dsir import dsir_weights
     return dsir_weights(sf_dir)
+
+
+def _q_events_rollup(sf_dir: str):
+    """GROUPING SETS rollup in one scan: finest (event_type, hour)
+    aggregate via the combiner → hash-merge chain, coarser levels
+    re-aggregated from that small table (exact for additive
+    measures); 'ALL'/-1 sentinels, integer cents."""
+    from pdf2dom_ray.pipelines.metrics import events_rollup
+    return events_rollup(sf_dir)
+
+
+def _q_event_transitions(sf_dir: str):
+    """First-order Markov transition counts over each user's event
+    sequence (LEAD window): one hash exchange on user, per-partition
+    vectorized sort + shift(-1), integer counts."""
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.temporal import event_transitions
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    return event_transitions(ds)
 
 
 def _q_funnel(sf_dir: str):

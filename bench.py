@@ -174,7 +174,8 @@ def run_bench() -> dict:
                  "bloom_semijoin", "cms_token_counts",
                  "dsir_weights", "semdedup", "customer_distribution",
                  "image_phash_dedup", "distinct_users_by_type",
-                 "snapshot_diff", "funnel_steps"):
+                 "snapshot_diff", "funnel_steps", "events_rollup",
+                 "event_transitions"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

@@ -24,7 +24,7 @@ import pyarrow as pa
 import ray.data as rd
 
 __all__ = ["asof_join_last_purchase", "range_join_event_window",
-           "rolling_user_totals"]
+           "rolling_user_totals", "event_transitions"]
 
 _US_PER_DAY = 86_400_000_000
 
@@ -241,3 +241,60 @@ def rolling_user_totals(sf_dir: str,
     return (ds.map_batches(tag, batch_format="pandas")
               .groupby("__part")
               .map_groups(per_partition, batch_format="pandas"))
+
+
+def event_transitions(events: rd.Dataset, *, user_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      id_col: str = "event_id",
+                      num_partitions: int = 16) -> rd.Dataset:
+    """(from_type, to_type, n): the first-order Markov transition
+    counts of each user's event sequence (the LEAD window shape —
+    "what do users do right after X?").
+
+    Same one-shuffle plan as the other window operators: narrow
+    columns only, hash exchange on user, per-partition mergesort +
+    ``groupby(user).shift(-1)`` (vectorized lead), pair-count partial
+    per partition, tiny global sum. Ordering has the (ts, id) total
+    tie-break, so the pairing — and therefore the integer counts —
+    is partitioning-independent.
+    """
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[user_col, ts_col, type_col, id_col]]
+        return df.assign(__part=_part_of(df[user_col], num_partitions))
+
+    def per_partition(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([user_col, ts_col, id_col], kind="mergesort")
+        nxt = g.groupby(user_col, sort=False)[type_col].shift(-1)
+        mask = nxt.notna()
+        pairs = pd.DataFrame({"from_type": g[type_col][mask],
+                              "to_type": nxt[mask]})
+        c = pairs.groupby(["from_type", "to_type"], sort=False,
+                          as_index=False).size().rename(columns={"size": "n"})
+        return pa.table({
+            "from_type": pa.array(c["from_type"], pa.string()),
+            "to_type": pa.array(c["to_type"], pa.string()),
+            "n": pa.array(c["n"].to_numpy(np.int64), pa.int64())})
+
+    parts = (events.select_columns([user_col, ts_col, type_col, id_col])
+             .map_batches(tag, batch_format="pandas")
+             .groupby("__part")
+             .map_groups(per_partition, batch_format="pandas"))
+
+    from ray.data.aggregate import Sum
+
+    from .dedup import _to_arrow_blocks
+
+    def finish(t) -> pa.Table:
+        t = t if isinstance(t, pa.Table) else \
+            pa.Table.from_pandas(t, preserve_index=False)
+        if not t.num_columns:
+            return pa.table({"from_type": pa.array([], pa.string()),
+                             "to_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"from_type": t.column("from_type"),
+                         "to_type": t.column("to_type"),
+                         "n": t.column("n").cast(pa.int64())})
+
+    agg = _to_arrow_blocks(parts.groupby(["from_type", "to_type"])
+                           .aggregate(Sum("n", alias_name="n")))
+    return agg.map_batches(finish, batch_format="pyarrow")

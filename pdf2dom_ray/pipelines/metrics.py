@@ -18,7 +18,7 @@ import ray.data as rd
 from ray.data.aggregate import Sum
 
 __all__ = ["corpus_metrics", "events_hourly", "orders_by_segment",
-           "purchases_hourly_pushdown"]
+           "purchases_hourly_pushdown", "events_rollup"]
 
 
 def corpus_metrics(parsed: rd.Dataset) -> pd.DataFrame:
@@ -244,3 +244,75 @@ def purchases_hourly_pushdown(sf_dir: str) -> rd.Dataset:
             "value_cents": t.column("value_cents").cast(pa.int64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def events_rollup(sf_dir: str, *, num_partitions: int = 16) -> rd.Dataset:
+    """ROLLUP / GROUPING SETS in one scan: event counts and integer
+    cents at three levels — (event_type, hour), (event_type, ALL),
+    (ALL, ALL) — with 'ALL' / -1 sentinels marking rolled-up axes.
+
+    Scale shape: the ROLLUP is derived FROM the finest-level aggregate,
+    not from the raw rows — the input collapses through the usual
+    combiner → hash-partition merge at (event_type, hour) granularity
+    (bounded: types × hours rows), and the coarser levels are a
+    map-side re-aggregation of that small table. Additive measures
+    (count, int-cents sum) make the two-step rollup exact.
+    """
+    from ..stages.hashagg import hash_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if "hour_us" not in df.columns:
+            import numpy as np
+            hour_us = (df["ts"].astype("datetime64[us]").astype("int64")
+                       // 3_600_000_000) * 3_600_000_000
+            cents = np.floor(df["value"].to_numpy() * 100.0) \
+                .astype("int64")
+            df = pd.DataFrame({"event_type": df["event_type"],
+                               "hour_us": hour_us,
+                               "n": 1, "cents": cents})
+        return (df.groupby(["event_type", "hour_us"], as_index=False)
+                  .agg(n=("n", "sum"), cents=("cents", "sum")))
+
+    fine = hash_aggregate(ds, ["event_type", "hour_us"], combine,
+                          num_partitions=num_partitions).materialize()
+    # materialized: the small finest-level table feeds the rollup scan
+    # AND appears in the result — one execution
+
+    def to_rows(df: pd.DataFrame) -> pa.Table:
+        import numpy as np
+        hour = df["hour_us"].to_numpy(np.int64)
+        return pa.table({
+            "event_type": pa.array(df["event_type"], pa.string()),
+            "hour": pa.array(hour, pa.int64()),
+            "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+            "cents": pa.array(df["cents"].to_numpy(np.int64), pa.int64())})
+
+    finest = fine.map_batches(to_rows, batch_format="pandas")
+
+    def coarse(df: pd.DataFrame) -> pa.Table:
+        import numpy as np
+        by_type = (df.groupby("event_type", as_index=False)
+                     .agg(n=("n", "sum"), cents=("cents", "sum")))
+        by_type["hour"] = np.int64(-1)
+        total = pd.DataFrame({"event_type": ["ALL"],
+                              "hour": np.array([-1], np.int64),
+                              "n": [df["n"].sum()],
+                              "cents": [df["cents"].sum()]})
+        out = pd.concat([by_type[["event_type", "hour", "n", "cents"]],
+                         total], ignore_index=True)
+        return pa.table({
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "hour": pa.array(out["hour"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+            "cents": pa.array(out["cents"].to_numpy(np.int64),
+                              pa.int64())})
+
+    # the finest table is small (types × hours): one repartition(1)
+    # pass derives the rolled-up levels exactly
+    rolled = (fine.map_batches(to_rows, batch_format="pandas")
+              .repartition(1)
+              .map_batches(coarse, batch_format="pandas"))
+    return finest.union(rolled)

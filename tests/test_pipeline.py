@@ -102,3 +102,18 @@ def test_corpus_metrics(parsed_small, sf_dir):
     assert m.errors > 0
     assert m.spans > 0
     assert m.parse_ms > 0
+
+
+def test_events_rollup_levels_consistent(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.metrics import events_rollup
+    df = events_rollup(sf_dir).to_pandas()
+    fine = df[(df.hour >= 0)]
+    by_type = df[(df.hour == -1) & (df.event_type != "ALL")]
+    total = df[(df.event_type == "ALL")]
+    assert len(total) == 1
+    assert total.n.iloc[0] == fine.n.sum() == by_type.n.sum()
+    assert total.cents.iloc[0] == fine.cents.sum() == by_type.cents.sum()
+    # per-type rollup equals the sum of its fine rows
+    for r in by_type.itertuples():
+        sub = fine[fine.event_type == r.event_type]
+        assert r.n == sub.n.sum() and r.cents == sub.cents.sum()

@@ -117,3 +117,44 @@ def test_grouped_topk_rank_is_dense_per_group(ray_session, sf_dir):
         assert sorted(g["rank"]) == list(range(1, len(g) + 1))
         assert (g.sort_values("rank")["n_chars"].diff().dropna()
                 <= 0).all()
+
+
+def test_event_transitions_matches_pandas_reference(ray_session, sf_dir):
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.temporal import event_transitions
+
+    df = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["event_id", "user_id", "ts",
+                                "event_type"]).to_pandas()
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    nxt = df.groupby("user_id")["event_type"].shift(-1)
+    ref = (pd.DataFrame({"from_type": df["event_type"], "to_type": nxt})
+           .dropna().groupby(["from_type", "to_type"]).size())
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    for blocks in (None, 7):
+        d = ds if blocks is None else ds.repartition(blocks)
+        got = {(r["from_type"], r["to_type"]): r["n"]
+               for r in event_transitions(d, num_partitions=5).take_all()}
+        assert got == ref.to_dict(), blocks
+
+
+def test_event_transitions_tie_break_on_event_id(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.temporal import event_transitions
+    # same-ts events order by event_id: a(1) -> b(2) -> c(3)
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([3, 1, 2], pa.int64()),
+        "user_id": pa.array([7, 7, 7], pa.int64()),
+        "ts": pa.array([1000, 1000, 1000], pa.timestamp("us")),
+        "event_type": pa.array(["c", "a", "b"], pa.string())}))
+    got = {(r["from_type"], r["to_type"]): r["n"]
+           for r in event_transitions(ds).take_all()}
+    assert got == {("a", "b"): 1, ("b", "c"): 1}
