@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_full": _q_full,                      # rows-only
         "html_main_text": _q_html_main,
         "html_outlinks": _q_html_outlinks,
+        "anchor_texts": _q_anchor_texts,
         "pagerank": _q_pagerank,
         "warc_extract": _q_warc_extract,
         "web_pipeline": _q_web_pipeline,
@@ -454,6 +455,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_refs,
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
             FROM l GROUP BY 1, 2
+        """,
+        # htmlgen anchor inventory (synth/htmlgen.py doc_to_html):
+        # nav/footer chrome on every page, crumb at %3==0, sidebar
+        # stories at %3!=0, ad at %4==1, share self-links at %5==3
+        # (fragment-stripped → the page's own URL), inline /ref link
+        # carrying the doc's first word at %6==2
+        "anchor_texts": """
+            WITH a AS (
+              SELECT doc_id,
+                     unnest(['/', '/news', '/archive', '/about',
+                             '/contact', '/privacy', '/terms']) AS path,
+                     unnest(['Home', 'News', 'Archive', 'About',
+                             'Contact', 'Privacy', 'Terms']) AS atext
+              FROM documents
+              UNION ALL
+              SELECT doc_id,
+                     unnest(['/', '/s' || CAST(doc_id % 5 AS VARCHAR)]),
+                     unnest(['Home',
+                             'Section ' || CAST(doc_id % 5 AS VARCHAR)])
+              FROM documents WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id, unnest(['/r0', '/r1', '/r2', '/r3']),
+                     unnest(['Story ' || CAST(doc_id % 9 AS VARCHAR),
+                             'Story ' || CAST((doc_id + 1) % 9 AS VARCHAR),
+                             'Story ' || CAST((doc_id + 2) % 9 AS VARCHAR),
+                             'Story ' || CAST((doc_id + 3) % 9 AS VARCHAR)])
+              FROM documents WHERE doc_id % 3 <> 0
+              UNION ALL
+              SELECT doc_id, '/buy', 'Buy now and save big'
+              FROM documents WHERE doc_id % 4 = 1
+              UNION ALL
+              SELECT doc_id,
+                     unnest(['/' || CAST(doc_id AS VARCHAR),
+                             '/' || CAST(doc_id AS VARCHAR)]),
+                     unnest(['Share on Twitter', 'Share on Facebook'])
+              FROM documents WHERE doc_id % 5 = 3
+              UNION ALL
+              SELECT doc_id, '/ref', string_split(text, ' ')[1]
+              FROM documents WHERE doc_id % 6 = 2
+            )
+            SELECT 'https://docs.synth.test' || path AS target,
+                   atext AS anchor_text,
+                   CAST(count(*) AS BIGINT) AS n_refs
+            FROM a GROUP BY 1, 2
         """,
         "pagerank": _pagerank_sql(),
         "corpus_sample": _sample_sql(),
@@ -1473,6 +1518,16 @@ def _q_html_outlinks(sf_dir: str):
                                                     outlink_degree,
                                                     synth_html_pages)
     return outlink_degree(extract_outlinks_ds(synth_html_pages(sf_dir)))
+
+
+def _q_anchor_texts(sf_dir: str):
+    """Anchor-text aggregation: how the link graph describes each
+    target — payload-dropping anchor extractor (actor pool), per-batch
+    Arrow group_by partial, narrow (target, text, n) global groupby.
+    The htmlgen anchor inventory IS the SQL oracle."""
+    from pdf2dom_ray.pipelines.html_extract import (anchor_text_counts,
+                                                    synth_html_pages)
+    return anchor_text_counts(synth_html_pages(sf_dir))
 
 
 def _pagerank_sql() -> str:

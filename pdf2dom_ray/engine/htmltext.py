@@ -75,6 +75,7 @@ class Block:
     link_chars: int = 0
     label: str = ""       # filled by classify_blocks
     hrefs: list = field(default_factory=list)
+    anchors: list = field(default_factory=list)   # (href, anchor_text)
 
     @property
     def n_chars(self) -> int:
@@ -102,6 +103,8 @@ class _BlockParser(HTMLParser):
         self.blocks: list[Block] = []
         self._frags: list[tuple[str, bool]] = []
         self._hrefs: list[str] = []
+        self._anchors: list[tuple[str, str]] = []
+        self._open_anchor: list | None = None     # [href, parts]
         self._cur_tag = "body"
         self._skip_depth = 0
         self._link_depth = 0
@@ -120,8 +123,10 @@ class _BlockParser(HTMLParser):
                 len(" ".join(f.split())) for f, in_link in self._frags
                 if in_link)
             self.blocks.append(Block(self._cur_tag, text, link_chars,
-                                     hrefs=self._hrefs))
+                                     hrefs=self._hrefs,
+                                     anchors=self._anchors))
             self._hrefs = []
+            self._anchors = []
         self._frags = []
 
     # -- HTMLParser hooks -------------------------------------------------
@@ -136,6 +141,7 @@ class _BlockParser(HTMLParser):
             href = next((v for k, v in attrs if k == "href"), None)
             if href:
                 self._hrefs.append(href)
+                self._open_anchor = [href, []]
         elif tag in _BLOCK_TAGS:
             self._flush()
             if tag not in ("br", "hr"):
@@ -149,6 +155,11 @@ class _BlockParser(HTMLParser):
             return
         if tag == "a":
             self._link_depth = max(0, self._link_depth - 1)
+            if self._open_anchor is not None:
+                href, parts = self._open_anchor
+                self._anchors.append(
+                    (href, " ".join("".join(parts).split())))
+                self._open_anchor = None
         elif tag in _BLOCK_TAGS:
             self._flush()
             self._cur_tag = "body"
@@ -160,6 +171,8 @@ class _BlockParser(HTMLParser):
     def handle_data(self, data: str) -> None:
         if self._skip_depth or not data:
             return
+        if self._open_anchor is not None and self._link_depth > 0:
+            self._open_anchor[1].append(data)
         self._frags.append((data, self._link_depth > 0))
 
     def close(self) -> None:  # final flush
@@ -269,4 +282,20 @@ def extract_outlinks(html: bytes | str, base_url: str) \
             target = canonical_url(base_url, href)
             if target is not None:
                 out.append((target, b.label == "good"))
+    return out
+
+
+def extract_anchors(html: bytes | str, base_url: str) \
+        -> list[tuple[str, str, bool]]:
+    """(target, anchor_text, is_content) per canonicalized outlink —
+    the anchor-text view of the link graph (anchor text is the classic
+    external description of a target page: search indexing, link-spam
+    detection, entity salience all consume this aggregate)."""
+    blocks = classify_blocks(segment_blocks(html))
+    out: list[tuple[str, str, bool]] = []
+    for b in blocks:
+        for href, text in b.anchors:
+            target = canonical_url(base_url, href)
+            if target is not None:
+                out.append((target, text, b.label == "good"))
     return out

@@ -25,7 +25,8 @@ from ..synth.htmlgen import html_pages_batch_from_documents
 
 __all__ = ["HtmlMainExtractor", "extract_html_main",
            "extract_html_from_documents", "synth_html_pages",
-           "OutlinkExtractor", "extract_outlinks_ds", "outlink_degree"]
+           "OutlinkExtractor", "extract_outlinks_ds", "outlink_degree",
+           "AnchorExtractor", "anchor_text_counts"]
 
 OUTPUT_SCHEMA = pa.schema([
     ("url", pa.string()),
@@ -127,6 +128,65 @@ def extract_outlinks_ds(pages: rd.Dataset, *, batch_size: int = 128,
     return pages.select_columns(["url", "html"]).map_batches(
         OutlinkExtractor, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
+
+
+class AnchorExtractor:
+    """Actor-pool UDF: page → (target, anchor_text) link rows (chrome
+    and content links both kept; the aggregate is the whole point)."""
+
+    def __init__(self) -> None:
+        from ..engine.htmltext import extract_anchors
+        self._anchors = extract_anchors
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tgt, txt = [], []
+        for url, payload in zip(batch.column("url").to_pylist(),
+                                batch.column("html")):
+            for target, text, _ in self._anchors(payload.as_py(), url):
+                tgt.append(target)
+                txt.append(text)
+        return pa.table({"target": pa.array(tgt, pa.string()),
+                         "anchor_text": pa.array(txt, pa.string())})
+
+
+def anchor_text_counts(pages: rd.Dataset, *, batch_size: int = 128,
+                       concurrency=None) -> rd.Dataset:
+    """(target, anchor_text, n_refs): how the web describes each page.
+
+    Payload-dropping extractor stage (actor pool), then the combiner
+    pattern — per-batch Arrow group_by partial (batches hold complete
+    pages) feeding a narrow global groupby; HTML bytes never shuffle.
+    """
+    from ray.data.aggregate import Sum
+
+    if concurrency is None:
+        concurrency = default_pool()
+    rows = pages.select_columns(["url", "html"]).map_batches(
+        AnchorExtractor, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["target", "anchor_text"]).aggregate(
+            [("target", "count")])
+        return g.rename_columns(["target", "anchor_text", "n_refs"])
+
+    agg = (rows.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None)
+           .groupby(["target", "anchor_text"])
+           .aggregate(Sum("n_refs", alias_name="n_refs")))
+
+    def finish(t) -> pa.Table:
+        t = t if isinstance(t, pa.Table) else \
+            pa.Table.from_pandas(t, preserve_index=False)
+        if not t.num_columns:
+            return pa.table({"target": pa.array([], pa.string()),
+                             "anchor_text": pa.array([], pa.string()),
+                             "n_refs": pa.array([], pa.int64())})
+        return pa.table({"target": t.column("target"),
+                         "anchor_text": t.column("anchor_text"),
+                         "n_refs": t.column("n_refs").cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def outlink_degree(links: rd.Dataset) -> rd.Dataset:

@@ -197,3 +197,46 @@ def test_adjacency_lists(ray_session, sf_dir):
     for r in adj.itertuples():
         assert r.targets.split(",") == exp[r.src]
         assert r.n_targets == len(exp[r.src])
+
+
+def test_extract_anchors_texts_and_targets():
+    from pdf2dom_ray.engine.htmltext import extract_anchors
+    html = (b'<html><body><nav><a href="/">Home</a> '
+            b'<a href="/x">Go <b>deep</b> now</a></nav>'
+            b'<p>Long enough content sentence here to classify well. '
+            b'<a href="/ref">word</a> trailing.</p>'
+            b'<a>no href</a>'
+            b'<a href="#frag">Self</a></body></html>')
+    got = extract_anchors(html, "https://ex.test/page")
+    assert ("https://ex.test/", "Home", False) in got
+    # nested inline tags concatenate, whitespace-normalized
+    assert ("https://ex.test/x", "Go deep now", False) in got
+    assert ("https://ex.test/ref", "word", True) in got
+    # fragment-only href canonicalizes to the page itself
+    assert ("https://ex.test/page", "Self", False) in got
+    assert len(got) == 4      # href-less anchor contributes nothing
+
+
+def test_extract_anchors_entity_roundtrip():
+    from pdf2dom_ray.engine.htmltext import extract_anchors
+    html = b'<p><a href="/e">A&amp;B &lt;ok&gt;</a></p>'
+    got = extract_anchors(html, "https://ex.test/")
+    assert got[0][1] == "A&B <ok>"
+
+
+def test_anchor_text_counts_pipeline(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf2dom_ray.pipelines.html_extract import anchor_text_counts
+    html = (b'<html><body><a href="/t">same</a>'
+            b'<a href="/t">same</a><a href="/t">other</a>'
+            b'</body></html>')
+    pages = rd.from_arrow(pa.table({
+        "url": pa.array(["https://ex.test/1", "https://ex.test/2"],
+                        pa.string()),
+        "html": pa.array([html, html], pa.binary())}))
+    got = {(r["target"], r["anchor_text"]): r["n_refs"]
+           for r in anchor_text_counts(pages).take_all()}
+    assert got == {("https://ex.test/t", "same"): 4,
+                   ("https://ex.test/t", "other"): 2}
