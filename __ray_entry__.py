@@ -382,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_brute_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_pq_topk": _q_ann_pq,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         # -- sort / limit
@@ -1282,6 +1283,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sim DESC, vec_id ASC LIMIT 10
         """,
         "ann_ivf_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                                (SELECT qv FROM q)), 4) AS sim
+            FROM embeddings
+            ORDER BY sim DESC, vec_id ASC LIMIT 10
+        """,
+        # PQ candidates provably cover the true top-10 here (test-
+        # locked), so the exact re-rank equals the brute top-k
+        "ann_pq_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,
@@ -2249,6 +2261,21 @@ def _q_ann_ivf(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     return ivf_topk(ds, _ann_query_vec(sf_dir), k=10, nprobe=6)
+
+
+def _q_ann_pq(sf_dir: str):
+    """Product-quantization ANN (ADC codes scan → exact re-rank of the
+    top-200 candidates): at 16×32 codebooks the candidate set covers
+    the true top-10 at every test scale (locked by tests), so the
+    output equals the brute-force top-k and the brute SQL is the
+    oracle."""
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.ann import pq_topk
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return pq_topk(ds, _ann_query_vec(sf_dir), k=10, n_sub=16,
+                   n_codes=32, candidates=200)
 
 
 def _q_dedup_embedding_lsh(sf_dir: str):

@@ -205,6 +205,66 @@ def test_brute_topk_matches_numpy(ray_session):
     assert out.sim.iloc[0] == pytest.approx(1.0, abs=1e-4)
 
 
+def test_pq_codebooks_shape_and_determinism(ray_session):
+    import ray.data as rd
+    from pdf2dom_ray.functions.ann import pq_train_codebooks
+    rng = np.random.default_rng(3)
+    emb = rng.standard_normal((200, 16))
+    emb /= np.linalg.norm(emb, axis=1)[:, None]
+    ds = rd.from_items([{"vec_id": i, "embedding": emb[i].tolist()}
+                        for i in range(200)])
+    b1 = pq_train_codebooks(ds, n_sub=4, n_codes=8)
+    b2 = pq_train_codebooks(ds, n_sub=4, n_codes=8)
+    assert b1.shape == (4, 8, 4)
+    assert np.array_equal(b1, b2)          # deterministic training
+    # codebook reconstruction beats the zero predictor by far
+    sub = emb.reshape(200, 4, 4)
+    err = 0.0
+    for m in range(4):
+        d2 = ((sub[:, m, None, :] - b1[m][None]) ** 2).sum(axis=2)
+        err += d2.min(axis=1).sum()
+    assert err < 0.5 * (emb ** 2).sum()
+
+
+def test_pq_topk_equals_brute_on_clustered_corpus(ray_session):
+    import ray.data as rd
+    from pdf2dom_ray.functions.ann import brute_topk, pq_topk
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((10, 16))
+    emb = np.concatenate([c + 0.05 * rng.standard_normal((30, 16))
+                          for c in centers])
+    emb /= np.linalg.norm(emb, axis=1)[:, None]
+    ds = rd.from_items([{"vec_id": i, "embedding": emb[i].tolist()}
+                        for i in range(len(emb))])
+    q = emb[5].copy()
+    want = brute_topk(ds, q, k=10).to_pandas()
+    got = pq_topk(ds, q, k=10, n_sub=4, n_codes=16,
+                  candidates=60).to_pandas()
+    assert list(got.vec_id) == list(want.vec_id)
+    assert list(got.sim) == list(want.sim)
+
+
+def test_pq_driver_settings_cover_true_topk(ray_session, sf_dir):
+    # the ann_pq_topk oracle is the brute SQL — valid only while the
+    # 16x32/200 candidate set covers the true top-10 on this corpus
+    import ray.data as rd
+    from pdf2dom_ray.functions.ann import pq_topk
+
+    import pyarrow.parquet as pq_
+    t = pq_.read_table(f"{sf_dir}/embeddings.parquet")
+    emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    ids = np.array(t.column("vec_id").to_pylist())
+    emb /= np.linalg.norm(emb, axis=1)[:, None]
+    q = emb[ids == 0][0]
+    true10 = ids[np.argsort(-(emb @ q))[:10]]
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    got = pq_topk(ds, q, k=10, n_sub=16, n_codes=32,
+                  candidates=200).to_pandas()
+    assert set(got.vec_id) == set(true10.tolist())
+
+
 def test_image_decoder_stage(ray_session):
     import ray.data as rd
     from pdf2dom_ray.engine.png import encode_png
