@@ -355,6 +355,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         "pack_sequences": _q_pack_sequences,
         "corpus_shuffle": _q_corpus_shuffle,
+        "corpus_split": _q_corpus_split,
+        "table_profile": _q_table_profile,
         "source_quota": _q_source_quota,
         "weighted_sample": _q_weighted_sample,
         "link_adjacency": _q_link_adjacency,
@@ -563,6 +565,43 @@ def oracle_sql() -> dict[str, str]:
         # integer Efraimidis-Spirakis — priority = (md5_32 << 20) //
         # length(text), bottom-k per stratum, bit-reproducible
         "weighted_sample": _weighted_sample_oracle(),
+        # split is the same md5 CASE on both sides (split_sql_case —
+        # shared constants, no drift possible)
+        "corpus_split": _corpus_split_sql(),
+        # one row per column; numerics/timestamps → min_num/max_num
+        # (epoch-us doubles), strings → lexicographic min/max
+        "table_profile": """
+            SELECT 'event_id' AS column, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+                   CAST(min(event_id) AS DOUBLE) AS min_num,
+                   CAST(max(event_id) AS DOUBLE) AS max_num,
+                   CAST(NULL AS VARCHAR) AS min_str,
+                   CAST(NULL AS VARCHAR) AS max_str
+            FROM events
+            UNION ALL
+            SELECT 'ts', count(*), count(*) - count(ts),
+                   CAST(epoch_us(min(ts)) AS DOUBLE),
+                   CAST(epoch_us(max(ts)) AS DOUBLE), NULL, NULL
+            FROM events
+            UNION ALL
+            SELECT 'user_id', count(*), count(*) - count(user_id),
+                   CAST(min(user_id) AS DOUBLE),
+                   CAST(max(user_id) AS DOUBLE), NULL, NULL
+            FROM events
+            UNION ALL
+            SELECT 'event_type', count(*), count(*) - count(event_type),
+                   NULL, NULL, min(event_type), max(event_type)
+            FROM events
+            UNION ALL
+            SELECT 'value', count(*), count(*) - count(value),
+                   CAST(min(value) AS DOUBLE),
+                   CAST(max(value) AS DOUBLE), NULL, NULL
+            FROM events
+            UNION ALL
+            SELECT 'props', count(*), count(*) - count(props),
+                   NULL, NULL, min(props), max(props)
+            FROM events
+        """,
         # seeded global shuffle: md5 sort key, global position via
         # row_number, training shard = rank % 16; machine-stable md5
         # and all-integer output keep the value-hash exact
@@ -1669,6 +1708,33 @@ def _q_weighted_sample(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "lang", "text"])
     return weighted_sample(ds)
+
+
+def _corpus_split_sql() -> str:
+    from pdf2dom_ray.functions.sampling import split_sql_case
+    return f"SELECT doc_id, {split_sql_case()} AS split FROM documents"
+
+
+def _q_corpus_split(sf_dir: str):
+    """Leakage-safe 80/10/10 train/val/test assignment: split is a
+    pure function of md5(salted key) — row-local, shuffle-free,
+    stable under corpus growth."""
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.sampling import train_val_test_split
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+    return train_val_test_split(ds)
+
+
+def _q_table_profile(sf_dir: str):
+    """Data-quality profile of the events table: one narrow partial
+    row per (column, batch), global Min/Max/Sum merge — the describe()
+    pass an ingest job runs before training."""
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.profile import table_profile
+    return table_profile(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
 def _q_corpus_shuffle(sf_dir: str):

@@ -175,7 +175,8 @@ def run_bench() -> dict:
                  "dsir_weights", "semdedup", "customer_distribution",
                  "image_phash_dedup", "distinct_users_by_type",
                  "snapshot_diff", "funnel_steps", "events_rollup",
-                 "event_transitions", "anchor_texts", "ann_pq_topk"):
+                 "event_transitions", "anchor_texts", "ann_pq_topk",
+                 "corpus_split", "table_profile"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

@@ -29,7 +29,8 @@ import ray.data as rd
 
 __all__ = ["hash_threshold", "sample_hash", "stratified_sample",
            "sample_sql_predicate", "group_quota", "weighted_sample",
-           "weighted_sample_sql"]
+           "weighted_sample_sql", "train_val_test_split",
+           "split_sql_case"]
 
 _SPACE = 1 << 32      # first 8 hex chars
 
@@ -194,3 +195,41 @@ def weighted_sample_sql(*, k: int = 25, stratum: str = "lang",
         FROM w
         QUALIFY rank <= {k}
     """
+
+
+def train_val_test_split(ds: rd.Dataset, *, key: str = "doc_id",
+                         train: float = 0.8, val: float = 0.1,
+                         salt: str = "split") -> rd.Dataset:
+    """Append a deterministic ``split`` column (train/val/test) from
+    the md5 of the salted key — the standard leakage-safe holdout
+    assignment (membership is a pure function of the key, so it is
+    stable across reruns, re-partitioning, and corpus growth: a doc
+    can never migrate between splits when new data arrives).
+
+    Row-local (no shuffle); thresholds are 8-hex-char string cuts so
+    the SQL oracle replays the decision byte-for-byte.
+    """
+    t1 = hash_threshold(train)
+    t2 = hash_threshold(train + val)
+
+    def assign(t: pa.Table) -> pa.Table:
+        keys = [f"{salt}:{k}" for k in t.column(key).to_pylist()]
+        hexes = [hashlib.md5(k.encode("utf-8")).hexdigest()[:8]
+                 for k in keys]
+        split = ["train" if h < t1 else "val" if h < t2 else "test"
+                 for h in hexes]
+        return t.append_column("split", pa.array(split, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def split_sql_case(train: float = 0.8, val: float = 0.1,
+                   key_sql: str = "CAST(doc_id AS VARCHAR)",
+                   salt: str = "split") -> str:
+    """The DuckDB CASE that replays ``train_val_test_split`` exactly
+    (same constants, same function → the two sides cannot drift)."""
+    t1 = hash_threshold(train)
+    t2 = hash_threshold(train + val)
+    h = f"substr(md5('{salt}:' || {key_sql}), 1, 8)"
+    return (f"CASE WHEN {h} < '{t1}' THEN 'train' "
+            f"WHEN {h} < '{t2}' THEN 'val' ELSE 'test' END")

@@ -1036,3 +1036,26 @@ def test_bigram_lm_scores_self_trained_no_oov(ray_session):
     # bigrams: (x,y)x2, (y,x)x1; c1[x]=2, c1[y]=1
     # pairs: (x,y)->1e6*2//2=1e6, (y,x)->1e6, (x,y)->1e6 -> mean 1e6
     assert out[0]["score_ppm"] == 1_000_000
+
+
+def test_table_profile_mixed_types_and_nulls(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.profile import table_profile
+    t = pa.table({
+        "i": pa.array([3, None, 7, 1], pa.int64()),
+        "s": pa.array(["b", "a", None, "c"], pa.string()),
+        "f": pa.array([1.5, -2.0, 0.0, None], pa.float64()),
+        "ts": pa.array([1000, 2000, None, 500], pa.timestamp("us")),
+    })
+    for blocks in (1, 4):
+        ds = rd.from_arrow(t).repartition(blocks)
+        got = {r["column"]: r for r in table_profile(ds).take_all()}
+        assert got["i"]["n"] == 4 and got["i"]["n_nulls"] == 1
+        assert got["i"]["min_num"] == 1.0 and got["i"]["max_num"] == 7.0
+        assert got["s"]["min_str"] == "a" and got["s"]["max_str"] == "c"
+        assert got["s"]["min_num"] is None
+        assert got["f"]["min_num"] == -2.0
+        assert got["ts"]["min_num"] == 500.0
+        assert got["ts"]["max_num"] == 2000.0

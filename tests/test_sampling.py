@@ -105,3 +105,38 @@ def test_weighted_sample_matches_duckdb(ray_session, sf_dir):
         .sort_values(["lang", "rank"]).reset_index(drop=True)
     for c in ("doc_id", "lang", "weight", "priority", "rank"):
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_train_val_test_split_proportions_and_stability(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.sampling import train_val_test_split
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(2000)), pa.int64())}))
+    out = train_val_test_split(ds).to_pandas()
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.04
+    assert abs(frac["val"] - 0.1) < 0.03
+    assert abs(frac["test"] - 0.1) < 0.03
+    # growth stability: the first 1000 docs keep their assignment
+    sub = train_val_test_split(ds.limit(1000)).to_pandas()
+    m = out.set_index("doc_id")["split"]
+    assert all(m[r.doc_id] == r.split for r in sub.itertuples())
+
+
+def test_split_sql_case_matches_python(ray_session):
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.sampling import (split_sql_case,
+                                                train_val_test_split)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(300)), pa.int64())}))
+    got = train_val_test_split(ds).to_pandas().set_index("doc_id")
+    want = duckdb.sql(
+        f"SELECT g AS doc_id, {split_sql_case(key_sql='CAST(g AS VARCHAR)')}"
+        " AS split FROM generate_series(0, 299) t(g)").df() \
+        .set_index("doc_id")
+    assert got["split"].to_dict() == want["split"].to_dict()
