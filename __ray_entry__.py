@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_distribution": _q_customer_distribution,
         "length_percentiles": _q_length_percentiles,
         "length_percentiles_by_lang": _q_length_percentiles_by,
+        "length_deciles": _q_length_deciles,
         "text_normalize": _q_text_normalize,
         "frontier_filter": _q_frontier_filter,
         "distinct_users_hll": _q_distinct_hll,        # rows-only
@@ -565,6 +566,13 @@ def oracle_sql() -> dict[str, str]:
         # integer Efraimidis-Spirakis — priority = (md5_32 << 20) //
         # length(text), bottom-k per stratum, bit-reproducible
         "weighted_sample": _weighted_sample_oracle(),
+        # exact NTILE semantics: first n%k buckets get n//k+1 rows
+        "length_deciles": """
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(ntile(10) OVER (ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS bucket
+            FROM documents
+        """,
         # split is the same md5 CASE on both sides (split_sql_case —
         # shared constants, no drift possible)
         "corpus_split": _corpus_split_sql(),
@@ -1713,6 +1721,17 @@ def _q_weighted_sample(sf_dir: str):
 def _corpus_split_sql() -> str:
     from pdf2dom_ray.functions.sampling import split_sql_case
     return f"SELECT doc_id, {split_sql_case()} AS split FROM documents"
+
+
+def _q_length_deciles(sf_dir: str):
+    """Exact NTILE(10) over (n_chars, doc_id) without a global sort:
+    histogram-based base ranks + one tie-breaking hash exchange."""
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.ntile import ntile_buckets
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    return ntile_buckets(ds, value_col="n_chars", id_col="doc_id", k=10)
 
 
 def _q_corpus_split(sf_dir: str):

@@ -176,7 +176,7 @@ def run_bench() -> dict:
                  "image_phash_dedup", "distinct_users_by_type",
                  "snapshot_diff", "funnel_steps", "events_rollup",
                  "event_transitions", "anchor_texts", "ann_pq_topk",
-                 "corpus_split", "table_profile"):
+                 "corpus_split", "table_profile", "length_deciles"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

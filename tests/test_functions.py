@@ -1059,3 +1059,45 @@ def test_table_profile_mixed_types_and_nulls(ray_session):
         assert got["f"]["min_num"] == -2.0
         assert got["ts"]["min_num"] == 500.0
         assert got["ts"]["max_num"] == 2000.0
+
+
+def test_ntile_buckets_matches_pandas_and_invariance(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.ntile import ntile_buckets
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 40, size=237)   # heavy ties, n % k != 0
+    df = pd.DataFrame({"doc_id": np.arange(237), "n_chars": vals})
+    order = df.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+    n, k = len(order), 7
+    q, r = divmod(n, k)
+    rank0 = np.arange(n)
+    big = r * (q + 1)
+    want_bucket = np.where(rank0 < big, rank0 // (q + 1) + 1,
+                           r + (rank0 - big) // q + 1)
+    want = dict(zip(order["doc_id"], want_bucket))
+    t = pa.table({"doc_id": pa.array(df.doc_id, pa.int64()),
+                  "n_chars": pa.array(df.n_chars, pa.int64())})
+    for blocks in (1, 9):
+        ds = rd.from_arrow(t).repartition(blocks)
+        got = {r_["doc_id"]: r_["bucket"]
+               for r_ in ntile_buckets(ds, value_col="n_chars",
+                                       id_col="doc_id", k=7,
+                                       num_partitions=5).take_all()}
+        assert got == want, blocks
+
+
+def test_ntile_more_buckets_than_rows(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.ntile import ntile_buckets
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([5, 3, 9], pa.int64()),
+        "n_chars": pa.array([10, 10, 2], pa.int64())}))
+    got = {r["doc_id"]: r["bucket"]
+           for r in ntile_buckets(ds, value_col="n_chars",
+                                  id_col="doc_id", k=10).take_all()}
+    assert got == {9: 1, 3: 2, 5: 3}   # rank order: (2,9),(10,3),(10,5)
