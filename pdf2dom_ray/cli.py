@@ -65,6 +65,10 @@ def convert_single(path: str, out: str | None, cfg: PdfDomConfig) -> int:
 
 
 def convert_table(path: str, out: str, cfg: PdfDomConfig, args) -> int:
+    if not os.path.exists(path):
+        print(f"error: cannot read {path}: No such file or directory",
+              file=sys.stderr)
+        return 1
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=args.num_cpus,

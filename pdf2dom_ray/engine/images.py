@@ -7,10 +7,11 @@ Replaces ``PDImageXObject.getImage()`` + ``ImageUtils.rotateImage``
 web-PDF case); 1-bit gray is expanded; DCTDecode (baseline JPEG — the
 single most common image filter in real PDFs) is decoded by the
 pure-numpy decoder in ``engine/jpeg.py``; CCITT G3/G4 by
-``engine/ccitt.py``; JBIG2 MMR generic regions by ``engine/jbig2.py``.
-JPX and arithmetic-coded JBIG2 remain unsupported in this container
-and raise ``UnsupportedImageError`` → the walker emits the ``<img>``
-element with empty ``src``.
+``engine/ccitt.py``; JBIG2 generic regions (MMR and arithmetic,
+templates 0-3 + TPGDON via the ``engine/mq.py`` MQ coder) by
+``engine/jbig2.py``. JBIG2 symbol/halftone regions raise
+``UnsupportedImageError`` → the walker emits the ``<img>`` element
+with empty ``src``.
 
 Rotation: the reference rotates the decoded raster by the CTM shear
 angle minus the page rotation with a bilinear AffineTransformOp
@@ -229,8 +230,8 @@ def _decode_image_base(doc, xobj: Stream,
         return np.stack([g] * 3, axis=-1)
 
     if "JBIG2Decode" in filters:
-        # MMR generic regions via engine/jbig2.py (T.6 reuse);
-        # arithmetic/symbol/halftone streams degrade honestly
+        # MMR + arithmetic generic regions via engine/jbig2.py;
+        # symbol/halftone streams degrade honestly
         from .jbig2 import Jbig2Error, decode_jbig2
         parms = doc.resolve(d.get("DecodeParms")) or {}
         if isinstance(parms, list):

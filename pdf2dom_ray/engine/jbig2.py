@@ -1,11 +1,13 @@
-"""JBIG2 (embedded-stream) decoder — MMR generic regions.
+"""JBIG2 (embedded-stream) decoder — MMR and arithmetic generic regions.
 
-Covers the ``JBIG2Decode`` filter for pages built from MMR-coded
-generic region segments: the segment-header framing is implemented in
-full (so any embedded stream parses), and region decoding reuses the
-engine's T.6/G4 codec (``engine/ccitt.py``) — JBIG2's MMR mode *is*
-T.6 coding (ITU-T T.88 §6.2.6). Arithmetic-coded regions, symbol
-dictionaries / text regions, and halftones raise ``Jbig2Error`` with
+Covers the ``JBIG2Decode`` filter for pages built from generic region
+segments: the segment-header framing is implemented in full (so any
+embedded stream parses); MMR region decoding reuses the engine's
+T.6/G4 codec (``engine/ccitt.py``) — JBIG2's MMR mode *is* T.6 coding
+(ITU-T T.88 §6.2.6) — and arithmetic-coded generic regions (templates
+0-3, generalized AT pixels, TPGDON typical prediction, T.88 §6.2.5)
+decode through the engine MQ coder (``engine/mq.py``). Symbol
+dictionaries / text regions and halftones raise ``Jbig2Error`` with
 the specific reason and degrade upstream to the honest
 ``UnsupportedImageError`` → ``<img src="">`` path, mirroring how the
 reference surfaces unsupported codecs (``ImageUtils.java:11-54``
@@ -29,7 +31,8 @@ import struct
 
 import numpy as np
 
-__all__ = ["Jbig2Error", "decode_jbig2", "encode_jbig2_mmr"]
+__all__ = ["Jbig2Error", "decode_jbig2", "encode_jbig2_mmr",
+           "encode_jbig2_arith"]
 
 
 class Jbig2Error(Exception):
@@ -84,6 +87,77 @@ def _parse_segment_headers(data: bytes, offset: int = 0):
         pos += length
 
 
+# fixed generic-region template pixels, (dx, dy), EXCLUDING the
+# adaptive AT pixels (T.88 figures 4-7; nominal AT positions below)
+_TEMPLATES = {
+    0: [(-1, -2), (0, -2), (1, -2),
+        (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1),
+        (-4, 0), (-3, 0), (-2, 0), (-1, 0)],
+    1: [(-1, -2), (0, -2), (1, -2), (2, -2),
+        (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1),
+        (-3, 0), (-2, 0), (-1, 0)],
+    2: [(-1, -2), (0, -2), (1, -2),
+        (-2, -1), (-1, -1), (0, -1), (1, -1),
+        (-2, 0), (-1, 0)],
+    3: [(-3, -1), (-2, -1), (-1, -1), (0, -1), (1, -1),
+        (-4, 0), (-3, 0), (-2, 0), (-1, 0)],
+}
+_NOMINAL_AT = {
+    0: [(3, -1), (-3, -1), (2, -2), (-2, -2)],
+    1: [(3, -1)],
+    2: [(2, -1)],
+    3: [(2, -1)],
+}
+# SLTP pseudo-pixel contexts for TPGDON (T.88 §6.2.5.7)
+_TPGDON_CTX = {0: 0x9B25, 1: 0x0795, 2: 0x00E5, 3: 0x0195}
+
+
+def _template_pixels(template: int, at: list[tuple[int, int]]):
+    """Full ordered context pixel list: fixed + AT, sorted by (y, x)
+    with the first pixel contributing the context MSB (the sorted
+    layout reproduces the spec's per-template context figures for
+    nominal AT positions)."""
+    pix = list(_TEMPLATES[template]) + list(at)
+    pix.sort(key=lambda p: (p[1], p[0]))
+    return pix
+
+
+def _decode_generic_arith(data: bytes, w: int, h: int, template: int,
+                          at: list[tuple[int, int]],
+                          tpgdon: bool) -> np.ndarray:
+    """Arithmetic generic region decoding procedure (T.88 §6.2.5.7)."""
+    from .mq import MQDecoder
+    pix = _template_pixels(template, at)
+    nbits = len(pix)
+    dec = MQDecoder(data)
+    cx = [0] * (1 << nbits)
+    ltp = 0
+    sltp_ctx = _TPGDON_CTX[template]
+    rows = [[0] * w for _ in range(h)]   # python lists for the hot loop
+    decode = dec.decode
+    for y in range(h):
+        if tpgdon:
+            ltp ^= decode(cx, sltp_ctx)
+            if ltp:
+                if y > 0:
+                    rows[y] = list(rows[y - 1])
+                continue
+        row = rows[y]
+        for x in range(w):
+            ctx = 0
+            for dx, dy in pix:
+                xx = x + dx
+                yy = y + dy
+                # same causal-neighbor rule as the encoder: in-bounds
+                # reads only touch already-decoded pixels
+                if 0 <= xx < w and yy >= 0:
+                    ctx = (ctx << 1) | rows[yy][xx]
+                else:
+                    ctx <<= 1
+            row[x] = decode(cx, ctx)
+    return np.asarray(rows, dtype=np.uint8)
+
+
 def _decode_generic_region(payload: bytes) -> tuple[int, int, int, int,
                                                     int, np.ndarray]:
     """Region payload → (x, y, w, h, comb_op, bitmap 1=black)."""
@@ -93,14 +167,29 @@ def _decode_generic_region(payload: bytes) -> tuple[int, int, int, int,
     comb = payload[16] & 0x07
     gflags = payload[17]
     mmr = gflags & 0x01
-    tpgdon = (gflags >> 3) & 0x01
-    if not mmr:
-        raise Jbig2Error("arithmetic-coded generic region (only MMR "
-                         "generic regions are supported)")
-    if tpgdon:
-        raise Jbig2Error("TPGDON with MMR is invalid")
+    template = (gflags >> 1) & 0x03
+    tpgdon = bool((gflags >> 3) & 0x01)
+    ext_template = bool((gflags >> 4) & 0x01)
     if w == 0 or h == 0 or w * h > 64_000_000:
         raise Jbig2Error(f"bad region dims {w}x{h}")
+    if not mmr:
+        if ext_template:
+            raise Jbig2Error("EXTTEMPLATE generic region unsupported")
+        n_at = 4 if template == 0 else 1
+        if len(payload) < 18 + 2 * n_at:
+            raise Jbig2Error("truncated AT pixel list")
+        at = []
+        for i in range(n_at):
+            ax = struct.unpack_from(">b", payload, 18 + 2 * i)[0]
+            ay = struct.unpack_from(">b", payload, 19 + 2 * i)[0]
+            if ay > 0 or (ay == 0 and ax >= 0):
+                raise Jbig2Error(f"non-causal AT pixel ({ax},{ay})")
+            at.append((ax, ay))
+        bitmap = _decode_generic_arith(payload[18 + 2 * n_at:], w, h,
+                                       template, at, tpgdon)
+        return x, y, w, h, comb, bitmap
+    if tpgdon:
+        raise Jbig2Error("TPGDON with MMR is invalid")
     from .ccitt import CcittError, decode_g4
     try:
         bitmap = decode_g4(payload[18:], w, h)
@@ -186,6 +275,55 @@ def _segment(seg_num: int, seg_type: int, payload: bytes,
     head += struct.pack(">B", page)    # 1-byte page association
     head += struct.pack(">I", len(payload))
     return head + payload
+
+
+def encode_jbig2_arith(img: np.ndarray, template: int = 0,
+                       tpgdon: bool = False) -> bytes:
+    """(h, w) {0,1} bitmap (1=black) → embedded JBIG2 stream with one
+    arithmetic-coded immediate lossless generic region (nominal AT
+    pixels). ``decode(encode(x)) == x`` is the locked codec property;
+    with ``tpgdon`` the typical-prediction SLTP path is exercised."""
+    from .mq import MQEncoder
+    img = (np.asarray(img) != 0).astype(np.uint8)
+    h, w = img.shape
+    at = _NOMINAL_AT[template]
+    pix = _template_pixels(template, at)
+    enc = MQEncoder()
+    cx = [0] * (1 << len(pix))
+    rows = img.tolist()
+    sltp_ctx = _TPGDON_CTX[template]
+    ltp = 0
+    encode = enc.encode
+    for y in range(h):
+        if tpgdon:
+            prev = rows[y - 1] if y > 0 else [0] * w
+            typical = 1 if rows[y] == prev else 0
+            encode(cx, sltp_ctx, typical ^ ltp)
+            ltp = typical
+            if ltp:
+                continue
+        row = rows[y]
+        for x in range(w):
+            ctx = 0
+            for dx, dy in pix:
+                xx = x + dx
+                yy = y + dy
+                # templates are causal (AT validated at decode), so an
+                # in-bounds read only ever touches already-coded pixels
+                if 0 <= xx < w and yy >= 0:
+                    ctx = (ctx << 1) | rows[yy][xx]
+                else:
+                    ctx <<= 1
+            encode(cx, ctx, row[x])
+    data = enc.flush()
+    page_info = struct.pack(">IIII", w, h, 0, 0) + b"\x01" + b"\x00\x00"
+    region_info = struct.pack(">IIII", w, h, 0, 0) + b"\x00"  # comb OR
+    gflags = bytes([(template & 3) << 1 | (0x08 if tpgdon else 0)])
+    at_bytes = b"".join(struct.pack(">bb", ax, ay) for ax, ay in at)
+    region = region_info + gflags + at_bytes + data
+    return (_segment(1, _PAGE_INFO, page_info) +
+            _segment(2, 39, region) +
+            _segment(3, _END_PAGE, b""))
 
 
 def encode_jbig2_mmr(img: np.ndarray) -> bytes:

@@ -1,6 +1,6 @@
-"""JBIG2 (engine/jbig2.py): MMR generic-region roundtrip, segment
-framing, honest degradation for arithmetic/symbol streams, and the
-JBIG2Decode PDF path end-to-end.
+"""JBIG2 (engine/jbig2.py): MMR + arithmetic generic-region roundtrip,
+segment framing, honest degradation for symbol/halftone streams, and
+the JBIG2Decode PDF path end-to-end.
 """
 
 import struct
@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 
 from pdf2dom_ray.engine.jbig2 import (Jbig2Error, decode_jbig2,
+                                      encode_jbig2_arith,
                                       encode_jbig2_mmr)
 
 
@@ -42,15 +43,45 @@ def test_width_height_crop():
     assert np.array_equal(out, img[:6, :8])
 
 
-def test_arithmetic_region_rejected():
-    # flip the MMR bit off in the region flags byte
-    data = bytearray(encode_jbig2_mmr(_checker(8, 8)))
-    # segment 2 starts after seg1 header (11 bytes) + page info (19)
-    seg2_payload = 11 + 19 + 11
-    gflags_off = seg2_payload + 17
-    assert data[gflags_off] == 0x01
-    data[gflags_off] = 0x00
-    with pytest.raises(Jbig2Error, match="arithmetic"):
+@pytest.mark.parametrize("template", [0, 1, 2, 3])
+@pytest.mark.parametrize("tpgdon", [False, True])
+def test_arith_roundtrip(template, tpgdon):
+    img = _checker(23, 41, period=4)
+    data = encode_jbig2_arith(img, template=template, tpgdon=tpgdon)
+    assert np.array_equal(decode_jbig2(data), img)
+
+
+def test_arith_roundtrip_shapes_and_patterns():
+    rng = np.random.default_rng(11)
+    for img in (np.zeros((1, 1), np.uint8),
+                np.ones((7, 3), np.uint8),
+                np.eye(19, dtype=np.uint8),
+                (rng.random((31, 29)) < 0.1).astype(np.uint8),
+                (rng.random((16, 64)) < 0.5).astype(np.uint8)):
+        data = encode_jbig2_arith(img)
+        assert np.array_equal(decode_jbig2(data), img)
+
+
+def test_arith_tpgdon_compresses_repeated_rows():
+    # an image of identical rows should be far smaller with TPGDON
+    img = np.tile((np.arange(64) % 5 == 0).astype(np.uint8), (64, 1))
+    plain = encode_jbig2_arith(img, tpgdon=False)
+    typ = encode_jbig2_arith(img, tpgdon=True)
+    assert np.array_equal(decode_jbig2(typ), img)
+    assert len(typ) < len(plain)
+
+
+def test_arith_encoder_deterministic():
+    img = _checker(20, 31)
+    assert encode_jbig2_arith(img) == encode_jbig2_arith(img)
+
+
+def test_exttemplate_rejected():
+    data = bytearray(encode_jbig2_arith(_checker(8, 8)))
+    gflags_off = 11 + 19 + 11 + 17
+    assert data[gflags_off] == 0x00
+    data[gflags_off] = 0x10                  # EXTTEMPLATE
+    with pytest.raises(Jbig2Error, match="EXTTEMPLATE"):
         decode_jbig2(bytes(data))
 
 
@@ -112,19 +143,49 @@ def test_pdf_with_jbig2_image_parses():
     assert np.array_equal(png[..., :3], exp)
 
 
-def test_pdf_with_arithmetic_jbig2_degrades_to_empty_src():
+def test_pdf_with_arithmetic_jbig2_image_parses():
+    import base64
+    import re
+
+    from pdf2dom_ray.engine.parse import parse_document
+    from pdf2dom_ray.functions.multimodal import decode_engine_png
+    from pdf2dom_ray.synth.pdfgen import PageSpec, PdfBuilder
+
+    bm = _checker(16, 16, period=4)
+    b = PdfBuilder(title="jbig2-arith")
+    p = PageSpec()
+    p.use_custom_image(
+        "Im0",
+        "/Width 16 /Height 16 /ColorSpace /DeviceGray "
+        "/BitsPerComponent 1 /Filter /JBIG2Decode",
+        encode_jbig2_arith(bm, tpgdon=True), compress=False)
+    p.draw_image("Im0", 100, 600, 64, 64)
+    b.add_page(p)
+    r = parse_document(b.build())
+    assert r.error is None
+    assert r.n_images == 1
+    m = re.search(r'src="data:image/png;base64,([^"]+)"', r.html_dom)
+    assert m, "arithmetic JBIG2 must produce a non-empty PNG data URI"
+    png = decode_engine_png(base64.b64decode(m.group(1)))
+    exp = np.repeat(np.where(bm[..., None] == 1, 0, 255), 3,
+                    axis=-1).astype(np.uint8)
+    assert np.array_equal(png[..., :3], exp)
+
+
+def test_pdf_with_symbol_region_degrades_to_empty_src():
     from pdf2dom_ray.engine.parse import parse_document
     from pdf2dom_ray.synth.pdfgen import PageSpec, PdfBuilder
 
-    data = bytearray(encode_jbig2_mmr(_checker(8, 8)))
-    data[11 + 19 + 11 + 17] = 0x00          # MMR -> arithmetic
-    b = PdfBuilder(title="jbig2-arith")
+    # a symbol-dictionary segment (type 0) is honestly unsupported
+    seg = struct.pack(">IB", 1, 0) + b"\x00\x01" + struct.pack(">I", 4) \
+        + b"\x00\x00\x00\x00"
+    b = PdfBuilder(title="jbig2-symbol")
     p = PageSpec()
     p.use_custom_image(
         "Im0",
         "/Width 8 /Height 8 /ColorSpace /DeviceGray "
         "/BitsPerComponent 1 /Filter /JBIG2Decode",
-        bytes(data), compress=False)
+        seg, compress=False)
     p.draw_image("Im0", 100, 600, 64, 64)
     b.add_page(p)
     r = parse_document(b.build())
