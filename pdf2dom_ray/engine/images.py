@@ -181,8 +181,6 @@ def _decode_image_base(doc, xobj: Stream,
         return out
     filt = doc.resolve(d.get("Filter"))
     filters = filt if isinstance(filt, list) else ([filt] if filt else [])
-    if "JPXDecode" in filters:
-        raise UnsupportedImageError(f"codec not available: {filters}")
     w = int(doc.resolve(d.get("Width", 0)) or 0)
     h = int(doc.resolve(d.get("Height", 0)) or 0)
     if w <= 0 or h <= 0 or w * h > 64_000_000:
@@ -194,6 +192,22 @@ def _decode_image_base(doc, xobj: Stream,
         data = xobj.data()
     except PdfParseError as e:
         raise UnsupportedImageError(str(e)) from e
+
+    if "JPXDecode" in filters:
+        # JPEG2000 via the engine codec (engine/jpx.py); for JPX the
+        # PDF /ColorSpace is advisory — the codestream defines it
+        from .jpx import JpxError, decode_jpx
+        try:
+            img = decode_jpx(data)
+        except JpxError as e:
+            raise UnsupportedImageError(f"JPX decode failed: {e}") from e
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        if img.shape[0] != h or img.shape[1] != w:
+            raise UnsupportedImageError(
+                f"JPX dims {img.shape[1]}x{img.shape[0]} != /Width/Height "
+                f"{w}x{h}")
+        return img
 
     if "CCITTFaxDecode" in filters:
         # Group 4 (K<0) and Group 3 (K=0 pure 1D / K>0 mixed) via the

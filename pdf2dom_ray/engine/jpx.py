@@ -1,0 +1,923 @@
+"""JPX (JPEG2000 Part 1, ISO/IEC 15444-1) codec — constrained profile.
+
+Covers the PDF ``JPXDecode`` filter for lossless-coded images the way
+the reference reaches it through the JDK JPEG2000 reader
+(``PDImageXObject.getImage()``, ``PDFBoxTree.java:544-590``): this
+engine implements the codec directly, from the published standard.
+
+Supported codestream profile (both directions):
+
+- single tile at origin, component subsampling 1x1, 8-bit samples
+- reversible 5/3 wavelet (Annex F), 0..N decomposition levels
+- reversible color transform (RCT) for 3-component images
+- no quantization (Sqcd style 0), LRCP progression, single layer
+- default (maximal) precincts, code-block style 0, EBCOT tier-1
+  coding passes over the shared MQ coder (``engine/mq.py``)
+- tag-tree coded packet headers (Annex B), JP2 wrapper or raw
+  codestream accepted on decode
+
+Anything outside the profile (multiple tiles/layers, 9/7 irreversible
+wavelet, scalar quantization, bypass/termination code-block styles)
+raises ``JpxError`` → the walker's honest ``<img src="">``
+degradation, with the reason preserved.
+
+Verification: like the engine's JPEG/CCITT/JBIG2 codecs, the locked
+property is ``decode(encode(img)) == img`` (the profile is lossless,
+so equality is exact) plus structural checks; no external JPX codec
+exists in this container to cross-check byte streams against, so
+interop is untested in-container and documented as such.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from .mq import MQDecoder, MQEncoder
+
+__all__ = ["JpxError", "decode_jpx", "encode_jpx"]
+
+
+class JpxError(Exception):
+    pass
+
+
+# ----------------------------------------------------------------- DWT 5/3
+
+def _fdwt53_pair(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Forward 5/3 lifting along axis 0 (even samples → low).
+
+    Symmetric extension (Annex F): x(-k) = x(k), x(n-1+k) = x(n-1-k),
+    which reduces to d(-1) = d(0) and d(no) = d(no-1) for the update
+    step and x(2i+2) → even[min(i+1, ne-1)] for the predict step.
+    """
+    n = a.shape[0]
+    if n == 1:
+        return a.astype(np.int64), a[:0].astype(np.int64)
+    even = a[0::2].astype(np.int64)               # ne = ceil(n/2)
+    odd = a[1::2].astype(np.int64)                # no = floor(n/2)
+    ne, no = even.shape[0], odd.shape[0]
+    nxt = even[np.minimum(np.arange(no) + 1, ne - 1)]
+    d = odd - ((even[:no] + nxt) >> 1)
+    dm = d[np.clip(np.arange(ne) - 1, 0, no - 1)]
+    dp = d[np.minimum(np.arange(ne), no - 1)]
+    s = even + ((dm + dp + 2) >> 2)
+    return s, d
+
+
+def _idwt53_pair(s: np.ndarray, d: np.ndarray, n: int) -> np.ndarray:
+    """Inverse of :func:`_fdwt53_pair` along axis 0."""
+    if n == 1:
+        return s.astype(np.int64)
+    s64 = s.astype(np.int64)
+    d64 = d.astype(np.int64)
+    ne, no = s64.shape[0], d64.shape[0]
+    dm = d64[np.clip(np.arange(ne) - 1, 0, no - 1)]
+    dp = d64[np.minimum(np.arange(ne), no - 1)]
+    even = s64 - ((dm + dp + 2) >> 2)
+    nxt = even[np.minimum(np.arange(no) + 1, ne - 1)]
+    odd = d64 + ((even[:no] + nxt) >> 1)
+    out = np.empty((n,) + s64.shape[1:], dtype=np.int64)
+    out[0::2] = even
+    out[1::2] = odd
+    return out
+
+
+def _fdwt2(a: np.ndarray) -> dict[str, np.ndarray]:
+    """One 2D decomposition level: horizontal split, then vertical."""
+    lo_c, hi_c = _fdwt53_pair(a.T)
+    lo_c, hi_c = lo_c.T, hi_c.T                   # horizontal split
+    ll, lh = _fdwt53_pair(lo_c)                   # vertical split of low
+    hl, hh = _fdwt53_pair(hi_c)                   # vertical split of high
+    return {"LL": ll, "HL": hl, "LH": lh, "HH": hh}
+
+
+def _idwt2(bands: dict[str, np.ndarray], h: int, w: int) -> np.ndarray:
+    lo_c = _idwt53_pair(bands["LL"], bands["LH"], h)
+    hi_c = _idwt53_pair(bands["HL"], bands["HH"], h)
+    return _idwt53_pair(lo_c.T, hi_c.T, w).T
+
+
+# ------------------------------------------------- packet-header bit I/O
+
+class _HdrWriter:
+    """MSB-first bit writer with 0xFF stuffing (B.10.1)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def _cap(self) -> int:
+        return 7 if self.out and self.out[-1] == 0xFF else 8
+
+    def put(self, bit: int) -> None:
+        self.cur = (self.cur << 1) | (bit & 1)
+        self.nbits += 1
+        if self.nbits == self._cap():
+            self.out.append(self.cur)
+            self.cur = 0
+            self.nbits = 0
+
+    def put_bits(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.put((value >> i) & 1)
+
+    def flush(self) -> bytes:
+        while self.nbits:
+            self.put(0)
+        if self.out and self.out[-1] == 0xFF:     # never end on 0xFF
+            self.out.append(0)
+        return bytes(self.out)
+
+
+class _HdrReader:
+    """MSB-first bit reader with 0xFF unstuffing (B.10.1)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.cur = 0
+        self.nbits = 0
+        self.prev_ff = False
+
+    def get(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise JpxError("packet header overruns stream")
+            self.cur = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 7 if self.prev_ff else 8
+            self.prev_ff = self.cur == 0xFF
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def get_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.get()
+        return v
+
+    def align(self) -> int:
+        """Finish the header: skip padding, return the body offset."""
+        self.nbits = 0
+        if self.prev_ff:                          # stuffed terminator byte
+            if self.pos < len(self.data) and self.data[self.pos] < 0x80:
+                self.pos += 1
+        return self.pos
+
+
+# -------------------------------------------------------------- tag trees
+
+class _TagTree:
+    """Tag tree (B.10.2) — shared node layout for encode/decode."""
+
+    def __init__(self, w: int, h: int):
+        self.dims = []
+        while True:
+            self.dims.append((w, h))
+            if w <= 1 and h <= 1:
+                break
+            w = (w + 1) // 2
+            h = (h + 1) // 2
+        n = sum(w * h for w, h in self.dims)
+        self.value = [0] * n
+        self.low = [0] * n
+        self.known = [False] * n
+
+    def _path(self, i: int, j: int):
+        """Node indices leaf→root, returned root-first."""
+        idx = []
+        base = 0
+        x, y = j, i
+        for lvl, (w, h) in enumerate(self.dims):
+            idx.append(base + y * w + x)
+            base += w * h
+            x //= 2
+            y //= 2
+        return idx[::-1]
+
+    def set_value(self, i: int, j: int, v: int) -> None:
+        """Encoder side: install a leaf value (finalize() propagates)."""
+        self.value[self._path(i, j)[-1]] = v
+
+    def finalize(self) -> None:
+        """Encoder side: internal node value = min of children."""
+        base_of = []
+        b = 0
+        for w, h in self.dims:
+            base_of.append(b)
+            b += w * h
+        for lvl in range(1, len(self.dims)):
+            w, h = self.dims[lvl]
+            cw, ch = self.dims[lvl - 1]
+            for y in range(h):
+                for x in range(w):
+                    vals = []
+                    for dy in (0, 1):
+                        for dx in (0, 1):
+                            cy, cx = 2 * y + dy, 2 * x + dx
+                            if cy < ch and cx < cw:
+                                vals.append(
+                                    self.value[base_of[lvl - 1] + cy * cw
+                                               + cx])
+                    self.value[base_of[lvl] + y * w + x] = min(vals)
+
+    def encode(self, wtr: _HdrWriter, i: int, j: int,
+               threshold: int) -> None:
+        lower = 0
+        for node in self._path(i, j):
+            if self.low[node] < lower:
+                self.low[node] = lower
+            while not self.known[node] and self.low[node] < threshold:
+                if self.low[node] < self.value[node]:
+                    wtr.put(0)
+                    self.low[node] += 1
+                else:
+                    wtr.put(1)
+                    self.known[node] = True
+            lower = self.value[node] if self.known[node] else self.low[node]
+
+    def decode(self, rdr: _HdrReader, i: int, j: int,
+               threshold: int) -> bool:
+        """Returns True when the leaf value is known and < threshold."""
+        lower = 0
+        leaf = None
+        for node in self._path(i, j):
+            leaf = node
+            if self.low[node] < lower:
+                self.low[node] = lower
+            while not self.known[node] and self.low[node] < threshold:
+                if rdr.get():
+                    self.known[node] = True
+                    self.value[node] = self.low[node]
+                else:
+                    self.low[node] += 1
+            lower = self.value[node] if self.known[node] else self.low[node]
+        return self.known[leaf] and self.value[leaf] < threshold
+
+    def decode_value(self, rdr: _HdrReader, i: int, j: int) -> int:
+        """Decode until the leaf value is fully known (zero-bitplanes)."""
+        t = 1
+        while not self.decode(rdr, i, j, t):
+            t += 1
+        leaf = self._path(i, j)[-1]
+        return self.value[leaf]
+
+
+# ----------------------------------------------------------- tier-1 EBCOT
+
+# context labels (Table D.1): 0-8 zero coding, 9-13 sign coding,
+# 14-16 magnitude refinement, 17 run-length, 18 uniform
+_CTX_RL = 17
+_CTX_UNI = 18
+
+
+def _zc_ctx(kind: str, h: int, v: int, d: int) -> int:
+    """Zero-coding context (Table D.1) from significant-neighbor
+    counts: h horizontal (0-2), v vertical (0-2), d diagonal (0-4)."""
+    if kind == "HL":                 # HL codes with h/v roles swapped
+        h, v = v, h
+    if kind != "HH":
+        if h == 2:
+            return 8
+        if h == 1:
+            return 7 if v >= 1 else (6 if d >= 1 else 5)
+        if v == 2:
+            return 4
+        if v == 1:
+            return 3
+        return 2 if d >= 2 else (1 if d == 1 else 0)
+    if d >= 3:
+        return 8
+    if d == 2:
+        return 7 if h + v >= 1 else 6
+    if d == 1:
+        return 5 if h + v >= 2 else (4 if h + v == 1 else 3)
+    return 2 if h + v >= 2 else (1 if h + v == 1 else 0)
+
+
+def _sc_ctx(hc: int, vc: int) -> tuple[int, int]:
+    """Sign-coding (context, xor) from clamped neighbor sign sums
+    (Table D.3)."""
+    if hc == 1:
+        return (13, 0) if vc == 1 else ((12, 0) if vc == 0 else (11, 0))
+    if hc == 0:
+        return (10, 0) if vc == 1 else ((9, 0) if vc == 0 else (10, 1))
+    return (11, 1) if vc == 1 else ((12, 1) if vc == 0 else (13, 1))
+
+
+class _T1Enc:
+    """Tier-1 bit sink: MQ-encodes the actual bit and echoes it."""
+
+    def __init__(self):
+        self.mq = MQEncoder()
+        self.cx = _t1_contexts()
+
+    def bit(self, ctx: int, actual: int) -> int:
+        self.mq.encode(self.cx, ctx, actual)
+        return actual
+
+    def finish(self) -> bytes:
+        return self.mq.flush()
+
+
+class _T1Dec:
+    """Tier-1 bit source: MQ-decodes (the 'actual' hint is ignored)."""
+
+    def __init__(self, data: bytes):
+        self.mq = MQDecoder(data)
+        self.cx = _t1_contexts()
+
+    def bit(self, ctx: int, actual: int) -> int:
+        return self.mq.decode(self.cx, ctx)
+
+
+def _t1_contexts() -> list[int]:
+    """Initial context states (Table D.7): UNIFORM starts at state 46,
+    RUN-LENGTH at 3, ZC context 0 at 4, the rest at 0."""
+    cx = [0] * 19
+    cx[_CTX_UNI] = 46 << 1
+    cx[_CTX_RL] = 3 << 1
+    cx[0] = 4 << 1
+    return cx
+
+
+def _tier1_run(io, w: int, h: int, kind: str, nplanes: int, npasses: int,
+               mag: list[list[int]], sign: list[list[int]]) -> None:
+    """Run EBCOT coding passes symmetrically for encode and decode.
+
+    ``io.bit(ctx, actual)`` either encodes ``actual`` (encoder) or
+    returns the decoded decision (decoder); all significance state
+    evolves identically on both sides, which is what locks the pair.
+    Decoder callers pass zero-filled ``mag``/``sign`` that this fills.
+    """
+    sig = [[0] * w for _ in range(h)]
+    refined = [[0] * w for _ in range(h)]
+    pi = [[0] * w for _ in range(h)]
+
+    def nbr_counts(x: int, y: int) -> tuple[int, int, int]:
+        hcnt = vcnt = dcnt = 0
+        if x > 0:
+            hcnt += sig[y][x - 1]
+        if x + 1 < w:
+            hcnt += sig[y][x + 1]
+        if y > 0:
+            vcnt += sig[y - 1][x]
+        if y + 1 < h:
+            vcnt += sig[y + 1][x]
+        for dy in (-1, 1):
+            yy = y + dy
+            if 0 <= yy < h:
+                if x > 0:
+                    dcnt += sig[yy][x - 1]
+                if x + 1 < w:
+                    dcnt += sig[yy][x + 1]
+        return hcnt, vcnt, dcnt
+
+    def sign_sums(x: int, y: int) -> tuple[int, int]:
+        def contrib(xx: int, yy: int) -> int:
+            if 0 <= xx < w and 0 <= yy < h and sig[yy][xx]:
+                return -1 if sign[yy][xx] else 1
+            return 0
+        hc = max(-1, min(1, contrib(x - 1, y) + contrib(x + 1, y)))
+        vc = max(-1, min(1, contrib(x, y - 1) + contrib(x, y + 1)))
+        return hc, vc
+
+    def code_sign(x: int, y: int) -> None:
+        hc, vc = sign_sums(x, y)
+        ctx, xor = _sc_ctx(hc, vc)
+        sbit = io.bit(ctx, sign[y][x] ^ xor)
+        sign[y][x] = sbit ^ xor
+        sig[y][x] = 1
+
+    def stripes():
+        for k0 in range(0, h, 4):
+            yield k0, min(k0 + 4, h)
+
+    def spp(plane: int) -> None:
+        for k0, k1 in stripes():
+            for x in range(w):
+                for y in range(k0, k1):
+                    if sig[y][x]:
+                        continue
+                    hc, vc, dc = nbr_counts(x, y)
+                    ctx = _zc_ctx(kind, hc, vc, dc)
+                    if ctx == 0:
+                        continue
+                    b = io.bit(ctx, (mag[y][x] >> plane) & 1)
+                    if b:
+                        mag[y][x] |= 1 << plane
+                        code_sign(x, y)
+                    pi[y][x] = 1
+
+    def mrp(plane: int) -> None:
+        for k0, k1 in stripes():
+            for x in range(w):
+                for y in range(k0, k1):
+                    if not sig[y][x] or pi[y][x]:
+                        continue
+                    if refined[y][x]:
+                        ctx = 16
+                    else:
+                        hc, vc, dc = nbr_counts(x, y)
+                        ctx = 15 if hc + vc + dc else 14
+                    b = io.bit(ctx, (mag[y][x] >> plane) & 1)
+                    mag[y][x] |= b << plane
+                    refined[y][x] = 1
+
+    def cup(plane: int) -> None:
+        for k0, k1 in stripes():
+            for x in range(w):
+                y = k0
+                # run-length mode: full stripe column, all four
+                # insignificant, uncoded this plane, zero contexts
+                if k1 - k0 == 4 and all(
+                        not sig[yy][x] and not pi[yy][x]
+                        and _zc_ctx(kind, *nbr_counts(x, yy)) == 0
+                        for yy in range(k0, k1)):
+                    any_sig = 0
+                    first = 0
+                    for idx, yy in enumerate(range(k0, k1)):
+                        if (mag[yy][x] >> plane) & 1:
+                            any_sig = 1
+                            first = idx
+                            break
+                    rl = io.bit(_CTX_RL, any_sig)
+                    if not rl:
+                        continue
+                    r = (io.bit(_CTX_UNI, (first >> 1) & 1) << 1)
+                    r |= io.bit(_CTX_UNI, first & 1)
+                    yy = k0 + r
+                    mag[yy][x] |= 1 << plane
+                    code_sign(x, yy)
+                    y = yy + 1
+                for yy in range(y, k1):
+                    if sig[yy][x] or pi[yy][x]:
+                        continue
+                    hc, vc, dc = nbr_counts(x, yy)
+                    ctx = _zc_ctx(kind, hc, vc, dc)
+                    b = io.bit(ctx, (mag[yy][x] >> plane) & 1)
+                    if b:
+                        mag[yy][x] |= 1 << plane
+                        code_sign(x, yy)
+
+    plane = nplanes - 1
+    done = 0
+    cup(plane)
+    done += 1
+    plane -= 1
+    while done < npasses:
+        for row in pi:
+            for i in range(w):
+                row[i] = 0
+        spp(plane)
+        done += 1
+        if done >= npasses:
+            break
+        mrp(plane)
+        done += 1
+        if done >= npasses:
+            break
+        cup(plane)
+        done += 1
+        plane -= 1
+
+
+def _encode_cblk(coefs: np.ndarray, kind: str,
+                 mb: int) -> tuple[bytes, int, int]:
+    """Code one code-block → (codeword, zero_bitplanes, npasses)."""
+    h, w = coefs.shape
+    mag = np.abs(coefs).astype(np.int64)
+    k = int(mag.max()).bit_length() if mag.size else 0
+    k = max(k, 1)
+    npasses = 3 * k - 2
+    zbp = mb - k
+    enc = _T1Enc()
+    _tier1_run(enc, w, h, kind, k, npasses, mag.tolist(),
+               (coefs < 0).astype(np.int64).tolist())
+    return enc.finish(), zbp, npasses
+
+
+def _decode_cblk(data: bytes, w: int, h: int, kind: str, mb: int,
+                 zbp: int, npasses: int) -> np.ndarray:
+    """Decode one code-block codeword → signed coefficients."""
+    k = mb - zbp
+    if k <= 0 or npasses > 3 * k - 2:
+        raise JpxError(f"inconsistent code-block header (Mb={mb}, "
+                       f"zbp={zbp}, passes={npasses})")
+    mag = [[0] * w for _ in range(h)]
+    sign = [[0] * w for _ in range(h)]
+    dec = _T1Dec(data)
+    _tier1_run(dec, w, h, kind, k, npasses, mag, sign)
+    m = np.asarray(mag, dtype=np.int64).reshape(h, w)
+    s = np.asarray(sign, dtype=np.int64).reshape(h, w)
+    return np.where(s == 1, -m, m)
+
+
+# ----------------------------------------------------- codestream geometry
+
+_GAIN = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
+
+
+def _ll_sizes(x: int, y: int, nl: int) -> list[tuple[int, int]]:
+    """sizes[k] = dims of LL_k (sizes[0] = image)."""
+    sizes = [(x, y)]
+    w, h = x, y
+    for _ in range(nl):
+        w, h = (w + 1) // 2, (h + 1) // 2
+        sizes.append((w, h))
+    return sizes
+
+
+def _band_geometry(x: int, y: int, nl: int):
+    """Per-resolution band list in codestream order:
+    [[("LL", w, h)], [("HL", ...), ("LH", ...), ("HH", ...)], ...]."""
+    sizes = _ll_sizes(x, y, nl)
+    res = [[("LL",) + sizes[nl]]]
+    for r in range(1, nl + 1):
+        lev = nl - r + 1
+        pw, ph = sizes[lev - 1]
+        lw, lh = sizes[lev]
+        res.append([("HL", pw - lw, lh), ("LH", lw, ph - lh),
+                    ("HH", pw - lw, ph - lh)])
+    return res
+
+
+def _cblk_grid(bw: int, bh: int, cb: int) -> tuple[int, int]:
+    if bw <= 0 or bh <= 0:
+        return 0, 0
+    return (bw + cb - 1) // cb, (bh + cb - 1) // cb
+
+
+def _put_npasses(w: _HdrWriter, n: int) -> None:
+    if n == 1:
+        w.put(0)
+    elif n == 2:
+        w.put(1)
+        w.put(0)
+    elif n <= 5:
+        w.put_bits(0b11, 2)
+        w.put_bits(n - 3, 2)
+    elif n <= 36:
+        w.put_bits(0b1111, 4)
+        w.put_bits(n - 6, 5)
+    else:
+        w.put_bits(0b111111111, 9)
+        w.put_bits(n - 37, 7)
+
+
+def _get_npasses(r: _HdrReader) -> int:
+    if not r.get():
+        return 1
+    if not r.get():
+        return 2
+    v = r.get_bits(2)
+    if v < 3:
+        return 3 + v
+    v = r.get_bits(5)
+    if v < 31:
+        return 6 + v
+    return 37 + r.get_bits(7)
+
+
+# -------------------------------------------------------------- encoder
+
+def _rct_forward(r, g, b):
+    yy = (r + 2 * g + b) >> 2
+    return yy, b - g, r - g
+
+
+def _rct_inverse(yy, u, v):
+    g = yy - ((u + v) >> 2)
+    return v + g, g, u + g
+
+
+def _marker(code: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", code, len(payload) + 2) + payload
+
+
+def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5) -> bytes:
+    """(H, W) or (H, W, 3) uint8 → lossless JPEG2000 codestream
+    (profile in the module docstring). ``cb_exp`` is the code-block
+    size exponent (2..10 per the standard; 5 → 32x32)."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        planes = [img.astype(np.int64) - 128]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        r = img[..., 0].astype(np.int64) - 128
+        g = img[..., 1].astype(np.int64) - 128
+        b = img[..., 2].astype(np.int64) - 128
+        planes = list(_rct_forward(r, g, b))
+    else:
+        raise JpxError(f"unsupported image shape {img.shape}")
+    h, w = img.shape[:2]
+    ncomp = len(planes)
+    mct = 1 if ncomp == 3 else 0
+    nl = int(levels)
+    if not (0 <= nl <= 32):
+        raise JpxError(f"bad decomposition levels {nl}")
+    if not (2 <= cb_exp <= 10):
+        raise JpxError(f"bad code-block exponent {cb_exp}")
+    cb = 1 << cb_exp
+
+    # wavelet decompose each component; bands[c][r]["LL"/"HL"/...]
+    geom = _band_geometry(w, h, nl)
+    comp_bands: list[list[dict[str, np.ndarray]]] = []
+    for p in planes:
+        ll = p
+        per_level = []
+        for _ in range(nl):
+            d = _fdwt2(ll)
+            ll = d["LL"]
+            per_level.append(d)
+        by_res = [{"LL": ll}]
+        for r_i in range(1, nl + 1):
+            lev = nl - r_i + 1
+            d = per_level[lev - 1]
+            by_res.append({k: d[k] for k in ("HL", "LH", "HH")})
+        comp_bands.append(by_res)
+
+    # per-band Mb across components (shared QCD)
+    mbs: list[int] = []
+    for r_i, bands in enumerate(geom):
+        for kind, bw, bh in bands:
+            mx = 0
+            for c in range(ncomp):
+                if bw > 0 and bh > 0:
+                    arr = comp_bands[c][r_i][kind]
+                    if arr.size:
+                        mx = max(mx, int(np.abs(arr).max()))
+            mbs.append(max(mx.bit_length(), 1))
+
+    guard = 2
+    out = bytearray()
+    out += struct.pack(">H", 0xFF4F)                       # SOC
+    siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, ncomp)
+    siz += b"\x07\x01\x01" * ncomp                         # 8-bit, 1x1
+    out += _marker(0xFF51, siz)                            # SIZ
+    cod = bytes([0,                                        # Scod
+                 0]) + struct.pack(">H", 1) + bytes([      # LRCP, 1 layer
+                 mct, nl, cb_exp - 2, cb_exp - 2, 0, 1])   # 5/3
+    out += _marker(0xFF52, cod)                            # COD
+    qcd = bytes([guard << 5]) + bytes(
+        [max(m - guard + 1, 0) << 3 for m in mbs])         # eps = Mb-G+1
+    out += _marker(0xFF5C, qcd)                            # QCD
+
+    # tile body: LRCP packets, single layer/tile/precinct
+    body = bytearray()
+    for r_i, bands in enumerate(geom):
+        for c in range(ncomp):
+            hdr = _HdrWriter()
+            datas: list[bytes] = []
+            grids = [(kind, bw, bh) + _cblk_grid(bw, bh, cb)
+                     for kind, bw, bh in bands]
+            if not any(nx * ny for _, _, _, nx, ny in grids):
+                hdr.put(0)
+                body += hdr.flush()
+                continue
+            hdr.put(1)
+            mb_idx = sum(len(g) for g in geom[:r_i])
+            for b_i, (kind, bw, bh, nx, ny) in enumerate(grids):
+                if nx * ny == 0:
+                    continue
+                mb = mbs[mb_idx + b_i]
+                incl = _TagTree(nx, ny)
+                zbpt = _TagTree(nx, ny)
+                arr = comp_bands[c][r_i][kind]
+                blocks = []
+                for by in range(ny):
+                    for bx in range(nx):
+                        sl = arr[by * cb:(by + 1) * cb,
+                                 bx * cb:(bx + 1) * cb]
+                        data, zbp, npasses = _encode_cblk(sl, kind, mb)
+                        blocks.append((by, bx, data, zbp, npasses))
+                        zbpt.set_value(by, bx, zbp)
+                incl.finalize()
+                zbpt.finalize()
+                for by, bx, data, zbp, npasses in blocks:
+                    incl.encode(hdr, by, bx, 1)
+                    zbpt.encode(hdr, by, bx, zbp + 1)
+                    _put_npasses(hdr, npasses)
+                    lblock = 3
+                    nbits = lblock + int(math.log2(npasses))
+                    need = max(len(data).bit_length(), 1)
+                    while need > nbits:
+                        hdr.put(1)
+                        lblock += 1
+                        nbits += 1
+                    hdr.put(0)
+                    hdr.put_bits(len(data), nbits)
+                    datas.append(data)
+            body += hdr.flush()
+            for d in datas:
+                body += d
+    psot = 12 + 2 + len(body)
+    out += _marker(0xFF90, struct.pack(">HIBB", 0, psot, 0, 1))  # SOT
+    out += struct.pack(">H", 0xFF93)                       # SOD
+    out += body
+    out += struct.pack(">H", 0xFFD9)                       # EOC
+    return bytes(out)
+
+
+# -------------------------------------------------------------- decoder
+
+_JP2_SIG = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+
+
+def _unwrap_jp2(data: bytes) -> bytes:
+    """JP2 box container → contiguous-codestream box payload."""
+    pos = 0
+    n = len(data)
+    while pos + 8 <= n:
+        (blen,) = struct.unpack_from(">I", data, pos)
+        btype = data[pos + 4:pos + 8]
+        hdr = 8
+        if blen == 1:
+            (blen,) = struct.unpack_from(">Q", data, pos + 8)
+            hdr = 16
+        elif blen == 0:
+            blen = n - pos
+        if blen < hdr or pos + blen > n:
+            raise JpxError("malformed JP2 box")
+        if btype == b"jp2c":
+            return data[pos + hdr:pos + blen]
+        pos += blen
+    raise JpxError("no jp2c codestream box in JP2 container")
+
+
+def decode_jpx(data: bytes) -> np.ndarray:
+    """JPEG2000 codestream (raw or JP2-wrapped) → (H, W) or (H, W, 3)
+    uint8 array. Raises ``JpxError`` outside the supported profile."""
+    if data[:12] == _JP2_SIG:
+        data = _unwrap_jp2(data)
+    if len(data) < 4 or struct.unpack_from(">H", data, 0)[0] != 0xFF4F:
+        raise JpxError("not a JPEG2000 codestream (missing SOC)")
+    pos = 2
+    n = len(data)
+    w = h = ncomp = None
+    nl = cb_exp = mct = None
+    mbs: list[int] = []
+    tile_body = None
+    while pos + 2 <= n:
+        (mk,) = struct.unpack_from(">H", data, pos)
+        if mk == 0xFFD9:                                   # EOC
+            break
+        if mk == 0xFF93:                                   # stray SOD
+            raise JpxError("SOD before SOT")
+        if pos + 4 > n:
+            raise JpxError("truncated marker segment")
+        (ln,) = struct.unpack_from(">H", data, pos + 2)
+        seg = data[pos + 4:pos + 2 + ln]
+        if mk == 0xFF51:                                   # SIZ
+            rsiz, xs, ys, xo, yo, xt, yt, xto, yto, cs = \
+                struct.unpack_from(">HIIIIIIIIH", seg, 0)
+            if xo or yo or xto or yto:
+                raise JpxError("image/tile offsets unsupported")
+            if xt < xs or yt < ys:
+                raise JpxError("multiple tiles unsupported")
+            w, h, ncomp = xs, ys, cs
+            if w * h > 64_000_000:
+                raise JpxError(f"bad image dims {w}x{h}")
+            for c in range(cs):
+                ssiz, xr, yr = seg[36 + 3 * c:39 + 3 * c]
+                if ssiz != 0x07:
+                    raise JpxError(f"only 8-bit unsigned samples "
+                                   f"(Ssiz={ssiz:#x})")
+                if xr != 1 or yr != 1:
+                    raise JpxError("component subsampling unsupported")
+        elif mk == 0xFF52:                                 # COD
+            scod = seg[0]
+            if scod != 0:
+                raise JpxError(f"precincts/SOP/EPH unsupported "
+                               f"(Scod={scod:#x})")
+            prog = seg[1]
+            (layers,) = struct.unpack_from(">H", seg, 2)
+            mct = seg[4]
+            nl = seg[5]
+            xcb, ycb = seg[6] + 2, seg[7] + 2
+            cbstyle, transform = seg[8], seg[9]
+            if prog != 0:
+                raise JpxError(f"progression order {prog} unsupported")
+            if layers != 1:
+                raise JpxError(f"{layers} quality layers unsupported")
+            if xcb != ycb:
+                raise JpxError("non-square code-blocks unsupported")
+            if cbstyle != 0:
+                raise JpxError(f"code-block style {cbstyle:#x} "
+                               "unsupported")
+            if transform != 1:
+                raise JpxError("9/7 irreversible wavelet unsupported")
+            cb_exp = xcb
+        elif mk == 0xFF5C:                                 # QCD
+            sqcd = seg[0]
+            if sqcd & 0x1F:
+                raise JpxError("quantization unsupported (reversible "
+                               "profile only)")
+            guard = sqcd >> 5
+            mbs = [(b >> 3) + guard - 1 for b in seg[1:]]
+        elif mk in (0xFF53, 0xFF5D, 0xFF5E, 0xFF5F, 0xFF61):
+            raise JpxError(f"marker {mk:#x} (COC/QCC/RGN/POC) "
+                           "unsupported")
+        elif mk == 0xFF90:                                 # SOT
+            isot, psot, tpsot, tnsot = struct.unpack_from(">HIBB", seg, 0)
+            if isot != 0 or tpsot != 0:
+                raise JpxError("multiple tiles/tile-parts unsupported")
+            tpos = pos + 2 + ln
+            # tile header: only SOD expected in this profile
+            (mk2,) = struct.unpack_from(">H", data, tpos)
+            if mk2 != 0xFF93:
+                raise JpxError(f"tile-header marker {mk2:#x} unsupported")
+            start = tpos + 2
+            end = pos + psot if psot else n - 2
+            if end > n:
+                raise JpxError("Psot overruns stream")
+            tile_body = data[start:end]
+            pos = end
+            continue
+        elif mk in (0xFF64, 0xFF55, 0xFF57, 0xFF58, 0xFF60, 0xFF63):
+            pass                                           # COM/TLM/PLM/PPM/CRG
+        else:
+            raise JpxError(f"unknown marker {mk:#x}")
+        pos += 2 + ln
+    if w is None or nl is None or not mbs or tile_body is None:
+        raise JpxError("incomplete codestream (SIZ/COD/QCD/SOT missing)")
+    geom = _band_geometry(w, h, nl)
+    if len(mbs) != sum(len(g) for g in geom):
+        raise JpxError("QCD subband count mismatch")
+    cb = 1 << cb_exp
+
+    # parse packets (LRCP, single layer) and decode code-blocks
+    comp_bands: list[list[dict[str, np.ndarray]]] = [
+        [{} for _ in geom] for _ in range(ncomp)]
+    bpos = 0
+    for r_i, bands in enumerate(geom):
+        for c in range(ncomp):
+            rdr = _HdrReader(tile_body, bpos)
+            grids = [(kind, bw, bh) + _cblk_grid(bw, bh, cb)
+                     for kind, bw, bh in bands]
+            for kind, bw, bh, nx, ny in grids:
+                comp_bands[c][r_i][kind] = np.zeros((max(bh, 0),
+                                                     max(bw, 0)),
+                                                    dtype=np.int64)
+            if not any(nx * ny for _, _, _, nx, ny in grids):
+                rdr.get()          # encoder still emits the 0 bit
+                bpos = rdr.align()
+                continue
+            if not rdr.get():                              # empty packet
+                bpos = rdr.align()
+                continue
+            mb_idx = sum(len(g) for g in geom[:r_i])
+            todo = []
+            for b_i, (kind, bw, bh, nx, ny) in enumerate(grids):
+                if nx * ny == 0:
+                    continue
+                mb = mbs[mb_idx + b_i]
+                incl = _TagTree(nx, ny)
+                zbpt = _TagTree(nx, ny)
+                for by in range(ny):
+                    for bx in range(nx):
+                        if not incl.decode(rdr, by, bx, 1):
+                            continue                       # not included
+                        zbp = zbpt.decode_value(rdr, by, bx)
+                        npasses = _get_npasses(rdr)
+                        lblock = 3
+                        while rdr.get():
+                            lblock += 1
+                        nbits = lblock + int(math.log2(npasses))
+                        dlen = rdr.get_bits(nbits)
+                        todo.append((kind, mb, by, bx, zbp, npasses,
+                                     dlen, bw, bh))
+            bpos = rdr.align()
+            for kind, mb, by, bx, zbp, npasses, dlen, bw, bh in todo:
+                cw = min(cb, bw - bx * cb)
+                ch = min(cb, bh - by * cb)
+                blk = _decode_cblk(tile_body[bpos:bpos + dlen], cw, ch,
+                                   kind, mb, zbp, npasses)
+                comp_bands[c][r_i][kind][by * cb:by * cb + ch,
+                                         bx * cb:bx * cb + cw] = blk
+                bpos += dlen
+
+    # inverse wavelet + color transform
+    sizes = _ll_sizes(w, h, nl)
+    planes = []
+    for c in range(ncomp):
+        ll = comp_bands[c][0]["LL"]
+        for r_i in range(1, nl + 1):
+            lev = nl - r_i + 1
+            pw, ph = sizes[lev - 1]
+            bands = dict(comp_bands[c][r_i])
+            bands["LL"] = ll
+            ll = _idwt2(bands, ph, pw)
+        planes.append(ll)
+    if ncomp == 3 and mct:
+        r, g, b = _rct_inverse(planes[0], planes[1], planes[2])
+        planes = [r, g, b]
+    out = [np.clip(p + 128, 0, 255).astype(np.uint8) for p in planes]
+    if ncomp == 1:
+        return out[0]
+    if ncomp == 3:
+        return np.stack(out, axis=-1)
+    raise JpxError(f"{ncomp}-component images unsupported")

@@ -205,12 +205,18 @@ class MQEncoder:
 
     def flush(self) -> bytes:
         """FLUSH (T.88 §E.3.8): terminate and return the byte stream."""
-        # SETBITS
-        tempc = (self.c + self.a - 1) & 0xFFFF0000
-        if self.c < tempc:
-            self.c = tempc
-        else:
-            self.c = tempc + 0x8000
+        # SETBITS: pick a C' inside the final interval [C, C+A) with
+        # maximal trailing one-bits (so the truncated tail the decoder
+        # refills with 0xFF still lands inside the interval). Filling
+        # the low 16 bits with ones and stepping back 0x8000 if that
+        # overshoots is the 15444-1 software-reference formulation; the
+        # earlier aligned-floor variant chose values OUTSIDE the
+        # interval when C+A-1 straddled a 0x10000 boundary with
+        # A == 0x8000, silently corrupting the last 1-2 decisions.
+        tempc = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
         self.c = (self.c << self.ct) & 0xFFFFFFFF
         self._byteout()
         self.c = (self.c << self.ct) & 0xFFFFFFFF

@@ -89,10 +89,15 @@ class ImageDecoder:
         if blob[:2] == b"\xff\xd8":        # baseline JPEG
             from ..engine.jpeg import decode_baseline_jpeg
             img = decode_baseline_jpeg(blob)
-            if img.ndim == 2:
-                img = np.stack([img] * 3, axis=-1)
-            return img
-        return decode_engine_png(blob)
+        elif blob[:4] in (b"\xffO\xffQ", b"\x00\x00\x00\x0c"):
+            # JPEG2000: raw codestream (SOC+SIZ) or JP2 container
+            from ..engine.jpx import decode_jpx
+            img = decode_jpx(blob)
+        else:
+            return decode_engine_png(blob)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        return img
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()

@@ -1,0 +1,232 @@
+"""JPX / JPEG2000 (engine/jpx.py): lossless round-trip across shapes,
+decomposition levels and code-block sizes, JP2 container unwrap,
+profile-violation errors, and the JPXDecode PDF path end-to-end.
+
+The locked property (module docstring, matching the engine's other
+codecs) is decode(encode(img)) == img exactly — the profile is
+reversible 5/3 + RCT, so lossless equality is the spec.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from pdf2dom_ray.engine.jpx import JpxError, decode_jpx, encode_jpx
+
+
+def _grad(h, w, ch=None):
+    y, x = np.mgrid[0:h, 0:w]
+    g = ((x * 7 + y * 13) % 256).astype(np.uint8)
+    if ch is None:
+        return g
+    return np.stack([(g + 37 * i) % 256 for i in range(ch)],
+                    axis=-1).astype(np.uint8)
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (5, 3), (32, 32), (33, 17),
+                                   (64, 48), (2, 100)])
+@pytest.mark.parametrize("ch", [None, 3])
+def test_roundtrip_shapes(shape, ch):
+    img = _grad(*shape, ch=ch)
+    out = decode_jpx(encode_jpx(img))
+    assert out.dtype == np.uint8
+    assert np.array_equal(out, img)
+
+
+@pytest.mark.parametrize("levels", [0, 1, 2, 3, 5])
+def test_roundtrip_levels(levels):
+    img = _grad(40, 29, ch=3)
+    assert np.array_equal(decode_jpx(encode_jpx(img, levels=levels)), img)
+
+
+@pytest.mark.parametrize("cb_exp", [2, 3, 5, 6])
+def test_roundtrip_codeblock_sizes(cb_exp):
+    # multiple code-blocks per band when cb < band dims
+    img = _grad(37, 41)
+    assert np.array_equal(decode_jpx(encode_jpx(img, cb_exp=cb_exp)), img)
+
+
+def test_roundtrip_random_and_extremes():
+    rng = np.random.default_rng(5)
+    for img in (np.zeros((9, 9), np.uint8),
+                np.full((9, 9), 255, np.uint8),
+                rng.integers(0, 256, (30, 30), dtype=np.uint8),
+                rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)):
+        assert np.array_equal(decode_jpx(encode_jpx(img)), img)
+
+
+def test_encoder_deterministic():
+    img = _grad(20, 31, ch=3)
+    assert encode_jpx(img) == encode_jpx(img)
+
+
+def test_levels_exceeding_dims():
+    # levels > log2(dim): LL collapses to 1x1 and higher bands go empty
+    img = _grad(3, 2)
+    assert np.array_equal(decode_jpx(encode_jpx(img, levels=4)), img)
+
+
+def test_jp2_container_unwrap():
+    img = _grad(12, 12)
+    cs = encode_jpx(img)
+    sig = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+    ftyp = struct.pack(">I", 20) + b"ftypjp2 " + struct.pack(">I", 0) \
+        + b"jp2 "
+    jp2c = struct.pack(">I", 8 + len(cs)) + b"jp2c" + cs
+    assert np.array_equal(decode_jpx(sig + ftyp + jp2c), img)
+
+
+def test_jp2_without_codestream_box_raises():
+    sig = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+    ftyp = struct.pack(">I", 20) + b"ftypjp2 " + struct.pack(">I", 0) \
+        + b"jp2 "
+    with pytest.raises(JpxError, match="jp2c"):
+        decode_jpx(sig + ftyp)
+
+
+def test_not_a_codestream_raises():
+    with pytest.raises(JpxError, match="SOC"):
+        decode_jpx(b"\x89PNG\r\n\x1a\nnot jpeg2000 at all")
+
+
+def _patch_cod(cs: bytes, offset: int, value: int) -> bytes:
+    """Flip one byte inside the COD payload (offset from Scod)."""
+    i = cs.index(b"\xff\x52") + 4
+    out = bytearray(cs)
+    out[i + offset] = value
+    return bytes(out)
+
+
+def test_irreversible_97_rejected():
+    cs = encode_jpx(_grad(8, 8))
+    with pytest.raises(JpxError, match="9/7"):
+        decode_jpx(_patch_cod(cs, 9, 0))          # transform byte
+
+
+def test_multi_layer_rejected():
+    cs = encode_jpx(_grad(8, 8))
+    with pytest.raises(JpxError, match="layers"):
+        decode_jpx(_patch_cod(cs, 3, 2))          # SGcod layers lo byte
+
+
+def test_non_lrcp_progression_rejected():
+    cs = encode_jpx(_grad(8, 8))
+    with pytest.raises(JpxError, match="progression"):
+        decode_jpx(_patch_cod(cs, 1, 2))          # RPCL
+
+
+def test_codeblock_style_rejected():
+    cs = encode_jpx(_grad(8, 8))
+    with pytest.raises(JpxError, match="code-block style"):
+        decode_jpx(_patch_cod(cs, 8, 0x01))       # selective bypass
+
+
+def test_quantization_rejected():
+    cs = encode_jpx(_grad(8, 8))
+    i = cs.index(b"\xff\x5c") + 4
+    out = bytearray(cs)
+    out[i] |= 0x02                                # Sqcd: scalar derived
+    with pytest.raises(JpxError, match="quantization"):
+        decode_jpx(bytes(out))
+
+
+@pytest.mark.parametrize("cut", [3, 20, 60])
+def test_truncated_raises(cut):
+    cs = encode_jpx(_grad(16, 16))
+    with pytest.raises((JpxError, struct.error, IndexError)):
+        decode_jpx(cs[:cut])
+
+
+def test_pdf_with_jpx_gray_image_parses():
+    import base64
+    import re
+
+    from pdf2dom_ray.engine.parse import parse_document
+    from pdf2dom_ray.functions.multimodal import decode_engine_png
+    from pdf2dom_ray.synth.pdfgen import PageSpec, PdfBuilder
+
+    img = _grad(16, 16)
+    b = PdfBuilder(title="jpx-gray")
+    p = PageSpec()
+    p.use_custom_image(
+        "Im0",
+        "/Width 16 /Height 16 /ColorSpace /DeviceGray "
+        "/BitsPerComponent 8 /Filter /JPXDecode",
+        encode_jpx(img), compress=False)
+    p.draw_image("Im0", 100, 600, 64, 64)
+    b.add_page(p)
+    r = parse_document(b.build())
+    assert r.error is None
+    assert r.n_images == 1
+    m = re.search(r'src="data:image/png;base64,([^"]+)"', r.html_dom)
+    assert m, "JPX image must produce a non-empty PNG data URI"
+    png = decode_engine_png(base64.b64decode(m.group(1)))
+    assert png.shape[:2] == (16, 16)
+    exp = np.repeat(img[..., None], 3, axis=-1)
+    assert np.array_equal(png[..., :3], exp)
+
+
+def test_pdf_with_jpx_rgb_image_parses():
+    import base64
+    import re
+
+    from pdf2dom_ray.engine.parse import parse_document
+    from pdf2dom_ray.functions.multimodal import decode_engine_png
+    from pdf2dom_ray.synth.pdfgen import PageSpec, PdfBuilder
+
+    img = _grad(12, 9, ch=3)
+    b = PdfBuilder(title="jpx-rgb")
+    p = PageSpec()
+    p.use_custom_image(
+        "Im0",
+        "/Width 9 /Height 12 /ColorSpace /DeviceRGB "
+        "/BitsPerComponent 8 /Filter /JPXDecode",
+        encode_jpx(img), compress=False)
+    p.draw_image("Im0", 100, 600, 64, 64)
+    b.add_page(p)
+    r = parse_document(b.build())
+    assert r.error is None
+    assert r.n_images == 1
+    m = re.search(r'src="data:image/png;base64,([^"]+)"', r.html_dom)
+    assert m
+    png = decode_engine_png(base64.b64decode(m.group(1)))
+    assert np.array_equal(png[..., :3], img)
+
+
+def test_pdf_with_unsupported_jpx_degrades_to_empty_src():
+    from pdf2dom_ray.engine.parse import parse_document
+    from pdf2dom_ray.synth.pdfgen import PageSpec, PdfBuilder
+
+    cs = _patch_cod(encode_jpx(_grad(8, 8)), 9, 0)   # 9/7: out of profile
+    b = PdfBuilder(title="jpx-97")
+    p = PageSpec()
+    p.use_custom_image(
+        "Im0",
+        "/Width 8 /Height 8 /ColorSpace /DeviceGray "
+        "/BitsPerComponent 8 /Filter /JPXDecode",
+        cs, compress=False)
+    p.draw_image("Im0", 100, 600, 64, 64)
+    b.add_page(p)
+    r = parse_document(b.build())
+    assert r.error is None
+    assert r.n_images == 1
+    assert 'src=""' in r.html_dom
+
+
+def test_pdf_jpx_dims_mismatch_degrades():
+    from pdf2dom_ray.engine.parse import parse_document
+    from pdf2dom_ray.synth.pdfgen import PageSpec, PdfBuilder
+
+    b = PdfBuilder(title="jpx-dims")
+    p = PageSpec()
+    p.use_custom_image(
+        "Im0",
+        "/Width 99 /Height 99 /ColorSpace /DeviceGray "
+        "/BitsPerComponent 8 /Filter /JPXDecode",
+        encode_jpx(_grad(8, 8)), compress=False)
+    p.draw_image("Im0", 100, 600, 64, 64)
+    b.add_page(p)
+    r = parse_document(b.build())
+    assert r.error is None
+    assert 'src=""' in r.html_dom
