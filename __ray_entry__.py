@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_outlinks": _q_html_outlinks,
         "anchor_texts": _q_anchor_texts,
         "pagerank": _q_pagerank,
+        "hits_scores": _q_hits,
         "warc_extract": _q_warc_extract,
         "web_pipeline": _q_web_pipeline,
         "corpus_sample": _q_corpus_sample,
@@ -366,6 +367,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hashed_features": _q_hashed_features,
         "text_quality": _q_quality,
         "token_stats_bpe": _q_bpe_tokens,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "bpe_merges": _q_bpe_merges,              # rows-only (iterative)
         "quality_filter": _q_gopher,
         "repetition_stats": _q_repetition,
         "unigram_logprob": _q_unigram_logprob,
@@ -505,6 +508,7 @@ def oracle_sql() -> dict[str, str]:
             FROM a GROUP BY 1, 2
         """,
         "pagerank": _pagerank_sql(),
+        "hits_scores": _hits_sql(),
         "corpus_sample": _sample_sql(),
         # planted mess: ' Cafe'+chr(769)+'  '+chr(7)+' fin' (see
         # _MESS_SUFFIX); NFC composes the accent, the BEL is stripped,
@@ -1094,6 +1098,27 @@ def oracle_sql() -> dict[str, str]:
                         x -> trim(x) <> '')) AS BIGINT) AS n_bpe_tokens
             FROM documents
         """,
+        "bpe_pair_counts": f"""
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(text,
+                            '{_BPE_SQL_PATTERN}')) AS w
+              FROM documents
+            ), words AS (
+              SELECT w, COUNT(*) AS n FROM toks
+              WHERE trim(w) <> '' GROUP BY w
+            ), pos AS (
+              SELECT w, n,
+                     unnest(generate_series(1, length(w) - 1)) AS i
+              FROM words
+            ), pairs AS (
+              SELECT substr(w, CAST(i AS INTEGER), 1) AS lhs,
+                     substr(w, CAST(i AS INTEGER) + 1, 1) AS rhs, n
+              FROM pos
+            )
+            SELECT lhs, rhs, CAST(SUM(n) AS BIGINT) AS pair_count
+            FROM pairs GROUP BY lhs, rhs
+            ORDER BY pair_count DESC, lhs, rhs LIMIT 50
+        """,
         "quality_filter": f"""
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
                               length(text) AS L FROM documents),
@@ -1595,6 +1620,25 @@ def _pagerank_sql() -> str:
              f"'https://docs.synth.test' || path AS target "
              f"FROM ({_LINKS_SQL}) l")
     return pagerank_oracle_sql(edges, iterations=5)
+
+
+def _hits_sql() -> str:
+    from pdf2dom_ray.functions.hits import hits_oracle_sql
+    edges = (f"SELECT {_URL_SQL} AS src, "
+             f"'https://docs.synth.test' || path AS target "
+             f"FROM ({_LINKS_SQL}) l")
+    return hits_oracle_sql(edges, iterations=4)
+
+
+def _q_hits(sf_dir: str):
+    """Distributed HITS hubs/authorities (4 fixed-point iterations,
+    divide-by-ceil int64 normalization) over the same canonicalized
+    outlink graph as the pagerank query."""
+    from pdf2dom_ray.functions.hits import hits
+    from pdf2dom_ray.pipelines.html_extract import (extract_outlinks_ds,
+                                                    synth_html_pages)
+    return hits(extract_outlinks_ds(synth_html_pages(sf_dir)),
+                iterations=4)
 
 
 def _q_pagerank(sf_dir: str):
@@ -2172,6 +2216,19 @@ def _q_quality(sf_dir: str):
 def _q_bpe_tokens(sf_dir: str):
     from pdf2dom_ray.functions.text_stats import bpe_token_count
     return bpe_token_count(_documents(sf_dir))
+
+
+def _q_bpe_pair_counts(sf_dir: str):
+    from pdf2dom_ray.functions.bpe import initial_pair_counts
+    return initial_pair_counts(_documents(sf_dir), top=50)
+
+
+def _q_bpe_merges(sf_dir: str):
+    """Learned BPE merge table (rank, lhs, rhs, pair_count). Iterative
+    merge selection has no SQL twin — locked exactly against the
+    single-process classic reference in tests/test_bpe.py instead."""
+    from pdf2dom_ray.functions.bpe import learn_bpe
+    return learn_bpe(_documents(sf_dir), num_merges=24, min_count=2)
 
 
 def _q_gopher(sf_dir: str):

@@ -173,6 +173,7 @@ def run_bench() -> dict:
                  "stale_urls", "events_hopping_window",
                  "bloom_semijoin", "cms_token_counts",
                  "dsir_weights", "semdedup", "customer_distribution",
+                 "bpe_pair_counts", "hits_scores",
                  "image_phash_dedup", "distinct_users_by_type",
                  "snapshot_diff", "funnel_steps", "events_rollup",
                  "event_transitions", "anchor_texts", "ann_pq_topk",
