@@ -124,6 +124,8 @@ def stale_urls(ds: rd.Dataset, *, key: str = "url",
         ray.is_initialized() else 8
     n_part = max(2, min(16, ncpu // 2))
     new = new.repartition(min(n_part, n_new))
+    from .dedup import join_ready
+    old = join_ready(old, n_part)     # left side too: groupby output
     out = old.join(new, join_type="left_anti",
                    num_partitions=n_part,
                    on=(key,), right_on=("latest_key",))

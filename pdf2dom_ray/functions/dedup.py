@@ -139,6 +139,21 @@ def _to_arrow_blocks(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(lambda t: t, batch_format="pyarrow")
 
 
+def join_ready(ds: rd.Dataset, n_part: int) -> rd.Dataset:
+    """Prepare a narrow dataset to be a hash-join input.
+
+    Ray's hash-shuffle join finalize fails with "No match ... for key
+    field reference" when a partition is fed only schema-less empty
+    blocks (sort-aggregate / chained-join artifacts; which partition
+    gets them is load- and order-dependent, so it flakes). Coerce to
+    Arrow, materialize, and even-repartition to at most one block per
+    row so no input block is empty. Only for narrow (combined /
+    key-level) tables — never payload-bearing ones.
+    """
+    out = _to_arrow_blocks(ds).materialize()
+    return out.repartition(max(1, min(n_part, out.count())))
+
+
 def _star_edges(rows: rd.Dataset, key_cols: list[str],
                 num_partitions: int = 64) -> rd.Dataset:
     """(doc_id, *key_cols) bucket-membership rows → star edges
@@ -244,10 +259,17 @@ def connected_component_labels(edges: rd.Dataset, *,
                          "label": pa.array(lab["dst"], pa.int64())})
 
     from ray.data.aggregate import Min
+    # even-repartition both join sides: a hash partition fed only
+    # schema-less empty groupby blocks makes the join's finalize fail
+    # with "No match for key field" (see pagerank.py / hits.py)
+    sym_edges = sym_edges.repartition(
+        min(n_part, max(1, 2 * n_edges))).materialize()
     labels = _to_arrow_blocks(
         sym_edges.map_batches(init_labels, batch_format="pandas")
         .groupby("node").aggregate(Min("label", alias_name="label"))
     ).materialize()
+    npn = min(n_part, max(1, labels.count()))
+    labels = labels.repartition(npn).materialize()
     prev_sum = None
     for _ in range(max_rounds):
         cur = labels.sum("label")
@@ -262,7 +284,7 @@ def connected_component_labels(edges: rd.Dataset, *,
         labels = _to_arrow_blocks(
             cand.union(labels)
             .groupby("node").aggregate(Min("label", alias_name="label"))
-        ).materialize()
+        ).repartition(npn).materialize()
     return labels.rename_columns({"node": "doc_id", "label": "cluster_id"})
 
 

@@ -98,15 +98,24 @@ def pagerank(edges: rd.Dataset, *, iterations: int = 5,
     if n_edges <= driver_edge_limit:
         return _pagerank_driver(e, iterations, scale)
     n_part = _n_partitions()
+    # Ray's hash join rejects 0-row input blocks on either side, and
+    # the streaming executor picks block boundaries adaptively (run-
+    # order-dependent) — even-repartition every narrow join side so
+    # no input block is empty (see crawl.py / cohort.py / hits.py)
+    e = e.repartition(min(n_part, n_edges)).materialize()
 
     outdeg = _to_arrow_blocks(
-        e.groupby("src").aggregate(Count(alias_name="outdeg")))
+        e.groupby("src").aggregate(Count(alias_name="outdeg"))
+    ).materialize()
+    outdeg = outdeg.repartition(min(n_part, max(1, outdeg.count())))
     srcs = e.select_columns(["src"]).rename_columns({"src": "url"})
     tgts = e.select_columns(["target"]).rename_columns({"target": "url"})
-    nodes = _distinct(srcs.union(tgts), ["url"])
+    nodes = _distinct(srcs.union(tgts), ["url"]).materialize()
+    npn = min(n_part, max(1, nodes.count()))
+    nodes = nodes.repartition(npn)
     # node state: (url, outdeg, rank); outdeg 0 = dangling
     state = nodes.join(outdeg, join_type="left_outer",
-                       num_partitions=n_part, on=("url",),
+                       num_partitions=npn, on=("url",),
                        right_on=("src",))
 
     def init_rank(t: pa.Table) -> pa.Table:
@@ -118,8 +127,8 @@ def pagerank(edges: rd.Dataset, *, iterations: int = 5,
             "rank": pa.array([scale] * len(t), pa.int64()),
         })
 
-    ranks = state.map_batches(init_rank,
-                              batch_format="pyarrow").materialize()
+    ranks = _to_arrow_blocks(state.map_batches(
+        init_rank, batch_format="pyarrow")).repartition(npn).materialize()
     n_nodes = ranks.count()
     if n_nodes == 0:
         return ranks.select_columns(["url", "rank"])
@@ -142,10 +151,12 @@ def pagerank(edges: rd.Dataset, *, iterations: int = 5,
             }), batch_format="pyarrow")
         in_sums = _to_arrow_blocks(
             contrib.groupby("target").aggregate(
-                Sum("contrib", alias_name="in_sum")))
+                Sum("contrib", alias_name="in_sum"))).materialize()
+        in_sums = in_sums.repartition(
+            min(n_part, max(1, in_sums.count())))
 
         new = ranks.join(in_sums, join_type="left_outer",
-                         num_partitions=n_part, on=("url",),
+                         num_partitions=npn, on=("url",),
                          right_on=("target",))
 
         def update(t: pa.Table, _base=base, _share=dang_share) -> pa.Table:
@@ -159,8 +170,8 @@ def pagerank(edges: rd.Dataset, *, iterations: int = 5,
                              "outdeg": t.column("outdeg").cast(pa.int64()),
                              "rank": rank.cast(pa.int64())})
 
-        ranks = new.map_batches(update,
-                                batch_format="pyarrow").materialize()
+        ranks = _to_arrow_blocks(new.map_batches(
+            update, batch_format="pyarrow")).repartition(npn).materialize()
 
     return ranks.select_columns(["url", "rank"])
 

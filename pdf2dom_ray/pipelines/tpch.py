@@ -89,11 +89,15 @@ def q3_top_unshipped(sf_dir: str, *, segment: str = "BUILDING",
         orders = orders.map_batches(InSegment, batch_format="pyarrow",
                                     concurrency=(1, 4))
     else:
-        orders = orders.join(cust, join_type="left_semi",
+        from ..functions.dedup import join_ready
+        orders = orders.join(join_ready(cust, _n_partitions()),
+                             join_type="left_semi",
                              num_partitions=_n_partitions(),
                              on=("o_custkey",), right_on=("c_custkey",)) \
             .select_columns(["o_orderkey", "o_orderdate",
                              "o_orderpriority"])
+        # chained-join hazard: this join's output feeds the next join
+        orders = join_ready(orders, _n_partitions())
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -246,10 +250,14 @@ def q5_local_supplier_volume(sf_dir: str, *, region: str = "ASIA",
                                     batch_format="pyarrow",
                                     concurrency=(1, 4))
     else:
-        orders = orders.join(cust, join_type="inner",
+        from ..functions.dedup import join_ready
+        orders = orders.join(join_ready(cust, _n_partitions()),
+                             join_type="inner",
                              num_partitions=_n_partitions(),
                              on=("o_custkey",), right_on=("c_custkey",)) \
             .select_columns(["o_orderkey", "c_nationkey"])
+        # chained-join hazard: this join's output feeds the next join
+        orders = join_ready(orders, _n_partitions())
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_suppkey",
