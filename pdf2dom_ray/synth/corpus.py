@@ -15,10 +15,12 @@ Rules (all deterministic, seedless):
 * embedded TTF  = used when doc_id % 11 == 5 (exercises the FontTable)
 * bare CFF      = when doc_id % 13 == 7 (and not TTF) — WOFF conversion
 * image         = one 8×8 RGB image when doc_id % 7 == 3
-  (stored as DCT/baseline-JPEG when additionally doc_id % 3 == 1,
-  Flate PNG-raster otherwise — exercises engine/jpeg.py in the
-  flagship pipeline; the decoded <img> PNG differs only by the JPEG
-  quantization roundtrip, n_images is unchanged)
+  (stored as DCT/baseline-JPEG when additionally doc_id % 3 == 1 —
+  exercises engine/jpeg.py; as lossless JPEG2000/JPXDecode when
+  doc_id % 3 == 2 — exercises engine/jpx.py; Flate raster otherwise.
+  JPX decode is bit-exact so its <img> PNG is byte-identical to the
+  Flate form; the DCT one differs only by the JPEG quantization
+  roundtrip. n_images is unchanged by the codec choice)
 * filled rect   = when doc_id % 5 == 2
 * malformed     = truncated garbage payload when doc_id % 97 == 13
 * encrypted     = standard security handler, empty user password:
@@ -41,7 +43,7 @@ __all__ = ["WORDS_PER_LINE", "LINES_PER_PAGE", "URL_PREFIX",
 WORDS_PER_LINE = 10
 LINES_PER_PAGE = 40
 URL_PREFIX = "https://docs.synth.test/"
-CORPUS_VERSION = 3  # bump when generation rules change (bench cache key)
+CORPUS_VERSION = 4  # bump when generation rules change (bench cache key)
 _EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
 
 PALETTE = [(0, 0, 0), (0.2, 0.4, 0.6), (0.8, 0.1, 0.1),
@@ -79,6 +81,10 @@ def uses_cff_font(doc_id: int) -> bool:
 
 def uses_dct_image(doc_id: int) -> bool:
     return has_image(doc_id) and doc_id % 3 == 1
+
+
+def uses_jpx_image(doc_id: int) -> bool:
+    return has_image(doc_id) and doc_id % 3 == 2
 
 
 def encryption_method(doc_id: int) -> str | None:
@@ -125,6 +131,8 @@ def doc_to_pdf(doc_id: int, text: str) -> bytes:
         if pi == 0 and has_image(doc_id):
             if uses_dct_image(doc_id):
                 p.use_jpeg_image("Im0", synth_image(doc_id), quality=90)
+            elif uses_jpx_image(doc_id):
+                p.use_jpx_image("Im0", synth_image(doc_id))
             else:
                 p.use_image("Im0", synth_image(doc_id))
             p.draw_image("Im0", 480, 700, 64, 64)

@@ -161,6 +161,12 @@ class PageSpec:
             "quality": quality, "subsampling": subsampling,
             "progressive": progressive}
 
+    def use_jpx_image(self, res_name: str, rgb: np.ndarray) -> None:
+        """Embed an image XObject with /Filter /JPXDecode (lossless
+        JPEG2000 via engine.jpx — deterministic, decoded pixels are
+        bit-identical to ``rgb``)."""
+        self.images[res_name] = {"jpx": np.ascontiguousarray(rgb, np.uint8)}
+
     def use_custom_image(self, res_name: str, dict_extra: str,
                          data: bytes, compress: bool = True,
                          smask: tuple | None = None) -> None:
@@ -455,6 +461,18 @@ class PdfBuilder:
                             f"/BitsPerComponent 1 /Filter /CCITTFaxDecode "
                             f"/DecodeParms << /K {kk} /Columns {w} "
                             f"/Rows {h} >> "
+                            f"/Length {len(data)} >>").encode()
+                            + b"\nstream\n" + data + b"\nendstream")
+                    elif "jpx" in spec:
+                        from ..engine.jpx import encode_jpx
+                        rgb = spec["jpx"]
+                        h, w = rgb.shape[:2]
+                        data = encode_jpx(rgb)
+                        cs = "/DeviceGray" if rgb.ndim == 2 else "/DeviceRGB"
+                        num = add((
+                            f"<< /Type /XObject /Subtype /Image /Width {w} "
+                            f"/Height {h} /ColorSpace {cs} "
+                            f"/BitsPerComponent 8 /Filter /JPXDecode "
                             f"/Length {len(data)} >>").encode()
                             + b"\nstream\n" + data + b"\nendstream")
                     elif "jpeg" in spec:
