@@ -451,18 +451,46 @@ def _simhash_edges(band_rows: rd.Dataset, hamming_thresh: int,
         return df.assign(__part=(h % num_partitions).astype("int64"))
 
     def edges(g: pd.DataFrame) -> pa.Table:
+        """Per bucket: exact local connected components of the
+        verified (ham <= t) subgraph, emitted as <= m-1 star edges to
+        each component's min doc id — NOT the O(m^2) verified pair
+        list. Global components are identical (every qualifying pair
+        shares >= 1 bucket by pigeonhole, and within that bucket the
+        pair lands in one local component, which the star edges span).
+        Identical signatures collapse to one representative before the
+        pairwise popcount, bounding the quadratic step by DISTINCT
+        sigs per bucket (a giant identical-content bucket costs O(m))."""
         out_a, out_b = [], []
+        imax = np.iinfo(np.int64).max
         for _, grp in g.groupby(key_cols, sort=False):
             if len(grp) < 2:
                 continue
             ids = grp["doc_id"].to_numpy(dtype=np.int64)
             sigs = grp["sig"].to_numpy(dtype=np.int64).view(np.uint64)
-            iu, ju = np.triu_indices(len(ids), k=1)
-            hd = _popcount64(sigs[iu] ^ sigs[ju])
+            sig_u, inv = np.unique(sigs, return_inverse=True)
+            md = len(sig_u)
+            iu, ju = np.triu_indices(md, k=1)
+            hd = _popcount64(sig_u[iu] ^ sig_u[ju])
             keep = hd <= hamming_thresh
-            a, b = ids[iu[keep]], ids[ju[keep]]
-            out_a.append(np.minimum(a, b))
-            out_b.append(np.maximum(a, b))
+            pi, pj = iu[keep], ju[keep]
+            # vectorized hash-min local CC over distinct sigs
+            lab = np.arange(md, dtype=np.int64)
+            while True:
+                old = lab.copy()
+                np.minimum.at(lab, pj, lab[pi])
+                np.minimum.at(lab, pi, lab[pj])
+                lab = np.minimum(lab, lab[lab])   # pointer jump
+                if np.array_equal(lab, old):
+                    break
+            rep = np.full(md, imax, dtype=np.int64)   # min doc per sig
+            np.minimum.at(rep, inv, ids)
+            comp = np.full(md, imax, dtype=np.int64)  # min doc per comp
+            np.minimum.at(comp, lab, rep)
+            hub = comp[lab][inv]                      # per member
+            mask = hub != ids
+            if mask.any():
+                out_a.append(hub[mask])
+                out_b.append(ids[mask])
         if not out_a:
             out_a, out_b = [np.array([], dtype=np.int64)], \
                            [np.array([], dtype=np.int64)]
