@@ -7,8 +7,13 @@ T.6/G4 codec (``engine/ccitt.py``) — JBIG2's MMR mode *is* T.6 coding
 (ITU-T T.88 §6.2.6) — and arithmetic-coded generic regions (templates
 0-3, generalized AT pixels, TPGDON typical prediction, T.88 §6.2.5)
 decode through the engine MQ coder (``engine/mq.py``). Symbol
-dictionaries / text regions and halftones raise ``Jbig2Error`` with
-the specific reason and degrade upstream to the honest
+dictionaries and text regions (T.88 §6.5/§6.4 — the dominant real-
+world JBIG2 mode for scanned text) decode via the Annex-A integer
+arithmetic procedures (IADH/IADW/IAEX/IADT/IAFS/IADS/IAIT/IAID), all
+four reference corners, transposed placement, SBSTRIPS strips and
+shared per-dictionary generic contexts. Huffman-coded (SDHUFF/SBHUFF)
+and refinement/aggregate variants, and halftones, raise ``Jbig2Error``
+with the specific reason and degrade upstream to the honest
 ``UnsupportedImageError`` → ``<img src="">`` path, mirroring how the
 reference surfaces unsupported codecs (``ImageUtils.java:11-54``
 returns null → empty image resource).
@@ -32,7 +37,7 @@ import struct
 import numpy as np
 
 __all__ = ["Jbig2Error", "decode_jbig2", "encode_jbig2_mmr",
-           "encode_jbig2_arith"]
+           "encode_jbig2_arith", "encode_jbig2_text_page"]
 
 
 class Jbig2Error(Exception):
@@ -50,7 +55,7 @@ _HALFTONE = (20, 22, 23)
 
 
 def _parse_segment_headers(data: bytes, offset: int = 0):
-    """Yield (seg_num, seg_type, page, payload) per segment."""
+    """Yield (seg_num, seg_type, refs, page, payload) per segment."""
     n = len(data)
     pos = offset
     while pos < n:
@@ -69,6 +74,14 @@ def _parse_segment_headers(data: bytes, offset: int = 0):
         else:
             pos += 1
         ref_size = 1 if seg_num <= 256 else (2 if seg_num <= 65536 else 4)
+        refs = []
+        for i in range(count):
+            if ref_size == 1:
+                refs.append(data[pos + i])
+            elif ref_size == 2:
+                refs.append(struct.unpack_from(">H", data, pos + 2 * i)[0])
+            else:
+                refs.append(struct.unpack_from(">I", data, pos + 4 * i)[0])
         pos += count * ref_size
 
         if page_assoc_4:
@@ -83,7 +96,7 @@ def _parse_segment_headers(data: bytes, offset: int = 0):
             raise Jbig2Error("unknown segment data length")
         if pos + length > n:
             raise Jbig2Error(f"segment {seg_num} data overruns stream")
-        yield seg_num, seg_type, page, data[pos:pos + length]
+        yield seg_num, seg_type, refs, page, data[pos:pos + length]
         pos += length
 
 
@@ -124,13 +137,20 @@ def _template_pixels(template: int, at: list[tuple[int, int]]):
 
 def _decode_generic_arith(data: bytes, w: int, h: int, template: int,
                           at: list[tuple[int, int]],
-                          tpgdon: bool) -> np.ndarray:
-    """Arithmetic generic region decoding procedure (T.88 §6.2.5.7)."""
+                          tpgdon: bool, *, dec=None,
+                          cx: list[int] | None = None) -> np.ndarray:
+    """Arithmetic generic region decoding procedure (T.88 §6.2.5.7).
+
+    ``dec``/``cx`` let a symbol dictionary share ONE arithmetic
+    decoder and generic context across all its symbols (§6.5.8.1).
+    """
     from .mq import MQDecoder
     pix = _template_pixels(template, at)
     nbits = len(pix)
-    dec = MQDecoder(data)
-    cx = [0] * (1 << nbits)
+    if dec is None:
+        dec = MQDecoder(data)
+    if cx is None:
+        cx = [0] * (1 << nbits)
     ltp = 0
     sltp_ctx = _TPGDON_CTX[template]
     rows = [[0] * w for _ in range(h)]   # python lists for the hot loop
@@ -198,6 +218,299 @@ def _decode_generic_region(payload: bytes) -> tuple[int, int, int, int,
     return x, y, w, h, comb, bitmap
 
 
+# ------------------------------------------------- Annex A integer coding
+
+_OOB = None  # out-of-band marker
+
+
+def _int_ranges():
+    return ((0, 2, 0), (2, 4, 4), (6, 6, 20), (14, 8, 84),
+            (30, 12, 340), (31, 32, 4436))
+
+
+def _decode_int(dec, cx: list[int]):
+    """IAx integer arithmetic decoding (T.88 Annex A.2) → int or OOB
+    (None). ``cx`` is the procedure's 512-state context array."""
+    prev = 1
+
+    def bit() -> int:
+        nonlocal prev
+        b = dec.decode(cx, prev)
+        prev = ((prev << 1) | b) if prev < 256 else \
+            ((((prev << 1) | b) & 511) | 256)
+        return b
+
+    s = bit()
+    if not bit():
+        n, off = 2, 0
+    elif not bit():
+        n, off = 4, 4
+    elif not bit():
+        n, off = 6, 20
+    elif not bit():
+        n, off = 8, 84
+    elif not bit():
+        n, off = 12, 340
+    else:
+        n, off = 32, 4436
+    v = 0
+    for _ in range(n):
+        v = (v << 1) | bit()
+    v += off
+    if s and v == 0:
+        return _OOB
+    return -v if s else v
+
+
+def _encode_int(enc, cx: list[int], value) -> None:
+    """Inverse of ``_decode_int`` (bit-exact context chain)."""
+    prev = 1
+
+    def bit(b: int) -> None:
+        nonlocal prev
+        enc.encode(cx, prev, b)
+        prev = ((prev << 1) | b) if prev < 256 else \
+            ((((prev << 1) | b) & 511) | 256)
+
+    if value is _OOB:
+        s, v = 1, 0
+    else:
+        s, v = (1, -value) if value < 0 else (0, value)
+    bit(s)
+    if v < 4:
+        prefix, n, off = [0], 2, 0
+    elif v < 20:
+        prefix, n, off = [1, 0], 4, 4
+    elif v < 84:
+        prefix, n, off = [1, 1, 0], 6, 20
+    elif v < 340:
+        prefix, n, off = [1, 1, 1, 0], 8, 84
+    elif v < 4436:
+        prefix, n, off = [1, 1, 1, 1, 0], 12, 340
+    else:
+        prefix, n, off = [1, 1, 1, 1, 1], 32, 4436
+    for b in prefix:
+        bit(b)
+    rem = v - off
+    for i in range(n - 1, -1, -1):
+        bit((rem >> i) & 1)
+
+
+def _decode_iaid(dec, cx: list[int], symcodelen: int) -> int:
+    """IAID decoding (T.88 A.3): fixed-length symbol-ID tree."""
+    prev = 1
+    for _ in range(symcodelen):
+        prev = (prev << 1) | dec.decode(cx, prev)
+    return prev - (1 << symcodelen)
+
+
+def _encode_iaid(enc, cx: list[int], symcodelen: int, value: int) -> None:
+    prev = 1
+    for i in range(symcodelen - 1, -1, -1):
+        b = (value >> i) & 1
+        enc.encode(cx, prev, b)
+        prev = (prev << 1) | b
+
+
+def _symcodelen(n_syms: int) -> int:
+    return max(1, (max(n_syms, 2) - 1).bit_length()) if n_syms > 1 else 0
+
+
+# --------------------------------------------- symbol dict / text region
+
+def _decode_symbol_dict(payload: bytes) -> list[np.ndarray]:
+    """Symbol dictionary segment (type 0, T.88 §6.5/§7.4.3) →
+    exported symbol bitmaps. Arithmetic generic coding only (SDHUFF /
+    refinement-aggregate raise)."""
+    from .mq import MQDecoder
+    if len(payload) < 2:
+        raise Jbig2Error("truncated symbol dictionary flags")
+    (flags,) = struct.unpack_from(">H", payload, 0)
+    sdhuff = flags & 1
+    refagg = (flags >> 1) & 1
+    template = (flags >> 10) & 3
+    if sdhuff:
+        raise Jbig2Error("Huffman symbol dictionary unsupported")
+    if refagg:
+        raise Jbig2Error("refinement/aggregate symbol coding unsupported")
+    pos = 2
+    n_at = 4 if template == 0 else 1
+    if len(payload) < pos + 2 * n_at + 8:
+        raise Jbig2Error("truncated symbol dictionary")
+    at = []
+    for i in range(n_at):
+        ax = struct.unpack_from(">b", payload, pos)[0]
+        ay = struct.unpack_from(">b", payload, pos + 1)[0]
+        at.append((ax, ay))
+        pos += 2
+    n_ex, n_new = struct.unpack_from(">II", payload, pos)
+    pos += 8
+    if n_new > 100_000 or n_ex > 100_000:
+        raise Jbig2Error("implausible symbol counts")
+
+    dec = MQDecoder(payload[pos:])
+    iadh: list[int] = [0] * 512
+    iadw: list[int] = [0] * 512
+    iaex: list[int] = [0] * 512
+    gen_cx = [0] * (1 << len(_template_pixels(template, at)))
+    new_syms: list[np.ndarray] = []
+    hcheight = 0
+    while len(new_syms) < n_new:
+        dh = _decode_int(dec, iadh)
+        if dh is _OOB:
+            raise Jbig2Error("OOB height-class delta")
+        hcheight += dh
+        if hcheight <= 0 or hcheight > 10_000:
+            raise Jbig2Error(f"bad symbol height {hcheight}")
+        symwidth = 0
+        while True:
+            dw = _decode_int(dec, iadw)
+            if dw is _OOB:
+                break                      # end of height class
+            symwidth += dw
+            if symwidth <= 0 or symwidth > 10_000:
+                raise Jbig2Error(f"bad symbol width {symwidth}")
+            if len(new_syms) >= n_new:
+                raise Jbig2Error("symbol count overrun")
+            bmp = _decode_generic_arith(b"", symwidth, hcheight,
+                                        template, at, False,
+                                        dec=dec, cx=gen_cx)
+            new_syms.append(bmp)
+
+    # export flags: alternating runs over (input ++ new) symbols; this
+    # decoder supports dictionaries without imported symbols
+    exported: list[np.ndarray] = []
+    i = 0
+    exflag = 1 == 0
+    total = len(new_syms)
+    while i < total and len(exported) < n_ex:
+        run = _decode_int(dec, iaex)
+        if run is _OOB or run < 0:
+            raise Jbig2Error("bad export run length")
+        if exflag:
+            exported.extend(new_syms[i:i + run])
+        i += run
+        exflag = not exflag
+    if len(exported) != n_ex:
+        raise Jbig2Error("exported symbol count mismatch")
+    return exported
+
+
+def _decode_text_region(payload: bytes, syms: list[np.ndarray]):
+    """Text region segment (types 4/6/7, T.88 §6.4/§7.4.4) →
+    (x, y, w, h, comb, bitmap). Arithmetic, non-refining only."""
+    from .mq import MQDecoder
+    if len(payload) < 17 + 2 + 4:
+        raise Jbig2Error("truncated text region")
+    w, h, x, y = struct.unpack_from(">IIII", payload, 0)
+    comb = payload[16] & 0x07
+    (tflags,) = struct.unpack_from(">H", payload, 17)
+    sbhuff = tflags & 1
+    sbrefine = (tflags >> 1) & 1
+    logsbstrips = (tflags >> 2) & 3
+    refcorner = (tflags >> 4) & 3
+    transposed = (tflags >> 6) & 1
+    sbcombop = (tflags >> 7) & 3
+    sbdefpixel = (tflags >> 9) & 1
+    sbdsoffset = (tflags >> 10) & 0x1F
+    if sbdsoffset > 15:
+        sbdsoffset -= 32                   # 5-bit two's complement
+    if sbhuff:
+        raise Jbig2Error("Huffman text region unsupported")
+    if sbrefine:
+        raise Jbig2Error("refining text region unsupported")
+    if w == 0 or h == 0 or w * h > 64_000_000:
+        raise Jbig2Error(f"bad text region dims {w}x{h}")
+    if not syms:
+        raise Jbig2Error("text region without symbol dictionary")
+    (n_inst,) = struct.unpack_from(">I", payload, 19)
+    pos = 23
+
+    sbstrips = 1 << logsbstrips
+    symcodelen = _symcodelen(len(syms))
+    dec = MQDecoder(payload[pos:])
+    iadt: list[int] = [0] * 512
+    iafs: list[int] = [0] * 512
+    iads: list[int] = [0] * 512
+    iait: list[int] = [0] * 512
+    iaid_cx: list[int] = [0] * (1 << (symcodelen + 1))
+
+    bitmap = np.full((h, w), sbdefpixel, dtype=np.uint8)
+
+    def draw(sym: np.ndarray, xs: int, yt: int) -> None:
+        sh, sw = sym.shape
+        x0, y0 = max(xs, 0), max(yt, 0)
+        x1, y1 = min(xs + sw, w), min(yt + sh, h)
+        if x0 >= x1 or y0 >= y1:
+            return
+        win = bitmap[y0:y1, x0:x1]
+        cut = sym[y0 - yt:y1 - yt, x0 - xs:x1 - xs]
+        if sbcombop == 0:
+            win |= cut
+        elif sbcombop == 1:
+            win &= cut
+        elif sbcombop == 2:
+            win ^= cut
+        else:
+            win[...] = 1 - (win ^ cut)
+
+    stript = _decode_int(dec, iadt)
+    if stript is _OOB:
+        raise Jbig2Error("OOB STRIPT")
+    stript = -stript * sbstrips
+    firsts = 0
+    n_done = 0
+    while n_done < n_inst:
+        dt = _decode_int(dec, iadt)
+        if dt is _OOB:
+            raise Jbig2Error("OOB strip DT")
+        stript += dt * sbstrips
+        dfs = _decode_int(dec, iafs)
+        if dfs is _OOB:
+            raise Jbig2Error("OOB first S")
+        firsts += dfs
+        curs = firsts
+        first = True
+        while True:
+            if not first:
+                ids = _decode_int(dec, iads)
+                if ids is _OOB:
+                    break                  # end of strip
+                curs += ids + sbdsoffset
+            first = False
+            curt = 0 if sbstrips == 1 else _decode_int(dec, iait)
+            ti = stript + curt
+            sid = _decode_iaid(dec, iaid_cx, symcodelen)
+            if sid >= len(syms):
+                raise Jbig2Error(f"symbol id {sid} out of range")
+            sym = syms[sid]
+            sh, sw = sym.shape
+            if transposed:
+                # S runs down the page, T across; "bottom" corners
+                # advance CURS before drawing (T.88 6.4.5 step 3c iv)
+                x_off = ti - (sw - 1 if refcorner in (2, 3) else 0)
+                if refcorner in (0, 2):    # BL/BR: advance before
+                    curs += sh - 1
+                    draw(sym, x_off, curs - sh + 1)
+                else:                      # TL/TR: advance after
+                    draw(sym, x_off, curs)
+                    curs += sh - 1
+            else:
+                # S runs across, T down; "right" corners advance
+                # CURS before drawing (step 3c iv)
+                y_off = ti - (sh - 1 if refcorner in (0, 2) else 0)
+                if refcorner in (2, 3):    # BR/TR: advance before
+                    curs += sw - 1
+                    draw(sym, curs - sw + 1, y_off)
+                else:                      # BL/TL: advance after
+                    draw(sym, curs, y_off)
+                    curs += sw - 1
+            n_done += 1
+            if n_done > n_inst:
+                raise Jbig2Error("instance count overrun")
+    return x, y, w, h, comb, bitmap
+
+
 def decode_jbig2(data: bytes, *, globals_data: bytes = b"",
                  width: int | None = None,
                  height: int | None = None) -> np.ndarray:
@@ -212,11 +525,13 @@ def decode_jbig2(data: bytes, *, globals_data: bytes = b"",
     default_black = False
     page: np.ndarray | None = None
     regions: list[tuple[int, int, int, int, int, np.ndarray]] = []
+    sym_dicts: dict[int, list[np.ndarray]] = {}
 
     for blob in (globals_data, data):
         if not blob:
             continue
-        for seg_num, seg_type, _pg, payload in _parse_segment_headers(blob):
+        for seg_num, seg_type, refs, _pg, payload in \
+                _parse_segment_headers(blob):
             if seg_type == _PAGE_INFO:
                 if len(payload) < 17:
                     raise Jbig2Error("truncated page info")
@@ -224,12 +539,15 @@ def decode_jbig2(data: bytes, *, globals_data: bytes = b"",
                 default_black = bool((payload[16] >> 2) & 1)
             elif seg_type in _GENERIC:
                 regions.append(_decode_generic_region(payload))
+            elif seg_type == 0:
+                sym_dicts[seg_num] = _decode_symbol_dict(payload)
             elif seg_type in _TEXT:
-                raise Jbig2Error("text region (symbol coding) unsupported")
+                syms = [s for r in refs for s in sym_dicts.get(r, [])]
+                if not syms:       # tolerate encoders with absent refs
+                    syms = [s for d in sym_dicts.values() for s in d]
+                regions.append(_decode_text_region(payload, syms))
             elif seg_type in _HALFTONE:
                 raise Jbig2Error("halftone region unsupported")
-            elif seg_type == 0:
-                raise Jbig2Error("symbol dictionary unsupported")
             elif seg_type in (_END_PAGE, _END_STRIPE, _END_FILE, 62):
                 continue
             # tables/extension/profiles (53, 52): ignorable here
@@ -269,27 +587,22 @@ def decode_jbig2(data: bytes, *, globals_data: bytes = b"",
 
 
 def _segment(seg_num: int, seg_type: int, payload: bytes,
-             page: int = 1) -> bytes:
+             page: int = 1, refs: tuple[int, ...] = ()) -> bytes:
     head = struct.pack(">IB", seg_num, seg_type & 0x3F)
-    head += b"\x00"                    # no referred-to segments
+    head += struct.pack(">B", len(refs) << 5)    # short-form ref count
+    head += bytes(refs)                          # 1-byte refs (num<=256)
     head += struct.pack(">B", page)    # 1-byte page association
     head += struct.pack(">I", len(payload))
     return head + payload
 
 
-def encode_jbig2_arith(img: np.ndarray, template: int = 0,
-                       tpgdon: bool = False) -> bytes:
-    """(h, w) {0,1} bitmap (1=black) → embedded JBIG2 stream with one
-    arithmetic-coded immediate lossless generic region (nominal AT
-    pixels). ``decode(encode(x)) == x`` is the locked codec property;
-    with ``tpgdon`` the typical-prediction SLTP path is exercised."""
-    from .mq import MQEncoder
-    img = (np.asarray(img) != 0).astype(np.uint8)
+def _encode_generic_bits(enc, cx: list[int], img: np.ndarray,
+                         template: int, at, tpgdon: bool) -> None:
+    """Arithmetic generic-region coding of one bitmap into an open
+    encoder (shared by the standalone region and symbol-dictionary
+    encoders)."""
     h, w = img.shape
-    at = _NOMINAL_AT[template]
     pix = _template_pixels(template, at)
-    enc = MQEncoder()
-    cx = [0] * (1 << len(pix))
     rows = img.tolist()
     sltp_ctx = _TPGDON_CTX[template]
     ltp = 0
@@ -315,6 +628,21 @@ def encode_jbig2_arith(img: np.ndarray, template: int = 0,
                 else:
                     ctx <<= 1
             encode(cx, ctx, row[x])
+
+
+def encode_jbig2_arith(img: np.ndarray, template: int = 0,
+                       tpgdon: bool = False) -> bytes:
+    """(h, w) {0,1} bitmap (1=black) → embedded JBIG2 stream with one
+    arithmetic-coded immediate lossless generic region (nominal AT
+    pixels). ``decode(encode(x)) == x`` is the locked codec property;
+    with ``tpgdon`` the typical-prediction SLTP path is exercised."""
+    from .mq import MQEncoder
+    img = (np.asarray(img) != 0).astype(np.uint8)
+    h, w = img.shape
+    at = _NOMINAL_AT[template]
+    enc = MQEncoder()
+    cx = [0] * (1 << len(_template_pixels(template, at)))
+    _encode_generic_bits(enc, cx, img, template, at, tpgdon)
     data = enc.flush()
     page_info = struct.pack(">IIII", w, h, 0, 0) + b"\x01" + b"\x00\x00"
     region_info = struct.pack(">IIII", w, h, 0, 0) + b"\x00"  # comb OR
@@ -339,3 +667,111 @@ def encode_jbig2_mmr(img: np.ndarray) -> bytes:
     return (_segment(1, _PAGE_INFO, page_info) +
             _segment(2, 39, region) +
             _segment(3, _END_PAGE, b""))
+
+
+def encode_jbig2_text_page(symbols: list[np.ndarray],
+                           placements: list[tuple[int, int, int]],
+                           page_w: int, page_h: int, *,
+                           refcorner: int = 1,
+                           transposed: bool = False) -> bytes:
+    """Fixture encoder: symbol dictionary + text region (T.88 §6.5 /
+    §6.4, arithmetic coding, SBSTRIPS=1, comb OR).
+
+    ``placements`` are (symbol_index, s, t) instance anchors in the
+    caller's symbol order and the chosen ``refcorner`` convention
+    (0=BL 1=TL 2=BR 3=TR; ``transposed`` swaps the roles of s/t).
+    The dictionary stores symbols sorted by (height, width) as the
+    standard requires; instance ids are remapped internally.
+    """
+    from .mq import MQEncoder
+    syms = [(np.asarray(s) != 0).astype(np.uint8) for s in symbols]
+    if not syms:
+        raise Jbig2Error("need at least one symbol")
+    order = sorted(range(len(syms)),
+                   key=lambda i: (syms[i].shape[0], syms[i].shape[1], i))
+    remap = {orig: new for new, orig in enumerate(order)}
+
+    # ---- symbol dictionary payload
+    template = 0
+    at = _NOMINAL_AT[template]
+    enc = MQEncoder()
+    iadh: list[int] = [0] * 512
+    iadw: list[int] = [0] * 512
+    iaex: list[int] = [0] * 512
+    gen_cx = [0] * (1 << len(_template_pixels(template, at)))
+    hcheight = 0
+    i = 0
+    while i < len(order):
+        h = syms[order[i]].shape[0]
+        _encode_int(enc, iadh, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        while i < len(order) and syms[order[i]].shape[0] == h:
+            w = syms[order[i]].shape[1]
+            _encode_int(enc, iadw, w - symwidth)
+            symwidth = w
+            _encode_generic_bits(enc, gen_cx, syms[order[i]],
+                                 template, at, False)
+            i += 1
+        _encode_int(enc, iadw, _OOB)
+    _encode_int(enc, iaex, 0)                  # first run: not exported
+    _encode_int(enc, iaex, len(order))         # export all new symbols
+    flags = (template & 3) << 10               # SDHUFF=0 REFAGG=0
+    sd = struct.pack(">H", flags)
+    sd += b"".join(struct.pack(">bb", ax, ay) for ax, ay in at)
+    sd += struct.pack(">II", len(order), len(order))
+    sd += enc.flush()
+
+    # ---- text region payload (SBSTRIPS=1 -> no IAIT)
+    sorted_syms = [syms[o] for o in order]
+    symcodelen = _symcodelen(len(sorted_syms))
+    enc = MQEncoder()
+    iadt: list[int] = [0] * 512
+    iafs: list[int] = [0] * 512
+    iads: list[int] = [0] * 512
+    iaid_cx: list[int] = [0] * (1 << (symcodelen + 1))
+
+    inst = sorted(((t, s, remap[sid]) for sid, s, t in placements))
+    _encode_int(enc, iadt, 0)                  # STRIPT init -> 0
+    stript = 0
+    firsts = 0
+    k = 0
+    while k < len(inst):
+        t = inst[k][0]
+        _encode_int(enc, iadt, t - stript)
+        stript = t
+        strip = [e for e in inst if e[0] == t]
+        first = True
+        curs = 0
+        for _, s, sid in strip:
+            sym = sorted_syms[sid]
+            # the transmitted S is the left (top if transposed) edge
+            # for EVERY refcorner — the decoder's advance-before /
+            # advance-after orders both draw the edge at the received
+            # value and leave CURS at edge + extent - 1
+            adv = (sym.shape[0] if transposed else sym.shape[1]) - 1
+            if first:
+                _encode_int(enc, iafs, s - firsts)
+                firsts = s
+                first = False
+            else:
+                _encode_int(enc, iads, s - curs)
+            curs = s + adv
+            _encode_iaid(enc, iaid_cx, symcodelen, sid)
+        _encode_int(enc, iads, _OOB)           # end of strip
+        k += len(strip)
+
+    tflags = (refcorner & 3) << 4
+    if transposed:
+        tflags |= 1 << 6
+    tr = struct.pack(">IIII", page_w, page_h, 0, 0) + b"\x00"  # comb OR
+    tr += struct.pack(">H", tflags)
+    tr += struct.pack(">I", len(inst))
+    tr += enc.flush()
+
+    page_info = struct.pack(">IIII", page_w, page_h, 0, 0) \
+        + b"\x01" + b"\x00\x00"
+    return (_segment(1, _PAGE_INFO, page_info) +
+            _segment(2, 0, sd) +
+            _segment(3, 4, tr, refs=(2,)) +
+            _segment(4, _END_PAGE, b""))

@@ -85,10 +85,10 @@ def test_exttemplate_rejected():
         decode_jbig2(bytes(data))
 
 
-def test_symbol_dictionary_rejected():
+def test_truncated_symbol_dictionary_rejected():
     seg = struct.pack(">IB", 1, 0) + b"\x00\x01" + struct.pack(">I", 4) \
         + b"\x00\x00\x00\x00"
-    with pytest.raises(Jbig2Error, match="symbol"):
+    with pytest.raises(Jbig2Error, match="truncated symbol dictionary"):
         decode_jbig2(seg)
 
 
@@ -172,11 +172,11 @@ def test_pdf_with_arithmetic_jbig2_image_parses():
     assert np.array_equal(png[..., :3], exp)
 
 
-def test_pdf_with_symbol_region_degrades_to_empty_src():
+def test_pdf_with_truncated_symbol_dict_degrades_to_empty_src():
     from pdf2dom_ray.engine.parse import parse_document
     from pdf2dom_ray.synth.pdfgen import PageSpec, PdfBuilder
 
-    # a symbol-dictionary segment (type 0) is honestly unsupported
+    # a truncated symbol-dictionary segment degrades cleanly
     seg = struct.pack(">IB", 1, 0) + b"\x00\x01" + struct.pack(">I", 4) \
         + b"\x00\x00\x00\x00"
     b = PdfBuilder(title="jbig2-symbol")
@@ -192,3 +192,127 @@ def test_pdf_with_symbol_region_degrades_to_empty_src():
     assert r.error is None
     assert r.n_images == 1
     assert 'src=""' in r.html_dom
+
+
+# ------------------------- symbol dictionary + text region (T.88 §6.4/6.5)
+
+def _glyph(seed, h, w):
+    rng = np.random.default_rng(seed)
+    g = (rng.random((h, w)) < 0.5).astype(np.uint8)
+    g[0, 0] = 1                      # no all-zero top-left corner pixel
+    return g
+
+
+def _compose(syms, placements, pw, ph, refcorner=1, transposed=False):
+    """Reference composition for the encoder's placement convention:
+    (s, t) anchor; s = left (top if transposed) edge always; t = the
+    row/column named by the corner."""
+    exp = np.zeros((ph, pw), np.uint8)
+    for sid, s, t in placements:
+        g = syms[sid]
+        h, w = g.shape
+        if not transposed:
+            y = t - (h - 1 if refcorner in (0, 2) else 0)
+            x = s if refcorner in (0, 1) else t * 0 + s  # s is left edge
+            exp[y:y + h, s:s + w] |= g
+        else:
+            x = t - (w - 1 if refcorner in (2, 3) else 0)
+            exp[s:s + h, x:x + w] |= g
+    return exp
+
+
+def test_text_region_roundtrip_all_corners():
+    from pdf2dom_ray.engine.jbig2 import (decode_jbig2,
+                                          encode_jbig2_text_page)
+    syms = [_glyph(0, 8, 5), _glyph(1, 8, 6), _glyph(2, 10, 4)]
+    for rc in (0, 1, 2, 3):
+        t_anchor = 11 if rc in (0, 2) else 2   # bottom vs top row
+        pl = [(0, 2, t_anchor), (1, 9, t_anchor), (2, 17, t_anchor + 1),
+              (0, 24, t_anchor)]
+        out = decode_jbig2(encode_jbig2_text_page(
+            syms, pl, 32, 20, refcorner=rc))
+        exp = _compose(syms, pl, 32, 20, refcorner=rc)
+        assert np.array_equal(out, exp), f"refcorner {rc}"
+
+
+def test_text_region_transposed():
+    from pdf2dom_ray.engine.jbig2 import (decode_jbig2,
+                                          encode_jbig2_text_page)
+    syms = [_glyph(4, 6, 4), _glyph(5, 7, 5)]
+    for rc in (0, 1, 2, 3):
+        t_anchor = 10 if rc in (2, 3) else 3   # right vs left column
+        pl = [(0, 2, t_anchor), (1, 10, t_anchor)]
+        out = decode_jbig2(encode_jbig2_text_page(
+            syms, pl, 18, 20, refcorner=rc, transposed=True))
+        exp = _compose(syms, pl, 18, 20, refcorner=rc, transposed=True)
+        assert np.array_equal(out, exp), f"transposed refcorner {rc}"
+
+
+def test_text_region_many_strips_and_height_classes():
+    from pdf2dom_ray.engine.jbig2 import (decode_jbig2,
+                                          encode_jbig2_text_page)
+    rng = np.random.default_rng(9)
+    syms = [_glyph(10 + i, int(rng.integers(4, 12)),
+                   int(rng.integers(3, 9))) for i in range(8)]
+    pl = []
+    for row in range(6):
+        t = row * 14
+        x = 1
+        for _ in range(5):
+            sid = int(rng.integers(0, len(syms)))
+            pl.append((sid, x, t))
+            x += syms[sid].shape[1] + int(rng.integers(0, 4))
+    out = decode_jbig2(encode_jbig2_text_page(syms, pl, 64, 96))
+    assert np.array_equal(out, _compose(syms, pl, 64, 96))
+
+
+def test_text_region_repeated_symbol_reuse():
+    # the dictionary is decoded once; ids can repeat arbitrarily
+    from pdf2dom_ray.engine.jbig2 import (decode_jbig2,
+                                          encode_jbig2_text_page)
+    g = _glyph(20, 5, 5)
+    pl = [(0, 5 * i, 0) for i in range(8)]
+    out = decode_jbig2(encode_jbig2_text_page([g], pl, 40, 5))
+    assert np.array_equal(out, np.tile(g, (1, 8)))
+
+
+def test_huffman_symbol_dict_rejected():
+    from pdf2dom_ray.engine.jbig2 import decode_jbig2
+    sd = struct.pack(">H", 0x0001) + struct.pack(">II", 1, 1)
+    seg = struct.pack(">IB", 1, 0) + b"\x00\x01" \
+        + struct.pack(">I", len(sd)) + sd
+    with pytest.raises(Jbig2Error, match="Huffman"):
+        decode_jbig2(seg)
+
+
+def test_pdf_with_jbig2_text_region_parses():
+    import base64
+    import re
+
+    from pdf2dom_ray.engine.jbig2 import encode_jbig2_text_page
+    from pdf2dom_ray.engine.parse import parse_document
+    from pdf2dom_ray.functions.multimodal import decode_engine_png
+    from pdf2dom_ray.synth.pdfgen import PageSpec, PdfBuilder
+
+    syms = [_glyph(30, 7, 5), _glyph(31, 7, 4)]
+    pl = [(0, 1, 1), (1, 8, 1), (0, 14, 1)]
+    data = encode_jbig2_text_page(syms, pl, 20, 10)
+    b = PdfBuilder(title="jbig2-text")
+    p = PageSpec()
+    p.use_custom_image(
+        "Im0",
+        "/Width 20 /Height 10 /ColorSpace /DeviceGray "
+        "/BitsPerComponent 1 /Filter /JBIG2Decode",
+        data, compress=False)
+    p.draw_image("Im0", 100, 600, 80, 40)
+    b.add_page(p)
+    r = parse_document(b.build())
+    assert r.error is None
+    assert r.n_images == 1
+    m = re.search(r'src="data:image/png;base64,([^"]+)"', r.html_dom)
+    assert m, "symbol-coded JBIG2 must render a PNG now"
+    png = decode_engine_png(base64.b64decode(m.group(1)))
+    exp_bm = _compose(syms, pl, 20, 10)
+    exp = np.repeat(np.where(exp_bm[..., None] == 1, 0, 255), 3,
+                    axis=-1).astype(np.uint8)
+    assert np.array_equal(png[..., :3], exp)
