@@ -2489,8 +2489,10 @@ def _q_join_lang(sf_dir: str):
                             pa.string()),
             "lang": t.column("lang"),
         }), batch_format="pyarrow")
-    joined = parsed.join(langs, join_type="inner", num_partitions=8,
-                         on=("url",))
+    from pdf2dom_ray.functions.dedup import join_ready
+    joined = join_ready(parsed, 8).join(join_ready(langs, 8),
+                                        join_type="inner",
+                                        num_partitions=8, on=("url",))
     agg = (joined.groupby("lang")
                  .aggregate(Sum("n_spans", alias_name="total_spans"),
                             Count(alias_name="n_docs")))

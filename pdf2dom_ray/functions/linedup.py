@@ -142,8 +142,10 @@ def common_line_filter(ds: rd.Dataset, *, min_docs: int = 2,
     ncpu = int(ray.cluster_resources().get("CPU", 8)) if \
         ray.is_initialized() else 8
     n_part = max(2, min(64, ncpu // 2))
+    from .dedup import join_ready
     kept = ds.map_batches(explode, batch_format="pyarrow").join(
-        common, join_type="left_anti", num_partitions=n_part, on=("h",))
+        join_ready(common, n_part), join_type="left_anti",
+        num_partitions=n_part, on=("h",))
 
     def reassemble(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values("line_idx")

@@ -76,12 +76,16 @@ def bigram_stats(ds: rd.Dataset, *, text_col: str = "text",
             batch_format="pyarrow")
 
     n_part = _n_partitions()
-    u1 = uni.rename_columns({"token": "t1", "c": "c1"})
-    u2 = uni.rename_columns({"token": "t2", "c": "c2"})
-    j = bi.join(u1, join_type="inner", num_partitions=n_part,
-                on=("w1",), right_on=("t1",))
-    j = j.join(u2, join_type="inner", num_partitions=n_part,
-               on=("w2",), right_on=("t2",))
+    from .dedup import join_ready
+    u1 = join_ready(uni.rename_columns({"token": "t1", "c": "c1"}), n_part)
+    u2 = join_ready(uni.rename_columns({"token": "t2", "c": "c2"}), n_part)
+    j = join_ready(bi, n_part).join(
+        u1, join_type="inner", num_partitions=n_part,
+        on=("w1",), right_on=("t1",))
+    # chained-join hazard: guard the first join's output too
+    j = join_ready(j, n_part).join(
+        u2, join_type="inner", num_partitions=n_part,
+        on=("w2",), right_on=("t2",))
 
     def finish(t: pa.Table) -> pa.Table:
         import numpy as np

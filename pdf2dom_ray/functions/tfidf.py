@@ -246,7 +246,8 @@ def bm25_topk(ds: rd.Dataset, *, text_col: str = "text",
     tf = ds.select_columns([id_col, text_col]).map_batches(
         lambda t: _tf_rows(t, text_col, id_col),
         batch_format="pyarrow")
-    j = tf.join(df, join_type="inner",
+    from .dedup import join_ready
+    j = tf.join(join_ready(df, _n_partitions()), join_type="inner",
                 num_partitions=_n_partitions(), on=("token",))
 
     def score(t: pa.Table) -> pa.Table:
@@ -305,7 +306,8 @@ def tfidf_topk(ds: rd.Dataset, *, text_col: str = "text",
     tf = ds.select_columns([id_col, text_col]).map_batches(
         lambda t: _tf_rows(t, text_col, id_col),
         batch_format="pyarrow")
-    j = tf.join(df, join_type="inner",
+    from .dedup import join_ready
+    j = tf.join(join_ready(df, _n_partitions()), join_type="inner",
                 num_partitions=_n_partitions(), on=("token",))
 
     def score(t: pa.Table) -> pa.Table:
