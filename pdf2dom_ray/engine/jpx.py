@@ -8,24 +8,29 @@ engine implements the codec directly, from the published standard.
 Supported codestream profile (both directions):
 
 - single tile at origin, component subsampling 1x1, 8-bit samples
-- reversible 5/3 wavelet (Annex F), 0..N decomposition levels
-- reversible color transform (RCT) for 3-component images
-- no quantization (Sqcd style 0), LRCP progression, single layer
+- reversible 5/3 wavelet (Annex F) OR irreversible 9/7 float wavelet
+  with scalar quantization (Annex E, derived and expounded styles,
+  midpoint dequantization), 0..N decomposition levels
+- reversible (RCT) / irreversible (ICT) color transform for
+  3-component images, matching the wavelet choice
+- LRCP progression, single layer
 - default (maximal) precincts, code-block style 0, EBCOT tier-1
   coding passes over the shared MQ coder (``engine/mq.py``)
 - tag-tree coded packet headers (Annex B), JP2 wrapper or raw
   codestream accepted on decode
 
-Anything outside the profile (multiple tiles/layers, 9/7 irreversible
-wavelet, scalar quantization, bypass/termination code-block styles)
-raises ``JpxError`` → the walker's honest ``<img src="">``
-degradation, with the reason preserved.
+Anything outside the profile (multiple tiles/layers, precincts,
+bypass/termination code-block styles) raises ``JpxError`` → the
+walker's honest ``<img src="">`` degradation, with the reason
+preserved.
 
 Verification: like the engine's JPEG/CCITT/JBIG2 codecs, the locked
-property is ``decode(encode(img)) == img`` (the profile is lossless,
-so equality is exact) plus structural checks; no external JPX codec
-exists in this container to cross-check byte streams against, so
-interop is untested in-container and documented as such.
+property for the reversible profile is ``decode(encode(img)) == img``
+(exact); the irreversible path is locked by bounded reconstruction
+error at fine quantization plus a genuinely-lossy check at coarse
+steps (the JPEG pattern). No external JPX codec exists in this
+container to cross-check byte streams against, so interop is untested
+in-container and documented as such.
 """
 
 from __future__ import annotations
@@ -85,19 +90,100 @@ def _idwt53_pair(s: np.ndarray, d: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
-def _fdwt2(a: np.ndarray) -> dict[str, np.ndarray]:
+# 9/7 irreversible filter (Annex F.4.8) — float lifting with the same
+# symmetric extension; final low/high scaling by 1/K and K (the two
+# directions mirror each other, so decode(encode) is float-exact)
+_A97 = -1.586134342059924
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def _fdwt97_pair(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    n = a.shape[0]
+    if n == 1:
+        return a.astype(np.float64), a[:0].astype(np.float64)
+    even = a[0::2].astype(np.float64)
+    odd = a[1::2].astype(np.float64)
+    ne, no = even.shape[0], odd.shape[0]
+    i_no = np.arange(no)
+    i_ne = np.arange(ne)
+    d = odd + _A97 * (even[:no] + even[np.minimum(i_no + 1, ne - 1)])
+    s = even + _B97 * (d[np.clip(i_ne - 1, 0, no - 1)]
+                       + d[np.minimum(i_ne, no - 1)])
+    d = d + _G97 * (s[:no] + s[np.minimum(i_no + 1, ne - 1)])
+    s = s + _D97 * (d[np.clip(i_ne - 1, 0, no - 1)]
+                    + d[np.minimum(i_ne, no - 1)])
+    return s * (1.0 / _K97), d * _K97
+
+
+def _idwt97_pair(s: np.ndarray, d: np.ndarray, n: int) -> np.ndarray:
+    if n == 1:
+        return np.asarray(s, np.float64)
+    s = np.asarray(s, np.float64) * _K97
+    d = np.asarray(d, np.float64) * (1.0 / _K97)
+    ne, no = s.shape[0], d.shape[0]
+    i_no = np.arange(no)
+    i_ne = np.arange(ne)
+    s = s - _D97 * (d[np.clip(i_ne - 1, 0, no - 1)]
+                    + d[np.minimum(i_ne, no - 1)])
+    d = d - _G97 * (s[:no] + s[np.minimum(i_no + 1, ne - 1)])
+    s = s - _B97 * (d[np.clip(i_ne - 1, 0, no - 1)]
+                    + d[np.minimum(i_ne, no - 1)])
+    odd = d - _A97 * (s[:no] + s[np.minimum(i_no + 1, ne - 1)])
+    out = np.empty((n,) + s.shape[1:], dtype=np.float64)
+    out[0::2] = s
+    out[1::2] = odd
+    return out
+
+
+def _fdwt2(a: np.ndarray, pair=_fdwt53_pair) -> dict[str, np.ndarray]:
     """One 2D decomposition level: horizontal split, then vertical."""
-    lo_c, hi_c = _fdwt53_pair(a.T)
+    lo_c, hi_c = pair(a.T)
     lo_c, hi_c = lo_c.T, hi_c.T                   # horizontal split
-    ll, lh = _fdwt53_pair(lo_c)                   # vertical split of low
-    hl, hh = _fdwt53_pair(hi_c)                   # vertical split of high
+    ll, lh = pair(lo_c)                           # vertical split of low
+    hl, hh = pair(hi_c)                           # vertical split of high
     return {"LL": ll, "HL": hl, "LH": lh, "HH": hh}
 
 
-def _idwt2(bands: dict[str, np.ndarray], h: int, w: int) -> np.ndarray:
-    lo_c = _idwt53_pair(bands["LL"], bands["LH"], h)
-    hi_c = _idwt53_pair(bands["HL"], bands["HH"], h)
-    return _idwt53_pair(lo_c.T, hi_c.T, w).T
+def _idwt2(bands: dict[str, np.ndarray], h: int, w: int,
+           pair=_idwt53_pair) -> np.ndarray:
+    lo_c = pair(bands["LL"], bands["LH"], h)
+    hi_c = pair(bands["HL"], bands["HH"], h)
+    return pair(lo_c.T, hi_c.T, w).T
+
+
+# ----------------------------------------------- irreversible helpers
+
+_BAND_GAIN = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
+
+
+def _ict_forward(r, g, b):
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def _ict_inverse(y, cb, cr):
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return r, g, b
+
+
+def _quant_params(delta: float, rb: int) -> tuple[int, int, float]:
+    """Target step size → (eps, mu, actual step) per E.1:
+    delta = 2^(rb - eps) * (1 + mu / 2^11)."""
+    e2 = math.floor(math.log2(delta))
+    mu = int(round((delta / (2.0 ** e2) - 1.0) * 2048))
+    mu = min(max(mu, 0), 2047)
+    eps = rb - e2
+    if not (0 <= eps <= 31):
+        raise JpxError(f"quantization step {delta} out of range")
+    actual = (2.0 ** (rb - eps)) * (1.0 + mu / 2048.0)
+    return eps, mu, actual
 
 
 # ------------------------------------------------- packet-header bit I/O
@@ -599,10 +685,15 @@ def _marker(code: int, payload: bytes) -> bytes:
     return struct.pack(">HH", code, len(payload) + 2) + payload
 
 
-def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5) -> bytes:
-    """(H, W) or (H, W, 3) uint8 → lossless JPEG2000 codestream
-    (profile in the module docstring). ``cb_exp`` is the code-block
-    size exponent (2..10 per the standard; 5 → 32x32)."""
+def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
+               irreversible: bool = False,
+               delta: float = 1.0 / 32.0) -> bytes:
+    """(H, W) or (H, W, 3) uint8 → JPEG2000 codestream (profile in the
+    module docstring). ``cb_exp`` is the code-block size exponent
+    (2..10 per the standard; 5 → 32x32). With ``irreversible`` the
+    9/7 float wavelet + ICT + scalar quantization at step ``delta``
+    (expounded QCD) are used — lossy, like every real-world camera
+    JPX; the reversible default is bit-exact."""
     img = np.asarray(img)
     if img.ndim == 2:
         planes = [img.astype(np.int64) - 128]
@@ -610,9 +701,14 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5) -> bytes:
         r = img[..., 0].astype(np.int64) - 128
         g = img[..., 1].astype(np.int64) - 128
         b = img[..., 2].astype(np.int64) - 128
-        planes = list(_rct_forward(r, g, b))
+        planes = list(_ict_forward(r.astype(np.float64),
+                                   g.astype(np.float64),
+                                   b.astype(np.float64))) \
+            if irreversible else list(_rct_forward(r, g, b))
     else:
         raise JpxError(f"unsupported image shape {img.shape}")
+    if irreversible:
+        planes = [np.asarray(p, np.float64) for p in planes]
     h, w = img.shape[:2]
     ncomp = len(planes)
     mct = 1 if ncomp == 3 else 0
@@ -622,6 +718,7 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5) -> bytes:
     if not (2 <= cb_exp <= 10):
         raise JpxError(f"bad code-block exponent {cb_exp}")
     cb = 1 << cb_exp
+    pair = _fdwt97_pair if irreversible else _fdwt53_pair
 
     # wavelet decompose each component; bands[c][r]["LL"/"HL"/...]
     geom = _band_geometry(w, h, nl)
@@ -630,7 +727,7 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5) -> bytes:
         ll = p
         per_level = []
         for _ in range(nl):
-            d = _fdwt2(ll)
+            d = _fdwt2(ll, pair)
             ll = d["LL"]
             per_level.append(d)
         by_res = [{"LL": ll}]
@@ -639,6 +736,20 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5) -> bytes:
             d = per_level[lev - 1]
             by_res.append({k: d[k] for k in ("HL", "LH", "HH")})
         comp_bands.append(by_res)
+
+    # quantize (irreversible): q = sign(x) * floor(|x| / delta_b)
+    quant: list[tuple[int, int]] = []       # (eps, mu) per band
+    if irreversible:
+        for r_i, bands in enumerate(geom):
+            for kind, bw, bh in bands:
+                rb = 8 + _BAND_GAIN[kind]
+                eps, mu, step = _quant_params(delta, rb)
+                quant.append((eps, mu))
+                for c in range(ncomp):
+                    arr = comp_bands[c][r_i][kind]
+                    comp_bands[c][r_i][kind] = (
+                        np.sign(arr)
+                        * np.floor(np.abs(arr) / step)).astype(np.int64)
 
     # per-band Mb across components (shared QCD)
     mbs: list[int] = []
@@ -652,7 +763,15 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5) -> bytes:
                         mx = max(mx, int(np.abs(arr).max()))
             mbs.append(max(mx.bit_length(), 1))
 
-    guard = 2
+    if irreversible:
+        # decoder derives Mb = G + eps_b - 1 (E.1): guard must cover
+        # the widest band magnitude
+        guard = max(2, max(m - e + 1 for m, (e, _) in zip(mbs, quant)))
+        if guard > 7:
+            raise JpxError(f"guard bits {guard} > 7: raise delta")
+        mbs = [guard + e - 1 for e, _ in quant]
+    else:
+        guard = 2
     out = bytearray()
     out += struct.pack(">H", 0xFF4F)                       # SOC
     siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, ncomp)
@@ -660,10 +779,15 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5) -> bytes:
     out += _marker(0xFF51, siz)                            # SIZ
     cod = bytes([0,                                        # Scod
                  0]) + struct.pack(">H", 1) + bytes([      # LRCP, 1 layer
-                 mct, nl, cb_exp - 2, cb_exp - 2, 0, 1])   # 5/3
+                 mct, nl, cb_exp - 2, cb_exp - 2, 0,
+                 0 if irreversible else 1])                # 9/7 vs 5/3
     out += _marker(0xFF52, cod)                            # COD
-    qcd = bytes([guard << 5]) + bytes(
-        [max(m - guard + 1, 0) << 3 for m in mbs])         # eps = Mb-G+1
+    if irreversible:
+        qcd = bytes([(guard << 5) | 2]) + b"".join(        # expounded
+            struct.pack(">H", (e << 11) | m) for e, m in quant)
+    else:
+        qcd = bytes([guard << 5]) + bytes(
+            [max(m - guard + 1, 0) << 3 for m in mbs])     # eps = Mb-G+1
     out += _marker(0xFF5C, qcd)                            # QCD
 
     # tile body: LRCP packets, single layer/tile/precinct
@@ -760,6 +884,8 @@ def decode_jpx(data: bytes) -> np.ndarray:
     w = h = ncomp = None
     nl = cb_exp = mct = None
     mbs: list[int] = []
+    qparams = None
+    irreversible = False
     tile_body = None
     while pos + 2 <= n:
         (mk,) = struct.unpack_from(">H", data, pos)
@@ -808,16 +934,24 @@ def decode_jpx(data: bytes) -> np.ndarray:
             if cbstyle != 0:
                 raise JpxError(f"code-block style {cbstyle:#x} "
                                "unsupported")
-            if transform != 1:
-                raise JpxError("9/7 irreversible wavelet unsupported")
+            if transform not in (0, 1):
+                raise JpxError(f"unknown wavelet transform {transform}")
+            irreversible = transform == 0
             cb_exp = xcb
         elif mk == 0xFF5C:                                 # QCD
             sqcd = seg[0]
-            if sqcd & 0x1F:
-                raise JpxError("quantization unsupported (reversible "
-                               "profile only)")
+            qstyle = sqcd & 0x1F
             guard = sqcd >> 5
-            mbs = [(b >> 3) + guard - 1 for b in seg[1:]]
+            if qstyle == 0:                   # no quantization (5/3)
+                mbs = [(b >> 3) + guard - 1 for b in seg[1:]]
+                qparams = None
+            elif qstyle in (1, 2):            # scalar derived/expounded
+                vals = [struct.unpack_from(">H", seg, 1 + 2 * i)[0]
+                        for i in range((len(seg) - 1) // 2)]
+                qparams = (qstyle, [(v >> 11, v & 0x7FF) for v in vals])
+                mbs = []                      # filled after SIZ+COD known
+            else:
+                raise JpxError(f"quantization style {qstyle} unsupported")
         elif mk in (0xFF53, 0xFF5D, 0xFF5E, 0xFF5F, 0xFF61):
             raise JpxError(f"marker {mk:#x} (COC/QCC/RGN/POC) "
                            "unsupported")
@@ -842,10 +976,35 @@ def decode_jpx(data: bytes) -> np.ndarray:
         else:
             raise JpxError(f"unknown marker {mk:#x}")
         pos += 2 + ln
-    if w is None or nl is None or not mbs or tile_body is None:
+    if w is None or nl is None or tile_body is None or \
+            (not mbs and qparams is None):
         raise JpxError("incomplete codestream (SIZ/COD/QCD/SOT missing)")
     geom = _band_geometry(w, h, nl)
-    if len(mbs) != sum(len(g) for g in geom):
+    n_bands = sum(len(g) for g in geom)
+    deltas: list[float] | None = None
+    if qparams is not None:
+        if not irreversible:
+            raise JpxError("quantized QCD with a reversible transform")
+        qstyle, entries = qparams
+        kinds = [k for bands in geom for k, _, _ in bands]
+        # band decomposition level (for the derived-eps formula)
+        lvls = [nl] + [nl - r_i + 1 for r_i in range(1, nl + 1)
+                       for _ in range(3)]
+        mbs, deltas = [], []
+        for b_i, kind in enumerate(kinds):
+            if qstyle == 2:
+                if b_i >= len(entries):
+                    raise JpxError("QCD subband count mismatch")
+                eps, mu = entries[b_i]
+            else:                             # derived from the first
+                eps0, mu = entries[0]
+                eps = eps0 - nl + lvls[b_i]
+            rb = 8 + _BAND_GAIN[kind]
+            mbs.append(guard + eps - 1)
+            deltas.append((2.0 ** (rb - eps)) * (1.0 + mu / 2048.0))
+    elif irreversible:
+        raise JpxError("9/7 transform without quantization parameters")
+    if len(mbs) != n_bands:
         raise JpxError("QCD subband count mismatch")
     cb = 1 << cb_exp
 
@@ -900,7 +1059,25 @@ def decode_jpx(data: bytes) -> np.ndarray:
                                          bx * cb:bx * cb + cw] = blk
                 bpos += dlen
 
+    # dequantize (irreversible): x = sign(q) * (|q| + 0.5) * delta_b
+    if deltas is not None:
+        d_of: dict[tuple[int, str], float] = {}
+        b_i = 0
+        for r_i, bands in enumerate(geom):
+            for kind, _, _ in bands:
+                d_of[(r_i, kind)] = deltas[b_i]
+                b_i += 1
+        for c in range(ncomp):
+            for r_i in range(len(geom)):
+                for kind, arr in comp_bands[c][r_i].items():
+                    step = d_of[(r_i, kind)]
+                    q = arr.astype(np.float64)
+                    comp_bands[c][r_i][kind] = np.where(
+                        q == 0.0, 0.0,
+                        np.sign(q) * (np.abs(q) + 0.5) * step)
+
     # inverse wavelet + color transform
+    ipair = _idwt97_pair if irreversible else _idwt53_pair
     sizes = _ll_sizes(w, h, nl)
     planes = []
     for c in range(ncomp):
@@ -910,11 +1087,16 @@ def decode_jpx(data: bytes) -> np.ndarray:
             pw, ph = sizes[lev - 1]
             bands = dict(comp_bands[c][r_i])
             bands["LL"] = ll
-            ll = _idwt2(bands, ph, pw)
+            ll = _idwt2(bands, ph, pw, ipair)
         planes.append(ll)
     if ncomp == 3 and mct:
-        r, g, b = _rct_inverse(planes[0], planes[1], planes[2])
+        if irreversible:
+            r, g, b = _ict_inverse(planes[0], planes[1], planes[2])
+        else:
+            r, g, b = _rct_inverse(planes[0], planes[1], planes[2])
         planes = [r, g, b]
+    if irreversible:
+        planes = [np.rint(p) for p in planes]
     out = [np.clip(p + 128, 0, 255).astype(np.uint8) for p in planes]
     if ncomp == 1:
         return out[0]

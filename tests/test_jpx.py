@@ -98,7 +98,9 @@ def _patch_cod(cs: bytes, offset: int, value: int) -> bytes:
     return bytes(out)
 
 
-def test_irreversible_97_rejected():
+def test_97_without_quantization_rejected():
+    # transform byte flipped to 9/7 but QCD still style 0 (reversible):
+    # inconsistent codestream
     cs = encode_jpx(_grad(8, 8))
     with pytest.raises(JpxError, match="9/7"):
         decode_jpx(_patch_cod(cs, 9, 0))          # transform byte
@@ -122,12 +124,12 @@ def test_codeblock_style_rejected():
         decode_jpx(_patch_cod(cs, 8, 0x01))       # selective bypass
 
 
-def test_quantization_rejected():
+def test_quantized_qcd_with_reversible_transform_rejected():
     cs = encode_jpx(_grad(8, 8))
     i = cs.index(b"\xff\x5c") + 4
     out = bytearray(cs)
-    out[i] |= 0x02                                # Sqcd: scalar derived
-    with pytest.raises(JpxError, match="quantization"):
+    out[i] |= 0x02                                # Sqcd: scalar expounded
+    with pytest.raises(JpxError, match="reversible"):
         decode_jpx(bytes(out))
 
 
@@ -198,7 +200,7 @@ def test_pdf_with_unsupported_jpx_degrades_to_empty_src():
     from pdf2dom_ray.engine.parse import parse_document
     from pdf2dom_ray.synth.pdfgen import PageSpec, PdfBuilder
 
-    cs = _patch_cod(encode_jpx(_grad(8, 8)), 9, 0)   # 9/7: out of profile
+    cs = _patch_cod(encode_jpx(_grad(8, 8)), 9, 0)   # inconsistent stream
     b = PdfBuilder(title="jpx-97")
     p = PageSpec()
     p.use_custom_image(
@@ -230,3 +232,97 @@ def test_pdf_jpx_dims_mismatch_degrades():
     r = parse_document(b.build())
     assert r.error is None
     assert 'src=""' in r.html_dom
+
+
+# ------------------------------- 9/7 irreversible + quantization path
+
+def test_irreversible_roundtrip_bounded_error():
+    # fine quantization: reconstruction within a couple of levels
+    for shape, ch in [((32, 32), None), ((33, 17), None), ((24, 31), 3)]:
+        img = _grad(*shape, ch=ch)
+        out = decode_jpx(encode_jpx(img, irreversible=True,
+                                    delta=1.0 / 64.0))
+        assert out.shape == img.shape
+        err = np.abs(out.astype(int) - img.astype(int)).max()
+        assert err <= 2, (shape, ch, err)
+
+
+def test_irreversible_is_lossy_but_close_at_coarse_delta():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (40, 40), dtype=np.uint8)
+    cs_fine = encode_jpx(img, irreversible=True, delta=1.0 / 64.0)
+    cs_coarse = encode_jpx(img, irreversible=True, delta=4.0)
+    assert len(cs_coarse) < len(cs_fine)          # coarser = smaller
+    out = decode_jpx(cs_coarse)
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 32                        # still recognizable
+    assert (err > 0).any()                        # genuinely lossy
+
+
+def test_irreversible_encoder_deterministic():
+    img = _grad(20, 31, ch=3)
+    a = encode_jpx(img, irreversible=True)
+    assert a == encode_jpx(img, irreversible=True)
+
+
+def test_irreversible_levels_and_codeblocks():
+    img = _grad(37, 29)
+    for lv in (0, 1, 3):
+        for cbe in (3, 5):
+            out = decode_jpx(encode_jpx(img, levels=lv, cb_exp=cbe,
+                                        irreversible=True,
+                                        delta=1.0 / 64.0))
+            assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_derived_quantization_style_decodes():
+    # rewrite the expounded QCD (style 2) as derived (style 1): same
+    # (eps0, mu) applied via eps_b = eps0 - NL + lvl_b
+    import struct as _s
+
+    img = _grad(16, 16)
+    cs = bytearray(encode_jpx(img, levels=0, irreversible=True,
+                              delta=1.0 / 64.0))
+    i = cs.index(b"\xff\x5c")
+    (ln,) = _s.unpack_from(">H", cs, i + 2)
+    sqcd = cs[i + 4]
+    entry = cs[i + 5:i + 7]
+    # levels=0 -> single LL band: derived == expounded
+    new_qcd = bytes([(sqcd & 0xE0) | 1]) + entry
+    out = bytes(cs[:i + 2]) + _s.pack(">H", len(new_qcd) + 2) \
+        + new_qcd + bytes(cs[i + 2 + ln:])
+    dec = decode_jpx(out)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_reversible_bytes_do_not_depend_on_irreversible_flag_default():
+    img = _grad(12, 12)
+    assert encode_jpx(img) == encode_jpx(img, irreversible=False)
+
+
+def test_pdf_with_irreversible_jpx_parses():
+    import base64
+    import re
+
+    from pdf2dom_ray.engine.parse import parse_document
+    from pdf2dom_ray.functions.multimodal import decode_engine_png
+    from pdf2dom_ray.synth.pdfgen import PageSpec, PdfBuilder
+
+    img = _grad(16, 16)
+    b = PdfBuilder(title="jpx-97")
+    p = PageSpec()
+    p.use_custom_image(
+        "Im0",
+        "/Width 16 /Height 16 /ColorSpace /DeviceGray "
+        "/BitsPerComponent 8 /Filter /JPXDecode",
+        encode_jpx(img, irreversible=True, delta=1.0 / 64.0),
+        compress=False)
+    p.draw_image("Im0", 100, 600, 64, 64)
+    b.add_page(p)
+    r = parse_document(b.build())
+    assert r.error is None and r.n_images == 1
+    m = re.search(r'src="data:image/png;base64,([^"]+)"', r.html_dom)
+    assert m, "9/7 JPX must now decode to a PNG"
+    png = decode_engine_png(base64.b64decode(m.group(1)))
+    err = np.abs(png[..., 0].astype(int) - img.astype(int)).max()
+    assert err <= 2
