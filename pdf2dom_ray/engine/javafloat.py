@@ -23,6 +23,7 @@ generation for both float32 and float64.
 from __future__ import annotations
 
 import math
+import struct as _struct
 from functools import lru_cache
 
 import numpy as np
@@ -60,16 +61,29 @@ def _java_format(v: float, dtype) -> str:
     return f"{mant}E{expi}"
 
 
+_PACK_F = _struct.Struct("<f")
+_UNPACK_I = _struct.Struct("<I")
+
+
 @lru_cache(maxsize=1 << 16)
 def _jfloat_cached(bits: int) -> str:
     # keyed on raw float32 bits: -0.0 and 0.0 hash equal as floats but
     # must format differently
-    return _java_format(float(np.uint32(bits).view(np.float32)), np.float32)
+    return _java_format(_PACK_F.unpack(_UNPACK_I.pack(bits))[0],
+                        np.float32)
 
 
 def jfloat_str(v) -> str:
-    """Java ``Float.toString(float)`` (memoized — CSS lengths repeat)."""
-    return _jfloat_cached(int(np.float32(v).view(np.uint32)))
+    """Java ``Float.toString(float)`` (memoized — CSS lengths repeat).
+
+    struct round-trips the double→float32 conversion ~4x faster than
+    a numpy scalar + .view (hot: every CSS length in every box);
+    pack raises on float32 overflow where the cast gives ±inf."""
+    try:
+        bits = _UNPACK_I.unpack(_PACK_F.pack(v))[0]
+    except OverflowError:
+        bits = 0x7F800000 if v > 0 else 0xFF800000
+    return _jfloat_cached(bits)
 
 
 def jdouble_str(v) -> str:

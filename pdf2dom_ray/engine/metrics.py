@@ -25,10 +25,37 @@ f32 = np.float32
 __all__ = ["TextMetrics"]
 
 
+from functools import lru_cache
+
+
+import math
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8192)
+def _scaled_1000(v: float, font_size: float, _sv: float,
+                 _ss: float) -> np.float32:
+    """f32((f32(v) / 1000) * font_size) — pure in (v, font_size), so
+    memoized: fonts and sizes repeat per document (hot per glyph).
+    ``_sv``/``_ss`` carry the zero signs (0.0 and -0.0 hash equal but
+    scale to differently-signed zeros)."""
+    try:
+        return f32(f32(f32(v) / f32(1000)) * f32(font_size))
+    except Exception:
+        return f32(0)
+
+
+def _scaled(v, font_size) -> np.float32:
+    v = float(v)
+    fs = float(font_size)
+    return _scaled_1000(v, fs, math.copysign(1.0, v),
+                        math.copysign(1.0, fs))
+
+
 def _ascent(font, font_size) -> np.float32:
     # (descriptor.ascent / 1000) * fontSize — TextMetrics.java:107-115
     try:
-        return f32(f32(f32(font.ascent) / f32(1000)) * f32(font_size))
+        return _scaled(font.ascent, font_size)
     except Exception:
         return f32(0)
 
@@ -36,7 +63,7 @@ def _ascent(font, font_size) -> np.float32:
 def _descent(font, font_size) -> np.float32:
     # TextMetrics.java:117-126
     try:
-        return f32(f32(f32(font.descent) / f32(1000)) * f32(font_size))
+        return _scaled(font.descent, font_size)
     except Exception:
         return f32(0)
 

