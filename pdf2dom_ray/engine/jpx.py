@@ -7,21 +7,26 @@ engine implements the codec directly, from the published standard.
 
 Supported codestream profile (both directions):
 
-- single tile at origin, component subsampling 1x1, 8-bit samples
+- tiled images (tile grid at origin; multi-tile streams require the
+  tile size to be a multiple of 2^levels so the per-tile DWT parity
+  matches the reference grid), multiple tile-parts per tile,
+  component subsampling 1x1, 8-bit samples
 - reversible 5/3 wavelet (Annex F) OR irreversible 9/7 float wavelet
   with scalar quantization (Annex E, derived and expounded styles,
   midpoint dequantization), 0..N decomposition levels
 - reversible (RCT) / irreversible (ICT) color transform for
   3-component images, matching the wavelet choice
-- LRCP progression, single layer
+- all five progression orders (LRCP/RLCP/RPCL/PCRL/CPRL — the
+  position loops collapse under maximal precincts), any number of
+  quality layers, optional SOP resync / EPH header-end markers
 - default (maximal) precincts, code-block style 0, EBCOT tier-1
   coding passes over the shared MQ coder (``engine/mq.py``)
 - tag-tree coded packet headers (Annex B), JP2 wrapper or raw
   codestream accepted on decode
 
-Anything outside the profile (multiple tiles/layers, precincts,
-bypass/termination code-block styles) raises ``JpxError`` → the
-walker's honest ``<img src="">`` degradation, with the reason
+Anything outside the profile (custom precincts, bypass/termination
+code-block styles, unaligned multi-tile grids) raises ``JpxError`` →
+the walker's honest ``<img src="">`` degradation, with the reason
 preserved.
 
 Verification: like the engine's JPEG/CCITT/JBIG2 codecs, the locked
@@ -669,6 +674,77 @@ def _get_npasses(r: _HdrReader) -> int:
     return 37 + r.get_bits(7)
 
 
+def _packet_order(prog: int, layers: int, nres: int,
+                  ncomp: int) -> list[tuple[int, int, int]]:
+    """Packet sequence (layer, resolution, component) for the five
+    progression orders (B.12). Under this profile's single-precinct
+    layout the position loops collapse, so PCRL and CPRL coincide."""
+    if prog == 0:                                          # LRCP
+        return [(l, r, c) for l in range(layers)
+                for r in range(nres) for c in range(ncomp)]
+    if prog == 1:                                          # RLCP
+        return [(l, r, c) for r in range(nres)
+                for l in range(layers) for c in range(ncomp)]
+    if prog == 2:                                          # RPCL
+        return [(l, r, c) for r in range(nres)
+                for c in range(ncomp) for l in range(layers)]
+    if prog in (3, 4):                                     # PCRL / CPRL
+        return [(l, r, c) for c in range(ncomp)
+                for r in range(nres) for l in range(layers)]
+    raise JpxError(f"progression order {prog} unsupported")
+
+
+def _layer_split(npasses: int, nbytes: int,
+                 layers: int) -> list[tuple[int, int]]:
+    """Distribute one code-block's coding passes and codeword bytes
+    over quality layers, cumulative-proportional. The decoder
+    concatenates a block's segments before tier-1 decoding (B.10.7),
+    so any byte split whose per-layer pass counts sum correctly is a
+    valid codestream — no per-pass termination needed."""
+    out = []
+    prev_p = prev_b = 0
+    for l in range(1, layers + 1):
+        cum_p = round(npasses * l / layers)
+        cum_b = nbytes if l == layers else round(nbytes * cum_p / npasses)
+        out.append((cum_p - prev_p, cum_b - prev_b))
+        prev_p, prev_b = cum_p, cum_b
+    return out
+
+
+class _CblkEnc:
+    """Per-code-block encoder state across quality layers."""
+
+    __slots__ = ("data", "zbp", "split", "l0", "lblock", "included",
+                 "off")
+
+    def __init__(self, data: bytes, zbp: int,
+                 split: list[tuple[int, int]]):
+        self.data = data
+        self.zbp = zbp
+        self.split = split
+        self.l0 = next(l for l, (p, _) in enumerate(split) if p)
+        self.lblock = 3
+        self.included = False
+        self.off = 0
+
+
+class _CblkDec:
+    """Per-code-block decoder accumulation across quality layers."""
+
+    __slots__ = ("cw", "ch", "kind", "mb", "zbp", "lblock", "npasses",
+                 "segs")
+
+    def __init__(self, cw: int, ch: int, kind: str, mb: int, zbp: int):
+        self.cw = cw
+        self.ch = ch
+        self.kind = kind
+        self.mb = mb
+        self.zbp = zbp
+        self.lblock = 3
+        self.npasses = 0
+        self.segs: list[bytes] = []
+
+
 # -------------------------------------------------------------- encoder
 
 def _rct_forward(r, g, b):
@@ -685,15 +761,116 @@ def _marker(code: int, payload: bytes) -> bytes:
     return struct.pack(">HH", code, len(payload) + 2) + payload
 
 
+def _encode_tile_body(comp_bands, geom, ncomp: int, cb: int,
+                      mbs: list[int], layers: int, prog: int,
+                      sop: bool, eph: bool) -> tuple[bytes, list[int]]:
+    """Encode one tile's packet stream. Returns ``(body, bounds)``
+    where ``bounds[i]`` is the byte offset of packet ``i`` (plus a
+    final end offset) — the tile-part split points."""
+    nres = len(geom)
+    states: dict[tuple, _CblkEnc] = {}
+    trees: dict[tuple, tuple[_TagTree, _TagTree]] = {}
+    for c in range(ncomp):
+        for r_i, bands in enumerate(geom):
+            mb_idx = sum(len(g) for g in geom[:r_i])
+            for b_i, (kind, bw, bh) in enumerate(bands):
+                nx, ny = _cblk_grid(bw, bh, cb)
+                if nx * ny == 0:
+                    continue
+                mb = mbs[mb_idx + b_i]
+                incl = _TagTree(nx, ny)
+                zbpt = _TagTree(nx, ny)
+                arr = comp_bands[c][r_i][kind]
+                for by in range(ny):
+                    for bx in range(nx):
+                        sl = arr[by * cb:(by + 1) * cb,
+                                 bx * cb:(bx + 1) * cb]
+                        data, zbp, npasses = _encode_cblk(sl, kind, mb)
+                        st = _CblkEnc(data, zbp,
+                                      _layer_split(npasses, len(data),
+                                                   layers))
+                        states[(c, r_i, b_i, by, bx)] = st
+                        incl.set_value(by, bx, st.l0)
+                        zbpt.set_value(by, bx, zbp)
+                incl.finalize()
+                zbpt.finalize()
+                trees[(c, r_i, b_i)] = (incl, zbpt)
+
+    body = bytearray()
+    bounds = [0]
+    nsop = 0
+    for l, r_i, c in _packet_order(prog, layers, nres, ncomp):
+        if sop:
+            body += struct.pack(">HHH", 0xFF91, 4, nsop & 0xFFFF)
+        nsop += 1
+        hdr = _HdrWriter()
+        segs: list[bytes] = []
+        live = [(b_i, nx, ny)
+                for b_i, (kind, bw, bh) in enumerate(geom[r_i])
+                for nx, ny in (_cblk_grid(bw, bh, cb),) if nx * ny]
+        contrib = any(states[(c, r_i, b_i, by, bx)].split[l][0]
+                      for b_i, nx, ny in live
+                      for by in range(ny) for bx in range(nx))
+        if not contrib:
+            hdr.put(0)                                     # empty packet
+        else:
+            hdr.put(1)
+            for b_i, nx, ny in live:
+                incl, zbpt = trees[(c, r_i, b_i)]
+                for by in range(ny):
+                    for bx in range(nx):
+                        st = states[(c, r_i, b_i, by, bx)]
+                        p_l, n_l = st.split[l]
+                        if not st.included:
+                            incl.encode(hdr, by, bx, l + 1)
+                            if st.l0 != l:
+                                continue                   # not yet
+                            zbpt.encode(hdr, by, bx, st.zbp + 1)
+                            st.included = True
+                        else:
+                            hdr.put(1 if p_l else 0)
+                            if not p_l:
+                                continue
+                        _put_npasses(hdr, p_l)
+                        nbits = st.lblock + int(math.log2(p_l))
+                        need = max(n_l.bit_length(), 1)
+                        while need > nbits:
+                            hdr.put(1)
+                            st.lblock += 1
+                            nbits += 1
+                        hdr.put(0)
+                        hdr.put_bits(n_l, nbits)
+                        segs.append(st.data[st.off:st.off + n_l])
+                        st.off += n_l
+        body += hdr.flush()
+        if eph:
+            body += b"\xff\x92"
+        for s in segs:
+            body += s
+        bounds.append(len(body))
+    return bytes(body), bounds
+
+
 def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
                irreversible: bool = False,
-               delta: float = 1.0 / 32.0) -> bytes:
+               delta: float = 1.0 / 32.0,
+               layers: int = 1, prog: int = 0,
+               sop: bool = False, eph: bool = False,
+               tile_size: tuple[int, int] | None = None,
+               tile_parts: int = 1) -> bytes:
     """(H, W) or (H, W, 3) uint8 → JPEG2000 codestream (profile in the
     module docstring). ``cb_exp`` is the code-block size exponent
     (2..10 per the standard; 5 → 32x32). With ``irreversible`` the
     9/7 float wavelet + ICT + scalar quantization at step ``delta``
     (expounded QCD) are used — lossy, like every real-world camera
-    JPX; the reversible default is bit-exact."""
+    JPX; the reversible default is bit-exact. ``layers`` splits each
+    code-block's coding passes over that many quality layers;
+    ``prog`` picks the progression order (0..4 = LRCP/RLCP/RPCL/PCRL/
+    CPRL); ``sop``/``eph`` emit resync markers; ``tile_size`` tiles
+    the image (multi-tile grids must be multiples of 2^levels);
+    ``tile_parts`` splits each tile's packets over several SOT
+    segments. Defaults produce the identical bitstream to the
+    original single-tile/single-layer encoder."""
     img = np.asarray(img)
     if img.ndim == 2:
         planes = [img.astype(np.int64) - 128]
@@ -717,47 +894,75 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
         raise JpxError(f"bad decomposition levels {nl}")
     if not (2 <= cb_exp <= 10):
         raise JpxError(f"bad code-block exponent {cb_exp}")
+    if not (1 <= layers <= 65535):
+        raise JpxError(f"bad layer count {layers}")
+    if prog not in (0, 1, 2, 3, 4):
+        raise JpxError(f"progression order {prog} unsupported")
+    if tile_parts < 1:
+        raise JpxError(f"bad tile-part count {tile_parts}")
     cb = 1 << cb_exp
     pair = _fdwt97_pair if irreversible else _fdwt53_pair
+    if tile_size is None:
+        xt, yt = w, h
+    else:
+        xt, yt = int(tile_size[0]), int(tile_size[1])
+        if xt < 1 or yt < 1:
+            raise JpxError(f"bad tile size {tile_size}")
+    ntx = (w + xt - 1) // xt
+    nty = (h + yt - 1) // yt
+    grid_step = 1 << nl
+    if (ntx > 1 and xt % grid_step) or (nty > 1 and yt % grid_step):
+        raise JpxError(f"tile size {xt}x{yt} not a multiple of "
+                       f"2^levels={grid_step} (odd-origin DWT parity "
+                       "unsupported)")
+    band_kinds = [("LL",)] + [("HL", "LH", "HH")] * nl
 
-    # wavelet decompose each component; bands[c][r]["LL"/"HL"/...]
-    geom = _band_geometry(w, h, nl)
-    comp_bands: list[list[dict[str, np.ndarray]]] = []
-    for p in planes:
-        ll = p
-        per_level = []
-        for _ in range(nl):
-            d = _fdwt2(ll, pair)
-            ll = d["LL"]
-            per_level.append(d)
-        by_res = [{"LL": ll}]
-        for r_i in range(1, nl + 1):
-            lev = nl - r_i + 1
-            d = per_level[lev - 1]
-            by_res.append({k: d[k] for k in ("HL", "LH", "HH")})
-        comp_bands.append(by_res)
+    # per-tile wavelet decompose; tiles[t] = (geom, bands[c][r][kind])
+    tiles: list[tuple[list, list]] = []
+    for t in range(ntx * nty):
+        tx, ty = t % ntx, t // ntx
+        x0, y0 = tx * xt, ty * yt
+        x1, y1 = min(x0 + xt, w), min(y0 + yt, h)
+        tgeom = _band_geometry(x1 - x0, y1 - y0, nl)
+        comp_bands: list[list[dict[str, np.ndarray]]] = []
+        for p in planes:
+            ll = p[y0:y1, x0:x1]
+            per_level = []
+            for _ in range(nl):
+                d = _fdwt2(ll, pair)
+                ll = d["LL"]
+                per_level.append(d)
+            by_res = [{"LL": ll}]
+            for r_i in range(1, nl + 1):
+                lev = nl - r_i + 1
+                d = per_level[lev - 1]
+                by_res.append({k: d[k] for k in ("HL", "LH", "HH")})
+            comp_bands.append(by_res)
+        tiles.append((tgeom, comp_bands))
 
     # quantize (irreversible): q = sign(x) * floor(|x| / delta_b)
     quant: list[tuple[int, int]] = []       # (eps, mu) per band
     if irreversible:
-        for r_i, bands in enumerate(geom):
-            for kind, bw, bh in bands:
+        for r_i, kinds in enumerate(band_kinds):
+            for kind in kinds:
                 rb = 8 + _BAND_GAIN[kind]
                 eps, mu, step = _quant_params(delta, rb)
                 quant.append((eps, mu))
-                for c in range(ncomp):
-                    arr = comp_bands[c][r_i][kind]
-                    comp_bands[c][r_i][kind] = (
-                        np.sign(arr)
-                        * np.floor(np.abs(arr) / step)).astype(np.int64)
+                for _, comp_bands in tiles:
+                    for c in range(ncomp):
+                        arr = comp_bands[c][r_i][kind]
+                        comp_bands[c][r_i][kind] = (
+                            np.sign(arr)
+                            * np.floor(np.abs(arr)
+                                       / step)).astype(np.int64)
 
-    # per-band Mb across components (shared QCD)
+    # per-band Mb across components and tiles (shared QCD)
     mbs: list[int] = []
-    for r_i, bands in enumerate(geom):
-        for kind, bw, bh in bands:
+    for r_i, kinds in enumerate(band_kinds):
+        for kind in kinds:
             mx = 0
-            for c in range(ncomp):
-                if bw > 0 and bh > 0:
+            for _, comp_bands in tiles:
+                for c in range(ncomp):
                     arr = comp_bands[c][r_i][kind]
                     if arr.size:
                         mx = max(mx, int(np.abs(arr).max()))
@@ -774,11 +979,12 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
         guard = 2
     out = bytearray()
     out += struct.pack(">H", 0xFF4F)                       # SOC
-    siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, ncomp)
+    siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, xt, yt, 0, 0, ncomp)
     siz += b"\x07\x01\x01" * ncomp                         # 8-bit, 1x1
     out += _marker(0xFF51, siz)                            # SIZ
-    cod = bytes([0,                                        # Scod
-                 0]) + struct.pack(">H", 1) + bytes([      # LRCP, 1 layer
+    scod = (0x02 if sop else 0) | (0x04 if eph else 0)
+    cod = bytes([scod,
+                 prog]) + struct.pack(">H", layers) + bytes([
                  mct, nl, cb_exp - 2, cb_exp - 2, 0,
                  0 if irreversible else 1])                # 9/7 vs 5/3
     out += _marker(0xFF52, cod)                            # COD
@@ -790,58 +996,21 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
             [max(m - guard + 1, 0) << 3 for m in mbs])     # eps = Mb-G+1
     out += _marker(0xFF5C, qcd)                            # QCD
 
-    # tile body: LRCP packets, single layer/tile/precinct
-    body = bytearray()
-    for r_i, bands in enumerate(geom):
-        for c in range(ncomp):
-            hdr = _HdrWriter()
-            datas: list[bytes] = []
-            grids = [(kind, bw, bh) + _cblk_grid(bw, bh, cb)
-                     for kind, bw, bh in bands]
-            if not any(nx * ny for _, _, _, nx, ny in grids):
-                hdr.put(0)
-                body += hdr.flush()
-                continue
-            hdr.put(1)
-            mb_idx = sum(len(g) for g in geom[:r_i])
-            for b_i, (kind, bw, bh, nx, ny) in enumerate(grids):
-                if nx * ny == 0:
-                    continue
-                mb = mbs[mb_idx + b_i]
-                incl = _TagTree(nx, ny)
-                zbpt = _TagTree(nx, ny)
-                arr = comp_bands[c][r_i][kind]
-                blocks = []
-                for by in range(ny):
-                    for bx in range(nx):
-                        sl = arr[by * cb:(by + 1) * cb,
-                                 bx * cb:(bx + 1) * cb]
-                        data, zbp, npasses = _encode_cblk(sl, kind, mb)
-                        blocks.append((by, bx, data, zbp, npasses))
-                        zbpt.set_value(by, bx, zbp)
-                incl.finalize()
-                zbpt.finalize()
-                for by, bx, data, zbp, npasses in blocks:
-                    incl.encode(hdr, by, bx, 1)
-                    zbpt.encode(hdr, by, bx, zbp + 1)
-                    _put_npasses(hdr, npasses)
-                    lblock = 3
-                    nbits = lblock + int(math.log2(npasses))
-                    need = max(len(data).bit_length(), 1)
-                    while need > nbits:
-                        hdr.put(1)
-                        lblock += 1
-                        nbits += 1
-                    hdr.put(0)
-                    hdr.put_bits(len(data), nbits)
-                    datas.append(data)
-            body += hdr.flush()
-            for d in datas:
-                body += d
-    psot = 12 + 2 + len(body)
-    out += _marker(0xFF90, struct.pack(">HIBB", 0, psot, 0, 1))  # SOT
-    out += struct.pack(">H", 0xFF93)                       # SOD
-    out += body
+    for t, (tgeom, comp_bands) in enumerate(tiles):
+        body, bounds = _encode_tile_body(comp_bands, tgeom, ncomp, cb,
+                                         mbs, layers, prog, sop, eph)
+        npkt = len(bounds) - 1
+        nparts = max(1, min(tile_parts, npkt))
+        cut_pkts = sorted({round(npkt * k / nparts)
+                           for k in range(1, nparts)} - {0, npkt})
+        cuts = [0] + [bounds[i] for i in cut_pkts] + [len(body)]
+        parts = [body[cuts[i]:cuts[i + 1]] for i in range(len(cuts) - 1)]
+        for k, part in enumerate(parts):
+            psot = 12 + 2 + len(part)
+            out += _marker(0xFF90, struct.pack(">HIBB", t, psot,
+                                               k, len(parts)))  # SOT
+            out += struct.pack(">H", 0xFF93)               # SOD
+            out += part
     out += struct.pack(">H", 0xFFD9)                       # EOC
     return bytes(out)
 
@@ -872,6 +1041,81 @@ def _unwrap_jp2(data: bytes) -> bytes:
     raise JpxError("no jp2c codestream box in JP2 container")
 
 
+def _decode_tile(body: bytes, geom, ncomp: int, cb: int,
+                 mbs: list[int], layers: int, prog: int,
+                 sop: bool, eph: bool):
+    """One tile's concatenated packet stream → per-component band
+    arrays (``comp_bands[c][r_i][kind]``, int64 coefficients).
+
+    Packets are walked in the COD progression order; per-code-block
+    inclusion/zero-bitplane tag trees and Lblock state persist across
+    quality layers (B.10), and a block's codeword segments are
+    concatenated before a single tier-1 decode (B.10.7)."""
+    nres = len(geom)
+    grids_of = [[(kind, bw, bh) + _cblk_grid(bw, bh, cb)
+                 for kind, bw, bh in bands] for bands in geom]
+    states: dict[tuple, _CblkDec] = {}
+    trees: dict[tuple, tuple[_TagTree, _TagTree]] = {}
+    bpos = 0
+    for l, r_i, c in _packet_order(prog, layers, nres, ncomp):
+        if sop:
+            if body[bpos:bpos + 2] == b"\xff\x91":
+                bpos += 6                    # SOP resync (optional per packet)
+        rdr = _HdrReader(body, bpos)
+        grids = grids_of[r_i]
+        todo: list[tuple[_CblkDec, int]] = []
+        if rdr.get():                                      # non-empty packet
+            mb_idx = sum(len(g) for g in geom[:r_i])
+            for b_i, (kind, bw, bh, nx, ny) in enumerate(grids):
+                if nx * ny == 0:
+                    continue
+                tkey = (c, r_i, b_i)
+                if tkey not in trees:
+                    trees[tkey] = (_TagTree(nx, ny), _TagTree(nx, ny))
+                incl, zbpt = trees[tkey]
+                mb = mbs[mb_idx + b_i]
+                for by in range(ny):
+                    for bx in range(nx):
+                        key = (c, r_i, b_i, by, bx)
+                        st = states.get(key)
+                        if st is None:
+                            if not incl.decode(rdr, by, bx, l + 1):
+                                continue                   # not yet included
+                            zbp = zbpt.decode_value(rdr, by, bx)
+                            cw = min(cb, bw - bx * cb)
+                            ch = min(cb, bh - by * cb)
+                            st = _CblkDec(cw, ch, kind, mb, zbp)
+                            states[key] = st
+                        elif not rdr.get():
+                            continue                       # no contribution
+                        p_l = _get_npasses(rdr)
+                        while rdr.get():
+                            st.lblock += 1
+                        nbits = st.lblock + int(math.log2(p_l))
+                        dlen = rdr.get_bits(nbits)
+                        st.npasses += p_l
+                        todo.append((st, dlen))
+        bpos = rdr.align()
+        if eph:
+            if body[bpos:bpos + 2] != b"\xff\x92":
+                raise JpxError("missing EPH marker")
+            bpos += 2
+        for st, dlen in todo:
+            st.segs.append(body[bpos:bpos + dlen])
+            bpos += dlen
+
+    comp_bands: list[list[dict[str, np.ndarray]]] = [
+        [{kind: np.zeros((max(bh, 0), max(bw, 0)), dtype=np.int64)
+          for kind, bw, bh in bands} for bands in geom]
+        for _ in range(ncomp)]
+    for (c, r_i, b_i, by, bx), st in states.items():
+        blk = _decode_cblk(b"".join(st.segs), st.cw, st.ch,
+                           st.kind, st.mb, st.zbp, st.npasses)
+        comp_bands[c][r_i][st.kind][by * cb:by * cb + st.ch,
+                                    bx * cb:bx * cb + st.cw] = blk
+    return comp_bands
+
+
 def decode_jpx(data: bytes) -> np.ndarray:
     """JPEG2000 codestream (raw or JP2-wrapped) → (H, W) or (H, W, 3)
     uint8 array. Raises ``JpxError`` outside the supported profile."""
@@ -882,11 +1126,14 @@ def decode_jpx(data: bytes) -> np.ndarray:
     pos = 2
     n = len(data)
     w = h = ncomp = None
+    xt = yt = None
     nl = cb_exp = mct = None
+    prog, layers, sop, eph = 0, 1, False, False
     mbs: list[int] = []
     qparams = None
+    guard = 0
     irreversible = False
-    tile_body = None
+    tile_parts: dict[int, list[tuple[int, bytes]]] = {}
     while pos + 2 <= n:
         (mk,) = struct.unpack_from(">H", data, pos)
         if mk == 0xFFD9:                                   # EOC
@@ -898,15 +1145,16 @@ def decode_jpx(data: bytes) -> np.ndarray:
         (ln,) = struct.unpack_from(">H", data, pos + 2)
         seg = data[pos + 4:pos + 2 + ln]
         if mk == 0xFF51:                                   # SIZ
-            rsiz, xs, ys, xo, yo, xt, yt, xto, yto, cs = \
+            rsiz, xs, ys, xo, yo, xts, yts, xto, yto, cs = \
                 struct.unpack_from(">HIIIIIIIIH", seg, 0)
             if xo or yo or xto or yto:
                 raise JpxError("image/tile offsets unsupported")
-            if xt < xs or yt < ys:
-                raise JpxError("multiple tiles unsupported")
             w, h, ncomp = xs, ys, cs
+            xt, yt = xts, yts
             if w * h > 64_000_000:
                 raise JpxError(f"bad image dims {w}x{h}")
+            if xt < 1 or yt < 1:
+                raise JpxError("bad tile size")
             for c in range(cs):
                 ssiz, xr, yr = seg[36 + 3 * c:39 + 3 * c]
                 if ssiz != 0x07:
@@ -916,19 +1164,23 @@ def decode_jpx(data: bytes) -> np.ndarray:
                     raise JpxError("component subsampling unsupported")
         elif mk == 0xFF52:                                 # COD
             scod = seg[0]
-            if scod != 0:
-                raise JpxError(f"precincts/SOP/EPH unsupported "
+            if scod & 0x01:
+                raise JpxError("custom precincts unsupported "
                                f"(Scod={scod:#x})")
+            if scod & ~0x07:
+                raise JpxError(f"unknown Scod bits {scod:#x}")
+            sop = bool(scod & 0x02)
+            eph = bool(scod & 0x04)
             prog = seg[1]
             (layers,) = struct.unpack_from(">H", seg, 2)
             mct = seg[4]
             nl = seg[5]
             xcb, ycb = seg[6] + 2, seg[7] + 2
             cbstyle, transform = seg[8], seg[9]
-            if prog != 0:
+            if prog not in (0, 1, 2, 3, 4):
                 raise JpxError(f"progression order {prog} unsupported")
-            if layers != 1:
-                raise JpxError(f"{layers} quality layers unsupported")
+            if layers < 1:
+                raise JpxError("zero quality layers")
             if xcb != ycb:
                 raise JpxError("non-square code-blocks unsupported")
             if cbstyle != 0:
@@ -957,10 +1209,8 @@ def decode_jpx(data: bytes) -> np.ndarray:
                            "unsupported")
         elif mk == 0xFF90:                                 # SOT
             isot, psot, tpsot, tnsot = struct.unpack_from(">HIBB", seg, 0)
-            if isot != 0 or tpsot != 0:
-                raise JpxError("multiple tiles/tile-parts unsupported")
             tpos = pos + 2 + ln
-            # tile header: only SOD expected in this profile
+            # tile-part header: only SOD expected in this profile
             (mk2,) = struct.unpack_from(">H", data, tpos)
             if mk2 != 0xFF93:
                 raise JpxError(f"tile-header marker {mk2:#x} unsupported")
@@ -968,7 +1218,8 @@ def decode_jpx(data: bytes) -> np.ndarray:
             end = pos + psot if psot else n - 2
             if end > n:
                 raise JpxError("Psot overruns stream")
-            tile_body = data[start:end]
+            tile_parts.setdefault(isot, []).append((tpsot,
+                                                    data[start:end]))
             pos = end
             continue
         elif mk in (0xFF64, 0xFF55, 0xFF57, 0xFF58, 0xFF60, 0xFF63):
@@ -976,22 +1227,32 @@ def decode_jpx(data: bytes) -> np.ndarray:
         else:
             raise JpxError(f"unknown marker {mk:#x}")
         pos += 2 + ln
-    if w is None or nl is None or tile_body is None or \
+    if w is None or nl is None or not tile_parts or \
             (not mbs and qparams is None):
         raise JpxError("incomplete codestream (SIZ/COD/QCD/SOT missing)")
-    geom = _band_geometry(w, h, nl)
-    n_bands = sum(len(g) for g in geom)
+    ntx = (w + xt - 1) // xt
+    nty = (h + yt - 1) // yt
+    grid_step = 1 << nl
+    if (ntx > 1 and xt % grid_step) or (nty > 1 and yt % grid_step):
+        raise JpxError(f"tile size {xt}x{yt} not a multiple of "
+                       f"2^levels={grid_step} (odd-origin DWT parity "
+                       "unsupported)")
+
+    # per-band Mb / deltas — shared across tiles (single QCD); the band
+    # count 1 + 3*levels is geometry-independent
+    band_kinds = ["LL"] + [k for _ in range(nl)
+                           for k in ("HL", "LH", "HH")]
+    n_bands = len(band_kinds)
     deltas: list[float] | None = None
     if qparams is not None:
         if not irreversible:
             raise JpxError("quantized QCD with a reversible transform")
         qstyle, entries = qparams
-        kinds = [k for bands in geom for k, _, _ in bands]
         # band decomposition level (for the derived-eps formula)
         lvls = [nl] + [nl - r_i + 1 for r_i in range(1, nl + 1)
                        for _ in range(3)]
         mbs, deltas = [], []
-        for b_i, kind in enumerate(kinds):
+        for b_i, kind in enumerate(band_kinds):
             if qstyle == 2:
                 if b_i >= len(entries):
                     raise JpxError("QCD subband count mismatch")
@@ -1007,88 +1268,49 @@ def decode_jpx(data: bytes) -> np.ndarray:
     if len(mbs) != n_bands:
         raise JpxError("QCD subband count mismatch")
     cb = 1 << cb_exp
-
-    # parse packets (LRCP, single layer) and decode code-blocks
-    comp_bands: list[list[dict[str, np.ndarray]]] = [
-        [{} for _ in geom] for _ in range(ncomp)]
-    bpos = 0
-    for r_i, bands in enumerate(geom):
-        for c in range(ncomp):
-            rdr = _HdrReader(tile_body, bpos)
-            grids = [(kind, bw, bh) + _cblk_grid(bw, bh, cb)
-                     for kind, bw, bh in bands]
-            for kind, bw, bh, nx, ny in grids:
-                comp_bands[c][r_i][kind] = np.zeros((max(bh, 0),
-                                                     max(bw, 0)),
-                                                    dtype=np.int64)
-            if not any(nx * ny for _, _, _, nx, ny in grids):
-                rdr.get()          # encoder still emits the 0 bit
-                bpos = rdr.align()
-                continue
-            if not rdr.get():                              # empty packet
-                bpos = rdr.align()
-                continue
-            mb_idx = sum(len(g) for g in geom[:r_i])
-            todo = []
-            for b_i, (kind, bw, bh, nx, ny) in enumerate(grids):
-                if nx * ny == 0:
-                    continue
-                mb = mbs[mb_idx + b_i]
-                incl = _TagTree(nx, ny)
-                zbpt = _TagTree(nx, ny)
-                for by in range(ny):
-                    for bx in range(nx):
-                        if not incl.decode(rdr, by, bx, 1):
-                            continue                       # not included
-                        zbp = zbpt.decode_value(rdr, by, bx)
-                        npasses = _get_npasses(rdr)
-                        lblock = 3
-                        while rdr.get():
-                            lblock += 1
-                        nbits = lblock + int(math.log2(npasses))
-                        dlen = rdr.get_bits(nbits)
-                        todo.append((kind, mb, by, bx, zbp, npasses,
-                                     dlen, bw, bh))
-            bpos = rdr.align()
-            for kind, mb, by, bx, zbp, npasses, dlen, bw, bh in todo:
-                cw = min(cb, bw - bx * cb)
-                ch = min(cb, bh - by * cb)
-                blk = _decode_cblk(tile_body[bpos:bpos + dlen], cw, ch,
-                                   kind, mb, zbp, npasses)
-                comp_bands[c][r_i][kind][by * cb:by * cb + ch,
-                                         bx * cb:bx * cb + cw] = blk
-                bpos += dlen
-
-    # dequantize (irreversible): x = sign(q) * (|q| + 0.5) * delta_b
-    if deltas is not None:
-        d_of: dict[tuple[int, str], float] = {}
-        b_i = 0
-        for r_i, bands in enumerate(geom):
-            for kind, _, _ in bands:
-                d_of[(r_i, kind)] = deltas[b_i]
-                b_i += 1
-        for c in range(ncomp):
-            for r_i in range(len(geom)):
-                for kind, arr in comp_bands[c][r_i].items():
-                    step = d_of[(r_i, kind)]
-                    q = arr.astype(np.float64)
-                    comp_bands[c][r_i][kind] = np.where(
-                        q == 0.0, 0.0,
-                        np.sign(q) * (np.abs(q) + 0.5) * step)
-
-    # inverse wavelet + color transform
     ipair = _idwt97_pair if irreversible else _idwt53_pair
-    sizes = _ll_sizes(w, h, nl)
-    planes = []
-    for c in range(ncomp):
-        ll = comp_bands[c][0]["LL"]
-        for r_i in range(1, nl + 1):
-            lev = nl - r_i + 1
-            pw, ph = sizes[lev - 1]
-            bands = dict(comp_bands[c][r_i])
-            bands["LL"] = ll
-            ll = _idwt2(bands, ph, pw, ipair)
-        planes.append(ll)
+    dtype = np.float64 if irreversible else np.int64
+    planes = [np.zeros((h, w), dtype=dtype) for _ in range(ncomp)]
+
+    for t in range(ntx * nty):
+        parts = tile_parts.get(t)
+        if parts is None:
+            raise JpxError(f"tile {t} missing from codestream")
+        body = b"".join(p for _, p in sorted(parts))
+        tx, ty = t % ntx, t // ntx
+        x0, y0 = tx * xt, ty * yt
+        x1, y1 = min(x0 + xt, w), min(y0 + yt, h)
+        tgeom = _band_geometry(x1 - x0, y1 - y0, nl)
+        comp_bands = _decode_tile(body, tgeom, ncomp, cb, mbs,
+                                  layers, prog, sop, eph)
+
+        # dequantize (irreversible): x = sign(q) * (|q| + 0.5) * delta_b
+        if deltas is not None:
+            b_i = 0
+            for r_i, bands in enumerate(tgeom):
+                for kind, _, _ in bands:
+                    step = deltas[b_i]
+                    b_i += 1
+                    for c in range(ncomp):
+                        q = comp_bands[c][r_i][kind].astype(np.float64)
+                        comp_bands[c][r_i][kind] = np.where(
+                            q == 0.0, 0.0,
+                            np.sign(q) * (np.abs(q) + 0.5) * step)
+
+        # inverse wavelet, placed into the stitched plane
+        sizes = _ll_sizes(x1 - x0, y1 - y0, nl)
+        for c in range(ncomp):
+            ll = comp_bands[c][0]["LL"]
+            if irreversible:
+                ll = ll.astype(np.float64)
+            for r_i in range(1, nl + 1):
+                lev = nl - r_i + 1
+                pw, ph = sizes[lev - 1]
+                bands = dict(comp_bands[c][r_i])
+                bands["LL"] = ll
+                ll = _idwt2(bands, ph, pw, ipair)
+            planes[c][y0:y1, x0:x1] = ll
+
     if ncomp == 3 and mct:
         if irreversible:
             r, g, b = _ict_inverse(planes[0], planes[1], planes[2])

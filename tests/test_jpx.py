@@ -106,16 +106,86 @@ def test_97_without_quantization_rejected():
         decode_jpx(_patch_cod(cs, 9, 0))          # transform byte
 
 
-def test_multi_layer_rejected():
-    cs = encode_jpx(_grad(8, 8))
-    with pytest.raises(JpxError, match="layers"):
-        decode_jpx(_patch_cod(cs, 3, 2))          # SGcod layers lo byte
+@pytest.mark.parametrize("layers", [2, 3, 7])
+def test_multi_layer_roundtrip(layers):
+    img = _grad(37, 29, ch=3)
+    assert np.array_equal(decode_jpx(encode_jpx(img, layers=layers)), img)
 
 
-def test_non_lrcp_progression_rejected():
+@pytest.mark.parametrize("prog", [0, 1, 2, 3, 4])
+def test_progression_orders_roundtrip(prog):
+    # multi-layer so the five orders actually interleave differently
+    img = _grad(41, 23)
+    cs = encode_jpx(img, layers=3, prog=prog)
+    assert np.array_equal(decode_jpx(cs), img)
+
+
+def test_progression_orders_reorder_packets():
+    img = _grad(40, 40)
+    streams = {encode_jpx(img, layers=3, prog=p) for p in range(5)}
+    assert len(streams) >= 3                      # PCRL == CPRL here
+
+
+def test_sop_eph_markers_roundtrip():
+    img = _grad(33, 50, ch=3)
+    cs = encode_jpx(img, layers=2, sop=True, eph=True)
+    assert b"\xff\x91" in cs and b"\xff\x92" in cs
+    assert np.array_equal(decode_jpx(cs), img)
+
+
+@pytest.mark.parametrize("tile", [(32, 32), (32, 16), (64, 32)])
+def test_tiled_roundtrip(tile):
+    img = _grad(72, 96, ch=3)
+    cs = encode_jpx(img, levels=2, tile_size=tile)
+    assert np.array_equal(decode_jpx(cs), img)
+
+
+def test_tiled_ragged_edge_roundtrip():
+    # image not a multiple of the tile size: partial edge tiles
+    img = _grad(52, 80)
+    cs = encode_jpx(img, levels=2, tile_size=(32, 16))
+    assert np.array_equal(decode_jpx(cs), img)
+
+
+def test_tile_parts_roundtrip():
+    img = _grad(48, 64)
+    cs = encode_jpx(img, tile_size=(32, 32), tile_parts=3, layers=2)
+    assert cs.count(b"\xff\x90") > cs.count(b"\xff\x51") * 4  # many SOTs
+    assert np.array_equal(decode_jpx(cs), img)
+
+
+def test_everything_at_once_roundtrip():
+    img = _grad(72, 96, ch=3)
+    cs = encode_jpx(img, levels=3, tile_size=(32, 24), tile_parts=3,
+                    layers=4, prog=3, sop=True, eph=True)
+    assert np.array_equal(decode_jpx(cs), img)
+
+
+def test_irreversible_layered_matches_single_layer():
+    # layering splits bytes but the decoder concatenates segments:
+    # identical reconstruction
+    img = _grad(48, 64)
+    a = decode_jpx(encode_jpx(img, irreversible=True))
+    b = decode_jpx(encode_jpx(img, irreversible=True, layers=3,
+                              prog=1, sop=True))
+    assert np.array_equal(a, b)
+
+
+def test_misaligned_tile_grid_rejected():
+    with pytest.raises(JpxError, match="multiple"):
+        encode_jpx(_grad(52, 80), levels=2, tile_size=(30, 16))
+
+
+def test_unknown_progression_rejected():
     cs = encode_jpx(_grad(8, 8))
     with pytest.raises(JpxError, match="progression"):
-        decode_jpx(_patch_cod(cs, 1, 2))          # RPCL
+        decode_jpx(_patch_cod(cs, 1, 6))          # order 6 undefined
+
+
+def test_custom_precincts_rejected():
+    cs = encode_jpx(_grad(8, 8))
+    with pytest.raises(JpxError, match="precincts"):
+        decode_jpx(_patch_cod(cs, 0, 0x01))       # Scod precinct bit
 
 
 def test_codeblock_style_rejected():
