@@ -11,12 +11,15 @@ dictionaries and text regions (T.88 §6.5/§6.4 — the dominant real-
 world JBIG2 mode for scanned text) decode via the Annex-A integer
 arithmetic procedures (IADH/IADW/IAEX/IADT/IAFS/IADS/IAIT/IAID), all
 four reference corners, transposed placement, SBSTRIPS strips and
-shared per-dictionary generic contexts. Huffman-coded (SDHUFF/SBHUFF)
-and refinement/aggregate variants, and halftones, raise ``Jbig2Error``
-with the specific reason and degrade upstream to the honest
-``UnsupportedImageError`` → ``<img src="">`` path, mirroring how the
-reference surfaces unsupported codecs (``ImageUtils.java:11-54``
-returns null → empty image resource).
+shared per-dictionary generic contexts. Halftone regions decode in
+full (T.88 §6.6/§6.7 pattern dictionaries, Annex C.5 gray-coded
+bitplanes through one shared decoder/context, fixed-point §6.6.5.1
+grid placement, all combination operators). Huffman-coded
+(SDHUFF/SBHUFF) and refinement/aggregate variants raise
+``Jbig2Error`` with the specific reason and degrade upstream to the
+honest ``UnsupportedImageError`` → ``<img src="">`` path, mirroring
+how the reference surfaces unsupported codecs
+(``ImageUtils.java:11-54`` returns null → empty image resource).
 
 The embedded (PDF) segment layout (T.88 Annex / PDF 32000 §7.4.7):
 no file header; a sequence of segments, each
@@ -37,7 +40,8 @@ import struct
 import numpy as np
 
 __all__ = ["Jbig2Error", "decode_jbig2", "encode_jbig2_mmr",
-           "encode_jbig2_arith", "encode_jbig2_text_page"]
+           "encode_jbig2_arith", "encode_jbig2_text_page",
+           "encode_jbig2_halftone"]
 
 
 class Jbig2Error(Exception):
@@ -511,6 +515,135 @@ def _decode_text_region(payload: bytes, syms: list[np.ndarray]):
     return x, y, w, h, comb, bitmap
 
 
+# ------------------------------------------------------------- halftones
+
+def _pattern_at(hdpw: int, template: int) -> list[tuple[int, int]]:
+    """Pattern-dictionary AT pixels (T.88 §6.7.5): A1 = (-HDPW, 0),
+    A2..A4 nominal when the 16-pixel template 0 is in use."""
+    at = [(-hdpw, 0)]
+    if template == 0:
+        at += [(-3, -1), (2, -2), (-2, -2)]
+    return at
+
+
+def _decode_pattern_dict(payload: bytes) -> list[np.ndarray]:
+    """Pattern dictionary segment (type 16, T.88 §6.7) → list of
+    HDPW×HDPH pattern bitmaps (index = gray value)."""
+    if len(payload) < 7:
+        raise Jbig2Error("truncated pattern dictionary")
+    flags = payload[0]
+    hdmmr = flags & 1
+    template = (flags >> 1) & 3
+    hdpw, hdph = payload[1], payload[2]
+    (graymax,) = struct.unpack_from(">I", payload, 3)
+    if hdpw == 0 or hdph == 0:
+        raise Jbig2Error(f"bad pattern dims {hdpw}x{hdph}")
+    if graymax > 4095:
+        raise Jbig2Error(f"implausible GRAYMAX {graymax}")
+    cw = (graymax + 1) * hdpw
+    if cw * hdph > 64_000_000:
+        raise Jbig2Error("pattern dictionary too large")
+    data = payload[7:]
+    if hdmmr:
+        from .ccitt import CcittError, decode_g4
+        try:
+            collective = decode_g4(data, cw, hdph)
+        except CcittError as e:
+            raise Jbig2Error(f"MMR pattern dict failed: {e}") from e
+    else:
+        if hdpw > 128:
+            raise Jbig2Error("pattern width exceeds AT range")
+        collective = _decode_generic_arith(data, cw, hdph, template,
+                                           _pattern_at(hdpw, template),
+                                           False)
+    return [collective[:, k * hdpw:(k + 1) * hdpw].copy()
+            for k in range(graymax + 1)]
+
+
+def _decode_gray_image(data: bytes, w: int, h: int, template: int,
+                       bpp: int) -> np.ndarray:
+    """Gray-scale image decoding (T.88 Annex C.5, arithmetic): BPP
+    gray-coded bitplanes MSB-first through ONE decoder and shared
+    context, then Gray→binary conversion."""
+    from .mq import MQDecoder
+    dec = MQDecoder(data)
+    at = _NOMINAL_AT[template]
+    cx = [0] * (1 << len(_template_pixels(template, at)))
+    msb = _decode_generic_arith(b"", w, h, template, at, False,
+                                dec=dec, cx=cx)
+    vals = msb.astype(np.int32) << (bpp - 1)
+    prev = msb
+    for j in range(bpp - 2, -1, -1):
+        plane = _decode_generic_arith(b"", w, h, template, at, False,
+                                      dec=dec, cx=cx)
+        prev = plane ^ prev                     # C.5: Gray decoding
+        vals |= prev.astype(np.int32) << j
+    return vals
+
+
+def _decode_halftone_region(payload: bytes, pats: list[np.ndarray]):
+    """Halftone region segment (types 20/22/23, T.88 §6.6) →
+    (x, y, w, h, comb, bitmap). Arithmetic, no skip plane."""
+    if len(payload) < 38:
+        raise Jbig2Error("truncated halftone region")
+    w, h, x, y = struct.unpack_from(">IIII", payload, 0)
+    comb = payload[16] & 0x07
+    flags = payload[17]
+    hmmr = flags & 1
+    template = (flags >> 1) & 3
+    henableskip = (flags >> 3) & 1
+    hcombop = (flags >> 4) & 7
+    hdefpixel = (flags >> 7) & 1
+    hgw, hgh = struct.unpack_from(">II", payload, 18)
+    hgx, hgy = struct.unpack_from(">ii", payload, 26)
+    hrx, hry = struct.unpack_from(">HH", payload, 34)
+    if hmmr:
+        raise Jbig2Error("MMR halftone region unsupported")
+    if henableskip:
+        raise Jbig2Error("HENABLESKIP halftone unsupported")
+    if w == 0 or h == 0 or w * h > 64_000_000:
+        raise Jbig2Error(f"bad halftone region dims {w}x{h}")
+    if hgw == 0 or hgh == 0 or hgw * hgh > 16_000_000:
+        raise Jbig2Error(f"bad halftone grid {hgw}x{hgh}")
+    if not pats:
+        raise Jbig2Error("halftone region without pattern dictionary")
+    bpp = max((len(pats) - 1).bit_length(), 1)
+    vals = _decode_gray_image(payload[38:], hgw, hgh, template, bpp)
+    np.clip(vals, 0, len(pats) - 1, out=vals)
+
+    bitmap = np.full((h, w), hdefpixel, dtype=np.uint8)
+    ph, pw = pats[0].shape
+
+    def draw(pat: np.ndarray, xs: int, yt: int) -> None:
+        x0, y0 = max(xs, 0), max(yt, 0)
+        x1, y1 = min(xs + pw, w), min(yt + ph, h)
+        if x0 >= x1 or y0 >= y1:
+            return
+        win = bitmap[y0:y1, x0:x1]
+        cut = pat[y0 - yt:y1 - yt, x0 - xs:x1 - xs]
+        if hcombop == 0:
+            win |= cut
+        elif hcombop == 1:
+            win &= cut
+        elif hcombop == 2:
+            win ^= cut
+        elif hcombop == 3:
+            win[...] = 1 - (win ^ cut)
+        else:
+            win[...] = cut
+
+    # grid placement (§6.6.5.1): fixed-point 1/256-pixel grid vectors
+    for m in range(hgh):
+        gx = hgx + m * hry
+        gy = hgy + m * hrx
+        row = vals[m]
+        for n in range(hgw):
+            draw(pats[row[n]], gx >> 8, gy >> 8)
+            gx += hrx
+            gy -= hry
+    return x, y, w, h, comb, bitmap
+
+
 def decode_jbig2(data: bytes, *, globals_data: bytes = b"",
                  width: int | None = None,
                  height: int | None = None) -> np.ndarray:
@@ -526,6 +659,7 @@ def decode_jbig2(data: bytes, *, globals_data: bytes = b"",
     page: np.ndarray | None = None
     regions: list[tuple[int, int, int, int, int, np.ndarray]] = []
     sym_dicts: dict[int, list[np.ndarray]] = {}
+    pat_dicts: dict[int, list[np.ndarray]] = {}
 
     for blob in (globals_data, data):
         if not blob:
@@ -546,8 +680,14 @@ def decode_jbig2(data: bytes, *, globals_data: bytes = b"",
                 if not syms:       # tolerate encoders with absent refs
                     syms = [s for d in sym_dicts.values() for s in d]
                 regions.append(_decode_text_region(payload, syms))
+            elif seg_type == 16:
+                pat_dicts[seg_num] = _decode_pattern_dict(payload)
             elif seg_type in _HALFTONE:
-                raise Jbig2Error("halftone region unsupported")
+                pats = next((pat_dicts[r] for r in refs
+                             if r in pat_dicts), None)
+                if pats is None:   # tolerate encoders with absent refs
+                    pats = next(iter(pat_dicts.values()), [])
+                regions.append(_decode_halftone_region(payload, pats))
             elif seg_type in (_END_PAGE, _END_STRIPE, _END_FILE, 62):
                 continue
             # tables/extension/profiles (53, 52): ignorable here
@@ -774,4 +914,68 @@ def encode_jbig2_text_page(symbols: list[np.ndarray],
     return (_segment(1, _PAGE_INFO, page_info) +
             _segment(2, 0, sd) +
             _segment(3, 4, tr, refs=(2,)) +
+            _segment(4, _END_PAGE, b""))
+
+
+def encode_jbig2_halftone(values: np.ndarray,
+                          patterns: list[np.ndarray], *,
+                          template: int = 0,
+                          combop: int = 0) -> bytes:
+    """Fixture encoder: pattern dictionary + halftone region (T.88
+    §6.7/§6.6, arithmetic coding, axis-aligned unit grid).
+
+    ``values`` is the (HGH, HGW) gray-value grid indexing into
+    ``patterns`` (equal-shape bitmaps, square for gapless tiling —
+    the §6.6.5.1 grid steps x by HRX per column and y by HRX per
+    row). The locked property is decode(encode(vals, pats)) ==
+    the composed tiling.
+    """
+    from .mq import MQEncoder
+    vals = np.asarray(values, dtype=np.int64)
+    pats = [(np.asarray(p) != 0).astype(np.uint8) for p in patterns]
+    if not pats or vals.ndim != 2:
+        raise Jbig2Error("need a 2-D value grid and patterns")
+    ph, pw = pats[0].shape
+    if any(p.shape != (ph, pw) for p in pats):
+        raise Jbig2Error("patterns must share one shape")
+    if pw > 128 or pw == 0 or ph == 0:
+        raise Jbig2Error("pattern width outside AT range")
+    if vals.min() < 0 or vals.max() >= len(pats):
+        raise Jbig2Error("gray value out of pattern range")
+    hgh, hgw = vals.shape
+    graymax = len(pats) - 1
+    bpp = max(graymax.bit_length(), 1)
+
+    # ---- pattern dictionary: collective bitmap, A1 = (-HDPW, 0)
+    enc = MQEncoder()
+    at = _pattern_at(pw, template)
+    cx = [0] * (1 << len(_template_pixels(template, at)))
+    collective = np.concatenate(pats, axis=1)
+    _encode_generic_bits(enc, cx, collective, template, at, False)
+    pd = bytes([(template & 3) << 1, pw, ph]) \
+        + struct.pack(">I", graymax) + enc.flush()
+
+    # ---- halftone region: gray-coded bitplanes, shared encoder/context
+    enc = MQEncoder()
+    at = _NOMINAL_AT[template]
+    cx = [0] * (1 << len(_template_pixels(template, at)))
+    planes = [((vals >> j) & 1).astype(np.uint8) for j in range(bpp)]
+    prev = planes[bpp - 1]
+    _encode_generic_bits(enc, cx, prev, template, at, False)
+    for j in range(bpp - 2, -1, -1):
+        _encode_generic_bits(enc, cx, planes[j] ^ prev,
+                             template, at, False)   # C.5 Gray coding
+        prev = planes[j]
+    page_w, page_h = hgw * pw, hgh * ph
+    hflags = ((template & 3) << 1) | ((combop & 7) << 4)
+    ht = struct.pack(">IIII", page_w, page_h, 0, 0) + b"\x00"  # comb OR
+    ht += bytes([hflags])
+    ht += struct.pack(">IIiiHH", hgw, hgh, 0, 0, pw << 8, 0)
+    ht += enc.flush()
+
+    page_info = struct.pack(">IIII", page_w, page_h, 0, 0) \
+        + b"\x01" + b"\x00\x00"
+    return (_segment(1, _PAGE_INFO, page_info) +
+            _segment(2, 16, pd) +
+            _segment(3, 23, ht, refs=(2,)) +
             _segment(4, _END_PAGE, b""))

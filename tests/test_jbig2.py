@@ -316,3 +316,108 @@ def test_pdf_with_jbig2_text_region_parses():
     exp = np.repeat(np.where(exp_bm[..., None] == 1, 0, 255), 3,
                     axis=-1).astype(np.uint8)
     assert np.array_equal(png[..., :3], exp)
+
+
+# ----------------------------------------------------------- halftones
+
+def _dither_patterns(n, ph, pw, seed=3):
+    rng = np.random.default_rng(seed)
+    return [(rng.random((ph, pw)) < k / max(n - 1, 1)).astype(np.uint8)
+            for k in range(n)]
+
+
+def _tile(vals, pats):
+    return np.block([[pats[v] for v in row] for row in vals])
+
+
+def test_halftone_roundtrip():
+    from pdf2dom_ray.engine.jbig2 import encode_jbig2_halftone
+    rng = np.random.default_rng(7)
+    pats = _dither_patterns(4, 4, 4)
+    vals = rng.integers(0, 4, (6, 9))
+    out = decode_jbig2(encode_jbig2_halftone(vals, pats))
+    assert np.array_equal(out, _tile(vals, pats))
+
+
+@pytest.mark.parametrize("template", [0, 1, 2, 3])
+def test_halftone_templates(template):
+    from pdf2dom_ray.engine.jbig2 import encode_jbig2_halftone
+    rng = np.random.default_rng(11)
+    pats = _dither_patterns(2, 3, 3)
+    vals = rng.integers(0, 2, (5, 5))
+    out = decode_jbig2(encode_jbig2_halftone(vals, pats,
+                                             template=template))
+    assert np.array_equal(out, _tile(vals, pats))
+
+
+def test_halftone_multi_bitplane():
+    # 9 patterns -> 4 gray-coded bitplanes through one shared decoder
+    from pdf2dom_ray.engine.jbig2 import encode_jbig2_halftone
+    rng = np.random.default_rng(13)
+    pats = _dither_patterns(9, 5, 5)
+    vals = rng.integers(0, 9, (4, 7))
+    out = decode_jbig2(encode_jbig2_halftone(vals, pats))
+    assert np.array_equal(out, _tile(vals, pats))
+
+
+def test_halftone_encoder_deterministic():
+    from pdf2dom_ray.engine.jbig2 import encode_jbig2_halftone
+    pats = _dither_patterns(3, 4, 4)
+    vals = np.arange(12).reshape(3, 4) % 3
+    assert encode_jbig2_halftone(vals, pats) == \
+        encode_jbig2_halftone(vals, pats)
+
+
+def test_halftone_value_out_of_range_rejected():
+    from pdf2dom_ray.engine.jbig2 import encode_jbig2_halftone
+    with pytest.raises(Jbig2Error, match="range"):
+        encode_jbig2_halftone(np.array([[0, 5]]),
+                              _dither_patterns(2, 3, 3))
+
+
+def test_mmr_halftone_rejected():
+    # flip HMMR in the halftone flags byte: declared-unsupported path
+    from pdf2dom_ray.engine.jbig2 import encode_jbig2_halftone
+    pats = _dither_patterns(2, 3, 3)
+    bs = bytearray(encode_jbig2_halftone(np.array([[0, 1]]), pats))
+    # locate the halftone flags byte: it immediately precedes the
+    # grid fields (hgw=2, hgh=1) at payload offset 18
+    idx = bytes(bs).index(struct.pack(">II", 2, 1)) - 1
+    bs[idx] |= 0x01
+    with pytest.raises(Jbig2Error, match="MMR halftone"):
+        decode_jbig2(bytes(bs))
+
+
+def test_pdf_with_jbig2_halftone_parses():
+    import base64
+    import re
+
+    from pdf2dom_ray.engine.jbig2 import encode_jbig2_halftone
+    from pdf2dom_ray.engine.parse import parse_document
+    from pdf2dom_ray.functions.multimodal import decode_engine_png
+    from pdf2dom_ray.synth.pdfgen import PageSpec, PdfBuilder
+
+    rng = np.random.default_rng(17)
+    pats = _dither_patterns(4, 4, 4)
+    vals = rng.integers(0, 4, (5, 8))
+    data = encode_jbig2_halftone(vals, pats)
+    exp_bm = _tile(vals, pats)
+    h, w = exp_bm.shape
+    b = PdfBuilder(title="jbig2-halftone")
+    p = PageSpec()
+    p.use_custom_image(
+        "Im0",
+        f"/Width {w} /Height {h} /ColorSpace /DeviceGray "
+        "/BitsPerComponent 1 /Filter /JBIG2Decode",
+        data, compress=False)
+    p.draw_image("Im0", 100, 600, 80, 50)
+    b.add_page(p)
+    r = parse_document(b.build())
+    assert r.error is None
+    assert r.n_images == 1
+    m = re.search(r'src="data:image/png;base64,([^"]+)"', r.html_dom)
+    assert m, "halftone JBIG2 must render a PNG now"
+    png = decode_engine_png(base64.b64decode(m.group(1)))
+    exp = np.repeat(np.where(exp_bm[..., None] == 1, 0, 255), 3,
+                    axis=-1).astype(np.uint8)
+    assert np.array_equal(png[..., :3], exp)
