@@ -14,8 +14,11 @@ four reference corners, transposed placement, SBSTRIPS strips and
 shared per-dictionary generic contexts. Halftone regions decode in
 full (T.88 §6.6/§6.7 pattern dictionaries, Annex C.5 gray-coded
 bitplanes through one shared decoder/context, fixed-point §6.6.5.1
-grid placement, all combination operators). Huffman-coded
-(SDHUFF/SBHUFF) and refinement/aggregate variants raise
+grid placement, all combination operators). Refinement region
+segments (types 40/42/43) decode via the §6.3 refinement procedure
+(both templates, TPGRON typical prediction) against the page-so-far
+as the reference bitmap. Huffman-coded (SDHUFF/SBHUFF) streams and
+refinement *inside* symbol/text coding (REFAGG/SBREFINE) raise
 ``Jbig2Error`` with the specific reason and degrade upstream to the
 honest ``UnsupportedImageError`` → ``<img src="">`` path, mirroring
 how the reference surfaces unsupported codecs
@@ -41,7 +44,7 @@ import numpy as np
 
 __all__ = ["Jbig2Error", "decode_jbig2", "encode_jbig2_mmr",
            "encode_jbig2_arith", "encode_jbig2_text_page",
-           "encode_jbig2_halftone"]
+           "encode_jbig2_halftone", "encode_jbig2_refinement"]
 
 
 class Jbig2Error(Exception):
@@ -644,6 +647,127 @@ def _decode_halftone_region(payload: bytes, pats: list[np.ndarray]):
     return x, y, w, h, comb, bitmap
 
 
+# ------------------------------------------------------------ refinement
+
+# refinement templates (T.88 §6.3.5.3, figures 12/13): pixels read
+# from the bitmap being decoded (causal) and from the reference
+# bitmap. Template 0 additionally has one AT pixel in each plane.
+_REF_CODING = {
+    0: [(0, -1), (1, -1), (-1, 0)],
+    1: [(-1, -1), (0, -1), (1, -1), (-1, 0)],
+}
+_REF_REFERENCE = {
+    0: [(0, -1), (1, -1), (-1, 0), (0, 0), (1, 0),
+        (-1, 1), (0, 1), (1, 1)],
+    1: [(0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1)],
+}
+_REF_NOMINAL_AT = [(-1, -1), (-1, -1)]         # A1 (coding), A2 (reference)
+# TPGRON SLTP pseudo-contexts (T.88 §6.3.5.6) in this module's bit
+# layout (coding plane MSB-first, then reference plane)
+_TPGRON_CTX = {0: 0x0008, 1: 0x0008}
+
+
+def _refine_bits(w: int, h: int, template: int,
+                 at: list[tuple[int, int]], tpgron: bool,
+                 ref: np.ndarray, dx: int, dy: int,
+                 out_rows: list[list[int]], emit) -> None:
+    """Shared refinement walk (T.88 §6.3.5.6): ``emit(ctx, x, y)``
+    decodes into / encodes from ``out_rows[y][x]``. The reference
+    pixel for output (x, y) is ``ref[y - dy, x - dx]`` (0 outside)."""
+    coding = list(_REF_CODING[template])
+    reference = list(_REF_REFERENCE[template])
+    if template == 0:
+        coding.append(at[0])
+        reference.append(at[1])
+    rh, rw = ref.shape
+    rrows = ref.tolist()
+
+    def rpix(xx: int, yy: int) -> int:
+        return rrows[yy][xx] if 0 <= xx < rw and 0 <= yy < rh else 0
+
+    ltp = 0
+    sltp_ctx = _TPGRON_CTX[template]
+    for y in range(h):
+        if tpgron:
+            ltp ^= emit(sltp_ctx, -1, y)
+        row = out_rows[y]
+        for x in range(w):
+            if ltp:
+                # typical pixel: uniform 3x3 reference neighborhood
+                # is copied without coding (§6.3.5.6 step 3b)
+                s = sum(rpix(x - dx + i, y - dy + j)
+                        for j in (-1, 0, 1) for i in (-1, 0, 1))
+                if s == 0:
+                    row[x] = 0
+                    continue
+                if s == 9:
+                    row[x] = 1
+                    continue
+            ctx = 0
+            for cdx, cdy in coding:
+                xx, yy = x + cdx, y + cdy
+                ctx = (ctx << 1) | (out_rows[yy][xx]
+                                    if 0 <= xx < w and 0 <= yy < h
+                                    and (cdy < 0 or cdx < 0) else 0)
+            for rdx, rdy in reference:
+                ctx = (ctx << 1) | rpix(x - dx + rdx, y - dy + rdy)
+            row[x] = emit(ctx, x, y)
+
+
+def _decode_refinement(data: bytes, w: int, h: int, template: int,
+                       at: list[tuple[int, int]], tpgron: bool,
+                       ref: np.ndarray, dx: int = 0, dy: int = 0, *,
+                       dec=None, cx: list[int] | None = None
+                       ) -> np.ndarray:
+    """Refinement region decoding procedure (T.88 §6.3)."""
+    from .mq import MQDecoder
+    if dec is None:
+        dec = MQDecoder(data)
+    nbits = len(_REF_CODING[template]) + len(_REF_REFERENCE[template]) \
+        + (2 if template == 0 else 0)
+    if cx is None:
+        cx = [0] * (1 << nbits)
+    rows = [[0] * w for _ in range(h)]
+    decode = dec.decode
+
+    def emit(ctx: int, x: int, y: int) -> int:
+        return decode(cx, ctx)
+
+    _refine_bits(w, h, template, at, tpgron, ref, dx, dy, rows, emit)
+    return np.asarray(rows, dtype=np.uint8)
+
+
+def _parse_refinement_region(payload: bytes):
+    """Refinement region segment (types 40/42/43, §7.4.7) → deferred
+    decode spec; the reference bitmap is the page region under the
+    region's location at composition time (§6.3.2)."""
+    if len(payload) < 18:
+        raise Jbig2Error("truncated refinement region")
+    w, h, x, y = struct.unpack_from(">IIII", payload, 0)
+    comb = payload[16] & 0x07
+    rflags = payload[17]
+    template = rflags & 1
+    tpgron = bool((rflags >> 1) & 1)
+    if w == 0 or h == 0 or w * h > 64_000_000:
+        raise Jbig2Error(f"bad refinement region dims {w}x{h}")
+    pos = 18
+    at = list(_REF_NOMINAL_AT)
+    if template == 0:
+        if len(payload) < 22:
+            raise Jbig2Error("truncated refinement AT pixels")
+        at = [(struct.unpack_from(">b", payload, 18)[0],
+               struct.unpack_from(">b", payload, 19)[0]),
+              (struct.unpack_from(">b", payload, 20)[0],
+               struct.unpack_from(">b", payload, 21)[0])]
+        pos = 22
+    data = payload[pos:]
+
+    def run(ref: np.ndarray) -> np.ndarray:
+        return _decode_refinement(data, w, h, template, at, tpgron, ref)
+
+    return x, y, w, h, comb, run
+
+
 def decode_jbig2(data: bytes, *, globals_data: bytes = b"",
                  width: int | None = None,
                  height: int | None = None) -> np.ndarray:
@@ -688,6 +812,8 @@ def decode_jbig2(data: bytes, *, globals_data: bytes = b"",
                 if pats is None:   # tolerate encoders with absent refs
                     pats = next(iter(pat_dicts.values()), [])
                 regions.append(_decode_halftone_region(payload, pats))
+            elif seg_type in (40, 42, 43):     # refinement regions
+                regions.append(_parse_refinement_region(payload))
             elif seg_type in (_END_PAGE, _END_STRIPE, _END_FILE, 62):
                 continue
             # tables/extension/profiles (53, 52): ignorable here
@@ -711,6 +837,8 @@ def decode_jbig2(data: bytes, *, globals_data: bytes = b"",
         if y + h > page_h or x + w > page_w:
             raise Jbig2Error("region outside page bitmap")
         win = page[y:y + h, x:x + w]
+        if callable(bitmap):       # refinement: page-so-far is the ref
+            bitmap = bitmap(win.copy())
         if comb == 0:      # OR
             win |= bitmap
         elif comb == 1:    # AND
@@ -978,4 +1106,80 @@ def encode_jbig2_halftone(values: np.ndarray,
     return (_segment(1, _PAGE_INFO, page_info) +
             _segment(2, 16, pd) +
             _segment(3, 23, ht, refs=(2,)) +
+            _segment(4, _END_PAGE, b""))
+
+
+def encode_jbig2_refinement(base: np.ndarray, refined: np.ndarray, *,
+                            template: int = 0,
+                            tpgron: bool = False) -> bytes:
+    """Fixture encoder: arithmetic generic region (the base image)
+    followed by a refinement region (type 43) that REPLACEs it with
+    ``refined``, using the page-so-far as the reference (T.88 §6.3).
+    With ``tpgron`` the encoder emits LTP=1 for rows whose uniform-
+    reference pixels already match the prediction, exercising the
+    typical-pixel fast path."""
+    from .mq import MQEncoder
+    base = (np.asarray(base) != 0).astype(np.uint8)
+    refined = (np.asarray(refined) != 0).astype(np.uint8)
+    if base.shape != refined.shape:
+        raise Jbig2Error("base/refined shape mismatch")
+    if template not in (0, 1):
+        raise Jbig2Error(f"bad refinement template {template}")
+    h, w = base.shape
+
+    # base: one arithmetic generic region (template 0, nominal AT)
+    gat = _NOMINAL_AT[0]
+    enc = MQEncoder()
+    cx = [0] * (1 << len(_template_pixels(0, gat)))
+    _encode_generic_bits(enc, cx, base, 0, gat, False)
+    region_info = struct.pack(">IIII", w, h, 0, 0) + b"\x00"
+    gen = region_info + bytes([0]) \
+        + b"".join(struct.pack(">bb", ax, ay) for ax, ay in gat) \
+        + enc.flush()
+
+    # refinement: shared walk with an encoding emit()
+    at = list(_REF_NOMINAL_AT)
+    nbits = len(_REF_CODING[template]) + len(_REF_REFERENCE[template]) \
+        + (2 if template == 0 else 0)
+    enc = MQEncoder()
+    cx = [0] * (1 << nbits)
+    rows = refined.tolist()
+    rrows = base.tolist()
+
+    def rpix(xx: int, yy: int) -> int:
+        return rrows[yy][xx] if 0 <= xx < w and 0 <= yy < h else 0
+
+    def row_typical(y: int) -> int:
+        for x in range(w):
+            s = sum(rpix(x + i, y + j)
+                    for j in (-1, 0, 1) for i in (-1, 0, 1))
+            if (s == 0 and rows[y][x]) or (s == 9 and not rows[y][x]):
+                return 0
+        return 1
+
+    ltp = [0]
+
+    def emit(ctx: int, x: int, y: int) -> int:
+        if x < 0:                              # SLTP decision bit
+            d = row_typical(y)
+            bit = d ^ ltp[0]
+            enc.encode(cx, ctx, bit)
+            ltp[0] = d
+            return bit
+        b = rows[y][x]
+        enc.encode(cx, ctx, b)
+        return b
+
+    _refine_bits(w, h, template, at, tpgron, base, 0, 0, rows, emit)
+    rflags = template | (2 if tpgron else 0)
+    ref_seg = struct.pack(">IIII", w, h, 0, 0) + bytes([4])  # REPLACE
+    ref_seg += bytes([rflags])
+    if template == 0:
+        ref_seg += b"".join(struct.pack(">bb", ax, ay) for ax, ay in at)
+    ref_seg += enc.flush()
+
+    page_info = struct.pack(">IIII", w, h, 0, 0) + b"\x01" + b"\x00\x00"
+    return (_segment(1, _PAGE_INFO, page_info) +
+            _segment(2, 39, gen) +
+            _segment(3, 43, ref_seg) +
             _segment(4, _END_PAGE, b""))

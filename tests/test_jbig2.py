@@ -421,3 +421,100 @@ def test_pdf_with_jbig2_halftone_parses():
     exp = np.repeat(np.where(exp_bm[..., None] == 1, 0, 255), 3,
                     axis=-1).astype(np.uint8)
     assert np.array_equal(png[..., :3], exp)
+
+
+# ---------------------------------------------------------- refinement
+
+@pytest.mark.parametrize("template", [0, 1])
+def test_refinement_roundtrip(template):
+    from pdf2dom_ray.engine.jbig2 import encode_jbig2_refinement
+    rng = np.random.default_rng(5)
+    base = (rng.random((20, 30)) < 0.4).astype(np.uint8)
+    refined = base.copy()
+    refined.flat[rng.integers(0, base.size, 25)] ^= 1
+    out = decode_jbig2(encode_jbig2_refinement(base, refined,
+                                               template=template))
+    assert np.array_equal(out, refined)
+
+
+@pytest.mark.parametrize("template", [0, 1])
+def test_refinement_tpgron(template):
+    # large uniform areas -> typical rows actually taken
+    from pdf2dom_ray.engine.jbig2 import encode_jbig2_refinement
+    base = np.zeros((24, 24), np.uint8)
+    base[6:18, 6:18] = 1
+    refined = base.copy()
+    refined[12, 3] = 1
+    refined[7, 7] = 0
+    bs = encode_jbig2_refinement(base, refined, template=template,
+                                 tpgron=True)
+    assert np.array_equal(decode_jbig2(bs), refined)
+
+
+def test_refinement_identity_under_tpgron():
+    # every row typical: only SLTP bits and boundary pixels are coded
+    from pdf2dom_ray.engine.jbig2 import encode_jbig2_refinement
+    base = np.zeros((40, 40), np.uint8)
+    base[5:35, 5:35] = 1
+    typ = encode_jbig2_refinement(base, base, tpgron=True)
+    assert np.array_equal(decode_jbig2(typ), base)
+
+
+def test_refinement_mixed_typical_rows():
+    # rows alternate between typical (uniform interior untouched) and
+    # non-typical (an interior flip forces full coding)
+    from pdf2dom_ray.engine.jbig2 import encode_jbig2_refinement
+    base = np.zeros((30, 30), np.uint8)
+    base[4:26, 4:26] = 1
+    refined = base.copy()
+    refined[10, 10] = 0            # inside the solid block
+    refined[20, 2] = 1             # in the blank margin
+    bs = encode_jbig2_refinement(base, refined, tpgron=True)
+    assert np.array_equal(decode_jbig2(bs), refined)
+
+
+def test_refinement_encoder_deterministic():
+    from pdf2dom_ray.engine.jbig2 import encode_jbig2_refinement
+    base = _checker(16, 16)
+    refined = 1 - base
+    assert encode_jbig2_refinement(base, refined) == \
+        encode_jbig2_refinement(base, refined)
+
+
+def test_refinement_shape_mismatch_rejected():
+    from pdf2dom_ray.engine.jbig2 import encode_jbig2_refinement
+    with pytest.raises(Jbig2Error, match="shape"):
+        encode_jbig2_refinement(np.zeros((4, 4)), np.zeros((5, 4)))
+
+
+def test_pdf_with_jbig2_refinement_parses():
+    import base64
+    import re
+
+    from pdf2dom_ray.engine.jbig2 import encode_jbig2_refinement
+    from pdf2dom_ray.engine.parse import parse_document
+    from pdf2dom_ray.functions.multimodal import decode_engine_png
+    from pdf2dom_ray.synth.pdfgen import PageSpec, PdfBuilder
+
+    rng = np.random.default_rng(29)
+    base = (rng.random((12, 18)) < 0.3).astype(np.uint8)
+    refined = base.copy()
+    refined.flat[rng.integers(0, base.size, 10)] ^= 1
+    data = encode_jbig2_refinement(base, refined)
+    b = PdfBuilder(title="jbig2-refine")
+    p = PageSpec()
+    p.use_custom_image(
+        "Im0",
+        "/Width 18 /Height 12 /ColorSpace /DeviceGray "
+        "/BitsPerComponent 1 /Filter /JBIG2Decode",
+        data, compress=False)
+    p.draw_image("Im0", 100, 600, 72, 48)
+    b.add_page(p)
+    r = parse_document(b.build())
+    assert r.error is None and r.n_images == 1
+    m = re.search(r'src="data:image/png;base64,([^"]+)"', r.html_dom)
+    assert m
+    png = decode_engine_png(base64.b64decode(m.group(1)))
+    exp = np.repeat(np.where(refined[..., None] == 1, 0, 255), 3,
+                    axis=-1).astype(np.uint8)
+    assert np.array_equal(png[..., :3], exp)
