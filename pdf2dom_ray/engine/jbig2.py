@@ -14,15 +14,17 @@ four reference corners, transposed placement, SBSTRIPS strips and
 shared per-dictionary generic contexts. Halftone regions decode in
 full (T.88 §6.6/§6.7 pattern dictionaries, Annex C.5 gray-coded
 bitplanes through one shared decoder/context, fixed-point §6.6.5.1
-grid placement, all combination operators). Refinement region
-segments (types 40/42/43) decode via the §6.3 refinement procedure
-(both templates, TPGRON typical prediction) against the page-so-far
-as the reference bitmap. Huffman-coded (SDHUFF/SBHUFF) streams and
-refinement *inside* symbol/text coding (REFAGG/SBREFINE) raise
-``Jbig2Error`` with the specific reason and degrade upstream to the
-honest ``UnsupportedImageError`` → ``<img src="">`` path, mirroring
-how the reference surfaces unsupported codecs
-(``ImageUtils.java:11-54`` returns null → empty image resource).
+grid placement, all combination operators). The §6.3 refinement
+procedure (both templates, TPGRON typical prediction) backs
+refinement region segments (types 40/42/43, against the page-so-far
+per §6.3.2), per-instance SBREFINE symbol refinement in text regions
+(§6.4.11) and single-instance REFAGG symbol dictionaries refining
+imported symbols (§6.5.8.2). Huffman-coded (SDHUFF/SBHUFF) streams
+and multi-instance aggregates raise ``Jbig2Error`` with the specific
+reason and degrade upstream to the honest ``UnsupportedImageError``
+→ ``<img src="">`` path, mirroring how the reference surfaces
+unsupported codecs (``ImageUtils.java:11-54`` returns null → empty
+image resource).
 
 The embedded (PDF) segment layout (T.88 Annex / PDF 32000 §7.4.7):
 no file header; a sequence of segments, each
@@ -44,7 +46,8 @@ import numpy as np
 
 __all__ = ["Jbig2Error", "decode_jbig2", "encode_jbig2_mmr",
            "encode_jbig2_arith", "encode_jbig2_text_page",
-           "encode_jbig2_halftone", "encode_jbig2_refinement"]
+           "encode_jbig2_halftone", "encode_jbig2_refinement",
+           "encode_jbig2_refagg_page"]
 
 
 class Jbig2Error(Exception):
@@ -325,10 +328,14 @@ def _symcodelen(n_syms: int) -> int:
 
 # --------------------------------------------- symbol dict / text region
 
-def _decode_symbol_dict(payload: bytes) -> list[np.ndarray]:
+def _decode_symbol_dict(payload: bytes,
+                        in_syms: list[np.ndarray] | None = None
+                        ) -> list[np.ndarray]:
     """Symbol dictionary segment (type 0, T.88 §6.5/§7.4.3) →
-    exported symbol bitmaps. Arithmetic generic coding only (SDHUFF /
-    refinement-aggregate raise)."""
+    exported symbol bitmaps. ``in_syms`` are the symbols imported from
+    referred-to dictionaries (SDINSYMS). Arithmetic coding, optionally
+    with single-instance refinement symbols (REFAGG, §6.5.8.2);
+    Huffman and true multi-instance aggregates raise."""
     from .mq import MQDecoder
     if len(payload) < 2:
         raise Jbig2Error("truncated symbol dictionary flags")
@@ -336,10 +343,9 @@ def _decode_symbol_dict(payload: bytes) -> list[np.ndarray]:
     sdhuff = flags & 1
     refagg = (flags >> 1) & 1
     template = (flags >> 10) & 3
+    rtemplate = (flags >> 12) & 1
     if sdhuff:
         raise Jbig2Error("Huffman symbol dictionary unsupported")
-    if refagg:
-        raise Jbig2Error("refinement/aggregate symbol coding unsupported")
     pos = 2
     n_at = 4 if template == 0 else 1
     if len(payload) < pos + 2 * n_at + 8:
@@ -350,6 +356,15 @@ def _decode_symbol_dict(payload: bytes) -> list[np.ndarray]:
         ay = struct.unpack_from(">b", payload, pos + 1)[0]
         at.append((ax, ay))
         pos += 2
+    rat = list(_REF_NOMINAL_AT)
+    if refagg and rtemplate == 0:
+        if len(payload) < pos + 4 + 8:
+            raise Jbig2Error("truncated SDRAT pixels")
+        rat = [(struct.unpack_from(">b", payload, pos)[0],
+                struct.unpack_from(">b", payload, pos + 1)[0]),
+               (struct.unpack_from(">b", payload, pos + 2)[0],
+                struct.unpack_from(">b", payload, pos + 3)[0])]
+        pos += 4
     n_ex, n_new = struct.unpack_from(">II", payload, pos)
     pos += 8
     if n_new > 100_000 or n_ex > 100_000:
@@ -359,7 +374,17 @@ def _decode_symbol_dict(payload: bytes) -> list[np.ndarray]:
     iadh: list[int] = [0] * 512
     iadw: list[int] = [0] * 512
     iaex: list[int] = [0] * 512
+    iaai: list[int] = [0] * 512
+    iardx: list[int] = [0] * 512
+    iardy: list[int] = [0] * 512
     gen_cx = [0] * (1 << len(_template_pixels(template, at)))
+    in_syms = in_syms or []
+    symcodelen = _symcodelen(len(in_syms) + n_new)
+    iaid_cx: list[int] = [0] * (1 << (symcodelen + 1))
+    ref_nbits = len(_REF_CODING[rtemplate]) \
+        + len(_REF_REFERENCE[rtemplate]) \
+        + (2 if rtemplate == 0 else 0)
+    ref_cx: list[int] = [0] * (1 << ref_nbits)
     new_syms: list[np.ndarray] = []
     hcheight = 0
     while len(new_syms) < n_new:
@@ -379,23 +404,40 @@ def _decode_symbol_dict(payload: bytes) -> list[np.ndarray]:
                 raise Jbig2Error(f"bad symbol width {symwidth}")
             if len(new_syms) >= n_new:
                 raise Jbig2Error("symbol count overrun")
-            bmp = _decode_generic_arith(b"", symwidth, hcheight,
-                                        template, at, False,
-                                        dec=dec, cx=gen_cx)
+            if refagg:
+                n_refagg = _decode_int(dec, iaai)
+                if n_refagg != 1:
+                    raise Jbig2Error("multi-instance aggregate symbol "
+                                     "coding unsupported")
+                # §6.5.8.2.2: refine an earlier symbol to this size
+                rid = _decode_iaid(dec, iaid_cx, symcodelen)
+                rdx = _decode_int(dec, iardx)
+                rdy = _decode_int(dec, iardy)
+                pool = in_syms + new_syms
+                if rid >= len(pool) or _OOB in (rdx, rdy):
+                    raise Jbig2Error("bad refinement-symbol reference")
+                bmp = _decode_refinement(b"", symwidth, hcheight,
+                                         rtemplate, rat, False,
+                                         pool[rid], rdx, rdy,
+                                         dec=dec, cx=ref_cx)
+            else:
+                bmp = _decode_generic_arith(b"", symwidth, hcheight,
+                                            template, at, False,
+                                            dec=dec, cx=gen_cx)
             new_syms.append(bmp)
 
-    # export flags: alternating runs over (input ++ new) symbols; this
-    # decoder supports dictionaries without imported symbols
+    # export flags: alternating runs over (input ++ new) symbols
+    all_syms = in_syms + new_syms
     exported: list[np.ndarray] = []
     i = 0
     exflag = 1 == 0
-    total = len(new_syms)
+    total = len(all_syms)
     while i < total and len(exported) < n_ex:
         run = _decode_int(dec, iaex)
         if run is _OOB or run < 0:
             raise Jbig2Error("bad export run length")
         if exflag:
-            exported.extend(new_syms[i:i + run])
+            exported.extend(all_syms[i:i + run])
         i += run
         exflag = not exflag
     if len(exported) != n_ex:
@@ -405,7 +447,8 @@ def _decode_symbol_dict(payload: bytes) -> list[np.ndarray]:
 
 def _decode_text_region(payload: bytes, syms: list[np.ndarray]):
     """Text region segment (types 4/6/7, T.88 §6.4/§7.4.4) →
-    (x, y, w, h, comb, bitmap). Arithmetic, non-refining only."""
+    (x, y, w, h, comb, bitmap). Arithmetic coding, optionally with
+    SBREFINE per-instance symbol refinement (§6.4.11)."""
     from .mq import MQDecoder
     if len(payload) < 17 + 2 + 4:
         raise Jbig2Error("truncated text region")
@@ -420,18 +463,27 @@ def _decode_text_region(payload: bytes, syms: list[np.ndarray]):
     sbcombop = (tflags >> 7) & 3
     sbdefpixel = (tflags >> 9) & 1
     sbdsoffset = (tflags >> 10) & 0x1F
+    sbrtemplate = (tflags >> 15) & 1
     if sbdsoffset > 15:
         sbdsoffset -= 32                   # 5-bit two's complement
     if sbhuff:
         raise Jbig2Error("Huffman text region unsupported")
-    if sbrefine:
-        raise Jbig2Error("refining text region unsupported")
     if w == 0 or h == 0 or w * h > 64_000_000:
         raise Jbig2Error(f"bad text region dims {w}x{h}")
     if not syms:
         raise Jbig2Error("text region without symbol dictionary")
-    (n_inst,) = struct.unpack_from(">I", payload, 19)
-    pos = 23
+    pos = 19
+    sbrat = list(_REF_NOMINAL_AT)
+    if sbrefine and sbrtemplate == 0:
+        if len(payload) < pos + 4 + 4:
+            raise Jbig2Error("truncated SBRAT pixels")
+        sbrat = [(struct.unpack_from(">b", payload, pos)[0],
+                  struct.unpack_from(">b", payload, pos + 1)[0]),
+                 (struct.unpack_from(">b", payload, pos + 2)[0],
+                  struct.unpack_from(">b", payload, pos + 3)[0])]
+        pos += 4
+    (n_inst,) = struct.unpack_from(">I", payload, pos)
+    pos += 4
 
     sbstrips = 1 << logsbstrips
     symcodelen = _symcodelen(len(syms))
@@ -440,6 +492,15 @@ def _decode_text_region(payload: bytes, syms: list[np.ndarray]):
     iafs: list[int] = [0] * 512
     iads: list[int] = [0] * 512
     iait: list[int] = [0] * 512
+    iari: list[int] = [0] * 512
+    iardw: list[int] = [0] * 512
+    iardh: list[int] = [0] * 512
+    iardx: list[int] = [0] * 512
+    iardy: list[int] = [0] * 512
+    ref_nbits = len(_REF_CODING[sbrtemplate]) \
+        + len(_REF_REFERENCE[sbrtemplate]) \
+        + (2 if sbrtemplate == 0 else 0)
+    ref_cx: list[int] = [0] * (1 << ref_nbits)
     iaid_cx: list[int] = [0] * (1 << (symcodelen + 1))
 
     bitmap = np.full((h, w), sbdefpixel, dtype=np.uint8)
@@ -491,6 +552,23 @@ def _decode_text_region(payload: bytes, syms: list[np.ndarray]):
             if sid >= len(syms):
                 raise Jbig2Error(f"symbol id {sid} out of range")
             sym = syms[sid]
+            if sbrefine and _decode_int(dec, iari):
+                # per-instance refinement (§6.4.11): refine the symbol
+                # through the shared decoder/context
+                rdw = _decode_int(dec, iardw)
+                rdh = _decode_int(dec, iardh)
+                rdx = _decode_int(dec, iardx)
+                rdy = _decode_int(dec, iardy)
+                if _OOB in (rdw, rdh, rdx, rdy):
+                    raise Jbig2Error("OOB refinement delta")
+                rw = sym.shape[1] + rdw
+                rh = sym.shape[0] + rdh
+                if rw <= 0 or rh <= 0 or rw * rh > 64_000_000:
+                    raise Jbig2Error(f"bad refined symbol dims {rw}x{rh}")
+                sym = _decode_refinement(
+                    b"", rw, rh, sbrtemplate, sbrat, False, sym,
+                    (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+                    dec=dec, cx=ref_cx)
             sh, sw = sym.shape
             if transposed:
                 # S runs down the page, T across; "bottom" corners
@@ -798,7 +876,9 @@ def decode_jbig2(data: bytes, *, globals_data: bytes = b"",
             elif seg_type in _GENERIC:
                 regions.append(_decode_generic_region(payload))
             elif seg_type == 0:
-                sym_dicts[seg_num] = _decode_symbol_dict(payload)
+                sym_dicts[seg_num] = _decode_symbol_dict(
+                    payload,
+                    [s for r in refs for s in sym_dicts.get(r, [])])
             elif seg_type in _TEXT:
                 syms = [s for r in refs for s in sym_dicts.get(r, [])]
                 if not syms:       # tolerate encoders with absent refs
@@ -941,7 +1021,9 @@ def encode_jbig2_text_page(symbols: list[np.ndarray],
                            placements: list[tuple[int, int, int]],
                            page_w: int, page_h: int, *,
                            refcorner: int = 1,
-                           transposed: bool = False) -> bytes:
+                           transposed: bool = False,
+                           refine: dict[int, np.ndarray] | None = None
+                           ) -> bytes:
     """Fixture encoder: symbol dictionary + text region (T.88 §6.5 /
     §6.4, arithmetic coding, SBSTRIPS=1, comb OR).
 
@@ -950,6 +1032,9 @@ def encode_jbig2_text_page(symbols: list[np.ndarray],
     (0=BL 1=TL 2=BR 3=TR; ``transposed`` swaps the roles of s/t).
     The dictionary stores symbols sorted by (height, width) as the
     standard requires; instance ids are remapped internally.
+    ``refine`` maps a placement index to a target bitmap: the region
+    is coded with SBREFINE=1 and those instances carry a per-instance
+    refinement of their symbol into the target (§6.4.11).
     """
     from .mq import MQEncoder
     syms = [(np.asarray(s) != 0).astype(np.uint8) for s in symbols]
@@ -997,9 +1082,20 @@ def encode_jbig2_text_page(symbols: list[np.ndarray],
     iadt: list[int] = [0] * 512
     iafs: list[int] = [0] * 512
     iads: list[int] = [0] * 512
+    iari: list[int] = [0] * 512
+    iardw: list[int] = [0] * 512
+    iardh: list[int] = [0] * 512
+    iardx: list[int] = [0] * 512
+    iardy: list[int] = [0] * 512
     iaid_cx: list[int] = [0] * (1 << (symcodelen + 1))
+    sbrtemplate = 0
+    sbrat = list(_REF_NOMINAL_AT)
+    ref_nbits = len(_REF_CODING[sbrtemplate]) \
+        + len(_REF_REFERENCE[sbrtemplate]) + 2
+    ref_cx: list[int] = [0] * (1 << ref_nbits)
 
-    inst = sorted(((t, s, remap[sid]) for sid, s, t in placements))
+    inst = sorted((t, s, remap[sid], idx)
+                  for idx, (sid, s, t) in enumerate(placements))
     _encode_int(enc, iadt, 0)                  # STRIPT init -> 0
     stript = 0
     firsts = 0
@@ -1011,13 +1107,16 @@ def encode_jbig2_text_page(symbols: list[np.ndarray],
         strip = [e for e in inst if e[0] == t]
         first = True
         curs = 0
-        for _, s, sid in strip:
+        for _, s, sid, idx in strip:
             sym = sorted_syms[sid]
+            target = refine.get(idx) if refine else None
+            drawn = sym if target is None else \
+                (np.asarray(target) != 0).astype(np.uint8)
             # the transmitted S is the left (top if transposed) edge
             # for EVERY refcorner — the decoder's advance-before /
             # advance-after orders both draw the edge at the received
             # value and leave CURS at edge + extent - 1
-            adv = (sym.shape[0] if transposed else sym.shape[1]) - 1
+            adv = (drawn.shape[0] if transposed else drawn.shape[1]) - 1
             if first:
                 _encode_int(enc, iafs, s - firsts)
                 firsts = s
@@ -1026,14 +1125,37 @@ def encode_jbig2_text_page(symbols: list[np.ndarray],
                 _encode_int(enc, iads, s - curs)
             curs = s + adv
             _encode_iaid(enc, iaid_cx, symcodelen, sid)
+            if refine is not None:
+                _encode_int(enc, iari, 0 if target is None else 1)
+                if target is not None:
+                    rdw = drawn.shape[1] - sym.shape[1]
+                    rdh = drawn.shape[0] - sym.shape[0]
+                    _encode_int(enc, iardw, rdw)
+                    _encode_int(enc, iardh, rdh)
+                    _encode_int(enc, iardx, 0)
+                    _encode_int(enc, iardy, 0)
+                    rows = drawn.tolist()
+
+                    def emit(ctx, xx, yy, _rows=rows):
+                        b = _rows[yy][xx]
+                        enc.encode(ref_cx, ctx, b)
+                        return b
+
+                    _refine_bits(drawn.shape[1], drawn.shape[0],
+                                 sbrtemplate, sbrat, False, sym,
+                                 rdw >> 1, rdh >> 1, rows, emit)
         _encode_int(enc, iads, _OOB)           # end of strip
         k += len(strip)
 
     tflags = (refcorner & 3) << 4
     if transposed:
         tflags |= 1 << 6
+    if refine is not None:
+        tflags |= 1 << 1                       # SBREFINE
     tr = struct.pack(">IIII", page_w, page_h, 0, 0) + b"\x00"  # comb OR
     tr += struct.pack(">H", tflags)
+    if refine is not None:                     # SBRTEMPLATE=0 -> SBRAT
+        tr += b"".join(struct.pack(">bb", ax, ay) for ax, ay in sbrat)
     tr += struct.pack(">I", len(inst))
     tr += enc.flush()
 
@@ -1183,3 +1305,161 @@ def encode_jbig2_refinement(base: np.ndarray, refined: np.ndarray, *,
             _segment(2, 39, gen) +
             _segment(3, 43, ref_seg) +
             _segment(4, _END_PAGE, b""))
+
+
+def encode_jbig2_refagg_page(base_symbols: list[np.ndarray],
+                             refined: list[tuple[int, np.ndarray]],
+                             placements: list[tuple[int, int, int]],
+                             page_w: int, page_h: int) -> bytes:
+    """Fixture encoder: generic symbol dictionary + a REFAGG symbol
+    dictionary whose every symbol refines one imported symbol
+    (T.88 §6.5.8.2, single-instance aggregates), then a text region
+    drawing the refined symbols.
+
+    ``refined`` entries are (base_index, target_bitmap) against the
+    caller's ``base_symbols`` order; ``placements`` are
+    (refined_index, s, t) top-left anchors against the caller's
+    ``refined`` order. IDs are remapped internally to the sorted
+    dictionary orders the standard requires."""
+    from .mq import MQEncoder
+    base = [(np.asarray(s) != 0).astype(np.uint8) for s in base_symbols]
+    targets = [(np.asarray(t) != 0).astype(np.uint8) for _, t in refined]
+    if not base or not targets:
+        raise Jbig2Error("need base and refined symbols")
+
+    # ---- dict 1: generic coding of the base symbols (sorted order)
+    order1 = sorted(range(len(base)),
+                    key=lambda i: (base[i].shape[0], base[i].shape[1], i))
+    remap1 = {orig: new for new, orig in enumerate(order1)}
+    template = 0
+    at = _NOMINAL_AT[template]
+    enc = MQEncoder()
+    iadh: list[int] = [0] * 512
+    iadw: list[int] = [0] * 512
+    iaex: list[int] = [0] * 512
+    gen_cx = [0] * (1 << len(_template_pixels(template, at)))
+    hcheight = 0
+    i = 0
+    while i < len(order1):
+        h = base[order1[i]].shape[0]
+        _encode_int(enc, iadh, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        while i < len(order1) and base[order1[i]].shape[0] == h:
+            w = base[order1[i]].shape[1]
+            _encode_int(enc, iadw, w - symwidth)
+            symwidth = w
+            _encode_generic_bits(enc, gen_cx, base[order1[i]],
+                                 template, at, False)
+            i += 1
+        _encode_int(enc, iadw, _OOB)
+    _encode_int(enc, iaex, 0)
+    _encode_int(enc, iaex, len(order1))
+    sd1 = struct.pack(">H", (template & 3) << 10)
+    sd1 += b"".join(struct.pack(">bb", ax, ay) for ax, ay in at)
+    sd1 += struct.pack(">II", len(order1), len(order1)) + enc.flush()
+
+    # ---- dict 2: REFAGG, refines imported (dict-1) symbols
+    order2 = sorted(range(len(targets)),
+                    key=lambda i: (targets[i].shape[0],
+                                   targets[i].shape[1], i))
+    remap2 = {orig: new for new, orig in enumerate(order2)}
+    n_in = len(order1)
+    n_new = len(order2)
+    symcodelen = _symcodelen(n_in + n_new)
+    rtemplate = 0
+    rat = list(_REF_NOMINAL_AT)
+    ref_nbits = len(_REF_CODING[rtemplate]) \
+        + len(_REF_REFERENCE[rtemplate]) + 2
+    enc = MQEncoder()
+    iadh = [0] * 512
+    iadw = [0] * 512
+    iaex = [0] * 512
+    iaai: list[int] = [0] * 512
+    iardx: list[int] = [0] * 512
+    iardy: list[int] = [0] * 512
+    iaid_cx: list[int] = [0] * (1 << (symcodelen + 1))
+    ref_cx: list[int] = [0] * (1 << ref_nbits)
+    hcheight = 0
+    i = 0
+    while i < len(order2):
+        oi = order2[i]
+        h = targets[oi].shape[0]
+        _encode_int(enc, iadh, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        while i < len(order2) and targets[order2[i]].shape[0] == h:
+            oi = order2[i]
+            tgt = targets[oi]
+            w = tgt.shape[1]
+            _encode_int(enc, iadw, w - symwidth)
+            symwidth = w
+            _encode_int(enc, iaai, 1)          # single-instance refine
+            ref_sym = base[refined[oi][0]]
+            _encode_iaid(enc, iaid_cx, symcodelen,
+                         remap1[refined[oi][0]])
+            _encode_int(enc, iardx, 0)
+            _encode_int(enc, iardy, 0)
+            rows = tgt.tolist()
+
+            def emit(ctx, xx, yy, _rows=rows):
+                b = _rows[yy][xx]
+                enc.encode(ref_cx, ctx, b)
+                return b
+
+            _refine_bits(w, h, rtemplate, rat, False, ref_sym,
+                         0, 0, rows, emit)
+            i += 1
+        _encode_int(enc, iadw, _OOB)
+    _encode_int(enc, iaex, n_in)               # imported: not exported
+    _encode_int(enc, iaex, n_new)              # export the refined set
+    sd2 = struct.pack(">H", 0x0002 | ((rtemplate & 1) << 12))  # REFAGG
+    # SDAT is still present when SDHUFF=0 (§7.4.3.1.2), then SDRAT
+    sd2 += b"".join(struct.pack(">bb", ax, ay) for ax, ay in at)
+    sd2 += b"".join(struct.pack(">bb", ax, ay) for ax, ay in rat)
+    sd2 += struct.pack(">II", n_new, n_new) + enc.flush()
+
+    # ---- text region over dict 2's exports (sorted target order)
+    sorted_targets = [targets[o] for o in order2]
+    tcodelen = _symcodelen(n_new)
+    enc = MQEncoder()
+    iadt: list[int] = [0] * 512
+    iafs: list[int] = [0] * 512
+    iads: list[int] = [0] * 512
+    tid_cx: list[int] = [0] * (1 << (tcodelen + 1))
+    inst = sorted((t, s, remap2[rid]) for rid, s, t in placements)
+    _encode_int(enc, iadt, 0)
+    stript = 0
+    firsts = 0
+    k = 0
+    while k < len(inst):
+        t = inst[k][0]
+        _encode_int(enc, iadt, t - stript)
+        stript = t
+        strip = [e for e in inst if e[0] == t]
+        first = True
+        curs = 0
+        for _, s, sid in strip:
+            sym = sorted_targets[sid]
+            adv = sym.shape[1] - 1
+            if first:
+                _encode_int(enc, iafs, s - firsts)
+                firsts = s
+                first = False
+            else:
+                _encode_int(enc, iads, s - curs)
+            curs = s + adv
+            _encode_iaid(enc, tid_cx, tcodelen, sid)
+        _encode_int(enc, iads, _OOB)
+        k += len(strip)
+    tr = struct.pack(">IIII", page_w, page_h, 0, 0) + b"\x00"
+    tr += struct.pack(">H", 1 << 4)            # TL refcorner
+    tr += struct.pack(">I", len(inst)) + enc.flush()
+
+    page_info = struct.pack(">IIII", page_w, page_h, 0, 0) \
+        + b"\x01" + b"\x00\x00"
+    return (_segment(1, _PAGE_INFO, page_info) +
+            _segment(2, 0, sd1) +
+            _segment(3, 0, sd2, refs=(2,)) +
+            _segment(4, 4, tr, refs=(3,)) +
+            _segment(5, _END_PAGE, b""))

@@ -518,3 +518,63 @@ def test_pdf_with_jbig2_refinement_parses():
     exp = np.repeat(np.where(refined[..., None] == 1, 0, 255), 3,
                     axis=-1).astype(np.uint8)
     assert np.array_equal(png[..., :3], exp)
+
+
+# ----------------------------- SBREFINE / REFAGG (refinement in coding)
+
+def test_text_region_sbrefine_roundtrip():
+    from pdf2dom_ray.engine.jbig2 import encode_jbig2_text_page
+    syms = [_glyph(30, 7, 5), _glyph(31, 7, 4)]
+    t1 = syms[0].copy()
+    t1[3, 2] ^= 1
+    t1[0, 4] ^= 1                  # same-size refinement (bit flips)
+    t2 = np.zeros((9, 6), np.uint8)
+    t2[1:8, 1:5] = syms[1][:, :4]  # grown refinement
+    t2[0, 0] = 1
+    pl = [(0, 1, 1), (1, 8, 1), (0, 16, 1)]
+    bs = encode_jbig2_text_page(syms, pl, 26, 12, refine={0: t1, 1: t2})
+    exp = np.zeros((12, 26), np.uint8)
+    for g, s, t in ((t1, 1, 1), (t2, 8, 1), (syms[0], 16, 1)):
+        exp[t:t + g.shape[0], s:s + g.shape[1]] |= g
+    assert np.array_equal(decode_jbig2(bs), exp)
+
+
+def test_text_region_sbrefine_shrinking():
+    from pdf2dom_ray.engine.jbig2 import encode_jbig2_text_page
+    syms = [_glyph(33, 9, 7)]
+    small = syms[0][1:8, 1:6].copy()       # negative RDW/RDH
+    small[0, 0] = 1
+    bs = encode_jbig2_text_page(syms, [(0, 2, 2)], 12, 12,
+                                refine={0: small})
+    exp = np.zeros((12, 12), np.uint8)
+    exp[2:2 + 7, 2:2 + 5] |= small
+    assert np.array_equal(decode_jbig2(bs), exp)
+
+
+def test_refagg_symbol_dict_roundtrip():
+    from pdf2dom_ray.engine.jbig2 import encode_jbig2_refagg_page
+    base = [_glyph(40, 6, 5), _glyph(41, 8, 4)]
+    t0 = base[0].copy()
+    t0[2, 2] ^= 1
+    t1 = np.zeros((9, 6), np.uint8)
+    t1[0:8, 1:5] = base[1]
+    t1[8, 0] = 1
+    refined = [(0, t0), (1, t1)]
+    pl = [(0, 1, 1), (1, 8, 1), (0, 16, 2)]
+    out = decode_jbig2(encode_jbig2_refagg_page(base, refined, pl,
+                                                24, 12))
+    exp = np.zeros((12, 24), np.uint8)
+    for rid, s, t in pl:
+        g = [t0, t1][rid]
+        exp[t:t + g.shape[0], s:s + g.shape[1]] |= g
+    assert np.array_equal(out, exp)
+
+
+def test_refagg_encoder_deterministic():
+    from pdf2dom_ray.engine.jbig2 import encode_jbig2_refagg_page
+    base = [_glyph(42, 5, 5)]
+    t = base[0].copy()
+    t[1, 1] ^= 1
+    a = encode_jbig2_refagg_page(base, [(0, t)], [(0, 0, 0)], 8, 8)
+    b = encode_jbig2_refagg_page(base, [(0, t)], [(0, 0, 0)], 8, 8)
+    assert a == b
