@@ -19,12 +19,16 @@ procedure (both templates, TPGRON typical prediction) backs
 refinement region segments (types 40/42/43, against the page-so-far
 per §6.3.2), per-instance SBREFINE symbol refinement in text regions
 (§6.4.11) and single-instance REFAGG symbol dictionaries refining
-imported symbols (§6.5.8.2). Huffman-coded (SDHUFF/SBHUFF) streams
-and multi-instance aggregates raise ``Jbig2Error`` with the specific
-reason and degrade upstream to the honest ``UnsupportedImageError``
-→ ``<img src="">`` path, mirroring how the reference surfaces
-unsupported codecs (``ImageUtils.java:11-54`` returns null → empty
-image resource).
+imported symbols (§6.5.8.2). Huffman-coded symbol dictionaries
+(SDHUFF, §6.5.9) decode height-class collective bitmaps (uncompressed
+and MMR) with the standard integer tables B.1-B.5 and stream-carried
+custom table segments (type 53, Annex B.2) — the canonical prefix
+assignment is Annex B.3. SBHUFF text regions (whose standard tables
+B.6-B.15 this engine does not carry) and multi-instance aggregates
+raise ``Jbig2Error`` with the specific reason and degrade upstream
+to the honest ``UnsupportedImageError`` → ``<img src="">`` path,
+mirroring how the reference surfaces unsupported codecs
+(``ImageUtils.java:11-54`` returns null → empty image resource).
 
 The embedded (PDF) segment layout (T.88 Annex / PDF 32000 §7.4.7):
 no file header; a sequence of segments, each
@@ -47,7 +51,7 @@ import numpy as np
 __all__ = ["Jbig2Error", "decode_jbig2", "encode_jbig2_mmr",
            "encode_jbig2_arith", "encode_jbig2_text_page",
            "encode_jbig2_halftone", "encode_jbig2_refinement",
-           "encode_jbig2_refagg_page"]
+           "encode_jbig2_refagg_page", "encode_jbig2_huffman_text_page"]
 
 
 class Jbig2Error(Exception):
@@ -326,16 +330,282 @@ def _symcodelen(n_syms: int) -> int:
     return max(1, (max(n_syms, 2) - 1).bit_length()) if n_syms > 1 else 0
 
 
+# ------------------------------------------------- Huffman tables (B.2/B.3)
+
+class _BitReader:
+    """MSB-first bit reader for Huffman-coded segment data (no 0xFF
+    unstuffing — that is an MQ-coder concern)."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def get(self) -> int:
+        if self.pos >= len(self.data):
+            raise Jbig2Error("Huffman data overruns stream")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def get_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.get()
+        return v
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+class _HuffTable:
+    """Huffman-coded integer table (T.88 Annex B). ``lines`` are
+    (preflen, rangelen, rangelow, kind) with kind one of ``""``
+    (normal), ``"lower"`` (32-bit downward range), ``"oob"``.
+    Prefix codes are assigned canonically per B.3 in line order."""
+
+    def __init__(self, lines):
+        self.lines = [ln for ln in lines if ln[0] > 0]
+        maxlen = max((ln[0] for ln in self.lines), default=0)
+        count = [0] * (maxlen + 1)
+        for ln in self.lines:
+            count[ln[0]] += 1
+        firstcode = [0] * (maxlen + 2)
+        curcode = [0] * (maxlen + 1)
+        for ln in range(1, maxlen + 1):
+            firstcode[ln] = (firstcode[ln - 1] + count[ln - 1]) * 2
+            curcode[ln] = firstcode[ln]
+        self.codes = {}                        # (len, code) -> line
+        self.encode_map = {}                   # id(line-tuple index)
+        for i, ln in enumerate(self.lines):
+            code = curcode[ln[0]]
+            curcode[ln[0]] += 1
+            self.codes[(ln[0], code)] = ln
+            self.encode_map[i] = (ln[0], code)
+
+    def decode(self, rdr: _BitReader):
+        """→ int value or ``_OOB``."""
+        ln = 0
+        code = 0
+        while True:
+            code = (code << 1) | rdr.get()
+            ln += 1
+            line = self.codes.get((ln, code))
+            if line is not None:
+                break
+            if ln > 32:
+                raise Jbig2Error("bad Huffman prefix")
+        preflen, rangelen, rangelow, kind = line
+        if kind == "oob":
+            return _OOB
+        off = rdr.get_bits(rangelen)
+        if kind == "lower":
+            return rangelow - off
+        return rangelow + off
+
+    def encode(self, out: list[int], value) -> None:
+        """Append bits for ``value`` (fixture encoders)."""
+        if value is _OOB:
+            cand = [i for i, ln in enumerate(self.lines)
+                    if ln[3] == "oob"]
+        else:
+            cand = []
+            for i, ln in enumerate(self.lines):
+                preflen, rangelen, rangelow, kind = ln
+                if kind == "lower" and value <= rangelow:
+                    cand.append(i)
+                elif kind == "" and rangelow <= value \
+                        and (rangelen >= 32
+                             or value < rangelow + (1 << rangelen)):
+                    cand.append(i)
+            # prefer the tightest normal line (table order breaks ties)
+            cand.sort(key=lambda i: self.lines[i][1])
+        if not cand:
+            raise Jbig2Error(f"value {value} not representable")
+        i = cand[0]
+        preflen, rangelen, rangelow, kind = self.lines[i]
+        plen, code = self.encode_map[i]
+        for k in range(plen - 1, -1, -1):
+            out.append((code >> k) & 1)
+        if kind == "oob":
+            return
+        off = (rangelow - value) if kind == "lower" else (value - rangelow)
+        for k in range(rangelen - 1, -1, -1):
+            out.append((off >> k) & 1)
+
+
+# standard tables B.1-B.5 (T.88 Annex B.5) — the symbol-dictionary set
+_STD_TABLES = {
+    1: _HuffTable([(1, 4, 0, ""), (2, 8, 16, ""), (3, 16, 272, ""),
+                   (3, 32, 65808, "")]),
+    2: _HuffTable([(1, 0, 0, ""), (2, 0, 1, ""), (3, 0, 2, ""),
+                   (4, 3, 3, ""), (5, 6, 11, ""), (6, 32, 75, ""),
+                   (6, 0, 0, "oob")]),
+    3: _HuffTable([(8, 8, -256, ""), (1, 0, 0, ""), (2, 0, 1, ""),
+                   (3, 0, 2, ""), (4, 3, 3, ""), (5, 6, 11, ""),
+                   (8, 32, -257, "lower"), (7, 32, 75, ""),
+                   (6, 0, 0, "oob")]),
+    4: _HuffTable([(1, 0, 1, ""), (2, 0, 2, ""), (3, 0, 3, ""),
+                   (4, 3, 4, ""), (5, 6, 12, ""), (5, 32, 76, "")]),
+    5: _HuffTable([(7, 8, -255, ""), (1, 0, 1, ""), (2, 0, 2, ""),
+                   (3, 0, 3, ""), (4, 3, 4, ""), (5, 6, 12, ""),
+                   (7, 32, -256, "lower"), (6, 32, 76, "")]),
+}
+
+
+def _decode_table_segment(payload: bytes) -> _HuffTable:
+    """Custom Huffman table segment (type 53, B.2.3): the line set is
+    carried in the stream, no standard-table constants involved."""
+    if len(payload) < 9:
+        raise Jbig2Error("truncated table segment")
+    flags = payload[0]
+    htoob = flags & 1
+    htps = ((flags >> 1) & 7) + 1
+    htrs = ((flags >> 4) & 7) + 1
+    htlow, hthigh = struct.unpack_from(">ii", payload, 1)
+    if hthigh <= htlow:
+        raise Jbig2Error("bad table range")
+    rdr = _BitReader(payload, 9)
+    lines = []
+    cur = htlow
+    while cur < hthigh:
+        preflen = rdr.get_bits(htps)
+        rangelen = rdr.get_bits(htrs)
+        lines.append((preflen, rangelen, cur, ""))
+        if rangelen >= 32:
+            break
+        cur += 1 << rangelen
+    lines.append((rdr.get_bits(htps), 32, htlow - 1, "lower"))
+    lines.append((rdr.get_bits(htps), 32, hthigh, ""))
+    if htoob:
+        lines.append((rdr.get_bits(htps), 0, 0, "oob"))
+    return _HuffTable(lines)
+
+
 # --------------------------------------------- symbol dict / text region
 
+def _huff_symbol_dict(payload: bytes, flags: int,
+                      in_syms: list[np.ndarray],
+                      tables: list[_HuffTable]) -> list[np.ndarray]:
+    """SDHUFF=1 symbol dictionary (§6.5.9): height classes of
+    collective bitmaps, uncompressed (BMSIZE=0) or MMR-coded, with
+    DH/DW/BMSIZE tables chosen from B.4/B.5, B.2/B.3, B.1 or the
+    referred custom table segments."""
+    if (flags >> 1) & 1:
+        raise Jbig2Error("Huffman refinement/aggregate dictionary "
+                         "unsupported")
+    it = iter(tables)
+
+    def pick(sel: int, std: dict[int, int]) -> _HuffTable:
+        if sel in std:
+            return _STD_TABLES[std[sel]]
+        if sel == 3:
+            try:
+                return next(it)
+            except StopIteration:
+                raise Jbig2Error("missing custom Huffman table") from None
+        raise Jbig2Error(f"bad Huffman table selection {sel}")
+
+    dh_tab = pick((flags >> 2) & 3, {0: 4, 1: 5})
+    dw_tab = pick((flags >> 4) & 3, {0: 2, 1: 3})
+    bm_tab = pick((flags >> 6) & 1, {0: 1})
+    pick((flags >> 7) & 1, {0: 1})             # AGGINST (unused, REFAGG=0)
+    if len(payload) < 10:
+        raise Jbig2Error("truncated symbol dictionary")
+    n_ex, n_new = struct.unpack_from(">II", payload, 2)
+    if n_new > 100_000 or n_ex > 100_000:
+        raise Jbig2Error("implausible symbol counts")
+    rdr = _BitReader(payload, 10)
+    new_syms: list[np.ndarray] = []
+    hcheight = 0
+    while len(new_syms) < n_new:
+        dh = dh_tab.decode(rdr)
+        if dh is _OOB:
+            raise Jbig2Error("OOB height-class delta")
+        hcheight += dh
+        if hcheight <= 0 or hcheight > 10_000:
+            raise Jbig2Error(f"bad symbol height {hcheight}")
+        symwidth = 0
+        widths: list[int] = []
+        totwidth = 0
+        while True:
+            dw = dw_tab.decode(rdr)
+            if dw is _OOB:
+                break
+            symwidth += dw
+            if symwidth <= 0 or symwidth > 10_000:
+                raise Jbig2Error(f"bad symbol width {symwidth}")
+            if len(new_syms) + len(widths) >= n_new:
+                raise Jbig2Error("symbol count overrun")
+            widths.append(symwidth)
+            totwidth += symwidth
+        if not widths:
+            continue
+        bmsize = bm_tab.decode(rdr)
+        if bmsize is _OOB or bmsize < 0:
+            raise Jbig2Error("bad collective bitmap size")
+        rdr.align()
+        if bmsize == 0:                        # uncompressed rows
+            stride = (totwidth + 7) // 8
+            need = stride * hcheight
+            raw = payload[rdr.pos:rdr.pos + need]
+            if len(raw) < need:
+                raise Jbig2Error("collective bitmap overruns stream")
+            coll = np.unpackbits(
+                np.frombuffer(raw, np.uint8).reshape(hcheight, stride),
+                axis=1)[:, :totwidth]
+            rdr.pos += need
+        else:                                  # MMR-coded
+            from .ccitt import CcittError, decode_g4
+            try:
+                coll = decode_g4(payload[rdr.pos:rdr.pos + bmsize],
+                                 totwidth, hcheight)
+            except CcittError as e:
+                raise Jbig2Error(f"MMR collective bitmap failed: "
+                                 f"{e}") from e
+            rdr.pos += bmsize
+        xoff = 0
+        for wdt in widths:
+            new_syms.append(coll[:, xoff:xoff + wdt].copy())
+            xoff += wdt
+
+    # export runs: Table B.1 in Huffman mode (§6.5.10)
+    ex_tab = _STD_TABLES[1]
+    all_syms = in_syms + new_syms
+    exported: list[np.ndarray] = []
+    i = 0
+    exflag = False
+    while i < len(all_syms) and len(exported) < n_ex:
+        run = ex_tab.decode(rdr)
+        if run is _OOB or run < 0:
+            raise Jbig2Error("bad export run length")
+        if exflag:
+            exported.extend(all_syms[i:i + run])
+        i += run
+        exflag = not exflag
+    if len(exported) != n_ex:
+        raise Jbig2Error("exported symbol count mismatch")
+    return exported
+
+
 def _decode_symbol_dict(payload: bytes,
-                        in_syms: list[np.ndarray] | None = None
+                        in_syms: list[np.ndarray] | None = None,
+                        tables: list[_HuffTable] | None = None
                         ) -> list[np.ndarray]:
     """Symbol dictionary segment (type 0, T.88 §6.5/§7.4.3) →
     exported symbol bitmaps. ``in_syms`` are the symbols imported from
-    referred-to dictionaries (SDINSYMS). Arithmetic coding, optionally
-    with single-instance refinement symbols (REFAGG, §6.5.8.2);
-    Huffman and true multi-instance aggregates raise."""
+    referred-to dictionaries (SDINSYMS); ``tables`` the custom Huffman
+    tables from referred type-53 segments. Arithmetic coding with
+    optional single-instance REFAGG refinement (§6.5.8.2), or Huffman
+    coding (§6.5.9); Huffman+refinement and multi-instance aggregates
+    raise."""
     from .mq import MQDecoder
     if len(payload) < 2:
         raise Jbig2Error("truncated symbol dictionary flags")
@@ -345,7 +615,8 @@ def _decode_symbol_dict(payload: bytes,
     template = (flags >> 10) & 3
     rtemplate = (flags >> 12) & 1
     if sdhuff:
-        raise Jbig2Error("Huffman symbol dictionary unsupported")
+        return _huff_symbol_dict(payload, flags, in_syms or [],
+                                 tables or [])
     pos = 2
     n_at = 4 if template == 0 else 1
     if len(payload) < pos + 2 * n_at + 8:
@@ -862,6 +1133,7 @@ def decode_jbig2(data: bytes, *, globals_data: bytes = b"",
     regions: list[tuple[int, int, int, int, int, np.ndarray]] = []
     sym_dicts: dict[int, list[np.ndarray]] = {}
     pat_dicts: dict[int, list[np.ndarray]] = {}
+    tab_segs: dict[int, _HuffTable] = {}
 
     for blob in (globals_data, data):
         if not blob:
@@ -878,7 +1150,10 @@ def decode_jbig2(data: bytes, *, globals_data: bytes = b"",
             elif seg_type == 0:
                 sym_dicts[seg_num] = _decode_symbol_dict(
                     payload,
-                    [s for r in refs for s in sym_dicts.get(r, [])])
+                    [s for r in refs for s in sym_dicts.get(r, [])],
+                    [tab_segs[r] for r in refs if r in tab_segs])
+            elif seg_type == 53:
+                tab_segs[seg_num] = _decode_table_segment(payload)
             elif seg_type in _TEXT:
                 syms = [s for r in refs for s in sym_dicts.get(r, [])]
                 if not syms:       # tolerate encoders with absent refs
@@ -1463,3 +1738,163 @@ def encode_jbig2_refagg_page(base_symbols: list[np.ndarray],
             _segment(3, 0, sd2, refs=(2,)) +
             _segment(4, 4, tr, refs=(3,)) +
             _segment(5, _END_PAGE, b""))
+
+
+def _bits_to_bytes(bits: list[int]) -> bytes:
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        b = 0
+        chunk = bits[i:i + 8]
+        for j, v in enumerate(chunk):
+            b |= v << (7 - j)
+        out.append(b)
+    return bytes(out)
+
+
+def _encode_text_region_payload(sorted_syms, placements_sorted,
+                                page_w: int, page_h: int) -> bytes:
+    """Arithmetic text-region payload (TL refcorner, SBSTRIPS=1) over
+    an already-sorted symbol list; shared by the fixture encoders."""
+    from .mq import MQEncoder
+    symcodelen = _symcodelen(len(sorted_syms))
+    enc = MQEncoder()
+    iadt: list[int] = [0] * 512
+    iafs: list[int] = [0] * 512
+    iads: list[int] = [0] * 512
+    iaid_cx: list[int] = [0] * (1 << (symcodelen + 1))
+    _encode_int(enc, iadt, 0)
+    stript = 0
+    firsts = 0
+    k = 0
+    while k < len(placements_sorted):
+        t = placements_sorted[k][0]
+        _encode_int(enc, iadt, t - stript)
+        stript = t
+        strip = [e for e in placements_sorted if e[0] == t]
+        first = True
+        curs = 0
+        for _, s, sid in strip:
+            sym = sorted_syms[sid]
+            adv = sym.shape[1] - 1
+            if first:
+                _encode_int(enc, iafs, s - firsts)
+                firsts = s
+                first = False
+            else:
+                _encode_int(enc, iads, s - curs)
+            curs = s + adv
+            _encode_iaid(enc, iaid_cx, symcodelen, sid)
+        _encode_int(enc, iads, _OOB)
+        k += len(strip)
+    tr = struct.pack(">IIII", page_w, page_h, 0, 0) + b"\x00"
+    tr += struct.pack(">H", 1 << 4)            # TL refcorner
+    tr += struct.pack(">I", len(placements_sorted)) + enc.flush()
+    return tr
+
+
+def _custom_table_segment_payload(lines_spec, htlow: int, hthigh: int,
+                                  htps: int, htrs: int,
+                                  oob_preflen: int = 0) -> bytes:
+    """Build a type-53 custom-table payload from (preflen, rangelen)
+    pairs covering [htlow, hthigh) plus lower/upper/oob prefix
+    lengths appended by the caller in ``lines_spec`` order."""
+    flags = (1 if oob_preflen else 0) | ((htps - 1) << 1) \
+        | ((htrs - 1) << 4)
+    out = bytes([flags]) + struct.pack(">ii", htlow, hthigh)
+    bits: list[int] = []
+    for preflen, rangelen in lines_spec:
+        for k in range(htps - 1, -1, -1):
+            bits.append((preflen >> k) & 1)
+        if rangelen is not None:
+            for k in range(htrs - 1, -1, -1):
+                bits.append((rangelen >> k) & 1)
+    if oob_preflen:
+        for k in range(htps - 1, -1, -1):
+            bits.append((oob_preflen >> k) & 1)
+    return out + _bits_to_bytes(bits)
+
+
+def encode_jbig2_huffman_text_page(symbols: list[np.ndarray],
+                                   placements: list[tuple[int, int, int]],
+                                   page_w: int, page_h: int, *,
+                                   mmr: bool = False,
+                                   custom_dh: bool = False) -> bytes:
+    """Fixture encoder: SDHUFF=1 symbol dictionary (standard tables
+    B.4/B.2/B.1; ``custom_dh`` swaps DH to a stream-carried type-53
+    table) + an arithmetic text region drawing the symbols. The
+    collective bitmaps are uncompressed (BMSIZE=0) or MMR-coded."""
+    syms = [(np.asarray(s) != 0).astype(np.uint8) for s in symbols]
+    if not syms:
+        raise Jbig2Error("need at least one symbol")
+    order = sorted(range(len(syms)),
+                   key=lambda i: (syms[i].shape[0], syms[i].shape[1], i))
+    remap = {orig: new for new, orig in enumerate(order)}
+
+    # custom DH table: covers 0..63 with 4 values per line
+    custom = _custom_table_segment_payload(
+        [(4, 2)] * 16 + [(4, None), (4, None)], 0, 64, 4, 3) \
+        if custom_dh else None
+    dh_tab = _decode_table_segment(custom) if custom_dh \
+        else _STD_TABLES[4]
+    dw_tab = _STD_TABLES[2]
+    bm_tab = _STD_TABLES[1]
+
+    # coded stream with byte-aligned collective bitmaps inline
+    bits: list[int] = []
+    hcheight = 0
+    i = 0
+    while i < len(order):
+        h = syms[order[i]].shape[0]
+        dh_tab.encode(bits, h - hcheight)
+        hcheight = h
+        cls = []
+        symwidth = 0
+        while i < len(order) and syms[order[i]].shape[0] == h:
+            w = syms[order[i]].shape[1]
+            dw_tab.encode(bits, w - symwidth)
+            symwidth = w
+            cls.append(syms[order[i]])
+            i += 1
+        dw_tab.encode(bits, _OOB)
+        coll = np.concatenate(cls, axis=1)
+        if mmr:
+            from .ccitt import encode_g4
+            raw = encode_g4(coll)
+            bm_tab.encode(bits, len(raw))
+        else:
+            raw = np.packbits(coll, axis=1).tobytes()
+            bm_tab.encode(bits, 0)
+        while len(bits) % 8:
+            bits.append(0)
+        for b in raw:
+            for k in range(7, -1, -1):
+                bits.append((b >> k) & 1)
+    # export: run of 0 unexported, then all new symbols
+    ex_tab = _STD_TABLES[1]
+    ex_tab.encode(bits, 0)
+    ex_tab.encode(bits, len(order))
+
+    flags = 0x0001                             # SDHUFF
+    if custom_dh:
+        flags |= 3 << 2                        # DH: custom table
+    sd = struct.pack(">H", flags)
+    sd += struct.pack(">II", len(order), len(order))
+    sd += _bits_to_bytes(bits)
+
+    sorted_syms = [syms[o] for o in order]
+    inst = sorted((t, s, remap[sid]) for sid, s, t in placements)
+    tr = _encode_text_region_payload(sorted_syms, inst, page_w, page_h)
+
+    page_info = struct.pack(">IIII", page_w, page_h, 0, 0) \
+        + b"\x01" + b"\x00\x00"
+    out = _segment(1, _PAGE_INFO, page_info)
+    if custom_dh:
+        out += _segment(2, 53, custom)
+        out += _segment(3, 0, sd, refs=(2,))
+        out += _segment(4, 4, tr, refs=(3,))
+        out += _segment(5, _END_PAGE, b"")
+    else:
+        out += _segment(2, 0, sd)
+        out += _segment(3, 4, tr, refs=(2,))
+        out += _segment(4, _END_PAGE, b"")
+    return out

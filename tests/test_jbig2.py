@@ -578,3 +578,115 @@ def test_refagg_encoder_deterministic():
     a = encode_jbig2_refagg_page(base, [(0, t)], [(0, 0, 0)], 8, 8)
     b = encode_jbig2_refagg_page(base, [(0, t)], [(0, 0, 0)], 8, 8)
     assert a == b
+
+
+# --------------------------------------- Huffman symbol dictionaries
+
+def test_huffman_table_roundtrip_std():
+    from pdf2dom_ray.engine.jbig2 import _STD_TABLES, _BitReader, _OOB
+    for num, vals in ((1, [0, 5, 15, 16, 271, 272, 65807, 65808,
+                           1 << 20]),
+                      (2, [0, 1, 2, 3, 10, 11, 74, 75, 10_000]),
+                      (3, [-300, -257, -256, -1, 0, 5, 74, 75, 9999]),
+                      (4, [1, 3, 4, 11, 12, 75, 76, 100_000]),
+                      (5, [-999, -256, -255, -1, 0, 1, 12, 76, 500])):
+        tab = _STD_TABLES[num]
+        bits = []
+        for v in vals:
+            tab.encode(bits, v)
+        rdr = _BitReader(bytes(
+            sum(b << (7 - i % 8) for i, b in enumerate(bits[k:k + 8]))
+            for k in range(0, len(bits), 8)))
+        for v in vals:
+            assert tab.decode(rdr) == v, (num, v)
+
+
+def test_huffman_table_oob():
+    from pdf2dom_ray.engine.jbig2 import (_STD_TABLES, _BitReader,
+                                          _OOB, _bits_to_bytes)
+    for num in (2, 3):
+        tab = _STD_TABLES[num]
+        bits = []
+        tab.encode(bits, 7)
+        tab.encode(bits, _OOB)
+        tab.encode(bits, 0)
+        rdr = _BitReader(_bits_to_bytes(bits))
+        assert tab.decode(rdr) == 7
+        assert tab.decode(rdr) is _OOB
+        assert tab.decode(rdr) == 0
+
+
+def _hglyphs():
+    return [_glyph(60, 7, 5), _glyph(61, 7, 4), _glyph(62, 9, 6)]
+
+
+@pytest.mark.parametrize("mmr", [False, True])
+@pytest.mark.parametrize("custom_dh", [False, True])
+def test_huffman_symbol_dict_roundtrip(mmr, custom_dh):
+    from pdf2dom_ray.engine.jbig2 import encode_jbig2_huffman_text_page
+    syms = _hglyphs()
+    pl = [(0, 1, 1), (1, 8, 1), (2, 14, 1), (0, 1, 11)]
+    exp = np.zeros((22, 24), np.uint8)
+    for sid, s, t in pl:
+        g = syms[sid]
+        exp[t:t + g.shape[0], s:s + g.shape[1]] |= g
+    bs = encode_jbig2_huffman_text_page(syms, pl, 24, 22, mmr=mmr,
+                                        custom_dh=custom_dh)
+    assert np.array_equal(decode_jbig2(bs), exp)
+
+
+def test_huffman_dict_encoder_deterministic():
+    from pdf2dom_ray.engine.jbig2 import encode_jbig2_huffman_text_page
+    syms = _hglyphs()
+    pl = [(0, 0, 0)]
+    assert encode_jbig2_huffman_text_page(syms, pl, 8, 8) == \
+        encode_jbig2_huffman_text_page(syms, pl, 8, 8)
+
+
+def test_pdf_with_huffman_jbig2_parses():
+    import base64
+    import re
+
+    from pdf2dom_ray.engine.jbig2 import encode_jbig2_huffman_text_page
+    from pdf2dom_ray.engine.parse import parse_document
+    from pdf2dom_ray.functions.multimodal import decode_engine_png
+    from pdf2dom_ray.synth.pdfgen import PageSpec, PdfBuilder
+
+    syms = _hglyphs()
+    pl = [(0, 1, 1), (2, 8, 1)]
+    exp_bm = np.zeros((12, 16), np.uint8)
+    for sid, s, t in pl:
+        g = syms[sid]
+        exp_bm[t:t + g.shape[0], s:s + g.shape[1]] |= g
+    data = encode_jbig2_huffman_text_page(syms, pl, 16, 12, mmr=True)
+    b = PdfBuilder(title="jbig2-huffman")
+    p = PageSpec()
+    p.use_custom_image(
+        "Im0",
+        "/Width 16 /Height 12 /ColorSpace /DeviceGray "
+        "/BitsPerComponent 1 /Filter /JBIG2Decode",
+        data, compress=False)
+    p.draw_image("Im0", 100, 600, 64, 48)
+    b.add_page(p)
+    r = parse_document(b.build())
+    assert r.error is None and r.n_images == 1
+    m = re.search(r'src="data:image/png;base64,([^"]+)"', r.html_dom)
+    assert m
+    png = decode_engine_png(base64.b64decode(m.group(1)))
+    exp = np.repeat(np.where(exp_bm[..., None] == 1, 0, 255), 3,
+                    axis=-1).astype(np.uint8)
+    assert np.array_equal(png[..., :3], exp)
+
+
+def test_huffman_text_region_still_rejected():
+    # SBHUFF=1 needs standard tables B.6+ that this engine does not
+    # carry — must keep degrading honestly
+    from pdf2dom_ray.engine.jbig2 import encode_jbig2_text_page
+    bs = bytearray(encode_jbig2_text_page([_glyph(9, 5, 5)],
+                                          [(0, 0, 0)], 8, 8))
+    # text region segment is #3; flip SBHUFF (bit 0 of the 2-byte
+    # flags at payload offset 17)
+    idx = bs.rindex(struct.pack(">IIII", 8, 8, 0, 0))
+    bs[idx + 18] |= 0x01
+    with pytest.raises(Jbig2Error, match="Huffman text region"):
+        decode_jbig2(bytes(bs))
