@@ -16,18 +16,21 @@ Supported codestream profile (both directions):
   midpoint dequantization), 0..N decomposition levels
 - reversible (RCT) / irreversible (ICT) color transform for
   3-component images, matching the wavelet choice
-- all five progression orders (LRCP/RLCP/RPCL/PCRL/CPRL — the
-  position loops collapse under maximal precincts), any number of
-  quality layers, optional SOP resync / EPH header-end markers
-- default (maximal) precincts, code-block style 0, EBCOT tier-1
-  coding passes over the shared MQ coder (``engine/mq.py``)
+- all five progression orders (LRCP/RLCP/RPCL/PCRL/CPRL; position
+  loops sort precinct corners in image coordinates per B.12), any
+  number of quality layers, optional SOP resync / EPH header-end
+  markers
+- maximal AND custom per-resolution precincts (Scod bit 0 + B.6 size
+  bytes; effective code-blocks clamp to min(cb, precinct) per B.7,
+  per-precinct tag trees), code-block style 0, EBCOT tier-1 coding
+  passes over the shared MQ coder (``engine/mq.py``)
 - tag-tree coded packet headers (Annex B), JP2 wrapper or raw
   codestream accepted on decode
 
-Anything outside the profile (custom precincts, bypass/termination
-code-block styles, unaligned multi-tile grids) raises ``JpxError`` →
-the walker's honest ``<img src="">`` degradation, with the reason
-preserved.
+Anything outside the profile (bypass/termination code-block styles,
+unaligned multi-tile grids, component subsampling, >8-bit samples)
+raises ``JpxError`` → the walker's honest ``<img src="">``
+degradation, with the reason preserved.
 
 Verification: like the engine's JPEG/CCITT/JBIG2 codecs, the locked
 property for the reversible profile is ``decode(encode(img)) == img``
@@ -637,10 +640,13 @@ def _band_geometry(x: int, y: int, nl: int):
     return res
 
 
-def _cblk_grid(bw: int, bh: int, cb: int) -> tuple[int, int]:
+def _cblk_grid(bw: int, bh: int, cbw: int,
+               cbh: int | None = None) -> tuple[int, int]:
+    if cbh is None:
+        cbh = cbw
     if bw <= 0 or bh <= 0:
         return 0, 0
-    return (bw + cb - 1) // cb, (bh + cb - 1) // cb
+    return (bw + cbw - 1) // cbw, (bh + cbh - 1) // cbh
 
 
 def _put_npasses(w: _HdrWriter, n: int) -> None:
@@ -674,24 +680,76 @@ def _get_npasses(r: _HdrReader) -> int:
     return 37 + r.get_bits(7)
 
 
-def _packet_order(prog: int, layers: int, nres: int,
-                  ncomp: int) -> list[tuple[int, int, int]]:
-    """Packet sequence (layer, resolution, component) for the five
-    progression orders (B.12). Under this profile's single-precinct
-    layout the position loops collapse, so PCRL and CPRL coincide."""
+_MAX_PP = (15, 15)              # Scod bit0 = 0: precinct size 2^15 (B.6)
+
+
+def _prec_layout(w: int, h: int, nl: int, cb_exp: int,
+                 pp: list[tuple[int, int]]):
+    """Per-resolution precinct layout for a w×h tile (B.6). Entry r is
+    ``(npx, npy, pbx, pby, ex, ey, ppx, ppy)``: precinct counts on the
+    resolution grid, band-space precinct size exponents, and the
+    effective code-block exponents min(cb, precinct) (B.7)."""
+    out = []
+    for r in range(nl + 1):
+        ppx, ppy = pp[r]
+        if not (0 <= ppx <= 15 and 0 <= ppy <= 15) or \
+                (r > 0 and (ppx < 1 or ppy < 1)):
+            raise JpxError(f"bad precinct exponents ({ppx},{ppy}) "
+                           f"at resolution {r}")
+        s = 1 << (nl - r)
+        rw, rh = (w + s - 1) // s, (h + s - 1) // s
+        npx = max(1, (rw + (1 << ppx) - 1) >> ppx)
+        npy = max(1, (rh + (1 << ppy) - 1) >> ppy)
+        sh = 0 if r == 0 else 1
+        out.append((npx, npy, ppx - sh, ppy - sh,
+                    min(cb_exp, ppx - sh), min(cb_exp, ppy - sh),
+                    ppx, ppy))
+    return out
+
+
+def _prec_blocks(bw: int, bh: int, pbx: int, pby: int, ex: int, ey: int,
+                 pxi: int, pyi: int):
+    """Code-block index ranges [bx0,bx1)×[by0,by1) of one precinct in
+    a band of bw×bh (grids anchored at the band origin)."""
+    if bw <= 0 or bh <= 0:
+        return 0, 0, 0, 0
+    x0, y0 = pxi << pbx, pyi << pby
+    x1, y1 = min((pxi + 1) << pbx, bw), min((pyi + 1) << pby, bh)
+    if x0 >= bw or y0 >= bh:
+        return 0, 0, 0, 0
+    return (x0 >> ex, (x1 + (1 << ex) - 1) >> ex,
+            y0 >> ey, (y1 + (1 << ey) - 1) >> ey)
+
+
+def _packet_seq(prog: int, layers: int, nres: int, ncomp: int,
+                nl: int, layout) -> list[tuple[int, int, int, int, int]]:
+    """Packet sequence ``(layer, resolution, component, pyi, pxi)``
+    for the five progression orders (B.12); position loops sort by the
+    precinct corner in image coordinates."""
+    descs = []
+    for r in range(nres):
+        npx, npy, _, _, _, _, ppx, ppy = layout[r]
+        for pyi in range(npy):
+            for pxi in range(npx):
+                yi = pyi << (ppy + nl - r)
+                xi = pxi << (ppx + nl - r)
+                for c in range(ncomp):
+                    for l in range(layers):
+                        descs.append((l, r, c, pyi, pxi, yi, xi))
     if prog == 0:                                          # LRCP
-        return [(l, r, c) for l in range(layers)
-                for r in range(nres) for c in range(ncomp)]
-    if prog == 1:                                          # RLCP
-        return [(l, r, c) for r in range(nres)
-                for l in range(layers) for c in range(ncomp)]
-    if prog == 2:                                          # RPCL
-        return [(l, r, c) for r in range(nres)
-                for c in range(ncomp) for l in range(layers)]
-    if prog in (3, 4):                                     # PCRL / CPRL
-        return [(l, r, c) for c in range(ncomp)
-                for r in range(nres) for l in range(layers)]
-    raise JpxError(f"progression order {prog} unsupported")
+        key = lambda d: (d[0], d[1], d[2], d[3], d[4])     # noqa: E731
+    elif prog == 1:                                        # RLCP
+        key = lambda d: (d[1], d[0], d[2], d[3], d[4])     # noqa: E731
+    elif prog == 2:                                        # RPCL
+        key = lambda d: (d[1], d[5], d[6], d[2], d[0])     # noqa: E731
+    elif prog == 3:                                        # PCRL
+        key = lambda d: (d[5], d[6], d[2], d[1], d[0])     # noqa: E731
+    elif prog == 4:                                        # CPRL
+        key = lambda d: (d[2], d[5], d[6], d[1], d[0])     # noqa: E731
+    else:
+        raise JpxError(f"progression order {prog} unsupported")
+    descs.sort(key=key)
+    return [(l, r, c, pyi, pxi) for l, r, c, pyi, pxi, _, _ in descs]
 
 
 def _layer_split(npasses: int, nbytes: int,
@@ -761,71 +819,90 @@ def _marker(code: int, payload: bytes) -> bytes:
     return struct.pack(">HH", code, len(payload) + 2) + payload
 
 
-def _encode_tile_body(comp_bands, geom, ncomp: int, cb: int,
+def _encode_tile_body(comp_bands, geom, ncomp: int, cb_exp: int,
                       mbs: list[int], layers: int, prog: int,
-                      sop: bool, eph: bool) -> tuple[bytes, list[int]]:
+                      sop: bool, eph: bool, nl: int,
+                      pp: list[tuple[int, int]],
+                      tw: int, th: int) -> tuple[bytes, list[int]]:
     """Encode one tile's packet stream. Returns ``(body, bounds)``
     where ``bounds[i]`` is the byte offset of packet ``i`` (plus a
     final end offset) — the tile-part split points."""
     nres = len(geom)
+    layout = _prec_layout(tw, th, nl, cb_exp, pp)
     states: dict[tuple, _CblkEnc] = {}
-    trees: dict[tuple, tuple[_TagTree, _TagTree]] = {}
+    trees: dict[tuple, tuple] = {}
     for c in range(ncomp):
         for r_i, bands in enumerate(geom):
+            npx, npy, pbx, pby, ex, ey, _, _ = layout[r_i]
+            cbw, cbh = 1 << ex, 1 << ey
             mb_idx = sum(len(g) for g in geom[:r_i])
             for b_i, (kind, bw, bh) in enumerate(bands):
-                nx, ny = _cblk_grid(bw, bh, cb)
+                nx, ny = _cblk_grid(bw, bh, cbw, cbh)
                 if nx * ny == 0:
                     continue
                 mb = mbs[mb_idx + b_i]
-                incl = _TagTree(nx, ny)
-                zbpt = _TagTree(nx, ny)
                 arr = comp_bands[c][r_i][kind]
                 for by in range(ny):
                     for bx in range(nx):
-                        sl = arr[by * cb:(by + 1) * cb,
-                                 bx * cb:(bx + 1) * cb]
+                        sl = arr[by * cbh:(by + 1) * cbh,
+                                 bx * cbw:(bx + 1) * cbw]
                         data, zbp, npasses = _encode_cblk(sl, kind, mb)
                         st = _CblkEnc(data, zbp,
                                       _layer_split(npasses, len(data),
                                                    layers))
                         states[(c, r_i, b_i, by, bx)] = st
-                        incl.set_value(by, bx, st.l0)
-                        zbpt.set_value(by, bx, zbp)
-                incl.finalize()
-                zbpt.finalize()
-                trees[(c, r_i, b_i)] = (incl, zbpt)
+                for pyi in range(npy):
+                    for pxi in range(npx):
+                        bx0, bx1, by0, by1 = _prec_blocks(
+                            bw, bh, pbx, pby, ex, ey, pxi, pyi)
+                        if bx0 >= bx1 or by0 >= by1:
+                            continue
+                        incl = _TagTree(bx1 - bx0, by1 - by0)
+                        zbpt = _TagTree(bx1 - bx0, by1 - by0)
+                        for by in range(by0, by1):
+                            for bx in range(bx0, bx1):
+                                st = states[(c, r_i, b_i, by, bx)]
+                                incl.set_value(by - by0, bx - bx0,
+                                               st.l0)
+                                zbpt.set_value(by - by0, bx - bx0,
+                                               st.zbp)
+                        incl.finalize()
+                        zbpt.finalize()
+                        trees[(c, r_i, b_i, pyi, pxi)] = \
+                            (incl, zbpt, bx0, bx1, by0, by1)
 
     body = bytearray()
     bounds = [0]
     nsop = 0
-    for l, r_i, c in _packet_order(prog, layers, nres, ncomp):
+    for l, r_i, c, pyi, pxi in _packet_seq(prog, layers, nres, ncomp,
+                                           nl, layout):
         if sop:
             body += struct.pack(">HHH", 0xFF91, 4, nsop & 0xFFFF)
         nsop += 1
         hdr = _HdrWriter()
         segs: list[bytes] = []
-        live = [(b_i, nx, ny)
-                for b_i, (kind, bw, bh) in enumerate(geom[r_i])
-                for nx, ny in (_cblk_grid(bw, bh, cb),) if nx * ny]
+        live = [(b_i,) + trees[(c, r_i, b_i, pyi, pxi)]
+                for b_i in range(len(geom[r_i]))
+                if (c, r_i, b_i, pyi, pxi) in trees]
         contrib = any(states[(c, r_i, b_i, by, bx)].split[l][0]
-                      for b_i, nx, ny in live
-                      for by in range(ny) for bx in range(nx))
+                      for b_i, _, _, bx0, bx1, by0, by1 in live
+                      for by in range(by0, by1)
+                      for bx in range(bx0, bx1))
         if not contrib:
             hdr.put(0)                                     # empty packet
         else:
             hdr.put(1)
-            for b_i, nx, ny in live:
-                incl, zbpt = trees[(c, r_i, b_i)]
-                for by in range(ny):
-                    for bx in range(nx):
+            for b_i, incl, zbpt, bx0, bx1, by0, by1 in live:
+                for by in range(by0, by1):
+                    for bx in range(bx0, bx1):
                         st = states[(c, r_i, b_i, by, bx)]
                         p_l, n_l = st.split[l]
                         if not st.included:
-                            incl.encode(hdr, by, bx, l + 1)
+                            incl.encode(hdr, by - by0, bx - bx0, l + 1)
                             if st.l0 != l:
                                 continue                   # not yet
-                            zbpt.encode(hdr, by, bx, st.zbp + 1)
+                            zbpt.encode(hdr, by - by0, bx - bx0,
+                                        st.zbp + 1)
                             st.included = True
                         else:
                             hdr.put(1 if p_l else 0)
@@ -857,7 +934,9 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
                layers: int = 1, prog: int = 0,
                sop: bool = False, eph: bool = False,
                tile_size: tuple[int, int] | None = None,
-               tile_parts: int = 1) -> bytes:
+               tile_parts: int = 1,
+               precincts: tuple[int, int] |
+               list[tuple[int, int]] | None = None) -> bytes:
     """(H, W) or (H, W, 3) uint8 → JPEG2000 codestream (profile in the
     module docstring). ``cb_exp`` is the code-block size exponent
     (2..10 per the standard; 5 → 32x32). With ``irreversible`` the
@@ -869,7 +948,11 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
     CPRL); ``sop``/``eph`` emit resync markers; ``tile_size`` tiles
     the image (multi-tile grids must be multiples of 2^levels);
     ``tile_parts`` splits each tile's packets over several SOT
-    segments. Defaults produce the identical bitstream to the
+    segments. ``precincts`` carves each resolution into precincts:
+    one (PPx, PPy) exponent pair applied to every resolution, or a
+    per-resolution list of ``levels + 1`` pairs (Scod bit 0 + the B.6
+    per-resolution size bytes; code-blocks clamp to min(cb, precinct)
+    per B.7). Defaults produce the identical bitstream to the
     original single-tile/single-layer encoder."""
     img = np.asarray(img)
     if img.ndim == 2:
@@ -900,7 +983,16 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
         raise JpxError(f"progression order {prog} unsupported")
     if tile_parts < 1:
         raise JpxError(f"bad tile-part count {tile_parts}")
-    cb = 1 << cb_exp
+    if precincts is None:
+        pp = [_MAX_PP] * (nl + 1)
+    else:
+        if isinstance(precincts, tuple):
+            pp = [precincts] * (nl + 1)
+        else:
+            pp = [tuple(p) for p in precincts]
+        if len(pp) != nl + 1:
+            raise JpxError(f"need {nl + 1} precinct pairs, "
+                           f"got {len(pp)}")
     pair = _fdwt97_pair if irreversible else _fdwt53_pair
     if tile_size is None:
         xt, yt = w, h
@@ -982,11 +1074,14 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
     siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, xt, yt, 0, 0, ncomp)
     siz += b"\x07\x01\x01" * ncomp                         # 8-bit, 1x1
     out += _marker(0xFF51, siz)                            # SIZ
-    scod = (0x02 if sop else 0) | (0x04 if eph else 0)
+    scod = (0x02 if sop else 0) | (0x04 if eph else 0) \
+        | (0x01 if precincts is not None else 0)
     cod = bytes([scod,
                  prog]) + struct.pack(">H", layers) + bytes([
                  mct, nl, cb_exp - 2, cb_exp - 2, 0,
                  0 if irreversible else 1])                # 9/7 vs 5/3
+    if precincts is not None:
+        cod += bytes([(ppy << 4) | ppx for ppx, ppy in pp])
     out += _marker(0xFF52, cod)                            # COD
     if irreversible:
         qcd = bytes([(guard << 5) | 2]) + b"".join(        # expounded
@@ -997,8 +1092,12 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
     out += _marker(0xFF5C, qcd)                            # QCD
 
     for t, (tgeom, comp_bands) in enumerate(tiles):
-        body, bounds = _encode_tile_body(comp_bands, tgeom, ncomp, cb,
-                                         mbs, layers, prog, sop, eph)
+        tx, ty = t % ntx, t // ntx
+        tw = min((tx + 1) * xt, w) - tx * xt
+        th = min((ty + 1) * yt, h) - ty * yt
+        body, bounds = _encode_tile_body(comp_bands, tgeom, ncomp,
+                                         cb_exp, mbs, layers, prog,
+                                         sop, eph, nl, pp, tw, th)
         npkt = len(bounds) - 1
         nparts = max(1, min(tile_parts, npkt))
         cut_pkts = sorted({round(npkt * k / nparts)
@@ -1041,49 +1140,57 @@ def _unwrap_jp2(data: bytes) -> bytes:
     raise JpxError("no jp2c codestream box in JP2 container")
 
 
-def _decode_tile(body: bytes, geom, ncomp: int, cb: int,
+def _decode_tile(body: bytes, geom, ncomp: int, cb_exp: int,
                  mbs: list[int], layers: int, prog: int,
-                 sop: bool, eph: bool):
+                 sop: bool, eph: bool, nl: int,
+                 pp: list[tuple[int, int]], tw: int, th: int):
     """One tile's concatenated packet stream → per-component band
     arrays (``comp_bands[c][r_i][kind]``, int64 coefficients).
 
-    Packets are walked in the COD progression order; per-code-block
-    inclusion/zero-bitplane tag trees and Lblock state persist across
-    quality layers (B.10), and a block's codeword segments are
-    concatenated before a single tier-1 decode (B.10.7)."""
+    Packets are walked in the COD progression order over the precinct
+    grid; per-precinct inclusion/zero-bitplane tag trees and per-block
+    Lblock state persist across quality layers (B.10), and a block's
+    codeword segments are concatenated before a single tier-1 decode
+    (B.10.7)."""
     nres = len(geom)
-    grids_of = [[(kind, bw, bh) + _cblk_grid(bw, bh, cb)
-                 for kind, bw, bh in bands] for bands in geom]
+    layout = _prec_layout(tw, th, nl, cb_exp, pp)
     states: dict[tuple, _CblkDec] = {}
     trees: dict[tuple, tuple[_TagTree, _TagTree]] = {}
     bpos = 0
-    for l, r_i, c in _packet_order(prog, layers, nres, ncomp):
+    for l, r_i, c, pyi, pxi in _packet_seq(prog, layers, nres, ncomp,
+                                           nl, layout):
         if sop:
             if body[bpos:bpos + 2] == b"\xff\x91":
                 bpos += 6                    # SOP resync (optional per packet)
         rdr = _HdrReader(body, bpos)
-        grids = grids_of[r_i]
+        _, _, pbx, pby, ex, ey, _, _ = layout[r_i]
+        cbw, cbh = 1 << ex, 1 << ey
         todo: list[tuple[_CblkDec, int]] = []
         if rdr.get():                                      # non-empty packet
             mb_idx = sum(len(g) for g in geom[:r_i])
-            for b_i, (kind, bw, bh, nx, ny) in enumerate(grids):
-                if nx * ny == 0:
+            for b_i, (kind, bw, bh) in enumerate(geom[r_i]):
+                bx0, bx1, by0, by1 = _prec_blocks(bw, bh, pbx, pby,
+                                                  ex, ey, pxi, pyi)
+                if bx0 >= bx1 or by0 >= by1:
                     continue
-                tkey = (c, r_i, b_i)
+                tkey = (c, r_i, b_i, pyi, pxi)
                 if tkey not in trees:
-                    trees[tkey] = (_TagTree(nx, ny), _TagTree(nx, ny))
+                    trees[tkey] = (_TagTree(bx1 - bx0, by1 - by0),
+                                   _TagTree(bx1 - bx0, by1 - by0))
                 incl, zbpt = trees[tkey]
                 mb = mbs[mb_idx + b_i]
-                for by in range(ny):
-                    for bx in range(nx):
+                for by in range(by0, by1):
+                    for bx in range(bx0, bx1):
                         key = (c, r_i, b_i, by, bx)
                         st = states.get(key)
                         if st is None:
-                            if not incl.decode(rdr, by, bx, l + 1):
+                            if not incl.decode(rdr, by - by0,
+                                               bx - bx0, l + 1):
                                 continue                   # not yet included
-                            zbp = zbpt.decode_value(rdr, by, bx)
-                            cw = min(cb, bw - bx * cb)
-                            ch = min(cb, bh - by * cb)
+                            zbp = zbpt.decode_value(rdr, by - by0,
+                                                    bx - bx0)
+                            cw = min(cbw, bw - bx * cbw)
+                            ch = min(cbh, bh - by * cbh)
                             st = _CblkDec(cw, ch, kind, mb, zbp)
                             states[key] = st
                         elif not rdr.get():
@@ -1109,10 +1216,12 @@ def _decode_tile(body: bytes, geom, ncomp: int, cb: int,
           for kind, bw, bh in bands} for bands in geom]
         for _ in range(ncomp)]
     for (c, r_i, b_i, by, bx), st in states.items():
+        _, _, _, _, ex, ey, _, _ = layout[r_i]
         blk = _decode_cblk(b"".join(st.segs), st.cw, st.ch,
                            st.kind, st.mb, st.zbp, st.npasses)
-        comp_bands[c][r_i][st.kind][by * cb:by * cb + st.ch,
-                                    bx * cb:bx * cb + st.cw] = blk
+        comp_bands[c][r_i][st.kind][
+            by << ey:(by << ey) + st.ch,
+            bx << ex:(bx << ex) + st.cw] = blk
     return comp_bands
 
 
@@ -1129,6 +1238,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
     xt = yt = None
     nl = cb_exp = mct = None
     prog, layers, sop, eph = 0, 1, False, False
+    pp: list[tuple[int, int]] = []
     mbs: list[int] = []
     qparams = None
     guard = 0
@@ -1164,9 +1274,6 @@ def decode_jpx(data: bytes) -> np.ndarray:
                     raise JpxError("component subsampling unsupported")
         elif mk == 0xFF52:                                 # COD
             scod = seg[0]
-            if scod & 0x01:
-                raise JpxError("custom precincts unsupported "
-                               f"(Scod={scod:#x})")
             if scod & ~0x07:
                 raise JpxError(f"unknown Scod bits {scod:#x}")
             sop = bool(scod & 0x02)
@@ -1190,6 +1297,13 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 raise JpxError(f"unknown wavelet transform {transform}")
             irreversible = transform == 0
             cb_exp = xcb
+            if scod & 0x01:                    # per-resolution precincts
+                if len(seg) < 10 + nl + 1:
+                    raise JpxError("truncated precinct size list")
+                pp = [(seg[10 + r] & 0x0F, seg[10 + r] >> 4)
+                      for r in range(nl + 1)]
+            else:
+                pp = [_MAX_PP] * (nl + 1)
         elif mk == 0xFF5C:                                 # QCD
             sqcd = seg[0]
             qstyle = sqcd & 0x1F
@@ -1267,7 +1381,6 @@ def decode_jpx(data: bytes) -> np.ndarray:
         raise JpxError("9/7 transform without quantization parameters")
     if len(mbs) != n_bands:
         raise JpxError("QCD subband count mismatch")
-    cb = 1 << cb_exp
     ipair = _idwt97_pair if irreversible else _idwt53_pair
     dtype = np.float64 if irreversible else np.int64
     planes = [np.zeros((h, w), dtype=dtype) for _ in range(ncomp)]
@@ -1281,8 +1394,9 @@ def decode_jpx(data: bytes) -> np.ndarray:
         x0, y0 = tx * xt, ty * yt
         x1, y1 = min(x0 + xt, w), min(y0 + yt, h)
         tgeom = _band_geometry(x1 - x0, y1 - y0, nl)
-        comp_bands = _decode_tile(body, tgeom, ncomp, cb, mbs,
-                                  layers, prog, sop, eph)
+        comp_bands = _decode_tile(body, tgeom, ncomp, cb_exp, mbs,
+                                  layers, prog, sop, eph, nl, pp,
+                                  x1 - x0, y1 - y0)
 
         # dequantize (irreversible): x = sign(q) * (|q| + 0.5) * delta_b
         if deltas is not None:

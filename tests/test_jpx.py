@@ -182,10 +182,65 @@ def test_unknown_progression_rejected():
         decode_jpx(_patch_cod(cs, 1, 6))          # order 6 undefined
 
 
-def test_custom_precincts_rejected():
+def test_precinct_flag_without_size_list_rejected():
     cs = encode_jpx(_grad(8, 8))
-    with pytest.raises(JpxError, match="precincts"):
-        decode_jpx(_patch_cod(cs, 0, 0x01))       # Scod precinct bit
+    with pytest.raises(JpxError, match="truncated precinct"):
+        decode_jpx(_patch_cod(cs, 0, 0x01))   # Scod bit set, no bytes
+
+
+@pytest.mark.parametrize("ppx", [5, 6, 8])
+def test_precincts_roundtrip(ppx):
+    img = _grad(61, 83)
+    cs = encode_jpx(img, precincts=(ppx, ppx))
+    assert b"\xff\x52" in cs
+    assert np.array_equal(decode_jpx(cs), img)
+
+
+def test_precincts_per_resolution_and_clamped_codeblocks():
+    # precinct 2^4 < code-block 2^5: effective block size clamps (B.7)
+    img = _grad(61, 83)
+    cs = encode_jpx(img, levels=2, cb_exp=5,
+                    precincts=[(4, 5), (5, 4), (6, 6)])
+    assert np.array_equal(decode_jpx(cs), img)
+
+
+@pytest.mark.parametrize("prog", [0, 1, 2, 3, 4])
+def test_precincts_all_progressions(prog):
+    img = _grad(72, 96, ch=3)
+    cs = encode_jpx(img, layers=3, prog=prog, precincts=(6, 6))
+    assert np.array_equal(decode_jpx(cs), img)
+
+
+def test_precincts_with_tiles_layers_markers():
+    img = _grad(72, 96, ch=3)
+    cs = encode_jpx(img, levels=2, tile_size=(32, 32), tile_parts=2,
+                    layers=2, prog=2, sop=True, eph=True,
+                    precincts=(5, 5))
+    assert np.array_equal(decode_jpx(cs), img)
+
+
+def test_precincts_change_packet_structure():
+    img = _grad(64, 64)
+    plain = encode_jpx(img)
+    prec = encode_jpx(img, precincts=(5, 5))
+    assert plain != prec                       # more packets, Scod bit
+    assert np.array_equal(decode_jpx(plain), decode_jpx(prec))
+
+
+def test_precincts_irreversible_match():
+    img = _grad(48, 64)
+    a = decode_jpx(encode_jpx(img, irreversible=True))
+    b = decode_jpx(encode_jpx(img, irreversible=True, precincts=(6, 6),
+                              layers=2))
+    assert np.array_equal(a, b)
+
+
+def test_bad_precinct_exponents_rejected():
+    with pytest.raises(JpxError, match="precinct"):
+        encode_jpx(_grad(16, 16), levels=2,
+                   precincts=[(0, 0), (0, 0), (0, 0)])
+    with pytest.raises(JpxError, match="precinct pairs"):
+        encode_jpx(_grad(16, 16), levels=2, precincts=[(5, 5)])
 
 
 def test_codeblock_style_rejected():
