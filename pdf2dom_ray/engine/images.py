@@ -198,9 +198,11 @@ def _decode_image_base(doc, xobj: Stream,
         # PDF /ColorSpace is advisory — the codestream defines it
         from .jpx import JpxError, decode_jpx
         try:
-            img = decode_jpx(data)
+            img, depth = decode_jpx(data, return_depth=True)
         except JpxError as e:
             raise UnsupportedImageError(f"JPX decode failed: {e}") from e
+        if depth > 8:                  # render deep samples at 8 bits
+            img = (img >> (depth - 8)).astype(np.uint8)
         if img.ndim == 2:
             img = np.stack([img] * 3, axis=-1)
         if img.shape[0] != h or img.shape[1] != w:

@@ -10,7 +10,9 @@ Supported codestream profile (both directions):
 - tiled images (tile grid at origin; multi-tile streams require the
   tile size to be a multiple of 2^levels so the per-tile DWT parity
   matches the reference grid), multiple tile-parts per tile,
-  component subsampling 1x1, 8-bit samples
+  component subsampling 1x1, 8..16-bit unsigned samples (deep
+  samples return uint16 at native scale; the PDF image layer
+  renders them at 8 bits)
 - reversible 5/3 wavelet (Annex F) OR irreversible 9/7 float wavelet
   with scalar quantization (Annex E, derived and expounded styles,
   midpoint dequantization), 0..N decomposition levels
@@ -28,7 +30,7 @@ Supported codestream profile (both directions):
   codestream accepted on decode
 
 Anything outside the profile (bypass/termination code-block styles,
-unaligned multi-tile grids, component subsampling, >8-bit samples)
+unaligned multi-tile grids, component subsampling, signed samples)
 raises ``JpxError`` → the walker's honest ``<img src="">``
 degradation, with the reason preserved.
 
@@ -936,7 +938,8 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
                tile_size: tuple[int, int] | None = None,
                tile_parts: int = 1,
                precincts: tuple[int, int] |
-               list[tuple[int, int]] | None = None) -> bytes:
+               list[tuple[int, int]] | None = None,
+               depth: int | None = None) -> bytes:
     """(H, W) or (H, W, 3) uint8 → JPEG2000 codestream (profile in the
     module docstring). ``cb_exp`` is the code-block size exponent
     (2..10 per the standard; 5 → 32x32). With ``irreversible`` the
@@ -952,15 +955,24 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
     one (PPx, PPy) exponent pair applied to every resolution, or a
     per-resolution list of ``levels + 1`` pairs (Scod bit 0 + the B.6
     per-resolution size bytes; code-blocks clamp to min(cb, precinct)
-    per B.7). Defaults produce the identical bitstream to the
-    original single-tile/single-layer encoder."""
+    per B.7). ``depth`` codes 9..16-bit unsigned samples (pass a
+    uint16 array; defaults to 8 for uint8 input). Defaults produce
+    the identical bitstream to the original single-tile/single-layer
+    encoder."""
     img = np.asarray(img)
+    if depth is None:
+        depth = 8
+    if not (8 <= depth <= 16):
+        raise JpxError(f"bad sample depth {depth}")
+    if int(img.max(initial=0)) >= 1 << depth or int(img.min(initial=0)) < 0:
+        raise JpxError(f"samples exceed {depth}-bit range")
+    shift = 1 << (depth - 1)
     if img.ndim == 2:
-        planes = [img.astype(np.int64) - 128]
+        planes = [img.astype(np.int64) - shift]
     elif img.ndim == 3 and img.shape[2] == 3:
-        r = img[..., 0].astype(np.int64) - 128
-        g = img[..., 1].astype(np.int64) - 128
-        b = img[..., 2].astype(np.int64) - 128
+        r = img[..., 0].astype(np.int64) - shift
+        g = img[..., 1].astype(np.int64) - shift
+        b = img[..., 2].astype(np.int64) - shift
         planes = list(_ict_forward(r.astype(np.float64),
                                    g.astype(np.float64),
                                    b.astype(np.float64))) \
@@ -1037,7 +1049,7 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
     if irreversible:
         for r_i, kinds in enumerate(band_kinds):
             for kind in kinds:
-                rb = 8 + _BAND_GAIN[kind]
+                rb = depth + _BAND_GAIN[kind]
                 eps, mu, step = _quant_params(delta, rb)
                 quant.append((eps, mu))
                 for _, comp_bands in tiles:
@@ -1072,7 +1084,7 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
     out = bytearray()
     out += struct.pack(">H", 0xFF4F)                       # SOC
     siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, xt, yt, 0, 0, ncomp)
-    siz += b"\x07\x01\x01" * ncomp                         # 8-bit, 1x1
+    siz += bytes([depth - 1, 1, 1]) * ncomp                # unsigned, 1x1
     out += _marker(0xFF51, siz)                            # SIZ
     scod = (0x02 if sop else 0) | (0x04 if eph else 0) \
         | (0x01 if precincts is not None else 0)
@@ -1225,9 +1237,11 @@ def _decode_tile(body: bytes, geom, ncomp: int, cb_exp: int,
     return comp_bands
 
 
-def decode_jpx(data: bytes) -> np.ndarray:
+def decode_jpx(data: bytes, *, return_depth: bool = False):
     """JPEG2000 codestream (raw or JP2-wrapped) → (H, W) or (H, W, 3)
-    uint8 array. Raises ``JpxError`` outside the supported profile."""
+    array — uint8 for ≤8-bit samples, uint16 at native scale for
+    deeper ones (``return_depth`` adds the bit depth to the return).
+    Raises ``JpxError`` outside the supported profile."""
     if data[:12] == _JP2_SIG:
         data = _unwrap_jp2(data)
     if len(data) < 4 or struct.unpack_from(">H", data, 0)[0] != 0xFF4F:
@@ -1237,6 +1251,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
     w = h = ncomp = None
     xt = yt = None
     nl = cb_exp = mct = None
+    depth = None
     prog, layers, sop, eph = 0, 1, False, False
     pp: list[tuple[int, int]] = []
     mbs: list[int] = []
@@ -1267,9 +1282,15 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 raise JpxError("bad tile size")
             for c in range(cs):
                 ssiz, xr, yr = seg[36 + 3 * c:39 + 3 * c]
-                if ssiz != 0x07:
-                    raise JpxError(f"only 8-bit unsigned samples "
-                                   f"(Ssiz={ssiz:#x})")
+                if ssiz & 0x80:
+                    raise JpxError("signed samples unsupported")
+                d = (ssiz & 0x7F) + 1
+                if not (1 <= d <= 16):
+                    raise JpxError(f"{d}-bit samples unsupported")
+                if depth is None:
+                    depth = d
+                elif depth != d:
+                    raise JpxError("mixed component depths unsupported")
                 if xr != 1 or yr != 1:
                     raise JpxError("component subsampling unsupported")
         elif mk == 0xFF52:                                 # COD
@@ -1374,7 +1395,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
             else:                             # derived from the first
                 eps0, mu = entries[0]
                 eps = eps0 - nl + lvls[b_i]
-            rb = 8 + _BAND_GAIN[kind]
+            rb = depth + _BAND_GAIN[kind]
             mbs.append(guard + eps - 1)
             deltas.append((2.0 ** (rb - eps)) * (1.0 + mu / 2048.0))
     elif irreversible:
@@ -1433,9 +1454,12 @@ def decode_jpx(data: bytes) -> np.ndarray:
         planes = [r, g, b]
     if irreversible:
         planes = [np.rint(p) for p in planes]
-    out = [np.clip(p + 128, 0, 255).astype(np.uint8) for p in planes]
-    if ncomp == 1:
-        return out[0]
-    if ncomp == 3:
-        return np.stack(out, axis=-1)
-    raise JpxError(f"{ncomp}-component images unsupported")
+    odt = np.uint8 if depth <= 8 else np.uint16
+    shift = 1 << (depth - 1)
+    out = [np.clip(p + shift, 0, (1 << depth) - 1).astype(odt)
+           for p in planes]
+    img = out[0] if ncomp == 1 else (
+        np.stack(out, axis=-1) if ncomp == 3 else None)
+    if img is None:
+        raise JpxError(f"{ncomp}-component images unsupported")
+    return (img, depth) if return_depth else img

@@ -451,3 +451,67 @@ def test_pdf_with_irreversible_jpx_parses():
     png = decode_engine_png(base64.b64decode(m.group(1)))
     err = np.abs(png[..., 0].astype(int) - img.astype(int)).max()
     assert err <= 2
+
+
+# ----------------------------------------------------------- deep samples
+
+@pytest.mark.parametrize("depth", [10, 12, 16])
+def test_deep_gray_roundtrip(depth):
+    rng = np.random.default_rng(depth)
+    img = rng.integers(0, 1 << depth, (40, 56), dtype=np.uint16)
+    out, d = decode_jpx(encode_jpx(img, depth=depth), return_depth=True)
+    assert d == depth and out.dtype == np.uint16
+    assert np.array_equal(out, img)
+
+
+def test_deep_rgb_with_layers_and_precincts():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 4096, (40, 48, 3), dtype=np.uint16)
+    cs = encode_jpx(img, depth=12, layers=2, precincts=(6, 6))
+    assert np.array_equal(decode_jpx(cs), img)
+
+
+def test_deep_irreversible_bounded():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 4096, (32, 32), dtype=np.uint16)
+    out = decode_jpx(encode_jpx(img, depth=12, irreversible=True,
+                                delta=1 / 512))
+    assert out.dtype == np.uint16
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 24
+
+
+def test_depth_range_validation():
+    img = np.full((8, 8), 4000, np.uint16)
+    with pytest.raises(JpxError, match="range"):
+        encode_jpx(img, depth=10)          # 4000 >= 2^10
+    with pytest.raises(JpxError, match="depth"):
+        encode_jpx(img.astype(np.uint8), depth=20)
+
+
+def test_pdf_with_deep_jpx_renders_scaled():
+    import base64
+    import re
+
+    from pdf2dom_ray.engine.parse import parse_document
+    from pdf2dom_ray.functions.multimodal import decode_engine_png
+    from pdf2dom_ray.synth.pdfgen import PageSpec, PdfBuilder
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 4096, (16, 16), dtype=np.uint16)
+    b = PdfBuilder(title="jpx-12bit")
+    p = PageSpec()
+    p.use_custom_image(
+        "Im0",
+        "/Width 16 /Height 16 /ColorSpace /DeviceGray "
+        "/BitsPerComponent 8 /Filter /JPXDecode",
+        encode_jpx(img, depth=12), compress=False)
+    p.draw_image("Im0", 100, 600, 64, 64)
+    b.add_page(p)
+    r = parse_document(b.build())
+    assert r.error is None and r.n_images == 1
+    m = re.search(r'src="data:image/png;base64,([^"]+)"', r.html_dom)
+    assert m
+    png = decode_engine_png(base64.b64decode(m.group(1)))
+    exp8 = (img >> 4).astype(np.uint8)
+    exp = np.repeat(exp8[..., None], 3, axis=-1)
+    assert np.array_equal(png[..., :3], exp)
