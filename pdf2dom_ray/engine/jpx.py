@@ -10,9 +10,10 @@ Supported codestream profile (both directions):
 - tiled images (tile grid at origin; multi-tile streams require the
   tile size to be a multiple of 2^levels so the per-tile DWT parity
   matches the reference grid), multiple tile-parts per tile,
-  component subsampling 1x1, 8..16-bit unsigned samples (deep
-  samples return uint16 at native scale; the PDF image layer
-  renders them at 8 bits)
+  per-component subsampling (each component codes its own ceil(d/s)
+  grid; decode reconstructs by sample replication — the 4:2:0-style
+  layout), 8..16-bit unsigned samples (deep samples return uint16 at
+  native scale; the PDF image layer renders them at 8 bits)
 - reversible 5/3 wavelet (Annex F) OR irreversible 9/7 float wavelet
   with scalar quantization (Annex E, derived and expounded styles,
   midpoint dequantization), 0..N decomposition levels
@@ -30,9 +31,9 @@ Supported codestream profile (both directions):
   codestream accepted on decode
 
 Anything outside the profile (bypass/termination code-block styles,
-unaligned multi-tile grids, component subsampling, signed samples)
-raises ``JpxError`` → the walker's honest ``<img src="">``
-degradation, with the reason preserved.
+unaligned multi-tile grids, signed samples) raises ``JpxError`` →
+the walker's honest ``<img src="">`` degradation, with the reason
+preserved.
 
 Verification: like the engine's JPEG/CCITT/JBIG2 codecs, the locked
 property for the reversible profile is ``decode(encode(img)) == img``
@@ -724,18 +725,21 @@ def _prec_blocks(bw: int, bh: int, pbx: int, pby: int, ex: int, ey: int,
 
 
 def _packet_seq(prog: int, layers: int, nres: int, ncomp: int,
-                nl: int, layout) -> list[tuple[int, int, int, int, int]]:
+                nl: int, layouts, subs) -> list[tuple[int, int, int,
+                                                      int, int]]:
     """Packet sequence ``(layer, resolution, component, pyi, pxi)``
     for the five progression orders (B.12); position loops sort by the
-    precinct corner in image coordinates."""
+    precinct corner in image (reference-grid) coordinates, i.e. scaled
+    by the component subsampling."""
     descs = []
     for r in range(nres):
-        npx, npy, _, _, _, _, ppx, ppy = layout[r]
-        for pyi in range(npy):
-            for pxi in range(npx):
-                yi = pyi << (ppy + nl - r)
-                xi = pxi << (ppx + nl - r)
-                for c in range(ncomp):
+        for c in range(ncomp):
+            npx, npy, _, _, _, _, ppx, ppy = layouts[c][r]
+            sx, sy = subs[c]
+            for pyi in range(npy):
+                for pxi in range(npx):
+                    yi = (pyi << (ppy + nl - r)) * sy
+                    xi = (pxi << (ppx + nl - r)) * sx
                     for l in range(layers):
                         descs.append((l, r, c, pyi, pxi, yi, xi))
     if prog == 0:                                          # LRCP
@@ -821,23 +825,25 @@ def _marker(code: int, payload: bytes) -> bytes:
     return struct.pack(">HH", code, len(payload) + 2) + payload
 
 
-def _encode_tile_body(comp_bands, geom, ncomp: int, cb_exp: int,
+def _encode_tile_body(comp_bands, geoms, ncomp: int, cb_exp: int,
                       mbs: list[int], layers: int, prog: int,
                       sop: bool, eph: bool, nl: int,
                       pp: list[tuple[int, int]],
-                      tw: int, th: int) -> tuple[bytes, list[int]]:
+                      tdims, subs) -> tuple[bytes, list[int]]:
     """Encode one tile's packet stream. Returns ``(body, bounds)``
     where ``bounds[i]`` is the byte offset of packet ``i`` (plus a
-    final end offset) — the tile-part split points."""
-    nres = len(geom)
-    layout = _prec_layout(tw, th, nl, cb_exp, pp)
+    final end offset) — the tile-part split points. ``geoms``/
+    ``tdims`` are per-component (subsampled grids differ)."""
+    nres = nl + 1
+    layouts = [_prec_layout(cw, ch, nl, cb_exp, pp)
+               for cw, ch in tdims]
     states: dict[tuple, _CblkEnc] = {}
     trees: dict[tuple, tuple] = {}
     for c in range(ncomp):
-        for r_i, bands in enumerate(geom):
-            npx, npy, pbx, pby, ex, ey, _, _ = layout[r_i]
+        for r_i, bands in enumerate(geoms[c]):
+            npx, npy, pbx, pby, ex, ey, _, _ = layouts[c][r_i]
             cbw, cbh = 1 << ex, 1 << ey
-            mb_idx = sum(len(g) for g in geom[:r_i])
+            mb_idx = sum(len(g) for g in geoms[c][:r_i])
             for b_i, (kind, bw, bh) in enumerate(bands):
                 nx, ny = _cblk_grid(bw, bh, cbw, cbh)
                 if nx * ny == 0:
@@ -877,14 +883,14 @@ def _encode_tile_body(comp_bands, geom, ncomp: int, cb_exp: int,
     bounds = [0]
     nsop = 0
     for l, r_i, c, pyi, pxi in _packet_seq(prog, layers, nres, ncomp,
-                                           nl, layout):
+                                           nl, layouts, subs):
         if sop:
             body += struct.pack(">HHH", 0xFF91, 4, nsop & 0xFFFF)
         nsop += 1
         hdr = _HdrWriter()
         segs: list[bytes] = []
         live = [(b_i,) + trees[(c, r_i, b_i, pyi, pxi)]
-                for b_i in range(len(geom[r_i]))
+                for b_i in range(len(geoms[c][r_i]))
                 if (c, r_i, b_i, pyi, pxi) in trees]
         contrib = any(states[(c, r_i, b_i, by, bx)].split[l][0]
                       for b_i, _, _, bx0, bx1, by0, by1 in live
@@ -939,7 +945,8 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
                tile_parts: int = 1,
                precincts: tuple[int, int] |
                list[tuple[int, int]] | None = None,
-               depth: int | None = None) -> bytes:
+               depth: int | None = None,
+               subsampling: list[tuple[int, int]] | None = None) -> bytes:
     """(H, W) or (H, W, 3) uint8 → JPEG2000 codestream (profile in the
     module docstring). ``cb_exp`` is the code-block size exponent
     (2..10 per the standard; 5 → 32x32). With ``irreversible`` the
@@ -956,8 +963,12 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
     per-resolution list of ``levels + 1`` pairs (Scod bit 0 + the B.6
     per-resolution size bytes; code-blocks clamp to min(cb, precinct)
     per B.7). ``depth`` codes 9..16-bit unsigned samples (pass a
-    uint16 array; defaults to 8 for uint8 input). Defaults produce
-    the identical bitstream to the original single-tile/single-layer
+    uint16 array; defaults to 8 for uint8 input). ``subsampling``
+    gives per-component (XRsiz, YRsiz) factors: each component keeps
+    the top-left sample of every factor-sized cell AFTER the color
+    transform (the 4:2:0-style layout real encoders emit); the
+    decoder reconstructs by sample replication. Defaults produce the
+    identical bitstream to the original single-tile/single-layer
     encoder."""
     img = np.asarray(img)
     if depth is None:
@@ -984,6 +995,17 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
     h, w = img.shape[:2]
     ncomp = len(planes)
     mct = 1 if ncomp == 3 else 0
+    if subsampling is None:
+        subs = [(1, 1)] * ncomp
+    else:
+        subs = [tuple(int(v) for v in s) for s in subsampling]
+        if len(subs) != ncomp:
+            raise JpxError(f"need {ncomp} subsampling pairs")
+        if any(not (1 <= sx <= 255 and 1 <= sy <= 255)
+               for sx, sy in subs):
+            raise JpxError("bad subsampling factors")
+        # keep the top-left sample of each cell (post color transform)
+        planes = [p[::sy, ::sx] for p, (sx, sy) in zip(planes, subs)]
     nl = int(levels)
     if not (0 <= nl <= 32):
         raise JpxError(f"bad decomposition levels {nl}")
@@ -1015,22 +1037,31 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
     ntx = (w + xt - 1) // xt
     nty = (h + yt - 1) // yt
     grid_step = 1 << nl
-    if (ntx > 1 and xt % grid_step) or (nty > 1 and yt % grid_step):
-        raise JpxError(f"tile size {xt}x{yt} not a multiple of "
-                       f"2^levels={grid_step} (odd-origin DWT parity "
-                       "unsupported)")
+    for sx, sy in subs:
+        if (ntx > 1 and xt % (grid_step * sx)) or \
+                (nty > 1 and yt % (grid_step * sy)):
+            raise JpxError(f"tile size {xt}x{yt} not a multiple of "
+                           f"subsampling x 2^levels (odd-origin DWT "
+                           "parity unsupported)")
+
     band_kinds = [("LL",)] + [("HL", "LH", "HH")] * nl
 
-    # per-tile wavelet decompose; tiles[t] = (geom, bands[c][r][kind])
-    tiles: list[tuple[list, list]] = []
+    # per-tile wavelet decompose; tiles[t] = (geoms[c], bands[c][r][kind],
+    # comp tile dims[c])
+    tiles: list[tuple[list, list, list]] = []
     for t in range(ntx * nty):
         tx, ty = t % ntx, t // ntx
         x0, y0 = tx * xt, ty * yt
         x1, y1 = min(x0 + xt, w), min(y0 + yt, h)
-        tgeom = _band_geometry(x1 - x0, y1 - y0, nl)
+        tgeoms = []
+        tdims = []
         comp_bands: list[list[dict[str, np.ndarray]]] = []
-        for p in planes:
-            ll = p[y0:y1, x0:x1]
+        for p, (sx, sy) in zip(planes, subs):
+            cx0, cx1 = -(-x0 // sx), -(-x1 // sx)
+            cy0, cy1 = -(-y0 // sy), -(-y1 // sy)
+            tgeoms.append(_band_geometry(cx1 - cx0, cy1 - cy0, nl))
+            tdims.append((cx1 - cx0, cy1 - cy0))
+            ll = p[cy0:cy1, cx0:cx1]
             per_level = []
             for _ in range(nl):
                 d = _fdwt2(ll, pair)
@@ -1042,7 +1073,7 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
                 d = per_level[lev - 1]
                 by_res.append({k: d[k] for k in ("HL", "LH", "HH")})
             comp_bands.append(by_res)
-        tiles.append((tgeom, comp_bands))
+        tiles.append((tgeoms, comp_bands, tdims))
 
     # quantize (irreversible): q = sign(x) * floor(|x| / delta_b)
     quant: list[tuple[int, int]] = []       # (eps, mu) per band
@@ -1052,7 +1083,7 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
                 rb = depth + _BAND_GAIN[kind]
                 eps, mu, step = _quant_params(delta, rb)
                 quant.append((eps, mu))
-                for _, comp_bands in tiles:
+                for _, comp_bands, _ in tiles:
                     for c in range(ncomp):
                         arr = comp_bands[c][r_i][kind]
                         comp_bands[c][r_i][kind] = (
@@ -1065,7 +1096,7 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
     for r_i, kinds in enumerate(band_kinds):
         for kind in kinds:
             mx = 0
-            for _, comp_bands in tiles:
+            for _, comp_bands, _ in tiles:
                 for c in range(ncomp):
                     arr = comp_bands[c][r_i][kind]
                     if arr.size:
@@ -1084,7 +1115,8 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
     out = bytearray()
     out += struct.pack(">H", 0xFF4F)                       # SOC
     siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, xt, yt, 0, 0, ncomp)
-    siz += bytes([depth - 1, 1, 1]) * ncomp                # unsigned, 1x1
+    siz += b"".join(bytes([depth - 1, sx, sy])
+                    for sx, sy in subs)                    # unsigned
     out += _marker(0xFF51, siz)                            # SIZ
     scod = (0x02 if sop else 0) | (0x04 if eph else 0) \
         | (0x01 if precincts is not None else 0)
@@ -1103,13 +1135,10 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
             [max(m - guard + 1, 0) << 3 for m in mbs])     # eps = Mb-G+1
     out += _marker(0xFF5C, qcd)                            # QCD
 
-    for t, (tgeom, comp_bands) in enumerate(tiles):
-        tx, ty = t % ntx, t // ntx
-        tw = min((tx + 1) * xt, w) - tx * xt
-        th = min((ty + 1) * yt, h) - ty * yt
-        body, bounds = _encode_tile_body(comp_bands, tgeom, ncomp,
+    for t, (tgeoms, comp_bands, tdims) in enumerate(tiles):
+        body, bounds = _encode_tile_body(comp_bands, tgeoms, ncomp,
                                          cb_exp, mbs, layers, prog,
-                                         sop, eph, nl, pp, tw, th)
+                                         sop, eph, nl, pp, tdims, subs)
         npkt = len(bounds) - 1
         nparts = max(1, min(tile_parts, npkt))
         cut_pkts = sorted({round(npkt * k / nparts)
@@ -1152,10 +1181,10 @@ def _unwrap_jp2(data: bytes) -> bytes:
     raise JpxError("no jp2c codestream box in JP2 container")
 
 
-def _decode_tile(body: bytes, geom, ncomp: int, cb_exp: int,
+def _decode_tile(body: bytes, geoms, ncomp: int, cb_exp: int,
                  mbs: list[int], layers: int, prog: int,
                  sop: bool, eph: bool, nl: int,
-                 pp: list[tuple[int, int]], tw: int, th: int):
+                 pp: list[tuple[int, int]], tdims, subs):
     """One tile's concatenated packet stream → per-component band
     arrays (``comp_bands[c][r_i][kind]``, int64 coefficients).
 
@@ -1164,23 +1193,24 @@ def _decode_tile(body: bytes, geom, ncomp: int, cb_exp: int,
     Lblock state persist across quality layers (B.10), and a block's
     codeword segments are concatenated before a single tier-1 decode
     (B.10.7)."""
-    nres = len(geom)
-    layout = _prec_layout(tw, th, nl, cb_exp, pp)
+    nres = nl + 1
+    layouts = [_prec_layout(cw, ch, nl, cb_exp, pp)
+               for cw, ch in tdims]
     states: dict[tuple, _CblkDec] = {}
     trees: dict[tuple, tuple[_TagTree, _TagTree]] = {}
     bpos = 0
     for l, r_i, c, pyi, pxi in _packet_seq(prog, layers, nres, ncomp,
-                                           nl, layout):
+                                           nl, layouts, subs):
         if sop:
             if body[bpos:bpos + 2] == b"\xff\x91":
                 bpos += 6                    # SOP resync (optional per packet)
         rdr = _HdrReader(body, bpos)
-        _, _, pbx, pby, ex, ey, _, _ = layout[r_i]
+        _, _, pbx, pby, ex, ey, _, _ = layouts[c][r_i]
         cbw, cbh = 1 << ex, 1 << ey
         todo: list[tuple[_CblkDec, int]] = []
         if rdr.get():                                      # non-empty packet
-            mb_idx = sum(len(g) for g in geom[:r_i])
-            for b_i, (kind, bw, bh) in enumerate(geom[r_i]):
+            mb_idx = sum(len(g) for g in geoms[c][:r_i])
+            for b_i, (kind, bw, bh) in enumerate(geoms[c][r_i]):
                 bx0, bx1, by0, by1 = _prec_blocks(bw, bh, pbx, pby,
                                                   ex, ey, pxi, pyi)
                 if bx0 >= bx1 or by0 >= by1:
@@ -1225,10 +1255,10 @@ def _decode_tile(body: bytes, geom, ncomp: int, cb_exp: int,
 
     comp_bands: list[list[dict[str, np.ndarray]]] = [
         [{kind: np.zeros((max(bh, 0), max(bw, 0)), dtype=np.int64)
-          for kind, bw, bh in bands} for bands in geom]
-        for _ in range(ncomp)]
+          for kind, bw, bh in bands} for bands in geoms[c]]
+        for c in range(ncomp)]
     for (c, r_i, b_i, by, bx), st in states.items():
-        _, _, _, _, ex, ey, _, _ = layout[r_i]
+        _, _, _, _, ex, ey, _, _ = layouts[c][r_i]
         blk = _decode_cblk(b"".join(st.segs), st.cw, st.ch,
                            st.kind, st.mb, st.zbp, st.npasses)
         comp_bands[c][r_i][st.kind][
@@ -1252,6 +1282,7 @@ def decode_jpx(data: bytes, *, return_depth: bool = False):
     xt = yt = None
     nl = cb_exp = mct = None
     depth = None
+    subs: list[tuple[int, int]] = []
     prog, layers, sop, eph = 0, 1, False, False
     pp: list[tuple[int, int]] = []
     mbs: list[int] = []
@@ -1291,8 +1322,9 @@ def decode_jpx(data: bytes, *, return_depth: bool = False):
                     depth = d
                 elif depth != d:
                     raise JpxError("mixed component depths unsupported")
-                if xr != 1 or yr != 1:
-                    raise JpxError("component subsampling unsupported")
+                if not (1 <= xr <= 255 and 1 <= yr <= 255):
+                    raise JpxError("bad subsampling factors")
+                subs.append((xr, yr))
         elif mk == 0xFF52:                                 # COD
             scod = seg[0]
             if scod & ~0x07:
@@ -1402,9 +1434,16 @@ def decode_jpx(data: bytes, *, return_depth: bool = False):
         raise JpxError("9/7 transform without quantization parameters")
     if len(mbs) != n_bands:
         raise JpxError("QCD subband count mismatch")
+    for sx, sy in subs:
+        if (ntx > 1 and xt % (grid_step * sx)) or \
+                (nty > 1 and yt % (grid_step * sy)):
+            raise JpxError("tile size not a multiple of subsampling x "
+                           "2^levels (odd-origin DWT parity "
+                           "unsupported)")
     ipair = _idwt97_pair if irreversible else _idwt53_pair
     dtype = np.float64 if irreversible else np.int64
-    planes = [np.zeros((h, w), dtype=dtype) for _ in range(ncomp)]
+    planes = [np.zeros((-(-h // sy), -(-w // sx)), dtype=dtype)
+              for sx, sy in subs]
 
     for t in range(ntx * nty):
         parts = tile_parts.get(t)
@@ -1414,27 +1453,31 @@ def decode_jpx(data: bytes, *, return_depth: bool = False):
         tx, ty = t % ntx, t // ntx
         x0, y0 = tx * xt, ty * yt
         x1, y1 = min(x0 + xt, w), min(y0 + yt, h)
-        tgeom = _band_geometry(x1 - x0, y1 - y0, nl)
-        comp_bands = _decode_tile(body, tgeom, ncomp, cb_exp, mbs,
+        cregs = [(-(-x0 // sx), -(-x1 // sx), -(-y0 // sy), -(-y1 // sy))
+                 for sx, sy in subs]
+        tdims = [(cx1 - cx0, cy1 - cy0) for cx0, cx1, cy0, cy1 in cregs]
+        tgeoms = [_band_geometry(cw, ch, nl) for cw, ch in tdims]
+        comp_bands = _decode_tile(body, tgeoms, ncomp, cb_exp, mbs,
                                   layers, prog, sop, eph, nl, pp,
-                                  x1 - x0, y1 - y0)
+                                  tdims, subs)
 
         # dequantize (irreversible): x = sign(q) * (|q| + 0.5) * delta_b
         if deltas is not None:
-            b_i = 0
-            for r_i, bands in enumerate(tgeom):
-                for kind, _, _ in bands:
-                    step = deltas[b_i]
-                    b_i += 1
-                    for c in range(ncomp):
+            for c in range(ncomp):
+                b_i = 0
+                for r_i, bands in enumerate(tgeoms[c]):
+                    for kind, _, _ in bands:
+                        step = deltas[b_i]
+                        b_i += 1
                         q = comp_bands[c][r_i][kind].astype(np.float64)
                         comp_bands[c][r_i][kind] = np.where(
                             q == 0.0, 0.0,
                             np.sign(q) * (np.abs(q) + 0.5) * step)
 
-        # inverse wavelet, placed into the stitched plane
-        sizes = _ll_sizes(x1 - x0, y1 - y0, nl)
+        # inverse wavelet, placed into the stitched component plane
         for c in range(ncomp):
+            cx0, cx1, cy0, cy1 = cregs[c]
+            sizes = _ll_sizes(cx1 - cx0, cy1 - cy0, nl)
             ll = comp_bands[c][0]["LL"]
             if irreversible:
                 ll = ll.astype(np.float64)
@@ -1444,7 +1487,12 @@ def decode_jpx(data: bytes, *, return_depth: bool = False):
                 bands = dict(comp_bands[c][r_i])
                 bands["LL"] = ll
                 ll = _idwt2(bands, ph, pw, ipair)
-            planes[c][y0:y1, x0:x1] = ll
+            planes[c][cy0:cy1, cx0:cx1] = ll
+
+    # upsample subsampled components to the reference grid (replication)
+    planes = [np.repeat(np.repeat(p, sy, axis=0), sx, axis=1)[:h, :w]
+              if (sx, sy) != (1, 1) else p
+              for p, (sx, sy) in zip(planes, subs)]
 
     if ncomp == 3 and mct:
         if irreversible:

@@ -515,3 +515,71 @@ def test_pdf_with_deep_jpx_renders_scaled():
     exp8 = (img >> 4).astype(np.uint8)
     exp = np.repeat(exp8[..., None], 3, axis=-1)
     assert np.array_equal(png[..., :3], exp)
+
+
+# ------------------------------------------------- component subsampling
+
+def test_gray_subsampled_roundtrip():
+    # 2x2 keeps the top-left sample of each cell; replication restores
+    rng = np.random.default_rng(21)
+    g = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+    out = decode_jpx(encode_jpx(g, subsampling=[(2, 2)]))
+    exp = np.repeat(np.repeat(g[::2, ::2], 2, 0), 2, 1)[:40, :56]
+    assert np.array_equal(out, exp)
+
+
+def _expected_420(img):
+    from pdf2dom_ray.engine.jpx import _rct_forward, _rct_inverse
+    h, w = img.shape[:2]
+    r = img[..., 0].astype(np.int64) - 128
+    g = img[..., 1].astype(np.int64) - 128
+    b = img[..., 2].astype(np.int64) - 128
+    yy, u, v = _rct_forward(r, g, b)
+
+    def rep(p):
+        return np.repeat(np.repeat(p[::2, ::2], 2, 0), 2, 1)[:h, :w]
+
+    r2, g2, b2 = _rct_inverse(yy, rep(u), rep(v))
+    return np.stack([np.clip(p + 128, 0, 255).astype(np.uint8)
+                     for p in (r2, g2, b2)], -1)
+
+
+def test_rgb_420_subsampling():
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (40, 48, 3), dtype=np.uint8)
+    sub = [(1, 1), (2, 2), (2, 2)]
+    out = decode_jpx(encode_jpx(img, subsampling=sub))
+    assert np.array_equal(out, _expected_420(img))
+
+
+def test_rgb_420_with_tiles_precincts_layers():
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (40, 48, 3), dtype=np.uint8)
+    sub = [(1, 1), (2, 2), (2, 2)]
+    cs = encode_jpx(img, levels=2, subsampling=sub, layers=2,
+                    precincts=(5, 5), tile_size=(24, 16), tile_parts=2)
+    assert np.array_equal(decode_jpx(cs), _expected_420(img))
+
+
+def test_asymmetric_subsampling():
+    rng = np.random.default_rng(17)
+    g = rng.integers(0, 256, (30, 44), dtype=np.uint8)
+    out = decode_jpx(encode_jpx(g, subsampling=[(4, 1)]))
+    exp = np.repeat(g[:, ::4], 4, 1)[:, :44]
+    assert np.array_equal(out, exp)
+
+
+def test_subsampled_misaligned_tiles_rejected():
+    rng = np.random.default_rng(19)
+    img = rng.integers(0, 256, (40, 48, 3), dtype=np.uint8)
+    with pytest.raises(JpxError, match="subsampling"):
+        encode_jpx(img, levels=2, subsampling=[(1, 1), (2, 2), (2, 2)],
+                   tile_size=(20, 16))
+
+
+def test_subsampling_validation():
+    g = np.zeros((8, 8), np.uint8)
+    with pytest.raises(JpxError, match="pairs"):
+        encode_jpx(g, subsampling=[(1, 1), (2, 2)])
+    with pytest.raises(JpxError, match="factors"):
+        encode_jpx(g, subsampling=[(0, 1)])
