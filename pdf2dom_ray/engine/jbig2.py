@@ -18,14 +18,16 @@ grid placement, all combination operators). The §6.3 refinement
 procedure (both templates, TPGRON typical prediction) backs
 refinement region segments (types 40/42/43, against the page-so-far
 per §6.3.2), per-instance SBREFINE symbol refinement in text regions
-(§6.4.11) and single-instance REFAGG symbol dictionaries refining
-imported symbols (§6.5.8.2). Huffman-coded symbol dictionaries
+(§6.4.11) and REFAGG symbol dictionaries — single-instance
+refinements of imported symbols and multi-instance aggregates
+decoded as embedded text regions with dictionary-retained contexts
+(§6.5.8.2). Huffman-coded symbol dictionaries
 (SDHUFF, §6.5.9) decode height-class collective bitmaps (uncompressed
 and MMR) with the standard integer tables B.1-B.5 and stream-carried
 custom table segments (type 53, Annex B.2) — the canonical prefix
 assignment is Annex B.3. SBHUFF text regions (whose standard tables
-B.6-B.15 this engine does not carry) and multi-instance aggregates
-raise ``Jbig2Error`` with the specific reason and degrade upstream
+B.6-B.15 this engine does not carry) raise ``Jbig2Error`` with the
+specific reason and degrade upstream
 to the honest ``UnsupportedImageError`` → ``<img src="">`` path,
 mirroring how the reference surfaces unsupported codecs
 (``ImageUtils.java:11-54`` returns null → empty image resource).
@@ -646,16 +648,11 @@ def _decode_symbol_dict(payload: bytes,
     iadw: list[int] = [0] * 512
     iaex: list[int] = [0] * 512
     iaai: list[int] = [0] * 512
-    iardx: list[int] = [0] * 512
-    iardy: list[int] = [0] * 512
     gen_cx = [0] * (1 << len(_template_pixels(template, at)))
     in_syms = in_syms or []
-    symcodelen = _symcodelen(len(in_syms) + n_new)
-    iaid_cx: list[int] = [0] * (1 << (symcodelen + 1))
-    ref_nbits = len(_REF_CODING[rtemplate]) \
-        + len(_REF_REFERENCE[rtemplate]) \
-        + (2 if rtemplate == 0 else 0)
-    ref_cx: list[int] = [0] * (1 << ref_nbits)
+    # one context set shared by every aggregate/refinement in the
+    # dictionary (§6.5.8.2: contexts are retained between symbols)
+    tc = _TextCtx(len(in_syms) + n_new, rtemplate)
     new_syms: list[np.ndarray] = []
     hcheight = 0
     while len(new_syms) < n_new:
@@ -677,20 +674,32 @@ def _decode_symbol_dict(payload: bytes,
                 raise Jbig2Error("symbol count overrun")
             if refagg:
                 n_refagg = _decode_int(dec, iaai)
-                if n_refagg != 1:
-                    raise Jbig2Error("multi-instance aggregate symbol "
-                                     "coding unsupported")
-                # §6.5.8.2.2: refine an earlier symbol to this size
-                rid = _decode_iaid(dec, iaid_cx, symcodelen)
-                rdx = _decode_int(dec, iardx)
-                rdy = _decode_int(dec, iardy)
+                if n_refagg is _OOB or n_refagg < 1:
+                    raise Jbig2Error("bad aggregate instance count")
                 pool = in_syms + new_syms
-                if rid >= len(pool) or _OOB in (rdx, rdy):
-                    raise Jbig2Error("bad refinement-symbol reference")
-                bmp = _decode_refinement(b"", symwidth, hcheight,
-                                         rtemplate, rat, False,
-                                         pool[rid], rdx, rdy,
-                                         dec=dec, cx=ref_cx)
+                if n_refagg == 1:
+                    # §6.5.8.2.2: refine an earlier symbol to this size
+                    rid = _decode_iaid(dec, tc.iaid_cx, tc.symcodelen)
+                    rdx = _decode_int(dec, tc.iardx)
+                    rdy = _decode_int(dec, tc.iardy)
+                    if rid >= len(pool) or _OOB in (rdx, rdy):
+                        raise Jbig2Error("bad refinement-symbol "
+                                         "reference")
+                    bmp = _decode_refinement(b"", symwidth, hcheight,
+                                             rtemplate, rat, False,
+                                             pool[rid], rdx, rdy,
+                                             dec=dec, cx=tc.ref_cx)
+                else:
+                    # §6.5.8.2.1: the symbol is a little text region
+                    # drawn from the symbols decoded so far
+                    if n_refagg > 10_000:
+                        raise Jbig2Error("implausible aggregate count")
+                    bmp = _decode_text_instances(
+                        dec, tc, pool, symwidth, hcheight, n_refagg,
+                        sbstrips=1, refcorner=1, transposed=0,
+                        sbcombop=0, sbdefpixel=0, sbdsoffset=0,
+                        sbrefine=True, sbrtemplate=rtemplate,
+                        sbrat=rat)
             else:
                 bmp = _decode_generic_arith(b"", symwidth, hcheight,
                                             template, at, False,
@@ -757,23 +766,48 @@ def _decode_text_region(payload: bytes, syms: list[np.ndarray]):
     pos += 4
 
     sbstrips = 1 << logsbstrips
-    symcodelen = _symcodelen(len(syms))
     dec = MQDecoder(payload[pos:])
-    iadt: list[int] = [0] * 512
-    iafs: list[int] = [0] * 512
-    iads: list[int] = [0] * 512
-    iait: list[int] = [0] * 512
-    iari: list[int] = [0] * 512
-    iardw: list[int] = [0] * 512
-    iardh: list[int] = [0] * 512
-    iardx: list[int] = [0] * 512
-    iardy: list[int] = [0] * 512
-    ref_nbits = len(_REF_CODING[sbrtemplate]) \
-        + len(_REF_REFERENCE[sbrtemplate]) \
-        + (2 if sbrtemplate == 0 else 0)
-    ref_cx: list[int] = [0] * (1 << ref_nbits)
-    iaid_cx: list[int] = [0] * (1 << (symcodelen + 1))
+    tc = _TextCtx(len(syms), sbrtemplate)
+    bitmap = _decode_text_instances(
+        dec, tc, syms, w, h, n_inst, sbstrips=sbstrips,
+        refcorner=refcorner, transposed=transposed, sbcombop=sbcombop,
+        sbdefpixel=sbdefpixel, sbdsoffset=sbdsoffset,
+        sbrefine=bool(sbrefine), sbrtemplate=sbrtemplate, sbrat=sbrat)
+    return x, y, w, h, comb, bitmap
 
+
+class _TextCtx:
+    """Shared text-region arithmetic contexts (one set per region, or
+    per symbol dictionary for REFAGG aggregates, §6.5.8.2)."""
+
+    __slots__ = ("iadt", "iafs", "iads", "iait", "iari", "iardw",
+                 "iardh", "iardx", "iardy", "iaid_cx", "ref_cx",
+                 "symcodelen")
+
+    def __init__(self, n_syms: int, rtemplate: int):
+        for name in ("iadt", "iafs", "iads", "iait", "iari", "iardw",
+                     "iardh", "iardx", "iardy"):
+            setattr(self, name, [0] * 512)
+        self.symcodelen = _symcodelen(n_syms)
+        self.iaid_cx = [0] * (1 << (self.symcodelen + 1))
+        ref_nbits = len(_REF_CODING[rtemplate]) \
+            + len(_REF_REFERENCE[rtemplate]) \
+            + (2 if rtemplate == 0 else 0)
+        self.ref_cx = [0] * (1 << ref_nbits)
+
+
+def _decode_text_instances(dec, tc: _TextCtx, syms, w: int, h: int,
+                           n_inst: int, *, sbstrips: int = 1,
+                           refcorner: int = 1, transposed: int = 0,
+                           sbcombop: int = 0, sbdefpixel: int = 0,
+                           sbdsoffset: int = 0, sbrefine: bool = False,
+                           sbrtemplate: int = 0,
+                           sbrat=None) -> np.ndarray:
+    """Text-region instance decoding procedure (T.88 §6.4.5) over an
+    open arithmetic decoder and shared contexts — used by text region
+    segments and by REFAGG aggregate symbols (§6.5.8.2.1)."""
+    if sbrat is None:
+        sbrat = list(_REF_NOMINAL_AT)
     bitmap = np.full((h, w), sbdefpixel, dtype=np.uint8)
 
     def draw(sym: np.ndarray, xs: int, yt: int) -> None:
@@ -793,18 +827,18 @@ def _decode_text_region(payload: bytes, syms: list[np.ndarray]):
         else:
             win[...] = 1 - (win ^ cut)
 
-    stript = _decode_int(dec, iadt)
+    stript = _decode_int(dec, tc.iadt)
     if stript is _OOB:
         raise Jbig2Error("OOB STRIPT")
     stript = -stript * sbstrips
     firsts = 0
     n_done = 0
     while n_done < n_inst:
-        dt = _decode_int(dec, iadt)
+        dt = _decode_int(dec, tc.iadt)
         if dt is _OOB:
             raise Jbig2Error("OOB strip DT")
         stript += dt * sbstrips
-        dfs = _decode_int(dec, iafs)
+        dfs = _decode_int(dec, tc.iafs)
         if dfs is _OOB:
             raise Jbig2Error("OOB first S")
         firsts += dfs
@@ -812,24 +846,24 @@ def _decode_text_region(payload: bytes, syms: list[np.ndarray]):
         first = True
         while True:
             if not first:
-                ids = _decode_int(dec, iads)
+                ids = _decode_int(dec, tc.iads)
                 if ids is _OOB:
                     break                  # end of strip
                 curs += ids + sbdsoffset
             first = False
-            curt = 0 if sbstrips == 1 else _decode_int(dec, iait)
+            curt = 0 if sbstrips == 1 else _decode_int(dec, tc.iait)
             ti = stript + curt
-            sid = _decode_iaid(dec, iaid_cx, symcodelen)
+            sid = _decode_iaid(dec, tc.iaid_cx, tc.symcodelen)
             if sid >= len(syms):
                 raise Jbig2Error(f"symbol id {sid} out of range")
             sym = syms[sid]
-            if sbrefine and _decode_int(dec, iari):
+            if sbrefine and _decode_int(dec, tc.iari):
                 # per-instance refinement (§6.4.11): refine the symbol
                 # through the shared decoder/context
-                rdw = _decode_int(dec, iardw)
-                rdh = _decode_int(dec, iardh)
-                rdx = _decode_int(dec, iardx)
-                rdy = _decode_int(dec, iardy)
+                rdw = _decode_int(dec, tc.iardw)
+                rdh = _decode_int(dec, tc.iardh)
+                rdx = _decode_int(dec, tc.iardx)
+                rdy = _decode_int(dec, tc.iardy)
                 if _OOB in (rdw, rdh, rdx, rdy):
                     raise Jbig2Error("OOB refinement delta")
                 rw = sym.shape[1] + rdw
@@ -839,7 +873,7 @@ def _decode_text_region(payload: bytes, syms: list[np.ndarray]):
                 sym = _decode_refinement(
                     b"", rw, rh, sbrtemplate, sbrat, False, sym,
                     (rdw >> 1) + rdx, (rdh >> 1) + rdy,
-                    dec=dec, cx=ref_cx)
+                    dec=dec, cx=tc.ref_cx)
             sh, sw = sym.shape
             if transposed:
                 # S runs down the page, T across; "bottom" corners
@@ -864,7 +898,7 @@ def _decode_text_region(payload: bytes, syms: list[np.ndarray]):
             n_done += 1
             if n_done > n_inst:
                 raise Jbig2Error("instance count overrun")
-    return x, y, w, h, comb, bitmap
+    return bitmap
 
 
 # ------------------------------------------------------------- halftones
@@ -1583,22 +1617,41 @@ def encode_jbig2_refinement(base: np.ndarray, refined: np.ndarray, *,
 
 
 def encode_jbig2_refagg_page(base_symbols: list[np.ndarray],
-                             refined: list[tuple[int, np.ndarray]],
+                             refined: list,
                              placements: list[tuple[int, int, int]],
                              page_w: int, page_h: int) -> bytes:
     """Fixture encoder: generic symbol dictionary + a REFAGG symbol
-    dictionary whose every symbol refines one imported symbol
-    (T.88 §6.5.8.2, single-instance aggregates), then a text region
-    drawing the refined symbols.
+    dictionary (T.88 §6.5.8.2), then a text region drawing the new
+    symbols.
 
-    ``refined`` entries are (base_index, target_bitmap) against the
-    caller's ``base_symbols`` order; ``placements`` are
-    (refined_index, s, t) top-left anchors against the caller's
-    ``refined`` order. IDs are remapped internally to the sorted
-    dictionary orders the standard requires."""
+    ``refined`` entries are either ``(base_index, target_bitmap)`` —
+    a single-instance refinement of a dict-1 symbol — or
+    ``("agg", [(base_index, s, t), ...], (w, h))`` — a multi-instance
+    aggregate composing dict-1 symbols at top-left anchors into a
+    w×h symbol (§6.5.8.2.1). ``placements`` are (refined_index, s, t)
+    top-left anchors against the caller's ``refined`` order. IDs are
+    remapped internally to the sorted dictionary orders the standard
+    requires."""
     from .mq import MQEncoder
     base = [(np.asarray(s) != 0).astype(np.uint8) for s in base_symbols]
-    targets = [(np.asarray(t) != 0).astype(np.uint8) for _, t in refined]
+    specs = []
+    for entry in refined:
+        if entry[0] == "agg":
+            _, inst, (aw, ah) = entry
+            tgt = np.zeros((ah, aw), np.uint8)
+            for bi, s, t in inst:
+                g = base[bi]
+                x1 = min(s + g.shape[1], aw)
+                y1 = min(t + g.shape[0], ah)
+                if s < aw and t < ah:
+                    tgt[max(t, 0):y1, max(s, 0):x1] |= \
+                        g[max(-t, 0):y1 - t, max(-s, 0):x1 - s]
+            specs.append(("agg", inst, tgt))
+        else:
+            bi, tgt = entry
+            specs.append(("refine", bi,
+                          (np.asarray(tgt) != 0).astype(np.uint8)))
+    targets = [sp[2] for sp in specs]
     if not base or not targets:
         raise Jbig2Error("need base and refined symbols")
 
@@ -1641,20 +1694,14 @@ def encode_jbig2_refagg_page(base_symbols: list[np.ndarray],
     remap2 = {orig: new for new, orig in enumerate(order2)}
     n_in = len(order1)
     n_new = len(order2)
-    symcodelen = _symcodelen(n_in + n_new)
     rtemplate = 0
     rat = list(_REF_NOMINAL_AT)
-    ref_nbits = len(_REF_CODING[rtemplate]) \
-        + len(_REF_REFERENCE[rtemplate]) + 2
     enc = MQEncoder()
     iadh = [0] * 512
     iadw = [0] * 512
     iaex = [0] * 512
     iaai: list[int] = [0] * 512
-    iardx: list[int] = [0] * 512
-    iardy: list[int] = [0] * 512
-    iaid_cx: list[int] = [0] * (1 << (symcodelen + 1))
-    ref_cx: list[int] = [0] * (1 << ref_nbits)
+    tc = _TextCtx(n_in + n_new, rtemplate)
     hcheight = 0
     i = 0
     while i < len(order2):
@@ -1669,21 +1716,51 @@ def encode_jbig2_refagg_page(base_symbols: list[np.ndarray],
             w = tgt.shape[1]
             _encode_int(enc, iadw, w - symwidth)
             symwidth = w
-            _encode_int(enc, iaai, 1)          # single-instance refine
-            ref_sym = base[refined[oi][0]]
-            _encode_iaid(enc, iaid_cx, symcodelen,
-                         remap1[refined[oi][0]])
-            _encode_int(enc, iardx, 0)
-            _encode_int(enc, iardy, 0)
-            rows = tgt.tolist()
+            spec = specs[oi]
+            if spec[0] == "refine":
+                _encode_int(enc, iaai, 1)      # single-instance refine
+                _encode_iaid(enc, tc.iaid_cx, tc.symcodelen,
+                             remap1[spec[1]])
+                _encode_int(enc, tc.iardx, 0)
+                _encode_int(enc, tc.iardy, 0)
+                rows = tgt.tolist()
 
-            def emit(ctx, xx, yy, _rows=rows):
-                b = _rows[yy][xx]
-                enc.encode(ref_cx, ctx, b)
-                return b
+                def emit(ctx, xx, yy, _rows=rows):
+                    b = _rows[yy][xx]
+                    enc.encode(tc.ref_cx, ctx, b)
+                    return b
 
-            _refine_bits(w, h, rtemplate, rat, False, ref_sym,
-                         0, 0, rows, emit)
+                _refine_bits(w, h, rtemplate, rat, False,
+                             base[spec[1]], 0, 0, rows, emit)
+            else:                              # aggregate text region
+                inst = sorted((t, s, remap1[bi])
+                              for bi, s, t in spec[1])
+                _encode_int(enc, iaai, len(inst))
+                _encode_int(enc, tc.iadt, 0)   # STRIPT init
+                stript = 0
+                firsts = 0
+                k = 0
+                while k < len(inst):
+                    t = inst[k][0]
+                    _encode_int(enc, tc.iadt, t - stript)
+                    stript = t
+                    strip = [e for e in inst if e[0] == t]
+                    first = True
+                    curs = 0
+                    for _, s, sid in strip:
+                        sym = base[order1[sid]]
+                        if first:
+                            _encode_int(enc, tc.iafs, s - firsts)
+                            firsts = s
+                            first = False
+                        else:
+                            _encode_int(enc, tc.iads, s - curs)
+                        curs = s + sym.shape[1] - 1
+                        _encode_iaid(enc, tc.iaid_cx, tc.symcodelen,
+                                     sid)
+                        _encode_int(enc, tc.iari, 0)  # no refinement
+                    _encode_int(enc, tc.iads, _OOB)
+                    k += len(strip)
             i += 1
         _encode_int(enc, iadw, _OOB)
     _encode_int(enc, iaex, n_in)               # imported: not exported

@@ -690,3 +690,38 @@ def test_huffman_text_region_still_rejected():
     bs[idx + 18] |= 0x01
     with pytest.raises(Jbig2Error, match="Huffman text region"):
         decode_jbig2(bytes(bs))
+
+
+def test_refagg_multi_instance_aggregate():
+    # a new symbol built as a little embedded text region (§6.5.8.2.1)
+    from pdf2dom_ray.engine.jbig2 import encode_jbig2_refagg_page
+    base = [_glyph(40, 6, 5), _glyph(41, 8, 4)]
+    t0 = base[0].copy()
+    t0[2, 2] ^= 1
+    agg_inst = [(0, 0, 1), (1, 6, 0)]
+    agg = np.zeros((8, 11), np.uint8)
+    agg[1:7, 0:5] |= base[0]
+    agg[0:8, 6:10] |= base[1]
+    refined = [(0, t0), ("agg", agg_inst, (11, 8))]
+    pl = [(0, 1, 1), (1, 8, 1), (1, 1, 10)]
+    out = decode_jbig2(encode_jbig2_refagg_page(base, refined, pl,
+                                                22, 20))
+    exp = np.zeros((20, 22), np.uint8)
+    for rid, s, t in pl:
+        g = [t0, agg][rid]
+        exp[t:t + g.shape[0], s:s + g.shape[1]] |= g
+    assert np.array_equal(out, exp)
+
+
+def test_refagg_aggregate_multiple_strips():
+    # aggregate whose instances span two strip rows
+    from pdf2dom_ray.engine.jbig2 import encode_jbig2_refagg_page
+    base = [_glyph(44, 4, 4)]
+    agg_inst = [(0, 0, 0), (0, 5, 0), (0, 2, 6)]
+    agg = np.zeros((10, 9), np.uint8)
+    for bi, s, t in agg_inst:
+        agg[t:t + 4, s:s + 4] |= base[0]
+    refined = [("agg", agg_inst, (9, 10))]
+    out = decode_jbig2(encode_jbig2_refagg_page(base, refined,
+                                                [(0, 0, 0)], 9, 10))
+    assert np.array_equal(out, agg)
