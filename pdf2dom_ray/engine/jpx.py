@@ -25,13 +25,16 @@ Supported codestream profile (both directions):
   markers
 - maximal AND custom per-resolution precincts (Scod bit 0 + B.6 size
   bytes; effective code-blocks clamp to min(cb, precinct) per B.7,
-  per-precinct tag trees), code-block style 0, EBCOT tier-1 coding
-  passes over the shared MQ coder (``engine/mq.py``)
+  per-precinct tag trees), code-block styles reset-probabilities /
+  vertically-causal / segmentation-symbols (verified on decode),
+  EBCOT tier-1 coding passes over the shared MQ coder
+  (``engine/mq.py``)
 - tag-tree coded packet headers (Annex B), JP2 wrapper or raw
   codestream accepted on decode
 
-Anything outside the profile (bypass/termination code-block styles,
-unaligned multi-tile grids, signed samples) raises ``JpxError`` →
+Anything outside the profile (bypass/termination code-block styles
+— they need multi-segment codeword lengths — unaligned multi-tile
+grids, signed samples) raises ``JpxError`` →
 the walker's honest ``<img src="">`` degradation, with the reason
 preserved.
 
@@ -443,19 +446,27 @@ def _t1_contexts() -> list[int]:
 
 
 def _tier1_run(io, w: int, h: int, kind: str, nplanes: int, npasses: int,
-               mag: list[list[int]], sign: list[list[int]]) -> None:
+               mag: list[list[int]], sign: list[list[int]], *,
+               causal: bool = False, reset: bool = False,
+               segsym: bool = False) -> None:
     """Run EBCOT coding passes symmetrically for encode and decode.
 
     ``io.bit(ctx, actual)`` either encodes ``actual`` (encoder) or
     returns the decoded decision (decoder); all significance state
     evolves identically on both sides, which is what locks the pair.
     Decoder callers pass zero-filled ``mag``/``sign`` that this fills.
+
+    Code-block styles (Table A-19): ``causal`` = vertically
+    stripe-causal contexts (next-stripe rows treated insignificant),
+    ``reset`` = context probabilities reset at every pass boundary,
+    ``segsym`` = a 1010 segmentation symbol after each cleanup pass
+    (verified on decode).
     """
     sig = [[0] * w for _ in range(h)]
     refined = [[0] * w for _ in range(h)]
     pi = [[0] * w for _ in range(h)]
 
-    def nbr_counts(x: int, y: int) -> tuple[int, int, int]:
+    def nbr_counts(x: int, y: int, lim: int) -> tuple[int, int, int]:
         hcnt = vcnt = dcnt = 0
         if x > 0:
             hcnt += sig[y][x - 1]
@@ -463,28 +474,29 @@ def _tier1_run(io, w: int, h: int, kind: str, nplanes: int, npasses: int,
             hcnt += sig[y][x + 1]
         if y > 0:
             vcnt += sig[y - 1][x]
-        if y + 1 < h:
+        if y + 1 < lim:
             vcnt += sig[y + 1][x]
         for dy in (-1, 1):
             yy = y + dy
-            if 0 <= yy < h:
+            if 0 <= yy < (lim if dy > 0 else h):
                 if x > 0:
                     dcnt += sig[yy][x - 1]
                 if x + 1 < w:
                     dcnt += sig[yy][x + 1]
         return hcnt, vcnt, dcnt
 
-    def sign_sums(x: int, y: int) -> tuple[int, int]:
-        def contrib(xx: int, yy: int) -> int:
-            if 0 <= xx < w and 0 <= yy < h and sig[yy][xx]:
+    def sign_sums(x: int, y: int, lim: int) -> tuple[int, int]:
+        def contrib(xx: int, yy: int, bound: int) -> int:
+            if 0 <= xx < w and 0 <= yy < bound and sig[yy][xx]:
                 return -1 if sign[yy][xx] else 1
             return 0
-        hc = max(-1, min(1, contrib(x - 1, y) + contrib(x + 1, y)))
-        vc = max(-1, min(1, contrib(x, y - 1) + contrib(x, y + 1)))
+        hc = max(-1, min(1, contrib(x - 1, y, h) + contrib(x + 1, y, h)))
+        vc = max(-1, min(1, contrib(x, y - 1, h)
+                         + contrib(x, y + 1, lim)))
         return hc, vc
 
-    def code_sign(x: int, y: int) -> None:
-        hc, vc = sign_sums(x, y)
+    def code_sign(x: int, y: int, lim: int) -> None:
+        hc, vc = sign_sums(x, y, lim)
         ctx, xor = _sc_ctx(hc, vc)
         sbit = io.bit(ctx, sign[y][x] ^ xor)
         sign[y][x] = sbit ^ xor
@@ -496,22 +508,24 @@ def _tier1_run(io, w: int, h: int, kind: str, nplanes: int, npasses: int,
 
     def spp(plane: int) -> None:
         for k0, k1 in stripes():
+            lim = k1 if causal else h
             for x in range(w):
                 for y in range(k0, k1):
                     if sig[y][x]:
                         continue
-                    hc, vc, dc = nbr_counts(x, y)
+                    hc, vc, dc = nbr_counts(x, y, lim)
                     ctx = _zc_ctx(kind, hc, vc, dc)
                     if ctx == 0:
                         continue
                     b = io.bit(ctx, (mag[y][x] >> plane) & 1)
                     if b:
                         mag[y][x] |= 1 << plane
-                        code_sign(x, y)
+                        code_sign(x, y, lim)
                     pi[y][x] = 1
 
     def mrp(plane: int) -> None:
         for k0, k1 in stripes():
+            lim = k1 if causal else h
             for x in range(w):
                 for y in range(k0, k1):
                     if not sig[y][x] or pi[y][x]:
@@ -519,7 +533,7 @@ def _tier1_run(io, w: int, h: int, kind: str, nplanes: int, npasses: int,
                     if refined[y][x]:
                         ctx = 16
                     else:
-                        hc, vc, dc = nbr_counts(x, y)
+                        hc, vc, dc = nbr_counts(x, y, lim)
                         ctx = 15 if hc + vc + dc else 14
                     b = io.bit(ctx, (mag[y][x] >> plane) & 1)
                     mag[y][x] |= b << plane
@@ -527,13 +541,14 @@ def _tier1_run(io, w: int, h: int, kind: str, nplanes: int, npasses: int,
 
     def cup(plane: int) -> None:
         for k0, k1 in stripes():
+            lim = k1 if causal else h
             for x in range(w):
                 y = k0
                 # run-length mode: full stripe column, all four
                 # insignificant, uncoded this plane, zero contexts
                 if k1 - k0 == 4 and all(
                         not sig[yy][x] and not pi[yy][x]
-                        and _zc_ctx(kind, *nbr_counts(x, yy)) == 0
+                        and _zc_ctx(kind, *nbr_counts(x, yy, lim)) == 0
                         for yy in range(k0, k1)):
                     any_sig = 0
                     first = 0
@@ -549,22 +564,31 @@ def _tier1_run(io, w: int, h: int, kind: str, nplanes: int, npasses: int,
                     r |= io.bit(_CTX_UNI, first & 1)
                     yy = k0 + r
                     mag[yy][x] |= 1 << plane
-                    code_sign(x, yy)
+                    code_sign(x, yy, lim)
                     y = yy + 1
                 for yy in range(y, k1):
                     if sig[yy][x] or pi[yy][x]:
                         continue
-                    hc, vc, dc = nbr_counts(x, yy)
+                    hc, vc, dc = nbr_counts(x, yy, lim)
                     ctx = _zc_ctx(kind, hc, vc, dc)
                     b = io.bit(ctx, (mag[yy][x] >> plane) & 1)
                     if b:
                         mag[yy][x] |= 1 << plane
-                        code_sign(x, yy)
+                        code_sign(x, yy, lim)
+
+    def end_pass(is_cleanup: bool) -> None:
+        if segsym and is_cleanup:
+            for exp in (1, 0, 1, 0):
+                if io.bit(_CTX_UNI, exp) != exp:
+                    raise JpxError("segmentation symbol mismatch")
+        if reset:
+            io.cx = _t1_contexts()
 
     plane = nplanes - 1
     done = 0
     cup(plane)
     done += 1
+    end_pass(True)
     plane -= 1
     while done < npasses:
         for row in pi:
@@ -572,19 +596,22 @@ def _tier1_run(io, w: int, h: int, kind: str, nplanes: int, npasses: int,
                 row[i] = 0
         spp(plane)
         done += 1
+        end_pass(False)
         if done >= npasses:
             break
         mrp(plane)
         done += 1
+        end_pass(False)
         if done >= npasses:
             break
         cup(plane)
         done += 1
+        end_pass(True)
         plane -= 1
 
 
-def _encode_cblk(coefs: np.ndarray, kind: str,
-                 mb: int) -> tuple[bytes, int, int]:
+def _encode_cblk(coefs: np.ndarray, kind: str, mb: int,
+                 cb_style: int = 0) -> tuple[bytes, int, int]:
     """Code one code-block → (codeword, zero_bitplanes, npasses)."""
     h, w = coefs.shape
     mag = np.abs(coefs).astype(np.int64)
@@ -594,12 +621,16 @@ def _encode_cblk(coefs: np.ndarray, kind: str,
     zbp = mb - k
     enc = _T1Enc()
     _tier1_run(enc, w, h, kind, k, npasses, mag.tolist(),
-               (coefs < 0).astype(np.int64).tolist())
+               (coefs < 0).astype(np.int64).tolist(),
+               reset=bool(cb_style & 0x02),
+               causal=bool(cb_style & 0x08),
+               segsym=bool(cb_style & 0x20))
     return enc.finish(), zbp, npasses
 
 
 def _decode_cblk(data: bytes, w: int, h: int, kind: str, mb: int,
-                 zbp: int, npasses: int) -> np.ndarray:
+                 zbp: int, npasses: int,
+                 cb_style: int = 0) -> np.ndarray:
     """Decode one code-block codeword → signed coefficients."""
     k = mb - zbp
     if k <= 0 or npasses > 3 * k - 2:
@@ -608,7 +639,10 @@ def _decode_cblk(data: bytes, w: int, h: int, kind: str, mb: int,
     mag = [[0] * w for _ in range(h)]
     sign = [[0] * w for _ in range(h)]
     dec = _T1Dec(data)
-    _tier1_run(dec, w, h, kind, k, npasses, mag, sign)
+    _tier1_run(dec, w, h, kind, k, npasses, mag, sign,
+               reset=bool(cb_style & 0x02),
+               causal=bool(cb_style & 0x08),
+               segsym=bool(cb_style & 0x20))
     m = np.asarray(mag, dtype=np.int64).reshape(h, w)
     s = np.asarray(sign, dtype=np.int64).reshape(h, w)
     return np.where(s == 1, -m, m)
@@ -829,7 +863,8 @@ def _encode_tile_body(comp_bands, geoms, ncomp: int, cb_exp: int,
                       mbs: list[int], layers: int, prog: int,
                       sop: bool, eph: bool, nl: int,
                       pp: list[tuple[int, int]],
-                      tdims, subs) -> tuple[bytes, list[int]]:
+                      tdims, subs,
+                      cb_style: int = 0) -> tuple[bytes, list[int]]:
     """Encode one tile's packet stream. Returns ``(body, bounds)``
     where ``bounds[i]`` is the byte offset of packet ``i`` (plus a
     final end offset) — the tile-part split points. ``geoms``/
@@ -854,7 +889,8 @@ def _encode_tile_body(comp_bands, geoms, ncomp: int, cb_exp: int,
                     for bx in range(nx):
                         sl = arr[by * cbh:(by + 1) * cbh,
                                  bx * cbw:(bx + 1) * cbw]
-                        data, zbp, npasses = _encode_cblk(sl, kind, mb)
+                        data, zbp, npasses = \
+                            _encode_cblk(sl, kind, mb, cb_style)
                         st = _CblkEnc(data, zbp,
                                       _layer_split(npasses, len(data),
                                                    layers))
@@ -946,7 +982,8 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
                precincts: tuple[int, int] |
                list[tuple[int, int]] | None = None,
                depth: int | None = None,
-               subsampling: list[tuple[int, int]] | None = None) -> bytes:
+               subsampling: list[tuple[int, int]] | None = None,
+               cb_style: int = 0) -> bytes:
     """(H, W) or (H, W, 3) uint8 → JPEG2000 codestream (profile in the
     module docstring). ``cb_exp`` is the code-block size exponent
     (2..10 per the standard; 5 → 32x32). With ``irreversible`` the
@@ -1017,6 +1054,10 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
         raise JpxError(f"progression order {prog} unsupported")
     if tile_parts < 1:
         raise JpxError(f"bad tile-part count {tile_parts}")
+    if cb_style & ~0x2A:
+        raise JpxError(f"code-block style {cb_style:#x} unsupported "
+                       "(bypass/termination modes need multi-segment "
+                       "lengths)")
     if precincts is None:
         pp = [_MAX_PP] * (nl + 1)
     else:
@@ -1122,7 +1163,7 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
         | (0x01 if precincts is not None else 0)
     cod = bytes([scod,
                  prog]) + struct.pack(">H", layers) + bytes([
-                 mct, nl, cb_exp - 2, cb_exp - 2, 0,
+                 mct, nl, cb_exp - 2, cb_exp - 2, cb_style,
                  0 if irreversible else 1])                # 9/7 vs 5/3
     if precincts is not None:
         cod += bytes([(ppy << 4) | ppx for ppx, ppy in pp])
@@ -1138,7 +1179,8 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
     for t, (tgeoms, comp_bands, tdims) in enumerate(tiles):
         body, bounds = _encode_tile_body(comp_bands, tgeoms, ncomp,
                                          cb_exp, mbs, layers, prog,
-                                         sop, eph, nl, pp, tdims, subs)
+                                         sop, eph, nl, pp, tdims, subs,
+                                         cb_style)
         npkt = len(bounds) - 1
         nparts = max(1, min(tile_parts, npkt))
         cut_pkts = sorted({round(npkt * k / nparts)
@@ -1184,7 +1226,8 @@ def _unwrap_jp2(data: bytes) -> bytes:
 def _decode_tile(body: bytes, geoms, ncomp: int, cb_exp: int,
                  mbs: list[int], layers: int, prog: int,
                  sop: bool, eph: bool, nl: int,
-                 pp: list[tuple[int, int]], tdims, subs):
+                 pp: list[tuple[int, int]], tdims, subs,
+                 cb_style: int = 0):
     """One tile's concatenated packet stream → per-component band
     arrays (``comp_bands[c][r_i][kind]``, int64 coefficients).
 
@@ -1260,7 +1303,8 @@ def _decode_tile(body: bytes, geoms, ncomp: int, cb_exp: int,
     for (c, r_i, b_i, by, bx), st in states.items():
         _, _, _, _, ex, ey, _, _ = layouts[c][r_i]
         blk = _decode_cblk(b"".join(st.segs), st.cw, st.ch,
-                           st.kind, st.mb, st.zbp, st.npasses)
+                           st.kind, st.mb, st.zbp, st.npasses,
+                           cb_style)
         comp_bands[c][r_i][st.kind][
             by << ey:(by << ey) + st.ch,
             bx << ex:(bx << ex) + st.cw] = blk
@@ -1336,16 +1380,16 @@ def decode_jpx(data: bytes, *, return_depth: bool = False):
             mct = seg[4]
             nl = seg[5]
             xcb, ycb = seg[6] + 2, seg[7] + 2
-            cbstyle, transform = seg[8], seg[9]
+            cb_style, transform = seg[8], seg[9]
             if prog not in (0, 1, 2, 3, 4):
                 raise JpxError(f"progression order {prog} unsupported")
             if layers < 1:
                 raise JpxError("zero quality layers")
             if xcb != ycb:
                 raise JpxError("non-square code-blocks unsupported")
-            if cbstyle != 0:
-                raise JpxError(f"code-block style {cbstyle:#x} "
-                               "unsupported")
+            if cb_style & ~0x2A:
+                raise JpxError(f"code-block style {cb_style:#x} "
+                               "unsupported (bypass/termination)")
             if transform not in (0, 1):
                 raise JpxError(f"unknown wavelet transform {transform}")
             irreversible = transform == 0
@@ -1459,7 +1503,7 @@ def decode_jpx(data: bytes, *, return_depth: bool = False):
         tgeoms = [_band_geometry(cw, ch, nl) for cw, ch in tdims]
         comp_bands = _decode_tile(body, tgeoms, ncomp, cb_exp, mbs,
                                   layers, prog, sop, eph, nl, pp,
-                                  tdims, subs)
+                                  tdims, subs, cb_style)
 
         # dequantize (irreversible): x = sign(q) * (|q| + 0.5) * delta_b
         if deltas is not None:

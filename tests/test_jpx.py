@@ -583,3 +583,50 @@ def test_subsampling_validation():
         encode_jpx(g, subsampling=[(1, 1), (2, 2)])
     with pytest.raises(JpxError, match="factors"):
         encode_jpx(g, subsampling=[(0, 1)])
+
+
+# ----------------------------------------------------- code-block styles
+
+@pytest.mark.parametrize("style", [0x02, 0x08, 0x20, 0x2A])
+def test_codeblock_styles_roundtrip(style):
+    # reset contexts / vertically causal / segmentation symbols
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (45, 61), dtype=np.uint8)
+    assert np.array_equal(decode_jpx(encode_jpx(img, cb_style=style)),
+                          img)
+
+
+def test_codeblock_styles_with_everything():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (40, 48, 3), dtype=np.uint8)
+    cs = encode_jpx(img, cb_style=0x28, layers=2, precincts=(5, 5),
+                    tile_size=(24, 16), levels=2)
+    assert np.array_equal(decode_jpx(cs), img)
+
+
+def test_segsym_detects_corruption():
+    # segmentation symbols exist to catch bitstream damage: flipping
+    # codeword bytes must raise (or at least not decode silently to
+    # the original)
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    cs = bytearray(encode_jpx(img, cb_style=0x20))
+    sod = cs.index(b"\xff\x93") + 2
+    corrupted = 0
+    for off in (20, 40, 60):
+        bad = bytearray(cs)
+        bad[sod + off] ^= 0x55
+        try:
+            out = decode_jpx(bytes(bad))
+            if not np.array_equal(out, img):
+                corrupted += 1
+        except JpxError:
+            corrupted += 1
+    assert corrupted == 3
+
+
+def test_bypass_termination_styles_rejected():
+    img = _grad(16, 16)
+    for style in (0x01, 0x04, 0x10):
+        with pytest.raises(JpxError, match="code-block style"):
+            encode_jpx(img, cb_style=style)
