@@ -25,16 +25,17 @@ Supported codestream profile (both directions):
   markers
 - maximal AND custom per-resolution precincts (Scod bit 0 + B.6 size
   bytes; effective code-blocks clamp to min(cb, precinct) per B.7,
-  per-precinct tag trees), code-block styles reset-probabilities /
-  vertically-causal / segmentation-symbols (verified on decode),
-  EBCOT tier-1 coding passes over the shared MQ coder
-  (``engine/mq.py``)
+  per-precinct tag trees), code-block styles selective-arithmetic-
+  bypass (raw SPP/MRP segments from the 11th pass, D.7) /
+  reset-probabilities / per-pass termination (multi-segment codeword
+  lengths in packet headers, B.10.7) / vertically-causal /
+  segmentation-symbols (verified on decode), EBCOT tier-1 coding
+  passes over the shared MQ coder (``engine/mq.py``)
 - tag-tree coded packet headers (Annex B), JP2 wrapper or raw
   codestream accepted on decode
 
-Anything outside the profile (bypass/termination code-block styles
-— they need multi-segment codeword lengths — unaligned multi-tile
-grids, signed samples) raises ``JpxError`` →
+Anything outside the profile (the predictable-termination style bit,
+unaligned multi-tile grids, signed samples) raises ``JpxError`` →
 the walker's honest ``<img src="">`` degradation, with the reason
 preserved.
 
@@ -412,9 +413,14 @@ def _sc_ctx(hc: int, vc: int) -> tuple[int, int]:
 class _T1Enc:
     """Tier-1 bit sink: MQ-encodes the actual bit and echoes it."""
 
+    raw_mode = False
+
     def __init__(self):
         self.mq = MQEncoder()
         self.cx = _t1_contexts()
+
+    def begin_pass(self, i: int) -> None:
+        pass
 
     def bit(self, ctx: int, actual: int) -> int:
         self.mq.encode(self.cx, ctx, actual)
@@ -427,9 +433,14 @@ class _T1Enc:
 class _T1Dec:
     """Tier-1 bit source: MQ-decodes (the 'actual' hint is ignored)."""
 
+    raw_mode = False
+
     def __init__(self, data: bytes):
         self.mq = MQDecoder(data)
         self.cx = _t1_contexts()
+
+    def begin_pass(self, i: int) -> None:
+        pass
 
     def bit(self, ctx: int, actual: int) -> int:
         return self.mq.decode(self.cx, ctx)
@@ -443,6 +454,107 @@ def _t1_contexts() -> list[int]:
     cx[_CTX_RL] = 3 << 1
     cx[0] = 4 << 1
     return cx
+
+
+# ------------------------------------- codeword segments (bypass/termall)
+
+def _pass_raw(i: int, style: int) -> bool:
+    """Selective arithmetic bypass (D.7): SPP and MRP passes are raw
+    from the 11th pass on (the first 4 bit-planes stay MQ-coded)."""
+    return bool(style & 0x01) and i > 9 and (i - 1) % 3 < 2
+
+
+def _seg_starts(npasses: int, style: int) -> list[int]:
+    """Pass indices that begin a new codeword segment: per-pass with
+    ``termall`` (bit 2), at MQ↔raw transitions with ``bypass``."""
+    if not style & 0x05:
+        return [0]
+    out = [0]
+    for i in range(npasses - 1):
+        if style & 0x04 or _pass_raw(i, style) != _pass_raw(i + 1, style):
+            out.append(i + 1)
+    return out
+
+
+def _layer_seg_passes(start: int, p: int, style: int) -> list[int]:
+    """Split a layer's ``p``-pass contribution beginning at absolute
+    pass ``start`` into codeword-segment chunks (B.10.7.2)."""
+    if not style & 0x05 or p == 0:
+        return [p] if p else []
+    out = []
+    cur = start
+    for i in range(start, start + p - 1):
+        if style & 0x04 or _pass_raw(i, style) != _pass_raw(i + 1, style):
+            out.append(i + 1 - cur)
+            cur = i + 1
+    out.append(start + p - cur)
+    return out
+
+
+class _T1SegEnc:
+    """Tier-1 bit sink with codeword-segment termination: MQ and raw
+    (bit-stuffed) sub-coders alternate per the block style, each
+    terminated chunk becoming its own codeword segment."""
+
+    def __init__(self, style: int, npasses: int):
+        self.cx = _t1_contexts()
+        self.style = style
+        self.starts = set(_seg_starts(npasses, style)) - {0}
+        self.raw_mode = False
+        self.cur = MQEncoder()
+        self.passes_in_seg = 0
+        self.segs: list[bytes] = []
+        self.seg_passes: list[int] = []
+
+    def _terminate(self) -> None:
+        self.segs.append(self.cur.flush())
+        self.seg_passes.append(self.passes_in_seg)
+        self.passes_in_seg = 0
+
+    def begin_pass(self, i: int) -> None:
+        raw = _pass_raw(i, self.style)
+        if i in self.starts:
+            self._terminate()
+            self.cur = _HdrWriter() if raw else MQEncoder()
+        self.raw_mode = raw
+        self.passes_in_seg += 1
+
+    def bit(self, ctx: int, actual: int) -> int:
+        if self.raw_mode:
+            self.cur.put(actual)
+        else:
+            self.cur.encode(self.cx, ctx, actual)
+        return actual
+
+    def finish(self) -> tuple[list[bytes], list[int]]:
+        self._terminate()
+        return self.segs, self.seg_passes
+
+
+class _T1SegDec:
+    """Tier-1 bit source over pre-assembled codeword segments."""
+
+    def __init__(self, segs: list[tuple[bool, bytes]], starts: set[int]):
+        self.cx = _t1_contexts()
+        self.segs = segs
+        self.starts = starts
+        self.idx = -1
+        self.cur = None
+        self.raw_mode = False
+
+    def begin_pass(self, i: int) -> None:
+        if i == 0 or i in self.starts:
+            self.idx += 1
+            if self.idx >= len(self.segs):
+                raise JpxError("missing codeword segment")
+            raw, data = self.segs[self.idx]
+            self.cur = _HdrReader(data) if raw else MQDecoder(data)
+            self.raw_mode = raw
+
+    def bit(self, ctx: int, actual: int) -> int:
+        if self.raw_mode:
+            return self.cur.get()
+        return self.cur.decode(self.cx, ctx)
 
 
 def _tier1_run(io, w: int, h: int, kind: str, nplanes: int, npasses: int,
@@ -496,10 +608,13 @@ def _tier1_run(io, w: int, h: int, kind: str, nplanes: int, npasses: int,
         return hc, vc
 
     def code_sign(x: int, y: int, lim: int) -> None:
-        hc, vc = sign_sums(x, y, lim)
-        ctx, xor = _sc_ctx(hc, vc)
-        sbit = io.bit(ctx, sign[y][x] ^ xor)
-        sign[y][x] = sbit ^ xor
+        if io.raw_mode:            # D.6: raw sign bit, no prediction
+            sign[y][x] = io.bit(0, sign[y][x])
+        else:
+            hc, vc = sign_sums(x, y, lim)
+            ctx, xor = _sc_ctx(hc, vc)
+            sbit = io.bit(ctx, sign[y][x] ^ xor)
+            sign[y][x] = sbit ^ xor
         sig[y][x] = 1
 
     def stripes():
@@ -586,6 +701,7 @@ def _tier1_run(io, w: int, h: int, kind: str, nplanes: int, npasses: int,
 
     plane = nplanes - 1
     done = 0
+    io.begin_pass(0)
     cup(plane)
     done += 1
     end_pass(True)
@@ -594,16 +710,19 @@ def _tier1_run(io, w: int, h: int, kind: str, nplanes: int, npasses: int,
         for row in pi:
             for i in range(w):
                 row[i] = 0
+        io.begin_pass(done)
         spp(plane)
         done += 1
         end_pass(False)
         if done >= npasses:
             break
+        io.begin_pass(done)
         mrp(plane)
         done += 1
         end_pass(False)
         if done >= npasses:
             break
+        io.begin_pass(done)
         cup(plane)
         done += 1
         end_pass(True)
@@ -611,38 +730,76 @@ def _tier1_run(io, w: int, h: int, kind: str, nplanes: int, npasses: int,
 
 
 def _encode_cblk(coefs: np.ndarray, kind: str, mb: int,
-                 cb_style: int = 0) -> tuple[bytes, int, int]:
-    """Code one code-block → (codeword, zero_bitplanes, npasses)."""
+                 cb_style: int = 0
+                 ) -> tuple[bytes, int, int, list[tuple[int, int]]]:
+    """Code one code-block → (codeword bytes, zero_bitplanes, npasses,
+    segments) where segments lists (passes, bytes) per terminated
+    codeword segment (a single entry when no termination mode is on
+    and the codeword may be split anywhere)."""
     h, w = coefs.shape
     mag = np.abs(coefs).astype(np.int64)
     k = int(mag.max()).bit_length() if mag.size else 0
     k = max(k, 1)
     npasses = 3 * k - 2
     zbp = mb - k
+    kw = dict(reset=bool(cb_style & 0x02),
+              causal=bool(cb_style & 0x08),
+              segsym=bool(cb_style & 0x20))
+    if cb_style & 0x05:
+        enc = _T1SegEnc(cb_style, npasses)
+        _tier1_run(enc, w, h, kind, k, npasses, mag.tolist(),
+                   (coefs < 0).astype(np.int64).tolist(), **kw)
+        segs, seg_passes = enc.finish()
+        data = b"".join(segs)
+        return data, zbp, npasses, list(zip(seg_passes,
+                                            (len(s) for s in segs)))
     enc = _T1Enc()
     _tier1_run(enc, w, h, kind, k, npasses, mag.tolist(),
-               (coefs < 0).astype(np.int64).tolist(),
-               reset=bool(cb_style & 0x02),
-               causal=bool(cb_style & 0x08),
-               segsym=bool(cb_style & 0x20))
-    return enc.finish(), zbp, npasses
+               (coefs < 0).astype(np.int64).tolist(), **kw)
+    data = enc.finish()
+    return data, zbp, npasses, [(npasses, len(data))]
 
 
 def _decode_cblk(data: bytes, w: int, h: int, kind: str, mb: int,
-                 zbp: int, npasses: int,
-                 cb_style: int = 0) -> np.ndarray:
-    """Decode one code-block codeword → signed coefficients."""
+                 zbp: int, npasses: int, cb_style: int = 0,
+                 chunks: list[tuple[int, bytes]] | None = None
+                 ) -> np.ndarray:
+    """Decode one code-block codeword → signed coefficients.
+    ``chunks`` are the per-layer (passes, bytes) pieces when a
+    termination mode is on — reassembled into codeword segments."""
     k = mb - zbp
     if k <= 0 or npasses > 3 * k - 2:
         raise JpxError(f"inconsistent code-block header (Mb={mb}, "
                        f"zbp={zbp}, passes={npasses})")
     mag = [[0] * w for _ in range(h)]
     sign = [[0] * w for _ in range(h)]
-    dec = _T1Dec(data)
-    _tier1_run(dec, w, h, kind, k, npasses, mag, sign,
-               reset=bool(cb_style & 0x02),
-               causal=bool(cb_style & 0x08),
-               segsym=bool(cb_style & 0x20))
+    kw = dict(reset=bool(cb_style & 0x02),
+              causal=bool(cb_style & 0x08),
+              segsym=bool(cb_style & 0x20))
+    if cb_style & 0x05:
+        starts = _seg_starts(npasses, cb_style)
+        ends = starts[1:] + [npasses]
+        segs: list[tuple[bool, bytes]] = []
+        pos_pass = 0
+        it = iter(chunks or [])
+        for s0, s1 in zip(starts, ends):
+            buf = bytearray()
+            covered = pos_pass
+            while covered < s1:
+                try:
+                    q, piece = next(it)
+                except StopIteration:
+                    raise JpxError("missing codeword chunk") from None
+                buf += piece
+                covered += q
+            if covered != s1:
+                raise JpxError("codeword chunk straddles a segment")
+            pos_pass = covered
+            segs.append((_pass_raw(s0, cb_style), bytes(buf)))
+        dec = _T1SegDec(segs, set(starts) - {0})
+    else:
+        dec = _T1Dec(data)
+    _tier1_run(dec, w, h, kind, k, npasses, mag, sign, **kw)
     m = np.asarray(mag, dtype=np.int64).reshape(h, w)
     s = np.asarray(sign, dtype=np.int64).reshape(h, w)
     return np.where(s == 1, -m, m)
@@ -792,6 +949,30 @@ def _packet_seq(prog: int, layers: int, nres: int, ncomp: int,
     return [(l, r, c, pyi, pxi) for l, r, c, pyi, pxi, _, _ in descs]
 
 
+def _layer_split_segs(segs: list[tuple[int, int]],
+                      layers: int) -> list[tuple[int, list]]:
+    """Distribute whole codeword segments across quality layers,
+    pass-proportionally (terminated codewords may only split at
+    segment boundaries)."""
+    npasses = sum(q for q, _ in segs)
+    bounds = [0]
+    for q, _ in segs:
+        bounds.append(bounds[-1] + q)
+    out = []
+    j0 = 0
+    for l in range(1, layers + 1):
+        if l == layers:
+            j1 = len(segs)
+        else:
+            target = round(npasses * l / layers)
+            j1 = min(range(j0, len(segs) + 1),
+                     key=lambda j: abs(bounds[j] - target))
+        entry = list(segs[j0:j1])
+        out.append((sum(q for q, _ in entry), entry))
+        j0 = j1
+    return out
+
+
 def _layer_split(npasses: int, nbytes: int,
                  layers: int) -> list[tuple[int, int]]:
     """Distribute one code-block's coding passes and codeword bytes
@@ -816,7 +997,7 @@ class _CblkEnc:
                  "off")
 
     def __init__(self, data: bytes, zbp: int,
-                 split: list[tuple[int, int]]):
+                 split: list[tuple[int, list]]):
         self.data = data
         self.zbp = zbp
         self.split = split
@@ -830,7 +1011,7 @@ class _CblkDec:
     """Per-code-block decoder accumulation across quality layers."""
 
     __slots__ = ("cw", "ch", "kind", "mb", "zbp", "lblock", "npasses",
-                 "segs")
+                 "chunks")
 
     def __init__(self, cw: int, ch: int, kind: str, mb: int, zbp: int):
         self.cw = cw
@@ -840,7 +1021,7 @@ class _CblkDec:
         self.zbp = zbp
         self.lblock = 3
         self.npasses = 0
-        self.segs: list[bytes] = []
+        self.chunks: list[tuple[int, bytes]] = []
 
 
 # -------------------------------------------------------------- encoder
@@ -889,11 +1070,16 @@ def _encode_tile_body(comp_bands, geoms, ncomp: int, cb_exp: int,
                     for bx in range(nx):
                         sl = arr[by * cbh:(by + 1) * cbh,
                                  bx * cbw:(bx + 1) * cbw]
-                        data, zbp, npasses = \
+                        data, zbp, npasses, seg1 = \
                             _encode_cblk(sl, kind, mb, cb_style)
-                        st = _CblkEnc(data, zbp,
-                                      _layer_split(npasses, len(data),
-                                                   layers))
+                        if cb_style & 0x05:
+                            split = _layer_split_segs(seg1, layers)
+                        else:
+                            split = [(p, ([(p, m)] if p else []))
+                                     for p, m in
+                                     _layer_split(npasses, len(data),
+                                                  layers)]
+                        st = _CblkEnc(data, zbp, split)
                         states[(c, r_i, b_i, by, bx)] = st
                 for pyi in range(npy):
                     for pxi in range(npx):
@@ -940,7 +1126,7 @@ def _encode_tile_body(comp_bands, geoms, ncomp: int, cb_exp: int,
                 for by in range(by0, by1):
                     for bx in range(bx0, bx1):
                         st = states[(c, r_i, b_i, by, bx)]
-                        p_l, n_l = st.split[l]
+                        p_l, entries = st.split[l]
                         if not st.included:
                             incl.encode(hdr, by - by0, bx - bx0, l + 1)
                             if st.l0 != l:
@@ -953,16 +1139,17 @@ def _encode_tile_body(comp_bands, geoms, ncomp: int, cb_exp: int,
                             if not p_l:
                                 continue
                         _put_npasses(hdr, p_l)
-                        nbits = st.lblock + int(math.log2(p_l))
-                        need = max(n_l.bit_length(), 1)
-                        while need > nbits:
+                        while any(max(m.bit_length(), 1) >
+                                  st.lblock + int(math.log2(q))
+                                  for q, m in entries):
                             hdr.put(1)
                             st.lblock += 1
-                            nbits += 1
                         hdr.put(0)
-                        hdr.put_bits(n_l, nbits)
-                        segs.append(st.data[st.off:st.off + n_l])
-                        st.off += n_l
+                        for q, m in entries:
+                            hdr.put_bits(m, st.lblock
+                                         + int(math.log2(q)))
+                            segs.append(st.data[st.off:st.off + m])
+                            st.off += m
         body += hdr.flush()
         if eph:
             body += b"\xff\x92"
@@ -1054,10 +1241,9 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
         raise JpxError(f"progression order {prog} unsupported")
     if tile_parts < 1:
         raise JpxError(f"bad tile-part count {tile_parts}")
-    if cb_style & ~0x2A:
+    if cb_style & ~0x2F:
         raise JpxError(f"code-block style {cb_style:#x} unsupported "
-                       "(bypass/termination modes need multi-segment "
-                       "lengths)")
+                       "(predictable termination not implemented)")
     if precincts is None:
         pp = [_MAX_PP] * (nl + 1)
     else:
@@ -1250,7 +1436,7 @@ def _decode_tile(body: bytes, geoms, ncomp: int, cb_exp: int,
         rdr = _HdrReader(body, bpos)
         _, _, pbx, pby, ex, ey, _, _ = layouts[c][r_i]
         cbw, cbh = 1 << ex, 1 << ey
-        todo: list[tuple[_CblkDec, int]] = []
+        todo: list[tuple[_CblkDec, int, int]] = []
         if rdr.get():                                      # non-empty packet
             mb_idx = sum(len(g) for g in geoms[c][:r_i])
             for b_i, (kind, bw, bh) in enumerate(geoms[c][r_i]):
@@ -1283,17 +1469,19 @@ def _decode_tile(body: bytes, geoms, ncomp: int, cb_exp: int,
                         p_l = _get_npasses(rdr)
                         while rdr.get():
                             st.lblock += 1
-                        nbits = st.lblock + int(math.log2(p_l))
-                        dlen = rdr.get_bits(nbits)
+                        for q in _layer_seg_passes(st.npasses, p_l,
+                                                   cb_style):
+                            dlen = rdr.get_bits(
+                                st.lblock + int(math.log2(q)))
+                            todo.append((st, q, dlen))
                         st.npasses += p_l
-                        todo.append((st, dlen))
         bpos = rdr.align()
         if eph:
             if body[bpos:bpos + 2] != b"\xff\x92":
                 raise JpxError("missing EPH marker")
             bpos += 2
-        for st, dlen in todo:
-            st.segs.append(body[bpos:bpos + dlen])
+        for st, q, dlen in todo:
+            st.chunks.append((q, body[bpos:bpos + dlen]))
             bpos += dlen
 
     comp_bands: list[list[dict[str, np.ndarray]]] = [
@@ -1302,9 +1490,9 @@ def _decode_tile(body: bytes, geoms, ncomp: int, cb_exp: int,
         for c in range(ncomp)]
     for (c, r_i, b_i, by, bx), st in states.items():
         _, _, _, _, ex, ey, _, _ = layouts[c][r_i]
-        blk = _decode_cblk(b"".join(st.segs), st.cw, st.ch,
-                           st.kind, st.mb, st.zbp, st.npasses,
-                           cb_style)
+        blk = _decode_cblk(b"".join(b for _, b in st.chunks),
+                           st.cw, st.ch, st.kind, st.mb, st.zbp,
+                           st.npasses, cb_style, st.chunks)
         comp_bands[c][r_i][st.kind][
             by << ey:(by << ey) + st.ch,
             bx << ex:(bx << ex) + st.cw] = blk
@@ -1387,9 +1575,9 @@ def decode_jpx(data: bytes, *, return_depth: bool = False):
                 raise JpxError("zero quality layers")
             if xcb != ycb:
                 raise JpxError("non-square code-blocks unsupported")
-            if cb_style & ~0x2A:
+            if cb_style & ~0x3F:
                 raise JpxError(f"code-block style {cb_style:#x} "
-                               "unsupported (bypass/termination)")
+                               "unsupported")
             if transform not in (0, 1):
                 raise JpxError(f"unknown wavelet transform {transform}")
             irreversible = transform == 0

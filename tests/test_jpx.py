@@ -243,10 +243,10 @@ def test_bad_precinct_exponents_rejected():
         encode_jpx(_grad(16, 16), levels=2, precincts=[(5, 5)])
 
 
-def test_codeblock_style_rejected():
+def test_undefined_codeblock_style_bit_rejected():
     cs = encode_jpx(_grad(8, 8))
     with pytest.raises(JpxError, match="code-block style"):
-        decode_jpx(_patch_cod(cs, 8, 0x01))       # selective bypass
+        decode_jpx(_patch_cod(cs, 8, 0x40))       # reserved bit
 
 
 def test_quantized_qcd_with_reversible_transform_rejected():
@@ -625,8 +625,45 @@ def test_segsym_detects_corruption():
     assert corrupted == 3
 
 
-def test_bypass_termination_styles_rejected():
-    img = _grad(16, 16)
-    for style in (0x01, 0x04, 0x10):
-        with pytest.raises(JpxError, match="code-block style"):
-            encode_jpx(img, cb_style=style)
+@pytest.mark.parametrize("style", [0x01, 0x04, 0x05, 0x07, 0x0D,
+                                   0x25, 0x2F])
+def test_bypass_and_termination_roundtrip(style):
+    # selective arithmetic bypass (raw SPP/MRP from the 11th pass) and
+    # per-pass termination produce multi-segment codewords
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (45, 61), dtype=np.uint8)
+    assert np.array_equal(decode_jpx(encode_jpx(img, cb_style=style)),
+                          img)
+
+
+@pytest.mark.parametrize("style", [0x01, 0x04, 0x05])
+@pytest.mark.parametrize("layers", [2, 5])
+def test_terminated_codewords_across_layers(style, layers):
+    # quality-layer splits snap to codeword-segment boundaries
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (40, 40), dtype=np.uint8)
+    cs = encode_jpx(img, cb_style=style, layers=layers)
+    assert np.array_equal(decode_jpx(cs), img)
+
+
+def test_bypass_with_tiles_precincts_progressions():
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    cs = encode_jpx(img, cb_style=0x01, levels=2, tile_size=(32, 32),
+                    layers=3, precincts=(5, 5), prog=2, sop=True,
+                    eph=True)
+    assert np.array_equal(decode_jpx(cs), img)
+
+
+def test_bypass_identical_reconstruction_irreversible():
+    rng = np.random.default_rng(19)
+    img = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    a = decode_jpx(encode_jpx(img, irreversible=True, delta=1 / 128))
+    b = decode_jpx(encode_jpx(img, irreversible=True, delta=1 / 128,
+                              cb_style=0x01))
+    assert np.array_equal(a, b)
+
+
+def test_predictable_termination_rejected():
+    with pytest.raises(JpxError, match="code-block style"):
+        encode_jpx(_grad(16, 16), cb_style=0x10)
