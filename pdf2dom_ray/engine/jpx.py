@@ -1578,6 +1578,9 @@ def decode_jpx(data: bytes, *, return_depth: bool = False):
             if cb_style & ~0x3F:
                 raise JpxError(f"code-block style {cb_style:#x} "
                                "unsupported")
+            # predictable termination (0x10) is an encoder-side
+            # promise for error resilience; decoding is unchanged
+            cb_style &= ~0x10
             if transform not in (0, 1):
                 raise JpxError(f"unknown wavelet transform {transform}")
             irreversible = transform == 0

@@ -667,3 +667,15 @@ def test_bypass_identical_reconstruction_irreversible():
 def test_predictable_termination_rejected():
     with pytest.raises(JpxError, match="code-block style"):
         encode_jpx(_grad(16, 16), cb_style=0x10)
+
+
+def test_predictable_termination_decodes():
+    # 0x10 is an encoder-side error-resilience promise; the decode
+    # procedure is unchanged, so a stream claiming it (with termall
+    # also set, as real encoders do) must decode
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    cs = encode_jpx(img, cb_style=0x04)
+    i = cs.index(b"\xff\x52") + 4
+    patched = cs[:i + 8] + bytes([cs[i + 8] | 0x10]) + cs[i + 9:]
+    assert np.array_equal(decode_jpx(patched), img)
