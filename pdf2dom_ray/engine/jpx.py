@@ -7,13 +7,17 @@ engine implements the codec directly, from the published standard.
 
 Supported codestream profile (both directions):
 
-- tiled images (tile grid at origin; multi-tile streams require the
-  tile size to be a multiple of 2^levels so the per-tile DWT parity
-  matches the reference grid), multiple tile-parts per tile,
-  per-component subsampling (each component codes its own ceil(d/s)
-  grid; decode reconstructs by sample replication — the 4:2:0-style
-  layout), 8..16-bit unsigned samples (deep samples return uint16 at
-  native scale; the PDF image layer renders them at 8 bits)
+- tiled images with ANY tile size and nonzero image/tile-grid offsets
+  (XOsiz/YOsiz/XTOsiz/YTOsiz): every tile codes on the ABSOLUTE
+  reference grid per B.5 — band coordinates ceil((tc - 2^(lev-1)·o) /
+  2^lev), parity-aware DWT lifting at odd band origins (F.3.7 single-
+  sample intervals included), precinct and code-block grids anchored
+  at coordinate 0 so unaligned tiles start with partial precincts —
+  multiple tile-parts per tile, per-component subsampling (each
+  component codes its own ceil(d/s) grid; decode reconstructs by
+  sample replication — the 4:2:0-style layout), 8..16-bit unsigned
+  samples (deep samples return uint16 at native scale; the PDF image
+  layer renders them at 8 bits)
 - reversible 5/3 wavelet (Annex F) OR irreversible 9/7 float wavelet
   with scalar quantization (Annex E, derived and expounded styles,
   midpoint dequantization), 0..N decomposition levels
@@ -34,8 +38,7 @@ Supported codestream profile (both directions):
 - tag-tree coded packet headers (Annex B), JP2 wrapper or raw
   codestream accepted on decode
 
-Anything outside the profile (the predictable-termination style bit,
-unaligned multi-tile grids, signed samples) raises ``JpxError`` →
+Anything outside the profile (signed samples) raises ``JpxError`` →
 the walker's honest ``<img src="">`` degradation, with the reason
 preserved.
 
@@ -153,20 +156,113 @@ def _idwt97_pair(s: np.ndarray, d: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
-def _fdwt2(a: np.ndarray, pair=_fdwt53_pair) -> dict[str, np.ndarray]:
-    """One 2D decomposition level: horizontal split, then vertical."""
-    lo_c, hi_c = pair(a.T)
+def _fdwt53_line(a: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """5/3 forward lifting on a signal whose first sample sits at an
+    absolute coordinate of parity ``p`` (F.4: absolute-EVEN samples are
+    low).  ``p == 0`` is the classic case; ``p == 1`` swaps the roles
+    (first sample is a high sample), which is what tiles at odd band
+    origins need."""
+    if p == 0:
+        return _fdwt53_pair(a)
+    n = a.shape[0]
+    if n == 1:
+        # single sample at an odd coordinate: stored doubled (F.3.7)
+        return a[:0].astype(np.int64), 2 * a.astype(np.int64)
+    o = a[0::2].astype(np.int64)                  # odd absolute = high
+    e = a[1::2].astype(np.int64)                  # even absolute = low
+    nh, nl_ = o.shape[0], e.shape[0]
+    i_h = np.arange(nh)
+    d = o - ((e[np.clip(i_h - 1, 0, nl_ - 1)]
+              + e[np.minimum(i_h, nl_ - 1)]) >> 1)
+    i_l = np.arange(nl_)
+    s = e + ((d[i_l] + d[np.minimum(i_l + 1, nh - 1)] + 2) >> 2)
+    return s, d
+
+
+def _idwt53_line(s: np.ndarray, d: np.ndarray, n: int,
+                 p: int) -> np.ndarray:
+    """Inverse of :func:`_fdwt53_line`."""
+    if p == 0:
+        return _idwt53_pair(s, d, n)
+    if n == 1:
+        return np.asarray(d, np.int64) >> 1
+    s64 = s.astype(np.int64)
+    d64 = d.astype(np.int64)
+    nl_, nh = s64.shape[0], d64.shape[0]
+    i_l = np.arange(nl_)
+    e = s64 - ((d64[i_l] + d64[np.minimum(i_l + 1, nh - 1)] + 2) >> 2)
+    i_h = np.arange(nh)
+    o = d64 + ((e[np.clip(i_h - 1, 0, nl_ - 1)]
+                + e[np.minimum(i_h, nl_ - 1)]) >> 1)
+    out = np.empty((n,) + s64.shape[1:], dtype=np.int64)
+    out[0::2] = o
+    out[1::2] = e
+    return out
+
+
+def _fdwt97_line(a: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """9/7 forward lifting with origin parity ``p`` (see 5/3 twin)."""
+    if p == 0:
+        return _fdwt97_pair(a)
+    n = a.shape[0]
+    if n == 1:
+        return a[:0].astype(np.float64), 2.0 * a.astype(np.float64)
+    o = a[0::2].astype(np.float64)
+    e = a[1::2].astype(np.float64)
+    nh, nl_ = o.shape[0], e.shape[0]
+    i_h = np.arange(nh)
+    i_l = np.arange(nl_)
+    hl_ = np.clip(i_h - 1, 0, nl_ - 1)            # high's left low nbr
+    hr_ = np.minimum(i_h, nl_ - 1)                # high's right low nbr
+    lr_ = np.minimum(i_l + 1, nh - 1)             # low's right high nbr
+    d = o + _A97 * (e[hl_] + e[hr_])
+    s = e + _B97 * (d[i_l] + d[lr_])
+    d = d + _G97 * (s[hl_] + s[hr_])
+    s = s + _D97 * (d[i_l] + d[lr_])
+    return s * (1.0 / _K97), d * _K97
+
+
+def _idwt97_line(s: np.ndarray, d: np.ndarray, n: int,
+                 p: int) -> np.ndarray:
+    """Inverse of :func:`_fdwt97_line`."""
+    if p == 0:
+        return _idwt97_pair(s, d, n)
+    if n == 1:
+        return np.asarray(d, np.float64) * 0.5
+    s = np.asarray(s, np.float64) * _K97
+    d = np.asarray(d, np.float64) * (1.0 / _K97)
+    nl_, nh = s.shape[0], d.shape[0]
+    i_h = np.arange(nh)
+    i_l = np.arange(nl_)
+    hl_ = np.clip(i_h - 1, 0, nl_ - 1)
+    hr_ = np.minimum(i_h, nl_ - 1)
+    lr_ = np.minimum(i_l + 1, nh - 1)
+    s = s - _D97 * (d[i_l] + d[lr_])
+    d = d - _G97 * (s[hl_] + s[hr_])
+    s = s - _B97 * (d[i_l] + d[lr_])
+    o = d - _A97 * (s[hl_] + s[hr_])
+    out = np.empty((n,) + s.shape[1:], dtype=np.float64)
+    out[0::2] = o
+    out[1::2] = s
+    return out
+
+
+def _fdwt2(a: np.ndarray, x0: int, y0: int,
+           line=_fdwt53_line) -> dict[str, np.ndarray]:
+    """One 2D decomposition level of the region anchored at absolute
+    coords ``(x0, y0)``: horizontal split, then vertical."""
+    lo_c, hi_c = line(a.T, x0 & 1)
     lo_c, hi_c = lo_c.T, hi_c.T                   # horizontal split
-    ll, lh = pair(lo_c)                           # vertical split of low
-    hl, hh = pair(hi_c)                           # vertical split of high
+    ll, lh = line(lo_c, y0 & 1)                   # vertical split of low
+    hl, hh = line(hi_c, y0 & 1)
     return {"LL": ll, "HL": hl, "LH": lh, "HH": hh}
 
 
 def _idwt2(bands: dict[str, np.ndarray], h: int, w: int,
-           pair=_idwt53_pair) -> np.ndarray:
-    lo_c = pair(bands["LL"], bands["LH"], h)
-    hi_c = pair(bands["HL"], bands["HH"], h)
-    return pair(lo_c.T, hi_c.T, w).T
+           x0: int, y0: int, line=_idwt53_line) -> np.ndarray:
+    lo_c = line(bands["LL"], bands["LH"], h, y0 & 1)
+    hi_c = line(bands["HL"], bands["HH"], h, y0 & 1)
+    return line(lo_c.T, hi_c.T, w, x0 & 1).T
 
 
 # ----------------------------------------------- irreversible helpers
@@ -810,37 +906,31 @@ def _decode_cblk(data: bytes, w: int, h: int, kind: str, mb: int,
 _GAIN = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
 
 
-def _ll_sizes(x: int, y: int, nl: int) -> list[tuple[int, int]]:
-    """sizes[k] = dims of LL_k (sizes[0] = image)."""
-    sizes = [(x, y)]
-    w, h = x, y
-    for _ in range(nl):
-        w, h = (w + 1) // 2, (h + 1) // 2
-        sizes.append((w, h))
-    return sizes
+def _cdiv2(a: int, k: int) -> int:
+    """ceil(a / 2^k) for a >= 0."""
+    return -(-a >> k) if a >= 0 else -((-a) >> k)
 
 
-def _band_geometry(x: int, y: int, nl: int):
-    """Per-resolution band list in codestream order:
-    [[("LL", w, h)], [("HL", ...), ("LH", ...), ("HH", ...)], ...]."""
-    sizes = _ll_sizes(x, y, nl)
-    res = [[("LL",) + sizes[nl]]]
+def _band_geometry(cx0: int, cy0: int, cx1: int, cy1: int, nl: int):
+    """Per-resolution band list in codestream order for the
+    tile-component region [cx0, cx1) x [cy0, cy1) in ABSOLUTE
+    coordinates (B.5): entries are ``(kind, bw, bh, bx0, by0)`` where
+    (bx0, by0) is the band-space origin — low-direction coordinates
+    are ceil(c / 2^lev), high-direction floor(ceil(c / 2^(lev-1)) / 2),
+    which is the spec's ceil((c - 2^(lev-1)) / 2^lev)."""
+    xl0, xl1 = _cdiv2(cx0, nl), _cdiv2(cx1, nl)
+    yl0, yl1 = _cdiv2(cy0, nl), _cdiv2(cy1, nl)
+    res = [[("LL", xl1 - xl0, yl1 - yl0, xl0, yl0)]]
     for r in range(1, nl + 1):
         lev = nl - r + 1
-        pw, ph = sizes[lev - 1]
-        lw, lh = sizes[lev]
-        res.append([("HL", pw - lw, lh), ("LH", lw, ph - lh),
-                    ("HH", pw - lw, ph - lh)])
+        xl0, xl1 = _cdiv2(cx0, lev), _cdiv2(cx1, lev)
+        yl0, yl1 = _cdiv2(cy0, lev), _cdiv2(cy1, lev)
+        xh0, xh1 = _cdiv2(cx0, lev - 1) >> 1, _cdiv2(cx1, lev - 1) >> 1
+        yh0, yh1 = _cdiv2(cy0, lev - 1) >> 1, _cdiv2(cy1, lev - 1) >> 1
+        res.append([("HL", xh1 - xh0, yl1 - yl0, xh0, yl0),
+                    ("LH", xl1 - xl0, yh1 - yh0, xl0, yh0),
+                    ("HH", xh1 - xh0, yh1 - yh0, xh0, yh0)])
     return res
-
-
-def _cblk_grid(bw: int, bh: int, cbw: int,
-               cbh: int | None = None) -> tuple[int, int]:
-    if cbh is None:
-        cbh = cbw
-    if bw <= 0 or bh <= 0:
-        return 0, 0
-    return (bw + cbw - 1) // cbw, (bh + cbh - 1) // cbh
 
 
 def _put_npasses(w: _HdrWriter, n: int) -> None:
@@ -877,12 +967,16 @@ def _get_npasses(r: _HdrReader) -> int:
 _MAX_PP = (15, 15)              # Scod bit0 = 0: precinct size 2^15 (B.6)
 
 
-def _prec_layout(w: int, h: int, nl: int, cb_exp: int,
-                 pp: list[tuple[int, int]]):
-    """Per-resolution precinct layout for a w×h tile (B.6). Entry r is
-    ``(npx, npy, pbx, pby, ex, ey, ppx, ppy)``: precinct counts on the
-    resolution grid, band-space precinct size exponents, and the
-    effective code-block exponents min(cb, precinct) (B.7)."""
+def _prec_layout(cx0: int, cy0: int, cx1: int, cy1: int, nl: int,
+                 cb_exp: int, pp: list[tuple[int, int]]):
+    """Per-resolution precinct layout for the tile-component region
+    [cx0, cx1) x [cy0, cy1) in absolute coords (B.6). Entry r is
+    ``(npx, npy, pbx, pby, ex, ey, ppx, ppy, p0x, p0y)``: precinct
+    counts on the resolution grid, band-space precinct size exponents,
+    effective code-block exponents min(cb, precinct) (B.7), and the
+    ABSOLUTE index of the first precinct (grids anchor at 0, so a tile
+    whose resolution origin is not a precinct multiple starts with a
+    partial precinct)."""
     out = []
     for r in range(nl + 1):
         ppx, ppy = pp[r]
@@ -890,26 +984,32 @@ def _prec_layout(w: int, h: int, nl: int, cb_exp: int,
                 (r > 0 and (ppx < 1 or ppy < 1)):
             raise JpxError(f"bad precinct exponents ({ppx},{ppy}) "
                            f"at resolution {r}")
-        s = 1 << (nl - r)
-        rw, rh = (w + s - 1) // s, (h + s - 1) // s
-        npx = max(1, (rw + (1 << ppx) - 1) >> ppx)
-        npy = max(1, (rh + (1 << ppy) - 1) >> ppy)
+        k = nl - r
+        rx0, rx1 = _cdiv2(cx0, k), _cdiv2(cx1, k)
+        ry0, ry1 = _cdiv2(cy0, k), _cdiv2(cy1, k)
+        p0x, p0y = rx0 >> ppx, ry0 >> ppy
+        npx = (_cdiv2(rx1, ppx) - p0x) if rx1 > rx0 else 0
+        npy = (_cdiv2(ry1, ppy) - p0y) if ry1 > ry0 else 0
         sh = 0 if r == 0 else 1
         out.append((npx, npy, ppx - sh, ppy - sh,
                     min(cb_exp, ppx - sh), min(cb_exp, ppy - sh),
-                    ppx, ppy))
+                    ppx, ppy, p0x, p0y))
     return out
 
 
-def _prec_blocks(bw: int, bh: int, pbx: int, pby: int, ex: int, ey: int,
-                 pxi: int, pyi: int):
-    """Code-block index ranges [bx0,bx1)×[by0,by1) of one precinct in
-    a band of bw×bh (grids anchored at the band origin)."""
+def _prec_blocks(bw: int, bh: int, bx0a: int, by0a: int,
+                 pbx: int, pby: int, ex: int, ey: int,
+                 pxa: int, pya: int):
+    """ABSOLUTE code-block index ranges [bx0,bx1)×[by0,by1) of the
+    precinct with absolute index (pxa, pya) in a band whose absolute
+    origin is (bx0a, by0a) and extent bw×bh (both grids anchor at band
+    coordinate 0 per B.7; block index b covers [b·2^ex, (b+1)·2^ex))."""
     if bw <= 0 or bh <= 0:
         return 0, 0, 0, 0
-    x0, y0 = pxi << pbx, pyi << pby
-    x1, y1 = min((pxi + 1) << pbx, bw), min((pyi + 1) << pby, bh)
-    if x0 >= bw or y0 >= bh:
+    x0, y0 = max(pxa << pbx, bx0a), max(pya << pby, by0a)
+    x1 = min((pxa + 1) << pbx, bx0a + bw)
+    y1 = min((pya + 1) << pby, by0a + bh)
+    if x0 >= x1 or y0 >= y1:
         return 0, 0, 0, 0
     return (x0 >> ex, (x1 + (1 << ex) - 1) >> ex,
             y0 >> ey, (y1 + (1 << ey) - 1) >> ey)
@@ -925,12 +1025,12 @@ def _packet_seq(prog: int, layers: int, nres: int, ncomp: int,
     descs = []
     for r in range(nres):
         for c in range(ncomp):
-            npx, npy, _, _, _, _, ppx, ppy = layouts[c][r]
+            npx, npy, _, _, _, _, ppx, ppy, p0x, p0y = layouts[c][r]
             sx, sy = subs[c]
             for pyi in range(npy):
                 for pxi in range(npx):
-                    yi = (pyi << (ppy + nl - r)) * sy
-                    xi = (pxi << (ppx + nl - r)) * sx
+                    yi = ((p0y + pyi) << (ppy + nl - r)) * sy
+                    xi = ((p0x + pxi) << (ppx + nl - r)) * sx
                     for l in range(layers):
                         descs.append((l, r, c, pyi, pxi, yi, xi))
     if prog == 0:                                          # LRCP
@@ -1044,32 +1144,39 @@ def _encode_tile_body(comp_bands, geoms, ncomp: int, cb_exp: int,
                       mbs: list[int], layers: int, prog: int,
                       sop: bool, eph: bool, nl: int,
                       pp: list[tuple[int, int]],
-                      tdims, subs,
+                      tcoords, subs,
                       cb_style: int = 0) -> tuple[bytes, list[int]]:
     """Encode one tile's packet stream. Returns ``(body, bounds)``
     where ``bounds[i]`` is the byte offset of packet ``i`` (plus a
     final end offset) — the tile-part split points. ``geoms``/
-    ``tdims`` are per-component (subsampled grids differ)."""
+    ``tcoords`` are per-component (subsampled grids differ);
+    ``tcoords[c]`` is the absolute (cx0, cy0, cx1, cy1) region."""
     nres = nl + 1
-    layouts = [_prec_layout(cw, ch, nl, cb_exp, pp)
-               for cw, ch in tdims]
+    layouts = [_prec_layout(cx0, cy0, cx1, cy1, nl, cb_exp, pp)
+               for cx0, cy0, cx1, cy1 in tcoords]
     states: dict[tuple, _CblkEnc] = {}
     trees: dict[tuple, tuple] = {}
     for c in range(ncomp):
         for r_i, bands in enumerate(geoms[c]):
-            npx, npy, pbx, pby, ex, ey, _, _ = layouts[c][r_i]
-            cbw, cbh = 1 << ex, 1 << ey
+            (npx, npy, pbx, pby, ex, ey, _, _,
+             p0x, p0y) = layouts[c][r_i]
             mb_idx = sum(len(g) for g in geoms[c][:r_i])
-            for b_i, (kind, bw, bh) in enumerate(bands):
-                nx, ny = _cblk_grid(bw, bh, cbw, cbh)
-                if nx * ny == 0:
+            for b_i, (kind, bw, bh, bx0a, by0a) in enumerate(bands):
+                if bw <= 0 or bh <= 0:
                     continue
                 mb = mbs[mb_idx + b_i]
                 arr = comp_bands[c][r_i][kind]
-                for by in range(ny):
-                    for bx in range(nx):
-                        sl = arr[by * cbh:(by + 1) * cbh,
-                                 bx * cbw:(bx + 1) * cbw]
+                # block grid anchors at band coordinate 0 (B.7):
+                # absolute block indices, local array slices
+                for by in range(by0a >> ey,
+                                _cdiv2(by0a + bh, ey)):
+                    ys = max(by << ey, by0a) - by0a
+                    ye = min((by + 1) << ey, by0a + bh) - by0a
+                    for bx in range(bx0a >> ex,
+                                    _cdiv2(bx0a + bw, ex)):
+                        xs = max(bx << ex, bx0a) - bx0a
+                        xe = min((bx + 1) << ex, bx0a + bw) - bx0a
+                        sl = arr[ys:ye, xs:xe]
                         data, zbp, npasses, seg1 = \
                             _encode_cblk(sl, kind, mb, cb_style)
                         if cb_style & 0x05:
@@ -1084,7 +1191,8 @@ def _encode_tile_body(comp_bands, geoms, ncomp: int, cb_exp: int,
                 for pyi in range(npy):
                     for pxi in range(npx):
                         bx0, bx1, by0, by1 = _prec_blocks(
-                            bw, bh, pbx, pby, ex, ey, pxi, pyi)
+                            bw, bh, bx0a, by0a, pbx, pby, ex, ey,
+                            p0x + pxi, p0y + pyi)
                         if bx0 >= bx1 or by0 >= by1:
                             continue
                         incl = _TagTree(bx1 - bx0, by1 - by0)
@@ -1170,7 +1278,9 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
                list[tuple[int, int]] | None = None,
                depth: int | None = None,
                subsampling: list[tuple[int, int]] | None = None,
-               cb_style: int = 0) -> bytes:
+               cb_style: int = 0,
+               origin: tuple[int, int] = (0, 0),
+               tile_origin: tuple[int, int] = (0, 0)) -> bytes:
     """(H, W) or (H, W, 3) uint8 → JPEG2000 codestream (profile in the
     module docstring). ``cb_exp`` is the code-block size exponent
     (2..10 per the standard; 5 → 32x32). With ``irreversible`` the
@@ -1180,9 +1290,11 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
     code-block's coding passes over that many quality layers;
     ``prog`` picks the progression order (0..4 = LRCP/RLCP/RPCL/PCRL/
     CPRL); ``sop``/``eph`` emit resync markers; ``tile_size`` tiles
-    the image (multi-tile grids must be multiples of 2^levels);
-    ``tile_parts`` splits each tile's packets over several SOT
-    segments. ``precincts`` carves each resolution into precincts:
+    the image — ANY size: every tile transforms on the absolute
+    reference grid (B.5 band coordinates, parity-aware DWT lifting,
+    precinct/code-block grids anchored at 0), so unaligned tiles and
+    odd origins are first-class; ``tile_parts`` splits each tile's
+    packets over several SOT segments. ``precincts`` carves each resolution into precincts:
     one (PPx, PPy) exponent pair applied to every resolution, or a
     per-resolution list of ``levels + 1`` pairs (Scod bit 0 + the B.6
     per-resolution size bytes; code-blocks clamp to min(cb, precinct)
@@ -1191,7 +1303,10 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
     gives per-component (XRsiz, YRsiz) factors: each component keeps
     the top-left sample of every factor-sized cell AFTER the color
     transform (the 4:2:0-style layout real encoders emit); the
-    decoder reconstructs by sample replication. Defaults produce the
+    decoder reconstructs by sample replication. ``origin`` places the
+    image region at (XOsiz, YOsiz) on the reference grid and
+    ``tile_origin`` anchors the tile grid at (XTOsiz, YTOsiz) per B.5
+    (0 <= XTOsiz <= XOsiz < XTOsiz + XTsiz). Defaults produce the
     identical bitstream to the original single-tile/single-layer
     encoder."""
     img = np.asarray(img)
@@ -1219,6 +1334,11 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
     h, w = img.shape[:2]
     ncomp = len(planes)
     mct = 1 if ncomp == 3 else 0
+    xo, yo = int(origin[0]), int(origin[1])
+    xto, yto = int(tile_origin[0]), int(tile_origin[1])
+    if not (0 <= xto <= xo and 0 <= yto <= yo):
+        raise JpxError("need 0 <= tile_origin <= origin (B.5)")
+    xs_, ys_ = xo + w, yo + h                 # Xsiz/Ysiz (grid extent)
     if subsampling is None:
         subs = [(1, 1)] * ncomp
     else:
@@ -1228,8 +1348,12 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
         if any(not (1 <= sx <= 255 and 1 <= sy <= 255)
                for sx, sy in subs):
             raise JpxError("bad subsampling factors")
-        # keep the top-left sample of each cell (post color transform)
-        planes = [p[::sy, ::sx] for p, (sx, sy) in zip(planes, subs)]
+        # keep the top-left sample of each cell (post color transform;
+        # cells anchor at reference-grid 0, so a nonzero origin shifts
+        # the first kept sample to ceil(origin/s)*s)
+        planes = [p[-(-yo // sy) * sy - yo::sy,
+                    -(-xo // sx) * sx - xo::sx]
+                  for p, (sx, sy) in zip(planes, subs)]
     nl = int(levels)
     if not (0 <= nl <= 32):
         raise JpxError(f"bad decomposition levels {nl}")
@@ -1254,45 +1378,44 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
         if len(pp) != nl + 1:
             raise JpxError(f"need {nl + 1} precinct pairs, "
                            f"got {len(pp)}")
-    pair = _fdwt97_pair if irreversible else _fdwt53_pair
+    line = _fdwt97_line if irreversible else _fdwt53_line
     if tile_size is None:
-        xt, yt = w, h
+        xt, yt = xs_ - xto, ys_ - yto
     else:
         xt, yt = int(tile_size[0]), int(tile_size[1])
         if xt < 1 or yt < 1:
             raise JpxError(f"bad tile size {tile_size}")
-    ntx = (w + xt - 1) // xt
-    nty = (h + yt - 1) // yt
-    grid_step = 1 << nl
-    for sx, sy in subs:
-        if (ntx > 1 and xt % (grid_step * sx)) or \
-                (nty > 1 and yt % (grid_step * sy)):
-            raise JpxError(f"tile size {xt}x{yt} not a multiple of "
-                           f"subsampling x 2^levels (odd-origin DWT "
-                           "parity unsupported)")
+    if xto + xt <= xo or yto + yt <= yo:
+        raise JpxError("first tile does not reach the image origin")
+    ntx = -(-(xs_ - xto) // xt)
+    nty = -(-(ys_ - yto) // yt)
 
     band_kinds = [("LL",)] + [("HL", "LH", "HH")] * nl
 
-    # per-tile wavelet decompose; tiles[t] = (geoms[c], bands[c][r][kind],
-    # comp tile dims[c])
+    # per-tile wavelet decompose on the ABSOLUTE reference grid;
+    # tiles[t] = (geoms[c], bands[c][r][kind], comp tile coords[c])
     tiles: list[tuple[list, list, list]] = []
     for t in range(ntx * nty):
         tx, ty = t % ntx, t // ntx
-        x0, y0 = tx * xt, ty * yt
-        x1, y1 = min(x0 + xt, w), min(y0 + yt, h)
+        x0, y0 = max(xto + tx * xt, xo), max(yto + ty * yt, yo)
+        x1, y1 = min(xto + (tx + 1) * xt, xs_), \
+            min(yto + (ty + 1) * yt, ys_)
         tgeoms = []
-        tdims = []
+        tcoords = []
         comp_bands: list[list[dict[str, np.ndarray]]] = []
         for p, (sx, sy) in zip(planes, subs):
             cx0, cx1 = -(-x0 // sx), -(-x1 // sx)
             cy0, cy1 = -(-y0 // sy), -(-y1 // sy)
-            tgeoms.append(_band_geometry(cx1 - cx0, cy1 - cy0, nl))
-            tdims.append((cx1 - cx0, cy1 - cy0))
-            ll = p[cy0:cy1, cx0:cx1]
+            pox, poy = -(-xo // sx), -(-yo // sy)  # plane origin
+            tgeoms.append(_band_geometry(cx0, cy0, cx1, cy1, nl))
+            tcoords.append((cx0, cy0, cx1, cy1))
+            ll = p[cy0 - poy:cy1 - poy, cx0 - pox:cx1 - pox]
+            ox, oy = cx0, cy0
             per_level = []
             for _ in range(nl):
-                d = _fdwt2(ll, pair)
+                d = _fdwt2(ll, ox, oy, line)
                 ll = d["LL"]
+                ox, oy = -(-ox // 2), -(-oy // 2)
                 per_level.append(d)
             by_res = [{"LL": ll}]
             for r_i in range(1, nl + 1):
@@ -1300,7 +1423,7 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
                 d = per_level[lev - 1]
                 by_res.append({k: d[k] for k in ("HL", "LH", "HH")})
             comp_bands.append(by_res)
-        tiles.append((tgeoms, comp_bands, tdims))
+        tiles.append((tgeoms, comp_bands, tcoords))
 
     # quantize (irreversible): q = sign(x) * floor(|x| / delta_b)
     quant: list[tuple[int, int]] = []       # (eps, mu) per band
@@ -1341,7 +1464,8 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
         guard = 2
     out = bytearray()
     out += struct.pack(">H", 0xFF4F)                       # SOC
-    siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, xt, yt, 0, 0, ncomp)
+    siz = struct.pack(">HIIIIIIIIH", 0, xs_, ys_, xo, yo,
+                      xt, yt, xto, yto, ncomp)
     siz += b"".join(bytes([depth - 1, sx, sy])
                     for sx, sy in subs)                    # unsigned
     out += _marker(0xFF51, siz)                            # SIZ
@@ -1362,11 +1486,11 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
             [max(m - guard + 1, 0) << 3 for m in mbs])     # eps = Mb-G+1
     out += _marker(0xFF5C, qcd)                            # QCD
 
-    for t, (tgeoms, comp_bands, tdims) in enumerate(tiles):
+    for t, (tgeoms, comp_bands, tcoords) in enumerate(tiles):
         body, bounds = _encode_tile_body(comp_bands, tgeoms, ncomp,
                                          cb_exp, mbs, layers, prog,
-                                         sop, eph, nl, pp, tdims, subs,
-                                         cb_style)
+                                         sop, eph, nl, pp, tcoords,
+                                         subs, cb_style)
         npkt = len(bounds) - 1
         nparts = max(1, min(tile_parts, npkt))
         cut_pkts = sorted({round(npkt * k / nparts)
@@ -1412,7 +1536,7 @@ def _unwrap_jp2(data: bytes) -> bytes:
 def _decode_tile(body: bytes, geoms, ncomp: int, cb_exp: int,
                  mbs: list[int], layers: int, prog: int,
                  sop: bool, eph: bool, nl: int,
-                 pp: list[tuple[int, int]], tdims, subs,
+                 pp: list[tuple[int, int]], tcoords, subs,
                  cb_style: int = 0):
     """One tile's concatenated packet stream → per-component band
     arrays (``comp_bands[c][r_i][kind]``, int64 coefficients).
@@ -1423,8 +1547,8 @@ def _decode_tile(body: bytes, geoms, ncomp: int, cb_exp: int,
     codeword segments are concatenated before a single tier-1 decode
     (B.10.7)."""
     nres = nl + 1
-    layouts = [_prec_layout(cw, ch, nl, cb_exp, pp)
-               for cw, ch in tdims]
+    layouts = [_prec_layout(cx0, cy0, cx1, cy1, nl, cb_exp, pp)
+               for cx0, cy0, cx1, cy1 in tcoords]
     states: dict[tuple, _CblkDec] = {}
     trees: dict[tuple, tuple[_TagTree, _TagTree]] = {}
     bpos = 0
@@ -1434,14 +1558,16 @@ def _decode_tile(body: bytes, geoms, ncomp: int, cb_exp: int,
             if body[bpos:bpos + 2] == b"\xff\x91":
                 bpos += 6                    # SOP resync (optional per packet)
         rdr = _HdrReader(body, bpos)
-        _, _, pbx, pby, ex, ey, _, _ = layouts[c][r_i]
-        cbw, cbh = 1 << ex, 1 << ey
+        (_, _, pbx, pby, ex, ey, _, _,
+         p0x, p0y) = layouts[c][r_i]
         todo: list[tuple[_CblkDec, int, int]] = []
         if rdr.get():                                      # non-empty packet
             mb_idx = sum(len(g) for g in geoms[c][:r_i])
-            for b_i, (kind, bw, bh) in enumerate(geoms[c][r_i]):
-                bx0, bx1, by0, by1 = _prec_blocks(bw, bh, pbx, pby,
-                                                  ex, ey, pxi, pyi)
+            for b_i, (kind, bw, bh, bx0a, by0a) in \
+                    enumerate(geoms[c][r_i]):
+                bx0, bx1, by0, by1 = _prec_blocks(
+                    bw, bh, bx0a, by0a, pbx, pby, ex, ey,
+                    p0x + pxi, p0y + pyi)
                 if bx0 >= bx1 or by0 >= by1:
                     continue
                 tkey = (c, r_i, b_i, pyi, pxi)
@@ -1460,8 +1586,10 @@ def _decode_tile(body: bytes, geoms, ncomp: int, cb_exp: int,
                                 continue                   # not yet included
                             zbp = zbpt.decode_value(rdr, by - by0,
                                                     bx - bx0)
-                            cw = min(cbw, bw - bx * cbw)
-                            ch = min(cbh, bh - by * cbh)
+                            cw = (min((bx + 1) << ex, bx0a + bw)
+                                  - max(bx << ex, bx0a))
+                            ch = (min((by + 1) << ey, by0a + bh)
+                                  - max(by << ey, by0a))
                             st = _CblkDec(cw, ch, kind, mb, zbp)
                             states[key] = st
                         elif not rdr.get():
@@ -1486,16 +1614,18 @@ def _decode_tile(body: bytes, geoms, ncomp: int, cb_exp: int,
 
     comp_bands: list[list[dict[str, np.ndarray]]] = [
         [{kind: np.zeros((max(bh, 0), max(bw, 0)), dtype=np.int64)
-          for kind, bw, bh in bands} for bands in geoms[c]]
+          for kind, bw, bh, _, _ in bands} for bands in geoms[c]]
         for c in range(ncomp)]
     for (c, r_i, b_i, by, bx), st in states.items():
-        _, _, _, _, ex, ey, _, _ = layouts[c][r_i]
+        _, _, _, _, ex, ey, _, _, _, _ = layouts[c][r_i]
+        _, _, _, bx0a, by0a = geoms[c][r_i][b_i]
         blk = _decode_cblk(b"".join(b for _, b in st.chunks),
                            st.cw, st.ch, st.kind, st.mb, st.zbp,
                            st.npasses, cb_style, st.chunks)
-        comp_bands[c][r_i][st.kind][
-            by << ey:(by << ey) + st.ch,
-            bx << ex:(bx << ex) + st.cw] = blk
+        ys = max(by << ey, by0a) - by0a
+        xs = max(bx << ex, bx0a) - bx0a
+        comp_bands[c][r_i][st.kind][ys:ys + st.ch,
+                                    xs:xs + st.cw] = blk
     return comp_bands
 
 
@@ -1535,14 +1665,15 @@ def decode_jpx(data: bytes, *, return_depth: bool = False):
         if mk == 0xFF51:                                   # SIZ
             rsiz, xs, ys, xo, yo, xts, yts, xto, yto, cs = \
                 struct.unpack_from(">HIIIIIIIIH", seg, 0)
-            if xo or yo or xto or yto:
-                raise JpxError("image/tile offsets unsupported")
             w, h, ncomp = xs, ys, cs
             xt, yt = xts, yts
             if w * h > 64_000_000:
                 raise JpxError(f"bad image dims {w}x{h}")
             if xt < 1 or yt < 1:
                 raise JpxError("bad tile size")
+            if not (xto <= xo < xt + xto and yto <= yo < yt + yto
+                    and xo < w and yo < h):
+                raise JpxError("inconsistent SIZ offsets (B.5)")
             for c in range(cs):
                 ssiz, xr, yr = seg[36 + 3 * c:39 + 3 * c]
                 if ssiz & 0x80:
@@ -1632,13 +1763,8 @@ def decode_jpx(data: bytes, *, return_depth: bool = False):
     if w is None or nl is None or not tile_parts or \
             (not mbs and qparams is None):
         raise JpxError("incomplete codestream (SIZ/COD/QCD/SOT missing)")
-    ntx = (w + xt - 1) // xt
-    nty = (h + yt - 1) // yt
-    grid_step = 1 << nl
-    if (ntx > 1 and xt % grid_step) or (nty > 1 and yt % grid_step):
-        raise JpxError(f"tile size {xt}x{yt} not a multiple of "
-                       f"2^levels={grid_step} (odd-origin DWT parity "
-                       "unsupported)")
+    ntx = -(-(w - xto) // xt)
+    nty = -(-(h - yto) // yt)
 
     # per-band Mb / deltas — shared across tiles (single QCD); the band
     # count 1 + 3*levels is geometry-independent
@@ -1669,16 +1795,14 @@ def decode_jpx(data: bytes, *, return_depth: bool = False):
         raise JpxError("9/7 transform without quantization parameters")
     if len(mbs) != n_bands:
         raise JpxError("QCD subband count mismatch")
-    for sx, sy in subs:
-        if (ntx > 1 and xt % (grid_step * sx)) or \
-                (nty > 1 and yt % (grid_step * sy)):
-            raise JpxError("tile size not a multiple of subsampling x "
-                           "2^levels (odd-origin DWT parity "
-                           "unsupported)")
-    ipair = _idwt97_pair if irreversible else _idwt53_pair
+    line = _idwt97_line if irreversible else _idwt53_line
     dtype = np.float64 if irreversible else np.int64
-    planes = [np.zeros((-(-h // sy), -(-w // sx)), dtype=dtype)
-              for sx, sy in subs]
+    # component planes cover the absolute domain
+    # [ceil(o/s), ceil(Siz/s)) per axis (B.5)
+    porig = [(-(-xo // sx), -(-yo // sy)) for sx, sy in subs]
+    planes = [np.zeros((-(-h // sy) - poy, -(-w // sx) - pox),
+                       dtype=dtype)
+              for (sx, sy), (pox, poy) in zip(subs, porig)]
 
     for t in range(ntx * nty):
         parts = tile_parts.get(t)
@@ -1686,22 +1810,24 @@ def decode_jpx(data: bytes, *, return_depth: bool = False):
             raise JpxError(f"tile {t} missing from codestream")
         body = b"".join(p for _, p in sorted(parts))
         tx, ty = t % ntx, t // ntx
-        x0, y0 = tx * xt, ty * yt
-        x1, y1 = min(x0 + xt, w), min(y0 + yt, h)
+        x0, y0 = max(xto + tx * xt, xo), max(yto + ty * yt, yo)
+        x1, y1 = min(xto + (tx + 1) * xt, w), min(yto + (ty + 1) * yt, h)
         cregs = [(-(-x0 // sx), -(-x1 // sx), -(-y0 // sy), -(-y1 // sy))
                  for sx, sy in subs]
-        tdims = [(cx1 - cx0, cy1 - cy0) for cx0, cx1, cy0, cy1 in cregs]
-        tgeoms = [_band_geometry(cw, ch, nl) for cw, ch in tdims]
+        tcoords = [(cx0, cy0, cx1, cy1)
+                   for cx0, cx1, cy0, cy1 in cregs]
+        tgeoms = [_band_geometry(cx0, cy0, cx1, cy1, nl)
+                  for cx0, cy0, cx1, cy1 in tcoords]
         comp_bands = _decode_tile(body, tgeoms, ncomp, cb_exp, mbs,
                                   layers, prog, sop, eph, nl, pp,
-                                  tdims, subs, cb_style)
+                                  tcoords, subs, cb_style)
 
         # dequantize (irreversible): x = sign(q) * (|q| + 0.5) * delta_b
         if deltas is not None:
             for c in range(ncomp):
                 b_i = 0
                 for r_i, bands in enumerate(tgeoms[c]):
-                    for kind, _, _ in bands:
+                    for kind, *_ in bands:
                         step = deltas[b_i]
                         b_i += 1
                         q = comp_bands[c][r_i][kind].astype(np.float64)
@@ -1712,22 +1838,33 @@ def decode_jpx(data: bytes, *, return_depth: bool = False):
         # inverse wavelet, placed into the stitched component plane
         for c in range(ncomp):
             cx0, cx1, cy0, cy1 = cregs[c]
-            sizes = _ll_sizes(cx1 - cx0, cy1 - cy0, nl)
+            pox, poy = porig[c]
             ll = comp_bands[c][0]["LL"]
             if irreversible:
                 ll = ll.astype(np.float64)
             for r_i in range(1, nl + 1):
                 lev = nl - r_i + 1
-                pw, ph = sizes[lev - 1]
+                # finer region this level reconstructs (absolute)
+                ux0, ux1 = _cdiv2(cx0, lev - 1), _cdiv2(cx1, lev - 1)
+                uy0, uy1 = _cdiv2(cy0, lev - 1), _cdiv2(cy1, lev - 1)
                 bands = dict(comp_bands[c][r_i])
                 bands["LL"] = ll
-                ll = _idwt2(bands, ph, pw, ipair)
-            planes[c][cy0:cy1, cx0:cx1] = ll
+                ll = _idwt2(bands, uy1 - uy0, ux1 - ux0,
+                            ux0, uy0, line)
+            planes[c][cy0 - poy:cy1 - poy, cx0 - pox:cx1 - pox] = ll
 
-    # upsample subsampled components to the reference grid (replication)
-    planes = [np.repeat(np.repeat(p, sy, axis=0), sx, axis=1)[:h, :w]
-              if (sx, sy) != (1, 1) else p
-              for p, (sx, sy) in zip(planes, subs)]
+    # upsample subsampled components to the reference-grid image
+    # region [xo, w) x [yo, h) (sample replication; component sample c
+    # covers reference coords [c*s, (c+1)*s), clamped at region edges)
+    up = []
+    for p, (sx, sy), (pox, poy) in zip(planes, subs, porig):
+        if (sx, sy) == (1, 1):
+            up.append(p)
+            continue
+        ix = np.clip(np.arange(xo, w) // sx - pox, 0, p.shape[1] - 1)
+        iy = np.clip(np.arange(yo, h) // sy - poy, 0, p.shape[0] - 1)
+        up.append(p[np.ix_(iy, ix)])
+    planes = up
 
     if ncomp == 3 and mct:
         if irreversible:

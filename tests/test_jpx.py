@@ -171,9 +171,12 @@ def test_irreversible_layered_matches_single_layer():
     assert np.array_equal(a, b)
 
 
-def test_misaligned_tile_grid_rejected():
-    with pytest.raises(JpxError, match="multiple"):
-        encode_jpx(_grad(52, 80), levels=2, tile_size=(30, 16))
+def test_misaligned_tile_grid_roundtrip():
+    # tile size NOT a multiple of 2^levels: per-tile DWT parity differs
+    # from the reference grid; B.5 absolute-grid coding handles it
+    img = _grad(52, 80)
+    cs = encode_jpx(img, levels=2, tile_size=(30, 16))
+    assert np.array_equal(decode_jpx(cs), img)
 
 
 def test_unknown_progression_rejected():
@@ -569,12 +572,14 @@ def test_asymmetric_subsampling():
     assert np.array_equal(out, exp)
 
 
-def test_subsampled_misaligned_tiles_rejected():
+def test_subsampled_misaligned_tiles_roundtrip():
+    # tile grid unaligned on the subsampled component grids: odd band
+    # origins per component, parity-aware lifting
     rng = np.random.default_rng(19)
     img = rng.integers(0, 256, (40, 48, 3), dtype=np.uint8)
-    with pytest.raises(JpxError, match="subsampling"):
-        encode_jpx(img, levels=2, subsampling=[(1, 1), (2, 2), (2, 2)],
-                   tile_size=(20, 16))
+    cs = encode_jpx(img, levels=2, subsampling=[(1, 1), (2, 2), (2, 2)],
+                    tile_size=(20, 16))
+    assert np.array_equal(decode_jpx(cs), _expected_420(img))
 
 
 def test_subsampling_validation():
@@ -679,3 +684,57 @@ def test_predictable_termination_decodes():
     i = cs.index(b"\xff\x52") + 4
     patched = cs[:i + 8] + bytes([cs[i + 8] | 0x10]) + cs[i + 9:]
     assert np.array_equal(decode_jpx(patched), img)
+
+
+# ------------------------------------ nonzero / odd canvas origins (B.5)
+
+@pytest.mark.parametrize("origin", [(1, 0), (0, 1), (3, 5), (7, 7)])
+def test_odd_origin_untiled_roundtrip(origin):
+    # image anchored off (0,0): band origins become odd → parity-aware
+    # lifting; single-tile case
+    img = _grad(37, 53)
+    cs = encode_jpx(img, levels=2, origin=origin)
+    assert np.array_equal(decode_jpx(cs), img)
+
+
+@pytest.mark.parametrize("origin,tile_origin,tile",
+                         [((3, 5), (0, 0), (16, 16)),
+                          ((5, 2), (5, 2), (20, 24)),
+                          ((9, 1), (1, 1), (30, 16))])
+def test_odd_origin_tiled_roundtrip(origin, tile_origin, tile):
+    img = _grad(52, 80, ch=3)
+    cs = encode_jpx(img, levels=2, origin=origin,
+                    tile_origin=tile_origin, tile_size=tile)
+    assert np.array_equal(decode_jpx(cs), img)
+
+
+def test_odd_origin_irreversible_bounded_error():
+    img = _grad(33, 47)
+    out = decode_jpx(encode_jpx(img, irreversible=True, delta=1 / 64,
+                                origin=(3, 1), tile_size=(20, 20)))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_odd_origin_subsampled_roundtrip():
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, (40, 48, 3), dtype=np.uint8)
+    cs = encode_jpx(img, levels=2, subsampling=[(1, 1), (2, 2), (2, 2)],
+                    origin=(2, 4), tile_size=(20, 16))
+    assert np.array_equal(decode_jpx(cs), _expected_420(img))
+
+
+def test_odd_origin_zero_levels_roundtrip():
+    img = _grad(19, 23)
+    cs = encode_jpx(img, levels=0, origin=(1, 3), tile_size=(8, 8))
+    assert np.array_equal(decode_jpx(cs), img)
+
+
+def test_origin_styles_combined_roundtrip():
+    # origin + precincts + layers + bypass + SOP/EPH + RPCL together
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (45, 61), dtype=np.uint8)
+    cs = encode_jpx(img, levels=3, origin=(5, 3), tile_size=(24, 24),
+                    precincts=(5, 5), layers=2, cb_style=0x01,
+                    prog=2, sop=True, eph=True)
+    assert np.array_equal(decode_jpx(cs), img)
