@@ -15,9 +15,9 @@ Supported codestream profile (both directions):
   at coordinate 0 so unaligned tiles start with partial precincts —
   multiple tile-parts per tile, per-component subsampling (each
   component codes its own ceil(d/s) grid; decode reconstructs by
-  sample replication — the 4:2:0-style layout), 8..16-bit unsigned
-  samples (deep samples return uint16 at native scale; the PDF image
-  layer renders them at 8 bits)
+  sample replication — the 4:2:0-style layout), 8..16-bit samples
+  (deep samples return uint16 at native scale; the PDF image layer
+  renders them at 8 bits)
 - reversible 5/3 wavelet (Annex F) OR irreversible 9/7 float wavelet
   with scalar quantization (Annex E, derived and expounded styles,
   midpoint dequantization), 0..N decomposition levels
@@ -38,9 +38,13 @@ Supported codestream profile (both directions):
 - tag-tree coded packet headers (Annex B), JP2 wrapper or raw
   codestream accepted on decode
 
-Anything outside the profile (signed samples) raises ``JpxError`` →
-the walker's honest ``<img src="">`` degradation, with the reason
-preserved.
+- signed samples (Ssiz sign bit): coded without the DC level shift,
+  returned as int8/int16 at native scale
+
+Anything outside the profile (mixed per-component depths or
+signedness, >3 components, non-square code-blocks) raises
+``JpxError`` → the walker's honest ``<img src="">`` degradation,
+with the reason preserved.
 
 Verification: like the engine's JPEG/CCITT/JBIG2 codecs, the locked
 property for the reversible profile is ``decode(encode(img)) == img``
@@ -1298,8 +1302,10 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
     one (PPx, PPy) exponent pair applied to every resolution, or a
     per-resolution list of ``levels + 1`` pairs (Scod bit 0 + the B.6
     per-resolution size bytes; code-blocks clamp to min(cb, precinct)
-    per B.7). ``depth`` codes 9..16-bit unsigned samples (pass a
-    uint16 array; defaults to 8 for uint8 input). ``subsampling``
+    per B.7). ``depth`` codes 9..16-bit samples (pass a uint16 array;
+    defaults to 8). A SIGNED input array (int8/int16) codes signed
+    samples: the DC level shift is skipped and the Ssiz sign bit set;
+    decode returns int8/int16 at native scale. ``subsampling``
     gives per-component (XRsiz, YRsiz) factors: each component keeps
     the top-left sample of every factor-sized cell AFTER the color
     transform (the 4:2:0-style layout real encoders emit); the
@@ -1310,13 +1316,24 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
     identical bitstream to the original single-tile/single-layer
     encoder."""
     img = np.asarray(img)
+    signed = img.dtype.kind == "i"
     if depth is None:
         depth = 8
     if not (8 <= depth <= 16):
         raise JpxError(f"bad sample depth {depth}")
-    if int(img.max(initial=0)) >= 1 << depth or int(img.min(initial=0)) < 0:
-        raise JpxError(f"samples exceed {depth}-bit range")
-    shift = 1 << (depth - 1)
+    if signed:
+        # signed samples code without the DC level shift (B.1: Ssiz
+        # sign bit); the nominal range is [-2^(d-1), 2^(d-1)-1]
+        half = 1 << (depth - 1)
+        if (int(img.max(initial=0)) >= half
+                or int(img.min(initial=0)) < -half):
+            raise JpxError(f"samples exceed signed {depth}-bit range")
+        shift = 0
+    else:
+        if (int(img.max(initial=0)) >= 1 << depth
+                or int(img.min(initial=0)) < 0):
+            raise JpxError(f"samples exceed {depth}-bit range")
+        shift = 1 << (depth - 1)
     if img.ndim == 2:
         planes = [img.astype(np.int64) - shift]
     elif img.ndim == 3 and img.shape[2] == 3:
@@ -1466,8 +1483,8 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
     out += struct.pack(">H", 0xFF4F)                       # SOC
     siz = struct.pack(">HIIIIIIIIH", 0, xs_, ys_, xo, yo,
                       xt, yt, xto, yto, ncomp)
-    siz += b"".join(bytes([depth - 1, sx, sy])
-                    for sx, sy in subs)                    # unsigned
+    ssiz = (depth - 1) | (0x80 if signed else 0)
+    siz += b"".join(bytes([ssiz, sx, sy]) for sx, sy in subs)
     out += _marker(0xFF51, siz)                            # SIZ
     scod = (0x02 if sop else 0) | (0x04 if eph else 0) \
         | (0x01 if precincts is not None else 0)
@@ -1645,6 +1662,7 @@ def decode_jpx(data: bytes, *, return_depth: bool = False):
     nl = cb_exp = mct = None
     depth = None
     subs: list[tuple[int, int]] = []
+    signed = None
     prog, layers, sop, eph = 0, 1, False, False
     pp: list[tuple[int, int]] = []
     mbs: list[int] = []
@@ -1676,8 +1694,12 @@ def decode_jpx(data: bytes, *, return_depth: bool = False):
                 raise JpxError("inconsistent SIZ offsets (B.5)")
             for c in range(cs):
                 ssiz, xr, yr = seg[36 + 3 * c:39 + 3 * c]
-                if ssiz & 0x80:
-                    raise JpxError("signed samples unsupported")
+                s = bool(ssiz & 0x80)
+                if signed is None:
+                    signed = s
+                elif signed != s:
+                    raise JpxError("mixed component signedness "
+                                   "unsupported")
                 d = (ssiz & 0x7F) + 1
                 if not (1 <= d <= 16):
                     raise JpxError(f"{d}-bit samples unsupported")
@@ -1874,10 +1896,14 @@ def decode_jpx(data: bytes, *, return_depth: bool = False):
         planes = [r, g, b]
     if irreversible:
         planes = [np.rint(p) for p in planes]
-    odt = np.uint8 if depth <= 8 else np.uint16
-    shift = 1 << (depth - 1)
-    out = [np.clip(p + shift, 0, (1 << depth) - 1).astype(odt)
-           for p in planes]
+    half = 1 << (depth - 1)
+    if signed:
+        odt = np.int8 if depth <= 8 else np.int16
+        out = [np.clip(p, -half, half - 1).astype(odt) for p in planes]
+    else:
+        odt = np.uint8 if depth <= 8 else np.uint16
+        out = [np.clip(p + half, 0, (1 << depth) - 1).astype(odt)
+               for p in planes]
     img = out[0] if ncomp == 1 else (
         np.stack(out, axis=-1) if ncomp == 3 else None)
     if img is None:

@@ -738,3 +738,59 @@ def test_origin_styles_combined_roundtrip():
                     precincts=(5, 5), layers=2, cb_style=0x01,
                     prog=2, sop=True, eph=True)
     assert np.array_equal(decode_jpx(cs), img)
+
+
+# ---------------------------------------------- signed samples (Ssiz)
+
+def test_signed_gray_roundtrip():
+    rng = np.random.default_rng(37)
+    g = rng.integers(-128, 128, (33, 47), dtype=np.int8)
+    out = decode_jpx(encode_jpx(g))
+    assert out.dtype == np.int8
+    assert np.array_equal(out, g)
+
+
+def test_signed_rgb_roundtrip():
+    rng = np.random.default_rng(38)
+    c = rng.integers(-128, 128, (24, 31, 3), dtype=np.int8)
+    out = decode_jpx(encode_jpx(c, levels=3))
+    assert out.dtype == np.int8
+    assert np.array_equal(out, c)
+
+
+def test_signed_deep_roundtrip():
+    rng = np.random.default_rng(39)
+    d = rng.integers(-2048, 2048, (20, 28), dtype=np.int16)
+    out, dep = decode_jpx(encode_jpx(d, depth=12), return_depth=True)
+    assert (out.dtype, dep) == (np.int16, 12)
+    assert np.array_equal(out, d)
+
+
+def test_signed_tiled_odd_origin_styles_roundtrip():
+    rng = np.random.default_rng(41)
+    e = rng.integers(-128, 128, (40, 52), dtype=np.int8)
+    cs = encode_jpx(e, levels=2, origin=(3, 5), tile_size=(20, 24),
+                    layers=2, cb_style=0x01, prog=2)
+    assert np.array_equal(decode_jpx(cs), e)
+
+
+def test_signed_range_validation():
+    with pytest.raises(JpxError, match="signed 8-bit"):
+        encode_jpx(np.array([[200]], np.int16), depth=8)
+
+
+def test_mixed_signedness_rejected():
+    # patch one component's Ssiz sign bit in a 3-component stream
+    cs = encode_jpx(_grad(8, 8, ch=3))
+    i = cs.index(b"\xff\x51") + 4 + 36        # first component Ssiz
+    patched = cs[:i] + bytes([cs[i] | 0x80]) + cs[i + 1:]
+    with pytest.raises(JpxError, match="signedness"):
+        decode_jpx(patched)
+
+
+def test_signed_flag_does_not_change_unsigned_bytes():
+    img = _grad(20, 31, ch=3)
+    cs = encode_jpx(img)
+    i = cs.index(b"\xff\x51") + 4 + 36
+    # all three Ssiz bytes carry depth-1 with the sign bit clear
+    assert cs[i] == cs[i + 3] == cs[i + 6] == 7
