@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stale_urls": _q_stale_urls,
         "snapshot_diff": _q_snapshot_diff,
         "top_unshipped_orders": _q_top_unshipped,
+        "returned_items": _q_returned_items,
         "local_supplier_volume": _q_local_supplier_volume,
         "customer_distribution": _q_customer_distribution,
         "length_percentiles": _q_length_percentiles,
@@ -408,6 +409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_purchase": _q_asof_last_purchase,
         "range_join_window": _q_range_join_window,
         "rolling_user_totals": _q_rolling_user_totals,
+        "inter_event_gaps": _q_inter_event_gaps,
         "event_transitions": _q_event_transitions,
         "top_docs_per_lang": _q_top_docs_per_lang,
         # -- multimodal plumbing
@@ -1011,6 +1013,20 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue_cents DESC, o_orderkey
             LIMIT 10
         """,
+        "returned_items": """
+            SELECT c_custkey, c_name, n_name,
+                   CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM customer, orders, lineitem, nation
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+              AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+            GROUP BY 1, 2, 3
+            ORDER BY revenue_cents DESC, c_custkey
+            LIMIT 20
+        """,
         "web_pipeline": f"""
             SELECT url, text AS main_text,
                    CAST(len(string_split(text, ' ')) AS BIGINT)
@@ -1517,6 +1533,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # unbounded-preceding running totals per user; integer cents so
         # the cumulative sum is partitioning-independent
+        "inter_event_gaps": """
+            WITH g AS (
+              SELECT user_id,
+                     date_diff('microsecond', ts,
+                               lead(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id))
+                         AS gap
+              FROM events)
+            SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+                   CAST(sum(gap) AS BIGINT) AS total_gap_us,
+                   CAST(max(gap) AS BIGINT) AS max_gap_us,
+                   CAST(min(gap) AS BIGINT) AS min_gap_us
+            FROM g WHERE gap IS NOT NULL GROUP BY user_id
+        """,
         "rolling_user_totals": """
             SELECT event_id, user_id, ts,
                    CAST(row_number() OVER w AS BIGINT) AS cum_n,
@@ -1995,6 +2025,21 @@ def _q_top_unshipped(sf_dir: str):
     revenue so the distributed sum is order-independent."""
     from pdf2dom_ray.pipelines.tpch import q3_top_unshipped
     return q3_top_unshipped(sf_dir)
+
+
+def _q_returned_items(sf_dir: str):
+    """TPC-H Q10 shape: returned-line revenue per customer (combiner
+    -> hash join -> hash-partitioned custkey aggregate -> broadcast
+    customer/nation attach -> take-ordered top 20; integer cents)."""
+    from pdf2dom_ray.pipelines.tpch import q10_returned_items
+    return q10_returned_items(sf_dir)
+
+
+def _q_inter_event_gaps(sf_dir: str):
+    """LAG window shape: per-user inter-arrival gap stats in integer
+    microseconds (one user-hash exchange, vectorized diff)."""
+    from pdf2dom_ray.functions.temporal import inter_event_gaps
+    return inter_event_gaps(sf_dir)
 
 
 def _q_web_pipeline(sf_dir: str):

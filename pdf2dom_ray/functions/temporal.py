@@ -24,7 +24,8 @@ import pyarrow as pa
 import ray.data as rd
 
 __all__ = ["asof_join_last_purchase", "range_join_event_window",
-           "rolling_user_totals", "event_transitions"]
+           "rolling_user_totals", "event_transitions",
+           "inter_event_gaps"]
 
 _US_PER_DAY = 86_400_000_000
 
@@ -298,3 +299,58 @@ def event_transitions(events: rd.Dataset, *, user_col: str = "user_id",
     agg = _to_arrow_blocks(parts.groupby(["from_type", "to_type"])
                            .aggregate(Sum("n", alias_name="n")))
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def inter_event_gaps(sf_dir: str,
+                     num_partitions: int = 16) -> rd.Dataset:
+    """Per-user inter-arrival statistics: the LAG window shape.
+
+    For each user, the gaps (microseconds) between consecutive events
+    in (ts, event_id) order → one summary row per user: gap count,
+    total/max/min gap. Integer microseconds keep the driver's
+    value-hash exact (no float means/ratios).
+
+    Scale shape: narrow columns only, ONE hash exchange on user_id,
+    then a vectorized per-partition pass (mergesort + groupby.shift
+    diff + one pandas agg). A user's full history is co-located by the
+    hash, so the per-partition summary is FINAL — no second shuffle.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__part=_part_of(df["user_id"], num_partitions))
+
+    def per_partition(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy(np.int64)
+        gap = np.diff(t, prepend=t[:1])
+        # first row of each user has no predecessor → drop its gap
+        first = np.empty(len(uid), dtype=bool)
+        first[:1] = True
+        first[1:] = uid[1:] != uid[:-1]
+        d = pd.DataFrame({"user_id": uid[~first], "gap": gap[~first]})
+        if not len(d):
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "n_gaps": pa.array([], pa.int64()),
+                "total_gap_us": pa.array([], pa.int64()),
+                "max_gap_us": pa.array([], pa.int64()),
+                "min_gap_us": pa.array([], pa.int64())})
+        s = d.groupby("user_id", sort=False).agg(
+            n_gaps=("gap", "size"), total_gap_us=("gap", "sum"),
+            max_gap_us=("gap", "max"), min_gap_us=("gap", "min"))
+        return pa.table({
+            "user_id": pa.array(s.index.to_numpy(np.int64)),
+            "n_gaps": pa.array(s["n_gaps"].to_numpy(np.int64)),
+            "total_gap_us": pa.array(
+                s["total_gap_us"].to_numpy(np.int64)),
+            "max_gap_us": pa.array(s["max_gap_us"].to_numpy(np.int64)),
+            "min_gap_us": pa.array(s["min_gap_us"].to_numpy(np.int64)),
+        })
+
+    return (ds.map_batches(tag, batch_format="pandas")
+              .groupby("__part")
+              .map_groups(per_partition, batch_format="pandas"))

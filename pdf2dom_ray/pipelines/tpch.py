@@ -32,7 +32,7 @@ import ray.data as rd
 from ray.data.aggregate import Sum
 
 __all__ = ["q3_top_unshipped", "q5_local_supplier_volume",
-           "q13_customer_distribution"]
+           "q13_customer_distribution", "q10_returned_items"]
 
 
 def _n_partitions() -> int:
@@ -418,3 +418,160 @@ def q13_customer_distribution(sf_dir: str, *,
             "custdist": t.column("custdist").cast(pa.int64())})
 
     return hist.map_batches(finish, batch_format="pyarrow")
+
+
+def q10_returned_items(sf_dir: str, *, date_lo: str = "1996-01-01",
+                       date_hi: str = "1996-04-01", limit: int = 20,
+                       broadcast_limit: int = 5_000_000) -> rd.Dataset:
+    """TPC-H Q10 shape: revenue lost to returned items per customer
+    over a one-quarter order window, top ``limit`` customers.
+
+    Distributed shape (the Q3 playbook with the dim join on the OTHER
+    side of the aggregate):
+
+    1. lineitem filters ``l_returnflag = 'R'`` at the scan batch and
+       collapses to per-batch (l_orderkey, cents) partials — the only
+       big⋈big exchange then moves pre-aggregated narrow rows into the
+       date-windowed orders (o_orderkey, o_custkey) hash join.
+    2. the join output re-keys to o_custkey through the repo's
+       hash-partitioned aggregate (high-cardinality key, combiner
+       first — never Ray's sort-aggregate).
+    3. customer attaches map-side from a broadcast (custkey → name,
+       nationkey) under ``broadcast_limit``; past it, the same
+       ``join_ready``-guarded hash-join fallback as Q3. nation is a
+       driver-side dict (25 rows).
+    4. top-k by (revenue_cents desc, c_custkey) via per-batch top-k
+       partials + a driver merge over ≤ blocks×k narrow rows.
+
+    Integer cents (``floor(extendedprice*(1-discount)*100)``) keep the
+    distributed sum bit-exact vs the DuckDB oracle.
+    """
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+    n_part = _n_partitions()
+
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name"]).to_pandas()
+    nation_name = dict(zip(nat["n_nationkey"].astype(int),
+                           nat["n_name"]))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def date_filter(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        keep = pc.and_(pc.greater_equal(
+            d, pa.scalar(lo.item(), pa.timestamp("us"))),
+            pc.less(d, pa.scalar(hi.item(), pa.timestamp("us"))))
+        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    orders = orders.map_batches(date_filter, batch_format="pyarrow")
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_returnflag"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        ep = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        cents = np.floor(ep * (1.0 - disc) * 100.0).astype(np.int64)
+        df = pd.DataFrame({"l_orderkey": t.column("l_orderkey")
+                           .to_numpy(), "revenue_cents": cents})
+        g = df.groupby("l_orderkey", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = li.map_batches(li_partial, batch_format="pyarrow")
+
+    joined = parts.join(orders, join_type="inner",
+                        num_partitions=n_part,
+                        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    from ..stages.hashagg import hash_aggregate
+
+    def by_cust(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["o_custkey", "revenue_cents"]] \
+            .groupby("o_custkey", as_index=False) \
+            .agg(revenue_cents=("revenue_cents", "sum"))
+
+    per_cust = hash_aggregate(joined, ["o_custkey"], by_cust,
+                              num_partitions=n_part)
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name",
+                                    "c_nationkey"]).materialize()
+
+    if cust.count() <= broadcast_limit:
+        cdf = cust.to_pandas().sort_values("c_custkey")
+        c_keys = cdf["c_custkey"].to_numpy(np.int64)
+        c_names = cdf["c_name"].to_numpy(object)
+        c_nat = cdf["c_nationkey"].to_numpy(np.int64)
+        cust_ref = ray.put((c_keys, c_names, c_nat))
+
+        class AttachCustomer:
+            def __init__(self) -> None:
+                self._keys, self._names, self._nat = ray.get(cust_ref)
+
+            def __call__(self, df: pd.DataFrame) -> pa.Table:
+                ck = df["o_custkey"].to_numpy(np.int64)
+                pos = np.searchsorted(self._keys, ck)
+                pos[pos == len(self._keys)] = 0
+                hit = (len(self._keys) > 0) & (self._keys[pos] == ck)
+                ck, pos = ck[hit], pos[hit]
+                cents = df["revenue_cents"].to_numpy(np.int64)[hit]
+                return pa.table({
+                    "c_custkey": pa.array(ck, pa.int64()),
+                    "c_name": pa.array(self._names[pos], pa.string()),
+                    "c_nationkey": pa.array(self._nat[pos], pa.int64()),
+                    "revenue_cents": pa.array(cents, pa.int64())})
+
+        rows = per_cust.map_batches(AttachCustomer,
+                                    batch_format="pandas",
+                                    concurrency=(1, 4))
+    else:
+        from ..functions.dedup import join_ready
+        rows = join_ready(per_cust, n_part).join(
+            join_ready(cust, n_part), join_type="inner",
+            num_partitions=n_part,
+            on=("o_custkey",), right_on=("c_custkey",))
+
+        def narrow(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "c_custkey": t.column("o_custkey").cast(pa.int64()),
+                "c_name": t.column("c_name").cast(pa.string()),
+                "c_nationkey": t.column("c_nationkey").cast(pa.int64()),
+                "revenue_cents": t.column("revenue_cents")
+                                  .cast(pa.int64())})
+
+        rows = rows.map_batches(narrow, batch_format="pyarrow")
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("revenue_cents", "descending"),
+                          ("c_custkey", "ascending")])
+        return t.take(idx[:limit])
+
+    partials = rows.map_batches(topk_partial, batch_format="pyarrow")
+    # empty map_groups partitions can surface as pandas blocks — coerce
+    tables = [b if isinstance(b, pa.Table)
+              else pa.Table.from_pandas(b, preserve_index=False)
+              for b in ray.get(partials.to_arrow_refs())]
+    tables = [b for b in tables if b.num_rows and b.num_columns]
+    empty = pa.table({"c_custkey": pa.array([], pa.int64()),
+                      "c_name": pa.array([], pa.string()),
+                      "n_name": pa.array([], pa.string()),
+                      "revenue_cents": pa.array([], pa.int64())})
+    if not tables:
+        return rd.from_arrow(empty)
+    merged = pa.concat_tables(tables)
+    idx = pc.sort_indices(
+        merged, sort_keys=[("revenue_cents", "descending"),
+                           ("c_custkey", "ascending")])
+    top = merged.take(idx[:limit])
+    nk = top.column("c_nationkey").to_pylist()
+    return rd.from_arrow(pa.table({
+        "c_custkey": top.column("c_custkey").cast(pa.int64()),
+        "c_name": top.column("c_name").cast(pa.string()),
+        "n_name": pa.array([nation_name[k] for k in nk], pa.string()),
+        "revenue_cents": top.column("revenue_cents").cast(pa.int64())}))

@@ -158,3 +158,51 @@ def test_event_transitions_tie_break_on_event_id(ray_session):
     got = {(r["from_type"], r["to_type"]): r["n"]
            for r in event_transitions(ds).take_all()}
     assert got == {("a", "b"): 1, ("b", "c"): 1}
+
+
+def test_inter_event_gaps_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+
+    from pdf2dom_ray.functions.temporal import inter_event_gaps
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet')")
+    ref = con.execute("""
+        WITH g AS (
+          SELECT user_id,
+                 date_diff('microsecond', ts,
+                           lead(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)) AS gap
+          FROM events)
+        SELECT user_id, count(gap) AS n_gaps, sum(gap) AS total_gap_us,
+               max(gap) AS max_gap_us, min(gap) AS min_gap_us
+        FROM g WHERE gap IS NOT NULL GROUP BY user_id
+        ORDER BY user_id""").fetchdf()
+
+    got = inter_event_gaps(sf_dir, num_partitions=5).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert got["user_id"].tolist() == ref["user_id"].tolist()
+    for c in ("n_gaps", "total_gap_us", "max_gap_us", "min_gap_us"):
+        assert got[c].astype("int64").tolist() == \
+            ref[c].astype("int64").tolist(), c
+
+
+def test_inter_event_gaps_single_event_user_dropped(ray_session,
+                                                    tmp_path):
+    import pandas as pd
+
+    from pdf2dom_ray.functions.temporal import inter_event_gaps
+
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "user_id": [10, 20, 20],
+        "ts": pd.to_datetime([1_000_000, 5_000_000, 2_000_000],
+                             unit="us"),
+    })
+    df.to_parquet(tmp_path / "events.parquet")
+    got = inter_event_gaps(str(tmp_path)).to_pandas()
+    # user 10 has one event -> no gaps row; user 20 gap = 3s
+    assert got["user_id"].tolist() == [20]
+    assert got["n_gaps"].tolist() == [1]
+    assert got["total_gap_us"].tolist() == [3_000_000]

@@ -126,3 +126,39 @@ def test_q13_all_orders_excluded_collapses_to_zero_bucket(
     # nothing excluded → no zero bucket unless a customer has no orders
     want = _duck_q13(sf_dir, exclude="__no_such_priority__")
     assert _q13_rows(got) == _q13_rows(want)
+
+
+def _duck_q10(sf_dir, lo="1996-01-01", hi="1996-04-01"):
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    return con.execute(f"""
+        SELECT c_custkey, c_name, n_name,
+               CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '{lo}'
+          AND o_orderdate <  TIMESTAMP '{hi}'
+          AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        GROUP BY 1, 2, 3
+        ORDER BY revenue_cents DESC, c_custkey LIMIT 20""").fetchdf()
+
+
+def _q10_rows(df):
+    return [(int(r.c_custkey), str(r.c_name), str(r.n_name),
+             int(r.revenue_cents)) for r in df.itertuples()]
+
+
+def test_q10_broadcast_path_matches_duckdb(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q10_returned_items
+    got = q10_returned_items(sf_dir).to_pandas()
+    assert _q10_rows(got) == _q10_rows(_duck_q10(sf_dir))
+
+
+def test_q10_join_path_identical(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q10_returned_items
+    a = q10_returned_items(sf_dir, broadcast_limit=0).to_pandas()
+    assert _q10_rows(a) == _q10_rows(_duck_q10(sf_dir))
