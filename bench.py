@@ -177,7 +177,8 @@ def run_bench() -> dict:
                  "image_phash_dedup", "distinct_users_by_type",
                  "snapshot_diff", "funnel_steps", "events_rollup",
                  "event_transitions", "anchor_texts", "ann_pq_topk",
-                 "corpus_split", "table_profile", "length_deciles"):
+                 "corpus_split", "table_profile", "length_deciles",
+                 "returned_items", "inter_event_gaps"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
