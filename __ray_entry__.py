@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quota": _q_source_quota,
         "weighted_sample": _q_weighted_sample,
         "link_adjacency": _q_link_adjacency,
+        "link_triangles": _q_link_triangles,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
         "hashed_features": _q_hashed_features,
@@ -1012,6 +1013,28 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
             ORDER BY revenue_cents DESC, o_orderkey
             LIMIT 10
+        """,
+        # chord-cycle graph (+1,+2,+3 mod N) over doc_ids; oracle
+        # orients lexicographically — per-node triangle counts are
+        # orientation-independent
+        "link_triangles": """
+            WITH nn AS (SELECT count(*) AS cnt FROM documents),
+            e0 AS (SELECT doc_id AS a,
+                          (doc_id + d) % (SELECT cnt FROM nn) AS b
+                   FROM documents,
+                        (SELECT unnest([1, 2, 3]) AS d) ds),
+            und AS (SELECT DISTINCT LEAST(a, b) AS a,
+                           GREATEST(a, b) AS b
+                    FROM e0 WHERE a <> b),
+            tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+                    FROM und e1
+                    JOIN und e2 ON e2.a = e1.b
+                    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+            SELECT nd AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM (SELECT u AS nd FROM tri UNION ALL
+                  SELECT v FROM tri UNION ALL
+                  SELECT w FROM tri) t
+            GROUP BY nd
         """,
         "returned_items": """
             SELECT c_custkey, c_name, n_name,
@@ -1988,6 +2011,37 @@ def _q_link_adjacency(sf_dir: str):
                                                     extract_outlinks_ds,
                                                     synth_html_pages)
     return adjacency_lists(extract_outlinks_ds(synth_html_pages(sf_dir)))
+
+
+def _q_link_triangles(sf_dir: str):
+    """Per-node triangle counts (degree-ordered distributed algorithm)
+    over a deterministic chord-cycle graph on doc_ids (chords +1,+2,+3
+    mod N). The synth OUTLINK graph is bipartite (docs -> shared hub
+    pages only) and has zero triangles by construction, so the
+    clustering-structure operator is exercised on a graph that has
+    them — the shape of a doc-similarity / citation graph."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.triangles import triangle_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    n = docs.count()
+
+    def chords(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "a": np.concatenate([d, d, d]),
+            "b": np.concatenate([(d + 1) % n, (d + 2) % n,
+                                 (d + 3) % n])})
+
+    out = triangle_counts(docs.map_batches(chords,
+                                           batch_format="pandas"))
+    return out.map_batches(
+        lambda df: df.rename(columns={"node": "doc_id"}),
+        batch_format="pandas")
 
 
 def _q_length_percentiles_by(sf_dir: str):

@@ -178,7 +178,8 @@ def run_bench() -> dict:
                  "snapshot_diff", "funnel_steps", "events_rollup",
                  "event_transitions", "anchor_texts", "ann_pq_topk",
                  "corpus_split", "table_profile", "length_deciles",
-                 "returned_items", "inter_event_gaps"):
+                 "returned_items", "inter_event_gaps",
+                 "link_triangles"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
