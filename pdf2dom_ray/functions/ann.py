@@ -32,36 +32,52 @@ def _emb_matrix(batch: pa.Table) -> np.ndarray:
     return flat.to_numpy(zero_copy_only=False).reshape(len(col), dim)
 
 
-class _BruteScorer:
-    """Actor: query vector fetched once per actor from the object store."""
+def _take_ordered(ds: rd.Dataset, sort_keys, k: int,
+                  empty: pa.Table) -> rd.Dataset:
+    """Driver merge over per-batch top-k partials (the takeOrdered
+    pattern) — a full Sort operator is pure fixed cost for a k-row
+    result. Input batches must already be ≤ k rows each."""
+    tables = [b if isinstance(b, pa.Table)
+              else pa.Table.from_pandas(b, preserve_index=False)
+              for b in ray.get(ds.to_arrow_refs())]
+    tables = [b for b in tables if b.num_rows and b.num_columns]
+    if not tables:
+        return rd.from_arrow(empty)
+    merged = pa.concat_tables(tables).combine_chunks()
+    idx = pa.compute.sort_indices(merged, sort_keys=sort_keys)
+    return rd.from_arrow(merged.take(idx[:k]))
 
-    def __init__(self, query_ref, k: int):
-        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
-        self.q = np.asarray(q, dtype=np.float64)
-        self.qn = np.linalg.norm(self.q)
-        self.k = k
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+_TOPK_EMPTY = pa.table({"vec_id": pa.array([], pa.int64()),
+                        "sim": pa.array([], pa.float64())})
+
+
+def brute_topk(ds: rd.Dataset, query: np.ndarray, k: int = 10, *,
+               concurrency=None) -> rd.Dataset:
+    """Global cosine top-k: per-batch top-k combiner (plain task fn —
+    ``ray.get`` of the broadcast query is a zero-copy shared-memory
+    read, no actor-pool spin-up) → driver merge over ≤ k×blocks rows."""
+    query_ref = ray.put(np.asarray(query, dtype=np.float64))
+
+    def score(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return _TOPK_EMPTY
+        q = ray.get(query_ref)
         e = _emb_matrix(batch).astype(np.float64)
         norms = np.linalg.norm(e, axis=1)
-        sims = e @ self.q / np.maximum(norms * self.qn, 1e-30)
-        k = min(self.k, len(sims))
-        idx = np.argpartition(-sims, k - 1)[:k]  # local top-k combiner
+        sims = e @ q / np.maximum(norms * np.linalg.norm(q), 1e-30)
+        kk = min(k, len(sims))
+        idx = np.argpartition(-sims, kk - 1)[:kk]  # local combiner
         return pa.table({
             "vec_id": pa.array(np.asarray(batch.column("vec_id"))[idx],
                                pa.int64()),
             "sim": pa.array(np.round(sims[idx], 4), pa.float64()),
         })
 
-
-def brute_topk(ds: rd.Dataset, query: np.ndarray, k: int = 10, *,
-               concurrency=None) -> rd.Dataset:
-    """Global cosine top-k: per-batch top-k → tiny global sort+limit."""
-    query_ref = ray.put(np.asarray(query, dtype=np.float64))
-    local = ds.map_batches(
-        _BruteScorer, fn_constructor_kwargs={"query_ref": query_ref, "k": k},
-        batch_format="pyarrow", concurrency=concurrency or default_pool())
-    return local.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
+    local = ds.map_batches(score, batch_format="pyarrow")
+    return _take_ordered(local, [("sim", "descending"),
+                                 ("vec_id", "ascending")], k,
+                         _TOPK_EMPTY)
 
 
 class _LshSigner:
@@ -79,10 +95,11 @@ class _LshSigner:
 
 def lsh_buckets(ds: rd.Dataset, dim: int, planes: int = 8,
                 concurrency=None) -> rd.Dataset:
-    """Append a random-hyperplane LSH bucket column."""
-    return ds.map_batches(_LshSigner,
-                          fn_constructor_kwargs={"dim": dim, "planes": planes},
-                          batch_format="pyarrow", concurrency=concurrency or default_pool())
+    """Append a random-hyperplane LSH bucket column. The signer is a
+    driver-built INSTANCE shipped per task (a few KB of plane matrix) —
+    task-based, no actor pool."""
+    return ds.map_batches(_LshSigner(dim, planes),
+                          batch_format="pyarrow")
 
 
 @ray.remote
@@ -180,6 +197,7 @@ def embedding_near_dup_pairs_lsh(ds: rd.Dataset, threshold: float = 0.85,
 
 
 class _IvfAssign:
+    """Driver-built instance shipped per task (tiny centroid matrix)."""
     def __init__(self, cents_ref):
         self.cents = ray.get(cents_ref)          # (C, D), L2-normalized
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -215,11 +233,8 @@ def ivf_topk(ds: rd.Dataset, query: np.ndarray, k: int = 10,
     q = np.asarray(query, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-30)
     probe = set(np.argsort(-(cents @ qn))[:nprobe].tolist())
-    cents_ref = ray.put(cents)
-    assigned = ds.map_batches(_IvfAssign,
-                              fn_constructor_kwargs={"cents_ref": cents_ref},
-                              batch_format="pyarrow",
-                              concurrency=default_pool())
+    assigned = ds.map_batches(_IvfAssign(ray.put(cents)),
+                              batch_format="pyarrow")
     mine = assigned.map_batches(
         lambda t: t.filter(pa.compute.is_in(
             t.column("cell"), value_set=pa.array(sorted(probe), pa.int64()))),
@@ -275,7 +290,7 @@ def pq_train_codebooks(ds: rd.Dataset, n_sub: int = 8, n_codes: int = 16,
 
 
 class _PqScorer:
-    """Actor: PQ asymmetric-distance scan — encode each vector to
+    """PQ asymmetric-distance scan (driver-built, shipped per task) — encode each vector to
     ``n_sub`` uint8 codes (L2-nearest codeword per subspace) and score
     it as the sum of per-subspace LUT dot products with the query; a
     per-batch top-``c`` combiner bounds the exchange."""
@@ -330,15 +345,14 @@ def pq_topk(ds: rd.Dataset, query: np.ndarray, k: int = 10, *,
     # materialized: the codes scan and the re-rank read are two
     # consumers of the same input — without it lineage re-executes
     books = pq_train_codebooks(ds, n_sub=n_sub, n_codes=n_codes)
-    books_ref = ray.put(books)
-    query_ref = ray.put(q)
-    local = ds.map_batches(
-        _PqScorer,
-        fn_constructor_kwargs={"books_ref": books_ref,
-                               "query_ref": query_ref, "c": candidates},
-        batch_format="pyarrow", concurrency=concurrency or default_pool())
-    short = local.sort(["approx", "vec_id"],
-                       descending=[True, False]).limit(candidates)
+    scorer = _PqScorer(ray.put(books), ray.put(q), candidates)
+    # driver-built instance shipped per task (codebooks+LUT, a few KB)
+    local = ds.map_batches(scorer, batch_format="pyarrow")
+    short = _take_ordered(local, [("approx", "descending"),
+                                  ("vec_id", "ascending")], candidates,
+                          pa.table({"vec_id": pa.array([], pa.int64()),
+                                    "approx": pa.array([],
+                                                       pa.float64())}))
     cand = pa.array(sorted(r["vec_id"] for r in short.take_all()),
                     pa.int64())
     mine = ds.map_batches(
