@@ -307,22 +307,17 @@ def _label_all_docs(ds: rd.Dataset, edges: rd.Dataset, *,
             roots = _union_find_roots(df["a"].to_numpy(), df["b"].to_numpy())
         roots_ref = ray.put(roots)
 
-        class Label:
-            def __init__(self):
-                self.roots = ray.get(roots_ref)
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                docs = t.column("doc_id").to_pylist()
-                rt = self.roots
-                return pa.table({
-                    "doc_id": pa.array(docs, pa.int64()),
-                    "cluster_id": pa.array([rt.get(d, d) for d in docs],
-                                           pa.int64()),
-                })
+        def label(t: pa.Table) -> pa.Table:
+            rt = ray.get(roots_ref)   # zero-copy-ish broadcast read
+            docs = t.column("doc_id").to_pylist()
+            return pa.table({
+                "doc_id": pa.array(docs, pa.int64()),
+                "cluster_id": pa.array([rt.get(d, d) for d in docs],
+                                       pa.int64()),
+            })
 
         return ds.select_columns(["doc_id"]).map_batches(
-            Label, batch_format="pyarrow",
-            concurrency=concurrency or default_pool())
+            label, batch_format="pyarrow")
 
     labels = _to_arrow_blocks(connected_component_labels(
         edges, driver_edge_limit=driver_edge_limit))
@@ -349,11 +344,12 @@ def minhash_cluster(ds: rd.Dataset, *, num_perm: int = 64, bands: int = 16,
     hash-min label propagation beyond ``driver_edge_limit``) → labels.
     Nothing unbounded ever lands on the driver.
     """
+    # driver-built instance shipped per task (KB of permutation
+    # state) — task-based, no actor-pool spin-up
     band_rows = ds.map_batches(
-        _MinHashBands,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
-                               "shingle_k": shingle_k},
-        batch_format="pyarrow", concurrency=concurrency or default_pool())
+        _MinHashBands(num_perm=num_perm, bands=bands,
+                      shingle_k=shingle_k),
+        batch_format="pyarrow")
     edges = _star_edges(band_rows, ["band_id", "band_hash"])
     return _label_all_docs(ds, edges, driver_edge_limit=driver_edge_limit,
                            concurrency=concurrency)
@@ -519,9 +515,8 @@ def simhash_cluster(ds: rd.Dataset, *, hamming_thresh: int = 12,
         raise ValueError("need bands > hamming_thresh for the pigeonhole "
                          "recall guarantee")
     band_rows = ds.map_batches(
-        _SimHashBands,
-        fn_constructor_kwargs={"bands": bands, "shingle_k": shingle_k},
-        batch_format="pyarrow", concurrency=concurrency or default_pool())
+        _SimHashBands(bands=bands, shingle_k=shingle_k),
+        batch_format="pyarrow")
     edges = _simhash_edges(band_rows, hamming_thresh)
     return _label_all_docs(ds, edges, driver_edge_limit=driver_edge_limit,
                            concurrency=concurrency)
