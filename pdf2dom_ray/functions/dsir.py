@@ -116,17 +116,19 @@ def dsir_weights(sf_dir: str, *, dim: int = 64,
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text", "lang"])
-    pool = concurrency or default_pool()
 
-    counts = (docs.select_columns(["text", "lang"])
-                  .map_batches(_BucketCounter,
-                               fn_constructor_args=(dim, target_lang),
-                               batch_format="pyarrow",
-                               concurrency=pool)
-                  .groupby("dim")
-                  .aggregate(Sum("raw", alias_name="raw"),
-                             Sum("tgt", alias_name="tgt"))
-                  .to_pandas())
+    # per-batch partials are ≤ dim rows — merge them on the driver
+    # (bounded by dim×blocks) instead of paying a sort-aggregate
+    import pandas as pd
+    partials = docs.select_columns(["text", "lang"]).map_batches(
+        _BucketCounter(dim, target_lang), batch_format="pyarrow")
+    tabs = [b if isinstance(b, pa.Table)
+            else pa.Table.from_pandas(b, preserve_index=False)
+            for b in ray.get(partials.to_arrow_refs())]
+    tabs = [b for b in tabs if b.num_rows and b.num_columns]
+    counts = (pa.concat_tables(tabs).to_pandas()
+              .groupby("dim", as_index=False).sum()) if tabs else \
+        pd.DataFrame({"dim": [], "raw": [], "tgt": []})
     raw = np.zeros(dim, dtype=object)
     tgt = np.zeros(dim, dtype=object)
     raw[counts["dim"].to_numpy(np.int64)] = counts["raw"].to_numpy()
@@ -140,8 +142,7 @@ def dsir_weights(sf_dir: str, *, dim: int = 64,
     ref = ray.put(ppm)
 
     return docs.select_columns(["doc_id", "text"]).map_batches(
-        _Scorer, fn_constructor_args=(ref, dim),
-        batch_format="pyarrow", concurrency=pool)
+        _Scorer(ref, dim), batch_format="pyarrow")
 
 
 def dsir_weights_sql(*, dim: int = 64, target_lang: str = "en") -> str:

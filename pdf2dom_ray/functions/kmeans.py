@@ -61,41 +61,68 @@ def _assign(x: np.ndarray, cent: np.ndarray):
     return cl, d2[np.arange(len(cl)), cl]
 
 
+def _block_np(b) -> tuple[np.ndarray, np.ndarray]:
+    """Block (arrow or pandas) → (ids, int64 matrix)."""
+    t = b if isinstance(b, pa.Table) else \
+        pa.Table.from_pandas(b, preserve_index=False)
+    if not t.num_rows or "vec_id" not in t.schema.names:
+        return np.array([], dtype=np.int64), \
+            np.empty((0, 0), dtype=np.int64)
+    ids = t.column("vec_id").to_numpy()
+    x = t.column("v").combine_chunks().flatten().to_numpy() \
+         .reshape(t.num_rows, -1)
+    return ids, x
+
+
+@ray.remote
+def _block_far(b, seeds: np.ndarray):
+    """Per-block farthest-point candidate for one seeding round."""
+    ids, x = _block_np(b)
+    if not len(ids):
+        return None
+    md = ((x[:, None, :] - seeds[None, :, :]) ** 2) \
+        .sum(axis=2).min(axis=1)
+    top = md.max()
+    i = int(ids[md == top].min())       # lowest-id tie-break
+    row = int(np.flatnonzero(ids == i)[0])
+    return int(top), i, x[row].copy()
+
+
+@ray.remote
+def _block_partial(b, cent: np.ndarray):
+    """Per-block (cluster → component sums + count) for one Lloyd
+    round; ≤ k×(D+1) values."""
+    ids, x = _block_np(b)
+    if not len(ids):
+        return None
+    cl, _ = _assign(x, cent)
+    out = {}
+    for j in np.unique(cl):
+        xj = x[cl == j]
+        out[int(j)] = (xj.sum(axis=0), len(xj))
+    return out
+
+
 def _farthest_point_seeds(quant: rd.Dataset, k: int) -> np.ndarray:
     """Deterministic farthest-point init (the greedy 2-approximation
     k-center sweep kmeans++ randomizes): seed 0 is vec_id 0; each
     round adds the vector with the largest min-distance to the chosen
-    seeds (ties → lowest vec_id). Each round is one map_batches pass
-    emitting ONE candidate row per batch (max is associative, so the
-    batch-local argmax then tiny driver reduce is exact); k passes
-    over the materialized quantized table total."""
+    seeds (ties → lowest vec_id).
+
+    Iterative-refinement escape hatch: ``quant`` is materialized, so
+    each round launches one RAW Ray task per existing object-store
+    block (ms of launch overhead) instead of paying a full Dataset
+    operator pass per round — k rounds stay fully distributed and the
+    driver reduces one candidate per block per round."""
+    refs = quant.to_arrow_refs()
     first = quant.filter(expr="vec_id == 0").take_all()
     seeds = [np.asarray(first[0]["v"], dtype=np.int64)]
     for _ in range(1, k):
-        ref = ray.put(np.stack(seeds))
-
-        def best_in_batch(t: pa.Table, _ref=ref) -> pa.Table:
-            s = ray.get(_ref)
-            x = t.column("v").combine_chunks().flatten().to_numpy() \
-                 .reshape(t.num_rows, -1)
-            md = ((x[:, None, :] - s[None, :, :]) ** 2) \
-                .sum(axis=2).min(axis=1)
-            ids = t.column("vec_id").to_numpy()
-            # batch argmax with lowest-id tie-break
-            top = md.max()
-            i = ids[md == top].min()
-            row = np.flatnonzero(ids == i)[0]
-            return pa.table({
-                "vec_id": pa.array([int(i)], pa.int64()),
-                "md": pa.array([int(top)], pa.int64()),
-                "v": pa.array([x[row].tolist()],
-                              pa.list_(pa.int64())),
-            })
-
-        cands = quant.map_batches(best_in_batch,
-                                  batch_format="pyarrow").take_all()
-        cands.sort(key=lambda r: (-r["md"], r["vec_id"]))
-        seeds.append(np.asarray(cands[0]["v"], dtype=np.int64))
+        s = np.stack(seeds)
+        cands = [c for c in ray.get([_block_far.remote(r, s)
+                                     for r in refs]) if c is not None]
+        cands.sort(key=lambda c: (-c[0], c[1]))
+        seeds.append(np.asarray(cands[0][2], dtype=np.int64))
     return np.stack(seeds)
 
 
@@ -113,39 +140,23 @@ def kmeans_fit(sf_dir: str, k: int = 10,
     cent = _farthest_point_seeds(quant, k)
     dim = cent.shape[1]
 
+    refs = quant.to_arrow_refs()
     for _ in range(iters):
-        ref = ray.put(cent)
-
-        def partial(t: pa.Table, _ref=ref) -> pa.Table:
-            c = ray.get(_ref)
-            x = t.column("v").combine_chunks().flatten().to_numpy() \
-                 .reshape(t.num_rows, -1)
-            cl, _ = _assign(x, c)
-            rows_c, rows_d, rows_s = [], [], []
-            for j in np.unique(cl):
-                xj = x[cl == j]
-                rows_c.extend([j] * (dim + 1))
-                rows_d.extend(range(dim))
-                rows_d.append(dim)               # dim==D carries count
-                rows_s.extend(xj.sum(axis=0).tolist())
-                rows_s.append(len(xj))
-            return pa.table({
-                "cluster": pa.array(np.asarray(rows_c, np.int64)),
-                "dim": pa.array(np.asarray(rows_d, np.int64)),
-                "s": pa.array(np.asarray(rows_s, np.int64)),
-            })
-
-        red = (quant.map_batches(partial, batch_format="pyarrow")
-                    .groupby(["cluster", "dim"])
-                    .aggregate(Sum("s", alias_name="s"))
-                    .to_pandas())
+        # same raw-task-per-block shape as the seeding rounds: the
+        # per-block partial is ≤ k×(D+1) values, reduced on the driver
+        parts = [p for p in ray.get([_block_partial.remote(r, cent)
+                                     for r in refs]) if p]
+        sums = {}
+        for part in parts:
+            for j, (v, n) in part.items():
+                if j in sums:
+                    sums[j] = (sums[j][0] + v, sums[j][1] + n)
+                else:
+                    sums[j] = (v, n)
         nxt = cent.copy()                 # empty cluster → keep old
-        for j, g in red.groupby("cluster"):
-            g = g.set_index("dim")["s"]
-            cnt = int(g[dim])
-            if cnt > 0:
-                sums = g.reindex(range(dim)).to_numpy(dtype=np.int64)
-                nxt[int(j)] = np.floor_divide(sums, cnt)
+        for j, (v, n) in sums.items():
+            if n > 0:
+                nxt[j] = np.floor_divide(v.astype(np.int64), n)
         cent = nxt
 
     return quant, cent

@@ -91,8 +91,7 @@ def phash_signatures(images: rd.Dataset, *, batch_size: int = 64,
                      concurrency=None) -> rd.Dataset:
     """(doc_id, image) → (doc_id, sig): the payload-dropping stage."""
     return images.map_batches(
-        PHashStage, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency or default_pool(), num_cpus=1)
+        PHashStage(), batch_format="pyarrow", batch_size=batch_size)
 
 
 def _sig_band_fn(bands: int):
