@@ -47,10 +47,17 @@ def _n_partitions() -> int:
 
 def triangle_counts(edges: rd.Dataset, *, src_col: str = "a",
                     dst_col: str = "b",
-                    num_partitions: int | None = None) -> rd.Dataset:
+                    num_partitions: int | None = None,
+                    driver_edge_limit: int = 5_000_000) -> rd.Dataset:
     """(node, n_triangles) for every node of ``edges`` that closes at
     least one triangle. Self-loops and duplicate/reverse edges are
-    ignored (the graph is the distinct undirected edge set)."""
+    ignored (the graph is the distinct undirected edge set).
+
+    Below ``driver_edge_limit`` distinct edges the count runs on the
+    driver (same small-input fast path as ``pagerank`` /
+    ``minhash_cluster`` — the multi-join distributed plan is pure
+    fixed overhead at that size); the two paths are locked identical
+    by tests. Set the limit to 0 to force the distributed path."""
     from ..stages.hashagg import hash_aggregate
     from .dedup import join_ready
 
@@ -85,6 +92,16 @@ def triangle_counts(edges: rd.Dataset, *, src_col: str = "a",
                          ["a", "b"], dedup_edges,
                          num_partitions=n_part)
     und = join_ready(und, n_part)
+
+    if und.count() <= driver_edge_limit:
+        df = und.to_pandas()
+        counts = triangle_counts_reference(
+            list(zip(df["a"], df["b"])))
+        out = pd.DataFrame(
+            {"node": pd.Series(list(counts.keys()), dtype=node_dtype),
+             "n_triangles": pd.Series(list(counts.values()),
+                                      dtype="int64")})
+        return rd.from_pandas(out if len(out) else _empty_counts())
 
     # per-node degree over the distinct undirected edges
     def endpoints(df: pd.DataFrame) -> pd.DataFrame:

@@ -337,7 +337,7 @@ def q5_local_supplier_volume(sf_dir: str, *, region: str = "ASIA",
                          columns=["l_orderkey", "l_suppkey",
                                   "l_extendedprice", "l_discount"])
 
-    def li_partial_q5(t: pa.Table) -> pa.Table:
+    def _li_filter_supp(t: pa.Table):
         skeys, snats = ray.get(supp_ref)   # zero-copy broadcast read
         sk = t.column("l_suppkey").to_numpy()
         idx = np.searchsorted(skeys, sk)
@@ -349,33 +349,85 @@ def q5_local_supplier_volume(sf_dir: str, *, region: str = "ASIA",
         ep = t.column("l_extendedprice").to_numpy()
         disc = t.column("l_discount").to_numpy()
         cents = np.floor(ep * (1.0 - disc) * 100.0).astype(np.int64)
-        df = pd.DataFrame({
-            "l_orderkey": t.column("l_orderkey").to_numpy(),
-            "s_nationkey": snat, "revenue_cents": cents})
-        g = df.groupby(["l_orderkey", "s_nationkey"], sort=False,
-                       as_index=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return t.column("l_orderkey").to_numpy(), snat, cents
 
-    parts = li.map_batches(li_partial_q5, batch_format="pyarrow")
+    # the date-windowed in-region orders side is usually small —
+    # broadcast (o_orderkey -> c_nationkey) and collapse the lineitem
+    # combiner straight to per-nation partials (≤ 25 rows per batch,
+    # driver-merged); past ``broadcast_limit`` rows, the hash join
+    orders = orders.materialize()
+    n_ord = orders.count()
 
-    joined = parts.join(orders, join_type="inner",
-                        num_partitions=_n_partitions(),
-                        on=("l_orderkey",), right_on=("o_orderkey",))
+    if n_ord == 0:
+        return rd.from_arrow(pa.table({
+            "n_name": pa.array([], pa.string()),
+            "revenue_cents": pa.array([], pa.int64())}))
 
-    def local_only(t: pa.Table) -> pa.Table:
-        if not t.num_rows or "s_nationkey" not in t.schema.names:
-            return pa.table({"s_nationkey": pa.array([], pa.int64()),
-                             "revenue_cents": pa.array([], pa.int64())})
-        keep = pc.equal(t.column("s_nationkey"),
-                        t.column("c_nationkey"))
-        t = t.filter(keep)
-        return pa.table({
-            "s_nationkey": t.column("s_nationkey").cast(pa.int64()),
-            "revenue_cents": t.column("revenue_cents").cast(pa.int64())})
+    if n_ord <= broadcast_limit:
+        odf = orders.to_pandas().sort_values("o_orderkey")
+        ord_ref = ray.put((odf["o_orderkey"].to_numpy(np.int64),
+                           odf["c_nationkey"].to_numpy(np.int64)))
 
-    agg = joined.map_batches(local_only, batch_format="pyarrow") \
-        .groupby("s_nationkey") \
-        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        def li_nation_partial(t: pa.Table) -> pa.Table:
+            ok, snat, cents = _li_filter_supp(t)
+            oks, cnats = ray.get(ord_ref)
+            idx = np.searchsorted(oks, ok)
+            idx[idx == len(oks)] = 0
+            # in-window membership AND the local-supplier predicate
+            hit = (oks[idx] == ok) & (cnats[idx] == snat)
+            snat, cents = snat[hit], cents[hit]
+            df = pd.DataFrame({"s_nationkey": snat,
+                               "revenue_cents": cents})
+            g = df.groupby("s_nationkey", sort=False,
+                           as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        partials = li.map_batches(li_nation_partial,
+                                  batch_format="pyarrow")
+        tabs = [b if isinstance(b, pa.Table)
+                else pa.Table.from_pandas(b, preserve_index=False)
+                for b in ray.get(partials.to_arrow_refs())]
+        tabs = [b for b in tabs if b.num_rows and b.num_columns]
+        if not tabs:
+            return rd.from_arrow(pa.table({
+                "n_name": pa.array([], pa.string()),
+                "revenue_cents": pa.array([], pa.int64())}))
+        agg = rd.from_pandas(
+            pa.concat_tables(tabs).to_pandas()
+            .groupby("s_nationkey", as_index=False)
+            .agg(revenue_cents=("revenue_cents", "sum")))
+    else:
+        def li_partial_q5(t: pa.Table) -> pa.Table:
+            ok, snat, cents = _li_filter_supp(t)
+            df = pd.DataFrame({
+                "l_orderkey": ok,
+                "s_nationkey": snat, "revenue_cents": cents})
+            g = df.groupby(["l_orderkey", "s_nationkey"], sort=False,
+                           as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        parts = li.map_batches(li_partial_q5, batch_format="pyarrow")
+
+        joined = parts.join(orders, join_type="inner",
+                            num_partitions=_n_partitions(),
+                            on=("l_orderkey",), right_on=("o_orderkey",))
+
+        def local_only(t: pa.Table) -> pa.Table:
+            if not t.num_rows or "s_nationkey" not in t.schema.names:
+                return pa.table({
+                    "s_nationkey": pa.array([], pa.int64()),
+                    "revenue_cents": pa.array([], pa.int64())})
+            keep = pc.equal(t.column("s_nationkey"),
+                            t.column("c_nationkey"))
+            t = t.filter(keep)
+            return pa.table({
+                "s_nationkey": t.column("s_nationkey").cast(pa.int64()),
+                "revenue_cents": t.column("revenue_cents")
+                                  .cast(pa.int64())})
+
+        agg = joined.map_batches(local_only, batch_format="pyarrow") \
+            .groupby("s_nationkey") \
+            .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
 
     def finish(t) -> pa.Table:
         t = t if isinstance(t, pa.Table) else \

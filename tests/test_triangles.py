@@ -12,6 +12,7 @@ import ray.data as rd
 def _ray_counts(edge_list, **kw):
     from pdf2dom_ray.functions.triangles import triangle_counts
     df = pd.DataFrame(edge_list, columns=["a", "b"])
+    kw.setdefault("driver_edge_limit", 0)   # force distributed path
     ds = triangle_counts(rd.from_pandas(df), **kw)
     assert set(ds.schema().names) == {"node", "n_triangles"}
     got = ds.to_pandas()
@@ -69,3 +70,21 @@ def test_reference_counts_each_triangle_once():
     # one triangle, every edge listed both ways
     edges = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)]
     assert triangle_counts_reference(edges) == {1: 1, 2: 1, 3: 1}
+
+
+def test_driver_and_distributed_paths_identical(ray_session):
+    import hashlib
+
+    from pdf2dom_ray.functions.triangles import triangle_counts
+    edges = []
+    for i in range(200):
+        h = hashlib.md5(f"t2:{i}".encode()).hexdigest()
+        edges.append((int(h[:4], 16) % 40, int(h[4:8], 16) % 40))
+    df = pd.DataFrame(edges, columns=["a", "b"])
+    fast = triangle_counts(rd.from_pandas(df)).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    dist = triangle_counts(rd.from_pandas(df),
+                           driver_edge_limit=0).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert fast["node"].tolist() == dist["node"].tolist()
+    assert fast["n_triangles"].tolist() == dist["n_triangles"].tolist()
