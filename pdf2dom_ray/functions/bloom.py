@@ -114,9 +114,8 @@ def bloom_semijoin_flags(sf_dir: str, *, m: int = 8192,
 
     probe = rd.read_parquet(f"{sf_dir}/customer.parquet",
                             columns=["c_custkey"])
-    return probe.map_batches(
-        _Prober, fn_constructor_args=(ref, "c_custkey", k),
-        batch_format="pyarrow", concurrency=default_pool())
+    return probe.map_batches(_Prober(ref, "c_custkey", k),
+                             batch_format="pyarrow")
 
 
 def bloom_semijoin_sql(*, m: int = 8192, k: int = 4) -> str:

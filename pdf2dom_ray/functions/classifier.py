@@ -150,5 +150,4 @@ def classifier_score(ds: rd.Dataset, *, pos_expr=None,
     return ds.select_columns(
         [c for c in ("doc_id", "text", "lang")
          if c in ds.schema().names]) \
-        .map_batches(Score, batch_format="pyarrow",
-                     concurrency=concurrency or _pool())
+        .map_batches(Score(), batch_format="pyarrow")

@@ -99,8 +99,8 @@ def cohort_retention(ds: rd.Dataset, *, user_col: str = "user_id",
                     "cohort_us": pa.array(co, pa.int64()),
                     "day_us": t.column("day_us").cast(pa.int64())})
 
-        attached = active.map_batches(Attach, batch_format="pyarrow",
-                                      concurrency=(1, 4))
+        attached = active.map_batches(Attach(),
+                                      batch_format="pyarrow")
     else:
         from .dedup import _to_arrow_blocks
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if \

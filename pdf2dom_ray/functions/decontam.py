@@ -103,9 +103,8 @@ def contamination_flags(ds: rd.Dataset, bench: rd.Dataset, *,
     bench_ref = ray.put(benchmark_gram_set(
         bench, text_col=text_col, n=n))
     return ds.select_columns([id_col, text_col]).map_batches(
-        _ContamScorer, batch_format="pyarrow",
-        concurrency=default_pool(),
-        fn_constructor_args=(bench_ref, text_col, id_col, n))
+        _ContamScorer(bench_ref, text_col, id_col, n),
+        batch_format="pyarrow")
 
 
 def duplicate_spans(ds: rd.Dataset, *, text_col: str = "text",

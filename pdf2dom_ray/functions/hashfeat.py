@@ -74,5 +74,4 @@ def hashed_features(ds: rd.Dataset, *, dim: int = 16,
     from ..stages.pool import default_pool
 
     return ds.select_columns(["doc_id", "text"]).map_batches(
-        _Hasher, fn_constructor_args=(dim,), batch_format="pyarrow",
-        concurrency=concurrency or default_pool())
+        _Hasher(dim), batch_format="pyarrow")

@@ -120,8 +120,8 @@ def common_line_filter(ds: rd.Dataset, *, min_docs: int = 2,
                     "n_dropped": pa.array(n_drop, pa.int64()),
                 })
 
-        return ds.map_batches(Strip, batch_format="pyarrow",
-                              concurrency=concurrency or default_pool())
+        # driver-built instance shipped per task (small numpy set)
+        return ds.map_batches(Strip(), batch_format="pyarrow")
 
     # distributed path: explode → anti-join → reassemble (narrow rows)
     def explode(t: pa.Table) -> pa.Table:

@@ -105,9 +105,8 @@ def bigram_lm_scores(ds: rd.Dataset, *, text_col: str = "text",
             c1[w1] = c1.get(w1, 0) + n
     model_ref = ray.put((c12, c1))
     return ds.select_columns([id_col, text_col]).map_batches(
-        _LmScorer, batch_format="pyarrow",
-        concurrency=default_pool(),
-        fn_constructor_args=(model_ref, text_col, id_col))
+        _LmScorer(model_ref, text_col, id_col),
+        batch_format="pyarrow")
 
 
 def bigram_lm_buckets(ds: rd.Dataset, *, text_col: str = "text",

@@ -296,8 +296,7 @@ def unigram_logprob(ds: rd.Dataset, *, concurrency=None) -> rd.Dataset:
                 "mean_logprob": pa.array(out, pa.float64()),
             })
 
-    return ds.map_batches(Score, batch_format="pyarrow",
-                          concurrency=concurrency or default_pool())
+    return ds.map_batches(Score(), batch_format="pyarrow")
 
 
 class LangId:
@@ -334,8 +333,7 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
 
 
 def lang_id(ds: rd.Dataset, concurrency=None) -> rd.Dataset:
-    return ds.map_batches(LangId, batch_format="pyarrow",
-                          concurrency=concurrency or default_pool())
+    return ds.map_batches(LangId(), batch_format="pyarrow")
 
 
 def repetition_stats_batch(batch: pa.Table) -> pa.Table:

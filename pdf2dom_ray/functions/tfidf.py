@@ -235,10 +235,9 @@ def bm25_topk(ds: rd.Dataset, *, text_col: str = "text",
     if strategy == "broadcast":
         df_ref = ray.put(_collect_vocab(df))
         return ds.select_columns([id_col, text_col]).map_batches(
-            _BM25Scorer, batch_format="pyarrow",
-            concurrency=default_pool(),
-            fn_constructor_args=(df_ref, n_docs, total_len,
-                                 text_col, id_col, k))
+            _BM25Scorer(df_ref, n_docs, total_len, text_col,
+                        id_col, k),
+            batch_format="pyarrow")
 
     if strategy != "join":
         raise ValueError(f"unknown strategy {strategy!r}")
@@ -296,9 +295,8 @@ def tfidf_topk(ds: rd.Dataset, *, text_col: str = "text",
     if strategy == "broadcast":
         df_ref = ray.put(_collect_vocab(df))
         return ds.select_columns([id_col, text_col]).map_batches(
-            _BroadcastScorer, batch_format="pyarrow",
-            concurrency=default_pool(),
-            fn_constructor_args=(df_ref, n_docs, text_col, id_col, k))
+            _BroadcastScorer(df_ref, n_docs, text_col, id_col, k),
+            batch_format="pyarrow")
 
     if strategy != "join":
         raise ValueError(f"unknown strategy {strategy!r}")

@@ -166,25 +166,19 @@ def orders_by_segment(sf_dir: str) -> rd.Dataset:
     lookup_ref = ray.put(dict(zip(cust.column("c_custkey").to_pylist(),
                                   cust.column("c_mktsegment").to_pylist())))
 
-    class JoinAgg:
-        def __init__(self):
-            self.lookup = ray.get(lookup_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            seg = df["o_custkey"].map(self.lookup)
-            out = (df.assign(c_mktsegment=seg)
-                     .groupby("c_mktsegment", as_index=False)
-                     .agg(n_orders=("o_orderkey", "size"),
-                          total=("o_totalprice", "sum")))
-            return out
-
-    from ..stages.pool import default_pool
+    def join_agg(df: pd.DataFrame) -> pd.DataFrame:
+        # plain task fn: ray.get of the broadcast lookup is a
+        # shared-memory read — no actor-pool spin-up
+        seg = df["o_custkey"].map(ray.get(lookup_ref))
+        return (df.assign(c_mktsegment=seg)
+                  .groupby("c_mktsegment", as_index=False)
+                  .agg(n_orders=("o_orderkey", "size"),
+                       total=("o_totalprice", "sum")))
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey",
                                       "o_totalprice"])
-    partials = orders.map_batches(JoinAgg, batch_format="pandas",
-                                  concurrency=default_pool())
+    partials = orders.map_batches(join_agg, batch_format="pandas")
     agg = (partials.groupby("c_mktsegment")
                    .aggregate(Sum("n_orders", alias_name="n_orders"),
                               Sum("total", alias_name="total")))

@@ -659,7 +659,11 @@ def q10_returned_items(sf_dir: str, *, date_lo: str = "1996-01-01",
 
         parts = li.map_batches(li_partial, batch_format="pyarrow")
 
-        joined = parts.join(orders, join_type="inner",
+        # narrow side guarded against schema-less empty blocks
+        # (CLAUDE.md hash-join flake: passes alone, fails under load)
+        from ..functions.dedup import join_ready
+        joined = parts.join(join_ready(orders, n_part),
+                            join_type="inner",
                             num_partitions=n_part,
                             on=("l_orderkey",), right_on=("o_orderkey",))
 
