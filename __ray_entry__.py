@@ -401,6 +401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchases_hourly": _q_purchases_hourly,
         "events_hopping_window": _q_events_hopping,
         "events_sessionize": _q_sessionize,
+        "session_paths": _q_session_paths,
         "cohort_retention": _q_cohort_retention,
         "funnel_steps": _q_funnel,
         "pricing_summary": _q_pricing_summary,
@@ -1556,6 +1557,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         # unbounded-preceding running totals per user; integer cents so
         # the cumulative sum is partitioning-independent
+        "session_paths": """
+            WITH g AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN ts - lag(ts) OVER
+                              (PARTITION BY user_id
+                               ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events),
+            s AS (
+              SELECT user_id, ts, event_id, event_type,
+                     SUM(new_session) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g),
+            p AS (
+              SELECT user_id, sid,
+                     string_agg(event_type, '>'
+                                ORDER BY ts, event_id) AS path
+              FROM s GROUP BY user_id, sid)
+            SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+            FROM p GROUP BY path
+            ORDER BY n_sessions DESC, path
+            LIMIT 20
+        """,
         "inter_event_gaps": """
             WITH g AS (
               SELECT user_id,
@@ -2087,6 +2113,14 @@ def _q_returned_items(sf_dir: str):
     customer/nation attach -> take-ordered top 20; integer cents)."""
     from pdf2dom_ray.pipelines.tpch import q10_returned_items
     return q10_returned_items(sf_dir)
+
+
+def _q_session_paths(sf_dir: str):
+    """Session path mining: top-20 session event-type sequences (one
+    user-hash exchange -> vectorized session assignment -> path
+    combiner -> hash-partitioned count -> take-ordered merge)."""
+    from pdf2dom_ray.pipelines.metrics import session_paths
+    return session_paths(sf_dir)
 
 
 def _q_inter_event_gaps(sf_dir: str):

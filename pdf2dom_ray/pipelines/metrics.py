@@ -153,6 +153,91 @@ def sessionize(sf_dir: str, gap_minutes: int = 30,
               .map_groups(per_partition, batch_format="pandas"))
 
 
+def session_paths(sf_dir: str, gap_minutes: int = 30,
+                  k: int = 20, num_partitions: int = 16) -> rd.Dataset:
+    """(path, n_sessions): the top-``k`` most common session
+    event-type sequences ("user journeys") — session-level SEQUENCE
+    aggregation on top of the sessionize windowing.
+
+    Scale shape: same ONE user-hash exchange as ``sessionize``; the
+    per-partition pass is vectorized through session-id assignment
+    (mergesort + boundary cumsum), with one ``str.join`` per session
+    for path assembly (inherent to string building). Per-partition
+    (path, n) partials then collapse through the hash-partitioned
+    aggregate, and the k-row result comes from per-batch top-k
+    partials + a driver merge — no Sort operator, no payload rows in
+    any exchange."""
+    import numpy as np
+
+    import ray
+
+    gap = np.int64(gap_minutes) * 60_000_000
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["user_id"], index=False)
+        return df.assign(__part=(h % num_partitions).astype("int64")
+                         .to_numpy())
+
+    def per_partition(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy()
+        n = len(g)
+        newsess = np.empty(n, dtype=bool)
+        newsess[:1] = True
+        newsess[1:] = (uid[1:] != uid[:-1]) |                       ((t[1:] - t[:-1]) > gap)
+        sid = np.cumsum(newsess)
+        paths = pd.Series(g["event_type"].to_numpy())             .groupby(sid).agg(">".join)
+        c = paths.value_counts()
+        return pa.table({
+            "path": pa.array(c.index.to_numpy(object), pa.string()),
+            "n_sessions": pa.array(c.to_numpy(np.int64), pa.int64())})
+
+    partials = (ds.map_batches(tag, batch_format="pandas")
+                  .groupby("__part")
+                  .map_groups(per_partition, batch_format="pandas"))
+
+    from ..stages.hashagg import hash_aggregate
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("path", as_index=False)                  .agg(n_sessions=("n_sessions", "sum"))
+
+    counts = hash_aggregate(partials, ["path"], combine,
+                            num_partitions=num_partitions)
+
+    def topk_partial(df: pd.DataFrame) -> pa.Table:
+        if "path" not in df.columns:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_sessions": pa.array([], pa.int64())})
+        df = df.sort_values(["n_sessions", "path"],
+                            ascending=[False, True],
+                            kind="mergesort").head(k)
+        return pa.table({
+            "path": pa.array(df["path"].to_numpy(object), pa.string()),
+            "n_sessions": pa.array(
+                df["n_sessions"].to_numpy(np.int64), pa.int64())})
+
+    parts = counts.map_batches(topk_partial, batch_format="pandas")
+    tabs = [b if isinstance(b, pa.Table)
+            else pa.Table.from_pandas(b, preserve_index=False)
+            for b in ray.get(parts.to_arrow_refs())]
+    tabs = [b for b in tabs if b.num_rows and b.num_columns]
+    if not tabs:
+        return rd.from_arrow(pa.table({
+            "path": pa.array([], pa.string()),
+            "n_sessions": pa.array([], pa.int64())}))
+    merged = pa.concat_tables(tabs).combine_chunks()
+    idx = pa.compute.sort_indices(
+        merged, sort_keys=[("n_sessions", "descending"),
+                           ("path", "ascending")])
+    return rd.from_arrow(merged.take(idx[:k]))
+
+
 def orders_by_segment(sf_dir: str) -> rd.Dataset:
     """Broadcast join: orders ⋈ customer on custkey → per-segment totals.
 

@@ -206,3 +206,57 @@ def test_inter_event_gaps_single_event_user_dropped(ray_session,
     assert got["user_id"].tolist() == [20]
     assert got["n_gaps"].tolist() == [1]
     assert got["total_gap_us"].tolist() == [3_000_000]
+
+
+def test_session_paths_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+
+    from pdf2dom_ray.pipelines.metrics import session_paths
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet')")
+    ref = con.execute("""
+        WITH g AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN ts - lag(ts) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id)
+                      > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+          FROM events),
+        s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                  AS sid FROM g),
+        p AS (SELECT user_id, sid,
+                     string_agg(event_type, '>'
+                                ORDER BY ts, event_id) AS path
+              FROM s GROUP BY user_id, sid)
+        SELECT path, count(*) AS n FROM p GROUP BY path
+        ORDER BY n DESC, path LIMIT 20""").fetchdf()
+
+    got = session_paths(sf_dir).to_pandas()
+    assert got["path"].tolist() == ref["path"].tolist()
+    assert got["n_sessions"].astype(int).tolist() == \
+        ref["n"].astype(int).tolist()
+
+
+def test_session_paths_gap_boundary(ray_session, tmp_path):
+    import pandas as pd
+
+    from pdf2dom_ray.pipelines.metrics import session_paths
+
+    # user 1: a>b in one session, then exactly-30min gap (NOT a new
+    # session: rule is strictly greater), then 30min+1us gap -> new
+    base = 1_000_000_000
+    m30 = 30 * 60 * 1_000_000
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1],
+        "event_id": [1, 2, 3, 4],
+        "ts": pd.to_datetime([base, base + 1_000_000,
+                              base + 1_000_000 + m30,
+                              base + 1_000_000 + 2 * m30 + 1],
+                             unit="us"),
+        "event_type": ["a", "b", "c", "d"],
+    })
+    df.to_parquet(tmp_path / "events.parquet")
+    got = session_paths(str(tmp_path)).to_pandas()
+    assert sorted(got["path"].tolist()) == ["a>b>c", "d"]
