@@ -335,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": _q_snapshot_diff,
         "top_unshipped_orders": _q_top_unshipped,
         "returned_items": _q_returned_items,
+        "late_shipments": _q_late_shipments,
         "local_supplier_volume": _q_local_supplier_volume,
         "customer_distribution": _q_customer_distribution,
         "length_percentiles": _q_length_percentiles,
@@ -1557,6 +1558,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         # unbounded-preceding running totals per user; integer cents so
         # the cumulative sum is partitioning-independent
+        "late_shipments": """
+            SELECT CASE WHEN l_shipdate <= o_orderdate
+                             + INTERVAL 120 DAY
+                        THEN 'late' ELSE 'very_late' END AS delay_bucket,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem, orders
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+            GROUP BY 1
+        """,
         "session_paths": """
             WITH g AS (
               SELECT user_id, ts, event_id, event_type,
@@ -2121,6 +2139,14 @@ def _q_session_paths(sf_dir: str):
     combiner -> hash-partitioned count -> take-ordered merge)."""
     from pdf2dom_ray.pipelines.metrics import session_paths
     return session_paths(sf_dir)
+
+
+def _q_late_shipments(sf_dir: str):
+    """TPC-H Q12 shape: conditional aggregation over the lineitem ⋈
+    orders join (broadcast map-side under limit, hash-join fallback);
+    late lines bucketed by delay, high/low priority counts."""
+    from pdf2dom_ray.pipelines.tpch import q12_late_shipments
+    return q12_late_shipments(sf_dir)
 
 
 def _q_inter_event_gaps(sf_dir: str):

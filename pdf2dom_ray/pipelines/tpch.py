@@ -37,7 +37,8 @@ import ray.data as rd
 from ray.data.aggregate import Sum
 
 __all__ = ["q3_top_unshipped", "q5_local_supplier_volume",
-           "q13_customer_distribution", "q10_returned_items"]
+           "q13_customer_distribution", "q10_returned_items",
+           "q12_late_shipments"]
 
 
 def _n_partitions() -> int:
@@ -749,3 +750,112 @@ def q10_returned_items(sf_dir: str, *, date_lo: str = "1996-01-01",
         "c_name": top.column("c_name").cast(pa.string()),
         "n_name": pa.array([nation_name[k] for k in nk], pa.string()),
         "revenue_cents": top.column("revenue_cents").cast(pa.int64())}))
+
+
+def q12_late_shipments(sf_dir: str, *, late_days: int = 60,
+                       very_late_days: int = 120,
+                       broadcast_limit: int = 5_000_000) -> rd.Dataset:
+    """TPC-H Q12 shape: CONDITIONAL aggregation over a fact⋈dim join —
+    late lineitems (shipped > ``late_days`` after order) bucketed by
+    delay, counting high- vs low-priority order lines per bucket.
+
+    Distributed shape: orders broadcast as three parallel arrays
+    (okey → orderdate, is_high) under ``broadcast_limit``; the
+    lineitem scan then joins map-side and collapses to ≤ 4 partial
+    rows per batch (2 buckets × high/low), merged on the driver.
+    Past the limit: the honest orderkey hash join + hash-partitioned
+    aggregate. Integer counts keep the oracle hash exact.
+    """
+    us_day = 86_400_000_000
+    n_part = _n_partitions()
+    high_set = ("1-URGENT", "2-HIGH")
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"]).materialize()
+    n_ord = orders.count()
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+
+    def bucket_counts(delay_us: np.ndarray,
+                      is_high: np.ndarray) -> pa.Table:
+        late = delay_us > late_days * us_day
+        delay_us, is_high = delay_us[late], is_high[late]
+        very = delay_us > very_late_days * us_day
+        rows = {"delay_bucket": [], "high_line_count": [],
+                "low_line_count": []}
+        for name, mask in (("late", ~very), ("very_late", very)):
+            if mask.any():
+                rows["delay_bucket"].append(name)
+                rows["high_line_count"].append(
+                    int(is_high[mask].sum()))
+                rows["low_line_count"].append(
+                    int((~is_high[mask]).sum()))
+        return pa.table({
+            "delay_bucket": pa.array(rows["delay_bucket"], pa.string()),
+            "high_line_count": pa.array(rows["high_line_count"],
+                                        pa.int64()),
+            "low_line_count": pa.array(rows["low_line_count"],
+                                       pa.int64())})
+
+    empty = pa.table({"delay_bucket": pa.array([], pa.string()),
+                      "high_line_count": pa.array([], pa.int64()),
+                      "low_line_count": pa.array([], pa.int64())})
+    if n_ord == 0:
+        return rd.from_arrow(empty)
+
+    if n_ord <= broadcast_limit:
+        odf = orders.to_pandas().sort_values("o_orderkey")
+        ord_ref = ray.put((
+            odf["o_orderkey"].to_numpy(np.int64),
+            odf["o_orderdate"].astype("datetime64[us]")
+               .astype("int64").to_numpy(),
+            odf["o_orderpriority"].isin(high_set).to_numpy()))
+
+        def li_partial(t: pa.Table) -> pa.Table:
+            oks, odates, ohigh = ray.get(ord_ref)  # zero-copy arrays
+            ok = t.column("l_orderkey").to_numpy()
+            idx = np.searchsorted(oks, ok)
+            idx[idx == len(oks)] = 0
+            hit = oks[idx] == ok
+            idx, ok = idx[hit], ok[hit]
+            ship = t.column("l_shipdate").cast(pa.int64()) \
+                    .to_numpy()[hit]
+            return bucket_counts(ship - odates[idx], ohigh[idx])
+
+        partials = li.map_batches(li_partial, batch_format="pyarrow")
+    else:
+        from ..functions.dedup import join_ready
+        joined = li.join(join_ready(orders, n_part),
+                         join_type="inner", num_partitions=n_part,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+
+        def join_partial(t: pa.Table) -> pa.Table:
+            if not t.num_rows or "o_orderdate" not in t.schema.names:
+                return empty
+            ship = t.column("l_shipdate").cast(pa.int64()).to_numpy()
+            odate = t.column("o_orderdate").cast(pa.int64()).to_numpy()
+            pr = np.asarray(t.column("o_orderpriority").to_pylist(),
+                            dtype=object)
+            is_high = np.isin(pr, high_set)
+            return bucket_counts(ship - odate, is_high)
+
+        partials = joined.map_batches(join_partial,
+                                      batch_format="pyarrow")
+
+    # ≤ 2 rows per batch: merge on the driver
+    tabs = [b if isinstance(b, pa.Table)
+            else pa.Table.from_pandas(b, preserve_index=False)
+            for b in ray.get(partials.to_arrow_refs())]
+    tabs = [b for b in tabs if b.num_rows and b.num_columns]
+    if not tabs:
+        return rd.from_arrow(empty)
+    merged = (pa.concat_tables(tabs).to_pandas()
+              .groupby("delay_bucket", as_index=False)
+              .agg(high_line_count=("high_line_count", "sum"),
+                   low_line_count=("low_line_count", "sum"))
+              .sort_values("delay_bucket").reset_index(drop=True))
+    merged["high_line_count"] = merged["high_line_count"].astype("int64")
+    merged["low_line_count"] = merged["low_line_count"].astype("int64")
+    return rd.from_pandas(merged)

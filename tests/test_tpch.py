@@ -162,3 +162,39 @@ def test_q10_join_path_identical(ray_session, sf_dir):
     from pdf2dom_ray.pipelines.tpch import q10_returned_items
     a = q10_returned_items(sf_dir, broadcast_limit=0).to_pandas()
     assert _q10_rows(a) == _q10_rows(_duck_q10(sf_dir))
+
+
+def _duck_q12(sf_dir):
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    return con.execute("""
+        SELECT CASE WHEN l_shipdate <= o_orderdate + INTERVAL 120 DAY
+                    THEN 'late' ELSE 'very_late' END AS delay_bucket,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                   THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                   THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem, orders
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY 1 ORDER BY 1""").fetchdf()
+
+
+def _q12_rows(df):
+    return [(str(r.delay_bucket), int(r.high_line_count),
+             int(r.low_line_count))
+            for r in df.sort_values("delay_bucket").itertuples()]
+
+
+def test_q12_broadcast_path_matches_duckdb(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q12_late_shipments
+    got = q12_late_shipments(sf_dir).to_pandas()
+    assert _q12_rows(got) == _q12_rows(_duck_q12(sf_dir))
+
+
+def test_q12_join_path_identical(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q12_late_shipments
+    got = q12_late_shipments(sf_dir, broadcast_limit=0).to_pandas()
+    assert _q12_rows(got) == _q12_rows(_duck_q12(sf_dir))
