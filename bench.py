@@ -179,7 +179,8 @@ def run_bench() -> dict:
                  "event_transitions", "anchor_texts", "ann_pq_topk",
                  "corpus_split", "table_profile", "length_deciles",
                  "returned_items", "inter_event_gaps",
-                 "link_triangles", "session_paths"):
+                 "link_triangles", "session_paths",
+                 "late_shipments"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
