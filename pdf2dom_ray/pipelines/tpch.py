@@ -84,12 +84,14 @@ def q3_top_unshipped(sf_dir: str, *, segment: str = "BUILDING",
             # plain task fn: ray.get of a numpy broadcast is a
             # zero-copy shared-memory read — no actor-pool spin-up
             ks = ray.get(keys_ref)
+            out_cols = ["o_orderkey", "o_orderdate", "o_orderpriority"]
+            if not len(ks):
+                return t.slice(0, 0).select(out_cols)
             ck = t.column("o_custkey").to_numpy()
             idx = np.searchsorted(ks, ck)
             idx[idx == len(ks)] = 0
-            hit = (len(ks) > 0) & (ks[idx] == ck)
-            return t.filter(pa.array(hit)).select(
-                ["o_orderkey", "o_orderdate", "o_orderpriority"])
+            hit = ks[idx] == ck
+            return t.filter(pa.array(hit)).select(out_cols)
 
         orders = orders.map_batches(in_segment, batch_format="pyarrow")
     else:
@@ -151,11 +153,12 @@ def q3_top_unshipped(sf_dir: str, *, segment: str = "BUILDING",
         def li_semi(t: pa.Table) -> pa.Table:
             ks, _, _ = ray.get(ord_ref)   # zero-copy broadcast read
             t = li_partial(t)
+            if not len(ks):
+                return t.slice(0, 0)
             ok = t.column("l_orderkey").to_numpy()
             idx = np.searchsorted(ks, ok)
             idx[idx == len(ks)] = 0
-            hit = (len(ks) > 0) & (ks[idx] == ok)
-            return t.filter(pa.array(hit))
+            return t.filter(pa.array(ks[idx] == ok))
 
         parts = li.map_batches(li_semi, batch_format="pyarrow")
 
@@ -300,7 +303,12 @@ def q5_local_supplier_volume(sf_dir: str, *, region: str = "ASIA",
 
     orders = orders.map_batches(date_filter, batch_format="pyarrow")
 
-    if cust.count() <= broadcast_limit:
+    _q5_empty = pa.table({"n_name": pa.array([], pa.string()),
+                          "revenue_cents": pa.array([], pa.int64())})
+    n_cust = cust.count()
+    if n_cust == 0:     # region matches no customers → no revenue
+        return rd.from_arrow(_q5_empty)
+    if n_cust <= broadcast_limit:
         cdf = cust.to_pandas()
         c_keys = np.sort(cdf["c_custkey"].to_numpy(np.int64))
         c_nat = cdf.set_index("c_custkey")["c_nationkey"] \
@@ -311,11 +319,14 @@ def q5_local_supplier_volume(sf_dir: str, *, region: str = "ASIA",
             # plain task fn: ray.get of a numpy broadcast is a
             # zero-copy shared-memory read — no actor-pool spin-up
             ks, nat = ray.get(cust_ref)
+            if not len(ks):
+                return pa.table({
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "c_nationkey": pa.array([], pa.int64())})
             ck = t.column("o_custkey").to_numpy()
             idx = np.searchsorted(ks, ck)
             idx[idx == len(ks)] = 0
-            hit = (len(ks) > 0) & (ks[idx] == ck)
-            t = t.filter(pa.array(hit))
+            t = t.filter(pa.array(ks[idx] == ck))
             nk = nat[np.searchsorted(
                 ks, t.column("o_custkey").to_numpy())]
             return pa.table({
@@ -340,11 +351,13 @@ def q5_local_supplier_volume(sf_dir: str, *, region: str = "ASIA",
 
     def _li_filter_supp(t: pa.Table):
         skeys, snats = ray.get(supp_ref)   # zero-copy broadcast read
+        if not len(skeys):
+            z = np.array([], dtype=np.int64)
+            return z, z, z
         sk = t.column("l_suppkey").to_numpy()
         idx = np.searchsorted(skeys, sk)
         idx[idx == len(skeys)] = 0
-        hit = (len(skeys) > 0) & (skeys[idx] == sk)
-        t = t.filter(pa.array(hit))
+        t = t.filter(pa.array(skeys[idx] == sk))
         sk = t.column("l_suppkey").to_numpy()
         snat = snats[np.searchsorted(skeys, sk)]
         ep = t.column("l_extendedprice").to_numpy()
@@ -629,10 +642,13 @@ def q10_returned_items(sf_dir: str, *, date_lo: str = "1996-01-01",
         def li_partial_bcast(t: pa.Table) -> pa.Table:
             ks, custs = ray.get(ord_ref)  # zero-copy broadcast read
             t = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+            if not len(ks):
+                t = t.slice(0, 0)
             ok = t.column("l_orderkey").to_numpy()
             idx = np.searchsorted(ks, ok)
             idx[idx == len(ks)] = 0
-            hit = (len(ks) > 0) & (ks[idx] == ok)
+            hit = (len(ks) > 0) & (ks[idx] == ok) if len(ks) else \
+                np.zeros(0, dtype=bool)
             t = t.filter(pa.array(hit))
             ok = t.column("l_orderkey").to_numpy()
             ck = custs[np.searchsorted(ks, ok)]
@@ -690,10 +706,16 @@ def q10_returned_items(sf_dir: str, *, date_lo: str = "1996-01-01",
                     "c_nationkey": pa.array([], pa.int64()),
                     "revenue_cents": pa.array([], pa.int64())})
             ks, names, nats = ray.get(cust_ref)  # zero-copy broadcast
+            if not len(ks):
+                return pa.table({
+                    "c_custkey": pa.array([], pa.int64()),
+                    "c_name": pa.array([], pa.string()),
+                    "c_nationkey": pa.array([], pa.int64()),
+                    "revenue_cents": pa.array([], pa.int64())})
             ck = df["o_custkey"].to_numpy(np.int64)
             pos = np.searchsorted(ks, ck)
             pos[pos == len(ks)] = 0
-            hit = (len(ks) > 0) & (ks[pos] == ck)
+            hit = ks[pos] == ck
             ck, pos = ck[hit], pos[hit]
             cents = df["revenue_cents"].to_numpy(np.int64)[hit]
             return pa.table({
@@ -815,6 +837,9 @@ def q12_late_shipments(sf_dir: str, *, late_days: int = 60,
 
         def li_partial(t: pa.Table) -> pa.Table:
             oks, odates, ohigh = ray.get(ord_ref)  # zero-copy arrays
+            if not len(oks):
+                return bucket_counts(np.array([], dtype=np.int64),
+                                     np.array([], dtype=bool))
             ok = t.column("l_orderkey").to_numpy()
             idx = np.searchsorted(oks, ok)
             idx[idx == len(oks)] = 0

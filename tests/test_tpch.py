@@ -198,3 +198,20 @@ def test_q12_join_path_identical(ray_session, sf_dir):
     from pdf2dom_ray.pipelines.tpch import q12_late_shipments
     got = q12_late_shipments(sf_dir, broadcast_limit=0).to_pandas()
     assert _q12_rows(got) == _q12_rows(_duck_q12(sf_dir))
+
+
+def test_empty_broadcast_sides_yield_empty_results(ray_session, sf_dir):
+    """A segment/region matching nothing must yield 0 rows, not an
+    IndexError from the empty broadcast probe arrays."""
+    from pdf2dom_ray.pipelines.tpch import (q3_top_unshipped,
+                                            q5_local_supplier_volume,
+                                            q10_returned_items,
+                                            q12_late_shipments)
+    assert q3_top_unshipped(sf_dir, segment="__NOPE__") \
+        .to_pandas().empty
+    assert q5_local_supplier_volume(sf_dir, region="__NOPE__") \
+        .to_pandas().empty
+    assert q10_returned_items(sf_dir, date_lo="2990-01-01",
+                              date_hi="2991-01-01").to_pandas().empty
+    assert q12_late_shipments(sf_dir, late_days=100_000) \
+        .to_pandas().empty
