@@ -244,8 +244,22 @@ def _lsh_bucket_sql(vec_expr: str, planes: int = 8, dim: int = 64) -> str:
     literals), so bucketed ANN results are value-checkable in DuckDB."""
     from pdf2dom_ray.functions.ann import _LshSigner
     h = _LshSigner(dim, planes).h
+    return _plane_bucket_sql(vec_expr, h)
+
+
+def _band_bucket_sql(vec_expr: str, band: int, bands: int = 4,
+                     planes: int = 8, dim: int = 64) -> str:
+    """SQL for band ``band``'s bucket of functions.ann._BandedSigner
+    (same seeded plane matrix, column-sliced per band)."""
+    from pdf2dom_ray.functions.ann import _BandedSigner
+    h = _BandedSigner(dim, bands=bands, planes=planes).h
+    return _plane_bucket_sql(vec_expr,
+                             h[:, band * planes:(band + 1) * planes])
+
+
+def _plane_bucket_sql(vec_expr: str, h) -> str:
     terms = []
-    for p in range(planes):
+    for p in range(h.shape[1]):
         vec = "[" + ", ".join(repr(float(x)) for x in h[:, p]) + "]"
         terms.append(f"(CASE WHEN list_dot_product({vec_expr}, {vec}) > 0 "
                      f"THEN {1 << p} ELSE 0 END)")
@@ -393,6 +407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ann_ivf,
         "ann_pq_topk": _q_ann_pq,
         "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_exact": _q_dedup_embedding_exact,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         # -- sort / limit
         "top_docs_by_length": _q_top_docs,
@@ -1435,7 +1450,25 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY sim DESC, vec_id ASC LIMIT 10
         """,
-        "dedup_embedding": """
+        "dedup_embedding": f"""
+            WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       {_band_bucket_sql('CAST(embedding AS DOUBLE[])', 0)}
+                           AS k0,
+                       {_band_bucket_sql('CAST(embedding AS DOUBLE[])', 1)}
+                           AS k1,
+                       {_band_bucket_sql('CAST(embedding AS DOUBLE[])', 2)}
+                           AS k2,
+                       {_band_bucket_sql('CAST(embedding AS DOUBLE[])', 3)}
+                           AS k3
+                       FROM embeddings)
+            SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b2.v), 4) AS sim
+            FROM b a JOIN b b2 ON a.vec_id < b2.vec_id
+                 AND (a.k0 = b2.k0 OR a.k1 = b2.k1
+                      OR a.k2 = b2.k2 OR a.k3 = b2.k3)
+            WHERE list_cosine_similarity(a.v, b2.v) > 0.3
+        """,
+        "dedup_embedding_exact": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                                 CAST(b.embedding AS DOUBLE[])),
@@ -2588,6 +2621,20 @@ def _q_dedup_embedding_lsh(sf_dir: str):
 
 
 def _q_dedup_embedding(sf_dir: str):
+    # wired default = banded LSH (sub-quadratic: Σ_band Σ_bucket |b|²
+    # candidates, no O(blocks²) tile fan-out); the exact blocked
+    # cross-product stays available as dedup_embedding_exact
+    import ray.data as rd
+    from pdf2dom_ray.functions.ann import embedding_near_dup_pairs_banded
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return embedding_near_dup_pairs_banded(ds, threshold=0.3,
+                                           bands=4, planes=8)
+
+
+def _q_dedup_embedding_exact(sf_dir: str):
+    # explicit bounded-input tool: EXACT all-pairs over blocked
+    # cross-product tiles — O(N²/2) compute by stated intent
     import ray.data as rd
     from pdf2dom_ray.functions.ann import embedding_near_dup_pairs
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",

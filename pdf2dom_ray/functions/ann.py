@@ -20,6 +20,7 @@ from ..stages.pool import default_pool
 
 __all__ = ["brute_topk", "lsh_buckets", "lsh_topk", "ivf_topk",
            "embedding_near_dup_pairs", "embedding_near_dup_pairs_lsh",
+           "embedding_near_dup_pairs_banded",
            "ivf_build_centroids", "pq_train_codebooks", "pq_topk"]
 
 
@@ -194,6 +195,106 @@ def embedding_near_dup_pairs_lsh(ds: rd.Dataset, threshold: float = 0.85,
 
     return bucketed.groupby("bucket").map_groups(pairs_in_bucket,
                                                  batch_format="pandas")
+
+
+class _BandedSigner:
+    """One pass computes ``bands`` independent hyperplane buckets per
+    vector (plane matrix column-sliced per band; same seed convention
+    as ``_LshSigner`` so the SQL oracle can inline the literals) and
+    FLATTENS to one row per (vector, band)."""
+
+    def __init__(self, dim: int, bands: int = 4, planes: int = 8,
+                 seed: int = 11):
+        rng = np.random.default_rng(seed)
+        self.h = rng.standard_normal((dim, bands * planes))
+        self.bands, self.planes = bands, planes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        e = _emb_matrix(batch).astype(np.float64)
+        bits = (e @ self.h) > 0                    # (n, bands*planes)
+        weights = (1 << np.arange(self.planes, dtype=np.int64))
+        n = len(e)
+        ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        out_band, out_bucket, out_idx = [], [], []
+        for b in range(self.bands):
+            sl = bits[:, b * self.planes:(b + 1) * self.planes]
+            out_bucket.append((sl.astype(np.int64) * weights).sum(axis=1))
+            out_band.append(np.full(n, b, dtype=np.int64))
+            out_idx.append(np.arange(n))
+        idx = np.concatenate(out_idx)
+        return pa.table({
+            "vec_id": pa.array(ids[idx], pa.int64()),
+            "embedding": emb.take(pa.array(idx, pa.int64())),
+            "band": pa.array(np.concatenate(out_band), pa.int64()),
+            "bucket": pa.array(np.concatenate(out_bucket), pa.int64()),
+        })
+
+
+def embedding_near_dup_pairs_banded(ds: rd.Dataset,
+                                    threshold: float = 0.85, *,
+                                    bands: int = 4, planes: int = 8,
+                                    dim: int = 64, seed: int = 11,
+                                    num_partitions: int | None = None,
+                                    concurrency=None) -> rd.Dataset:
+    """Near-dup pairs via BANDED hyperplane LSH: a candidate pair must
+    share the full bucket in at least ONE of ``bands`` independent
+    plane sets, then is verified with exact cosine (> ``threshold``).
+
+    This is the wired near-dup default — recall is
+    1 − (1 − p^planes)^bands per pair (p = 1 − θ/π), a strict
+    improvement over the single-table variant at the same total
+    candidate volume, and the plan is sub-quadratic end-to-end:
+    candidate work is Σ_band Σ_bucket |bucket|², the only exchanges
+    are a (band, bucket) hash shuffle and a narrow (id_a, id_b)
+    dedup — no O(blocks²) tile fan-out anywhere. The exact blocked
+    cross-product (``embedding_near_dup_pairs``) remains the
+    explicit bounded-input tool.
+
+    Determinism: the plane matrix is seeded, so results are
+    reproducible and the DuckDB oracle inlines the same literals
+    (`__ray_entry__._band_bucket_sql`).
+    """
+    import pandas as pd
+
+    from ..stages.hashagg import hash_aggregate
+
+    signer = _BandedSigner(dim, bands=bands, planes=planes, seed=seed)
+    banded = ds.map_batches(signer, batch_format="pyarrow")
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1)[:, None], 1e-30)
+        sims = np.triu(m @ m.T, k=1)
+        rows, cols = np.nonzero(sims > threshold)
+        a, b = ids[rows], ids[cols]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi,
+                             "sim": np.round(sims[rows, cols], 4)})
+
+    per_band = banded.groupby(["band", "bucket"]).map_groups(
+        pairs_in_bucket, batch_format="pandas")
+
+    # a pair colliding in several bands appears once per band — dedup
+    # on the narrow (id_a, id_b) key (sim is identical across copies)
+    def first_pair(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "sim": pd.Series([], dtype="float64")})
+        return df.drop_duplicates(subset=["id_a", "id_b"])
+
+    n_part = num_partitions or _scale_partitions()
+    return hash_aggregate(per_band, ["id_a", "id_b"], first_pair,
+                          num_partitions=n_part)
+
+
+def _scale_partitions() -> int:
+    from ..scale import scale_partitions
+    return scale_partitions()
 
 
 class _IvfAssign:

@@ -103,8 +103,6 @@ def cohort_retention(ds: rd.Dataset, *, user_col: str = "user_id",
                                       batch_format="pyarrow")
     else:
         from .dedup import _to_arrow_blocks
-        ncpu = int(ray.cluster_resources().get("CPU", 8)) if \
-            ray.is_initialized() else 8
 
         def cohortize(t) -> pa.Table:
             t = t if isinstance(t, pa.Table) else \
@@ -119,7 +117,8 @@ def cohort_retention(ds: rd.Dataset, *, user_col: str = "user_id",
                 user_col: t.column(user_col).cast(pa.int64()),
                 "cohort_us": pa.array(_day_floor_us(us), pa.int64())})
 
-        n_part = max(2, min(16, ncpu // 2))
+        from ..scale import scale_partitions
+        n_part = scale_partitions()
         # repartition BOTH sides: Ray's hash join rejects 0-row input
         # blocks (see CLAUDE.md) and groupby outputs carry them; an
         # even repartition merges empties away (both sides are narrow)

@@ -119,10 +119,8 @@ def stale_urls(ds: rd.Dataset, *, key: str = "url",
     n_new = new.count()
     if n_new == 0:
         return old.map_batches(finish, batch_format="pyarrow")
-    import ray
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) if \
-        ray.is_initialized() else 8
-    n_part = max(2, min(16, ncpu // 2))
+    from ..scale import scale_partitions
+    n_part = scale_partitions()
     new = new.repartition(min(n_part, n_new))
     from .dedup import join_ready
     old = join_ready(old, n_part)     # left side too: groupby output
@@ -149,9 +147,8 @@ def snapshot_diff(old: rd.Dataset, new: rd.Dataset, *, key: str = "url",
     import numpy as np
     import ray
 
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) if \
-        ray.is_initialized() else 8
-    n_part = max(2, min(16, ncpu // 2))
+    from ..scale import scale_partitions
+    n_part = scale_partitions()
 
     def narrow(ds: rd.Dataset, fp_out: str) -> rd.Dataset:
         return ds.map_batches(

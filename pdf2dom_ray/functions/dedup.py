@@ -244,13 +244,8 @@ def connected_component_labels(edges: rd.Dataset, *,
     # join hash-partition count sized to the cluster: each partition is
     # an aggregator actor — more partitions than CPUs deadlocks a small
     # cluster and oversubscribes a large one
-    try:
-        import ray
-        ncpu = int(ray.cluster_resources().get("CPU", 8)) if \
-            ray.is_initialized() else 8
-    except Exception:
-        ncpu = 8
-    n_part = max(2, min(64, ncpu // 2))
+    from ..scale import scale_partitions
+    n_part = scale_partitions()
 
     def init_labels(df: pd.DataFrame) -> pa.Table:
         lab = df.groupby("src", as_index=False)["dst"].min()
@@ -305,15 +300,28 @@ def _label_all_docs(ds: rd.Dataset, edges: rd.Dataset, *,
         else:
             df = edges.to_pandas()
             roots = _union_find_roots(df["a"].to_numpy(), df["b"].to_numpy())
-        roots_ref = ray.put(roots)
+        # broadcast as SORTED numpy key/value arrays: ray.get of numpy
+        # is zero-copy per batch, a dict would re-deserialize every call
+        rkeys = np.fromiter(roots.keys(), dtype=np.int64, count=len(roots))
+        rvals = np.fromiter(roots.values(), dtype=np.int64, count=len(roots))
+        order = np.argsort(rkeys, kind="stable")
+        keys_ref = ray.put(rkeys[order])
+        vals_ref = ray.put(rvals[order])
 
         def label(t: pa.Table) -> pa.Table:
-            rt = ray.get(roots_ref)   # zero-copy-ish broadcast read
-            docs = t.column("doc_id").to_pylist()
+            keys = ray.get(keys_ref)
+            vals = ray.get(vals_ref)
+            docs = t.column("doc_id").to_numpy(zero_copy_only=False) \
+                .astype(np.int64, copy=False)
+            out = docs.copy()
+            if len(keys):
+                pos = np.searchsorted(keys, docs)
+                pos[pos == len(keys)] = 0
+                hit = keys[pos] == docs
+                out[hit] = vals[pos[hit]]
             return pa.table({
                 "doc_id": pa.array(docs, pa.int64()),
-                "cluster_id": pa.array([rt.get(d, d) for d in docs],
-                                       pa.int64()),
+                "cluster_id": pa.array(out, pa.int64()),
             })
 
         return ds.select_columns(["doc_id"]).map_batches(

@@ -37,12 +37,14 @@ def _part_of(s: pd.Series, num_partitions: int) -> np.ndarray:
 def funnel_counts(events: rd.Dataset, steps: tuple[str, ...], *,
                   user_col: str = "user_id", ts_col: str = "ts",
                   type_col: str = "event_type",
-                  num_partitions: int = 16) -> rd.Dataset:
+                  num_partitions: int | None = None) -> rd.Dataset:
     """(step, step_name, n_users): users completing each funnel prefix.
 
     ``events`` needs (user_col, ts_col, type_col); other columns are
     dropped before the exchange (narrow rows only).
     """
+    from ..scale import scale_partitions
+    num_partitions = num_partitions or scale_partitions()
     if not steps:
         raise ValueError("funnel needs at least one step")
     step_list = list(steps)

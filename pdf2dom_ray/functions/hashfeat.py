@@ -71,7 +71,6 @@ def hashed_features(ds: rd.Dataset, *, dim: int = 16,
                     concurrency=None) -> rd.Dataset:
     """(doc_id, dim, cnt): hashing-trick bag-of-words vectors in
     long form; row-local, shuffle-free, deterministic."""
-    from ..stages.pool import default_pool
 
     return ds.select_columns(["doc_id", "text"]).map_batches(
         _Hasher(dim), batch_format="pyarrow")

@@ -139,9 +139,8 @@ def common_line_filter(ds: rd.Dataset, *, min_docs: int = 2,
                          "h": pa.array(h, pa.int64()),
                          "n_lines": pa.array(tot, pa.int64())})
 
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) if \
-        ray.is_initialized() else 8
-    n_part = max(2, min(64, ncpu // 2))
+    from ..scale import scale_partitions
+    n_part = scale_partitions()
     from .dedup import join_ready
     kept = ds.map_batches(explode, batch_format="pyarrow").join(
         join_ready(common, n_part), join_type="left_anti",

@@ -31,9 +31,8 @@ __all__ = ["bigram_stats"]
 
 
 def _n_partitions() -> int:
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) if \
-        ray.is_initialized() else 8
-    return max(2, min(16, ncpu // 2))
+    from ..scale import scale_partitions
+    return scale_partitions()
 
 
 def bigram_stats(ds: rd.Dataset, *, text_col: str = "text",

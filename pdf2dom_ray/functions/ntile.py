@@ -34,8 +34,10 @@ __all__ = ["ntile_buckets"]
 
 
 def ntile_buckets(ds: rd.Dataset, *, value_col: str, id_col: str,
-                  k: int = 10, num_partitions: int = 16) -> rd.Dataset:
+                  k: int = 10, num_partitions: int | None = None) -> rd.Dataset:
     """(id, value, bucket): exact NTILE(k) over (value, id) order."""
+    from ..scale import scale_partitions
+    num_partitions = num_partitions or scale_partitions()
     narrow = ds.select_columns([id_col, value_col]).materialize()
     # materialized: the histogram pass and the rank pass both consume
     # it — without this the upstream scan executes twice

@@ -57,9 +57,8 @@ DAMP_NUM, DAMP_DEN = 85, 100      # d = 0.85
 
 
 def _n_partitions() -> int:
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) if \
-        ray.is_initialized() else 8
-    return max(2, min(16, ncpu // 2))
+    from ..scale import scale_partitions
+    return scale_partitions()
 
 
 def _distinct(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
@@ -249,19 +248,19 @@ def pagerank_oracle_sql(edges_cte: str, *, iterations: int = 5,
                   (SELECT src AS url FROM e
                    UNION ALL SELECT target FROM e)),
         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-        r0 AS (SELECT url, CAST({scale} AS BIGINT) AS rank FROM nodes)"""]
+        r0 AS MATERIALIZED (SELECT url, CAST({scale} AS BIGINT) AS rank FROM nodes)"""]
     for k in range(iterations):
         parts.append(f""",
-        d{k} AS (SELECT COALESCE(SUM(r.rank), 0) // (SELECT n FROM nn)
+        d{k} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0) // (SELECT n FROM nn)
                         AS share
                  FROM r{k} r LEFT JOIN outdeg o ON r.url = o.src
                  WHERE o.src IS NULL),
-        s{k} AS (SELECT e.target AS url,
+        s{k} AS MATERIALIZED (SELECT e.target AS url,
                         SUM(r.rank // o.od) AS in_sum
                  FROM e JOIN r{k} r ON e.src = r.url
                         JOIN outdeg o ON e.src = o.src
                  GROUP BY e.target),
-        r{k + 1} AS (SELECT nd.url,
+        r{k + 1} AS MATERIALIZED (SELECT nd.url,
                         CAST({base} + (COALESCE(s.in_sum, 0)
                              + (SELECT share FROM d{k}))
                             * {DAMP_NUM} // {DAMP_DEN} AS BIGINT) AS rank

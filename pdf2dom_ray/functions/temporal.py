@@ -36,7 +36,7 @@ def _part_of(s: pd.Series, num_partitions: int) -> np.ndarray:
 
 
 def asof_join_last_purchase(sf_dir: str, anchor_type: str = "purchase",
-                            num_partitions: int = 16) -> rd.Dataset:
+                            num_partitions: int | None = None) -> rd.Dataset:
     """For every event, the same user's most recent STRICTLY-PRIOR
     ``anchor_type`` event (classic backward as-of join — "attribute
     each event to the last purchase"; ties on ts break to the highest
@@ -53,6 +53,8 @@ def asof_join_last_purchase(sf_dir: str, anchor_type: str = "purchase",
     (two column-pruned scans total — at crawl scale the anchor side
     would be a pre-materialized narrow table).
     """
+    from ..scale import scale_partitions
+    num_partitions = num_partitions or scale_partitions()
     events = rd.read_parquet(f"{sf_dir}/events.parquet",
                              columns=["event_id", "user_id", "ts",
                                       "event_type"])
@@ -115,7 +117,7 @@ def asof_join_last_purchase(sf_dir: str, anchor_type: str = "purchase",
 
 def range_join_event_window(sf_dir: str, anchor_type: str = "signup",
                             window_days: int = 7,
-                            num_partitions: int = 16) -> rd.Dataset:
+                            num_partitions: int | None = None) -> rd.Dataset:
     """Banded range join: per ``anchor_type`` event, how many OTHER
     events of the same user fall in ``[ts, ts + window_days)``
     ("activity in the week after signup"). Anchors with zero in-window
@@ -130,6 +132,8 @@ def range_join_event_window(sf_dir: str, anchor_type: str = "signup",
     counts then collapse through the usual combiner → small-groupby
     chain (an anchor's two buckets may land in different partitions).
     """
+    from ..scale import scale_partitions
+    num_partitions = num_partitions or scale_partitions()
     events = rd.read_parquet(f"{sf_dir}/events.parquet",
                              columns=["event_id", "user_id", "ts",
                                       "event_type"])
@@ -210,7 +214,7 @@ def range_join_event_window(sf_dir: str, anchor_type: str = "signup",
 
 
 def rolling_user_totals(sf_dir: str,
-                        num_partitions: int = 16) -> rd.Dataset:
+                        num_partitions: int | None = None) -> rd.Dataset:
     """Per-event running totals per user: cumulative event count and
     cumulative integer cents of ``value``, ordered by (ts, event_id).
 
@@ -218,6 +222,8 @@ def rolling_user_totals(sf_dir: str,
     one place → one hash exchange on user_id, then a vectorized sort +
     ``groupby(...).cumsum()`` per partition.
     """
+    from ..scale import scale_partitions
+    num_partitions = num_partitions or scale_partitions()
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts", "value"])
 
@@ -247,7 +253,7 @@ def rolling_user_totals(sf_dir: str,
 def event_transitions(events: rd.Dataset, *, user_col: str = "user_id",
                       ts_col: str = "ts", type_col: str = "event_type",
                       id_col: str = "event_id",
-                      num_partitions: int = 16) -> rd.Dataset:
+                      num_partitions: int | None = None) -> rd.Dataset:
     """(from_type, to_type, n): the first-order Markov transition
     counts of each user's event sequence (the LEAD window shape —
     "what do users do right after X?").
@@ -259,6 +265,8 @@ def event_transitions(events: rd.Dataset, *, user_col: str = "user_id",
     tie-break, so the pairing — and therefore the integer counts —
     is partitioning-independent.
     """
+    from ..scale import scale_partitions
+    num_partitions = num_partitions or scale_partitions()
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         df = df[[user_col, ts_col, type_col, id_col]]
         return df.assign(__part=_part_of(df[user_col], num_partitions))
@@ -302,7 +310,7 @@ def event_transitions(events: rd.Dataset, *, user_col: str = "user_id",
 
 
 def inter_event_gaps(sf_dir: str,
-                     num_partitions: int = 16) -> rd.Dataset:
+                     num_partitions: int | None = None) -> rd.Dataset:
     """Per-user inter-arrival statistics: the LAG window shape.
 
     For each user, the gaps (microseconds) between consecutive events
@@ -315,6 +323,8 @@ def inter_event_gaps(sf_dir: str,
     diff + one pandas agg). A user's full history is co-located by the
     hash, so the per-partition summary is FINAL — no second shuffle.
     """
+    from ..scale import scale_partitions
+    num_partitions = num_partitions or scale_partitions()
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts"])
 

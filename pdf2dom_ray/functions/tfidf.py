@@ -43,9 +43,8 @@ __all__ = ["tfidf_topk", "bm25_topk"]
 
 
 def _n_partitions() -> int:
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) if \
-        ray.is_initialized() else 8
-    return max(2, min(16, ncpu // 2))
+    from ..scale import scale_partitions
+    return scale_partitions()
 
 
 def _tf_rows(t: pa.Table, text_col: str, id_col: str) -> pa.Table:

@@ -39,10 +39,8 @@ __all__ = ["triangle_counts", "triangle_counts_reference"]
 
 
 def _n_partitions() -> int:
-    import ray
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) if \
-        ray.is_initialized() else 8
-    return max(2, min(16, ncpu // 2))
+    from ..scale import scale_partitions
+    return scale_partitions()
 
 
 def triangle_counts(edges: rd.Dataset, *, src_col: str = "a",
@@ -156,9 +154,12 @@ def triangle_counts(edges: rd.Dataset, *, src_col: str = "a",
         y = g["y"].to_numpy()
         n = len(g)
         if not n:
-            return pa.table({"u": pa.array([], pa.int64()),
-                             "v": pa.array([], pa.int64()),
-                             "w": pa.array([], pa.int64())})
+            # type the empty table off the input arrays — a hardcoded
+            # int64 schema would conflict with string node ids when an
+            # empty group hits this branch (empty-block hazard)
+            return pa.table({"u": pa.array(x[:0]),
+                             "v": pa.array(y[:0]),
+                             "w": pa.array(y[:0])})
         new = np.empty(n, dtype=bool)
         new[:1] = True
         new[1:] = x[1:] != x[:-1]

@@ -10,6 +10,7 @@ the shuffle moves (keys × batches) rows, never the raw table.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -114,7 +115,7 @@ def pricing_summary(sf_dir: str) -> rd.Dataset:
 
 
 def sessionize(sf_dir: str, gap_minutes: int = 30,
-               num_partitions: int = 16) -> rd.Dataset:
+               num_partitions: int | None = None) -> rd.Dataset:
     """Session windows per user: a new session starts when the gap to
     the previous event exceeds ``gap_minutes``.
 
@@ -126,6 +127,8 @@ def sessionize(sf_dir: str, gap_minutes: int = 30,
     assumption (SURVEY.md §2.9) is user_id-hash co-location; skewed hot
     users are bounded by their own event counts, never by partition
     peers."""
+    from ..scale import scale_partitions
+    num_partitions = num_partitions or scale_partitions()
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "value"])
 
@@ -154,7 +157,7 @@ def sessionize(sf_dir: str, gap_minutes: int = 30,
 
 
 def session_paths(sf_dir: str, gap_minutes: int = 30,
-                  k: int = 20, num_partitions: int = 16) -> rd.Dataset:
+                  k: int = 20, num_partitions: int | None = None) -> rd.Dataset:
     """(path, n_sessions): the top-``k`` most common session
     event-type sequences ("user journeys") — session-level SEQUENCE
     aggregation on top of the sessionize windowing.
@@ -167,6 +170,8 @@ def session_paths(sf_dir: str, gap_minutes: int = 30,
     aggregate, and the k-row result comes from per-batch top-k
     partials + a driver merge — no Sort operator, no payload rows in
     any exchange."""
+    from ..scale import scale_partitions
+    num_partitions = num_partitions or scale_partitions()
     import numpy as np
 
     import ray
@@ -248,14 +253,29 @@ def orders_by_segment(sf_dir: str) -> rd.Dataset:
     import pyarrow.parquet as pq
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_mktsegment"])
-    lookup_ref = ray.put(dict(zip(cust.column("c_custkey").to_pylist(),
-                                  cust.column("c_mktsegment").to_pylist())))
+    # broadcast SORTED numpy key + segment-code arrays (zero-copy
+    # ray.get per batch; a dict would re-deserialize every batch) and
+    # probe with searchsorted; segment strings travel as a tiny list
+    ckeys = cust.column("c_custkey").to_numpy().astype(np.int64)
+    codes, seg_names = pd.factorize(
+        cust.column("c_mktsegment").to_pandas())
+    order = np.argsort(ckeys, kind="stable")
+    keys_ref = ray.put(ckeys[order])
+    codes_ref = ray.put(codes[order].astype(np.int32))
+    seg_names = list(seg_names)
 
     def join_agg(df: pd.DataFrame) -> pd.DataFrame:
-        # plain task fn: ray.get of the broadcast lookup is a
+        # plain task fn: ray.get of the numpy broadcasts is a
         # shared-memory read — no actor-pool spin-up
-        seg = df["o_custkey"].map(ray.get(lookup_ref))
-        return (df.assign(c_mktsegment=seg)
+        keys = ray.get(keys_ref)
+        codes = ray.get(codes_ref)
+        ck = df["o_custkey"].to_numpy().astype(np.int64, copy=False)
+        pos = np.searchsorted(keys, ck)
+        pos[pos == len(keys)] = 0
+        hit = keys[pos] == ck
+        seg = pd.Categorical.from_codes(
+            np.where(hit, codes[pos], -1), categories=seg_names)
+        return (df.assign(c_mktsegment=seg.astype(object))
                   .groupby("c_mktsegment", as_index=False)
                   .agg(n_orders=("o_orderkey", "size"),
                        total=("o_totalprice", "sum")))
@@ -325,7 +345,7 @@ def purchases_hourly_pushdown(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
-def events_rollup(sf_dir: str, *, num_partitions: int = 16) -> rd.Dataset:
+def events_rollup(sf_dir: str, *, num_partitions: int | None = None) -> rd.Dataset:
     """ROLLUP / GROUPING SETS in one scan: event counts and integer
     cents at three levels — (event_type, hour), (event_type, ALL),
     (ALL, ALL) — with 'ALL' / -1 sentinels marking rolled-up axes.
@@ -337,6 +357,8 @@ def events_rollup(sf_dir: str, *, num_partitions: int = 16) -> rd.Dataset:
     map-side re-aggregation of that small table. Additive measures
     (count, int-cents sum) make the two-step rollup exact.
     """
+    from ..scale import scale_partitions
+    num_partitions = num_partitions or scale_partitions()
     from ..stages.hashagg import hash_aggregate
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",

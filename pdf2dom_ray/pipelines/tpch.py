@@ -42,9 +42,8 @@ __all__ = ["q3_top_unshipped", "q5_local_supplier_volume",
 
 
 def _n_partitions() -> int:
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) if \
-        ray.is_initialized() else 8
-    return max(2, min(16, ncpu // 2))
+    from ..scale import scale_partitions
+    return scale_partitions()
 
 
 def q3_top_unshipped(sf_dir: str, *, segment: str = "BUILDING",

@@ -27,11 +27,15 @@ __all__ = ["hash_aggregate"]
 
 def hash_aggregate(ds: rd.Dataset, keys: list[str],
                    combine: "callable[[pd.DataFrame], pd.DataFrame]",
-                   num_partitions: int = 16) -> rd.Dataset:
+                   num_partitions: int | None = None) -> rd.Dataset:
     """``combine`` must be a per-frame pandas groupby-reduce that is
     idempotent under re-application (sum-of-sums etc.). It is applied
     once per input batch (combiner) and once per hash partition
-    (merge)."""
+    (merge). ``num_partitions`` defaults to the cluster-derived value
+    (``scale.scale_partitions``)."""
+    if num_partitions is None:
+        from ..scale import scale_partitions
+        num_partitions = scale_partitions()
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
         out = combine(df)
