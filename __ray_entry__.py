@@ -335,7 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text_roundtrip": _q_roundtrip,
         "extract_span_stats": _q_span_stats,
         "extract_errors": _q_errors,
-        "extract_full": _q_full,                      # rows-only
+        "extract_full": _q_full,
         "html_main_text": _q_html_main,
         "html_outlinks": _q_html_outlinks,
         "anchor_texts": _q_anchor_texts,
@@ -457,6 +457,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_errors": f"""
             SELECT {_URL_SQL} AS url FROM documents WHERE doc_id % 97 = 13
+        """,
+        # full-kernel projection: corpus rules give every checked
+        # column a closed form; error docs (%97=13) parse to the fixed
+        # no-catalog error with zeroed stats and empty text
+        "extract_full": f"""
+            SELECT {_URL_SQL} AS url,
+                   CASE WHEN doc_id % 97 = 13 THEN '' ELSE text END AS text,
+                   CAST(CASE WHEN doc_id % 97 = 13 THEN 0
+                        ELSE len(string_split(text, ' ')) END
+                        AS BIGINT) AS n_spans,
+                   CAST(CASE WHEN doc_id % 97 = 13 THEN 0
+                        ELSE ceil(ceil(len(string_split(text, ' ')) / 10.0)
+                                  / 40.0) END AS BIGINT) AS num_pages,
+                   CAST(CASE WHEN doc_id % 97 = 13 THEN 0
+                        WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_images,
+                   CASE WHEN doc_id % 97 = 13
+                        THEN 'parse: no document catalog' END AS error
+            FROM documents
         """,
         # htmlgen rules (synth/htmlgen.py docstring): article carries the
         # doc text in ceil(n_words / (8 + doc_id%7)) paragraphs; nav +
@@ -1703,7 +1722,25 @@ def _q_errors(sf_dir: str):
 
 
 def _q_full(sf_dir: str):
-    return _extracted(sf_dir, emit_html=True, emit_spans=True)
+    """Flagship end-to-end: full kernel (HTML DOM + spans emitted) on
+    every doc, projected to the deterministic columns so the driver
+    can hash-match a DuckDB oracle. html_dom/spans bytes are locked by
+    the pytest goldens (no SQL twin exists); parse_ms is wall-clock
+    and payload_bytes encodes PDF bytes — all four are computed but
+    excluded from the checked projection."""
+    ds = _extracted(sf_dir, emit_html=True, emit_spans=True)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t.column("url"),
+            "text": pc.replace_substring(t.column("extracted_text"),
+                                         "\n", " "),
+            "n_spans": pc.cast(t.column("n_spans"), pa.int64()),
+            "num_pages": pc.cast(t.column("num_pages"), pa.int64()),
+            "n_images": pc.cast(t.column("n_images"), pa.int64()),
+            "error": t.column("error"),
+        })
+    return ds.map_batches(project, batch_format="pyarrow")
 
 
 def _q_html_main(sf_dir: str):

@@ -37,11 +37,18 @@ def _take_ordered(ds: rd.Dataset, sort_keys, k: int,
                   empty: pa.Table) -> rd.Dataset:
     """Driver merge over per-batch top-k partials (the takeOrdered
     pattern) — a full Sort operator is pure fixed cost for a k-row
-    result. Input batches must already be ≤ k rows each."""
-    tables = [b if isinstance(b, pa.Table)
-              else pa.Table.from_pandas(b, preserve_index=False)
-              for b in ray.get(ds.to_arrow_refs())]
-    tables = [b for b in tables if b.num_rows and b.num_columns]
+    result. Input batches must already be ≤ k rows each; past 64
+    blocks a distributed pre-merge round bounds the driver concat at
+    O(k·√blocks) rows (functions.fold)."""
+    from .fold import bounded_fold_tables
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return empty
+        idx = pa.compute.sort_indices(t, sort_keys=sort_keys)
+        return t.take(idx[:k])
+
+    tables = bounded_fold_tables(ds, local_topk)
     if not tables:
         return rd.from_arrow(empty)
     merged = pa.concat_tables(tables).combine_chunks()

@@ -228,10 +228,12 @@ def session_paths(sf_dir: str, gap_minutes: int = 30,
                 df["n_sessions"].to_numpy(np.int64), pa.int64())})
 
     parts = counts.map_batches(topk_partial, batch_format="pandas")
-    tabs = [b if isinstance(b, pa.Table)
-            else pa.Table.from_pandas(b, preserve_index=False)
-            for b in ray.get(parts.to_arrow_refs())]
-    tabs = [b for b in tabs if b.num_rows and b.num_columns]
+
+    def topk_arrow(t: pa.Table) -> pa.Table:
+        return topk_partial(t.to_pandas())
+
+    from ..functions.fold import bounded_fold_tables
+    tabs = bounded_fold_tables(parts, topk_arrow)
     if not tabs:
         return rd.from_arrow(pa.table({
             "path": pa.array([], pa.string()),

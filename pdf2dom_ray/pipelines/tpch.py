@@ -223,10 +223,8 @@ def q3_top_unshipped(sf_dir: str, *, segment: str = "BUILDING",
         return t.take(idx[:limit])
 
     parts = out.map_batches(topk_partial, batch_format="pyarrow")
-    tables = [b if isinstance(b, pa.Table)
-              else pa.Table.from_pandas(b, preserve_index=False)
-              for b in ray.get(parts.to_arrow_refs())]
-    tables = [b for b in tables if b.num_rows and b.num_columns]
+    from ..functions.fold import bounded_fold_tables
+    tables = bounded_fold_tables(parts, topk_partial)
     if not tables:
         return parts.limit(0)
     merged = pa.concat_tables(tables)
@@ -397,10 +395,13 @@ def q5_local_supplier_volume(sf_dir: str, *, region: str = "ASIA",
 
         partials = li.map_batches(li_nation_partial,
                                   batch_format="pyarrow")
-        tabs = [b if isinstance(b, pa.Table)
-                else pa.Table.from_pandas(b, preserve_index=False)
-                for b in ray.get(partials.to_arrow_refs())]
-        tabs = [b for b in tabs if b.num_rows and b.num_columns]
+        def resum_nat(t: pa.Table) -> pa.Table:
+            g = (t.to_pandas().groupby("s_nationkey", as_index=False)
+                  .agg(revenue_cents=("revenue_cents", "sum")))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        from ..functions.fold import bounded_fold_tables
+        tabs = bounded_fold_tables(partials, resum_nat)
         if not tabs:
             return rd.from_arrow(pa.table({
                 "n_name": pa.array([], pa.string()),
@@ -749,11 +750,10 @@ def q10_returned_items(sf_dir: str, *, date_lo: str = "1996-01-01",
         return t.take(idx[:limit])
 
     partials = rows.map_batches(topk_partial, batch_format="pyarrow")
-    # empty map_groups partitions can surface as pandas blocks — coerce
-    tables = [b if isinstance(b, pa.Table)
-              else pa.Table.from_pandas(b, preserve_index=False)
-              for b in ray.get(partials.to_arrow_refs())]
-    tables = [b for b in tables if b.num_rows and b.num_columns]
+    # empty map_groups partitions can surface as pandas blocks — the
+    # bounded fold coerces them and pre-merges past 64 blocks
+    from ..functions.fold import bounded_fold_tables
+    tables = bounded_fold_tables(partials, topk_partial)
     empty = pa.table({"c_custkey": pa.array([], pa.int64()),
                       "c_name": pa.array([], pa.string()),
                       "n_name": pa.array([], pa.string()),
@@ -868,11 +868,16 @@ def q12_late_shipments(sf_dir: str, *, late_days: int = 60,
         partials = joined.map_batches(join_partial,
                                       batch_format="pyarrow")
 
-    # ≤ 2 rows per batch: merge on the driver
-    tabs = [b if isinstance(b, pa.Table)
-            else pa.Table.from_pandas(b, preserve_index=False)
-            for b in ray.get(partials.to_arrow_refs())]
-    tabs = [b for b in tabs if b.num_rows and b.num_columns]
+    # ≤ 2 rows per batch: merge on the driver (pre-merged past 64
+    # blocks — re-sum per merged block keeps the fold bounded)
+    def resum(t: pa.Table) -> pa.Table:
+        g = (t.to_pandas().groupby("delay_bucket", as_index=False)
+              .agg(high_line_count=("high_line_count", "sum"),
+                   low_line_count=("low_line_count", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ..functions.fold import bounded_fold_tables
+    tabs = bounded_fold_tables(partials, resum)
     if not tabs:
         return rd.from_arrow(empty)
     merged = (pa.concat_tables(tabs).to_pandas()
