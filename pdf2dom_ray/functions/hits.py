@@ -48,7 +48,7 @@ import ray.data as rd
 from ray.data.aggregate import Sum
 
 from .dedup import _to_arrow_blocks
-from .pagerank import _distinct, _n_partitions
+from .pagerank import _distinct, _n_partitions, _thin
 
 __all__ = ["SCALE", "hits", "hits_reference", "hits_oracle_sql"]
 
@@ -106,25 +106,98 @@ def _driver_hits(df, *, iterations: int, scale: int) -> pa.Table:
                      "hub": pa.array(h, pa.int64())})
 
 
+def _hits_bsp(e: rd.Dataset, state: rd.Dataset, iterations: int,
+              scale: int, n_part: int) -> rd.Dataset:
+    """Raw-task BSP loop (functions/graphbsp.py) — the >limit path.
+
+    Needs BOTH edge layouts (the a-step scatters along src→target, the
+    h-step along target→src). Per half-step: P scatter + P gather + P
+    normalize tasks and one P-scalar driver max-sync. Bit-exact vs the
+    driver and join paths (int64 floors, order-independent
+    ``np.add.at``), locked by tests."""
+    from .graphbsp import ShardedGraph
+
+    g = ShardedGraph.build(e, state, n_part, both_directions=True)
+    P = g.n_part
+
+    @ray.remote
+    def scatter(edge_shard, score):
+        key_idx, other_idx, offsets = edge_shard
+        contrib = score[key_idx]
+        return tuple((other_idx[offsets[q]:offsets[q + 1]],
+                      contrib[offsets[q]:offsets[q + 1]])
+                     for q in range(P))
+
+    @ray.remote(num_returns=2)
+    def gather(node_shard, *pieces):
+        raw = np.zeros(len(node_shard[0]), dtype=np.int64)
+        for idx, contrib in pieces:
+            np.add.at(raw, idx, contrib)
+        return raw, int(raw.max(initial=0))
+
+    @ray.remote
+    def normalize(raw, d: int):
+        return raw // d
+
+    @ray.remote
+    def init_score(node_shard):
+        return np.full(len(node_shard[0]), scale, dtype=np.int64)
+
+    @ray.remote
+    def finalize(node_shard, a, h) -> pa.Table:
+        return pa.table({
+            "url": pa.array(node_shard[0].tolist(), pa.string()),
+            "authority": pa.array(a, pa.int64()),
+            "hub": pa.array(h, pa.int64())})
+
+    def half_step(score, layout):
+        scat = [scatter.options(num_returns=P)
+                .remote(layout[p], score[p]) for p in range(P)]
+        if P == 1:
+            scat = [[s] for s in scat]
+        outs = [gather.remote(g.node_shards[q],
+                              *[scat[p][q] for p in range(P)])
+                for q in range(P)]
+        d = _divisor(max(ray.get([o[1] for o in outs]), default=0),
+                     scale)
+        return [normalize.remote(o[0], d) for o in outs]
+
+    h = [init_score.remote(s) for s in g.node_shards]
+    a = [ray.put(np.zeros(0, dtype=np.int64))] * P   # replaced below
+    for _ in range(iterations):
+        a = half_step(h, g.edges_by_src)
+        h = half_step(a, g.edges_by_tgt)
+
+    return rd.from_arrow_refs(
+        [finalize.remote(g.node_shards[q], a[q], h[q])
+         for q in range(P)])
+
+
 def hits(edges: rd.Dataset, *, iterations: int = 4, scale: int = SCALE,
-         driver_edge_limit: int = 5_000_000) -> rd.Dataset:
+         driver_edge_limit: int = 5_000_000,
+         mode: str = "bsp") -> rd.Dataset:
     """(src, target) edge rows -> (url, authority:int64, hub:int64).
 
     ``edges`` may carry extra columns and duplicate edges; the graph
     is the distinct (src, target) set. Set ``driver_edge_limit=0`` to
     force the distributed path.
     """
-    e = _distinct(edges, ["src", "target"]).materialize()
-    n_edges = e.count()
-    if n_edges == 0:
+    # batch-local distinct first (no shuffle); the driver path dedupes
+    # in numpy itself, so small graphs skip the global distinct
+    # exchange entirely (see pagerank.py)
+    thin = _thin(edges, ["src", "target"]).materialize()
+    n_thin = thin.count()
+    if n_thin == 0:
         return rd.from_arrow(pa.table({
             "url": pa.array([], pa.string()),
             "authority": pa.array([], pa.int64()),
             "hub": pa.array([], pa.int64())}))
-    if n_edges <= driver_edge_limit:
+    if n_thin <= driver_edge_limit:
         return rd.from_arrow(_driver_hits(
-            e.to_pandas(), iterations=iterations, scale=scale))
+            thin.to_pandas(), iterations=iterations, scale=scale))
 
+    e = _distinct(thin, ["src", "target"]).materialize()
+    n_edges = e.count()
     n_part = _n_partitions()
     # Ray's hash join rejects 0-row input blocks on either side —
     # even-repartition every narrow join side to merge empties away
@@ -135,6 +208,16 @@ def hits(edges: rd.Dataset, *, iterations: int = 4, scale: int = SCALE,
     nodes = _distinct(srcs.union(tgts), ["url"]).materialize()
     npn = min(n_part, max(1, nodes.count()))
     nodes = nodes.repartition(npn).materialize()
+
+    if mode == "bsp":
+        # graphbsp's node shards carry (url, outdeg); HITS never reads
+        # outdeg — ship zeros
+        state_ds = nodes.map_batches(
+            lambda t: pa.table({
+                "url": t.column("url"),
+                "outdeg": pa.array([0] * t.num_rows, pa.int64())}),
+            batch_format="pyarrow").materialize()
+        return _hits_bsp(e, state_ds, iterations, scale, n_part)
 
     def init_score(t: pa.Table) -> pa.Table:
         return pa.table({

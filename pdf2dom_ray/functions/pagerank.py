@@ -41,6 +41,7 @@ on the driver — the only driver-side state.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -61,19 +62,26 @@ def _n_partitions() -> int:
     return scale_partitions()
 
 
+def _thin(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
+    """Per-batch Arrow distinct partial — thins duplicate-heavy rows
+    with NO shuffle (batch-local); rows may still repeat across
+    batches."""
+    return ds.select_columns(cols).map_batches(
+        lambda t: t.group_by(cols).aggregate([]),
+        batch_format="pyarrow")
+
+
 def _distinct(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
     """Distinct rows: per-batch Arrow distinct partial, then a global
     groupby on the (already thinned) narrow rows."""
-    part = ds.select_columns(cols).map_batches(
-        lambda t: t.group_by(cols).aggregate([]),
-        batch_format="pyarrow")
-    agg = part.groupby(cols).aggregate(Count(alias_name="__c"))
+    agg = _thin(ds, cols).groupby(cols).aggregate(Count(alias_name="__c"))
     return _to_arrow_blocks(agg).select_columns(cols)
 
 
 def pagerank(edges: rd.Dataset, *, iterations: int = 5,
              scale: int = SCALE,
-             driver_edge_limit: int = 5_000_000) -> rd.Dataset:
+             driver_edge_limit: int = 5_000_000,
+             mode: str = "bsp") -> rd.Dataset:
     """(src, target) edge rows -> (url, rank:int64) fixed-point ranks.
 
     ``edges`` may carry extra columns (e.g. ``is_content``) and
@@ -84,18 +92,29 @@ def pagerank(edges: rd.Dataset, *, iterations: int = 5,
     distributed path are pure fixed overhead at that size) — same
     pattern as ``minhash_cluster``'s driver union-find and
     ``line_dedup``'s broadcast set, and because the recurrence is
-    integer-exact the two paths return bit-identical ranks (locked by
+    integer-exact all paths return bit-identical ranks (locked by
     ``test_driver_and_distributed_paths_identical``). Set the limit to
     0 to force the distributed path.
+
+    ``mode`` picks the distributed iteration: ``"bsp"`` (default) runs
+    raw scatter/gather tasks over pinned hash shards
+    (``_pagerank_bsp``); ``"joins"`` keeps the Dataset-join
+    formulation as the fallback (2 joins + 2 groupbys per iteration).
     """
-    e = _distinct(edges, ["src", "target"]).materialize()
-    n_edges = e.count()
-    if n_edges == 0:
+    # thin with a batch-local distinct FIRST (no shuffle): the driver
+    # path needs no global distinct at all (it dedupes in numpy), so
+    # small graphs skip the sort-groupby exchange entirely — that
+    # exchange was the dominant fixed cost of the whole query
+    thin = _thin(edges, ["src", "target"]).materialize()
+    n_thin = thin.count()
+    if n_thin == 0:
         empty = pa.table({"url": pa.array([], pa.string()),
                           "rank": pa.array([], pa.int64())})
         return rd.from_arrow(empty)
-    if n_edges <= driver_edge_limit:
-        return _pagerank_driver(e, iterations, scale)
+    if n_thin <= driver_edge_limit:
+        return _pagerank_driver(thin, iterations, scale)
+    e = _distinct(thin, ["src", "target"]).materialize()
+    n_edges = e.count()
     n_part = _n_partitions()
     # Ray's hash join rejects 0-row input blocks on either side, and
     # the streaming executor picks block boundaries adaptively (run-
@@ -125,6 +144,16 @@ def pagerank(edges: rd.Dataset, *, iterations: int = 5,
             "outdeg": od,
             "rank": pa.array([scale] * len(t), pa.int64()),
         })
+
+    if mode == "bsp":
+        state_ds = _to_arrow_blocks(state.map_batches(
+            lambda t: pa.table({
+                "url": t.column("url"),
+                "outdeg": pc.coalesce(t.column("outdeg"),
+                                      pa.scalar(0, pa.int64()))
+                .cast(pa.int64())}),
+            batch_format="pyarrow")).materialize()
+        return _pagerank_bsp(e, state_ds, iterations, scale, n_part)
 
     ranks = _to_arrow_blocks(state.map_batches(
         init_rank, batch_format="pyarrow")).repartition(npn).materialize()
@@ -175,12 +204,91 @@ def pagerank(edges: rd.Dataset, *, iterations: int = 5,
     return ranks.select_columns(["url", "rank"])
 
 
+@ray.remote
+def _pr_init_shard(shard, scale: int):
+    """(rank0, dangling0, n_q) for one node shard."""
+    urls, outdeg = shard
+    rank = np.full(len(urls), scale, dtype=np.int64)
+    return rank, int(rank[outdeg == 0].sum()), len(urls)
+
+
+def _pagerank_bsp(e: rd.Dataset, state: rd.Dataset, iterations: int,
+                  scale: int, n_part: int) -> rd.Dataset:
+    """Raw-task BSP loop (see functions/graphbsp.py): the >limit path.
+
+    Per iteration: P scatter + P gather tasks, P² small contribution
+    objects, one P-scalar driver sync (dangling mass). No Dataset
+    operators inside the loop — the Dataset-join formulation's 2 joins
+    + 2 groupbys of per-iteration fixed cost (~1 s each at bench
+    scale) collapse to plain task scheduling. Bit-exact vs the driver
+    and join paths (int64 floor arithmetic, order-independent
+    ``np.add.at``), locked by tests."""
+    from .graphbsp import ShardedGraph
+
+    base = scale * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+
+    g = ShardedGraph.build(e, state, n_part)
+    P = g.n_part
+
+    @ray.remote
+    def scatter(edge_shard, node_shard, rank):
+        src_idx, tgt_idx, offsets = edge_shard
+        outdeg = node_shard[1]
+        contrib = rank[src_idx] // outdeg[src_idx]
+        return tuple((tgt_idx[offsets[q]:offsets[q + 1]],
+                      contrib[offsets[q]:offsets[q + 1]])
+                     for q in range(P))
+
+    @ray.remote(num_returns=2)
+    def gather(node_shard, share: int, *pieces):
+        urls, outdeg = node_shard
+        in_sum = np.zeros(len(urls), dtype=np.int64)
+        for tgt_idx, contrib in pieces:
+            np.add.at(in_sum, tgt_idx, contrib)
+        rank = base + (in_sum + share) * DAMP_NUM // DAMP_DEN
+        return rank, int(rank[outdeg == 0].sum())
+
+    @ray.remote
+    def finalize(node_shard, rank) -> pa.Table:
+        return pa.table({
+            "url": pa.array(node_shard[0].tolist(), pa.string()),
+            "rank": pa.array(rank, pa.int64())})
+
+    inits = [_pr_init_shard.remote(s, scale) for s in g.node_shards]
+    parts = ray.get(inits)
+    ranks = [ray.put(p[0]) for p in parts]
+    dang = sum(p[1] for p in parts)
+    n_nodes = sum(p[2] for p in parts)
+    if n_nodes == 0:
+        return rd.from_arrow(pa.table({"url": pa.array([], pa.string()),
+                                       "rank": pa.array([], pa.int64())}))
+
+    for _ in range(iterations):
+        share = dang // n_nodes
+        scat = [scatter.options(num_returns=P)
+                .remote(g.edges_by_src[p], g.node_shards[p], ranks[p])
+                for p in range(P)]
+        if P == 1:
+            scat = [[s] for s in scat]
+        outs = [gather.remote(g.node_shards[q], share,
+                              *[scat[p][q] for p in range(P)])
+                for q in range(P)]
+        ranks = [o[0] for o in outs]
+        dang = sum(ray.get([o[1] for o in outs]))
+
+    return rd.from_arrow_refs(
+        [finalize.remote(g.node_shards[q], ranks[q]) for q in range(P)])
+
+
 def _pagerank_driver(e: rd.Dataset, iterations: int,
                      scale: int) -> rd.Dataset:
     """Bounded-size exact path: factorize urls, numpy int64 iteration.
 
-    ``np.add.at`` on an int64 accumulator is an order-independent
-    integer scatter-add — identical to the distributed groupby sums.
+    Accepts batch-thinned rows (duplicates may remain ACROSS batches)
+    and dedupes here via integer edge codes — so the caller never pays
+    a distributed distinct for a driver-sized graph. ``np.add.at`` on
+    an int64 accumulator is an order-independent integer scatter-add —
+    identical to the distributed groupby sums.
     """
     import numpy as np
     # schema-less zero-row blocks (groupby artifacts) break concat
@@ -189,8 +297,12 @@ def _pagerank_driver(e: rd.Dataset, iterations: int,
     src = np.asarray(t.column("src").to_pandas(), dtype=object)
     tgt = np.asarray(t.column("target").to_pandas(), dtype=object)
     urls, idx = np.unique(np.concatenate([src, tgt]), return_inverse=True)
-    src_id, tgt_id = idx[:len(src)], idx[len(src):]
     n = len(urls)
+    # global dedupe: one int64 code per edge (driver-path sizes keep
+    # n*n well under 2^63)
+    codes = np.unique(idx[:len(src)].astype(np.int64) * n
+                      + idx[len(src):])
+    src_id, tgt_id = codes // n, codes % n
     outdeg = np.bincount(src_id, minlength=n).astype(np.int64)
     rank = np.full(n, scale, dtype=np.int64)
     base = scale * (DAMP_DEN - DAMP_NUM) // DAMP_DEN

@@ -85,14 +85,13 @@ def triangle_counts(edges: rd.Dataset, *, src_col: str = "a",
     def dedup_edges(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(subset=["a", "b"])
 
-    und = hash_aggregate(edges.map_batches(canon,
-                                           batch_format="pandas"),
-                         ["a", "b"], dedup_edges,
-                         num_partitions=n_part)
-    und = join_ready(und, n_part)
+    # batch-local canon+dedup first (no shuffle); the driver fast path
+    # dedupes in the reference itself, so small graphs never pay the
+    # hash-partition exchange (see pagerank.py's _thin)
+    thin = edges.map_batches(canon, batch_format="pandas").materialize()
 
-    if und.count() <= driver_edge_limit:
-        df = und.to_pandas()
+    if thin.count() <= driver_edge_limit:
+        df = thin.to_pandas()
         counts = triangle_counts_reference(
             list(zip(df["a"], df["b"])))
         out = pd.DataFrame(
@@ -100,6 +99,10 @@ def triangle_counts(edges: rd.Dataset, *, src_col: str = "a",
              "n_triangles": pd.Series(list(counts.values()),
                                       dtype="int64")})
         return rd.from_pandas(out if len(out) else _empty_counts())
+
+    und = hash_aggregate(thin, ["a", "b"], dedup_edges,
+                         num_partitions=n_part)
+    und = join_ready(und, n_part)
 
     # per-node degree over the distinct undirected edges
     def endpoints(df: pd.DataFrame) -> pd.DataFrame:

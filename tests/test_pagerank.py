@@ -52,12 +52,15 @@ def test_ray_matches_reference_tiny(ray_session):
 def test_driver_and_distributed_paths_identical(ray_session):
     import ray.data as rd
     ds = rd.from_items([{"src": u, "target": v} for u, v in TINY])
-    dist = {r["url"]: r["rank"]
-            for r in pagerank(ds, iterations=4,
-                              driver_edge_limit=0).take_all()}
+    bsp = {r["url"]: r["rank"]
+           for r in pagerank(ds, iterations=4,
+                             driver_edge_limit=0).take_all()}
+    joins = {r["url"]: r["rank"]
+             for r in pagerank(ds, iterations=4, driver_edge_limit=0,
+                               mode="joins").take_all()}
     drv = {r["url"]: r["rank"]
            for r in pagerank(ds, iterations=4).take_all()}
-    assert dist == drv == pagerank_reference(TINY, iterations=4)
+    assert bsp == joins == drv == pagerank_reference(TINY, iterations=4)
 
 
 def test_ray_matches_reference_synth(ray_session, sf_dir):
