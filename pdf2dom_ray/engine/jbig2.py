@@ -25,12 +25,15 @@ decoded as embedded text regions with dictionary-retained contexts
 (SDHUFF, §6.5.9) decode height-class collective bitmaps (uncompressed
 and MMR) with the standard integer tables B.1-B.5 and stream-carried
 custom table segments (type 53, Annex B.2) — the canonical prefix
-assignment is Annex B.3. SBHUFF text regions (whose standard tables
-B.6-B.15 this engine does not carry) raise ``Jbig2Error`` with the
-specific reason and degrade upstream
-to the honest ``UnsupportedImageError`` → ``<img src="">`` path,
-mirroring how the reference surfaces unsupported codecs
-(``ImageUtils.java:11-54`` returns null → empty image resource).
+assignment is Annex B.3. SBHUFF text regions decode with the standard
+tables B.6-B.15 (Annex B.5, transcribed in spec line order) and the
+stream-carried symbol-ID runcode table (§7.4.4.1.7). The single
+remaining corner — per-instance refinement inside an SBHUFF region
+(§6.4.11 Huffman mode) — raises ``Jbig2Error`` with the specific
+reason and degrades upstream to the honest ``UnsupportedImageError``
+→ ``<img src="">`` path, mirroring how the reference surfaces
+unsupported codecs (``ImageUtils.java:11-54`` returns null → empty
+image resource).
 
 The embedded (PDF) segment layout (T.88 Annex / PDF 32000 §7.4.7):
 no file header; a sequence of segments, each
@@ -459,7 +462,103 @@ _STD_TABLES = {
     5: _HuffTable([(7, 8, -255, ""), (1, 0, 1, ""), (2, 0, 2, ""),
                    (3, 0, 3, ""), (4, 3, 4, ""), (5, 6, 12, ""),
                    (7, 32, -256, "lower"), (6, 32, 76, "")]),
+    # text-region set (B.6-B.15): FS (B.6/B.7), DS (B.8-B.10),
+    # DT (B.11-B.13), refinement deltas (B.14/B.15) — transcribed from
+    # ITU-T T.88 Annex B.5 in spec line order (order fixes the B.3
+    # canonical prefix assignment)
+    6: _HuffTable([(5, 10, -2048, ""), (4, 9, -1024, ""),
+                   (4, 8, -512, ""), (4, 7, -256, ""), (5, 6, -128, ""),
+                   (5, 5, -64, ""), (4, 5, -32, ""), (2, 7, 0, ""),
+                   (3, 7, 128, ""), (3, 8, 256, ""), (4, 9, 512, ""),
+                   (4, 10, 1024, ""), (6, 32, -2049, "lower"),
+                   (6, 32, 2048, "")]),
+    7: _HuffTable([(4, 9, -1024, ""), (3, 8, -512, ""),
+                   (4, 7, -256, ""), (5, 6, -128, ""), (5, 5, -64, ""),
+                   (4, 5, -32, ""), (4, 9, 0, ""), (5, 10, 512, ""),
+                   (3, 32, -1025, "lower"), (3, 32, 1536, "")]),
+    8: _HuffTable([(8, 3, -15, ""), (9, 1, -7, ""), (8, 1, -5, ""),
+                   (9, 0, -3, ""), (7, 0, -2, ""), (4, 0, -1, ""),
+                   (2, 1, 0, ""), (5, 0, 2, ""), (6, 0, 3, ""),
+                   (3, 4, 4, ""), (6, 1, 20, ""), (4, 4, 22, ""),
+                   (4, 5, 38, ""), (5, 6, 70, ""), (5, 7, 134, ""),
+                   (6, 7, 262, ""), (7, 8, 390, ""), (6, 10, 646, ""),
+                   (9, 32, -16, "lower"), (9, 32, 1670, ""),
+                   (2, 0, 0, "oob")]),
+    9: _HuffTable([(8, 4, -31, ""), (9, 2, -15, ""), (8, 2, -11, ""),
+                   (9, 1, -7, ""), (7, 1, -5, ""), (4, 1, -3, ""),
+                   (3, 1, -1, ""), (3, 1, 1, ""), (5, 1, 3, ""),
+                   (6, 1, 5, ""), (3, 5, 7, ""), (6, 2, 39, ""),
+                   (4, 5, 43, ""), (4, 6, 75, ""), (5, 7, 139, ""),
+                   (5, 8, 267, ""), (6, 8, 523, ""), (7, 9, 779, ""),
+                   (6, 11, 1291, ""), (9, 32, -32, "lower"),
+                   (9, 32, 3339, ""), (2, 0, 0, "oob")]),
+    10: _HuffTable([(7, 4, -21, ""), (8, 0, -5, ""), (7, 0, -4, ""),
+                    (5, 0, -3, ""), (2, 2, -2, ""), (5, 0, 2, ""),
+                    (6, 0, 3, ""), (7, 0, 4, ""), (8, 0, 5, ""),
+                    (2, 6, 6, ""), (5, 5, 70, ""), (6, 5, 102, ""),
+                    (7, 6, 134, ""), (8, 7, 198, ""), (8, 8, 326, ""),
+                    (8, 9, 582, ""), (8, 10, 1094, ""),
+                    (7, 11, 2118, ""), (8, 32, -22, "lower"),
+                    (8, 32, 4166, ""), (2, 0, 0, "oob")]),
+    11: _HuffTable([(1, 0, 1, ""), (2, 1, 2, ""), (4, 0, 4, ""),
+                    (4, 1, 5, ""), (5, 1, 7, ""), (5, 2, 9, ""),
+                    (6, 2, 13, ""), (7, 2, 17, ""), (7, 3, 21, ""),
+                    (7, 4, 29, ""), (7, 5, 45, ""), (7, 6, 77, ""),
+                    (7, 32, 141, "")]),
+    12: _HuffTable([(1, 0, 1, ""), (2, 0, 2, ""), (3, 1, 3, ""),
+                    (5, 0, 5, ""), (5, 1, 6, ""), (6, 1, 8, ""),
+                    (7, 0, 10, ""), (7, 1, 11, ""), (7, 2, 13, ""),
+                    (7, 3, 17, ""), (7, 4, 25, ""), (8, 5, 41, ""),
+                    (8, 32, 73, "")]),
+    13: _HuffTable([(1, 0, 1, ""), (3, 0, 2, ""), (4, 0, 3, ""),
+                    (5, 0, 4, ""), (4, 1, 5, ""), (3, 3, 7, ""),
+                    (6, 1, 15, ""), (6, 2, 17, ""), (6, 3, 21, ""),
+                    (6, 4, 29, ""), (6, 5, 45, ""), (7, 6, 77, ""),
+                    (7, 32, 141, "")]),
+    14: _HuffTable([(3, 0, -2, ""), (3, 0, -1, ""), (1, 0, 0, ""),
+                    (3, 0, 1, ""), (3, 0, 2, "")]),
+    15: _HuffTable([(7, 4, -24, ""), (6, 2, -8, ""), (5, 1, -4, ""),
+                    (4, 0, -2, ""), (3, 0, -1, ""), (1, 0, 0, ""),
+                    (3, 0, 1, ""), (4, 0, 2, ""), (5, 1, 3, ""),
+                    (6, 2, 5, ""), (7, 4, 9, ""),
+                    (7, 32, -25, "lower"), (7, 32, 25, "")]),
 }
+
+
+def _decode_symid_table(rdr: _BitReader, n_syms: int) -> _HuffTable | None:
+    """Symbol-ID Huffman code table for SBHUFF text regions (T.88
+    §7.4.4.1.7): 35 four-bit runcode lengths build a runcode table;
+    runcodes then emit one code length per symbol (32 = repeat the
+    previous length 3+2bits times, 33 = 3+3bits zeros, 34 = 11+7bits
+    zeros); the per-symbol lengths build the ID table canonically.
+    Byte-aligns the reader afterwards (spec step 4). Returns ``None``
+    when every length is zero (single-symbol degenerate code — the
+    caller reads no ID bits)."""
+    runlens = [rdr.get_bits(4) for _ in range(35)]
+    runtab = _HuffTable([(l, 0, i, "") for i, l in enumerate(runlens)])
+    lens: list[int] = []
+    prev = 0
+    while len(lens) < n_syms:
+        c = runtab.decode(rdr)
+        if c is _OOB or c > 34:
+            raise Jbig2Error("bad symbol-ID runcode")
+        if c < 32:
+            lens.append(c)
+            prev = c
+        elif c == 32:
+            lens.extend([prev] * (3 + rdr.get_bits(2)))
+        elif c == 33:
+            lens.extend([0] * (3 + rdr.get_bits(3)))
+        else:
+            lens.extend([0] * (11 + rdr.get_bits(7)))
+    if len(lens) != n_syms:
+        raise Jbig2Error("symbol-ID code length overrun")
+    rdr.align()
+    if not any(lens):
+        if n_syms != 1:
+            raise Jbig2Error("empty symbol-ID code for several symbols")
+        return None
+    return _HuffTable([(l, 0, i, "") for i, l in enumerate(lens)])
 
 
 def _decode_table_segment(payload: bytes) -> _HuffTable:
@@ -725,10 +824,14 @@ def _decode_symbol_dict(payload: bytes,
     return exported
 
 
-def _decode_text_region(payload: bytes, syms: list[np.ndarray]):
+def _decode_text_region(payload: bytes, syms: list[np.ndarray],
+                        tables: list[_HuffTable] | None = None):
     """Text region segment (types 4/6/7, T.88 §6.4/§7.4.4) →
-    (x, y, w, h, comb, bitmap). Arithmetic coding, optionally with
-    SBREFINE per-instance symbol refinement (§6.4.11)."""
+    (x, y, w, h, comb, bitmap). Arithmetic or Huffman (SBHUFF) coding;
+    arithmetic regions optionally carry SBREFINE per-instance symbol
+    refinement (§6.4.11). ``tables``: custom Huffman tables from
+    referred type-53 segments, consumed in selector order (§7.4.4.1.2
+    — selector value 3, or 1 for RSIZE)."""
     from .mq import MQDecoder
     if len(payload) < 17 + 2 + 4:
         raise Jbig2Error("truncated text region")
@@ -746,13 +849,17 @@ def _decode_text_region(payload: bytes, syms: list[np.ndarray]):
     sbrtemplate = (tflags >> 15) & 1
     if sbdsoffset > 15:
         sbdsoffset -= 32                   # 5-bit two's complement
-    if sbhuff:
-        raise Jbig2Error("Huffman text region unsupported")
     if w == 0 or h == 0 or w * h > 64_000_000:
         raise Jbig2Error(f"bad text region dims {w}x{h}")
     if not syms:
         raise Jbig2Error("text region without symbol dictionary")
     pos = 19
+
+    huff_sel = None
+    if sbhuff:
+        (hflags,) = struct.unpack_from(">H", payload, pos)
+        pos += 2
+        huff_sel = hflags
     sbrat = list(_REF_NOMINAL_AT)
     if sbrefine and sbrtemplate == 0:
         if len(payload) < pos + 4 + 4:
@@ -766,6 +873,51 @@ def _decode_text_region(payload: bytes, syms: list[np.ndarray]):
     pos += 4
 
     sbstrips = 1 << logsbstrips
+    if sbhuff:
+        if sbrefine:
+            raise Jbig2Error(
+                "Huffman text region refinement unsupported")
+        custom = iter(tables or [])
+
+        def pick(sel: int, std: tuple[int, ...]) -> _HuffTable:
+            if sel < len(std):
+                return _STD_TABLES[std[sel]]
+            try:
+                return next(custom)
+            except StopIteration:
+                raise Jbig2Error("missing custom Huffman table")
+
+        fs_tab = pick(huff_sel & 3, (6, 7))
+        ds_tab = pick((huff_sel >> 2) & 3, (8, 9, 10))
+        dt_tab = pick((huff_sel >> 4) & 3, (11, 12, 13))
+        # RDW/RDH/RDX/RDY/RSIZE selectors are parsed for stream
+        # position even though SBREFINE is rejected above
+        for shift, std in ((6, (14, 15)), (8, (14, 15)),
+                           (10, (14, 15)), (12, (14, 15))):
+            sel = (huff_sel >> shift) & 3
+            if sel == 3:
+                next(custom, None)
+        if (huff_sel >> 14) & 1:
+            next(custom, None)
+
+        rdr = _BitReader(payload, pos)
+        sym_tab = _decode_symid_table(rdr, len(syms))
+        huff = {
+            "dt": lambda: dt_tab.decode(rdr),
+            "fs": lambda: fs_tab.decode(rdr),
+            "ds": lambda: ds_tab.decode(rdr),
+            "it": lambda: rdr.get_bits(logsbstrips),
+            "sid": (lambda: 0) if sym_tab is None
+            else (lambda: sym_tab.decode(rdr)),
+        }
+        bitmap = _decode_text_instances(
+            None, None, syms, w, h, n_inst, sbstrips=sbstrips,
+            refcorner=refcorner, transposed=transposed,
+            sbcombop=sbcombop, sbdefpixel=sbdefpixel,
+            sbdsoffset=sbdsoffset, sbrefine=False,
+            sbrtemplate=sbrtemplate, sbrat=sbrat, huff=huff)
+        return x, y, w, h, comb, bitmap
+
     dec = MQDecoder(payload[pos:])
     tc = _TextCtx(len(syms), sbrtemplate)
     bitmap = _decode_text_instances(
@@ -802,12 +954,31 @@ def _decode_text_instances(dec, tc: _TextCtx, syms, w: int, h: int,
                            sbcombop: int = 0, sbdefpixel: int = 0,
                            sbdsoffset: int = 0, sbrefine: bool = False,
                            sbrtemplate: int = 0,
-                           sbrat=None) -> np.ndarray:
+                           sbrat=None, huff=None) -> np.ndarray:
     """Text-region instance decoding procedure (T.88 §6.4.5) over an
     open arithmetic decoder and shared contexts — used by text region
-    segments and by REFAGG aggregate symbols (§6.5.8.2.1)."""
+    segments and by REFAGG aggregate symbols (§6.5.8.2.1). ``huff``
+    (dict of dt/fs/ds/it/sid readers over a _BitReader) switches the
+    per-field decodes to SBHUFF Huffman mode; placement logic is
+    identical (§6.4.5 is coding-agnostic past step 3b)."""
     if sbrat is None:
         sbrat = list(_REF_NOMINAL_AT)
+
+    def dec_dt():
+        return _decode_int(dec, tc.iadt) if huff is None else huff["dt"]()
+
+    def dec_fs():
+        return _decode_int(dec, tc.iafs) if huff is None else huff["fs"]()
+
+    def dec_ds():
+        return _decode_int(dec, tc.iads) if huff is None else huff["ds"]()
+
+    def dec_it():
+        return _decode_int(dec, tc.iait) if huff is None else huff["it"]()
+
+    def dec_sid():
+        return _decode_iaid(dec, tc.iaid_cx, tc.symcodelen) \
+            if huff is None else huff["sid"]()
     bitmap = np.full((h, w), sbdefpixel, dtype=np.uint8)
 
     def draw(sym: np.ndarray, xs: int, yt: int) -> None:
@@ -827,18 +998,18 @@ def _decode_text_instances(dec, tc: _TextCtx, syms, w: int, h: int,
         else:
             win[...] = 1 - (win ^ cut)
 
-    stript = _decode_int(dec, tc.iadt)
+    stript = dec_dt()
     if stript is _OOB:
         raise Jbig2Error("OOB STRIPT")
     stript = -stript * sbstrips
     firsts = 0
     n_done = 0
     while n_done < n_inst:
-        dt = _decode_int(dec, tc.iadt)
+        dt = dec_dt()
         if dt is _OOB:
             raise Jbig2Error("OOB strip DT")
         stript += dt * sbstrips
-        dfs = _decode_int(dec, tc.iafs)
+        dfs = dec_fs()
         if dfs is _OOB:
             raise Jbig2Error("OOB first S")
         firsts += dfs
@@ -846,14 +1017,14 @@ def _decode_text_instances(dec, tc: _TextCtx, syms, w: int, h: int,
         first = True
         while True:
             if not first:
-                ids = _decode_int(dec, tc.iads)
+                ids = dec_ds()
                 if ids is _OOB:
                     break                  # end of strip
                 curs += ids + sbdsoffset
             first = False
-            curt = 0 if sbstrips == 1 else _decode_int(dec, tc.iait)
+            curt = 0 if sbstrips == 1 else dec_it()
             ti = stript + curt
-            sid = _decode_iaid(dec, tc.iaid_cx, tc.symcodelen)
+            sid = dec_sid()
             if sid >= len(syms):
                 raise Jbig2Error(f"symbol id {sid} out of range")
             sym = syms[sid]
@@ -1192,7 +1363,9 @@ def decode_jbig2(data: bytes, *, globals_data: bytes = b"",
                 syms = [s for r in refs for s in sym_dicts.get(r, [])]
                 if not syms:       # tolerate encoders with absent refs
                     syms = [s for d in sym_dicts.values() for s in d]
-                regions.append(_decode_text_region(payload, syms))
+                regions.append(_decode_text_region(
+                    payload, syms,
+                    [tab_segs[r] for r in refs if r in tab_segs]))
             elif seg_type == 16:
                 pat_dicts[seg_num] = _decode_pattern_dict(payload)
             elif seg_type in _HALFTONE:
@@ -1869,6 +2042,69 @@ def _encode_text_region_payload(sorted_syms, placements_sorted,
     return tr
 
 
+def _encode_sbhuff_text_region_payload(sorted_syms, placements_sorted,
+                                       page_w: int, page_h: int,
+                                       fs_sel: int = 0, ds_sel: int = 0,
+                                       dt_sel: int = 0) -> bytes:
+    """SBHUFF text-region payload (TL refcorner, SBSTRIPS=1, standard
+    tables FS=B.6 DS=B.8 DT=B.11): the Huffman twin of
+    ``_encode_text_region_payload``. Every symbol gets an equal-length
+    ID code (length ⌈log2 n⌉, canonical code == index), carried via a
+    single-runcode symbol-ID table (§7.4.4.1.7)."""
+    fs_tab = _STD_TABLES[(6, 7)[fs_sel]]
+    ds_tab = _STD_TABLES[(8, 9, 10)[ds_sel]]
+    dt_tab = _STD_TABLES[(11, 12, 13)[dt_sel]]
+    n_syms = len(sorted_syms)
+    idlen = max(1, (n_syms - 1).bit_length())
+
+    bits: list[int] = []
+    # 35 four-bit runcode lengths: only runcode ``idlen`` is used
+    # (prefix length 1 → its canonical code is the single bit 0)
+    for i in range(35):
+        v = 1 if i == idlen else 0
+        for k in (3, 2, 1, 0):
+            bits.append((v >> k) & 1)
+    for _ in range(n_syms):
+        bits.append(0)                     # runcode: length = idlen
+    while len(bits) % 8:
+        bits.append(0)                     # §7.4.4.1.7 step 4 align
+
+    # instances: B.11 cannot code 0, so STRIPT is transmitted as 1
+    # (stript starts at -1; every strip DT ≥ 1 for sorted distinct t)
+    dt_tab.encode(bits, 1)
+    stript = -1
+    firsts = 0
+    k = 0
+    while k < len(placements_sorted):
+        t = placements_sorted[k][0]
+        dt_tab.encode(bits, t - stript)
+        stript = t
+        strip = [e for e in placements_sorted if e[0] == t]
+        first = True
+        curs = 0
+        for _, s, sid in strip:
+            sym = sorted_syms[sid]
+            adv = sym.shape[1] - 1
+            if first:
+                fs_tab.encode(bits, s - firsts)
+                firsts = s
+                first = False
+            else:
+                ds_tab.encode(bits, s - curs)
+            curs = s + adv
+            for b in range(idlen - 1, -1, -1):   # canonical code == id
+                bits.append((sid >> b) & 1)
+        ds_tab.encode(bits, _OOB)
+        k += len(strip)
+
+    tr = struct.pack(">IIII", page_w, page_h, 0, 0) + b"\x00"
+    tr += struct.pack(">H", 1 | (1 << 4))      # SBHUFF, TL refcorner
+    tr += struct.pack(">H",                    # standard-table selects
+                      fs_sel | (ds_sel << 2) | (dt_sel << 4))
+    tr += struct.pack(">I", len(placements_sorted))
+    return tr + _bits_to_bytes(bits)
+
+
 def _custom_table_segment_payload(lines_spec, htlow: int, hthigh: int,
                                   htps: int, htrs: int,
                                   oob_preflen: int = 0) -> bytes:
@@ -1895,10 +2131,14 @@ def encode_jbig2_huffman_text_page(symbols: list[np.ndarray],
                                    placements: list[tuple[int, int, int]],
                                    page_w: int, page_h: int, *,
                                    mmr: bool = False,
-                                   custom_dh: bool = False) -> bytes:
+                                   custom_dh: bool = False,
+                                   sbhuff: bool = False,
+                                   sb_tables: tuple = (0, 0, 0)) -> bytes:
     """Fixture encoder: SDHUFF=1 symbol dictionary (standard tables
     B.4/B.2/B.1; ``custom_dh`` swaps DH to a stream-carried type-53
-    table) + an arithmetic text region drawing the symbols. The
+    table) + a text region drawing the symbols — arithmetic by
+    default, SBHUFF Huffman-coded (standard tables B.6/B.8/B.11 and a
+    stream-carried symbol-ID code table) with ``sbhuff=True``. The
     collective bitmaps are uncompressed (BMSIZE=0) or MMR-coded."""
     syms = [(np.asarray(s) != 0).astype(np.uint8) for s in symbols]
     if not syms:
@@ -1960,7 +2200,9 @@ def encode_jbig2_huffman_text_page(symbols: list[np.ndarray],
 
     sorted_syms = [syms[o] for o in order]
     inst = sorted((t, s, remap[sid]) for sid, s, t in placements)
-    tr = _encode_text_region_payload(sorted_syms, inst, page_w, page_h)
+    tr = _encode_sbhuff_text_region_payload(
+        sorted_syms, inst, page_w, page_h, *sb_tables) if sbhuff else \
+        _encode_text_region_payload(sorted_syms, inst, page_w, page_h)
 
     page_info = struct.pack(">IIII", page_w, page_h, 0, 0) \
         + b"\x01" + b"\x00\x00"

@@ -678,17 +678,85 @@ def test_pdf_with_huffman_jbig2_parses():
     assert np.array_equal(png[..., :3], exp)
 
 
-def test_huffman_text_region_still_rejected():
-    # SBHUFF=1 needs standard tables B.6+ that this engine does not
-    # carry — must keep degrading honestly
+def _sbhuff_ref(syms, placements, w, h):
+    ref = np.zeros((h, w), dtype=np.uint8)
+    for sid, s, t in placements:
+        sym = syms[sid]
+        ref[t:t + sym.shape[0], s:s + sym.shape[1]] |= sym
+    return ref
+
+
+@pytest.mark.parametrize("fs_sel,ds_sel,dt_sel",
+                         [(0, 0, 0), (1, 1, 1), (0, 2, 2), (1, 0, 2)])
+def test_sbhuff_text_region_roundtrip(fs_sel, ds_sel, dt_sel):
+    # SBHUFF=1 text regions: standard tables B.6-B.13 + the stream-
+    # carried symbol-ID runcode table (T.88 §7.4.4.1.7)
+    from pdf2dom_ray.engine.jbig2 import encode_jbig2_huffman_text_page
+    syms = [_glyph(9, 6, 5), _glyph(10, 8, 7), _glyph(11, 5, 6)]
+    pl = [(0, 3, 2), (1, 15, 2), (2, 30, 2), (0, 3, 20), (2, 12, 20)]
+    data = encode_jbig2_huffman_text_page(
+        syms, pl, 64, 40, sbhuff=True,
+        sb_tables=(fs_sel, ds_sel, dt_sel))
+    assert np.array_equal(decode_jbig2(data), _sbhuff_ref(syms, pl, 64, 40))
+
+
+def test_sbhuff_single_symbol_degenerate_id_code():
+    # one symbol → equal-length ID codes degenerate; decode still works
+    from pdf2dom_ray.engine.jbig2 import encode_jbig2_huffman_text_page
+    syms = [_glyph(3, 5, 4)]
+    pl = [(0, 2, 2), (0, 20, 10)]
+    data = encode_jbig2_huffman_text_page(syms, pl, 32, 20, sbhuff=True)
+    assert np.array_equal(decode_jbig2(data), _sbhuff_ref(syms, pl, 32, 20))
+
+
+def test_pdf_with_sbhuff_jbig2_image_parses():
+    # full surface drive: PDF → JBIG2Decode filter → SBHUFF text
+    # region → PNG data URI in the emitted DOM
+    import base64
+    import re
+
+    from pdf2dom_ray.engine.jbig2 import encode_jbig2_huffman_text_page
+    from pdf2dom_ray.engine.parse import parse_document
+    from pdf2dom_ray.functions.multimodal import decode_engine_png
+    from pdf2dom_ray.synth.pdfgen import PageSpec, PdfBuilder
+
+    syms = [_glyph(9, 6, 5), _glyph(10, 8, 7)]
+    pl = [(0, 2, 2), (1, 12, 2), (0, 22, 6)]
+    data = encode_jbig2_huffman_text_page(syms, pl, 32, 16, sbhuff=True)
+    exp_bm = _sbhuff_ref(syms, pl, 32, 16)
+
+    b = PdfBuilder(title="jbig2-sbhuff")
+    p = PageSpec()
+    p.use_custom_image(
+        "Im0",
+        "/Width 32 /Height 16 /ColorSpace /DeviceGray "
+        "/BitsPerComponent 1 /Filter /JBIG2Decode",
+        data, compress=False)
+    p.draw_image("Im0", 100, 600, 64, 32)
+    b.add_page(p)
+    r = parse_document(b.build())
+    assert r.error is None
+    assert r.n_images == 1
+    m = re.search(r'src="data:image/png;base64,([^"]+)"', r.html_dom)
+    assert m, "SBHUFF JBIG2 must produce a non-empty PNG data URI"
+    png = decode_engine_png(base64.b64decode(m.group(1)))
+    exp = np.repeat(np.where(exp_bm[..., None] == 1, 0, 255), 3,
+                    axis=-1).astype(np.uint8)
+    assert np.array_equal(png[..., :3], exp)
+
+
+def test_sbhuff_refinement_still_rejected():
+    # the one remaining SBHUFF corner: per-instance refinement inside
+    # a Huffman text region — must keep degrading honestly
     from pdf2dom_ray.engine.jbig2 import encode_jbig2_text_page
     bs = bytearray(encode_jbig2_text_page([_glyph(9, 5, 5)],
-                                          [(0, 0, 0)], 8, 8))
-    # text region segment is #3; flip SBHUFF (bit 0 of the 2-byte
-    # flags at payload offset 17)
+                                          [(0, 0, 0)], 8, 8,
+                                          refine={}))
+    # text region segment; flip SBHUFF (bit 0 of the 2-byte flags at
+    # payload offset 17) alongside the encoder's SBREFINE bit
     idx = bs.rindex(struct.pack(">IIII", 8, 8, 0, 0))
     bs[idx + 18] |= 0x01
-    with pytest.raises(Jbig2Error, match="Huffman text region"):
+    with pytest.raises(Jbig2Error, match="refinement unsupported"):
         decode_jbig2(bytes(bs))
 
 
