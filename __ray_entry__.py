@@ -340,7 +340,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_outlinks": _q_html_outlinks,
         "anchor_texts": _q_anchor_texts,
         "pagerank": _q_pagerank,
+        "pagerank_bsp": _q_pagerank_bsp,
         "hits_scores": _q_hits,
+        "hits_bsp": _q_hits_bsp,
         "warc_extract": _q_warc_extract,
         "web_pipeline": _q_web_pipeline,
         "corpus_sample": _q_corpus_sample,
@@ -547,7 +549,9 @@ def oracle_sql() -> dict[str, str]:
             FROM a GROUP BY 1, 2
         """,
         "pagerank": _pagerank_sql(),
+        "pagerank_bsp": _pagerank_sql(),
         "hits_scores": _hits_sql(),
+        "hits_bsp": _hits_sql(),
         "corpus_sample": _sample_sql(),
         # planted mess: ' Cafe'+chr(769)+'  '+chr(7)+' fin' (see
         # _MESS_SUFFIX); NFC composes the accent, the BEL is stripped,
@@ -1806,6 +1810,28 @@ def _q_hits(sf_dir: str):
                                                     synth_html_pages)
     return hits(extract_outlinks_ds(synth_html_pages(sf_dir)),
                 iterations=4)
+
+
+def _q_pagerank_bsp(sf_dir: str):
+    """The SCALE path under external check: same PageRank recurrence
+    forced through the distributed raw-task BSP iteration
+    (driver_edge_limit=0 → hash-sharded node state, scatter/gather
+    tasks; functions/graphbsp.py). Hash-matches the same oracle as
+    ``pagerank`` because the int64 recurrence is order-independent."""
+    from pdf2dom_ray.functions.pagerank import pagerank
+    from pdf2dom_ray.pipelines.html_extract import (extract_outlinks_ds,
+                                                    synth_html_pages)
+    return pagerank(extract_outlinks_ds(synth_html_pages(sf_dir)),
+                    iterations=5, driver_edge_limit=0)
+
+
+def _q_hits_bsp(sf_dir: str):
+    """HITS forced through the BSP scale path (see _q_pagerank_bsp)."""
+    from pdf2dom_ray.functions.hits import hits
+    from pdf2dom_ray.pipelines.html_extract import (extract_outlinks_ds,
+                                                    synth_html_pages)
+    return hits(extract_outlinks_ds(synth_html_pages(sf_dir)),
+                iterations=4, driver_edge_limit=0)
 
 
 def _q_pagerank(sf_dir: str):

@@ -46,15 +46,6 @@ def _n_partitions() -> int:
     return scale_partitions()
 
 
-def _materialize_concurrently(*dss):
-    """Materialize independent Datasets from parallel driver threads —
-    ``materialize()`` blocks, so chaining them serializes pipelines
-    that share no lineage."""
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(len(dss)) as ex:
-        return list(ex.map(lambda d: d.materialize(), dss))
-
-
 def q3_top_unshipped(sf_dir: str, *, segment: str = "BUILDING",
                      cutoff: str = "1998-06-01", limit: int = 10,
                      broadcast_limit: int = 5_000_000) -> rd.Dataset:
@@ -524,13 +515,14 @@ def q13_customer_distribution(sf_dir: str, *,
                          .cast(pa.int64()),
                          "c_count": t.column("c_count").cast(pa.int64())})
 
-    counts = counts.map_batches(fix_empty, batch_format="pyarrow")
+    counts = counts.map_batches(fix_empty,
+                                batch_format="pyarrow").materialize()
+    # NOTE: overlapping these two independent materializations from
+    # driver threads was tried (round 3) and showed no reliable win —
+    # two streaming executors contend for the same task slots and
+    # occasionally livelock into a 2x slowdown; serial is predictable.
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
-                           columns=["c_custkey"])
-    # independent narrow stages: materialize CONCURRENTLY (each
-    # .materialize() blocks the driver; two threads let Ray schedule
-    # both pipelines at once instead of back-to-back)
-    counts, cust = _materialize_concurrently(counts, cust)
+                           columns=["c_custkey"]).materialize()
     n_cust = cust.count()
     n_counts = counts.count()
     if n_counts == 0:  # every order excluded → one all-zero bucket
