@@ -44,9 +44,21 @@ def _shard_of(urls: np.ndarray, n_part: int) -> np.ndarray:
     return (h.to_numpy() % n_part).astype(np.int64)
 
 
+def _empty_pieces(n_part: int, second_dtype=np.int64):
+    """Typed empty pieces for a schema-less empty input block — Ray's
+    sort-aggregate / join stages can emit blocks with NO columns (the
+    empty-block hazard CLAUDE.md documents); ``block.column(...)`` on
+    one raises KeyError, and WHICH run gets such a block is
+    load/run-order dependent, so an unguarded split task flakes."""
+    return tuple((np.empty(0, dtype=object), np.empty(0, dtype=second_dtype))
+                 for _ in range(n_part))
+
+
 @ray.remote
 def _split_nodes(block: pa.Table, n_part: int):
     """One state block → P (urls, outdeg) pieces by url-hash shard."""
+    if block.num_columns == 0 or block.num_rows == 0:
+        return _empty_pieces(n_part)
     urls = np.asarray(block.column("url").to_pandas(), dtype=object)
     outdeg = np.asarray(block.column("outdeg").to_pandas(),
                         dtype=np.int64)
@@ -73,6 +85,8 @@ def _build_node_shard(*pieces):
 def _split_edges(block: pa.Table, n_part: int, by: str):
     """One distinct-edge block → P (key_url, other_url) pieces by the
     hash shard of the ``by`` endpoint ('src' or 'target')."""
+    if block.num_columns == 0 or block.num_rows == 0:
+        return _empty_pieces(n_part, second_dtype=object)
     src = np.asarray(block.column("src").to_pandas(), dtype=object)
     tgt = np.asarray(block.column("target").to_pandas(), dtype=object)
     key, other = (src, tgt) if by == "src" else (tgt, src)

@@ -87,3 +87,31 @@ def test_empty_edges(ray_session):
     ds = rd.from_arrow(pa.table({"src": pa.array([], pa.string()),
                                  "target": pa.array([], pa.string())}))
     assert pagerank(ds, iterations=2).take_all() == []
+
+
+def test_bsp_survives_schemaless_empty_blocks(ray_session):
+    """The empty-block hazard (CLAUDE.md): sort-aggregate / join
+    stages can hand ShardedGraph schema-less EMPTY blocks, and which
+    run sees one is load-dependent — this pins the guard
+    deterministically by injecting such blocks into both the edge and
+    node inputs of the BSP build."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+    from pdf2dom_ray.functions.graphbsp import (_split_edges,
+                                                _split_nodes)
+    from pdf2dom_ray.functions.pagerank import pagerank_reference
+
+    empty = pa.table({})          # no columns at all
+    for pieces in (ray.get(_split_nodes.remote(empty, 3)),
+                   ray.get(_split_edges.remote(empty, 3, "src"))):
+        assert len(pieces) == 3
+        assert all(len(a) == 0 and len(b) == 0 for a, b in pieces)
+
+    # full BSP run over a dataset that carries an injected empty block
+    tiny = rd.from_items([{"src": u, "target": v} for u, v in TINY])
+    tiny = tiny.union(rd.from_arrow(empty))
+    got = {r["url"]: r["rank"]
+           for r in pagerank(tiny, iterations=3,
+                             driver_edge_limit=0).take_all()}
+    assert got == pagerank_reference(TINY, iterations=3)
