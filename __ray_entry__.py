@@ -53,6 +53,33 @@ _LINKS_SQL = """
 """
 _STOP_SQL = "('the', 'a', 'of', 'and', 'to')"  # functions.text_stats.STOPWORDS
 
+# synth messy-url rule twin (functions/urlnorm.py synth_messy_url /
+# synth_canonical_url — URLNORM_VERSION 1): six canonicalization
+# hazards cycled by doc_id % 6 over four subdomain hosts
+_HOST_SQL = """(CASE doc_id % 4 WHEN 0 THEN 'docs' WHEN 1 THEN 'news'
+                WHEN 2 THEN 'blog' ELSE 'cdn' END || '.synth.test')"""
+_MESSY_URL_SQL = f"""(CASE doc_id % 6
+    WHEN 0 THEN 'HTTPS://' || upper({_HOST_SQL}) || ':443/d/'
+                || CAST(doc_id AS VARCHAR)
+    WHEN 1 THEN 'https://' || {_HOST_SQL} || '/d/'
+                || CAST(doc_id AS VARCHAR) || '#sec-'
+                || CAST(doc_id % 3 AS VARCHAR)
+    WHEN 2 THEN 'https://' || {_HOST_SQL} || '/x/../d/'
+                || CAST(doc_id AS VARCHAR)
+    WHEN 3 THEN 'https://' || {_HOST_SQL} || '/d/'
+                || CAST(doc_id AS VARCHAR)
+                || '?utm_source=feed&utm_medium=rss'
+    WHEN 4 THEN 'https://' || {_HOST_SQL} || '/d/'
+                || CAST(doc_id AS VARCHAR) || '?b='
+                || CAST(doc_id % 5 AS VARCHAR) || '&a=1'
+    ELSE 'https://' || {_HOST_SQL} || '//d//'
+         || CAST(doc_id AS VARCHAR) END)"""
+_CANON_URL_SQL = f"""('https://' || {_HOST_SQL} || '/d/'
+    || CAST(doc_id AS VARCHAR)
+    || CASE WHEN doc_id % 6 = 4
+            THEN '?a=1&b=' || CAST(doc_id % 5 AS VARCHAR)
+            ELSE '' END)"""
+
 
 def _bpe_sql_pattern() -> str:
     from pdf2dom_ray.functions.text_stats import BPE_SPLIT_PATTERN
@@ -349,6 +376,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_latest": _q_crawl_latest,
         "stale_urls": _q_stale_urls,
         "snapshot_diff": _q_snapshot_diff,
+        "url_canonicalize": _q_url_canonicalize,
+        "host_stats": _q_host_stats,
+        "crawl_schedule": _q_crawl_schedule,
         "top_unshipped_orders": _q_top_unshipped,
         "returned_items": _q_returned_items,
         "late_shipments": _q_late_shipments,
@@ -398,6 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": _q_line_dedup,
         # -- dedup family
         "dedup_exact": _q_dedup_exact,
+        "dedup_keep_best": _q_dedup_keep_best,
         "corpus_dedup_pipeline": _q_corpus_pipeline,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -1151,6 +1182,38 @@ def oracle_sql() -> dict[str, str]:
                    text AS main_text
             FROM documents
         """,
+        # urlnorm rules (functions/urlnorm.py synth_messy_url): the
+        # canonical form has a closed form per doc_id, so the whole
+        # canonicalizer is value-checked end to end
+        "url_canonicalize": f"""
+            SELECT doc_id, {_MESSY_URL_SQL} AS url,
+                   {_CANON_URL_SQL} AS url_canon,
+                   {_HOST_SQL} AS host
+            FROM documents
+        """,
+        "host_stats": f"""
+            SELECT {_HOST_SQL} AS host,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY 1
+        """,
+        # politeness schedule: md5-priority row_number per host, md5
+        # first-nibble fetcher shard — same string-hash decisions as
+        # the Ray path, so the value-hash is exact
+        "crawl_schedule": f"""
+            WITH c AS (SELECT {_CANON_URL_SQL} AS url,
+                              {_HOST_SQL} AS host
+                       FROM documents)
+            SELECT url, host,
+                   CAST((strpos('0123456789abcdef',
+                                substr(md5('shard:' || host), 1, 1)) - 1)
+                        % 8 AS BIGINT) AS shard,
+                   CAST(row_number() OVER (
+                            PARTITION BY host
+                            ORDER BY md5('fetch:' || url), url) - 1
+                        AS BIGINT) AS fetch_round
+            FROM c
+        """,
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents
         """,
@@ -1169,6 +1232,18 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT substr(text, 1, 20) AS k, min(doc_id) AS doc_id
             FROM documents GROUP BY 1
+        """,
+        # keep-best canonical selection: max quality (n_chars), ties
+        # to min doc_id, plus the cluster size
+        "dedup_keep_best": """
+            SELECT k, doc_id, n_chars, n_members FROM (
+              SELECT substr(text, 1, 20) AS k, doc_id, n_chars,
+                     CAST(count(*) OVER (PARTITION BY substr(text, 1, 20))
+                          AS BIGINT) AS n_members,
+                     row_number() OVER (PARTITION BY substr(text, 1, 20)
+                                        ORDER BY n_chars DESC, doc_id)
+                         AS rn
+              FROM documents) WHERE rn = 1
         """,
         "token_stats_bpe": f"""
             SELECT doc_id,
@@ -2623,6 +2698,63 @@ def _q_dedup_minhash(sf_dir: str):
 def _q_dedup_simhash(sf_dir: str):
     from pdf2dom_ray.functions.dedup import simhash_cluster
     return simhash_cluster(_documents(sf_dir))
+
+
+def _q_dedup_keep_best(sf_dir: str):
+    """Canonical-document selection: per exact-content cluster keep
+    the highest-quality member (max n_chars, ties to min doc_id) plus
+    the cluster size (functions/dedup.py keep_best)."""
+    import ray.data as rd
+    from pdf2dom_ray.functions.dedup import keep_best
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "n_chars"])
+    return keep_best(docs)
+
+
+def _messy_urls(sf_dir: str):
+    """Crawl-frontier input: one deterministically MESSY url per
+    document (synth_messy_url rule = the SQL oracle; see
+    functions/urlnorm.py) + the doc's n_chars for footprint stats."""
+    import ray.data as rd
+    from pdf2dom_ray.functions.urlnorm import synth_messy_url
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "url": pa.array([synth_messy_url(d) for d in ids],
+                            pa.string()),
+            "n_chars": t.column("n_chars").cast(pa.int64()),
+        })
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"]).map_batches(
+        build, batch_format="pyarrow")
+
+
+def _q_url_canonicalize(sf_dir: str):
+    """RFC 3986 §6.2 URL normalization + tracking-param strip over a
+    messy frontier (functions/urlnorm.py canonicalize_urls)."""
+    from pdf2dom_ray.functions.urlnorm import canonicalize_urls
+    return canonicalize_urls(_messy_urls(sf_dir)) \
+        .select_columns(["doc_id", "url", "url_canon", "host"])
+
+
+def _q_host_stats(sf_dir: str):
+    """Per-host corpus footprint over canonicalized URLs — combiner →
+    small hash groupby (functions/urlnorm.py host_stats)."""
+    from pdf2dom_ray.functions.urlnorm import host_stats
+    return host_stats(_messy_urls(sf_dir), url_col="url",
+                      chars_col="n_chars")
+
+
+def _q_crawl_schedule(sf_dir: str):
+    """Per-host politeness schedule (one fetch per host per round,
+    md5-priority order; md5-nibble fetcher shards) over the
+    canonicalized frontier (functions/urlnorm.py crawl_schedule)."""
+    from pdf2dom_ray.functions.urlnorm import (canonicalize_urls,
+                                               crawl_schedule)
+    canon = canonicalize_urls(_messy_urls(sf_dir))
+    return crawl_schedule(canon, url_col="url_canon")
 
 
 def _ann_query_vec(sf_dir: str) -> np.ndarray:

@@ -39,8 +39,9 @@ import ray.data as rd
 
 from ..stages.pool import default_pool
 
-__all__ = ["exact_dedup", "minhash_cluster", "simhash", "simhash_cluster",
-           "shingles", "jaccard", "connected_component_labels"]
+__all__ = ["exact_dedup", "keep_best", "minhash_cluster", "simhash",
+           "simhash_cluster", "shingles", "jaccard",
+           "connected_component_labels"]
 
 _MERSENNE = (1 << 61) - 1
 
@@ -81,6 +82,57 @@ def exact_dedup(ds: rd.Dataset, key_prefix_chars: int = 20) -> rd.Dataset:
     from ray.data.aggregate import Min
     partial = ds.map_batches(local_min, batch_format="pyarrow")
     return partial.groupby("k").aggregate(Min("doc_id", alias_name="doc_id"))
+
+
+def keep_best(ds: rd.Dataset, *, key_prefix_chars: int = 20,
+              quality_col: str = "n_chars") -> rd.Dataset:
+    """(k, doc_id, n_chars, n_members): canonical-document selection —
+    per exact-content cluster keep the HIGHEST-quality member (max
+    ``quality_col``, ties to min doc_id), the RefinedWeb/FineWeb
+    "keep best, not first" dedup convention, plus the cluster size.
+
+    Same shape as ``exact_dedup`` but the partial is an argmax + count
+    instead of a min: each batch reduces to one narrow
+    (k, doc_id, quality, n) candidate row per key, the exchange moves
+    candidates only, and a per-group argmax finishes. n_members sums
+    across partials so it counts every member, not survivors.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = pc.utf8_slice_codeunits(batch.column("text"), 0,
+                                    key_prefix_chars)
+        df = pd.DataFrame({
+            "k": k.to_pandas(),
+            "doc_id": batch.column("doc_id").to_pandas(),
+            "q": batch.column(quality_col).to_pandas(),
+        })
+        df["n"] = 1
+        counts = df.groupby("k", sort=False)["n"].sum()
+        best = df.sort_values(["k", "q", "doc_id"],
+                              ascending=[True, False, True],
+                              kind="mergesort").drop_duplicates("k")
+        best = best.assign(n=best["k"].map(counts))
+        return pa.Table.from_pandas(best, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        total = int(g["n"].sum())
+        g = g.sort_values(["q", "doc_id"], ascending=[False, True],
+                          kind="mergesort")
+        out = g.head(1).copy()
+        out["n"] = total
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out = parts.groupby("k").map_groups(final, batch_format="pandas")
+    return out.map_batches(
+        lambda t: pa.table({
+            "k": t.column("k"),
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "n_chars": t.column("q").cast(pa.int64()),
+            "n_members": t.column("n").cast(pa.int64())}),
+        batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

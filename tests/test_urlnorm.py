@@ -1,0 +1,92 @@
+"""URL canonicalization / host stats / politeness schedule / keep-best."""
+
+import pyarrow as pa
+import pytest
+
+from pdf2dom_ray.functions.urlnorm import (canonicalize, host_of,
+                                           shard_of_host,
+                                           synth_canonical_url,
+                                           synth_messy_url)
+
+
+CASES = [
+    # RFC 3986 §6.2.2 case + §6.2.3 default-port normalization
+    ("HTTP://Example.COM:80/a", "http://example.com/a"),
+    ("https://Example.com:443/", "https://example.com/"),
+    ("http://ex.com:8080/p", "http://ex.com:8080/p"),     # non-default kept
+    # fragment dropped, empty path → '/'
+    ("https://ex.com#top", "https://ex.com/"),
+    ("https://ex.com/a#b", "https://ex.com/a"),
+    # dot segments (§5.2.4) + duplicate slashes
+    ("https://ex.com/a/b/../../c/./d//e", "https://ex.com/c/d/e"),
+    ("https://ex.com/../..", "https://ex.com/"),
+    ("https://ex.com/x/..", "https://ex.com/"),
+    ("https://ex.com/..name/../a", "https://ex.com/a"),   # '..name' is a segment
+    # tracking params stripped, remainder sorted, bare '?' dropped
+    ("https://ex.com/p?utm_source=x&z=1&a=2", "https://ex.com/p?a=2&z=1"),
+    ("https://ex.com/p?utm_source=x", "https://ex.com/p"),
+    ("https://ex.com/p?fbclid=abc&gclid=1", "https://ex.com/p"),
+    ("https://ex.com/p?", "https://ex.com/p"),
+    # unparseable rows pass through
+    ("not a url", "not a url"),
+    ("/relative/only", "/relative/only"),
+]
+
+
+def test_canonicalize_cases():
+    got = canonicalize(pa.array([c[0] for c in CASES], pa.string()))
+    assert got.to_pylist() == [c[1] for c in CASES]
+
+
+def test_canonicalize_idempotent():
+    once = canonicalize(pa.array([c[0] for c in CASES], pa.string()))
+    twice = canonicalize(once)
+    assert twice.to_pylist() == once.to_pylist()
+
+
+def test_synth_rule_roundtrip():
+    ids = list(range(200))
+    got = canonicalize(pa.array([synth_messy_url(i) for i in ids],
+                                pa.string())).to_pylist()
+    assert got == [synth_canonical_url(i) for i in ids]
+
+
+def test_host_of():
+    got = host_of(pa.array(["https://A.B.c/x", "nope"], pa.string()))
+    assert got.to_pylist() == ["a.b.c", None]
+
+
+def test_crawl_schedule_politeness(ray_session):
+    import ray.data as rd
+    from pdf2dom_ray.functions.urlnorm import crawl_schedule
+    urls = [f"https://h{i % 3}.test/p{i}" for i in range(60)]
+    ds = rd.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    rows = crawl_schedule(ds, n_shards=4).take_all()
+    assert len(rows) == 60
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+        assert r["shard"] == shard_of_host(r["host"], 4)
+    for host, rs in by_host.items():
+        # one fetch per round: rounds are exactly 0..n-1 within a host
+        assert sorted(r["fetch_round"] for r in rs) == list(range(len(rs)))
+    # deterministic under a different partitioning
+    rows2 = crawl_schedule(ds.repartition(7), n_shards=4).take_all()
+    key = lambda r: (r["url"], r["host"], r["shard"], r["fetch_round"])
+    assert sorted(map(key, rows)) == sorted(map(key, rows2))
+
+
+def test_keep_best_matches_reference(ray_session):
+    import ray.data as rd
+    from pdf2dom_ray.functions.dedup import keep_best
+    rows = [
+        {"doc_id": 1, "text": "alpha " * 5, "n_chars": 30},
+        {"doc_id": 2, "text": "alpha " * 5 + "x", "n_chars": 31},
+        {"doc_id": 3, "text": "alpha " * 5 + "yy", "n_chars": 31},
+        {"doc_id": 4, "text": "beta", "n_chars": 4},
+    ]
+    got = {r["k"]: (r["doc_id"], r["n_chars"], r["n_members"])
+           for r in keep_best(rd.from_items(rows)).take_all()}
+    # cluster 'alpha...' keeps max n_chars then min doc_id (doc 2 of 2,3)
+    assert got[("alpha " * 5)[:20]] == (2, 31, 3)
+    assert got["beta"] == (4, 4, 1)
