@@ -462,25 +462,31 @@ def q5_local_supplier_volume(sf_dir: str, *, region: str = "ASIA",
 
 
 def q13_customer_distribution(sf_dir: str, *,
-                              exclude_priority: str = "5-LOW"
+                              exclude_priority: str = "5-LOW",
+                              assume_referential_integrity: bool = True
                               ) -> rd.Dataset:
     """TPC-H Q13 shape: the distribution of per-customer order counts,
-    INCLUDING customers with zero qualifying orders — the canonical
-    LEFT OUTER join (the one outer-join arm the other TPC-H pipelines
-    don't exercise).  Q13's ``o_comment NOT LIKE`` anti-filter becomes
+    INCLUDING customers with zero qualifying orders. Q13's
+    ``o_comment NOT LIKE`` anti-filter becomes
     ``o_orderpriority <> exclude_priority`` (the driver's orders table
     carries no comment column).
 
-    Distributed shape — both join sides are pre-aggregated narrow rows,
-    so the LEFT OUTER exchange moves one row per key, never raw orders:
+    Distributed shape, default path: orders collapse to per-batch
+    ``(o_custkey, n)`` count partials (combiner), one small
+    ``groupby(o_custkey)`` sums them, a tiny second-level
+    ``groupby(c_count)`` builds the active-customer histogram — and
+    because TPC-H guarantees every ``o_custkey`` references a real
+    customer (referential integrity), the zero-order bucket is pure
+    arithmetic: ``|customer| - |active customers|``, with
+    ``|customer|`` a parquet-METADATA count (no data read). The
+    customer table never enters an exchange at all; total traffic is
+    one row per active customer.
 
-    1. orders collapse to per-batch ``(o_custkey, n)`` count partials
-       (combiner), then one small ``groupby(o_custkey)`` sums them —
-       the per-customer order count, one row per active customer.
-    2. customer contributes only ``c_custkey`` (column-pruned read).
-    3. ONE hash-partitioned ``left_outer`` join keys-to-counts; the
-       null fill on the right side IS the zero-order customer arm.
-    4. a tiny second-level ``groupby(c_count)`` row-count finishes.
+    ``assume_referential_integrity=False`` keeps the explicit
+    LEFT OUTER join of customer keys to counts (the null-fill arm IS
+    the zero bucket) for inputs where orders may reference unknown
+    customers — both paths are locked identical by tests and the
+    driver oracle.
 
     All-integer output keeps the driver's value-hash exact.
     """
@@ -517,6 +523,36 @@ def q13_customer_distribution(sf_dir: str, *,
 
     counts = counts.map_batches(fix_empty,
                                 batch_format="pyarrow").materialize()
+    n_counts = counts.count()
+
+    if assume_referential_integrity:
+        import pyarrow.parquet as pq
+        n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+        if n_counts == 0:  # every order excluded → one all-zero bucket
+            return rd.from_arrow(pa.table({
+                "c_count": pa.array([0], pa.int64()),
+                "custdist": pa.array([n_cust], pa.int64())}))
+        hist = counts.groupby("c_count").aggregate(
+            Count(alias_name="custdist"))
+
+        def finish_ri(t) -> pa.Table:
+            t = t if isinstance(t, pa.Table) else \
+                pa.Table.from_pandas(t, preserve_index=False)
+            if not t.num_columns:
+                return pa.table({"c_count": pa.array([], pa.int64()),
+                                 "custdist": pa.array([], pa.int64())})
+            return pa.table({
+                "c_count": t.column("c_count").cast(pa.int64()),
+                "custdist": t.column("custdist").cast(pa.int64())})
+
+        hist = hist.map_batches(finish_ri, batch_format="pyarrow")
+        n_zero = n_cust - n_counts
+        if n_zero > 0:
+            hist = hist.union(rd.from_arrow(pa.table({
+                "c_count": pa.array([0], pa.int64()),
+                "custdist": pa.array([n_zero], pa.int64())})))
+        return hist
+
     # NOTE: overlapping these two independent materializations from
     # driver threads was tried (round 3) and showed no reliable win —
     # two streaming executors contend for the same task slots and
@@ -524,7 +560,6 @@ def q13_customer_distribution(sf_dir: str, *,
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey"]).materialize()
     n_cust = cust.count()
-    n_counts = counts.count()
     if n_counts == 0:  # every order excluded → one all-zero bucket
         return rd.from_arrow(pa.table({
             "c_count": pa.array([0], pa.int64()),

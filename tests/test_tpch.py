@@ -114,8 +114,13 @@ def test_q13_matches_duckdb(ray_session, sf_dir):
     got = q13_customer_distribution(sf_dir).to_pandas()
     want = _duck_q13(sf_dir)
     assert _q13_rows(got) == _q13_rows(want)
-    # the LEFT OUTER arm is live: customers and histogram mass agree
+    # histogram mass covers every customer
     assert got["custdist"].sum() == want["custdist"].sum() > 0
+    # the explicit LEFT OUTER join path (no referential-integrity
+    # assumption) lands on the identical histogram
+    join_path = q13_customer_distribution(
+        sf_dir, assume_referential_integrity=False).to_pandas()
+    assert _q13_rows(join_path) == _q13_rows(want)
 
 
 def test_q13_all_orders_excluded_collapses_to_zero_bucket(
