@@ -27,13 +27,15 @@ and MMR) with the standard integer tables B.1-B.5 and stream-carried
 custom table segments (type 53, Annex B.2) — the canonical prefix
 assignment is Annex B.3. SBHUFF text regions decode with the standard
 tables B.6-B.15 (Annex B.5, transcribed in spec line order) and the
-stream-carried symbol-ID runcode table (§7.4.4.1.7). The single
-remaining corner — per-instance refinement inside an SBHUFF region
-(§6.4.11 Huffman mode) — raises ``Jbig2Error`` with the specific
-reason and degrades upstream to the honest ``UnsupportedImageError``
-→ ``<img src="">`` path, mirroring how the reference surfaces
-unsupported codecs (``ImageUtils.java:11-54`` returns null → empty
-image resource).
+stream-carried symbol-ID runcode table (§7.4.4.1.7), including
+per-instance refinement in Huffman mode (§6.4.11: RI as one raw bit,
+RDW/RDH/RDX/RDY via the selected B.14/B.15/custom tables, BMSIZE via
+B.1, then a byte-aligned FRESH arithmetic decoder over exactly BMSIZE
+bytes of refinement data). Malformed streams raise ``Jbig2Error``
+with the specific reason and degrade upstream to the honest
+``UnsupportedImageError`` → ``<img src="">`` path, mirroring how the
+reference surfaces undecodable images (``ImageUtils.java:11-54``
+returns null → empty image resource).
 
 The embedded (PDF) segment layout (T.88 Annex / PDF 32000 §7.4.7):
 no file header; a sequence of segments, each
@@ -874,9 +876,6 @@ def _decode_text_region(payload: bytes, syms: list[np.ndarray],
 
     sbstrips = 1 << logsbstrips
     if sbhuff:
-        if sbrefine:
-            raise Jbig2Error(
-                "Huffman text region refinement unsupported")
         custom = iter(tables or [])
 
         def pick(sel: int, std: tuple[int, ...]) -> _HuffTable:
@@ -890,15 +889,13 @@ def _decode_text_region(payload: bytes, syms: list[np.ndarray],
         fs_tab = pick(huff_sel & 3, (6, 7))
         ds_tab = pick((huff_sel >> 2) & 3, (8, 9, 10))
         dt_tab = pick((huff_sel >> 4) & 3, (11, 12, 13))
-        # RDW/RDH/RDX/RDY/RSIZE selectors are parsed for stream
-        # position even though SBREFINE is rejected above
-        for shift, std in ((6, (14, 15)), (8, (14, 15)),
-                           (10, (14, 15)), (12, (14, 15))):
-            sel = (huff_sel >> shift) & 3
-            if sel == 3:
-                next(custom, None)
-        if (huff_sel >> 14) & 1:
-            next(custom, None)
+        # refinement-delta tables (§7.4.4.1.2): selectors 0/1 → B.14/
+        # B.15, 3 → custom in RDW,RDH,RDX,RDY order; RSIZE bit → B.1
+        rdw_tab = pick((huff_sel >> 6) & 3, (14, 15))
+        rdh_tab = pick((huff_sel >> 8) & 3, (14, 15))
+        rdx_tab = pick((huff_sel >> 10) & 3, (14, 15))
+        rdy_tab = pick((huff_sel >> 12) & 3, (14, 15))
+        rsize_tab = pick(0 if not ((huff_sel >> 14) & 1) else 3, (1,))
 
         rdr = _BitReader(payload, pos)
         sym_tab = _decode_symid_table(rdr, len(syms))
@@ -909,12 +906,21 @@ def _decode_text_region(payload: bytes, syms: list[np.ndarray],
             "it": lambda: rdr.get_bits(logsbstrips),
             "sid": (lambda: 0) if sym_tab is None
             else (lambda: sym_tab.decode(rdr)),
+            # §6.4.11 Huffman mode: RI is one raw bit; deltas via the
+            # RDW/RDH/RDX/RDY tables; BMSIZE via the RSIZE table
+            "ri": rdr.get,
+            "rdw": lambda: rdw_tab.decode(rdr),
+            "rdh": lambda: rdh_tab.decode(rdr),
+            "rdx": lambda: rdx_tab.decode(rdr),
+            "rdy": lambda: rdy_tab.decode(rdr),
+            "rsize": lambda: rsize_tab.decode(rdr),
+            "reader": rdr,
         }
         bitmap = _decode_text_instances(
             None, None, syms, w, h, n_inst, sbstrips=sbstrips,
             refcorner=refcorner, transposed=transposed,
             sbcombop=sbcombop, sbdefpixel=sbdefpixel,
-            sbdsoffset=sbdsoffset, sbrefine=False,
+            sbdsoffset=sbdsoffset, sbrefine=bool(sbrefine),
             sbrtemplate=sbrtemplate, sbrat=sbrat, huff=huff)
         return x, y, w, h, comb, bitmap
 
@@ -1028,23 +1034,53 @@ def _decode_text_instances(dec, tc: _TextCtx, syms, w: int, h: int,
             if sid >= len(syms):
                 raise Jbig2Error(f"symbol id {sid} out of range")
             sym = syms[sid]
-            if sbrefine and _decode_int(dec, tc.iari):
-                # per-instance refinement (§6.4.11): refine the symbol
-                # through the shared decoder/context
-                rdw = _decode_int(dec, tc.iardw)
-                rdh = _decode_int(dec, tc.iardh)
-                rdx = _decode_int(dec, tc.iardx)
-                rdy = _decode_int(dec, tc.iardy)
+            ri = 0
+            if sbrefine:
+                ri = huff["ri"]() if huff is not None \
+                    else _decode_int(dec, tc.iari)
+            if ri:
+                # per-instance refinement (§6.4.11): arithmetic mode
+                # refines through the shared decoder/context; Huffman
+                # mode reads the deltas from the RDW/RDH/RDX/RDY
+                # tables, byte-aligns, and refines with a FRESH
+                # arithmetic decoder over the next BMSIZE bytes
+                if huff is None:
+                    rdw = _decode_int(dec, tc.iardw)
+                    rdh = _decode_int(dec, tc.iardh)
+                    rdx = _decode_int(dec, tc.iardx)
+                    rdy = _decode_int(dec, tc.iardy)
+                else:
+                    rdw = huff["rdw"]()
+                    rdh = huff["rdh"]()
+                    rdx = huff["rdx"]()
+                    rdy = huff["rdy"]()
                 if _OOB in (rdw, rdh, rdx, rdy):
                     raise Jbig2Error("OOB refinement delta")
                 rw = sym.shape[1] + rdw
                 rh = sym.shape[0] + rdh
                 if rw <= 0 or rh <= 0 or rw * rh > 64_000_000:
                     raise Jbig2Error(f"bad refined symbol dims {rw}x{rh}")
-                sym = _decode_refinement(
-                    b"", rw, rh, sbrtemplate, sbrat, False, sym,
-                    (rdw >> 1) + rdx, (rdh >> 1) + rdy,
-                    dec=dec, cx=tc.ref_cx)
+                if huff is None:
+                    sym = _decode_refinement(
+                        b"", rw, rh, sbrtemplate, sbrat, False, sym,
+                        (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+                        dec=dec, cx=tc.ref_cx)
+                else:
+                    bmsize = huff["rsize"]()
+                    if bmsize is _OOB or bmsize < 0:
+                        raise Jbig2Error("bad refinement BMSIZE")
+                    rdr = huff["reader"]
+                    rdr.align()
+                    end = rdr.pos + bmsize
+                    if end > len(rdr.data):
+                        raise Jbig2Error(
+                            "refinement data overruns stream")
+                    sym = _decode_refinement(
+                        rdr.data[rdr.pos:end], rw, rh, sbrtemplate,
+                        sbrat, False, sym,
+                        (rdw >> 1) + rdx, (rdh >> 1) + rdy)
+                    rdr.pos = end
+                    rdr.bit = 0
             sh, sw = sym.shape
             if transposed:
                 # S runs down the page, T across; "bottom" corners
@@ -2045,17 +2081,28 @@ def _encode_text_region_payload(sorted_syms, placements_sorted,
 def _encode_sbhuff_text_region_payload(sorted_syms, placements_sorted,
                                        page_w: int, page_h: int,
                                        fs_sel: int = 0, ds_sel: int = 0,
-                                       dt_sel: int = 0) -> bytes:
+                                       dt_sel: int = 0,
+                                       refine=None) -> bytes:
     """SBHUFF text-region payload (TL refcorner, SBSTRIPS=1, standard
     tables FS=B.6 DS=B.8 DT=B.11): the Huffman twin of
     ``_encode_text_region_payload``. Every symbol gets an equal-length
     ID code (length ⌈log2 n⌉, canonical code == index), carried via a
-    single-runcode symbol-ID table (§7.4.4.1.7)."""
+    single-runcode symbol-ID table (§7.4.4.1.7).
+
+    ``refine`` maps a placement index (4th tuple element) to a target
+    bitmap: the region is coded SBREFINE=1 per §6.4.11 Huffman mode —
+    RI as one raw bit, RDW/RDH/RDX/RDY via B.15, BMSIZE via B.1, then
+    the byte-aligned refinement data from a FRESH arithmetic coder."""
+    from .mq import MQEncoder
     fs_tab = _STD_TABLES[(6, 7)[fs_sel]]
     ds_tab = _STD_TABLES[(8, 9, 10)[ds_sel]]
     dt_tab = _STD_TABLES[(11, 12, 13)[dt_sel]]
     n_syms = len(sorted_syms)
     idlen = max(1, (n_syms - 1).bit_length())
+    sbrtemplate = 0
+    sbrat = list(_REF_NOMINAL_AT)
+    ref_nbits = len(_REF_CODING[sbrtemplate]) \
+        + len(_REF_REFERENCE[sbrtemplate]) + 2
 
     bits: list[int] = []
     # 35 four-bit runcode lengths: only runcode ``idlen`` is used
@@ -2082,9 +2129,14 @@ def _encode_sbhuff_text_region_payload(sorted_syms, placements_sorted,
         strip = [e for e in placements_sorted if e[0] == t]
         first = True
         curs = 0
-        for _, s, sid in strip:
+        for e in strip:
+            _, s, sid = e[:3]
+            idx = e[3] if len(e) > 3 else None
             sym = sorted_syms[sid]
-            adv = sym.shape[1] - 1
+            target = refine.get(idx) if refine is not None else None
+            drawn = sym if target is None else \
+                (np.asarray(target) != 0).astype(np.uint8)
+            adv = drawn.shape[1] - 1
             if first:
                 fs_tab.encode(bits, s - firsts)
                 firsts = s
@@ -2094,13 +2146,50 @@ def _encode_sbhuff_text_region_payload(sorted_syms, placements_sorted,
             curs = s + adv
             for b in range(idlen - 1, -1, -1):   # canonical code == id
                 bits.append((sid >> b) & 1)
+            if refine is not None:
+                bits.append(0 if target is None else 1)   # RI raw bit
+                if target is not None:
+                    rdw = drawn.shape[1] - sym.shape[1]
+                    rdh = drawn.shape[0] - sym.shape[0]
+                    b15 = _STD_TABLES[15]
+                    b15.encode(bits, rdw)
+                    b15.encode(bits, rdh)
+                    b15.encode(bits, 0)          # RDX
+                    b15.encode(bits, 0)          # RDY
+                    enc = MQEncoder()
+                    ref_cx = [0] * (1 << ref_nbits)
+                    rows = drawn.tolist()
+
+                    def emit(ctx, xx, yy, _rows=rows, _enc=enc,
+                             _cx=ref_cx):
+                        bv = _rows[yy][xx]
+                        _enc.encode(_cx, ctx, bv)
+                        return bv
+
+                    _refine_bits(drawn.shape[1], drawn.shape[0],
+                                 sbrtemplate, sbrat, False, sym,
+                                 rdw >> 1, rdh >> 1, rows, emit)
+                    raw = enc.flush()
+                    _STD_TABLES[1].encode(bits, len(raw))  # BMSIZE
+                    while len(bits) % 8:
+                        bits.append(0)           # §6.4.11 byte align
+                    for byte in raw:
+                        for kk in range(7, -1, -1):
+                            bits.append((byte >> kk) & 1)
         ds_tab.encode(bits, _OOB)
         k += len(strip)
 
+    tflags = 1 | (1 << 4)                      # SBHUFF, TL refcorner
+    if refine is not None:
+        tflags |= 1 << 1                       # SBREFINE
+    hflags = fs_sel | (ds_sel << 2) | (dt_sel << 4)
+    if refine is not None:                     # B.15 for all 4 deltas
+        hflags |= (1 << 6) | (1 << 8) | (1 << 10) | (1 << 12)
     tr = struct.pack(">IIII", page_w, page_h, 0, 0) + b"\x00"
-    tr += struct.pack(">H", 1 | (1 << 4))      # SBHUFF, TL refcorner
-    tr += struct.pack(">H",                    # standard-table selects
-                      fs_sel | (ds_sel << 2) | (dt_sel << 4))
+    tr += struct.pack(">H", tflags)
+    tr += struct.pack(">H", hflags)
+    if refine is not None:                     # SBRTEMPLATE=0 → SBRAT
+        tr += b"".join(struct.pack(">bb", ax, ay) for ax, ay in sbrat)
     tr += struct.pack(">I", len(placements_sorted))
     return tr + _bits_to_bytes(bits)
 
@@ -2133,13 +2222,17 @@ def encode_jbig2_huffman_text_page(symbols: list[np.ndarray],
                                    mmr: bool = False,
                                    custom_dh: bool = False,
                                    sbhuff: bool = False,
-                                   sb_tables: tuple = (0, 0, 0)) -> bytes:
+                                   sb_tables: tuple = (0, 0, 0),
+                                   refine: dict[int, np.ndarray] | None
+                                   = None) -> bytes:
     """Fixture encoder: SDHUFF=1 symbol dictionary (standard tables
     B.4/B.2/B.1; ``custom_dh`` swaps DH to a stream-carried type-53
     table) + a text region drawing the symbols — arithmetic by
     default, SBHUFF Huffman-coded (standard tables B.6/B.8/B.11 and a
     stream-carried symbol-ID code table) with ``sbhuff=True``. The
-    collective bitmaps are uncompressed (BMSIZE=0) or MMR-coded."""
+    collective bitmaps are uncompressed (BMSIZE=0) or MMR-coded.
+    ``refine`` (with ``sbhuff=True``) maps placement indices to target
+    bitmaps carried as §6.4.11 Huffman-mode per-instance refinements."""
     syms = [(np.asarray(s) != 0).astype(np.uint8) for s in symbols]
     if not syms:
         raise Jbig2Error("need at least one symbol")
@@ -2199,10 +2292,13 @@ def encode_jbig2_huffman_text_page(symbols: list[np.ndarray],
     sd += _bits_to_bytes(bits)
 
     sorted_syms = [syms[o] for o in order]
-    inst = sorted((t, s, remap[sid]) for sid, s, t in placements)
+    inst = sorted((t, s, remap[sid], idx)
+                  for idx, (sid, s, t) in enumerate(placements))
     tr = _encode_sbhuff_text_region_payload(
-        sorted_syms, inst, page_w, page_h, *sb_tables) if sbhuff else \
-        _encode_text_region_payload(sorted_syms, inst, page_w, page_h)
+        sorted_syms, inst, page_w, page_h, *sb_tables,
+        refine=refine) if sbhuff else \
+        _encode_text_region_payload(
+            sorted_syms, [e[:3] for e in inst], page_w, page_h)
 
     page_info = struct.pack(">IIII", page_w, page_h, 0, 0) \
         + b"\x01" + b"\x00\x00"

@@ -709,6 +709,52 @@ def test_sbhuff_single_symbol_degenerate_id_code():
     assert np.array_equal(decode_jbig2(data), _sbhuff_ref(syms, pl, 32, 20))
 
 
+def test_sbhuff_text_region_refinement_roundtrip():
+    # §6.4.11 Huffman mode: RI raw bit, RDW/RDH/RDX/RDY via B.15,
+    # BMSIZE via B.1, byte-aligned fresh-arithmetic refinement data —
+    # grown, shrunk, and same-size targets plus unrefined instances
+    from pdf2dom_ray.engine.jbig2 import encode_jbig2_huffman_text_page
+    syms = [_glyph(9, 6, 5), _glyph(10, 8, 7), _glyph(11, 5, 6)]
+    t0 = syms[0].copy()
+    t0[2, 3] ^= 1
+    t0[0, 0] ^= 1                       # same-size (bit flips)
+    t1 = np.zeros((10, 9), np.uint8)
+    t1[1:9, 1:8] = syms[1]              # grown (+RDW/+RDH)
+    t1[0, 0] = 1
+    t2 = syms[2][1:5, 1:4].copy()       # shrunk (negative deltas)
+    t2[0, 0] = 1
+    pl = [(0, 3, 2), (1, 15, 2), (2, 30, 2), (0, 3, 20), (2, 12, 20)]
+    refine = {0: t0, 1: t1, 4: t2}
+    data = encode_jbig2_huffman_text_page(syms, pl, 64, 40, sbhuff=True,
+                                          refine=refine)
+    exp = np.zeros((40, 64), np.uint8)
+    for idx, (sid, s, t) in enumerate(pl):
+        g = refine.get(idx, syms[sid])
+        exp[t:t + g.shape[0], s:s + g.shape[1]] |= g
+    assert np.array_equal(decode_jbig2(data), exp)
+    # deterministic bytes
+    assert data == encode_jbig2_huffman_text_page(
+        syms, pl, 64, 40, sbhuff=True, refine=refine)
+
+
+def test_sbhuff_refinement_with_nonzero_table_selectors():
+    # refinement composes with non-default FS/DS/DT standard tables
+    from pdf2dom_ray.engine.jbig2 import encode_jbig2_huffman_text_page
+    syms = [_glyph(12, 7, 5)]
+    big = np.zeros((9, 7), np.uint8)
+    big[1:8, 1:6] = syms[0]
+    big[0, 6] = 1
+    pl = [(0, 2, 2), (0, 14, 2), (0, 2, 14)]
+    data = encode_jbig2_huffman_text_page(
+        syms, pl, 32, 24, sbhuff=True, sb_tables=(1, 2, 1),
+        refine={1: big})
+    exp = np.zeros((24, 32), np.uint8)
+    for idx, (sid, s, t) in enumerate(pl):
+        g = big if idx == 1 else syms[sid]
+        exp[t:t + g.shape[0], s:s + g.shape[1]] |= g
+    assert np.array_equal(decode_jbig2(data), exp)
+
+
 def test_pdf_with_sbhuff_jbig2_image_parses():
     # full surface drive: PDF → JBIG2Decode filter → SBHUFF text
     # region → PNG data URI in the emitted DOM
@@ -745,19 +791,18 @@ def test_pdf_with_sbhuff_jbig2_image_parses():
     assert np.array_equal(png[..., :3], exp)
 
 
-def test_sbhuff_refinement_still_rejected():
-    # the one remaining SBHUFF corner: per-instance refinement inside
-    # a Huffman text region — must keep degrading honestly
-    from pdf2dom_ray.engine.jbig2 import encode_jbig2_text_page
-    bs = bytearray(encode_jbig2_text_page([_glyph(9, 5, 5)],
-                                          [(0, 0, 0)], 8, 8,
-                                          refine={}))
-    # text region segment; flip SBHUFF (bit 0 of the 2-byte flags at
-    # payload offset 17) alongside the encoder's SBREFINE bit
-    idx = bs.rindex(struct.pack(">IIII", 8, 8, 0, 0))
-    bs[idx + 18] |= 0x01
-    with pytest.raises(Jbig2Error, match="refinement unsupported"):
-        decode_jbig2(bytes(bs))
+def test_sbhuff_refinement_truncated_bmsize_rejected():
+    # SBHUFF per-instance refinement now decodes (see the roundtrip
+    # tests above); a BMSIZE that overruns the stream must still fail
+    # cleanly, not read past the payload
+    from pdf2dom_ray.engine.jbig2 import encode_jbig2_huffman_text_page
+    syms = [_glyph(9, 5, 5)]
+    tgt = syms[0].copy()
+    tgt[1, 1] ^= 1
+    bs = encode_jbig2_huffman_text_page(syms, [(0, 0, 0)], 8, 8,
+                                        sbhuff=True, refine={0: tgt})
+    with pytest.raises(Jbig2Error):
+        decode_jbig2(bs[:-3])              # truncate refinement bytes
 
 
 def test_refagg_multi_instance_aggregate():
