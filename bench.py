@@ -180,7 +180,9 @@ def run_bench() -> dict:
                  "corpus_split", "table_profile", "length_deciles",
                  "returned_items", "inter_event_gaps",
                  "link_triangles", "session_paths",
-                 "late_shipments"):
+                 "late_shipments", "url_canonicalize", "host_stats",
+                 "crawl_schedule", "dedup_keep_best",
+                 "pagerank_bsp", "hits_bsp"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

@@ -17,6 +17,7 @@ summed across partials, so it counts all captures, not survivors.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
@@ -56,15 +57,21 @@ def latest_capture(ds: rd.Dataset, *, key: str = "url",
 
 def stale_urls(ds: rd.Dataset, *, key: str = "url",
                ts: str = "warc_ts", version_col: str = "version",
-               latest: int = 1) -> rd.Dataset:
+               latest: int = 1,
+               broadcast_limit: int = 2_000_000) -> rd.Dataset:
     """(url, last_ts): URLs captured in older snapshots but absent
     from the latest one — the recrawl-scheduler's work list.
 
     Scale shape: both sides reduce to narrow per-batch distinct
     partials first (old side keeps the max old-capture ts per key, the
-    latest side just distinct keys), then ONE hash-partitioned
-    ``left_anti`` join decides absence — set-difference semantics the
-    Dataset API has natively; no payload ever enters the exchange.
+    latest side just distinct keys). When the latest snapshot's key
+    set fits ``broadcast_limit`` it is shipped ONCE via ``ray.put``
+    and absence is a per-batch set probe applied BEFORE the old side's
+    groupby — the anti-join exchange disappears and the groupby
+    shrinks to the truly-stale keys. Beyond the limit, ONE
+    hash-partitioned ``left_anti`` join decides absence — the
+    set-difference the Dataset API has natively; no payload ever
+    enters either exchange.
     """
     import pyarrow as pa_
     import pyarrow.compute as pc
@@ -99,10 +106,6 @@ def stale_urls(ds: rd.Dataset, *, key: str = "url",
                               "last_ts": pa_.array([], ts_type)})
         return t
 
-    old = _to_arrow_blocks(
-        narrow.map_batches(old_partial, batch_format="pyarrow")
-        .groupby(key).aggregate(Max(ts, alias_name="last_ts"))) \
-        .map_batches(fix_empty, batch_format="pyarrow")
     new = narrow.map_batches(new_partial,
                              batch_format="pyarrow").materialize()
 
@@ -117,6 +120,33 @@ def stale_urls(ds: rd.Dataset, *, key: str = "url",
     # is non-empty, and short-circuit an empty latest snapshot (the
     # anti-join would keep everything anyway)
     n_new = new.count()
+
+    if 0 < n_new <= broadcast_limit:
+        import ray as ray_
+        latest_keys = frozenset(
+            new.to_pandas()["latest_key"].to_numpy(dtype=object))
+        keys_ref = ray_.put(latest_keys)
+
+        def drop_latest(t: pa_.Table) -> pa_.Table:
+            if not t.num_rows:
+                return t
+            ks = ray_.get(keys_ref)
+            col = t.column(key).to_numpy(zero_copy_only=False)
+            mask = np.fromiter((k not in ks for k in col),
+                               dtype=bool, count=len(col))
+            return t.filter(pa_.array(mask))
+
+        stale = _to_arrow_blocks(
+            narrow.map_batches(old_partial, batch_format="pyarrow")
+            .map_batches(drop_latest, batch_format="pyarrow")
+            .groupby(key).aggregate(Max(ts, alias_name="last_ts"))) \
+            .map_batches(fix_empty, batch_format="pyarrow")
+        return stale.map_batches(finish, batch_format="pyarrow")
+
+    old = _to_arrow_blocks(
+        narrow.map_batches(old_partial, batch_format="pyarrow")
+        .groupby(key).aggregate(Max(ts, alias_name="last_ts"))) \
+        .map_batches(fix_empty, batch_format="pyarrow")
     if n_new == 0:
         return old.map_batches(finish, batch_format="pyarrow")
     from ..scale import scale_partitions

@@ -734,6 +734,11 @@ def test_stale_urls_anti_join(ray_session):
     out = sorted((r["url"], r["last_ts"]) for r in
                  stale_urls(rd.from_items(rows)).take_all())
     assert out == [("a", 10), ("c", 7)]
+    # the distributed left_anti path (broadcast disabled) is identical
+    out_join = sorted((r["url"], r["last_ts"]) for r in
+                      stale_urls(rd.from_items(rows),
+                                 broadcast_limit=0).take_all())
+    assert out_join == out
 
 
 def test_source_overlap_hand_case(ray_session):
