@@ -379,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": _q_url_canonicalize,
         "host_stats": _q_host_stats,
         "crawl_schedule": _q_crawl_schedule,
+        "mirror_hosts": _q_mirror_hosts,
         "top_unshipped_orders": _q_top_unshipped,
         "returned_items": _q_returned_items,
         "late_shipments": _q_late_shipments,
@@ -436,6 +437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans,
         "semdedup": _q_semdedup,
         "ann_brute_topk": _q_ann_brute,
+        "ann_knn_join": _q_ann_knn_join,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_pq_topk": _q_ann_pq,
@@ -1197,6 +1199,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY 1
         """,
+        # mirror detection: distinct (content-key, host) pairs joined
+        # on the key; host pairs ordered host_a < host_b
+        "mirror_hosts": f"""
+            WITH kh AS (SELECT DISTINCT substr(text, 1, 20) AS k,
+                               {_HOST_SQL} AS host
+                        FROM documents)
+            SELECT a.host AS host_a, b.host AS host_b,
+                   CAST(count(*) AS BIGINT) AS shared
+            FROM kh a JOIN kh b ON a.k = b.k AND a.host < b.host
+            GROUP BY 1, 2
+        """,
         # politeness schedule: md5-priority row_number per host, md5
         # first-nibble fetcher shard — same string-hash decisions as
         # the Ray path, so the value-hash is exact
@@ -1547,6 +1560,24 @@ def oracle_sql() -> dict[str, str]:
                                                 (SELECT qv FROM q)), 4) AS sim
             FROM embeddings
             ORDER BY sim DESC, vec_id ASC LIMIT 10
+        """,
+        # kNN similarity join: ranks over the SAME rounded sims and
+        # the same vec_id tie-break as the Ray path
+        "ann_knn_join": """
+            WITH q AS (SELECT vec_id AS qid,
+                              CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id % 50 = 0),
+                 s AS (SELECT q.qid, e.vec_id,
+                              round(list_cosine_similarity(
+                                  CAST(e.embedding AS DOUBLE[]), q.qv),
+                                  4) AS sim
+                       FROM embeddings e, q),
+                 r AS (SELECT *, row_number() OVER (
+                           PARTITION BY qid
+                           ORDER BY sim DESC, vec_id) AS rn
+                       FROM s)
+            SELECT qid, vec_id, sim, CAST(rn AS BIGINT) AS rank
+            FROM r WHERE rn <= 5
         """,
         "dedup_embedding": f"""
             WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -2747,6 +2778,30 @@ def _q_host_stats(sf_dir: str):
                       chars_col="n_chars")
 
 
+def _q_mirror_hosts(sf_dir: str):
+    """Mirror-site detection: host pairs sharing distinct content keys
+    (functions/urlnorm.py mirror_hosts) over the synth corpus's exact
+    duplicate texts spread across the four subdomain hosts."""
+    import ray.data as rd
+    from pdf2dom_ray.functions.urlnorm import (canonicalize, host_of,
+                                               mirror_hosts,
+                                               synth_messy_url)
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ids = t.column("doc_id").to_pylist()
+        urls = pa.array([synth_messy_url(d) for d in ids], pa.string())
+        return pa.table({
+            "k": pc.utf8_slice_codeunits(t.column("text"), 0, 20),
+            "host": host_of(canonicalize(urls)),
+        })
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).map_batches(
+        prep, batch_format="pyarrow")
+    return mirror_hosts(docs)
+
+
 def _q_crawl_schedule(sf_dir: str):
     """Per-host politeness schedule (one fetch per host per round,
     md5-priority order; md5-nibble fetcher shards) over the
@@ -2771,6 +2826,24 @@ def _q_ann_brute(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     return brute_topk(ds, _ann_query_vec(sf_dir), k=10)
+
+
+def _q_ann_knn_join(sf_dir: str):
+    """Cosine top-k similarity JOIN: every 50th vector queries the
+    whole table (functions/ann.py knn_join — broadcast query matrix,
+    per-batch matmul + per-query top-k combiner, grouped top-k)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from pdf2dom_ray.functions.ann import knn_join
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id"))
+    sel = ids % 50 == 0
+    Q = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in t.column("embedding").to_pylist()])[sel]
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return knn_join(ds, Q, ids[sel], k=5)
 
 
 def _q_ann_lsh(sf_dir: str):

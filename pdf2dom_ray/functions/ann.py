@@ -18,7 +18,7 @@ import ray.data as rd
 
 from ..stages.pool import default_pool
 
-__all__ = ["brute_topk", "lsh_buckets", "lsh_topk", "ivf_topk",
+__all__ = ["brute_topk", "knn_join", "lsh_buckets", "lsh_topk", "ivf_topk",
            "embedding_near_dup_pairs", "embedding_near_dup_pairs_lsh",
            "embedding_near_dup_pairs_banded",
            "ivf_build_centroids", "pq_train_codebooks", "pq_topk"]
@@ -86,6 +86,58 @@ def brute_topk(ds: rd.Dataset, query: np.ndarray, k: int = 10, *,
     return _take_ordered(local, [("sim", "descending"),
                                  ("vec_id", "ascending")], k,
                          _TOPK_EMPTY)
+
+
+_KNN_EMPTY = pa.table({"qid": pa.array([], pa.int64()),
+                       "vec_id": pa.array([], pa.int64()),
+                       "sim": pa.array([], pa.float64())})
+
+
+def knn_join(ds: rd.Dataset, queries: np.ndarray, qids, k: int = 5, *,
+             round_decimals: int = 4) -> rd.Dataset:
+    """(qid, vec_id, sim, rank): cosine top-k similarity JOIN — every
+    query row gets its k nearest candidates (the kNN-graph /
+    batch-ANN primitive behind retrieval eval sets, SemDeDup-style
+    neighbor analysis, and embedding-index validation).
+
+    Scale shape: the m×D query matrix broadcasts ONCE (``ray.put``;
+    zero-copy shared-memory read per task — for query sets beyond
+    broadcast size, shard the queries and union the joins). Each
+    candidate batch pays one b×m matmul and a per-query local top-k
+    combiner, so the exchange moves ≤ k·m narrow rows per batch, never
+    embeddings; ``grouped_topk`` finishes per query. sims are rounded
+    BEFORE ranking (ties then broken by vec_id) so the rank order is
+    exactly the SQL oracle's."""
+    from .topk import grouped_topk
+
+    Q = np.asarray(queries, dtype=np.float64)
+    qid_arr = np.asarray(qids, dtype=np.int64)
+    qn = np.maximum(np.linalg.norm(Q, axis=1), 1e-30)
+    qref = ray.put((Q, qn, qid_arr))
+
+    def score(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return _KNN_EMPTY
+        Qm, qnorm, qi = ray.get(qref)
+        e = _emb_matrix(batch).astype(np.float64)
+        en = np.maximum(np.linalg.norm(e, axis=1), 1e-30)
+        sims = np.round((e @ Qm.T) / np.outer(en, qnorm),
+                        round_decimals)                    # b×m
+        m = Qm.shape[0]
+        kk = min(k, e.shape[0])
+        idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # kk×m
+        rows = idx.ravel(order="F")
+        cols = np.repeat(np.arange(m), kk)
+        vid = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        return pa.table({
+            "qid": pa.array(qi[cols], pa.int64()),
+            "vec_id": pa.array(vid[rows], pa.int64()),
+            "sim": pa.array(sims[rows, cols], pa.float64()),
+        })
+
+    partials = ds.map_batches(score, batch_format="pyarrow")
+    return grouped_topk(partials, "qid", ["sim", "vec_id"],
+                        [False, True], k)
 
 
 class _LshSigner:

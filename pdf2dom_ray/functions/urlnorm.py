@@ -46,7 +46,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 __all__ = ["URLNORM_VERSION", "canonicalize", "canonicalize_urls",
-           "host_of", "host_stats", "crawl_schedule",
+           "host_of", "host_stats", "crawl_schedule", "mirror_hosts",
            "synth_messy_url", "synth_canonical_url", "synth_host"]
 
 URLNORM_VERSION = 1
@@ -242,6 +242,66 @@ def crawl_schedule(ds: rd.Dataset, *, url_col: str = "url",
         tag, batch_format="pyarrow")
     return thin.groupby("__part").map_groups(rank,
                                              batch_format="pandas")
+
+
+def mirror_hosts(ds: rd.Dataset, *, key_col: str = "k",
+                 host_col: str = "host",
+                 max_hosts_per_key: int = 64,
+                 num_partitions: int | None = None) -> rd.Dataset:
+    """(host_a, host_b, shared): mirror-site detection — pairs of
+    hosts serving identical content, scored by how many distinct
+    content keys they share (host_a < host_b). The standard crawl-side
+    precursor to domain-level dedup: a pair sharing most of its corpus
+    is one site behind two names.
+
+    Scale shape: per-batch distinct (key, host) rows first, ONE hash
+    exchange on the content key, then each key group emits its
+    C(h, 2) host pairs (h capped at ``max_hosts_per_key`` — a key on
+    more hosts than that is template/boilerplate content, not mirror
+    evidence; the cap bounds the quadratic emit exactly like the LSH
+    bucket caps) and a combiner → small groupby counts pairs.
+    """
+    from ..stages.hashagg import hash_aggregate
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": t.column(key_col).to_pandas(),
+            "host": t.column(host_col).to_pandas(),
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def emit_pairs(g: pd.DataFrame) -> pa.Table:
+        hosts = np.unique(g["host"].to_numpy(dtype=object))
+        if len(hosts) < 2 or len(hosts) > max_hosts_per_key:
+            return pa.table({"host_a": pa.array([], pa.string()),
+                             "host_b": pa.array([], pa.string())})
+        ia, ib = np.triu_indices(len(hosts), k=1)
+        return pa.table({
+            "host_a": pa.array(hosts[ia], pa.string()),
+            "host_b": pa.array(hosts[ib], pa.string())})
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        if "shared" in df.columns:
+            return df.groupby(["host_a", "host_b"],
+                              as_index=False)["shared"].sum()
+        out = df.groupby(["host_a", "host_b"], as_index=False).size()
+        return out.rename(columns={"size": "shared"})
+
+    kh = ds.map_batches(distinct_partial, batch_format="pyarrow")
+    pairs = kh.groupby("k").map_groups(emit_pairs,
+                                       batch_format="pandas")
+    out = hash_aggregate(pairs, ["host_a", "host_b"], count,
+                         num_partitions=num_partitions)
+    return out.map_batches(
+        lambda t: pa.table({
+            "host_a": t.column("host_a"),
+            "host_b": t.column("host_b"),
+            "shared": t.column("shared").cast(pa.int64())})
+        if t.num_columns else
+        pa.table({"host_a": pa.array([], pa.string()),
+                  "host_b": pa.array([], pa.string()),
+                  "shared": pa.array([], pa.int64())}),
+        batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

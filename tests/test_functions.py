@@ -1106,3 +1106,29 @@ def test_ntile_more_buckets_than_rows(ray_session):
            for r in ntile_buckets(ds, value_col="n_chars",
                                   id_col="doc_id", k=10).take_all()}
     assert got == {9: 1, 3: 2, 5: 3}   # rank order: (2,9),(10,3),(10,5)
+
+
+def test_knn_join_matches_numpy_reference(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.ann import knn_join
+    rng = np.random.default_rng(7)
+    emb = rng.standard_normal((80, 16))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(80), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in emb]),
+    })).repartition(5)
+    qsel = np.arange(0, 80, 20)
+    got = knn_join(ds, emb[qsel], qsel, k=3).take_all()
+    sims = np.round(
+        (emb @ emb[qsel].T)
+        / np.outer(np.linalg.norm(emb, axis=1),
+                   np.linalg.norm(emb[qsel], axis=1)), 4)
+    for ci, qid in enumerate(qsel):
+        order = sorted(range(80), key=lambda i: (-sims[i, ci], i))[:3]
+        rows = sorted((r for r in got if r["qid"] == qid),
+                      key=lambda r: r["rank"])
+        assert [r["vec_id"] for r in rows] == order
+        assert rows[0]["vec_id"] == qid and rows[0]["sim"] == 1.0

@@ -90,3 +90,29 @@ def test_keep_best_matches_reference(ray_session):
     # cluster 'alpha...' keeps max n_chars then min doc_id (doc 2 of 2,3)
     assert got[("alpha " * 5)[:20]] == (2, 31, 3)
     assert got["beta"] == (4, 4, 1)
+
+
+def test_mirror_hosts_hand_case(ray_session):
+    import ray.data as rd
+    from pdf2dom_ray.functions.urlnorm import mirror_hosts
+    rows = [
+        {"k": "k1", "host": "a"}, {"k": "k1", "host": "b"},
+        {"k": "k2", "host": "a"}, {"k": "k2", "host": "b"},
+        {"k": "k2", "host": "b"},              # dup (k, host) row
+        {"k": "k3", "host": "a"}, {"k": "k3", "host": "c"},
+        {"k": "k4", "host": "c"},              # lone host: no pair
+    ]
+    got = {(r["host_a"], r["host_b"]): r["shared"]
+           for r in mirror_hosts(rd.from_items(rows)).take_all()}
+    assert got == {("a", "b"): 2, ("a", "c"): 1}
+
+
+def test_mirror_hosts_cap_drops_template_keys(ray_session):
+    import ray.data as rd
+    from pdf2dom_ray.functions.urlnorm import mirror_hosts
+    rows = [{"k": "tpl", "host": f"h{i}"} for i in range(5)] + \
+           [{"k": "real", "host": "h0"}, {"k": "real", "host": "h1"}]
+    got = {(r["host_a"], r["host_b"]): r["shared"]
+           for r in mirror_hosts(rd.from_items(rows),
+                                 max_hosts_per_key=4).take_all()}
+    assert got == {("h0", "h1"): 1}            # 'tpl' on 5 hosts: capped
