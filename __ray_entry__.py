@@ -405,6 +405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_agg": _q_events_props,
         "doc_chunks": _q_doc_chunks,
         "pack_sequences": _q_pack_sequences,
+        "training_mix": _q_training_mix,
         "corpus_shuffle": _q_corpus_shuffle,
         "corpus_split": _q_corpus_split,
         "table_profile": _q_table_profile,
@@ -629,6 +630,9 @@ def oracle_sql() -> dict[str, str]:
             FROM m, LATERAL (SELECT unnest(generate_series(
                      off // 128, (off + ntok - 1) // 128)) AS s) g
         """,
+        # composed last mile: quality gate → dedup keeper → language
+        # mix → packing, chained from the standalone stages' rules
+        "training_mix": _training_mix_sql(),
         # per-source document quota: top-10 per source by md5 priority
         # (C4-style domain cap); rank is the within-group priority
         "source_quota": """
@@ -1967,6 +1971,68 @@ def _sample_sql() -> str:
         WHERE substr(md5(url), 1, 8) <
               CASE lang {cases}
                    ELSE '{hash_threshold(_SAMPLE_DEFAULT)}' END
+    """
+
+
+def _q_training_mix(sf_dir: str):
+    """The composed training-data last mile: Gopher quality gate →
+    exact-dedup keeper selection → stratified language mixing →
+    GPT-style sequence packing (pipelines/training.py). Every stage
+    reuses the decision rule its standalone query oracle replays, so
+    the composite hash-matches end to end."""
+    from pdf2dom_ray.pipelines.training import training_mix
+    return training_mix(sf_dir, fracs=_SAMPLE_FRACS,
+                        default_frac=_SAMPLE_DEFAULT,
+                        url_prefix="https://docs.synth.test/")
+
+
+def _training_mix_sql() -> str:
+    """Composite oracle: the quality_filter pass rule + min-doc-id
+    keeper + corpus_sample md5 thresholds + the pack_sequences
+    window-prefix-sum, chained over the same CTEs — every constant
+    imported from the shared rule modules so the sides cannot drift."""
+    from pdf2dom_ray.functions.sampling import hash_threshold
+    cases = " ".join(f"WHEN '{s}' THEN '{hash_threshold(f)}'"
+                     for s, f in _SAMPLE_FRACS.items())
+    return f"""
+        WITH t AS (SELECT doc_id, text, lang,
+                          string_split(text, ' ') AS w,
+                          length(text) AS L FROM documents),
+        g AS (SELECT doc_id, text, lang FROM t
+              WHERE L > 0 AND len(w) >= 3
+                AND round(CAST(list_sum(list_transform(w,
+                        x -> length(x))) AS DOUBLE) / len(w), 6) >= 1.0
+                AND round(CAST(list_sum(list_transform(w,
+                        x -> length(x))) AS DOUBLE) / len(w), 6) <= 10.0
+                AND round(CAST(len(list_filter(w,
+                        x -> regexp_matches(x, '[A-Za-z]')))
+                        AS DOUBLE) / len(w), 6) >= 0.8
+                AND len(list_filter(w, x -> x IN {_STOP_SQL})) > 0),
+        k AS (SELECT doc_id, text, lang FROM (
+                SELECT *, min(doc_id) OVER (
+                    PARTITION BY substr(text, 1, 20)) AS m
+                FROM g) WHERE doc_id = m),
+        s AS (SELECT doc_id, text FROM k
+              WHERE substr(md5('https://docs.synth.test/'
+                               || CAST(doc_id AS VARCHAR)), 1, 8) <
+                    CASE lang {cases}
+                         ELSE '{hash_threshold(_SAMPLE_DEFAULT)}' END),
+        m AS (SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT)
+                         AS ntok,
+                     CAST(COALESCE(SUM(CAST(len(string_split(text, ' '))
+                                            AS BIGINT))
+                          OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT) AS off
+              FROM s)
+        SELECT doc_id, CAST(g2.s AS BIGINT) AS seq_id,
+               CAST(GREATEST(off, g2.s * 128) - off AS BIGINT)
+                   AS tok_start,
+               CAST(LEAST(off + ntok, (g2.s + 1) * 128)
+                    - GREATEST(off, g2.s * 128) AS BIGINT) AS n_toks
+        FROM m, LATERAL (SELECT unnest(generate_series(
+                 off // 128, (off + ntok - 1) // 128)) AS s) g2
     """
 
 

@@ -181,7 +181,7 @@ def run_bench() -> dict:
                  "returned_items", "inter_event_gaps",
                  "link_triangles", "session_paths",
                  "late_shipments", "url_canonicalize", "host_stats",
-                 "crawl_schedule", "dedup_keep_best",
+                 "crawl_schedule", "dedup_keep_best", "training_mix",
                  "pagerank_bsp", "hits_bsp"):
         t0 = time.time()
         res = qs[name](sf)

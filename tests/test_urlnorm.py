@@ -116,3 +116,24 @@ def test_mirror_hosts_cap_drops_template_keys(ray_session):
            for r in mirror_hosts(rd.from_items(rows),
                                  max_hosts_per_key=4).take_all()}
     assert got == {("h0", "h1"): 1}            # 'tpl' on 5 hosts: capped
+
+
+def test_training_mix_paths_identical(ray_session, sf_dir):
+    """The composed curation pipeline: broadcast keeper probe and the
+    hash-join fallback land on identical packed spans."""
+    from pdf2dom_ray.pipelines.training import training_mix
+    kw = dict(fracs={"en": 0.5, "zh": 0.125, "es": 0.25, "de": 0.25},
+              default_frac=0.75,
+              url_prefix="https://docs.synth.test/")
+    a = sorted(map(tuple, training_mix(sf_dir, **kw).to_pandas()
+                   .itertuples(index=False)))
+    b = sorted(map(tuple, training_mix(sf_dir, broadcast_limit=0, **kw)
+                   .to_pandas().itertuples(index=False)))
+    assert a == b and len(a) > 0
+    # packed spans tile each sequence: per-seq token mass ≤ seq_len
+    import collections
+    per_seq = collections.Counter()
+    for _, seq_id, _, n_toks in a:
+        per_seq[seq_id] += n_toks
+    full = [s for s, n in per_seq.items() if n == 128]
+    assert len(full) >= len(per_seq) - 1      # only the tail partial
