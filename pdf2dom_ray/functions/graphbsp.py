@@ -7,17 +7,30 @@ operator overhead PER ITERATION (~1 s each at bench scale) because the
 alternating join key (src, then target) defeats partition reuse — a
 Dataset has no persistent partitioned-state abstraction. This module
 is the raw-task escape hatch (same pattern as ``kmeans.py``): shard
-the node state ONCE by url-hash, resolve edges to integer
-(shard, index) coordinates ONCE, pin everything in the object store,
-then run each iteration as P scatter + P gather tasks exchanging P²
-small contribution objects. No Dataset operators inside the loop; the
-only driver traffic is P scalars per synchronization.
+everything ONCE by url-hash, resolve edges to integer (shard, index)
+coordinates ONCE, pin it all in the object store, then run each
+iteration as P scatter + P gather tasks exchanging P² small
+contribution objects. No Dataset operators inside the loop; the only
+driver traffic is P scalars per synchronization.
+
+The ENTIRE layout derives from the batch-local-distinct edge set with
+raw tasks — node universe, global edge dedup, and out-degrees all fall
+out of the shard builds, so the former per-query init exchanges
+(global distinct, outdeg groupby, node-set union + join) are gone:
+
+- all copies of edge (s, t) hash to the same src-shard (and the same
+  tgt-shard), so GLOBAL dedup is per-shard-local ``np.unique`` over
+  integer-coded pairs;
+- a shard's url universe is the unique endpoints hashing to it,
+  collected during the same split pass;
+- out-degree is a ``bincount`` over the deduped by-src edges of the
+  matching shard (src-shard == node-shard by construction).
 
 Scale shape: node shard q holds O(n/P) urls + state; edge shard p
 holds O(m/P) integer-coded edges grouped by destination shard; a
-scatter task touches one edge shard + its own node shard; a gather
-task touches P contribution pieces totalling O(m/P) + its node shard.
-Peak task memory is therefore O((n+m)/P); P derives from cluster CPUs
+scatter task touches one edge shard + its own state; a gather task
+touches P contribution pieces totalling O(m/P) + its node shard. Peak
+task memory is therefore O((n+m)/P); P derives from cluster CPUs
 (``scale.scale_partitions``). Object-store spill handles the pinned
 shards if they outgrow memory.
 
@@ -44,95 +57,109 @@ def _shard_of(urls: np.ndarray, n_part: int) -> np.ndarray:
     return (h.to_numpy() % n_part).astype(np.int64)
 
 
-def _empty_pieces(n_part: int, second_dtype=np.int64):
-    """Typed empty pieces for a schema-less empty input block — Ray's
-    sort-aggregate / join stages can emit blocks with NO columns (the
-    empty-block hazard CLAUDE.md documents); ``block.column(...)`` on
-    one raises KeyError, and WHICH run gets such a block is
-    load/run-order dependent, so an unguarded split task flakes."""
-    return tuple((np.empty(0, dtype=object), np.empty(0, dtype=second_dtype))
-                 for _ in range(n_part))
+def _empty_piece():
+    e = np.empty(0, dtype=object)
+    return (e, e), (e, e), e
 
 
-@ray.remote
-def _split_nodes(block: pa.Table, n_part: int):
-    """One state block → P (urls, outdeg) pieces by url-hash shard."""
-    if block.num_columns == 0 or block.num_rows == 0:
-        return _empty_pieces(n_part)
-    urls = np.asarray(block.column("url").to_pandas(), dtype=object)
-    outdeg = np.asarray(block.column("outdeg").to_pandas(),
-                        dtype=np.int64)
-    sh = _shard_of(urls, n_part)
-    order = np.argsort(sh, kind="stable")
-    urls, outdeg, sh = urls[order], outdeg[order], sh[order]
-    bounds = np.searchsorted(sh, np.arange(n_part + 1))
-    return tuple((urls[bounds[q]:bounds[q + 1]],
-                  outdeg[bounds[q]:bounds[q + 1]])
-                 for q in range(n_part))
-
-
-@ray.remote
-def _build_node_shard(*pieces):
-    """Merge a shard's pieces → (urls sorted, outdeg, n_dangling)."""
-    urls = np.concatenate([p[0] for p in pieces])
-    outdeg = np.concatenate([p[1] for p in pieces])
-    order = np.argsort(urls, kind="stable")
-    urls, outdeg = urls[order], outdeg[order]
-    return urls, outdeg
-
-
-@ray.remote
-def _split_edges(block: pa.Table, n_part: int, by: str):
-    """One distinct-edge block → P (key_url, other_url) pieces by the
-    hash shard of the ``by`` endpoint ('src' or 'target')."""
-    if block.num_columns == 0 or block.num_rows == 0:
-        return _empty_pieces(n_part, second_dtype=object)
-    src = np.asarray(block.column("src").to_pandas(), dtype=object)
-    tgt = np.asarray(block.column("target").to_pandas(), dtype=object)
-    key, other = (src, tgt) if by == "src" else (tgt, src)
+def _split_by(key: np.ndarray, other: np.ndarray, n_part: int):
+    """(key, other) edge rows → per-shard (key, other) slices by the
+    key endpoint's hash shard."""
     sh = _shard_of(key, n_part)
     order = np.argsort(sh, kind="stable")
     key, other, sh = key[order], other[order], sh[order]
     bounds = np.searchsorted(sh, np.arange(n_part + 1))
-    return tuple((key[bounds[q]:bounds[q + 1]],
-                  other[bounds[q]:bounds[q + 1]])
+    return [(key[bounds[q]:bounds[q + 1]], other[bounds[q]:bounds[q + 1]])
+            for q in range(n_part)]
+
+
+@ray.remote
+def _split_edge_block(block: pa.Table, n_part: int):
+    """One batch-distinct edge block → P pieces, each
+    ((src_edges), (tgt_edges), urls): the block's edges keyed by src
+    shard and by tgt shard, plus the batch-unique endpoint names
+    hashing to the shard (the node universe contribution).
+
+    Guards the schema-less empty block Ray's sort-aggregate / join
+    stages can emit (the hazard CLAUDE.md documents): ``.column()`` on
+    one raises KeyError, and WHICH run sees such a block is
+    load/run-order dependent — an unguarded split task flakes."""
+    if block.num_columns == 0 or block.num_rows == 0:
+        return tuple(_empty_piece() for _ in range(n_part))
+    src = np.asarray(block.column("src").to_pandas(), dtype=object)
+    tgt = np.asarray(block.column("target").to_pandas(), dtype=object)
+    by_src = _split_by(src, tgt, n_part)
+    by_tgt = _split_by(tgt, src, n_part)
+    urls = np.unique(np.concatenate([src, tgt]))
+    ush = _shard_of(urls, n_part)
+    uorder = np.argsort(ush, kind="stable")
+    urls, ush = urls[uorder], ush[uorder]
+    ub = np.searchsorted(ush, np.arange(n_part + 1))
+    return tuple((by_src[q], by_tgt[q], urls[ub[q]:ub[q + 1]])
                  for q in range(n_part))
 
 
 @ray.remote
-def _build_edge_shard(n_part: int, url_shard_refs, *pieces):
-    """Merge edge pieces of one key-shard → integer coordinates:
+def _build_node_urls(*pieces):
+    """One shard's sorted unique url universe."""
+    if not pieces:
+        return np.empty(0, dtype=object)
+    return np.unique(np.concatenate([p[2] for p in pieces]))
 
-    (key_idx, other_idx, offsets) with rows SORTED by the other
-    endpoint's shard; ``offsets[q]:offsets[q+1]`` slices shard q's
-    rows. Url arrays of other shards are fetched ONE AT A TIME
-    (peak memory = this shard's edges + one url array)."""
-    key = np.concatenate([p[0] for p in pieces]) if pieces else \
-        np.empty(0, dtype=object)
-    other = np.concatenate([p[1] for p in pieces]) if pieces else \
-        np.empty(0, dtype=object)
+
+@ray.remote(num_returns=2)
+def _build_edge_shard(n_part: int, orient: int, url_shard_refs,
+                      *pieces):
+    """Merge one key-shard's edge pieces (``orient`` 0 = by src,
+    1 = by tgt) → ((key_idx, other_idx, offsets), outdeg):
+
+    integer-coded DEDUPED edges sorted by the other endpoint's shard
+    (``offsets[q]:offsets[q+1]`` slices shard q's rows) plus this
+    shard's key-side degree vector. Url arrays of other shards are
+    fetched ONE AT A TIME (peak memory = this shard's edges + one url
+    array). Dedup is exact and global: every copy of an edge lands in
+    this shard and, within it, in the same other-shard segment, where
+    ``np.unique`` over key_idx·|urls_q|+other_idx kills duplicates."""
+    key = np.concatenate([p[orient][0] for p in pieces]) if pieces \
+        else np.empty(0, dtype=object)
+    other = np.concatenate([p[orient][1] for p in pieces]) if pieces \
+        else np.empty(0, dtype=object)
     my_urls = ray.get(url_shard_refs[0])
     key_idx_all = np.searchsorted(my_urls, key).astype(np.int64)
     osh = _shard_of(other, n_part)
     order = np.argsort(osh, kind="stable")
     key_idx_all, other, osh = key_idx_all[order], other[order], osh[order]
-    offsets = np.searchsorted(osh, np.arange(n_part + 1)).astype(np.int64)
-    other_idx = np.empty(len(other), dtype=np.int64)
+    seg = np.searchsorted(osh, np.arange(n_part + 1)).astype(np.int64)
+    kparts, oparts, lens = [], [], []
     for q in range(n_part):
-        lo, hi = offsets[q], offsets[q + 1]
-        if hi > lo:
-            urls_q = ray.get(url_shard_refs[1][q])
-            other_idx[lo:hi] = np.searchsorted(urls_q, other[lo:hi])
-    return key_idx_all, other_idx, offsets
+        lo, hi = seg[q], seg[q + 1]
+        if hi <= lo:
+            lens.append(0)
+            continue
+        urls_q = ray.get(url_shard_refs[1][q])
+        oi = np.searchsorted(urls_q, other[lo:hi]).astype(np.int64)
+        combo = np.unique(key_idx_all[lo:hi] * max(len(urls_q), 1) + oi)
+        kparts.append(combo // max(len(urls_q), 1))
+        oparts.append(combo % max(len(urls_q), 1))
+        lens.append(len(combo))
+    key_idx = np.concatenate(kparts) if kparts else \
+        np.empty(0, dtype=np.int64)
+    other_idx = np.concatenate(oparts) if oparts else \
+        np.empty(0, dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    outdeg = np.bincount(key_idx, minlength=len(my_urls)) \
+        .astype(np.int64)
+    return (key_idx, other_idx, offsets), outdeg
 
 
 @ray.remote
-def _urls_only(shard):
-    return shard[0]
+def _with_outdeg(urls, outdeg):
+    return urls, outdeg
 
 
 class ShardedGraph:
-    """Pinned sharded layout of a distinct (src, target) edge set.
+    """Pinned sharded layout of an edge set (duplicates allowed —
+    dedup happens in the shard builds).
 
     ``node_shards[q]`` → ref of (urls sorted, outdeg);
     ``edges_by_src[p]`` → ref of (src_idx, tgt_idx, tgt_shard_offsets)
@@ -148,33 +175,32 @@ class ShardedGraph:
         self.edges_by_tgt = edges_by_tgt
 
     @classmethod
-    def build(cls, e: rd.Dataset, state: rd.Dataset, n_part: int, *,
+    def build(cls, e: rd.Dataset, n_part: int, *,
               both_directions: bool = False) -> "ShardedGraph":
-        """``e``: distinct (src, target) Dataset. ``state``: (url,
-        outdeg) Dataset covering every node. One pass of raw tasks:
-        B split tasks + P build tasks per structure."""
-        sblocks = state.to_arrow_refs()
-        nsplits = [_split_nodes.options(num_returns=n_part)
-                   .remote(b, n_part) for b in sblocks]
-        if n_part == 1:      # options(num_returns=1) returns a bare ref
-            nsplits = [[s] for s in nsplits]
-        node_shards = [
-            _build_node_shard.remote(*[sp[q] for sp in nsplits])
-            for q in range(n_part)]
-        url_refs = [_urls_only.remote(s) for s in node_shards]
-
+        """``e``: (src, target) Dataset — batch-local distinct is
+        enough; global dedup is shard-local. One raw-task pass:
+        B split tasks + P node builds + P edge builds per layout; no
+        Dataset operators at all."""
         eblocks = e.to_arrow_refs()
+        esplits = [_split_edge_block.options(num_returns=n_part)
+                   .remote(b, n_part) for b in eblocks]
+        if n_part == 1:      # options(num_returns=1) returns a bare ref
+            esplits = [[s] for s in esplits]
+        url_refs = [_build_node_urls.remote(*[sp[q] for sp in esplits])
+                    for q in range(n_part)]
 
-        def _layout(by: str):
-            esplits = [_split_edges.options(num_returns=n_part)
-                       .remote(b, n_part, by) for b in eblocks]
-            if n_part == 1:
-                esplits = [[s] for s in esplits]
-            return [
-                _build_edge_shard.remote(
-                    n_part, (url_refs[p], url_refs),
+        def _layout(orient: int):
+            shards, outdegs = [], []
+            for p in range(n_part):
+                es, od = _build_edge_shard.options(num_returns=2).remote(
+                    n_part, orient, (url_refs[p], url_refs),
                     *[sp[p] for sp in esplits])
-                for p in range(n_part)]
+                shards.append(es)
+                outdegs.append(od)
+            return shards, outdegs
 
-        return cls(n_part, node_shards, _layout("src"),
-                   _layout("target") if both_directions else None)
+        by_src, outdegs = _layout(0)
+        node_shards = [_with_outdeg.remote(url_refs[q], outdegs[q])
+                       for q in range(n_part)]
+        by_tgt = _layout(1)[0] if both_directions else None
+        return cls(n_part, node_shards, by_src, by_tgt)

@@ -106,18 +106,20 @@ def _driver_hits(df, *, iterations: int, scale: int) -> pa.Table:
                      "hub": pa.array(h, pa.int64())})
 
 
-def _hits_bsp(e: rd.Dataset, state: rd.Dataset, iterations: int,
+def _hits_bsp(e: rd.Dataset, iterations: int,
               scale: int, n_part: int) -> rd.Dataset:
     """Raw-task BSP loop (functions/graphbsp.py) — the >limit path.
 
-    Needs BOTH edge layouts (the a-step scatters along src→target, the
-    h-step along target→src). Per half-step: P scatter + P gather + P
+    ``e`` needs only batch-local distinct edges (the shard build
+    dedups globally and derives the node universe itself). Needs BOTH
+    edge layouts (the a-step scatters along src→target, the h-step
+    along target→src). Per half-step: P scatter + P gather + P
     normalize tasks and one P-scalar driver max-sync. Bit-exact vs the
     driver and join paths (int64 floors, order-independent
     ``np.add.at``), locked by tests."""
     from .graphbsp import ShardedGraph
 
-    g = ShardedGraph.build(e, state, n_part, both_directions=True)
+    g = ShardedGraph.build(e, n_part, both_directions=True)
     P = g.n_part
 
     @ray.remote
@@ -196,9 +198,15 @@ def hits(edges: rd.Dataset, *, iterations: int = 4, scale: int = SCALE,
         return rd.from_arrow(_driver_hits(
             thin.to_pandas(), iterations=iterations, scale=scale))
 
+    n_part = _n_partitions()
+    if mode == "bsp":
+        # the BSP build derives node universe + global edge dedup from
+        # the batch-distinct edge blocks with raw tasks — no global
+        # distinct / union / repartition init exchanges
+        return _hits_bsp(thin, iterations, scale, n_part)
+
     e = _distinct(thin, ["src", "target"]).materialize()
     n_edges = e.count()
-    n_part = _n_partitions()
     # Ray's hash join rejects 0-row input blocks on either side —
     # even-repartition every narrow join side to merge empties away
     # (see crawl.py::stale_urls / cohort.py)
@@ -208,16 +216,6 @@ def hits(edges: rd.Dataset, *, iterations: int = 4, scale: int = SCALE,
     nodes = _distinct(srcs.union(tgts), ["url"]).materialize()
     npn = min(n_part, max(1, nodes.count()))
     nodes = nodes.repartition(npn).materialize()
-
-    if mode == "bsp":
-        # graphbsp's node shards carry (url, outdeg); HITS never reads
-        # outdeg — ship zeros
-        state_ds = nodes.map_batches(
-            lambda t: pa.table({
-                "url": t.column("url"),
-                "outdeg": pa.array([0] * t.num_rows, pa.int64())}),
-            batch_format="pyarrow").materialize()
-        return _hits_bsp(e, state_ds, iterations, scale, n_part)
 
     def init_score(t: pa.Table) -> pa.Table:
         return pa.table({

@@ -113,6 +113,11 @@ def pagerank(edges: rd.Dataset, *, iterations: int = 5,
         return rd.from_arrow(empty)
     if n_thin <= driver_edge_limit:
         return _pagerank_driver(thin, iterations, scale)
+    if mode == "bsp":
+        # the BSP build derives node universe, global edge dedup and
+        # out-degrees from the batch-distinct edge blocks with raw
+        # tasks — no global distinct / groupby / join init exchanges
+        return _pagerank_bsp(thin, iterations, scale, _n_partitions())
     e = _distinct(thin, ["src", "target"]).materialize()
     n_edges = e.count()
     n_part = _n_partitions()
@@ -144,16 +149,6 @@ def pagerank(edges: rd.Dataset, *, iterations: int = 5,
             "outdeg": od,
             "rank": pa.array([scale] * len(t), pa.int64()),
         })
-
-    if mode == "bsp":
-        state_ds = _to_arrow_blocks(state.map_batches(
-            lambda t: pa.table({
-                "url": t.column("url"),
-                "outdeg": pc.coalesce(t.column("outdeg"),
-                                      pa.scalar(0, pa.int64()))
-                .cast(pa.int64())}),
-            batch_format="pyarrow")).materialize()
-        return _pagerank_bsp(e, state_ds, iterations, scale, n_part)
 
     ranks = _to_arrow_blocks(state.map_batches(
         init_rank, batch_format="pyarrow")).repartition(npn).materialize()
@@ -212,22 +207,25 @@ def _pr_init_shard(shard, scale: int):
     return rank, int(rank[outdeg == 0].sum()), len(urls)
 
 
-def _pagerank_bsp(e: rd.Dataset, state: rd.Dataset, iterations: int,
+def _pagerank_bsp(e: rd.Dataset, iterations: int,
                   scale: int, n_part: int) -> rd.Dataset:
     """Raw-task BSP loop (see functions/graphbsp.py): the >limit path.
 
-    Per iteration: P scatter + P gather tasks, P² small contribution
-    objects, one P-scalar driver sync (dangling mass). No Dataset
-    operators inside the loop — the Dataset-join formulation's 2 joins
-    + 2 groupbys of per-iteration fixed cost (~1 s each at bench
-    scale) collapse to plain task scheduling. Bit-exact vs the driver
-    and join paths (int64 floor arithmetic, order-independent
-    ``np.add.at``), locked by tests."""
+    ``e`` needs only batch-local distinct edges — the shard build
+    dedups globally and derives the node universe + out-degrees
+    itself, so the whole query is raw tasks after one narrow
+    ``map_batches`` scan. Per iteration: P scatter + P gather tasks,
+    P² small contribution objects, one P-scalar driver sync (dangling
+    mass). No Dataset operators anywhere — the Dataset-join
+    formulation's 2 joins + 2 groupbys of per-iteration fixed cost
+    (~1 s each at bench scale) collapse to plain task scheduling.
+    Bit-exact vs the driver and join paths (int64 floor arithmetic,
+    order-independent ``np.add.at``), locked by tests."""
     from .graphbsp import ShardedGraph
 
     base = scale * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
 
-    g = ShardedGraph.build(e, state, n_part)
+    g = ShardedGraph.build(e, n_part)
     P = g.n_part
 
     @ray.remote

@@ -98,15 +98,14 @@ def test_bsp_survives_schemaless_empty_blocks(ray_session):
     import pyarrow as pa
     import ray
     import ray.data as rd
-    from pdf2dom_ray.functions.graphbsp import (_split_edges,
-                                                _split_nodes)
+    from pdf2dom_ray.functions.graphbsp import _split_edge_block
     from pdf2dom_ray.functions.pagerank import pagerank_reference
 
     empty = pa.table({})          # no columns at all
-    for pieces in (ray.get(_split_nodes.remote(empty, 3)),
-                   ray.get(_split_edges.remote(empty, 3, "src"))):
-        assert len(pieces) == 3
-        assert all(len(a) == 0 and len(b) == 0 for a, b in pieces)
+    pieces = ray.get(_split_edge_block.remote(empty, 3))
+    assert len(pieces) == 3
+    for (se, te), (st, tt), urls in pieces:
+        assert len(se) == len(te) == len(st) == len(tt) == len(urls) == 0
 
     # full BSP run over a dataset that carries an injected empty block
     tiny = rd.from_items([{"src": u, "target": v} for u, v in TINY])
