@@ -413,6 +413,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "link_adjacency": _q_link_adjacency,
         "link_triangles": _q_link_triangles,
+        "link_bfs_depth": _q_link_bfs_depth,
+        "link_bfs_depth_bsp": _q_link_bfs_depth_bsp,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
         "hashed_features": _q_hashed_features,
@@ -1113,6 +1115,8 @@ def oracle_sql() -> dict[str, str]:
                   SELECT w FROM tri) t
             GROUP BY nd
         """,
+        "link_bfs_depth": _bfs_sql(),
+        "link_bfs_depth_bsp": _bfs_sql(),
         "returned_items": """
             SELECT c_custkey, c_name, n_name,
                    CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
@@ -1986,6 +1990,25 @@ def _q_training_mix(sf_dir: str):
                         url_prefix="https://docs.synth.test/")
 
 
+def _bfs_sql() -> str:
+    """Unrolled 8-round min-relaxation over the same synthetic digraph
+    rule as ``_bfs_edges`` (functions/bfs.py::bfs_oracle_sql; every
+    per-round CTE AS MATERIALIZED per CLAUDE.md)."""
+    from pdf2dom_ray.functions.bfs import bfs_oracle_sql
+    edges = """
+        SELECT doc_id AS src,
+               CAST((2 * doc_id + 1) % (SELECT count(*) FROM documents)
+                    AS BIGINT) AS target
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               CAST((3 * doc_id + 7) % (SELECT count(*) FROM documents)
+                    AS BIGINT)
+        FROM documents"""
+    return bfs_oracle_sql(edges, "SELECT CAST(0 AS BIGINT) AS node",
+                          rounds=8)
+
+
 def _training_mix_sql() -> str:
     """Composite oracle: the quality_filter pass rule + min-doc-id
     keeper + corpus_sample md5 thresholds + the pack_sequences
@@ -2842,6 +2865,45 @@ def _q_host_stats(sf_dir: str):
     from pdf2dom_ray.functions.urlnorm import host_stats
     return host_stats(_messy_urls(sf_dir), url_col="url",
                       chars_col="n_chars")
+
+
+def _bfs_edges(sf_dir: str):
+    """Deterministic pseudo-random digraph over the document ids
+    (src = i, targets (2i+1) %% N and (3i+7) %% N) — the operator-check
+    input for BFS depths; the SQL twin generates the same edges."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def build(t: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([ids, ids]), pa.int64()),
+            "target": pa.array(np.concatenate([(2 * ids + 1) % n,
+                                               (3 * ids + 7) % n]),
+                               pa.int64()),
+        })
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).map_batches(
+        build, batch_format="pyarrow")
+
+
+def _q_link_bfs_depth(sf_dir: str):
+    """BFS shortest-path depths from seed node 0 (8 bounded rounds)
+    over the synthetic digraph — crawl-depth analysis
+    (functions/bfs.py; BSP scale path shares graphbsp's machinery)."""
+    from pdf2dom_ray.functions.bfs import bfs_depths
+    return bfs_depths(_bfs_edges(sf_dir), [0], rounds=8)
+
+
+def _q_link_bfs_depth_bsp(sf_dir: str):
+    """The BFS BSP scale path under external check (driver path
+    disabled) — hash-matches the same unrolled oracle because the
+    min-plus relaxation is order-independent int64."""
+    from pdf2dom_ray.functions.bfs import bfs_depths
+    return bfs_depths(_bfs_edges(sf_dir), [0], rounds=8,
+                      driver_edge_limit=0)
 
 
 def _q_mirror_hosts(sf_dir: str):

@@ -1,0 +1,58 @@
+"""BFS shortest-path depths: driver path, BSP path, hand reference."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+EDGES = [(0, 1), (1, 2), (2, 3), (3, 4), (0, 5), (5, 3),
+         (7, 8), (8, 7)]          # 7/8: unreachable cycle
+
+
+def _ref(edges, seeds, rounds):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    dist = {n: None for n in nodes}
+    for s in seeds:
+        if s in dist:
+            dist[s] = 0
+    for _ in range(rounds):
+        for u, v in edges:
+            if dist[u] is not None and \
+                    (dist[v] is None or dist[v] > dist[u] + 1):
+                dist[v] = dist[u] + 1
+    return {n: d for n, d in dist.items() if d is not None}
+
+
+@pytest.mark.parametrize("limit", [5_000_000, 0])
+def test_bfs_matches_reference_both_paths(ray_session, limit):
+    import ray.data as rd
+    from pdf2dom_ray.functions.bfs import bfs_depths
+    ds = rd.from_items([{"src": u, "target": v} for u, v in EDGES]
+                       + [{"src": 0, "target": 1}])     # dup edge
+    got = {r["node"]: r["depth"]
+           for r in bfs_depths(ds, [0], rounds=8,
+                               driver_edge_limit=limit).take_all()}
+    assert got == _ref(EDGES, [0], 8)
+    assert got[4] == 3 and 7 not in got and 8 not in got
+
+
+def test_bfs_bounded_rounds_and_multi_seed(ray_session):
+    import ray.data as rd
+    from pdf2dom_ray.functions.bfs import bfs_depths
+    ds = rd.from_items([{"src": u, "target": v} for u, v in EDGES])
+    got = {r["node"]: r["depth"]
+           for r in bfs_depths(ds, [0, 8], rounds=1).take_all()}
+    # one round: only direct successors (+ the seeds themselves)
+    assert got == {0: 0, 1: 1, 5: 1, 8: 0, 7: 1}
+    # a seed absent from the node universe is ignored
+    got2 = {r["node"]: r["depth"]
+            for r in bfs_depths(ds, [99], rounds=4).take_all()}
+    assert got2 == {}
+
+
+def test_bfs_empty_edges(ray_session):
+    import ray.data as rd
+    from pdf2dom_ray.functions.bfs import bfs_depths
+    ds = rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                 "target": pa.array([], pa.int64())}))
+    assert bfs_depths(ds, [0], rounds=3).take_all() == []
