@@ -415,6 +415,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_triangles": _q_link_triangles,
         "link_bfs_depth": _q_link_bfs_depth,
         "link_bfs_depth_bsp": _q_link_bfs_depth_bsp,
+        "link_components": _q_link_components,
+        "link_components_bsp": _q_link_components_bsp,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
         "hashed_features": _q_hashed_features,
@@ -1117,6 +1119,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "link_bfs_depth": _bfs_sql(),
         "link_bfs_depth_bsp": _bfs_sql(),
+        "link_components": _cc_sql(),
+        "link_components_bsp": _cc_sql(),
         "returned_items": """
             SELECT c_custkey, c_name, n_name,
                    CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
@@ -2007,6 +2011,20 @@ def _bfs_sql() -> str:
         FROM documents"""
     return bfs_oracle_sql(edges, "SELECT CAST(0 AS BIGINT) AS node",
                           rounds=8)
+
+
+def _cc_sql() -> str:
+    """Unrolled 8-round synchronous hash-min over the same mod-7
+    chain graph as ``_cc_edges`` (functions/ccomp.py::cc_oracle_sql;
+    every per-round CTE AS MATERIALIZED per CLAUDE.md)."""
+    from pdf2dom_ray.functions.ccomp import cc_oracle_sql
+    edges = """
+        SELECT doc_id AS src, CAST(doc_id - 7 AS BIGINT) AS target
+        FROM documents WHERE doc_id >= 7
+        UNION ALL
+        SELECT doc_id, CAST(doc_id - 21 AS BIGINT)
+        FROM documents WHERE doc_id >= 21"""
+    return cc_oracle_sql(edges, rounds=8)
 
 
 def _training_mix_sql() -> str:
@@ -2904,6 +2922,46 @@ def _q_link_bfs_depth_bsp(sf_dir: str):
     from pdf2dom_ray.functions.bfs import bfs_depths
     return bfs_depths(_bfs_edges(sf_dir), [0], rounds=8,
                       driver_edge_limit=0)
+
+
+def _cc_edges(sf_dir: str):
+    """Deterministic multi-component graph over the document ids:
+    chains i → i−7 and skip-links i → i−21 stay inside the residue
+    class mod 7, so the true components are the 7 classes (bounded
+    8-round labels are the operator check; the SQL twin generates the
+    same edges)."""
+    import ray.data as rd
+
+    def build(t: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        a, b = ids[ids >= 7], ids[ids >= 21]
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b]), pa.int64()),
+            "target": pa.array(np.concatenate([a - 7, b - 21]),
+                               pa.int64()),
+        })
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).map_batches(
+        build, batch_format="pyarrow")
+
+
+def _q_link_components(sf_dir: str):
+    """Connected-component labels (8 bounded hash-min rounds) over
+    the mod-7 chain graph — mirror/dedup-cluster grouping
+    (functions/ccomp.py; BSP scale path shares graphbsp's
+    machinery)."""
+    from pdf2dom_ray.functions.ccomp import cc_labels
+    return cc_labels(_cc_edges(sf_dir), rounds=8)
+
+
+def _q_link_components_bsp(sf_dir: str):
+    """The CC BSP scale path under external check (driver path
+    disabled) — hash-matches the same unrolled oracle because
+    synchronous min-merge is order-independent."""
+    from pdf2dom_ray.functions.ccomp import cc_labels
+    return cc_labels(_cc_edges(sf_dir), rounds=8,
+                     driver_edge_limit=0)
 
 
 def _q_mirror_hosts(sf_dir: str):
