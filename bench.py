@@ -182,7 +182,8 @@ def run_bench() -> dict:
                  "link_triangles", "session_paths",
                  "late_shipments", "url_canonicalize", "host_stats",
                  "crawl_schedule", "dedup_keep_best", "training_mix",
-                 "pagerank_bsp", "hits_bsp"):
+                 "pagerank_bsp", "hits_bsp",
+                 "link_bfs_depth", "link_components"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
