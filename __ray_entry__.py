@@ -417,6 +417,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_bfs_depth_bsp": _q_link_bfs_depth_bsp,
         "link_components": _q_link_components,
         "link_components_bsp": _q_link_components_bsp,
+        "link_kcore": _q_link_kcore,
+        "link_kcore_bsp": _q_link_kcore_bsp,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
         "hashed_features": _q_hashed_features,
@@ -1121,6 +1123,8 @@ def oracle_sql() -> dict[str, str]:
         "link_bfs_depth_bsp": _bfs_sql(),
         "link_components": _cc_sql(),
         "link_components_bsp": _cc_sql(),
+        "link_kcore": _kcore_sql(),
+        "link_kcore_bsp": _kcore_sql(),
         "returned_items": """
             SELECT c_custkey, c_name, n_name,
                    CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
@@ -2025,6 +2029,21 @@ def _cc_sql() -> str:
         SELECT doc_id, CAST(doc_id - 21 AS BIGINT)
         FROM documents WHERE doc_id >= 21"""
     return cc_oracle_sql(edges, rounds=8)
+
+
+def _kcore_sql() -> str:
+    """Unrolled 8-round k=3 peel over the same mod-7 chain graph as
+    ``_cc_edges`` (functions/kcore.py::kcore_oracle_sql; every
+    per-round CTE AS MATERIALIZED per CLAUDE.md)."""
+    from pdf2dom_ray.functions.kcore import kcore_oracle_sql
+    edges = """
+        SELECT doc_id AS src, CAST(doc_id - 7 AS BIGINT) AS target
+        FROM documents WHERE doc_id >= 7
+        UNION ALL
+        SELECT doc_id, CAST(doc_id - 21 AS BIGINT)
+        FROM documents WHERE doc_id >= 21"""
+    return kcore_oracle_sql(edges, k=3, rounds=8)
+
 
 
 def _training_mix_sql() -> str:
@@ -2962,6 +2981,25 @@ def _q_link_components_bsp(sf_dir: str):
     from pdf2dom_ray.functions.ccomp import cc_labels
     return cc_labels(_cc_edges(sf_dir), rounds=8,
                      driver_edge_limit=0)
+
+
+def _q_link_kcore(sf_dir: str):
+    """k-core survivors (k=3, 8 bounded peels) of the mod-7 chain
+    graph — link-farm / dense-mesh detection (functions/kcore.py;
+    the chain's ±7/±21 undirected degrees peak at 4, so the peel
+    erodes 8 layers inward from each chain end)."""
+    from pdf2dom_ray.functions.kcore import kcore_nodes
+    return kcore_nodes(_cc_edges(sf_dir), k=3, rounds=8)
+
+
+def _q_link_kcore_bsp(sf_dir: str):
+    """The k-core BSP scale path under external check (driver path
+    disabled) — hash-matches the same unrolled oracle because the
+    0/1 scatter-add degrees are order-independent int64."""
+    from pdf2dom_ray.functions.kcore import kcore_nodes
+    return kcore_nodes(_cc_edges(sf_dir), k=3, rounds=8,
+                       driver_edge_limit=0)
+
 
 
 def _q_mirror_hosts(sf_dir: str):

@@ -103,9 +103,12 @@ def bfs_depths(edges: rd.Dataset, seeds, *, rounds: int = 8,
     def scatter(edge_shard, dist):
         src_idx, tgt_idx, offsets = edge_shard
         cand = dist[src_idx] + 1
-        return tuple((tgt_idx[offsets[q]:offsets[q + 1]],
-                      cand[offsets[q]:offsets[q + 1]])
-                     for q in range(P))
+        out = tuple((tgt_idx[offsets[q]:offsets[q + 1]],
+                     cand[offsets[q]:offsets[q + 1]])
+                    for q in range(P))
+        # num_returns=P only unpacks for P>1; at P==1 return the
+        # single piece itself so the gather unpack sees (idx, cand)
+        return out if P > 1 else out[0]
 
     @ray.remote
     def gather(dist, *pieces):

@@ -86,10 +86,12 @@ def cc_labels(edges: rd.Dataset, *, rounds: int = 8,
     def scatter(edge_shard, lbl):
         key_idx, other_idx, offsets = edge_shard
         cand = lbl[key_idx]
-        np_ = len(offsets) - 1
-        return tuple((other_idx[offsets[q]:offsets[q + 1]],
-                      cand[offsets[q]:offsets[q + 1]])
-                     for q in range(np_))
+        out = tuple((other_idx[offsets[q]:offsets[q + 1]],
+                     cand[offsets[q]:offsets[q + 1]])
+                    for q in range(len(offsets) - 1))
+        # num_returns=P only unpacks for P>1; at P==1 return the
+        # single piece itself so the gather unpack sees (idx, cand)
+        return out if len(out) > 1 else out[0]
 
     @ray.remote
     def gather(lbl, *pieces):

@@ -85,7 +85,8 @@ def _split_edge_block(block: pa.Table, n_part: int):
     one raises KeyError, and WHICH run sees such a block is
     load/run-order dependent — an unguarded split task flakes."""
     if block.num_columns == 0 or block.num_rows == 0:
-        return tuple(_empty_piece() for _ in range(n_part))
+        return tuple(_empty_piece() for _ in range(n_part)) \
+            if n_part > 1 else _empty_piece()
     src = np.asarray(block.column("src").to_pandas(), dtype=object)
     tgt = np.asarray(block.column("target").to_pandas(), dtype=object)
     by_src = _split_by(src, tgt, n_part)
@@ -95,8 +96,12 @@ def _split_edge_block(block: pa.Table, n_part: int):
     uorder = np.argsort(ush, kind="stable")
     urls, ush = urls[uorder], ush[uorder]
     ub = np.searchsorted(ush, np.arange(n_part + 1))
-    return tuple((by_src[q], by_tgt[q], urls[ub[q]:ub[q + 1]])
-                 for q in range(n_part))
+    out = tuple((by_src[q], by_tgt[q], urls[ub[q]:ub[q + 1]])
+                for q in range(n_part))
+    # num_returns=P unpacks the tuple for P>1; for P==1 Ray hands back
+    # a bare ref to the WHOLE return value, so return the single piece
+    # itself (a 1-tuple ref breaks every downstream unpack)
+    return out if n_part > 1 else out[0]
 
 
 @ray.remote

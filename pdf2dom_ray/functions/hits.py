@@ -126,9 +126,12 @@ def _hits_bsp(e: rd.Dataset, iterations: int,
     def scatter(edge_shard, score):
         key_idx, other_idx, offsets = edge_shard
         contrib = score[key_idx]
-        return tuple((other_idx[offsets[q]:offsets[q + 1]],
-                      contrib[offsets[q]:offsets[q + 1]])
-                     for q in range(P))
+        out = tuple((other_idx[offsets[q]:offsets[q + 1]],
+                     contrib[offsets[q]:offsets[q + 1]])
+                    for q in range(P))
+        # num_returns=P only unpacks for P>1; at P==1 return the
+        # single piece itself so the gather unpack sees (idx, contrib)
+        return out if P > 1 else out[0]
 
     @ray.remote(num_returns=2)
     def gather(node_shard, *pieces):

@@ -233,9 +233,12 @@ def _pagerank_bsp(e: rd.Dataset, iterations: int,
         src_idx, tgt_idx, offsets = edge_shard
         outdeg = node_shard[1]
         contrib = rank[src_idx] // outdeg[src_idx]
-        return tuple((tgt_idx[offsets[q]:offsets[q + 1]],
-                      contrib[offsets[q]:offsets[q + 1]])
-                     for q in range(P))
+        out = tuple((tgt_idx[offsets[q]:offsets[q + 1]],
+                     contrib[offsets[q]:offsets[q + 1]])
+                    for q in range(P))
+        # num_returns=P only unpacks for P>1; at P==1 return the
+        # single piece itself so the gather unpack sees (idx, contrib)
+        return out if P > 1 else out[0]
 
     @ray.remote(num_returns=2)
     def gather(node_shard, share: int, *pieces):
