@@ -368,6 +368,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_texts": _q_anchor_texts,
         "pagerank": _q_pagerank,
         "pagerank_bsp": _q_pagerank_bsp,
+        "trustrank": _q_trustrank,
+        "trustrank_bsp": _q_trustrank_bsp,
         "hits_scores": _q_hits,
         "hits_bsp": _q_hits_bsp,
         "warc_extract": _q_warc_extract,
@@ -590,6 +592,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(),
         "pagerank_bsp": _pagerank_sql(),
+        "trustrank": _trustrank_sql(),
+        "trustrank_bsp": _trustrank_sql(),
         "hits_scores": _hits_sql(),
         "hits_bsp": _hits_sql(),
         "corpus_sample": _sample_sql(),
@@ -1915,6 +1919,17 @@ def _pagerank_sql() -> str:
     return pagerank_oracle_sql(edges, iterations=5)
 
 
+def _trustrank_sql() -> str:
+    from pdf2dom_ray.functions.trustrank import trustrank_oracle_sql
+    edges = (f"SELECT {_URL_SQL} AS src, "
+             f"'https://docs.synth.test' || path AS target "
+             f"FROM ({_LINKS_SQL}) l")
+    seeds = (f"SELECT {_URL_SQL} AS url FROM documents "
+             f"WHERE doc_id % 25 = 0")
+    return trustrank_oracle_sql(edges, seeds, iterations=5)
+
+
+
 def _hits_sql() -> str:
     from pdf2dom_ray.functions.hits import hits_oracle_sql
     edges = (f"SELECT {_URL_SQL} AS src, "
@@ -1964,6 +1979,41 @@ def _q_pagerank(sf_dir: str):
                                                     synth_html_pages)
     return pagerank(extract_outlinks_ds(synth_html_pages(sf_dir)),
                     iterations=5)
+
+
+def _trusted_seeds(sf_dir: str) -> list:
+    """Deterministic curated-trust stand-in: every 25th doc page.
+    Seed lists are small by construction (human-curated), so a
+    driver-side single-column read is the 100 TB shape too."""
+    import pyarrow.parquet as pq
+    ids = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id"]).column("doc_id").to_pylist()
+    return [f"https://docs.synth.test/{d}" for d in ids if d % 25 == 0]
+
+
+def _q_trustrank(sf_dir: str):
+    """TrustRank (Gyöngyi 2004): seed-biased fixed-point PageRank —
+    teleport + dangling mass restricted to a trusted seed set; spam
+    islands unreachable from any seed score 0 (functions/trustrank.py)
+    over the same canonicalized outlink graph as ``pagerank``."""
+    from pdf2dom_ray.functions.trustrank import trustrank
+    from pdf2dom_ray.pipelines.html_extract import (extract_outlinks_ds,
+                                                    synth_html_pages)
+    return trustrank(extract_outlinks_ds(synth_html_pages(sf_dir)),
+                     _trusted_seeds(sf_dir), iterations=5)
+
+
+def _q_trustrank_bsp(sf_dir: str):
+    """The TrustRank BSP scale path under external check (driver path
+    disabled) — hash-matches the same unrolled oracle because the
+    int64 recurrence is order-independent."""
+    from pdf2dom_ray.functions.trustrank import trustrank
+    from pdf2dom_ray.pipelines.html_extract import (extract_outlinks_ds,
+                                                    synth_html_pages)
+    return trustrank(extract_outlinks_ds(synth_html_pages(sf_dir)),
+                     _trusted_seeds(sf_dir), iterations=5,
+                     driver_edge_limit=0)
+
 
 
 _SAMPLE_FRACS = {"en": 0.5, "zh": 0.125, "es": 0.25, "de": 0.25}

@@ -183,7 +183,8 @@ def run_bench() -> dict:
                  "late_shipments", "url_canonicalize", "host_stats",
                  "crawl_schedule", "dedup_keep_best", "training_mix",
                  "pagerank_bsp", "hits_bsp",
-                 "link_bfs_depth", "link_components", "link_kcore"):
+                 "link_bfs_depth", "link_components", "link_kcore",
+                 "trustrank"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
