@@ -421,6 +421,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_components_bsp": _q_link_components_bsp,
         "link_kcore": _q_link_kcore,
         "link_kcore_bsp": _q_link_kcore_bsp,
+        "link_lpa": _q_link_lpa,
+        "link_lpa_bsp": _q_link_lpa_bsp,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
         "hashed_features": _q_hashed_features,
@@ -1129,6 +1131,8 @@ def oracle_sql() -> dict[str, str]:
         "link_components_bsp": _cc_sql(),
         "link_kcore": _kcore_sql(),
         "link_kcore_bsp": _kcore_sql(),
+        "link_lpa": _lpa_sql(),
+        "link_lpa_bsp": _lpa_sql(),
         "returned_items": """
             SELECT c_custkey, c_name, n_name,
                    CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
@@ -2095,6 +2099,23 @@ def _kcore_sql() -> str:
     return kcore_oracle_sql(edges, k=3, rounds=8)
 
 
+def _lpa_sql() -> str:
+    """Unrolled 4-round synchronous LPA over the same planted-block
+    graph as ``_lpa_edges`` (functions/lpa.py::lpa_oracle_sql; every
+    per-round CTE AS MATERIALIZED per CLAUDE.md)."""
+    from pdf2dom_ray.functions.lpa import lpa_oracle_sql
+    edges = """
+        SELECT doc_id AS src, CAST(doc_id + k AS BIGINT) AS target
+        FROM documents, (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS k) ks
+        WHERE doc_id % 8 + k <= 7
+          AND doc_id + k < (SELECT count(*) FROM documents)
+        UNION ALL
+        SELECT doc_id, CAST(doc_id + 8 AS BIGINT) FROM documents
+        WHERE doc_id % 8 = 0
+          AND doc_id + 8 < (SELECT count(*) FROM documents)"""
+    return lpa_oracle_sql(edges, rounds=4)
+
+
 
 def _training_mix_sql() -> str:
     """Composite oracle: the quality_filter pass rule + min-doc-id
@@ -3049,6 +3070,56 @@ def _q_link_kcore_bsp(sf_dir: str):
     from pdf2dom_ray.functions.kcore import kcore_nodes
     return kcore_nodes(_cc_edges(sf_dir), k=3, rounds=8,
                        driver_edge_limit=0)
+
+
+def _lpa_edges(sf_dir: str):
+    """Deterministic planted-community graph over the document ids:
+    every block of 8 consecutive ids is a clique (row-local rule:
+    i → i+k while i%8+k ≤ 7), with one bridge i → i+8 from each block
+    leader — LPA converges each clique to its leader's label; the SQL
+    twin generates the same edges."""
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def build(t: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        srcs, tgts = [], []
+        for k in range(1, 8):
+            m = (ids % 8 + k <= 7) & (ids + k < n)
+            srcs.append(ids[m])
+            tgts.append(ids[m] + k)
+        m = (ids % 8 == 0) & (ids + 8 < n)
+        srcs.append(ids[m])
+        tgts.append(ids[m] + 8)
+        return pa.table({
+            "src": pa.array(np.concatenate(srcs), pa.int64()),
+            "target": pa.array(np.concatenate(tgts), pa.int64()),
+        })
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).map_batches(
+        build, batch_format="pyarrow")
+
+
+def _q_link_lpa(sf_dir: str):
+    """Label-propagation communities (4 synchronous mode-update
+    rounds, Raghavan 2007) over the planted-block graph — web-graph
+    topic/community clustering (functions/lpa.py; BSP scale path
+    shares graphbsp's machinery)."""
+    from pdf2dom_ray.functions.lpa import lpa_communities
+    return lpa_communities(_lpa_edges(sf_dir), rounds=4)
+
+
+def _q_link_lpa_bsp(sf_dir: str):
+    """The LPA BSP scale path under external check (driver path
+    disabled) — hash-matches the same unrolled oracle because the
+    deterministic mode (count desc, label asc) is a set function of
+    the received label multiset."""
+    from pdf2dom_ray.functions.lpa import lpa_communities
+    return lpa_communities(_lpa_edges(sf_dir), rounds=4,
+                           driver_edge_limit=0)
 
 
 
