@@ -423,6 +423,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_kcore_bsp": _q_link_kcore_bsp,
         "link_lpa": _q_link_lpa,
         "link_lpa_bsp": _q_link_lpa_bsp,
+        "link_harmonic": _q_link_harmonic,
+        "link_harmonic_bsp": _q_link_harmonic_bsp,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
         "hashed_features": _q_hashed_features,
@@ -1133,6 +1135,8 @@ def oracle_sql() -> dict[str, str]:
         "link_kcore_bsp": _kcore_sql(),
         "link_lpa": _lpa_sql(),
         "link_lpa_bsp": _lpa_sql(),
+        "link_harmonic": _harmonic_sql(),
+        "link_harmonic_bsp": _harmonic_sql(),
         "returned_items": """
             SELECT c_custkey, c_name, n_name,
                    CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
@@ -2097,6 +2101,25 @@ def _kcore_sql() -> str:
         SELECT doc_id, CAST(doc_id - 21 AS BIGINT)
         FROM documents WHERE doc_id >= 21"""
     return kcore_oracle_sql(edges, k=3, rounds=8)
+
+
+def _harmonic_sql() -> str:
+    """Unrolled radius-4 reach-set growth over the same synthetic
+    digraph rule as ``_bfs_edges``
+    (functions/harmonic.py::harmonic_oracle_sql; every per-level CTE
+    AS MATERIALIZED per CLAUDE.md)."""
+    from pdf2dom_ray.functions.harmonic import harmonic_oracle_sql
+    edges = """
+        SELECT doc_id AS src,
+               CAST((2 * doc_id + 1) % (SELECT count(*) FROM documents)
+                    AS BIGINT) AS target
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               CAST((3 * doc_id + 7) % (SELECT count(*) FROM documents)
+                    AS BIGINT)
+        FROM documents"""
+    return harmonic_oracle_sql(edges, radius=4)
 
 
 def _lpa_sql() -> str:
@@ -3120,6 +3143,25 @@ def _q_link_lpa_bsp(sf_dir: str):
     from pdf2dom_ray.functions.lpa import lpa_communities
     return lpa_communities(_lpa_edges(sf_dir), rounds=4,
                            driver_edge_limit=0)
+
+
+def _q_link_harmonic(sf_dir: str):
+    """Bounded-radius harmonic centrality (radius 4, exact-integer
+    12/d weights, Boldi & Vigna 2014) over the synthetic digraph —
+    the axiom-clean web-ranking centrality (functions/harmonic.py;
+    BSP scale path shares graphbsp's machinery)."""
+    from pdf2dom_ray.functions.harmonic import harmonic_centrality
+    return harmonic_centrality(_bfs_edges(sf_dir), radius=4)
+
+
+def _q_link_harmonic_bsp(sf_dir: str):
+    """The harmonic-centrality BSP scale path under external check
+    (driver path disabled) — hash-matches the same unrolled oracle
+    because bitset OR-merge and int64 count deltas are
+    order-independent."""
+    from pdf2dom_ray.functions.harmonic import harmonic_centrality
+    return harmonic_centrality(_bfs_edges(sf_dir), radius=4,
+                               driver_edge_limit=0)
 
 
 

@@ -184,7 +184,7 @@ def run_bench() -> dict:
                  "crawl_schedule", "dedup_keep_best", "training_mix",
                  "pagerank_bsp", "hits_bsp",
                  "link_bfs_depth", "link_components", "link_kcore",
-                 "trustrank", "link_lpa"):
+                 "trustrank", "link_lpa", "link_harmonic"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
