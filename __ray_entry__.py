@@ -425,6 +425,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_lpa_bsp": _q_link_lpa_bsp,
         "link_harmonic": _q_link_harmonic,
         "link_harmonic_bsp": _q_link_harmonic_bsp,
+        "link_ball_hll": _q_link_ball_hll,
+        "link_ball_hll_bsp": _q_link_ball_hll_bsp,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
         "hashed_features": _q_hashed_features,
@@ -1137,6 +1139,8 @@ def oracle_sql() -> dict[str, str]:
         "link_lpa_bsp": _lpa_sql(),
         "link_harmonic": _harmonic_sql(),
         "link_harmonic_bsp": _harmonic_sql(),
+        "link_ball_hll": _hyperball_sql(),
+        "link_ball_hll_bsp": _hyperball_sql(),
         "returned_items": """
             SELECT c_custkey, c_name, n_name,
                    CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
@@ -2120,6 +2124,25 @@ def _harmonic_sql() -> str:
                     AS BIGINT)
         FROM documents"""
     return harmonic_oracle_sql(edges, radius=4)
+
+
+def _hyperball_sql() -> str:
+    """Unrolled radius-4 reach-set growth + md5 register replay over
+    the same synthetic digraph rule as ``_bfs_edges``
+    (functions/hyperball.py::hyperball_oracle_sql; every per-level
+    CTE AS MATERIALIZED per CLAUDE.md)."""
+    from pdf2dom_ray.functions.hyperball import hyperball_oracle_sql
+    edges = """
+        SELECT doc_id AS src,
+               CAST((2 * doc_id + 1) % (SELECT count(*) FROM documents)
+                    AS BIGINT) AS target
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               CAST((3 * doc_id + 7) % (SELECT count(*) FROM documents)
+                    AS BIGINT)
+        FROM documents"""
+    return hyperball_oracle_sql(edges, radius=4)
 
 
 def _lpa_sql() -> str:
@@ -3162,6 +3185,24 @@ def _q_link_harmonic_bsp(sf_dir: str):
     from pdf2dom_ray.functions.harmonic import harmonic_centrality
     return harmonic_centrality(_bfs_edges(sf_dir), radius=4,
                                driver_edge_limit=0)
+
+
+def _q_link_ball_hll(sf_dir: str):
+    """HyperBall neighborhood sketch (radius 4, m=16 md5 registers,
+    Boldi & Vigna 2013) over the synthetic digraph — the wired HLL
+    twin of the exact harmonic bitsets; checked columns are the
+    exact-integer register summary (functions/hyperball.py)."""
+    from pdf2dom_ray.functions.hyperball import hyperball_sketch
+    return hyperball_sketch(_bfs_edges(sf_dir), radius=4)
+
+
+def _q_link_ball_hll_bsp(sf_dir: str):
+    """The HyperBall BSP scale path under external check (driver path
+    disabled) — hash-matches the same oracle because uint8 register
+    max-merge is idempotent and order-independent."""
+    from pdf2dom_ray.functions.hyperball import hyperball_sketch
+    return hyperball_sketch(_bfs_edges(sf_dir), radius=4,
+                            driver_edge_limit=0)
 
 
 

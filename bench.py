@@ -184,7 +184,8 @@ def run_bench() -> dict:
                  "crawl_schedule", "dedup_keep_best", "training_mix",
                  "pagerank_bsp", "hits_bsp",
                  "link_bfs_depth", "link_components", "link_kcore",
-                 "trustrank", "link_lpa", "link_harmonic"):
+                 "trustrank", "link_lpa", "link_harmonic",
+                 "link_ball_hll"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
