@@ -32,8 +32,9 @@ sketch and the OR-merge for an elementwise register MAX (both
 idempotent, commutative, order-independent), making per-round traffic
 O(m·2^p) independent of n; counts (hence scores) become approximate,
 which is why the exact variant stays the oracle-checked default under
-the driver/bitset limits and the sketch swap is documented rather
-than silently wired. The BSP path below reuses
+the driver/bitset limits. The sketch twin IS wired —
+``hyperball.py::hyperball_sketch`` runs the same loop over md5 HLL
+registers with its own exact-integer oracle. The BSP path below reuses
 ``graphbsp.ShardedGraph``: per round P scatter tasks pre-OR each
 destination's incoming rows shard-locally (exchange volume = unique
 targets × width, not edges × width) and P gather tasks OR-merge and
