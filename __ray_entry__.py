@@ -372,6 +372,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trustrank_bsp": _q_trustrank_bsp,
         "hits_scores": _q_hits,
         "hits_bsp": _q_hits_bsp,
+        "salsa_scores": _q_salsa,
+        "salsa_bsp": _q_salsa_bsp,
         "warc_extract": _q_warc_extract,
         "web_pipeline": _q_web_pipeline,
         "corpus_sample": _q_corpus_sample,
@@ -602,6 +604,8 @@ def oracle_sql() -> dict[str, str]:
         "trustrank_bsp": _trustrank_sql(),
         "hits_scores": _hits_sql(),
         "hits_bsp": _hits_sql(),
+        "salsa_scores": _salsa_sql(),
+        "salsa_bsp": _salsa_sql(),
         "corpus_sample": _sample_sql(),
         # planted mess: ' Cafe'+chr(769)+'  '+chr(7)+' fin' (see
         # _MESS_SUFFIX); NFC composes the accent, the BEL is stripped,
@@ -1959,6 +1963,38 @@ def _q_hits(sf_dir: str):
                                                     synth_html_pages)
     return hits(extract_outlinks_ds(synth_html_pages(sf_dir)),
                 iterations=4)
+
+
+def _salsa_sql() -> str:
+    from pdf2dom_ray.functions.salsa import salsa_oracle_sql
+    edges = (f"SELECT {_URL_SQL} AS src, "
+             f"'https://docs.synth.test' || path AS target "
+             f"FROM ({_LINKS_SQL}) l")
+    return salsa_oracle_sql(edges, iterations=4)
+
+
+def _q_salsa(sf_dir: str):
+    """SALSA (Lempel & Moran 2001): HITS' sums replaced by two
+    column-stochastic random walks on the bipartite hub/authority
+    graph — TKC-resistant hub/authority scores (functions/salsa.py)
+    over the same canonicalized outlink graph as ``pagerank``."""
+    from pdf2dom_ray.functions.salsa import salsa
+    from pdf2dom_ray.pipelines.html_extract import (extract_outlinks_ds,
+                                                    synth_html_pages)
+    return salsa(extract_outlinks_ds(synth_html_pages(sf_dir)),
+                 iterations=4)
+
+
+def _q_salsa_bsp(sf_dir: str):
+    """The SALSA BSP scale path under external check (driver path
+    disabled) — hash-matches the same unrolled oracle because the
+    int64 recurrence is order-independent; uniquely in the graph
+    family this loop has NO per-round driver sync (no normalizer)."""
+    from pdf2dom_ray.functions.salsa import salsa
+    from pdf2dom_ray.pipelines.html_extract import (extract_outlinks_ds,
+                                                    synth_html_pages)
+    return salsa(extract_outlinks_ds(synth_html_pages(sf_dir)),
+                 iterations=4, driver_edge_limit=0)
 
 
 def _q_pagerank_bsp(sf_dir: str):

@@ -169,15 +169,19 @@ class ShardedGraph:
     ``node_shards[q]`` → ref of (urls sorted, outdeg);
     ``edges_by_src[p]`` → ref of (src_idx, tgt_idx, tgt_shard_offsets)
     sorted by target shard; ``edges_by_tgt`` the mirror layout (built
-    only when requested — HITS needs both, PageRank one).
+    only when requested — HITS/SALSA need both, PageRank one).
+    ``indegs[q]`` → ref of the shard's in-degree vector (aligned with
+    its urls) — a free by-product of the tgt layout's key-side degree
+    count, so it exists exactly when ``edges_by_tgt`` does.
     """
 
     def __init__(self, n_part: int, node_shards, edges_by_src,
-                 edges_by_tgt=None):
+                 edges_by_tgt=None, indegs=None):
         self.n_part = n_part
         self.node_shards = node_shards
         self.edges_by_src = edges_by_src
         self.edges_by_tgt = edges_by_tgt
+        self.indegs = indegs
 
     @classmethod
     def build(cls, e: rd.Dataset, n_part: int, *,
@@ -207,5 +211,5 @@ class ShardedGraph:
         by_src, outdegs = _layout(0)
         node_shards = [_with_outdeg.remote(url_refs[q], outdegs[q])
                        for q in range(n_part)]
-        by_tgt = _layout(1)[0] if both_directions else None
-        return cls(n_part, node_shards, by_src, by_tgt)
+        by_tgt, indegs = _layout(1) if both_directions else (None, None)
+        return cls(n_part, node_shards, by_src, by_tgt, indegs)
