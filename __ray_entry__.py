@@ -374,6 +374,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_bsp": _q_hits_bsp,
         "salsa_scores": _q_salsa,
         "salsa_bsp": _q_salsa_bsp,
+        "host_graph": _q_host_graph,
+        "host_rank": _q_host_rank,
+        "page_host_rank": _q_page_host_rank,
         "warc_extract": _q_warc_extract,
         "web_pipeline": _q_web_pipeline,
         "corpus_sample": _q_corpus_sample,
@@ -606,6 +609,9 @@ def oracle_sql() -> dict[str, str]:
         "hits_bsp": _hits_sql(),
         "salsa_scores": _salsa_sql(),
         "salsa_bsp": _salsa_sql(),
+        "host_graph": _host_graph_sql(),
+        "host_rank": _host_rank_sql(),
+        "page_host_rank": _page_host_rank_sql(),
         "corpus_sample": _sample_sql(),
         # planted mess: ' Cafe'+chr(769)+'  '+chr(7)+' fin' (see
         # _MESS_SUFFIX); NFC composes the accent, the BEL is stripped,
@@ -1995,6 +2001,96 @@ def _q_salsa_bsp(sf_dir: str):
                                                     synth_html_pages)
     return salsa(extract_outlinks_ds(synth_html_pages(sf_dir)),
                  iterations=4, driver_edge_limit=0)
+
+
+def _host_link_edges(sf_dir: str):
+    """Deterministic multi-host URL digraph over the document ids:
+    page i lives on host docs/news/blog/cdn.synth.test by i%4 and
+    links to pages (2i+1)%N and (3i+7)%N — the operator-check input
+    for the host-graph family (functions/hostgraph.py); the SQL twin
+    (``_host_edges_sql``) generates the same URL edges."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    subs = np.array(["docs", "news", "blog", "cdn"], dtype=object)
+
+    def url(ids):
+        return ("https://" + subs[ids % 4] + ".synth.test/d/"
+                + ids.astype(str).astype(object))
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        t1 = (2 * ids + 1) % n
+        t2 = (3 * ids + 7) % n
+        return pa.table({
+            "src": pa.array(np.concatenate([url(ids), url(ids)]),
+                            pa.string()),
+            "target": pa.array(np.concatenate([url(t1), url(t2)]),
+                               pa.string())})
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).map_batches(
+        build, batch_format="pyarrow")
+
+
+def _hg_url_sql(expr: str) -> str:
+    return ("'https://' || (CASE (" + expr + ") % 4 "
+            "WHEN 0 THEN 'docs' WHEN 1 THEN 'news' "
+            "WHEN 2 THEN 'blog' ELSE 'cdn' END) || '.synth.test/d/' "
+            "|| CAST((" + expr + ") AS VARCHAR)")
+
+
+def _host_edges_sql() -> str:
+    n = "(SELECT count(*) FROM documents)"
+    return (f"SELECT {_hg_url_sql('doc_id')} AS src, "
+            f"{_hg_url_sql(f'(2 * doc_id + 1) % {n}')} AS target "
+            f"FROM documents "
+            f"UNION ALL SELECT {_hg_url_sql('doc_id')}, "
+            f"{_hg_url_sql(f'(3 * doc_id + 7) % {n}')} FROM documents")
+
+
+def _host_graph_sql() -> str:
+    from pdf2dom_ray.functions.hostgraph import host_collapse_oracle_sql
+    return host_collapse_oracle_sql(_host_edges_sql())
+
+
+def _host_rank_sql() -> str:
+    from pdf2dom_ray.functions.hostgraph import host_rank_oracle_sql
+    return host_rank_oracle_sql(_host_edges_sql(), iterations=5)
+
+
+def _page_host_rank_sql() -> str:
+    from pdf2dom_ray.functions.hostgraph import \
+        page_host_rank_oracle_sql
+    return page_host_rank_oracle_sql(_host_edges_sql(), iterations=5)
+
+
+def _q_host_graph(sf_dir: str):
+    """Host-graph collapse: URL-level link edges aggregated to
+    (src_host, target_host, n_links) occurrence counts — a pure
+    combiner -> small groupby, the URL payload never shuffles
+    (functions/hostgraph.py::host_collapse)."""
+    from pdf2dom_ray.functions.hostgraph import host_collapse
+    return host_collapse(_host_link_edges(sf_dir))
+
+
+def _q_host_rank(sf_dir: str):
+    """Host-level PageRank (the Common-Crawl-style host rank
+    artifact): collapse the URL graph to distinct host pairs, then
+    the fixed-point int64 pagerank over the ~1000x smaller graph
+    (functions/hostgraph.py::host_rank)."""
+    from pdf2dom_ray.functions.hostgraph import host_rank
+    return host_rank(_host_link_edges(sf_dir), iterations=5)
+
+
+def _q_page_host_rank(sf_dir: str):
+    """Every distinct URL annotated with its host's PageRank — the
+    page-level quality-weighting signal a crawl prioritizer consumes;
+    host ranks broadcast once (sorted numpy + searchsorted probe),
+    hash-join fallback beyond broadcast_limit
+    (functions/hostgraph.py::page_host_rank)."""
+    from pdf2dom_ray.functions.hostgraph import page_host_rank
+    return page_host_rank(_host_link_edges(sf_dir), iterations=5)
 
 
 def _q_pagerank_bsp(sf_dir: str):

@@ -185,7 +185,7 @@ def run_bench() -> dict:
                  "pagerank_bsp", "hits_bsp",
                  "link_bfs_depth", "link_components", "link_kcore",
                  "trustrank", "link_lpa", "link_harmonic",
-                 "link_ball_hll", "salsa_scores"):
+                 "link_ball_hll", "salsa_scores", "page_host_rank"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
