@@ -377,6 +377,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_graph": _q_host_graph,
         "host_rank": _q_host_rank,
         "page_host_rank": _q_page_host_rank,
+        "related_cocitation": _q_related_cocitation,
+        "related_coupling": _q_related_coupling,
         "warc_extract": _q_warc_extract,
         "web_pipeline": _q_web_pipeline,
         "corpus_sample": _q_corpus_sample,
@@ -612,6 +614,8 @@ def oracle_sql() -> dict[str, str]:
         "host_graph": _host_graph_sql(),
         "host_rank": _host_rank_sql(),
         "page_host_rank": _page_host_rank_sql(),
+        "related_cocitation": _cocitation_sql("cocitation"),
+        "related_coupling": _cocitation_sql("coupling"),
         "corpus_sample": _sample_sql(),
         # planted mess: ' Cafe'+chr(769)+'  '+chr(7)+' fin' (see
         # _MESS_SUFFIX); NFC composes the accent, the BEL is stripped,
@@ -2091,6 +2095,43 @@ def _q_page_host_rank(sf_dir: str):
     (functions/hostgraph.py::page_host_rank)."""
     from pdf2dom_ray.functions.hostgraph import page_host_rank
     return page_host_rank(_host_link_edges(sf_dir), iterations=5)
+
+
+_COCITE_CAP, _COCITE_MIN = 10, 2
+
+
+def _cocitation_sql(mode: str) -> str:
+    from pdf2dom_ray.functions.cocitation import cocitation_oracle_sql
+    edges = (f"SELECT {_URL_SQL} AS src, "
+             f"'https://docs.synth.test' || path AS target "
+             f"FROM ({_LINKS_SQL}) l")
+    if mode == "coupling":
+        return cocitation_oracle_sql(_host_edges_sql(), mode=mode,
+                                     max_fanout=8, min_count=1)
+    return cocitation_oracle_sql(edges, mode=mode,
+                                 max_fanout=_COCITE_CAP,
+                                 min_count=_COCITE_MIN)
+
+
+def _q_related_cocitation(sf_dir: str):
+    """Related pages by co-citation (Dean & Henzinger 1999): target
+    pairs sharing >=2 common hubs over the canonicalized outlink
+    graph, mega-hubs above the fan-out cap discarded per the
+    published formulation (functions/cocitation.py)."""
+    from pdf2dom_ray.functions.cocitation import cocitation
+    from pdf2dom_ray.pipelines.html_extract import (extract_outlinks_ds,
+                                                    synth_html_pages)
+    return cocitation(extract_outlinks_ds(synth_html_pages(sf_dir)),
+                      max_fanout=_COCITE_CAP, min_count=_COCITE_MIN)
+
+
+def _q_related_coupling(sf_dir: str):
+    """Bibliographic coupling (Kessler 1963): page pairs citing a
+    common target, over the multi-host URL digraph (the transpose
+    walk of the same vectorized pair-emission machinery)."""
+    from pdf2dom_ray.functions.cocitation import cocitation
+    return cocitation(_host_link_edges(sf_dir), mode="coupling",
+                      max_fanout=8, min_count=1)
 
 
 def _q_pagerank_bsp(sf_dir: str):

@@ -185,7 +185,8 @@ def run_bench() -> dict:
                  "pagerank_bsp", "hits_bsp",
                  "link_bfs_depth", "link_components", "link_kcore",
                  "trustrank", "link_lpa", "link_harmonic",
-                 "link_ball_hll", "salsa_scores", "page_host_rank"):
+                 "link_ball_hll", "salsa_scores", "page_host_rank",
+                 "related_cocitation"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
