@@ -376,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salsa_bsp": _q_salsa_bsp,
         "host_graph": _q_host_graph,
         "host_rank": _q_host_rank,
+        "host_rank_weighted": _q_host_rank_weighted,
         "page_host_rank": _q_page_host_rank,
         "related_cocitation": _q_related_cocitation,
         "related_coupling": _q_related_coupling,
@@ -613,6 +614,7 @@ def oracle_sql() -> dict[str, str]:
         "salsa_bsp": _salsa_sql(),
         "host_graph": _host_graph_sql(),
         "host_rank": _host_rank_sql(),
+        "host_rank_weighted": _host_rank_weighted_sql(),
         "page_host_rank": _page_host_rank_sql(),
         "related_cocitation": _cocitation_sql("cocitation"),
         "related_coupling": _cocitation_sql("coupling"),
@@ -2061,6 +2063,29 @@ def _host_graph_sql() -> str:
 def _host_rank_sql() -> str:
     from pdf2dom_ray.functions.hostgraph import host_rank_oracle_sql
     return host_rank_oracle_sql(_host_edges_sql(), iterations=5)
+
+
+def _host_rank_weighted_sql() -> str:
+    from pdf2dom_ray.functions.hostgraph import _HOST_SQL_EXPR
+    from pdf2dom_ray.functions.wpagerank import \
+        weighted_pagerank_oracle_sql
+    s = _HOST_SQL_EXPR.format(col="src")
+    t = _HOST_SQL_EXPR.format(col="target")
+    collapsed = (f"SELECT {s} AS src, {t} AS target, "
+                 f"CAST(count(*) AS BIGINT) AS w "
+                 f"FROM ({_host_edges_sql()}) he GROUP BY 1, 2")
+    pr = weighted_pagerank_oracle_sql(collapsed, iterations=5)
+    return f"SELECT url AS host, rank FROM ({pr}) whr"
+
+
+def _q_host_rank_weighted(sf_dir: str):
+    """Link-multiplicity-weighted host PageRank: the surfer follows a
+    host pair with probability proportional to its n_links count
+    (functions/wpagerank.py via host_rank(weighted=True)) — the
+    Common-Crawl-style weighted host rank."""
+    from pdf2dom_ray.functions.hostgraph import host_rank
+    return host_rank(_host_link_edges(sf_dir), iterations=5,
+                     weighted=True)
 
 
 def _page_host_rank_sql() -> str:

@@ -84,24 +84,37 @@ def host_collapse(edges: rd.Dataset, *, src_col: str = "src",
 
 def host_rank(edges: rd.Dataset, *, iterations: int = 5,
               src_col: str = "src", target_col: str = "target",
+              weighted: bool = False,
               driver_edge_limit: int = 5_000_000,
               num_partitions: int | None = None) -> rd.Dataset:
     """URL edges → (host, rank:int64): fixed-point PageRank over the
-    collapsed distinct host-pair graph (composition: ``host_collapse``
-    → ``pagerank``; the collapse output is already pair-distinct, and
+    collapsed host-pair graph (composition: ``host_collapse`` →
+    ``pagerank``; the collapse output is already pair-distinct, and
     ``pagerank`` inherits its driver/BSP path split + bit-exact int64
-    convention)."""
+    convention). With ``weighted=True`` the surfer follows a host
+    pair with probability proportional to its ``n_links`` multiplicity
+    instead of flattening it (``functions/wpagerank.py`` — the
+    Common-Crawl-style weighted host rank)."""
     from .dedup import join_ready
     # hash_aggregate's map_groups emits pandas blocks, some schema-less
     # empty — join_ready (arrow-coerce + materialize + even-repartition)
     # merges them away before the Project ops (the CLAUDE.md
     # uniform-block-type / empty-block gotcha); the collapsed table is
     # narrow by construction (one row per host pair)
-    he = join_ready(
+    hc = join_ready(
         host_collapse(edges, src_col=src_col, target_col=target_col,
                       num_partitions=num_partitions),
-        num_partitions or _n_partitions()) \
-        .select_columns(["src_host", "target_host"]) \
+        num_partitions or _n_partitions())
+    if weighted:
+        from .wpagerank import weighted_pagerank
+        he = hc.rename_columns({"src_host": "src",
+                                "target_host": "target",
+                                "n_links": "w"})
+        return weighted_pagerank(he, iterations=iterations,
+                                 driver_edge_limit=driver_edge_limit,
+                                 num_partitions=num_partitions) \
+            .rename_columns({"url": "host"})
+    he = hc.select_columns(["src_host", "target_host"]) \
         .rename_columns({"src_host": "src", "target_host": "target"})
     return pagerank(he, iterations=iterations,
                     driver_edge_limit=driver_edge_limit) \
