@@ -387,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stale_urls": _q_stale_urls,
         "snapshot_diff": _q_snapshot_diff,
         "url_canonicalize": _q_url_canonicalize,
+        "url_templates": _q_url_templates,
         "host_stats": _q_host_stats,
         "crawl_schedule": _q_crawl_schedule,
         "mirror_hosts": _q_mirror_hosts,
@@ -1247,6 +1248,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY 1
         """,
+        "url_templates": _url_templates_sql(),
         # mirror detection: distinct (content-key, host) pairs joined
         # on the key; host pairs ordered host_a < host_b
         "mirror_hosts": f"""
@@ -3209,6 +3211,22 @@ def _q_url_canonicalize(sf_dir: str):
     from pdf2dom_ray.functions.urlnorm import canonicalize_urls
     return canonicalize_urls(_messy_urls(sf_dir)) \
         .select_columns(["doc_id", "url", "url_canon", "host"])
+
+
+def _url_templates_sql() -> str:
+    from pdf2dom_ray.functions.urlnorm import url_templates_oracle_sql
+    return url_templates_oracle_sql(
+        f"SELECT {_MESSY_URL_SQL} AS url FROM documents")
+
+
+def _q_url_templates(sf_dir: str):
+    """URL path-template mining over the messy frontier: query/
+    fragment stripped, digit runs collapsed to {n}, occurrence counts
+    per structural template — the crawler-trap / frontier-budget
+    signal (functions/urlnorm.py url_templates; pure combiner →
+    small hash groupby, two RE2 kernels, no URL-level exchange)."""
+    from pdf2dom_ray.functions.urlnorm import url_templates
+    return url_templates(_messy_urls(sf_dir))
 
 
 def _q_host_stats(sf_dir: str):

@@ -186,7 +186,8 @@ def run_bench() -> dict:
                  "link_bfs_depth", "link_components", "link_kcore",
                  "trustrank", "link_lpa", "link_harmonic",
                  "link_ball_hll", "salsa_scores", "page_host_rank",
-                 "related_cocitation", "host_rank_weighted"):
+                 "related_cocitation", "host_rank_weighted",
+                 "url_templates"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

@@ -47,6 +47,7 @@ import ray.data as rd
 
 __all__ = ["URLNORM_VERSION", "canonicalize", "canonicalize_urls",
            "host_of", "host_stats", "crawl_schedule", "mirror_hosts",
+           "url_templates", "url_templates_oracle_sql",
            "synth_messy_url", "synth_canonical_url", "synth_host"]
 
 URLNORM_VERSION = 1
@@ -333,6 +334,66 @@ def synth_messy_url(doc_id: int) -> str:
     if v == 4:
         return f"https://{base}{p}?b={doc_id % 5}&a=1"
     return f"https://{base}//d//{doc_id}"
+
+
+def url_templates(ds: rd.Dataset, *, url_col: str = "url",
+                  min_count: int = 1,
+                  num_partitions: int | None = None) -> rd.Dataset:
+    """(template, n_urls:int64): URL path-template mining — every
+    frontier URL reduced to its structural template (query/fragment
+    stripped, every digit run replaced by ``{n}``), counted by
+    occurrence. The crawl-side trap detector: calendar pages,
+    paginated archives and session-id families collapse to one
+    template whose count explodes, which is the signal a frontier
+    budgeter throttles on (one template = one crawl "shape", cf. the
+    URL-pattern rules every production crawler ships).
+
+    Occurrence counts (not distinct URLs) by design: frontier VOLUME
+    per shape is the throttling signal, and it keeps the whole
+    operator a pure combiner → small hash groupby — two RE2 kernels
+    over the column, narrow (template, count) partials, no URL-level
+    exchange at any scale. ``min_count`` drops singleton templates."""
+    from ..stages.hashagg import hash_aggregate
+
+    def narrow(t: pa.Table) -> pa.Table:
+        base = pc.replace_substring_regex(t.column(url_col),
+                                          r"[?#].*$", "")
+        tmpl = pc.replace_substring_regex(base, r"[0-9]+", "{n}")
+        return pa.table({"template": tmpl,
+                         "n_urls": pa.array(
+                             np.ones(t.num_rows, dtype=np.int64))})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("template", as_index=False) \
+            .agg(n_urls=("n_urls", "sum"))
+
+    counted = hash_aggregate(
+        ds.select_columns([url_col]).map_batches(
+            narrow, batch_format="pyarrow"),
+        ["template"], combine, num_partitions=num_partitions)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if "template" not in df.columns:
+            return pd.DataFrame({
+                "template": pd.Series([], dtype="object"),
+                "n_urls": pd.Series([], dtype="int64")})
+        df = df[df["n_urls"] >= min_count].copy()
+        df["n_urls"] = df["n_urls"].astype("int64")
+        return df
+
+    return counted.map_batches(finish, batch_format="pandas")
+
+
+def url_templates_oracle_sql(urls_cte: str, *,
+                             min_count: int = 1) -> str:
+    """DuckDB twin of ``url_templates`` (``urls_cte`` yields url)."""
+    return f"""
+        WITH raw_u AS ({urls_cte})
+        SELECT regexp_replace(regexp_replace(url, '[?#].*$', ''),
+                              '[0-9]+', '{{n}}', 'g') AS template,
+               CAST(count(*) AS BIGINT) AS n_urls
+        FROM raw_u GROUP BY 1
+        HAVING count(*) >= {min_count}"""
 
 
 def synth_canonical_url(doc_id: int) -> str:

@@ -137,3 +137,37 @@ def test_training_mix_paths_identical(ray_session, sf_dir):
         per_seq[seq_id] += n_toks
     full = [s for s, n in per_seq.items() if n == 128]
     assert len(full) >= len(per_seq) - 1      # only the tail partial
+
+
+def test_url_templates_hand_case(ray_session):
+    import ray.data as rd
+    from pdf2dom_ray.functions.urlnorm import url_templates
+    urls = ["https://a.test/d/1", "https://a.test/d/23?p=4",
+            "https://a.test/d/5#frag", "https://a.test/about",
+            "https://b.test/cal/2024/01", "https://b.test/cal/2024/02"]
+    ds = rd.from_items([{"url": u} for u in urls])
+    got = {r["template"]: r["n_urls"]
+           for r in url_templates(ds).take_all()}
+    assert got == {"https://a.test/d/{n}": 3, "https://a.test/about": 1,
+                   "https://b.test/cal/{n}/{n}": 2}
+    got2 = {r["template"]: r["n_urls"]
+            for r in url_templates(ds, min_count=2).take_all()}
+    assert got2 == {"https://a.test/d/{n}": 3,
+                    "https://b.test/cal/{n}/{n}": 2}
+
+
+def test_url_templates_oracle_matches(ray_session):
+    import duckdb
+    import ray.data as rd
+    from pdf2dom_ray.functions.urlnorm import (url_templates,
+                                               url_templates_oracle_sql)
+    urls = [f"https://h{i % 3}.test/p{i % 5}/x{i}?s={i}"
+            for i in range(40)]
+    ds = rd.from_items([{"url": u} for u in urls])
+    got = sorted((r["template"], r["n_urls"])
+                 for r in url_templates(ds, min_count=2).take_all())
+    vals = ", ".join(f"('{u}')" for u in urls)
+    want = sorted(map(tuple, duckdb.sql(url_templates_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(url)",
+        min_count=2)).fetchall()))
+    assert got == want
