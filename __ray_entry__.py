@@ -380,6 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_host_rank": _q_page_host_rank,
         "related_cocitation": _q_related_cocitation,
         "related_coupling": _q_related_coupling,
+        "crawl_priority": _q_crawl_priority,
         "warc_extract": _q_warc_extract,
         "web_pipeline": _q_web_pipeline,
         "corpus_sample": _q_corpus_sample,
@@ -619,6 +620,7 @@ def oracle_sql() -> dict[str, str]:
         "page_host_rank": _page_host_rank_sql(),
         "related_cocitation": _cocitation_sql("cocitation"),
         "related_coupling": _cocitation_sql("coupling"),
+        "crawl_priority": _crawl_priority_sql(),
         "corpus_sample": _sample_sql(),
         # planted mess: ' Cafe'+chr(769)+'  '+chr(7)+' fin' (see
         # _MESS_SUFFIX); NFC composes the accent, the BEL is stripped,
@@ -2088,6 +2090,39 @@ def _q_host_rank_weighted(sf_dir: str):
     from pdf2dom_ray.functions.hostgraph import host_rank
     return host_rank(_host_link_edges(sf_dir), iterations=5,
                      weighted=True)
+
+
+def _crawl_priority_sql() -> str:
+    return f"""
+        WITH c AS (SELECT {_CANON_URL_SQL} AS url,
+                          {_HOST_SQL} AS host
+                   FROM documents),
+        sched AS (
+            SELECT url, host,
+                   CAST((strpos('0123456789abcdef',
+                                substr(md5('shard:' || host), 1, 1)) - 1)
+                        % 8 AS BIGINT) AS shard,
+                   CAST(row_number() OVER (
+                            PARTITION BY host
+                            ORDER BY md5('fetch:' || url), url) - 1
+                        AS BIGINT) AS fetch_round
+            FROM c)
+        SELECT s.url, s.host, s.shard, s.fetch_round,
+               CAST(COALESCE(hr.rank, 0) AS BIGINT) AS host_rank
+        FROM sched s LEFT JOIN ({_host_rank_sql()}) hr
+          ON s.host = hr.host"""
+
+
+def _q_crawl_priority(sf_dir: str):
+    """The composed fetcher dispatch table: politeness schedule over
+    the canonicalized frontier annotated with each host's PageRank
+    from the multi-host link graph (functions/hostgraph.py
+    crawl_priority) — drain order (fetch_round, -host_rank, url)."""
+    from pdf2dom_ray.functions.hostgraph import crawl_priority
+    from pdf2dom_ray.functions.urlnorm import canonicalize_urls
+    canon = canonicalize_urls(_messy_urls(sf_dir))
+    return crawl_priority(canon, _host_link_edges(sf_dir),
+                          url_col="url_canon", iterations=5)
 
 
 def _page_host_rank_sql() -> str:

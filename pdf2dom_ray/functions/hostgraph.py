@@ -50,6 +50,7 @@ from .pagerank import _distinct, _n_partitions, pagerank, \
 from .urlnorm import host_of
 
 __all__ = ["host_collapse", "host_rank", "page_host_rank",
+           "crawl_priority",
            "host_collapse_oracle_sql", "host_rank_oracle_sql",
            "page_host_rank_oracle_sql"]
 
@@ -151,6 +152,20 @@ def page_host_rank(edges: rd.Dataset, *, iterations: int = 5,
 
     pages = urls.map_batches(with_host, batch_format="pyarrow")
 
+    return _attach_host_rank(pages, ranks, ["url", "host"],
+                             broadcast_limit, n_part)
+
+
+def _attach_host_rank(ds: rd.Dataset, ranks: rd.Dataset,
+                      keep_cols: list[str], broadcast_limit: int,
+                      n_part: int) -> rd.Dataset:
+    """Append ``host_rank`` to every row of ``ds`` (which carries a
+    ``host`` column) from the small (host, rank) table. Under
+    ``broadcast_limit`` hosts: ship sorted numpy key/value arrays once
+    (``ray.put``) and probe with searchsorted per batch; beyond: a
+    ``join_ready``-guarded left join. Hosts absent from the rank table
+    get 0 (a crawler treats an unranked host as no-authority, not an
+    error) — both paths, tested."""
     n_hosts = ranks.count()
     if n_hosts <= broadcast_limit:
         rt = pa.concat_tables(
@@ -166,27 +181,67 @@ def page_host_rank(edges: rd.Dataset, *, iterations: int = 5,
             hs = ray.get(hosts_ref)
             vs = ray.get(vals_ref)
             h = np.asarray(t.column("host").to_pandas(), dtype=object)
-            # every endpoint's host is a node of the collapsed graph
-            # by construction, so the probe always hits; clip anyway
-            # so a pathological miss maps to a wrong-but-bounded slot
-            # instead of an index error
             pos = np.minimum(np.searchsorted(hs, h),
                              max(len(hs) - 1, 0))
-            return t.append_column(
-                "host_rank", pa.array(vs[pos] if len(vs) else
-                                      np.zeros(len(h), dtype=np.int64),
-                                      pa.int64()))
+            hit = (hs[pos] == h) if len(hs) else \
+                np.zeros(len(h), dtype=bool)
+            out = np.where(hit, vs[pos] if len(vs) else 0, 0) \
+                .astype(np.int64)
+            cols = {c: t.column(c) for c in keep_cols}
+            cols["host_rank"] = pa.array(out, pa.int64())
+            return pa.table(cols)
 
-        return pages.map_batches(attach, batch_format="pyarrow")
+        return ds.map_batches(attach, batch_format="pyarrow")
 
     from .dedup import join_ready
-    pages = join_ready(pages, n_part)
+    left = join_ready(ds, n_part)
     rside = join_ready(
         ranks.rename_columns({"rank": "host_rank"}), n_part)
-    out = pages.join(rside, join_type="inner",
-                     num_partitions=min(n_part, max(1, n_hosts)),
-                     on=("host",))
-    return out.select_columns(["url", "host", "host_rank"])
+    out = left.join(rside, join_type="left_outer",
+                    num_partitions=min(n_part, max(1, n_hosts)),
+                    on=("host",))
+
+    def fill(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cols = {c: t.column(c) for c in keep_cols}
+        cols["host_rank"] = pc.coalesce(
+            t.column("host_rank"),
+            pa.scalar(0, pa.int64())).cast(pa.int64())
+        return pa.table(cols)
+
+    return out.map_batches(fill, batch_format="pyarrow")
+
+
+def crawl_priority(frontier: rd.Dataset, edges: rd.Dataset, *,
+                   url_col: str = "url", n_shards: int = 8,
+                   iterations: int = 5, weighted: bool = False,
+                   broadcast_limit: int = 5_000_000,
+                   driver_edge_limit: int = 5_000_000,
+                   num_partitions: int | None = None) -> rd.Dataset:
+    """The fetcher fleet's dispatch table: the politeness schedule
+    (``urlnorm.crawl_schedule`` — one fetch per host per round,
+    deterministic md5 order) annotated with each host's PageRank from
+    the link graph → (url, host, shard, fetch_round,
+    host_rank:int64). A fetcher drains its shard in (fetch_round,
+    -host_rank, url) order: politeness first, authority as the
+    tie-break across hosts — the standard priority rule
+    (Cho/Garcia-Molina/Page 1998 ordered crawling, applied per
+    politeness round).
+
+    Composition only: ONE host-keyed exchange for the schedule, the
+    collapse + rank of ``host_rank``, and a broadcast attach — no new
+    shuffle. Frontier hosts absent from the link graph rank 0."""
+    from .urlnorm import crawl_schedule
+    n_part = num_partitions or _n_partitions()
+    sched = crawl_schedule(frontier, url_col=url_col,
+                           n_shards=n_shards,
+                           num_partitions=num_partitions)
+    ranks = host_rank(edges, iterations=iterations, weighted=weighted,
+                      driver_edge_limit=driver_edge_limit,
+                      num_partitions=num_partitions).materialize()
+    return _attach_host_rank(
+        sched, ranks, ["url", "host", "shard", "fetch_round"],
+        broadcast_limit, n_part)
 
 
 _HOST_SQL_EXPR = "lower(split_part({col}, '/', 3))"

@@ -79,3 +79,28 @@ def test_hostgraph_oracles_match_duckdb(ray_session):
     want = sorted(map(tuple, duckdb.sql(
         page_host_rank_oracle_sql(cte, iterations=3)).fetchall()))
     assert got == want
+
+
+@pytest.mark.parametrize("broadcast_limit", [5_000_000, 0])
+def test_crawl_priority_composition(ray_session, broadcast_limit):
+    import ray.data as rd
+    from pdf2dom_ray.functions.hostgraph import crawl_priority, host_rank
+    from pdf2dom_ray.functions.urlnorm import crawl_schedule
+    frontier_urls = [u for e in EDGES for u in e] + \
+        ["https://ghost.test/z"]          # host absent from the graph
+    frontier = rd.from_items([{"url": u}
+                              for u in sorted(set(frontier_urls))])
+    got = {r["url"]: (r["host"], r["shard"], r["fetch_round"],
+                      r["host_rank"])
+           for r in crawl_priority(frontier, _ds(EDGES), iterations=4,
+                                   broadcast_limit=broadcast_limit)
+           .take_all()}
+    sched = {r["url"]: (r["host"], r["shard"], r["fetch_round"])
+             for r in crawl_schedule(frontier).take_all()}
+    ranks = {r["host"]: r["rank"]
+             for r in host_rank(_ds(EDGES), iterations=4).take_all()}
+    assert set(got) == set(sched)
+    for u, (h, s, fr, hr) in got.items():
+        assert (h, s, fr) == sched[u]
+        assert hr == ranks.get(h, 0)
+    assert got["https://ghost.test/z"][3] == 0
