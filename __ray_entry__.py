@@ -377,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_graph": _q_host_graph,
         "host_rank": _q_host_rank,
         "host_rank_weighted": _q_host_rank_weighted,
+        "host_rank_weighted_bsp": _q_host_rank_weighted_bsp,
         "page_host_rank": _q_page_host_rank,
         "related_cocitation": _q_related_cocitation,
         "related_coupling": _q_related_coupling,
@@ -617,6 +618,7 @@ def oracle_sql() -> dict[str, str]:
         "host_graph": _host_graph_sql(),
         "host_rank": _host_rank_sql(),
         "host_rank_weighted": _host_rank_weighted_sql(),
+        "host_rank_weighted_bsp": _host_rank_weighted_sql(),
         "page_host_rank": _page_host_rank_sql(),
         "related_cocitation": _cocitation_sql("cocitation"),
         "related_coupling": _cocitation_sql("coupling"),
@@ -2129,6 +2131,18 @@ def _page_host_rank_sql() -> str:
     from pdf2dom_ray.functions.hostgraph import \
         page_host_rank_oracle_sql
     return page_host_rank_oracle_sql(_host_edges_sql(), iterations=5)
+
+
+def _q_host_rank_weighted_bsp(sf_dir: str):
+    """The weighted-BSP scale path under external check: the same
+    weighted recurrence forced through the raw-task loop over the
+    WEIGHTED ShardedGraph layout (driver_edge_limit=0; per-edge
+    weights pinned in the edge shards, duplicate copies summed
+    shard-locally) — hash-matches the same unrolled oracle because
+    floor-then-multiply contributions are order-independent."""
+    from pdf2dom_ray.functions.hostgraph import host_rank
+    return host_rank(_host_link_edges(sf_dir), iterations=5,
+                     weighted=True, driver_edge_limit=0)
 
 
 def _q_host_graph(sf_dir: str):

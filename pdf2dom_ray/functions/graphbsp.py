@@ -57,40 +57,55 @@ def _shard_of(urls: np.ndarray, n_part: int) -> np.ndarray:
     return (h.to_numpy() % n_part).astype(np.int64)
 
 
-def _empty_piece():
+def _empty_piece(weighted: bool = False):
     e = np.empty(0, dtype=object)
+    if weighted:
+        w = np.empty(0, dtype=np.int64)
+        return (e, e, w), (e, e, w), e
     return (e, e), (e, e), e
 
 
-def _split_by(key: np.ndarray, other: np.ndarray, n_part: int):
-    """(key, other) edge rows → per-shard (key, other) slices by the
-    key endpoint's hash shard."""
+def _split_by(key: np.ndarray, other: np.ndarray, n_part: int,
+              w: np.ndarray | None = None):
+    """(key, other[, w]) edge rows → per-shard slices by the key
+    endpoint's hash shard."""
     sh = _shard_of(key, n_part)
     order = np.argsort(sh, kind="stable")
     key, other, sh = key[order], other[order], sh[order]
     bounds = np.searchsorted(sh, np.arange(n_part + 1))
-    return [(key[bounds[q]:bounds[q + 1]], other[bounds[q]:bounds[q + 1]])
+    if w is None:
+        return [(key[bounds[q]:bounds[q + 1]],
+                 other[bounds[q]:bounds[q + 1]])
+                for q in range(n_part)]
+    w = w[order]
+    return [(key[bounds[q]:bounds[q + 1]],
+             other[bounds[q]:bounds[q + 1]],
+             w[bounds[q]:bounds[q + 1]])
             for q in range(n_part)]
 
 
 @ray.remote
-def _split_edge_block(block: pa.Table, n_part: int):
+def _split_edge_block(block: pa.Table, n_part: int,
+                      weighted: bool = False):
     """One batch-distinct edge block → P pieces, each
     ((src_edges), (tgt_edges), urls): the block's edges keyed by src
     shard and by tgt shard, plus the batch-unique endpoint names
-    hashing to the shard (the node universe contribution).
+    hashing to the shard (the node universe contribution). With
+    ``weighted`` each edge slice carries its int64 ``w`` column too.
 
     Guards the schema-less empty block Ray's sort-aggregate / join
     stages can emit (the hazard CLAUDE.md documents): ``.column()`` on
     one raises KeyError, and WHICH run sees such a block is
     load/run-order dependent — an unguarded split task flakes."""
     if block.num_columns == 0 or block.num_rows == 0:
-        return tuple(_empty_piece() for _ in range(n_part)) \
-            if n_part > 1 else _empty_piece()
+        return tuple(_empty_piece(weighted) for _ in range(n_part)) \
+            if n_part > 1 else _empty_piece(weighted)
     src = np.asarray(block.column("src").to_pandas(), dtype=object)
     tgt = np.asarray(block.column("target").to_pandas(), dtype=object)
-    by_src = _split_by(src, tgt, n_part)
-    by_tgt = _split_by(tgt, src, n_part)
+    w = np.asarray(block.column("w").to_pandas(),
+                   dtype=np.int64) if weighted else None
+    by_src = _split_by(src, tgt, n_part, w)
+    by_tgt = _split_by(tgt, src, n_part, w)
     urls = np.unique(np.concatenate([src, tgt]))
     ush = _shard_of(urls, n_part)
     uorder = np.argsort(ush, kind="stable")
@@ -114,9 +129,9 @@ def _build_node_urls(*pieces):
 
 @ray.remote(num_returns=2)
 def _build_edge_shard(n_part: int, orient: int, url_shard_refs,
-                      *pieces):
+                      weighted: bool, *pieces):
     """Merge one key-shard's edge pieces (``orient`` 0 = by src,
-    1 = by tgt) → ((key_idx, other_idx, offsets), outdeg):
+    1 = by tgt) → ((key_idx, other_idx, offsets[, w]), outdeg):
 
     integer-coded DEDUPED edges sorted by the other endpoint's shard
     (``offsets[q]:offsets[q+1]`` slices shard q's rows) plus this
@@ -124,18 +139,28 @@ def _build_edge_shard(n_part: int, orient: int, url_shard_refs,
     fetched ONE AT A TIME (peak memory = this shard's edges + one url
     array). Dedup is exact and global: every copy of an edge lands in
     this shard and, within it, in the same other-shard segment, where
-    ``np.unique`` over key_idx·|urls_q|+other_idx kills duplicates."""
+    ``np.unique`` over key_idx·|urls_q|+other_idx kills duplicates.
+    With ``weighted`` the duplicate copies' weights are SUMMED instead
+    (order-independent int64 ``np.add.at``), the edge shard carries
+    the per-edge weight array, and ``outdeg`` becomes the key-side
+    weighted OUT-STRENGTH W(u) = Σ w."""
     key = np.concatenate([p[orient][0] for p in pieces]) if pieces \
         else np.empty(0, dtype=object)
     other = np.concatenate([p[orient][1] for p in pieces]) if pieces \
         else np.empty(0, dtype=object)
+    wall = None
+    if weighted:
+        wall = np.concatenate([p[orient][2] for p in pieces]) \
+            .astype(np.int64) if pieces else np.empty(0, dtype=np.int64)
     my_urls = ray.get(url_shard_refs[0])
     key_idx_all = np.searchsorted(my_urls, key).astype(np.int64)
     osh = _shard_of(other, n_part)
     order = np.argsort(osh, kind="stable")
     key_idx_all, other, osh = key_idx_all[order], other[order], osh[order]
+    if weighted:
+        wall = wall[order]
     seg = np.searchsorted(osh, np.arange(n_part + 1)).astype(np.int64)
-    kparts, oparts, lens = [], [], []
+    kparts, oparts, wparts, lens = [], [], [], []
     for q in range(n_part):
         lo, hi = seg[q], seg[q + 1]
         if hi <= lo:
@@ -143,7 +168,14 @@ def _build_edge_shard(n_part: int, orient: int, url_shard_refs,
             continue
         urls_q = ray.get(url_shard_refs[1][q])
         oi = np.searchsorted(urls_q, other[lo:hi]).astype(np.int64)
-        combo = np.unique(key_idx_all[lo:hi] * max(len(urls_q), 1) + oi)
+        codes = key_idx_all[lo:hi] * max(len(urls_q), 1) + oi
+        if weighted:
+            combo, inv = np.unique(codes, return_inverse=True)
+            ws = np.zeros(len(combo), dtype=np.int64)
+            np.add.at(ws, inv, wall[lo:hi])
+            wparts.append(ws)
+        else:
+            combo = np.unique(codes)
         kparts.append(combo // max(len(urls_q), 1))
         oparts.append(combo % max(len(urls_q), 1))
         lens.append(len(combo))
@@ -152,6 +184,12 @@ def _build_edge_shard(n_part: int, orient: int, url_shard_refs,
     other_idx = np.concatenate(oparts) if oparts else \
         np.empty(0, dtype=np.int64)
     offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    if weighted:
+        w = np.concatenate(wparts) if wparts else \
+            np.empty(0, dtype=np.int64)
+        wdeg = np.zeros(len(my_urls), dtype=np.int64)
+        np.add.at(wdeg, key_idx, w)
+        return (key_idx, other_idx, offsets, w), wdeg
     outdeg = np.bincount(key_idx, minlength=len(my_urls)) \
         .astype(np.int64)
     return (key_idx, other_idx, offsets), outdeg
@@ -185,14 +223,18 @@ class ShardedGraph:
 
     @classmethod
     def build(cls, e: rd.Dataset, n_part: int, *,
-              both_directions: bool = False) -> "ShardedGraph":
-        """``e``: (src, target) Dataset — batch-local distinct is
-        enough; global dedup is shard-local. One raw-task pass:
-        B split tasks + P node builds + P edge builds per layout; no
-        Dataset operators at all."""
+              both_directions: bool = False,
+              weighted: bool = False) -> "ShardedGraph":
+        """``e``: (src, target[, w]) Dataset — batch-local distinct
+        (or batch-local weight pre-sum when ``weighted``) is enough;
+        global dedup / weight summing is shard-local. One raw-task
+        pass: B split tasks + P node builds + P edge builds per
+        layout; no Dataset operators at all. With ``weighted`` the
+        edge shards gain a 4th element (per-edge int64 weights) and
+        ``node_shards``' degree vector is the weighted out-strength."""
         eblocks = e.to_arrow_refs()
         esplits = [_split_edge_block.options(num_returns=n_part)
-                   .remote(b, n_part) for b in eblocks]
+                   .remote(b, n_part, weighted) for b in eblocks]
         if n_part == 1:      # options(num_returns=1) returns a bare ref
             esplits = [[s] for s in esplits]
         url_refs = [_build_node_urls.remote(*[sp[q] for sp in esplits])
@@ -202,7 +244,7 @@ class ShardedGraph:
             shards, outdegs = [], []
             for p in range(n_part):
                 es, od = _build_edge_shard.options(num_returns=2).remote(
-                    n_part, orient, (url_refs[p], url_refs),
+                    n_part, orient, (url_refs[p], url_refs), weighted,
                     *[sp[p] for sp in esplits])
                 shards.append(es)
                 outdegs.append(od)

@@ -33,15 +33,15 @@ weights equal to 1 the recurrence degenerates to exactly
 Scale shape (100 TB reading)
 ----------------------------
 Below ``driver_edge_limit`` distinct weighted edges: one vectorized
-numpy loop on the driver. Above: the Dataset-join formulation
-(per iteration one edges×ranks hash join + one target groupby + one
-left join over nodes — the same plan ``pagerank.py`` keeps as its
-``mode="joins"`` fallback). Weighted graphs at the >limit size are
-COLLAPSED graphs (host/domain level, ~1000× smaller than the URL
-graph that produced them), so the join formulation's per-iteration
-fixed cost is paid on the reduced table; a weighted extension of the
-``graphbsp.ShardedGraph`` raw-task loop is the known next step if a
-weighted graph ever reaches URL-graph scale.
+numpy loop on the driver. Above: the raw-task BSP loop over the
+WEIGHTED ``graphbsp.ShardedGraph`` layout (edge shards carry per-edge
+int64 weights summed shard-locally across duplicate copies, node
+shards the out-strength W(u); P scatter + P gather tasks and one
+scalar dangling sync per iteration — ``pagerank._pagerank_bsp``'s
+exact shape). The Dataset-join formulation (one edges×ranks hash
+join + one target groupby + one left join per iteration) is kept as
+the ``mode="joins"`` fallback; all three paths are bit-identical
+(tests).
 """
 
 from __future__ import annotations
@@ -64,10 +64,14 @@ __all__ = ["weighted_pagerank", "weighted_pagerank_reference",
 def weighted_pagerank(edges: rd.Dataset, *, weight_col: str = "w",
                       iterations: int = 5, scale: int = SCALE,
                       driver_edge_limit: int = 5_000_000,
-                      num_partitions: int | None = None) -> rd.Dataset:
+                      num_partitions: int | None = None,
+                      mode: str = "bsp") -> rd.Dataset:
     """(src, target, w) rows → (url, rank:int64). Duplicate
     (src, target) rows sum their weights; rows must have w > 0.
-    ``driver_edge_limit=0`` forces the distributed path."""
+    ``driver_edge_limit=0`` forces the distributed path; ``mode``
+    picks it: ``"bsp"`` (default) the raw-task loop over the weighted
+    ``graphbsp.ShardedGraph`` layout, ``"joins"`` the Dataset-join
+    fallback."""
     # batch-local weight pre-sum (no shuffle) thins duplicate-heavy
     # inputs; residual cross-batch duplicates are summed again by the
     # driver numpy pass / the distributed global aggregation
@@ -88,8 +92,13 @@ def weighted_pagerank(edges: rd.Dataset, *, weight_col: str = "w",
     if n_thin <= driver_edge_limit:
         return rd.from_arrow(_wpr_driver(thin.to_pandas(),
                                          iterations, scale))
-    return _wpr_joins(thin, iterations, scale,
-                      num_partitions or _n_partitions())
+    n_part = num_partitions or _n_partitions()
+    if mode == "bsp":
+        # the weighted shard build sums duplicate copies' weights and
+        # derives out-strengths itself — no global aggregation
+        # exchanges before the loop
+        return _wpr_bsp(thin, iterations, scale, n_part)
+    return _wpr_joins(thin, iterations, scale, n_part)
 
 
 def _wpr_driver(df: pd.DataFrame, iterations: int,
@@ -120,6 +129,88 @@ def _wpr_driver(df: pd.DataFrame, iterations: int,
         rank = base + (in_sum + dang_share) * DAMP_NUM // DAMP_DEN
     return pa.table({"url": pa.array(urls.tolist(), pa.string()),
                      "rank": pa.array(rank, pa.int64())})
+
+
+def _wpr_bsp(e: rd.Dataset, iterations: int, scale: int,
+             n_part: int) -> rd.Dataset:
+    """Raw-task BSP loop over the WEIGHTED ``graphbsp.ShardedGraph``
+    layout (edge shards carry per-edge int64 weights, node shards the
+    out-strength W(u)): per iteration P scatter + P gather tasks, P²
+    small contribution objects, one scalar driver sync (dangling
+    mass) — the same shape as ``pagerank._pagerank_bsp``. Bit-exact
+    vs the driver and join paths (floor-then-multiply contributions,
+    order-independent ``np.add.at``), locked by tests."""
+    import ray
+
+    from .graphbsp import ShardedGraph
+
+    base = scale * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+    g = ShardedGraph.build(e, n_part, weighted=True)
+    P = g.n_part
+
+    @ray.remote(num_returns=3)
+    def init_shard(shard):
+        urls, W = shard
+        rank = np.full(len(urls), scale, dtype=np.int64)
+        return rank, int(rank[W == 0].sum()), len(urls)
+
+    @ray.remote
+    def scatter(edge_shard, node_shard, rank):
+        src_idx, tgt_idx, offsets, w = edge_shard
+        W = node_shard[1]
+        # W==0 nodes never appear as a src (they have no out-edges);
+        # substitute 1 to keep the vectorized divide quiet
+        share = rank // np.where(W == 0, 1, W)
+        contrib = share[src_idx] * w
+        out = tuple((tgt_idx[offsets[q]:offsets[q + 1]],
+                     contrib[offsets[q]:offsets[q + 1]])
+                    for q in range(P))
+        # num_returns=P only unpacks for P>1; at P==1 return the
+        # single piece itself so the gather unpack sees (idx, contrib)
+        return out if P > 1 else out[0]
+
+    @ray.remote(num_returns=2)
+    def gather(node_shard, share: int, *pieces):
+        urls, W = node_shard
+        in_sum = np.zeros(len(urls), dtype=np.int64)
+        for idx, contrib in pieces:
+            np.add.at(in_sum, idx, contrib)
+        rank = base + (in_sum + share) * DAMP_NUM // DAMP_DEN
+        return rank, int(rank[W == 0].sum())
+
+    @ray.remote
+    def finalize(node_shard, rank) -> pa.Table:
+        return pa.table({
+            "url": pa.array(node_shard[0].tolist(), pa.string()),
+            "rank": pa.array(rank, pa.int64())})
+
+    inits = [init_shard.options(num_returns=3)
+             .remote(g.node_shards[q]) for q in range(P)]
+    ranks = [i[0] for i in inits]
+    parts = ray.get([i[1] for i in inits] + [i[2] for i in inits])
+    dang = sum(parts[:P])
+    n_nodes = sum(parts[P:])
+    if n_nodes == 0:
+        return rd.from_arrow(pa.table({
+            "url": pa.array([], pa.string()),
+            "rank": pa.array([], pa.int64())}))
+
+    for _ in range(iterations):
+        share = dang // n_nodes
+        scat = [scatter.options(num_returns=P)
+                .remote(g.edges_by_src[p], g.node_shards[p], ranks[p])
+                for p in range(P)]
+        if P == 1:
+            scat = [[sc] for sc in scat]
+        outs = [gather.remote(g.node_shards[q], share,
+                              *[scat[p][q] for p in range(P)])
+                for q in range(P)]
+        ranks = [o[0] for o in outs]
+        dang = sum(ray.get([o[1] for o in outs]))
+
+    return rd.from_arrow_refs(
+        [finalize.remote(g.node_shards[q], ranks[q])
+         for q in range(P)])
 
 
 def _wpr_joins(thin: rd.Dataset, iterations: int, scale: int,

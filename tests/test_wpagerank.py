@@ -13,19 +13,39 @@ def _ds(rows):
                           for u, v, w in rows])
 
 
-@pytest.mark.parametrize("limit", [5_000_000, 0])
-def test_wpr_matches_reference_both_paths(ray_session, limit):
+@pytest.mark.parametrize("limit,mode", [(5_000_000, "bsp"),
+                                        (0, "bsp"), (0, "joins")])
+def test_wpr_matches_reference_all_paths(ray_session, limit, mode):
     from pdf2dom_ray.functions.wpagerank import (
         weighted_pagerank, weighted_pagerank_reference)
     # a duplicate pair must SUM its weights
     got = {r["url"]: r["rank"]
            for r in weighted_pagerank(_ds(EDGES + [("a", "b", 2)]),
                                       iterations=4,
-                                      driver_edge_limit=limit)
-           .take_all()}
+                                      driver_edge_limit=limit,
+                                      mode=mode).take_all()}
     want = weighted_pagerank_reference(EDGES + [("a", "b", 2)],
                                        iterations=4)
     assert got == want
+
+
+def test_wpr_bsp_partition_invariance(ray_session):
+    import numpy as np
+    from pdf2dom_ray.functions.wpagerank import weighted_pagerank
+    rng = np.random.RandomState(23)
+    trips = [(f"u{u}", f"u{v}", int(w)) for u, v, w in
+             np.c_[rng.randint(0, 50, size=(300, 2)),
+                   rng.randint(1, 7, 300)]]
+    want = sorted((r["url"], r["rank"]) for r in
+                  weighted_pagerank(_ds(trips), iterations=4)
+                  .take_all())
+    for n_part in (1, 2, 3):
+        got = sorted((r["url"], r["rank"]) for r in
+                     weighted_pagerank(_ds(trips), iterations=4,
+                                       driver_edge_limit=0,
+                                       num_partitions=n_part)
+                     .take_all())
+        assert got == want, n_part
 
 
 def test_wpr_unit_weights_degenerate_to_pagerank(ray_session):
