@@ -382,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "related_cocitation": _q_related_cocitation,
         "related_coupling": _q_related_coupling,
         "crawl_priority": _q_crawl_priority,
+        "link_degree_stats": _q_link_degree_stats,
         "warc_extract": _q_warc_extract,
         "web_pipeline": _q_web_pipeline,
         "corpus_sample": _q_corpus_sample,
@@ -623,6 +624,7 @@ def oracle_sql() -> dict[str, str]:
         "related_cocitation": _cocitation_sql("cocitation"),
         "related_coupling": _cocitation_sql("coupling"),
         "crawl_priority": _crawl_priority_sql(),
+        "link_degree_stats": _link_degree_stats_sql(),
         "corpus_sample": _sample_sql(),
         # planted mess: ' Cafe'+chr(769)+'  '+chr(7)+' fin' (see
         # _MESS_SUFFIX); NFC composes the accent, the BEL is stripped,
@@ -2113,6 +2115,19 @@ def _crawl_priority_sql() -> str:
                CAST(COALESCE(hr.rank, 0) AS BIGINT) AS host_rank
         FROM sched s LEFT JOIN ({_host_rank_sql()}) hr
           ON s.host = hr.host"""
+
+
+def _link_degree_stats_sql() -> str:
+    from pdf2dom_ray.functions.linkstats import degree_stats_oracle_sql
+    return degree_stats_oracle_sql(_host_edges_sql())
+
+
+def _q_link_degree_stats(sf_dir: str):
+    """Per-node in/out degree + reciprocity over the multi-host URL
+    digraph (functions/linkstats.py): one unordered-pair-keyed
+    exchange makes dedup AND the reciprocity test partition-local."""
+    from pdf2dom_ray.functions.linkstats import degree_stats
+    return degree_stats(_host_link_edges(sf_dir))
 
 
 def _q_crawl_priority(sf_dir: str):

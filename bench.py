@@ -187,7 +187,8 @@ def run_bench() -> dict:
                  "trustrank", "link_lpa", "link_harmonic",
                  "link_ball_hll", "salsa_scores", "page_host_rank",
                  "related_cocitation", "host_rank_weighted",
-                 "url_templates", "crawl_priority"):
+                 "url_templates", "crawl_priority",
+                 "link_degree_stats"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
