@@ -439,6 +439,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_harmonic_bsp": _q_link_harmonic_bsp,
         "link_ball_hll": _q_link_ball_hll,
         "link_ball_hll_bsp": _q_link_ball_hll_bsp,
+        "link_hopplot": _q_link_hopplot,
+        "link_hopplot_bsp": _q_link_hopplot_bsp,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
         "hashed_features": _q_hashed_features,
@@ -1161,6 +1163,8 @@ def oracle_sql() -> dict[str, str]:
         "link_lpa": _lpa_sql(),
         "link_lpa_bsp": _lpa_sql(),
         "link_harmonic": _harmonic_sql(),
+        "link_hopplot": _hopplot_sql(),
+        "link_hopplot_bsp": _hopplot_sql(),
         "link_harmonic_bsp": _harmonic_sql(),
         "link_ball_hll": _hyperball_sql(),
         "link_ball_hll_bsp": _hyperball_sql(),
@@ -3465,6 +3469,41 @@ def _q_link_harmonic_bsp(sf_dir: str):
     from pdf2dom_ray.functions.harmonic import harmonic_centrality
     return harmonic_centrality(_bfs_edges(sf_dir), radius=4,
                                driver_edge_limit=0)
+
+
+def _hopplot_sql() -> str:
+    """Unrolled radius-4 reach growth totalled per level over the
+    same synthetic digraph rule as ``_bfs_edges``
+    (functions/hopplot.py::neighborhood_oracle_sql)."""
+    from pdf2dom_ray.functions.hopplot import neighborhood_oracle_sql
+    n = "(SELECT count(*) FROM documents)"
+    edges = f"""
+        SELECT doc_id AS src,
+               CAST((2 * doc_id + 1) % {n} AS BIGINT) AS target
+        FROM documents
+        UNION ALL
+        SELECT doc_id, CAST((3 * doc_id + 7) % {n} AS BIGINT)
+        FROM documents"""
+    return neighborhood_oracle_sql(edges, radius=4)
+
+
+def _q_link_hopplot(sf_dir: str):
+    """Neighborhood function N(r) (ANF / hop plot, Palmer 2002;
+    HyperBall's target quantity): exact reach-pair counts per hop
+    level over the synthetic digraph — the effective-diameter input
+    (functions/hopplot.py; exact bitsets, one int64 scalar per shard
+    per round on the BSP path)."""
+    from pdf2dom_ray.functions.hopplot import neighborhood_function
+    return neighborhood_function(_bfs_edges(sf_dir), radius=4)
+
+
+def _q_link_hopplot_bsp(sf_dir: str):
+    """The hop-plot BSP scale path under external check (driver path
+    disabled) — hash-matches the same unrolled oracle because bitset
+    OR-merge and set-cardinality totals are order-independent."""
+    from pdf2dom_ray.functions.hopplot import neighborhood_function
+    return neighborhood_function(_bfs_edges(sf_dir), radius=4,
+                                 driver_edge_limit=0)
 
 
 def _q_link_ball_hll(sf_dir: str):
