@@ -366,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_main_text": _q_html_main,
         "html_outlinks": _q_html_outlinks,
         "anchor_texts": _q_anchor_texts,
+        "anchor_doc_profile": _q_anchor_doc_profile,
         "pagerank": _q_pagerank,
         "pagerank_bsp": _q_pagerank_bsp,
         "trustrank": _q_trustrank,
@@ -571,45 +572,8 @@ def oracle_sql() -> dict[str, str]:
         # stories at %3!=0, ad at %4==1, share self-links at %5==3
         # (fragment-stripped → the page's own URL), inline /ref link
         # carrying the doc's first word at %6==2
-        "anchor_texts": """
-            WITH a AS (
-              SELECT doc_id,
-                     unnest(['/', '/news', '/archive', '/about',
-                             '/contact', '/privacy', '/terms']) AS path,
-                     unnest(['Home', 'News', 'Archive', 'About',
-                             'Contact', 'Privacy', 'Terms']) AS atext
-              FROM documents
-              UNION ALL
-              SELECT doc_id,
-                     unnest(['/', '/s' || CAST(doc_id % 5 AS VARCHAR)]),
-                     unnest(['Home',
-                             'Section ' || CAST(doc_id % 5 AS VARCHAR)])
-              FROM documents WHERE doc_id % 3 = 0
-              UNION ALL
-              SELECT doc_id, unnest(['/r0', '/r1', '/r2', '/r3']),
-                     unnest(['Story ' || CAST(doc_id % 9 AS VARCHAR),
-                             'Story ' || CAST((doc_id + 1) % 9 AS VARCHAR),
-                             'Story ' || CAST((doc_id + 2) % 9 AS VARCHAR),
-                             'Story ' || CAST((doc_id + 3) % 9 AS VARCHAR)])
-              FROM documents WHERE doc_id % 3 <> 0
-              UNION ALL
-              SELECT doc_id, '/buy', 'Buy now and save big'
-              FROM documents WHERE doc_id % 4 = 1
-              UNION ALL
-              SELECT doc_id,
-                     unnest(['/' || CAST(doc_id AS VARCHAR),
-                             '/' || CAST(doc_id AS VARCHAR)]),
-                     unnest(['Share on Twitter', 'Share on Facebook'])
-              FROM documents WHERE doc_id % 5 = 3
-              UNION ALL
-              SELECT doc_id, '/ref', string_split(text, ' ')[1]
-              FROM documents WHERE doc_id % 6 = 2
-            )
-            SELECT 'https://docs.synth.test' || path AS target,
-                   atext AS anchor_text,
-                   CAST(count(*) AS BIGINT) AS n_refs
-            FROM a GROUP BY 1, 2
-        """,
+        "anchor_texts": _anchor_counts_sql(),
+        "anchor_doc_profile": _anchor_profile_sql(),
         "pagerank": _pagerank_sql(),
         "pagerank_bsp": _pagerank_sql(),
         "trustrank": _trustrank_sql(),
@@ -1939,6 +1903,84 @@ def _q_html_outlinks(sf_dir: str):
                                                     outlink_degree,
                                                     synth_html_pages)
     return outlink_degree(extract_outlinks_ds(synth_html_pages(sf_dir)))
+
+
+def _anchor_counts_sql() -> str:
+    """(target, anchor_text, n_refs) — the htmlgen anchor inventory
+    rule replayed in SQL (shared by ``anchor_texts`` and the
+    ``anchor_doc_profile`` oracle)."""
+    return """
+            WITH a AS (
+              SELECT doc_id,
+                     unnest(['/', '/news', '/archive', '/about',
+                             '/contact', '/privacy', '/terms']) AS path,
+                     unnest(['Home', 'News', 'Archive', 'About',
+                             'Contact', 'Privacy', 'Terms']) AS atext
+              FROM documents
+              UNION ALL
+              SELECT doc_id,
+                     unnest(['/', '/s' || CAST(doc_id % 5 AS VARCHAR)]),
+                     unnest(['Home',
+                             'Section ' || CAST(doc_id % 5 AS VARCHAR)])
+              FROM documents WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id, unnest(['/r0', '/r1', '/r2', '/r3']),
+                     unnest(['Story ' || CAST(doc_id % 9 AS VARCHAR),
+                             'Story ' || CAST((doc_id + 1) % 9 AS VARCHAR),
+                             'Story ' || CAST((doc_id + 2) % 9 AS VARCHAR),
+                             'Story ' || CAST((doc_id + 3) % 9 AS VARCHAR)])
+              FROM documents WHERE doc_id % 3 <> 0
+              UNION ALL
+              SELECT doc_id, '/buy', 'Buy now and save big'
+              FROM documents WHERE doc_id % 4 = 1
+              UNION ALL
+              SELECT doc_id,
+                     unnest(['/' || CAST(doc_id AS VARCHAR),
+                             '/' || CAST(doc_id AS VARCHAR)]),
+                     unnest(['Share on Twitter', 'Share on Facebook'])
+              FROM documents WHERE doc_id % 5 = 3
+              UNION ALL
+              SELECT doc_id, '/ref', string_split(text, ' ')[1]
+              FROM documents WHERE doc_id % 6 = 2
+            )
+            SELECT 'https://docs.synth.test' || path AS target,
+                   atext AS anchor_text,
+                   CAST(count(*) AS BIGINT) AS n_refs
+            FROM a GROUP BY 1, 2
+        """
+
+
+def _anchor_profile_sql(top_k: int = 8) -> str:
+    return f"""
+        WITH counts AS ({_anchor_counts_sql()}),
+        rk AS (SELECT target, anchor_text, n_refs,
+                      row_number() OVER (
+                          PARTITION BY target
+                          ORDER BY n_refs DESC, anchor_text) AS rn
+               FROM counts),
+        prof AS (SELECT target,
+                        string_agg(anchor_text, ' | ' ORDER BY rn)
+                            AS anchor_profile
+                 FROM rk WHERE rn <= {top_k} GROUP BY target),
+        tot AS (SELECT target,
+                       CAST(count(*) AS BIGINT) AS n_anchors,
+                       CAST(sum(n_refs) AS BIGINT) AS total_refs
+                FROM counts GROUP BY target)
+        SELECT t.target, p.anchor_profile, t.n_anchors, t.total_refs
+        FROM tot t JOIN prof p ON t.target = p.target"""
+
+
+def _q_anchor_doc_profile(sf_dir: str):
+    """Anchor-text document expansion: each target page's top-k
+    incoming anchor texts joined into a deterministic search-side
+    profile string (the classic 'anchor text describes the target'
+    indexing signal, Brin & Page 1998 §2.2 / Craswell 2001) plus
+    distinct-anchor and total-ref counts
+    (pipelines/html_extract.py::anchor_profiles)."""
+    from pdf2dom_ray.pipelines.html_extract import (anchor_profiles,
+                                                    anchor_text_counts,
+                                                    synth_html_pages)
+    return anchor_profiles(anchor_text_counts(synth_html_pages(sf_dir)))
 
 
 def _q_anchor_texts(sf_dir: str):

@@ -188,7 +188,8 @@ def run_bench() -> dict:
                  "link_ball_hll", "salsa_scores", "page_host_rank",
                  "related_cocitation", "host_rank_weighted",
                  "url_templates", "crawl_priority",
-                 "link_degree_stats", "link_hopplot"):
+                 "link_degree_stats", "link_hopplot",
+                 "anchor_doc_profile"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

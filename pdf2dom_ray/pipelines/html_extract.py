@@ -27,7 +27,8 @@ from ..synth.htmlgen import html_pages_batch_from_documents
 __all__ = ["HtmlMainExtractor", "extract_html_main",
            "extract_html_from_documents", "synth_html_pages",
            "OutlinkExtractor", "extract_outlinks_ds", "outlink_degree",
-           "AnchorExtractor", "anchor_text_counts"]
+           "AnchorExtractor", "anchor_text_counts",
+           "anchor_profiles"]
 
 OUTPUT_SCHEMA = pa.schema([
     ("url", pa.string()),
@@ -192,6 +193,54 @@ def anchor_text_counts(pages: rd.Dataset, *, batch_size: int | None = None,
                          "n_refs": t.column("n_refs").cast(pa.int64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def anchor_profiles(counts: rd.Dataset, *, top_k: int = 8,
+                    num_partitions: int | None = None) -> rd.Dataset:
+    """(target, anchor_profile, n_anchors, total_refs): anchor-text
+    document expansion — each page's top-``top_k`` incoming anchor
+    texts (by n_refs desc, text asc — deterministic) joined into one
+    search-side profile string, the classic 'anchor text describes
+    the target better than the target describes itself' indexing
+    signal (Brin & Page 1998 §2.2; Craswell et al. 2001).
+
+    Input is ``anchor_text_counts`` output (narrow (target,
+    anchor_text, n_refs) rows). ONE hash exchange keyed on the
+    target, then a vectorized per-partition sort + groupby join; the
+    ``top_k`` cap bounds the profile of a mega-target (millions of
+    distinct anchors on a popular page) to a constant-size string
+    while the count columns still cover ALL anchors."""
+    import pandas as pd
+
+    if num_partitions is None:
+        from ..scale import scale_partitions
+        num_partitions = scale_partitions()
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["target"], index=False)
+        return df.assign(__part=(h % num_partitions).astype("int64")
+                         .to_numpy())
+
+    def profile(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["target", "n_refs", "anchor_text"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        top = g.groupby("target", sort=True).head(top_k) \
+            .groupby("target", sort=True)["anchor_text"] \
+            .agg(" | ".join)
+        tot = g.groupby("target", sort=True).agg(
+            n_anchors=("anchor_text", "size"),
+            total_refs=("n_refs", "sum"))
+        out = tot.join(top.rename("anchor_profile")).reset_index()
+        out["n_anchors"] = out["n_anchors"].astype("int64")
+        out["total_refs"] = out["total_refs"].astype("int64")
+        return out[["target", "anchor_profile", "n_anchors",
+                    "total_refs"]]
+
+    return counts.map_batches(tag, batch_format="pandas") \
+        .groupby("__part").map_groups(
+            lambda g: profile(g.drop(columns="__part")),
+            batch_format="pandas")
 
 
 def outlink_degree(links: rd.Dataset) -> rd.Dataset:

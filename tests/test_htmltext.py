@@ -240,3 +240,40 @@ def test_anchor_text_counts_pipeline(ray_session):
            for r in anchor_text_counts(pages).take_all()}
     assert got == {("https://ex.test/t", "same"): 4,
                    ("https://ex.test/t", "other"): 2}
+
+
+def test_anchor_profiles(ray_session):
+    import duckdb
+    import ray.data as rd
+    from pdf2dom_ray.pipelines.html_extract import anchor_profiles
+    counts = [("t1", "Home", 5), ("t1", "News", 5), ("t1", "Zed", 1),
+              ("t2", "Only", 3)]
+    ds = rd.from_items([{"target": t, "anchor_text": a, "n_refs": n}
+                        for t, a, n in counts])
+    got = {r["target"]: (r["anchor_profile"], r["n_anchors"],
+                         r["total_refs"])
+           for r in anchor_profiles(ds, top_k=2).take_all()}
+    # ties break on anchor text asc; Zed falls outside top_k but
+    # still counts in n_anchors/total_refs
+    assert got == {"t1": ("Home | News", 3, 11), "t2": ("Only", 1, 3)}
+    # oracle-convention cross-check via DuckDB window + string_agg
+    vals = ", ".join(f"('{t}', '{a}', {n})" for t, a, n in counts)
+    sql = f"""
+        WITH counts AS (SELECT * FROM (VALUES {vals})
+                        AS t(target, anchor_text, n_refs)),
+        rk AS (SELECT target, anchor_text, n_refs,
+                      row_number() OVER (PARTITION BY target
+                          ORDER BY n_refs DESC, anchor_text) AS rn
+               FROM counts),
+        prof AS (SELECT target,
+                        string_agg(anchor_text, ' | ' ORDER BY rn)
+                            AS anchor_profile
+                 FROM rk WHERE rn <= 2 GROUP BY target),
+        tot AS (SELECT target, CAST(count(*) AS BIGINT) AS n_anchors,
+                       CAST(sum(n_refs) AS BIGINT) AS total_refs
+                FROM counts GROUP BY target)
+        SELECT t.target, p.anchor_profile, t.n_anchors, t.total_refs
+        FROM tot t JOIN prof p ON t.target = p.target"""
+    want = {r[0]: (r[1], r[2], r[3])
+            for r in duckdb.sql(sql).fetchall()}
+    assert got == want
