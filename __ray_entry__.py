@@ -384,6 +384,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "related_coupling": _q_related_coupling,
         "crawl_priority": _q_crawl_priority,
         "link_degree_stats": _q_link_degree_stats,
+        "graph_walks": _q_graph_walks,
+        "graph_walks_bsp": _q_graph_walks_bsp,
         "warc_extract": _q_warc_extract,
         "web_pipeline": _q_web_pipeline,
         "corpus_sample": _q_corpus_sample,
@@ -591,6 +593,8 @@ def oracle_sql() -> dict[str, str]:
         "related_coupling": _cocitation_sql("coupling"),
         "crawl_priority": _crawl_priority_sql(),
         "link_degree_stats": _link_degree_stats_sql(),
+        "graph_walks": _graph_walks_sql(),
+        "graph_walks_bsp": _graph_walks_sql(),
         "corpus_sample": _sample_sql(),
         # planted mess: ' Cafe'+chr(769)+'  '+chr(7)+' fin' (see
         # _MESS_SUFFIX); NFC composes the accent, the BEL is stripped,
@@ -2174,6 +2178,47 @@ def _q_link_degree_stats(sf_dir: str):
     exchange makes dedup AND the reciprocity test partition-local."""
     from pdf2dom_ray.functions.linkstats import degree_stats
     return degree_stats(_host_link_edges(sf_dir))
+
+
+def _graph_walk_seeds(sf_dir: str) -> list:
+    """One walk per 5th document, seeded at its own page (small
+    curated seed list shape — a DeepWalk corpus seeds every node,
+    which at 100 TB arrives as a Dataset; the list form matches the
+    operator's broadcast contract)."""
+    import pyarrow.parquet as pq
+    subs = ["docs", "news", "blog", "cdn"]
+    ids = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id"]).column("doc_id").to_pylist()
+    return [(d, f"https://{subs[d % 4]}.synth.test/d/{d}")
+            for d in ids if d % 5 == 0]
+
+
+def _graph_walks_sql() -> str:
+    from pdf2dom_ray.functions.walks import walks_oracle_sql
+    seeds = (f"SELECT doc_id AS walk_id, {_hg_url_sql('doc_id')} AS url "
+             f"FROM documents WHERE doc_id % 5 = 0")
+    return walks_oracle_sql(_host_edges_sql(), seeds, length=8)
+
+
+def _q_graph_walks(sf_dir: str):
+    """DeepWalk-style md5-derandomized truncated random walks over
+    the multi-host URL digraph (functions/walks.py) — the graph-to-
+    corpus generator a skip-gram embedding pipeline consumes."""
+    from pdf2dom_ray.functions.walks import random_walks
+    return random_walks(_host_link_edges(sf_dir),
+                        _graph_walk_seeds(sf_dir), length=8)
+
+
+def _q_graph_walks_bsp(sf_dir: str):
+    """The walker-scatter BSP scale path under external check
+    (driver path disabled; walkers migrate between pinned node
+    shards each superstep, KnightKing-style) — hash-matches the same
+    unrolled oracle because every hop is a pure md5 function of
+    (walk_id, step, current url)."""
+    from pdf2dom_ray.functions.walks import random_walks
+    return random_walks(_host_link_edges(sf_dir),
+                        _graph_walk_seeds(sf_dir), length=8,
+                        driver_edge_limit=0)
 
 
 def _q_crawl_priority(sf_dir: str):

@@ -189,7 +189,7 @@ def run_bench() -> dict:
                  "related_cocitation", "host_rank_weighted",
                  "url_templates", "crawl_priority",
                  "link_degree_stats", "link_hopplot",
-                 "anchor_doc_profile"):
+                 "anchor_doc_profile", "graph_walks"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

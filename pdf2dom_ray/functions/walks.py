@@ -1,0 +1,347 @@
+"""Deterministic random-walk corpus over the link graph.
+
+DeepWalk (Perozzi et al. 2014) and node2vec (Grover & Leskovec 2016)
+turn a graph into a TRAINING CORPUS by sampling truncated random
+walks and feeding the node sequences to a skip-gram model — the
+graph-side analogue of this repo's text-corpus operators. The walk
+generator is the whole distributed problem (the skip-gram consumer is
+the existing text/packing machinery); at web scale it is a
+walker-scatter BSP loop over the partitioned graph (the approach of
+KnightKing, Yang et al. SOSP 2019: walkers live with their current
+node's shard and migrate one hop per superstep).
+
+Semantics
+---------
+Over the distinct (src, target) edge set, from caller-supplied seeds
+(walk_id, url), ``length`` steps of the md5-derandomized walk:
+
+    nbrs(u)  = distinct targets of u, ordered by target ASC
+    h(w,k,u) = int(md5(f"{salt}:{w}:{k}:{u}")[:2], 16)   (0..255)
+    next     = nbrs(u)[ h(walk_id, step, u) % |nbrs(u)| ]
+
+A walk emits (walk_id, step, url) rows from step 0 (the seed) and
+STOPS at a dangling node (no out-edges) — truncated-walk semantics.
+The md5 convention is the repo's standard derandomizer (CLAUDE.md:
+md5-hex decisions are string-stable so DuckDB replays them exactly);
+the two-hex-digit draw is deliberately SQL-replayable
+(``walks_oracle_sql`` unrolls every step). Pseudo-randomness, not
+uniformity, is the contract — the 256-value draw has ordinary modulo
+bias, which skip-gram training is insensitive to.
+
+Scale shape (100 TB reading)
+----------------------------
+The distributed path pins a walk-specific layout once (built with raw
+tasks from the same edge-block splits as ``graphbsp``): per node
+shard, a CSR of neighbors sorted by target string, each neighbor
+stored as its (shard, local-index) coordinate so a walker never needs
+a global lookup. Each superstep is P step tasks (walkers draw their
+next hop against their shard's CSR; per-walker md5 is the only
+per-row Python, the repo-wide convention for md5-keyed decisions) + P
+migrate merges; emitted rows stay sharded until one finalize per
+shard. Walker traffic per superstep is O(active walks), independent
+of graph size. Below ``driver_edge_limit`` distinct edges the same
+arithmetic runs as one driver loop over a local CSR.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+__all__ = ["random_walks", "random_walks_reference",
+           "walks_oracle_sql"]
+
+
+def _draw(salt: str, walk_id: int, step: int, url) -> int:
+    return int(hashlib.md5(
+        f"{salt}:{walk_id}:{step}:{url}".encode()).hexdigest()[:2], 16)
+
+
+def _local_csr(src: np.ndarray, tgt: np.ndarray):
+    """Distinct (src, tgt) rows → (urls, offsets, nbr_idx): per-url
+    neighbor slices sorted by target string (the oracle's
+    row_number ORDER BY target convention)."""
+    urls = np.unique(np.concatenate([src, tgt]))
+    si = np.searchsorted(urls, src).astype(np.int64)
+    ti = np.searchsorted(urls, tgt).astype(np.int64)
+    combo = np.unique(si * len(urls) + ti)
+    si, ti = combo // len(urls), combo % len(urls)
+    # combo sort == (src, target-index) == (src, target string) order
+    offsets = np.searchsorted(si, np.arange(len(urls) + 1)) \
+        .astype(np.int64)
+    return urls, offsets, ti
+
+
+def _driver_walks(df: pd.DataFrame, seeds, length: int,
+                  salt: str) -> pa.Table:
+    urls, offsets, nbr = _local_csr(df["src"].to_numpy(),
+                                    df["target"].to_numpy())
+    wid = np.asarray([w for w, _ in seeds], dtype=np.int64)
+    # seeds absent from the graph still emit their step-0 row and
+    # stop immediately (they have no out-edges by definition)
+    pos = np.searchsorted(urls, [u for _, u in seeds])
+    pos = np.minimum(pos, max(len(urls) - 1, 0))
+    in_graph = np.array([len(urls) > 0 and urls[p] == u
+                         for p, (_, u) in zip(pos, seeds)])
+    out_w, out_s, out_u = list(wid), [0] * len(wid), \
+        [u for _, u in seeds]
+    active = in_graph.copy()
+    cur = pos.copy()
+    for step in range(length):
+        od = offsets[cur + 1] - offsets[cur]
+        active &= od > 0
+        if not active.any():
+            break
+        idx = np.flatnonzero(active)
+        for i in idx:
+            k = _draw(salt, int(wid[i]), step, urls[cur[i]]) % od[i]
+            cur[i] = nbr[offsets[cur[i]] + k]
+            out_w.append(int(wid[i]))
+            out_s.append(step + 1)
+            out_u.append(urls[cur[i]])
+    return pa.table({
+        "walk_id": pa.array(np.asarray(out_w, dtype=np.int64),
+                            pa.int64()),
+        "step": pa.array(np.asarray(out_s, dtype=np.int64),
+                         pa.int64()),
+        "url": pa.array([str(u) for u in out_u], pa.string())})
+
+
+def random_walks(edges: rd.Dataset, seeds, *, length: int = 8,
+                 salt: str = "walk",
+                 driver_edge_limit: int = 5_000_000,
+                 n_part: int | None = None) -> rd.Dataset:
+    """(src, target) edge rows + [(walk_id, url), ...] seeds →
+    (walk_id, step, url) truncated md5-derandomized walk rows.
+    Duplicate edges fine (distinct set); seeds not in the graph emit
+    only their step-0 row. ``driver_edge_limit=0`` forces the
+    walker-scatter BSP path."""
+    from .pagerank import _n_partitions, _thin
+
+    seeds = sorted({(int(w), u) for w, u in seeds})
+    thin = _thin(edges, ["src", "target"]).materialize()
+    n_thin = thin.count()
+    if n_thin == 0 or not seeds:
+        return rd.from_arrow(pa.table({
+            "walk_id": pa.array([w for w, _ in seeds], pa.int64()),
+            "step": pa.array([0] * len(seeds), pa.int64()),
+            "url": pa.array([u for _, u in seeds], pa.string())}))
+    if n_thin <= driver_edge_limit:
+        return rd.from_arrow(_driver_walks(thin.to_pandas(), seeds,
+                                           length, salt))
+    return _walks_bsp(thin, seeds, length, salt,
+                      n_part or _n_partitions())
+
+
+def _walks_bsp(e: rd.Dataset, seeds, length: int, salt: str,
+               n_part: int) -> rd.Dataset:
+    """Walker-scatter BSP: per node shard a CSR of neighbors sorted
+    by target string, each stored as a (shard, local-idx) coordinate;
+    per superstep P step tasks + a migrate regroup."""
+    from .graphbsp import _build_node_urls, _shard_of, \
+        _split_edge_block
+
+    P = n_part
+    eblocks = e.to_arrow_refs()
+    esplits = [_split_edge_block.options(num_returns=P)
+               .remote(b, P) for b in eblocks]
+    if P == 1:
+        esplits = [[s] for s in esplits]
+    url_refs = [_build_node_urls.remote(*[sp[q] for sp in esplits])
+                for q in range(P)]
+
+    @ray.remote
+    def build_csr(my_urls, all_url_refs, *pieces):
+        """One src shard's CSR: neighbors sorted by target STRING,
+        stored as (shard, local idx). ``my_urls`` arrives resolved
+        (top-level arg); the other shards' url arrays stay refs
+        inside the list and are fetched one at a time."""
+        key = np.concatenate([p[0][0] for p in pieces]) if pieces \
+            else np.empty(0, dtype=object)
+        tgt = np.concatenate([p[0][1] for p in pieces]) if pieces \
+            else np.empty(0, dtype=object)
+        ki = np.searchsorted(my_urls, key).astype(np.int64)
+        # global dedup + (src, target-string) order in one lexsort
+        order = np.lexsort((tgt, ki))
+        ki, tgt = ki[order], tgt[order]
+        if len(ki):
+            keep = np.empty(len(ki), dtype=bool)
+            keep[0] = True
+            keep[1:] = (ki[1:] != ki[:-1]) | (tgt[1:] != tgt[:-1])
+            ki, tgt = ki[keep], tgt[keep]
+        offsets = np.searchsorted(ki, np.arange(len(my_urls) + 1)) \
+            .astype(np.int64)
+        nsh = _shard_of(tgt, P) if len(tgt) else \
+            np.empty(0, dtype=np.int64)
+        nidx = np.zeros(len(tgt), dtype=np.int64)
+        for q in range(P):
+            m = nsh == q
+            if m.any():
+                urls_q = ray.get(all_url_refs[q])
+                nidx[m] = np.searchsorted(urls_q, tgt[m])
+        return my_urls, offsets, nsh.astype(np.int64), nidx
+
+    csr = [build_csr.remote(url_refs[q], url_refs,
+                            *[sp[q] for sp in esplits])
+           for q in range(P)]
+
+    @ray.remote
+    def seed_shard(shard_q: int, csr_q, seed_list):
+        """Walkers whose seed url hashes to this shard and EXISTS
+        here; also this shard's step-0 emission rows."""
+        urls = csr_q[0]
+        mine = [(w, u) for w, u in seed_list
+                if _shard_of(np.array([u], dtype=object), P)[0]
+                == shard_q]
+        wid, cur = [], []
+        for w, u in mine:
+            p = np.searchsorted(urls, u)
+            if p < len(urls) and urls[p] == u:
+                wid.append(w)
+                cur.append(int(p))
+        emit = pa.table({
+            "walk_id": pa.array([w for w, _ in mine], pa.int64()),
+            "step": pa.array([0] * len(mine), pa.int64()),
+            "url": pa.array([u for _, u in mine], pa.string())})
+        return (np.asarray(wid, dtype=np.int64),
+                np.asarray(cur, dtype=np.int64)), emit
+
+    @ray.remote
+    def step_task(csr_q, state, step: int):
+        """Advance this shard's walkers one hop; route them to their
+        next shard. Returns P (wid, next_local_idx) pieces + the
+        emission rows for the arrived-at nodes."""
+        urls, offsets, nsh, nidx = csr_q
+        wid, cur = state
+        outs_w = [[] for _ in range(P)]
+        outs_i = [[] for _ in range(P)]
+        em_w, em_s, em_u = [], [], []
+        for i in range(len(wid)):
+            c = cur[i]
+            lo, hi = offsets[c], offsets[c + 1]
+            if hi <= lo:
+                continue          # dangling: walk ends
+            k = _draw(salt, int(wid[i]), step, urls[c]) % (hi - lo)
+            q = int(nsh[lo + k])
+            outs_w[q].append(int(wid[i]))
+            outs_i[q].append(int(nidx[lo + k]))
+        out = tuple((np.asarray(outs_w[q], dtype=np.int64),
+                     np.asarray(outs_i[q], dtype=np.int64))
+                    for q in range(P))
+        return out if P > 1 else out[0]
+
+    @ray.remote
+    def migrate(csr_q, step: int, *pieces):
+        """Merge arriving walkers; emit their arrival rows."""
+        urls = csr_q[0]
+        wid = np.concatenate([p[0] for p in pieces]) if pieces else \
+            np.empty(0, dtype=np.int64)
+        cur = np.concatenate([p[1] for p in pieces]) if pieces else \
+            np.empty(0, dtype=np.int64)
+        emit = pa.table({
+            "walk_id": pa.array(wid, pa.int64()),
+            "step": pa.array(np.full(len(wid), step, dtype=np.int64),
+                             pa.int64()),
+            "url": pa.array([str(urls[c]) for c in cur], pa.string())})
+        return (wid, cur), emit
+
+    seeded = [seed_shard.options(num_returns=2)
+              .remote(q, csr[q], seeds) for q in range(P)]
+    state = [s[0] for s in seeded]
+    emits = [[s[1]] for s in seeded]
+    for step in range(length):
+        scat = [step_task.options(num_returns=P)
+                .remote(csr[p], state[p], step) for p in range(P)]
+        if P == 1:
+            scat = [[s] for s in scat]
+        outs = [migrate.options(num_returns=2)
+                .remote(csr[q], step + 1,
+                        *[scat[p][q] for p in range(P)])
+                for q in range(P)]
+        state = [o[0] for o in outs]
+        for q in range(P):
+            emits[q].append(outs[q][1])
+
+    @ray.remote
+    def concat(*tables) -> pa.Table:
+        keep = [t for t in tables if t.num_rows]
+        if not keep:
+            # a shard no walker ever visited still needs a typed
+            # empty block (schema-stability, CLAUDE.md empty-block
+            # hazard)
+            return pa.table({"walk_id": pa.array([], pa.int64()),
+                             "step": pa.array([], pa.int64()),
+                             "url": pa.array([], pa.string())})
+        return pa.concat_tables(keep)
+
+    return rd.from_arrow_refs([concat.remote(*emits[q])
+                               for q in range(P)])
+
+
+def random_walks_reference(edge_list, seeds, *, length: int = 8,
+                           salt: str = "walk") -> list[tuple]:
+    """Pure-Python reference (tests): sorted (walk_id, step, url)."""
+    e = sorted(set(edge_list))
+    adj: dict = {}
+    for u, v in e:
+        adj.setdefault(u, [])
+        if v not in adj[u]:
+            adj[u].append(v)
+    for u in adj:
+        adj[u].sort()
+    rows = []
+    for w, u in sorted({(int(w), u) for w, u in seeds}):
+        rows.append((w, 0, u))
+        cur = u
+        for k in range(length):
+            nbrs = adj.get(cur, [])
+            if not nbrs:
+                break
+            cur = nbrs[_draw(salt, w, k, cur) % len(nbrs)]
+            rows.append((w, k + 1, cur))
+    return sorted(rows)
+
+
+_HEX2_SQL = ("((strpos('0123456789abcdef', substr(md5({x}), 1, 1)) - 1)"
+             " * 16 + strpos('0123456789abcdef', substr(md5({x}), 2, 1))"
+             " - 1)")
+
+
+def walks_oracle_sql(edges_cte: str, seeds_cte: str, *,
+                     length: int = 8, salt: str = "walk") -> str:
+    """Unrolled ``length``-step DuckDB twin. ``seeds_cte`` yields
+    (walk_id, url); every per-step CTE is AS MATERIALIZED (CLAUDE.md
+    invariant)."""
+    parts = [f"""
+        WITH raw_e AS ({edges_cte}),
+        e AS (SELECT DISTINCT src, target FROM raw_e),
+        adj AS (SELECT src, target,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY target) - 1 AS rk
+                FROM e),
+        od AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+               FROM e GROUP BY src),
+        w0 AS MATERIALIZED (SELECT DISTINCT CAST(walk_id AS BIGINT)
+                   AS walk_id, url FROM ({seeds_cte}) s)"""]
+    for k in range(length):
+        h = _HEX2_SQL.format(
+            x=f"'{salt}:' || CAST(w.walk_id AS VARCHAR) || "
+              f"':{k}:' || w.url")
+        parts.append(f""",
+        w{k + 1} AS MATERIALIZED (
+            SELECT w.walk_id, a.target AS url
+            FROM w{k} w
+            JOIN od o ON w.url = o.src
+            JOIN adj a ON a.src = w.url
+                       AND a.rk = {h} % o.d)""")
+    levels = "\n        UNION ALL ".join(
+        f"SELECT walk_id, CAST({k} AS BIGINT) AS step, url FROM w{k}"
+        for k in range(length + 1))
+    parts.append(f"""
+        {levels}""")
+    return "".join(parts)

@@ -1,0 +1,83 @@
+"""Random walks: both paths, truncation, determinism, oracle SQL."""
+
+import pytest
+
+EDGES = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+         ("c", "d"), ("x", "y")]        # d and y are dangling
+SEEDS = [(0, "a"), (1, "c"), (2, "x"), (3, "ghost")]
+
+
+def _ds(rows):
+    import ray.data as rd
+    return rd.from_items([{"src": u, "target": v} for u, v in rows])
+
+
+@pytest.mark.parametrize("limit", [5_000_000, 0])
+def test_walks_match_reference_both_paths(ray_session, limit):
+    from pdf2dom_ray.functions.walks import (random_walks,
+                                             random_walks_reference)
+    got = sorted((r["walk_id"], r["step"], r["url"]) for r in
+                 random_walks(_ds(EDGES + [("a", "b")]), SEEDS,
+                              length=6,
+                              driver_edge_limit=limit).take_all())
+    want = random_walks_reference(EDGES, SEEDS, length=6)
+    assert got == want
+    # every walk emits its seed row; the absent seed emits ONLY that
+    by_walk = {}
+    for w, s, u in got:
+        by_walk.setdefault(w, []).append((s, u))
+    assert by_walk[3] == [(0, "ghost")]
+    assert by_walk[2][0] == (0, "x") and by_walk[2][1] == (1, "y")
+    assert len(by_walk[2]) == 2            # truncated at dangling y
+
+
+@pytest.mark.parametrize("limit", [5_000_000, 0])
+def test_walks_deterministic(ray_session, limit):
+    from pdf2dom_ray.functions.walks import random_walks
+    a = sorted(map(tuple, (r.values() for r in
+                           random_walks(_ds(EDGES), SEEDS, length=5,
+                                        driver_edge_limit=limit)
+                           .take_all())))
+    b = sorted(map(tuple, (r.values() for r in
+                           random_walks(_ds(EDGES), SEEDS, length=5,
+                                        driver_edge_limit=limit)
+                           .take_all())))
+    assert a == b
+
+
+def test_walks_partition_invariance(ray_session):
+    import numpy as np
+    from pdf2dom_ray.functions.walks import (random_walks,
+                                             random_walks_reference)
+    rng = np.random.RandomState(43)
+    rows = [(f"u{u}", f"u{v}")
+            for u, v in rng.randint(0, 30, size=(200, 2))]
+    seeds = [(i, f"u{i}") for i in range(0, 30, 3)]
+    want = random_walks_reference(rows, seeds, length=5)
+    for n_part in (1, 2, 3):
+        got = sorted((r["walk_id"], r["step"], r["url"]) for r in
+                     random_walks(_ds(rows), seeds, length=5,
+                                  driver_edge_limit=0,
+                                  n_part=n_part).take_all())
+        assert got == want, n_part
+
+
+def test_walks_oracle_sql_matches(ray_session):
+    import duckdb
+    import numpy as np
+    from pdf2dom_ray.functions.walks import (random_walks,
+                                             walks_oracle_sql)
+    rng = np.random.RandomState(47)
+    pairs = rng.randint(0, 25, size=(150, 2))
+    rows = [(f"n{u}", f"n{v}") for u, v in pairs]
+    seeds = [(i, f"n{i}") for i in range(0, 25, 2)]
+    got = sorted((r["walk_id"], r["step"], r["url"]) for r in
+                 random_walks(_ds(rows), seeds, length=5).take_all())
+    vals = ", ".join(f"('n{u}', 'n{v}')" for u, v in pairs)
+    seed_vals = ", ".join(f"({w}, '{u}')" for w, u in seeds)
+    sql = walks_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, target)",
+        f"SELECT * FROM (VALUES {seed_vals}) AS s(walk_id, url)",
+        length=5)
+    want = sorted(map(tuple, duckdb.sql(sql).fetchall()))
+    assert got == want
