@@ -386,6 +386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_degree_stats": _q_link_degree_stats,
         "graph_walks": _q_graph_walks,
         "graph_walks_bsp": _q_graph_walks_bsp,
+        "skipgram_pairs": _q_skipgram_pairs,
         "warc_extract": _q_warc_extract,
         "web_pipeline": _q_web_pipeline,
         "corpus_sample": _q_corpus_sample,
@@ -595,6 +596,7 @@ def oracle_sql() -> dict[str, str]:
         "link_degree_stats": _link_degree_stats_sql(),
         "graph_walks": _graph_walks_sql(),
         "graph_walks_bsp": _graph_walks_sql(),
+        "skipgram_pairs": _skipgram_sql(),
         "corpus_sample": _sample_sql(),
         # planted mess: ' Cafe'+chr(769)+'  '+chr(7)+' fin' (see
         # _MESS_SUFFIX); NFC composes the accent, the BEL is stripped,
@@ -2219,6 +2221,24 @@ def _q_graph_walks_bsp(sf_dir: str):
     return random_walks(_host_link_edges(sf_dir),
                         _graph_walk_seeds(sf_dir), length=8,
                         driver_edge_limit=0)
+
+
+def _skipgram_sql() -> str:
+    from pdf2dom_ray.functions.walks import skipgram_oracle_sql
+    return skipgram_oracle_sql(
+        f"SELECT * FROM ({_graph_walks_sql()}) gw", window=2)
+
+
+def _q_skipgram_pairs(sf_dir: str):
+    """The DeepWalk last mile composed end-to-end: walk corpus →
+    windowed (center, context) skip-gram co-occurrence counts
+    (functions/walks.py skipgram_pairs over random_walks) — the
+    training pairs a word2vec-style embedder consumes."""
+    from pdf2dom_ray.functions.walks import (random_walks,
+                                             skipgram_pairs)
+    walks = random_walks(_host_link_edges(sf_dir),
+                         _graph_walk_seeds(sf_dir), length=8)
+    return skipgram_pairs(walks, window=2)
 
 
 def _q_crawl_priority(sf_dir: str):

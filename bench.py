@@ -189,7 +189,8 @@ def run_bench() -> dict:
                  "related_cocitation", "host_rank_weighted",
                  "url_templates", "crawl_priority",
                  "link_degree_stats", "link_hopplot",
-                 "anchor_doc_profile", "graph_walks"):
+                 "anchor_doc_profile", "graph_walks",
+                 "skipgram_pairs"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

@@ -54,7 +54,8 @@ import ray
 import ray.data as rd
 
 __all__ = ["random_walks", "random_walks_reference",
-           "walks_oracle_sql"]
+           "walks_oracle_sql", "skipgram_pairs",
+           "skipgram_oracle_sql"]
 
 
 def _draw(salt: str, walk_id: int, step: int, url) -> int:
@@ -281,6 +282,91 @@ def _walks_bsp(e: rd.Dataset, seeds, length: int, salt: str,
 
     return rd.from_arrow_refs([concat.remote(*emits[q])
                                for q in range(P)])
+
+
+def skipgram_pairs(walks: rd.Dataset, *, window: int = 2,
+                   num_partitions: int | None = None) -> rd.Dataset:
+    """(walk_id, step, url) walk rows → (center, context,
+    n_pairs:int64) skip-gram co-occurrence counts with the given
+    ``window`` (|Δstep| ≤ window, Δstep ≠ 0) — the step that turns the
+    walk corpus into word2vec-style training pairs (DeepWalk §4.2
+    feeds exactly these to hierarchical-softmax skip-gram).
+
+    ONE hash exchange keyed on walk_id (a walk's rows must meet —
+    walks are short, so groups are tiny and skew-free), vectorized
+    per-partition searchsorted window expansion, then a combiner →
+    hash-partitioned count per (center, context) pair."""
+    from ..stages.hashagg import hash_aggregate
+    from .pagerank import _n_partitions
+
+    n_part = num_partitions or _n_partitions()
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["walk_id"], index=False)
+        return df.assign(__part=(h % n_part).astype("int64")
+                         .to_numpy())
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["walk_id", "step"], kind="mergesort")
+        wid = g["walk_id"].to_numpy()
+        step = g["step"].to_numpy()
+        url = g["url"].to_numpy(dtype=object)
+        n = len(g)
+        if not n:
+            return pd.DataFrame({
+                "center": pd.Series([], dtype="object"),
+                "context": pd.Series([], dtype="object"),
+                "n_pairs": pd.Series([], dtype="int64")})
+        # rows are (walk, step)-sorted; encode to one monotone key so
+        # each row's window is a contiguous slice found by searchsorted
+        key = wid * (step.max() + window + 2) + step
+        lo = np.searchsorted(key, key - window)
+        hi = np.searchsorted(key, key + window, side="right")
+        reps = hi - lo - 1                    # exclude self
+        centers = np.repeat(np.arange(n), reps)
+        cum = np.concatenate(([0], np.cumsum(reps)))
+        offs = np.arange(int(reps.sum())) - np.repeat(cum[:-1], reps)
+        ctx = np.repeat(lo, reps) + offs
+        ctx += (ctx >= centers)               # skip the center itself
+        return pd.DataFrame({
+            "center": url[centers],
+            "context": url[ctx],
+            "n_pairs": np.ones(len(centers), dtype=np.int64)})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["center", "context"], as_index=False) \
+            .agg(n_pairs=("n_pairs", "sum"))
+
+    pairs = walks.map_batches(tag, batch_format="pandas") \
+        .groupby("__part").map_groups(
+            lambda g: expand(g.drop(columns="__part")),
+            batch_format="pandas")
+    out = hash_aggregate(pairs, ["center", "context"], combine,
+                         num_partitions=n_part)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if "center" not in df.columns:
+            return pd.DataFrame({
+                "center": pd.Series([], dtype="object"),
+                "context": pd.Series([], dtype="object"),
+                "n_pairs": pd.Series([], dtype="int64")})
+        df["n_pairs"] = df["n_pairs"].astype("int64")
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def skipgram_oracle_sql(walks_cte: str, *, window: int = 2) -> str:
+    """DuckDB twin of ``skipgram_pairs`` (``walks_cte`` yields
+    (walk_id, step, url))."""
+    return f"""
+        WITH w AS ({walks_cte})
+        SELECT a.url AS center, b.url AS context,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM w a JOIN w b ON a.walk_id = b.walk_id
+            AND abs(a.step - b.step) <= {window}
+            AND a.step <> b.step
+        GROUP BY 1, 2"""
 
 
 def random_walks_reference(edge_list, seeds, *, length: int = 8,

@@ -81,3 +81,47 @@ def test_walks_oracle_sql_matches(ray_session):
         length=5)
     want = sorted(map(tuple, duckdb.sql(sql).fetchall()))
     assert got == want
+
+
+def test_skipgram_pairs_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+    from pdf2dom_ray.functions.walks import (skipgram_pairs,
+                                             skipgram_oracle_sql)
+    rows = [(0, 0, "a"), (0, 1, "b"), (0, 2, "c"), (0, 3, "a"),
+            (1, 0, "x"), (1, 1, "y"),
+            (2, 0, "solo")]
+    ds = rd.from_items([{"walk_id": w, "step": s, "url": u}
+                        for w, s, u in rows])
+    got = sorted((r["center"], r["context"], r["n_pairs"]) for r in
+                 skipgram_pairs(ds, window=2).take_all())
+    vals = ", ".join(f"({w}, {s}, '{u}')" for w, s, u in rows)
+    want = sorted(map(tuple, duckdb.sql(skipgram_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(walk_id, step, url)",
+        window=2)).fetchall()))
+    assert got == want
+    # windows never cross walks; the 1-row walk emits nothing
+    assert all(c != "solo" and x != "solo" for c, x, _ in got)
+    got_by = {(c, x): n for c, x, n in got}
+    # 'a' occurs at steps 0 AND 3, both within 2 of b(1) — symmetric
+    assert got_by[("a", "b")] == 2 and got_by[("b", "a")] == 2
+    assert got_by[("a", "c")] == 2 and got_by[("c", "b")] == 1
+
+
+def test_skipgram_pairs_partition_invariance(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from pdf2dom_ray.functions.walks import skipgram_pairs
+    rng = np.random.RandomState(53)
+    rows = [(int(w), int(s), f"n{rng.randint(0, 9)}")
+            for w in range(20) for s in range(6)]
+    ds = rd.from_items([{"walk_id": w, "step": s, "url": u}
+                        for w, s, u in rows])
+    want = sorted((r["center"], r["context"], r["n_pairs"]) for r in
+                  skipgram_pairs(ds, window=2,
+                                 num_partitions=1).take_all())
+    for n_part in (2, 5):
+        got = sorted((r["center"], r["context"], r["n_pairs"]) for r in
+                     skipgram_pairs(ds, window=2,
+                                    num_partitions=n_part).take_all())
+        assert got == want, n_part
