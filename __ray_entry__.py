@@ -382,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_host_rank": _q_page_host_rank,
         "related_cocitation": _q_related_cocitation,
         "related_coupling": _q_related_coupling,
+        "related_topk": _q_related_topk,
         "crawl_priority": _q_crawl_priority,
         "link_degree_stats": _q_link_degree_stats,
         "graph_walks": _q_graph_walks,
@@ -592,6 +593,7 @@ def oracle_sql() -> dict[str, str]:
         "page_host_rank": _page_host_rank_sql(),
         "related_cocitation": _cocitation_sql("cocitation"),
         "related_coupling": _cocitation_sql("coupling"),
+        "related_topk": _related_topk_sql(),
         "crawl_priority": _crawl_priority_sql(),
         "link_degree_stats": _link_degree_stats_sql(),
         "graph_walks": _graph_walks_sql(),
@@ -2325,6 +2327,48 @@ def _q_related_cocitation(sf_dir: str):
                                                     synth_html_pages)
     return cocitation(extract_outlinks_ds(synth_html_pages(sf_dir)),
                       max_fanout=_COCITE_CAP, min_count=_COCITE_MIN)
+
+
+_RELATED_K = 5
+
+
+def _related_topk_sql() -> str:
+    return f"""
+        WITH pairs AS ({_cocitation_sql("cocitation")}),
+        sym AS (SELECT a AS page, b AS related, n_common FROM pairs
+                UNION ALL
+                SELECT b, a, n_common FROM pairs),
+        rk AS (SELECT page, related, n_common,
+                      row_number() OVER (
+                          PARTITION BY page
+                          ORDER BY n_common DESC, related) AS rank
+               FROM sym)
+        SELECT page, related, n_common, CAST(rank AS BIGINT) AS rank
+        FROM rk WHERE rank <= {_RELATED_K}"""
+
+
+def _q_related_topk(sf_dir: str):
+    """The 'related pages' API surface: the co-citation pair table
+    symmetrized and cut to each page's top-{k} most co-cited
+    neighbors (functions/topk.py grouped_topk — per-batch partial
+    cut bounds the exchange at k rows per group per batch)."""
+    import pandas as pd
+    from pdf2dom_ray.functions.cocitation import cocitation
+    from pdf2dom_ray.functions.topk import grouped_topk
+    from pdf2dom_ray.pipelines.html_extract import (extract_outlinks_ds,
+                                                    synth_html_pages)
+    pairs = cocitation(extract_outlinks_ds(synth_html_pages(sf_dir)),
+                       max_fanout=_COCITE_CAP, min_count=_COCITE_MIN)
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        fwd = df.rename(columns={"a": "page", "b": "related"})
+        rev = df.rename(columns={"a": "related", "b": "page"})
+        return pd.concat([fwd, rev], ignore_index=True)[
+            ["page", "related", "n_common"]]
+
+    return grouped_topk(pairs.map_batches(sym, batch_format="pandas"),
+                        "page", ["n_common", "related"],
+                        [False, True], _RELATED_K)
 
 
 def _q_related_coupling(sf_dir: str):
