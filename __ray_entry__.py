@@ -388,6 +388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_walks": _q_graph_walks,
         "graph_walks_bsp": _q_graph_walks_bsp,
         "skipgram_pairs": _q_skipgram_pairs,
+        "node2vec_walks": _q_node2vec_walks,
         "warc_extract": _q_warc_extract,
         "web_pipeline": _q_web_pipeline,
         "corpus_sample": _q_corpus_sample,
@@ -599,6 +600,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_walks": _graph_walks_sql(),
         "graph_walks_bsp": _graph_walks_sql(),
         "skipgram_pairs": _skipgram_sql(),
+        "node2vec_walks": _node2vec_sql(),
         "corpus_sample": _sample_sql(),
         # planted mess: ' Cafe'+chr(769)+'  '+chr(7)+' fin' (see
         # _MESS_SUFFIX); NFC composes the accent, the BEL is stripped,
@@ -2241,6 +2243,28 @@ def _q_skipgram_pairs(sf_dir: str):
     walks = random_walks(_host_link_edges(sf_dir),
                          _graph_walk_seeds(sf_dir), length=8)
     return skipgram_pairs(walks, window=2)
+
+
+_N2V = {"wp": 1, "w1": 4, "wq": 2, "length": 6}
+
+
+def _node2vec_sql() -> str:
+    from pdf2dom_ray.functions.walks import node2vec_oracle_sql
+    seeds = (f"SELECT doc_id AS walk_id, {_hg_url_sql('doc_id')} AS url "
+             f"FROM documents WHERE doc_id % 5 = 0")
+    return node2vec_oracle_sql(_host_edges_sql(), seeds, **_N2V)
+
+
+def _q_node2vec_walks(sf_dir: str):
+    """node2vec second-order biased walks (Grover & Leskovec 2016,
+    integer weights wp:w1:wq = 1:4:2 ≈ p=4, q=2 — a BFS-leaning
+    neighborhood) over the multi-host URL digraph
+    (functions/walks.py node2vec_walks): broadcast CSR + edge-code
+    set, walker chunks fanned out as tasks, md5 cumulative-weight
+    ladder replayed exactly by the unrolled oracle."""
+    from pdf2dom_ray.functions.walks import node2vec_walks
+    return node2vec_walks(_host_link_edges(sf_dir),
+                          _graph_walk_seeds(sf_dir), **_N2V)
 
 
 def _q_crawl_priority(sf_dir: str):

@@ -190,7 +190,8 @@ def run_bench() -> dict:
                  "url_templates", "crawl_priority",
                  "link_degree_stats", "link_hopplot",
                  "anchor_doc_profile", "graph_walks",
-                 "skipgram_pairs", "related_topk"):
+                 "skipgram_pairs", "related_topk",
+                 "node2vec_walks"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

@@ -55,7 +55,8 @@ import ray.data as rd
 
 __all__ = ["random_walks", "random_walks_reference",
            "walks_oracle_sql", "skipgram_pairs",
-           "skipgram_oracle_sql"]
+           "skipgram_oracle_sql", "node2vec_walks",
+           "node2vec_reference", "node2vec_oracle_sql"]
 
 
 def _draw(salt: str, walk_id: int, step: int, url) -> int:
@@ -282,6 +283,233 @@ def _walks_bsp(e: rd.Dataset, seeds, length: int, salt: str,
 
     return rd.from_arrow_refs([concat.remote(*emits[q])
                                for q in range(P)])
+
+
+def _draw4(salt: str, walk_id: int, step: int, url) -> int:
+    """Four-hex-digit draw (0..65535) — the 2nd-order walk's totals
+    exceed 256, so the biased pick needs the wider SQL-replayable
+    range."""
+    return int(hashlib.md5(
+        f"{salt}:{walk_id}:{step}:{url}".encode()).hexdigest()[:4], 16)
+
+
+def node2vec_walks(edges: rd.Dataset, seeds, *, length: int = 8,
+                   wp: int = 1, w1: int = 2, wq: int = 1,
+                   salt: str = "n2v",
+                   driver_edge_limit: int = 5_000_000,
+                   chunk: int = 4096) -> rd.Dataset:
+    """node2vec (Grover & Leskovec 2016) second-order biased walks:
+    from current node ``cur`` with previous node ``prev``, candidate
+    out-neighbor ``x`` (target-ascending) draws weight
+
+        wp  if x = prev                (return,   the paper's 1/p)
+        w1  if (prev, x) is an edge    (BFS-ish,  the paper's 1)
+        wq  otherwise                  (DFS-ish,  the paper's 1/q)
+
+    as INTEGERS (pass the paper's 1/p : 1 : 1/q ratios scaled by a
+    common denominator), picked by a four-hex-digit md5 draw modulo
+    the weight total against the cumulative-weight ladder — exactly
+    replayable by the unrolled DuckDB oracle (``node2vec_oracle_sql``).
+    Step 0 (no prev) uses ``random_walks``' uniform two-hex rule.
+    Output (walk_id, step, url), truncated at dangling nodes.
+
+    Scale shape: the second-order bias needs adjacency tests against
+    PREV's edge set, so the wired distributed path broadcasts the
+    CSR + a sorted edge-code array once (``ray.put``) and fans walker
+    CHUNKS out as tasks — the standard practice while the graph fits
+    the object store (DeepWalk-era systems and DGL/PyG samplers do
+    the same); beyond-memory graphs take KnightKing-style rejection
+    sampling on the walker-scatter loop (``_walks_bsp``'s shape), the
+    documented extension. Below ``driver_edge_limit`` the same
+    arithmetic runs in-process."""
+    from .pagerank import _thin
+
+    seeds = sorted({(int(w), u) for w, u in seeds})
+    thin = _thin(edges, ["src", "target"]).materialize()
+    n_thin = thin.count()
+    if n_thin == 0 or not seeds:
+        return rd.from_arrow(pa.table({
+            "walk_id": pa.array([w for w, _ in seeds], pa.int64()),
+            "step": pa.array([0] * len(seeds), pa.int64()),
+            "url": pa.array([u for _, u in seeds], pa.string())}))
+
+    @ray.remote
+    def build(*blocks):
+        t = pa.concat_tables([b for b in blocks if b.num_columns])
+        src = np.asarray(t.column("src").to_pandas(), dtype=object)
+        tgt = np.asarray(t.column("target").to_pandas(), dtype=object)
+        urls, offsets, nbr = _local_csr(src, tgt)
+        # sorted global edge codes for the O(log m) prev→x test
+        si = np.repeat(np.arange(len(urls), dtype=np.int64),
+                       np.diff(offsets))
+        codes = si * len(urls) + nbr
+        return urls, offsets, nbr, np.sort(codes)
+
+    def run_chunk(graph, chunk_seeds):
+        urls, offsets, nbr, codes = graph
+        n = len(urls)
+        out_w, out_s, out_u = [], [], []
+        for w, u in chunk_seeds:
+            out_w.append(w)
+            out_s.append(0)
+            out_u.append(u)
+            p = int(np.searchsorted(urls, u))
+            if p >= n or urls[p] != u:
+                continue
+            prev = -1
+            cur = p
+            for k in range(length):
+                lo, hi = offsets[cur], offsets[cur + 1]
+                if hi <= lo:
+                    break
+                cand = nbr[lo:hi]
+                if prev < 0:
+                    j = cand[_draw(salt, w, k, urls[cur])
+                             % (hi - lo)]
+                else:
+                    wt = np.full(len(cand), wq, dtype=np.int64)
+                    pe = prev * n + cand
+                    pos = np.searchsorted(codes, pe)
+                    pos = np.minimum(pos, len(codes) - 1)
+                    wt[codes[pos] == pe] = w1
+                    wt[cand == prev] = wp
+                    cs = np.cumsum(wt)
+                    r = _draw4(salt, w, k, urls[cur]) % int(cs[-1])
+                    j = cand[int(np.searchsorted(cs, r, side="right"))]
+                prev, cur = cur, int(j)
+                out_w.append(w)
+                out_s.append(k + 1)
+                out_u.append(str(urls[cur]))
+        return pa.table({
+            "walk_id": pa.array(np.asarray(out_w, dtype=np.int64),
+                                pa.int64()),
+            "step": pa.array(np.asarray(out_s, dtype=np.int64),
+                             pa.int64()),
+            "url": pa.array([str(u) for u in out_u], pa.string())})
+
+    graph_ref = build.remote(*thin.to_arrow_refs())
+    if n_thin <= driver_edge_limit and len(seeds) <= chunk:
+        return rd.from_arrow(run_chunk(ray.get(graph_ref), seeds))
+
+    @ray.remote
+    def chunk_task(graph, chunk_seeds) -> pa.Table:
+        return run_chunk(graph, chunk_seeds)
+
+    refs = [chunk_task.remote(graph_ref, seeds[i:i + chunk])
+            for i in range(0, len(seeds), chunk)]
+    return rd.from_arrow_refs(refs)
+
+
+def node2vec_reference(edge_list, seeds, *, length: int = 8,
+                       wp: int = 1, w1: int = 2, wq: int = 1,
+                       salt: str = "n2v") -> list[tuple]:
+    """Pure-Python reference (tests): sorted (walk_id, step, url)."""
+    e = sorted(set(edge_list))
+    eset = set(e)
+    adj: dict = {}
+    for u, v in e:
+        adj.setdefault(u, [])
+        if v not in adj[u]:
+            adj[u].append(v)
+    for u in adj:
+        adj[u].sort()
+    rows = []
+    for w, u in sorted({(int(w), u) for w, u in seeds}):
+        rows.append((w, 0, u))
+        prev, cur = None, u
+        for k in range(length):
+            nbrs = adj.get(cur, [])
+            if not nbrs:
+                break
+            if prev is None:
+                nxt = nbrs[_draw(salt, w, k, cur) % len(nbrs)]
+            else:
+                wts = [wp if x == prev else
+                       w1 if (prev, x) in eset else wq for x in nbrs]
+                r = _draw4(salt, w, k, cur) % sum(wts)
+                cs = 0
+                for x, wt in zip(nbrs, wts):
+                    cs += wt
+                    if r < cs:
+                        nxt = x
+                        break
+            prev, cur = cur, nxt
+            rows.append((w, k + 1, cur))
+    return sorted(rows)
+
+
+_HEX4_SQL = ("((strpos('0123456789abcdef', substr(md5({x}), 1, 1)) - 1)"
+             " * 4096 +"
+             " (strpos('0123456789abcdef', substr(md5({x}), 2, 1)) - 1)"
+             " * 256 +"
+             " (strpos('0123456789abcdef', substr(md5({x}), 3, 1)) - 1)"
+             " * 16 +"
+             " strpos('0123456789abcdef', substr(md5({x}), 4, 1)) - 1)")
+
+
+def node2vec_oracle_sql(edges_cte: str, seeds_cte: str, *,
+                        length: int = 8, wp: int = 1, w1: int = 2,
+                        wq: int = 1, salt: str = "n2v") -> str:
+    """Unrolled DuckDB twin: per step a candidate join, CASE weights,
+    a cumulative-weight window, and the md5 ladder pick. Every
+    per-step CTE is AS MATERIALIZED (CLAUDE.md invariant)."""
+    parts = [f"""
+        WITH raw_e AS ({edges_cte}),
+        e AS (SELECT DISTINCT src, target FROM raw_e),
+        adj AS (SELECT src, target,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY target) - 1 AS rk
+                FROM e),
+        od AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+               FROM e GROUP BY src),
+        w0 AS MATERIALIZED (
+            SELECT DISTINCT CAST(walk_id AS BIGINT) AS walk_id,
+                   CAST(NULL AS VARCHAR) AS prev, url
+            FROM ({seeds_cte}) s)"""]
+    for k in range(length):
+        h2 = _HEX2_SQL.format(
+            x=f"'{salt}:' || CAST(w.walk_id AS VARCHAR) || "
+              f"':{k}:' || w.url")
+        h4 = _HEX4_SQL.format(
+            x=f"'{salt}:' || CAST(c.walk_id AS VARCHAR) || "
+              f"':{k}:' || c.cur")
+        parts.append(f""",
+        u{k} AS MATERIALIZED (
+            -- no-prev walkers: uniform two-hex draw
+            SELECT w.walk_id, w.url AS prev, a.target AS url
+            FROM w{k} w
+            JOIN od o ON w.url = o.src
+            JOIN adj a ON a.src = w.url
+                       AND a.rk = {h2} % o.d
+            WHERE w.prev IS NULL),
+        c{k} AS MATERIALIZED (
+            SELECT w.walk_id, w.url AS cur, a.target AS x,
+                   CAST(CASE WHEN a.target = w.prev THEN {wp}
+                        WHEN EXISTS (SELECT 1 FROM e pe
+                                     WHERE pe.src = w.prev
+                                       AND pe.target = a.target)
+                        THEN {w1} ELSE {wq} END AS BIGINT) AS wt
+            FROM w{k} w JOIN adj a ON a.src = w.url
+            WHERE w.prev IS NOT NULL),
+        b{k} AS MATERIALIZED (
+            SELECT c.walk_id, c.cur AS prev, c.x AS url,
+                   SUM(c.wt) OVER (PARTITION BY c.walk_id
+                                   ORDER BY c.x
+                                   ROWS UNBOUNDED PRECEDING) AS cs,
+                   SUM(c.wt) OVER (PARTITION BY c.walk_id) AS tot,
+                   c.wt, {h4} AS h
+            FROM c{k} c),
+        w{k + 1} AS MATERIALIZED (
+            SELECT walk_id, prev, url FROM u{k}
+            UNION ALL
+            SELECT walk_id, prev, url FROM b{k}
+            WHERE h % tot >= cs - wt AND h % tot < cs)""")
+    levels = "\n        UNION ALL ".join(
+        f"SELECT walk_id, CAST({k} AS BIGINT) AS step, url FROM w{k}"
+        for k in range(length + 1))
+    parts.append(f"""
+        {levels}""")
+    return "".join(parts)
 
 
 def skipgram_pairs(walks: rd.Dataset, *, window: int = 2,

@@ -125,3 +125,56 @@ def test_skipgram_pairs_partition_invariance(ray_session):
                      skipgram_pairs(ds, window=2,
                                     num_partitions=n_part).take_all())
         assert got == want, n_part
+
+
+@pytest.mark.parametrize("limit", [5_000_000, 0])
+def test_node2vec_matches_reference_both_paths(ray_session, limit):
+    from pdf2dom_ray.functions.walks import (node2vec_reference,
+                                             node2vec_walks)
+    got = sorted((r["walk_id"], r["step"], r["url"]) for r in
+                 node2vec_walks(_ds(EDGES + [("a", "b")]), SEEDS,
+                                length=6, wp=1, w1=4, wq=2,
+                                driver_edge_limit=limit).take_all())
+    want = node2vec_reference(EDGES, SEEDS, length=6,
+                              wp=1, w1=4, wq=2)
+    assert got == want
+
+
+def test_node2vec_bias_shifts_distribution(ray_session):
+    """With a huge return weight the walk ping-pongs; with a huge
+    out-weight it explores — the bias must actually bite."""
+    from pdf2dom_ray.functions.walks import node2vec_reference
+    star = [("h", f"l{i}") for i in range(4)] + \
+           [(f"l{i}", "h") for i in range(4)]
+    seeds = [(i, "h") for i in range(40)]
+    back = node2vec_reference(star, seeds, length=4,
+                              wp=10_000, w1=1, wq=1)
+    away = node2vec_reference(star, seeds, length=4,
+                              wp=1, w1=1, wq=10_000)
+    def returns(rows):
+        pos = {(w, s): u for w, s, u in rows}
+        return sum(1 for (w, s), u in pos.items()
+                   if s >= 2 and u == pos.get((w, s - 2)))
+    assert returns(back) > returns(away)
+
+
+def test_node2vec_oracle_sql_matches(ray_session):
+    import duckdb
+    import numpy as np
+    from pdf2dom_ray.functions.walks import (node2vec_oracle_sql,
+                                             node2vec_walks)
+    rng = np.random.RandomState(59)
+    pairs = rng.randint(0, 20, size=(120, 2))
+    rows = [(f"n{u}", f"n{v}") for u, v in pairs]
+    seeds = [(i, f"n{i}") for i in range(0, 20, 2)]
+    got = sorted((r["walk_id"], r["step"], r["url"]) for r in
+                 node2vec_walks(_ds(rows), seeds, length=4,
+                                wp=3, w1=5, wq=1).take_all())
+    vals = ", ".join(f"('n{u}', 'n{v}')" for u, v in pairs)
+    seed_vals = ", ".join(f"({w}, '{u}')" for w, u in seeds)
+    sql = node2vec_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, target)",
+        f"SELECT * FROM (VALUES {seed_vals}) AS s(walk_id, url)",
+        length=4, wp=3, w1=5, wq=1)
+    want = sorted(map(tuple, duckdb.sql(sql).fetchall()))
+    assert got == want
