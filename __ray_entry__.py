@@ -376,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salsa_scores": _q_salsa,
         "salsa_bsp": _q_salsa_bsp,
         "host_graph": _q_host_graph,
+        "host_components": _q_host_components,
         "host_rank": _q_host_rank,
         "host_rank_weighted": _q_host_rank_weighted,
         "host_rank_weighted_bsp": _q_host_rank_weighted_bsp,
@@ -588,6 +589,7 @@ def oracle_sql() -> dict[str, str]:
         "salsa_scores": _salsa_sql(),
         "salsa_bsp": _salsa_sql(),
         "host_graph": _host_graph_sql(),
+        "host_components": _host_components_sql(),
         "host_rank": _host_rank_sql(),
         "host_rank_weighted": _host_rank_weighted_sql(),
         "host_rank_weighted_bsp": _host_rank_weighted_sql(),
@@ -2140,6 +2142,32 @@ def _host_rank_weighted_sql() -> str:
                  f"FROM ({_host_edges_sql()}) he GROUP BY 1, 2")
     pr = weighted_pagerank_oracle_sql(collapsed, iterations=5)
     return f"SELECT url AS host, rank FROM ({pr}) whr"
+
+
+def _host_components_sql() -> str:
+    from pdf2dom_ray.functions.ccomp import cc_oracle_sql
+    from pdf2dom_ray.functions.hostgraph import _HOST_SQL_EXPR
+    s = _HOST_SQL_EXPR.format(col="src")
+    t = _HOST_SQL_EXPR.format(col="target")
+    he = (f"SELECT {s} AS src, {t} AS target "
+          f"FROM ({_host_edges_sql()}) hce")
+    return cc_oracle_sql(he, rounds=4)
+
+
+def _q_host_components(sf_dir: str):
+    """Connected components over the COLLAPSED host graph — the
+    site-cluster substrate mirror/duplicate-domain policies act on
+    (composition: host_collapse → cc_labels; the component runs on a
+    graph ~1000x smaller than the URL graph that produced it)."""
+    from pdf2dom_ray.functions.ccomp import cc_labels
+    from pdf2dom_ray.functions.dedup import join_ready
+    from pdf2dom_ray.functions.hostgraph import host_collapse
+    from pdf2dom_ray.functions.pagerank import _n_partitions
+    he = join_ready(host_collapse(_host_link_edges(sf_dir)),
+                    _n_partitions()) \
+        .select_columns(["src_host", "target_host"]) \
+        .rename_columns({"src_host": "src", "target_host": "target"})
+    return cc_labels(he, rounds=4)
 
 
 def _q_host_rank_weighted(sf_dir: str):
