@@ -448,6 +448,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_ball_hll_bsp": _q_link_ball_hll_bsp,
         "link_hopplot": _q_link_hopplot,
         "link_hopplot_bsp": _q_link_hopplot_bsp,
+        "link_katz": _q_link_katz,
+        "link_katz_bsp": _q_link_katz_bsp,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
         "hashed_features": _q_hashed_features,
@@ -1141,6 +1143,8 @@ def oracle_sql() -> dict[str, str]:
         "link_harmonic": _harmonic_sql(),
         "link_hopplot": _hopplot_sql(),
         "link_hopplot_bsp": _hopplot_sql(),
+        "link_katz": _katz_sql(),
+        "link_katz_bsp": _katz_sql(),
         "link_harmonic_bsp": _harmonic_sql(),
         "link_ball_hll": _hyperball_sql(),
         "link_ball_hll_bsp": _hyperball_sql(),
@@ -3707,6 +3711,43 @@ def _q_link_hopplot_bsp(sf_dir: str):
     from pdf2dom_ray.functions.hopplot import neighborhood_function
     return neighborhood_function(_bfs_edges(sf_dir), radius=4,
                                  driver_edge_limit=0)
+
+
+def _katz_sql() -> str:
+    """Unrolled 5-iteration Katz recurrence over the same synthetic
+    digraph rule as ``_bfs_edges`` (functions/katz.py::katz_oracle_sql;
+    every per-round CTE AS MATERIALIZED per CLAUDE.md)."""
+    from pdf2dom_ray.functions.katz import katz_oracle_sql
+    edges = """
+        SELECT doc_id AS src,
+               CAST((2 * doc_id + 1) % (SELECT count(*) FROM documents)
+                    AS BIGINT) AS target
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               CAST((3 * doc_id + 7) % (SELECT count(*) FROM documents)
+                    AS BIGINT)
+        FROM documents"""
+    return katz_oracle_sql(edges, iterations=5)
+
+
+def _q_link_katz(sf_dir: str):
+    """Katz centrality (α=0.15, 5 bounded iterations, fixed-point
+    int64) over the synthetic digraph — damped all-walk influence,
+    the out-degree-blind complement to PageRank for link-mass
+    analysis (functions/katz.py; BSP scale path shares graphbsp's
+    machinery and needs no per-iteration driver sync)."""
+    from pdf2dom_ray.functions.katz import katz_centrality
+    return katz_centrality(_bfs_edges(sf_dir), iterations=5)
+
+
+def _q_link_katz_bsp(sf_dir: str):
+    """The Katz BSP scale path under external check (driver path
+    disabled) — hash-matches the same unrolled oracle because the
+    int64 floor arithmetic is order-independent."""
+    from pdf2dom_ray.functions.katz import katz_centrality
+    return katz_centrality(_bfs_edges(sf_dir), iterations=5,
+                           driver_edge_limit=0)
 
 
 def _q_link_ball_hll(sf_dir: str):
