@@ -450,6 +450,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_hopplot_bsp": _q_link_hopplot_bsp,
         "link_katz": _q_link_katz,
         "link_katz_bsp": _q_link_katz_bsp,
+        "redirect_resolve": _q_redirect_resolve,
+        "redirect_resolve_bsp": _q_redirect_resolve_bsp,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
         "hashed_features": _q_hashed_features,
@@ -1145,6 +1147,8 @@ def oracle_sql() -> dict[str, str]:
         "link_hopplot_bsp": _hopplot_sql(),
         "link_katz": _katz_sql(),
         "link_katz_bsp": _katz_sql(),
+        "redirect_resolve": _redirect_sql(),
+        "redirect_resolve_bsp": _redirect_sql(),
         "link_harmonic_bsp": _harmonic_sql(),
         "link_ball_hll": _hyperball_sql(),
         "link_ball_hll_bsp": _hyperball_sql(),
@@ -3748,6 +3752,54 @@ def _q_link_katz_bsp(sf_dir: str):
     from pdf2dom_ray.functions.katz import katz_centrality
     return katz_centrality(_bfs_edges(sf_dir), iterations=5,
                            driver_edge_limit=0)
+
+
+def _redirect_edges(sf_dir: str):
+    """Deterministic redirect map over the document ids: every id not
+    a multiple of 16 redirects to id−1, so chains run toward the
+    previous multiple of 16 (length ≤ 15 = within 2⁴ doubling rounds);
+    the SQL twin generates the same rows."""
+    import ray.data as rd
+
+    def build(t: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        src = ids[ids % 16 != 0]
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "target": pa.array(src - 1, pa.int64())})
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).map_batches(
+        build, batch_format="pyarrow")
+
+
+def _redirect_sql() -> str:
+    """Unrolled 4-round pointer doubling over the same redirect rule
+    as ``_redirect_edges`` (functions/redirects.py::redirect_oracle_sql;
+    every per-round CTE AS MATERIALIZED per CLAUDE.md)."""
+    from pdf2dom_ray.functions.redirects import redirect_oracle_sql
+    edges = """
+        SELECT doc_id AS src, CAST(doc_id - 1 AS BIGINT) AS target
+        FROM documents WHERE doc_id % 16 <> 0"""
+    return redirect_oracle_sql(edges, rounds=4)
+
+
+def _q_redirect_resolve(sf_dir: str):
+    """Redirect-chain resolution (pointer doubling, 4 rounds ⇒ chains
+    ≤ 16 hops) over the synthetic redirect map — CDX-style final-URL
+    + hop-count election (functions/redirects.py; the BSP scale path
+    runs P ask/answer/apply raw tasks per round over graphbsp
+    shards)."""
+    from pdf2dom_ray.functions.redirects import resolve_redirects
+    return resolve_redirects(_redirect_edges(sf_dir), rounds=4)
+
+
+def _q_redirect_resolve_bsp(sf_dir: str):
+    """The redirect BSP scale path under external check (driver path
+    disabled) — hash-matches the same unrolled oracle because the
+    doubling recurrence is deterministic and synchronous."""
+    from pdf2dom_ray.functions.redirects import resolve_redirects
+    return resolve_redirects(_redirect_edges(sf_dir), rounds=4,
+                             driver_edge_limit=0)
 
 
 def _q_link_ball_hll(sf_dir: str):

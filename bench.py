@@ -191,7 +191,8 @@ def run_bench() -> dict:
                  "link_degree_stats", "link_hopplot",
                  "anchor_doc_profile", "graph_walks",
                  "skipgram_pairs", "related_topk",
-                 "node2vec_walks", "link_katz"):
+                 "node2vec_walks", "link_katz",
+                 "redirect_resolve"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
