@@ -452,6 +452,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_katz_bsp": _q_link_katz_bsp,
         "redirect_resolve": _q_redirect_resolve,
         "redirect_resolve_bsp": _q_redirect_resolve_bsp,
+        "link_bowtie": _q_link_bowtie,
+        "link_bowtie_bsp": _q_link_bowtie_bsp,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
         "hashed_features": _q_hashed_features,
@@ -1149,6 +1151,8 @@ def oracle_sql() -> dict[str, str]:
         "link_katz_bsp": _katz_sql(),
         "redirect_resolve": _redirect_sql(),
         "redirect_resolve_bsp": _redirect_sql(),
+        "link_bowtie": _bowtie_sql(),
+        "link_bowtie_bsp": _bowtie_sql(),
         "link_harmonic_bsp": _harmonic_sql(),
         "link_ball_hll": _hyperball_sql(),
         "link_ball_hll_bsp": _hyperball_sql(),
@@ -3800,6 +3804,43 @@ def _q_redirect_resolve_bsp(sf_dir: str):
     from pdf2dom_ray.functions.redirects import resolve_redirects
     return resolve_redirects(_redirect_edges(sf_dir), rounds=4,
                              driver_edge_limit=0)
+
+
+def _bowtie_sql() -> str:
+    """Two unrolled 6-round BFS reaches + class CASE over the same
+    synthetic digraph rule as ``_bfs_edges``
+    (functions/bowtie.py::bowtie_oracle_sql)."""
+    from pdf2dom_ray.functions.bowtie import bowtie_oracle_sql
+    edges = """
+        SELECT doc_id AS src,
+               CAST((2 * doc_id + 1) % (SELECT count(*) FROM documents)
+                    AS BIGINT) AS target
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               CAST((3 * doc_id + 7) % (SELECT count(*) FROM documents)
+                    AS BIGINT)
+        FROM documents"""
+    return bowtie_oracle_sql(edges, "SELECT CAST(0 AS BIGINT) AS node",
+                             rounds=6)
+
+
+def _q_link_bowtie(sf_dir: str):
+    """Bow-tie census (Broder 2000 FW-BW pivot step, 6 bounded
+    rounds): SCC/IN/OUT/OTHER classes around node 0 of the synthetic
+    digraph — the structural web census (functions/bowtie.py; two
+    bfs passes + one tag-sum groupby, no joins)."""
+    from pdf2dom_ray.functions.bowtie import bowtie_classify
+    return bowtie_classify(_bfs_edges(sf_dir), 0, rounds=6)
+
+
+def _q_link_bowtie_bsp(sf_dir: str):
+    """The bow-tie composition with both BFS passes forced onto the
+    BSP scale path (driver path disabled) — hash-matches the same
+    oracle because min-plus relaxation is order-independent."""
+    from pdf2dom_ray.functions.bowtie import bowtie_classify
+    return bowtie_classify(_bfs_edges(sf_dir), 0, rounds=6,
+                           driver_edge_limit=0)
 
 
 def _q_link_ball_hll(sf_dir: str):
