@@ -454,6 +454,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redirect_resolve_bsp": _q_redirect_resolve_bsp,
         "link_bowtie": _q_link_bowtie,
         "link_bowtie_bsp": _q_link_bowtie_bsp,
+        "link_closeness": _q_link_closeness,
+        "link_closeness_bsp": _q_link_closeness_bsp,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
         "hashed_features": _q_hashed_features,
@@ -1153,6 +1155,8 @@ def oracle_sql() -> dict[str, str]:
         "redirect_resolve_bsp": _redirect_sql(),
         "link_bowtie": _bowtie_sql(),
         "link_bowtie_bsp": _bowtie_sql(),
+        "link_closeness": _closeness_sql(),
+        "link_closeness_bsp": _closeness_sql(),
         "link_harmonic_bsp": _harmonic_sql(),
         "link_ball_hll": _hyperball_sql(),
         "link_ball_hll_bsp": _hyperball_sql(),
@@ -2607,6 +2611,44 @@ def _harmonic_sql() -> str:
                     AS BIGINT)
         FROM documents"""
     return harmonic_oracle_sql(edges, radius=4)
+
+
+def _closeness_sql() -> str:
+    """Unrolled radius-4 reach growth with distance-weighted deltas
+    over the same synthetic digraph rule as ``_bfs_edges``
+    (functions/closeness.py::closeness_oracle_sql; every per-level
+    CTE AS MATERIALIZED per CLAUDE.md)."""
+    from pdf2dom_ray.functions.closeness import closeness_oracle_sql
+    edges = """
+        SELECT doc_id AS src,
+               CAST((2 * doc_id + 1) % (SELECT count(*) FROM documents)
+                    AS BIGINT) AS target
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               CAST((3 * doc_id + 7) % (SELECT count(*) FROM documents)
+                    AS BIGINT)
+        FROM documents"""
+    return closeness_oracle_sql(edges, radius=4)
+
+
+def _q_link_closeness(sf_dir: str):
+    """Bounded-radius closeness components (reached count + total
+    distance, exact int64 bitset balls, radius 4) over the synthetic
+    digraph — the un-divided integer numerators/denominators of
+    classic closeness and Lin's index (functions/closeness.py;
+    shares harmonic.py's HyperBall-style machinery)."""
+    from pdf2dom_ray.functions.closeness import closeness_centrality
+    return closeness_centrality(_bfs_edges(sf_dir), radius=4)
+
+
+def _q_link_closeness_bsp(sf_dir: str):
+    """The closeness BSP scale path under external check (driver path
+    disabled) — hash-matches the same unrolled oracle because bitset
+    OR-merge and int64 count deltas are order-independent."""
+    from pdf2dom_ray.functions.closeness import closeness_centrality
+    return closeness_centrality(_bfs_edges(sf_dir), radius=4,
+                                driver_edge_limit=0)
 
 
 def _hyperball_sql() -> str:

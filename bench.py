@@ -192,7 +192,8 @@ def run_bench() -> dict:
                  "anchor_doc_profile", "graph_walks",
                  "skipgram_pairs", "related_topk",
                  "node2vec_walks", "link_katz",
-                 "redirect_resolve", "link_bowtie"):
+                 "redirect_resolve", "link_bowtie",
+                 "link_closeness"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
