@@ -404,6 +404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_unshipped_orders": _q_top_unshipped,
         "returned_items": _q_returned_items,
         "late_shipments": _q_late_shipments,
+        "forecast_revenue": _q_forecast_revenue,
         "local_supplier_volume": _q_local_supplier_volume,
         "customer_distribution": _q_customer_distribution,
         "length_percentiles": _q_length_percentiles,
@@ -1772,6 +1773,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         # unbounded-preceding running totals per user; integer cents so
         # the cumulative sum is partitioning-independent
+        "forecast_revenue": """
+            SELECT CAST(SUM(CAST(floor(l_extendedprice * l_discount
+                                       * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
         "late_shipments": """
             SELECT CASE WHEN l_shipdate <= o_orderdate
                              + INTERVAL 120 DAY
@@ -3117,6 +3129,14 @@ def _q_late_shipments(sf_dir: str):
     late lines bucketed by delay, high/low priority counts."""
     from pdf2dom_ray.pipelines.tpch import q12_late_shipments
     return q12_late_shipments(sf_dir)
+
+
+def _q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: pure scan-filter-aggregate with EVERY predicate
+    pushed into the Arrow reader (row-group pruning at storage) —
+    zero exchanges, per-batch int64 partials, driver scalar fold."""
+    from pdf2dom_ray.pipelines.tpch import q6_forecast_revenue
+    return q6_forecast_revenue(sf_dir)
 
 
 def _q_inter_event_gaps(sf_dir: str):

@@ -193,7 +193,7 @@ def run_bench() -> dict:
                  "skipgram_pairs", "related_topk",
                  "node2vec_walks", "link_katz",
                  "redirect_resolve", "link_bowtie",
-                 "link_closeness"):
+                 "link_closeness", "forecast_revenue"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

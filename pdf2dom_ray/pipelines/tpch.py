@@ -38,7 +38,7 @@ from ray.data.aggregate import Sum
 
 __all__ = ["q3_top_unshipped", "q5_local_supplier_volume",
            "q13_customer_distribution", "q10_returned_items",
-           "q12_late_shipments"]
+           "q12_late_shipments", "q6_forecast_revenue"]
 
 
 def _n_partitions() -> int:
@@ -930,3 +930,48 @@ def q12_late_shipments(sf_dir: str, *, late_days: int = 60,
     merged["high_line_count"] = merged["high_line_count"].astype("int64")
     merged["low_line_count"] = merged["low_line_count"].astype("int64")
     return rd.from_pandas(merged)
+
+
+def q6_forecast_revenue(sf_dir: str, *, year: int = 1996,
+                        disc_lo: float = 0.05, disc_hi: float = 0.07,
+                        qty_below: float = 24.0) -> rd.Dataset:
+    """TPC-H Q6 shape: the pure scan-filter-aggregate — forecast
+    revenue change from discount elimination.
+
+    Distributed shape: every predicate is PUSHED INTO THE SCAN
+    (``read_parquet(filter=...)`` → Arrow row-group pruning at
+    storage — non-matching rows never enter the object store; the
+    complement of the column pruning), then each batch collapses to a
+    single (revenue_cents, n_lines) int64 partial and the driver folds
+    O(blocks) scalar rows. No exchange at all — the op every engine
+    uses to measure raw scan bandwidth, which is exactly what it
+    measures here too. Integer cents (floor(price·discount·100), the
+    Q3 convention) keep the oracle hash exact."""
+    import pyarrow.dataset as pads
+    from datetime import datetime
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount"],
+        filter=((pads.field("l_shipdate") >= datetime(year, 1, 1))
+                & (pads.field("l_shipdate") < datetime(year + 1, 1, 1))
+                & (pads.field("l_discount") >= disc_lo)
+                & (pads.field("l_discount") <= disc_hi)
+                & (pads.field("l_quantity") < qty_below)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        price = t.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * disc * 100).astype(np.int64)
+        return pa.table({
+            "revenue_cents": pa.array([int(cents.sum())], pa.int64()),
+            "n_lines": pa.array([len(cents)], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .materialize()
+    rev = parts.sum("revenue_cents") or 0
+    n = parts.sum("n_lines") or 0
+    return rd.from_arrow(pa.table({
+        "revenue_cents": pa.array([rev], pa.int64()),
+        "n_lines": pa.array([n], pa.int64())}))

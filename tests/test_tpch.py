@@ -220,3 +220,28 @@ def test_empty_broadcast_sides_yield_empty_results(ray_session, sf_dir):
                               date_hi="2991-01-01").to_pandas().empty
     assert q12_late_shipments(sf_dir, late_days=100_000) \
         .to_pandas().empty
+
+
+def test_q6_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+    from pdf2dom_ray.pipelines.tpch import q6_forecast_revenue
+    got = q6_forecast_revenue(sf_dir).to_pandas()
+    want = duckdb.sql(f"""
+        SELECT CAST(SUM(CAST(floor(l_extendedprice * l_discount * 100)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM '{sf_dir}/lineitem.parquet'
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24""").df()
+    assert int(got["revenue_cents"][0] or 0) == \
+        int(want["revenue_cents"][0] or 0)
+    assert int(got["n_lines"][0]) == int(want["n_lines"][0])
+
+
+def test_q6_empty_filter_window(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q6_forecast_revenue
+    got = q6_forecast_revenue(sf_dir, year=2990).to_pandas()
+    assert int(got["revenue_cents"][0]) == 0
+    assert int(got["n_lines"][0]) == 0
