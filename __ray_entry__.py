@@ -475,6 +475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- dedup family
         "dedup_exact": _q_dedup_exact,
         "dedup_keep_best": _q_dedup_keep_best,
+        "dedup_containment": _q_dedup_containment,
         "corpus_dedup_pipeline": _q_corpus_pipeline,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -1301,6 +1302,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # keep-best canonical selection: max quality (n_chars), ties
         # to min doc_id, plus the cluster size
+        "dedup_containment": _containment_sql(),
         "dedup_keep_best": """
             SELECT k, doc_id, n_chars, n_members FROM (
               SELECT substr(text, 1, 20) AS k, doc_id, n_chars,
@@ -3517,6 +3519,25 @@ def _q_dedup_minhash(sf_dir: str):
 def _q_dedup_simhash(sf_dir: str):
     from pdf2dom_ray.functions.dedup import simhash_cluster
     return simhash_cluster(_documents(sf_dir))
+
+
+def _containment_sql() -> str:
+    """DuckDB twin of the containment query (LATERAL shingles, df
+    cap, integer ppm — functions/containment.py)."""
+    from pdf2dom_ray.functions.containment import containment_oracle_sql
+    return containment_oracle_sql(k=5, df_cap=8, min_shared=2)
+
+
+def _q_dedup_containment(sf_dir: str):
+    """Broder containment near-dup pairs (rare-shingle inverted
+    candidates, df ≤ 8, ≥2 shared 5-shingles, integer ppm vs the
+    smaller doc) — the asymmetric subset-duplication detector Jaccard
+    misses (functions/containment.py)."""
+    import ray.data as rd
+    from pdf2dom_ray.functions.containment import containment_pairs
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return containment_pairs(docs, k=5, df_cap=8, min_shared=2)
 
 
 def _q_dedup_keep_best(sf_dir: str):

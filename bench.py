@@ -193,7 +193,8 @@ def run_bench() -> dict:
                  "skipgram_pairs", "related_topk",
                  "node2vec_walks", "link_katz",
                  "redirect_resolve", "link_bowtie",
-                 "link_closeness", "forecast_revenue"):
+                 "link_closeness", "forecast_revenue",
+                 "dedup_containment"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
