@@ -464,6 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats_bpe": _q_bpe_tokens,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_merges": _q_bpe_merges,              # rows-only (iterative)
+        "oov_rate": _q_oov_rate,
         "quality_filter": _q_gopher,
         "repetition_stats": _q_repetition,
         "unigram_logprob": _q_unigram_logprob,
@@ -1341,6 +1342,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY lhs, rhs
             ORDER BY pair_count DESC, lhs, rhs LIMIT 50
         """,
+        "oov_rate": _oov_sql(),
         "quality_filter": f"""
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
                               length(text) AS L FROM documents),
@@ -3408,6 +3410,22 @@ def _q_hashed_features(sf_dir: str):
     row-local and shuffle-free."""
     from pdf2dom_ray.functions.hashfeat import hashed_features
     return hashed_features(_documents(sf_dir), dim=16)
+
+
+def _oov_sql() -> str:
+    """DuckDB twin of the OOV query (same tokenization, vocabulary
+    election and integer ppm — functions/oov.py)."""
+    from pdf2dom_ray.functions.oov import oov_oracle_sql
+    return oov_oracle_sql(vocab_size=256)
+
+
+def _q_oov_rate(sf_dir: str):
+    """Vocabulary-coverage scoring: exact global top-256 token vocab
+    (count desc, token asc), per-doc OOV ppm via one vectorized
+    searchsorted scan over the flattened Arrow token buffer
+    (functions/oov.py; vocab broadcast once)."""
+    from pdf2dom_ray.functions.oov import oov_rate
+    return oov_rate(_documents(sf_dir), vocab_size=256)
 
 
 def _q_top_tokens(sf_dir: str):
