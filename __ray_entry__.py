@@ -457,6 +457,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_bowtie_bsp": _q_link_bowtie_bsp,
         "link_closeness": _q_link_closeness,
         "link_closeness_bsp": _q_link_closeness_bsp,
+        "link_sssp": _q_link_sssp,
+        "link_sssp_bsp": _q_link_sssp_bsp,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
         "hashed_features": _q_hashed_features,
@@ -1160,6 +1162,8 @@ def oracle_sql() -> dict[str, str]:
         "link_bowtie_bsp": _bowtie_sql(),
         "link_closeness": _closeness_sql(),
         "link_closeness_bsp": _closeness_sql(),
+        "link_sssp": _sssp_sql(),
+        "link_sssp_bsp": _sssp_sql(),
         "link_harmonic_bsp": _harmonic_sql(),
         "link_ball_hll": _hyperball_sql(),
         "link_ball_hll_bsp": _hyperball_sql(),
@@ -3942,6 +3946,68 @@ def _q_link_bowtie_bsp(sf_dir: str):
     from pdf2dom_ray.functions.bowtie import bowtie_classify
     return bowtie_classify(_bfs_edges(sf_dir), 0, rounds=6,
                            driver_edge_limit=0)
+
+
+def _sssp_edges(sf_dir: str):
+    """The ``_bfs_edges`` digraph with a deterministic weight
+    w = 1 + (src + target) % 5 — the SQL twin generates the same
+    weighted rows."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def build(t: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        src = np.concatenate([ids, ids])
+        tgt = np.concatenate([(2 * ids + 1) % n, (3 * ids + 7) % n])
+        return pa.table({
+            "src": pa.array(src, pa.int64()),
+            "target": pa.array(tgt, pa.int64()),
+            "w": pa.array(1 + (src + tgt) % 5, pa.int64()),
+        })
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).map_batches(
+        build, batch_format="pyarrow")
+
+
+def _sssp_sql() -> str:
+    """Unrolled 8-round weighted min-plus relaxation over the same
+    weighted digraph rule as ``_sssp_edges``
+    (functions/sssp.py::sssp_oracle_sql)."""
+    from pdf2dom_ray.functions.sssp import sssp_oracle_sql
+    edges = """
+        SELECT src, target, 1 + (src + target) % 5 AS w FROM (
+          SELECT doc_id AS src,
+                 CAST((2 * doc_id + 1) % (SELECT count(*) FROM documents)
+                      AS BIGINT) AS target
+          FROM documents
+          UNION ALL
+          SELECT doc_id,
+                 CAST((3 * doc_id + 7) % (SELECT count(*) FROM documents)
+                      AS BIGINT)
+          FROM documents)"""
+    return sssp_oracle_sql(edges, "SELECT CAST(0 AS BIGINT) AS node",
+                           rounds=8)
+
+
+def _q_link_sssp(sf_dir: str):
+    """Weighted single-source shortest paths (bounded Bellman-Ford,
+    8 rounds, MIN parallel-edge rule) from node 0 over the weighted
+    synthetic digraph — politeness-cost crawl distance
+    (functions/sssp.py; weighted graphbsp layout on the scale
+    path)."""
+    from pdf2dom_ray.functions.sssp import sssp_distances
+    return sssp_distances(_sssp_edges(sf_dir), [0], rounds=8)
+
+
+def _q_link_sssp_bsp(sf_dir: str):
+    """The SSSP BSP scale path under external check (driver path
+    disabled) — hash-matches the same unrolled oracle because int64
+    min-plus merges are order-independent."""
+    from pdf2dom_ray.functions.sssp import sssp_distances
+    return sssp_distances(_sssp_edges(sf_dir), [0], rounds=8,
+                          driver_edge_limit=0)
 
 
 def _q_link_ball_hll(sf_dir: str):
