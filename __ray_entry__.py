@@ -459,6 +459,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_closeness_bsp": _q_link_closeness_bsp,
         "link_sssp": _q_link_sssp,
         "link_sssp_bsp": _q_link_sssp_bsp,
+        "link_mis": _q_link_mis,
+        "link_mis_bsp": _q_link_mis_bsp,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
         "hashed_features": _q_hashed_features,
@@ -1164,6 +1166,8 @@ def oracle_sql() -> dict[str, str]:
         "link_closeness_bsp": _closeness_sql(),
         "link_sssp": _sssp_sql(),
         "link_sssp_bsp": _sssp_sql(),
+        "link_mis": _mis_sql(),
+        "link_mis_bsp": _mis_sql(),
         "link_harmonic_bsp": _harmonic_sql(),
         "link_ball_hll": _hyperball_sql(),
         "link_ball_hll_bsp": _hyperball_sql(),
@@ -2598,6 +2602,38 @@ def _cc_sql() -> str:
         SELECT doc_id, CAST(doc_id - 21 AS BIGINT)
         FROM documents WHERE doc_id >= 21"""
     return cc_oracle_sql(edges, rounds=8)
+
+
+def _mis_sql() -> str:
+    """Unrolled 8-round fixed-priority Luby MIS over the same mod-7
+    chain graph as ``_cc_edges`` (functions/mis.py::mis_oracle_sql;
+    md5 priorities via the DuckDB builtin)."""
+    from pdf2dom_ray.functions.mis import mis_oracle_sql
+    edges = """
+        SELECT doc_id AS src, CAST(doc_id - 7 AS BIGINT) AS target
+        FROM documents WHERE doc_id >= 7
+        UNION ALL
+        SELECT doc_id, CAST(doc_id - 21 AS BIGINT)
+        FROM documents WHERE doc_id >= 21"""
+    return mis_oracle_sql(edges, rounds=8)
+
+
+def _q_link_mis(sf_dir: str):
+    """Maximal independent set (fixed-priority Luby, md5 priorities,
+    8 rounds) over the mod-7 conflict chains — one-shot conflict-free
+    representative selection (functions/mis.py; two scatter/gather
+    waves per round on the BSP path)."""
+    from pdf2dom_ray.functions.mis import mis_select
+    return mis_select(_cc_edges(sf_dir), rounds=8)
+
+
+def _q_link_mis_bsp(sf_dir: str):
+    """The MIS BSP scale path under external check (driver path
+    disabled) — hash-matches the same unrolled oracle because the
+    fixed-priority decision is a pure function of the round state."""
+    from pdf2dom_ray.functions.mis import mis_select
+    return mis_select(_cc_edges(sf_dir), rounds=8,
+                      driver_edge_limit=0)
 
 
 def _kcore_sql() -> str:

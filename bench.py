@@ -194,7 +194,8 @@ def run_bench() -> dict:
                  "node2vec_walks", "link_katz",
                  "redirect_resolve", "link_bowtie",
                  "link_closeness", "forecast_revenue",
-                 "dedup_containment", "oov_rate", "link_sssp"):
+                 "dedup_containment", "oov_rate", "link_sssp",
+                 "link_mis"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
