@@ -400,6 +400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_templates": _q_url_templates,
         "host_stats": _q_host_stats,
         "crawl_schedule": _q_crawl_schedule,
+        "shard_assign": _q_shard_assign,
         "mirror_hosts": _q_mirror_hosts,
         "top_unshipped_orders": _q_top_unshipped,
         "returned_items": _q_returned_items,
@@ -1276,6 +1277,7 @@ def oracle_sql() -> dict[str, str]:
         # politeness schedule: md5-priority row_number per host, md5
         # first-nibble fetcher shard — same string-hash decisions as
         # the Ray path, so the value-hash is exact
+        "shard_assign": _rendezvous_sql(),
         "crawl_schedule": f"""
             WITH c AS (SELECT {_CANON_URL_SQL} AS url,
                               {_HOST_SQL} AS host
@@ -4087,6 +4089,33 @@ def _q_mirror_hosts(sf_dir: str):
                            columns=["doc_id", "text"]).map_batches(
         prep, batch_format="pyarrow")
     return mirror_hosts(docs)
+
+
+_HRW_SHARDS = [f"node{i:02d}" for i in range(8)]
+
+
+def _rendezvous_sql() -> str:
+    """DuckDB twin of the HRW assignment (per-shard md5 UNION +
+    per-key argmax — functions/rendezvous.py)."""
+    from pdf2dom_ray.functions.rendezvous import rendezvous_oracle_sql
+    return rendezvous_oracle_sql(_HRW_SHARDS)
+
+
+def _q_shard_assign(sf_dir: str):
+    """Rendezvous (HRW) shard assignment of every document key to 8
+    named storage nodes — zero-coordination consistent placement
+    where a topology change remaps only the lost shard's keys
+    (functions/rendezvous.py; one embarrassingly-parallel scan)."""
+    import ray.data as rd
+    from pdf2dom_ray.functions.rendezvous import rendezvous_assign
+
+    def to_key(t: pa.Table) -> pa.Table:
+        return pa.table({"url": t.column("doc_id").cast(pa.string())})
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).map_batches(
+        to_key, batch_format="pyarrow")
+    return rendezvous_assign(docs, _HRW_SHARDS)
 
 
 def _q_crawl_schedule(sf_dir: str):
