@@ -490,6 +490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": _q_semdedup,
         "ann_brute_topk": _q_ann_brute,
         "ann_knn_join": _q_ann_knn_join,
+        "embedding_cluster_cc": _q_embedding_cluster_cc,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_pq_topk": _q_ann_pq,
@@ -1630,6 +1631,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # kNN similarity join: ranks over the SAME rounded sims and
         # the same vec_id tie-break as the Ray path
+        "embedding_cluster_cc": _embed_cc_sql(),
         "ann_knn_join": """
             WITH q AS (SELECT vec_id AS qid,
                               CAST(embedding AS DOUBLE[]) AS qv
@@ -4142,6 +4144,56 @@ def _q_ann_brute(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     return brute_topk(ds, _ann_query_vec(sf_dir), k=10)
+
+
+_KNN_EDGE_SQL = """
+            WITH q AS (SELECT vec_id AS qid,
+                              CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id % 50 = 0),
+                 s AS (SELECT q.qid, e.vec_id,
+                              round(list_cosine_similarity(
+                                  CAST(e.embedding AS DOUBLE[]), q.qv),
+                                  4) AS sim
+                       FROM embeddings e, q),
+                 r AS (SELECT *, row_number() OVER (
+                           PARTITION BY qid
+                           ORDER BY sim DESC, vec_id) AS rn
+                       FROM s)
+            SELECT qid AS src, vec_id AS target FROM r WHERE rn <= 5"""
+
+
+def _embed_cc_sql() -> str:
+    """Unrolled 8-round hash-min CC over the kNN top-5 edge set (the
+    ann_knn_join oracle reshaped to (src, target) —
+    functions/ccomp.py::cc_oracle_sql)."""
+    from pdf2dom_ray.functions.ccomp import cc_oracle_sql
+    return cc_oracle_sql(_KNN_EDGE_SQL, rounds=8)
+
+
+def _q_embedding_cluster_cc(sf_dir: str):
+    """kNN-graph clustering: hub vectors (every 50th) query the table
+    for cosine top-5, the (query → neighbor) edges feed 8-round
+    hash-min connected components — the composition a corpus-level
+    semantic grouping pass runs (knn_join × cc_labels; both stages'
+    individual oracles stay registered)."""
+    import ray.data as rd
+    from pdf2dom_ray.functions.ann import knn_join
+    from pdf2dom_ray.functions.ccomp import cc_labels
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id"))
+    sel = ids % 50 == 0
+    Q = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in t.column("embedding").to_pylist()])[sel]
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    edges = knn_join(ds, Q, ids[sel], k=5).map_batches(
+        lambda b: pa.table({"src": b.column("qid").cast(pa.int64()),
+                            "target": b.column("vec_id")
+                                        .cast(pa.int64())}),
+        batch_format="pyarrow")
+    return cc_labels(edges, rounds=8)
 
 
 def _q_ann_knn_join(sf_dir: str):

@@ -195,7 +195,8 @@ def run_bench() -> dict:
                  "redirect_resolve", "link_bowtie",
                  "link_closeness", "forecast_revenue",
                  "dedup_containment", "oov_rate", "link_sssp",
-                 "link_mis", "shard_assign"):
+                 "link_mis", "shard_assign",
+                 "embedding_cluster_cc"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
