@@ -436,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "link_adjacency": _q_link_adjacency,
         "link_triangles": _q_link_triangles,
+        "link_clustering_coef": _q_link_clustering_coef,
         "link_bfs_depth": _q_link_bfs_depth,
         "link_bfs_depth_bsp": _q_link_bfs_depth_bsp,
         "link_components": _q_link_components,
@@ -1147,6 +1148,7 @@ def oracle_sql() -> dict[str, str]:
                   SELECT w FROM tri) t
             GROUP BY nd
         """,
+        "link_clustering_coef": _clustering_coef_sql(),
         "link_bfs_depth": _bfs_sql(),
         "link_bfs_depth_bsp": _bfs_sql(),
         "link_components": _cc_sql(),
@@ -2575,6 +2577,16 @@ def _q_training_mix(sf_dir: str):
                         url_prefix="https://docs.synth.test/")
 
 
+def _clustering_coef_sql() -> str:
+    """DuckDB twin of link_clustering_coef over the chord-cycle graph
+    (same edge CTE as link_triangles)."""
+    from pdf2dom_ray.functions.clustering import clustering_oracle_sql
+    return clustering_oracle_sql("""
+        SELECT doc_id AS a,
+               (doc_id + d) % (SELECT count(*) FROM documents) AS b
+        FROM documents, (SELECT unnest([1, 2, 3]) AS d) ds""")
+
+
 def _bfs_sql() -> str:
     """Unrolled 8-round min-relaxation over the same synthetic digraph
     rule as ``_bfs_edges`` (functions/bfs.py::bfs_oracle_sql; every
@@ -3116,6 +3128,32 @@ def _q_link_triangles(sf_dir: str):
     return out.map_batches(
         lambda df: df.rename(columns={"node": "doc_id"}),
         batch_format="pandas")
+
+
+def _q_link_clustering_coef(sf_dir: str):
+    """Local clustering coefficient (Watts-Strogatz, integer ppm) over
+    the same deterministic chord-cycle graph as ``link_triangles``
+    (chords +1,+2,+3 mod N on doc_ids) — per-node degree, triangle
+    count and cc_ppm in one zero-join tagged-union composition."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.clustering import clustering_coefficient
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    n = docs.count()
+
+    def chords(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "a": np.concatenate([d, d, d]),
+            "b": np.concatenate([(d + 1) % n, (d + 2) % n,
+                                 (d + 3) % n])})
+
+    return clustering_coefficient(
+        docs.map_batches(chords, batch_format="pandas"))
 
 
 def _q_length_percentiles_by(sf_dir: str):
