@@ -406,6 +406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_items": _q_returned_items,
         "late_shipments": _q_late_shipments,
         "forecast_revenue": _q_forecast_revenue,
+        "large_volume_customers": _q_large_volume_customers,
         "local_supplier_volume": _q_local_supplier_volume,
         "customer_distribution": _q_customer_distribution,
         "length_percentiles": _q_length_percentiles,
@@ -1801,6 +1802,26 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        # Q18: HAVING-gated join, top 100 by order value; integer
+        # cents; deterministic (cents, date, orderkey) tie-break
+        "large_volume_customers": """
+            WITH qual AS (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                       AS BIGINT) AS sum_qty
+              FROM lineitem GROUP BY 1
+              HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250)
+            SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+                   CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   o_orderdate,
+                   CAST(round(o_totalprice*100) AS BIGINT)
+                     AS totalprice_cents,
+                   qual.sum_qty
+            FROM qual JOIN orders ON o_orderkey = qual.l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            ORDER BY totalprice_cents DESC, o_orderdate, o_orderkey
+            LIMIT 100
         """,
         "late_shipments": """
             SELECT CASE WHEN l_shipdate <= o_orderdate
@@ -3223,6 +3244,14 @@ def _q_forecast_revenue(sf_dir: str):
     zero exchanges, per-batch int64 partials, driver scalar fold."""
     from pdf2dom_ray.pipelines.tpch import q6_forecast_revenue
     return q6_forecast_revenue(sf_dir)
+
+
+def _q_large_volume_customers(sf_dir: str):
+    """TPC-H Q18 shape: HAVING-gated fact groupby (combiner before the
+    one orderkey exchange), broadcast attach of orders + pushed-down
+    customer key-set scan, driver top-100 (never a Sort operator)."""
+    from pdf2dom_ray.pipelines.tpch import q18_large_volume_customers
+    return q18_large_volume_customers(sf_dir)
 
 
 def _q_inter_event_gaps(sf_dir: str):

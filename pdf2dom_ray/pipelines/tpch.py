@@ -975,3 +975,153 @@ def q6_forecast_revenue(sf_dir: str, *, year: int = 1996,
     return rd.from_arrow(pa.table({
         "revenue_cents": pa.array([rev], pa.int64()),
         "n_lines": pa.array([n], pa.int64())}))
+
+
+def q18_large_volume_customers(sf_dir: str, *, min_qty: int = 250,
+                               limit: int = 100,
+                               broadcast_limit: int = 5_000_000
+                               ) -> rd.Dataset:
+    """TPC-H Q18 shape: large-volume customers — a HAVING filter on a
+    fact-table groupby gates a two-dim join, top-``limit`` by order
+    value.
+
+    Distributed shape: per-batch (orderkey → qty) partial sums
+    combine BEFORE the one orderkey exchange (the only all-to-all:
+    lineitem is the fact table and must co-locate by key to finish
+    the HAVING sum); the surviving qualifying orders are a tiny set
+    (HAVING > ``min_qty`` keeps the tail), so orders and customer
+    attach by BROADCAST searchsorted probe under ``broadcast_limit``
+    (hash-join fallback kept) and the top-``limit`` is a driver sort
+    of ≤|qualifying| rows — never a distributed Sort operator.
+    Integer cents for o_totalprice keep the oracle hash exact.
+    """
+    n_part = _n_partitions()
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy()
+        qty = np.rint(t.column("l_quantity").to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        uk, inv = np.unique(ok, return_inverse=True)
+        return pa.table({
+            "l_orderkey": pa.array(uk, pa.int64()),
+            "sum_qty": pa.array(np.bincount(inv, qty, len(uk))
+                                .astype(np.int64), pa.int64())})
+
+    from ..functions.dedup import _to_arrow_blocks
+    per_order = _to_arrow_blocks(
+        li.map_batches(li_partial, batch_format="pyarrow")
+          .groupby("l_orderkey").aggregate(Sum("sum_qty",
+                                               alias_name="sum_qty")))
+    def having(t: pa.Table) -> pa.Table:
+        if not t.num_columns:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "sum_qty": pa.array([], pa.int64())})
+        return t.filter(pc.greater(t.column("sum_qty"), min_qty))
+
+    qual = per_order.map_batches(having,
+                                 batch_format="pyarrow").materialize()
+    if qual.count() == 0:
+        return rd.from_arrow(pa.table({
+            "c_name": pa.array([], pa.string()),
+            "c_custkey": pa.array([], pa.int64()),
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+            "totalprice_cents": pa.array([], pa.int64()),
+            "sum_qty": pa.array([], pa.int64())}))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_totalprice", "o_orderdate"])
+    n_ord_meta = orders.count()
+
+    if n_ord_meta <= broadcast_limit:
+        qdf = qual.to_pandas().sort_values("l_orderkey")
+        q_ref = ray.put((qdf["l_orderkey"].to_numpy(np.int64),
+                         qdf["sum_qty"].to_numpy(np.int64)))
+
+        def attach(t: pa.Table) -> pa.Table:
+            qk, qs = ray.get(q_ref)     # zero-copy numpy broadcast
+            ok = t.column("o_orderkey").to_numpy()
+            idx = np.searchsorted(qk, ok)
+            idx[idx == len(qk)] = 0
+            hit = qk[idx] == ok
+            idx = idx[hit]
+            price = t.column("o_totalprice").to_numpy(
+                zero_copy_only=False)[hit]
+            return pa.table({
+                "o_orderkey": pa.array(ok[hit], pa.int64()),
+                "o_custkey": t.column("o_custkey").filter(
+                    pa.array(hit)),
+                "o_orderdate": t.column("o_orderdate").filter(
+                    pa.array(hit)),
+                "totalprice_cents": pa.array(
+                    np.rint(price * 100).astype(np.int64), pa.int64()),
+                "sum_qty": pa.array(qs[idx], pa.int64())})
+
+        big = orders.map_batches(attach, batch_format="pyarrow")
+    else:
+        from ..functions.dedup import join_ready
+        joined = orders.join(
+            join_ready(qual, n_part), join_type="inner",
+            num_partitions=n_part,
+            on=("o_orderkey",), right_on=("l_orderkey",))
+
+        def fix(t: pa.Table) -> pa.Table:
+            if not t.num_rows or "o_totalprice" not in t.schema.names:
+                return pa.table({
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_custkey": pa.array([], pa.int64()),
+                    "o_orderdate": pa.array([], pa.timestamp("us")),
+                    "totalprice_cents": pa.array([], pa.int64()),
+                    "sum_qty": pa.array([], pa.int64())})
+            price = t.column("o_totalprice").to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "o_orderdate": t.column("o_orderdate"),
+                "totalprice_cents": pa.array(
+                    np.rint(price * 100).astype(np.int64), pa.int64()),
+                "sum_qty": t.column("sum_qty")})
+
+        big = joined.map_batches(fix, batch_format="pyarrow")
+
+    # qualifying rows are few: driver top-k (never a Sort operator)
+    from ..functions.fold import bounded_fold_tables
+
+    def keep_top(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["totalprice_cents", "o_orderdate", "o_orderkey"],
+            ascending=[False, True, True]).head(limit)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    tabs = bounded_fold_tables(
+        big.map_batches(keep_top, batch_format="pyarrow"), keep_top)
+    top = (pa.concat_tables(tabs).to_pandas()
+           .sort_values(["totalprice_cents", "o_orderdate",
+                         "o_orderkey"],
+                        ascending=[False, True, True]).head(limit)
+           .reset_index(drop=True))
+
+    # only the ≤limit winning custkeys need names: push the key set
+    # into the customer scan (row-group pruning — the full dim table
+    # never reaches the driver)
+    import pyarrow.dataset as pads
+    want = sorted(set(top["o_custkey"].astype("int64").tolist()))
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"],
+        filter=pads.field("c_custkey").isin(want)) \
+        .to_pandas().sort_values("c_custkey")
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    idx = np.searchsorted(ck, top["o_custkey"].to_numpy(np.int64))
+    idx[idx == len(ck)] = 0
+    top["c_name"] = cust["c_name"].to_numpy(object)[idx]
+    top["c_custkey"] = top["o_custkey"].astype("int64")
+    out = top[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+               "totalprice_cents", "sum_qty"]].copy()
+    for c in ("o_orderkey", "totalprice_cents", "sum_qty"):
+        out[c] = out[c].astype("int64")
+    return rd.from_pandas(out)
