@@ -196,7 +196,8 @@ def run_bench() -> dict:
                  "link_closeness", "forecast_revenue",
                  "dedup_containment", "oov_rate", "link_sssp",
                  "link_mis", "shard_assign",
-                 "embedding_cluster_cc"):
+                 "embedding_cluster_cc", "link_clustering_coef",
+                 "large_volume_customers"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

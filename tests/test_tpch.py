@@ -245,3 +245,59 @@ def test_q6_empty_filter_window(ray_session, sf_dir):
     got = q6_forecast_revenue(sf_dir, year=2990).to_pandas()
     assert int(got["revenue_cents"][0]) == 0
     assert int(got["n_lines"][0]) == 0
+
+
+def _duck_q18(sf_dir, min_qty=250, limit=100):
+    import duckdb
+    return duckdb.sql(f"""
+        WITH qual AS (
+          SELECT l_orderkey,
+                 CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS sum_qty
+          FROM '{sf_dir}/lineitem.parquet' GROUP BY 1
+          HAVING sum(CAST(round(l_quantity) AS BIGINT)) > {min_qty})
+        SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+               CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderdate,
+               CAST(round(o_totalprice*100) AS BIGINT)
+                 AS totalprice_cents,
+               qual.sum_qty
+        FROM qual
+        JOIN '{sf_dir}/orders.parquet' ON o_orderkey = qual.l_orderkey
+        JOIN '{sf_dir}/customer.parquet' ON c_custkey = o_custkey
+        ORDER BY totalprice_cents DESC, o_orderdate, o_orderkey
+        LIMIT {limit}""").df()
+
+
+def _q18_rows(df):
+    return [tuple(str(v) for v in r)
+            for r in df.sort_values(
+                ["totalprice_cents", "o_orderdate", "o_orderkey"],
+                ascending=[False, True, True]).itertuples(index=False)]
+
+
+def test_q18_broadcast_path_matches_duckdb(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q18_large_volume_customers
+    got = q18_large_volume_customers(sf_dir).to_pandas()
+    assert len(got) > 0
+    assert _q18_rows(got) == _q18_rows(_duck_q18(sf_dir))
+
+
+def test_q18_join_path_identical(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q18_large_volume_customers
+    got = q18_large_volume_customers(sf_dir,
+                                     broadcast_limit=0).to_pandas()
+    assert _q18_rows(got) == _q18_rows(_duck_q18(sf_dir))
+
+
+def test_q18_no_qualifying_orders_is_empty(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q18_large_volume_customers
+    got = q18_large_volume_customers(sf_dir,
+                                     min_qty=10_000_000).to_pandas()
+    assert got.empty
+
+
+def test_q18_small_limit(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q18_large_volume_customers
+    got = q18_large_volume_customers(sf_dir, limit=3).to_pandas()
+    assert len(got) == 3
+    assert _q18_rows(got) == _q18_rows(_duck_q18(sf_dir, limit=3))
