@@ -402,6 +402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_schedule": _q_crawl_schedule,
         "shard_assign": _q_shard_assign,
         "mirror_hosts": _q_mirror_hosts,
+        "fuzzy_host_join": _q_fuzzy_host_join,
         "top_unshipped_orders": _q_top_unshipped,
         "returned_items": _q_returned_items,
         "late_shipments": _q_late_shipments,
@@ -1267,6 +1268,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "url_templates": _url_templates_sql(),
+        "fuzzy_host_join": _fuzzy_host_join_sql(),
         # mirror detection: distinct (content-key, host) pairs joined
         # on the key; host pairs ordered host_a < host_b
         "mirror_hosts": f"""
@@ -2598,6 +2600,15 @@ def _q_training_mix(sf_dir: str):
                         url_prefix="https://docs.synth.test/")
 
 
+def _fuzzy_host_join_sql() -> str:
+    """DuckDB twin of fuzzy_host_join: brute-force levenshtein over
+    the same deterministic host universe."""
+    from pdf2dom_ray.functions.fuzzyjoin import fuzzy_join_oracle_sql
+    return fuzzy_join_oracle_sql(
+        "SELECT 'site' || CAST(doc_id % 400 AS VARCHAR) AS s "
+        "FROM documents", 1)
+
+
 def _clustering_coef_sql() -> str:
     """DuckDB twin of link_clustering_coef over the chord-cycle graph
     (same edge CTE as link_triangles)."""
@@ -3244,6 +3255,28 @@ def _q_forecast_revenue(sf_dir: str):
     zero exchanges, per-batch int64 partials, driver scalar fold."""
     from pdf2dom_ray.pipelines.tpch import q6_forecast_revenue
     return q6_forecast_revenue(sf_dir)
+
+
+def _q_fuzzy_host_join(sf_dir: str):
+    """Fuzzy string self-join (FastSS deletion blocking + banded
+    Levenshtein verify): typo-variant host pairs at edit distance 1
+    over a deterministic host universe ('site' + doc_id % 400 — the
+    numbered-host shape real mirror/typo-squat detection sees)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.fuzzyjoin import fuzzy_self_join
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def hosts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"s": ("site" + (df["doc_id"] % 400).astype(str))})
+
+    return fuzzy_self_join(docs.map_batches(hosts,
+                                            batch_format="pandas"),
+                           "s", max_dist=1)
 
 
 def _q_large_volume_customers(sf_dir: str):
