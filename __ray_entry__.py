@@ -427,6 +427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substring": _q_dedup_substring,
         "source_overlap": _q_source_overlap,
         "lm_buckets": _q_lm_buckets,
+        "trigram_backoff": _q_trigram_backoff,
         "events_props_agg": _q_events_props,
         "doc_chunks": _q_doc_chunks,
         "pack_sequences": _q_pack_sequences,
@@ -915,6 +916,58 @@ def oracle_sql() -> dict[str, str]:
         # c1 derives from the bigram table so both sides share one
         # count source); tercile buckets at the pinned percentile
         # rank formula rank = max(1, ceil(q*n))
+        # stupid-backoff trigram LM: model CTEs over the doc_id%2==0
+        # training slice; prefix-context counts derive from the n-gram
+        # tables (c12 = Σ_w3 c123); integer ppm with 2/5, 4/25 backoff
+        "trigram_backoff": """
+            WITH toks AS (SELECT doc_id,
+                   list_filter(string_split(text, ' '),
+                               t -> t <> '') AS ts FROM documents),
+            tri AS (SELECT ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3,
+                           CAST(count(*) AS BIGINT) AS c
+                    FROM toks, LATERAL unnest(generate_series(
+                           1, greatest(len(ts)-2, 0))) t(i)
+                    WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+            p12 AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS c
+                    FROM tri GROUP BY 1, 2),
+            bi AS (SELECT ts[i] AS w1, ts[i+1] AS w2,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM toks, LATERAL unnest(generate_series(
+                          1, greatest(len(ts)-1, 0))) t(i)
+                   WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+            p2 AS (SELECT w1 AS w, CAST(sum(c) AS BIGINT) AS c
+                   FROM bi GROUP BY 1),
+            uni AS (SELECT ts[i] AS w, CAST(count(*) AS BIGINT) AS c
+                    FROM toks, LATERAL unnest(generate_series(
+                           1, greatest(len(ts), 0))) t(i)
+                    WHERE doc_id % 2 = 0 GROUP BY 1),
+            nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+            dt AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2,
+                          ts[i+2] AS w3
+                   FROM toks, LATERAL unnest(generate_series(
+                          1, greatest(len(ts)-2, 0))) t(i)),
+            sc AS (SELECT dt.doc_id,
+                     CASE WHEN tri.c IS NOT NULL
+                            THEN (1000000 * tri.c) // p12.c
+                          WHEN bi.c IS NOT NULL
+                            THEN (2 * ((1000000 * bi.c) // p2.c)) // 5
+                          WHEN uni.c IS NOT NULL
+                            THEN (4 * ((1000000 * uni.c)
+                                       // (SELECT n FROM nn))) // 25
+                          ELSE 0 END AS s
+                   FROM dt
+                   LEFT JOIN tri ON tri.w1 = dt.w1 AND tri.w2 = dt.w2
+                                AND tri.w3 = dt.w3
+                   LEFT JOIN p12 ON p12.w1 = dt.w1 AND p12.w2 = dt.w2
+                   LEFT JOIN bi ON bi.w1 = dt.w2 AND bi.w2 = dt.w3
+                   LEFT JOIN p2 ON p2.w = dt.w2
+                   LEFT JOIN uni ON uni.w = dt.w3)
+            SELECT d.doc_id,
+                   CAST(COALESCE(sum(sc.s) // count(sc.s), 0)
+                        AS BIGINT) AS score_ppm
+            FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+            GROUP BY d.doc_id
+        """,
         "lm_buckets": """
             WITH clean AS (
               SELECT doc_id,
@@ -3255,6 +3308,19 @@ def _q_forecast_revenue(sf_dir: str):
     zero exchanges, per-batch int64 partials, driver scalar fold."""
     from pdf2dom_ray.pipelines.tpch import q6_forecast_revenue
     return q6_forecast_revenue(sf_dir)
+
+
+def _q_trigram_backoff(sf_dir: str):
+    """Stupid-backoff trigram LM scoring (Brants 2007): model trained
+    on the doc_id%2==0 held-out slice scores every document, exact
+    integer ppm with 2/5 and 4/25 backoff discounts; three narrow
+    count shuffles + one broadcast + one actor-pool scoring pass."""
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.lmscore import trigram_backoff_scores
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return trigram_backoff_scores(ds)
 
 
 def _q_fuzzy_host_join(sf_dir: str):

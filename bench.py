@@ -197,7 +197,8 @@ def run_bench() -> dict:
                  "dedup_containment", "oov_rate", "link_sssp",
                  "link_mis", "shard_assign",
                  "embedding_cluster_cc", "link_clustering_coef",
-                 "large_volume_customers", "fuzzy_host_join"):
+                 "large_volume_customers", "fuzzy_host_join",
+                 "trigram_backoff"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

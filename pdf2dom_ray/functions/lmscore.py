@@ -129,3 +129,139 @@ def bigram_lm_buckets(ds: rd.Dataset, *, text_col: str = "text",
             "bucket", pa.array(buckets.tolist(), pa.string()))
 
     return scored.map_batches(tag, batch_format="pyarrow")
+
+
+def _ngram_counts(ds: rd.Dataset, text_col: str, n: int,
+                  id_col: str, train_mod: int) -> rd.Dataset:
+    """(w1..wn, c) n-gram counts over the training slice
+    (``id % train_mod == 0``), combiner pattern."""
+    names = [f"w{i + 1}" for i in range(n)]
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for d, text in zip(t.column(id_col).to_pylist(),
+                           t.column(text_col).to_pylist()):
+            if d % train_mod != 0:
+                continue
+            toks = [w for w in (text or "").split(" ") if w]
+            c.update(zip(*(toks[i:] for i in range(n))))
+        cols = {nm: pa.array([k[i] for k in c.keys()], pa.string())
+                for i, nm in enumerate(names)}
+        cols["c"] = pa.array(list(c.values()), pa.int64())
+        return pa.table(cols)
+
+    return ds.select_columns([id_col, text_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(names).aggregate(Sum("c", alias_name="c")) \
+        .map_batches(lambda t: t, batch_format="pyarrow")
+
+
+class _BackoffScorer:
+    """Actor-pool stage: the five count tables fetched once per
+    actor (real per-actor state — the repo's actor-pool criterion)."""
+
+    def __init__(self, model_ref, text_col: str, id_col: str):
+        (self.c123, self.c12, self.c23,
+         self.c2, self.c3, self.n_tok) = ray.get(model_ref)
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, scores = [], []
+        c123, c12, c23 = self.c123, self.c12, self.c23
+        c2, c3, n_tok = self.c2, self.c3, self.n_tok
+        for d, text in zip(t.column(self.id_col).to_pylist(),
+                           t.column(self.text_col).to_pylist()):
+            toks = [w for w in (text or "").split(" ") if w]
+            tris = list(zip(toks, toks[1:], toks[2:]))
+            total = 0
+            for w1, w2, w3 in tris:
+                ct = c123.get((w1, w2, w3))
+                if ct is not None:
+                    total += (1_000_000 * ct) // c12[(w1, w2)]
+                    continue
+                cb = c23.get((w2, w3))
+                if cb is not None:
+                    total += (2 * ((1_000_000 * cb) // c2[w2])) // 5
+                    continue
+                cu = c3.get(w3)
+                if cu is not None and n_tok:
+                    total += (4 * ((1_000_000 * cu) // n_tok)) // 25
+            ids.append(d)
+            scores.append(total // len(tris) if tris else 0)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "score_ppm": pa.array(scores, pa.int64())})
+
+
+def trigram_backoff_scores(ds: rd.Dataset, *, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           train_mod: int = 2) -> rd.Dataset:
+    """(doc_id, score_ppm): stupid-backoff trigram LM score (Brants
+    et al. 2007, EMNLP — the score function Google's large-LM MT
+    systems used instead of Kneser-Ney, because it needs no
+    normalization pass and its count tables shard trivially).
+
+    The model trains on the ``id % train_mod == 0`` HELD-OUT slice
+    and scores every document, so unseen trigrams genuinely back off
+    (a self-trained trigram model never would — every scored trigram
+    would be in its own training set):
+
+        S(w3 | w1 w2) = c123/c12           if the trigram was seen
+                      = 0.4 · c23/c2       elif the bigram was seen
+                      = 0.16 · c3/N        elif the unigram was seen
+                      = 0                  else
+
+    in exact integer ppm (0.4 = 2/5 and 0.16 = 4/25 as integer
+    multiply-then-floor-divide; CLAUDE.md invariant), averaged over
+    the document's trigrams. Context counts derive from the n-gram
+    tables themselves (c12 = Σ_w3 c123 as PREFIX counts), so each
+    table is one combiner shuffle.
+
+    Scale shape: three narrow count shuffles (tri/bi/uni) + one
+    ``ray.put`` model broadcast + one actor-pool scoring pass over
+    the payload — no join touches the text. At crawl scale the
+    broadcast tables are count-pruned exactly as Brants' distributed
+    KenLM-precursor sharded them (document the floor; the synth vocab
+    needs none)."""
+    from pdf2dom_ray.stages.pool import default_pool
+
+    tri = _ngram_counts(ds, text_col, 3, id_col, train_mod)
+    bi = _ngram_counts(ds, text_col, 2, id_col, train_mod)
+    uni = _ngram_counts(ds, text_col, 1, id_col, train_mod)
+
+    c123: dict = {}
+    c12: dict = {}
+    for b in ray.get(tri.to_arrow_refs()):
+        if not b.num_columns:
+            continue
+        for w1, w2, w3, n in zip(b.column("w1").to_pylist(),
+                                 b.column("w2").to_pylist(),
+                                 b.column("w3").to_pylist(),
+                                 b.column("c").to_pylist()):
+            c123[(w1, w2, w3)] = c123.get((w1, w2, w3), 0) + n
+            c12[(w1, w2)] = c12.get((w1, w2), 0) + n
+    c23: dict = {}
+    c2: dict = {}
+    for b in ray.get(bi.to_arrow_refs()):
+        if not b.num_columns:
+            continue
+        for w1, w2, n in zip(b.column("w1").to_pylist(),
+                             b.column("w2").to_pylist(),
+                             b.column("c").to_pylist()):
+            c23[(w1, w2)] = c23.get((w1, w2), 0) + n
+            c2[w1] = c2.get(w1, 0) + n
+    c3: dict = {}
+    for b in ray.get(uni.to_arrow_refs()):
+        if not b.num_columns:
+            continue
+        for w, n in zip(b.column("w1").to_pylist(),
+                        b.column("c").to_pylist()):
+            c3[w] = c3.get(w, 0) + n
+    n_tok = sum(c3.values())
+
+    model_ref = ray.put((c123, c12, c23, c2, c3, n_tok))
+    lo, hi = default_pool()
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _BackoffScorer, fn_constructor_args=(model_ref, text_col,
+                                             id_col),
+        batch_format="pyarrow", concurrency=(lo, hi))
