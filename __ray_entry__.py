@@ -466,6 +466,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_sssp_bsp": _q_link_sssp_bsp,
         "link_mis": _q_link_mis,
         "link_mis_bsp": _q_link_mis_bsp,
+        "link_coloring": _q_link_coloring,
+        "link_coloring_bsp": _q_link_coloring_bsp,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
         "hashed_features": _q_hashed_features,
@@ -1227,6 +1229,8 @@ def oracle_sql() -> dict[str, str]:
         "link_sssp_bsp": _sssp_sql(),
         "link_mis": _mis_sql(),
         "link_mis_bsp": _mis_sql(),
+        "link_coloring": _coloring_sql(),
+        "link_coloring_bsp": _coloring_sql(),
         "link_harmonic_bsp": _harmonic_sql(),
         "link_ball_hll": _hyperball_sql(),
         "link_ball_hll_bsp": _hyperball_sql(),
@@ -2735,6 +2739,39 @@ def _q_link_mis_bsp(sf_dir: str):
     from pdf2dom_ray.functions.mis import mis_select
     return mis_select(_cc_edges(sf_dir), rounds=8,
                       driver_edge_limit=0)
+
+
+def _coloring_sql() -> str:
+    """Unrolled 8-round fixed-priority Jones-Plassmann coloring over
+    the same mod-7 chain graph as ``_cc_edges``
+    (functions/coloring.py::coloring_oracle_sql; md5 priorities via
+    the DuckDB builtin, per-round CTEs AS MATERIALIZED)."""
+    from pdf2dom_ray.functions.coloring import coloring_oracle_sql
+    edges = """
+        SELECT doc_id AS src, CAST(doc_id - 7 AS BIGINT) AS target
+        FROM documents WHERE doc_id >= 7
+        UNION ALL
+        SELECT doc_id, CAST(doc_id - 21 AS BIGINT)
+        FROM documents WHERE doc_id >= 21"""
+    return coloring_oracle_sql(edges, rounds=8)
+
+
+def _q_link_coloring(sf_dir: str):
+    """Greedy conflict-free slot assignment (Jones-Plassmann, md5
+    priorities, 8 synchronous waves; color -1 = undecided within the
+    bound) over the mod-7 conflict chains — the schedule-slot
+    primitive one step past MIS (functions/coloring.py)."""
+    from pdf2dom_ray.functions.coloring import jp_coloring
+    return jp_coloring(_cc_edges(sf_dir), rounds=8)
+
+
+def _q_link_coloring_bsp(sf_dir: str):
+    """The coloring BSP scale path under external check (driver path
+    disabled) — hash-matches the same unrolled oracle because each
+    wave is a pure function of the previous round's state."""
+    from pdf2dom_ray.functions.coloring import jp_coloring
+    return jp_coloring(_cc_edges(sf_dir), rounds=8,
+                       driver_edge_limit=0)
 
 
 def _kcore_sql() -> str:

@@ -198,7 +198,7 @@ def run_bench() -> dict:
                  "link_mis", "shard_assign",
                  "embedding_cluster_cc", "link_clustering_coef",
                  "large_volume_customers", "fuzzy_host_join",
-                 "trigram_backoff"):
+                 "trigram_backoff", "link_coloring"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
