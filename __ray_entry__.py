@@ -399,6 +399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": _q_url_canonicalize,
         "url_templates": _q_url_templates,
         "host_stats": _q_host_stats,
+        "host_quality_gate": _q_host_quality,
         "crawl_schedule": _q_crawl_schedule,
         "shard_assign": _q_shard_assign,
         "mirror_hosts": _q_mirror_hosts,
@@ -1324,6 +1325,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY 1
         """,
+        "host_quality_gate": _host_quality_sql(),
         "url_templates": _url_templates_sql(),
         "fuzzy_host_join": _fuzzy_host_join_sql(),
         # mirror detection: distinct (content-key, host) pairs joined
@@ -3834,6 +3836,40 @@ def _messy_urls(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "n_chars"]).map_batches(
         build, batch_format="pyarrow")
+
+
+def _host_quality_sql() -> str:
+    """DuckDB twin of the host quality gate: the synth host rule +
+    the module's integer alpha-density / cross-multiplied verdict SQL
+    (functions/hostqual.py::host_quality_oracle_sql)."""
+    from pdf2dom_ray.functions.hostqual import host_quality_oracle_sql
+    return host_quality_oracle_sql(
+        f"SELECT doc_id, {_HOST_SQL} AS host, text FROM documents",
+        threshold_ppm=822_000)
+
+
+def _q_host_quality(sf_dir: str):
+    """FineWeb-style domain gating: integer alpha-density ppm per doc
+    → host sums → cross-multiplied mean-vs-threshold verdict attached
+    back to every doc (functions/hostqual.py; threshold 822000 ppm
+    splits the four synth hosts at checked scale). Text never enters
+    an exchange; verdicts broadcast."""
+    import ray.data as rd
+    from pdf2dom_ray.functions.hostqual import host_quality_gate
+    from pdf2dom_ray.functions.urlnorm import synth_messy_url
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "url": pa.array([synth_messy_url(d) for d in ids],
+                            pa.string()),
+            "text": t.column("text"),
+        })
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).map_batches(
+        build, batch_format="pyarrow")
+    return host_quality_gate(ds, threshold_ppm=822_000)
 
 
 def _q_url_canonicalize(sf_dir: str):

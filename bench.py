@@ -198,7 +198,8 @@ def run_bench() -> dict:
                  "link_mis", "shard_assign",
                  "embedding_cluster_cc", "link_clustering_coef",
                  "large_volume_customers", "fuzzy_host_join",
-                 "trigram_backoff", "link_coloring"):
+                 "trigram_backoff", "link_coloring",
+                 "host_quality_gate"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
