@@ -391,6 +391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skipgram_pairs": _q_skipgram_pairs,
         "node2vec_walks": _q_node2vec_walks,
         "warc_extract": _q_warc_extract,
+        "jsonl_ingest": _q_jsonl_ingest,
         "web_pipeline": _q_web_pipeline,
         "corpus_sample": _q_corpus_sample,
         "crawl_latest": _q_crawl_latest,
@@ -1300,6 +1301,13 @@ def oracle_sql() -> dict[str, str]:
         # reading + HTTP-parsing + boilerplate-stripping them must
         # reproduce the documents table (warc_ts is whole seconds from
         # the 2024-01-01 epoch, so the second-granularity WARC-Date
+        # JSONL ingestion roundtrip: the synth shard writer serializes
+        # documents.parquet verbatim, so the oracle is the table itself
+        "jsonl_ingest": """
+            SELECT doc_id, text, lang, source,
+                   CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents
+        """,
         # roundtrips exactly)
         "warc_extract": f"""
             SELECT {_URL_SQL} AS url,
@@ -3602,6 +3610,20 @@ def _q_warc_extract(sf_dir: str):
                                               "\n", " "),
         })
     return out.map_batches(project, batch_format="pyarrow")
+
+
+def _q_jsonl_ingest(sf_dir: str):
+    """Dolma/C4-layout corpus ingestion: .jsonl.gz shards (written
+    once per sf to a /tmp cache) → file-parallel JSONL scan
+    (sources/jsonl.py, one read task per shard). The roundtrip
+    reproduces documents.parquet exactly — the synth writer rule IS
+    the oracle (synth/jsonlgen.py)."""
+    from pdf2dom_ray.sources.jsonl import read_jsonl
+    from pdf2dom_ray.synth.jsonlgen import (JSONLGEN_VERSION,
+                                            write_jsonl_shards)
+    tag = sf_dir.strip("/").replace("/", "_")
+    cache = f"/tmp/pdf2dom_jsonl/{tag}_v{JSONLGEN_VERSION}"
+    return read_jsonl(write_jsonl_shards(sf_dir, cache))
 
 
 def _q_fingerprint(sf_dir: str):
