@@ -392,6 +392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node2vec_walks": _q_node2vec_walks,
         "warc_extract": _q_warc_extract,
         "jsonl_ingest": _q_jsonl_ingest,
+        "shard_plan": _q_shard_plan,
         "web_pipeline": _q_web_pipeline,
         "corpus_sample": _q_corpus_sample,
         "crawl_latest": _q_crawl_latest,
@@ -1301,6 +1302,7 @@ def oracle_sql() -> dict[str, str]:
         # reading + HTTP-parsing + boilerplate-stripping them must
         # reproduce the documents table (warc_ts is whole seconds from
         # the 2024-01-01 epoch, so the second-granularity WARC-Date
+        "shard_plan": _shard_plan_sql(),
         # JSONL ingestion roundtrip: the synth shard writer serializes
         # documents.parquet verbatim, so the oracle is the table itself
         "jsonl_ingest": """
@@ -3610,6 +3612,22 @@ def _q_warc_extract(sf_dir: str):
                                               "\n", " "),
         })
     return out.map_batches(project, batch_format="pyarrow")
+
+
+def _q_shard_plan(sf_dir: str):
+    """WebDataset-style output shard planning: doc_id-ordered
+    exclusive byte prefix sum → floor-division shard assignment at a
+    64 KiB budget (functions/shardplan.py; narrow rows only, one
+    narrow sort + O(blocks) driver bases)."""
+    from pdf2dom_ray.functions.shardplan import shard_plan
+    return shard_plan(_documents(sf_dir), target_bytes=65536)
+
+
+def _shard_plan_sql() -> str:
+    from pdf2dom_ray.functions.shardplan import shard_plan_oracle_sql
+    return shard_plan_oracle_sql(
+        "SELECT doc_id, strlen(text) AS n_bytes FROM documents",
+        target_bytes=65536)
 
 
 def _q_jsonl_ingest(sf_dir: str):
