@@ -431,6 +431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": _q_source_overlap,
         "lm_buckets": _q_lm_buckets,
         "trigram_backoff": _q_trigram_backoff,
+        "kneser_ney": _q_kneser_ney,
         "events_props_agg": _q_events_props,
         "doc_chunks": _q_doc_chunks,
         "pack_sequences": _q_pack_sequences,
@@ -967,6 +968,52 @@ def oracle_sql() -> dict[str, str]:
                    LEFT JOIN bi ON bi.w1 = dt.w2 AND bi.w2 = dt.w3
                    LEFT JOIN p2 ON p2.w = dt.w2
                    LEFT JOIN uni ON uni.w = dt.w3)
+            SELECT d.doc_id,
+                   CAST(COALESCE(sum(sc.s) // count(sc.s), 0)
+                        AS BIGINT) AS score_ppm
+            FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+            GROUP BY d.doc_id
+        """,
+        # interpolated bigram Kneser-Ney at D=3/4 as the exact
+        # rational (4c12-3)+*NB + 3*N1f*N1b over 4*c1*NB in HUGEINT
+        "kneser_ney": """
+            WITH toks AS (SELECT doc_id,
+                   list_filter(string_split(text, ' '),
+                               t -> t <> '') AS ts FROM documents),
+            bi AS (SELECT ts[i] AS w1, ts[i+1] AS w2,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM toks, LATERAL unnest(generate_series(
+                          1, greatest(len(ts)-1, 0))) t(i)
+                   WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+            c1t AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1
+                    FROM bi GROUP BY 1),
+            n1f AS (SELECT w1, CAST(count(*) AS BIGINT) AS nf
+                    FROM bi GROUP BY 1),
+            n1b AS (SELECT w2, CAST(count(*) AS BIGINT) AS nbk
+                    FROM bi GROUP BY 1),
+            nbt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bi),
+            dt AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+                   FROM toks, LATERAL unnest(generate_series(
+                          1, greatest(len(ts)-1, 0))) t(i)),
+            sc AS (SELECT dt.doc_id,
+                     CASE WHEN (SELECT n FROM nbt) = 0 THEN 0
+                          WHEN c1t.c1 IS NOT NULL THEN
+                            CAST((CAST(1000000 AS HUGEINT)
+                                  * (greatest(4*COALESCE(bi.c, 0)-3, 0)
+                                       * (SELECT n FROM nbt)
+                                     + 3 * n1f.nf
+                                       * COALESCE(n1b.nbk, 0)))
+                                 // (CAST(4 AS HUGEINT) * c1t.c1
+                                     * (SELECT n FROM nbt))
+                                 AS BIGINT)
+                          ELSE (1000000 * COALESCE(n1b.nbk, 0))
+                               // (SELECT n FROM nbt)
+                     END AS s
+                   FROM dt
+                   LEFT JOIN bi ON bi.w1 = dt.w1 AND bi.w2 = dt.w2
+                   LEFT JOIN c1t ON c1t.w1 = dt.w1
+                   LEFT JOIN n1f ON n1f.w1 = dt.w1
+                   LEFT JOIN n1b ON n1b.w2 = dt.w2)
             SELECT d.doc_id,
                    CAST(COALESCE(sum(sc.s) // count(sc.s), 0)
                         AS BIGINT) AS score_ppm
@@ -3370,6 +3417,20 @@ def _q_trigram_backoff(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return trigram_backoff_scores(ds)
+
+
+def _q_kneser_ney(sf_dir: str):
+    """Interpolated bigram Kneser-Ney scoring (Kneser & Ney 1995;
+    Chen & Goodman 1998 eq. 4.25) at the canonical D=3/4 as an exact
+    rational in Python bigints → integer ppm; trained on the
+    doc_id%2==0 held-out slice; ONE narrow bigram-count shuffle + one
+    broadcast + one actor-pool scoring pass."""
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.lmscore import kneser_ney_scores
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return kneser_ney_scores(ds)
 
 
 def _q_fuzzy_host_join(sf_dir: str):

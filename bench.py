@@ -199,7 +199,8 @@ def run_bench() -> dict:
                  "embedding_cluster_cc", "link_clustering_coef",
                  "large_volume_customers", "fuzzy_host_join",
                  "trigram_backoff", "link_coloring",
-                 "host_quality_gate", "jsonl_ingest", "shard_plan"):
+                 "host_quality_gate", "jsonl_ingest", "shard_plan",
+                 "kneser_ney"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

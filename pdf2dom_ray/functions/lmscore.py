@@ -38,7 +38,8 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-__all__ = ["bigram_lm_buckets", "bigram_lm_scores"]
+__all__ = ["bigram_lm_buckets", "bigram_lm_scores",
+           "trigram_backoff_scores", "kneser_ney_scores"]
 
 
 def _bigram_counts(ds: rd.Dataset, text_col: str) -> rd.Dataset:
@@ -264,4 +265,94 @@ def trigram_backoff_scores(ds: rd.Dataset, *, text_col: str = "text",
     return ds.select_columns([id_col, text_col]).map_batches(
         _BackoffScorer, fn_constructor_args=(model_ref, text_col,
                                              id_col),
+        batch_format="pyarrow", concurrency=(lo, hi))
+
+
+class _KNScorer:
+    """Actor-pool stage: the four KN count tables fetched once per
+    actor (real per-actor state — the repo's actor-pool criterion)."""
+
+    def __init__(self, model_ref, text_col: str, id_col: str):
+        (self.c12, self.c1, self.n1f,
+         self.n1b, self.n_bi) = ray.get(model_ref)
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, scores = [], []
+        c12, c1 = self.c12, self.c1
+        n1f, n1b, nb = self.n1f, self.n1b, self.n_bi
+        for d, text in zip(t.column(self.id_col).to_pylist(),
+                           t.column(self.text_col).to_pylist()):
+            toks = [w for w in (text or "").split(" ") if w]
+            pairs = list(zip(toks, toks[1:]))
+            total = 0
+            for w1, w2 in pairs:
+                if not nb:
+                    continue
+                h = c1.get(w1)
+                if h:
+                    # exact rational: P = max(c12-3/4,0)/c1
+                    #                   + (3/4 · N1+(w1·)/c1) · N1+(·w2)/NB
+                    num = (max(4 * c12.get((w1, w2), 0) - 3, 0) * nb
+                           + 3 * n1f[w1] * n1b.get(w2, 0))
+                    total += (1_000_000 * num) // (4 * h * nb)
+                else:
+                    # unseen history → continuation unigram alone
+                    total += (1_000_000 * n1b.get(w2, 0)) // nb
+            ids.append(d)
+            scores.append(total // len(pairs) if pairs else 0)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "score_ppm": pa.array(scores, pa.int64())})
+
+
+def kneser_ney_scores(ds: rd.Dataset, *, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      train_mod: int = 2) -> rd.Dataset:
+    """(doc_id, score_ppm): interpolated bigram Kneser-Ney score
+    (Kneser & Ney 1995; Chen & Goodman 1998 eq. 4.25) — THE standard
+    smoothed n-gram LM, scoring each document by its mean bigram
+    probability under an absolute-discount model whose lower-order
+    distribution is the CONTINUATION count (how many distinct
+    contexts a word follows), not the raw frequency:
+
+        P(w2|w1) = max(c12 − D, 0)/c1 + D·N1+(w1·)/c1 · N1+(·w2)/N1+(··)
+
+    at the canonical D = 3/4, carried as the exact rational
+    (4·c12 − 3)⁺·NB + 3·N1+(w1·)·N1+(·w2) over 4·c1·NB in Python
+    bigints → integer ppm (CLAUDE.md invariant; the SQL twin replays
+    it in HUGEINT). Unseen history (c1 = 0) scores the continuation
+    unigram N1+(·w2)/NB alone. The model trains on the
+    ``id % train_mod == 0`` held-out slice (the trigram_backoff
+    convention) so unseen events genuinely occur.
+
+    Scale shape: ONE narrow bigram-count shuffle; c1 / N1+(w1·) /
+    N1+(·w2) / NB all derive from the bigram table driver-side
+    (vocab²-bounded; at crawl scale keep them distributed and
+    count-prune the broadcast exactly as trigram_backoff documents);
+    one ``ray.put`` broadcast + one actor-pool scoring pass — no join
+    touches the text."""
+    from pdf2dom_ray.stages.pool import default_pool
+
+    bi = _ngram_counts(ds, text_col, 2, id_col, train_mod)
+    c12: dict = {}
+    for b in ray.get(bi.to_arrow_refs()):
+        if not b.num_columns:
+            continue
+        for w1, w2, n in zip(b.column("w1").to_pylist(),
+                             b.column("w2").to_pylist(),
+                             b.column("c").to_pylist()):
+            c12[(w1, w2)] = c12.get((w1, w2), 0) + n
+    c1: dict = {}
+    n1f: dict = {}
+    n1b: dict = {}
+    for (w1, w2), n in c12.items():
+        c1[w1] = c1.get(w1, 0) + n
+        n1f[w1] = n1f.get(w1, 0) + 1
+        n1b[w2] = n1b.get(w2, 0) + 1
+    n_bi = len(c12)
+
+    model_ref = ray.put((c12, c1, n1f, n1b, n_bi))
+    lo, hi = default_pool()
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _KNScorer, fn_constructor_args=(model_ref, text_col, id_col),
         batch_format="pyarrow", concurrency=(lo, hi))
