@@ -432,6 +432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_buckets": _q_lm_buckets,
         "trigram_backoff": _q_trigram_backoff,
         "kneser_ney": _q_kneser_ney,
+        "vocab_growth": _q_vocab_growth,
         "events_props_agg": _q_events_props,
         "doc_chunks": _q_doc_chunks,
         "pack_sequences": _q_pack_sequences,
@@ -1350,6 +1351,7 @@ def oracle_sql() -> dict[str, str]:
         # reproduce the documents table (warc_ts is whole seconds from
         # the 2024-01-01 epoch, so the second-granularity WARC-Date
         "shard_plan": _shard_plan_sql(),
+        "vocab_growth": _vocab_growth_sql(),
         # JSONL ingestion roundtrip: the synth shard writer serializes
         # documents.parquet verbatim, so the oracle is the table itself
         "jsonl_ingest": """
@@ -3417,6 +3419,26 @@ def _q_trigram_backoff(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return trigram_backoff_scores(ds)
+
+
+def _vocab_growth_sql() -> str:
+    from pdf2dom_ray.functions.vocabgrowth import vocab_growth_oracle_sql
+    return vocab_growth_oracle_sql(
+        n_docs="(SELECT count(*) FROM documents)", n_buckets=10)
+
+
+def _q_vocab_growth(sf_dir: str):
+    """Heaps'-law vocabulary growth curve over 10 doc_id deciles
+    (functions/vocabgrowth.py): per-token MIN first-bucket fold (one
+    vocab-bounded narrow groupby) + per-bucket token counts → 10-row
+    cumulative curve."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from pdf2dom_ray.functions.vocabgrowth import vocab_growth
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return vocab_growth(ds, n_docs=n, n_buckets=10)
 
 
 def _q_kneser_ney(sf_dir: str):
