@@ -495,6 +495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_containment": _q_dedup_containment,
         "corpus_dedup_pipeline": _q_corpus_pipeline,
         "dedup_minhash": _q_dedup_minhash,
+        "dedup_incremental": _q_dedup_incremental,
         "dedup_simhash": _q_dedup_simhash,
         # -- similarity search / embedding dedup / clustering
         "kmeans_clusters": _q_kmeans,
@@ -1697,6 +1698,33 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _PII_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
         "dedup_minhash": _NEAR_DUP_CLUSTER_SQL,
+        # delta dedup: exact cross-side Jaccard replays the LSH
+        # candidate semantics (minhash recall contract on this corpus)
+        "dedup_incremental": """
+            WITH w AS (SELECT doc_id, text, string_split(text, ' ')
+                              AS w FROM documents),
+            sh AS (SELECT doc_id,
+                     CASE WHEN len(w) < 3 THEN [text]
+                          ELSE list_distinct(list_transform(
+                                 generate_series(1, len(w) - 2),
+                                 i -> w[i] || ' ' || w[i+1] || ' '
+                                      || w[i+2]))
+                     END AS s
+                   FROM w),
+            best AS (SELECT b.doc_id, MIN(a.doc_id) AS dup_of
+                     FROM sh a JOIN sh b
+                       ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+                     WHERE CAST(len(list_intersect(a.s, b.s))
+                                AS DOUBLE)
+                           / (len(a.s) + len(b.s)
+                              - len(list_intersect(a.s, b.s))) > 0.5
+                     GROUP BY b.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(best.dup_of, -1) AS dup_of,
+                   best.dup_of IS NULL AS is_new
+            FROM documents d LEFT JOIN best USING (doc_id)
+            WHERE d.doc_id % 2 = 1
+        """,
         "dedup_simhash": _NEAR_DUP_CLUSTER_SQL,
         "corpus_dedup_pipeline": _CORPUS_PIPELINE_SQL,
         "lang_id": _LANG_ID_SQL,
@@ -3904,6 +3932,32 @@ def _q_dedup_exact(sf_dir: str):
 def _q_dedup_minhash(sf_dir: str):
     from pdf2dom_ray.functions.dedup import minhash_cluster
     return minhash_cluster(_documents(sf_dir))
+
+
+def _q_dedup_incremental(sf_dir: str):
+    """Delta dedup of a new snapshot against a reference corpus
+    (functions/dedup.py::incremental_dedup): odd doc_ids are the NEW
+    snapshot, even the reference; each new doc flagged with the
+    smallest colliding reference id. LSH band candidates with the
+    minhash recall contract; per bucket only (new, min_ref) rows —
+    never a pair expansion."""
+    import ray.data as rd
+    from pdf2dom_ray.functions.dedup import incremental_dedup
+
+    def side(parity: int):
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            m = pc.equal(pc.bit_wise_and(t.column("doc_id"),
+                                         pa.scalar(1, pa.int64())),
+                         pa.scalar(parity, pa.int64()))
+            return t.filter(m)
+        return f
+
+    def load(parity: int):
+        return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"]) \
+            .map_batches(side(parity), batch_format="pyarrow")
+    return incremental_dedup(load(1), load(0))
 
 
 def _q_dedup_simhash(sf_dir: str):

@@ -41,7 +41,7 @@ from ..stages.pool import default_pool
 
 __all__ = ["exact_dedup", "keep_best", "minhash_cluster", "simhash",
            "simhash_cluster", "shingles", "jaccard",
-           "connected_component_labels"]
+           "connected_component_labels", "incremental_dedup"]
 
 _MERSENNE = (1 << 61) - 1
 
@@ -580,3 +580,138 @@ def simhash_cluster(ds: rd.Dataset, *, hamming_thresh: int = 12,
     edges = _simhash_edges(band_rows, hamming_thresh)
     return _label_all_docs(ds, edges, driver_edge_limit=driver_edge_limit,
                            concurrency=concurrency)
+
+
+def incremental_dedup(new_ds: rd.Dataset, ref_ds: rd.Dataset, *,
+                      num_perm: int = 64, bands: int = 16,
+                      shingle_k: int = 3,
+                      broadcast_limit: int = 5_000_000,
+                      num_partitions: int = 64) -> rd.Dataset:
+    """(doc_id, dup_of, is_new): every NEW document flagged against a
+    REFERENCE corpus — the delta-dedup step of a continuously updated
+    corpus (Dolma/CC re-crawls dedupe each snapshot against all prior
+    ones rather than re-clustering the union). ``dup_of`` = smallest
+    reference doc_id sharing a MinHash LSH band bucket with the new
+    doc (−1 when none; ``is_new`` = no collision).
+
+    Same recall contract as :func:`minhash_cluster`: a pair above the
+    Jaccard threshold collides in ≥1 of the ``bands`` band buckets
+    (pigeonhole), and band collisions below threshold are
+    vanishingly rare — production would add an exact-verify pass on
+    the candidate pairs; the driver oracle replays the semantics as
+    exact cross-side Jaccard.
+
+    Scale shape: signatures stream map-side on BOTH inputs (payload
+    never shuffles); the one exchange carries narrow
+    (side, doc, band, hash) rows; per bucket only (new_doc,
+    min_ref) rows are emitted — NO pair expansion, so a hot template
+    bucket costs its membership, not its square; a final narrow
+    groupby min-merges across buckets; new docs without candidates
+    fill via a broadcast id probe (sorted numpy + searchsorted) under
+    ``broadcast_limit``, left join beyond."""
+    import ray
+
+    def tag_side(side: int):
+        def add(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array(np.full(t.num_rows, side,
+                                         dtype=np.int8)))
+        return add
+
+    nb = new_ds.map_batches(
+        _MinHashBands(num_perm=num_perm, bands=bands,
+                      shingle_k=shingle_k),
+        batch_format="pyarrow").map_batches(
+        tag_side(1), batch_format="pyarrow")
+    rb = ref_ds.map_batches(
+        _MinHashBands(num_perm=num_perm, bands=bands,
+                      shingle_k=shingle_k),
+        batch_format="pyarrow").map_batches(
+        tag_side(0), batch_format="pyarrow")
+
+    def part_tag(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[["band_id", "band_hash"]],
+                                       index=False)
+        return df.assign(__part=(h % num_partitions).astype("int64"))
+
+    def bucket_candidates(g: pd.DataFrame) -> pa.Table:
+        """(new_doc, min ref in the same bucket) — one row per
+        (bucket, new doc), never a pair expansion."""
+        g = g.drop(columns="__part")
+        ref_min = g[g["side"] == 0].groupby(
+            ["band_id", "band_hash"])["doc_id"].min()
+        news = g[g["side"] == 1]
+        if not len(news) or not len(ref_min):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "dup_of": pa.array([], pa.int64())})
+        joined = news.join(ref_min.rename("dup_of"),
+                           on=["band_id", "band_hash"], how="inner")
+        out = joined.groupby("doc_id", as_index=False)["dup_of"].min()
+        return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
+                         "dup_of": pa.array(out["dup_of"], pa.int64())})
+
+    cand = (nb.union(rb)
+              .map_batches(part_tag, batch_format="pandas")
+              .groupby("__part")
+              .map_groups(bucket_candidates, batch_format="pandas"))
+    from ray.data.aggregate import Min
+    best = _to_arrow_blocks(
+        cand.groupby("doc_id").aggregate(Min("dup_of",
+                                             alias_name="dup_of")))
+
+    blocks = []
+    for b in ray.get(best.to_arrow_refs()):
+        if isinstance(b, pd.DataFrame):   # empty blocks pass through
+            if len(b.columns) and len(b):
+                blocks.append(pa.Table.from_pandas(
+                    b, preserve_index=False))
+        elif b.num_columns and b.num_rows:
+            blocks.append(b)
+    n_cand = sum(b.num_rows for b in blocks)
+    if n_cand <= broadcast_limit:
+        if blocks:
+            bt = pa.concat_tables(blocks)
+            keys = np.asarray(bt.column("doc_id"), dtype=np.int64)
+            vals = np.asarray(bt.column("dup_of"), dtype=np.int64)
+        else:
+            keys = np.empty(0, np.int64)
+            vals = np.empty(0, np.int64)
+        order = np.argsort(keys)
+        keys_ref = ray.put(keys[order])
+        vals_ref = ray.put(vals[order])
+
+        def attach(t: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            vs = ray.get(vals_ref)
+            ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+            pos = np.minimum(np.searchsorted(ks, ids),
+                             max(len(ks) - 1, 0))
+            hit = (ks[pos] == ids) if len(ks) else \
+                np.zeros(len(ids), dtype=bool)
+            dup = np.where(hit, vs[pos] if len(vs) else -1,
+                           -1).astype(np.int64)
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "dup_of": pa.array(dup, pa.int64()),
+                "is_new": pa.array(~hit),
+            })
+
+        return new_ds.select_columns(["doc_id"]).map_batches(
+            attach, batch_format="pyarrow")
+
+    n_part = max(2, num_partitions // 8)
+    left = join_ready(new_ds.select_columns(["doc_id"]), n_part)
+    out = left.join(join_ready(best, n_part), join_type="left_outer",
+                    num_partitions=n_part, on=("doc_id",))
+
+    def fill(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        dup = pc.coalesce(t.column("dup_of"),
+                          pa.scalar(-1, pa.int64())).cast(pa.int64())
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "dup_of": dup,
+            "is_new": pc.equal(dup, pa.scalar(-1, pa.int64())),
+        })
+
+    return out.map_batches(fill, batch_format="pyarrow")
