@@ -473,6 +473,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_mis_bsp": _q_link_mis_bsp,
         "link_coloring": _q_link_coloring,
         "link_coloring_bsp": _q_link_coloring_bsp,
+        "link_stress": _q_link_stress,
+        "link_stress_bsp": _q_link_stress_bsp,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
         "hashed_features": _q_hashed_features,
@@ -1283,6 +1285,8 @@ def oracle_sql() -> dict[str, str]:
         "link_mis_bsp": _mis_sql(),
         "link_coloring": _coloring_sql(),
         "link_coloring_bsp": _coloring_sql(),
+        "link_stress": _stress_sql(),
+        "link_stress_bsp": _stress_sql(),
         "link_harmonic_bsp": _harmonic_sql(),
         "link_ball_hll": _hyperball_sql(),
         "link_ball_hll_bsp": _hyperball_sql(),
@@ -2861,6 +2865,45 @@ def _q_link_coloring_bsp(sf_dir: str):
     from pdf2dom_ray.functions.coloring import jp_coloring
     return jp_coloring(_cc_edges(sf_dir), rounds=8,
                        driver_edge_limit=0)
+
+
+def _stress_sql() -> str:
+    """Unrolled pivot-BFS path counting + level-descending DAG
+    accumulation over the same synthetic digraph rule as
+    ``_bfs_edges`` (functions/stress.py::stress_oracle_sql; every
+    per-level CTE AS MATERIALIZED per CLAUDE.md)."""
+    from pdf2dom_ray.functions.stress import stress_oracle_sql
+    edges = """
+        SELECT doc_id AS src,
+               CAST((2 * doc_id + 1) % (SELECT count(*) FROM documents)
+                    AS BIGINT) AS target
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               CAST((3 * doc_id + 7) % (SELECT count(*) FROM documents)
+                    AS BIGINT)
+        FROM documents"""
+    return stress_oracle_sql(edges, pivots=8, radius=4)
+
+
+def _q_link_stress(sf_dir: str):
+    """Pivot-sampled stress centrality (Shimbel 1953 count, Brandes–
+    Pich 2007 pivot sampling; 8 md5-elected pivots, radius 4) over the
+    synthetic digraph — shortest-path load on each page, the integer
+    sibling of betweenness link-spam auditors threshold on
+    (functions/stress.py; both-directions graphbsp layout on the
+    scale path)."""
+    from pdf2dom_ray.functions.stress import stress_centrality
+    return stress_centrality(_bfs_edges(sf_dir), pivots=8, radius=4)
+
+
+def _q_link_stress_bsp(sf_dir: str):
+    """The stress BSP scale path under external check (driver path
+    disabled) — hash-matches the same unrolled oracle because σ and T
+    are order-independent int64 scatter-sums."""
+    from pdf2dom_ray.functions.stress import stress_centrality
+    return stress_centrality(_bfs_edges(sf_dir), pivots=8, radius=4,
+                             driver_edge_limit=0)
 
 
 def _kcore_sql() -> str:

@@ -200,7 +200,8 @@ def run_bench() -> dict:
                  "large_volume_customers", "fuzzy_host_join",
                  "trigram_backoff", "link_coloring",
                  "host_quality_gate", "jsonl_ingest", "shard_plan",
-                 "kneser_ney", "vocab_growth", "dedup_incremental"):
+                 "kneser_ney", "vocab_growth", "dedup_incremental",
+                 "link_stress"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
