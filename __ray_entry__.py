@@ -411,6 +411,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_shipments": _q_late_shipments,
         "forecast_revenue": _q_forecast_revenue,
         "large_volume_customers": _q_large_volume_customers,
+        "pricing_summary": _q_pricing_summary,
+        "order_priority_check": _q_order_priority_check,
+        "promo_revenue": _q_promo_revenue,
         "local_supplier_volume": _q_local_supplier_volume,
         "customer_distribution": _q_customer_distribution,
         "length_percentiles": _q_length_percentiles,
@@ -522,7 +525,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_paths": _q_session_paths,
         "cohort_retention": _q_cohort_retention,
         "funnel_steps": _q_funnel,
-        "pricing_summary": _q_pricing_summary,
         "orders_by_segment": _q_orders_by_segment,
         "bloom_semijoin": _q_bloom_semijoin,
         # -- temporal joins / windows Ray Data lacks as built-ins
@@ -1847,15 +1849,6 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1
         """,
-        "pricing_summary": """
-            SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)
-                       AS sum_disc_price,
-                   CAST(count(*) AS BIGINT) AS count_order
-            FROM lineitem GROUP BY 1, 2
-        """,
         "events_sessionize": """
             WITH gaps AS (
                 SELECT user_id, ts,
@@ -1954,6 +1947,67 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        # Q1: tiny group universe, stacked integer aggregates;
+        # averages stay un-divided (sum + count) per CLAUDE.md
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(round(l_quantity) AS BIGINT))
+                        AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(floor(l_extendedprice * 100)
+                                 AS BIGINT))
+                        AS BIGINT) AS base_price_cents,
+                   CAST(SUM(CAST(floor(l_extendedprice
+                                       * (1 - l_discount) * 100)
+                                 AS BIGINT))
+                        AS BIGINT) AS disc_price_cents,
+                   CAST(SUM(CAST(floor(l_extendedprice
+                                       * (1 - l_discount)
+                                       * (1 + l_tax) * 100)
+                                 AS BIGINT))
+                        AS BIGINT) AS charge_cents,
+                   CAST(SUM(CAST(round(l_discount * 100) AS BIGINT))
+                        AS BIGINT) AS sum_disc_centi,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        # Q4: EXISTS semi-join (Q12 late rule stands in for
+        # commit/receipt dates the tables don't carry)
+        "order_priority_check": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate
+                                             + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+        """,
+        # Q14: conditional aggregate ratio as integer ppm (one floor
+        # division of two exact int64 sums)
+        "promo_revenue": """
+            WITH s AS (
+              SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                              THEN CAST(floor(l_extendedprice
+                                              * (1 - l_discount)
+                                              * 100) AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS promo_cents,
+                     CAST(SUM(CAST(floor(l_extendedprice
+                                         * (1 - l_discount) * 100)
+                                   AS BIGINT))
+                          AS BIGINT) AS total_cents
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE l_shipdate >= TIMESTAMP '1996-07-01'
+                AND l_shipdate < TIMESTAMP '1996-08-01')
+            SELECT promo_cents, total_cents,
+                   CAST(CASE WHEN total_cents = 0 THEN 0
+                        ELSE (1000000 * promo_cents) // total_cents
+                        END AS BIGINT) AS promo_ppm
+            FROM s
         """,
         # Q18: HAVING-gated join, top 100 by order value; integer
         # cents; deterministic (cents, date, orderkey) tie-break
@@ -3479,6 +3533,32 @@ def _q_forecast_revenue(sf_dir: str):
     return q6_forecast_revenue(sf_dir)
 
 
+def _q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: full-fact-table pricing summary — per-batch
+    combiner collapses to ≤|flags|×|status| partial rows, so the one
+    exchange moves O(blocks × groups) rows at any table size; stacked
+    int64 aggregates, averages kept un-divided (sum + count)."""
+    from pdf2dom_ray.pipelines.tpch import q1_pricing_summary
+    return q1_pricing_summary(sf_dir)
+
+
+def _q_order_priority_check(sf_dir: str):
+    """TPC-H Q4 shape: EXISTS semi-join gating a priority count —
+    lineitem collapses to one (orderkey, max_ship_day) row per key,
+    orders attach by broadcast searchsorted probe (join fallback past
+    the limit), final groupby is ≤5 rows."""
+    from pdf2dom_ray.pipelines.tpch import q4_order_priority_check
+    return q4_order_priority_check(sf_dir)
+
+
+def _q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: promotion-effect ratio — broadcast promo
+    partkey set, month predicate pushed into the scan, two int64
+    scalars per batch, one ppm floor-division at the end."""
+    from pdf2dom_ray.pipelines.tpch import q14_promo_revenue
+    return q14_promo_revenue(sf_dir)
+
+
 def _q_trigram_backoff(sf_dir: str):
     """Stupid-backoff trigram LM scoring (Brants 2007): model trained
     on the doc_id%2==0 held-out slice scores every document, exact
@@ -4753,11 +4833,6 @@ def _q_events_hourly(sf_dir: str):
 def _q_orders_by_segment(sf_dir: str):
     from pdf2dom_ray.pipelines.metrics import orders_by_segment
     return orders_by_segment(sf_dir)
-
-
-def _q_pricing_summary(sf_dir: str):
-    from pdf2dom_ray.pipelines.metrics import pricing_summary
-    return pricing_summary(sf_dir)
 
 
 def _q_sessionize(sf_dir: str):

@@ -201,7 +201,8 @@ def run_bench() -> dict:
                  "trigram_backoff", "link_coloring",
                  "host_quality_gate", "jsonl_ingest", "shard_plan",
                  "kneser_ney", "vocab_growth", "dedup_incremental",
-                 "link_stress"):
+                 "link_stress", "pricing_summary",
+                 "order_priority_check", "promo_revenue"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

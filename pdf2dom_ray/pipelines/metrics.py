@@ -81,39 +81,6 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(finish, batch_format="pandas")
 
 
-def pricing_summary(sf_dir: str) -> rd.Dataset:
-    """TPC-H-Q1-shaped pricing summary over lineitem: per
-    (returnflag, linestatus) sums/counts with a vectorized per-batch
-    partial aggregation before the small global groupby."""
-    ds = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_returnflag", "l_linestatus", "l_quantity",
-                 "l_extendedprice", "l_discount"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(disc_price=df.l_extendedprice * (1 - df.l_discount))
-        out = (df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
-                 .agg(sum_qty=("l_quantity", "sum"),
-                      sum_base_price=("l_extendedprice", "sum"),
-                      sum_disc_price=("disc_price", "sum"),
-                      n=("l_quantity", "size")))
-        return out
-
-    partials = ds.map_batches(partial, batch_format="pandas")
-    agg = (partials.groupby(["l_returnflag", "l_linestatus"])
-                   .aggregate(Sum("sum_qty", alias_name="sum_qty"),
-                              Sum("sum_base_price", alias_name="sum_base_price"),
-                              Sum("sum_disc_price", alias_name="sum_disc_price"),
-                              Sum("n", alias_name="count_order")))
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-            df[c] = df[c].round(2)
-        df["count_order"] = df["count_order"].astype("int64")
-        return df
-    return agg.map_batches(finish, batch_format="pandas")
-
-
 def sessionize(sf_dir: str, gap_minutes: int = 30,
                num_partitions: int | None = None) -> rd.Dataset:
     """Session windows per user: a new session starts when the gap to

@@ -38,7 +38,9 @@ from ray.data.aggregate import Sum
 
 __all__ = ["q3_top_unshipped", "q5_local_supplier_volume",
            "q13_customer_distribution", "q10_returned_items",
-           "q12_late_shipments", "q6_forecast_revenue"]
+           "q12_late_shipments", "q6_forecast_revenue",
+           "q1_pricing_summary", "q4_order_priority_check",
+           "q14_promo_revenue"]
 
 
 def _n_partitions() -> int:
@@ -1125,3 +1127,269 @@ def q18_large_volume_customers(sf_dir: str, *, min_qty: int = 250,
     for c in ("o_orderkey", "totalprice_cents", "sum_qty"):
         out[c] = out[c].astype("int64")
     return rd.from_pandas(out)
+
+
+def q1_pricing_summary(sf_dir: str,
+                       ship_before: str = "1998-09-02") -> rd.Dataset:
+    """TPC-H Q1 shape: the pricing-summary report — full-fact-table
+    scan collapsing into a handful of (returnflag, linestatus) groups
+    with stacked aggregates. The canonical COMBINER showcase: the
+    group universe is tiny (≤ R×S groups), so every batch collapses
+    to at most that many partial rows and the exchange moves
+    O(blocks × groups) rows regardless of table size — at 100 TB the
+    shuffle stays kilobytes.
+
+    Averages are deliberately emitted UN-DIVIDED (count_order plus the
+    integer sums they derive from — avg = sum/count post-hoc): the
+    CLAUDE.md integer-aggregate invariant. Per-line money terms use
+    the repo's float→cents rule, floor(expr · 100) per ROW then int64
+    sums, which both numpy and DuckDB evaluate identically (same IEEE
+    expression), so the oracle hash-matches bit-exactly:
+
+        base_price_cents = Σ floor(l_extendedprice · 100)
+        disc_price_cents = Σ floor(l_extendedprice·(1-l_discount)·100)
+        charge_cents     = Σ floor(l_extendedprice·(1-l_discount)
+                                   ·(1+l_tax)·100)
+        sum_disc_centi   = Σ rint(l_discount · 100)
+    """
+    from datetime import datetime
+
+    import pyarrow.dataset as pads
+
+    lim = datetime.fromisoformat(ship_before)
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"],
+        filter=pads.field("l_shipdate") <= lim)
+
+    def partial(t: pa.Table) -> pa.Table:
+        rf = np.asarray(t.column("l_returnflag").to_pandas(),
+                        dtype=object)
+        lst = np.asarray(t.column("l_linestatus").to_pandas(),
+                         dtype=object)
+        qty = np.rint(t.column("l_quantity").to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        price = t.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        tax = t.column("l_tax").to_numpy(zero_copy_only=False)
+        base = np.floor(price * 100).astype(np.int64)
+        dp = np.floor(price * (1 - disc) * 100).astype(np.int64)
+        ch = np.floor(price * (1 - disc) * (1 + tax) * 100) \
+            .astype(np.int64)
+        dc = np.rint(disc * 100).astype(np.int64)
+        key = np.char.add(np.char.add(rf.astype(str), "|"),
+                          lst.astype(str))
+        uk, inv = np.unique(key, return_inverse=True)
+        def seg(v):
+            return np.bincount(inv, v, len(uk)).astype(np.int64)
+        flags = np.array([k.split("|") for k in uk], dtype=object) \
+            if len(uk) else np.empty((0, 2), dtype=object)
+        return pa.table({
+            "l_returnflag": pa.array(
+                [f[0] for f in flags], pa.string()),
+            "l_linestatus": pa.array(
+                [f[1] for f in flags], pa.string()),
+            "sum_qty": pa.array(seg(qty), pa.int64()),
+            "base_price_cents": pa.array(seg(base), pa.int64()),
+            "disc_price_cents": pa.array(seg(dp), pa.int64()),
+            "charge_cents": pa.array(seg(ch), pa.int64()),
+            "sum_disc_centi": pa.array(seg(dc), pa.int64()),
+            "count_order": pa.array(
+                np.bincount(inv, minlength=len(uk)).astype(np.int64),
+                pa.int64())})
+
+    from ..functions.dedup import _to_arrow_blocks
+    agg = _to_arrow_blocks(
+        ds.map_batches(partial, batch_format="pyarrow")
+          .groupby(["l_returnflag", "l_linestatus"])
+          .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                     Sum("base_price_cents",
+                         alias_name="base_price_cents"),
+                     Sum("disc_price_cents",
+                         alias_name="disc_price_cents"),
+                     Sum("charge_cents", alias_name="charge_cents"),
+                     Sum("sum_disc_centi",
+                         alias_name="sum_disc_centi"),
+                     Sum("count_order", alias_name="count_order")))
+    return agg
+
+
+def q4_order_priority_check(sf_dir: str, *,
+                            date_lo: str = "1996-01-01",
+                            date_hi: str = "1996-04-01",
+                            late_days: int = 60,
+                            broadcast_limit: int = 5_000_000
+                            ) -> rd.Dataset:
+    """TPC-H Q4 shape: order-priority checking — an EXISTS semi-join
+    from the fact table gating a dimension groupby. The reference
+    predicate (l_commitdate < l_receiptdate) uses columns the driver
+    tables don't carry, so the semi-join condition is the Q12 late
+    rule instead: EXISTS a lineitem shipped > ``late_days`` after the
+    order date — same shape, same distributed plan.
+
+    Distributed shape: lineitem collapses per batch to its DISTINCT
+    (l_orderkey, max_shipdate_day) partials (narrow), one orderkey
+    groupby finishes the max; orders in the window attach by
+    broadcast searchsorted probe under ``broadcast_limit`` (join
+    fallback beyond) and the per-priority count is a tiny final
+    groupby. The EXISTS never materializes matching line rows — only
+    one derived row per orderkey leaves a batch."""
+    from datetime import datetime
+
+    import pyarrow.dataset as pads
+
+    from ..functions.dedup import _to_arrow_blocks, join_ready
+    from ..scale import scale_partitions
+
+    lo = datetime.fromisoformat(date_lo)
+    hi = datetime.fromisoformat(date_hi)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy()
+        day = (t.column("l_shipdate").cast(pa.int64()).to_numpy()
+               // 86_400_000_000)
+        uk, inv = np.unique(ok, return_inverse=True)
+        mx = np.full(len(uk), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, inv, day)
+        return pa.table({"l_orderkey": pa.array(uk, pa.int64()),
+                         "max_ship_day": pa.array(mx, pa.int64())})
+
+    from ray.data.aggregate import Max
+    per_order = _to_arrow_blocks(
+        li.map_batches(li_partial, batch_format="pyarrow")
+          .groupby("l_orderkey").aggregate(
+              Max("max_ship_day", alias_name="max_ship_day"))) \
+        .materialize()
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=((pads.field("o_orderdate") >= lo)
+                & (pads.field("o_orderdate") < hi)))
+
+    n_li = per_order.count()
+    if n_li <= broadcast_limit:
+        tabs = [b for b in ray.get(per_order.to_arrow_refs())
+                if b.num_columns]
+        lt = pa.concat_tables(tabs) if tabs else pa.table(
+            {"l_orderkey": pa.array([], pa.int64()),
+             "max_ship_day": pa.array([], pa.int64())})
+        order_arr = np.argsort(lt.column("l_orderkey").to_numpy())
+        keys_ref = ray.put(
+            lt.column("l_orderkey").to_numpy()[order_arr])
+        mx_ref = ray.put(
+            lt.column("max_ship_day").to_numpy()[order_arr])
+
+        def probe(t: pa.Table) -> pa.Table:
+            keys = ray.get(keys_ref)
+            mx = ray.get(mx_ref)
+            ok = t.column("o_orderkey").to_numpy()
+            day = (t.column("o_orderdate").cast(pa.int64()).to_numpy()
+                   // 86_400_000_000)
+            pos = np.searchsorted(keys, ok)
+            pos_c = np.minimum(pos, max(len(keys) - 1, 0))
+            hit = (keys[pos_c] == ok) if len(keys) else \
+                np.zeros(len(ok), dtype=bool)
+            late = hit & (mx[pos_c] > day + late_days)
+            pr = np.asarray(t.column("o_orderpriority").to_pandas(),
+                            dtype=object)[late]
+            uk, cnt = np.unique(pr.astype(str), return_counts=True)
+            return pa.table({
+                "o_orderpriority": pa.array(uk.tolist(), pa.string()),
+                "order_count": pa.array(cnt.astype(np.int64),
+                                        pa.int64())})
+
+        partials = orders.map_batches(probe, batch_format="pyarrow")
+    else:
+        n_part = scale_partitions()
+        j = join_ready(orders, n_part).join(
+            join_ready(per_order, n_part), join_type="inner",
+            num_partitions=n_part, on=("o_orderkey",),
+            right_on=("l_orderkey",))
+
+        def late_counts(t: pa.Table) -> pa.Table:
+            if not t.num_columns or not t.num_rows:
+                return pa.table({
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "order_count": pa.array([], pa.int64())})
+            day = (t.column("o_orderdate").cast(pa.int64()).to_numpy()
+                   // 86_400_000_000)
+            late = t.column("max_ship_day").to_numpy() > \
+                day + late_days
+            pr = np.asarray(t.column("o_orderpriority").to_pandas(),
+                            dtype=object)[late]
+            uk, cnt = np.unique(pr.astype(str), return_counts=True)
+            return pa.table({
+                "o_orderpriority": pa.array(uk.tolist(), pa.string()),
+                "order_count": pa.array(cnt.astype(np.int64),
+                                        pa.int64())})
+
+        partials = j.map_batches(late_counts, batch_format="pyarrow")
+
+    return _to_arrow_blocks(
+        partials.groupby("o_orderpriority").aggregate(
+            Sum("order_count", alias_name="order_count")))
+
+
+def q14_promo_revenue(sf_dir: str, *, year: int = 1996, month: int = 7,
+                      promo_type: str = "PROMO") -> rd.Dataset:
+    """TPC-H Q14 shape: promotion-effect ratio — a conditional
+    aggregate over a fact⋈dimension month slice, reported as one
+    integer ppm ratio (float division happens ONCE on two exact int64
+    sums, then floors to ppm — hash-stable).
+
+    Distributed shape: the promo partkey set is a broadcast sorted
+    numpy array (parts are a dimension table; at 100 TB it is still
+    the small side — hash-join fallback is the q3 pattern, not needed
+    for a key SET probe), the month predicate pushes into the scan,
+    and each batch folds to two int64 scalars; the driver folds
+    O(blocks) partial rows."""
+    from datetime import datetime
+
+    import pyarrow.dataset as pads
+
+    lo = datetime(year, month, 1)
+    hi = datetime(year + (month == 12), month % 12 + 1, 1)
+
+    promo = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"],
+        filter=pads.field("p_type") == promo_type).to_pandas()
+    promo_ref = ray.put(np.sort(promo["p_partkey"].to_numpy(
+        np.int64)))
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=((pads.field("l_shipdate") >= lo)
+                & (pads.field("l_shipdate") < hi)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = ray.get(promo_ref)
+        pk = t.column("l_partkey").to_numpy()
+        price = t.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1 - disc) * 100).astype(np.int64)
+        pos = np.searchsorted(keys, pk)
+        pos_c = np.minimum(pos, max(len(keys) - 1, 0))
+        is_promo = (keys[pos_c] == pk) if len(keys) else \
+            np.zeros(len(pk), dtype=bool)
+        return pa.table({
+            "promo_cents": pa.array([int(cents[is_promo].sum())],
+                                    pa.int64()),
+            "total_cents": pa.array([int(cents.sum())], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .materialize()
+    promo_c = parts.sum("promo_cents") or 0
+    total_c = parts.sum("total_cents") or 0
+    ppm = (1_000_000 * promo_c) // total_c if total_c else 0
+    return rd.from_arrow(pa.table({
+        "promo_cents": pa.array([promo_c], pa.int64()),
+        "total_cents": pa.array([total_c], pa.int64()),
+        "promo_ppm": pa.array([ppm], pa.int64())}))

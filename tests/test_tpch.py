@@ -301,3 +301,121 @@ def test_q18_small_limit(ray_session, sf_dir):
     got = q18_large_volume_customers(sf_dir, limit=3).to_pandas()
     assert len(got) == 3
     assert _q18_rows(got) == _q18_rows(_duck_q18(sf_dir, limit=3))
+
+
+def _duck_q1(sf_dir, ship_before="1998-09-02"):
+    import duckdb
+    return duckdb.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS sum_qty,
+               CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS base_price_cents,
+               CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 100) AS BIGINT))
+                    AS BIGINT) AS disc_price_cents,
+               CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * (1 + l_tax) * 100) AS BIGINT))
+                    AS BIGINT) AS charge_cents,
+               CAST(SUM(CAST(round(l_discount * 100) AS BIGINT))
+                    AS BIGINT) AS sum_disc_centi,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM read_parquet('{sf_dir}/lineitem.parquet')
+        WHERE l_shipdate <= TIMESTAMP '{ship_before}'
+        GROUP BY 1, 2 ORDER BY 1, 2""").fetchdf()
+
+
+def _q1_rows(df):
+    df = df.sort_values(["l_returnflag", "l_linestatus"])
+    return [tuple(r) for r in df[[
+        "l_returnflag", "l_linestatus", "sum_qty", "base_price_cents",
+        "disc_price_cents", "charge_cents", "sum_disc_centi",
+        "count_order"]].itertuples(index=False)]
+
+
+def test_q1_matches_duckdb(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q1_pricing_summary
+    got = q1_pricing_summary(sf_dir).to_pandas()
+    assert _q1_rows(got) == _q1_rows(_duck_q1(sf_dir))
+
+
+def test_q1_empty_window(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q1_pricing_summary
+    assert q1_pricing_summary(sf_dir, ship_before="1901-01-01") \
+        .to_pandas().empty
+
+
+def _duck_q4(sf_dir, late_days=60):
+    import duckdb
+    return duckdb.sql(f"""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS order_count
+        FROM read_parquet('{sf_dir}/orders.parquet')
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM
+                      read_parquet('{sf_dir}/lineitem.parquet')
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate
+                                         + INTERVAL {late_days} DAY)
+        GROUP BY 1 ORDER BY 1""").fetchdf()
+
+
+def _q4_rows(df):
+    df = df.sort_values("o_orderpriority")
+    return [(r.o_orderpriority, int(r.order_count))
+            for r in df.itertuples()]
+
+
+def test_q4_broadcast_path_matches_duckdb(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q4_order_priority_check
+    got = q4_order_priority_check(sf_dir).to_pandas()
+    assert _q4_rows(got) == _q4_rows(_duck_q4(sf_dir))
+
+
+def test_q4_join_path_identical(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q4_order_priority_check
+    got = q4_order_priority_check(sf_dir, broadcast_limit=0) \
+        .to_pandas()
+    assert _q4_rows(got) == _q4_rows(_duck_q4(sf_dir))
+
+
+def test_q4_no_late_orders(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q4_order_priority_check
+    assert q4_order_priority_check(sf_dir, late_days=100_000) \
+        .to_pandas().empty
+
+
+def test_q14_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+    from pdf2dom_ray.pipelines.tpch import q14_promo_revenue
+    got = q14_promo_revenue(sf_dir).to_pandas()
+    want = duckdb.sql(f"""
+        WITH s AS (
+          SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                          THEN CAST(floor(l_extendedprice
+                                          * (1 - l_discount) * 100)
+                                    AS BIGINT) ELSE 0 END) AS BIGINT)
+                     AS promo_cents,
+                 CAST(SUM(CAST(floor(l_extendedprice
+                                     * (1 - l_discount) * 100)
+                               AS BIGINT)) AS BIGINT) AS total_cents
+          FROM read_parquet('{sf_dir}/lineitem.parquet') li
+          JOIN read_parquet('{sf_dir}/part.parquet') pt
+            ON pt.p_partkey = li.l_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-07-01'
+            AND l_shipdate < TIMESTAMP '1996-08-01')
+        SELECT promo_cents, total_cents,
+               (1000000 * promo_cents) // total_cents AS promo_ppm
+        FROM s""").fetchdf()
+    assert int(got.promo_cents[0]) == int(want.promo_cents[0])
+    assert int(got.total_cents[0]) == int(want.total_cents[0])
+    assert int(got.promo_ppm[0]) == int(want.promo_ppm[0])
+    assert 0 < int(got.promo_ppm[0]) < 1_000_000
+
+
+def test_q14_empty_month(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q14_promo_revenue
+    got = q14_promo_revenue(sf_dir, year=2990).to_pandas()
+    assert int(got.promo_cents[0]) == 0
+    assert int(got.promo_ppm[0]) == 0
