@@ -432,6 +432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_ngram": _q_decontam_ngram,
         "dedup_substring": _q_dedup_substring,
         "source_overlap": _q_source_overlap,
+        "source_divergence": _q_source_divergence,
         "lm_buckets": _q_lm_buckets,
         "trigram_backoff": _q_trigram_backoff,
         "kneser_ney": _q_kneser_ney,
@@ -1107,6 +1108,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # cross-source contamination matrix: distinct 8-gram windows
         # per source, then shared-gram counts per unordered pair
+        "source_divergence": _source_divergence_sql(),
         "source_overlap": """
             WITH clean AS (
               SELECT source, list_filter(string_split(text, ' '),
@@ -3957,6 +3959,27 @@ def _q_top_tokens(sf_dir: str):
     capacity) state, no shuffle; exact when capacity >= vocab."""
     from pdf2dom_ray.functions.heavyhitters import top_tokens_sketch
     return top_tokens_sketch(_documents(sf_dir), k=20, capacity=4096)
+
+
+def _source_divergence_sql() -> str:
+    """Quantized-TV grid oracle over the same whitespace tokenization
+    (functions/divergence.py::source_tv_oracle_sql)."""
+    from pdf2dom_ray.functions.divergence import source_tv_oracle_sql
+    return source_tv_oracle_sql("SELECT source, text FROM documents")
+
+
+def _q_source_divergence(sf_dir: str):
+    """Pairwise total-variation distance between per-source token
+    distributions (exact ppb quantization — the integer L1 sibling of
+    JS divergence, Pinsker-bounded): one (source, token) count
+    exchange, broadcast totals, one token exchange for the ≤S-row
+    pairwise diff groups, driver pair-grid finish
+    (functions/divergence.py)."""
+    from pdf2dom_ray.functions.divergence import source_tv_divergence
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+    return source_tv_divergence(ds)
 
 
 def _q_source_overlap(sf_dir: str):

@@ -202,7 +202,8 @@ def run_bench() -> dict:
                  "host_quality_gate", "jsonl_ingest", "shard_plan",
                  "kneser_ney", "vocab_growth", "dedup_incremental",
                  "link_stress", "pricing_summary",
-                 "order_priority_check", "promo_revenue"):
+                 "order_priority_check", "promo_revenue",
+                 "source_divergence"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
