@@ -433,6 +433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substring": _q_dedup_substring,
         "source_overlap": _q_source_overlap,
         "source_divergence": _q_source_divergence,
+        "metric_rank_corr": _q_metric_rank_corr,
         "lm_buckets": _q_lm_buckets,
         "trigram_backoff": _q_trigram_backoff,
         "kneser_ney": _q_kneser_ney,
@@ -1109,6 +1110,7 @@ def oracle_sql() -> dict[str, str]:
         # cross-source contamination matrix: distinct 8-gram windows
         # per source, then shared-gram counts per unordered pair
         "source_divergence": _source_divergence_sql(),
+        "metric_rank_corr": _metric_rank_corr_sql(),
         "source_overlap": """
             WITH clean AS (
               SELECT source, list_filter(string_split(text, ' '),
@@ -3959,6 +3961,38 @@ def _q_top_tokens(sf_dir: str):
     capacity) state, no shuffle; exact when capacity >= vocab."""
     from pdf2dom_ray.functions.heavyhitters import top_tokens_sketch
     return top_tokens_sketch(_documents(sf_dir), k=20, capacity=4096)
+
+
+def _metric_rank_corr_sql() -> str:
+    """Window-RANK() Spearman twin over the same (n_chars, token
+    count) metric pair (functions/rankcorr.py::spearman_oracle_sql)."""
+    from pdf2dom_ray.functions.rankcorr import spearman_oracle_sql
+    return spearman_oracle_sql(
+        "SELECT n_chars AS ma, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS mb "
+        "FROM documents")
+
+
+def _q_metric_rank_corr(sf_dir: str):
+    """Exact Spearman rank correlation between per-document n_chars
+    and whitespace token count — the rank-agreement QA probe for
+    metric-proxy decisions; sort-free (two narrow value-histogram
+    exchanges + broadcast prefix-sum rank maps), integer (n, sum_d2,
+    rho_ppm) per the hash invariant (functions/rankcorr.py)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from pdf2dom_ray.functions.rankcorr import spearman_rank
+
+    def metrics(t: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(
+            pc.split_pattern(t.column("text"), " "))
+        return pa.table({"ma": t.column("n_chars"),
+                         "mb": toks.cast(pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["n_chars", "text"]) \
+        .map_batches(metrics, batch_format="pyarrow")
+    return spearman_rank(ds, "ma", "mb")
 
 
 def _source_divergence_sql() -> str:
