@@ -434,6 +434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": _q_source_overlap,
         "source_divergence": _q_source_divergence,
         "metric_rank_corr": _q_metric_rank_corr,
+        "source_keyness": _q_source_keyness,
         "lm_buckets": _q_lm_buckets,
         "trigram_backoff": _q_trigram_backoff,
         "kneser_ney": _q_kneser_ney,
@@ -1111,6 +1112,7 @@ def oracle_sql() -> dict[str, str]:
         # per source, then shared-gram counts per unordered pair
         "source_divergence": _source_divergence_sql(),
         "metric_rank_corr": _metric_rank_corr_sql(),
+        "source_keyness": _source_keyness_sql(),
         "source_overlap": """
             WITH clean AS (
               SELECT source, list_filter(string_split(text, ' '),
@@ -3961,6 +3963,28 @@ def _q_top_tokens(sf_dir: str):
     capacity) state, no shuffle; exact when capacity >= vocab."""
     from pdf2dom_ray.functions.heavyhitters import top_tokens_sketch
     return top_tokens_sketch(_documents(sf_dir), k=20, capacity=4096)
+
+
+def _source_keyness_sql() -> str:
+    """Smoothed-integer-lift keyness twin over the same tokenization
+    (functions/keyness.py::keyness_oracle_sql)."""
+    from pdf2dom_ray.functions.keyness import keyness_oracle_sql
+    return keyness_oracle_sql("SELECT source, text FROM documents",
+                              k=5, min_count=2)
+
+
+def _q_source_keyness(sf_dir: str):
+    """Top-5 source-distinctive tokens per source by smoothed ppm
+    lift (relative risk vs the rest of the corpus — the corpus
+    auditor's spam/jargon/boilerplate probe): one (source, token)
+    count exchange, broadcast totals + global-token table
+    (join_ready fallback past 2M vocab), grouped_topk bound
+    (functions/keyness.py)."""
+    from pdf2dom_ray.functions.keyness import source_keyness
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+    return source_keyness(ds, k=5, min_count=2)
 
 
 def _metric_rank_corr_sql() -> str:

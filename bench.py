@@ -203,7 +203,8 @@ def run_bench() -> dict:
                  "kneser_ney", "vocab_growth", "dedup_incremental",
                  "link_stress", "pricing_summary",
                  "order_priority_check", "promo_revenue",
-                 "source_divergence", "metric_rank_corr"):
+                 "source_divergence", "metric_rank_corr",
+                 "source_keyness"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
