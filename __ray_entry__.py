@@ -481,6 +481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_coloring_bsp": _q_link_coloring_bsp,
         "link_stress": _q_link_stress,
         "link_stress_bsp": _q_link_stress_bsp,
+        "link_assortativity": _q_link_assortativity,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
         "hashed_features": _q_hashed_features,
@@ -1295,6 +1296,7 @@ def oracle_sql() -> dict[str, str]:
         "link_coloring_bsp": _coloring_sql(),
         "link_stress": _stress_sql(),
         "link_stress_bsp": _stress_sql(),
+        "link_assortativity": _assortativity_sql(),
         "link_harmonic_bsp": _harmonic_sql(),
         "link_ball_hll": _hyperball_sql(),
         "link_ball_hll_bsp": _hyperball_sql(),
@@ -2964,6 +2966,25 @@ def _q_link_stress_bsp(sf_dir: str):
     from pdf2dom_ray.functions.stress import stress_centrality
     return stress_centrality(_bfs_edges(sf_dir), pivots=8, radius=4,
                              driver_edge_limit=0)
+
+
+def _assortativity_sql() -> str:
+    """Six-moment Newman assortativity twin over the multi-host URL
+    digraph (functions/assortativity.py::assortativity_oracle_sql)."""
+    from pdf2dom_ray.functions.assortativity import \
+        assortativity_oracle_sql
+    return assortativity_oracle_sql(_host_edges_sql())
+
+
+def _q_link_assortativity(sf_dir: str):
+    """Newman 2002 degree-assortativity moments (exact int64 Pearson
+    components over distinct-edge endpoint total degrees; the r is
+    one post-hoc division — the sqrt would flake the hash) over the
+    multi-host URL digraph: hub-hub vs hub-leaf structure, the link-
+    farm tripwire (functions/assortativity.py)."""
+    from pdf2dom_ray.functions.assortativity import \
+        assortativity_moments
+    return assortativity_moments(_host_link_edges(sf_dir))
 
 
 def _kcore_sql() -> str:
