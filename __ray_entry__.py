@@ -435,6 +435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_divergence": _q_source_divergence,
         "metric_rank_corr": _q_metric_rank_corr,
         "source_keyness": _q_source_keyness,
+        "source_ks_drift": _q_source_ks_drift,
         "lm_buckets": _q_lm_buckets,
         "trigram_backoff": _q_trigram_backoff,
         "kneser_ney": _q_kneser_ney,
@@ -1114,6 +1115,7 @@ def oracle_sql() -> dict[str, str]:
         "source_divergence": _source_divergence_sql(),
         "metric_rank_corr": _metric_rank_corr_sql(),
         "source_keyness": _source_keyness_sql(),
+        "source_ks_drift": _source_ks_sql(),
         "source_overlap": """
             WITH clean AS (
               SELECT source, list_filter(string_split(text, ' '),
@@ -3984,6 +3986,27 @@ def _q_top_tokens(sf_dir: str):
     capacity) state, no shuffle; exact when capacity >= vocab."""
     from pdf2dom_ray.functions.heavyhitters import top_tokens_sketch
     return top_tokens_sketch(_documents(sf_dir), k=20, capacity=4096)
+
+
+def _source_ks_sql() -> str:
+    """Integer histogram-CDF KS twin over the same per-source
+    n_chars metric (functions/kstest.py::ks_oracle_sql)."""
+    from pdf2dom_ray.functions.kstest import ks_oracle_sql
+    return ks_oracle_sql("SELECT source, n_chars AS v FROM documents")
+
+
+def _q_source_ks_drift(sf_dir: str):
+    """Pairwise two-sample Kolmogorov–Smirnov distance between the
+    per-source doc-length (n_chars) distributions — the ORDERED
+    drift detector TV misses (a +5%-shifted length distribution
+    barely moves TV, maxes KS): one narrow (source, value) histogram
+    exchange, driver prefix-scan over merged value grids, exact
+    integer cross-multiplied D (functions/kstest.py)."""
+    from pdf2dom_ray.functions.kstest import ks_pairwise
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "n_chars"])
+    return ks_pairwise(ds, value_col="n_chars")
 
 
 def _source_keyness_sql() -> str:

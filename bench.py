@@ -204,7 +204,8 @@ def run_bench() -> dict:
                  "link_stress", "pricing_summary",
                  "order_priority_check", "promo_revenue",
                  "source_divergence", "metric_rank_corr",
-                 "source_keyness", "link_assortativity"):
+                 "source_keyness", "link_assortativity",
+                 "source_ks_drift"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
