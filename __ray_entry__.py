@@ -483,6 +483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_stress": _q_link_stress,
         "link_stress_bsp": _q_link_stress_bsp,
         "link_assortativity": _q_link_assortativity,
+        "host_modularity": _q_host_modularity,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
         "hashed_features": _q_hashed_features,
@@ -1299,6 +1300,7 @@ def oracle_sql() -> dict[str, str]:
         "link_stress": _stress_sql(),
         "link_stress_bsp": _stress_sql(),
         "link_assortativity": _assortativity_sql(),
+        "host_modularity": _modularity_sql(),
         "link_harmonic_bsp": _harmonic_sql(),
         "link_ball_hll": _hyperball_sql(),
         "link_ball_hll_bsp": _hyperball_sql(),
@@ -2968,6 +2970,24 @@ def _q_link_stress_bsp(sf_dir: str):
     from pdf2dom_ray.functions.stress import stress_centrality
     return stress_centrality(_bfs_edges(sf_dir), pivots=8, radius=4,
                              driver_edge_limit=0)
+
+
+def _modularity_sql() -> str:
+    """Per-host integer Q-contribution twin over the multi-host URL
+    digraph (functions/modularity.py::modularity_oracle_sql)."""
+    from pdf2dom_ray.functions.modularity import modularity_oracle_sql
+    return modularity_oracle_sql(_host_edges_sql())
+
+
+def _q_host_modularity(sf_dir: str):
+    """Newman–Girvan modularity of the partition-by-host over the
+    symmetrized URL link graph, as exact per-host int64 contributions
+    q_contrib = 4·m·e_in − d² (Q = Σ/(4m²) post-hoc) — intra-site
+    navigation vs cross-site linking, the link-spam collapse tripwire
+    (functions/modularity.py; degree mass needs NO node exchange —
+    it falls out of the edge list)."""
+    from pdf2dom_ray.functions.modularity import host_modularity
+    return host_modularity(_host_link_edges(sf_dir))
 
 
 def _assortativity_sql() -> str:
