@@ -436,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metric_rank_corr": _q_metric_rank_corr,
         "source_keyness": _q_source_keyness,
         "source_ks_drift": _q_source_ks_drift,
+        "source_lang_concentration": _q_source_lang_concentration,
         "lm_buckets": _q_lm_buckets,
         "trigram_backoff": _q_trigram_backoff,
         "kneser_ney": _q_kneser_ney,
@@ -1117,6 +1118,7 @@ def oracle_sql() -> dict[str, str]:
         "metric_rank_corr": _metric_rank_corr_sql(),
         "source_keyness": _source_keyness_sql(),
         "source_ks_drift": _source_ks_sql(),
+        "source_lang_concentration": _concentration_sql(),
         "source_overlap": """
             WITH clean AS (
               SELECT source, list_filter(string_split(text, ' '),
@@ -4006,6 +4008,29 @@ def _q_top_tokens(sf_dir: str):
     capacity) state, no shuffle; exact when capacity >= vocab."""
     from pdf2dom_ray.functions.heavyhitters import top_tokens_sketch
     return top_tokens_sketch(_documents(sf_dir), k=20, capacity=4096)
+
+
+def _concentration_sql() -> str:
+    """Integer-HHI twin over (source, lang)
+    (functions/concentration.py::concentration_oracle_sql)."""
+    from pdf2dom_ray.functions.concentration import \
+        concentration_oracle_sql
+    return concentration_oracle_sql(
+        "SELECT source, lang FROM documents")
+
+
+def _q_source_lang_concentration(sf_dir: str):
+    """Per-source language concentration as exact-integer HHI
+    (hhi_ppm = 1e6·Σc² // N² — entropy's logs would flake the hash):
+    scattered-language sources are scraper artifacts, the curation
+    tripwire; one (source, lang) count exchange + one tiny key
+    groupby (functions/concentration.py)."""
+    from pdf2dom_ray.functions.concentration import \
+        categorical_concentration
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "lang"])
+    return categorical_concentration(ds)
 
 
 def _source_ks_sql() -> str:

@@ -205,7 +205,8 @@ def run_bench() -> dict:
                  "order_priority_check", "promo_revenue",
                  "source_divergence", "metric_rank_corr",
                  "source_keyness", "link_assortativity",
-                 "source_ks_drift", "host_modularity"):
+                 "source_ks_drift", "host_modularity",
+                 "source_lang_concentration"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
