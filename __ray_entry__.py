@@ -437,6 +437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_keyness": _q_source_keyness,
         "source_ks_drift": _q_source_ks_drift,
         "source_lang_concentration": _q_source_lang_concentration,
+        "source_lang_matrix": _q_source_lang_matrix,
         "lm_buckets": _q_lm_buckets,
         "trigram_backoff": _q_trigram_backoff,
         "kneser_ney": _q_kneser_ney,
@@ -1119,6 +1120,7 @@ def oracle_sql() -> dict[str, str]:
         "source_keyness": _source_keyness_sql(),
         "source_ks_drift": _source_ks_sql(),
         "source_lang_concentration": _concentration_sql(),
+        "source_lang_matrix": _crosstab_sql(),
         "source_overlap": """
             WITH clean AS (
               SELECT source, list_filter(string_split(text, ' '),
@@ -4008,6 +4010,25 @@ def _q_top_tokens(sf_dir: str):
     capacity) state, no shuffle; exact when capacity >= vocab."""
     from pdf2dom_ray.functions.heavyhitters import top_tokens_sketch
     return top_tokens_sketch(_documents(sf_dir), k=20, capacity=4096)
+
+
+def _crosstab_sql() -> str:
+    """DuckDB PIVOT twin (functions/crosstab.py)."""
+    from pdf2dom_ray.functions.crosstab import crosstab_oracle_sql
+    return crosstab_oracle_sql("SELECT source, lang FROM documents")
+
+
+def _q_source_lang_matrix(sf_dir: str):
+    """Source × language count matrix (the PIVOT operator Ray Data
+    lacks): category universe discovered once, fixed-column per-batch
+    combiners reindexed against it (explicit 0 fill = DuckDB PIVOT
+    count(*) semantics), one narrow exchange of (keys × C+1) rows
+    (functions/crosstab.py)."""
+    from pdf2dom_ray.functions.crosstab import crosstab
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "lang"])
+    return crosstab(ds)
 
 
 def _concentration_sql() -> str:
