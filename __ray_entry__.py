@@ -438,6 +438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_ks_drift": _q_source_ks_drift,
         "source_lang_concentration": _q_source_lang_concentration,
         "source_lang_matrix": _q_source_lang_matrix,
+        "dedup_jaccard_exact": _q_dedup_jaccard_exact,
         "lm_buckets": _q_lm_buckets,
         "trigram_backoff": _q_trigram_backoff,
         "kneser_ney": _q_kneser_ney,
@@ -1121,6 +1122,7 @@ def oracle_sql() -> dict[str, str]:
         "source_ks_drift": _source_ks_sql(),
         "source_lang_concentration": _concentration_sql(),
         "source_lang_matrix": _crosstab_sql(),
+        "dedup_jaccard_exact": _jaccard_exact_sql(),
         "source_overlap": """
             WITH clean AS (
               SELECT source, list_filter(string_split(text, ' '),
@@ -4010,6 +4012,26 @@ def _q_top_tokens(sf_dir: str):
     capacity) state, no shuffle; exact when capacity >= vocab."""
     from pdf2dom_ray.functions.heavyhitters import top_tokens_sketch
     return top_tokens_sketch(_documents(sf_dir), k=20, capacity=4096)
+
+
+def _jaccard_exact_sql() -> str:
+    """Brute shared-shingle twin of the prefix-filtered exact join
+    (functions/jaccardjoin.py::jaccard_oracle_sql)."""
+    from pdf2dom_ray.functions.jaccardjoin import jaccard_oracle_sql
+    return jaccard_oracle_sql("SELECT doc_id, text FROM documents",
+                              k=5, tau_pct=50)
+
+
+def _q_dedup_jaccard_exact(sf_dir: str):
+    """EXACT-threshold Jaccard near-dup self-join (AllPairs prefix
+    filtering, Bayardo 2007): every pair with 5-shingle resemblance
+    ≥ 0.5, certified no-misses — the legal-grade audit MinHash's
+    probabilistic recall can't give; rare-first prefixes bound
+    candidate groups, verification is one hash join + two narrow
+    groupbys costing Σ(s_a+s_b) rows over candidates only
+    (functions/jaccardjoin.py)."""
+    from pdf2dom_ray.functions.jaccardjoin import jaccard_pairs
+    return jaccard_pairs(_documents(sf_dir), k=5, tau_pct=50)
 
 
 def _crosstab_sql() -> str:

@@ -206,7 +206,8 @@ def run_bench() -> dict:
                  "source_divergence", "metric_rank_corr",
                  "source_keyness", "link_assortativity",
                  "source_ks_drift", "host_modularity",
-                 "source_lang_concentration", "source_lang_matrix"):
+                 "source_lang_concentration", "source_lang_matrix",
+                 "dedup_jaccard_exact"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
