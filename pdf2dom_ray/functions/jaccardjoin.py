@@ -65,6 +65,7 @@ def jaccard_pairs(ds: rd.Dataset, *, text_col: str = "text",
                   id_col: str = "doc_id", k: int = 5,
                   tau_pct: int = 50,
                   broadcast_limit: int = 2_000_000,
+                  driver_verify_limit: int = 100_000,
                   n_part: int | None = None) -> rd.Dataset:
     """(doc_a, doc_b, inter, uni, jaccard_ppm) for EVERY unordered
     doc pair whose k-shingle Jaccard ≥ ``tau_pct``/100 — exact, no
@@ -87,80 +88,161 @@ def jaccard_pairs(ds: rd.Dataset, *, text_col: str = "text",
     if grams.count() == 0:
         return rd.from_arrow(_empty_pairs())
 
+    # df counts over ~|corpus| nearly-unique shingles: the sort-based
+    # Aggregate is the wrong tool (see stages/hashagg.py) — hash-
+    # partitioned pandas combiners are ~2× faster here
+    from ..stages.hashagg import hash_aggregate
+
+    def df_combine(df: pd.DataFrame) -> pd.DataFrame:
+        if "df" in df.columns:
+            return df.groupby("g", as_index=False)["df"].sum()
+        out = df.groupby("g", as_index=False).size()
+        return out.rename(columns={"size": "df"})
+
     df_tab = _to_arrow_blocks(
-        grams.groupby("g").aggregate(Count(alias_name="df"))) \
-        .materialize()
+        hash_aggregate(grams, ["g"], df_combine, P)).materialize()
     n_vocab = df_tab.count()
+
+    def _prefix_df(g: pd.DataFrame) -> pa.Table:
+        """Per-doc prefix over a frame that holds WHOLE docs (the
+        shingle_partial block invariant) with a ``df`` column; only
+        df ≥ 2 prefix rows survive — a df-1 shingle can never pair."""
+        empty = pa.table({"g": pa.array([], pa.string()),
+                          "doc": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.int64())})
+        if not len(g):
+            return empty
+        outs = []
+        for doc, grp in g.groupby("doc", sort=False):
+            s = len(grp)
+            p = s - (tau_pct * s + 99) // 100 + 1
+            if p <= 0:
+                continue
+            pre = grp.sort_values(["df", "g"],
+                                  kind="mergesort").head(p)
+            pre = pre[pre["df"] >= 2]
+            if not len(pre):
+                continue
+            outs.append(pd.DataFrame({
+                "g": pre["g"].to_numpy(object),
+                "doc": np.full(len(pre), doc, dtype=np.int64),
+                "s": np.full(len(pre), s, dtype=np.int64)}))
+        if not outs:
+            return empty
+        cat = pd.concat(outs)
+        return pa.table({
+            "g": pa.array(cat["g"].tolist(), pa.string()),
+            "doc": pa.array(cat["doc"].to_numpy(np.int64),
+                            pa.int64()),
+            "s": pa.array(cat["s"].to_numpy(np.int64), pa.int64())})
 
     if n_vocab <= broadcast_limit:
         dfp = df_tab.to_pandas().sort_values("g")
         keys_ref = ray.put(np.asarray(dfp["g"], dtype=object))
         dfs_ref = ray.put(dfp["df"].to_numpy(np.int64))
 
-        def with_df(t: pa.Table) -> pa.Table:
+        def prefix_local(t: pa.Table) -> pa.Table:
+            """df attach + prefix pick in ONE batch-local pass: each
+            gram block holds whole docs by construction, so no doc
+            exchange is needed at all on the broadcast path."""
             if not t.num_columns or not t.num_rows:
                 return pa.table({"g": pa.array([], pa.string()),
                                  "doc": pa.array([], pa.int64()),
-                                 "df": pa.array([], pa.int64())})
+                                 "s": pa.array([], pa.int64())})
             keys = ray.get(keys_ref)
             dv = ray.get(dfs_ref)
             g = np.asarray(t.column("g").to_pandas(), dtype=object)
-            return pa.table({
-                "g": t.column("g"), "doc": t.column("doc"),
-                "df": pa.array(dv[np.searchsorted(keys, g)],
-                               pa.int64())})
+            frame = pd.DataFrame({
+                "g": g, "doc": t.column("doc").to_numpy(),
+                "df": dv[np.searchsorted(keys, g)]})
+            return _prefix_df(frame)
 
-        gdf = grams.map_batches(with_df, batch_format="pyarrow")
+        prefixes = grams.map_batches(prefix_local,
+                                     batch_format="pyarrow")
     else:                            # honest big-vocab path
         gdf = join_ready(grams, P).join(
             join_ready(df_tab, P), join_type="inner",
             num_partitions=P, on=("g",))
+        prefixes = gdf.groupby("doc").map_groups(
+            _prefix_df, batch_format="pandas")
 
-    def pick_prefix(g: pd.DataFrame) -> pa.Table:
-        empty = pa.table({"g": pa.array([], pa.string()),
-                          "doc": pa.array([], pa.int64()),
-                          "s": pa.array([], pa.int64())})
-        if not len(g):
-            return empty
-        s = len(g)
-        need = (tau_pct * s + 99) // 100
-        p = s - need + 1
-        if p <= 0:
-            return empty
-        g = g.sort_values(["df", "g"], kind="mergesort").head(p)
+    # candidate generation as a hash SELF-JOIN on the prefix shingle
+    # (C-speed; a per-group Python callable over mostly-tiny groups
+    # pays ~ms of overhead each) — both orders + self-pairs drop in
+    # the vectorized filter below. The df ≥ 2 cut already shrank the
+    # prefix table to shingles that CAN pair, so under
+    # ``driver_verify_limit`` rows one driver pandas merge replaces
+    # the whole join chain's fixed operator costs.
+    prefixes = prefixes.materialize()
+    n_pref = prefixes.count()
+    if n_pref <= driver_verify_limit:
+        pf = prefixes.to_pandas()
+        j = pf.merge(pf.rename(columns={"doc": "doc_b",
+                                        "s": "s_b"}), on="g")
+        keep = (j["doc"] < j["doc_b"]) & \
+            (100 * np.minimum(j["s"], j["s_b"])
+             >= tau_pct * np.maximum(j["s"], j["s_b"]))
+        cp = j[keep][["doc", "doc_b"]].drop_duplicates()
+        cand = rd.from_arrow(pa.table({
+            "doc_a": pa.array(cp["doc"].to_numpy(np.int64),
+                              pa.int64()),
+            "doc_b": pa.array(cp["doc_b"].to_numpy(np.int64),
+                              pa.int64()),
+            "n_src": pa.array(np.ones(len(cp), dtype=np.int64),
+                              pa.int64())})).materialize()
+        if len(cp) == 0:
+            return rd.from_arrow(_empty_pairs())
+        return _verify(cand, grams, P, tau_pct,
+                       driver_verify_limit)
+
+    def rename_b(t: pa.Table) -> pa.Table:
+        if not t.num_columns:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "s_b": pa.array([], pa.int64())})
+        return pa.table({"g": t.column("g"),
+                         "doc_b": t.column("doc"),
+                         "s_b": t.column("s")})
+
+    paired = join_ready(prefixes, P).join(
+        join_ready(prefixes.map_batches(rename_b,
+                                        batch_format="pyarrow"), P),
+        join_type="inner", num_partitions=P, on=("g",))
+
+    def pair_filter(t: pa.Table) -> pa.Table:
+        if not t.num_columns or not t.num_rows:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        a = t.column("doc").to_numpy()
+        b = t.column("doc_b").to_numpy()
+        sa = t.column("s").to_numpy()
+        sb = t.column("s_b").to_numpy()
+        keep = (a < b) & (100 * np.minimum(sa, sb)
+                          >= tau_pct * np.maximum(sa, sb))
         return pa.table({
-            "g": pa.array(g["g"].tolist(), pa.string()),
-            "doc": pa.array(g["doc"].to_numpy(np.int64), pa.int64()),
-            "s": pa.array(np.full(len(g), s, dtype=np.int64),
-                          pa.int64())})
-
-    prefixes = gdf.groupby("doc").map_groups(pick_prefix,
-                                             batch_format="pandas")
-
-    def pairs_of(g: pd.DataFrame) -> pa.Table:
-        empty = pa.table({"doc_a": pa.array([], pa.int64()),
-                          "doc_b": pa.array([], pa.int64())})
-        if len(g) < 2:
-            return empty
-        g = g.drop_duplicates("doc").sort_values("doc")
-        docs = g["doc"].to_numpy(np.int64)
-        ss = g["s"].to_numpy(np.int64)
-        ia, ib = np.triu_indices(len(docs), k=1)
-        sa, sb = ss[ia], ss[ib]
-        keep = 100 * np.minimum(sa, sb) >= \
-            tau_pct * np.maximum(sa, sb)     # length filter
-        return pa.table({
-            "doc_a": pa.array(docs[ia[keep]], pa.int64()),
-            "doc_b": pa.array(docs[ib[keep]], pa.int64())})
+            "doc_a": pa.array(a[keep], pa.int64()),
+            "doc_b": pa.array(b[keep], pa.int64())})
 
     cand = _to_arrow_blocks(
-        prefixes.groupby("g").map_groups(pairs_of,
-                                         batch_format="pandas")
+        paired.map_batches(pair_filter, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_src"))).materialize()
     if cand.count() == 0:
         return rd.from_arrow(_empty_pairs())
 
+    return _verify(cand, grams, P, tau_pct,
+                   driver_verify_limit)
+
+
+def _verify(cand: rd.Dataset, grams: rd.Dataset, P: int,
+            tau_pct: int, driver_verify_limit: int) -> rd.Dataset:
+    """Exact intersection counts for the candidate pairs: one
+    vectorized driver pass (two pandas hash merges) under
+    ``driver_verify_limit`` pairs, else the distributed chain —
+    expand pairs to (doc, a, b) rows, hash-join back to the gram
+    table restricted to candidate docs, count shared shingles via
+    an (a, b, g) groupby (count == 2 means both sides carry g).
+    """
     def expand(t: pa.Table) -> pa.Table:
         if not t.num_columns or not t.num_rows:
             return pa.table({"doc": pa.array([], pa.int64()),
@@ -173,9 +255,66 @@ def jaccard_pairs(ds: rd.Dataset, *, text_col: str = "text",
             "doc_a": pa.array(np.tile(a, 2), pa.int64()),
             "doc_b": pa.array(np.tile(b, 2), pa.int64())})
 
+    # verification touches only candidate docs: broadcast their id
+    # set (bounded by candidate volume) and pre-filter the gram table
+    # before the hash join — the join then moves Σ(s_a+s_b) rows over
+    # candidates instead of the whole corpus
+    cand_tabs = [b for b in ray.get(cand.to_arrow_refs())
+                 if b.num_columns]
+    cand_docs = np.unique(np.concatenate(
+        [np.concatenate([b.column("doc_a").to_numpy(),
+                         b.column("doc_b").to_numpy()])
+         for b in cand_tabs]))
+    n_pairs = sum(b.num_rows for b in cand_tabs)
+    cd_ref = ray.put(cand_docs)
+
+    def only_cand(t: pa.Table) -> pa.Table:
+        cd = ray.get(cd_ref)
+        doc = t.column("doc").to_numpy()
+        pos = np.searchsorted(cd, doc)
+        pos_c = np.minimum(pos, max(len(cd) - 1, 0))
+        return t.filter(pa.array((cd[pos_c] == doc) if len(cd)
+                                 else np.zeros(len(doc), bool)))
+
+    gsub = grams.map_batches(only_cand, batch_format="pyarrow")
+
+    if n_pairs <= driver_verify_limit:
+        # surviving candidates are a tiny fraction of the corpus:
+        # verify them in one vectorized driver pass (two pandas hash
+        # merges — NO Dataset join/aggregate fixed costs); the
+        # distributed chain below is the honest path past the bound
+        gp = gsub.to_pandas()
+        pairs = pd.concat([b.select(["doc_a", "doc_b"]).to_pandas()
+                           for b in cand_tabs])
+        shared = pairs.merge(
+            gp.rename(columns={"doc": "doc_a"}), on="doc_a").merge(
+            gp.rename(columns={"doc": "doc_b"}), on=["doc_b", "g"])
+        it = shared.groupby(["doc_a", "doc_b"]).size()
+        sz = gp.groupby("doc").size()
+        out = pairs.copy()
+        key = list(zip(out["doc_a"], out["doc_b"]))
+        out["inter"] = it.reindex(key, fill_value=0).to_numpy()
+        out["uni"] = (sz.reindex(out["doc_a"]).to_numpy()
+                      + sz.reindex(out["doc_b"]).to_numpy()
+                      - out["inter"].to_numpy())
+        keep = 100 * out["inter"] >= tau_pct * out["uni"]
+        out = out[keep]
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array(out["doc_a"].to_numpy(np.int64),
+                              pa.int64()),
+            "doc_b": pa.array(out["doc_b"].to_numpy(np.int64),
+                              pa.int64()),
+            "inter": pa.array(out["inter"].to_numpy(np.int64),
+                              pa.int64()),
+            "uni": pa.array(out["uni"].to_numpy(np.int64),
+                            pa.int64()),
+            "jaccard_ppm": pa.array(
+                1_000_000 * out["inter"].to_numpy(np.int64)
+                // out["uni"].to_numpy(np.int64), pa.int64())}))
+
     sides = cand.map_batches(expand, batch_format="pyarrow")
     matched = join_ready(sides, P).join(
-        join_ready(grams, P), join_type="inner",
+        join_ready(gsub, P), join_type="inner",
         num_partitions=P, on=("doc",))
 
     def shared_partial(t: pa.Table) -> pa.Table:
@@ -227,8 +366,16 @@ def jaccard_pairs(ds: rd.Dataset, *, text_col: str = "text",
                 .groupby(["doc_a", "doc_b"])
                 .aggregate(Sum("inter", alias_name="inter")))
 
-    sizes = _to_arrow_blocks(
-        grams.groupby("doc").aggregate(Count(alias_name="s"))) \
+    def sizes_local(t: pa.Table) -> pa.Table:
+        # whole docs per block (shingle_partial invariant): the
+        # per-block count IS the doc's distinct-shingle size
+        uv, cnt = np.unique(t.column("doc").to_numpy(),
+                            return_counts=True)
+        return pa.table({"doc": pa.array(uv, pa.int64()),
+                         "s": pa.array(cnt.astype(np.int64),
+                                       pa.int64())})
+
+    sizes = gsub.map_batches(sizes_local, batch_format="pyarrow") \
         .to_pandas().sort_values("doc")
     sz_ref = ray.put((sizes["doc"].to_numpy(np.int64),
                       sizes["s"].to_numpy(np.int64)))

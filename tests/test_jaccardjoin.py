@@ -67,6 +67,12 @@ def test_jaccard_join_path_identical(ray_session):
         _brute(rows, 5, 50)
 
 
+def test_jaccard_distributed_verify_path_identical(ray_session):
+    rows = _mk_rows(n_extra=8, seed=71)
+    assert _got(rows, tau_pct=50, driver_verify_limit=0) == \
+        _brute(rows, 5, 50)
+
+
 def test_jaccard_oracle_sql_matches(ray_session):
     import duckdb
     from pdf2dom_ray.functions.jaccardjoin import jaccard_oracle_sql
