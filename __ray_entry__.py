@@ -439,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_concentration": _q_source_lang_concentration,
         "source_lang_matrix": _q_source_lang_matrix,
         "dedup_jaccard_exact": _q_dedup_jaccard_exact,
+        "event_type_trend": _q_event_type_trend,
         "lm_buckets": _q_lm_buckets,
         "trigram_backoff": _q_trigram_backoff,
         "kneser_ney": _q_kneser_ney,
@@ -1123,6 +1124,7 @@ def oracle_sql() -> dict[str, str]:
         "source_lang_concentration": _concentration_sql(),
         "source_lang_matrix": _crosstab_sql(),
         "dedup_jaccard_exact": _jaccard_exact_sql(),
+        "event_type_trend": _trend_sql(),
         "source_overlap": """
             WITH clean AS (
               SELECT source, list_filter(string_split(text, ' '),
@@ -4012,6 +4014,25 @@ def _q_top_tokens(sf_dir: str):
     capacity) state, no shuffle; exact when capacity >= vocab."""
     from pdf2dom_ray.functions.heavyhitters import top_tokens_sketch
     return top_tokens_sketch(_documents(sf_dir), k=20, capacity=4096)
+
+
+def _trend_sql() -> str:
+    """Rebased integer OLS-moment twin over per-type hourly event
+    series (functions/trend.py::trend_oracle_sql)."""
+    from pdf2dom_ray.functions.trend import trend_oracle_sql
+    return trend_oracle_sql("SELECT event_type, ts FROM events")
+
+
+def _q_event_type_trend(sf_dir: str):
+    """Per-event-type volume trend as exact int64 OLS moments over
+    the (rebased hour, count) series — slope = (n·Σxy − ΣxΣy)/
+    (n·Σx² − Σx²) one post-hoc division; the crawl-health /
+    mix-drift monitoring primitive (functions/trend.py)."""
+    from pdf2dom_ray.functions.trend import grouped_trend
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    return grouped_trend(ds)
 
 
 def _jaccard_exact_sql() -> str:

@@ -207,7 +207,7 @@ def run_bench() -> dict:
                  "source_keyness", "link_assortativity",
                  "source_ks_drift", "host_modularity",
                  "source_lang_concentration", "source_lang_matrix",
-                 "dedup_jaccard_exact"):
+                 "dedup_jaccard_exact", "event_type_trend"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
