@@ -414,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "order_priority_check": _q_order_priority_check,
         "promo_revenue": _q_promo_revenue,
+        "disjunctive_revenue": _q_disjunctive_revenue,
         "local_supplier_volume": _q_local_supplier_volume,
         "customer_distribution": _q_customer_distribution,
         "length_percentiles": _q_length_percentiles,
@@ -2009,6 +2010,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Q14: conditional aggregate ratio as integer ppm (one floor
         # division of two exact int64 sums)
+        # Q19: disjunctive brand/size/quantity envelopes, no-join
+        # broadcast evaluation; integer cents
+        "disjunctive_revenue": """
+            SELECT CAST(COALESCE(SUM(CAST(floor(l_extendedprice
+                                       * (1 - l_discount) * 100)
+                                 AS BIGINT)), 0) AS BIGINT)
+                       AS revenue_cents,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#12'
+                   AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23'
+                   AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3'
+                   AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
         "promo_revenue": """
             WITH s AS (
               SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
@@ -3606,6 +3626,15 @@ def _q_order_priority_check(sf_dir: str):
     the limit), final groupby is ≤5 rows."""
     from pdf2dom_ray.pipelines.tpch import q4_order_priority_check
     return q4_order_priority_check(sf_dir)
+
+
+def _q_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape: revenue under an OR of brand/size/quantity
+    envelopes — per-clause broadcast partkey sets, union quantity
+    envelope pushed into the scan, vectorized OR of per-clause masks,
+    one int64 partial per batch, no join (pipelines/tpch.py)."""
+    from pdf2dom_ray.pipelines.tpch import q19_disjunctive_revenue
+    return q19_disjunctive_revenue(sf_dir)
 
 
 def _q_promo_revenue(sf_dir: str):

@@ -207,7 +207,8 @@ def run_bench() -> dict:
                  "source_keyness", "link_assortativity",
                  "source_ks_drift", "host_modularity",
                  "source_lang_concentration", "source_lang_matrix",
-                 "dedup_jaccard_exact", "event_type_trend"):
+                 "dedup_jaccard_exact", "event_type_trend",
+                 "disjunctive_revenue"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

@@ -40,7 +40,7 @@ __all__ = ["q3_top_unshipped", "q5_local_supplier_volume",
            "q13_customer_distribution", "q10_returned_items",
            "q12_late_shipments", "q6_forecast_revenue",
            "q1_pricing_summary", "q4_order_priority_check",
-           "q14_promo_revenue"]
+           "q14_promo_revenue", "q19_disjunctive_revenue"]
 
 
 def _n_partitions() -> int:
@@ -1393,3 +1393,78 @@ def q14_promo_revenue(sf_dir: str, *, year: int = 1996, month: int = 7,
         "promo_cents": pa.array([promo_c], pa.int64()),
         "total_cents": pa.array([total_c], pa.int64()),
         "promo_ppm": pa.array([ppm], pa.int64())}))
+
+
+Q19_CLAUSES = (("Brand#12", 1, 5, 1, 11),
+               ("Brand#23", 1, 10, 10, 20),
+               ("Brand#3", 1, 15, 20, 30))
+
+
+def q19_disjunctive_revenue(sf_dir: str,
+                            clauses=Q19_CLAUSES) -> rd.Dataset:
+    """TPC-H Q19 shape: discounted revenue under DISJUNCTIVE
+    multi-table predicates — the classic "OR of brand/size/quantity
+    envelopes" the optimizer literature uses to test predicate
+    decomposition.
+
+    Distributed shape: the part side collapses to one broadcast
+    sorted partkey array PER CLAUSE (brand + size range are part-side
+    predicates), the lineitem scan pushes the UNION quantity envelope
+    into the Arrow reader (row-group pruning with the widest
+    [min qty_lo, max qty_hi] bound), and each batch evaluates the
+    OR as a vectorized union of per-clause (partkey ∈ set AND qty in
+    range) masks before folding to one int64 revenue partial — no
+    join at all, the q14 pattern with a disjunctive twist. Integer
+    cents keep the oracle hash exact."""
+    import pyarrow.dataset as pads
+
+    refs = []
+    for brand, size_lo, size_hi, _, _ in clauses:
+        pk = rd.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey"],
+            filter=((pads.field("p_brand") == brand)
+                    & (pads.field("p_size") >= size_lo)
+                    & (pads.field("p_size") <= size_hi))).to_pandas()
+        # a clause matching nothing yields a columnless empty frame
+        keys = pk["p_partkey"].to_numpy(np.int64) \
+            if "p_partkey" in pk.columns else np.empty(0, np.int64)
+        refs.append(ray.put(np.sort(keys)))
+
+    qty_lo = min(c[3] for c in clauses)
+    qty_hi = max(c[4] for c in clauses)
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+        filter=((pads.field("l_quantity") >= qty_lo)
+                & (pads.field("l_quantity") <= qty_hi)))
+
+    bounds = [(c[3], c[4]) for c in clauses]
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk = t.column("l_partkey").to_numpy()
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        price = t.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        hit = np.zeros(len(pk), dtype=bool)
+        for ref, (lo, hi) in zip(refs, bounds):
+            keys = ray.get(ref)
+            pos = np.minimum(np.searchsorted(keys, pk),
+                             max(len(keys) - 1, 0))
+            in_set = (keys[pos] == pk) if len(keys) else \
+                np.zeros(len(pk), dtype=bool)
+            hit |= in_set & (qty >= lo) & (qty <= hi)
+        cents = np.floor(price[hit] * (1 - disc[hit]) * 100) \
+            .astype(np.int64)
+        return pa.table({
+            "revenue_cents": pa.array([int(cents.sum())], pa.int64()),
+            "n_lines": pa.array([int(hit.sum())], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .materialize()
+    return rd.from_arrow(pa.table({
+        "revenue_cents": pa.array([parts.sum("revenue_cents") or 0],
+                                  pa.int64()),
+        "n_lines": pa.array([parts.sum("n_lines") or 0],
+                            pa.int64())}))

@@ -419,3 +419,34 @@ def test_q14_empty_month(ray_session, sf_dir):
     got = q14_promo_revenue(sf_dir, year=2990).to_pandas()
     assert int(got.promo_cents[0]) == 0
     assert int(got.promo_ppm[0]) == 0
+
+
+def test_q19_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+    from pdf2dom_ray.pipelines.tpch import q19_disjunctive_revenue
+    got = q19_disjunctive_revenue(sf_dir).to_pandas()
+    want = duckdb.sql(f"""
+        SELECT CAST(COALESCE(SUM(CAST(floor(l_extendedprice
+                     * (1 - l_discount) * 100) AS BIGINT)), 0)
+                   AS BIGINT) AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM read_parquet('{sf_dir}/lineitem.parquet') li
+        JOIN read_parquet('{sf_dir}/part.parquet') pt
+          ON pt.p_partkey = li.l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)""").fetchdf()
+    assert int(got.revenue_cents[0]) == int(want.revenue_cents[0])
+    assert int(got.n_lines[0]) == int(want.n_lines[0])
+    assert int(got.n_lines[0]) > 0
+
+
+def test_q19_absent_brand_clause_is_empty_set(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q19_disjunctive_revenue
+    got = q19_disjunctive_revenue(
+        sf_dir, clauses=(("Brand#99", 1, 50, 1, 50),)).to_pandas()
+    assert int(got.revenue_cents[0]) == 0
+    assert int(got.n_lines[0]) == 0
