@@ -441,6 +441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_matrix": _q_source_lang_matrix,
         "dedup_jaccard_exact": _q_dedup_jaccard_exact,
         "event_type_trend": _q_event_type_trend,
+        "score_percentile_rank": _q_score_percentile_rank,
         "lm_buckets": _q_lm_buckets,
         "trigram_backoff": _q_trigram_backoff,
         "kneser_ney": _q_kneser_ney,
@@ -1126,6 +1127,7 @@ def oracle_sql() -> dict[str, str]:
         "source_lang_matrix": _crosstab_sql(),
         "dedup_jaccard_exact": _jaccard_exact_sql(),
         "event_type_trend": _trend_sql(),
+        "score_percentile_rank": _prank_sql(),
         "source_overlap": """
             WITH clean AS (
               SELECT source, list_filter(string_split(text, ' '),
@@ -4043,6 +4045,27 @@ def _q_top_tokens(sf_dir: str):
     capacity) state, no shuffle; exact when capacity >= vocab."""
     from pdf2dom_ray.functions.heavyhitters import top_tokens_sketch
     return top_tokens_sketch(_documents(sf_dir), k=20, capacity=4096)
+
+
+def _prank_sql() -> str:
+    """Window RANK()/COUNT() integer percentile-rank twin
+    (functions/prank.py::percentile_rank_oracle_sql)."""
+    from pdf2dom_ray.functions.prank import percentile_rank_oracle_sql
+    return percentile_rank_oracle_sql(
+        "SELECT doc_id, source, n_chars FROM documents")
+
+
+def _q_score_percentile_rank(sf_dir: str):
+    """Quantile normalization for cross-source comparability: every
+    document's n_chars replaced by its within-source percentile rank
+    (exact ppm, competition ranks) — sort-free via the per-(key,
+    value) histogram + segmented broadcast; the row table itself
+    never shuffles (functions/prank.py)."""
+    from pdf2dom_ray.functions.prank import percentile_rank
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "n_chars"])
+    return percentile_rank(ds)
 
 
 def _trend_sql() -> str:
