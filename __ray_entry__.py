@@ -442,6 +442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_jaccard_exact": _q_dedup_jaccard_exact,
         "event_type_trend": _q_event_type_trend,
         "score_percentile_rank": _q_score_percentile_rank,
+        "langid_confusion": _q_langid_confusion,
         "lm_buckets": _q_lm_buckets,
         "trigram_backoff": _q_trigram_backoff,
         "kneser_ney": _q_kneser_ney,
@@ -1128,6 +1129,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_exact": _jaccard_exact_sql(),
         "event_type_trend": _trend_sql(),
         "score_percentile_rank": _prank_sql(),
+        "langid_confusion": _langid_confusion_sql(),
         "source_overlap": """
             WITH clean AS (
               SELECT source, list_filter(string_split(text, ' '),
@@ -4045,6 +4047,39 @@ def _q_top_tokens(sf_dir: str):
     capacity) state, no shuffle; exact when capacity >= vocab."""
     from pdf2dom_ray.functions.heavyhitters import top_tokens_sketch
     return top_tokens_sketch(_documents(sf_dir), k=20, capacity=4096)
+
+
+def _langid_confusion_sql() -> str:
+    """PIVOT of labeled lang × predicted lang over the lang_id SQL
+    twin (composition: _LANG_ID_SQL × crosstab_oracle_sql)."""
+    from pdf2dom_ray.functions.crosstab import crosstab_oracle_sql
+    joint = (f"SELECT d.lang, p.lang_pred FROM documents d "
+             f"JOIN ({_LANG_ID_SQL}) p USING (doc_id)")
+    return crosstab_oracle_sql(joint, row_col="lang",
+                               cat_col="lang_pred")
+
+
+def _q_langid_confusion(sf_dir: str):
+    """Language-ID quality audit as a confusion MATRIX: labeled lang
+    (rows) × heuristic-predicted lang (columns), the composition of
+    the LangId stage with the crosstab/PIVOT operator — the accuracy
+    dashboard every classifier stage owes its operators
+    (functions/text_stats.py::LangId × functions/crosstab.py)."""
+    import ray.data as rd
+    from pdf2dom_ray.functions.crosstab import crosstab
+    from pdf2dom_ray.functions.text_stats import LangId
+
+    lid = LangId()
+
+    def pred(t: pa.Table) -> pa.Table:
+        out = lid(t)
+        return pa.table({"lang": t.column("lang"),
+                         "lang_pred": out.column("lang_pred")})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "text"]) \
+        .map_batches(pred, batch_format="pyarrow")
+    return crosstab(ds, row_col="lang", cat_col="lang_pred")
 
 
 def _prank_sql() -> str:

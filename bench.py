@@ -208,7 +208,8 @@ def run_bench() -> dict:
                  "source_ks_drift", "host_modularity",
                  "source_lang_concentration", "source_lang_matrix",
                  "dedup_jaccard_exact", "event_type_trend",
-                 "disjunctive_revenue", "score_percentile_rank"):
+                 "disjunctive_revenue", "score_percentile_rank",
+                 "langid_confusion"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
