@@ -443,6 +443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_trend": _q_event_type_trend,
         "score_percentile_rank": _q_score_percentile_rank,
         "langid_confusion": _q_langid_confusion,
+        "source_lang_long": _q_source_lang_long,
         "lm_buckets": _q_lm_buckets,
         "trigram_backoff": _q_trigram_backoff,
         "kneser_ney": _q_kneser_ney,
@@ -1130,6 +1131,7 @@ def oracle_sql() -> dict[str, str]:
         "event_type_trend": _trend_sql(),
         "score_percentile_rank": _prank_sql(),
         "langid_confusion": _langid_confusion_sql(),
+        "source_lang_long": _melt_sql(),
         "source_overlap": """
             WITH clean AS (
               SELECT source, list_filter(string_split(text, ' '),
@@ -4047,6 +4049,28 @@ def _q_top_tokens(sf_dir: str):
     capacity) state, no shuffle; exact when capacity >= vocab."""
     from pdf2dom_ray.functions.heavyhitters import top_tokens_sketch
     return top_tokens_sketch(_documents(sf_dir), k=20, capacity=4096)
+
+
+def _melt_sql() -> str:
+    """UNPIVOT of the PIVOT — the wide→long round trip
+    (functions/crosstab.py::melt_oracle_sql)."""
+    from pdf2dom_ray.functions.crosstab import (crosstab_oracle_sql,
+                                                melt_oracle_sql)
+    return melt_oracle_sql(
+        crosstab_oracle_sql("SELECT source, lang FROM documents"),
+        id_col="source")
+
+
+def _q_source_lang_long(sf_dir: str):
+    """UNPIVOT/melt — the wide→long inverse of the PIVOT operator,
+    registered as the round trip melt(crosstab(documents)): pure
+    batch-local reshape, shuffle-free at any scale; explicit-0 cells
+    survive the round trip (functions/crosstab.py::melt)."""
+    from pdf2dom_ray.functions.crosstab import crosstab, melt
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "lang"])
+    return melt(crosstab(ds), id_col="source")
 
 
 def _langid_confusion_sql() -> str:

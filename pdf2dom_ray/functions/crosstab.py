@@ -24,7 +24,8 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-__all__ = ["crosstab", "crosstab_oracle_sql"]
+__all__ = ["crosstab", "crosstab_oracle_sql", "melt",
+           "melt_oracle_sql"]
 
 
 def crosstab(ds: rd.Dataset, *, row_col: str = "source",
@@ -66,3 +67,46 @@ def crosstab_oracle_sql(rows_cte: str, *, row_col: str = "source",
         PIVOT (SELECT {row_col}, {cat_col} FROM ({rows_cte}))
         ON {cat_col} USING count(*)
         GROUP BY {row_col}"""
+
+
+def melt(ds: rd.Dataset, *, id_col: str,
+         var_name: str = "variable",
+         value_name: str = "value") -> rd.Dataset:
+    """UNPIVOT: every non-``id_col`` column becomes a (variable,
+    value) row — the wide→long inverse of :func:`crosstab`. Pure
+    batch-local reshape (each output row derives from one input
+    cell), so the operator is shuffle-free at ANY scale; column set
+    is read from the schema once. int64 values assumed (the count
+    matrices crosstab emits)."""
+    value_cols = [c for c in ds.schema().names if c != id_col]
+
+    def reshape(t: pa.Table) -> pa.Table:
+        if not t.num_columns or not t.num_rows:
+            return pa.table({
+                id_col: pa.array([], pa.string()),
+                var_name: pa.array([], pa.string()),
+                value_name: pa.array([], pa.int64())})
+        n = t.num_rows
+        ids = np.asarray(t.column(id_col).to_pandas(), dtype=object)
+        return pa.table({
+            id_col: pa.array(np.tile(ids, len(value_cols)).tolist(),
+                             pa.string()),
+            var_name: pa.array(
+                np.repeat(np.asarray(value_cols, dtype=object), n)
+                .tolist(), pa.string()),
+            value_name: pa.array(np.concatenate(
+                [t.column(c).to_numpy() for c in value_cols])
+                .astype(np.int64), pa.int64())})
+
+    return ds.map_batches(reshape, batch_format="pyarrow")
+
+
+def melt_oracle_sql(wide_cte: str, *, id_col: str,
+                    var_name: str = "variable",
+                    value_name: str = "value") -> str:
+    """DuckDB UNPIVOT twin (dynamic column set via COLUMNS(*)
+    exclusion)."""
+    return f"""
+        UNPIVOT (SELECT * FROM ({wide_cte}))
+        ON COLUMNS(* EXCLUDE ({id_col}))
+        INTO NAME {var_name} VALUE {value_name}"""

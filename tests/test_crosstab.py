@@ -51,3 +51,36 @@ def test_crosstab_empty(ray_session):
     ds = rd.from_arrow(pa.table({"source": pa.array([], pa.string()),
                                  "lang": pa.array([], pa.string())}))
     assert crosstab(ds).take_all() == []
+
+
+def test_melt_inverts_crosstab(ray_session):
+    from pdf2dom_ray.functions.crosstab import crosstab, melt
+    rows = [{"source": "a", "lang": "en"},
+            {"source": "a", "lang": "de"},
+            {"source": "b", "lang": "fr"}]
+    long = sorted((r["source"], r["variable"], r["value"])
+                  for r in melt(crosstab(_ds(rows)),
+                                id_col="source").take_all())
+    assert long == [("a", "de", 1), ("a", "en", 1), ("a", "fr", 0),
+                    ("b", "de", 0), ("b", "en", 0), ("b", "fr", 1)]
+
+
+def test_melt_matches_duckdb_unpivot(ray_session):
+    import duckdb
+    from pdf2dom_ray.functions.crosstab import (crosstab,
+                                                crosstab_oracle_sql,
+                                                melt,
+                                                melt_oracle_sql)
+    rng = np.random.RandomState(89)
+    langs = ["en", "de", "zh"]
+    rows = [{"source": f"s{rng.randint(5)}",
+             "lang": langs[rng.randint(3)]} for _ in range(150)]
+    got = sorted((r["source"], r["variable"], r["value"])
+                 for r in melt(crosstab(_ds(rows)),
+                               id_col="source").take_all())
+    vals = " UNION ALL ".join(
+        f"SELECT '{r['source']}' AS source, '{r['lang']}' AS lang"
+        for r in rows)
+    want = sorted(map(tuple, duckdb.sql(melt_oracle_sql(
+        crosstab_oracle_sql(vals), id_col="source")).fetchall()))
+    assert got == want
