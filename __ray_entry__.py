@@ -444,6 +444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "score_percentile_rank": _q_score_percentile_rank,
         "langid_confusion": _q_langid_confusion,
         "source_lang_long": _q_source_lang_long,
+        "embedding_fd_sketch": _q_embedding_fd_sketch,
         "lm_buckets": _q_lm_buckets,
         "trigram_backoff": _q_trigram_backoff,
         "kneser_ney": _q_kneser_ney,
@@ -4049,6 +4050,21 @@ def _q_top_tokens(sf_dir: str):
     capacity) state, no shuffle; exact when capacity >= vocab."""
     from pdf2dom_ray.functions.heavyhitters import top_tokens_sketch
     return top_tokens_sketch(_documents(sf_dir), k=20, capacity=4096)
+
+
+def _q_embedding_fd_sketch(sf_dir: str):
+    """Frequent Directions covariance sketch of the embedding table
+    (Liberty 2013) — the matrix member of the mergeable-sketch
+    family: per-batch ℓ×d SVD sketches, driver tree-fold, no shuffle;
+    0 ≼ AᵀA − BᵀB ≼ ‖A‖F²/(ℓ−k)·I locked in pytest. SVD floats are
+    order-dependent in the last ulps, so this is declared rows-only
+    (the HLL precedent — no SQL twin of the sketch exists)
+    (functions/freqdir.py)."""
+    from pdf2dom_ray.functions.freqdir import frequent_directions
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return frequent_directions(ds, ell=16)
 
 
 def _melt_sql() -> str:

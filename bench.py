@@ -209,7 +209,8 @@ def run_bench() -> dict:
                  "source_lang_concentration", "source_lang_matrix",
                  "dedup_jaccard_exact", "event_type_trend",
                  "disjunctive_revenue", "score_percentile_rank",
-                 "langid_confusion", "source_lang_long"):
+                 "langid_confusion", "source_lang_long",
+                 "embedding_fd_sketch"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
