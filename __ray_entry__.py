@@ -445,6 +445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_confusion": _q_langid_confusion,
         "source_lang_long": _q_source_lang_long,
         "embedding_fd_sketch": _q_embedding_fd_sketch,
+        "integrity_orphans": _q_integrity_orphans,
         "lm_buckets": _q_lm_buckets,
         "trigram_backoff": _q_trigram_backoff,
         "kneser_ney": _q_kneser_ney,
@@ -1133,6 +1134,7 @@ def oracle_sql() -> dict[str, str]:
         "score_percentile_rank": _prank_sql(),
         "langid_confusion": _langid_confusion_sql(),
         "source_lang_long": _melt_sql(),
+        "integrity_orphans": _integrity_sql(),
         "source_overlap": """
             WITH clean AS (
               SELECT source, list_filter(string_split(text, ' '),
@@ -4050,6 +4052,45 @@ def _q_top_tokens(sf_dir: str):
     capacity) state, no shuffle; exact when capacity >= vocab."""
     from pdf2dom_ray.functions.heavyhitters import top_tokens_sketch
     return top_tokens_sketch(_documents(sf_dir), k=20, capacity=4096)
+
+
+_INTEGRITY_SPECS = (
+    ("lineitem->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+)
+
+
+def _integrity_sql() -> str:
+    """NOT EXISTS orphan-count twin over the declared relationships
+    (functions/integrity.py::fk_orphans_oracle_sql)."""
+    from pdf2dom_ray.functions.integrity import fk_orphans_oracle_sql
+    return fk_orphans_oracle_sql(_INTEGRITY_SPECS)
+
+
+def _q_integrity_orphans(sf_dir: str):
+    """Referential-integrity audit: orphan foreign keys per declared
+    relationship — the first health check on a fresh warehouse drop
+    (a nonzero count = partial load / key drift, caught before joins
+    silently drop rows); broadcast parent-key universe + searchsorted
+    membership partials, left_anti join fallback past the limit
+    (functions/integrity.py)."""
+    from pdf2dom_ray.functions.integrity import fk_orphans
+    import ray.data as rd
+    pairs = []
+    for name, ct, ck, pt, pk in _INTEGRITY_SPECS:
+        pairs.append((name,
+                      rd.read_parquet(f"{sf_dir}/{ct}.parquet",
+                                      columns=[ck]), ck,
+                      rd.read_parquet(f"{sf_dir}/{pt}.parquet",
+                                      columns=[pk]), pk))
+    return fk_orphans(pairs)
 
 
 def _q_embedding_fd_sketch(sf_dir: str):
