@@ -446,6 +446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_long": _q_source_lang_long,
         "embedding_fd_sketch": _q_embedding_fd_sketch,
         "integrity_orphans": _q_integrity_orphans,
+        "link_neighbor_overlap": _q_link_neighbor_overlap,
         "lm_buckets": _q_lm_buckets,
         "trigram_backoff": _q_trigram_backoff,
         "kneser_ney": _q_kneser_ney,
@@ -1135,6 +1136,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_confusion": _langid_confusion_sql(),
         "source_lang_long": _melt_sql(),
         "integrity_orphans": _integrity_sql(),
+        "link_neighbor_overlap": _linkpred_sql(),
         "source_overlap": """
             WITH clean AS (
               SELECT source, list_filter(string_split(text, ' '),
@@ -4052,6 +4054,23 @@ def _q_top_tokens(sf_dir: str):
     capacity) state, no shuffle; exact when capacity >= vocab."""
     from pdf2dom_ray.functions.heavyhitters import top_tokens_sketch
     return top_tokens_sketch(_documents(sf_dir), k=20, capacity=4096)
+
+
+def _linkpred_sql() -> str:
+    """Double-adjacency common-neighbor twin over the multi-host URL
+    digraph (functions/linkpred.py::edge_overlap_oracle_sql)."""
+    from pdf2dom_ray.functions.linkpred import edge_overlap_oracle_sql
+    return edge_overlap_oracle_sql(_host_edges_sql())
+
+
+def _q_link_neighbor_overlap(sf_dir: str):
+    """Per-edge link-prediction features (Liben-Nowell & Kleinberg
+    2003): common-neighbor count + integer neighbor-Jaccard per
+    undirected edge — low overlap on a high-degree pair is the
+    paid/spam-link hallmark; the degree-ordered triangle pipeline
+    with EDGE crediting (functions/linkpred.py)."""
+    from pdf2dom_ray.functions.linkpred import edge_neighbor_overlap
+    return edge_neighbor_overlap(_host_link_edges(sf_dir))
 
 
 _INTEGRITY_SPECS = (

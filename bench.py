@@ -210,7 +210,8 @@ def run_bench() -> dict:
                  "dedup_jaccard_exact", "event_type_trend",
                  "disjunctive_revenue", "score_percentile_rank",
                  "langid_confusion", "source_lang_long",
-                 "embedding_fd_sketch", "integrity_orphans"):
+                 "embedding_fd_sketch", "integrity_orphans",
+                 "link_neighbor_overlap"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

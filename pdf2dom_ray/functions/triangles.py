@@ -188,6 +188,11 @@ def triangle_counts(edges: rd.Dataset, *, src_col: str = "a",
         .groupby("__part").map_groups(emit_wedges,
                                       batch_format="pandas")
     wedges = join_ready(wedges, n_part)
+    # a FULLY-empty join side repartitions to one schema-less block
+    # and the join finalize fails ("No match ... FieldRef") — a
+    # wedge-free graph (paths, stars) must skip the join outright
+    if wedges.count() == 0:
+        return rd.from_pandas(_empty_counts())
 
     closing = oriented.map_batches(
         lambda df: df[["x", "y"]], batch_format="pandas")

@@ -88,3 +88,13 @@ def test_driver_and_distributed_paths_identical(ray_session):
         .sort_values("node").reset_index(drop=True)
     assert fast["node"].tolist() == dist["node"].tolist()
     assert fast["n_triangles"].tolist() == dist["n_triangles"].tolist()
+
+
+def test_triangles_wedge_free_distributed_path(ray_session):
+    """Path graphs produce ZERO wedges: the tri join must be skipped
+    (a fully-empty join side repartitions to one schema-less block
+    and the finalize fails with "No match ... FieldRef")."""
+    import ray.data as rd
+    from pdf2dom_ray.functions.triangles import triangle_counts
+    ds = rd.from_items([{"a": i, "b": i + 1} for i in range(6)])
+    assert triangle_counts(ds, driver_edge_limit=0).take_all() == []
