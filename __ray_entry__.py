@@ -447,6 +447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_fd_sketch": _q_embedding_fd_sketch,
         "integrity_orphans": _q_integrity_orphans,
         "link_neighbor_overlap": _q_link_neighbor_overlap,
+        "crawl_budget_apportion": _q_crawl_budget_apportion,
         "lm_buckets": _q_lm_buckets,
         "trigram_backoff": _q_trigram_backoff,
         "kneser_ney": _q_kneser_ney,
@@ -1137,6 +1138,7 @@ def oracle_sql() -> dict[str, str]:
         "source_lang_long": _melt_sql(),
         "integrity_orphans": _integrity_sql(),
         "link_neighbor_overlap": _linkpred_sql(),
+        "crawl_budget_apportion": _apportion_sql(),
         "source_overlap": """
             WITH clean AS (
               SELECT source, list_filter(string_split(text, ' '),
@@ -4054,6 +4056,27 @@ def _q_top_tokens(sf_dir: str):
     capacity) state, no shuffle; exact when capacity >= vocab."""
     from pdf2dom_ray.functions.heavyhitters import top_tokens_sketch
     return top_tokens_sketch(_documents(sf_dir), k=20, capacity=4096)
+
+
+def _apportion_sql() -> str:
+    """Hamilton largest-remainder twin over per-source doc counts
+    (functions/apportion.py::apportion_oracle_sql)."""
+    from pdf2dom_ray.functions.apportion import apportion_oracle_sql
+    return apportion_oracle_sql("SELECT source FROM documents",
+                                budget=1000)
+
+
+def _q_crawl_budget_apportion(sf_dir: str):
+    """Integer crawl/training-budget split across sources by Hamilton
+    largest-remainder apportionment — Σ quota = budget EXACTLY, each
+    quota within 1 of the true proportion; one narrow count groupby +
+    O(K log K) driver arithmetic over the K allocation targets
+    (functions/apportion.py)."""
+    from pdf2dom_ray.functions.apportion import apportion_budget
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source"])
+    return apportion_budget(ds, budget=1000)
 
 
 def _linkpred_sql() -> str:
