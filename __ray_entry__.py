@@ -448,6 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "integrity_orphans": _q_integrity_orphans,
         "link_neighbor_overlap": _q_link_neighbor_overlap,
         "crawl_budget_apportion": _q_crawl_budget_apportion,
+        "benford_prices": _q_benford_prices,
         "lm_buckets": _q_lm_buckets,
         "trigram_backoff": _q_trigram_backoff,
         "kneser_ney": _q_kneser_ney,
@@ -1139,6 +1140,7 @@ def oracle_sql() -> dict[str, str]:
         "integrity_orphans": _integrity_sql(),
         "link_neighbor_overlap": _linkpred_sql(),
         "crawl_budget_apportion": _apportion_sql(),
+        "benford_prices": _benford_sql(),
         "source_overlap": """
             WITH clean AS (
               SELECT source, list_filter(string_split(text, ' '),
@@ -4056,6 +4058,35 @@ def _q_top_tokens(sf_dir: str):
     capacity) state, no shuffle; exact when capacity >= vocab."""
     from pdf2dom_ray.functions.heavyhitters import top_tokens_sketch
     return top_tokens_sketch(_documents(sf_dir), k=20, capacity=4096)
+
+
+def _benford_sql() -> str:
+    """First-digit histogram twin over integer order-price cents
+    (functions/benford.py::benford_oracle_sql)."""
+    from pdf2dom_ray.functions.benford import benford_oracle_sql
+    return benford_oracle_sql(
+        "SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v "
+        "FROM orders", value_col="v")
+
+
+def _q_benford_prices(sf_dir: str):
+    """Benford first-digit audit of order prices (Nigrini's forensic
+    standard — forged/template-generated numeric columns drift from
+    log10(1+1/d)): decimal-string digit extraction (no float log
+    anywhere), hardcoded benford_ppm literals, per-batch 9-bin
+    histograms → one 9-row groupby (functions/benford.py)."""
+    from pdf2dom_ray.functions.benford import benford_audit
+    import pyarrow.compute as pc_
+    import ray.data as rd
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"v": pc_.cast(pc_.floor(pc_.multiply(
+            t.column("o_totalprice"), 100.0)), pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_totalprice"]) \
+        .map_batches(cents, batch_format="pyarrow")
+    return benford_audit(ds, value_col="v")
 
 
 def _apportion_sql() -> str:

@@ -211,7 +211,8 @@ def run_bench() -> dict:
                  "disjunctive_revenue", "score_percentile_rank",
                  "langid_confusion", "source_lang_long",
                  "embedding_fd_sketch", "integrity_orphans",
-                 "link_neighbor_overlap", "crawl_budget_apportion"):
+                 "link_neighbor_overlap", "crawl_budget_apportion",
+                 "benford_prices"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
