@@ -4156,11 +4156,17 @@ def _q_integrity_orphans(sf_dir: str):
     (functions/integrity.py)."""
     from pdf2dom_ray.functions.integrity import fk_orphans
     import ray.data as rd
+    # one Dataset PER CHILD TABLE so fk_orphans' grouped probe scans
+    # each child once (lineitem carries three relationships)
+    child_cols: dict = {}
+    for name, ct, ck, pt, pk in _INTEGRITY_SPECS:
+        child_cols.setdefault(ct, set()).add(ck)
+    children = {ct: rd.read_parquet(f"{sf_dir}/{ct}.parquet",
+                                    columns=sorted(cols))
+                for ct, cols in child_cols.items()}
     pairs = []
     for name, ct, ck, pt, pk in _INTEGRITY_SPECS:
-        pairs.append((name,
-                      rd.read_parquet(f"{sf_dir}/{ct}.parquet",
-                                      columns=[ck]), ck,
+        pairs.append((name, children[ct], ck,
                       rd.read_parquet(f"{sf_dir}/{pt}.parquet",
                                       columns=[pk]), pk))
     return fk_orphans(pairs)

@@ -34,62 +34,89 @@ def fk_orphans(pairs, *, broadcast_limit: int = 50_000_000,
     """``pairs``: list of (name, child_ds, child_key, parent_ds,
     parent_key). Returns (relationship, n_child, n_orphans) rows."""
     from ..scale import scale_partitions
-    from .dedup import join_ready
 
-    out_names, out_child, out_orph = [], [], []
+    # group relationships by their child Dataset: every child table
+    # is scanned ONCE with a single multi-parent probe pass (the
+    # lineitem trio would otherwise pay three parquet scans)
+    grouped: dict = {}
+    order = []
     for name, child, child_key, parent, parent_key in pairs:
-        pk = parent.select_columns([parent_key])
+        grouped.setdefault(id(child), (child, []))[1].append(
+            (name, child_key, parent, parent_key))
+        order.append(name)
 
-        def pk_partial(t: pa.Table, _k=parent_key) -> pa.Table:
-            return pa.table({"k": pa.array(
-                np.unique(t.column(_k).to_numpy()), pa.int64())})
+    results: dict = {}
+    for child, specs in grouped.values():
+        broadcastable = []
+        for name, child_key, parent, parent_key in specs:
+            keys = _parent_keys(parent, parent_key)
+            if len(keys) <= broadcast_limit:
+                broadcastable.append((name, child_key,
+                                      ray.put(keys)))
+            else:
+                results[name] = _anti_join_count(
+                    child, child_key, keys, parent, parent_key,
+                    n_part or scale_partitions())
+        if broadcastable:
+            cols = sorted({ck for _, ck, _ in broadcastable})
 
-        keys_ds = pk.map_batches(pk_partial, batch_format="pyarrow")
-        tabs = [b for b in ray.get(keys_ds.to_arrow_refs())
-                if b.num_columns]
-        keys = np.unique(np.concatenate(
-            [b.column("k").to_numpy() for b in tabs])) if tabs else \
-            np.empty(0, dtype=np.int64)
+            def probe(t: pa.Table, _bc=tuple(broadcastable)
+                      ) -> pa.Table:
+                out = {"n": pa.array([t.num_rows], pa.int64())}
+                for name_, ck_, ref_ in _bc:
+                    kv = ray.get(ref_)
+                    c = t.column(ck_).to_numpy()
+                    pos = np.minimum(np.searchsorted(kv, c),
+                                     max(len(kv) - 1, 0))
+                    hit = (kv[pos] == c) if len(kv) else \
+                        np.zeros(len(c), dtype=bool)
+                    out[name_] = pa.array([int((~hit).sum())],
+                                          pa.int64())
+                return pa.table(out)
 
-        if len(keys) <= broadcast_limit:
-            keys_ref = ray.put(keys)
-
-            def probe(t: pa.Table, _k=child_key) -> pa.Table:
-                kv = ray.get(keys_ref)
-                ck = t.column(_k).to_numpy()
-                pos = np.minimum(np.searchsorted(kv, ck),
-                                 max(len(kv) - 1, 0))
-                hit = (kv[pos] == ck) if len(kv) else \
-                    np.zeros(len(ck), dtype=bool)
-                return pa.table({
-                    "n": pa.array([len(ck)], pa.int64()),
-                    "orph": pa.array([int((~hit).sum())],
-                                     pa.int64())})
-
-            parts = child.select_columns([child_key]).map_batches(
+            parts = child.select_columns(cols).map_batches(
                 probe, batch_format="pyarrow").materialize()
             n_child = int(parts.sum("n") or 0)
-            n_orph = int(parts.sum("orph") or 0)
-        else:                        # honest big-dimension path
-            P = n_part or scale_partitions()
-            ckeys = child.select_columns([child_key])
-            n_child = ckeys.count()
-            pkeys = rd.from_arrow(pa.table({
-                parent_key: pa.array(keys, pa.int64())})) \
-                if tabs else parent.select_columns([parent_key])
-            anti = join_ready(ckeys, P).join(
-                join_ready(pkeys, P), join_type="left_anti",
-                num_partitions=P, on=(child_key,),
-                right_on=(parent_key,))
-            n_orph = anti.count()
-        out_names.append(name)
-        out_child.append(n_child)
-        out_orph.append(n_orph)
+            for name_, _, _ in broadcastable:
+                results[name_] = (n_child,
+                                  int(parts.sum(name_) or 0))
 
     return rd.from_arrow(pa.table({
-        "relationship": pa.array(out_names, pa.string()),
-        "n_child": pa.array(out_child, pa.int64()),
-        "n_orphans": pa.array(out_orph, pa.int64())}))
+        "relationship": pa.array(order, pa.string()),
+        "n_child": pa.array([results[n][0] for n in order],
+                            pa.int64()),
+        "n_orphans": pa.array([results[n][1] for n in order],
+                              pa.int64())}))
+
+
+def _parent_keys(parent: rd.Dataset, parent_key: str) -> np.ndarray:
+    def pk_partial(t: pa.Table, _k=parent_key) -> pa.Table:
+        return pa.table({"k": pa.array(
+            np.unique(t.column(_k).to_numpy()), pa.int64())})
+
+    tabs = [b for b in ray.get(
+        parent.select_columns([parent_key])
+        .map_batches(pk_partial, batch_format="pyarrow")
+        .to_arrow_refs()) if b.num_columns]
+    return np.unique(np.concatenate(
+        [b.column("k").to_numpy() for b in tabs])) if tabs else \
+        np.empty(0, dtype=np.int64)
+
+
+def _anti_join_count(child, child_key, keys, parent, parent_key,
+                     P):
+    """Honest big-dimension path: left_anti hash join count."""
+    from .dedup import join_ready
+
+    ckeys = child.select_columns([child_key])
+    n_child = ckeys.count()
+    pkeys = rd.from_arrow(pa.table({
+        parent_key: pa.array(keys, pa.int64())})) if len(keys) else \
+        parent.select_columns([parent_key])
+    anti = join_ready(ckeys, P).join(
+        join_ready(pkeys, P), join_type="left_anti",
+        num_partitions=P, on=(child_key,), right_on=(parent_key,))
+    return n_child, anti.count()
 
 
 def fk_orphans_oracle_sql(specs) -> str:
