@@ -33,6 +33,7 @@ consumers (histogram + bucket tag) so lineage doesn't re-run.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import ray
 import ray.data as rd
@@ -152,46 +153,101 @@ def _ngram_counts(ds: rd.Dataset, text_col: str, n: int,
         cols["c"] = pa.array(list(c.values()), pa.int64())
         return pa.table(cols)
 
-    return ds.select_columns([id_col, text_col]) \
-        .map_batches(partial, batch_format="pyarrow") \
-        .groupby(names).aggregate(Sum("c", alias_name="c")) \
-        .map_batches(lambda t: t, batch_format="pyarrow")
+    # ~30k nearly-unique composite string keys: Ray's sort-based
+    # aggregate is the wrong tool (stages/hashagg.py rationale —
+    # measured 5 s for the trigram table vs ~1 s hash-partitioned)
+    from ..stages.hashagg import hash_aggregate
+
+    def combine(df):
+        return df.groupby(names, as_index=False)["c"].sum()
+
+    return hash_aggregate(
+        ds.select_columns([id_col, text_col])
+          .map_batches(partial, batch_format="pyarrow"),
+        names, combine)
 
 
 class _BackoffScorer:
-    """Actor-pool stage: the five count tables fetched once per
-    actor (real per-actor state — the repo's actor-pool criterion)."""
+    """Actor-pool stage: the precomputed lookup arrays fetched once
+    per actor (real per-actor state — the repo's actor-pool
+    criterion). Scoring is fully vectorized: tokens encode to vocab
+    ids (one searchsorted), trigram/bigram keys pack into int64 codes
+    (V < 2^21 documented — count-prune the vocab past it), per-gram
+    ppm VALUES were precomputed at model build, and per-doc sums are
+    one np.add.at — the per-trigram Python dict loop this replaced
+    was the dominant cost of the whole query (~2.5M lookups at
+    bench scale)."""
 
     def __init__(self, model_ref, text_col: str, id_col: str):
-        (self.c123, self.c12, self.c23,
-         self.c2, self.c3, self.n_tok) = ray.get(model_ref)
+        (self.vocab, self.tri_codes, self.tri_vals, self.bi_codes,
+         self.bi_vals, self.uni_vals) = ray.get(model_ref)
         self.text_col, self.id_col = text_col, id_col
 
+    @staticmethod
+    def _lookup(codes: np.ndarray, keys: np.ndarray,
+                vals: np.ndarray) -> np.ndarray:
+        """value of each code in the sorted (keys → vals) table,
+        −1 on miss."""
+        if not len(codes):
+            return np.empty(0, dtype=np.int64)
+        if not len(keys):
+            return np.full(len(codes), -1, dtype=np.int64)
+        pos = np.minimum(np.searchsorted(keys, codes), len(keys) - 1)
+        return np.where(keys[pos] == codes, vals[pos], -1)
+
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids, scores = [], []
-        c123, c12, c23 = self.c123, self.c12, self.c23
-        c2, c3, n_tok = self.c2, self.c3, self.n_tok
-        for d, text in zip(t.column(self.id_col).to_pylist(),
-                           t.column(self.text_col).to_pylist()):
-            toks = [w for w in (text or "").split(" ") if w]
-            tris = list(zip(toks, toks[1:], toks[2:]))
-            total = 0
-            for w1, w2, w3 in tris:
-                ct = c123.get((w1, w2, w3))
-                if ct is not None:
-                    total += (1_000_000 * ct) // c12[(w1, w2)]
-                    continue
-                cb = c23.get((w2, w3))
-                if cb is not None:
-                    total += (2 * ((1_000_000 * cb) // c2[w2])) // 5
-                    continue
-                cu = c3.get(w3)
-                if cu is not None and n_tok:
-                    total += (4 * ((1_000_000 * cu) // n_tok)) // 25
-            ids.append(d)
-            scores.append(total // len(tris) if tris else 0)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "score_ppm": pa.array(scores, pa.int64())})
+        doc_ids = t.column(self.id_col).to_numpy()
+        texts = t.column(self.text_col).to_pylist()
+        toks = [[w for w in (x or "").split(" ") if w]
+                for x in texts]
+        lens = np.array([len(x) for x in toks], dtype=np.int64)
+        flat = np.array([w for lst in toks for w in lst],
+                        dtype=object)
+        V = len(self.vocab)
+        if len(flat) and V:
+            pos = np.minimum(np.searchsorted(self.vocab, flat),
+                             V - 1)
+            ids = np.where(self.vocab[pos] == flat, pos,
+                           -1).astype(np.int64)
+        else:
+            ids = np.full(len(flat), -1, dtype=np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        n = len(flat)
+        local = np.arange(n) - offs[doc_idx] if n else \
+            np.empty(0, dtype=np.int64)
+        start = np.flatnonzero(local <= lens[doc_idx] - 3) if n \
+            else np.empty(0, dtype=np.int64)
+        i1 = ids[start]
+        i2 = ids[start + 1] if len(start) else i1
+        i3 = ids[start + 2] if len(start) else i1
+        val = np.zeros(len(start), dtype=np.int64)
+        tri_ok = (i1 >= 0) & (i2 >= 0) & (i3 >= 0)
+        got = self._lookup(
+            (i1[tri_ok] * V + i2[tri_ok]) * V + i3[tri_ok],
+            self.tri_codes, self.tri_vals)
+        tri_hit = np.zeros(len(start), dtype=bool)
+        tri_hit[np.flatnonzero(tri_ok)[got >= 0]] = True
+        val[np.flatnonzero(tri_ok)[got >= 0]] = got[got >= 0]
+        rest = ~tri_hit & (i2 >= 0) & (i3 >= 0)
+        got = self._lookup(i2[rest] * V + i3[rest],
+                           self.bi_codes, self.bi_vals)
+        bi_hit = np.zeros(len(start), dtype=bool)
+        bi_hit[np.flatnonzero(rest)[got >= 0]] = True
+        val[np.flatnonzero(rest)[got >= 0]] = got[got >= 0]
+        last = ~tri_hit & ~bi_hit & (i3 >= 0)
+        val[last] = np.where(self.uni_vals[i3[last]] >= 0,
+                             self.uni_vals[i3[last]], 0)
+        totals = np.zeros(len(lens), dtype=np.int64)
+        if len(start):
+            np.add.at(totals, doc_idx[start], val)
+        n_tris = np.maximum(lens - 2, 0)
+        scores = np.where(n_tris > 0,
+                          totals // np.maximum(n_tris, 1), 0)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "score_ppm": pa.array(scores.astype(np.int64),
+                                  pa.int64())})
 
 
 def trigram_backoff_scores(ds: rd.Dataset, *, text_col: str = "text",
@@ -225,42 +281,86 @@ def trigram_backoff_scores(ds: rd.Dataset, *, text_col: str = "text",
     KenLM-precursor sharded them (document the floor; the synth vocab
     needs none)."""
     from pdf2dom_ray.stages.pool import default_pool
+    from ..stages.hashagg import hash_aggregate
 
-    tri = _ngram_counts(ds, text_col, 3, id_col, train_mod)
-    bi = _ngram_counts(ds, text_col, 2, id_col, train_mod)
-    uni = _ngram_counts(ds, text_col, 1, id_col, train_mod)
+    # ONE pass over the training slice emits all three count tables
+    # ("" pads the shorter grams — tokenization drops empty tokens,
+    # so the sentinel cannot collide) through a single hash aggregate
+    # instead of three scans + three exchanges
+    def fused_partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for d, text in zip(t.column(id_col).to_pylist(),
+                           t.column(text_col).to_pylist()):
+            if d % train_mod != 0:
+                continue
+            toks = [w for w in (text or "").split(" ") if w]
+            c.update(zip(toks, toks[1:], toks[2:]))
+            c.update((w1, w2, "") for w1, w2 in zip(toks, toks[1:]))
+            c.update((w, "", "") for w in toks)
+        return pa.table({
+            "w1": pa.array([k[0] for k in c], pa.string()),
+            "w2": pa.array([k[1] for k in c], pa.string()),
+            "w3": pa.array([k[2] for k in c], pa.string()),
+            "c": pa.array(list(c.values()), pa.int64())})
+
+    def fused_combine(df):
+        return df.groupby(["w1", "w2", "w3"], as_index=False)["c"] \
+            .sum()
+
+    counts = hash_aggregate(
+        ds.select_columns([id_col, text_col])
+          .map_batches(fused_partial, batch_format="pyarrow"),
+        ["w1", "w2", "w3"], fused_combine)
 
     c123: dict = {}
     c12: dict = {}
-    for b in ray.get(tri.to_arrow_refs()):
+    c23: dict = {}
+    c2: dict = {}
+    c3: dict = {}
+    for b in ray.get(counts.to_arrow_refs()):
         if not b.num_columns:
             continue
         for w1, w2, w3, n in zip(b.column("w1").to_pylist(),
                                  b.column("w2").to_pylist(),
                                  b.column("w3").to_pylist(),
                                  b.column("c").to_pylist()):
-            c123[(w1, w2, w3)] = c123.get((w1, w2, w3), 0) + n
-            c12[(w1, w2)] = c12.get((w1, w2), 0) + n
-    c23: dict = {}
-    c2: dict = {}
-    for b in ray.get(bi.to_arrow_refs()):
-        if not b.num_columns:
-            continue
-        for w1, w2, n in zip(b.column("w1").to_pylist(),
-                             b.column("w2").to_pylist(),
-                             b.column("c").to_pylist()):
-            c23[(w1, w2)] = c23.get((w1, w2), 0) + n
-            c2[w1] = c2.get(w1, 0) + n
-    c3: dict = {}
-    for b in ray.get(uni.to_arrow_refs()):
-        if not b.num_columns:
-            continue
-        for w, n in zip(b.column("w1").to_pylist(),
-                        b.column("c").to_pylist()):
-            c3[w] = c3.get(w, 0) + n
+            if w3:
+                c123[(w1, w2, w3)] = c123.get((w1, w2, w3), 0) + n
+                c12[(w1, w2)] = c12.get((w1, w2), 0) + n
+            elif w2:
+                c23[(w1, w2)] = c23.get((w1, w2), 0) + n
+                c2[w1] = c2.get(w1, 0) + n
+            else:
+                c3[w1] = c3.get(w1, 0) + n
     n_tok = sum(c3.values())
 
-    model_ref = ray.put((c123, c12, c23, c2, c3, n_tok))
+    # precompute each gram's ppm VALUE once (the scorer then only
+    # looks up, never divides) and pack keys into sorted int64 codes
+    vocab = np.array(sorted(c3), dtype=object)
+    V = len(vocab)
+    wid = {w: i for i, w in enumerate(vocab)}
+    tri_codes = np.array(
+        [(wid[w1] * V + wid[w2]) * V + wid[w3]
+         for (w1, w2, w3) in c123], dtype=np.int64)
+    tri_vals = np.array(
+        [(1_000_000 * c) // c12[(w1, w2)]
+         for (w1, w2, w3), c in c123.items()], dtype=np.int64)
+    order = np.argsort(tri_codes)
+    tri_codes, tri_vals = tri_codes[order], tri_vals[order]
+    bi_codes = np.array([wid[w1] * V + wid[w2] for (w1, w2) in c23],
+                        dtype=np.int64)
+    bi_vals = np.array(
+        [(2 * ((1_000_000 * c) // c2[w1])) // 5
+         for (w1, w2), c in c23.items()], dtype=np.int64)
+    order = np.argsort(bi_codes)
+    bi_codes, bi_vals = bi_codes[order], bi_vals[order]
+    uni_vals = np.array(
+        [(4 * ((1_000_000 * c3[w]) // n_tok)) // 25 if n_tok else 0
+         for w in vocab], dtype=np.int64)
+
+    model_ref = ray.put((vocab, tri_codes, tri_vals, bi_codes,
+                         bi_vals, uni_vals))
     lo, hi = default_pool()
     return ds.select_columns([id_col, text_col]).map_batches(
         _BackoffScorer, fn_constructor_args=(model_ref, text_col,
