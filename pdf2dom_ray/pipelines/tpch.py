@@ -1259,12 +1259,17 @@ def q4_order_priority_check(sf_dir: str, *,
         return pa.table({"l_orderkey": pa.array(uk, pa.int64()),
                          "max_ship_day": pa.array(mx, pa.int64())})
 
-    from ray.data.aggregate import Max
-    per_order = _to_arrow_blocks(
-        li.map_batches(li_partial, batch_format="pyarrow")
-          .groupby("l_orderkey").aggregate(
-              Max("max_ship_day", alias_name="max_ship_day"))) \
-        .materialize()
+    # ~|orders| nearly-unique keys: hash-partitioned aggregate, not
+    # the sort-based one (stages/hashagg.py rationale)
+    from ..stages.hashagg import hash_aggregate
+
+    def max_by_key(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_orderkey", as_index=False)[
+            "max_ship_day"].max()
+
+    per_order = _to_arrow_blocks(hash_aggregate(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        ["l_orderkey"], max_by_key)).materialize()
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
@@ -1274,8 +1279,11 @@ def q4_order_priority_check(sf_dir: str, *,
 
     n_li = per_order.count()
     if n_li <= broadcast_limit:
+        # hashagg's empty sentinel blocks stay PANDAS through the
+        # arrow coercion (zero-column blocks skip the UDF) — filter
+        # on the attribute, not just its value
         tabs = [b for b in ray.get(per_order.to_arrow_refs())
-                if b.num_columns]
+                if getattr(b, "num_columns", 0)]
         lt = pa.concat_tables(tabs) if tabs else pa.table(
             {"l_orderkey": pa.array([], pa.int64()),
              "max_ship_day": pa.array([], pa.int64())})
