@@ -1013,10 +1013,16 @@ def q18_large_volume_customers(sf_dir: str, *, min_qty: int = 250,
                                 .astype(np.int64), pa.int64())})
 
     from ..functions.dedup import _to_arrow_blocks
-    per_order = _to_arrow_blocks(
-        li.map_batches(li_partial, batch_format="pyarrow")
-          .groupby("l_orderkey").aggregate(Sum("sum_qty",
-                                               alias_name="sum_qty")))
+    from ..stages.hashagg import hash_aggregate
+
+    def qty_combine(df: pd.DataFrame) -> pd.DataFrame:
+        # ~|orders| nearly-unique keys: hash-partitioned, not sorted
+        return df.groupby("l_orderkey", as_index=False)[
+            "sum_qty"].sum()
+
+    per_order = _to_arrow_blocks(hash_aggregate(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        ["l_orderkey"], qty_combine))
     def having(t: pa.Table) -> pa.Table:
         if not t.num_columns:
             return pa.table({"l_orderkey": pa.array([], pa.int64()),
