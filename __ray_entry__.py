@@ -449,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_neighbor_overlap": _q_link_neighbor_overlap,
         "crawl_budget_apportion": _q_crawl_budget_apportion,
         "benford_prices": _q_benford_prices,
+        "url_frontcoding": _q_url_frontcoding,
         "lm_buckets": _q_lm_buckets,
         "trigram_backoff": _q_trigram_backoff,
         "kneser_ney": _q_kneser_ney,
@@ -1141,6 +1142,7 @@ def oracle_sql() -> dict[str, str]:
         "link_neighbor_overlap": _linkpred_sql(),
         "crawl_budget_apportion": _apportion_sql(),
         "benford_prices": _benford_sql(),
+        "url_frontcoding": _frontcoding_sql(),
         "source_overlap": """
             WITH clean AS (
               SELECT source, list_filter(string_split(text, ' '),
@@ -4058,6 +4060,42 @@ def _q_top_tokens(sf_dir: str):
     capacity) state, no shuffle; exact when capacity >= vocab."""
     from pdf2dom_ray.functions.heavyhitters import top_tokens_sketch
     return top_tokens_sketch(_documents(sf_dir), k=20, capacity=4096)
+
+
+def _frontcoding_sql() -> str:
+    """LAG-lcp front-coding twin over the multi-host URL universe
+    (functions/frontcode.py::frontcoding_oracle_sql)."""
+    from pdf2dom_ray.functions.frontcode import frontcoding_oracle_sql
+    hosts_urls = """
+        SELECT 'https://' ||
+               CASE doc_id % 4 WHEN 0 THEN 'docs' WHEN 1 THEN 'news'
+                    WHEN 2 THEN 'blog' ELSE 'cdn' END ||
+               '.synth.test/d/' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents"""
+    return frontcoding_oracle_sql(hosts_urls)
+
+
+def _q_url_frontcoding(sf_dir: str):
+    """Per-host front-coding compression estimate of the URL
+    dictionary (the index storage planner's number; a LOW ratio on a
+    big host = template-free spam URL space): one host exchange, one
+    vectorized byte-matrix lcp pass per group — no per-pair Python
+    (functions/frontcode.py)."""
+    from pdf2dom_ray.functions.frontcode import host_frontcoding
+    import ray.data as rd
+
+    subs = np.array(["docs", "news", "blog", "cdn"], dtype=object)
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        urls = ("https://" + subs[ids % 4] + ".synth.test/d/"
+                + ids.astype(str).astype(object))
+        return pa.table({"url": pa.array(urls.tolist(), pa.string())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"]).map_batches(
+        build, batch_format="pyarrow")
+    return host_frontcoding(ds)
 
 
 def _benford_sql() -> str:
