@@ -63,6 +63,14 @@ def test_divergence_oracle_sql_matches(ray_session):
     assert got == want
 
 
+def test_divergence_distributed_path_identical(ray_session):
+    from pdf2dom_ray.functions.divergence import source_tv_divergence
+    got = {(r["source_a"], r["source_b"]): r["tv_ppb"]
+           for r in source_tv_divergence(_ds(ROWS),
+                                         driver_limit=0).take_all()}
+    assert got == _ref(ROWS)
+
+
 def test_divergence_single_source_is_empty(ray_session):
     from pdf2dom_ray.functions.divergence import source_tv_divergence
     got = source_tv_divergence(
