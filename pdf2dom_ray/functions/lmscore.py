@@ -369,40 +369,79 @@ def trigram_backoff_scores(ds: rd.Dataset, *, text_col: str = "text",
 
 
 class _KNScorer:
-    """Actor-pool stage: the four KN count tables fetched once per
-    actor (real per-actor state — the repo's actor-pool criterion)."""
+    """Actor-pool stage: the precomputed KN lookup arrays fetched
+    once per actor. SEEN bigrams carry exact ppm values precomputed
+    at model build with Python bigints (any count magnitude); unseen
+    pairs evaluate the two remaining closed forms vectorized in int64
+    (products bounded by 3e6·N1f·N1b and 4e6·c1·NB < 2^63 —
+    comfortably true to ~1e6-type vocabularies; the superseded
+    per-pair bigint loop is in git history for anything larger)."""
 
     def __init__(self, model_ref, text_col: str, id_col: str):
-        (self.c12, self.c1, self.n1f,
-         self.n1b, self.n_bi) = ray.get(model_ref)
+        (self.vocab, self.c1_arr, self.n1f_arr, self.n1b_arr,
+         self.bi_codes, self.bi_vals, self.n_bi) = ray.get(model_ref)
         self.text_col, self.id_col = text_col, id_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids, scores = [], []
-        c12, c1 = self.c12, self.c1
-        n1f, n1b, nb = self.n1f, self.n1b, self.n_bi
-        for d, text in zip(t.column(self.id_col).to_pylist(),
-                           t.column(self.text_col).to_pylist()):
-            toks = [w for w in (text or "").split(" ") if w]
-            pairs = list(zip(toks, toks[1:]))
-            total = 0
-            for w1, w2 in pairs:
-                if not nb:
-                    continue
-                h = c1.get(w1)
-                if h:
-                    # exact rational: P = max(c12-3/4,0)/c1
-                    #                   + (3/4 · N1+(w1·)/c1) · N1+(·w2)/NB
-                    num = (max(4 * c12.get((w1, w2), 0) - 3, 0) * nb
-                           + 3 * n1f[w1] * n1b.get(w2, 0))
-                    total += (1_000_000 * num) // (4 * h * nb)
-                else:
-                    # unseen history → continuation unigram alone
-                    total += (1_000_000 * n1b.get(w2, 0)) // nb
-            ids.append(d)
-            scores.append(total // len(pairs) if pairs else 0)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "score_ppm": pa.array(scores, pa.int64())})
+        doc_ids = t.column(self.id_col).to_numpy()
+        texts = t.column(self.text_col).to_pylist()
+        toks = [[w for w in (x or "").split(" ") if w]
+                for x in texts]
+        lens = np.array([len(x) for x in toks], dtype=np.int64)
+        flat = np.array([w for lst in toks for w in lst],
+                        dtype=object)
+        V = len(self.vocab)
+        nb = self.n_bi
+        if len(flat) and V:
+            pos = np.minimum(np.searchsorted(self.vocab, flat),
+                             V - 1)
+            ids = np.where(self.vocab[pos] == flat, pos,
+                           -1).astype(np.int64)
+        else:
+            ids = np.full(len(flat), -1, dtype=np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        n = len(flat)
+        local = np.arange(n) - offs[doc_idx] if n else \
+            np.empty(0, dtype=np.int64)
+        start = np.flatnonzero(local <= lens[doc_idx] - 2) if n \
+            else np.empty(0, dtype=np.int64)
+        i1 = ids[start]
+        i2 = ids[start + 1] if len(start) else i1
+        val = np.zeros(len(start), dtype=np.int64)
+        if nb and len(start):
+            c1v = np.where(i1 >= 0, self.c1_arr[np.maximum(i1, 0)],
+                           0)
+            n1fv = np.where(i1 >= 0, self.n1f_arr[np.maximum(i1, 0)],
+                            0)
+            n1bv = np.where(i2 >= 0, self.n1b_arr[np.maximum(i2, 0)],
+                            0)
+            seen_h = c1v > 0
+            # unseen history → continuation unigram alone
+            val[~seen_h] = (1_000_000 * n1bv[~seen_h]) // nb
+            # seen history, unseen bigram → discount-mass term only
+            uh = np.flatnonzero(seen_h)
+            val[uh] = (1_000_000 * 3 * n1fv[uh] * n1bv[uh]) \
+                // (4 * c1v[uh] * nb)
+            # seen bigram → exact precomputed value
+            both = (i1 >= 0) & (i2 >= 0)
+            bi = np.flatnonzero(both)
+            if len(bi) and len(self.bi_codes):
+                codes = i1[bi] * V + i2[bi]
+                p = np.minimum(np.searchsorted(self.bi_codes, codes),
+                               len(self.bi_codes) - 1)
+                hit = self.bi_codes[p] == codes
+                val[bi[hit]] = self.bi_vals[p[hit]]
+        totals = np.zeros(len(lens), dtype=np.int64)
+        if len(start):
+            np.add.at(totals, doc_idx[start], val)
+        n_pairs = np.maximum(lens - 1, 0)
+        scores = np.where(n_pairs > 0,
+                          totals // np.maximum(n_pairs, 1), 0)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "score_ppm": pa.array(scores.astype(np.int64),
+                                  pa.int64())})
 
 
 def kneser_ney_scores(ds: rd.Dataset, *, text_col: str = "text",
@@ -451,7 +490,34 @@ def kneser_ney_scores(ds: rd.Dataset, *, text_col: str = "text",
         n1b[w2] = n1b.get(w2, 0) + 1
     n_bi = len(c12)
 
-    model_ref = ray.put((c12, c1, n1f, n1b, n_bi))
+    # exact per-seen-bigram ppm values precomputed in Python bigints
+    # (any magnitude), packed into sorted int64 code tables; per-word
+    # arrays cover the two unseen closed forms
+    vocab = np.array(sorted(set(c1) | set(n1b)), dtype=object)
+    V = len(vocab)
+    wid = {w: i for i, w in enumerate(vocab)}
+    c1_arr = np.zeros(V, dtype=np.int64)
+    n1f_arr = np.zeros(V, dtype=np.int64)
+    n1b_arr = np.zeros(V, dtype=np.int64)
+    for w, v in c1.items():
+        c1_arr[wid[w]] = v
+    for w, v in n1f.items():
+        n1f_arr[wid[w]] = v
+    for w, v in n1b.items():
+        n1b_arr[wid[w]] = v
+    bi_codes = np.array([wid[w1] * V + wid[w2] for (w1, w2) in c12],
+                        dtype=np.int64)
+    bi_vals = np.array(
+        [(1_000_000 * (max(4 * c - 3, 0) * n_bi
+                       + 3 * n1f[w1] * n1b.get(w2, 0)))
+         // (4 * c1[w1] * n_bi)
+         for (w1, w2), c in c12.items()], dtype=np.int64) \
+        if c12 else np.empty(0, dtype=np.int64)
+    order = np.argsort(bi_codes)
+    bi_codes, bi_vals = bi_codes[order], bi_vals[order]
+
+    model_ref = ray.put((vocab, c1_arr, n1f_arr, n1b_arr,
+                         bi_codes, bi_vals, n_bi))
     lo, hi = default_pool()
     return ds.select_columns([id_col, text_col]).map_batches(
         _KNScorer, fn_constructor_args=(model_ref, text_col, id_col),
