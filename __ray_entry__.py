@@ -450,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_budget_apportion": _q_crawl_budget_apportion,
         "benford_prices": _q_benford_prices,
         "url_frontcoding": _q_url_frontcoding,
+        "shuffle_mixing": _q_shuffle_mixing,
         "lm_buckets": _q_lm_buckets,
         "trigram_backoff": _q_trigram_backoff,
         "kneser_ney": _q_kneser_ney,
@@ -1143,6 +1144,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_budget_apportion": _apportion_sql(),
         "benford_prices": _benford_sql(),
         "url_frontcoding": _frontcoding_sql(),
+        "shuffle_mixing": _shuffle_mixing_sql(),
         "source_overlap": """
             WITH clean AS (
               SELECT source, list_filter(string_split(text, ' '),
@@ -4060,6 +4062,65 @@ def _q_top_tokens(sf_dir: str):
     capacity) state, no shuffle; exact when capacity >= vocab."""
     from pdf2dom_ray.functions.heavyhitters import top_tokens_sketch
     return top_tokens_sketch(_documents(sf_dir), k=20, capacity=4096)
+
+
+def _shuffle_mixing_sql() -> str:
+    """Shuffle-quality twin: the corpus_shuffle md5 shard rule joined
+    to sources, HHI per shard (composition of the shuffle and
+    concentration oracles)."""
+    from pdf2dom_ray.functions.concentration import \
+        concentration_oracle_sql
+    rows = """
+        WITH k AS (SELECT doc_id,
+                          md5('graft:' || CAST(doc_id AS VARCHAR))
+                              AS key
+                   FROM documents),
+        sh AS (SELECT doc_id,
+                      CAST((row_number() OVER (ORDER BY key, doc_id)
+                            - 1) % 16 AS VARCHAR) AS shard
+               FROM k)
+        SELECT sh.shard, d.source
+        FROM sh JOIN documents d USING (doc_id)"""
+    return concentration_oracle_sql(rows, key_col="shard",
+                                    cat_col="source")
+
+
+def _q_shuffle_mixing(sf_dir: str):
+    """Shuffle-quality QA: per-shard source concentration (HHI) after
+    the seeded md5 shuffle — a well-mixed corpus gives every shard
+    ≈ the global source HHI; a high-HHI shard means source runs
+    survived the shuffle and a training epoch would see correlated
+    batches. Composition: seeded_shuffle × broadcast source attach ×
+    categorical_concentration (functions/shuffle.py +
+    functions/concentration.py)."""
+    from pdf2dom_ray.functions.concentration import \
+        categorical_concentration
+    from pdf2dom_ray.functions.shuffle import seeded_shuffle
+    import ray
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"]) \
+        .materialize()
+    sh = seeded_shuffle(docs)
+    src = docs.to_pandas().sort_values("doc_id")
+    ids_ref = ray.put(src["doc_id"].to_numpy(np.int64))
+    src_ref = ray.put(np.asarray(src["source"], dtype=object))
+
+    def attach(t: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        ss = ray.get(src_ref)
+        d = t.column("doc_id").to_numpy()
+        pos = np.searchsorted(ids, d)
+        return pa.table({
+            "shard": pa.array(
+                t.column("shard").to_numpy().astype(str).tolist(),
+                pa.string()),
+            "source": pa.array(ss[pos].tolist(), pa.string())})
+
+    rows = sh.map_batches(attach, batch_format="pyarrow")
+    return categorical_concentration(rows, key_col="shard",
+                                     cat_col="source")
 
 
 def _frontcoding_sql() -> str:

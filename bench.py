@@ -212,7 +212,8 @@ def run_bench() -> dict:
                  "langid_confusion", "source_lang_long",
                  "embedding_fd_sketch", "integrity_orphans",
                  "link_neighbor_overlap", "crawl_budget_apportion",
-                 "benford_prices", "url_frontcoding"):
+                 "benford_prices", "url_frontcoding",
+                 "shuffle_mixing"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
