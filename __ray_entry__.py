@@ -499,6 +499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_stress_bsp": _q_link_stress_bsp,
         "link_assortativity": _q_link_assortativity,
         "host_modularity": _q_host_modularity,
+        "link_rich_club": _q_link_rich_club,
         # -- text analysis (training-data ops)
         "doc_fingerprint": _q_fingerprint,
         "hashed_features": _q_hashed_features,
@@ -1329,6 +1330,7 @@ def oracle_sql() -> dict[str, str]:
         "link_stress_bsp": _stress_sql(),
         "link_assortativity": _assortativity_sql(),
         "host_modularity": _modularity_sql(),
+        "link_rich_club": _rich_club_sql(),
         "link_harmonic_bsp": _harmonic_sql(),
         "link_ball_hll": _hyperball_sql(),
         "link_ball_hll_bsp": _hyperball_sql(),
@@ -3017,6 +3019,24 @@ def _q_link_stress_bsp(sf_dir: str):
     from pdf2dom_ray.functions.stress import stress_centrality
     return stress_centrality(_bfs_edges(sf_dir), pivots=8, radius=4,
                              driver_edge_limit=0)
+
+
+def _rich_club_sql() -> str:
+    """Suffix-count rich-club twin over the multi-host URL digraph
+    (functions/richclub.py::rich_club_oracle_sql)."""
+    from pdf2dom_ray.functions.richclub import rich_club_oracle_sql
+    return rich_club_oracle_sql(_host_edges_sql())
+
+
+def _q_link_rich_club(sf_dir: str):
+    """Rich-club connectivity curve components (Zhou & Mondragón
+    2004): per distinct degree k the exact (n_gt, e_gt) integers —
+    φ(k) one post-hoc division; a club suddenly appearing in a crawl
+    snapshot is a link-exchange ring. The whole curve is two suffix
+    sums over two tiny histograms — no per-k work
+    (functions/richclub.py)."""
+    from pdf2dom_ray.functions.richclub import rich_club
+    return rich_club(_host_link_edges(sf_dir))
 
 
 def _modularity_sql() -> str:
