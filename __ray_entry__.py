@@ -451,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_prices": _q_benford_prices,
         "url_frontcoding": _q_url_frontcoding,
         "shuffle_mixing": _q_shuffle_mixing,
+        "doc_skyline": _q_doc_skyline,
         "lm_buckets": _q_lm_buckets,
         "trigram_backoff": _q_trigram_backoff,
         "kneser_ney": _q_kneser_ney,
@@ -1146,6 +1147,7 @@ def oracle_sql() -> dict[str, str]:
         "benford_prices": _benford_sql(),
         "url_frontcoding": _frontcoding_sql(),
         "shuffle_mixing": _shuffle_mixing_sql(),
+        "doc_skyline": _skyline_sql(),
         "source_overlap": """
             WITH clean AS (
               SELECT source, list_filter(string_split(text, ' '),
@@ -4082,6 +4084,43 @@ def _q_top_tokens(sf_dir: str):
     capacity) state, no shuffle; exact when capacity >= vocab."""
     from pdf2dom_ray.functions.heavyhitters import top_tokens_sketch
     return top_tokens_sketch(_documents(sf_dir), k=20, capacity=4096)
+
+
+def _skyline_sql() -> str:
+    """NOT EXISTS dominance twin over (n_chars, distinct tokens)
+    (functions/skyline.py::skyline_oracle_sql)."""
+    from pdf2dom_ray.functions.skyline import skyline_oracle_sql
+    rows = ("SELECT doc_id, n_chars, "
+            "CAST(len(list_distinct(string_split(text, ' '))) "
+            "AS BIGINT) AS n_distinct FROM documents")
+    return skyline_oracle_sql(rows, x_col="n_chars",
+                              y_col="n_distinct")
+
+
+def _q_doc_skyline(sf_dir: str):
+    """Skyline / Pareto-frontier operator (Börzsönyi 2001): the
+    documents maximal in BOTH length and lexical diversity — the
+    best-trade-off picker before any scalarized quality score commits
+    to a weighting; union-combinable per-batch frontiers + driver
+    fold, no shuffle (functions/skyline.py)."""
+    from pdf2dom_ray.functions.skyline import skyline2d
+    import ray.data as rd
+
+    def metrics(t: pa.Table) -> pa.Table:
+        # distinct tokens per doc: a python set per doc is the
+        # per-document kernel (same class as shingling); matches the
+        # twin's list_distinct incl. the ""-token convention
+        texts = t.column("text").to_pylist()
+        nds = [len({w for w in (x or "").split(" ")}) for x in texts]
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_chars": t.column("n_chars"),
+            "n_distinct": pa.array(nds, pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "n_chars"]) \
+        .map_batches(metrics, batch_format="pyarrow")
+    return skyline2d(ds, x_col="n_chars", y_col="n_distinct")
 
 
 def _shuffle_mixing_sql() -> str:

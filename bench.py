@@ -213,7 +213,8 @@ def run_bench() -> dict:
                  "embedding_fd_sketch", "integrity_orphans",
                  "link_neighbor_overlap", "crawl_budget_apportion",
                  "benford_prices", "url_frontcoding",
-                 "shuffle_mixing", "link_rich_club"):
+                 "shuffle_mixing", "link_rich_club",
+                 "doc_skyline"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
