@@ -452,6 +452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_frontcoding": _q_url_frontcoding,
         "shuffle_mixing": _q_shuffle_mixing,
         "doc_skyline": _q_doc_skyline,
+        "tokenizer_fertility": _q_tokenizer_fertility,
         "lm_buckets": _q_lm_buckets,
         "trigram_backoff": _q_trigram_backoff,
         "kneser_ney": _q_kneser_ney,
@@ -1148,6 +1149,7 @@ def oracle_sql() -> dict[str, str]:
         "url_frontcoding": _frontcoding_sql(),
         "shuffle_mixing": _shuffle_mixing_sql(),
         "doc_skyline": _skyline_sql(),
+        "tokenizer_fertility": _fertility_sql(),
         "source_overlap": """
             WITH clean AS (
               SELECT source, list_filter(string_split(text, ' '),
@@ -4084,6 +4086,83 @@ def _q_top_tokens(sf_dir: str):
     capacity) state, no shuffle; exact when capacity >= vocab."""
     from pdf2dom_ray.functions.heavyhitters import top_tokens_sketch
     return top_tokens_sketch(_documents(sf_dir), k=20, capacity=4096)
+
+
+def _fertility_sql() -> str:
+    """Per-language chars-per-BPE-token ratio twin (the
+    token_stats_bpe pattern aggregated by lang)."""
+    return f"""
+        WITH m AS MATERIALIZED (
+            SELECT lang, n_chars,
+                   CAST(len(list_filter(
+                        regexp_extract_all(text,
+                            '{_BPE_SQL_PATTERN}'),
+                        x -> trim(x) <> '')) AS BIGINT) AS n_tok
+            FROM documents)
+        SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+               CAST(CASE WHEN SUM(n_tok) = 0 THEN 0
+                    ELSE (1000000 * SUM(n_chars)) // SUM(n_tok)
+                    END AS BIGINT) AS fertility_ppm
+        FROM m GROUP BY lang"""
+
+
+def _q_tokenizer_fertility(sf_dir: str):
+    """Tokenizer fertility by language — chars per BPE-regex token as
+    integer ppm (the tokenizer-evaluation metric: high fertility on a
+    language means the vocab splinters it and training tokens buy
+    less text): per-batch (lang, Σchars, Σtokens) combiners → one
+    5-row groupby → one floor division of exact sums."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from pdf2dom_ray.functions.dedup import _to_arrow_blocks
+    from pdf2dom_ray.functions.text_stats import bpe_token_count_batch
+
+    def partial(t: pa.Table) -> pa.Table:
+        n_tok = bpe_token_count_batch(t).column("n_bpe_tokens") \
+            .to_numpy()
+        import pandas as pd
+        g = pd.DataFrame({
+            "lang": np.asarray(t.column("lang").to_pandas(),
+                               dtype=object),
+            "sum_chars": t.column("n_chars").to_numpy(),
+            "sum_tokens": n_tok}).groupby("lang",
+                                          as_index=False).sum()
+        return pa.table({
+            "lang": pa.array(g["lang"].tolist(), pa.string()),
+            "sum_chars": pa.array(g["sum_chars"].to_numpy(np.int64),
+                                  pa.int64()),
+            "sum_tokens": pa.array(
+                g["sum_tokens"].to_numpy(np.int64), pa.int64())})
+
+    agg = _to_arrow_blocks(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text", "lang",
+                                 "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang").aggregate(
+            Sum("sum_chars", alias_name="sum_chars"),
+            Sum("sum_tokens", alias_name="sum_tokens")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if not t.num_columns:
+            return pa.table({
+                "lang": pa.array([], pa.string()),
+                "sum_chars": pa.array([], pa.int64()),
+                "sum_tokens": pa.array([], pa.int64()),
+                "fertility_ppm": pa.array([], pa.int64())})
+        sc = t.column("sum_chars").to_numpy()
+        st = t.column("sum_tokens").to_numpy()
+        return pa.table({
+            "lang": t.column("lang"),
+            "sum_chars": pa.array(sc, pa.int64()),
+            "sum_tokens": pa.array(st, pa.int64()),
+            "fertility_ppm": pa.array(
+                np.where(st > 0, 1_000_000 * sc
+                         // np.maximum(st, 1), 0).astype(np.int64),
+                pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def _skyline_sql() -> str:
