@@ -453,6 +453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_mixing": _q_shuffle_mixing,
         "doc_skyline": _q_doc_skyline,
         "tokenizer_fertility": _q_tokenizer_fertility,
+        "length_outliers": _q_length_outliers,
         "lm_buckets": _q_lm_buckets,
         "trigram_backoff": _q_trigram_backoff,
         "kneser_ney": _q_kneser_ney,
@@ -1150,6 +1151,7 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_mixing": _shuffle_mixing_sql(),
         "doc_skyline": _skyline_sql(),
         "tokenizer_fertility": _fertility_sql(),
+        "length_outliers": _robust_sql(),
         "source_overlap": """
             WITH clean AS (
               SELECT source, list_filter(string_split(text, ' '),
@@ -4086,6 +4088,26 @@ def _q_top_tokens(sf_dir: str):
     capacity) state, no shuffle; exact when capacity >= vocab."""
     from pdf2dom_ray.functions.heavyhitters import top_tokens_sketch
     return top_tokens_sketch(_documents(sf_dir), k=20, capacity=4096)
+
+
+def _robust_sql() -> str:
+    """Window-cumulative lower-median/MAD twin
+    (functions/robust.py::robust_oracle_sql)."""
+    from pdf2dom_ray.functions.robust import robust_oracle_sql
+    return robust_oracle_sql("SELECT source, n_chars FROM documents")
+
+
+def _q_length_outliers(sf_dir: str):
+    """Robust per-source doc-length outlier rates (Iglewicz–Hoaglin
+    median/MAD rule — mean/σ breaks on exactly the data it should
+    flag): integer lower-median selections over ONE (source, value)
+    histogram exchange, k·MAD test in int64
+    (functions/robust.py)."""
+    from pdf2dom_ray.functions.robust import robust_outliers
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "n_chars"])
+    return robust_outliers(ds)
 
 
 def _fertility_sql() -> str:

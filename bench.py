@@ -214,7 +214,8 @@ def run_bench() -> dict:
                  "link_neighbor_overlap", "crawl_budget_apportion",
                  "benford_prices", "url_frontcoding",
                  "shuffle_mixing", "link_rich_club",
-                 "doc_skyline", "tokenizer_fertility"):
+                 "doc_skyline", "tokenizer_fertility",
+                 "length_outliers"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
