@@ -454,6 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_skyline": _q_doc_skyline,
         "tokenizer_fertility": _q_tokenizer_fertility,
         "length_outliers": _q_length_outliers,
+        "source_lang_cube": _q_source_lang_cube,
         "lm_buckets": _q_lm_buckets,
         "trigram_backoff": _q_trigram_backoff,
         "kneser_ney": _q_kneser_ney,
@@ -1152,6 +1153,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_skyline": _skyline_sql(),
         "tokenizer_fertility": _fertility_sql(),
         "length_outliers": _robust_sql(),
+        "source_lang_cube": _cube_sql(),
         "source_overlap": """
             WITH clean AS (
               SELECT source, list_filter(string_split(text, ' '),
@@ -4088,6 +4090,25 @@ def _q_top_tokens(sf_dir: str):
     capacity) state, no shuffle; exact when capacity >= vocab."""
     from pdf2dom_ray.functions.heavyhitters import top_tokens_sketch
     return top_tokens_sketch(_documents(sf_dir), k=20, capacity=4096)
+
+
+def _cube_sql() -> str:
+    """GROUP BY CUBE twin (functions/cube.py::cube_oracle_sql)."""
+    from pdf2dom_ray.functions.cube import cube_oracle_sql
+    return cube_oracle_sql("SELECT source, lang FROM documents",
+                           ["source", "lang"])
+
+
+def _q_source_lang_cube(sf_dir: str):
+    """CUBE grouping-sets counts over (source, lang) — the OLAP
+    operator Ray Data lacks: every batch emits all 2^k grouping rows
+    with the '<all>' sentinel (NULL-free by design for the value
+    hash) through ONE narrow groupby (functions/cube.py)."""
+    from pdf2dom_ray.functions.cube import cube_counts
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "lang"])
+    return cube_counts(ds, ["source", "lang"])
 
 
 def _robust_sql() -> str:

@@ -215,7 +215,7 @@ def run_bench() -> dict:
                  "benford_prices", "url_frontcoding",
                  "shuffle_mixing", "link_rich_club",
                  "doc_skyline", "tokenizer_fertility",
-                 "length_outliers"):
+                 "length_outliers", "source_lang_cube"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
