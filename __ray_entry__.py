@@ -455,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenizer_fertility": _q_tokenizer_fertility,
         "length_outliers": _q_length_outliers,
         "source_lang_cube": _q_source_lang_cube,
+        "sample_allocation": _q_sample_allocation,
         "lm_buckets": _q_lm_buckets,
         "trigram_backoff": _q_trigram_backoff,
         "kneser_ney": _q_kneser_ney,
@@ -1154,6 +1155,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": _fertility_sql(),
         "length_outliers": _robust_sql(),
         "source_lang_cube": _cube_sql(),
+        "sample_allocation": _sample_allocation_sql(),
         "source_overlap": """
             WITH clean AS (
               SELECT source, list_filter(string_split(text, ' '),
@@ -4090,6 +4092,47 @@ def _q_top_tokens(sf_dir: str):
     capacity) state, no shuffle; exact when capacity >= vocab."""
     from pdf2dom_ray.functions.heavyhitters import top_tokens_sketch
     return top_tokens_sketch(_documents(sf_dir), k=20, capacity=4096)
+
+
+def _sample_allocation_sql() -> str:
+    """Robust-Neyman composition twin: the robust-stats oracle
+    provides (key, n_rows·mad) weights, Hamilton apportions
+    (functions/robust.py × functions/apportion.py)."""
+    from pdf2dom_ray.functions.apportion import \
+        apportion_weighted_oracle_sql
+    from pdf2dom_ray.functions.robust import robust_oracle_sql
+    rob = robust_oracle_sql("SELECT source, n_chars FROM documents")
+    weights = ("SELECT key, CAST(n_rows * mad AS BIGINT) AS w "
+               f"FROM ({rob})")
+    return apportion_weighted_oracle_sql(weights, budget=1000)
+
+
+def _q_sample_allocation(sf_dir: str):
+    """Robust Neyman-style sample allocation: per-source sampling
+    budget ∝ N_h·MAD_h (classic Neyman uses N·σ — σ's sqrt is
+    irrational, MAD is the integer robust spread), Hamilton-rounded
+    so Σ = budget exactly; composition of the robust median/MAD
+    histogram op and weighted apportionment
+    (functions/robust.py × functions/apportion.py)."""
+    from pdf2dom_ray.functions.apportion import apportion_weighted
+    from pdf2dom_ray.functions.robust import robust_outliers
+    import ray.data as rd
+
+    rob = robust_outliers(rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]))
+
+    def weights(t: pa.Table) -> pa.Table:
+        if not t.num_columns:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "w": pa.array([], pa.int64())})
+        return pa.table({
+            "key": t.column("key"),
+            "w": pa.array(t.column("n_rows").to_numpy()
+                          * t.column("mad").to_numpy(), pa.int64())})
+
+    return apportion_weighted(
+        rob.map_batches(weights, batch_format="pyarrow"),
+        budget=1000)
 
 
 def _cube_sql() -> str:

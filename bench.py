@@ -215,7 +215,8 @@ def run_bench() -> dict:
                  "benford_prices", "url_frontcoding",
                  "shuffle_mixing", "link_rich_club",
                  "doc_skyline", "tokenizer_fertility",
-                 "length_outliers", "source_lang_cube"):
+                 "length_outliers", "source_lang_cube",
+                 "sample_allocation"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

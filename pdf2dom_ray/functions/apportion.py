@@ -30,7 +30,8 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-__all__ = ["apportion_budget", "apportion_oracle_sql"]
+__all__ = ["apportion_budget", "apportion_weighted",
+           "apportion_oracle_sql", "apportion_weighted_oracle_sql"]
 
 
 def apportion_budget(ds: rd.Dataset, *, budget: int,
@@ -94,6 +95,65 @@ def apportion_oracle_sql(rows_cte: str, *, budget: int,
             SELECT CAST({budget} - SUM(base) AS BIGINT) AS k
             FROM base)
         SELECT key, c AS n_rows,
+               CAST(base + CASE WHEN
+                    row_number() OVER (ORDER BY rem DESC, key) <= lo.k
+                    THEN 1 ELSE 0 END AS BIGINT) AS quota
+        FROM base CROSS JOIN lo"""
+
+
+def apportion_weighted(weights: rd.Dataset, *, budget: int,
+                       key_col: str = "key",
+                       weight_col: str = "w") -> rd.Dataset:
+    """(key, w, quota) with Σ quota = ``budget``, proportional to the
+    given int64 weights under the same Hamilton rounding — the
+    building block for Neyman-style allocations where the weight is
+    N_h·spread_h rather than a plain count. All-zero weights
+    degenerate to a UNIFORM split (Σ quota = budget must hold)."""
+    from .dedup import _to_arrow_blocks
+
+    w = _to_arrow_blocks(weights).to_pandas()
+    if not len(w):
+        return rd.from_arrow(pa.table({
+            "key": pa.array([], pa.string()),
+            "w": pa.array([], pa.int64()),
+            "quota": pa.array([], pa.int64())}))
+    w = w.sort_values(key_col).reset_index(drop=True)
+    n = w[weight_col].to_numpy(np.int64)
+    w_out = n.copy()
+    total = int(n.sum())
+    if total == 0:                  # degenerate → uniform split
+        n = np.ones(len(n), dtype=np.int64)
+        total = len(n)
+    base = budget * n // total
+    rem = budget * n % total
+    leftover = budget - int(base.sum())
+    order = np.lexsort((np.arange(len(n)), -rem))
+    quota = base.copy()
+    quota[order[:leftover]] += 1
+    return rd.from_arrow(pa.table({
+        "key": pa.array(w[key_col].tolist(), pa.string()),
+        "w": pa.array(w_out, pa.int64()),
+        "quota": pa.array(quota, pa.int64())}))
+
+
+def apportion_weighted_oracle_sql(weights_cte: str, *,
+                                  budget: int) -> str:
+    """Hamilton over a (key, w) weight relation (non-degenerate
+    Σw > 0 — the SQL twin of the common case; the uniform fallback is
+    pytest-locked on the Ray side)."""
+    return f"""
+        WITH w AS MATERIALIZED ({weights_cte}),
+        tot AS MATERIALIZED (SELECT CAST(SUM(w) AS BIGINT) AS n
+                             FROM w),
+        base AS MATERIALIZED (
+            SELECT key, w,
+                   ({budget} * w) // tot.n AS base,
+                   ({budget} * w) % tot.n AS rem
+            FROM w CROSS JOIN tot),
+        lo AS MATERIALIZED (
+            SELECT CAST({budget} - SUM(base) AS BIGINT) AS k
+            FROM base)
+        SELECT key, CAST(w AS BIGINT) AS w,
                CAST(base + CASE WHEN
                     row_number() OVER (ORDER BY rem DESC, key) <= lo.k
                     THEN 1 ELSE 0 END AS BIGINT) AS quota
