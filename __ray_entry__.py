@@ -456,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_outliers": _q_length_outliers,
         "source_lang_cube": _q_source_lang_cube,
         "sample_allocation": _q_sample_allocation,
+        "user_activity_islands": _q_user_activity_islands,
         "lm_buckets": _q_lm_buckets,
         "trigram_backoff": _q_trigram_backoff,
         "kneser_ney": _q_kneser_ney,
@@ -1156,6 +1157,7 @@ def oracle_sql() -> dict[str, str]:
         "length_outliers": _robust_sql(),
         "source_lang_cube": _cube_sql(),
         "sample_allocation": _sample_allocation_sql(),
+        "user_activity_islands": _islands_sql(),
         "source_overlap": """
             WITH clean AS (
               SELECT source, list_filter(string_split(text, ' '),
@@ -4092,6 +4094,25 @@ def _q_top_tokens(sf_dir: str):
     capacity) state, no shuffle; exact when capacity >= vocab."""
     from pdf2dom_ray.functions.heavyhitters import top_tokens_sketch
     return top_tokens_sketch(_documents(sf_dir), k=20, capacity=4096)
+
+
+def _islands_sql() -> str:
+    """DENSE_RANK gaps-and-islands twin over per-user event hours
+    (functions/islands.py::islands_oracle_sql)."""
+    from pdf2dom_ray.functions.islands import islands_oracle_sql
+    return islands_oracle_sql("SELECT user_id, ts FROM events")
+
+
+def _q_user_activity_islands(sf_dir: str):
+    """Gaps-and-islands: per-user maximal consecutive-hour activity
+    streaks (churn scoring / crawl-freshness SLAs) — one key-hash
+    exchange, one vectorized per-partition boundary/cumsum pass, no
+    global sort (functions/islands.py)."""
+    from pdf2dom_ray.functions.islands import activity_islands
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return activity_islands(ds)
 
 
 def _sample_allocation_sql() -> str:

@@ -216,7 +216,7 @@ def run_bench() -> dict:
                  "shuffle_mixing", "link_rich_club",
                  "doc_skyline", "tokenizer_fertility",
                  "length_outliers", "source_lang_cube",
-                 "sample_allocation"):
+                 "sample_allocation", "user_activity_islands"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
