@@ -457,6 +457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_cube": _q_source_lang_cube,
         "sample_allocation": _q_sample_allocation,
         "user_activity_islands": _q_user_activity_islands,
+        "event_basket_lift": _q_event_basket_lift,
         "lm_buckets": _q_lm_buckets,
         "trigram_backoff": _q_trigram_backoff,
         "kneser_ney": _q_kneser_ney,
@@ -1158,6 +1159,7 @@ def oracle_sql() -> dict[str, str]:
         "source_lang_cube": _cube_sql(),
         "sample_allocation": _sample_allocation_sql(),
         "user_activity_islands": _islands_sql(),
+        "event_basket_lift": _basket_sql(),
         "source_overlap": """
             WITH clean AS (
               SELECT source, list_filter(string_split(text, ' '),
@@ -4094,6 +4096,26 @@ def _q_top_tokens(sf_dir: str):
     capacity) state, no shuffle; exact when capacity >= vocab."""
     from pdf2dom_ray.functions.heavyhitters import top_tokens_sketch
     return top_tokens_sketch(_documents(sf_dir), k=20, capacity=4096)
+
+
+def _basket_sql() -> str:
+    """Distinct-basket pair-join twin
+    (functions/basket.py::basket_oracle_sql)."""
+    from pdf2dom_ray.functions.basket import basket_oracle_sql
+    return basket_oracle_sql("SELECT user_id, event_type FROM events")
+
+
+def _q_event_basket_lift(sf_dir: str):
+    """Market-basket association over per-user event-type sets
+    (Agrawal-Srikant output layer): exact integer support + lift_ppm
+    per co-occurring pair — the bundle/attraction signal; baskets
+    bounded by the dashboard-small item universe, basket_cap guard
+    (functions/basket.py)."""
+    from pdf2dom_ray.functions.basket import basket_lift
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    return basket_lift(ds)
 
 
 def _islands_sql() -> str:

@@ -216,7 +216,8 @@ def run_bench() -> dict:
                  "shuffle_mixing", "link_rich_club",
                  "doc_skyline", "tokenizer_fertility",
                  "length_outliers", "source_lang_cube",
-                 "sample_allocation", "user_activity_islands"):
+                 "sample_allocation", "user_activity_islands",
+                 "event_basket_lift"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
