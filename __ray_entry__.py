@@ -458,6 +458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_allocation": _q_sample_allocation,
         "user_activity_islands": _q_user_activity_islands,
         "event_basket_lift": _q_event_basket_lift,
+        "length_histogram": _q_length_histogram,
         "lm_buckets": _q_lm_buckets,
         "trigram_backoff": _q_trigram_backoff,
         "kneser_ney": _q_kneser_ney,
@@ -1160,6 +1161,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_allocation": _sample_allocation_sql(),
         "user_activity_islands": _islands_sql(),
         "event_basket_lift": _basket_sql(),
+        "length_histogram": _histogram_sql(),
         "source_overlap": """
             WITH clean AS (
               SELECT source, list_filter(string_split(text, ' '),
@@ -4096,6 +4098,30 @@ def _q_top_tokens(sf_dir: str):
     capacity) state, no shuffle; exact when capacity >= vocab."""
     from pdf2dom_ray.functions.heavyhitters import top_tokens_sketch
     return top_tokens_sketch(_documents(sf_dir), k=20, capacity=4096)
+
+
+def _histogram_sql() -> str:
+    """Clamped equi-width bin twin with the negative-`//` guard
+    (functions/histogram.py::histogram_oracle_sql)."""
+    from pdf2dom_ray.functions.histogram import histogram_oracle_sql
+    return histogram_oracle_sql("SELECT n_chars FROM documents",
+                                value_col="n_chars", lo=0,
+                                width=200, n_bins=20)
+
+
+def _q_length_histogram(sf_dir: str):
+    """Equi-width doc-length histogram (stable bin EDGES across
+    corpus snapshots — the property equi-depth deciles lack, and what
+    dashboard differencing needs): one np.bincount per batch over
+    clamped bin ids + one (n_bins+2)-row groupby, explicit under/
+    overflow buckets, every bucket 0-filled
+    (functions/histogram.py)."""
+    from pdf2dom_ray.functions.histogram import equiwidth_histogram
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["n_chars"])
+    return equiwidth_histogram(ds, value_col="n_chars", lo=0,
+                               width=200, n_bins=20)
 
 
 def _basket_sql() -> str:
