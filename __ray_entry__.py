@@ -459,6 +459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_islands": _q_user_activity_islands,
         "event_basket_lift": _q_event_basket_lift,
         "length_histogram": _q_length_histogram,
+        "source_dominant_lang": _q_source_dominant_lang,
         "lm_buckets": _q_lm_buckets,
         "trigram_backoff": _q_trigram_backoff,
         "kneser_ney": _q_kneser_ney,
@@ -1162,6 +1163,15 @@ def oracle_sql() -> dict[str, str]:
         "user_activity_islands": _islands_sql(),
         "event_basket_lift": _basket_sql(),
         "length_histogram": _histogram_sql(),
+        "source_dominant_lang": """
+            WITH c AS (
+              SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+              FROM documents GROUP BY 1, 2)
+            SELECT source, lang, n,
+                   CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY n DESC, lang) AS BIGINT) AS rank
+            FROM c QUALIFY rank <= 1
+        """,
         "source_overlap": """
             WITH clean AS (
               SELECT source, list_filter(string_split(text, ' '),
@@ -4098,6 +4108,39 @@ def _q_top_tokens(sf_dir: str):
     capacity) state, no shuffle; exact when capacity >= vocab."""
     from pdf2dom_ray.functions.heavyhitters import top_tokens_sketch
     return top_tokens_sketch(_documents(sf_dir), k=20, capacity=4096)
+
+
+def _q_source_dominant_lang(sf_dir: str):
+    """MODE aggregate (most frequent category per key, deterministic
+    (count desc, value asc) tie-break) — the missing argmax-category
+    aggregate, as the grouped_topk k=1 composition over (source,
+    lang) counts (functions/topk.py's idempotent partial cut)."""
+    from pdf2dom_ray.functions.dedup import _to_arrow_blocks
+    from pdf2dom_ray.functions.topk import grouped_topk
+    from ray.data.aggregate import Sum
+    import pandas as pd
+    import ray.data as rd
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "source": np.asarray(t.column("source").to_pandas(),
+                                 dtype=object),
+            "lang": np.asarray(t.column("lang").to_pandas(),
+                               dtype=object)}) \
+            .groupby(["source", "lang"], as_index=False).size()
+        return pa.table({
+            "source": pa.array(g["source"].tolist(), pa.string()),
+            "lang": pa.array(g["lang"].tolist(), pa.string()),
+            "n": pa.array(g["size"].to_numpy(np.int64), pa.int64())})
+
+    counts = _to_arrow_blocks(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["source", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n", alias_name="n")))
+    return grouped_topk(counts, "source", ["n", "lang"],
+                        [False, True], 1)
 
 
 def _histogram_sql() -> str:

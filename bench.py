@@ -217,7 +217,8 @@ def run_bench() -> dict:
                  "doc_skyline", "tokenizer_fertility",
                  "length_outliers", "source_lang_cube",
                  "sample_allocation", "user_activity_islands",
-                 "event_basket_lift", "length_histogram"):
+                 "event_basket_lift", "length_histogram",
+                 "source_dominant_lang"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
