@@ -102,9 +102,20 @@ def basket_lift(ds: rd.Dataset, *, key_col: str = "user_id",
             "c": pa.array(df["size"].to_numpy(np.int64),
                           pa.int64())})
 
+    # one map_groups call per HASH PARTITION, not per basket — the
+    # in-call per-key loop over tiny baskets is cheap, per-group
+    # callable dispatch over thousands of baskets is not
+    from ..scale import scale_partitions
+    P = scale_partitions()
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["key"], index=False)
+        return df.assign(__part=(h % P).astype("int64").to_numpy())
+
     pair_counts = _to_arrow_blocks(
-        baskets.groupby("key").map_groups(emit_pairs,
-                                          batch_format="pandas")
+        baskets.map_batches(tag, batch_format="pandas")
+        .groupby("__part").map_groups(emit_pairs,
+                                      batch_format="pandas")
         .groupby(["item_a", "item_b"])
         .aggregate(Sum("c", alias_name="n_ab"))).to_pandas()
     if not len(pair_counts):
