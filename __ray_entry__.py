@@ -460,6 +460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_basket_lift": _q_event_basket_lift,
         "length_histogram": _q_length_histogram,
         "source_dominant_lang": _q_source_dominant_lang,
+        "rank_degree_corr": _q_rank_degree_corr,
         "lm_buckets": _q_lm_buckets,
         "trigram_backoff": _q_trigram_backoff,
         "kneser_ney": _q_kneser_ney,
@@ -1163,6 +1164,7 @@ def oracle_sql() -> dict[str, str]:
         "user_activity_islands": _islands_sql(),
         "event_basket_lift": _basket_sql(),
         "length_histogram": _histogram_sql(),
+        "rank_degree_corr": _rank_degree_corr_sql(),
         "source_dominant_lang": """
             WITH c AS (
               SELECT source, lang, CAST(count(*) AS BIGINT) AS n
@@ -4108,6 +4110,87 @@ def _q_top_tokens(sf_dir: str):
     capacity) state, no shuffle; exact when capacity >= vocab."""
     from pdf2dom_ray.functions.heavyhitters import top_tokens_sketch
     return top_tokens_sketch(_documents(sf_dir), k=20, capacity=4096)
+
+
+def _rank_degree_corr_sql() -> str:
+    """Spearman twin over (indegree, pagerank fixed-point rank) —
+    composes the pagerank unrolled oracle, a distinct-edge indegree
+    CTE and the window-RANK correlation."""
+    from pdf2dom_ray.functions.pagerank import pagerank_oracle_sql
+    from pdf2dom_ray.functions.rankcorr import spearman_oracle_sql
+    edges = (f"SELECT {_URL_SQL} AS src, "
+             f"'https://docs.synth.test' || path AS target "
+             f"FROM ({_LINKS_SQL}) l")
+    pr = pagerank_oracle_sql(edges, iterations=5)
+    metrics = f"""
+        SELECT CAST(COALESCE(i.indeg, 0) AS BIGINT) AS ma,
+               p.rank AS mb
+        FROM ({pr}) p
+        LEFT JOIN (SELECT target AS url,
+                          CAST(count(*) AS BIGINT) AS indeg
+                   FROM (SELECT DISTINCT src, target
+                         FROM ({edges})) GROUP BY 1) i
+        USING (url)"""
+    return spearman_oracle_sql(metrics)
+
+
+def _q_rank_degree_corr(sf_dir: str):
+    """Does in-degree predict PageRank? — the classic centrality-
+    proxy audit as an exact Spearman over (indegree, fixed-point
+    rank): pagerank output joined map-side with a broadcast distinct-
+    edge indegree table, then the sort-free histogram-rank
+    correlation (functions/pagerank.py × functions/rankcorr.py)."""
+    from pdf2dom_ray.functions.pagerank import pagerank
+    from pdf2dom_ray.functions.rankcorr import spearman_rank
+    from pdf2dom_ray.pipelines.html_extract import (
+        extract_outlinks_ds, synth_html_pages)
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    edges = extract_outlinks_ds(synth_html_pages(sf_dir)) \
+        .materialize()
+    pr = pagerank(edges, iterations=5)
+
+    def indeg_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "src": np.asarray(t.column("src").to_pandas(),
+                              dtype=object),
+            "target": np.asarray(t.column("target").to_pandas(),
+                                 dtype=object)}).drop_duplicates()
+        g = df.groupby("target", as_index=False).size()
+        return pa.table({
+            "url": pa.array(g["target"].tolist(), pa.string()),
+            "c": pa.array(g["size"].to_numpy(np.int64), pa.int64())})
+
+    from pdf2dom_ray.functions.dedup import _to_arrow_blocks
+    from ray.data.aggregate import Sum
+
+    # batch-local dedup is exact here: each synth page's outlinks
+    # live in one batch and the link rule never repeats a (src,
+    # target) across pages — matches the oracle's global DISTINCT
+    ind = _to_arrow_blocks(
+        edges.map_batches(indeg_partial, batch_format="pyarrow")
+             .groupby("url").aggregate(Sum("c", alias_name="c"))) \
+        .to_pandas().sort_values("url")
+    keys_ref = ray.put(np.asarray(ind["url"], dtype=object))
+    deg_ref = ray.put(ind["c"].to_numpy(np.int64))
+
+    def metrics(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        dv = ray.get(deg_ref)
+        u = np.asarray(t.column("url").to_pandas(), dtype=object)
+        pos = np.minimum(np.searchsorted(keys, u),
+                         max(len(keys) - 1, 0))
+        hit = (keys[pos] == u) if len(keys) else \
+            np.zeros(len(u), dtype=bool)
+        return pa.table({
+            "ma": pa.array(np.where(hit, dv[pos], 0), pa.int64()),
+            "mb": pa.array(t.column("rank").to_numpy(), pa.int64())})
+
+    return spearman_rank(pr.map_batches(metrics,
+                                        batch_format="pyarrow"),
+                         "ma", "mb")
 
 
 def _q_source_dominant_lang(sf_dir: str):
