@@ -415,6 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_check": _q_order_priority_check,
         "promo_revenue": _q_promo_revenue,
         "disjunctive_revenue": _q_disjunctive_revenue,
+        "volume_shipping": _q_volume_shipping,
         "local_supplier_volume": _q_local_supplier_volume,
         "customer_distribution": _q_customer_distribution,
         "length_percentiles": _q_length_percentiles,
@@ -2061,6 +2062,29 @@ def oracle_sql() -> dict[str, str]:
         # division of two exact int64 sums)
         # Q19: disjunctive brand/size/quantity envelopes, no-join
         # broadcast evaluation; integer cents
+        "volume_shipping": """
+            SELECT supp_nation, cust_nation, l_year,
+                   CAST(SUM(cents) AS BIGINT) AS revenue_cents
+            FROM (
+              SELECT n1.n_name AS supp_nation,
+                     n2.n_name AS cust_nation,
+                     CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                     CAST(floor(l_extendedprice * (1 - l_discount)
+                                * 100) AS BIGINT) AS cents
+              FROM supplier
+              JOIN lineitem ON s_suppkey = l_suppkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE ((n1.n_name = 'NATION_1'
+                      AND n2.n_name = 'NATION_2')
+                  OR (n1.n_name = 'NATION_2'
+                      AND n2.n_name = 'NATION_1'))
+                AND l_shipdate >= TIMESTAMP '1995-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01')
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
         "disjunctive_revenue": """
             SELECT CAST(COALESCE(SUM(CAST(floor(l_extendedprice
                                        * (1 - l_discount) * 100)
@@ -3710,6 +3734,16 @@ def _q_promo_revenue(sf_dir: str):
     scalars per batch, one ppm floor-division at the end."""
     from pdf2dom_ray.pipelines.tpch import q14_promo_revenue
     return q14_promo_revenue(sf_dir)
+
+
+def _q_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape: bilateral two-nation shipping volume by
+    direction and ship year — both nation sides broadcast as sorted
+    numpy maps, date-windowed order->cust_side broadcast under limit
+    (single lineitem scan, map-side fold) with a join_ready hash-join
+    fallback; integer cents (pipelines/tpch.py)."""
+    from pdf2dom_ray.pipelines.tpch import q7_volume_shipping
+    return q7_volume_shipping(sf_dir)
 
 
 def _q_trigram_backoff(sf_dir: str):

@@ -218,7 +218,8 @@ def run_bench() -> dict:
                  "length_outliers", "source_lang_cube",
                  "sample_allocation", "user_activity_islands",
                  "event_basket_lift", "length_histogram",
-                 "source_dominant_lang", "rank_degree_corr"):
+                 "source_dominant_lang", "rank_degree_corr",
+                 "volume_shipping"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

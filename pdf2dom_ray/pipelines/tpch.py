@@ -40,7 +40,8 @@ __all__ = ["q3_top_unshipped", "q5_local_supplier_volume",
            "q13_customer_distribution", "q10_returned_items",
            "q12_late_shipments", "q6_forecast_revenue",
            "q1_pricing_summary", "q4_order_priority_check",
-           "q14_promo_revenue", "q19_disjunctive_revenue"]
+           "q14_promo_revenue", "q19_disjunctive_revenue",
+           "q7_volume_shipping"]
 
 
 def _n_partitions() -> int:
@@ -1482,3 +1483,198 @@ def q19_disjunctive_revenue(sf_dir: str,
                                   pa.int64()),
         "n_lines": pa.array([parts.sum("n_lines") or 0],
                             pa.int64())}))
+
+
+def q7_volume_shipping(sf_dir: str, *,
+                       nation_a: str = "NATION_1",
+                       nation_b: str = "NATION_2",
+                       date_lo: str = "1995-01-01",
+                       date_hi: str = "1997-01-01",
+                       broadcast_limit: int = 5_000_000
+                       ) -> rd.Dataset:
+    """TPC-H Q7 shape: bilateral shipping volume — revenue shipped
+    between two nations (supplier in one, customer in the other),
+    broken out by direction and ship year.
+
+    Distributed shape: supplier and customer both narrow to the two
+    nations BEFORE anything wide runs, so each side is a sorted numpy
+    broadcast (suppkey→side, custkey→side). The date-windowed orders
+    slice probes the customer broadcast and — under
+    ``broadcast_limit`` — itself becomes a broadcast
+    (orderkey→cust_side), making the whole query ONE lineitem scan
+    with map-side folds to ≤ 2×years partial rows per batch; past the
+    limit the honest path joins pre-aggregated narrow lineitem
+    partials (l_orderkey, supp_side, l_year, cents) against
+    (o_orderkey, cust_side) on the repo's ``join_ready``-guarded hash
+    join. Integer cents keep the distributed sum bit-exact vs the
+    DuckDB oracle.
+    """
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+    n_part = _n_partitions()
+
+    import pyarrow.parquet as pq
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    name2key = dict(zip(nat["n_name"], nat["n_nationkey"].astype(int)))
+    if nation_a not in name2key or nation_b not in name2key:
+        raise ValueError("unknown nation name")
+    key_a, key_b = name2key[nation_a], name2key[nation_b]
+    side_name = {0: nation_a, 1: nation_b}
+
+    def _side_map(path: str, key_col: str, nat_col: str):
+        df = pq.read_table(path, columns=[key_col, nat_col]) \
+            .to_pandas()
+        df = df[df[nat_col].isin([key_a, key_b])]
+        df = df.sort_values(key_col)
+        keys = df[key_col].to_numpy(np.int64)
+        side = (df[nat_col].to_numpy(np.int64) == key_b) \
+            .astype(np.int8)
+        return keys, side
+
+    s_keys, s_side = _side_map(f"{sf_dir}/supplier.parquet",
+                               "s_suppkey", "s_nationkey")
+    c_keys, c_side = _side_map(f"{sf_dir}/customer.parquet",
+                               "c_custkey", "c_nationkey")
+    supp_ref = ray.put((s_keys, s_side))
+    cust_ref = ray.put((c_keys, c_side))
+
+    empty = pa.table({"supp_nation": pa.array([], pa.string()),
+                      "cust_nation": pa.array([], pa.string()),
+                      "l_year": pa.array([], pa.int64()),
+                      "revenue_cents": pa.array([], pa.int64())})
+    if not len(s_keys) or not len(c_keys):
+        return rd.from_arrow(empty)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+
+    def order_side(t: pa.Table) -> pa.Table:
+        ks, side = ray.get(cust_ref)   # zero-copy broadcast read
+        ck = t.column("o_custkey").to_numpy()
+        pos = np.minimum(np.searchsorted(ks, ck), len(ks) - 1)
+        hit = ks[pos] == ck
+        return pa.table({
+            "o_orderkey": pa.array(
+                t.column("o_orderkey").to_numpy()[hit], pa.int64()),
+            "cust_side": pa.array(side[pos[hit]].astype(np.int64),
+                                  pa.int64())})
+
+    orders = orders.map_batches(order_side,
+                                batch_format="pyarrow").materialize()
+    n_ord = orders.count()
+    if n_ord == 0:
+        return rd.from_arrow(empty)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount",
+                                  "l_shipdate"])
+
+    def _li_core(t: pa.Table):
+        """shipdate window + supplier-side probe; returns the kept
+        (orderkey, supp_side, year, cents) numpy columns."""
+        d = t.column("l_shipdate")
+        keep = pc.and_(pc.greater_equal(
+            d, pa.scalar(lo.item(), pa.timestamp("us"))),
+            pc.less(d, pa.scalar(hi.item(), pa.timestamp("us"))))
+        t = t.filter(keep)
+        ks, side = ray.get(supp_ref)
+        sk = t.column("l_suppkey").to_numpy()
+        pos = np.minimum(np.searchsorted(ks, sk), len(ks) - 1)
+        hit = ks[pos] == sk
+        t = t.filter(pa.array(hit))
+        supp_side = side[pos[hit]].astype(np.int64)
+        year = t.column("l_shipdate").to_numpy() \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        ep = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        cents = np.floor(ep * (1.0 - disc) * 100.0).astype(np.int64)
+        return (t.column("l_orderkey").to_numpy(), supp_side, year,
+                cents)
+
+    def small_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["supp_side", "l_year"], as_index=False) \
+            .agg(revenue_cents=("revenue_cents", "sum"))
+
+    def fold_block(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(
+            small_combine(t.to_pandas()), preserve_index=False)
+
+    if n_ord <= broadcast_limit:
+        ots = [b if isinstance(b, pa.Table)
+               else pa.Table.from_pandas(b, preserve_index=False)
+               for b in ray.get(orders.to_arrow_refs())]
+        ots = [b for b in ots if b.num_rows and b.num_columns]
+        ot = pa.concat_tables(ots).combine_chunks()
+        ot = ot.take(pc.sort_indices(
+            ot, sort_keys=[("o_orderkey", "ascending")]))
+        ord_ref = ray.put((ot.column("o_orderkey").to_numpy(),
+                           ot.column("cust_side").to_numpy()))
+
+        def li_partial(t: pa.Table) -> pa.Table:
+            ok, supp_side, year, cents = _li_core(t)
+            ks, cside = ray.get(ord_ref)
+            pos = np.minimum(np.searchsorted(ks, ok),
+                             max(len(ks) - 1, 0))
+            hit = (ks[pos] == ok) if len(ks) else \
+                np.zeros(len(ok), dtype=bool)
+            # opposite sides only: (a→b) or (b→a)
+            cs = cside[pos]
+            hit &= cs != supp_side
+            df = pd.DataFrame({"supp_side": supp_side[hit],
+                               "l_year": year[hit],
+                               "revenue_cents": cents[hit]})
+            return pa.Table.from_pandas(small_combine(df),
+                                        preserve_index=False)
+
+        partials = li.map_batches(li_partial, batch_format="pyarrow")
+    else:
+        def li_narrow(t: pa.Table) -> pa.Table:
+            ok, supp_side, year, cents = _li_core(t)
+            df = pd.DataFrame({"l_orderkey": ok,
+                               "supp_side": supp_side,
+                               "l_year": year,
+                               "revenue_cents": cents})
+            g = df.groupby(["l_orderkey", "supp_side", "l_year"],
+                           sort=False, as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        narrow = li.map_batches(li_narrow, batch_format="pyarrow")
+        from ..functions.dedup import join_ready
+        joined = narrow.join(join_ready(orders, n_part),
+                             join_type="inner",
+                             num_partitions=n_part,
+                             on=("l_orderkey",),
+                             right_on=("o_orderkey",))
+
+        def opposite(t: pa.Table) -> pa.Table:
+            keep = pc.not_equal(t.column("supp_side"),
+                                t.column("cust_side"))
+            t = t.filter(keep)
+            return pa.Table.from_pandas(small_combine(pd.DataFrame({
+                "supp_side": t.column("supp_side").to_numpy(),
+                "l_year": t.column("l_year").to_numpy(),
+                "revenue_cents": t.column("revenue_cents")
+                                  .to_numpy()})),
+                preserve_index=False)
+
+        partials = joined.map_batches(opposite,
+                                      batch_format="pyarrow")
+
+    from ..functions.fold import bounded_fold_tables
+    tables = bounded_fold_tables(partials, fold_block)
+    if not tables:
+        return rd.from_arrow(empty)
+    merged = small_combine(pa.concat_tables(tables).to_pandas())
+    merged["supp_nation"] = merged["supp_side"].map(side_name)
+    merged["cust_nation"] = (1 - merged["supp_side"]).map(side_name)
+    merged = merged.sort_values(
+        ["supp_nation", "cust_nation", "l_year"])
+    return rd.from_arrow(pa.table({
+        "supp_nation": pa.array(merged["supp_nation"], pa.string()),
+        "cust_nation": pa.array(merged["cust_nation"], pa.string()),
+        "l_year": pa.array(merged["l_year"].to_numpy(np.int64),
+                           pa.int64()),
+        "revenue_cents": pa.array(
+            merged["revenue_cents"].to_numpy(np.int64), pa.int64())}))

@@ -450,3 +450,69 @@ def test_q19_absent_brand_clause_is_empty_set(ray_session, sf_dir):
         sf_dir, clauses=(("Brand#99", 1, 50, 1, 50),)).to_pandas()
     assert int(got.revenue_cents[0]) == 0
     assert int(got.n_lines[0]) == 0
+
+
+def _duck_q7(sf_dir, a="NATION_1", b="NATION_2"):
+    import duckdb
+    return duckdb.sql(f"""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                 CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT) AS cents
+          FROM read_parquet('{sf_dir}/supplier.parquet') s
+          JOIN read_parquet('{sf_dir}/lineitem.parquet') l
+            ON s_suppkey = l_suppkey
+          JOIN read_parquet('{sf_dir}/orders.parquet') o
+            ON o_orderkey = l_orderkey
+          JOIN read_parquet('{sf_dir}/customer.parquet') c
+            ON c_custkey = o_custkey
+          JOIN read_parquet('{sf_dir}/nation.parquet') n1
+            ON s_nationkey = n1.n_nationkey
+          JOIN read_parquet('{sf_dir}/nation.parquet') n2
+            ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name='{a}' AND n2.n_name='{b}')
+              OR (n1.n_name='{b}' AND n2.n_name='{a}'))
+            AND l_shipdate >= TIMESTAMP '1995-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01')
+        GROUP BY 1,2,3 ORDER BY 1,2,3""").fetchdf()
+
+
+def test_q7_matches_duckdb(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q7_volume_shipping
+    # NATION_13 <-> NATION_19 is the busiest pair at sf0.001 (the
+    # sf0.01 driver oracle exercises the NATION_1/2 default)
+    got = q7_volume_shipping(sf_dir, nation_a="NATION_13",
+                             nation_b="NATION_19").to_pandas()
+    want = _duck_q7(sf_dir, a="NATION_13", b="NATION_19")
+    assert got.reset_index(drop=True).equals(
+        want.reset_index(drop=True))
+    assert len(got) > 0 and (got.revenue_cents > 0).all()
+
+
+def test_q7_join_fallback_matches_broadcast(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q7_volume_shipping
+    got = q7_volume_shipping(sf_dir, nation_a="NATION_13",
+                             nation_b="NATION_19",
+                             broadcast_limit=0).to_pandas()
+    want = _duck_q7(sf_dir, a="NATION_13", b="NATION_19")
+    assert got.reset_index(drop=True).equals(
+        want.reset_index(drop=True))
+
+
+def test_q7_same_nation_is_empty(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q7_volume_shipping
+    got = q7_volume_shipping(sf_dir, nation_a="NATION_3",
+                             nation_b="NATION_3").to_pandas()
+    # opposite-side filter kills every pair when both sides are the
+    # same nation
+    assert got.empty
+
+
+def test_q7_empty_window(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q7_volume_shipping
+    got = q7_volume_shipping(sf_dir, date_lo="2990-01-01",
+                             date_hi="2991-01-01").to_pandas()
+    assert got.empty
