@@ -416,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": _q_promo_revenue,
         "disjunctive_revenue": _q_disjunctive_revenue,
         "volume_shipping": _q_volume_shipping,
+        "market_share": _q_market_share,
         "local_supplier_volume": _q_local_supplier_volume,
         "customer_distribution": _q_customer_distribution,
         "length_percentiles": _q_length_percentiles,
@@ -2062,6 +2063,33 @@ def oracle_sql() -> dict[str, str]:
         # division of two exact int64 sums)
         # Q19: disjunctive brand/size/quantity envelopes, no-join
         # broadcast evaluation; integer cents
+        "market_share": """
+            WITH base AS (
+              SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     CAST(floor(l_extendedprice * (1 - l_discount)
+                                * 100) AS BIGINT) AS cents,
+                     CASE WHEN s_nationkey = 6 THEN 1 ELSE 0 END
+                         AS is_tgt
+              FROM lineitem
+              JOIN part ON p_partkey = l_partkey
+                       AND p_type = 'STANDARD'
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              WHERE n_regionkey = 1
+                AND o_orderdate >= TIMESTAMP '1995-01-01'
+                AND o_orderdate < TIMESTAMP '1997-01-01')
+            SELECT o_year,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   CAST(SUM(cents * is_tgt) AS BIGINT)
+                       AS nation_cents,
+                   -- numerator provably non-negative (cents >= 0):
+                   -- DuckDB // truncation == floor here (CLAUDE.md)
+                   CAST((1000000 * SUM(cents * is_tgt))
+                        // SUM(cents) AS BIGINT) AS share_ppm
+            FROM base GROUP BY 1 ORDER BY 1
+        """,
         "volume_shipping": """
             SELECT supp_nation, cust_nation, l_year,
                    CAST(SUM(cents) AS BIGINT) AS revenue_cents
@@ -3744,6 +3772,16 @@ def _q_volume_shipping(sf_dir: str):
     fallback; integer cents (pipelines/tpch.py)."""
     from pdf2dom_ray.pipelines.tpch import q7_volume_shipping
     return q7_volume_shipping(sf_dir)
+
+
+def _q_market_share(sf_dir: str):
+    """TPC-H Q8 shape: national market share by order year — part
+    type, supplier->is-target-nation and region-customer keys all
+    sorted numpy broadcasts; single lineitem scan folding to <= years
+    int64 partials under limit, join_ready hash-join fallback;
+    one ppm floor-division per year (pipelines/tpch.py)."""
+    from pdf2dom_ray.pipelines.tpch import q8_market_share
+    return q8_market_share(sf_dir)
 
 
 def _q_trigram_backoff(sf_dir: str):

@@ -41,7 +41,7 @@ __all__ = ["q3_top_unshipped", "q5_local_supplier_volume",
            "q12_late_shipments", "q6_forecast_revenue",
            "q1_pricing_summary", "q4_order_priority_check",
            "q14_promo_revenue", "q19_disjunctive_revenue",
-           "q7_volume_shipping"]
+           "q7_volume_shipping", "q8_market_share"]
 
 
 def _n_partitions() -> int:
@@ -1678,3 +1678,192 @@ def q7_volume_shipping(sf_dir: str, *,
                            pa.int64()),
         "revenue_cents": pa.array(
             merged["revenue_cents"].to_numpy(np.int64), pa.int64())}))
+
+
+def q8_market_share(sf_dir: str, *, nation: str = "NATION_6",
+                    region: str = "AMERICA",
+                    p_type: str = "STANDARD",
+                    date_lo: str = "1995-01-01",
+                    date_hi: str = "1997-01-01",
+                    broadcast_limit: int = 5_000_000) -> rd.Dataset:
+    """TPC-H Q8 shape: national market share — the target nation's
+    fraction of revenue for one part type sold into one customer
+    region, by order year.
+
+    Distributed shape: part-type keys and the suppkey→is-target-nation
+    map are sorted numpy broadcasts; the date-windowed orders slice
+    probes a region-customer key broadcast and becomes
+    (orderkey→year) — broadcast under ``broadcast_limit`` so the whole
+    query is ONE lineitem scan folding to ≤ years partial rows per
+    batch (total/nation int64 cents), else the ``join_ready`` hash
+    join moves pre-aggregated narrow partials. The ppm division
+    happens once per year on two exact int64 sums — hash-stable vs
+    the DuckDB oracle.
+    """
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+    n_part = _n_partitions()
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    name2key = dict(zip(nat["n_name"], nat["n_nationkey"].astype(int)))
+    if nation not in name2key:
+        raise ValueError("unknown nation name")
+    target_key = name2key[nation]
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    rk = reg.loc[reg["r_name"] == region, "r_regionkey"]
+    region_nkeys = nat.loc[nat["n_regionkey"].isin(rk),
+                           "n_nationkey"].to_numpy(np.int64)
+
+    pk = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_type"]).to_pandas()
+    part_keys = np.sort(pk.loc[pk["p_type"] == p_type, "p_partkey"]
+                        .to_numpy(np.int64))
+    sp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                       columns=["s_suppkey", "s_nationkey"]) \
+        .to_pandas().sort_values("s_suppkey")
+    s_keys = sp["s_suppkey"].to_numpy(np.int64)
+    s_target = (sp["s_nationkey"].to_numpy(np.int64) == target_key) \
+        .astype(np.int8)
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]) \
+        .to_pandas()
+    cust_keys = np.sort(cust.loc[cust["c_nationkey"]
+                                 .isin(region_nkeys), "c_custkey"]
+                        .to_numpy(np.int64))
+
+    empty = pa.table({"o_year": pa.array([], pa.int64()),
+                      "total_cents": pa.array([], pa.int64()),
+                      "nation_cents": pa.array([], pa.int64()),
+                      "share_ppm": pa.array([], pa.int64())})
+    if not len(part_keys) or not len(cust_keys) or not len(s_keys):
+        return rd.from_arrow(empty)
+
+    part_ref = ray.put(part_keys)
+    supp_ref = ray.put((s_keys, s_target))
+    cust_ref = ray.put(cust_keys)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pads.field("o_orderdate") >= lo.item())
+                & (pads.field("o_orderdate") < hi.item())))
+
+    def order_year(t: pa.Table) -> pa.Table:
+        ks = ray.get(cust_ref)   # zero-copy broadcast read
+        ck = t.column("o_custkey").to_numpy()
+        pos = np.minimum(np.searchsorted(ks, ck), len(ks) - 1)
+        hit = ks[pos] == ck
+        t = t.filter(pa.array(hit))
+        year = t.column("o_orderdate").to_numpy() \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+            "o_year": pa.array(year, pa.int64())})
+
+    orders = orders.map_batches(order_year,
+                                batch_format="pyarrow").materialize()
+    n_ord = orders.count()
+    if n_ord == 0:
+        return rd.from_arrow(empty)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey",
+                                  "l_suppkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def _li_core(t: pa.Table):
+        pks = ray.get(part_ref)
+        lp = t.column("l_partkey").to_numpy()
+        pos = np.minimum(np.searchsorted(pks, lp), len(pks) - 1)
+        t = t.filter(pa.array(pks[pos] == lp))
+        ks, tgt = ray.get(supp_ref)
+        sk = t.column("l_suppkey").to_numpy()
+        spos = np.minimum(np.searchsorted(ks, sk), len(ks) - 1)
+        is_tgt = np.where(ks[spos] == sk, tgt[spos], 0) \
+            .astype(np.int64)
+        ep = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        cents = np.floor(ep * (1.0 - disc) * 100.0).astype(np.int64)
+        return t.column("l_orderkey").to_numpy(), is_tgt, cents
+
+    def small_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_year", as_index=False) \
+            .agg(total_cents=("total_cents", "sum"),
+                 nation_cents=("nation_cents", "sum"))
+
+    def fold_block(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(
+            small_combine(t.to_pandas()), preserve_index=False)
+
+    if n_ord <= broadcast_limit:
+        ots = [b if isinstance(b, pa.Table)
+               else pa.Table.from_pandas(b, preserve_index=False)
+               for b in ray.get(orders.to_arrow_refs())]
+        ots = [b for b in ots if b.num_rows and b.num_columns]
+        ot = pa.concat_tables(ots).combine_chunks()
+        ot = ot.take(pc.sort_indices(
+            ot, sort_keys=[("o_orderkey", "ascending")]))
+        ord_ref = ray.put((ot.column("o_orderkey").to_numpy(),
+                           ot.column("o_year").to_numpy()))
+
+        def li_partial(t: pa.Table) -> pa.Table:
+            ok, is_tgt, cents = _li_core(t)
+            ks, yr = ray.get(ord_ref)
+            pos = np.minimum(np.searchsorted(ks, ok),
+                             max(len(ks) - 1, 0))
+            hit = (ks[pos] == ok) if len(ks) else \
+                np.zeros(len(ok), dtype=bool)
+            df = pd.DataFrame({
+                "o_year": yr[pos[hit]],
+                "total_cents": cents[hit],
+                "nation_cents": cents[hit] * is_tgt[hit]})
+            return pa.Table.from_pandas(small_combine(df),
+                                        preserve_index=False)
+
+        partials = li.map_batches(li_partial, batch_format="pyarrow")
+    else:
+        def li_narrow(t: pa.Table) -> pa.Table:
+            ok, is_tgt, cents = _li_core(t)
+            df = pd.DataFrame({"l_orderkey": ok,
+                               "total_cents": cents,
+                               "nation_cents": cents * is_tgt})
+            g = df.groupby("l_orderkey", sort=False,
+                           as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        narrow = li.map_batches(li_narrow, batch_format="pyarrow")
+        from ..functions.dedup import join_ready
+        joined = narrow.join(join_ready(orders, n_part),
+                             join_type="inner",
+                             num_partitions=n_part,
+                             on=("l_orderkey",),
+                             right_on=("o_orderkey",))
+
+        def rekey(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pandas(small_combine(pd.DataFrame({
+                "o_year": t.column("o_year").to_numpy(),
+                "total_cents": t.column("total_cents").to_numpy(),
+                "nation_cents": t.column("nation_cents").to_numpy()})),
+                preserve_index=False)
+
+        partials = joined.map_batches(rekey, batch_format="pyarrow")
+
+    from ..functions.fold import bounded_fold_tables
+    tables = bounded_fold_tables(partials, fold_block)
+    if not tables:
+        return rd.from_arrow(empty)
+    merged = small_combine(pa.concat_tables(tables).to_pandas())
+    merged = merged.sort_values("o_year")
+    tot = merged["total_cents"].to_numpy(np.int64)
+    natc = merged["nation_cents"].to_numpy(np.int64)
+    ppm = np.where(tot > 0, (1_000_000 * natc) // np.maximum(tot, 1),
+                   0).astype(np.int64)
+    return rd.from_arrow(pa.table({
+        "o_year": pa.array(merged["o_year"].to_numpy(np.int64),
+                           pa.int64()),
+        "total_cents": pa.array(tot, pa.int64()),
+        "nation_cents": pa.array(natc, pa.int64()),
+        "share_ppm": pa.array(ppm, pa.int64())}))

@@ -516,3 +516,61 @@ def test_q7_empty_window(ray_session, sf_dir):
     got = q7_volume_shipping(sf_dir, date_lo="2990-01-01",
                              date_hi="2991-01-01").to_pandas()
     assert got.empty
+
+
+def _duck_q8(sf_dir, nationkey=6, regionkey=1, p_type="STANDARD"):
+    import duckdb
+    return duckdb.sql(f"""
+        WITH base AS (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 CAST(floor(l_extendedprice*(1-l_discount)*100)
+                      AS BIGINT) AS cents,
+                 CASE WHEN s_nationkey = {nationkey} THEN 1 ELSE 0
+                     END AS is_tgt
+          FROM read_parquet('{sf_dir}/lineitem.parquet') l
+          JOIN read_parquet('{sf_dir}/part.parquet') p
+            ON p_partkey = l_partkey AND p_type = '{p_type}'
+          JOIN read_parquet('{sf_dir}/supplier.parquet') s
+            ON s_suppkey = l_suppkey
+          JOIN read_parquet('{sf_dir}/orders.parquet') o
+            ON o_orderkey = l_orderkey
+          JOIN read_parquet('{sf_dir}/customer.parquet') c
+            ON c_custkey = o_custkey
+          JOIN read_parquet('{sf_dir}/nation.parquet') n
+            ON c_nationkey = n_nationkey
+          WHERE n_regionkey = {regionkey}
+            AND o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01')
+        SELECT o_year, CAST(SUM(cents) AS BIGINT) AS total_cents,
+               CAST(SUM(cents*is_tgt) AS BIGINT) AS nation_cents,
+               CAST((1000000 * SUM(cents*is_tgt)) // SUM(cents)
+                    AS BIGINT) AS share_ppm
+        FROM base GROUP BY 1 ORDER BY 1""").fetchdf()
+
+
+def test_q8_matches_duckdb(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q8_market_share
+    # NATION_3 is a supplier nation at sf0.001 (regionkey 3 customers
+    # = EUROPE); the sf0.01 driver oracle exercises the defaults
+    got = q8_market_share(sf_dir, nation="NATION_3",
+                          region="EUROPE").to_pandas()
+    want = _duck_q8(sf_dir, nationkey=3, regionkey=3)
+    assert got.reset_index(drop=True).equals(
+        want.reset_index(drop=True))
+    assert len(got) > 0 and (got.total_cents > 0).all()
+
+
+def test_q8_join_fallback_matches(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q8_market_share
+    got = q8_market_share(sf_dir, nation="NATION_3", region="EUROPE",
+                          broadcast_limit=0).to_pandas()
+    want = _duck_q8(sf_dir, nationkey=3, regionkey=3)
+    assert got.reset_index(drop=True).equals(
+        want.reset_index(drop=True))
+
+
+def test_q8_empty_window(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q8_market_share
+    got = q8_market_share(sf_dir, date_lo="2990-01-01",
+                          date_hi="2991-01-01").to_pandas()
+    assert got.empty
