@@ -417,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "disjunctive_revenue": _q_disjunctive_revenue,
         "volume_shipping": _q_volume_shipping,
         "market_share": _q_market_share,
+        "top_supplier": _q_top_supplier,
         "local_supplier_volume": _q_local_supplier_volume,
         "customer_distribution": _q_customer_distribution,
         "length_percentiles": _q_length_percentiles,
@@ -2063,6 +2064,24 @@ def oracle_sql() -> dict[str, str]:
         # division of two exact int64 sums)
         # Q19: disjunctive brand/size/quantity envelopes, no-join
         # broadcast evaluation; integer cents
+        "top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     CAST(SUM(CAST(floor(l_extendedprice
+                                         * (1 - l_discount) * 100)
+                                   AS BIGINT)) AS BIGINT)
+                         AS total_revenue_cents
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY 1)
+            SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+                   total_revenue_cents
+            FROM supplier JOIN rev ON s_suppkey = l_suppkey
+            WHERE total_revenue_cents =
+                  (SELECT MAX(total_revenue_cents) FROM rev)
+            ORDER BY s_suppkey
+        """,
         "market_share": """
             WITH base AS (
               SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
@@ -3782,6 +3801,15 @@ def _q_market_share(sf_dir: str):
     one ppm floor-division per year (pipelines/tpch.py)."""
     from pdf2dom_ray.pipelines.tpch import q8_market_share
     return q8_market_share(sf_dir)
+
+
+def _q_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape: max-revenue supplier(s) over a quarter —
+    scan-pushed window, per-batch (suppkey, cents) partials, one
+    narrow hash aggregate, driver MAX + ties over the tiny supplier
+    table; integer cents (pipelines/tpch.py)."""
+    from pdf2dom_ray.pipelines.tpch import q15_top_supplier
+    return q15_top_supplier(sf_dir)
 
 
 def _q_trigram_backoff(sf_dir: str):

@@ -219,7 +219,8 @@ def run_bench() -> dict:
                  "sample_allocation", "user_activity_islands",
                  "event_basket_lift", "length_histogram",
                  "source_dominant_lang", "rank_degree_corr",
-                 "volume_shipping", "market_share"):
+                 "volume_shipping", "market_share",
+                 "top_supplier"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

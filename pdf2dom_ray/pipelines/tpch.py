@@ -41,7 +41,7 @@ __all__ = ["q3_top_unshipped", "q5_local_supplier_volume",
            "q12_late_shipments", "q6_forecast_revenue",
            "q1_pricing_summary", "q4_order_priority_check",
            "q14_promo_revenue", "q19_disjunctive_revenue",
-           "q7_volume_shipping", "q8_market_share"]
+           "q7_volume_shipping", "q8_market_share", "q15_top_supplier"]
 
 
 def _n_partitions() -> int:
@@ -1867,3 +1867,72 @@ def q8_market_share(sf_dir: str, *, nation: str = "NATION_6",
         "total_cents": pa.array(tot, pa.int64()),
         "nation_cents": pa.array(natc, pa.int64()),
         "share_ppm": pa.array(ppm, pa.int64())}))
+
+
+def q15_top_supplier(sf_dir: str, *, date_lo: str = "1996-01-01",
+                     date_hi: str = "1996-04-01") -> rd.Dataset:
+    """TPC-H Q15 shape: top supplier(s) — revenue per supplier over a
+    one-quarter ship window, returning every supplier tied at the
+    maximum (the reference query's correlated MAX subquery).
+
+    Distributed shape: the quarter predicate pushes into the scan;
+    each batch folds to (l_suppkey, cents) partials, the repo's
+    hash-partitioned aggregate finishes the supplier totals (supplier
+    cardinality is SF×10k — the small side of lineitem by 4 orders of
+    magnitude), and the driver takes the MAX + ties over that already
+    tiny table. s_name attaches from a driver-read dimension probe.
+    Integer cents keep the MAX comparison bit-exact vs DuckDB.
+    """
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=((pads.field("l_shipdate") >= lo.item())
+                & (pads.field("l_shipdate") < hi.item())))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ep = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        cents = np.floor(ep * (1.0 - disc) * 100.0).astype(np.int64)
+        df = pd.DataFrame({"l_suppkey": t.column("l_suppkey")
+                           .to_numpy(), "total_revenue_cents": cents})
+        g = df.groupby("l_suppkey", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def by_supp(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_suppkey", as_index=False) \
+            .agg(total_revenue_cents=("total_revenue_cents", "sum"))
+
+    from ..stages.hashagg import hash_aggregate
+    per_supp = hash_aggregate(li.map_batches(partial,
+                                             batch_format="pyarrow"),
+                              ["l_suppkey"], by_supp)
+
+    from ..functions.fold import bounded_fold_tables
+    tables = bounded_fold_tables(per_supp)
+    empty = pa.table({"s_suppkey": pa.array([], pa.int64()),
+                      "s_name": pa.array([], pa.string()),
+                      "total_revenue_cents": pa.array([], pa.int64())})
+    if not tables:
+        return rd.from_arrow(empty)
+    merged = pa.concat_tables(tables).to_pandas()
+    best = merged["total_revenue_cents"].max()
+    top = merged[merged["total_revenue_cents"] == best] \
+        .sort_values("l_suppkey")
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"]).to_pandas()
+    name = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
+    keys = top["l_suppkey"].to_numpy(np.int64)
+    return rd.from_arrow(pa.table({
+        "s_suppkey": pa.array(keys, pa.int64()),
+        "s_name": pa.array([name.get(int(k), "") for k in keys],
+                           pa.string()),
+        "total_revenue_cents": pa.array(
+            top["total_revenue_cents"].to_numpy(np.int64),
+            pa.int64())}))

@@ -574,3 +574,36 @@ def test_q8_empty_window(ray_session, sf_dir):
     got = q8_market_share(sf_dir, date_lo="2990-01-01",
                           date_hi="2991-01-01").to_pandas()
     assert got.empty
+
+
+def test_q15_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+    from pdf2dom_ray.pipelines.tpch import q15_top_supplier
+    got = q15_top_supplier(sf_dir).to_pandas()
+    want = duckdb.sql(f"""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 CAST(SUM(CAST(floor(l_extendedprice*(1-l_discount)
+                                     *100) AS BIGINT)) AS BIGINT)
+                     AS total_revenue_cents
+          FROM read_parquet('{sf_dir}/lineitem.parquet')
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY 1)
+        SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+               total_revenue_cents
+        FROM read_parquet('{sf_dir}/supplier.parquet')
+        JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_revenue_cents =
+              (SELECT MAX(total_revenue_cents) FROM rev)
+        ORDER BY s_suppkey""").fetchdf()
+    assert got.reset_index(drop=True).equals(
+        want.reset_index(drop=True))
+    assert len(got) >= 1 and (got.total_revenue_cents > 0).all()
+
+
+def test_q15_empty_window(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q15_top_supplier
+    got = q15_top_supplier(sf_dir, date_lo="2990-01-01",
+                          date_hi="2991-01-01").to_pandas()
+    assert got.empty
