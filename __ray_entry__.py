@@ -418,6 +418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "volume_shipping": _q_volume_shipping,
         "market_share": _q_market_share,
         "top_supplier": _q_top_supplier,
+        "small_qty_revenue": _q_small_qty_revenue,
         "local_supplier_volume": _q_local_supplier_volume,
         "customer_distribution": _q_customer_distribution,
         "length_percentiles": _q_length_percentiles,
@@ -2064,6 +2065,25 @@ def oracle_sql() -> dict[str, str]:
         # division of two exact int64 sums)
         # Q19: disjunctive brand/size/quantity envelopes, no-join
         # broadcast evaluation; integer cents
+        "small_qty_revenue": """
+            WITH agg AS (
+              SELECT l_partkey,
+                     CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT))
+                          AS BIGINT) AS s,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM lineitem
+              JOIN part ON p_partkey = l_partkey
+                       AND p_brand = 'Brand#23'
+              GROUP BY 1)
+            -- // numerator is a sum of non-negative cents: DuckDB
+            -- truncation == floor here (CLAUDE.md invariant)
+            SELECT CAST(COALESCE(SUM(CAST(floor(l_extendedprice * 100)
+                                          AS BIGINT)), 0) // 7
+                        AS BIGINT) AS avg_yearly_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem l JOIN agg ON l.l_partkey = agg.l_partkey
+            WHERE 5 * CAST(round(l_quantity * 100) AS BIGINT) * c < s
+        """,
         "top_supplier": """
             WITH rev AS (
               SELECT l_suppkey,
@@ -3810,6 +3830,16 @@ def _q_top_supplier(sf_dir: str):
     table; integer cents (pipelines/tpch.py)."""
     from pdf2dom_ray.pipelines.tpch import q15_top_supplier
     return q15_top_supplier(sf_dir)
+
+
+def _q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape: below-20%-of-part-average revenue for one
+    brand — broadcast brand partkeys, pass-1 per-part integer
+    quantity thresholds (hash aggregate, bounded by brand part
+    count), pass-2 exact-integer threshold probe + cents fold;
+    single /7 at the end (pipelines/tpch.py)."""
+    from pdf2dom_ray.pipelines.tpch import q17_small_quantity_revenue
+    return q17_small_quantity_revenue(sf_dir)
 
 
 def _q_trigram_backoff(sf_dir: str):

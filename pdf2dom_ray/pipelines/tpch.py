@@ -41,7 +41,8 @@ __all__ = ["q3_top_unshipped", "q5_local_supplier_volume",
            "q12_late_shipments", "q6_forecast_revenue",
            "q1_pricing_summary", "q4_order_priority_check",
            "q14_promo_revenue", "q19_disjunctive_revenue",
-           "q7_volume_shipping", "q8_market_share", "q15_top_supplier"]
+           "q7_volume_shipping", "q8_market_share", "q15_top_supplier",
+           "q17_small_quantity_revenue"]
 
 
 def _n_partitions() -> int:
@@ -1936,3 +1937,100 @@ def q15_top_supplier(sf_dir: str, *, date_lo: str = "1996-01-01",
         "total_revenue_cents": pa.array(
             top["total_revenue_cents"].to_numpy(np.int64),
             pa.int64())}))
+
+
+def q17_small_quantity_revenue(sf_dir: str, *,
+                               brand: str = "Brand#23") -> rd.Dataset:
+    """TPC-H Q17 shape: small-quantity-order revenue — average yearly
+    revenue lost if orders below 20% of a part's average quantity were
+    no longer taken, for one brand (the schema carries no
+    p_container, so brand is the whole filter).
+
+    Distributed shape: the brand partkey set broadcasts into BOTH
+    passes over the brand-filtered lineitem slice (1/|brands| of the
+    table). Pass 1 folds (l_partkey, Σq100, count) partials through
+    the hash aggregate into a per-part threshold table — bounded by
+    the brand's part count, so it broadcasts back as three sorted
+    numpy arrays. Pass 2 keeps rows with ``5·q100·count < Σq100``
+    (exact integers — quantity scaled ×100, the 0.2 factor folded
+    into the 5× on the left) and folds extendedprice cents. The /7
+    "yearly average" happens once on the exact int64 sum — bit-exact
+    vs DuckDB (the `//` numerator is provably non-negative).
+    """
+    import pyarrow.parquet as pq
+
+    pk = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_brand"]).to_pandas()
+    part_keys = np.sort(pk.loc[pk["p_brand"] == brand, "p_partkey"]
+                        .to_numpy(np.int64))
+    empty = pa.table({"avg_yearly_cents": pa.array([0], pa.int64()),
+                      "n_lines": pa.array([0], pa.int64())})
+    if not len(part_keys):
+        return rd.from_arrow(empty)
+    part_ref = ray.put(part_keys)
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+
+    def brand_slice(t: pa.Table) -> pa.Table:
+        ks = ray.get(part_ref)   # zero-copy broadcast read
+        lp = t.column("l_partkey").to_numpy()
+        pos = np.minimum(np.searchsorted(ks, lp), len(ks) - 1)
+        return t.filter(pa.array(ks[pos] == lp))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=li_cols)
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        t = brand_slice(t)
+        q100 = np.round(t.column("l_quantity").to_numpy() * 100.0) \
+            .astype(np.int64)
+        df = pd.DataFrame({"l_partkey": t.column("l_partkey")
+                           .to_numpy(), "sum_q100": q100,
+                           "cnt": np.ones(len(q100), np.int64)})
+        g = df.groupby("l_partkey", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def by_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_partkey", as_index=False) \
+            .agg(sum_q100=("sum_q100", "sum"), cnt=("cnt", "sum"))
+
+    from ..stages.hashagg import hash_aggregate
+    from ..functions.fold import bounded_fold_tables
+    per_part = hash_aggregate(
+        li.map_batches(qty_partial, batch_format="pyarrow"),
+        ["l_partkey"], by_part)
+    tables = bounded_fold_tables(per_part)
+    if not tables:
+        return rd.from_arrow(empty)
+    agg = pa.concat_tables(tables).to_pandas() \
+        .sort_values("l_partkey")
+    thr_ref = ray.put((agg["l_partkey"].to_numpy(np.int64),
+                       agg["sum_q100"].to_numpy(np.int64),
+                       agg["cnt"].to_numpy(np.int64)))
+
+    def small_partial(t: pa.Table) -> pa.Table:
+        t = brand_slice(t)
+        ks, s, c = ray.get(thr_ref)
+        lp = t.column("l_partkey").to_numpy()
+        pos = np.minimum(np.searchsorted(ks, lp),
+                         max(len(ks) - 1, 0))
+        hit = (ks[pos] == lp) if len(ks) else \
+            np.zeros(len(lp), dtype=bool)
+        q100 = np.round(t.column("l_quantity").to_numpy() * 100.0) \
+            .astype(np.int64)
+        hit &= 5 * q100 * c[pos] < s[pos]
+        cents = np.floor(t.column("l_extendedprice").to_numpy()[hit]
+                         * 100.0).astype(np.int64)
+        return pa.table({
+            "cents": pa.array([int(cents.sum())], pa.int64()),
+            "n_lines": pa.array([int(hit.sum())], pa.int64())})
+
+    li2 = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                          columns=li_cols)
+    parts = li2.map_batches(small_partial, batch_format="pyarrow") \
+        .materialize()
+    total = parts.sum("cents") or 0
+    n = parts.sum("n_lines") or 0
+    return rd.from_arrow(pa.table({
+        "avg_yearly_cents": pa.array([total // 7], pa.int64()),
+        "n_lines": pa.array([n], pa.int64())}))

@@ -607,3 +607,38 @@ def test_q15_empty_window(ray_session, sf_dir):
     got = q15_top_supplier(sf_dir, date_lo="2990-01-01",
                           date_hi="2991-01-01").to_pandas()
     assert got.empty
+
+
+def test_q17_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+    from pdf2dom_ray.pipelines.tpch import q17_small_quantity_revenue
+    got = q17_small_quantity_revenue(sf_dir).to_pandas()
+    want = duckdb.sql(f"""
+        WITH agg AS (
+          SELECT l_partkey,
+                 CAST(SUM(CAST(round(l_quantity*100) AS BIGINT))
+                      AS BIGINT) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM read_parquet('{sf_dir}/lineitem.parquet') li
+          JOIN read_parquet('{sf_dir}/part.parquet') pt
+            ON p_partkey = l_partkey AND p_brand = 'Brand#23'
+          GROUP BY 1)
+        SELECT CAST(COALESCE(SUM(CAST(floor(l_extendedprice*100)
+                                      AS BIGINT)), 0) // 7
+                    AS BIGINT) AS avg_yearly_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM read_parquet('{sf_dir}/lineitem.parquet') l
+        JOIN agg ON l.l_partkey = agg.l_partkey
+        WHERE 5 * CAST(round(l_quantity*100) AS BIGINT) * c < s
+        """).fetchdf()
+    assert int(got.avg_yearly_cents[0]) == int(want.avg_yearly_cents[0])
+    assert int(got.n_lines[0]) == int(want.n_lines[0])
+    assert int(got.n_lines[0]) > 0
+
+
+def test_q17_absent_brand(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q17_small_quantity_revenue
+    got = q17_small_quantity_revenue(sf_dir,
+                                     brand="Brand#99").to_pandas()
+    assert int(got.avg_yearly_cents[0]) == 0
+    assert int(got.n_lines[0]) == 0
