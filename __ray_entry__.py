@@ -419,6 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_share": _q_market_share,
         "top_supplier": _q_top_supplier,
         "small_qty_revenue": _q_small_qty_revenue,
+        "waiting_suppliers": _q_waiting_suppliers,
         "local_supplier_volume": _q_local_supplier_volume,
         "customer_distribution": _q_customer_distribution,
         "length_percentiles": _q_length_percentiles,
@@ -2065,6 +2066,28 @@ def oracle_sql() -> dict[str, str]:
         # division of two exact int64 sums)
         # Q19: disjunctive brand/size/quantity envelopes, no-join
         # broadcast evaluation; integer cents
+        "waiting_suppliers": """
+            WITH pairs AS (
+              SELECT l_orderkey, l_suppkey,
+                     MAX(CASE WHEN l_returnflag = 'R' THEN 1
+                         ELSE 0 END) AS has_r
+              FROM lineitem GROUP BY 1, 2),
+            per_order AS (
+              SELECT l_orderkey, COUNT(*) AS n_supp,
+                     SUM(has_r) AS n_r,
+                     SUM(l_suppkey * has_r) AS r_supp
+              FROM pairs GROUP BY 1),
+            culprits AS (
+              SELECT r_supp AS s_suppkey
+              FROM per_order
+              JOIN orders ON o_orderkey = l_orderkey
+              WHERE n_supp >= 2 AND n_r = 1
+                AND o_orderstatus = 'F')
+            SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+                   CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM culprits JOIN supplier USING (s_suppkey)
+            GROUP BY 1, 2 ORDER BY numwait DESC, s_name LIMIT 20
+        """,
         "small_qty_revenue": """
             WITH agg AS (
               SELECT l_partkey,
@@ -3840,6 +3863,17 @@ def _q_small_qty_revenue(sf_dir: str):
     single /7 at the end (pipelines/tpch.py)."""
     from pdf2dom_ray.pipelines.tpch import q17_small_quantity_revenue
     return q17_small_quantity_revenue(sf_dir)
+
+
+def _q_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape (schema-adapted): sole-R-supplier in
+    multi-supplier finished orders — two narrow hash exchanges
+    ((orderkey,suppkey) distinct pairs, per-order integer moments)
+    replace the triple self-join; broadcast F-order probe with
+    join_ready fallback; top-k bounded driver merge
+    (pipelines/tpch.py)."""
+    from pdf2dom_ray.pipelines.tpch import q21_waiting_suppliers
+    return q21_waiting_suppliers(sf_dir)
 
 
 def _q_trigram_backoff(sf_dir: str):

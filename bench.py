@@ -220,7 +220,8 @@ def run_bench() -> dict:
                  "event_basket_lift", "length_histogram",
                  "source_dominant_lang", "rank_degree_corr",
                  "volume_shipping", "market_share",
-                 "top_supplier", "small_qty_revenue"):
+                 "top_supplier", "small_qty_revenue",
+                 "waiting_suppliers"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

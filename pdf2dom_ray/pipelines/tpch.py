@@ -42,7 +42,8 @@ __all__ = ["q3_top_unshipped", "q5_local_supplier_volume",
            "q1_pricing_summary", "q4_order_priority_check",
            "q14_promo_revenue", "q19_disjunctive_revenue",
            "q7_volume_shipping", "q8_market_share", "q15_top_supplier",
-           "q17_small_quantity_revenue"]
+           "q17_small_quantity_revenue",
+           "q21_waiting_suppliers"]
 
 
 def _n_partitions() -> int:
@@ -2034,3 +2035,151 @@ def q17_small_quantity_revenue(sf_dir: str, *,
     return rd.from_arrow(pa.table({
         "avg_yearly_cents": pa.array([total // 7], pa.int64()),
         "n_lines": pa.array([n], pa.int64())}))
+
+
+def q21_waiting_suppliers(sf_dir: str, *, limit: int = 20,
+                          broadcast_limit: int = 5_000_000
+                          ) -> rd.Dataset:
+    """TPC-H Q21 shape: suppliers who kept orders waiting — the
+    EXISTS / NOT-EXISTS double-correlated self-join, adapted to this
+    schema (no commit/receipt dates): for finished orders
+    (``o_orderstatus = 'F'``) touched by ≥2 distinct suppliers where
+    EXACTLY ONE supplier produced returned lines
+    (``l_returnflag = 'R'``), charge that supplier; report the top
+    ``limit`` suppliers by count.
+
+    Distributed shape: two narrow hash exchanges replace the classic
+    triple self-join — (1) distinct (orderkey, suppkey, max has_r)
+    pairs, (2) per-order sums of (n_supp=1, n_r=has_r,
+    r_supp=suppkey·has_r) — so the "exactly one R supplier" test is
+    ``n_r == 1`` and its culprit is the exact sum ``r_supp``. The
+    F-order membership probes a broadcast sorted orderkey set under
+    ``broadcast_limit`` (else the ``join_ready`` hash join). The
+    final per-supplier count is supplier-cardinality small; top-k is
+    per-batch partials + a bounded driver merge.
+    """
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    n_part = _n_partitions()
+    from ..functions.dedup import join_ready
+    from ..functions.fold import bounded_fold_tables
+    from ..stages.hashagg import hash_aggregate
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_returnflag"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_orderkey": t.column("l_orderkey").to_numpy(),
+            "l_suppkey": t.column("l_suppkey").to_numpy(),
+            "has_r": pc.equal(t.column("l_returnflag"), "R")
+                       .to_numpy(zero_copy_only=False)
+                       .astype(np.int64)})
+        return pa.Table.from_pandas(
+            df.groupby(["l_orderkey", "l_suppkey"], sort=False,
+                       as_index=False).agg(has_r=("has_r", "max")),
+            preserve_index=False)
+
+    def pair_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["l_orderkey", "l_suppkey"],
+                          as_index=False).agg(has_r=("has_r", "max"))
+
+    pairs = hash_aggregate(
+        li.map_batches(pair_partial, batch_format="pyarrow"),
+        ["l_orderkey", "l_suppkey"], pair_combine,
+        num_partitions=n_part)
+
+    def order_moments(df: pd.DataFrame) -> pd.DataFrame:
+        if "n_supp" not in df.columns:
+            df = pd.DataFrame({
+                "l_orderkey": df["l_orderkey"],
+                "n_supp": np.ones(len(df), np.int64),
+                "n_r": df["has_r"].to_numpy(np.int64),
+                "r_supp": df["l_suppkey"].to_numpy(np.int64)
+                * df["has_r"].to_numpy(np.int64)})
+        return df.groupby("l_orderkey", as_index=False) \
+            .agg(n_supp=("n_supp", "sum"), n_r=("n_r", "sum"),
+                 r_supp=("r_supp", "sum"))
+
+    per_order = hash_aggregate(pairs, ["l_orderkey"], order_moments,
+                               num_partitions=n_part)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"],
+        filter=(pads.field("o_orderstatus") == "F")).materialize()
+    n_f = orders.count()
+    empty = pa.table({"s_suppkey": pa.array([], pa.int64()),
+                      "s_name": pa.array([], pa.string()),
+                      "numwait": pa.array([], pa.int64())})
+    if n_f == 0:
+        return rd.from_arrow(empty)
+
+    def culprit_filter(df: pd.DataFrame) -> pd.DataFrame:
+        keep = (df["n_supp"] >= 2) & (df["n_r"] == 1)
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"][keep],
+            "s_suppkey": df["r_supp"][keep].astype(np.int64)})
+
+    if n_f <= broadcast_limit:
+        fdf = orders.to_pandas()
+        f_ref = ray.put(np.sort(fdf["o_orderkey"]
+                                .to_numpy(np.int64)))
+
+        def culprits(df: pd.DataFrame) -> pd.DataFrame:
+            df = culprit_filter(df)
+            ks = ray.get(f_ref)   # zero-copy broadcast read
+            ok = df["l_orderkey"].to_numpy(np.int64)
+            pos = np.minimum(np.searchsorted(ks, ok),
+                             max(len(ks) - 1, 0))
+            hit = (ks[pos] == ok) if len(ks) else \
+                np.zeros(len(ok), dtype=bool)
+            return df[hit]
+
+        culprit_rows = per_order.map_batches(culprits,
+                                             batch_format="pandas")
+    else:
+        narrowed = per_order.map_batches(culprit_filter,
+                                         batch_format="pandas")
+        nr = narrowed.materialize()
+        if nr.count() == 0:
+            return rd.from_arrow(empty)
+        culprit_rows = join_ready(nr, n_part).join(
+            join_ready(orders, n_part), join_type="inner",
+            num_partitions=n_part,
+            on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if "s_suppkey" not in df.columns:
+            return pd.DataFrame({"s_suppkey": [], "numwait": []})
+        if "numwait" not in df.columns:
+            df = pd.DataFrame({"s_suppkey": df["s_suppkey"],
+                               "numwait": np.ones(len(df),
+                                                  np.int64)})
+        return df.groupby("s_suppkey", as_index=False) \
+            .agg(numwait=("numwait", "sum"))
+
+    per_supp = hash_aggregate(culprit_rows, ["s_suppkey"],
+                              count_partial, num_partitions=n_part)
+    tables = bounded_fold_tables(per_supp)
+    if not tables:
+        return rd.from_arrow(empty)
+    merged = pa.concat_tables(
+        [t.cast(pa.schema([("s_suppkey", pa.int64()),
+                           ("numwait", pa.int64())]))
+         for t in tables]).to_pandas()
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"]).to_pandas()
+    name = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
+    merged["s_name"] = merged["s_suppkey"].map(
+        lambda k: name.get(int(k), ""))
+    merged = merged.sort_values(
+        ["numwait", "s_name"], ascending=[False, True]).head(limit)
+    return rd.from_arrow(pa.table({
+        "s_suppkey": pa.array(merged["s_suppkey"].to_numpy(np.int64),
+                              pa.int64()),
+        "s_name": pa.array(merged["s_name"], pa.string()),
+        "numwait": pa.array(merged["numwait"].to_numpy(np.int64),
+                            pa.int64())}))

@@ -642,3 +642,48 @@ def test_q17_absent_brand(ray_session, sf_dir):
                                      brand="Brand#99").to_pandas()
     assert int(got.avg_yearly_cents[0]) == 0
     assert int(got.n_lines[0]) == 0
+
+
+def _duck_q21(sf_dir, limit=20):
+    import duckdb
+    return duckdb.sql(f"""
+        WITH pairs AS (
+          SELECT l_orderkey, l_suppkey,
+                 MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                     AS has_r
+          FROM read_parquet('{sf_dir}/lineitem.parquet')
+          GROUP BY 1, 2),
+        per_order AS (
+          SELECT l_orderkey, COUNT(*) AS n_supp, SUM(has_r) AS n_r,
+                 SUM(l_suppkey * has_r) AS r_supp
+          FROM pairs GROUP BY 1),
+        culprits AS (
+          SELECT r_supp AS s_suppkey
+          FROM per_order
+          JOIN read_parquet('{sf_dir}/orders.parquet')
+            ON o_orderkey = l_orderkey
+          WHERE n_supp >= 2 AND n_r = 1 AND o_orderstatus = 'F')
+        SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+               CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM culprits
+        JOIN read_parquet('{sf_dir}/supplier.parquet')
+          USING (s_suppkey)
+        GROUP BY 1, 2 ORDER BY numwait DESC, s_name
+        LIMIT {limit}""").fetchdf()
+
+
+def test_q21_matches_duckdb(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q21_waiting_suppliers
+    got = q21_waiting_suppliers(sf_dir).to_pandas()
+    want = _duck_q21(sf_dir)
+    assert got.reset_index(drop=True).equals(
+        want.reset_index(drop=True))
+    assert len(got) > 0 and (got.numwait > 0).all()
+
+
+def test_q21_join_fallback_matches(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q21_waiting_suppliers
+    got = q21_waiting_suppliers(sf_dir, broadcast_limit=0).to_pandas()
+    want = _duck_q21(sf_dir)
+    assert got.reset_index(drop=True).equals(
+        want.reset_index(drop=True))
