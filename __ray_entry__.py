@@ -420,6 +420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier": _q_top_supplier,
         "small_qty_revenue": _q_small_qty_revenue,
         "waiting_suppliers": _q_waiting_suppliers,
+        "sales_opportunity": _q_sales_opportunity,
         "local_supplier_volume": _q_local_supplier_volume,
         "customer_distribution": _q_customer_distribution,
         "length_percentiles": _q_length_percentiles,
@@ -2066,6 +2067,28 @@ def oracle_sql() -> dict[str, str]:
         # division of two exact int64 sums)
         # Q19: disjunctive brand/size/quantity envelopes, no-join
         # broadcast evaluation; integer cents
+        "sales_opportunity": """
+            WITH cand AS (
+              SELECT c_custkey,
+                     CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                     CAST(round(c_acctbal * 100) AS BIGINT)
+                         AS bal_cents
+              FROM customer
+              WHERE c_nationkey IN (1, 5, 8, 12, 15, 18, 21)),
+            thr AS (SELECT SUM(bal_cents) s, COUNT(*) n
+                    FROM cand WHERE bal_cents > 0)
+            SELECT c_nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS numcust,
+                   CAST(SUM(bal_cents) AS BIGINT)
+                       AS totacctbal_cents
+            FROM cand, thr
+            WHERE bal_cents * n > s
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = cand.c_custkey
+                                AND o.o_orderdate >=
+                                    TIMESTAMP '2000-06-01')
+            GROUP BY 1 ORDER BY 1
+        """,
         "waiting_suppliers": """
             WITH pairs AS (
               SELECT l_orderkey, l_suppkey,
@@ -3874,6 +3897,16 @@ def _q_waiting_suppliers(sf_dir: str):
     (pipelines/tpch.py)."""
     from pdf2dom_ray.pipelines.tpch import q21_waiting_suppliers
     return q21_waiting_suppliers(sf_dir)
+
+
+def _q_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 shape (schema-adapted): above-average-balance
+    dormant customers per nation — exact-rational AVG threshold
+    (two int64 scalars), broadcast active-custkey anti-probe with a
+    left_anti join fallback, <=25-row driver rollup
+    (pipelines/tpch.py)."""
+    from pdf2dom_ray.pipelines.tpch import q22_sales_opportunity
+    return q22_sales_opportunity(sf_dir)
 
 
 def _q_trigram_backoff(sf_dir: str):

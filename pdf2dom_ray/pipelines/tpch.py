@@ -43,7 +43,8 @@ __all__ = ["q3_top_unshipped", "q5_local_supplier_volume",
            "q14_promo_revenue", "q19_disjunctive_revenue",
            "q7_volume_shipping", "q8_market_share", "q15_top_supplier",
            "q17_small_quantity_revenue",
-           "q21_waiting_suppliers"]
+           "q21_waiting_suppliers",
+           "q22_sales_opportunity"]
 
 
 def _n_partitions() -> int:
@@ -2183,3 +2184,139 @@ def q21_waiting_suppliers(sf_dir: str, *, limit: int = 20,
         "s_name": pa.array(merged["s_name"], pa.string()),
         "numwait": pa.array(merged["numwait"].to_numpy(np.int64),
                             pa.int64())}))
+
+
+Q22_NATIONS = (1, 5, 8, 12, 15, 18, 21)
+
+
+def q22_sales_opportunity(sf_dir: str, *,
+                          nationkeys=Q22_NATIONS,
+                          dormant_since: str = "2000-06-01",
+                          broadcast_limit: int = 5_000_000
+                          ) -> rd.Dataset:
+    """TPC-H Q22 shape: global sales opportunity — above-average-
+    balance customers in a 7-country set with no recent orders
+    (schema-adapted: nationkey set replaces the phone-prefix country
+    code, and "no orders since ``dormant_since``" replaces "no orders
+    ever" — this corpus gives every customer an order history).
+
+    Distributed shape: pass 1 folds the candidate slice to two int64
+    scalars (Σ positive balance cents, count) so the AVG threshold is
+    the exact rational ``bal·n > Σ`` — no float average anywhere.
+    The anti-join probes a broadcast sorted array of recently-active
+    custkeys under ``broadcast_limit`` (the date-windowed distinct
+    custkey set), else Ray's hash ``left_anti`` join through
+    ``join_ready``. The final per-nation rollup is ≤25 rows — a
+    bounded driver fold.
+    """
+    import pyarrow.dataset as pads
+
+    since = np.datetime64(dormant_since, "us")
+    n_part = _n_partitions()
+    nset = pa.array(np.asarray(sorted(nationkeys), np.int64))
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey",
+                                    "c_acctbal"])
+
+    def cand_slice(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t.column("c_nationkey"),
+                              value_set=nset))
+        bal = np.round(t.column("c_acctbal").to_numpy() * 100.0) \
+            .astype(np.int64)
+        return pa.table({
+            "c_custkey": t.column("c_custkey").cast(pa.int64()),
+            "c_nationkey": t.column("c_nationkey").cast(pa.int64()),
+            "bal_cents": pa.array(bal, pa.int64())})
+
+    cand = cust.map_batches(cand_slice,
+                            batch_format="pyarrow").materialize()
+
+    def thr_partial(t: pa.Table) -> pa.Table:
+        bal = t.column("bal_cents").to_numpy()
+        pos = bal[bal > 0]
+        return pa.table({"s": pa.array([int(pos.sum())], pa.int64()),
+                         "n": pa.array([int(len(pos))], pa.int64())})
+
+    thr = cand.map_batches(thr_partial,
+                           batch_format="pyarrow").materialize()
+    s_tot = thr.sum("s") or 0
+    n_pos = thr.sum("n") or 0
+    empty = pa.table({"c_nationkey": pa.array([], pa.int64()),
+                      "numcust": pa.array([], pa.int64()),
+                      "totacctbal_cents": pa.array([], pa.int64())})
+    if n_pos == 0:
+        return rd.from_arrow(empty)
+
+    def above_avg(t: pa.Table) -> pa.Table:
+        bal = t.column("bal_cents").to_numpy()
+        return t.filter(pa.array(bal * n_pos > s_tot))
+
+    rich = cand.map_batches(above_avg, batch_format="pyarrow") \
+        .materialize()
+    if rich.count() == 0:
+        return rd.from_arrow(empty)
+
+    active = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=(pads.field("o_orderdate") >= since.item()))
+
+    def distinct_cust(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": pc.unique(
+            t.column("o_custkey")).cast(pa.int64())})
+
+    active = active.map_batches(distinct_cust,
+                                batch_format="pyarrow").materialize()
+    n_act = active.count()
+
+    if n_act <= broadcast_limit:
+        ats = [b if isinstance(b, pa.Table)
+               else pa.Table.from_pandas(b, preserve_index=False)
+               for b in ray.get(active.to_arrow_refs())]
+        ats = [b for b in ats if b.num_rows and b.num_columns]
+        act = np.unique(np.concatenate(
+            [b.column("o_custkey").to_numpy() for b in ats])) \
+            if ats else np.empty(0, np.int64)
+        act_ref = ray.put(act)
+
+        def dormant(t: pa.Table) -> pa.Table:
+            ks = ray.get(act_ref)   # zero-copy broadcast read
+            ck = t.column("c_custkey").to_numpy()
+            if not len(ks):
+                return t
+            pos = np.minimum(np.searchsorted(ks, ck), len(ks) - 1)
+            return t.filter(pa.array(ks[pos] != ck))
+
+        dorm = rich.map_batches(dormant, batch_format="pyarrow")
+    else:
+        from ..functions.dedup import join_ready
+        dorm = join_ready(rich, n_part).join(
+            join_ready(active, n_part), join_type="left_anti",
+            num_partitions=n_part,
+            on=("c_custkey",), right_on=("o_custkey",))
+
+    def nation_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "c_nationkey": t.column("c_nationkey").to_numpy(),
+            "numcust": np.ones(t.num_rows, np.int64),
+            "totacctbal_cents": t.column("bal_cents").to_numpy()})
+        return pa.Table.from_pandas(
+            df.groupby("c_nationkey", as_index=False).sum(),
+            preserve_index=False)
+
+    from ..functions.fold import bounded_fold_tables
+    parts = dorm.map_batches(nation_partial, batch_format="pyarrow")
+    tables = bounded_fold_tables(parts, nation_partial)
+    if not tables:
+        return rd.from_arrow(empty)
+    merged = pa.concat_tables(tables).to_pandas() \
+        .groupby("c_nationkey", as_index=False).sum() \
+        .sort_values("c_nationkey")
+    return rd.from_arrow(pa.table({
+        "c_nationkey": pa.array(merged["c_nationkey"]
+                                .to_numpy(np.int64), pa.int64()),
+        "numcust": pa.array(merged["numcust"].to_numpy(np.int64),
+                            pa.int64()),
+        "totacctbal_cents": pa.array(
+            merged["totacctbal_cents"].to_numpy(np.int64),
+            pa.int64())}))

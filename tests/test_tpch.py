@@ -687,3 +687,56 @@ def test_q21_join_fallback_matches(ray_session, sf_dir):
     want = _duck_q21(sf_dir)
     assert got.reset_index(drop=True).equals(
         want.reset_index(drop=True))
+
+
+def _duck_q22(sf_dir, cut):
+    import duckdb
+    return duckdb.sql(f"""
+        WITH cand AS (
+          SELECT c_custkey, CAST(c_nationkey AS BIGINT)
+                     AS c_nationkey,
+                 CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents
+          FROM read_parquet('{sf_dir}/customer.parquet')
+          WHERE c_nationkey IN (1,5,8,12,15,18,21)),
+        thr AS (SELECT SUM(bal_cents) s, COUNT(*) n
+                FROM cand WHERE bal_cents > 0)
+        SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(SUM(bal_cents) AS BIGINT) AS totacctbal_cents
+        FROM cand, thr
+        WHERE bal_cents * n > s
+          AND NOT EXISTS (
+              SELECT 1 FROM read_parquet('{sf_dir}/orders.parquet') o
+              WHERE o.o_custkey = cand.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '{cut}')
+        GROUP BY 1 ORDER BY 1""").fetchdf()
+
+
+def test_q22_matches_duckdb(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q22_sales_opportunity
+    # sf0.001 needs a later dormancy cutoff to surface candidates
+    # (the sf0.01 driver oracle exercises the 2000-06-01 default)
+    got = q22_sales_opportunity(sf_dir,
+                                dormant_since="2001-06-01") \
+        .to_pandas()
+    want = _duck_q22(sf_dir, "2001-06-01")
+    assert got.reset_index(drop=True).equals(
+        want.reset_index(drop=True))
+    assert len(got) > 0 and (got.numcust > 0).all()
+
+
+def test_q22_anti_join_fallback_matches(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q22_sales_opportunity
+    got = q22_sales_opportunity(sf_dir, dormant_since="2001-06-01",
+                                broadcast_limit=0).to_pandas()
+    want = _duck_q22(sf_dir, "2001-06-01")
+    assert got.reset_index(drop=True).equals(
+        want.reset_index(drop=True))
+
+
+def test_q22_no_dormant_customers(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q22_sales_opportunity
+    # cutoff before the order history starts: every customer active
+    got = q22_sales_opportunity(sf_dir,
+                                dormant_since="1994-01-01") \
+        .to_pandas()
+    assert got.empty
