@@ -421,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_revenue": _q_small_qty_revenue,
         "waiting_suppliers": _q_waiting_suppliers,
         "sales_opportunity": _q_sales_opportunity,
+        "product_profit": _q_product_profit,
         "local_supplier_volume": _q_local_supplier_volume,
         "customer_distribution": _q_customer_distribution,
         "length_percentiles": _q_length_percentiles,
@@ -2067,6 +2068,27 @@ def oracle_sql() -> dict[str, str]:
         # division of two exact int64 sums)
         # Q19: disjunctive brand/size/quantity envelopes, no-join
         # broadcast evaluation; integer cents
+        "product_profit": """
+            SELECT n_name,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(CAST(floor(l_extendedprice
+                                       * (1 - l_discount) * 100)
+                                 AS BIGINT)
+                            - CAST(round(l_quantity) AS BIGINT)
+                              -- // numerator non-negative
+                              -- (retailprice >= 0): truncation ==
+                              -- floor (CLAUDE.md)
+                              * ((CAST(floor(p_retailprice * 100)
+                                       AS BIGINT) * 60) // 100))
+                        AS BIGINT) AS profit_cents
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+                     AND p_name LIKE '%bolt%'
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "sales_opportunity": """
             WITH cand AS (
               SELECT c_custkey,
@@ -3907,6 +3929,16 @@ def _q_sales_opportunity(sf_dir: str):
     (pipelines/tpch.py)."""
     from pdf2dom_ray.pipelines.tpch import q22_sales_opportunity
     return q22_sales_opportunity(sf_dir)
+
+
+def _q_product_profit(sf_dir: str):
+    """TPC-H Q9 shape (schema-adapted): profit by supplier nation x
+    order year for name-matched parts, supply cost modeled as 60% of
+    retail — broadcast part-cost and supplier-nation maps, map-side
+    int64 profit partials, one orderkey exchange (broadcast under
+    limit / join_ready fallback) (pipelines/tpch.py)."""
+    from pdf2dom_ray.pipelines.tpch import q9_product_profit
+    return q9_product_profit(sf_dir)
 
 
 def _q_trigram_backoff(sf_dir: str):

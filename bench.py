@@ -221,7 +221,8 @@ def run_bench() -> dict:
                  "source_dominant_lang", "rank_degree_corr",
                  "volume_shipping", "market_share",
                  "top_supplier", "small_qty_revenue",
-                 "waiting_suppliers", "sales_opportunity"):
+                 "waiting_suppliers", "sales_opportunity",
+                 "product_profit"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

@@ -44,7 +44,7 @@ __all__ = ["q3_top_unshipped", "q5_local_supplier_volume",
            "q7_volume_shipping", "q8_market_share", "q15_top_supplier",
            "q17_small_quantity_revenue",
            "q21_waiting_suppliers",
-           "q22_sales_opportunity"]
+           "q22_sales_opportunity", "q9_product_profit"]
 
 
 def _n_partitions() -> int:
@@ -2320,3 +2320,168 @@ def q22_sales_opportunity(sf_dir: str, *,
         "totacctbal_cents": pa.array(
             merged["totacctbal_cents"].to_numpy(np.int64),
             pa.int64())}))
+
+
+def q9_product_profit(sf_dir: str, *, name_token: str = "bolt",
+                      cost_pct: int = 60,
+                      broadcast_limit: int = 5_000_000) -> rd.Dataset:
+    """TPC-H Q9 shape: product-type profit by supplier nation and
+    order year, for parts whose name contains ``name_token``
+    (schema-adapted: no partsupp table, so supply cost is modeled as
+    ``cost_pct``% of ``p_retailprice`` — the profit formula keeps
+    Q9's two-term "revenue − quantity·cost" structure).
+
+    Distributed shape: the matching parts broadcast as
+    (partkey → cost-cents) sorted arrays, supplier as
+    (suppkey → nationkey); lineitem folds map-side to per-batch
+    (l_orderkey, n_nationkey, profit_cents) partials — profit =
+    ``floor(ep·(1−disc)·100) − q·cost_cents`` exactly in int64 — and
+    the one wide exchange attaches the order year (broadcast
+    orderkey→year under ``broadcast_limit``, else the ``join_ready``
+    hash join), finishing in a ≤ nations×years driver fold.
+    """
+    import pyarrow.parquet as pq
+
+    n_part = _n_partitions()
+
+    pk = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_name",
+                                "p_retailprice"]).to_pandas()
+    pk = pk[pk["p_name"].str.contains(name_token, regex=False)] \
+        .sort_values("p_partkey")
+    part_keys = pk["p_partkey"].to_numpy(np.int64)
+    # integer cost cents: cost_pct% of retail, floored once per part
+    cost_cents = (np.floor(pk["p_retailprice"].to_numpy() * 100.0)
+                  .astype(np.int64) * cost_pct) // 100
+
+    sp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                       columns=["s_suppkey", "s_nationkey"]) \
+        .to_pandas().sort_values("s_suppkey")
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    nation_name = dict(zip(nat["n_nationkey"].astype(int),
+                           nat["n_name"]))
+
+    empty = pa.table({"n_name": pa.array([], pa.string()),
+                      "o_year": pa.array([], pa.int64()),
+                      "profit_cents": pa.array([], pa.int64())})
+    if not len(part_keys):
+        return rd.from_arrow(empty)
+
+    part_ref = ray.put((part_keys, cost_cents))
+    supp_ref = ray.put((sp["s_suppkey"].to_numpy(np.int64),
+                        sp["s_nationkey"].to_numpy(np.int64)))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"])
+
+    def order_year(t: pa.Table) -> pa.Table:
+        year = t.column("o_orderdate").to_numpy() \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+            "o_year": pa.array(year, pa.int64())})
+
+    orders = orders.map_batches(order_year,
+                                batch_format="pyarrow").materialize()
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey",
+                                  "l_suppkey", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+
+    def _li_core(t: pa.Table):
+        ks, cost = ray.get(part_ref)
+        lp = t.column("l_partkey").to_numpy()
+        pos = np.minimum(np.searchsorted(ks, lp), len(ks) - 1)
+        hit = ks[pos] == lp
+        t = t.filter(pa.array(hit))
+        c = cost[pos[hit]]
+        sk, snat = ray.get(supp_ref)
+        sp_ = t.column("l_suppkey").to_numpy()
+        spos = np.minimum(np.searchsorted(sk, sp_), len(sk) - 1)
+        nkey = snat[spos]
+        q = np.round(t.column("l_quantity").to_numpy()) \
+            .astype(np.int64)
+        ep = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        profit = np.floor(ep * (1.0 - disc) * 100.0) \
+            .astype(np.int64) - q * c
+        return t.column("l_orderkey").to_numpy(), nkey, profit
+
+    def small_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["n_nationkey", "o_year"],
+                          as_index=False) \
+            .agg(profit_cents=("profit_cents", "sum"))
+
+    def fold_block(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(
+            small_combine(t.to_pandas()), preserve_index=False)
+
+    n_ord = orders.count()
+    if n_ord == 0:
+        return rd.from_arrow(empty)
+    if n_ord <= broadcast_limit:
+        ots = [b if isinstance(b, pa.Table)
+               else pa.Table.from_pandas(b, preserve_index=False)
+               for b in ray.get(orders.to_arrow_refs())]
+        ots = [b for b in ots if b.num_rows and b.num_columns]
+        ot = pa.concat_tables(ots).combine_chunks()
+        ot = ot.take(pc.sort_indices(
+            ot, sort_keys=[("o_orderkey", "ascending")]))
+        ord_ref = ray.put((ot.column("o_orderkey").to_numpy(),
+                           ot.column("o_year").to_numpy()))
+
+        def li_partial(t: pa.Table) -> pa.Table:
+            ok, nkey, profit = _li_core(t)
+            ks, yr = ray.get(ord_ref)
+            pos = np.minimum(np.searchsorted(ks, ok),
+                             max(len(ks) - 1, 0))
+            df = pd.DataFrame({"n_nationkey": nkey,
+                               "o_year": yr[pos],
+                               "profit_cents": profit})
+            return pa.Table.from_pandas(small_combine(df),
+                                        preserve_index=False)
+
+        partials = li.map_batches(li_partial, batch_format="pyarrow")
+    else:
+        def li_narrow(t: pa.Table) -> pa.Table:
+            ok, nkey, profit = _li_core(t)
+            df = pd.DataFrame({"l_orderkey": ok,
+                               "n_nationkey": nkey,
+                               "profit_cents": profit})
+            g = df.groupby(["l_orderkey", "n_nationkey"],
+                           sort=False, as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        narrow = li.map_batches(li_narrow, batch_format="pyarrow")
+        from ..functions.dedup import join_ready
+        joined = narrow.join(join_ready(orders, n_part),
+                             join_type="inner",
+                             num_partitions=n_part,
+                             on=("l_orderkey",),
+                             right_on=("o_orderkey",))
+
+        def rekey(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pandas(small_combine(pd.DataFrame({
+                "n_nationkey": t.column("n_nationkey").to_numpy(),
+                "o_year": t.column("o_year").to_numpy(),
+                "profit_cents": t.column("profit_cents")
+                                 .to_numpy()})),
+                preserve_index=False)
+
+        partials = joined.map_batches(rekey, batch_format="pyarrow")
+
+    from ..functions.fold import bounded_fold_tables
+    tables = bounded_fold_tables(partials, fold_block)
+    if not tables:
+        return rd.from_arrow(empty)
+    merged = small_combine(pa.concat_tables(tables).to_pandas())
+    merged["n_name"] = merged["n_nationkey"].map(nation_name)
+    merged = merged.sort_values(["n_name", "o_year"])
+    return rd.from_arrow(pa.table({
+        "n_name": pa.array(merged["n_name"], pa.string()),
+        "o_year": pa.array(merged["o_year"].to_numpy(np.int64),
+                           pa.int64()),
+        "profit_cents": pa.array(
+            merged["profit_cents"].to_numpy(np.int64), pa.int64())}))

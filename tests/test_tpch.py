@@ -740,3 +740,48 @@ def test_q22_no_dormant_customers(ray_session, sf_dir):
                                 dormant_since="1994-01-01") \
         .to_pandas()
     assert got.empty
+
+
+def _duck_q9(sf_dir, token="bolt", cost_pct=60):
+    import duckdb
+    return duckdb.sql(f"""
+        SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CAST(floor(l_extendedprice*(1-l_discount)
+                                   *100) AS BIGINT)
+                        - CAST(round(l_quantity) AS BIGINT)
+                          * ((CAST(floor(p_retailprice*100)
+                                   AS BIGINT) * {cost_pct}) // 100))
+                    AS BIGINT) AS profit_cents
+        FROM read_parquet('{sf_dir}/lineitem.parquet') l
+        JOIN read_parquet('{sf_dir}/part.parquet') p
+          ON p_partkey = l_partkey AND p_name LIKE '%{token}%'
+        JOIN read_parquet('{sf_dir}/supplier.parquet') s
+          ON s_suppkey = l_suppkey
+        JOIN read_parquet('{sf_dir}/orders.parquet') o
+          ON o_orderkey = l_orderkey
+        JOIN read_parquet('{sf_dir}/nation.parquet') n
+          ON s_nationkey = n_nationkey
+        GROUP BY 1, 2 ORDER BY 1, 2""").fetchdf()
+
+
+def test_q9_matches_duckdb(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q9_product_profit
+    got = q9_product_profit(sf_dir).to_pandas()
+    want = _duck_q9(sf_dir)
+    assert got.reset_index(drop=True).equals(
+        want.reset_index(drop=True))
+    assert len(got) > 0
+
+
+def test_q9_join_fallback_matches(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q9_product_profit
+    got = q9_product_profit(sf_dir, broadcast_limit=0).to_pandas()
+    want = _duck_q9(sf_dir)
+    assert got.reset_index(drop=True).equals(
+        want.reset_index(drop=True))
+
+
+def test_q9_absent_token(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.tpch import q9_product_profit
+    got = q9_product_profit(sf_dir, name_token="zzzz").to_pandas()
+    assert got.empty
