@@ -422,6 +422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "waiting_suppliers": _q_waiting_suppliers,
         "sales_opportunity": _q_sales_opportunity,
         "product_profit": _q_product_profit,
+        "vocab_richness": _q_vocab_richness,
         "local_supplier_volume": _q_local_supplier_volume,
         "customer_distribution": _q_customer_distribution,
         "length_percentiles": _q_length_percentiles,
@@ -2068,6 +2069,7 @@ def oracle_sql() -> dict[str, str]:
         # division of two exact int64 sums)
         # Q19: disjunctive brand/size/quantity envelopes, no-join
         # broadcast evaluation; integer cents
+        "vocab_richness": _vocab_richness_sql(),
         "product_profit": """
             SELECT n_name,
                    CAST(year(o_orderdate) AS BIGINT) AS o_year,
@@ -3941,6 +3943,19 @@ def _q_product_profit(sf_dir: str):
     return q9_product_profit(sf_dir)
 
 
+def _q_vocab_richness(sf_dir: str):
+    """Good-Turing unseen mass + bias-corrected Chao1 richness over
+    within-doc bigram types (functions/richness.py): one narrow
+    vocab-bounded token exchange, four int64 scalars per block,
+    exact-integer ppm estimators."""
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.richness import vocab_richness
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+    return vocab_richness(ds, ngram=2)
+
+
 def _q_trigram_backoff(sf_dir: str):
     """Stupid-backoff trigram LM scoring (Brants 2007): model trained
     on the doc_id%2==0 held-out slice scores every document, exact
@@ -3952,6 +3967,11 @@ def _q_trigram_backoff(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return trigram_backoff_scores(ds)
+
+
+def _vocab_richness_sql() -> str:
+    from pdf2dom_ray.functions.richness import vocab_richness_oracle_sql
+    return vocab_richness_oracle_sql(ngram=2)
 
 
 def _vocab_growth_sql() -> str:
