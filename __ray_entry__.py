@@ -423,6 +423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sales_opportunity": _q_sales_opportunity,
         "product_profit": _q_product_profit,
         "vocab_richness": _q_vocab_richness,
+        "purchase_attribution": _q_purchase_attribution,
         "local_supplier_volume": _q_local_supplier_volume,
         "customer_distribution": _q_customer_distribution,
         "length_percentiles": _q_length_percentiles,
@@ -2070,6 +2071,7 @@ def oracle_sql() -> dict[str, str]:
         # Q19: disjunctive brand/size/quantity envelopes, no-join
         # broadcast evaluation; integer cents
         "vocab_richness": _vocab_richness_sql(),
+        "purchase_attribution": _last_touch_sql(),
         "product_profit": """
             SELECT n_name,
                    CAST(year(o_orderdate) AS BIGINT) AS o_year,
@@ -3956,6 +3958,16 @@ def _q_vocab_richness(sf_dir: str):
     return vocab_richness(ds, ngram=2)
 
 
+def _q_purchase_attribution(sf_dir: str):
+    """Last-touch attribution (functions/attribution.py): purchase
+    cents credited to the user's most recent strictly-prior click,
+    rolled up by click hour-of-day — one user-hash exchange, one
+    vectorized merge_asof per partition, <=24-row driver fold."""
+    from pdf2dom_ray.functions.attribution import \
+        last_touch_attribution
+    return last_touch_attribution(sf_dir)
+
+
 def _q_trigram_backoff(sf_dir: str):
     """Stupid-backoff trigram LM scoring (Brants 2007): model trained
     on the doc_id%2==0 held-out slice scores every document, exact
@@ -3967,6 +3979,11 @@ def _q_trigram_backoff(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return trigram_backoff_scores(ds)
+
+
+def _last_touch_sql() -> str:
+    from pdf2dom_ray.functions.attribution import last_touch_oracle_sql
+    return last_touch_oracle_sql()
 
 
 def _vocab_richness_sql() -> str:

@@ -222,7 +222,8 @@ def run_bench() -> dict:
                  "volume_shipping", "market_share",
                  "top_supplier", "small_qty_revenue",
                  "waiting_suppliers", "sales_opportunity",
-                 "product_profit", "vocab_richness"):
+                 "product_profit", "vocab_richness",
+                 "purchase_attribution"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
