@@ -424,6 +424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "product_profit": _q_product_profit,
         "vocab_richness": _q_vocab_richness,
         "purchase_attribution": _q_purchase_attribution,
+        "copurchase_pairs": _q_copurchase_pairs,
         "local_supplier_volume": _q_local_supplier_volume,
         "customer_distribution": _q_customer_distribution,
         "length_percentiles": _q_length_percentiles,
@@ -2072,6 +2073,7 @@ def oracle_sql() -> dict[str, str]:
         # broadcast evaluation; integer cents
         "vocab_richness": _vocab_richness_sql(),
         "purchase_attribution": _last_touch_sql(),
+        "copurchase_pairs": _copurchase_sql(),
         "product_profit": """
             SELECT n_name,
                    CAST(year(o_orderdate) AS BIGINT) AS o_year,
@@ -3968,6 +3970,15 @@ def _q_purchase_attribution(sf_dir: str):
     return last_touch_attribution(sf_dir)
 
 
+def _q_copurchase_pairs(sf_dir: str):
+    """Bought-together part pairs (functions/copurchase.py): one
+    orderkey exchange, vectorized C(k,2) within-order pair emission
+    (k bounded by lines/order), combiner -> hash aggregate -> bounded
+    top-k driver merge. No self-join anywhere."""
+    from pdf2dom_ray.functions.copurchase import copurchase_pairs
+    return copurchase_pairs(sf_dir)
+
+
 def _q_trigram_backoff(sf_dir: str):
     """Stupid-backoff trigram LM scoring (Brants 2007): model trained
     on the doc_id%2==0 held-out slice scores every document, exact
@@ -3979,6 +3990,11 @@ def _q_trigram_backoff(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return trigram_backoff_scores(ds)
+
+
+def _copurchase_sql() -> str:
+    from pdf2dom_ray.functions.copurchase import copurchase_oracle_sql
+    return copurchase_oracle_sql()
 
 
 def _last_touch_sql() -> str:

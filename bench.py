@@ -223,7 +223,7 @@ def run_bench() -> dict:
                  "top_supplier", "small_qty_revenue",
                  "waiting_suppliers", "sales_opportunity",
                  "product_profit", "vocab_richness",
-                 "purchase_attribution"):
+                 "purchase_attribution", "copurchase_pairs"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
