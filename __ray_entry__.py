@@ -425,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_richness": _q_vocab_richness,
         "purchase_attribution": _q_purchase_attribution,
         "copurchase_pairs": _q_copurchase_pairs,
+        "rfm_segments": _q_rfm_segments,
         "local_supplier_volume": _q_local_supplier_volume,
         "customer_distribution": _q_customer_distribution,
         "length_percentiles": _q_length_percentiles,
@@ -2074,6 +2075,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_richness": _vocab_richness_sql(),
         "purchase_attribution": _last_touch_sql(),
         "copurchase_pairs": _copurchase_sql(),
+        "rfm_segments": _rfm_sql(),
         "product_profit": """
             SELECT n_name,
                    CAST(year(o_orderdate) AS BIGINT) AS o_year,
@@ -3979,6 +3981,15 @@ def _q_copurchase_pairs(sf_dir: str):
     return copurchase_pairs(sf_dir)
 
 
+def _q_rfm_segments(sf_dir: str):
+    """RFM customer segmentation census (functions/rfm.py): per-user
+    int64 purchase moments -> three exact distributed NTILE(5)
+    scores (histogram prefix ranks, no global sort) -> join_ready
+    score joins -> <=125-row census fold."""
+    from pdf2dom_ray.functions.rfm import rfm_segments
+    return rfm_segments(sf_dir)
+
+
 def _q_trigram_backoff(sf_dir: str):
     """Stupid-backoff trigram LM scoring (Brants 2007): model trained
     on the doc_id%2==0 held-out slice scores every document, exact
@@ -3990,6 +4001,11 @@ def _q_trigram_backoff(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return trigram_backoff_scores(ds)
+
+
+def _rfm_sql() -> str:
+    from pdf2dom_ray.functions.rfm import rfm_oracle_sql
+    return rfm_oracle_sql()
 
 
 def _copurchase_sql() -> str:

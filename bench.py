@@ -223,7 +223,8 @@ def run_bench() -> dict:
                  "top_supplier", "small_qty_revenue",
                  "waiting_suppliers", "sales_opportunity",
                  "product_profit", "vocab_richness",
-                 "purchase_attribution", "copurchase_pairs"):
+                 "purchase_attribution", "copurchase_pairs",
+                 "rfm_segments"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
