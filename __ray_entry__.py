@@ -426,6 +426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_attribution": _q_purchase_attribution,
         "copurchase_pairs": _q_copurchase_pairs,
         "rfm_segments": _q_rfm_segments,
+        "source_ttr": _q_source_ttr,
         "local_supplier_volume": _q_local_supplier_volume,
         "customer_distribution": _q_customer_distribution,
         "length_percentiles": _q_length_percentiles,
@@ -2076,6 +2077,7 @@ def oracle_sql() -> dict[str, str]:
         "purchase_attribution": _last_touch_sql(),
         "copurchase_pairs": _copurchase_sql(),
         "rfm_segments": _rfm_sql(),
+        "source_ttr": _source_ttr_sql(),
         "product_profit": """
             SELECT n_name,
                    CAST(year(o_orderdate) AS BIGINT) AS o_year,
@@ -3990,6 +3992,18 @@ def _q_rfm_segments(sf_dir: str):
     return rfm_segments(sf_dir)
 
 
+def _q_source_ttr(sf_dir: str):
+    """Per-source type-token ratio (functions/richness.py): one
+    (source, token) hash exchange of pre-reduced counts, per-block
+    integer moments, driver fold; ttr_ppm exact."""
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.richness import source_ttr
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+    return source_ttr(ds)
+
+
 def _q_trigram_backoff(sf_dir: str):
     """Stupid-backoff trigram LM scoring (Brants 2007): model trained
     on the doc_id%2==0 held-out slice scores every document, exact
@@ -4001,6 +4015,11 @@ def _q_trigram_backoff(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return trigram_backoff_scores(ds)
+
+
+def _source_ttr_sql() -> str:
+    from pdf2dom_ray.functions.richness import source_ttr_oracle_sql
+    return source_ttr_oracle_sql()
 
 
 def _rfm_sql() -> str:

@@ -31,7 +31,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-__all__ = ["vocab_richness", "vocab_richness_oracle_sql"]
+__all__ = ["vocab_richness", "vocab_richness_oracle_sql",
+           "source_ttr", "source_ttr_oracle_sql"]
 
 
 def _token_count_partial(t: pa.Table, text_col: str,
@@ -166,4 +167,108 @@ def vocab_richness_oracle_sql(table: str = "documents",
                CAST(vocab + (f1 * (f1 - 1)) // (2 * (f2 + 1))
                     AS BIGINT) AS chao1
         FROM s
+    """
+
+
+def source_ttr(ds: rd.Dataset, *, group_col: str = "source",
+               text_col: str = "text",
+               num_partitions: int | None = None) -> rd.Dataset:
+    """Per-group type-token ratio (the lexical-diversity screen run
+    per source before mixing): (group, n_tokens, n_types, ttr_ppm)
+    with ``ttr_ppm = 10⁶·types//tokens`` — exact integers.
+
+    Scale shape: per-batch (group, token, cnt) partials → ONE
+    (group, token) hash exchange (pre-reduced, token text crosses
+    once) → per-block fold to (group, Σcnt, #rows) → driver fold over
+    O(groups·blocks) narrow rows.
+    """
+    if num_partitions is None:
+        from ..scale import scale_partitions
+        num_partitions = scale_partitions()
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lists = pc.split_pattern(text, " ")
+        lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lists)
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        row_idx = np.repeat(np.arange(len(lens)), lens)[keep]
+        toks = flat.filter(pa.array(keep))
+        grp = np.asarray(t.column(group_col), dtype=object)[row_idx]
+        if not len(toks):
+            return pa.table({
+                "grp": pa.array([], pa.string()),
+                "token": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64())})
+        df = pd.DataFrame({"grp": grp,
+                           "token": np.asarray(toks, dtype=object),
+                           "cnt": np.ones(len(toks), np.int64)})
+        g = df.groupby(["grp", "token"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["grp", "token"], as_index=False) \
+            .agg(cnt=("cnt", "sum"))
+
+    from ..stages.hashagg import hash_aggregate
+    per_tok = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["grp", "token"], combine, num_partitions=num_partitions)
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        if "cnt" not in df.columns or not len(df):
+            return pd.DataFrame({"grp": [], "n_tokens": [],
+                                 "n_types": []})
+        out = df.groupby("grp", as_index=False) \
+            .agg(n_tokens=("cnt", "sum"), n_types=("cnt", "size"))
+        return out
+
+    from .fold import bounded_fold_tables
+    parts = per_tok.map_batches(moments, batch_format="pandas")
+    tables = bounded_fold_tables(parts)
+    empty = pa.table({"source": pa.array([], pa.string()),
+                      "n_tokens": pa.array([], pa.int64()),
+                      "n_types": pa.array([], pa.int64()),
+                      "ttr_ppm": pa.array([], pa.int64())})
+    if not tables:
+        return rd.from_arrow(empty)
+    schema = pa.schema([("grp", pa.string()),
+                        ("n_tokens", pa.int64()),
+                        ("n_types", pa.int64())])
+    merged = pa.concat_tables([t.cast(schema) for t in tables]) \
+        .to_pandas().groupby("grp", as_index=False).sum() \
+        .sort_values("grp")
+    nt = merged["n_tokens"].to_numpy(np.int64)
+    ty = merged["n_types"].to_numpy(np.int64)
+    return rd.from_arrow(pa.table({
+        "source": pa.array(merged["grp"], pa.string()),
+        "n_tokens": pa.array(nt, pa.int64()),
+        "n_types": pa.array(ty, pa.int64()),
+        "ttr_ppm": pa.array((1_000_000 * ty) // np.maximum(nt, 1),
+                            pa.int64())}))
+
+
+def source_ttr_oracle_sql(table: str = "documents",
+                          group_col: str = "source",
+                          text_col: str = "text") -> str:
+    return f"""
+        WITH toks AS (
+          SELECT {group_col} AS grp,
+                 unnest(list_filter(str_split({text_col}, ' '),
+                                    t -> t <> '')) AS tok
+          FROM {table}),
+        cnt AS (SELECT grp, tok, COUNT(*) AS c FROM toks
+                GROUP BY 1, 2),
+        s AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                     CAST(COUNT(*) AS BIGINT) AS n_types
+              FROM cnt GROUP BY 1)
+        SELECT grp AS source, n_tokens, n_types,
+               -- numerator non-negative: truncation == floor
+               CAST((1000000 * n_types) // n_tokens AS BIGINT)
+                   AS ttr_ppm
+        FROM s ORDER BY 1
     """

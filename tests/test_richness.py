@@ -57,3 +57,42 @@ def test_richness_empty_and_single_token_docs(ray_session):
     # no within-doc bigram exists anywhere
     assert int(got.n_tokens[0]) == 0
     assert int(got.chao1[0]) == 0
+
+
+def _ttr_oracle(sf_dir):
+    from pdf2dom_ray.functions.richness import source_ttr_oracle_sql
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    return con.execute(source_ttr_oracle_sql()).fetchdf()
+
+
+def test_source_ttr_matches_duckdb(ray_session, sf_dir):
+    from pdf2dom_ray.functions.richness import source_ttr
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+    got = source_ttr(ds).to_pandas()
+    want = _ttr_oracle(sf_dir)
+    assert got.reset_index(drop=True).equals(
+        want.reset_index(drop=True))
+    assert len(got) > 0
+    assert (got.ttr_ppm <= 1_000_000).all()
+
+
+def test_source_ttr_partition_invariance(ray_session, sf_dir):
+    from pdf2dom_ray.functions.richness import source_ttr
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+    a = source_ttr(ds, num_partitions=2).to_pandas()
+    b = source_ttr(ds, num_partitions=7).to_pandas()
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_source_ttr_hand_case(ray_session):
+    from pdf2dom_ray.functions.richness import source_ttr
+    ds = rd.from_items([{"source": "s1", "text": "a b a"},
+                        {"source": "s2", "text": "x"}])
+    got = source_ttr(ds).to_pandas()
+    assert got.values.tolist() == [
+        ["s1", 3, 2, (1_000_000 * 2) // 3],
+        ["s2", 1, 1, 1_000_000]]
