@@ -427,6 +427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_pairs": _q_copurchase_pairs,
         "rfm_segments": _q_rfm_segments,
         "source_ttr": _q_source_ttr,
+        "label_dispersion": _q_label_dispersion,
         "local_supplier_volume": _q_local_supplier_volume,
         "customer_distribution": _q_customer_distribution,
         "length_percentiles": _q_length_percentiles,
@@ -2078,6 +2079,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_pairs": _copurchase_sql(),
         "rfm_segments": _rfm_sql(),
         "source_ttr": _source_ttr_sql(),
+        "label_dispersion": _label_dispersion_sql(),
         "product_profit": """
             SELECT n_name,
                    CAST(year(o_orderdate) AS BIGINT) AS o_year,
@@ -4004,6 +4006,19 @@ def _q_source_ttr(sf_dir: str):
     return source_ttr(ds)
 
 
+def _q_label_dispersion(sf_dir: str):
+    """Per-label embedding centroid dispersion
+    (functions/dispersion.py): one-pass n*sum(n*q - s^2) integer
+    identity over fixed-point components — no centroid broadcast, no
+    second scan, bit-exact."""
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.dispersion import label_dispersion
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+    return label_dispersion(ds)
+
+
 def _q_trigram_backoff(sf_dir: str):
     """Stupid-backoff trigram LM scoring (Brants 2007): model trained
     on the doc_id%2==0 held-out slice scores every document, exact
@@ -4015,6 +4030,12 @@ def _q_trigram_backoff(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return trigram_backoff_scores(ds)
+
+
+def _label_dispersion_sql() -> str:
+    from pdf2dom_ray.functions.dispersion import \
+        label_dispersion_oracle_sql
+    return label_dispersion_oracle_sql()
 
 
 def _source_ttr_sql() -> str:

@@ -224,7 +224,8 @@ def run_bench() -> dict:
                  "waiting_suppliers", "sales_opportunity",
                  "product_profit", "vocab_richness",
                  "purchase_attribution", "copurchase_pairs",
-                 "rfm_segments", "source_ttr"):
+                 "rfm_segments", "source_ttr",
+                 "label_dispersion"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

@@ -1,0 +1,41 @@
+"""Per-label embedding dispersion (functions/dispersion.py)."""
+import duckdb
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from pdf2dom_ray.functions.dispersion import (
+    label_dispersion, label_dispersion_oracle_sql)
+
+
+def test_dispersion_matches_duckdb(ray_session, sf_dir):
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+    got = label_dispersion(ds).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/embeddings.parquet')")
+    want = con.execute(label_dispersion_oracle_sql()).fetchdf()
+    assert got.reset_index(drop=True).equals(
+        want.reset_index(drop=True))
+    assert len(got) > 0 and (got.dispersion > 0).all()
+
+
+def test_dispersion_hand_case(ray_session):
+    # label 0: vecs (0,0) and (1,1) at scale 1000 -> x in {0, 1000}
+    # per dim: n=2 s=1000 q=1e6 -> n*q - s^2 = 1e6; t=2e6; disp=4e6
+    # label 1: single vec -> zero dispersion
+    ds = rd.from_items([
+        {"label": 0, "embedding": [0.0, 0.0]},
+        {"label": 0, "embedding": [1.0, 1.0]},
+        {"label": 1, "embedding": [0.5, -0.5]}])
+    got = label_dispersion(ds).to_pandas()
+    assert got.values.tolist() == [[0, 2, 4_000_000], [1, 1, 0]]
+
+
+def test_dispersion_partition_invariance(ray_session, sf_dir):
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+    a = label_dispersion(ds.repartition(2)).to_pandas()
+    b = label_dispersion(ds.repartition(9)).to_pandas()
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
