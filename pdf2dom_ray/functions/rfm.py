@@ -31,8 +31,17 @@ _US_PER_DAY = 86_400_000_000
 
 def rfm_segments(sf_dir: str, *, k: int = 5,
                  event_type: str = "purchase",
-                 num_partitions: int | None = None) -> rd.Dataset:
-    """(r_score, f_score, m_score, n_users) census, sorted."""
+                 num_partitions: int | None = None,
+                 driver_limit: int = 2_000_000) -> rd.Dataset:
+    """(r_score, f_score, m_score, n_users) census, sorted.
+
+    Under ``driver_limit`` users the three NTILE scores compute on
+    the driver (the per-user table is already the narrow aggregate —
+    three argsorts over it beat three distributed NTILE passes by
+    their fixed costs; same explicit-limit fast-path convention as
+    pagerank/triangles). Past the limit the fully distributed
+    NTILE + join path below runs.
+    """
     from ..scale import scale_partitions
     num_partitions = num_partitions or scale_partitions()
 
@@ -57,16 +66,71 @@ def rfm_segments(sf_dir: str, *, k: int = 5,
             .agg(last_us=("last_us", "max"), freq=("freq", "sum"),
                  cents=("cents", "sum"))
 
-    from ..stages.hashagg import hash_aggregate
-    per_user = hash_aggregate(
-        ev.map_batches(purchase_partial, batch_format="pandas"),
-        ["user_id"], by_user,
-        num_partitions=num_partitions).materialize()
-
     empty = pa.table({"r_score": pa.array([], pa.int64()),
                       "f_score": pa.array([], pa.int64()),
                       "m_score": pa.array([], pa.int64()),
                       "n_users": pa.array([], pa.int64())})
+    partials = ev.map_batches(purchase_partial,
+                              batch_format="pandas")
+
+    if driver_limit > 0:
+        # fast path: per-batch partials fold straight to the driver
+        # (ONE Dataset consumption, no exchange) — the per-user table
+        # is bounded by the user universe, which driver_limit caps;
+        # the >limit distributed NTILE path is below
+        def fold_block(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pandas(by_user(t.to_pandas()),
+                                        preserve_index=False)
+
+        from .fold import bounded_fold_tables
+        tables = bounded_fold_tables(partials, fold_block)
+        if not tables:
+            return rd.from_arrow(empty)
+        schema = pa.schema([("user_id", pa.int64()),
+                            ("last_us", pa.int64()),
+                            ("freq", pa.int64()),
+                            ("cents", pa.int64())])
+        df = by_user(pa.concat_tables(
+            [t.cast(schema) for t in tables]).to_pandas())
+        if len(df) > driver_limit:
+            raise ValueError(
+                f"{len(df)} users exceed driver_limit="
+                f"{driver_limit}; use driver_limit=0 for the "
+                "distributed path")
+        anchor = int(df["last_us"].max())
+        df = df.assign(recency_days=(
+            anchor - df["last_us"].to_numpy(np.int64))
+            // _US_PER_DAY)
+
+        def ntile_driver(vals: np.ndarray, ids: np.ndarray
+                         ) -> np.ndarray:
+            order = np.lexsort((ids, vals))
+            rank0 = np.empty(len(vals), np.int64)
+            rank0[order] = np.arange(len(vals))
+            q, r = divmod(len(vals), k)
+            if q == 0:
+                return rank0 + 1
+            big = r * (q + 1)
+            return np.where(rank0 < big, rank0 // (q + 1) + 1,
+                            r + (rank0 - big) // q + 1)
+
+        ids = df["user_id"].to_numpy(np.int64)
+        census = pd.DataFrame({
+            "r_score": ntile_driver(
+                df["recency_days"].to_numpy(np.int64), ids),
+            "f_score": ntile_driver(
+                df["freq"].to_numpy(np.int64), ids),
+            "m_score": ntile_driver(
+                df["cents"].to_numpy(np.int64), ids),
+            "n_users": np.ones(len(df), np.int64)})             .groupby(["r_score", "f_score", "m_score"],
+                     as_index=False).sum()             .sort_values(["r_score", "f_score", "m_score"])
+        return rd.from_arrow(pa.Table.from_pandas(
+            census, preserve_index=False))
+
+    from ..stages.hashagg import hash_aggregate
+    per_user = hash_aggregate(partials, ["user_id"], by_user,
+                              num_partitions=num_partitions) \
+        .materialize()
     if per_user.count() == 0:
         return rd.from_arrow(empty)
     anchor = per_user.max("last_us")

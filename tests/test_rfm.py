@@ -35,6 +35,13 @@ def test_rfm_partition_invariance(ray_session, sf_dir):
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
 
 
+def test_rfm_distributed_path_matches_driver_path(ray_session,
+                                                  sf_dir):
+    a = rfm_segments(sf_dir).to_pandas()                # driver path
+    b = rfm_segments(sf_dir, driver_limit=0).to_pandas()  # BSP path
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
 def test_rfm_absent_event_type(ray_session, sf_dir):
     got = rfm_segments(sf_dir,
                        event_type="no_such_type").to_pandas()
