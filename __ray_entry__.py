@@ -428,6 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": _q_rfm_segments,
         "source_ttr": _q_source_ttr,
         "label_dispersion": _q_label_dispersion,
+        "hopping_distinct_users": _q_hopping_distinct_users,
         "local_supplier_volume": _q_local_supplier_volume,
         "customer_distribution": _q_customer_distribution,
         "length_percentiles": _q_length_percentiles,
@@ -2080,6 +2081,7 @@ def oracle_sql() -> dict[str, str]:
         "rfm_segments": _rfm_sql(),
         "source_ttr": _source_ttr_sql(),
         "label_dispersion": _label_dispersion_sql(),
+        "hopping_distinct_users": _hopping_distinct_sql(),
         "product_profit": """
             SELECT n_name,
                    CAST(year(o_orderdate) AS BIGINT) AS o_year,
@@ -4019,6 +4021,15 @@ def _q_label_dispersion(sf_dir: str):
     return label_dispersion(ds)
 
 
+def _q_hopping_distinct_users(sf_dir: str):
+    """Exact distinct users per hopping window
+    (functions/windows.py): bounded k-way event replication,
+    (window,user) dedup exchange, mergeable count partials after the
+    distinct."""
+    from pdf2dom_ray.functions.windows import hopping_distinct_users
+    return hopping_distinct_users(sf_dir)
+
+
 def _q_trigram_backoff(sf_dir: str):
     """Stupid-backoff trigram LM scoring (Brants 2007): model trained
     on the doc_id%2==0 held-out slice scores every document, exact
@@ -4030,6 +4041,11 @@ def _q_trigram_backoff(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return trigram_backoff_scores(ds)
+
+
+def _hopping_distinct_sql() -> str:
+    from pdf2dom_ray.functions.windows import hopping_distinct_sql
+    return hopping_distinct_sql()
 
 
 def _label_dispersion_sql() -> str:

@@ -225,7 +225,7 @@ def run_bench() -> dict:
                  "product_profit", "vocab_richness",
                  "purchase_attribution", "copurchase_pairs",
                  "rfm_segments", "source_ttr",
-                 "label_dispersion"):
+                 "label_dispersion", "hopping_distinct_users"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

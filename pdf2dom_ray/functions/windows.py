@@ -30,7 +30,8 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-__all__ = ["hopping_window_volume", "hopping_window_sql"]
+__all__ = ["hopping_window_volume", "hopping_window_sql",
+           "hopping_distinct_users", "hopping_distinct_sql"]
 
 
 def hopping_window_volume(sf_dir: str, *, width_s: int = 3600,
@@ -99,4 +100,95 @@ def hopping_window_sql(*, width_s: int = 3600, hop_s: int = 900) -> str:
                CAST(sum(micros) AS BIGINT) AS sum_micros
         FROM e CROSS JOIN g
         GROUP BY 1
+    """
+
+
+def hopping_distinct_users(sf_dir: str, *, width_s: int = 3600,
+                           hop_s: int = 900,
+                           num_partitions: int | None = None
+                           ) -> rd.Dataset:
+    """(window_start, n_users): EXACT distinct users per hopping
+    window — the sliding "concurrent actives" dashboard series
+    (``hopping_window_volume``'s sum has mergeable partials; distinct
+    does not, so this routes through a (window, user) dedup first).
+
+    Scale shape: each event replicates into its k = width/hop
+    windows (bounded fan-out), per-batch (window, user) dedup
+    pre-shrinks, ONE hash exchange on the composite key finishes the
+    distinct, and per-window counts collapse through a second narrow
+    combiner — count partials are mergeable AFTER the distinct. All
+    integers; bit-exact under any partitioning.
+    """
+    if width_s % hop_s:
+        raise ValueError("width_s must be a multiple of hop_s")
+    k = width_s // hop_s
+    hop_us = hop_s * 1_000_000
+    if num_partitions is None:
+        from ..scale import scale_partitions
+        num_partitions = scale_partitions()
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        base = us // hop_us * hop_us
+        starts = (base[:, None]
+                  - np.arange(k, dtype=np.int64)[None, :] * hop_us
+                  ).ravel()
+        df = pd.DataFrame({"window_start": starts,
+                           "user_id": np.repeat(uid, k)}) \
+            .drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    from ..stages.hashagg import hash_aggregate
+    pairs = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["window_start", "user_id"], distinct,
+        num_partitions=num_partitions)
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # idempotent under re-application (hash_aggregate applies it
+        # per batch AND per merge partition): raw pairs count 1 each,
+        # partial rows sum their existing counts
+        if "n_users" not in df.columns:
+            df = pd.DataFrame({"window_start": df["window_start"],
+                               "n_users": np.ones(len(df),
+                                                  np.int64)})
+        return df[["window_start", "n_users"]] \
+            .groupby("window_start", as_index=False).sum()
+
+    counts = hash_aggregate(pairs, ["window_start"], count_partial,
+                            num_partitions=num_partitions)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": t.column("window_start")
+                             .cast(pa.timestamp("us")),
+            "n_users": t.column("n_users").cast(pa.int64())})
+
+    return counts.map_batches(finish, batch_format="pyarrow") \
+        .sort("window_start")
+
+
+def hopping_distinct_sql(*, width_s: int = 3600,
+                         hop_s: int = 900) -> str:
+    k = width_s // hop_s
+    return f"""
+        WITH pairs AS (
+          SELECT DISTINCT
+                 (epoch_us(ts) // {hop_s * 1_000_000}
+                  - g.i) * {hop_s * 1_000_000} AS ws,
+                 user_id
+          FROM events, range(0, {k}) AS g(i)),
+        c AS (SELECT ws, CAST(COUNT(*) AS BIGINT) AS n_users
+              FROM pairs GROUP BY 1)
+        SELECT make_timestamp(ws) AS window_start, n_users
+        FROM c ORDER BY 1
     """
