@@ -498,6 +498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_kcore": _q_link_kcore,
         "link_kcore_bsp": _q_link_kcore_bsp,
         "link_lpa": _q_link_lpa,
+        "link_ktruss": _q_link_ktruss,
         "link_lpa_bsp": _q_link_lpa_bsp,
         "link_harmonic": _q_link_harmonic,
         "link_harmonic_bsp": _q_link_harmonic_bsp,
@@ -1350,6 +1351,7 @@ def oracle_sql() -> dict[str, str]:
         "link_kcore": _kcore_sql(),
         "link_kcore_bsp": _kcore_sql(),
         "link_lpa": _lpa_sql(),
+        "link_ktruss": _ktruss_sql(),
         "link_lpa_bsp": _lpa_sql(),
         "link_harmonic": _harmonic_sql(),
         "link_hopplot": _hopplot_sql(),
@@ -3365,6 +3367,23 @@ def _hyperball_sql() -> str:
                     AS BIGINT)
         FROM documents"""
     return hyperball_oracle_sql(edges, radius=4)
+
+
+def _ktruss_sql() -> str:
+    """Unrolled 3-peel k=4 truss over the planted-block clique graph
+    of ``_lpa_edges`` (functions/ktruss.py::ktruss_oracle_sql; every
+    per-round CTE AS MATERIALIZED per CLAUDE.md)."""
+    from pdf2dom_ray.functions.ktruss import ktruss_oracle_sql
+    edges = """
+        SELECT doc_id AS src, CAST(doc_id + k AS BIGINT) AS target
+        FROM documents, (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS k) ks
+        WHERE doc_id % 8 + k <= 7
+          AND doc_id + k < (SELECT count(*) FROM documents)
+        UNION ALL
+        SELECT doc_id, CAST(doc_id + 8 AS BIGINT) FROM documents
+        WHERE doc_id % 8 = 0
+          AND doc_id + 8 < (SELECT count(*) FROM documents)"""
+    return ktruss_oracle_sql(edges, k=4, rounds=3)
 
 
 def _lpa_sql() -> str:
@@ -5683,6 +5702,15 @@ def _lpa_edges(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id"]).map_batches(
         build, batch_format="pyarrow")
+
+
+def _q_link_ktruss(sf_dir: str):
+    """4-truss surviving edges (3 bounded peels) of the planted-block
+    clique graph — the edge-density mesh detector
+    (functions/ktruss.py): clique edges keep >=2 mutual neighbors,
+    block bridges have none and peel in round 1."""
+    from pdf2dom_ray.functions.ktruss import ktruss_edges
+    return ktruss_edges(_lpa_edges(sf_dir), k=4, rounds=3)
 
 
 def _q_link_lpa(sf_dir: str):

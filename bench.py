@@ -225,7 +225,8 @@ def run_bench() -> dict:
                  "product_profit", "vocab_richness",
                  "purchase_attribution", "copurchase_pairs",
                  "rfm_segments", "source_ttr",
-                 "label_dispersion", "hopping_distinct_users"):
+                 "label_dispersion", "hopping_distinct_users",
+                 "link_ktruss"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
