@@ -429,6 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_ttr": _q_source_ttr,
         "label_dispersion": _q_label_dispersion,
         "hopping_distinct_users": _q_hopping_distinct_users,
+        "props_field_histogram": _q_props_field_histogram,
         "local_supplier_volume": _q_local_supplier_volume,
         "customer_distribution": _q_customer_distribution,
         "length_percentiles": _q_length_percentiles,
@@ -2084,6 +2085,7 @@ def oracle_sql() -> dict[str, str]:
         "source_ttr": _source_ttr_sql(),
         "label_dispersion": _label_dispersion_sql(),
         "hopping_distinct_users": _hopping_distinct_sql(),
+        "props_field_histogram": _props_hist_sql(),
         "product_profit": """
             SELECT n_name,
                    CAST(year(o_orderdate) AS BIGINT) AS o_year,
@@ -4049,6 +4051,14 @@ def _q_hopping_distinct_users(sf_dir: str):
     return hopping_distinct_users(sf_dir)
 
 
+def _q_props_field_histogram(sf_dir: str):
+    """JSON metadata-field histogram (functions/jsonprops.py):
+    vectorized Arrow regex capture of props.k (no per-row parser),
+    bucketed int64 partials, driver fold."""
+    from pdf2dom_ray.functions.jsonprops import props_field_histogram
+    return props_field_histogram(sf_dir)
+
+
 def _q_trigram_backoff(sf_dir: str):
     """Stupid-backoff trigram LM scoring (Brants 2007): model trained
     on the doc_id%2==0 held-out slice scores every document, exact
@@ -4060,6 +4070,12 @@ def _q_trigram_backoff(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return trigram_backoff_scores(ds)
+
+
+def _props_hist_sql() -> str:
+    from pdf2dom_ray.functions.jsonprops import \
+        props_field_histogram_sql
+    return props_field_histogram_sql()
 
 
 def _hopping_distinct_sql() -> str:
