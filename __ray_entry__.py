@@ -500,6 +500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_kcore_bsp": _q_link_kcore_bsp,
         "link_lpa": _q_link_lpa,
         "link_ktruss": _q_link_ktruss,
+        "link_matching": _q_link_matching,
         "link_lpa_bsp": _q_link_lpa_bsp,
         "link_harmonic": _q_link_harmonic,
         "link_harmonic_bsp": _q_link_harmonic_bsp,
@@ -1353,6 +1354,7 @@ def oracle_sql() -> dict[str, str]:
         "link_kcore_bsp": _kcore_sql(),
         "link_lpa": _lpa_sql(),
         "link_ktruss": _ktruss_sql(),
+        "link_matching": _matching_sql(),
         "link_lpa_bsp": _lpa_sql(),
         "link_harmonic": _harmonic_sql(),
         "link_hopplot": _hopplot_sql(),
@@ -3386,6 +3388,20 @@ def _ktruss_sql() -> str:
         WHERE doc_id % 8 = 0
           AND doc_id + 8 < (SELECT count(*) FROM documents)"""
     return ktruss_oracle_sql(edges, k=4, rounds=3)
+
+
+def _matching_sql() -> str:
+    """Unrolled 6-round fixed-priority matching over the mod-7 chain
+    graph of ``_cc_edges`` (functions/matching.py; every per-round
+    CTE AS MATERIALIZED per CLAUDE.md)."""
+    from pdf2dom_ray.functions.matching import matching_oracle_sql
+    edges = """
+        SELECT doc_id AS src, CAST(doc_id - 7 AS BIGINT) AS target
+        FROM documents WHERE doc_id >= 7
+        UNION ALL
+        SELECT doc_id, CAST(doc_id - 21 AS BIGINT)
+        FROM documents WHERE doc_id >= 21"""
+    return matching_oracle_sql(edges, rounds=6)
 
 
 def _lpa_sql() -> str:
@@ -5727,6 +5743,15 @@ def _q_link_ktruss(sf_dir: str):
     block bridges have none and peel in round 1."""
     from pdf2dom_ray.functions.ktruss import ktruss_edges
     return ktruss_edges(_lpa_edges(sf_dir), k=4, rounds=3)
+
+
+def _q_link_matching(sf_dir: str):
+    """Maximal matching (6 fixed-priority symmetry-breaking rounds)
+    over the mod-7 chain graph — coordinator-free pairing
+    (functions/matching.py); md5 edge priorities replayed verbatim
+    by the unrolled oracle."""
+    from pdf2dom_ray.functions.matching import maximal_matching
+    return maximal_matching(_cc_edges(sf_dir), rounds=6)
 
 
 def _q_link_lpa(sf_dir: str):

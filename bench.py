@@ -226,7 +226,8 @@ def run_bench() -> dict:
                  "purchase_attribution", "copurchase_pairs",
                  "rfm_segments", "source_ttr",
                  "label_dispersion", "hopping_distinct_users",
-                 "link_ktruss", "props_field_histogram"):
+                 "link_ktruss", "props_field_histogram",
+                 "link_matching"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
