@@ -501,6 +501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_lpa": _q_link_lpa,
         "link_ktruss": _q_link_ktruss,
         "link_matching": _q_link_matching,
+        "link_eff_diameter": _q_link_eff_diameter,
         "link_lpa_bsp": _q_link_lpa_bsp,
         "link_harmonic": _q_link_harmonic,
         "link_harmonic_bsp": _q_link_harmonic_bsp,
@@ -1355,6 +1356,7 @@ def oracle_sql() -> dict[str, str]:
         "link_lpa": _lpa_sql(),
         "link_ktruss": _ktruss_sql(),
         "link_matching": _matching_sql(),
+        "link_eff_diameter": _eff_diameter_sql(),
         "link_lpa_bsp": _lpa_sql(),
         "link_harmonic": _harmonic_sql(),
         "link_hopplot": _hopplot_sql(),
@@ -5792,6 +5794,21 @@ def _q_link_harmonic_bsp(sf_dir: str):
                                driver_edge_limit=0)
 
 
+def _eff_diameter_sql() -> str:
+    """The hop-plot oracle wrapped with the exact-integer 90%%
+    selection (functions/hopplot.py::effective_diameter)."""
+    inner = _hopplot_sql()
+    return f"""
+        WITH hp AS ({inner}),
+        mx AS (SELECT MAX(n_pairs) AS m FROM hp)
+        SELECT CAST(MIN(radius) AS BIGINT) AS eff_diameter,
+               CAST(MIN_BY(n_pairs, radius) AS BIGINT)
+                   AS n_pairs_at,
+               CAST(ANY_VALUE(m) AS BIGINT) AS n_pairs_max
+        FROM hp, mx WHERE 100 * n_pairs >= 90 * m
+    """
+
+
 def _hopplot_sql() -> str:
     """Unrolled radius-4 reach growth totalled per level over the
     same synthetic digraph rule as ``_bfs_edges``
@@ -5806,6 +5823,15 @@ def _hopplot_sql() -> str:
         SELECT doc_id, CAST((3 * doc_id + 7) % {n} AS BIGINT)
         FROM documents"""
     return neighborhood_oracle_sql(edges, radius=4)
+
+
+def _q_link_eff_diameter(sf_dir: str):
+    """90% effective diameter (Palmer 2002 readout of the hop plot;
+    the ANF/HyperBall headline number) — exact-integer threshold
+    100*N(h) >= 90*N(radius) over the same bitset neighborhood
+    function as link_hopplot (functions/hopplot.py)."""
+    from pdf2dom_ray.functions.hopplot import effective_diameter
+    return effective_diameter(_bfs_edges(sf_dir), radius=4, pct=90)
 
 
 def _q_link_hopplot(sf_dir: str):

@@ -227,7 +227,7 @@ def run_bench() -> dict:
                  "rfm_segments", "source_ttr",
                  "label_dispersion", "hopping_distinct_users",
                  "link_ktruss", "props_field_histogram",
-                 "link_matching"):
+                 "link_matching", "link_eff_diameter"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

@@ -44,7 +44,8 @@ import ray.data as rd
 
 from .harmonic import _counts, _or_rows
 
-__all__ = ["neighborhood_function", "neighborhood_reference",
+__all__ = ["effective_diameter",
+           "neighborhood_function", "neighborhood_reference",
            "neighborhood_oracle_sql"]
 
 
@@ -200,3 +201,30 @@ def neighborhood_oracle_sql(edges_cte: str, *, radius: int = 4) -> str:
     parts.append(f"""
         {levels}""")
     return "".join(parts)
+
+
+def effective_diameter(edges: rd.Dataset, *, radius: int = 4,
+                       pct: int = 90,
+                       driver_edge_limit: int = 5_000_000,
+                       n_part: int | None = None) -> rd.Dataset:
+    """(eff_diameter, n_pairs_at, n_pairs_max): the classic
+    effective-diameter readout of the hop plot (Palmer 2002; the
+    number ANF/HyperBall papers report) — the smallest hop count h
+    with ``100·N(h) ≥ pct·N(radius)``, exact integers only (no
+    interpolation, no floats). Pure composition: the ≤ radius+1-row
+    neighborhood function (exact bitsets / BSP) + one driver scan."""
+    nf = neighborhood_function(edges, radius=radius,
+                               driver_edge_limit=driver_edge_limit,
+                               n_part=n_part).to_pandas()
+    if not len(nf):
+        return rd.from_arrow(pa.table({
+            "eff_diameter": pa.array([], pa.int64()),
+            "n_pairs_at": pa.array([], pa.int64()),
+            "n_pairs_max": pa.array([], pa.int64())}))
+    nf = nf.sort_values("radius")
+    n_max = int(nf["n_pairs"].iloc[-1])
+    hit = nf[100 * nf["n_pairs"] >= pct * n_max].iloc[0]
+    return rd.from_arrow(pa.table({
+        "eff_diameter": pa.array([int(hit["radius"])], pa.int64()),
+        "n_pairs_at": pa.array([int(hit["n_pairs"])], pa.int64()),
+        "n_pairs_max": pa.array([n_max], pa.int64())}))
