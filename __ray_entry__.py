@@ -502,6 +502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_ktruss": _q_link_ktruss,
         "link_matching": _q_link_matching,
         "link_eff_diameter": _q_link_eff_diameter,
+        "host_conductance": _q_host_conductance,
         "link_lpa_bsp": _q_link_lpa_bsp,
         "link_harmonic": _q_link_harmonic,
         "link_harmonic_bsp": _q_link_harmonic_bsp,
@@ -1379,6 +1380,7 @@ def oracle_sql() -> dict[str, str]:
         "link_stress_bsp": _stress_sql(),
         "link_assortativity": _assortativity_sql(),
         "host_modularity": _modularity_sql(),
+        "host_conductance": _conductance_sql(),
         "link_rich_club": _rich_club_sql(),
         "link_harmonic_bsp": _harmonic_sql(),
         "link_ball_hll": _hyperball_sql(),
@@ -3248,11 +3250,27 @@ def _q_link_rich_club(sf_dir: str):
     return rich_club(_host_link_edges(sf_dir))
 
 
+def _conductance_sql() -> str:
+    """Per-host conductance twin over the same multi-host URL
+    digraph (functions/modularity.py::conductance_oracle_sql)."""
+    from pdf2dom_ray.functions.modularity import \
+        conductance_oracle_sql
+    return conductance_oracle_sql(_host_edges_sql())
+
+
 def _modularity_sql() -> str:
     """Per-host integer Q-contribution twin over the multi-host URL
     digraph (functions/modularity.py::modularity_oracle_sql)."""
     from pdf2dom_ray.functions.modularity import modularity_oracle_sql
     return modularity_oracle_sql(_host_edges_sql())
+
+
+def _q_host_conductance(sf_dir: str):
+    """Per-host conductance phi = cut/min(vol, 2m-vol) over the
+    symmetrized URL link graph — the partition-sparsity twin of
+    host_modularity (functions/modularity.py); exact integer ppm."""
+    from pdf2dom_ray.functions.modularity import host_conductance
+    return host_conductance(_host_link_edges(sf_dir))
 
 
 def _q_host_modularity(sf_dir: str):

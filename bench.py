@@ -227,7 +227,8 @@ def run_bench() -> dict:
                  "rfm_segments", "source_ttr",
                  "label_dispersion", "hopping_distinct_users",
                  "link_ktruss", "props_field_histogram",
-                 "link_matching", "link_eff_diameter"):
+                 "link_matching", "link_eff_diameter",
+                 "host_conductance"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

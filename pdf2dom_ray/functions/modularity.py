@@ -33,7 +33,8 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-__all__ = ["host_modularity", "modularity_oracle_sql"]
+__all__ = ["host_modularity", "modularity_oracle_sql",
+           "host_conductance", "conductance_oracle_sql"]
 
 
 def _hosts(urls: np.ndarray) -> np.ndarray:
@@ -152,3 +153,124 @@ def modularity_oracle_sql(edges_cte: str) -> str:
                CAST(4 * m.m * c.e_in - c.d * c.d AS BIGINT)
                    AS q_contrib
         FROM contrib c CROSS JOIN m"""
+
+
+def host_conductance(edges: rd.Dataset) -> rd.Dataset:
+    """(host, cut, vol, conductance_ppm) per host community over the
+    symmetrized distinct URL link graph — the partition-quality twin
+    of ``host_modularity``: φ(S) = cut(S)/min(vol(S), 2m−vol(S))
+    (Shi & Malik / Kannan-Vempala-Vetta's sparsity objective), as
+    exact integer ppm. Low φ = a well-separated site; φ→10⁶ = a host
+    that mostly links out (spam satellites, CDN shards).
+
+    Scale shape: identical to modularity — one distinct-pair
+    reduction, per-batch (host, cut, vol) int64 partials (each edge
+    credits BOTH endpoint hosts' volumes and, when the hosts differ,
+    both cuts), one host-keyed narrow groupby, driver-free finish
+    (2m is the one scalar broadcast into the ppm division)."""
+    from .dedup import _to_arrow_blocks
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = np.asarray(t.column("src").to_pandas(), dtype=object)
+        g = np.asarray(t.column("target").to_pandas(), dtype=object)
+        keep = s != g
+        s, g = s[keep], g[keep]
+        swap = s > g
+        lo = np.where(swap, g, s)
+        hi = np.where(swap, s, g)
+        df = pd.DataFrame({"lo": lo, "hi": hi}).drop_duplicates()
+        return pa.table({
+            "lo": pa.array(df["lo"].tolist(), pa.string()),
+            "hi": pa.array(df["hi"].tolist(), pa.string()),
+            "one": pa.array(np.ones(len(df), dtype=np.int64),
+                            pa.int64())})
+
+    dedup = _to_arrow_blocks(
+        edges.map_batches(canon, batch_format="pyarrow")
+             .groupby(["lo", "hi"])
+             .aggregate(Sum("one", alias_name="one"))).materialize()
+    m = dedup.count()
+    empty = pa.table({"host": pa.array([], pa.string()),
+                      "cut": pa.array([], pa.int64()),
+                      "vol": pa.array([], pa.int64()),
+                      "conductance_ppm": pa.array([], pa.int64())})
+    if m == 0:
+        return rd.from_arrow(empty)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if not t.num_columns or not t.num_rows:
+            return pa.table({"host": pa.array([], pa.string()),
+                             "cut": pa.array([], pa.int64()),
+                             "vol": pa.array([], pa.int64())})
+        hl = _hosts(np.asarray(t.column("lo").to_pandas(),
+                               dtype=object))
+        hh = _hosts(np.asarray(t.column("hi").to_pandas(),
+                               dtype=object))
+        crossing = (hl != hh).astype(np.int64)
+        df = pd.concat([
+            pd.DataFrame({"host": hl, "cut": crossing,
+                          "vol": np.ones(len(hl), dtype=np.int64)}),
+            pd.DataFrame({"host": hh, "cut": crossing,
+                          "vol": np.ones(len(hh), dtype=np.int64)})])
+        g = df.groupby("host", as_index=False).sum()
+        return pa.table({
+            "host": pa.array(g["host"].tolist(), pa.string()),
+            "cut": pa.array(g["cut"].to_numpy(np.int64), pa.int64()),
+            "vol": pa.array(g["vol"].to_numpy(np.int64),
+                            pa.int64())})
+
+    agg = _to_arrow_blocks(
+        dedup.map_batches(partial, batch_format="pyarrow")
+             .groupby("host")
+             .aggregate(Sum("cut", alias_name="cut"),
+                        Sum("vol", alias_name="vol")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if not t.num_columns:
+            return empty
+        cut = t.column("cut").to_numpy()
+        vol = t.column("vol").to_numpy()
+        denom = np.maximum(np.minimum(vol, 2 * m - vol), 1)
+        return pa.table({
+            "host": t.column("host"),
+            "cut": pa.array(cut, pa.int64()),
+            "vol": pa.array(vol, pa.int64()),
+            "conductance_ppm": pa.array((1_000_000 * cut) // denom,
+                                        pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def conductance_oracle_sql(edges_cte: str) -> str:
+    """The same per-host integer conductance in DuckDB."""
+    return f"""
+        WITH raw_e AS ({edges_cte}),
+        e AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src, target) AS lo,
+                   GREATEST(src, target) AS hi
+            FROM raw_e WHERE src != target),
+        m AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m
+                           FROM e),
+        he AS MATERIALIZED (
+            SELECT regexp_extract(lo, '://([^/]+)', 1) AS h_lo,
+                   regexp_extract(hi, '://([^/]+)', 1) AS h_hi
+            FROM e),
+        agg AS MATERIALIZED (
+            SELECT host, CAST(SUM(cut) AS BIGINT) AS cut,
+                   CAST(SUM(vol) AS BIGINT) AS vol
+            FROM (
+                SELECT h_lo AS host,
+                       CASE WHEN h_lo = h_hi THEN 0 ELSE 1 END
+                           AS cut, 1 AS vol
+                FROM he
+                UNION ALL
+                SELECT h_hi,
+                       CASE WHEN h_lo = h_hi THEN 0 ELSE 1 END, 1
+                FROM he)
+            GROUP BY host)
+        SELECT a.host, a.cut, a.vol,
+               -- numerator non-negative: truncation == floor
+               CAST((1000000 * a.cut)
+                    // GREATEST(LEAST(a.vol, 2 * m.m - a.vol), 1)
+                    AS BIGINT) AS conductance_ppm
+        FROM agg a CROSS JOIN m"""

@@ -62,3 +62,46 @@ def test_modularity_empty(ray_session):
     ds = rd.from_arrow(pa.table({"src": pa.array([], pa.string()),
                                  "target": pa.array([], pa.string())}))
     assert host_modularity(ds).take_all() == []
+
+
+def test_conductance_hand_case(ray_session):
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.modularity import host_conductance
+    # host a: internal edge (a/1, a/2); one crossing edge a/1 - b/1
+    edges = rd.from_items([
+        {"src": "https://a.x/1", "target": "https://a.x/2"},
+        {"src": "https://a.x/1", "target": "https://b.x/1"}])
+    got = host_conductance(edges).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    # m=2, 2m=4. host a.x: vol=3, cut=1, denom=min(3,1)=1 -> 1e6
+    # host b.x: vol=1, cut=1, denom=1 -> 1e6
+    assert got.host.tolist() == ["a.x", "b.x"]
+    assert got.cut.tolist() == [1, 1]
+    assert got.vol.tolist() == [3, 1]
+    assert got.conductance_ppm.tolist() == [1_000_000, 1_000_000]
+
+
+def test_conductance_isolated_host_zero(ray_session):
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.modularity import host_conductance
+    edges = rd.from_items([
+        {"src": "https://a.x/1", "target": "https://a.x/2"},
+        {"src": "https://b.x/1", "target": "https://b.x/2"}])
+    got = host_conductance(edges).to_pandas()
+    assert (got.conductance_ppm == 0).all()
+    assert (got.cut == 0).all()
+
+
+def test_conductance_partition_invariance(ray_session, sf_dir):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+    from pdf2dom_ray.functions.modularity import host_conductance
+    a = host_conductance(E.__dict__["_host_link_edges"](sf_dir)) \
+        .to_pandas().sort_values("host").reset_index(drop=True)
+    b = host_conductance(
+        E.__dict__["_host_link_edges"](sf_dir).repartition(7)) \
+        .to_pandas().sort_values("host").reset_index(drop=True)
+    assert a.equals(b)
