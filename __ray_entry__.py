@@ -503,6 +503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_matching": _q_link_matching,
         "link_eff_diameter": _q_link_eff_diameter,
         "host_conductance": _q_host_conductance,
+        "decayed_user_value": _q_decayed_user_value,
         "link_lpa_bsp": _q_link_lpa_bsp,
         "link_harmonic": _q_link_harmonic,
         "link_harmonic_bsp": _q_link_harmonic_bsp,
@@ -1381,6 +1382,7 @@ def oracle_sql() -> dict[str, str]:
         "link_assortativity": _assortativity_sql(),
         "host_modularity": _modularity_sql(),
         "host_conductance": _conductance_sql(),
+        "decayed_user_value": _decay_sql(),
         "link_rich_club": _rich_club_sql(),
         "link_harmonic_bsp": _harmonic_sql(),
         "link_ball_hll": _hyperball_sql(),
@@ -3250,6 +3252,11 @@ def _q_link_rich_club(sf_dir: str):
     return rich_club(_host_link_edges(sf_dir))
 
 
+def _decay_sql() -> str:
+    from pdf2dom_ray.functions.decay import decayed_value_oracle_sql
+    return decayed_value_oracle_sql()
+
+
 def _conductance_sql() -> str:
     """Per-host conductance twin over the same multi-host URL
     digraph (functions/modularity.py::conductance_oracle_sql)."""
@@ -4093,6 +4100,14 @@ def _q_props_field_histogram(sf_dir: str):
     bucketed int64 partials, driver fold."""
     from pdf2dom_ray.functions.jsonprops import props_field_histogram
     return props_field_histogram(sf_dir)
+
+
+def _q_decayed_user_value(sf_dir: str):
+    """Exponential time-decayed per-user spend (functions/decay.py):
+    power-of-two half-life shifts keep the decay EXACT (no float
+    exp), one anchor pass + one combiner->hash-aggregate scan."""
+    from pdf2dom_ray.functions.decay import decayed_user_value
+    return decayed_user_value(sf_dir)
 
 
 def _q_trigram_backoff(sf_dir: str):
