@@ -504,6 +504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_eff_diameter": _q_link_eff_diameter,
         "host_conductance": _q_host_conductance,
         "decayed_user_value": _q_decayed_user_value,
+        "csv_ingest": _q_csv_ingest,
         "link_lpa_bsp": _q_link_lpa_bsp,
         "link_harmonic": _q_link_harmonic,
         "link_harmonic_bsp": _q_link_harmonic_bsp,
@@ -1456,6 +1457,10 @@ def oracle_sql() -> dict[str, str]:
         "vocab_growth": _vocab_growth_sql(),
         # JSONL ingestion roundtrip: the synth shard writer serializes
         # documents.parquet verbatim, so the oracle is the table itself
+        "csv_ingest": """
+            SELECT doc_id, text, lang, source, n_chars
+            FROM documents
+        """,
         "jsonl_ingest": """
             SELECT doc_id, text, lang, source,
                    CAST(n_chars AS BIGINT) AS n_chars
@@ -4469,6 +4474,29 @@ def _q_jsonl_ingest(sf_dir: str):
     tag = sf_dir.strip("/").replace("/", "_")
     cache = f"/tmp/pdf2dom_jsonl/{tag}_v{JSONLGEN_VERSION}"
     return read_jsonl(write_jsonl_shards(sf_dir, cache))
+
+
+def _q_csv_ingest(sf_dir: str):
+    """CSV-shard corpus ingestion: gzipped .csv.gz shards (written
+    once per sf to a /tmp cache, synth/csvgen.py) -> Ray's native
+    file-parallel read_csv with an explicit Arrow schema (one read
+    task per shard). The roundtrip reproduces documents.parquet
+    exactly — the synth writer rule IS the oracle."""
+    import pyarrow as _pa
+    import ray.data as rd
+
+    from pdf2dom_ray.synth.csvgen import (CSVGEN_VERSION,
+                                          write_csv_shards)
+    tag = sf_dir.strip("/").replace("/", "_")
+    cache = f"/tmp/pdf2dom_csv/{tag}_v{CSVGEN_VERSION}"
+    from pyarrow import csv as pacsv
+    conv = pacsv.ConvertOptions(column_types={
+        "doc_id": _pa.int64(), "text": _pa.string(),
+        "lang": _pa.string(), "source": _pa.string(),
+        "n_chars": _pa.int64()})
+    return rd.read_csv(write_csv_shards(sf_dir, cache),
+                       convert_options=conv,
+                       file_extensions=["gz"])
 
 
 def _q_fingerprint(sf_dir: str):

@@ -228,7 +228,8 @@ def run_bench() -> dict:
                  "label_dispersion", "hopping_distinct_users",
                  "link_ktruss", "props_field_histogram",
                  "link_matching", "link_eff_diameter",
-                 "host_conductance", "decayed_user_value"):
+                 "host_conductance", "decayed_user_value",
+                 "csv_ingest"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
