@@ -505,6 +505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_conductance": _q_host_conductance,
         "decayed_user_value": _q_decayed_user_value,
         "csv_ingest": _q_csv_ingest,
+        "bounce_rate": _q_bounce_rate,
         "link_lpa_bsp": _q_link_lpa_bsp,
         "link_harmonic": _q_link_harmonic,
         "link_harmonic_bsp": _q_link_harmonic_bsp,
@@ -1457,6 +1458,37 @@ def oracle_sql() -> dict[str, str]:
         "vocab_growth": _vocab_growth_sql(),
         # JSONL ingestion roundtrip: the synth shard writer serializes
         # documents.parquet verbatim, so the oracle is the table itself
+        "bounce_rate": """
+            WITH g AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN ts - lag(ts) OVER w
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS ns
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, event_id)),
+            s AS (
+                SELECT *, SUM(ns) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING)
+                           AS sid
+                FROM g),
+            per AS (
+                SELECT user_id, sid,
+                       FIRST(event_type ORDER BY ts, event_id)
+                           AS entry_type,
+                       COUNT(*) AS n
+                FROM s GROUP BY 1, 2)
+            SELECT entry_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_bounces,
+                   CAST((1000000 * SUM(CASE WHEN n = 1 THEN 1
+                                       ELSE 0 END))
+                        // GREATEST(COUNT(*), 1) AS BIGINT)
+                       AS bounce_ppm
+            FROM per GROUP BY 1 ORDER BY 1
+        """,
         "csv_ingest": """
             SELECT doc_id, text, lang, source, n_chars
             FROM documents
@@ -4497,6 +4529,14 @@ def _q_csv_ingest(sf_dir: str):
     return rd.read_csv(write_csv_shards(sf_dir, cache),
                        convert_options=conv,
                        file_extensions=["gz"])
+
+
+def _q_bounce_rate(sf_dir: str):
+    """Per entry-type session bounce rate (pipelines/metrics.py):
+    the sessionize gap rule + first-event attribution in the same
+    single user-hash exchange; integer ppm."""
+    from pdf2dom_ray.pipelines.metrics import bounce_rate
+    return bounce_rate(sf_dir)
 
 
 def _q_fingerprint(sf_dir: str):

@@ -229,7 +229,7 @@ def run_bench() -> dict:
                  "link_ktruss", "props_field_histogram",
                  "link_matching", "link_eff_diameter",
                  "host_conductance", "decayed_user_value",
-                 "csv_ingest"):
+                 "csv_ingest", "bounce_rate"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

@@ -386,3 +386,71 @@ def events_rollup(sf_dir: str, *, num_partitions: int | None = None) -> rd.Datas
               .repartition(1)
               .map_batches(coarse, batch_format="pandas"))
     return finest.union(rolled)
+
+
+def bounce_rate(sf_dir: str, gap_minutes: int = 30,
+                num_partitions: int | None = None) -> rd.Dataset:
+    """Per entry-event-type bounce rate: sessions (the ``sessionize``
+    gap rule) grouped by their FIRST event's type; a bounce is a
+    single-event session. (entry_type, n_sessions, n_bounces,
+    bounce_ppm), sorted — the landing-page quality readout.
+
+    Scale shape: the sessionize exchange (ONE user-hash shuffle, one
+    vectorized pass per partition — session ids are a cumsum of gap
+    boundaries, entry = first row of each (user, session) run since
+    the sort is (user, ts, event_id)); per-partition partials are
+    ≤ |event types| rows, folded on the driver. Integer ppm.
+    """
+    from ..scale import scale_partitions
+    num_partitions = num_partitions or scale_partitions()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["user_id"], index=False)
+        return df.assign(__part=(h % num_partitions).astype("int64"))
+
+    def per_partition(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        boundary = (g["user_id"] != g["user_id"].shift(1)) | \
+                   (g["ts"].diff() > gap)
+        sid = boundary.cumsum()
+        per = g.assign(__sid=sid).groupby("__sid", sort=False) \
+            .agg(entry_type=("event_type", "first"),
+                 n=("event_type", "size"))
+        out = pd.DataFrame({
+            "entry_type": per["entry_type"],
+            "n_sessions": np.ones(len(per), np.int64),
+            "n_bounces": (per["n"] == 1).astype(np.int64)}) \
+            .groupby("entry_type", as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = (ds.map_batches(tag, batch_format="pandas")
+               .groupby("__part")
+               .map_groups(per_partition, batch_format="pandas"))
+
+    from ..functions.fold import bounded_fold_tables
+    tables = bounded_fold_tables(parts)
+    if not tables:
+        return rd.from_arrow(pa.table({
+            "entry_type": pa.array([], pa.string()),
+            "n_sessions": pa.array([], pa.int64()),
+            "n_bounces": pa.array([], pa.int64()),
+            "bounce_ppm": pa.array([], pa.int64())}))
+    schema = pa.schema([("entry_type", pa.string()),
+                        ("n_sessions", pa.int64()),
+                        ("n_bounces", pa.int64())])
+    merged = pa.concat_tables([t.cast(schema) for t in tables]) \
+        .to_pandas().groupby("entry_type", as_index=False).sum() \
+        .sort_values("entry_type")
+    ns = merged["n_sessions"].to_numpy(np.int64)
+    nb = merged["n_bounces"].to_numpy(np.int64)
+    return rd.from_arrow(pa.table({
+        "entry_type": pa.array(merged["entry_type"], pa.string()),
+        "n_sessions": pa.array(ns, pa.int64()),
+        "n_bounces": pa.array(nb, pa.int64()),
+        "bounce_ppm": pa.array((1_000_000 * nb)
+                               // np.maximum(ns, 1), pa.int64())}))

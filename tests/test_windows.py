@@ -31,3 +31,54 @@ def test_hopping_distinct_partition_invariance(ray_session, sf_dir):
     a = hopping_distinct_users(sf_dir, num_partitions=2).to_pandas()
     b = hopping_distinct_users(sf_dir, num_partitions=5).to_pandas()
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_bounce_rate_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+
+    from pdf2dom_ray.pipelines.metrics import bounce_rate
+    got = bounce_rate(sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet')")
+    want = con.execute("""
+        WITH g AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS ns
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) sid
+              FROM g),
+        per AS (SELECT user_id, sid,
+                       FIRST(event_type ORDER BY ts, event_id)
+                           AS entry_type, COUNT(*) AS n
+                FROM s GROUP BY 1, 2)
+        SELECT entry_type, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bounces,
+               CAST((1000000 * SUM(CASE WHEN n = 1 THEN 1 ELSE 0
+                                   END)) // GREATEST(COUNT(*), 1)
+                    AS BIGINT) AS bounce_ppm
+        FROM per GROUP BY 1 ORDER BY 1""").fetchdf()
+    assert got.reset_index(drop=True).equals(
+        want.reset_index(drop=True))
+    assert len(got) > 0
+
+
+def test_bounce_rate_consistent_with_sessionize(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.metrics import bounce_rate, sessionize
+    br = bounce_rate(sf_dir).to_pandas()
+    sz = sessionize(sf_dir).to_pandas()
+    # total sessions must agree between the two views of one rule
+    assert br.n_sessions.sum() == sz.n_sessions.sum()
+    assert (br.n_bounces <= br.n_sessions).all()
+
+
+def test_bounce_rate_partition_invariance(ray_session, sf_dir):
+    from pdf2dom_ray.pipelines.metrics import bounce_rate
+    a = bounce_rate(sf_dir, num_partitions=2).to_pandas()
+    b = bounce_rate(sf_dir, num_partitions=7).to_pandas()
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
