@@ -428,6 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": _q_rfm_segments,
         "source_ttr": _q_source_ttr,
         "label_dispersion": _q_label_dispersion,
+        "label_centroid_dist": _q_label_centroid_dist,
         "hopping_distinct_users": _q_hopping_distinct_users,
         "props_field_histogram": _q_props_field_histogram,
         "local_supplier_volume": _q_local_supplier_volume,
@@ -2129,6 +2130,7 @@ def oracle_sql() -> dict[str, str]:
         "rfm_segments": _rfm_sql(),
         "source_ttr": _source_ttr_sql(),
         "label_dispersion": _label_dispersion_sql(),
+        "label_centroid_dist": _centroid_dist_sql(),
         "hopping_distinct_users": _hopping_distinct_sql(),
         "props_field_histogram": _props_hist_sql(),
         "product_profit": """
@@ -4109,6 +4111,21 @@ def _q_source_ttr(sf_dir: str):
     return source_ttr(ds)
 
 
+def _q_label_centroid_dist(sf_dir: str):
+    """Inter-label centroid distance matrix
+    (functions/dispersion.py): exact bigint evaluation of
+    (10^6 * sum (s_a*n_b - s_b*n_a)^2) // (n_a^2 n_b^2 scale^2) from
+    the same per-(label, dim) moment partials as label_dispersion —
+    within + between cluster geometry from one partial shape."""
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.dispersion import \
+        label_centroid_distances
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+    return label_centroid_distances(ds)
+
+
 def _q_label_dispersion(sf_dir: str):
     """Per-label embedding centroid dispersion
     (functions/dispersion.py): one-pass n*sum(n*q - s^2) integer
@@ -4169,6 +4186,12 @@ def _props_hist_sql() -> str:
 def _hopping_distinct_sql() -> str:
     from pdf2dom_ray.functions.windows import hopping_distinct_sql
     return hopping_distinct_sql()
+
+
+def _centroid_dist_sql() -> str:
+    from pdf2dom_ray.functions.dispersion import \
+        centroid_distances_oracle_sql
+    return centroid_distances_oracle_sql()
 
 
 def _label_dispersion_sql() -> str:

@@ -229,7 +229,8 @@ def run_bench() -> dict:
                  "link_ktruss", "props_field_histogram",
                  "link_matching", "link_eff_diameter",
                  "host_conductance", "decayed_user_value",
-                 "csv_ingest", "bounce_rate"):
+                 "csv_ingest", "bounce_rate",
+                 "label_centroid_dist"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

@@ -24,7 +24,9 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-__all__ = ["label_dispersion", "label_dispersion_oracle_sql"]
+__all__ = ["label_dispersion", "label_dispersion_oracle_sql",
+           "label_centroid_distances",
+           "centroid_distances_oracle_sql"]
 
 
 def label_dispersion(ds: rd.Dataset, *, label_col: str = "label",
@@ -108,4 +110,116 @@ def label_dispersion_oracle_sql(table: str = "embeddings",
                CAST(n AS BIGINT) AS n_vecs,
                CAST(n * t AS BIGINT) AS dispersion
         FROM d ORDER BY 1
+    """
+
+
+def label_centroid_distances(ds: rd.Dataset, *,
+                             label_col: str = "label",
+                             vec_col: str = "embedding",
+                             scale: int = 1000) -> rd.Dataset:
+    """(label_a, label_b, dist_sq_micro) for every label pair
+    (a < b): squared Euclidean centroid distance in ORIGINAL units,
+    floored to micro-units — ``⌊10⁶·Σᵢ(s_aᵢ/n_a − s_bᵢ/n_b)²/scale²⌋``
+    evaluated EXACTLY as ``(10⁶·Σᵢ(s_aᵢ·n_b − s_bᵢ·n_a)²) //
+    (n_a²·n_b²·scale²)`` in arbitrary-precision integers (Python
+    bigints here, HUGEINT in the oracle) — the inter-cluster
+    separation matrix that pairs with ``label_dispersion``'s
+    within-cluster tightness for a full cluster-quality audit.
+
+    Scale shape: the SAME per-(label, dim) integer moment partials
+    as ``label_dispersion`` (labels×D narrow rows per batch, one
+    driver fold); the k×k pair loop runs on k·D driver integers.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        labels = np.asarray(t.column(label_col), dtype=np.int64)
+        vecs = t.column(vec_col)
+        if isinstance(vecs, pa.ChunkedArray):
+            vecs = vecs.combine_chunks()
+        flat = np.asarray(vecs.values, dtype=np.float64)
+        offs = np.asarray(vecs.offsets, dtype=np.int64)
+        lens = np.diff(offs)
+        if not len(labels) or not lens.sum():
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "i": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        x = np.floor(flat * scale + 0.5).astype(np.int64)
+        row = np.repeat(np.arange(len(lens)), lens)
+        dim = np.arange(len(flat)) - offs[:-1][row]
+        df = pd.DataFrame({"label": labels[row], "i": dim,
+                           "n": np.ones(len(x), np.int64), "s": x})
+        return pa.Table.from_pandas(
+            df.groupby(["label", "i"], as_index=False).sum(),
+            preserve_index=False)
+
+    def fold_block(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(
+            t.to_pandas().groupby(["label", "i"],
+                                  as_index=False).sum(),
+            preserve_index=False)
+
+    from .fold import bounded_fold_tables
+    tables = bounded_fold_tables(
+        ds.map_batches(partial, batch_format="pyarrow"), fold_block)
+    empty = pa.table({"label_a": pa.array([], pa.int64()),
+                      "label_b": pa.array([], pa.int64()),
+                      "dist_sq_micro": pa.array([], pa.int64())})
+    if not tables:
+        return rd.from_arrow(empty)
+    g = pa.concat_tables(tables).to_pandas() \
+        .groupby(["label", "i"], as_index=False).sum()
+    labels = sorted(g["label"].unique().tolist())
+    piv_s = g.pivot(index="i", columns="label", values="s") \
+        .fillna(0).astype("int64")
+    n_of = g.groupby("label")["n"].max().to_dict()
+    la, lb, dd = [], [], []
+    for ai in range(len(labels)):
+        for bi in range(ai + 1, len(labels)):
+            a, b = labels[ai], labels[bi]
+            na, nb = int(n_of[a]), int(n_of[b])
+            sa = piv_s[a].to_numpy()
+            sb = piv_s[b].to_numpy()
+            num = sum((int(sa[i]) * nb - int(sb[i]) * na) ** 2
+                      for i in range(len(sa)))   # exact bigints
+            d = (1_000_000 * num) // (na * na * nb * nb
+                                      * scale * scale)
+            la.append(a)
+            lb.append(b)
+            dd.append(d)
+    return rd.from_arrow(pa.table({
+        "label_a": pa.array(la, pa.int64()),
+        "label_b": pa.array(lb, pa.int64()),
+        "dist_sq_micro": pa.array(dd, pa.int64())}))
+
+
+def centroid_distances_oracle_sql(table: str = "embeddings",
+                                  scale: int = 1000) -> str:
+    """HUGEINT twin — exact integer arithmetic end-to-end."""
+    return f"""
+        WITH e AS (
+          SELECT label, generate_subscripts(embedding, 1) AS i,
+                 CAST(floor(unnest(embedding) * {scale} + 0.5)
+                      AS BIGINT) AS x
+          FROM {table}),
+        g AS (SELECT label, i, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(x) AS BIGINT) AS s
+              FROM e GROUP BY 1, 2),
+        p AS (
+          SELECT a.label AS label_a, b.label AS label_b,
+                 -- explicit product: DuckDB ** promotes to DOUBLE
+                 SUM((CAST(a.s AS HUGEINT) * b.n
+                      - CAST(b.s AS HUGEINT) * a.n)
+                     * (CAST(a.s AS HUGEINT) * b.n
+                        - CAST(b.s AS HUGEINT) * a.n)) AS num,
+                 MAX(a.n) AS na, MAX(b.n) AS nb
+          FROM g a JOIN g b ON a.i = b.i AND a.label < b.label
+          GROUP BY 1, 2)
+        SELECT CAST(label_a AS BIGINT) AS label_a,
+               CAST(label_b AS BIGINT) AS label_b,
+               CAST((1000000 * num)
+                    // (CAST(na AS HUGEINT) * na * nb * nb
+                        * {scale} * {scale}) AS BIGINT)
+                   AS dist_sq_micro
+        FROM p ORDER BY 1, 2
     """

@@ -39,3 +39,41 @@ def test_dispersion_partition_invariance(ray_session, sf_dir):
     a = label_dispersion(ds.repartition(2)).to_pandas()
     b = label_dispersion(ds.repartition(9)).to_pandas()
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_centroid_distances_matches_duckdb(ray_session, sf_dir):
+    from pdf2dom_ray.functions.dispersion import (
+        centroid_distances_oracle_sql, label_centroid_distances)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+    got = label_centroid_distances(ds).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/embeddings.parquet')")
+    want = con.execute(centroid_distances_oracle_sql()).fetchdf()
+    assert got.reset_index(drop=True).equals(
+        want.reset_index(drop=True))
+    assert len(got) > 0 and (got.dist_sq_micro > 0).all()
+
+
+def test_centroid_distances_hand_case(ray_session):
+    from pdf2dom_ray.functions.dispersion import \
+        label_centroid_distances
+    # centroids (0.5, 0.5) and (-0.5, 0.5): d^2 = 1.0 -> 1e6 micro
+    ds = rd.from_items([
+        {"label": 0, "embedding": [0.0, 0.5]},
+        {"label": 0, "embedding": [1.0, 0.5]},
+        {"label": 1, "embedding": [-0.5, 0.5]}])
+    got = label_centroid_distances(ds).to_pandas()
+    assert got.values.tolist() == [[0, 1, 1_000_000]]
+
+
+def test_centroid_distances_partition_invariance(ray_session,
+                                                 sf_dir):
+    from pdf2dom_ray.functions.dispersion import \
+        label_centroid_distances
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+    a = label_centroid_distances(ds.repartition(2)).to_pandas()
+    b = label_centroid_distances(ds.repartition(9)).to_pandas()
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
