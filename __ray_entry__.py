@@ -5606,10 +5606,14 @@ def _q_dedup_incremental(sf_dir: str):
             return t.filter(m)
         return f
 
+    # ONE materialized scan feeds both sides (the two parity
+    # filters re-read pinned blocks, not the file)
+    base = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).materialize()
+
     def load(parity: int):
-        return rd.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"]) \
-            .map_batches(side(parity), batch_format="pyarrow")
+        return base.map_batches(side(parity),
+                                batch_format="pyarrow")
     return incremental_dedup(load(1), load(0))
 
 

@@ -653,26 +653,32 @@ def incremental_dedup(new_ds: rd.Dataset, ref_ds: rd.Dataset, *,
     cand = (nb.union(rb)
               .map_batches(part_tag, batch_format="pandas")
               .groupby("__part")
-              .map_groups(bucket_candidates, batch_format="pandas"))
-    from ray.data.aggregate import Min
-    best = _to_arrow_blocks(
-        cand.groupby("doc_id").aggregate(Min("dup_of",
-                                             alias_name="dup_of")))
-
-    blocks = []
-    for b in ray.get(best.to_arrow_refs()):
-        if isinstance(b, pd.DataFrame):   # empty blocks pass through
-            if len(b.columns) and len(b):
-                blocks.append(pa.Table.from_pandas(
-                    b, preserve_index=False))
-        elif b.num_columns and b.num_rows:
-            blocks.append(b)
-    n_cand = sum(b.num_rows for b in blocks)
+              .map_groups(bucket_candidates, batch_format="pandas")
+              .materialize())
+    # per-partition rows are already per-doc minima — ≤ |new docs|
+    # rows per partition; under the broadcast limit the cross-
+    # partition min-merge is a bounded driver fold (saves the whole
+    # sort-aggregate exchange the round-2 code paid here)
+    n_cand = cand.count()
     if n_cand <= broadcast_limit:
-        if blocks:
-            bt = pa.concat_tables(blocks)
-            keys = np.asarray(bt.column("doc_id"), dtype=np.int64)
-            vals = np.asarray(bt.column("dup_of"), dtype=np.int64)
+        def min_fold(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            if "doc_id" not in df.columns or not len(df):
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "dup_of": pa.array([], pa.int64())})
+            g = df.groupby("doc_id", as_index=False)["dup_of"].min()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        from .fold import bounded_fold_tables
+        tables = bounded_fold_tables(cand, min_fold)
+        if tables:
+            bt = pa.concat_tables(
+                [t.cast(pa.schema([("doc_id", pa.int64()),
+                                   ("dup_of", pa.int64())]))
+                 for t in tables]).to_pandas() \
+                .groupby("doc_id", as_index=False)["dup_of"].min()
+            keys = bt["doc_id"].to_numpy(np.int64)
+            vals = bt["dup_of"].to_numpy(np.int64)
         else:
             keys = np.empty(0, np.int64)
             vals = np.empty(0, np.int64)
@@ -699,6 +705,10 @@ def incremental_dedup(new_ds: rd.Dataset, ref_ds: rd.Dataset, *,
         return new_ds.select_columns(["doc_id"]).map_batches(
             attach, batch_format="pyarrow")
 
+    from ray.data.aggregate import Min
+    best = _to_arrow_blocks(
+        cand.groupby("doc_id").aggregate(Min("dup_of",
+                                             alias_name="dup_of")))
     n_part = max(2, num_partitions // 8)
     left = join_ready(new_ds.select_columns(["doc_id"]), n_part)
     out = left.join(join_ready(best, n_part), join_type="left_outer",
