@@ -503,6 +503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_ktruss": _q_link_ktruss,
         "link_matching": _q_link_matching,
         "link_eff_diameter": _q_link_eff_diameter,
+        "link_influence": _q_link_influence,
         "host_conductance": _q_host_conductance,
         "decayed_user_value": _q_decayed_user_value,
         "csv_ingest": _q_csv_ingest,
@@ -1362,6 +1363,7 @@ def oracle_sql() -> dict[str, str]:
         "link_ktruss": _ktruss_sql(),
         "link_matching": _matching_sql(),
         "link_eff_diameter": _eff_diameter_sql(),
+        "link_influence": _influence_sql(),
         "link_lpa_bsp": _lpa_sql(),
         "link_harmonic": _harmonic_sql(),
         "link_hopplot": _hopplot_sql(),
@@ -3134,6 +3136,29 @@ def _clustering_coef_sql() -> str:
         SELECT doc_id AS a,
                (doc_id + d) % (SELECT count(*) FROM documents) AS b
         FROM documents, (SELECT unnest([1, 2, 3]) AS d) ds""")
+
+
+def _influence_sql() -> str:
+    """The BFS oracle over the md5-coin live-edge subgraph (same
+    digraph rule as ``_bfs_edges``; p = 1/2 via hex < '8')."""
+    from pdf2dom_ray.functions.bfs import bfs_oracle_sql
+    edges = """
+        SELECT src, target FROM (
+            SELECT doc_id AS src,
+                   CAST((2 * doc_id + 1) %
+                        (SELECT count(*) FROM documents)
+                        AS BIGINT) AS target
+            FROM documents
+            UNION ALL
+            SELECT doc_id,
+                   CAST((3 * doc_id + 7) %
+                        (SELECT count(*) FROM documents)
+                        AS BIGINT)
+            FROM documents)
+        WHERE md5('ic:' || CAST(src AS VARCHAR) || ':'
+                  || CAST(target AS VARCHAR)) < '8'"""
+    return bfs_oracle_sql(edges, "SELECT CAST(0 AS BIGINT) AS node",
+                          rounds=8)
 
 
 def _bfs_sql() -> str:
@@ -5758,6 +5783,32 @@ def _bfs_edges(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id"]).map_batches(
         build, batch_format="pyarrow")
+
+
+def _q_link_influence(sf_dir: str):
+    """Independent-cascade influence spread, one deterministic
+    Monte-Carlo sample (Kempe-Kleinberg-Tardos 2003): each edge gets
+    ONE activation coin md5('ic:'||u||':'||v) < '8' (p = 1/2, the
+    repo's seeded-decision convention), so the spread IS a BFS over
+    the live-edge subgraph — activation round = live-edge depth from
+    the seed (pure composition: coin filter + functions/bfs.py)."""
+    import pyarrow.compute as _pc
+
+    from pdf2dom_ray.functions.bfs import bfs_depths
+
+    def live(t: pa.Table) -> pa.Table:
+        import hashlib
+        s = np.asarray(t.column("src"), dtype=np.int64)
+        g = np.asarray(t.column("target"), dtype=np.int64)
+        keep = np.fromiter(
+            (hashlib.md5(f"ic:{a}:{b}".encode()).hexdigest() < "8"
+             for a, b in zip(s.tolist(), g.tolist())),
+            dtype=bool, count=len(s))
+        return t.filter(pa.array(keep))
+
+    edges = _bfs_edges(sf_dir).map_batches(live,
+                                           batch_format="pyarrow")
+    return bfs_depths(edges, [0], rounds=8)
 
 
 def _q_link_bfs_depth(sf_dir: str):

@@ -56,3 +56,19 @@ def test_bfs_empty_edges(ray_session):
     ds = rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
                                  "target": pa.array([], pa.int64())}))
     assert bfs_depths(ds, [0], rounds=3).take_all() == []
+
+
+def test_influence_subset_of_reachability(ray_session, sf_dir):
+    """The IC sample is a BFS over a live-edge SUBgraph: every
+    activated node is reachable in the full graph at depth <= its
+    activation round, and the spread never exceeds full BFS."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+    inf = E.queries()["link_influence"](sf_dir).to_pandas()
+    full = E.queries()["link_bfs_depth"](sf_dir).to_pandas()
+    assert 0 < len(inf) <= len(full)
+    m = inf.merge(full, on="node", suffixes=("_ic", "_full"))
+    assert len(m) == len(inf)            # activated ⊆ reachable
+    assert (m.depth_full <= m.depth_ic).all()
+    assert int(inf.loc[inf.node == 0, "depth"].iloc[0]) == 0
