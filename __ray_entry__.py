@@ -506,6 +506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_influence": _q_link_influence,
         "host_conductance": _q_host_conductance,
         "decayed_user_value": _q_decayed_user_value,
+        "impute_group_median": _q_impute_group_median,
         "csv_ingest": _q_csv_ingest,
         "bounce_rate": _q_bounce_rate,
         "link_lpa_bsp": _q_link_lpa_bsp,
@@ -1388,6 +1389,7 @@ def oracle_sql() -> dict[str, str]:
         "host_modularity": _modularity_sql(),
         "host_conductance": _conductance_sql(),
         "decayed_user_value": _decay_sql(),
+        "impute_group_median": _impute_sql(),
         "link_rich_club": _rich_club_sql(),
         "link_harmonic_bsp": _harmonic_sql(),
         "link_ball_hll": _hyperball_sql(),
@@ -3316,6 +3318,11 @@ def _q_link_rich_club(sf_dir: str):
     return rich_club(_host_link_edges(sf_dir))
 
 
+def _impute_sql() -> str:
+    from pdf2dom_ray.functions.impute import impute_oracle_sql
+    return impute_oracle_sql()
+
+
 def _decay_sql() -> str:
     from pdf2dom_ray.functions.decay import decayed_value_oracle_sql
     return decayed_value_oracle_sql()
@@ -4187,6 +4194,14 @@ def _q_decayed_user_value(sf_dir: str):
     exp), one anchor pass + one combiner->hash-aggregate scan."""
     from pdf2dom_ray.functions.decay import decayed_user_value
     return decayed_user_value(sf_dir)
+
+
+def _q_impute_group_median(sf_dir: str):
+    """Group lower-median imputation over an md5-simulated missing
+    mask (functions/impute.py): one scan, one narrow value-histogram
+    groupby, driver median selection — integer end-to-end."""
+    from pdf2dom_ray.functions.impute import impute_group_median
+    return impute_group_median(sf_dir)
 
 
 def _q_trigram_backoff(sf_dir: str):

@@ -230,7 +230,8 @@ def run_bench() -> dict:
                  "link_matching", "link_eff_diameter",
                  "host_conductance", "decayed_user_value",
                  "csv_ingest", "bounce_rate",
-                 "label_centroid_dist", "link_influence"):
+                 "label_centroid_dist", "link_influence",
+                 "impute_group_median"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
