@@ -508,6 +508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_user_value": _q_decayed_user_value,
         "impute_group_median": _q_impute_group_median,
         "csv_ingest": _q_csv_ingest,
+        "federated_union": _q_federated_union,
         "bounce_rate": _q_bounce_rate,
         "link_lpa_bsp": _q_link_lpa_bsp,
         "link_harmonic": _q_link_harmonic,
@@ -1463,6 +1464,10 @@ def oracle_sql() -> dict[str, str]:
         "vocab_growth": _vocab_growth_sql(),
         # JSONL ingestion roundtrip: the synth shard writer serializes
         # documents.parquet verbatim, so the oracle is the table itself
+        "federated_union": """
+            SELECT doc_id, text, lang, source, n_chars
+            FROM documents
+        """,
         "bounce_rate": """
             WITH g AS (
                 SELECT user_id, ts, event_id, event_type,
@@ -4592,6 +4597,49 @@ def _q_csv_ingest(sf_dir: str):
     return rd.read_csv(write_csv_shards(sf_dir, cache),
                        convert_options=conv,
                        file_extensions=["gz"])
+
+
+def _q_federated_union(sf_dir: str):
+    """Federated ingestion: the SAME corpus read through THREE
+    formats (parquet + gzipped JSONL shards + gzipped CSV shards),
+    unioned and exact-deduped by doc_id (hash-partition first-copy —
+    each replica is byte-identical by the synth writer rules, so the
+    dedup keeps any one). Reproduces documents.parquet exactly: the
+    federation leg every mixed-layout corpus (Dolma + CC + internal
+    dumps) runs before curation."""
+    import pyarrow as _pa
+    import ray.data as rd
+    from pyarrow import csv as pacsv
+
+    from pdf2dom_ray.sources.jsonl import read_jsonl
+    from pdf2dom_ray.synth.csvgen import (CSVGEN_VERSION,
+                                          write_csv_shards)
+    from pdf2dom_ray.synth.jsonlgen import (JSONLGEN_VERSION,
+                                            write_jsonl_shards)
+    tag = sf_dir.strip("/").replace("/", "_")
+    pq_ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    jl_ds = read_jsonl(write_jsonl_shards(
+        sf_dir, f"/tmp/pdf2dom_jsonl/{tag}_v{JSONLGEN_VERSION}"))
+    conv = pacsv.ConvertOptions(column_types={
+        "doc_id": _pa.int64(), "text": _pa.string(),
+        "lang": _pa.string(), "source": _pa.string(),
+        "n_chars": _pa.int64()})
+    cv_ds = rd.read_csv(write_csv_shards(
+        sf_dir, f"/tmp/pdf2dom_csv/{tag}_v{CSVGEN_VERSION}"),
+        convert_options=conv, file_extensions=["gz"])
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+
+    def order(t: pa.Table) -> pa.Table:
+        return t.select(cols)
+
+    u = pq_ds.map_batches(order, batch_format="pyarrow")         .union(jl_ds.map_batches(order, batch_format="pyarrow"))         .union(cv_ds.map_batches(order, batch_format="pyarrow"))
+
+    def first_copy(df):
+        return df.drop_duplicates(subset=["doc_id"])
+
+    from pdf2dom_ray.stages.hashagg import hash_aggregate
+    return hash_aggregate(u, ["doc_id"], first_copy)
 
 
 def _q_bounce_rate(sf_dir: str):

@@ -44,3 +44,15 @@ def test_csv_writer_quotes_special_chars(tmp_path, ray_session):
                           "text": pa.string()}))
     assert t.column("text").to_pylist() == \
         ['a,b', 'say "hi"', 'line\nbreak']
+
+
+def test_federated_union_reproduces_documents(ray_session, sf_dir):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+    got = E.queries()["federated_union"](sf_dir).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == len(want)
+    assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
