@@ -463,6 +463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_fd_sketch": _q_embedding_fd_sketch,
         "integrity_orphans": _q_integrity_orphans,
         "link_neighbor_overlap": _q_link_neighbor_overlap,
+        "local_bridges": _q_local_bridges,
         "crawl_budget_apportion": _q_crawl_budget_apportion,
         "benford_prices": _q_benford_prices,
         "url_frontcoding": _q_url_frontcoding,
@@ -1178,6 +1179,7 @@ def oracle_sql() -> dict[str, str]:
         "source_lang_long": _melt_sql(),
         "integrity_orphans": _integrity_sql(),
         "link_neighbor_overlap": _linkpred_sql(),
+        "local_bridges": _local_bridges_sql(),
         "crawl_budget_apportion": _apportion_sql(),
         "benford_prices": _benford_sql(),
         "url_frontcoding": _frontcoding_sql(),
@@ -5247,6 +5249,15 @@ def _q_crawl_budget_apportion(sf_dir: str):
     return apportion_budget(ds, budget=1000)
 
 
+def _local_bridges_sql() -> str:
+    """The linkpred oracle restricted to cn = 0 edges."""
+    inner = _linkpred_sql()
+    return f"""
+        WITH ov AS ({inner})
+        SELECT a, b, da, db FROM ov WHERE cn = 0 ORDER BY a, b
+    """
+
+
 def _linkpred_sql() -> str:
     """Double-adjacency common-neighbor twin over the multi-host URL
     digraph (functions/linkpred.py::edge_overlap_oracle_sql)."""
@@ -5262,6 +5273,25 @@ def _q_link_neighbor_overlap(sf_dir: str):
     with EDGE crediting (functions/linkpred.py)."""
     from pdf2dom_ray.functions.linkpred import edge_neighbor_overlap
     return edge_neighbor_overlap(_host_link_edges(sf_dir))
+
+
+def _q_local_bridges(sf_dir: str):
+    """Granovetter local bridges: undirected edges whose endpoints
+    share NO common neighbor (span > 2) — the weak ties that carry
+    novel information between communities and whose removal
+    lengthens paths. Pure composition: edge_neighbor_overlap's
+    cn == 0 slice, with the per-edge degrees kept as evidence."""
+    import pyarrow.compute as _pc
+
+    from pdf2dom_ray.functions.linkpred import edge_neighbor_overlap
+    ov = edge_neighbor_overlap(_host_link_edges(sf_dir))
+
+    def bridges(t: pa.Table) -> pa.Table:
+        t = t.filter(_pc.equal(t.column("cn"), 0))
+        return t.select(["a", "b", "da", "db"])
+
+    return ov.map_batches(bridges, batch_format="pyarrow") \
+        .sort(["a", "b"])
 
 
 _INTEGRITY_SPECS = (

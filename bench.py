@@ -231,7 +231,8 @@ def run_bench() -> dict:
                  "host_conductance", "decayed_user_value",
                  "csv_ingest", "bounce_rate",
                  "label_centroid_dist", "link_influence",
-                 "impute_group_median", "federated_union"):
+                 "impute_group_median", "federated_union",
+                 "local_bridges"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

@@ -54,3 +54,16 @@ def test_ktruss_dup_and_selfloop_input(ray_session):
 def test_ktruss_k_below_3_raises(ray_session):
     with pytest.raises(ValueError):
         ktruss_edges(_edges([(0, 1)]), k=2)
+
+
+def test_local_bridges_complement_triangle_edges(ray_session):
+    """On two triangles joined by one edge, exactly the joining edge
+    is a local bridge (its endpoints share no neighbor)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from pdf2dom_ray.functions.linkpred import edge_neighbor_overlap
+    ed = _edges([(0, 1), (1, 2), (0, 2),
+                 (10, 11), (11, 12), (10, 12), (2, 10)])
+    ov = edge_neighbor_overlap(ed).to_pandas()
+    bridges = ov[ov.cn == 0]
+    assert bridges[["a", "b"]].values.tolist() == [[2, 10]]
