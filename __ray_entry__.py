@@ -502,6 +502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_kcore_bsp": _q_link_kcore_bsp,
         "link_lpa": _q_link_lpa,
         "link_ktruss": _q_link_ktruss,
+        "link_core_number": _q_link_core_number,
         "link_matching": _q_link_matching,
         "link_eff_diameter": _q_link_eff_diameter,
         "link_influence": _q_link_influence,
@@ -1365,6 +1366,7 @@ def oracle_sql() -> dict[str, str]:
         "link_kcore_bsp": _kcore_sql(),
         "link_lpa": _lpa_sql(),
         "link_ktruss": _ktruss_sql(),
+        "link_core_number": _core_number_sql(),
         "link_matching": _matching_sql(),
         "link_eff_diameter": _eff_diameter_sql(),
         "link_influence": _influence_sql(),
@@ -3476,6 +3478,31 @@ def _hyperball_sql() -> str:
                     AS BIGINT)
         FROM documents"""
     return hyperball_oracle_sql(edges, radius=4)
+
+
+def _core_number_sql() -> str:
+    """Union of the k = 1..5 unrolled kcore oracles, max per node
+    (each inner query carries its own AS MATERIALIZED rounds)."""
+    from pdf2dom_ray.functions.kcore import kcore_oracle_sql
+    edges = """
+        SELECT doc_id AS src, CAST(doc_id + k AS BIGINT) AS target
+        FROM documents, (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS k) ks
+        WHERE doc_id % 8 + k <= 7
+          AND doc_id + k < (SELECT count(*) FROM documents)
+        UNION ALL
+        SELECT doc_id, CAST(doc_id + 8 AS BIGINT) FROM documents
+        WHERE doc_id % 8 = 0
+          AND doc_id + 8 < (SELECT count(*) FROM documents)"""
+    legs = "\n            UNION ALL ".join(
+        f"SELECT node, {k} AS core_number FROM "
+        f"({kcore_oracle_sql(edges, k=k, rounds=6)})"
+        for k in range(1, 6))
+    return f"""
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(MAX(core_number) AS BIGINT) AS core_number
+        FROM ({legs})
+        GROUP BY 1 ORDER BY 1
+    """
 
 
 def _ktruss_sql() -> str:
@@ -6008,6 +6035,35 @@ def _lpa_edges(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id"]).map_batches(
         build, batch_format="pyarrow")
+
+
+def _q_link_core_number(sf_dir: str):
+    """Core-number decomposition (bounded levels): each node's max k
+    with the node surviving the k-core peel, k = 1..5 at 6 synchronous
+    rounds per level — the degeneracy-ordering readout built as a
+    composition of functions/kcore.py over the planted-clique graph
+    (full blocks of 8 reach core 5+, partial tail blocks and bridge
+    leaders stop earlier)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.kcore import kcore_nodes
+    frames = []
+    for k in range(1, 6):
+        df = kcore_nodes(_lpa_edges(sf_dir), k=k,
+                         rounds=6).to_pandas()
+        if len(df):
+            frames.append(pd.DataFrame({"node": df["node"],
+                                        "core_number": k}))
+    if not frames:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "core_number": pa.array([], pa.int64())}))
+    out = pd.concat(frames, ignore_index=True) \
+        .groupby("node", as_index=False)["core_number"].max() \
+        .sort_values("node")
+    return rd.from_arrow(pa.Table.from_pandas(
+        out, preserve_index=False))
 
 
 def _q_link_ktruss(sf_dir: str):

@@ -108,3 +108,20 @@ def test_kcore_oracle_sql_matches(ray_session):
         k=3, rounds=4)
     want = sorted(map(tuple, duckdb.sql(sql).fetchall()))
     assert got == want
+
+
+def test_core_number_composition(ray_session, sf_dir):
+    """Core numbers are the max-k survival across kcore levels, and
+    the planted-clique graph's full blocks reach core 5."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+    got = E.queries()["link_core_number"](sf_dir).to_pandas()
+    assert got.core_number.max() == 5          # capped at K=5
+    assert got.core_number.min() >= 1
+    # monotone containment: the k-core survivors at k=3 are exactly
+    # the nodes with core_number >= 3
+    from pdf2dom_ray.functions.kcore import kcore_nodes
+    k3 = set(kcore_nodes(E.__dict__["_lpa_edges"](sf_dir), k=3,
+                         rounds=6).to_pandas().node)
+    assert set(got.loc[got.core_number >= 3, "node"]) == k3
