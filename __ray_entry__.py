@@ -509,6 +509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_conductance": _q_host_conductance,
         "decayed_user_value": _q_decayed_user_value,
         "impute_group_median": _q_impute_group_median,
+        "kmv_quantiles": _q_kmv_quantiles,
         "csv_ingest": _q_csv_ingest,
         "federated_union": _q_federated_union,
         "bounce_rate": _q_bounce_rate,
@@ -1395,6 +1396,7 @@ def oracle_sql() -> dict[str, str]:
         "host_conductance": _conductance_sql(),
         "decayed_user_value": _decay_sql(),
         "impute_group_median": _impute_sql(),
+        "kmv_quantiles": _kmv_sql(),
         "link_rich_club": _rich_club_sql(),
         "link_harmonic_bsp": _harmonic_sql(),
         "link_ball_hll": _hyperball_sql(),
@@ -3327,6 +3329,11 @@ def _q_link_rich_club(sf_dir: str):
     return rich_club(_host_link_edges(sf_dir))
 
 
+def _kmv_sql() -> str:
+    from pdf2dom_ray.functions.kmv import kmv_oracle_sql
+    return kmv_oracle_sql()
+
+
 def _impute_sql() -> str:
     from pdf2dom_ray.functions.impute import impute_oracle_sql
     return impute_oracle_sql()
@@ -4236,6 +4243,15 @@ def _q_impute_group_median(sf_dir: str):
     groupby, driver median selection — integer end-to-end."""
     from pdf2dom_ray.functions.impute import impute_group_median
     return impute_group_median(sf_dir)
+
+
+def _q_kmv_quantiles(sf_dir: str):
+    """Bottom-k (KMV) sampled quantiles (functions/kmv.py): the
+    mergeable one-pass quantile sketch — min-k md5 sample is a pure
+    set function (partition-invariant, unlike GK/KLL), selections
+    hash-match the ORDER BY md5 LIMIT k SQL twin exactly."""
+    from pdf2dom_ray.functions.kmv import kmv_quantiles
+    return kmv_quantiles(sf_dir)
 
 
 def _q_trigram_backoff(sf_dir: str):

@@ -232,7 +232,8 @@ def run_bench() -> dict:
                  "csv_ingest", "bounce_rate",
                  "label_centroid_dist", "link_influence",
                  "impute_group_median", "federated_union",
-                 "local_bridges", "link_core_number"):
+                 "local_bridges", "link_core_number",
+                 "kmv_quantiles"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
