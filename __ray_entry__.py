@@ -503,6 +503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_lpa": _q_link_lpa,
         "link_ktruss": _q_link_ktruss,
         "link_core_number": _q_link_core_number,
+        "link_max_forest": _q_link_max_forest,
         "link_matching": _q_link_matching,
         "link_eff_diameter": _q_link_eff_diameter,
         "link_influence": _q_link_influence,
@@ -1368,6 +1369,7 @@ def oracle_sql() -> dict[str, str]:
         "link_lpa": _lpa_sql(),
         "link_ktruss": _ktruss_sql(),
         "link_core_number": _core_number_sql(),
+        "link_max_forest": _boruvka_sql(),
         "link_matching": _matching_sql(),
         "link_eff_diameter": _eff_diameter_sql(),
         "link_influence": _influence_sql(),
@@ -3485,6 +3487,30 @@ def _hyperball_sql() -> str:
                     AS BIGINT)
         FROM documents"""
     return hyperball_oracle_sql(edges, radius=4)
+
+
+def _boruvka_sql() -> str:
+    """Unrolled 3-round Boruvka over the planted-clique graph with
+    the (31*min + 17*max) %% 1001 weight rule
+    (functions/boruvka.py::boruvka_oracle_sql)."""
+    from pdf2dom_ray.functions.boruvka import boruvka_oracle_sql
+    edges = """
+        SELECT src, target,
+               (31 * least(src, target)
+                + 17 * greatest(src, target)) % 1001 AS w
+        FROM (
+            SELECT doc_id AS src, CAST(doc_id + k AS BIGINT)
+                       AS target
+            FROM documents,
+                 (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS k) ks
+            WHERE doc_id % 8 + k <= 7
+              AND doc_id + k < (SELECT count(*) FROM documents)
+            UNION ALL
+            SELECT doc_id, CAST(doc_id + 8 AS BIGINT)
+            FROM documents
+            WHERE doc_id % 8 = 0
+              AND doc_id + 8 < (SELECT count(*) FROM documents))"""
+    return boruvka_oracle_sql(edges, rounds=3, label_rounds=5)
 
 
 def _core_number_sql() -> str:
@@ -6080,6 +6106,27 @@ def _q_link_core_number(sf_dir: str):
         .sort_values("node")
     return rd.from_arrow(pa.Table.from_pandas(
         out, preserve_index=False))
+
+
+def _q_link_max_forest(sf_dir: str):
+    """Boruvka maximum-weight spanning forest (3 bounded rounds, 5
+    hash-min merge rounds each) over the planted-clique graph with
+    the deterministic weight rule w = (31*min + 17*max) % 1001 —
+    the heaviest-link backbone selection (functions/boruvka.py)."""
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.boruvka import boruvka_forest
+
+    def add_w(t: pa.Table) -> pa.Table:
+        s = np.asarray(t.column("src"), dtype=np.int64)
+        g = np.asarray(t.column("target"), dtype=np.int64)
+        lo, hi = np.minimum(s, g), np.maximum(s, g)
+        w = (31 * lo + 17 * hi) % 1001
+        return t.append_column("w", pa.array(w, pa.int64()))
+
+    edges = _lpa_edges(sf_dir).map_batches(add_w,
+                                           batch_format="pyarrow")
+    return boruvka_forest(edges, rounds=3, label_rounds=5)
 
 
 def _q_link_ktruss(sf_dir: str):
