@@ -45,11 +45,26 @@ def fk_orphans(pairs, *, broadcast_limit: int = 50_000_000,
             (name, child_key, parent, parent_key))
         order.append(name)
 
+    # collect every parent-key universe CONCURRENTLY — each is its
+    # own small Ray job and the serial per-dimension materialize was
+    # the dominant fixed cost of the audit (one thread per parent;
+    # the GIL releases while each waits on its job)
+    from concurrent.futures import ThreadPoolExecutor
+    all_parents = [(name, parent, parent_key)
+                   for _, specs in grouped.values()
+                   for name, _, parent, parent_key in specs]
+    with ThreadPoolExecutor(max_workers=max(len(all_parents), 1)) \
+            as ex:
+        key_futs = {name: ex.submit(_parent_keys, parent, pk)
+                    for name, parent, pk in all_parents}
+        key_arrays = {name: f.result()
+                      for name, f in key_futs.items()}
+
     results: dict = {}
     for child, specs in grouped.values():
         broadcastable = []
         for name, child_key, parent, parent_key in specs:
-            keys = _parent_keys(parent, parent_key)
+            keys = key_arrays[name]
             if len(keys) <= broadcast_limit:
                 broadcastable.append((name, child_key,
                                       ray.put(keys)))
@@ -76,10 +91,17 @@ def fk_orphans(pairs, *, broadcast_limit: int = 50_000_000,
 
             parts = child.select_columns(cols).map_batches(
                 probe, batch_format="pyarrow").materialize()
-            n_child = int(parts.sum("n") or 0)
+            # one direct block fetch — a .sum() per column would be
+            # a separate Ray job each (measured ~0.1 s apiece)
+            tabs = [b for b in ray.get(parts.to_arrow_refs())
+                    if b.num_columns and b.num_rows]
+            folded = pa.concat_tables(tabs) if tabs else None
+            n_child = int(folded.column("n").to_numpy().sum()) \
+                if folded is not None else 0
             for name_, _, _ in broadcastable:
-                results[name_] = (n_child,
-                                  int(parts.sum(name_) or 0))
+                cnt = int(folded.column(name_).to_numpy().sum()) \
+                    if folded is not None else 0
+                results[name_] = (n_child, cnt)
 
     return rd.from_arrow(pa.table({
         "relationship": pa.array(order, pa.string()),
