@@ -429,6 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_ttr": _q_source_ttr,
         "label_dispersion": _q_label_dispersion,
         "label_centroid_dist": _q_label_centroid_dist,
+        "centroid_confusion": _q_centroid_confusion,
         "hopping_distinct_users": _q_hopping_distinct_users,
         "props_field_histogram": _q_props_field_histogram,
         "local_supplier_volume": _q_local_supplier_volume,
@@ -2148,6 +2149,7 @@ def oracle_sql() -> dict[str, str]:
         "source_ttr": _source_ttr_sql(),
         "label_dispersion": _label_dispersion_sql(),
         "label_centroid_dist": _centroid_dist_sql(),
+        "centroid_confusion": _centroid_confusion_sql(),
         "hopping_distinct_users": _hopping_distinct_sql(),
         "props_field_histogram": _props_hist_sql(),
         "product_profit": """
@@ -4225,6 +4227,19 @@ def _q_label_centroid_dist(sf_dir: str):
     return label_centroid_distances(ds)
 
 
+def _q_centroid_confusion(sf_dir: str):
+    """Nearest-centroid (Rocchio) confusion census
+    (functions/dispersion.py): quantized fixed-point centroids
+    broadcast once, pure int64 argmin per batch, labels^2 count
+    fold — the label-coherence audit before centroid curation."""
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.dispersion import \
+        nearest_centroid_confusion
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return nearest_centroid_confusion(ds)
+
+
 def _q_label_dispersion(sf_dir: str):
     """Per-label embedding centroid dispersion
     (functions/dispersion.py): one-pass n*sum(n*q - s^2) integer
@@ -4302,6 +4317,12 @@ def _props_hist_sql() -> str:
 def _hopping_distinct_sql() -> str:
     from pdf2dom_ray.functions.windows import hopping_distinct_sql
     return hopping_distinct_sql()
+
+
+def _centroid_confusion_sql() -> str:
+    from pdf2dom_ray.functions.dispersion import \
+        nearest_centroid_oracle_sql
+    return nearest_centroid_oracle_sql()
 
 
 def _centroid_dist_sql() -> str:

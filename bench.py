@@ -233,7 +233,8 @@ def run_bench() -> dict:
                  "label_centroid_dist", "link_influence",
                  "impute_group_median", "federated_union",
                  "local_bridges", "link_core_number",
-                 "kmv_quantiles", "link_max_forest"):
+                 "kmv_quantiles", "link_max_forest",
+                 "centroid_confusion"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

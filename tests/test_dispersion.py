@@ -77,3 +77,43 @@ def test_centroid_distances_partition_invariance(ray_session,
     a = label_centroid_distances(ds.repartition(2)).to_pandas()
     b = label_centroid_distances(ds.repartition(9)).to_pandas()
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_centroid_confusion_matches_duckdb(ray_session, sf_dir):
+    from pdf2dom_ray.functions.dispersion import (
+        nearest_centroid_confusion, nearest_centroid_oracle_sql)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    got = nearest_centroid_confusion(ds).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/embeddings.parquet')")
+    want = con.execute(nearest_centroid_oracle_sql()).fetchdf()
+    assert got.reset_index(drop=True).equals(
+        want.reset_index(drop=True))
+    # census covers every vector exactly once
+    import pyarrow.parquet as pq
+    assert got.n.sum() == pq.read_metadata(
+        f"{sf_dir}/embeddings.parquet").num_rows
+
+
+def test_centroid_confusion_separated_clusters(ray_session):
+    from pdf2dom_ray.functions.dispersion import \
+        nearest_centroid_confusion
+    # two well-separated clusters classify perfectly
+    rows = [{"vec_id": i, "label": 0,
+             "embedding": [1.0 + 0.01 * i, 0.0]} for i in range(4)]
+    rows += [{"vec_id": 10 + i, "label": 1,
+              "embedding": [-1.0 - 0.01 * i, 0.0]}
+             for i in range(4)]
+    got = nearest_centroid_confusion(rd.from_items(rows)).to_pandas()
+    assert got.values.tolist() == [[0, 0, 4], [1, 1, 4]]
+
+
+def test_centroid_confusion_partition_invariance(ray_session,
+                                                 sf_dir):
+    from pdf2dom_ray.functions.dispersion import \
+        nearest_centroid_confusion
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    a = nearest_centroid_confusion(ds.repartition(2)).to_pandas()
+    b = nearest_centroid_confusion(ds.repartition(9)).to_pandas()
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
