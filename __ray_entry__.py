@@ -512,6 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_user_value": _q_decayed_user_value,
         "impute_group_median": _q_impute_group_median,
         "kmv_quantiles": _q_kmv_quantiles,
+        "grouped_kmv_quantiles": _q_grouped_kmv,
         "csv_ingest": _q_csv_ingest,
         "federated_union": _q_federated_union,
         "bounce_rate": _q_bounce_rate,
@@ -1400,6 +1401,7 @@ def oracle_sql() -> dict[str, str]:
         "decayed_user_value": _decay_sql(),
         "impute_group_median": _impute_sql(),
         "kmv_quantiles": _kmv_sql(),
+        "grouped_kmv_quantiles": _grouped_kmv_sql(),
         "link_rich_club": _rich_club_sql(),
         "link_harmonic_bsp": _harmonic_sql(),
         "link_ball_hll": _hyperball_sql(),
@@ -3333,6 +3335,11 @@ def _q_link_rich_club(sf_dir: str):
     return rich_club(_host_link_edges(sf_dir))
 
 
+def _grouped_kmv_sql() -> str:
+    from pdf2dom_ray.functions.kmv import grouped_kmv_oracle_sql
+    return grouped_kmv_oracle_sql()
+
+
 def _kmv_sql() -> str:
     from pdf2dom_ray.functions.kmv import kmv_oracle_sql
     return kmv_oracle_sql()
@@ -4293,6 +4300,14 @@ def _q_kmv_quantiles(sf_dir: str):
     hash-match the ORDER BY md5 LIMIT k SQL twin exactly."""
     from pdf2dom_ray.functions.kmv import kmv_quantiles
     return kmv_quantiles(sf_dir)
+
+
+def _q_grouped_kmv(sf_dir: str):
+    """Per-event-type bottom-k quantile sketches (functions/kmv.py):
+    group-local min-k folds, driver selection — the grouped member
+    of the mergeable-sketch family."""
+    from pdf2dom_ray.functions.kmv import grouped_kmv_quantiles
+    return grouped_kmv_quantiles(sf_dir)
 
 
 def _q_trigram_backoff(sf_dir: str):

@@ -234,7 +234,7 @@ def run_bench() -> dict:
                  "impute_group_median", "federated_union",
                  "local_bridges", "link_core_number",
                  "kmv_quantiles", "link_max_forest",
-                 "centroid_confusion"):
+                 "centroid_confusion", "grouped_kmv_quantiles"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

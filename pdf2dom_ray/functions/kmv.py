@@ -27,7 +27,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-__all__ = ["kmv_quantiles", "kmv_oracle_sql"]
+__all__ = ["kmv_quantiles", "kmv_oracle_sql",
+           "grouped_kmv_quantiles", "grouped_kmv_oracle_sql"]
 
 _PCTS = (25, 50, 75, 90)
 
@@ -109,4 +110,95 @@ def kmv_oracle_sql(k: int = 256, pcts=_PCTS) -> str:
         JOIN ranked
           ON ranked.r = GREATEST((ps.pct * n.n + 99) // 100, 1)
         ORDER BY 1
+    """
+
+
+def grouped_kmv_quantiles(sf_dir: str, *, k: int = 128,
+                          group_col: str = "event_type",
+                          pcts=_PCTS) -> rd.Dataset:
+    """(group, pct, value_cents): the bottom-k sketch kept PER GROUP
+    — one narrow (group, hash, cents) exchange-free fold; per-batch
+    partials keep each group's local bottom-k so the driver fold is
+    ≤ groups·k·blocks rows and the final per-group min-k set is the
+    same pure set function as the global sketch."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", group_col, "value"])
+
+    def bottom_k(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("h", kind="mergesort") \
+            .groupby("grp", sort=False).head(k)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("event_id"), dtype=np.int64)
+        cents = np.floor(np.asarray(t.column("value"),
+                                    dtype=np.float64) * 100.0) \
+            .astype(np.int64)
+        df = pd.DataFrame({
+            "grp": np.asarray(t.column(group_col), dtype=object),
+            "h": _md5_hex(ids), "cents": cents})
+        return pa.Table.from_pandas(bottom_k(df),
+                                    preserve_index=False)
+
+    def fold_block(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(bottom_k(t.to_pandas()),
+                                    preserve_index=False)
+
+    from .fold import bounded_fold_tables
+    tables = bounded_fold_tables(
+        ds.map_batches(partial, batch_format="pyarrow"), fold_block)
+    if not tables:
+        return rd.from_arrow(pa.table({
+            "event_type": pa.array([], pa.string()),
+            "pct": pa.array([], pa.int64()),
+            "value_cents": pa.array([], pa.int64())}))
+    schema = pa.schema([("grp", pa.string()), ("h", pa.string()),
+                        ("cents", pa.int64())])
+    merged = bottom_k(pa.concat_tables(
+        [t.cast(schema) for t in tables]).to_pandas())
+    rows_g, rows_p, rows_v = [], [], []
+    for grp, sub in merged.groupby("grp", sort=True):
+        sample = np.sort(sub["cents"].to_numpy(np.int64))
+        n = len(sample)
+        for p in pcts:
+            idx = max((p * n + 99) // 100, 1)
+            rows_g.append(grp)
+            rows_p.append(int(p))
+            rows_v.append(int(sample[idx - 1]))
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(rows_g, pa.string()),
+        "pct": pa.array(rows_p, pa.int64()),
+        "value_cents": pa.array(rows_v, pa.int64())}))
+
+
+def grouped_kmv_oracle_sql(k: int = 128,
+                           group_col: str = "event_type",
+                           pcts=_PCTS) -> str:
+    legs = " UNION ALL ".join(f"SELECT {p} AS pct" for p in pcts)
+    return f"""
+        WITH sample AS (
+          SELECT {group_col} AS grp,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events
+          QUALIFY row_number() OVER (
+              PARTITION BY {group_col}
+              ORDER BY md5(CAST(event_id AS VARCHAR))) <= {k}),
+        n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n
+              FROM sample GROUP BY 1),
+        ranked AS (
+          SELECT grp, cents,
+                 row_number() OVER (PARTITION BY grp
+                                    ORDER BY cents) AS r
+          FROM sample),
+        ps AS ({legs})
+        SELECT ranked.grp AS event_type,
+               CAST(ps.pct AS BIGINT) AS pct,
+               CAST(ranked.cents AS BIGINT) AS value_cents
+        FROM ps
+        JOIN n ON TRUE
+        JOIN ranked
+          ON ranked.grp = n.grp
+         AND ranked.r = GREATEST((ps.pct * n.n + 99) // 100, 1)
+        ORDER BY 1, 2
     """

@@ -44,3 +44,19 @@ def test_kmv_sample_tracks_exact(ray_session, sf_dir):
 def test_kmv_bad_k(ray_session, sf_dir):
     with pytest.raises(ValueError):
         kmv_quantiles(sf_dir, k=0)
+
+
+def test_grouped_kmv_matches_duckdb(ray_session, sf_dir):
+    from pdf2dom_ray.functions.kmv import (grouped_kmv_oracle_sql,
+                                           grouped_kmv_quantiles)
+    got = grouped_kmv_quantiles(sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet')")
+    want = con.execute(grouped_kmv_oracle_sql()).fetchdf()
+    assert got.reset_index(drop=True).equals(
+        want.reset_index(drop=True))
+    # every group has monotone quantiles
+    for _, sub in got.groupby("event_type"):
+        assert sub.sort_values("pct").value_cents \
+            .is_monotonic_increasing
