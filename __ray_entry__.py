@@ -513,6 +513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "impute_group_median": _q_impute_group_median,
         "kmv_quantiles": _q_kmv_quantiles,
         "grouped_kmv_quantiles": _q_grouped_kmv,
+        "conversion_delay": _q_conversion_delay,
         "csv_ingest": _q_csv_ingest,
         "federated_union": _q_federated_union,
         "bounce_rate": _q_bounce_rate,
@@ -1402,6 +1403,7 @@ def oracle_sql() -> dict[str, str]:
         "impute_group_median": _impute_sql(),
         "kmv_quantiles": _kmv_sql(),
         "grouped_kmv_quantiles": _grouped_kmv_sql(),
+        "conversion_delay": _conversion_delay_sql(),
         "link_rich_club": _rich_club_sql(),
         "link_harmonic_bsp": _harmonic_sql(),
         "link_ball_hll": _hyperball_sql(),
@@ -3335,6 +3337,12 @@ def _q_link_rich_club(sf_dir: str):
     return rich_club(_host_link_edges(sf_dir))
 
 
+def _conversion_delay_sql() -> str:
+    from pdf2dom_ray.functions.conversion import \
+        conversion_delay_sql
+    return conversion_delay_sql()
+
+
 def _grouped_kmv_sql() -> str:
     from pdf2dom_ray.functions.kmv import grouped_kmv_oracle_sql
     return grouped_kmv_oracle_sql()
@@ -4308,6 +4316,16 @@ def _q_grouped_kmv(sf_dir: str):
     of the mergeable-sketch family."""
     from pdf2dom_ray.functions.kmv import grouped_kmv_quantiles
     return grouped_kmv_quantiles(sf_dir)
+
+
+def _q_conversion_delay(sf_dir: str):
+    """Signup->purchase activation-latency histogram
+    (functions/conversion.py): one user-hash exchange, two
+    vectorized groupby-mins per partition, -1 bucket = never
+    converted (the histogram partitions the signup cohort)."""
+    from pdf2dom_ray.functions.conversion import \
+        conversion_delay_histogram
+    return conversion_delay_histogram(sf_dir)
 
 
 def _q_trigram_backoff(sf_dir: str):

@@ -234,7 +234,8 @@ def run_bench() -> dict:
                  "impute_group_median", "federated_union",
                  "local_bridges", "link_core_number",
                  "kmv_quantiles", "link_max_forest",
-                 "centroid_confusion", "grouped_kmv_quantiles"):
+                 "centroid_confusion", "grouped_kmv_quantiles",
+                 "conversion_delay"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

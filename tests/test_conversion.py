@@ -1,0 +1,41 @@
+"""Conversion delay histogram (functions/conversion.py)."""
+import duckdb
+import pandas as pd
+import ray.data as rd
+
+from pdf2dom_ray.functions.conversion import (
+    conversion_delay_histogram, conversion_delay_sql)
+
+
+def test_conversion_matches_duckdb(ray_session, sf_dir):
+    got = conversion_delay_histogram(sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet')")
+    want = con.execute(conversion_delay_sql()).fetchdf()
+    assert got.reset_index(drop=True).equals(
+        want.reset_index(drop=True))
+    assert len(got) > 0
+
+
+def test_conversion_partitions_signup_cohort(ray_session, sf_dir):
+    got = conversion_delay_histogram(sf_dir).to_pandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    n_signup_users = ev.loc[ev.event_type == "signup",
+                            "user_id"].nunique()
+    assert got.n_users.sum() == n_signup_users
+
+
+def test_conversion_partition_invariance(ray_session, sf_dir):
+    a = conversion_delay_histogram(sf_dir,
+                                   num_partitions=2).to_pandas()
+    b = conversion_delay_histogram(sf_dir,
+                                   num_partitions=7).to_pandas()
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_conversion_absent_to_type(ray_session, sf_dir):
+    got = conversion_delay_histogram(
+        sf_dir, to_type="no_such").to_pandas()
+    assert got.delay_days.tolist() == [-1]
