@@ -56,7 +56,8 @@ def conversion_delay_histogram(sf_dir: str, *,
             return pa.table({"delay_days": pa.array([], pa.int64()),
                              "n_users": pa.array([], pa.int64())})
         p = g[g["et"] == to_type]
-        p = p.join(s.rename("s_us"), on="user_id", how="inner")
+        p = p.merge(s.rename("s_us").reset_index(), on="user_id",
+                    how="inner")
         p = p[p["us"] >= p["s_us"]]
         first_p = p.groupby("user_id")["us"].min()
         delay = ((first_p - s.loc[first_p.index]) // _US_PER_DAY) \
