@@ -514,6 +514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_quantiles": _q_kmv_quantiles,
         "grouped_kmv_quantiles": _q_grouped_kmv,
         "conversion_delay": _q_conversion_delay,
+        "bootstrap_totals": _q_bootstrap_totals,
         "csv_ingest": _q_csv_ingest,
         "federated_union": _q_federated_union,
         "bounce_rate": _q_bounce_rate,
@@ -1404,6 +1405,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_quantiles": _kmv_sql(),
         "grouped_kmv_quantiles": _grouped_kmv_sql(),
         "conversion_delay": _conversion_delay_sql(),
+        "bootstrap_totals": _bootstrap_sql(),
         "link_rich_club": _rich_club_sql(),
         "link_harmonic_bsp": _harmonic_sql(),
         "link_ball_hll": _hyperball_sql(),
@@ -3337,6 +3339,11 @@ def _q_link_rich_club(sf_dir: str):
     return rich_club(_host_link_edges(sf_dir))
 
 
+def _bootstrap_sql() -> str:
+    from pdf2dom_ray.functions.bootstrap import bootstrap_oracle_sql
+    return bootstrap_oracle_sql()
+
+
 def _conversion_delay_sql() -> str:
     from pdf2dom_ray.functions.conversion import \
         conversion_delay_sql
@@ -4326,6 +4333,15 @@ def _q_conversion_delay(sf_dir: str):
     from pdf2dom_ray.functions.conversion import \
         conversion_delay_histogram
     return conversion_delay_histogram(sf_dir)
+
+
+def _q_bootstrap_totals(sf_dir: str):
+    """Deterministic Poisson bootstrap replicate totals
+    (functions/bootstrap.py): md5-inverted Poisson(1) weights per
+    (row, replicate), one scan, replicate x block int64 partials —
+    the streaming-bootstrap CI machinery with an exact SQL twin."""
+    from pdf2dom_ray.functions.bootstrap import bootstrap_totals
+    return bootstrap_totals(sf_dir)
 
 
 def _q_trigram_backoff(sf_dir: str):
