@@ -494,6 +494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "link_adjacency": _q_link_adjacency,
         "link_triangles": _q_link_triangles,
+        "link_transitivity": _q_link_transitivity,
         "link_clustering_coef": _q_link_clustering_coef,
         "link_bfs_depth": _q_link_bfs_depth,
         "link_bfs_depth_bsp": _q_link_bfs_depth_bsp,
@@ -1364,6 +1365,33 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY nd
         """,
         "link_clustering_coef": _clustering_coef_sql(),
+        "link_transitivity": """
+            WITH nn AS (SELECT count(*) AS cnt FROM documents),
+            e0 AS (SELECT doc_id AS a,
+                          (doc_id + d) % (SELECT cnt FROM nn) AS b
+                   FROM documents,
+                        (SELECT unnest([1, 2, 3]) AS d) ds),
+            und AS MATERIALIZED (
+                SELECT DISTINCT LEAST(a, b) AS a,
+                       GREATEST(a, b) AS b
+                FROM e0 WHERE a <> b),
+            tri AS (SELECT count(*) AS t
+                    FROM und e1
+                    JOIN und e2 ON e2.a = e1.b
+                    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+            deg AS (SELECT nd, count(*) AS d FROM (
+                        SELECT a AS nd FROM und
+                        UNION ALL SELECT b FROM und) x
+                    GROUP BY 1),
+            wed AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT)
+                        AS w FROM deg)
+            SELECT CAST(tri.t AS BIGINT) AS n_triangles,
+                   wed.w AS n_wedges,
+                   CAST(CASE WHEN wed.w = 0 THEN 0
+                        ELSE (1000000 * 3 * tri.t) // wed.w END
+                        AS BIGINT) AS transitivity_ppm
+            FROM tri, wed
+        """,
         "link_bfs_depth": _bfs_sql(),
         "link_bfs_depth_bsp": _bfs_sql(),
         "link_components": _cc_sql(),
@@ -3979,6 +4007,59 @@ def _q_link_triangles(sf_dir: str):
     return out.map_batches(
         lambda df: df.rename(columns={"node": "doc_id"}),
         batch_format="pandas")
+
+
+def _q_link_transitivity(sf_dir: str):
+    """Global transitivity (Newman): 3x triangles / wedges as one
+    integer-ppm row over the chord-cycle graph — composition of the
+    degree-ordered triangle counter + a distinct-degree fold."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.triangles import triangle_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    n = docs.count()
+
+    def chords(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "a": np.concatenate([d, d, d]),
+            "b": np.concatenate([(d + 1) % n, (d + 2) % n,
+                                 (d + 3) % n])})
+
+    edges = docs.map_batches(chords, batch_format="pandas")
+    tri = triangle_counts(edges).to_pandas()
+    n_tri = int(tri["n_triangles"].sum()) // 3
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df[["a", "b"]].min(axis=1)
+        hi = df[["a", "b"]].max(axis=1)
+        out = pd.DataFrame({"a": lo, "b": hi})
+        return out[lo != hi].drop_duplicates()
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if "d" in df.columns:        # merge phase: sum partials
+            return df.groupby("node", as_index=False) \
+                .agg(d=("d", "sum"))
+        out = pd.DataFrame({"node": pd.concat([df["a"], df["b"]],
+                                              ignore_index=True),
+                            "d": 1})
+        return out.groupby("node", as_index=False) \
+            .agg(d=("d", "sum"))
+
+    from pdf2dom_ray.stages.hashagg import hash_aggregate
+    deg = hash_aggregate(
+        edges.map_batches(canon, batch_format="pandas"),
+        ["node"], deg_partial).to_pandas()
+    d = deg["d"].to_numpy(np.int64)
+    n_wed = int((d * (d - 1) // 2).sum())
+    ppm = (1_000_000 * 3 * n_tri) // n_wed if n_wed else 0
+    return rd.from_arrow(pa.table({
+        "n_triangles": pa.array([n_tri], pa.int64()),
+        "n_wedges": pa.array([n_wed], pa.int64()),
+        "transitivity_ppm": pa.array([ppm], pa.int64())}))
 
 
 def _q_link_clustering_coef(sf_dir: str):

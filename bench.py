@@ -235,7 +235,8 @@ def run_bench() -> dict:
                  "local_bridges", "link_core_number",
                  "kmv_quantiles", "link_max_forest",
                  "centroid_confusion", "grouped_kmv_quantiles",
-                 "conversion_delay", "bootstrap_totals"):
+                 "conversion_delay", "bootstrap_totals",
+                 "link_transitivity"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

@@ -67,3 +67,17 @@ def test_local_bridges_complement_triangle_edges(ray_session):
     ov = edge_neighbor_overlap(ed).to_pandas()
     bridges = ov[ov.cn == 0]
     assert bridges[["a", "b"]].values.tolist() == [[2, 10]]
+
+
+def test_transitivity_bounds_and_consistency(ray_session, sf_dir):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+    got = E.queries()["link_transitivity"](sf_dir).to_pandas()
+    t, w, ppm = (int(got.n_triangles[0]), int(got.n_wedges[0]),
+                 int(got.transitivity_ppm[0]))
+    assert 0 < 3 * t <= w
+    assert ppm == (1_000_000 * 3 * t) // w
+    # chord-cycle (+1,+2,+3): each node has degree 6, n wedges = 15n,
+    # and every node closes triangles — transitivity is substantial
+    assert ppm > 200_000
