@@ -516,6 +516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_kmv_quantiles": _q_grouped_kmv,
         "conversion_delay": _q_conversion_delay,
         "bootstrap_totals": _q_bootstrap_totals,
+        "rolling_weekly_revenue": _q_rolling_weekly_revenue,
         "csv_ingest": _q_csv_ingest,
         "federated_union": _q_federated_union,
         "bounce_rate": _q_bounce_rate,
@@ -1434,6 +1435,34 @@ def oracle_sql() -> dict[str, str]:
         "grouped_kmv_quantiles": _grouped_kmv_sql(),
         "conversion_delay": _conversion_delay_sql(),
         "bootstrap_totals": _bootstrap_sql(),
+        "rolling_weekly_revenue": """
+            WITH d AS (
+              SELECT (epoch_us(ts) // 86400000000) AS dd,
+                     CAST(SUM(CAST(floor(value * 100) AS BIGINT))
+                          AS BIGINT) AS day_cents
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY 1),
+            -- dense day axis so missing days roll in as zero
+            ax AS (
+              SELECT unnest(range((SELECT MIN(dd) FROM d),
+                                  (SELECT MAX(dd) FROM d) + 1))
+                         AS dd),
+            dense AS (
+              SELECT ax.dd, COALESCE(d.day_cents, 0) AS c
+              FROM ax LEFT JOIN d USING (dd)),
+            roll AS (
+              SELECT dd, c,
+                     CAST(SUM(c) OVER (ORDER BY dd
+                                       ROWS BETWEEN 6 PRECEDING
+                                       AND CURRENT ROW) AS BIGINT)
+                         AS r
+              FROM dense)
+            SELECT make_timestamp(roll.dd * 86400000000) AS day,
+                   CAST(roll.c AS BIGINT) AS day_cents,
+                   roll.r AS rolling_7d_cents
+            FROM roll JOIN d ON roll.dd = d.dd
+            ORDER BY 1
+        """,
         "link_rich_club": _rich_club_sql(),
         "link_harmonic_bsp": _harmonic_sql(),
         "link_ball_hll": _hyperball_sql(),
@@ -4423,6 +4452,57 @@ def _q_bootstrap_totals(sf_dir: str):
     the streaming-bootstrap CI machinery with an exact SQL twin."""
     from pdf2dom_ray.functions.bootstrap import bootstrap_totals
     return bootstrap_totals(sf_dir)
+
+
+def _q_rolling_weekly_revenue(sf_dir: str):
+    """Daily purchase revenue with a trailing 7-day rolling sum —
+    the ops-dashboard smoother: per-batch (day, cents) int64
+    partials, driver fold over O(days) rows, exact rolling window on
+    the dense day series (missing days count zero)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("event_type"), "purchase")
+        t = t.filter(m)
+        us = t.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = us // 86_400_000_000
+        cents = np.floor(np.asarray(t.column("value"),
+                                    dtype=np.float64) * 100.0) \
+            .astype(np.int64)
+        import pandas as pd
+        g = pd.DataFrame({"day": day, "day_cents": cents}) \
+            .groupby("day", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from pdf2dom_ray.functions.fold import bounded_fold_tables
+    tables = bounded_fold_tables(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        lambda t: pa.Table.from_pandas(
+            t.to_pandas().groupby("day", as_index=False).sum(),
+            preserve_index=False))
+    if not tables:
+        return rd.from_arrow(pa.table({
+            "day": pa.array([], pa.timestamp("us")),
+            "day_cents": pa.array([], pa.int64()),
+            "rolling_7d_cents": pa.array([], pa.int64())}))
+    import pandas as pd
+    g = pa.concat_tables(tables).to_pandas() \
+        .groupby("day", as_index=False).sum().sort_values("day")
+    days = g["day"].to_numpy(np.int64)
+    dense = np.zeros(int(days.max() - days.min()) + 1, np.int64)
+    dense[days - days.min()] = g["day_cents"].to_numpy(np.int64)
+    roll = np.convolve(dense, np.ones(7, np.int64))[:len(dense)]
+    sel = days - days.min()
+    return rd.from_arrow(pa.table({
+        "day": pa.array(days * 86_400_000_000,
+                        pa.timestamp("us")),
+        "day_cents": pa.array(g["day_cents"].to_numpy(np.int64),
+                              pa.int64()),
+        "rolling_7d_cents": pa.array(roll[sel], pa.int64())}))
 
 
 def _q_trigram_backoff(sf_dir: str):

@@ -82,3 +82,25 @@ def test_bounce_rate_partition_invariance(ray_session, sf_dir):
     a = bounce_rate(sf_dir, num_partitions=2).to_pandas()
     b = bounce_rate(sf_dir, num_partitions=7).to_pandas()
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_rolling_weekly_matches_pandas(ray_session, sf_dir):
+    import numpy as np
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+    got = E.queries()["rolling_weekly_revenue"](sf_dir).to_pandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    p = ev[ev.event_type == "purchase"].copy()
+    p["day"] = p["ts"].dt.floor("D")
+    p["cents"] = np.floor(p["value"].to_numpy() * 100).astype(
+        "int64")
+    daily = p.groupby("day")["cents"].sum() \
+        .asfreq("D", fill_value=0)
+    roll = daily.rolling(7, min_periods=1).sum().astype("int64")
+    m = got.set_index("day")
+    assert (m["day_cents"] == daily[daily > 0]).all() or \
+        m["day_cents"].equals(daily.loc[m.index].astype("int64"))
+    assert m["rolling_7d_cents"].equals(roll.loc[m.index])
+    assert (got.rolling_7d_cents >= got.day_cents).all()
