@@ -86,6 +86,7 @@ def test_bounce_rate_partition_invariance(ray_session, sf_dir):
 
 def test_rolling_weekly_matches_pandas(ray_session, sf_dir):
     import numpy as np
+    import pandas as pd
     import sys
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as E
