@@ -82,3 +82,15 @@ def test_boruvka_dups_and_selfloops(ray_session):
                          label_rounds=4).to_pandas()
     assert len(got) == 2
     assert got.w.sum() == 16          # dup pair keeps max weight 9
+
+
+def test_boruvka_distributed_matches_driver(ray_session):
+    rows = [(0, 1, 10), (1, 2, 20), (2, 3, 30), (0, 3, 40),
+            (3, 4, 15), (4, 5, 25), (5, 0, 35)]
+    drv = boruvka_forest(_edges(rows), rounds=4,
+                         label_rounds=6).to_pandas() \
+        .reset_index(drop=True)
+    bsp = boruvka_forest(_edges(rows), rounds=4, label_rounds=6,
+                         driver_edge_limit=0).to_pandas() \
+        .reset_index(drop=True)
+    assert drv.astype("int64").equals(bsp.astype("int64"))
