@@ -517,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_delay": _q_conversion_delay,
         "bootstrap_totals": _q_bootstrap_totals,
         "rolling_weekly_revenue": _q_rolling_weekly_revenue,
+        "source_length_gini": _q_source_length_gini,
         "csv_ingest": _q_csv_ingest,
         "federated_union": _q_federated_union,
         "bounce_rate": _q_bounce_rate,
@@ -1435,6 +1436,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_kmv_quantiles": _grouped_kmv_sql(),
         "conversion_delay": _conversion_delay_sql(),
         "bootstrap_totals": _bootstrap_sql(),
+        "source_length_gini": _gini_sql(),
         "rolling_weekly_revenue": """
             WITH d AS (
               SELECT (epoch_us(ts) // 86400000000) AS dd,
@@ -3396,6 +3398,11 @@ def _q_link_rich_club(sf_dir: str):
     return rich_club(_host_link_edges(sf_dir))
 
 
+def _gini_sql() -> str:
+    from pdf2dom_ray.functions.gini import gini_oracle_sql
+    return gini_oracle_sql("SELECT source, n_chars FROM documents")
+
+
 def _bootstrap_sql() -> str:
     from pdf2dom_ray.functions.bootstrap import bootstrap_oracle_sql
     return bootstrap_oracle_sql()
@@ -4503,6 +4510,19 @@ def _q_rolling_weekly_revenue(sf_dir: str):
         "day_cents": pa.array(g["day_cents"].to_numpy(np.int64),
                               pa.int64()),
         "rolling_7d_cents": pa.array(roll[sel], pa.int64())}))
+
+
+def _q_source_length_gini(sf_dir: str):
+    """Per-source Gini of document lengths (functions/gini.py):
+    exact integer rank-sum over the grouped value histogram — the
+    corpus-concentration screen (a few giant docs vs uniform
+    shards); no raw-row sort, ties exact by construction."""
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.gini import group_gini
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "n_chars"])
+    return group_gini(ds)
 
 
 def _q_trigram_backoff(sf_dir: str):

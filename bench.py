@@ -236,7 +236,8 @@ def run_bench() -> dict:
                  "kmv_quantiles", "link_max_forest",
                  "centroid_confusion", "grouped_kmv_quantiles",
                  "conversion_delay", "bootstrap_totals",
-                 "link_transitivity", "rolling_weekly_revenue"):
+                 "link_transitivity", "rolling_weekly_revenue",
+                 "source_length_gini"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
