@@ -518,6 +518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bootstrap_totals": _q_bootstrap_totals,
         "rolling_weekly_revenue": _q_rolling_weekly_revenue,
         "source_length_gini": _q_source_length_gini,
+        "user_accumulation": _q_user_accumulation,
         "csv_ingest": _q_csv_ingest,
         "federated_union": _q_federated_union,
         "bounce_rate": _q_bounce_rate,
@@ -1437,6 +1438,21 @@ def oracle_sql() -> dict[str, str]:
         "conversion_delay": _conversion_delay_sql(),
         "bootstrap_totals": _bootstrap_sql(),
         "source_length_gini": _gini_sql(),
+        "user_accumulation": """
+            WITH f AS (
+              SELECT user_id,
+                     MIN(epoch_us(ts) // 86400000000) AS fd
+              FROM events GROUP BY 1),
+            g AS (
+              SELECT fd, CAST(COUNT(*) AS BIGINT) AS n_new_users
+              FROM f GROUP BY 1)
+            SELECT make_timestamp(fd * 86400000000) AS day,
+                   n_new_users,
+                   CAST(SUM(n_new_users) OVER (ORDER BY fd
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_users
+            FROM g ORDER BY 1
+        """,
         "rolling_weekly_revenue": """
             WITH d AS (
               SELECT (epoch_us(ts) // 86400000000) AS dd,
@@ -4523,6 +4539,55 @@ def _q_source_length_gini(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["source", "n_chars"])
     return group_gini(ds)
+
+
+def _q_user_accumulation(sf_dir: str):
+    """Cumulative-distinct-users growth curve: per-user MIN first
+    day through the hash aggregate (min-merge is associative =>
+    partition-invariant), day histogram + driver cumsum — the "total
+    users ever seen by day d" dashboard series."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if "first_day" in df.columns:
+            return df.groupby("user_id", as_index=False) \
+                .agg(first_day=("first_day", "min"))
+        us = df["ts"].astype("datetime64[us]").astype(np.int64)
+        out = pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                            "first_day": us // 86_400_000_000})
+        return out.groupby("user_id", as_index=False) \
+            .agg(first_day=("first_day", "min"))
+
+    from pdf2dom_ray.stages.hashagg import hash_aggregate
+    per_user = hash_aggregate(ds, ["user_id"], partial)
+
+    from pdf2dom_ray.functions.fold import bounded_fold_tables
+    tables = bounded_fold_tables(per_user)
+    if not tables:
+        return rd.from_arrow(pa.table({
+            "day": pa.array([], pa.timestamp("us")),
+            "n_new_users": pa.array([], pa.int64()),
+            "cum_users": pa.array([], pa.int64())}))
+    import pandas as pd
+    df = pa.concat_tables(
+        [t.cast(pa.schema([("user_id", pa.int64()),
+                           ("first_day", pa.int64())]))
+         for t in tables]).to_pandas() \
+        .groupby("user_id", as_index=False) \
+        .agg(first_day=("first_day", "min"))
+    g = df.groupby("first_day", as_index=False) \
+        .agg(n_new_users=("user_id", "size")).sort_values("first_day")
+    return rd.from_arrow(pa.table({
+        "day": pa.array(g["first_day"].to_numpy(np.int64)
+                        * 86_400_000_000, pa.timestamp("us")),
+        "n_new_users": pa.array(g["n_new_users"].to_numpy(np.int64),
+                                pa.int64()),
+        "cum_users": pa.array(g["n_new_users"].cumsum()
+                              .to_numpy(np.int64), pa.int64())}))
 
 
 def _q_trigram_backoff(sf_dir: str):

@@ -39,3 +39,15 @@ def test_conversion_absent_to_type(ray_session, sf_dir):
     got = conversion_delay_histogram(
         sf_dir, to_type="no_such").to_pandas()
     assert got.delay_days.tolist() == [-1]
+
+
+def test_user_accumulation_curve(ray_session, sf_dir):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+    got = E.queries()["user_accumulation"](sf_dir).to_pandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id"])
+    assert got.cum_users.iloc[-1] == ev.user_id.nunique()
+    assert got.cum_users.is_monotonic_increasing
+    assert (got.n_new_users.cumsum() == got.cum_users).all()
