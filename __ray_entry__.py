@@ -519,6 +519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_weekly_revenue": _q_rolling_weekly_revenue,
         "source_length_gini": _q_source_length_gini,
         "user_accumulation": _q_user_accumulation,
+        "user_coverage_time": _q_user_coverage_time,
         "csv_ingest": _q_csv_ingest,
         "federated_union": _q_federated_union,
         "bounce_rate": _q_bounce_rate,
@@ -1438,6 +1439,7 @@ def oracle_sql() -> dict[str, str]:
         "conversion_delay": _conversion_delay_sql(),
         "bootstrap_totals": _bootstrap_sql(),
         "source_length_gini": _gini_sql(),
+        "user_coverage_time": _coverage_sql(),
         "user_accumulation": """
             WITH f AS (
               SELECT user_id,
@@ -3414,6 +3416,11 @@ def _q_link_rich_club(sf_dir: str):
     return rich_club(_host_link_edges(sf_dir))
 
 
+def _coverage_sql() -> str:
+    from pdf2dom_ray.functions.temporal import interval_coverage_sql
+    return interval_coverage_sql()
+
+
 def _gini_sql() -> str:
     from pdf2dom_ray.functions.gini import gini_oracle_sql
     return gini_oracle_sql("SELECT source, n_chars FROM documents")
@@ -4588,6 +4595,15 @@ def _q_user_accumulation(sf_dir: str):
                                 pa.int64()),
         "cum_users": pa.array(g["n_new_users"].cumsum()
                               .to_numpy(np.int64), pa.int64())}))
+
+
+def _q_user_coverage_time(sf_dir: str):
+    """Per-user interval-union activity coverage
+    (functions/temporal.py::interval_coverage): 5-minute presence
+    windows merged by the vectorized per-partition sweep; total
+    covered microseconds + merged-interval count, exact integers."""
+    from pdf2dom_ray.functions.temporal import interval_coverage
+    return interval_coverage(sf_dir)
 
 
 def _q_trigram_backoff(sf_dir: str):

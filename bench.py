@@ -237,7 +237,8 @@ def run_bench() -> dict:
                  "centroid_confusion", "grouped_kmv_quantiles",
                  "conversion_delay", "bootstrap_totals",
                  "link_transitivity", "rolling_weekly_revenue",
-                 "source_length_gini", "user_accumulation"):
+                 "source_length_gini", "user_accumulation",
+                 "user_coverage_time"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

@@ -260,3 +260,36 @@ def test_session_paths_gap_boundary(ray_session, tmp_path):
     df.to_parquet(tmp_path / "events.parquet")
     got = session_paths(str(tmp_path)).to_pandas()
     assert sorted(got["path"].tolist()) == ["a>b>c", "d"]
+
+
+def test_interval_coverage_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+
+    from pdf2dom_ray.functions.temporal import (interval_coverage,
+                                                interval_coverage_sql)
+    got = interval_coverage(sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet')")
+    want = con.execute(interval_coverage_sql()).fetchdf()
+    assert got.reset_index(drop=True).equals(
+        want.reset_index(drop=True))
+    # coverage bounded by n_events*window and >= window per interval
+    assert (got.covered_us >= got.n_intervals * 1).all()
+
+
+def test_interval_coverage_window_monotone(ray_session, sf_dir):
+    from pdf2dom_ray.functions.temporal import interval_coverage
+    small = interval_coverage(sf_dir, window_s=60).to_pandas()
+    big = interval_coverage(sf_dir, window_s=600).to_pandas()
+    m = small.merge(big, on="user_id", suffixes=("_s", "_b"))
+    assert (m.covered_us_s <= m.covered_us_b).all()
+    assert (m.n_intervals_s >= m.n_intervals_b).all()
+
+
+def test_interval_coverage_partition_invariance(ray_session,
+                                                sf_dir):
+    from pdf2dom_ray.functions.temporal import interval_coverage
+    a = interval_coverage(sf_dir, num_partitions=2).to_pandas()
+    b = interval_coverage(sf_dir, num_partitions=7).to_pandas()
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
