@@ -520,6 +520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_length_gini": _q_source_length_gini,
         "user_accumulation": _q_user_accumulation,
         "user_coverage_time": _q_user_coverage_time,
+        "peak_concurrency": _q_peak_concurrency,
         "csv_ingest": _q_csv_ingest,
         "federated_union": _q_federated_union,
         "bounce_rate": _q_bounce_rate,
@@ -1440,6 +1441,7 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_totals": _bootstrap_sql(),
         "source_length_gini": _gini_sql(),
         "user_coverage_time": _coverage_sql(),
+        "peak_concurrency": _peak_sql(),
         "user_accumulation": """
             WITH f AS (
               SELECT user_id,
@@ -3416,6 +3418,11 @@ def _q_link_rich_club(sf_dir: str):
     return rich_club(_host_link_edges(sf_dir))
 
 
+def _peak_sql() -> str:
+    from pdf2dom_ray.functions.temporal import peak_concurrency_sql
+    return peak_concurrency_sql()
+
+
 def _coverage_sql() -> str:
     from pdf2dom_ray.functions.temporal import interval_coverage_sql
     return interval_coverage_sql()
@@ -4604,6 +4611,15 @@ def _q_user_coverage_time(sf_dir: str):
     covered microseconds + merged-interval count, exact integers."""
     from pdf2dom_ray.functions.temporal import interval_coverage
     return interval_coverage(sf_dir)
+
+
+def _q_peak_concurrency(sf_dir: str):
+    """Global peak concurrent presence windows
+    (functions/temporal.py::peak_concurrency): parallel prefix-max —
+    per-time-bucket (delta, max-prefix, argmax) integer partials,
+    associative carry+max driver merge, no global boundary sort."""
+    from pdf2dom_ray.functions.temporal import peak_concurrency
+    return peak_concurrency(sf_dir)
 
 
 def _q_trigram_backoff(sf_dir: str):

@@ -26,7 +26,8 @@ import ray.data as rd
 __all__ = ["asof_join_last_purchase", "range_join_event_window",
            "rolling_user_totals", "event_transitions",
            "inter_event_gaps", "interval_coverage",
-           "interval_coverage_sql"]
+           "interval_coverage_sql", "peak_concurrency",
+           "peak_concurrency_sql"]
 
 _US_PER_DAY = 86_400_000_000
 
@@ -449,4 +450,112 @@ def interval_coverage_sql(window_s: int = 300) -> str:
                         THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_intervals
         FROM g GROUP BY 1 ORDER BY 1
+    """
+
+
+def peak_concurrency(sf_dir: str, *, window_s: int = 300,
+                     bucket_s: int = 3600) -> rd.Dataset:
+    """Global peak concurrency of the 5-minute presence windows —
+    "how many users were active AT ONCE at the worst moment" (the
+    capacity-planning number): every event opens [ts, ts+window),
+    and the answer is the max of the running +1/−1 boundary sum,
+    with closings applied before openings at equal instants
+    (half-open intervals; sort key (t, delta)).
+
+    Scale shape — PARALLEL PREFIX-MAX: boundaries bucket by
+    ``bucket_s``; each bucket folds independently to THREE integers
+    (total delta Σd, max in-bucket prefix M, earliest argmax t*);
+    the driver combines buckets in time order with the classic
+    carry+max merge (associative — the exchange is one narrow
+    groupby, O(buckets) driver rows; no global sort of raw
+    boundaries anywhere).
+    """
+    w_us = np.int64(window_s) * 1_000_000
+    b_us = np.int64(bucket_s) * 1_000_000
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts_all = np.concatenate([us, us + w_us])
+        delta = np.concatenate([
+            np.ones(len(us), np.int64),
+            np.full(len(us), -1, np.int64)])
+        df = pd.DataFrame({"bucket": ts_all // b_us, "t": ts_all,
+                           "d": delta})
+        # raw boundary rows per bucket — the groupby merges them;
+        # in-bucket prefix needs ALL of a bucket's rows co-located
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["t", "d"], kind="mergesort")
+        run = g["d"].cumsum().to_numpy()
+        m = int(run.max())
+        at = int(g["t"].to_numpy()[int(np.argmax(run))])
+        return pd.DataFrame({"bucket": [int(g["bucket"].iloc[0])],
+                             "total": [int(g["d"].sum())],
+                             "max_prefix": [m], "at_us": [at]})
+
+    # one bucket-keyed exchange, one vectorized sweep per bucket
+    tagged = ds.map_batches(partial, batch_format="pyarrow")
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        from ..scale import scale_partitions
+        P = scale_partitions()
+        h = pd.util.hash_pandas_object(df["bucket"], index=False)
+        return df.assign(__part=(h % P).astype("int64"))
+
+    def per_partition(g: pd.DataFrame) -> pa.Table:
+        g = g.drop(columns="__part")
+        out = g.groupby("bucket", group_keys=False, sort=False) \
+            .apply(per_bucket)
+        return pa.Table.from_pandas(out.reset_index(drop=True),
+                                    preserve_index=False)
+
+    parts = tagged.map_batches(tag, batch_format="pandas") \
+        .groupby("__part") \
+        .map_groups(per_partition, batch_format="pandas")
+
+    from .fold import bounded_fold_tables
+    tables = bounded_fold_tables(parts)
+    if not tables:
+        return rd.from_arrow(pa.table({
+            "peak": pa.array([], pa.int64()),
+            "at": pa.array([], pa.timestamp("us"))}))
+    schema = pa.schema([("bucket", pa.int64()), ("total", pa.int64()),
+                        ("max_prefix", pa.int64()),
+                        ("at_us", pa.int64())])
+    b = pa.concat_tables([t.cast(schema) for t in tables]) \
+        .to_pandas().sort_values("bucket")
+    carry = 0
+    peak = -1 << 62
+    at = 0
+    for _, r in b.iterrows():
+        cand = carry + int(r.max_prefix)
+        if cand > peak:            # strictly greater ⇒ earliest at
+            peak, at = cand, int(r.at_us)
+        carry += int(r.total)
+    return rd.from_arrow(pa.table({
+        "peak": pa.array([peak], pa.int64()),
+        "at": pa.array([at], pa.timestamp("us"))}))
+
+
+def peak_concurrency_sql(window_s: int = 300) -> str:
+    w = window_s * 1_000_000
+    return f"""
+        WITH b AS (
+          SELECT epoch_us(ts) AS t, 1 AS d FROM events
+          UNION ALL
+          SELECT epoch_us(ts) + {w}, -1 FROM events),
+        r AS (
+          SELECT t, SUM(d) OVER (ORDER BY t, d
+                                 ROWS UNBOUNDED PRECEDING) AS run
+          FROM b),
+        mx AS (SELECT MAX(run) AS peak FROM r)
+        SELECT CAST(mx.peak AS BIGINT) AS peak,
+               make_timestamp(MIN(r.t)) AS at
+        FROM r, mx WHERE r.run = mx.peak
+        GROUP BY mx.peak
     """

@@ -293,3 +293,34 @@ def test_interval_coverage_partition_invariance(ray_session,
     a = interval_coverage(sf_dir, num_partitions=2).to_pandas()
     b = interval_coverage(sf_dir, num_partitions=7).to_pandas()
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_peak_concurrency_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+
+    from pdf2dom_ray.functions.temporal import (peak_concurrency,
+                                                peak_concurrency_sql)
+    got = peak_concurrency(sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet')")
+    want = con.execute(peak_concurrency_sql()).fetchdf()
+    assert got.reset_index(drop=True).equals(
+        want.reset_index(drop=True))
+    assert int(got.peak[0]) >= 1
+
+
+def test_peak_concurrency_bucket_invariance(ray_session, sf_dir):
+    from pdf2dom_ray.functions.temporal import peak_concurrency
+    a = peak_concurrency(sf_dir, bucket_s=3600).to_pandas()
+    b = peak_concurrency(sf_dir, bucket_s=97).to_pandas()
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_peak_concurrency_window_monotone(ray_session, sf_dir):
+    from pdf2dom_ray.functions.temporal import peak_concurrency
+    small = int(peak_concurrency(sf_dir,
+                                 window_s=10).to_pandas().peak[0])
+    big = int(peak_concurrency(sf_dir,
+                               window_s=3600).to_pandas().peak[0])
+    assert small <= big
