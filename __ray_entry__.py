@@ -509,6 +509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_matching": _q_link_matching,
         "link_eff_diameter": _q_link_eff_diameter,
         "link_influence": _q_link_influence,
+        "influence_curve": _q_influence_curve,
         "host_conductance": _q_host_conductance,
         "decayed_user_value": _q_decayed_user_value,
         "impute_group_median": _q_impute_group_median,
@@ -1410,6 +1411,7 @@ def oracle_sql() -> dict[str, str]:
         "link_matching": _matching_sql(),
         "link_eff_diameter": _eff_diameter_sql(),
         "link_influence": _influence_sql(),
+        "influence_curve": _influence_curve_sql(),
         "link_lpa_bsp": _lpa_sql(),
         "link_harmonic": _harmonic_sql(),
         "link_hopplot": _hopplot_sql(),
@@ -3261,6 +3263,40 @@ def _influence_sql() -> str:
                   || CAST(target AS VARCHAR)) < '8'"""
     return bfs_oracle_sql(edges, "SELECT CAST(0 AS BIGINT) AS node",
                           rounds=8)
+
+
+def _influence_curve_sql() -> str:
+    """Three coin-thresholded unrolled BFS legs, summarized."""
+    from pdf2dom_ray.functions.bfs import bfs_oracle_sql
+    legs = []
+    for thr, ppm in (("4", 250_000), ("8", 500_000),
+                     ("c", 750_000)):
+        edges = f"""
+        SELECT src, target FROM (
+            SELECT doc_id AS src,
+                   CAST((2 * doc_id + 1) %
+                        (SELECT count(*) FROM documents)
+                        AS BIGINT) AS target
+            FROM documents
+            UNION ALL
+            SELECT doc_id,
+                   CAST((3 * doc_id + 7) %
+                        (SELECT count(*) FROM documents)
+                        AS BIGINT)
+            FROM documents)
+        WHERE md5('ic:' || CAST(src AS VARCHAR) || ':'
+                  || CAST(target AS VARCHAR)) < '{thr}'"""
+        inner = bfs_oracle_sql(edges,
+                               "SELECT CAST(0 AS BIGINT) AS node",
+                               rounds=8)
+        legs.append(f"""
+            SELECT CAST({ppm} AS BIGINT) AS p_ppm,
+                   CAST(COUNT(*) AS BIGINT) AS n_activated,
+                   CAST(COALESCE(MAX(depth), 0) AS BIGINT)
+                       AS max_depth
+            FROM ({inner})""")
+    u = " UNION ALL ".join(legs)
+    return f"SELECT * FROM ({u}) ORDER BY p_ppm"
 
 
 def _bfs_sql() -> str:
@@ -6319,6 +6355,43 @@ def _q_link_influence(sf_dir: str):
     edges = _bfs_edges(sf_dir).map_batches(live,
                                            batch_format="pyarrow")
     return bfs_depths(edges, [0], rounds=8)
+
+
+def _q_influence_curve(sf_dir: str):
+    """IC spread curve: one deterministic cascade sample per
+    transmission probability p in {1/4, 1/2, 3/4} (md5 hex
+    thresholds '4'/'8'/'c' over the SAME per-edge coins — nested
+    live-edge subgraphs, so the curve is monotone by construction);
+    reports (p_ppm, n_activated, max_depth) per level."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.bfs import bfs_depths
+
+    rows_p, rows_n, rows_d = [], [], []
+    for thr, ppm in (("4", 250_000), ("8", 500_000),
+                     ("c", 750_000)):
+        def live(t: pa.Table, _thr=thr) -> pa.Table:
+            s = np.asarray(t.column("src"), dtype=np.int64)
+            g = np.asarray(t.column("target"), dtype=np.int64)
+            keep = np.fromiter(
+                (hashlib.md5(f"ic:{a}:{b}".encode()).hexdigest()
+                 < _thr for a, b in zip(s.tolist(), g.tolist())),
+                dtype=bool, count=len(s))
+            return t.filter(pa.array(keep))
+
+        edges = _bfs_edges(sf_dir).map_batches(
+            live, batch_format="pyarrow")
+        d = bfs_depths(edges, [0], rounds=8).to_pandas()
+        rows_p.append(ppm)
+        rows_n.append(len(d))
+        rows_d.append(int(d["depth"].max()) if len(d) else 0)
+    return rd.from_arrow(pa.table({
+        "p_ppm": pa.array(rows_p, pa.int64()),
+        "n_activated": pa.array(rows_n, pa.int64()),
+        "max_depth": pa.array(rows_d, pa.int64())}))
 
 
 def _q_link_bfs_depth(sf_dir: str):

@@ -238,7 +238,8 @@ def run_bench() -> dict:
                  "conversion_delay", "bootstrap_totals",
                  "link_transitivity", "rolling_weekly_revenue",
                  "source_length_gini", "user_accumulation",
-                 "user_coverage_time", "peak_concurrency"):
+                 "user_coverage_time", "peak_concurrency",
+                 "influence_curve"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

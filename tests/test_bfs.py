@@ -72,3 +72,17 @@ def test_influence_subset_of_reachability(ray_session, sf_dir):
     assert len(m) == len(inf)            # activated ⊆ reachable
     assert (m.depth_full <= m.depth_ic).all()
     assert int(inf.loc[inf.node == 0, "depth"].iloc[0]) == 0
+
+
+def test_influence_curve_monotone(ray_session, sf_dir):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+    got = E.queries()["influence_curve"](sf_dir).to_pandas()
+    assert got.p_ppm.tolist() == [250_000, 500_000, 750_000]
+    # nested live-edge subgraphs: spread monotone in p
+    assert got.n_activated.is_monotonic_increasing
+    # the p=1/2 row equals the standalone link_influence sample
+    inf = E.queries()["link_influence"](sf_dir).to_pandas()
+    assert int(got.loc[got.p_ppm == 500_000,
+                       "n_activated"].iloc[0]) == len(inf)
