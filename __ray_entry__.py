@@ -522,6 +522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_accumulation": _q_user_accumulation,
         "user_coverage_time": _q_user_coverage_time,
         "peak_concurrency": _q_peak_concurrency,
+        "stream_disorder": _q_stream_disorder,
         "csv_ingest": _q_csv_ingest,
         "federated_union": _q_federated_union,
         "bounce_rate": _q_bounce_rate,
@@ -1444,6 +1445,7 @@ def oracle_sql() -> dict[str, str]:
         "source_length_gini": _gini_sql(),
         "user_coverage_time": _coverage_sql(),
         "peak_concurrency": _peak_sql(),
+        "stream_disorder": _disorder_sql(),
         "user_accumulation": """
             WITH f AS (
               SELECT user_id,
@@ -3454,6 +3456,11 @@ def _q_link_rich_club(sf_dir: str):
     return rich_club(_host_link_edges(sf_dir))
 
 
+def _disorder_sql() -> str:
+    from pdf2dom_ray.functions.temporal import stream_disorder_sql
+    return stream_disorder_sql()
+
+
 def _peak_sql() -> str:
     from pdf2dom_ray.functions.temporal import peak_concurrency_sql
     return peak_concurrency_sql()
@@ -4656,6 +4663,15 @@ def _q_peak_concurrency(sf_dir: str):
     associative carry+max driver merge, no global boundary sort."""
     from pdf2dom_ray.functions.temporal import peak_concurrency
     return peak_concurrency(sf_dir)
+
+
+def _q_stream_disorder(sf_dir: str):
+    """Out-of-order arrival audit (functions/temporal.py::
+    stream_disorder): bucketed parallel prefix-MAX over arrival
+    order — record-event histograms + carry replay count each late
+    event exactly once; sizes the watermark delay."""
+    from pdf2dom_ray.functions.temporal import stream_disorder
+    return stream_disorder(sf_dir)
 
 
 def _q_trigram_backoff(sf_dir: str):

@@ -27,7 +27,8 @@ __all__ = ["asof_join_last_purchase", "range_join_event_window",
            "rolling_user_totals", "event_transitions",
            "inter_event_gaps", "interval_coverage",
            "interval_coverage_sql", "peak_concurrency",
-           "peak_concurrency_sql"]
+           "peak_concurrency_sql", "stream_disorder",
+           "stream_disorder_sql"]
 
 _US_PER_DAY = 86_400_000_000
 
@@ -558,4 +559,142 @@ def peak_concurrency_sql(window_s: int = 300) -> str:
                make_timestamp(MIN(r.t)) AS at
         FROM r, mx WHERE r.run = mx.peak
         GROUP BY mx.peak
+    """
+
+
+def stream_disorder(sf_dir: str, *, bucket: int = 4096
+                    ) -> rd.Dataset:
+    """Out-of-order arrival audit of the event stream: treating
+    ``event_id`` as arrival order, an event is LATE when its ts is
+    behind the running max ts of everything that arrived before it;
+    reports (n_events, n_late, max_skew_us) — the numbers that size
+    a streaming pipeline's watermark delay and late-data buffer.
+
+    Scale shape — the second parallel-prefix operator
+    (``peak_concurrency``'s sibling, max instead of sum): arrival
+    order buckets by ``event_id // bucket``; each bucket folds to
+    (its max ts, its internal late count, its internal max skew,
+    its min-exclusive prefix maxes...) — concretely (bucket, max_ts,
+    n_late_internal, max_skew_internal, first-part data) where the
+    driver merge replays late counts against the carry (running max
+    of earlier buckets) using each bucket's SORTED (ts) summary...
+    kept simple: each bucket also reports its events' (min over
+    arrival of ts) boundary effects via two integer arrays folded to
+    scalars — late-vs-carry = events with ts < carry, computable
+    from the bucket's ts HISTOGRAM — so per bucket we keep
+    (max_ts, n_internal_late, max_internal_skew, sorted ts digest as
+    value/count rows). For the event tables here the digest is the
+    bucket's distinct ts values (≤ bucket rows) — the exchange is
+    O(n) narrow int64 rows, never a global sort of the raw stream.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("event_id"), dtype=np.int64)
+        us = t.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        order = np.argsort(ids, kind="mergesort")
+        ids, us = ids[order], us[order]
+        b = ids // bucket
+        return pa.Table.from_pandas(
+            pd.DataFrame({"bucket": b, "event_id": ids, "us": us}),
+            preserve_index=False)
+
+    def per_partition(g: pd.DataFrame) -> pa.Table:
+        out = []
+        for bk, sub in g.drop(columns="__part").groupby("bucket",
+                                                        sort=True):
+            sub = sub.sort_values("event_id", kind="mergesort")
+            us = sub["us"].to_numpy(np.int64)
+            run = np.maximum.accumulate(us)
+            prev = np.concatenate(([np.int64(-1 << 62)], run[:-1]))
+            late = us < prev
+            skew = int((prev - us)[late].max()) if late.any() else 0
+            # RECORD events only (new running maxima): internally
+            # non-late, so the carry replay counts each event at
+            # most once (a both-ways-late event is already in the
+            # internal count). Bucket min (kind 4) feeds the carry
+            # skew term, which ranges over ALL bucket events.
+            rec = us >= prev
+            vals, cnts = np.unique(us[rec], return_counts=True)
+            out.append(pd.DataFrame({
+                "bucket": bk, "kind": 0, "v": vals,
+                "c": cnts.astype(np.int64)}))
+            out.append(pd.DataFrame({
+                "bucket": [bk] * 5, "kind": [1, 2, 3, 4, 5],
+                "v": [int(us.max()), int(late.sum()), skew,
+                      int(us.min()), int(len(us))],
+                "c": [1, 1, 1, 1, 1]}))
+        if not out:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        return pa.Table.from_pandas(pd.concat(out,
+                                              ignore_index=True),
+                                    preserve_index=False)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        from ..scale import scale_partitions
+        P = scale_partitions()
+        h = pd.util.hash_pandas_object(df["bucket"], index=False)
+        return df.assign(__part=(h % P).astype("int64"))
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+               .map_batches(tag, batch_format="pandas")
+               .groupby("__part")
+               .map_groups(per_partition, batch_format="pandas"))
+
+    from .fold import bounded_fold_tables
+    tables = bounded_fold_tables(parts)
+    empty = pa.table({"n_events": pa.array([0], pa.int64()),
+                      "n_late": pa.array([0], pa.int64()),
+                      "max_skew_us": pa.array([0], pa.int64())})
+    if not tables:
+        return rd.from_arrow(empty)
+    df = pa.concat_tables(
+        [t.cast(pa.schema([("bucket", pa.int64()),
+                           ("kind", pa.int64()),
+                           ("v", pa.int64()),
+                           ("c", pa.int64())])) for t in tables]) \
+        .to_pandas()
+    n_events = int(df.loc[df["kind"] == 5, "v"].sum())
+    n_late = int(df.loc[df["kind"] == 2, "v"].sum())
+    max_skew = int(df.loc[df["kind"] == 3, "v"].max()) \
+        if (df["kind"] == 3).any() else 0
+    carry = -1 << 62
+    for bk in sorted(df["bucket"].unique().tolist()):
+        sub = df[df["bucket"] == bk]
+        hist = sub[sub["kind"] == 0]     # record events only
+        v = hist["v"].to_numpy(np.int64)
+        c = hist["c"].to_numpy(np.int64)
+        lt = v < carry
+        n_late += int(c[lt].sum())
+        bmin = int(sub.loc[sub["kind"] == 4, "v"].iloc[0])
+        if bmin < carry:                 # carry skew over ALL events
+            max_skew = max(max_skew, carry - bmin)
+        bmax = int(sub.loc[sub["kind"] == 1, "v"].iloc[0])
+        carry = max(carry, bmax)
+    return rd.from_arrow(pa.table({
+        "n_events": pa.array([n_events], pa.int64()),
+        "n_late": pa.array([n_late], pa.int64()),
+        "max_skew_us": pa.array([max_skew], pa.int64())}))
+
+
+def stream_disorder_sql() -> str:
+    return """
+        WITH r AS (
+          SELECT epoch_us(ts) AS us,
+                 MAX(epoch_us(ts)) OVER (ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING) AS prevmax
+          FROM events)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN us < prevmax THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_late,
+               CAST(COALESCE(MAX(CASE WHEN us < prevmax
+                                 THEN prevmax - us END), 0)
+                    AS BIGINT) AS max_skew_us
+        FROM r
     """

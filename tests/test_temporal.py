@@ -324,3 +324,26 @@ def test_peak_concurrency_window_monotone(ray_session, sf_dir):
     big = int(peak_concurrency(sf_dir,
                                window_s=3600).to_pandas().peak[0])
     assert small <= big
+
+
+def test_stream_disorder_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+
+    from pdf2dom_ray.functions.temporal import (stream_disorder,
+                                                stream_disorder_sql)
+    got = stream_disorder(sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet')")
+    want = con.execute(stream_disorder_sql()).fetchdf()
+    assert got.reset_index(drop=True).equals(
+        want.reset_index(drop=True))
+
+
+def test_stream_disorder_bucket_invariance(ray_session, sf_dir):
+    from pdf2dom_ray.functions.temporal import stream_disorder
+    # tiny buckets maximize cross-bucket carry interaction — the
+    # double-count hazard the record-only histogram fix closed
+    a = stream_disorder(sf_dir, bucket=4096).to_pandas()
+    b = stream_disorder(sf_dir, bucket=5).to_pandas()
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
