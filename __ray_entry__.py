@@ -523,6 +523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_coverage_time": _q_user_coverage_time,
         "peak_concurrency": _q_peak_concurrency,
         "stream_disorder": _q_stream_disorder,
+        "pareto_share": _q_pareto_share,
         "csv_ingest": _q_csv_ingest,
         "federated_union": _q_federated_union,
         "bounce_rate": _q_bounce_rate,
@@ -1446,6 +1447,33 @@ def oracle_sql() -> dict[str, str]:
         "user_coverage_time": _coverage_sql(),
         "peak_concurrency": _peak_sql(),
         "stream_disorder": _disorder_sql(),
+        "pareto_share": """
+            WITH u AS (
+              SELECT user_id,
+                     CAST(SUM(CAST(floor(value * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY 1),
+            r AS (
+              SELECT cents,
+                     row_number() OVER (ORDER BY cents DESC,
+                                        user_id) AS rn
+              FROM u),
+            s AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(cents) AS BIGINT) AS total
+              FROM r),
+            t AS (
+              SELECT CAST(SUM(r.cents) AS BIGINT) AS top
+              FROM r, s WHERE r.rn <= (s.n + 4) // 5)
+            SELECT s.n AS n_users,
+                   CAST((s.n + 4) // 5 AS BIGINT) AS k_top,
+                   t.top AS top_cents, s.total AS total_cents,
+                   CAST(CASE WHEN s.total = 0 THEN 0
+                        ELSE (1000000 * t.top) // s.total END
+                        AS BIGINT) AS share_ppm
+            FROM s, t
+        """,
         "user_accumulation": """
             WITH f AS (
               SELECT user_id,
@@ -4672,6 +4700,61 @@ def _q_stream_disorder(sf_dir: str):
     event exactly once; sizes the watermark delay."""
     from pdf2dom_ray.functions.temporal import stream_disorder
     return stream_disorder(sf_dir)
+
+
+def _q_pareto_share(sf_dir: str):
+    """80/20 audit: revenue share of the top 20% of purchasers —
+    per-user cents through the hash aggregate, exact k = ceil(n/5)
+    selection under the (cents desc, user_id) total order, integer
+    ppm share."""
+    import pandas as pd
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if "cents" not in df.columns:
+            df = df[df["event_type"] == "purchase"]
+            df = pd.DataFrame({
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "cents": np.floor(df["value"].to_numpy() * 100.0)
+                .astype(np.int64)})
+        return df.groupby("user_id", as_index=False) \
+            .agg(cents=("cents", "sum"))
+
+    from pdf2dom_ray.functions.fold import bounded_fold_tables
+    from pdf2dom_ray.stages.hashagg import hash_aggregate
+    per_user = hash_aggregate(ev, ["user_id"], partial)
+    tables = bounded_fold_tables(per_user)
+    if not tables:
+        return rd.from_arrow(pa.table({
+            "n_users": pa.array([0], pa.int64()),
+            "k_top": pa.array([0], pa.int64()),
+            "top_cents": pa.array([0], pa.int64()),
+            "total_cents": pa.array([0], pa.int64()),
+            "share_ppm": pa.array([0], pa.int64())}))
+    import pandas as pd
+    df = pa.concat_tables(
+        [t.cast(pa.schema([("user_id", pa.int64()),
+                           ("cents", pa.int64())]))
+         for t in tables]).to_pandas() \
+        .groupby("user_id", as_index=False).agg(cents=("cents",
+                                                       "sum"))
+    df = df.sort_values(["cents", "user_id"],
+                        ascending=[False, True])
+    n = len(df)
+    k = -(-n // 5)                       # ceil(n/5)
+    top = int(df["cents"].head(k).sum())
+    total = int(df["cents"].sum())
+    return rd.from_arrow(pa.table({
+        "n_users": pa.array([n], pa.int64()),
+        "k_top": pa.array([k], pa.int64()),
+        "top_cents": pa.array([top], pa.int64()),
+        "total_cents": pa.array([total], pa.int64()),
+        "share_ppm": pa.array(
+            [(1_000_000 * top) // total if total else 0],
+            pa.int64())}))
 
 
 def _q_trigram_backoff(sf_dir: str):

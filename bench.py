@@ -239,7 +239,8 @@ def run_bench() -> dict:
                  "link_transitivity", "rolling_weekly_revenue",
                  "source_length_gini", "user_accumulation",
                  "user_coverage_time", "peak_concurrency",
-                 "influence_curve", "stream_disorder"):
+                 "influence_curve", "stream_disorder",
+                 "pareto_share"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

@@ -51,3 +51,15 @@ def test_user_accumulation_curve(ray_session, sf_dir):
     assert got.cum_users.iloc[-1] == ev.user_id.nunique()
     assert got.cum_users.is_monotonic_increasing
     assert (got.n_new_users.cumsum() == got.cum_users).all()
+
+
+def test_pareto_share_properties(ray_session, sf_dir):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+    got = E.queries()["pareto_share"](sf_dir).to_pandas()
+    n, k = int(got.n_users[0]), int(got.k_top[0])
+    assert k == -(-n // 5)
+    # top-20% share is at least proportional and at most everything
+    assert 200_000 <= int(got.share_ppm[0]) <= 1_000_000
+    assert int(got.top_cents[0]) <= int(got.total_cents[0])
