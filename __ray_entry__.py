@@ -524,6 +524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_concurrency": _q_peak_concurrency,
         "stream_disorder": _q_stream_disorder,
         "pareto_share": _q_pareto_share,
+        "dup_rate_by_source": _q_dup_rate_by_source,
         "csv_ingest": _q_csv_ingest,
         "federated_union": _q_federated_union,
         "bounce_rate": _q_bounce_rate,
@@ -1447,6 +1448,22 @@ def oracle_sql() -> dict[str, str]:
         "user_coverage_time": _coverage_sql(),
         "peak_concurrency": _peak_sql(),
         "stream_disorder": _disorder_sql(),
+        "dup_rate_by_source": """
+            WITH h AS (
+              SELECT source, md5(text) AS hh FROM documents),
+            m AS (SELECT hh, COUNT(*) AS tot FROM h GROUP BY 1),
+            j AS (
+              SELECT h.source,
+                     CASE WHEN m.tot > 1 THEN 1 ELSE 0 END AS dup
+              FROM h JOIN m ON h.hh = m.hh)
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dup) AS BIGINT) AS n_dup_docs,
+                   CAST((1000000 * SUM(dup))
+                        // GREATEST(COUNT(*), 1) AS BIGINT)
+                       AS dup_ppm
+            FROM j GROUP BY 1 ORDER BY 1
+        """,
         "pareto_share": """
             WITH u AS (
               SELECT user_id,
@@ -4755,6 +4772,79 @@ def _q_pareto_share(sf_dir: str):
         "share_ppm": pa.array(
             [(1_000_000 * top) // total if total else 0],
             pa.int64())}))
+
+
+def _q_dup_rate_by_source(sf_dir: str):
+    """Per-source exact-duplicate rate: fraction of a source's docs
+    whose text md5 appears more than once CORPUS-WIDE (cross-source
+    duplication counts — the syndication signal) — one narrow
+    (md5, source) exchange of pre-hashed rows, integer ppm."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+
+    def hash_partial(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        h = [hashlib.md5((x or "").encode()).hexdigest()
+             for x in texts]
+        df = pd.DataFrame({
+            "h": h,
+            "source": np.asarray(t.column("source"),
+                                 dtype=object)})
+        g = df.groupby(["h", "source"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["h", "source"], as_index=False) \
+            .agg(c=("c", "sum"))
+
+    from pdf2dom_ray.functions.fold import bounded_fold_tables
+    from pdf2dom_ray.stages.hashagg import hash_aggregate
+    # hash-partition on h alone: every copy of a text co-locates, so
+    # the corpus-wide multiplicity is partition-local
+    per_hash = hash_aggregate(
+        ds.map_batches(hash_partial, batch_format="pyarrow"),
+        ["h"], combine)
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"source": [], "n_docs": [],
+                                 "n_dup_docs": []})
+        tot = df.groupby("h")["c"].transform("sum")
+        out = pd.DataFrame({
+            "source": df["source"],
+            "n_docs": df["c"],
+            "n_dup_docs": np.where(tot > 1, df["c"], 0)})
+        return out.groupby("source", as_index=False).sum()
+
+    parts = per_hash.map_batches(classify, batch_format="pandas")
+    tables = bounded_fold_tables(parts)
+    if not tables:
+        return rd.from_arrow(pa.table({
+            "source": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_dup_docs": pa.array([], pa.int64()),
+            "dup_ppm": pa.array([], pa.int64())}))
+    g = pa.concat_tables(
+        [t.cast(pa.schema([("source", pa.string()),
+                           ("n_docs", pa.int64()),
+                           ("n_dup_docs", pa.int64())]))
+         for t in tables]).to_pandas() \
+        .groupby("source", as_index=False).sum() \
+        .sort_values("source")
+    nd = g["n_docs"].to_numpy(np.int64)
+    dd = g["n_dup_docs"].to_numpy(np.int64)
+    return rd.from_arrow(pa.table({
+        "source": pa.array(g["source"], pa.string()),
+        "n_docs": pa.array(nd, pa.int64()),
+        "n_dup_docs": pa.array(dd, pa.int64()),
+        "dup_ppm": pa.array((1_000_000 * dd) // np.maximum(nd, 1),
+                            pa.int64())}))
 
 
 def _q_trigram_backoff(sf_dir: str):

@@ -63,3 +63,23 @@ def test_pareto_share_properties(ray_session, sf_dir):
     # top-20% share is at least proportional and at most everything
     assert 200_000 <= int(got.share_ppm[0]) <= 1_000_000
     assert int(got.top_cents[0]) <= int(got.total_cents[0])
+
+
+def test_dup_rate_by_source(ray_session, sf_dir):
+    import hashlib
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+    got = E.queries()["dup_rate_by_source"](sf_dir).to_pandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"])
+    h = docs["text"].map(
+        lambda x: hashlib.md5(x.encode()).hexdigest())
+    tot = h.map(h.value_counts())
+    ref = pd.DataFrame({"source": docs["source"],
+                        "dup": (tot > 1).astype("int64")}) \
+        .groupby("source").agg(n_docs=("dup", "size"),
+                               n_dup_docs=("dup", "sum"))
+    m = got.set_index("source")
+    assert m["n_docs"].equals(ref["n_docs"])
+    assert m["n_dup_docs"].equals(ref["n_dup_docs"])
