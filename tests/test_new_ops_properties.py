@@ -96,3 +96,85 @@ def test_peak_concurrency_brute(ray_session, tss, window_s):
     order = np.lexsort((bounds[:, 1], bounds[:, 0]))
     run = np.cumsum(bounds[order, 1])
     assert int(got.peak[0]) == int(run.max())
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=500),
+                min_size=1, max_size=50),
+       st.integers(min_value=1, max_value=16))
+def test_kmv_bottom_k_is_exact_set_function(ray_session, ids, k):
+    """The bottom-k sample equals the brute bottom-k of md5 hashes
+    regardless of batching; quantiles select from that set."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from pdf2dom_ray.functions.kmv import kmv_quantiles
+    ids = list(dict.fromkeys(ids))          # unique event ids
+    t = pa.table({
+        "event_id": pa.array(ids, pa.int64()),
+        "ts": pa.array([0] * len(ids), pa.timestamp("us")),
+        "user_id": pa.array([0] * len(ids), pa.int64()),
+        "event_type": pa.array(["click"] * len(ids)),
+        "value": pa.array([float(i % 97) for i in ids])})
+    d = tempfile.mkdtemp(prefix="kmv_prop_")
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    got = kmv_quantiles(d, k=k).to_pandas()
+    hs = sorted((hashlib.md5(str(i).encode()).hexdigest(), i)
+                for i in ids)[:k]
+    sample = np.sort(np.array(
+        [int(np.floor((i % 97) * 100.0)) for _, i in hs],
+        dtype=np.int64))
+    n = len(sample)
+    for p in (25, 50, 75, 90):
+        idx = max((p * n + 99) // 100, 1)
+        assert int(got.loc[got.pct == p, "value_cents"].iloc[0]) \
+            == int(sample[idx - 1])
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5),
+                          st.integers(0, 10**5)),
+                min_size=1, max_size=40))
+def test_interval_coverage_brute(ray_session, pairs):
+    """Union length equals the brute interval-merge sweep."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from pdf2dom_ray.functions.temporal import interval_coverage
+    w_us = 60 * 1_000_000
+    t = pa.table({
+        "event_id": pa.array(range(len(pairs)), pa.int64()),
+        "ts": pa.array(np.array([p[1] for p in pairs],
+                                dtype="int64") * 1000,
+                       pa.timestamp("us")),
+        "user_id": pa.array([p[0] for p in pairs], pa.int64()),
+        "event_type": pa.array(["click"] * len(pairs)),
+        "value": pa.array([1.0] * len(pairs))})
+    d = tempfile.mkdtemp(prefix="cov_prop_")
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    got = interval_coverage(d, window_s=60).to_pandas() \
+        .set_index("user_id")
+    by_user: dict = {}
+    for u, ts in pairs:
+        by_user.setdefault(u, []).append(ts * 1000)
+    for u, tss in by_user.items():
+        ivs = sorted((s, s + w_us) for s in tss)
+        total = 0
+        n_iv = 0
+        cur_s, cur_e = None, None
+        for s, e in ivs:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    total += cur_e - cur_s
+                cur_s, cur_e = s, e
+                n_iv += 1
+            else:
+                cur_e = max(cur_e, e)
+        total += cur_e - cur_s
+        assert int(got.loc[u, "covered_us"]) == total
+        assert int(got.loc[u, "n_intervals"]) == n_iv
