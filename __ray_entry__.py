@@ -525,6 +525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_disorder": _q_stream_disorder,
         "pareto_share": _q_pareto_share,
         "dup_rate_by_source": _q_dup_rate_by_source,
+        "order_fill_time": _q_order_fill_time,
         "csv_ingest": _q_csv_ingest,
         "federated_union": _q_federated_union,
         "bounce_rate": _q_bounce_rate,
@@ -1448,6 +1449,25 @@ def oracle_sql() -> dict[str, str]:
         "user_coverage_time": _coverage_sql(),
         "peak_concurrency": _peak_sql(),
         "stream_disorder": _disorder_sql(),
+        "order_fill_time": """
+            WITH f AS (
+              SELECT l_orderkey,
+                     MAX(epoch_us(l_shipdate)) AS mx
+              FROM lineitem GROUP BY 1),
+            j AS (
+              SELECT o_orderpriority,
+                     -- mx >= orderdate: truncation == floor
+                     (f.mx - epoch_us(o_orderdate)) // 86400000000
+                         AS days
+              FROM f JOIN orders ON o_orderkey = l_orderkey)
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST((1000000 * SUM(days))
+                        // GREATEST(COUNT(*), 1) AS BIGINT)
+                       AS mean_days_ppm,
+                   CAST(MAX(days) AS BIGINT) AS max_days
+            FROM j GROUP BY 1 ORDER BY 1
+        """,
         "dup_rate_by_source": """
             WITH h AS (
               SELECT source, md5(text) AS hh FROM documents),
@@ -4845,6 +4865,97 @@ def _q_dup_rate_by_source(sf_dir: str):
         "n_dup_docs": pa.array(dd, pa.int64()),
         "dup_ppm": pa.array((1_000_000 * dd) // np.maximum(nd, 1),
                             pa.int64())}))
+
+
+def _q_order_fill_time(sf_dir: str):
+    """Order fulfillment time by priority: per-order MAX shipdate −
+    orderdate in whole days (the last line closes the order), rolled
+    up per o_orderpriority as exact integer day-sums — one narrow
+    (orderkey, max shipdate) combiner exchange joined map-side to a
+    broadcast order map (dates fit; the q10 fallback pattern applies
+    past broadcast_limit)."""
+    import pandas as pd
+    import ray.data as rd
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if "mx" in df.columns:       # merge phase: max-merge
+            return df.groupby("l_orderkey", as_index=False) \
+                .agg(mx=("mx", "max"))
+        us = df["l_shipdate"].astype("datetime64[us]") \
+            .astype(np.int64)
+        out = pd.DataFrame({"l_orderkey": df["l_orderkey"]
+                            .to_numpy(np.int64), "mx": us})
+        return out.groupby("l_orderkey", as_index=False) \
+            .agg(mx=("mx", "max"))
+
+    from pdf2dom_ray.functions.fold import bounded_fold_tables
+    from pdf2dom_ray.stages.hashagg import hash_aggregate
+    per_order = hash_aggregate(li, ["l_orderkey"], partial)
+
+    import pyarrow.parquet as pq
+    odf = pq.read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderdate",
+                                 "o_orderpriority"]).to_pandas() \
+        .sort_values("o_orderkey")
+    o_keys = odf["o_orderkey"].to_numpy(np.int64)
+    o_us = odf["o_orderdate"].astype("datetime64[us]") \
+        .astype(np.int64).to_numpy()
+    o_pri = odf["o_orderpriority"].to_numpy(object)
+    import ray as _ray
+    ref = _ray.put((o_keys, o_us, o_pri))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        ks, us, pri = _ray.get(ref)
+        ok = df["l_orderkey"].to_numpy(np.int64)
+        pos = np.minimum(np.searchsorted(ks, ok),
+                         max(len(ks) - 1, 0))
+        hit = (ks[pos] == ok) if len(ks) else \
+            np.zeros(len(ok), dtype=bool)
+        days = (df["mx"].to_numpy(np.int64)[hit]
+                - us[pos[hit]]) // 86_400_000_000
+        out = pd.DataFrame({"o_orderpriority": pri[pos[hit]],
+                            "sum_days": days,
+                            "n_orders": np.ones(hit.sum(),
+                                                np.int64),
+                            "max_days": days})
+        return out.groupby("o_orderpriority", as_index=False) \
+            .agg(sum_days=("sum_days", "sum"),
+                 n_orders=("n_orders", "sum"),
+                 max_days=("max_days", "max"))
+
+    parts = per_order.map_batches(attach, batch_format="pandas")
+    tables = bounded_fold_tables(parts)
+    if not tables:
+        return rd.from_arrow(pa.table({
+            "o_orderpriority": pa.array([], pa.string()),
+            "n_orders": pa.array([], pa.int64()),
+            "mean_days_ppm": pa.array([], pa.int64()),
+            "max_days": pa.array([], pa.int64())}))
+    g = pa.concat_tables(
+        [t.cast(pa.schema([("o_orderpriority", pa.string()),
+                           ("sum_days", pa.int64()),
+                           ("n_orders", pa.int64()),
+                           ("max_days", pa.int64())]))
+         for t in tables]).to_pandas() \
+        .groupby("o_orderpriority", as_index=False) \
+        .agg(sum_days=("sum_days", "sum"),
+             n_orders=("n_orders", "sum"),
+             max_days=("max_days", "max")) \
+        .sort_values("o_orderpriority")
+    return rd.from_arrow(pa.table({
+        "o_orderpriority": pa.array(g["o_orderpriority"],
+                                    pa.string()),
+        "n_orders": pa.array(g["n_orders"].to_numpy(np.int64),
+                             pa.int64()),
+        "mean_days_ppm": pa.array(
+            (1_000_000 * g["sum_days"].to_numpy(np.int64))
+            // np.maximum(g["n_orders"].to_numpy(np.int64), 1),
+            pa.int64()),
+        "max_days": pa.array(g["max_days"].to_numpy(np.int64),
+                             pa.int64())}))
 
 
 def _q_trigram_backoff(sf_dir: str):

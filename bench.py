@@ -240,7 +240,8 @@ def run_bench() -> dict:
                  "source_length_gini", "user_accumulation",
                  "user_coverage_time", "peak_concurrency",
                  "influence_curve", "stream_disorder",
-                 "pareto_share", "dup_rate_by_source"):
+                 "pareto_share", "dup_rate_by_source",
+                 "order_fill_time"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

@@ -785,3 +785,29 @@ def test_q9_absent_token(ray_session, sf_dir):
     from pdf2dom_ray.pipelines.tpch import q9_product_profit
     got = q9_product_profit(sf_dir, name_token="zzzz").to_pandas()
     assert got.empty
+
+
+def test_order_fill_time(ray_session, sf_dir):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+    import duckdb
+    got = E.queries()["order_fill_time"](sf_dir).to_pandas()
+    want = duckdb.sql(f"""
+        WITH f AS (
+          SELECT l_orderkey, MAX(epoch_us(l_shipdate)) AS mx
+          FROM read_parquet('{sf_dir}/lineitem.parquet') GROUP BY 1),
+        j AS (
+          SELECT o_orderpriority,
+                 (f.mx - epoch_us(o_orderdate)) // 86400000000
+                     AS days
+          FROM f JOIN read_parquet('{sf_dir}/orders.parquet')
+            ON o_orderkey = l_orderkey)
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST((1000000 * SUM(days)) // GREATEST(COUNT(*), 1)
+                    AS BIGINT) AS mean_days_ppm,
+               CAST(MAX(days) AS BIGINT) AS max_days
+        FROM j GROUP BY 1 ORDER BY 1""").fetchdf()
+    assert got.reset_index(drop=True).equals(
+        want.reset_index(drop=True))
+    assert (got.max_days >= got.mean_days_ppm // 1_000_000).all()
