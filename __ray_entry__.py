@@ -526,6 +526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_share": _q_pareto_share,
         "dup_rate_by_source": _q_dup_rate_by_source,
         "order_fill_time": _q_order_fill_time,
+        "revenue_lorenz": _q_revenue_lorenz,
         "csv_ingest": _q_csv_ingest,
         "federated_union": _q_federated_union,
         "bounce_rate": _q_bounce_rate,
@@ -1449,6 +1450,31 @@ def oracle_sql() -> dict[str, str]:
         "user_coverage_time": _coverage_sql(),
         "peak_concurrency": _peak_sql(),
         "stream_disorder": _disorder_sql(),
+        "revenue_lorenz": """
+            WITH u AS (
+              SELECT user_id,
+                     CAST(SUM(CAST(floor(value * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY 1),
+            d AS (
+              SELECT cents,
+                     NTILE(10) OVER (ORDER BY cents, user_id)
+                         AS decile
+              FROM u),
+            g AS (
+              SELECT decile,
+                     CAST(SUM(cents) AS BIGINT) AS decile_cents
+              FROM d GROUP BY 1),
+            t AS (SELECT CAST(SUM(decile_cents) AS BIGINT) AS tot
+                  FROM g)
+            SELECT CAST(decile AS BIGINT) AS decile, decile_cents,
+                   CAST((1000000 * SUM(decile_cents) OVER (
+                         ORDER BY decile ROWS UNBOUNDED PRECEDING))
+                        // GREATEST(t.tot, 1) AS BIGINT)
+                       AS cum_share_ppm
+            FROM g, t ORDER BY 1
+        """,
         "order_fill_time": """
             WITH f AS (
               SELECT l_orderkey,
@@ -4956,6 +4982,65 @@ def _q_order_fill_time(sf_dir: str):
             pa.int64()),
         "max_days": pa.array(g["max_days"].to_numpy(np.int64),
                              pa.int64())}))
+
+
+def _q_revenue_lorenz(sf_dir: str):
+    """Lorenz curve of purchase revenue over user deciles (the
+    concentration curve behind pareto_share/Gini): exact NTILE(10)
+    by (cents asc, user) over per-user totals, cumulative share per
+    decile in integer ppm."""
+    import pandas as pd
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if "cents" not in df.columns:
+            df = df[df["event_type"] == "purchase"]
+            df = pd.DataFrame({
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "cents": np.floor(df["value"].to_numpy() * 100.0)
+                .astype(np.int64)})
+        return df.groupby("user_id", as_index=False) \
+            .agg(cents=("cents", "sum"))
+
+    from pdf2dom_ray.functions.fold import bounded_fold_tables
+    from pdf2dom_ray.stages.hashagg import hash_aggregate
+    per_user = hash_aggregate(ev, ["user_id"], partial)
+    tables = bounded_fold_tables(per_user)
+    empty = pa.table({"decile": pa.array([], pa.int64()),
+                      "decile_cents": pa.array([], pa.int64()),
+                      "cum_share_ppm": pa.array([], pa.int64())})
+    if not tables:
+        return rd.from_arrow(empty)
+    import pandas as pd
+    df = pa.concat_tables(
+        [t.cast(pa.schema([("user_id", pa.int64()),
+                           ("cents", pa.int64())]))
+         for t in tables]).to_pandas() \
+        .groupby("user_id", as_index=False).agg(cents=("cents",
+                                                       "sum")) \
+        .sort_values(["cents", "user_id"])
+    n = len(df)
+    # exact NTILE(10) over (cents asc, user) order
+    q, r = divmod(n, 10)
+    sizes = np.full(10, q, np.int64)
+    sizes[:r] += 1
+    dec = np.repeat(np.arange(1, 11, dtype=np.int64), sizes)
+    g = pd.DataFrame({"decile": dec,
+                      "decile_cents": df["cents"].to_numpy(
+                          np.int64)}) \
+        .groupby("decile", as_index=False).sum()
+    total = int(g["decile_cents"].sum())
+    cum = g["decile_cents"].cumsum().to_numpy(np.int64)
+    return rd.from_arrow(pa.table({
+        "decile": pa.array(g["decile"].to_numpy(np.int64),
+                           pa.int64()),
+        "decile_cents": pa.array(
+            g["decile_cents"].to_numpy(np.int64), pa.int64()),
+        "cum_share_ppm": pa.array(
+            (1_000_000 * cum) // max(total, 1), pa.int64())}))
 
 
 def _q_trigram_backoff(sf_dir: str):

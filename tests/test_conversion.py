@@ -83,3 +83,20 @@ def test_dup_rate_by_source(ray_session, sf_dir):
     m = got.set_index("source")
     assert m["n_docs"].equals(ref["n_docs"])
     assert m["n_dup_docs"].equals(ref["n_dup_docs"])
+
+
+def test_revenue_lorenz_curve(ray_session, sf_dir):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+    got = E.queries()["revenue_lorenz"](sf_dir).to_pandas()
+    assert got.decile.tolist() == list(range(1, 11))
+    # Lorenz curve is convex-increasing to 1, below the diagonal
+    assert got.cum_share_ppm.is_monotonic_increasing
+    assert int(got.cum_share_ppm.iloc[-1]) == 1_000_000
+    assert (got.cum_share_ppm.to_numpy()[:-1]
+            <= np.arange(1, 10) * 100_000 + 1).all()
+    # consistency with pareto_share: top 2 deciles = top 20%
+    ps = E.queries()["pareto_share"](sf_dir).to_pandas()
+    top2 = 1_000_000 - int(got.cum_share_ppm.iloc[7])
+    assert abs(top2 - int(ps.share_ppm[0])) <= 1   # flooring ulp
