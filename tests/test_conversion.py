@@ -94,9 +94,25 @@ def test_revenue_lorenz_curve(ray_session, sf_dir):
     # Lorenz curve is convex-increasing to 1, below the diagonal
     assert got.cum_share_ppm.is_monotonic_increasing
     assert int(got.cum_share_ppm.iloc[-1]) == 1_000_000
-    assert (got.cum_share_ppm.to_numpy()[:-1]
-            <= np.arange(1, 10) * 100_000 + 1).all()
-    # consistency with pareto_share: top 2 deciles = top 20%
-    ps = E.queries()["pareto_share"](sf_dir).to_pandas()
-    top2 = 1_000_000 - int(got.cum_share_ppm.iloc[7])
-    assert abs(top2 - int(ps.share_ppm[0])) <= 1   # flooring ulp
+    # direct pandas reference of the decile sums
+    import hashlib
+
+    import numpy as np
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type",
+                                  "value"])
+    p = ev[ev.event_type == "purchase"]
+    u = pd.DataFrame({
+        "user_id": p.user_id,
+        "cents": np.floor(p.value.to_numpy() * 100).astype(
+            "int64")}).groupby("user_id", as_index=False).sum() \
+        .sort_values(["cents", "user_id"])
+    n = len(u)
+    q, r = divmod(n, 10)
+    sizes = np.full(10, q)
+    sizes[:r] += 1
+    dec = np.repeat(np.arange(1, 11), sizes)
+    ref = pd.DataFrame({"decile": dec,
+                        "cents": u.cents.to_numpy()}) \
+        .groupby("decile")["cents"].sum()
+    assert got.set_index("decile")["decile_cents"].equals(ref)
