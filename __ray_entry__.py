@@ -386,6 +386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "related_topk": _q_related_topk,
         "crawl_priority": _q_crawl_priority,
         "link_degree_stats": _q_link_degree_stats,
+        "avg_neighbor_degree": _q_avg_neighbor_degree,
         "graph_walks": _q_graph_walks,
         "graph_walks_bsp": _q_graph_walks_bsp,
         "skipgram_pairs": _q_skipgram_pairs,
@@ -710,6 +711,7 @@ def oracle_sql() -> dict[str, str]:
         "related_topk": _related_topk_sql(),
         "crawl_priority": _crawl_priority_sql(),
         "link_degree_stats": _link_degree_stats_sql(),
+        "avg_neighbor_degree": _annd_sql(),
         "graph_walks": _graph_walks_sql(),
         "graph_walks_bsp": _graph_walks_sql(),
         "skipgram_pairs": _skipgram_sql(),
@@ -2986,9 +2988,23 @@ def _crawl_priority_sql() -> str:
           ON s.host = hr.host"""
 
 
+def _annd_sql() -> str:
+    from pdf2dom_ray.functions.linkstats import annd_oracle_sql
+    return annd_oracle_sql(_host_edges_sql())
+
+
 def _link_degree_stats_sql() -> str:
     from pdf2dom_ray.functions.linkstats import degree_stats_oracle_sql
     return degree_stats_oracle_sql(_host_edges_sql())
+
+
+def _q_avg_neighbor_degree(sf_dir: str):
+    """Barabasi knn(k) degree-correlation curve
+    (functions/linkstats.py::avg_neighbor_degree): per degree bin
+    the exact integer mean neighbor degree over the undirected URL
+    graph — the float-free counterpart of link_assortativity."""
+    from pdf2dom_ray.functions.linkstats import avg_neighbor_degree
+    return avg_neighbor_degree(_host_link_edges(sf_dir))
 
 
 def _q_link_degree_stats(sf_dir: str):

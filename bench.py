@@ -241,7 +241,8 @@ def run_bench() -> dict:
                  "user_coverage_time", "peak_concurrency",
                  "influence_curve", "stream_disorder",
                  "pareto_share", "dup_rate_by_source",
-                 "order_fill_time", "revenue_lorenz"):
+                 "order_fill_time", "revenue_lorenz",
+                 "avg_neighbor_degree"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

@@ -40,7 +40,7 @@ import pyarrow as pa
 import ray.data as rd
 
 __all__ = ["degree_stats", "degree_stats_reference",
-           "degree_stats_oracle_sql"]
+           "degree_stats_oracle_sql", "avg_neighbor_degree", "annd_oracle_sql"]
 
 
 def _n_partitions() -> int:
@@ -156,3 +156,134 @@ def degree_stats_oracle_sql(edges_cte: str) -> str:
         LEFT JOIN ind i ON n.url = i.url
         LEFT JOIN outd o ON n.url = o.url
         LEFT JOIN rec r ON n.url = r.url"""
+
+
+def avg_neighbor_degree(edges: rd.Dataset, *,
+                        src_col: str = "src",
+                        dst_col: str = "target",
+                        num_partitions: int | None = None
+                        ) -> rd.Dataset:
+    """Degree-binned average neighbor degree — Barabási's knn(k)
+    curve (Pastor-Satorras et al. 2001), THE degree-correlation
+    readout: decreasing knn(k) = disassortative hub-periphery webs,
+    increasing = assortative social-style meshes. Over the distinct
+    UNDIRECTED pair set: per degree k, annd_ppm =
+    10⁶·Σ_{v:d(v)=k} Σ_{u∼v} d(u) // (k·|{v:d(v)=k}|) — exact
+    integers (the float-free counterpart of `assortativity.py`'s
+    moment Pearson).
+
+    Scale shape: distinct-pair dedup → one degree hash aggregate →
+    TWO ``join_ready`` joins re-attach endpoint degrees per edge →
+    per-node neighbor-degree sums (narrow combiner) → a ≤ max-degree
+    driver fold.
+    """
+    from ..scale import scale_partitions
+    from ..stages.hashagg import hash_aggregate
+    from .dedup import join_ready
+    n_part = num_partitions or scale_partitions()
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        a, b = df[src_col], df[dst_col]
+        lo, hi = a.where(a <= b, b), b.where(a <= b, a)
+        out = pd.DataFrame({"a": lo, "b": hi})
+        return out[lo != hi].drop_duplicates()
+
+    und = hash_aggregate(
+        edges.map_batches(canon, batch_format="pandas"),
+        ["a", "b"], lambda df: df.drop_duplicates(),
+        num_partitions=n_part).materialize()
+    empty = pa.table({"degree": pa.array([], pa.int64()),
+                      "n_nodes": pa.array([], pa.int64()),
+                      "annd_ppm": pa.array([], pa.int64())})
+    if und.count() == 0:
+        return rd.from_arrow(empty)
+
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        if "d" in df.columns:
+            return df.groupby("node", as_index=False) \
+                .agg(d=("d", "sum"))
+        out = pd.DataFrame({"node": pd.concat([df["a"], df["b"]],
+                                              ignore_index=True),
+                            "d": 1})
+        return out.groupby("node", as_index=False) \
+            .agg(d=("d", "sum"))
+
+    deg = join_ready(hash_aggregate(und, ["node"], endpoints,
+                                    num_partitions=n_part), n_part)
+    e1 = join_ready(und, n_part).join(
+        deg, join_type="inner", num_partitions=n_part,
+        on=("a",), right_on=("node",))
+    e1 = join_ready(e1.map_batches(
+        lambda df: df.rename(columns={"d": "da"}),
+        batch_format="pandas"), n_part)
+    e2 = e1.join(deg, join_type="inner", num_partitions=n_part,
+                 on=("b",), right_on=("node",))
+
+    def nd_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if "snd" in df.columns:
+            return df.groupby("node", as_index=False) \
+                .agg(snd=("snd", "sum"), d=("d_", "max")) \
+                .rename(columns={"d": "d_"}) \
+                if "d_" in df.columns else df
+        out = pd.concat([
+            pd.DataFrame({"node": df["a"], "snd": df["d"],
+                          "d_": df["da"]}),
+            pd.DataFrame({"node": df["b"], "snd": df["da"],
+                          "d_": df["d"]})], ignore_index=True)
+        return out.groupby("node", as_index=False) \
+            .agg(snd=("snd", "sum"), d_=("d_", "max"))
+
+    per_node = hash_aggregate(e2, ["node"], nd_partial,
+                              num_partitions=n_part)
+
+    from .fold import bounded_fold_tables
+    tables = bounded_fold_tables(per_node)
+    if not tables:
+        return rd.from_arrow(empty)
+    g = pa.concat_tables(
+        [t.select(["node", "snd", "d_"]).cast(
+            pa.schema([("node", t.schema.field("node").type),
+                       ("snd", pa.int64()), ("d_", pa.int64())]))
+         for t in tables]).to_pandas() \
+        .groupby("node", as_index=False) \
+        .agg(snd=("snd", "sum"), d_=("d_", "max"))
+    k = g.groupby("d_", as_index=False) \
+        .agg(n_nodes=("node", "size"), snd=("snd", "sum")) \
+        .sort_values("d_")
+    d = k["d_"].to_numpy(np.int64)
+    nn = k["n_nodes"].to_numpy(np.int64)
+    snd = k["snd"].to_numpy(np.int64)
+    return rd.from_arrow(pa.table({
+        "degree": pa.array(d, pa.int64()),
+        "n_nodes": pa.array(nn, pa.int64()),
+        "annd_ppm": pa.array((1_000_000 * snd)
+                             // np.maximum(d * nn, 1), pa.int64())}))
+
+
+def annd_oracle_sql(edges_cte: str) -> str:
+    return f"""
+        WITH raw_e AS ({edges_cte}),
+        e AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src, target) AS a,
+                   GREATEST(src, target) AS b
+            FROM raw_e WHERE src <> target),
+        bd AS MATERIALIZED (
+            SELECT a AS u, b AS v FROM e
+            UNION ALL SELECT b, a FROM e),
+        deg AS MATERIALIZED (
+            SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM bd GROUP BY 1),
+        nd AS MATERIALIZED (
+            SELECT bd.u AS node, MAX(x.d) AS d,
+                   CAST(SUM(y.d) AS BIGINT) AS snd
+            FROM bd
+            JOIN deg x ON bd.u = x.node
+            JOIN deg y ON bd.v = y.node
+            GROUP BY 1)
+        SELECT CAST(d AS BIGINT) AS degree,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST((1000000 * SUM(snd))
+                    // GREATEST(d * COUNT(*), 1) AS BIGINT)
+                   AS annd_ppm
+        FROM nd GROUP BY d ORDER BY 1
+    """

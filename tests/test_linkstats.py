@@ -53,3 +53,28 @@ def test_degree_stats_oracle_matches(ray_session):
         f"SELECT * FROM (VALUES {vals}) AS t(src, target)"))
         .fetchall()))
     assert got == want
+
+
+def test_annd_hand_case(ray_session):
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.linkstats import avg_neighbor_degree
+    # star 0-1,0-2,0-3: hub degree 3 (neighbors all degree 1),
+    # leaves degree 1 (neighbor degree 3)
+    ed = rd.from_items([{"src": 0, "target": i} for i in (1, 2, 3)])
+    got = avg_neighbor_degree(ed).to_pandas().set_index("degree")
+    assert int(got.loc[1, "n_nodes"]) == 3
+    assert int(got.loc[1, "annd_ppm"]) == 3_000_000
+    assert int(got.loc[3, "annd_ppm"]) == 1_000_000
+
+
+def test_annd_partition_invariance(ray_session, sf_dir):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+    from pdf2dom_ray.functions.linkstats import avg_neighbor_degree
+    a = avg_neighbor_degree(E.__dict__["_host_link_edges"](sf_dir),
+                            num_partitions=2).to_pandas()
+    b = avg_neighbor_degree(E.__dict__["_host_link_edges"](sf_dir),
+                            num_partitions=6).to_pandas()
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
