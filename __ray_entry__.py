@@ -528,6 +528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_by_source": _q_dup_rate_by_source,
         "order_fill_time": _q_order_fill_time,
         "revenue_lorenz": _q_revenue_lorenz,
+        "trimmed_mean_revenue": _q_trimmed_mean_revenue,
         "csv_ingest": _q_csv_ingest,
         "federated_union": _q_federated_union,
         "bounce_rate": _q_bounce_rate,
@@ -1452,6 +1453,27 @@ def oracle_sql() -> dict[str, str]:
         "user_coverage_time": _coverage_sql(),
         "peak_concurrency": _peak_sql(),
         "stream_disorder": _disorder_sql(),
+        "trimmed_mean_revenue": """
+            WITH p AS (
+              SELECT CAST(floor(value * 100) AS BIGINT) AS cents
+              FROM events WHERE event_type = 'purchase'),
+            r AS (
+              SELECT cents,
+                     row_number() OVER (ORDER BY cents) AS rn
+              FROM p),
+            s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p),
+            t AS (
+              SELECT CAST(SUM(r.cents) AS BIGINT) AS ts
+              FROM r, s
+              WHERE r.rn > s.n // 10 AND r.rn <= s.n - s.n // 10)
+            SELECT s.n, CAST(s.n // 10 AS BIGINT) AS k_trim,
+                   t.ts AS trimmed_sum_cents,
+                   CAST(CASE WHEN s.n - 2 * (s.n // 10) = 0 THEN 0
+                        ELSE (1000000 * t.ts)
+                             // (s.n - 2 * (s.n // 10)) END
+                        AS BIGINT) AS trimmed_mean_ppm
+            FROM s, t
+        """,
         "revenue_lorenz": """
             WITH u AS (
               SELECT user_id,
@@ -5057,6 +5079,64 @@ def _q_revenue_lorenz(sf_dir: str):
             g["decile_cents"].to_numpy(np.int64), pa.int64()),
         "cum_share_ppm": pa.array(
             (1_000_000 * cum) // max(total, 1), pa.int64())}))
+
+
+def _q_trimmed_mean_revenue(sf_dir: str):
+    """10%-trimmed mean of purchase values — the robust-location
+    estimator between median and mean: drop the k = n//10 smallest
+    and largest cents, exact integer middle sum from the folded
+    value histogram (no raw-row sort; the robust.py selection shape
+    with a cumsum-windowed SUM instead of a pick)."""
+    import pandas as pd
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        cents = np.floor(np.asarray(t.column("value"),
+                                    dtype=np.float64) * 100.0) \
+            .astype(np.int64)
+        v, c = np.unique(cents, return_counts=True)
+        return pa.table({"v": pa.array(v, pa.int64()),
+                         "c": pa.array(c.astype(np.int64),
+                                       pa.int64())})
+
+    def fold_block(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(
+            t.to_pandas().groupby("v", as_index=False).sum(),
+            preserve_index=False)
+
+    from pdf2dom_ray.functions.fold import bounded_fold_tables
+    tables = bounded_fold_tables(
+        ev.map_batches(partial, batch_format="pyarrow"), fold_block)
+    empty = pa.table({"n": pa.array([0], pa.int64()),
+                      "k_trim": pa.array([0], pa.int64()),
+                      "trimmed_sum_cents": pa.array([0], pa.int64()),
+                      "trimmed_mean_ppm": pa.array([0], pa.int64())})
+    if not tables:
+        return rd.from_arrow(empty)
+    import pandas as pd
+    g = pa.concat_tables(tables).to_pandas() \
+        .groupby("v", as_index=False).sum().sort_values("v")
+    v = g["v"].to_numpy(np.int64)
+    c = g["c"].to_numpy(np.int64)
+    n = int(c.sum())
+    k = n // 10
+    # per value, rows kept = overlap of its rank span with (k, n-k]
+    hi = np.cumsum(c)
+    lo = hi - c
+    kept = np.minimum(hi, n - k) - np.maximum(lo, k)
+    kept = np.maximum(kept, 0)
+    s = int((v * kept).sum())
+    m = n - 2 * k
+    return rd.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "k_trim": pa.array([k], pa.int64()),
+        "trimmed_sum_cents": pa.array([s], pa.int64()),
+        "trimmed_mean_ppm": pa.array(
+            [(1_000_000 * s) // m if m else 0], pa.int64())}))
 
 
 def _q_trigram_backoff(sf_dir: str):

@@ -116,3 +116,22 @@ def test_revenue_lorenz_curve(ray_session, sf_dir):
                         "cents": u.cents.to_numpy()}) \
         .groupby("decile")["cents"].sum()
     assert got.set_index("decile")["decile_cents"].equals(ref)
+
+
+def test_trimmed_mean_brute(ray_session, sf_dir):
+    import numpy as np
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+    got = E.queries()["trimmed_mean_revenue"](sf_dir).to_pandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    cents = np.sort(np.floor(
+        ev.loc[ev.event_type == "purchase", "value"].to_numpy()
+        * 100).astype("int64"))
+    n = len(cents)
+    k = n // 10
+    mid = cents[k:n - k]
+    assert int(got.trimmed_sum_cents[0]) == int(mid.sum())
+    assert int(got.trimmed_mean_ppm[0]) == \
+        (1_000_000 * int(mid.sum())) // len(mid)
