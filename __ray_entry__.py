@@ -529,6 +529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_fill_time": _q_order_fill_time,
         "revenue_lorenz": _q_revenue_lorenz,
         "trimmed_mean_revenue": _q_trimmed_mean_revenue,
+        "dn_retention": _q_dn_retention,
         "csv_ingest": _q_csv_ingest,
         "federated_union": _q_federated_union,
         "bounce_rate": _q_bounce_rate,
@@ -1453,6 +1454,29 @@ def oracle_sql() -> dict[str, str]:
         "user_coverage_time": _coverage_sql(),
         "peak_concurrency": _peak_sql(),
         "stream_disorder": _disorder_sql(),
+        "dn_retention": """
+            WITH d AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events),
+            f AS (SELECT user_id, MIN(day) AS fd FROM d GROUP BY 1),
+            ns AS (SELECT unnest([1, 7, 30]) AS n),
+            r AS (
+              SELECT ns.n,
+                     CASE WHEN EXISTS (
+                         SELECT 1 FROM d
+                         WHERE d.user_id = f.user_id
+                           AND d.day = f.fd + ns.n)
+                     THEN 1 ELSE 0 END AS ret
+              FROM f, ns)
+            SELECT CAST(n AS BIGINT) AS n_day,
+                   CAST(COUNT(*) AS BIGINT) AS n_cohort,
+                   CAST(SUM(ret) AS BIGINT) AS n_retained,
+                   CAST((1000000 * SUM(ret))
+                        // GREATEST(COUNT(*), 1) AS BIGINT)
+                       AS retention_ppm
+            FROM r GROUP BY 1 ORDER BY 1
+        """,
         "trimmed_mean_revenue": """
             WITH p AS (
               SELECT CAST(floor(value * 100) AS BIGINT) AS cents
@@ -5137,6 +5161,73 @@ def _q_trimmed_mean_revenue(sf_dir: str):
         "trimmed_sum_cents": pa.array([s], pa.int64()),
         "trimmed_mean_ppm": pa.array(
             [(1_000_000 * s) // m if m else 0], pa.int64())}))
+
+
+def _q_dn_retention(sf_dir: str):
+    """Classic D1/D7/D30 retention: users active exactly N days
+    after their first-seen day (the growth-team headline metric) —
+    one user-hash exchange; per partition, each user's distinct
+    active-day set probes first_day + N vectorized; integer ppm."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf2dom_ray.scale import scale_partitions
+    P = scale_partitions()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype(np.int64)
+        out = pd.DataFrame({"user_id": df["user_id"]
+                            .to_numpy(np.int64),
+                            "day": us // 86_400_000_000}) \
+            .drop_duplicates()
+        h = pd.util.hash_pandas_object(out["user_id"], index=False)
+        return out.assign(__part=(h % P).astype("int64"))
+
+    NS = (1, 7, 30)
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__part").drop_duplicates()
+        first = g.groupby("user_id")["day"].min()
+        have = set(zip(g["user_id"].tolist(), g["day"].tolist()))
+        rows = []
+        for n in NS:
+            ret = sum((int(u), int(d) + n) in have
+                      for u, d in first.items())
+            rows.append((n, len(first), ret))
+        return pd.DataFrame(rows, columns=["n_day", "n_cohort",
+                                           "n_retained"])
+
+    parts = (ds.map_batches(tag, batch_format="pandas")
+               .groupby("__part")
+               .map_groups(per_partition, batch_format="pandas"))
+
+    from pdf2dom_ray.functions.fold import bounded_fold_tables
+    tables = bounded_fold_tables(parts)
+    if not tables:
+        return rd.from_arrow(pa.table({
+            "n_day": pa.array([], pa.int64()),
+            "n_cohort": pa.array([], pa.int64()),
+            "n_retained": pa.array([], pa.int64()),
+            "retention_ppm": pa.array([], pa.int64())}))
+    import pandas as pd
+    g = pa.concat_tables(
+        [t.cast(pa.schema([("n_day", pa.int64()),
+                           ("n_cohort", pa.int64()),
+                           ("n_retained", pa.int64())]))
+         for t in tables]).to_pandas() \
+        .groupby("n_day", as_index=False).sum().sort_values("n_day")
+    nc = g["n_cohort"].to_numpy(np.int64)
+    nr = g["n_retained"].to_numpy(np.int64)
+    return rd.from_arrow(pa.table({
+        "n_day": pa.array(g["n_day"].to_numpy(np.int64),
+                          pa.int64()),
+        "n_cohort": pa.array(nc, pa.int64()),
+        "n_retained": pa.array(nr, pa.int64()),
+        "retention_ppm": pa.array((1_000_000 * nr)
+                                  // np.maximum(nc, 1),
+                                  pa.int64())}))
 
 
 def _q_trigram_backoff(sf_dir: str):

@@ -242,7 +242,8 @@ def run_bench() -> dict:
                  "influence_curve", "stream_disorder",
                  "pareto_share", "dup_rate_by_source",
                  "order_fill_time", "revenue_lorenz",
-                 "avg_neighbor_degree", "trimmed_mean_revenue"):
+                 "avg_neighbor_degree", "trimmed_mean_revenue",
+                 "dn_retention"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

@@ -135,3 +135,23 @@ def test_trimmed_mean_brute(ray_session, sf_dir):
     assert int(got.trimmed_sum_cents[0]) == int(mid.sum())
     assert int(got.trimmed_mean_ppm[0]) == \
         (1_000_000 * int(mid.sum())) // len(mid)
+
+
+def test_dn_retention_brute(ray_session, sf_dir):
+    import numpy as np
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+    got = E.queries()["dn_retention"](sf_dir).to_pandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    day = (ev.ts.astype("datetime64[us]").astype("int64")
+           // 86_400_000_000)
+    d = pd.DataFrame({"u": ev.user_id, "d": day}).drop_duplicates()
+    first = d.groupby("u")["d"].min()
+    have = set(zip(d.u, d.d))
+    for n in (1, 7, 30):
+        ret = sum((u, fd + n) in have for u, fd in first.items())
+        row = got[got.n_day == n].iloc[0]
+        assert int(row.n_cohort) == len(first)
+        assert int(row.n_retained) == ret
