@@ -530,6 +530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_lorenz": _q_revenue_lorenz,
         "trimmed_mean_revenue": _q_trimmed_mean_revenue,
         "dn_retention": _q_dn_retention,
+        "trust_gap": _q_trust_gap,
         "csv_ingest": _q_csv_ingest,
         "federated_union": _q_federated_union,
         "bounce_rate": _q_bounce_rate,
@@ -1454,6 +1455,7 @@ def oracle_sql() -> dict[str, str]:
         "user_coverage_time": _coverage_sql(),
         "peak_concurrency": _peak_sql(),
         "stream_disorder": _disorder_sql(),
+        "trust_gap": _trust_gap_sql(),
         "dn_retention": """
             WITH d AS (
               SELECT DISTINCT user_id,
@@ -2838,6 +2840,21 @@ def _q_anchor_texts(sf_dir: str):
     return anchor_text_counts(synth_html_pages(sf_dir))
 
 
+def _trust_gap_sql() -> str:
+    """Join of the two unrolled fixed-point oracles, top 20 by
+    (pagerank − trustrank) with the (gap desc, url) total order."""
+    pr = _pagerank_sql()
+    tr = _trustrank_sql()
+    return f"""
+        WITH prq AS ({pr}), trq AS ({tr})
+        SELECT prq.url, CAST(prq.rank AS BIGINT) AS pagerank,
+               CAST(trq.trust AS BIGINT) AS trustrank,
+               CAST(prq.rank - trq.trust AS BIGINT) AS gap
+        FROM prq JOIN trq ON prq.url = trq.url
+        ORDER BY gap DESC, prq.url LIMIT 20
+    """
+
+
 def _pagerank_sql() -> str:
     from pdf2dom_ray.functions.pagerank import pagerank_oracle_sql
     edges = (f"SELECT {_URL_SQL} AS src, "
@@ -3299,6 +3316,72 @@ def _q_hits_bsp(sf_dir: str):
                                                     synth_html_pages)
     return hits(extract_outlinks_ds(synth_html_pages(sf_dir)),
                 iterations=4, driver_edge_limit=0)
+
+
+def _q_trust_gap(sf_dir: str):
+    """Spam-demotion ranking: top 20 pages by PageRank − TrustRank
+    (both the repo's fixed-point int64 scores over the same outlink
+    graph) — pages whose authority comes from OUTSIDE the trusted
+    neighborhood, Gyongyi 2004's spam-mass intuition as a pure
+    composition; join_ready narrow join + bounded top-k merge."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.dedup import join_ready
+    from pdf2dom_ray.functions.fold import bounded_fold_tables
+    from pdf2dom_ray.functions.pagerank import pagerank
+    from pdf2dom_ray.functions.trustrank import trustrank
+    from pdf2dom_ray.pipelines.html_extract import (
+        extract_outlinks_ds, synth_html_pages)
+    from pdf2dom_ray.scale import scale_partitions
+
+    n_part = scale_partitions()
+    pr = pagerank(extract_outlinks_ds(synth_html_pages(sf_dir)),
+                  iterations=5)
+    tr = trustrank(extract_outlinks_ds(synth_html_pages(sf_dir)),
+                   _trusted_seeds(sf_dir), iterations=5)
+    tr = tr.map_batches(
+        lambda df: df.rename(columns={"trust": "trank",
+                                      "url": "turl"}),
+        batch_format="pandas")
+    j = join_ready(pr, n_part).join(
+        join_ready(tr, n_part), join_type="inner",
+        num_partitions=n_part, on=("url",), right_on=("turl",))
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "url": df["url"],
+            "pagerank": df["rank"].astype("int64"),
+            "trustrank": df["trank"].astype("int64")})
+        out["gap"] = out["pagerank"] - out["trustrank"]
+        return out.sort_values(["gap", "url"],
+                               ascending=[False, True]).head(20)
+
+    def topk_merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["url", "pagerank", "trustrank"]].copy()
+        df["gap"] = df["pagerank"] - df["trustrank"]
+        return df.sort_values(["gap", "url"],
+                              ascending=[False, True]).head(20)
+
+    parts = j.map_batches(topk, batch_format="pandas")
+    tables = bounded_fold_tables(
+        parts, lambda t: pa.Table.from_pandas(
+            topk_merge(t.to_pandas()), preserve_index=False))
+    if not tables:
+        return rd.from_arrow(pa.table({
+            "url": pa.array([], pa.string()),
+            "pagerank": pa.array([], pa.int64()),
+            "trustrank": pa.array([], pa.int64()),
+            "gap": pa.array([], pa.int64())}))
+    schema = pa.schema([("url", pa.string()),
+                        ("pagerank", pa.int64()),
+                        ("trustrank", pa.int64()),
+                        ("gap", pa.int64())])
+    merged = topk_merge(pa.concat_tables(
+        [t.select(schema.names).cast(schema)
+         for t in tables]).to_pandas())
+    return rd.from_arrow(pa.Table.from_pandas(merged,
+                                              preserve_index=False))
 
 
 def _q_pagerank(sf_dir: str):

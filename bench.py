@@ -243,7 +243,7 @@ def run_bench() -> dict:
                  "pareto_share", "dup_rate_by_source",
                  "order_fill_time", "revenue_lorenz",
                  "avg_neighbor_degree", "trimmed_mean_revenue",
-                 "dn_retention"):
+                 "dn_retention", "trust_gap"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

@@ -82,3 +82,17 @@ def test_trustrank_oracle_sql_matches(ray_session):
         iterations=4)
     want = sorted(map(tuple, duckdb.sql(sql).fetchall()))
     assert got == want
+
+
+def test_trust_gap_composition(ray_session, sf_dir):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+    got = E.queries()["trust_gap"](sf_dir).to_pandas()
+    assert len(got) == 20
+    assert (got.gap == got.pagerank - got.trustrank).all()
+    # spam-mass intuition: the biggest gaps are non-trusted pages
+    # (every page outside the seed neighborhood has trustrank 0 or
+    # small); gaps sorted descending with the (gap, url) total order
+    assert got.gap.is_monotonic_decreasing or \
+        (got.gap.diff().dropna() <= 0).all()
