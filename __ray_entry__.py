@@ -531,6 +531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trimmed_mean_revenue": _q_trimmed_mean_revenue,
         "dn_retention": _q_dn_retention,
         "trust_gap": _q_trust_gap,
+        "session_duration_stats": _q_session_duration_stats,
         "csv_ingest": _q_csv_ingest,
         "federated_union": _q_federated_union,
         "bounce_rate": _q_bounce_rate,
@@ -1456,6 +1457,45 @@ def oracle_sql() -> dict[str, str]:
         "peak_concurrency": _peak_sql(),
         "stream_disorder": _disorder_sql(),
         "trust_gap": _trust_gap_sql(),
+        "session_duration_stats": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN ts - lag(ts) OVER w
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS ns
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, event_id)),
+            s AS (
+                SELECT user_id,
+                       SUM(ns) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING)
+                           AS sid,
+                       epoch_us(ts) AS us
+                FROM g),
+            per AS (
+                SELECT user_id, sid,
+                       (MAX(us) - MIN(us)) // 1000000 AS dur_s
+                FROM s GROUP BY 1, 2),
+            r AS (
+                SELECT dur_s,
+                       row_number() OVER (ORDER BY dur_s) AS rn
+                FROM per),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(dur_s) AS BIGINT) AS tot
+                   FROM per)
+            SELECT nn.n AS n_sessions,
+                   CAST((SELECT dur_s FROM r, nn
+                         WHERE rn = (nn.n + 1) // 2 LIMIT 1)
+                        AS BIGINT) AS median_s,
+                   CAST((SELECT dur_s FROM r, nn
+                         WHERE rn = (9 * nn.n + 9) // 10 LIMIT 1)
+                        AS BIGINT) AS p90_s,
+                   CAST((1000000 * nn.tot) // GREATEST(nn.n, 1)
+                        AS BIGINT) AS mean_s_ppm
+            FROM nn
+        """,
         "dn_retention": """
             WITH d AS (
               SELECT DISTINCT user_id,
@@ -5311,6 +5351,73 @@ def _q_dn_retention(sf_dir: str):
         "retention_ppm": pa.array((1_000_000 * nr)
                                   // np.maximum(nc, 1),
                                   pa.int64())}))
+
+
+def _q_session_duration_stats(sf_dir: str):
+    """Session length distribution under the sessionize gap rule:
+    per-session duration (last − first event, whole seconds),
+    lower-median and lower-p90 by histogram selection plus the mean
+    — one user-hash exchange, ≤ distinct-duration narrow rows out;
+    single-event sessions count as 0 s."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf2dom_ray.scale import scale_partitions
+    P = scale_partitions()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    gap = pd.Timedelta(minutes=30)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["user_id"], index=False)
+        return df.assign(__part=(h % P).astype("int64"))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        boundary = (g["user_id"] != g["user_id"].shift(1)) | \
+                   (g["ts"].diff() > gap)
+        sid = boundary.cumsum()
+        us = g["ts"].astype("datetime64[us]").astype(np.int64)
+        per = pd.DataFrame({"sid": sid, "us": us}) \
+            .groupby("sid")["us"].agg(["min", "max"])
+        dur_s = ((per["max"] - per["min"]) // 1_000_000) \
+            .astype(np.int64)
+        out = pd.DataFrame({"dur_s": dur_s,
+                            "c": np.ones(len(dur_s), np.int64)})
+        return out.groupby("dur_s", as_index=False).sum()
+
+    parts = (ds.map_batches(tag, batch_format="pandas")
+               .groupby("__part")
+               .map_groups(per_partition, batch_format="pandas"))
+
+    from pdf2dom_ray.functions.fold import bounded_fold_tables
+    tables = bounded_fold_tables(parts)
+    empty = pa.table({"n_sessions": pa.array([0], pa.int64()),
+                      "median_s": pa.array([0], pa.int64()),
+                      "p90_s": pa.array([0], pa.int64()),
+                      "mean_s_ppm": pa.array([0], pa.int64())})
+    if not tables:
+        return rd.from_arrow(empty)
+    import pandas as pd
+    g = pa.concat_tables(
+        [t.cast(pa.schema([("dur_s", pa.int64()),
+                           ("c", pa.int64())])) for t in tables]) \
+        .to_pandas().groupby("dur_s", as_index=False).sum() \
+        .sort_values("dur_s")
+    v = g["dur_s"].to_numpy(np.int64)
+    c = g["c"].to_numpy(np.int64)
+    n = int(c.sum())
+    cum = np.cumsum(c)
+    med = int(v[np.searchsorted(cum, (n + 1) // 2)])
+    p90 = int(v[np.searchsorted(cum, (9 * n + 9) // 10)])
+    tot = int((v * c).sum())
+    return rd.from_arrow(pa.table({
+        "n_sessions": pa.array([n], pa.int64()),
+        "median_s": pa.array([med], pa.int64()),
+        "p90_s": pa.array([p90], pa.int64()),
+        "mean_s_ppm": pa.array([(1_000_000 * tot) // n if n else 0],
+                               pa.int64())}))
 
 
 def _q_trigram_backoff(sf_dir: str):

@@ -243,7 +243,8 @@ def run_bench() -> dict:
                  "pareto_share", "dup_rate_by_source",
                  "order_fill_time", "revenue_lorenz",
                  "avg_neighbor_degree", "trimmed_mean_revenue",
-                 "dn_retention", "trust_gap"):
+                 "dn_retention", "trust_gap",
+                 "session_duration_stats"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

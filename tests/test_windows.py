@@ -105,3 +105,17 @@ def test_rolling_weekly_matches_pandas(ray_session, sf_dir):
         m["day_cents"].equals(daily.loc[m.index].astype("int64"))
     assert m["rolling_7d_cents"].equals(roll.loc[m.index])
     assert (got.rolling_7d_cents >= got.day_cents).all()
+
+
+def test_session_duration_consistent_with_sessionize(ray_session,
+                                                     sf_dir):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+    from pdf2dom_ray.pipelines.metrics import sessionize
+    got = E.queries()["session_duration_stats"](sf_dir).to_pandas()
+    sz = sessionize(sf_dir).to_pandas()
+    assert int(got.n_sessions[0]) == sz.n_sessions.sum()
+    assert 0 <= int(got.median_s[0]) <= int(got.p90_s[0])
+    # a session is bounded by the 30-min gap times its events
+    assert int(got.p90_s[0]) <= 30 * 60 * int(sz.n_events.max())
