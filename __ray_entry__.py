@@ -532,6 +532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dn_retention": _q_dn_retention,
         "trust_gap": _q_trust_gap,
         "session_duration_stats": _q_session_duration_stats,
+        "link_path_counts": _q_link_path_counts,
         "csv_ingest": _q_csv_ingest,
         "federated_union": _q_federated_union,
         "bounce_rate": _q_bounce_rate,
@@ -1422,6 +1423,7 @@ def oracle_sql() -> dict[str, str]:
         "link_matching": _matching_sql(),
         "link_eff_diameter": _eff_diameter_sql(),
         "link_influence": _influence_sql(),
+        "link_path_counts": _path_counts_sql(),
         "influence_curve": _influence_curve_sql(),
         "link_lpa_bsp": _lpa_sql(),
         "link_harmonic": _harmonic_sql(),
@@ -3518,6 +3520,44 @@ def _clustering_coef_sql() -> str:
         SELECT doc_id AS a,
                (doc_id + d) % (SELECT count(*) FROM documents) AS b
         FROM documents, (SELECT unnest([1, 2, 3]) AS d) ds""")
+
+
+def _path_counts_sql() -> str:
+    """Unrolled sigma recurrence over the BFS levels (every
+    per-level CTE AS MATERIALIZED per CLAUDE.md)."""
+    n = "(SELECT count(*) FROM documents)"
+    parts = [f"""
+        WITH e AS MATERIALIZED (
+            SELECT doc_id AS src,
+                   CAST((2 * doc_id + 1) % {n} AS BIGINT) AS target
+            FROM documents
+            UNION ALL
+            SELECT doc_id, CAST((3 * doc_id + 7) % {n} AS BIGINT)
+            FROM documents),
+        l0 AS MATERIALIZED (
+            SELECT CAST(0 AS BIGINT) AS node,
+                   CAST(1 AS BIGINT) AS sigma)"""]
+    seen = "SELECT node FROM l0"
+    for k in range(1, 9):
+        parts.append(f""",
+        seen{k} AS MATERIALIZED ({seen}),
+        l{k} AS MATERIALIZED (
+            SELECT e.target AS node,
+                   CAST(SUM(p.sigma) AS BIGINT) AS sigma
+            FROM l{k - 1} p JOIN e ON e.src = p.node
+            WHERE e.target NOT IN (SELECT node FROM seen{k})
+            GROUP BY 1)""")
+        seen = f"SELECT node FROM seen{k} UNION " \
+               f"SELECT node FROM l{k}"
+    legs = " UNION ALL ".join(
+        f"SELECT node, {k} AS depth, sigma FROM l{k}"
+        for k in range(0, 9))
+    parts.append(f"""
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(depth AS BIGINT) AS depth,
+               CAST(sigma AS BIGINT) AS sigma
+        FROM ({legs}) ORDER BY node""")
+    return "".join(parts)
 
 
 def _influence_sql() -> str:
@@ -7154,6 +7194,42 @@ def _q_influence_curve(sf_dir: str):
         "p_ppm": pa.array(rows_p, pa.int64()),
         "n_activated": pa.array(rows_n, pa.int64()),
         "max_depth": pa.array(rows_d, pa.int64())}))
+
+
+def _q_link_path_counts(sf_dir: str):
+    """Shortest-path counts sigma(v) from seed 0 over the synthetic
+    digraph (8 bounded BFS levels) — the path-counting primitive
+    under Brandes-style centralities: sigma sums along the BFS DAG
+    (sigma_v = sum sigma_u over in-edges one level up), exact int64.
+    Driver recurrence under the usual edge limit; the distributed
+    twin of this exact loop is stress.py's forward-sigma BSP panel
+    (functions/stress.py::_forward over the graphbsp layout)."""
+    import pandas as pd
+    import ray.data as rd
+
+    edges = _bfs_edges(sf_dir).to_pandas()
+    s = edges["src"].to_numpy(np.int64)
+    t = edges["target"].to_numpy(np.int64)
+    n = int(max(s.max(), t.max())) + 1 if len(s) else 0
+    INF = np.int64(1 << 62)
+    dist = np.full(n, INF, np.int64)
+    sigma = np.zeros(n, np.int64)
+    dist[0] = 0
+    sigma[0] = 1
+    for level in range(1, 9):
+        prev = dist == level - 1
+        cand = prev[s]
+        acc = np.zeros(n, np.int64)
+        np.add.at(acc, t[cand], sigma[s[cand]])
+        new = (acc > 0) & (dist == INF)
+        dist[new] = level
+        sigma[new] = acc[new]
+    keep = dist < INF
+    nodes = np.flatnonzero(keep)
+    return rd.from_arrow(pa.table({
+        "node": pa.array(nodes.astype(np.int64), pa.int64()),
+        "depth": pa.array(dist[keep], pa.int64()),
+        "sigma": pa.array(sigma[keep], pa.int64())}))
 
 
 def _q_link_bfs_depth(sf_dir: str):

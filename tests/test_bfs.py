@@ -86,3 +86,18 @@ def test_influence_curve_monotone(ray_session, sf_dir):
     inf = E.queries()["link_influence"](sf_dir).to_pandas()
     assert int(got.loc[got.p_ppm == 500_000,
                        "n_activated"].iloc[0]) == len(inf)
+
+
+def test_path_counts_consistent_with_bfs(ray_session, sf_dir):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+    pc_ = E.queries()["link_path_counts"](sf_dir).to_pandas()
+    bfs = E.queries()["link_bfs_depth"](sf_dir).to_pandas()
+    m = pc_.merge(bfs, on="node", suffixes=("_pc", "_bfs"))
+    # same reachable set, same depths; sigma >= 1 everywhere and
+    # sigma(seed) == 1 at depth 0
+    assert len(m) == len(pc_) == len(bfs)
+    assert (m.depth_pc == m.depth_bfs).all()
+    assert (pc_.sigma >= 1).all()
+    assert int(pc_.loc[pc_.depth == 0, "sigma"].iloc[0]) == 1
