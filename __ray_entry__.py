@@ -533,6 +533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trust_gap": _q_trust_gap,
         "session_duration_stats": _q_session_duration_stats,
         "link_path_counts": _q_link_path_counts,
+        "daily_lag_xcorr": _q_daily_lag_xcorr,
         "csv_ingest": _q_csv_ingest,
         "federated_union": _q_federated_union,
         "bounce_rate": _q_bounce_rate,
@@ -1459,6 +1460,38 @@ def oracle_sql() -> dict[str, str]:
         "peak_concurrency": _peak_sql(),
         "stream_disorder": _disorder_sql(),
         "trust_gap": _trust_gap_sql(),
+        "daily_lag_xcorr": """
+            WITH d AS (
+              SELECT epoch_us(ts) // 86400000000 AS day,
+                     event_type, COUNT(*) AS c
+              FROM events
+              WHERE event_type IN ('signup', 'purchase')
+              GROUP BY 1, 2),
+            bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi
+                       FROM d),
+            ax AS (SELECT unnest(range((SELECT lo FROM bounds),
+                                       (SELECT hi FROM bounds) + 1))
+                       AS day),
+            xs AS (SELECT ax.day, COALESCE(d.c, 0) AS x
+                   FROM ax LEFT JOIN d
+                     ON d.day = ax.day AND d.event_type = 'signup'),
+            ys AS (SELECT ax.day, COALESCE(d.c, 0) AS y
+                   FROM ax LEFT JOIN d
+                     ON d.day = ax.day
+                    AND d.event_type = 'purchase'),
+            ks AS (SELECT unnest(range(0, 8)) AS lag),
+            j AS (
+              SELECT ks.lag, xs.x, ys.y
+              FROM ks
+              JOIN xs ON TRUE
+              JOIN ys ON ys.day = xs.day + ks.lag)
+            SELECT CAST(lag AS BIGINT) AS lag,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+                   CAST(COUNT(*) * SUM(x * y)
+                        - SUM(x) * SUM(y) AS BIGINT) AS cov_num
+            FROM j GROUP BY 1 HAVING COUNT(*) > 0 ORDER BY 1
+        """,
         "session_duration_stats": """
             WITH g AS (
                 SELECT user_id, ts, event_id,
@@ -5458,6 +5491,79 @@ def _q_session_duration_stats(sf_dir: str):
         "p90_s": pa.array([p90], pa.int64()),
         "mean_s_ppm": pa.array([(1_000_000 * tot) // n if n else 0],
                                pa.int64())}))
+
+
+def _q_daily_lag_xcorr(sf_dir: str):
+    """Lagged cross-correlation moments between the daily signup and
+    purchase count series ("do signups lead purchases?"): for lag k
+    = 0..7, the exact integer covariance numerator n·Σxy − Σx·Σy
+    over the overlapping day range (x = signups on day d, y =
+    purchases on day d+k; dense day axis, missing days zero) — the
+    float Pearson is the consumer's one division, kept out of the
+    hashed projection (CLAUDE.md). Distributed daily counts fold to
+    the driver (O(days) rows); the lag loop is on-driver integers."""
+    import pandas as pd
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        value_set=pa.array(["signup", "purchase"]))
+        t = t.filter(keep)
+        us = t.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({
+            "day": us // 86_400_000_000,
+            "et": np.asarray(t.column("event_type"),
+                             dtype=object),
+            "c": np.ones(t.num_rows, np.int64)})
+        return pa.Table.from_pandas(
+            df.groupby(["day", "et"], as_index=False).sum(),
+            preserve_index=False)
+
+    from pdf2dom_ray.functions.fold import bounded_fold_tables
+    tables = bounded_fold_tables(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        lambda t: pa.Table.from_pandas(
+            t.to_pandas().groupby(["day", "et"],
+                                  as_index=False).sum(),
+            preserve_index=False))
+    empty = pa.table({"lag": pa.array([], pa.int64()),
+                      "n_days": pa.array([], pa.int64()),
+                      "sum_xy": pa.array([], pa.int64()),
+                      "cov_num": pa.array([], pa.int64())})
+    if not tables:
+        return rd.from_arrow(empty)
+    import pandas as pd
+    g = pa.concat_tables(tables).to_pandas() \
+        .groupby(["day", "et"], as_index=False).sum()
+    lo, hi = int(g["day"].min()), int(g["day"].max())
+    L = hi - lo + 1
+    x = np.zeros(L, np.int64)    # signups
+    y = np.zeros(L, np.int64)    # purchases
+    for _, r in g.iterrows():
+        (x if r["et"] == "signup" else y)[int(r["day"]) - lo] = \
+            int(r["c"])
+    lags, nds, sxy, cov = [], [], [], []
+    for k in range(8):
+        if L - k <= 0:
+            break
+        xa = x[:L - k]
+        yb = y[k:]
+        n = len(xa)
+        s = int((xa * yb).sum())
+        c = n * s - int(xa.sum()) * int(yb.sum())
+        lags.append(k)
+        nds.append(n)
+        sxy.append(s)
+        cov.append(c)
+    return rd.from_arrow(pa.table({
+        "lag": pa.array(lags, pa.int64()),
+        "n_days": pa.array(nds, pa.int64()),
+        "sum_xy": pa.array(sxy, pa.int64()),
+        "cov_num": pa.array(cov, pa.int64())}))
 
 
 def _q_trigram_backoff(sf_dir: str):

@@ -244,7 +244,8 @@ def run_bench() -> dict:
                  "order_fill_time", "revenue_lorenz",
                  "avg_neighbor_degree", "trimmed_mean_revenue",
                  "dn_retention", "trust_gap",
-                 "session_duration_stats", "link_path_counts"):
+                 "session_duration_stats", "link_path_counts",
+                 "daily_lag_xcorr"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

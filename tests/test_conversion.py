@@ -155,3 +155,34 @@ def test_dn_retention_brute(ray_session, sf_dir):
         row = got[got.n_day == n].iloc[0]
         assert int(row.n_cohort) == len(first)
         assert int(row.n_retained) == ret
+
+
+def test_daily_lag_xcorr_brute(ray_session, sf_dir):
+    import numpy as np
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+    got = E.queries()["daily_lag_xcorr"](sf_dir).to_pandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    day = (ev.ts.astype("datetime64[us]").astype("int64")
+           // 86_400_000_000)
+    lo, hi = int(day.min()), int(day.max())
+    # series restricted to signup/purchase days only for bounds
+    sel = ev.event_type.isin(["signup", "purchase"])
+    dlo = int(day[sel].min())
+    dhi = int(day[sel].max())
+    L = dhi - dlo + 1
+    x = np.zeros(L, "int64")
+    y = np.zeros(L, "int64")
+    for d, t in zip(day[sel], ev.event_type[sel]):
+        if t == "signup":
+            x[d - dlo] += 1
+        else:
+            y[d - dlo] += 1
+    for _, r in got.iterrows():
+        k = int(r.lag)
+        xa, yb = x[:L - k], y[k:]
+        assert int(r.sum_xy) == int((xa * yb).sum())
+        assert int(r.cov_num) == len(xa) * int((xa * yb).sum()) \
+            - int(xa.sum()) * int(yb.sum())
