@@ -534,6 +534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_duration_stats": _q_session_duration_stats,
         "link_path_counts": _q_link_path_counts,
         "daily_lag_xcorr": _q_daily_lag_xcorr,
+        "url_range_splits": _q_url_range_splits,
         "csv_ingest": _q_csv_ingest,
         "federated_union": _q_federated_union,
         "bounce_rate": _q_bounce_rate,
@@ -1460,6 +1461,23 @@ def oracle_sql() -> dict[str, str]:
         "peak_concurrency": _peak_sql(),
         "stream_disorder": _disorder_sql(),
         "trust_gap": _trust_gap_sql(),
+        "url_range_splits": f"""
+            WITH u AS (
+              SELECT DISTINCT {_URL_SQL} AS url FROM documents),
+            r AS (
+              SELECT url, row_number() OVER (ORDER BY url) AS rn
+              FROM u),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+            ks AS (SELECT unnest(range(1, 8)) AS i)
+            SELECT CAST(ks.i AS BIGINT) AS split_idx,
+                   r.url AS split_url
+            FROM ks, nn
+            -- ceil via (x + 7) // 8: numerator non-negative
+            -- (DuckDB // truncates toward zero on negatives,
+            -- CLAUDE.md)
+            JOIN r ON r.rn = (ks.i * nn.n + 7) // 8
+            ORDER BY 1
+        """,
         "daily_lag_xcorr": """
             WITH d AS (
               SELECT epoch_us(ts) // 86400000000 AS day,
@@ -5564,6 +5582,49 @@ def _q_daily_lag_xcorr(sf_dir: str):
         "n_days": pa.array(nds, pa.int64()),
         "sum_xy": pa.array(sxy, pa.int64()),
         "cov_num": pa.array(cov, pa.int64())}))
+
+
+def _q_url_range_splits(sf_dir: str):
+    """Range-partition planning for a sorted URL shuffle: the k−1
+    exact split points (rank ⌈i·n/k⌉ selections over the distinct
+    URL universe) that a range-partitioned sort/write would use —
+    the planning step of every sorted export. Distinct-url partials
+    fold to the driver under the usual limit (the scale path samples
+    ranks from a bottom-k-per-bucket digest; exact here)."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def urls(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        u = ("https://docs.synth.test/"
+             + ids.astype(str).astype(object))
+        return pa.table({"url": pa.array(sorted(set(u.tolist())),
+                                         pa.string())})
+
+    from pdf2dom_ray.functions.fold import bounded_fold_tables
+    tables = bounded_fold_tables(
+        ds.map_batches(urls, batch_format="pyarrow"),
+        lambda t: pa.table({"url": pa.array(
+            sorted(set(t.column("url").to_pylist())), pa.string())}))
+    if not tables:
+        return rd.from_arrow(pa.table({
+            "split_idx": pa.array([], pa.int64()),
+            "split_url": pa.array([], pa.string())}))
+    all_urls = sorted(set(
+        u for t in tables for u in t.column("url").to_pylist()))
+    n = len(all_urls)
+    k = 8
+    idxs, vals = [], []
+    for i in range(1, k):
+        r = -(-i * n // k)            # ceil(i*n/k), 1-based rank
+        idxs.append(i)
+        vals.append(all_urls[r - 1])
+    return rd.from_arrow(pa.table({
+        "split_idx": pa.array(idxs, pa.int64()),
+        "split_url": pa.array(vals, pa.string())}))
 
 
 def _q_trigram_backoff(sf_dir: str):

@@ -186,3 +186,23 @@ def test_daily_lag_xcorr_brute(ray_session, sf_dir):
         assert int(r.sum_xy) == int((xa * yb).sum())
         assert int(r.cov_num) == len(xa) * int((xa * yb).sum()) \
             - int(xa.sum()) * int(yb.sum())
+
+
+def test_url_range_splits_balanced(ray_session, sf_dir):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+    got = E.queries()["url_range_splits"](sf_dir).to_pandas()
+    assert len(got) == 7
+    assert got.split_url.is_monotonic_increasing
+    # the split points partition the distinct url universe into 8
+    # ranges whose sizes differ by at most 1
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    urls = sorted({f"https://docs.synth.test/{d}"
+                   for d in docs.doc_id})
+    import numpy as np
+    edges = np.searchsorted(urls, got.split_url.tolist(),
+                            side="right")
+    sizes = np.diff(np.concatenate([[0], edges, [len(urls)]]))
+    assert sizes.max() - sizes.min() <= 1
