@@ -535,6 +535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_path_counts": _q_link_path_counts,
         "daily_lag_xcorr": _q_daily_lag_xcorr,
         "url_range_splits": _q_url_range_splits,
+        "acctbal_quartile_revenue": _q_acctbal_quartile_revenue,
         "csv_ingest": _q_csv_ingest,
         "federated_union": _q_federated_union,
         "bounce_rate": _q_bounce_rate,
@@ -1461,6 +1462,22 @@ def oracle_sql() -> dict[str, str]:
         "peak_concurrency": _peak_sql(),
         "stream_disorder": _disorder_sql(),
         "trust_gap": _trust_gap_sql(),
+        "acctbal_quartile_revenue": """
+            WITH c AS (
+              SELECT c_custkey,
+                     NTILE(4) OVER (
+                         ORDER BY CAST(floor(c_acctbal * 100)
+                                       AS BIGINT), c_custkey)
+                         AS quartile
+              FROM customer)
+            SELECT CAST(quartile AS BIGINT) AS quartile,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(floor(o_totalprice * 100)
+                                 AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM orders JOIN c ON o_custkey = c_custkey
+            GROUP BY 1 ORDER BY 1
+        """,
         "url_range_splits": f"""
             WITH u AS (
               SELECT DISTINCT {_URL_SQL} AS url FROM documents),
@@ -5625,6 +5642,79 @@ def _q_url_range_splits(sf_dir: str):
     return rd.from_arrow(pa.table({
         "split_idx": pa.array(idxs, pa.int64()),
         "split_url": pa.array(vals, pa.string())}))
+
+
+def _q_acctbal_quartile_revenue(sf_dir: str):
+    """Order revenue by customer account-balance quartile — the
+    dim-quantile x fact rollup ("do rich accounts buy more"):
+    exact NTILE(4) over (acctbal cents, custkey) on the dimension,
+    quartile map broadcast (sorted numpy probe), one combiner pass
+    over orders; integer cents."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    cdf = pq.read_table(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_acctbal"]) \
+        .to_pandas()
+    cents = np.floor(cdf["c_acctbal"].to_numpy() * 100.0) \
+        .astype(np.int64)
+    order = np.lexsort((cdf["c_custkey"].to_numpy(np.int64), cents))
+    n = len(cdf)
+    q, r = divmod(n, 4)
+    sizes = np.full(4, q, np.int64)
+    sizes[:r] += 1
+    quart = np.empty(n, np.int64)
+    quart[order] = np.repeat(np.arange(1, 5, dtype=np.int64), sizes)
+    ck = cdf["c_custkey"].to_numpy(np.int64)
+    so = np.argsort(ck)
+    ref = ray.put((ck[so], quart[so]))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks, qt = ray.get(ref)     # zero-copy broadcast read
+        ock = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        pos = np.minimum(np.searchsorted(ks, ock), len(ks) - 1)
+        hit = ks[pos] == ock
+        cents = np.floor(np.asarray(t.column("o_totalprice"),
+                                    dtype=np.float64)[hit]
+                         * 100.0).astype(np.int64)
+        df = pd.DataFrame({"quartile": qt[pos[hit]],
+                           "revenue_cents": cents,
+                           "n_orders": np.ones(hit.sum(),
+                                               np.int64)})
+        return pa.Table.from_pandas(
+            df.groupby("quartile", as_index=False).sum(),
+            preserve_index=False)
+
+    from pdf2dom_ray.functions.fold import bounded_fold_tables
+    tables = bounded_fold_tables(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        lambda t: pa.Table.from_pandas(
+            t.to_pandas().groupby("quartile", as_index=False).sum(),
+            preserve_index=False))
+    if not tables:
+        return rd.from_arrow(pa.table({
+            "quartile": pa.array([], pa.int64()),
+            "n_orders": pa.array([], pa.int64()),
+            "revenue_cents": pa.array([], pa.int64())}))
+    g = pa.concat_tables(
+        [t.cast(pa.schema([("quartile", pa.int64()),
+                           ("revenue_cents", pa.int64()),
+                           ("n_orders", pa.int64())]))
+         for t in tables]).to_pandas() \
+        .groupby("quartile", as_index=False).sum() \
+        .sort_values("quartile")
+    return rd.from_arrow(pa.table({
+        "quartile": pa.array(g["quartile"].to_numpy(np.int64),
+                             pa.int64()),
+        "n_orders": pa.array(g["n_orders"].to_numpy(np.int64),
+                             pa.int64()),
+        "revenue_cents": pa.array(
+            g["revenue_cents"].to_numpy(np.int64), pa.int64())}))
 
 
 def _q_trigram_backoff(sf_dir: str):

@@ -245,7 +245,8 @@ def run_bench() -> dict:
                  "avg_neighbor_degree", "trimmed_mean_revenue",
                  "dn_retention", "trust_gap",
                  "session_duration_stats", "link_path_counts",
-                 "daily_lag_xcorr", "url_range_splits"):
+                 "daily_lag_xcorr", "url_range_splits",
+                 "acctbal_quartile_revenue"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

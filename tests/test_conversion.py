@@ -206,3 +206,18 @@ def test_url_range_splits_balanced(ray_session, sf_dir):
                             side="right")
     sizes = np.diff(np.concatenate([[0], edges, [len(urls)]]))
     assert sizes.max() - sizes.min() <= 1
+
+
+def test_acctbal_quartile_revenue(ray_session, sf_dir):
+    import numpy as np
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+    got = E.queries()["acctbal_quartile_revenue"](sf_dir) \
+        .to_pandas()
+    assert got.quartile.tolist() == [1, 2, 3, 4]
+    ords = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_totalprice"])
+    total = int(np.floor(ords.o_totalprice.to_numpy() * 100).sum())
+    assert got.revenue_cents.sum() == total      # partition of all
+    assert got.n_orders.sum() == len(ords)
