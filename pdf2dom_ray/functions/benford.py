@@ -72,7 +72,8 @@ def benford_oracle_sql(values_cte: str, *,
                        value_col: str = "v") -> str:
     """Decimal-string first digit, the same literals."""
     lits = " UNION ALL ".join(
-        f"SELECT {d} AS digit, CAST({p} AS BIGINT) AS benford_ppm"
+        f"SELECT CAST({d} AS BIGINT) AS digit, "
+        f"CAST({p} AS BIGINT) AS benford_ppm"
         for d, p in zip(range(1, 10), BENFORD_PPM))
     return f"""
         WITH vals AS MATERIALIZED (

@@ -172,7 +172,7 @@ def host_quality_oracle_sql(docs_cte: str, *,
                         ELSE 0 END AS q_ppm
             FROM docs),
         hq AS (
-            SELECT host, SUM(q_ppm) AS host_q_sum,
+            SELECT host, CAST(SUM(q_ppm) AS BIGINT) AS host_q_sum,
                    COUNT(*) AS host_n_docs
             FROM dq GROUP BY host)
         SELECT d.{id_col}, d.host, d.q_ppm,

@@ -202,7 +202,8 @@ def kmeans_with_clause(k: int = 10, iters: int = 2) -> str:
                        unnest(range(len(embedding))) AS i
                 FROM embeddings)
         ),
-        s_0 AS MATERIALIZED (SELECT 0 AS cl, i, qe AS ce FROM q WHERE vec_id = 0),
+        s_0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS cl, i, qe AS ce
+                             FROM q WHERE vec_id = 0),
         md_0 AS MATERIALIZED (
           SELECT q.vec_id, SUM((q.qe - s.ce) * (q.qe - s.ce)) AS md
           FROM q JOIN s_0 s ON q.i = s.i GROUP BY q.vec_id
@@ -214,7 +215,7 @@ def kmeans_with_clause(k: int = 10, iters: int = 2) -> str:
           QUALIFY row_number() OVER (ORDER BY md DESC, vec_id) = 1
         ),
         s_{j} AS MATERIALIZED (
-          SELECT {j} AS cl, q.i, q.qe AS ce
+          SELECT CAST({j} AS BIGINT) AS cl, q.i, q.qe AS ce
           FROM q JOIN p_{j} p ON q.vec_id = p.vec_id
         )""")
         if j < k - 1:
@@ -255,7 +256,8 @@ def kmeans_with_clause(k: int = 10, iters: int = 2) -> str:
     sql.append(f""",
         assign AS MATERIALIZED (
           SELECT q.vec_id, c.cl AS cluster,
-                 SUM((q.qe - c.ce) * (q.qe - c.ce)) AS dist2
+                 CAST(SUM((q.qe - c.ce) * (q.qe - c.ce))
+                      AS BIGINT) AS dist2
           FROM q JOIN c_{iters} c ON q.i = c.i
           GROUP BY q.vec_id, c.cl
           QUALIFY row_number() OVER (PARTITION BY q.vec_id

@@ -98,7 +98,7 @@ def shard_plan_oracle_sql(docs_cte: str, *, target_bytes: int) -> str:
                        ROWS BETWEEN UNBOUNDED PRECEDING
                        AND 1 PRECEDING), 0) AS bytes_before
             FROM nb)
-        SELECT doc_id, n_bytes,
-               bytes_before // {target_bytes} AS shard_id,
-               bytes_before % {target_bytes} AS shard_offset
+        SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+               CAST(bytes_before // {target_bytes} AS BIGINT) AS shard_id,
+               CAST(bytes_before % {target_bytes} AS BIGINT) AS shard_offset
         FROM cum"""

@@ -1,7 +1,11 @@
 #!/usr/bin/env python
 """Driver-style oracle sweep: run every ``__ray_entry__.queries()``
-entry and compare against its ``oracle_sql()`` in DuckDB (order- and
-dtype-insensitive), mirroring the external correctness gate.
+entry and compare against its ``oracle_sql()`` in DuckDB (order-
+insensitive but DTYPE-STRICT), mirroring the external correctness
+gate.  Dtype strictness matters: DuckDB HUGEINT/DECIMAL aggregates
+land in pandas as float64 while the Ray side emits int64 — values
+compare equal here but the driver's value-hash (which sees dtype)
+flags them.  Every such oracle must CAST(... AS BIGINT)/DOUBLE.
 
 Usage (cwd must be the repo root — Ray workers inherit it):
     python scripts/oracle_check.py [sf_dir] [query ...]
@@ -43,6 +47,10 @@ def main() -> int:
     args = sys.argv[1:]
     sf = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
+    # sf-parameterized oracles (e.g. semdedup's derived k) must build
+    # against the same dir the queries run on; the driver always uses
+    # sf0.01 (the env default)
+    os.environ["GRAFT_ORACLE_SF"] = sf
 
     con = duckdb.connect()
     for t in TABLES:
@@ -67,6 +75,7 @@ def main() -> int:
                   f"cols={list(df.columns)}")
             continue
         odf = con.execute(oracles[name]).df()
+        ra, rb = df, odf  # raw frames: dtype check before str-coercion
         a, b = norm(df, pd), norm(odf, pd)
         if len(a) != len(b):
             print(f"{name}: ROWCOUNT MISMATCH ray={len(a)} oracle={len(b)}")
@@ -75,6 +84,14 @@ def main() -> int:
         if list(a.columns) != list(b.columns):
             print(f"{name}: SCHEMA MISMATCH {list(a.columns)} vs "
                   f"{list(b.columns)}")
+            failures += 1
+            continue
+        bad_dt = [(c, str(ra.dtypes[c]), str(rb.dtypes[c]))
+                  for c in a.columns
+                  if c in ra.columns and c in rb.columns
+                  and str(ra.dtypes[c]) != str(rb.dtypes[c])]
+        if bad_dt:
+            print(f"{name}: DTYPE MISMATCH {bad_dt}")
             failures += 1
             continue
         try:

@@ -1,6 +1,7 @@
 """SemDeDup (functions/semdedup.py): hand cases for the keep rule and
 its cluster-locality, numpy-reference equality on the driver table,
-and the DuckDB unrolled-CTE oracle."""
+the DuckDB unrolled-CTE oracle, the corpus-scaled k derivation, and
+the giant-cluster band-split (bounded per-task pair matrices)."""
 
 import numpy as np
 import pandas as pd
@@ -8,7 +9,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from pdf2dom_ray.functions.semdedup import (
-    TAU2_DEN, TAU2_NUM, semdedup_keep, semdedup_oracle_sql)
+    TAU2_DEN, TAU2_NUM, semdedup_k, semdedup_keep, semdedup_oracle_sql)
 
 
 def _write(tmp_path, vecs):
@@ -74,8 +75,9 @@ def test_matches_numpy_reference(ray_session, sf_dir):
     assert (~got["kept"]).sum() > 0          # non-vacuous at sf0.001
 
 
-def test_matches_sql_oracle(ray_session, sf_dir):
+def test_matches_sql_oracle(ray_session, sf_dir, monkeypatch):
     import duckdb
+    monkeypatch.setenv("GRAFT_ORACLE_SF", sf_dir)  # same derived k
     con = duckdb.connect()
     con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
             f"'{sf_dir}/embeddings.parquet'")
@@ -87,3 +89,40 @@ def test_matches_sql_oracle(ray_session, sf_dir):
             == want["cluster"].to_numpy()).all()
     assert (got["kept"].to_numpy()
             == want["kept"].to_numpy().astype(bool)).all()
+
+
+def test_k_scales_with_corpus():
+    # paper prescription: ~√N clusters, clamped for tiny fixtures and
+    # for the unrolled SQL oracle
+    assert semdedup_k(1) == 4
+    assert semdedup_k(500) == 22
+    assert semdedup_k(2000) == 44
+    assert semdedup_k(10**12) == 64
+
+
+def test_band_split_matches_single_task(ray_session, tmp_path):
+    # Skewed synthetic: one hot direction holds most vectors, so one
+    # k-means cluster is "giant" relative to a tiny band_limit. The
+    # banded path must (a) agree exactly with the one-task-per-cluster
+    # path and (b) never give any band-pair task a pair matrix larger
+    # than ~band_limit² (the whole point of the split).
+    rng = np.random.default_rng(7)
+    hot = [(100.0 + rng.uniform(-1, 1), rng.uniform(-1, 1))
+           for _ in range(60)]
+    cold = [(-100.0 + rng.uniform(-1, 1), 50.0 + rng.uniform(-1, 1))
+            for _ in range(6)]
+    sf = _write(tmp_path, hot + cold)
+    limit = 8
+    base = semdedup_keep(sf, k=2, iters=1).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    banded = semdedup_keep(sf, k=2, iters=1, band_limit=limit) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, banded, check_dtype=False)
+    assert (~banded["kept"]).sum() > 0     # non-vacuous
+    # bound check: replay the band rule on the actual assignment
+    for _, grp in banded.groupby("cluster"):
+        n = len(grp)
+        t = -(-n // limit)
+        band_sizes = grp["vec_id"].to_numpy() % t
+        counts = np.bincount(band_sizes, minlength=t)
+        assert counts.max() ** 2 <= 4 * limit * limit
