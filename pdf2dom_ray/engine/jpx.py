@@ -530,6 +530,26 @@ class _T1Enc:
         return self.mq.flush()
 
 
+def _check_pterm(raw: bool, coder, data: bytes) -> None:
+    """Predictable-termination (ERTERM, Scod bit 0x10) consistency
+    check, T.800 D.4.2: the deterministic FLUSH leaves the decoder at
+    most 2 unconsumed bytes per MQ segment (1 for a raw segment's
+    stuffing byte). A corrupted codeword desynchronizes the decoder's
+    byte pointer, which this turns into a loud JpxError instead of
+    silently wrong coefficients — same policy as OpenJPEG's PTERM
+    check."""
+    if raw:
+        unused = len(data) - coder.pos
+        limit = 1
+    else:
+        unused = len(data) - (coder.bp + 1)
+        limit = 2
+    if unused > limit:
+        raise JpxError(
+            f"predictable termination violated: {unused} unconsumed "
+            f"bytes in a {'raw' if raw else 'MQ'} codeword segment")
+
+
 class _T1Dec:
     """Tier-1 bit source: MQ-decodes (the 'actual' hint is ignored)."""
 
@@ -537,6 +557,7 @@ class _T1Dec:
 
     def __init__(self, data: bytes):
         self.mq = MQDecoder(data)
+        self.data = data
         self.cx = _t1_contexts()
 
     def begin_pass(self, i: int) -> None:
@@ -544,6 +565,9 @@ class _T1Dec:
 
     def bit(self, ctx: int, actual: int) -> int:
         return self.mq.decode(self.cx, ctx)
+
+    def final_check(self) -> None:
+        _check_pterm(False, self.mq, self.data)
 
 
 def _t1_contexts() -> list[int]:
@@ -634,27 +658,39 @@ class _T1SegEnc:
 class _T1SegDec:
     """Tier-1 bit source over pre-assembled codeword segments."""
 
-    def __init__(self, segs: list[tuple[bool, bytes]], starts: set[int]):
+    def __init__(self, segs: list[tuple[bool, bytes]], starts: set[int],
+                 pterm: bool = False):
         self.cx = _t1_contexts()
         self.segs = segs
         self.starts = starts
+        self.pterm = pterm
         self.idx = -1
         self.cur = None
+        self.cur_data = b""
         self.raw_mode = False
+
+    def _seg_done(self) -> None:
+        if self.pterm and self.cur is not None:
+            _check_pterm(self.raw_mode, self.cur, self.cur_data)
 
     def begin_pass(self, i: int) -> None:
         if i == 0 or i in self.starts:
+            self._seg_done()
             self.idx += 1
             if self.idx >= len(self.segs):
                 raise JpxError("missing codeword segment")
             raw, data = self.segs[self.idx]
             self.cur = _HdrReader(data) if raw else MQDecoder(data)
+            self.cur_data = data
             self.raw_mode = raw
 
     def bit(self, ctx: int, actual: int) -> int:
         if self.raw_mode:
             return self.cur.get()
         return self.cur.decode(self.cx, ctx)
+
+    def final_check(self) -> None:
+        self._seg_done()
 
 
 def _tier1_run(io, w: int, h: int, kind: str, nplanes: int, npasses: int,
@@ -896,10 +932,13 @@ def _decode_cblk(data: bytes, w: int, h: int, kind: str, mb: int,
                 raise JpxError("codeword chunk straddles a segment")
             pos_pass = covered
             segs.append((_pass_raw(s0, cb_style), bytes(buf)))
-        dec = _T1SegDec(segs, set(starts) - {0})
+        dec = _T1SegDec(segs, set(starts) - {0},
+                        pterm=bool(cb_style & 0x10))
     else:
         dec = _T1Dec(data)
     _tier1_run(dec, w, h, kind, k, npasses, mag, sign, **kw)
+    if cb_style & 0x10:            # ERTERM: verify every segment
+        dec.final_check()
     m = np.asarray(mag, dtype=np.int64).reshape(h, w)
     s = np.asarray(sign, dtype=np.int64).reshape(h, w)
     return np.where(s == 1, -m, m)
@@ -1382,9 +1421,8 @@ def encode_jpx(img: np.ndarray, levels: int = 2, cb_exp: int = 5, *,
         raise JpxError(f"progression order {prog} unsupported")
     if tile_parts < 1:
         raise JpxError(f"bad tile-part count {tile_parts}")
-    if cb_style & ~0x2F:
-        raise JpxError(f"code-block style {cb_style:#x} unsupported "
-                       "(predictable termination not implemented)")
+    if cb_style & ~0x3F:
+        raise JpxError(f"code-block style {cb_style:#x} unsupported")
     if precincts is None:
         pp = [_MAX_PP] * (nl + 1)
     else:
@@ -1731,9 +1769,8 @@ def decode_jpx(data: bytes, *, return_depth: bool = False):
             if cb_style & ~0x3F:
                 raise JpxError(f"code-block style {cb_style:#x} "
                                "unsupported")
-            # predictable termination (0x10) is an encoder-side
-            # promise for error resilience; decoding is unchanged
-            cb_style &= ~0x10
+            # predictable termination (0x10) flows through: tier-1
+            # verifies each segment's unused-byte count (ERTERM)
             if transform not in (0, 1):
                 raise JpxError(f"unknown wavelet transform {transform}")
             irreversible = transform == 0

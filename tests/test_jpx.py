@@ -669,21 +669,54 @@ def test_bypass_identical_reconstruction_irreversible():
     assert np.array_equal(a, b)
 
 
-def test_predictable_termination_rejected():
-    with pytest.raises(JpxError, match="code-block style"):
-        encode_jpx(_grad(16, 16), cb_style=0x10)
+@pytest.mark.parametrize("style", [0x10, 0x14, 0x15, 0x30])
+def test_predictable_termination_roundtrip(style):
+    # ERTERM: the deterministic FLUSH already satisfies predictable
+    # termination, so encode→decode holds and the decoder's
+    # unused-byte verification stays silent on clean streams
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    assert np.array_equal(decode_jpx(encode_jpx(img, cb_style=style)),
+                          img)
 
 
 def test_predictable_termination_decodes():
-    # 0x10 is an encoder-side error-resilience promise; the decode
-    # procedure is unchanged, so a stream claiming it (with termall
-    # also set, as real encoders do) must decode
+    # a stream merely claiming 0x10 (patched COD over a termall
+    # encode, as real error-resilient encoders emit) must still decode
     rng = np.random.default_rng(23)
     img = rng.integers(0, 256, (32, 32), dtype=np.uint8)
     cs = encode_jpx(img, cb_style=0x04)
     i = cs.index(b"\xff\x52") + 4
     patched = cs[:i + 8] + bytes([cs[i + 8] | 0x10]) + cs[i + 9:]
     assert np.array_equal(decode_jpx(patched), img)
+
+
+def test_pterm_flags_padded_segment():
+    # the whole point of ERTERM: a codeword segment carrying bytes the
+    # decoder never consumes is corrupt and must fail LOUDLY when the
+    # pterm bit is set — and (bug-compat with permissive decoders)
+    # pass silently when it is not
+    from pdf2dom_ray.engine.jpx import _decode_cblk, _encode_cblk
+    rng = np.random.default_rng(29)
+    coefs = rng.integers(-100, 100, (16, 16), dtype=np.int64)
+    mb = 8
+    data, zbp, npasses, segs = _encode_cblk(coefs, "LL", mb, 0x14)
+    chunks, off = [], 0
+    for p, n in segs:
+        chunks.append((p, data[off:off + n]))
+        off += n
+    ok = _decode_cblk(data, 16, 16, "LL", mb, zbp, npasses, 0x14,
+                      chunks)
+    assert np.array_equal(ok, coefs)
+    bad = list(chunks)
+    p0, b0 = bad[0]
+    # > 2 spare bytes beyond the MQ decoder's ~2-byte read-ahead
+    bad[0] = (p0, b0 + b"\x00" * 6)
+    with pytest.raises(JpxError, match="predictable termination"):
+        _decode_cblk(data, 16, 16, "LL", mb, zbp, npasses, 0x14, bad)
+    out = _decode_cblk(data, 16, 16, "LL", mb, zbp, npasses, 0x04,
+                       bad)
+    assert np.array_equal(out, coefs)
 
 
 # ------------------------------------ nonzero / odd canvas origins (B.5)
