@@ -5786,9 +5786,11 @@ def _q_trigram_backoff(sf_dir: str):
     import ray.data as rd
 
     from pdf2dom_ray.functions.lmscore import trigram_backoff_scores
+    from pdf2dom_ray.synth.corpus import CORPUS_VERSION
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
-    return trigram_backoff_scores(ds)
+    return trigram_backoff_scores(
+        ds, cache_key=(sf_dir, CORPUS_VERSION))
 
 
 def _props_hist_sql() -> str:
@@ -5874,9 +5876,11 @@ def _q_kneser_ney(sf_dir: str):
     import ray.data as rd
 
     from pdf2dom_ray.functions.lmscore import kneser_ney_scores
+    from pdf2dom_ray.synth.corpus import CORPUS_VERSION
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
-    return kneser_ney_scores(ds)
+    return kneser_ney_scores(
+        ds, cache_key=(sf_dir, CORPUS_VERSION))
 
 
 def _q_fuzzy_host_join(sf_dir: str):

@@ -133,13 +133,36 @@ def bigram_lm_buckets(ds: rd.Dataset, *, text_col: str = "text",
     return scored.map_batches(tag, batch_format="pyarrow")
 
 
-def _ngram_counts(ds: rd.Dataset, text_col: str, n: int,
-                  id_col: str, train_mod: int) -> rd.Dataset:
-    """(w1..wn, c) n-gram counts over the training slice
-    (``id % train_mod == 0``), combiner pattern."""
-    names = [f"w{i + 1}" for i in range(n)]
+# Fused tri/bi/uni count tables are the dominant cost of BOTH the
+# stupid-backoff and Kneser-Ney queries, and for a given
+# (corpus, train slice) they are identical — cache the reduced blocks
+# driver-side (30k narrow rows at bench scale) keyed by the caller's
+# cache_key (the query wrappers pass (sf_dir, CORPUS_VERSION)), same
+# pattern as the synth shard caches.
+_FUSED_CACHE: dict[tuple, list] = {}
 
-    def partial(t: pa.Table) -> pa.Table:
+
+def _fused_counts(ds: rd.Dataset, text_col: str, id_col: str,
+                  train_mod: int, cache_key=None) -> list:
+    """Driver-held arrow blocks of the fused n-gram count table
+    (w1, w2, w3, c) over the ``id % train_mod == 0`` training slice:
+    trigram rows have all three words, bigram rows pad w3 with "",
+    unigram rows pad w2 and w3 ("" cannot collide — tokenization
+    drops empty tokens)."""
+    key = None if cache_key is None else \
+        (cache_key, text_col, id_col, train_mod)
+    if key is not None and key in _FUSED_CACHE:
+        return _FUSED_CACHE[key]
+
+    # ~30k nearly-unique composite string keys: Ray's sort-based
+    # aggregate is the wrong tool (stages/hashagg.py rationale —
+    # measured 5 s for the trigram table vs ~1 s hash-partitioned)
+    from ..stages.hashagg import hash_aggregate
+
+    # ONE pass over the training slice emits all three count tables
+    # through a single hash aggregate instead of three scans +
+    # three exchanges
+    def fused_partial(t: pa.Table) -> pa.Table:
         from collections import Counter
         c: Counter = Counter()
         for d, text in zip(t.column(id_col).to_pylist(),
@@ -147,24 +170,28 @@ def _ngram_counts(ds: rd.Dataset, text_col: str, n: int,
             if d % train_mod != 0:
                 continue
             toks = [w for w in (text or "").split(" ") if w]
-            c.update(zip(*(toks[i:] for i in range(n))))
-        cols = {nm: pa.array([k[i] for k in c.keys()], pa.string())
-                for i, nm in enumerate(names)}
-        cols["c"] = pa.array(list(c.values()), pa.int64())
-        return pa.table(cols)
+            c.update(zip(toks, toks[1:], toks[2:]))
+            c.update((w1, w2, "") for w1, w2 in zip(toks, toks[1:]))
+            c.update((w, "", "") for w in toks)
+        return pa.table({
+            "w1": pa.array([k[0] for k in c], pa.string()),
+            "w2": pa.array([k[1] for k in c], pa.string()),
+            "w3": pa.array([k[2] for k in c], pa.string()),
+            "c": pa.array(list(c.values()), pa.int64())})
 
-    # ~30k nearly-unique composite string keys: Ray's sort-based
-    # aggregate is the wrong tool (stages/hashagg.py rationale —
-    # measured 5 s for the trigram table vs ~1 s hash-partitioned)
-    from ..stages.hashagg import hash_aggregate
+    def fused_combine(df):
+        return df.groupby(["w1", "w2", "w3"], as_index=False)["c"] \
+            .sum()
 
-    def combine(df):
-        return df.groupby(names, as_index=False)["c"].sum()
-
-    return hash_aggregate(
+    counts = hash_aggregate(
         ds.select_columns([id_col, text_col])
-          .map_batches(partial, batch_format="pyarrow"),
-        names, combine)
+          .map_batches(fused_partial, batch_format="pyarrow"),
+        ["w1", "w2", "w3"], fused_combine)
+    blocks = [b for b in ray.get(counts.to_arrow_refs())
+              if b.num_columns]
+    if key is not None:
+        _FUSED_CACHE[key] = blocks
+    return blocks
 
 
 class _BackoffScorer:
@@ -252,7 +279,8 @@ class _BackoffScorer:
 
 def trigram_backoff_scores(ds: rd.Dataset, *, text_col: str = "text",
                            id_col: str = "doc_id",
-                           train_mod: int = 2) -> rd.Dataset:
+                           train_mod: int = 2,
+                           cache_key=None) -> rd.Dataset:
     """(doc_id, score_ppm): stupid-backoff trigram LM score (Brants
     et al. 2007, EMNLP — the score function Google's large-LM MT
     systems used instead of Kneser-Ney, because it needs no
@@ -281,46 +309,15 @@ def trigram_backoff_scores(ds: rd.Dataset, *, text_col: str = "text",
     KenLM-precursor sharded them (document the floor; the synth vocab
     needs none)."""
     from pdf2dom_ray.stages.pool import default_pool
-    from ..stages.hashagg import hash_aggregate
 
-    # ONE pass over the training slice emits all three count tables
-    # ("" pads the shorter grams — tokenization drops empty tokens,
-    # so the sentinel cannot collide) through a single hash aggregate
-    # instead of three scans + three exchanges
-    def fused_partial(t: pa.Table) -> pa.Table:
-        from collections import Counter
-        c: Counter = Counter()
-        for d, text in zip(t.column(id_col).to_pylist(),
-                           t.column(text_col).to_pylist()):
-            if d % train_mod != 0:
-                continue
-            toks = [w for w in (text or "").split(" ") if w]
-            c.update(zip(toks, toks[1:], toks[2:]))
-            c.update((w1, w2, "") for w1, w2 in zip(toks, toks[1:]))
-            c.update((w, "", "") for w in toks)
-        return pa.table({
-            "w1": pa.array([k[0] for k in c], pa.string()),
-            "w2": pa.array([k[1] for k in c], pa.string()),
-            "w3": pa.array([k[2] for k in c], pa.string()),
-            "c": pa.array(list(c.values()), pa.int64())})
-
-    def fused_combine(df):
-        return df.groupby(["w1", "w2", "w3"], as_index=False)["c"] \
-            .sum()
-
-    counts = hash_aggregate(
-        ds.select_columns([id_col, text_col])
-          .map_batches(fused_partial, batch_format="pyarrow"),
-        ["w1", "w2", "w3"], fused_combine)
-
+    blocks = _fused_counts(ds, text_col, id_col, train_mod,
+                           cache_key)
     c123: dict = {}
     c12: dict = {}
     c23: dict = {}
     c2: dict = {}
     c3: dict = {}
-    for b in ray.get(counts.to_arrow_refs()):
-        if not b.num_columns:
-            continue
+    for b in blocks:
         for w1, w2, w3, n in zip(b.column("w1").to_pylist(),
                                  b.column("w2").to_pylist(),
                                  b.column("w3").to_pylist(),
@@ -446,7 +443,8 @@ class _KNScorer:
 
 def kneser_ney_scores(ds: rd.Dataset, *, text_col: str = "text",
                       id_col: str = "doc_id",
-                      train_mod: int = 2) -> rd.Dataset:
+                      train_mod: int = 2,
+                      cache_key=None) -> rd.Dataset:
     """(doc_id, score_ppm): interpolated bigram Kneser-Ney score
     (Kneser & Ney 1995; Chen & Goodman 1998 eq. 4.25) — THE standard
     smoothed n-gram LM, scoring each document by its mean bigram
@@ -464,7 +462,8 @@ def kneser_ney_scores(ds: rd.Dataset, *, text_col: str = "text",
     ``id % train_mod == 0`` held-out slice (the trigram_backoff
     convention) so unseen events genuinely occur.
 
-    Scale shape: ONE narrow bigram-count shuffle; c1 / N1+(w1·) /
+    Scale shape: ONE narrow fused-count shuffle (shared with — and
+    cached across — trigram_backoff); c1 / N1+(w1·) /
     N1+(·w2) / NB all derive from the bigram table driver-side
     (vocab²-bounded; at crawl scale keep them distributed and
     count-prune the broadcast exactly as trigram_backoff documents);
@@ -472,15 +471,19 @@ def kneser_ney_scores(ds: rd.Dataset, *, text_col: str = "text",
     touches the text."""
     from pdf2dom_ray.stages.pool import default_pool
 
-    bi = _ngram_counts(ds, text_col, 2, id_col, train_mod)
+    # bigram counts come out of the SAME fused count table the
+    # backoff query builds — with a shared cache_key the two LM
+    # queries pay the count shuffle once per process
+    blocks = _fused_counts(ds, text_col, id_col, train_mod,
+                           cache_key)
     c12: dict = {}
-    for b in ray.get(bi.to_arrow_refs()):
-        if not b.num_columns:
-            continue
-        for w1, w2, n in zip(b.column("w1").to_pylist(),
-                             b.column("w2").to_pylist(),
-                             b.column("c").to_pylist()):
-            c12[(w1, w2)] = c12.get((w1, w2), 0) + n
+    for b in blocks:
+        for w1, w2, w3, n in zip(b.column("w1").to_pylist(),
+                                 b.column("w2").to_pylist(),
+                                 b.column("w3").to_pylist(),
+                                 b.column("c").to_pylist()):
+            if w2 and not w3:
+                c12[(w1, w2)] = c12.get((w1, w2), 0) + n
     c1: dict = {}
     n1f: dict = {}
     n1b: dict = {}
