@@ -427,6 +427,10 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "waiting_suppliers": _q_waiting_suppliers,
         "sales_opportunity": _q_sales_opportunity,
         "product_profit": _q_product_profit,
+        "min_cost_supplier": _q_min_cost_supplier,
+        "important_stock": _q_important_stock,
+        "parts_supplier_cnt": _q_parts_supplier_cnt,
+        "potential_promotion": _q_potential_promotion,
         "vocab_richness": _q_vocab_richness,
         "purchase_attribution": _q_purchase_attribution,
         "copurchase_pairs": _q_copurchase_pairs,
@@ -2553,6 +2557,10 @@ def oracle_sql() -> dict[str, str]:
         "centroid_confusion": _centroid_confusion_sql(),
         "hopping_distinct_users": _hopping_distinct_sql(),
         "props_field_histogram": _props_hist_sql(),
+        "min_cost_supplier": _tpch_extra_sql("q2"),
+        "important_stock": _tpch_extra_sql("q11"),
+        "parts_supplier_cnt": _tpch_extra_sql("q16"),
+        "potential_promotion": _tpch_extra_sql("q20"),
         "product_profit": """
             SELECT n_name,
                    CAST(year(o_orderdate) AS BIGINT) AS o_year,
@@ -4814,6 +4822,52 @@ def _q_product_profit(sf_dir: str):
     limit / join_ready fallback) (pipelines/tpch.py)."""
     from pdf2dom_ray.pipelines.tpch import q9_product_profit
     return q9_product_profit(sf_dir)
+
+
+def _tpch_extra_sql(which: str) -> str:
+    from pdf2dom_ray.pipelines.tpch import (
+        q2_oracle_sql, q11_oracle_sql, q16_oracle_sql,
+        q20_oracle_sql)
+    return {"q2": q2_oracle_sql, "q11": q11_oracle_sql,
+            "q16": q16_oracle_sql, "q20": q20_oracle_sql}[which]()
+
+
+def _q_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape over the deterministic synthetic partsupp:
+    region dimension broadcast, partsupp generated inside the part
+    scan's map stage with the per-part MIN taken in-batch (slots are
+    co-batch) — a zero-shuffle pipeline (pipelines/tpch.py)."""
+    from pdf2dom_ray.pipelines.tpch import q2_min_cost_supplier
+    return q2_min_cost_supplier(sf_dir)
+
+
+def _q_important_stock(sf_dir: str):
+    """TPC-H Q11 shape: per-part inventory value over one nation's
+    suppliers vs a total-value threshold, exact int64 cents —
+    broadcast key probe, in-batch value reduction, one narrow
+    materialized value table (pipelines/tpch.py)."""
+    from pdf2dom_ray.pipelines.tpch import q11_important_stock
+    return q11_important_stock(sf_dir)
+
+
+def _q_parts_supplier_cnt(sf_dir: str):
+    """TPC-H Q16 shape: distinct supplier count per (brand, type,
+    size) minus the deterministic complaint stand-in set — two
+    hash-partitioned exchanges (dedup quadruples, then sum ones)
+    (pipelines/tpch.py)."""
+    from pdf2dom_ray.pipelines.tpch import \
+        q16_parts_supplier_relationship
+    return q16_parts_supplier_relationship(sf_dir)
+
+
+def _q_potential_promotion(sf_dir: str):
+    """TPC-H Q20 shape: suppliers with excess stock of promoted parts
+    (2·availqty > year's shipped qty, exact int64) — part-key
+    broadcast semi-filter, pair-level combiner + hash aggregate,
+    driver merge against the synthetic partsupp dimension
+    (pipelines/tpch.py)."""
+    from pdf2dom_ray.pipelines.tpch import q20_potential_promotion
+    return q20_potential_promotion(sf_dir)
 
 
 def _q_vocab_richness(sf_dir: str):

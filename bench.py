@@ -222,7 +222,9 @@ def run_bench() -> dict:
                  "volume_shipping", "market_share",
                  "top_supplier", "small_qty_revenue",
                  "waiting_suppliers", "sales_opportunity",
-                 "product_profit", "vocab_richness",
+                 "product_profit", "min_cost_supplier",
+                 "important_stock", "parts_supplier_cnt",
+                 "potential_promotion", "vocab_richness",
                  "purchase_attribution", "copurchase_pairs",
                  "rfm_segments", "source_ttr",
                  "label_dispersion", "hopping_distinct_users",

@@ -44,7 +44,10 @@ __all__ = ["q3_top_unshipped", "q5_local_supplier_volume",
            "q7_volume_shipping", "q8_market_share", "q15_top_supplier",
            "q17_small_quantity_revenue",
            "q21_waiting_suppliers",
-           "q22_sales_opportunity", "q9_product_profit"]
+           "q22_sales_opportunity", "q9_product_profit",
+           "q2_min_cost_supplier", "q11_important_stock",
+           "q16_parts_supplier_relationship",
+           "q20_potential_promotion", "partsupp_cte"]
 
 
 def _n_partitions() -> int:
@@ -2485,3 +2488,412 @@ def q9_product_profit(sf_dir: str, *, name_token: str = "bolt",
                            pa.int64()),
         "profit_cents": pa.array(
             merged["profit_cents"].to_numpy(np.int64), pa.int64())}))
+
+
+# ------------------------------------------------ synthetic partsupp
+# The driver tables carry no partsupp; Q2/Q11/Q16/Q20 run over a
+# DETERMINISTIC synthetic one derived from part × 4 supplier slots —
+# the same synth-rule-IS-the-oracle coupling as synth/corpus.py (the
+# SQL twin below replays the identical integer arithmetic). Slot
+# suppkeys (p_partkey + i·17) % n_supp are distinct per part whenever
+# n_supp > 51 (all driver scales). Everything stays non-negative so
+# DuckDB's truncating % / // agree with numpy (CLAUDE.md invariant).
+
+PS_SLOTS = 4
+
+
+def _partsupp_arrays(part_keys: np.ndarray, n_supp: int):
+    """Vectorized synthetic partsupp rows for the given part keys:
+    (ps_partkey, ps_suppkey, ps_availqty, ps_supplycost_cents)."""
+    pk = np.repeat(part_keys.astype(np.int64), PS_SLOTS)
+    i = np.tile(np.arange(PS_SLOTS, dtype=np.int64), len(part_keys))
+    supp = (pk + i * 17) % n_supp
+    qty = (pk * 7 + i * 13) % 1000 + 1
+    cost = (pk * 31 + i * 97) % 90001 + 10000
+    return pk, supp, qty, cost
+
+
+def partsupp_cte() -> str:
+    """DuckDB twin of ``_partsupp_arrays`` over the part view."""
+    return """
+        SELECT CAST(p_partkey AS BIGINT) AS ps_partkey,
+               CAST((p_partkey + i * 17) %
+                    (SELECT COUNT(*) FROM supplier) AS BIGINT)
+                   AS ps_suppkey,
+               CAST((p_partkey * 7 + i * 13) % 1000 + 1 AS BIGINT)
+                   AS ps_availqty,
+               CAST((p_partkey * 31 + i * 97) % 90001 + 10000
+                    AS BIGINT) AS ps_supplycost_cents
+        FROM part CROSS JOIN (SELECT unnest(range(4)) AS i)"""
+
+
+def _n_supp(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+    return pq.ParquetFile(f"{sf_dir}/supplier.parquet") \
+        .metadata.num_rows
+
+
+def q2_min_cost_supplier(sf_dir: str, *, size: int = 7,
+                         type_: str = "ECONOMY",
+                         region: str = "EUROPE") -> rd.Dataset:
+    """TPC-H Q2 shape: for every part of a given size and type, the
+    region's supplier(s) offering it at the minimum supply cost
+    (ties keep every minimum-cost supplier, like the reference's
+    correlated MIN subquery).
+
+    Distributed shape: supplier⋈nation⋈region is a driver-read
+    dimension probe (suppliers are the 10k-per-SF side) broadcast as
+    sorted arrays; the part scan filter-pushes size+type; partsupp
+    rows are GENERATED in the same map_batches that consumes each
+    part batch — all 4 slots of a part are co-batch by construction,
+    so the per-part MIN is taken in-batch and NOTHING shuffles:
+    scan → one vectorized task stage → result.
+    """
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet").to_pandas()
+    n_supp = len(sup)
+    rkeys = set(reg[reg["r_name"] == region]["r_regionkey"]
+                .astype(int))
+    nat = nat[nat["n_regionkey"].astype(int).isin(rkeys)]
+    nname = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    sup = sup[sup["s_nationkey"].astype(int).isin(nname)] \
+        .sort_values("s_suppkey")
+    sk = sup["s_suppkey"].to_numpy(np.int64)
+    s_name = sup["s_name"].to_numpy(object)
+    s_acct = np.floor(sup["s_acctbal"].to_numpy() * 100.0) \
+        .astype(np.int64)
+    s_nat = sup["s_nationkey"].to_numpy(np.int64)
+    dim_ref = ray.put((sk, s_name, s_acct, s_nat))
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"],
+        filter=((pads.field("p_size") == size)
+                & (pads.field("p_type") == type_)))
+
+    def min_cost(t: pa.Table) -> pa.Table:
+        sk, s_name, s_acct, s_nat = ray.get(dim_ref)
+        keys = t.column("p_partkey").to_numpy()
+        pk, supp, _, cost = _partsupp_arrays(keys, n_supp)
+        if len(sk):
+            pos = np.minimum(np.searchsorted(sk, supp), len(sk) - 1)
+            hit = sk[pos] == supp
+        else:
+            pos = np.zeros(len(supp), dtype=np.int64)
+            hit = np.zeros(len(supp), dtype=bool)
+        pk, supp, cost, pos = pk[hit], supp[hit], cost[hit], pos[hit]
+        if len(pk):
+            # per-part min over the (≤4) surviving slots: all slots
+            # of a part are contiguous in this batch
+            dfm = pd.DataFrame({"pk": pk, "cost": cost})
+            mins = dfm.groupby("pk")["cost"].transform("min")
+            keep = cost == mins.to_numpy()
+        else:
+            keep = np.zeros(0, dtype=bool)
+        pk, supp, cost, pos = (pk[keep], supp[keep], cost[keep],
+                               pos[keep])
+        return pa.table({
+            "s_acctbal_cents": pa.array(s_acct[pos], pa.int64()),
+            "s_name": pa.array(s_name[pos].tolist(), pa.string()),
+            "n_name": pa.array(
+                [nname[int(n)] for n in s_nat[pos]], pa.string()),
+            "p_partkey": pa.array(pk, pa.int64()),
+            "ps_supplycost_cents": pa.array(cost, pa.int64())})
+
+    return parts.map_batches(min_cost, batch_format="pyarrow")
+
+
+def q2_oracle_sql(size: int = 7, type_: str = "ECONOMY",
+                  region: str = "EUROPE") -> str:
+    return f"""
+        WITH partsupp AS ({partsupp_cte()}),
+        rs AS (
+          SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+                 CAST(FLOOR(s_acctbal * 100) AS BIGINT)
+                     AS s_acctbal_cents, n_name
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = '{region}'),
+        cand AS (
+          SELECT p.ps_partkey, p.ps_suppkey, p.ps_supplycost_cents
+          FROM partsupp p
+          JOIN rs ON p.ps_suppkey = rs.s_suppkey
+          JOIN part ON p_partkey = p.ps_partkey
+          WHERE p_size = {size} AND p_type = '{type_}'
+          QUALIFY p.ps_supplycost_cents =
+                  MIN(p.ps_supplycost_cents)
+                      OVER (PARTITION BY p.ps_partkey))
+        SELECT rs.s_acctbal_cents, rs.s_name, rs.n_name,
+               CAST(cand.ps_partkey AS BIGINT) AS p_partkey,
+               cand.ps_supplycost_cents
+        FROM cand JOIN rs ON cand.ps_suppkey = rs.s_suppkey"""
+
+
+def q11_important_stock(sf_dir: str, *, nation: str = "NATION_7",
+                        frac_den: int = 1000) -> rd.Dataset:
+    """TPC-H Q11 shape: per-part inventory value (Σ cost·availqty)
+    over one nation's suppliers, keeping parts whose value exceeds
+    total/frac_den. Exact int64 cents.
+
+    Distributed shape: the nation's supplier keys broadcast; partsupp
+    generates in the part scan's map stage with the per-part value
+    reduced in-batch (slots are co-batch) — no exchange; the
+    value table (≤ one narrow row per part) is materialized once,
+    its total read off a Sum aggregate, and the threshold filter is
+    one more vectorized pass.
+    """
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]) \
+        .to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    nk = set(nat[nat["n_name"] == nation]["n_nationkey"].astype(int))
+    n_supp = len(sup)
+    keys = np.sort(sup[sup["s_nationkey"].astype(int).isin(nk)]
+                   ["s_suppkey"].to_numpy(np.int64))
+    key_ref = ray.put(keys)
+
+    parts = rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey"])
+
+    def value(t: pa.Table) -> pa.Table:
+        sk = ray.get(key_ref)
+        pk, supp, qty, cost = _partsupp_arrays(
+            t.column("p_partkey").to_numpy(), n_supp)
+        if len(sk):
+            pos = np.minimum(np.searchsorted(sk, supp), len(sk) - 1)
+            hit = sk[pos] == supp
+        else:
+            hit = np.zeros(len(supp), dtype=bool)
+        dfm = pd.DataFrame({"ps_partkey": pk[hit],
+                            "value_cents": qty[hit] * cost[hit]})
+        g = dfm.groupby("ps_partkey", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    vals = parts.map_batches(value,
+                             batch_format="pyarrow").materialize()
+    total = vals.sum("value_cents") or 0
+    floor = total // frac_den
+
+    def keep(t: pa.Table) -> pa.Table:
+        v = t.column("value_cents").to_numpy()
+        return t.filter(pa.array(v > floor))
+
+    return vals.map_batches(keep, batch_format="pyarrow")
+
+
+def q11_oracle_sql(nation: str = "NATION_7",
+                   frac_den: int = 1000) -> str:
+    return f"""
+        WITH partsupp AS ({partsupp_cte()}),
+        ns AS (
+          SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = '{nation}'),
+        v AS (
+          SELECT ps_partkey,
+                 CAST(SUM(ps_supplycost_cents * ps_availqty)
+                      AS BIGINT) AS value_cents
+          FROM partsupp JOIN ns ON ps_suppkey = ns.s_suppkey
+          GROUP BY ps_partkey)
+        SELECT ps_partkey, value_cents FROM v
+        WHERE value_cents >
+              (SELECT CAST(SUM(value_cents) AS BIGINT) FROM v)
+                  // {frac_den}"""
+
+
+def q16_parts_supplier_relationship(
+        sf_dir: str, *, brand: str = "Brand#2", type_: str = "PROMO",
+        sizes: tuple = (1, 4, 7, 10, 13, 16, 19, 22)) -> rd.Dataset:
+    """TPC-H Q16 shape: distinct supplier count per
+    (p_brand, p_type, p_size) for parts NOT of the excluded
+    brand/type and within the size list, minus "complaint" suppliers
+    (schema-adapted: no s_comment column, so the excluded-supplier
+    set is the deterministic ``s_suppkey % 10 == 0`` — mirrored in
+    the SQL twin).
+
+    Distributed shape: the part scan generates partsupp rows
+    map-side; stage 1 hash-partitions the (brand, type, size,
+    suppkey) quadruples with a drop-duplicates combiner (idempotent),
+    stage 2 hash-partitions the now-globally-distinct quadruples by
+    group key and sums ones — two narrow exchanges, no sort, no
+    distinct-of-distinct error.
+    """
+    import pyarrow.dataset as pads
+
+    from ..stages.hashagg import hash_aggregate
+
+    n_supp = _n_supp(sf_dir)
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+        filter=((pads.field("p_brand") != brand)
+                & (pads.field("p_type") != type_)
+                & (pads.field("p_size").isin(list(sizes)))))
+
+    def quads(t: pa.Table) -> pa.Table:
+        keys = t.column("p_partkey").to_numpy()
+        _, supp, _, _ = _partsupp_arrays(keys, n_supp)
+        ok = supp % 10 != 0                    # complaint stand-in
+        rep = np.repeat(np.arange(t.num_rows), PS_SLOTS)[ok]
+        return pa.table({
+            "p_brand": t.column("p_brand").take(pa.array(rep)),
+            "p_type": t.column("p_type").take(pa.array(rep)),
+            "p_size": pa.array(
+                t.column("p_size").to_numpy()[rep].astype(np.int64),
+                pa.int64()),
+            "ps_suppkey": pa.array(supp[ok], pa.int64())})
+
+    qk = ["p_brand", "p_type", "p_size", "ps_suppkey"]
+    distinct = hash_aggregate(
+        parts.map_batches(quads, batch_format="pyarrow"),
+        qk, lambda df: df.drop_duplicates(qk))
+
+    def ones(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["ps_suppkey"])
+        df["supplier_cnt"] = np.int64(1)
+        return df
+
+    gk = ["p_brand", "p_type", "p_size"]
+    return hash_aggregate(
+        distinct.map_batches(ones, batch_format="pandas"),
+        gk,
+        lambda df: df.groupby(gk, as_index=False)["supplier_cnt"]
+                     .sum())
+
+
+def q16_oracle_sql(brand: str = "Brand#2", type_: str = "PROMO",
+                   sizes: tuple = (1, 4, 7, 10, 13, 16, 19, 22)
+                   ) -> str:
+    inlist = ", ".join(str(s) for s in sizes)
+    return f"""
+        WITH partsupp AS ({partsupp_cte()})
+        SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+               CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT)
+                   AS supplier_cnt
+        FROM partsupp JOIN part ON p_partkey = ps_partkey
+        WHERE p_brand <> '{brand}' AND p_type <> '{type_}'
+          AND p_size IN ({inlist})
+          AND ps_suppkey % 10 <> 0
+        GROUP BY 1, 2, 3"""
+
+
+def q20_potential_promotion(sf_dir: str, *,
+                            name_token: str = "bolt",
+                            year: int = 1996,
+                            nation: str = "NATION_3") -> rd.Dataset:
+    """TPC-H Q20 shape: suppliers in one nation holding excess stock
+    of a promoted part — ps_availqty > half the quantity they shipped
+    of that part in the target year (2·availqty > Σqty in exact
+    int64; pairs with no shipments are excluded, matching the
+    reference's NULL-comparison semantics).
+
+    Distributed shape: matching part keys broadcast; lineitem
+    filter-pushes the ship year and semi-filters map-side, folding to
+    (l_partkey, l_suppkey, qty) per-batch partials finished by the
+    hash-partitioned aggregate (pair cardinality ≤ parts×slots — the
+    narrow side); the synthetic partsupp for the matching parts and
+    the nation's supplier names are driver-built dimension probes the
+    final ≤-pairs merge joins against.
+    """
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+
+    from ..functions.fold import bounded_fold_tables
+    from ..stages.hashagg import hash_aggregate
+
+    n_supp = _n_supp(sf_dir)
+    pk = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_name"]).to_pandas()
+    pk = pk[pk["p_name"].str.contains(name_token, regex=False)]
+    part_keys = np.sort(pk["p_partkey"].to_numpy(np.int64))
+    key_ref = ray.put(part_keys)
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name",
+                                 "s_nationkey"]).to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    nk = set(nat[nat["n_name"] == nation]["n_nationkey"].astype(int))
+    sup = sup[sup["s_nationkey"].astype(int).isin(nk)]
+    sname = dict(zip(sup["s_suppkey"].astype(int), sup["s_name"]))
+
+    lo = np.datetime64(f"{year}-01-01", "us")
+    hi = np.datetime64(f"{year + 1}-01-01", "us")
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+        filter=((pads.field("l_shipdate") >= lo.item())
+                & (pads.field("l_shipdate") < hi.item())))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        lp = t.column("l_partkey").to_numpy()
+        if len(ks):
+            pos = np.minimum(np.searchsorted(ks, lp), len(ks) - 1)
+            hit = ks[pos] == lp
+        else:
+            hit = np.zeros(len(lp), dtype=bool)
+        dfm = pd.DataFrame({
+            "l_partkey": lp[hit],
+            "l_suppkey": t.column("l_suppkey").to_numpy()[hit],
+            "qty": t.column("l_quantity").to_numpy()[hit]
+                   .astype(np.int64)})
+        g = dfm.groupby(["l_partkey", "l_suppkey"],
+                        as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sums = hash_aggregate(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"],
+        lambda df: df.groupby(["l_partkey", "l_suppkey"],
+                              as_index=False)["qty"].sum())
+
+    tables = [t for t in bounded_fold_tables(sums) if t.num_rows]
+    empty = pa.table({"s_suppkey": pa.array([], pa.int64()),
+                      "s_name": pa.array([], pa.string())})
+    if not tables:
+        return rd.from_arrow(empty)
+    merged = pa.concat_tables(tables).to_pandas()
+
+    ppk, psupp, pqty, _ = _partsupp_arrays(part_keys, n_supp)
+    ps = pd.DataFrame({"l_partkey": ppk, "l_suppkey": psupp,
+                       "availqty": pqty})
+    j = merged.merge(ps, on=["l_partkey", "l_suppkey"], how="inner")
+    j = j[2 * j["availqty"] > j["qty"]]
+    out = sorted({int(s) for s in j["l_suppkey"] if int(s) in sname})
+    return rd.from_arrow(pa.table({
+        "s_suppkey": pa.array(out, pa.int64()),
+        "s_name": pa.array([sname[s] for s in out], pa.string())}))
+
+
+def q20_oracle_sql(name_token: str = "bolt", year: int = 1996,
+                   nation: str = "NATION_3") -> str:
+    return f"""
+        WITH partsupp AS ({partsupp_cte()}),
+        shipped AS (
+          SELECT l_partkey, l_suppkey,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                     AS qty
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '{year}-01-01'
+            AND l_shipdate < TIMESTAMP '{year + 1}-01-01'
+            AND l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE '%{name_token}%')
+          GROUP BY 1, 2)
+        SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+               s_name
+        FROM partsupp
+        JOIN shipped ON ps_partkey = l_partkey
+                    AND ps_suppkey = l_suppkey
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = '{nation}'
+          AND 2 * ps_availqty > qty"""
