@@ -402,6 +402,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "corpus_sample": _q_corpus_sample,
         "crawl_latest": _q_crawl_latest,
         "stale_urls": _q_stale_urls,
+        "capture_history": _q_capture_history,
         "snapshot_diff": _q_snapshot_diff,
         "url_canonicalize": _q_url_canonicalize,
         "url_templates": _q_url_templates,
@@ -1869,6 +1870,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END
                         AS BIGINT) AS n_captures
             FROM documents
+        """,
+        # SCD2 intervals over the same two-snapshot synth: LEAD of
+        # the per-url capture sequence
+        "capture_history": f"""
+            WITH snaps AS (
+              SELECT {_URL_SQL} AS url,
+                     TIMESTAMP '2024-01-01 00:00:00'
+                       + to_seconds(CAST(doc_id AS BIGINT)) AS warc_ts,
+                     CAST(0 AS BIGINT) AS version
+              FROM documents
+              UNION ALL
+              SELECT {_URL_SQL} AS url,
+                     TIMESTAMP '2024-01-01 00:00:00'
+                       + to_seconds(CAST(doc_id AS BIGINT) + 86400)
+                         AS warc_ts,
+                     CAST(1 AS BIGINT) AS version
+              FROM documents WHERE doc_id % 3 = 0)
+            SELECT url, version, warc_ts AS valid_from,
+                   LEAD(warc_ts) OVER w AS valid_to,
+                   (LEAD(warc_ts) OVER w IS NULL) AS is_current
+            FROM snaps
+            WINDOW w AS (PARTITION BY url
+                         ORDER BY warc_ts, version)
         """,
         # WARC ingestion E2E: shard files carry the htmlgen pages, so
         # reading + HTTP-parsing + boilerplate-stripping them must
@@ -6162,6 +6186,15 @@ def _q_stale_urls(sf_dir: str):
 
     return stale_urls(synth_snapshots(sf_dir)) \
         .map_batches(to_us, batch_format="pyarrow")
+
+
+def _q_capture_history(sf_dir: str):
+    """SCD2 validity intervals per url over the two-snapshot synth
+    crawl (functions/scd.py): narrow projection + one url-keyed
+    groupby, LEAD-equivalent shift per tiny group."""
+    from pdf2dom_ray.functions.scd import capture_history
+    from pdf2dom_ray.pipelines.html_extract import synth_snapshots
+    return capture_history(synth_snapshots(sf_dir))
 
 
 def _q_warc_extract(sf_dir: str):
