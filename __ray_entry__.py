@@ -607,6 +607,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_pq_topk": _q_ann_pq,
+        "ann_hnsw_topk": _q_ann_hnsw,     # rows-only (graph search)
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_exact": _q_dedup_embedding_exact,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
@@ -680,7 +681,7 @@ _DRIVER_CHECKED = frozenset({
 # out of the 50-query hash window until everything else has been hashed.
 _ROWS_ONLY = frozenset({
     "distinct_users_hll", "distinct_users_by_type",
-    "embedding_fd_sketch", "bpe_merges",
+    "embedding_fd_sketch", "bpe_merges", "ann_hnsw_topk",
 })
 
 # Red in CORRECTNESS_r03 (uncast HUGEINT oracle aggregates, fixed in r4):
@@ -8199,6 +8200,18 @@ def _q_ann_brute(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     return brute_topk(ds, _ann_query_vec(sf_dir), k=10)
+
+
+def _q_ann_hnsw(sf_dir: str):
+    """Sharded HNSW top-k (functions/hnsw.py): per-block
+    deterministic small-world graphs, fan-out search, bounded driver
+    merge. Rows-only in the driver (no SQL twin of a navigable-graph
+    search); recall vs brute_topk is locked in tests."""
+    import ray.data as rd
+    from pdf2dom_ray.functions.hnsw import hnsw_topk
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return hnsw_topk(ds, _ann_query_vec(sf_dir), k=10)
 
 
 _KNN_EDGE_SQL = """

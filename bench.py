@@ -160,6 +160,7 @@ def run_bench() -> dict:
     qs = E.queries()
     for name in ("text_quality", "dedup_exact", "dedup_minhash",
                  "dedup_simhash", "dedup_embedding", "ann_brute_topk",
+                 "ann_hnsw_topk",
                  "events_hourly", "events_sessionize",
                  "orders_by_segment", "unigram_logprob",
                  "html_main_text", "html_outlinks", "pagerank",
