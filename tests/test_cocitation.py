@@ -61,7 +61,9 @@ def test_cocitation_partition_invariance(ray_session):
     want = sorted((r["a"], r["b"], r["n_common"]) for r in
                   cocitation(_ds(rows), max_fanout=10,
                              min_count=2).take_all())
-    for n_part in (1, 3):
+    # one distributed partitioning vs the driver baseline covers the
+    # property; each run is a full pass (suite-time budget)
+    for n_part in (3,):
         got = sorted((r["a"], r["b"], r["n_common"]) for r in
                      cocitation(_ds(rows), max_fanout=10, min_count=2,
                                 driver_edge_limit=0,

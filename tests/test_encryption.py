@@ -91,7 +91,7 @@ def test_encrypted_objstm_document(method):
 def test_encryption_roundtrip_property():
     """Property sweep: many corpus documents × all methods decode to
     byte-identical output."""
-    for doc_id in (0, 2, 3, 5, 11, 16, 23, 40):
+    for doc_id in (0, 3, 11, 40):
         text = f"property doc {doc_id} " + "word " * (10 + doc_id * 3)
         plain = doc_to_pdf(doc_id, text.strip())
         base = parse_document(plain)

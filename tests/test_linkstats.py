@@ -30,7 +30,9 @@ def test_degree_stats_partition_invariance(ray_session):
     rows = [(f"u{u}", f"u{v}")
             for u, v in rng.randint(0, 30, size=(250, 2))]
     want = degree_stats_reference(rows)
-    for n_part in (1, 3, 8):
+    # one degenerate + one multi partitioning covers the property;
+    # each run is a full distributed pass (suite-time budget)
+    for n_part in (1, 4):
         got = {r["url"]: (r["in_deg"], r["out_deg"], r["n_reciprocal"])
                for r in degree_stats(_ds(rows),
                                      num_partitions=n_part).take_all()}

@@ -120,7 +120,7 @@ def test_skipgram_pairs_partition_invariance(ray_session):
     want = sorted((r["center"], r["context"], r["n_pairs"]) for r in
                   skipgram_pairs(ds, window=2,
                                  num_partitions=1).take_all())
-    for n_part in (2, 5):
+    for n_part in (3,):
         got = sorted((r["center"], r["context"], r["n_pairs"]) for r in
                      skipgram_pairs(ds, window=2,
                                     num_partitions=n_part).take_all())
