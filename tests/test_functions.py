@@ -402,7 +402,7 @@ def test_connected_components_random_graphs_match_union_find(ray_session):
     from pdf2dom_ray.functions.dedup import (_union_find_roots,
                                              connected_component_labels)
     rng = np.random.default_rng(11)
-    for trial in range(3):
+    for trial in range(2):
         n_nodes = int(rng.integers(6, 40))
         n_edges = int(rng.integers(1, 60))
         a = rng.integers(0, n_nodes, n_edges).astype("int64")
