@@ -8209,8 +8209,16 @@ def _q_ann_hnsw(sf_dir: str):
     search); recall vs brute_topk is locked in tests."""
     import ray.data as rd
     from pdf2dom_ray.functions.hnsw import hnsw_topk
+    from pdf2dom_ray.scale import read_parallelism
+    # shard so the per-shard O(n·ef·m) graph builds run in parallel:
+    # map_batches parallelism is per BLOCK (batch_size only slices
+    # within a task), and the driver embeddings file is a single row
+    # group, so an explicit narrow repartition is the only way to
+    # fan the build out (2000×64 floats — trivial exchange; a real
+    # corpus arrives multi-file and skips this)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+                         columns=["vec_id", "embedding"]) \
+        .repartition(read_parallelism())
     return hnsw_topk(ds, _ann_query_vec(sf_dir), k=10)
 
 
