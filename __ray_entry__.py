@@ -5865,9 +5865,11 @@ def _q_trigram_backoff(sf_dir: str):
     import ray.data as rd
 
     from pdf2dom_ray.functions.lmscore import trigram_backoff_scores
+    from pdf2dom_ray.scale import read_parallelism
     from pdf2dom_ray.synth.corpus import CORPUS_VERSION
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+                         columns=["doc_id", "text"],
+                         override_num_blocks=read_parallelism())
     return trigram_backoff_scores(
         ds, cache_key=(sf_dir, CORPUS_VERSION))
 
@@ -5955,9 +5957,11 @@ def _q_kneser_ney(sf_dir: str):
     import ray.data as rd
 
     from pdf2dom_ray.functions.lmscore import kneser_ney_scores
+    from pdf2dom_ray.scale import read_parallelism
     from pdf2dom_ray.synth.corpus import CORPUS_VERSION
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+                         columns=["doc_id", "text"],
+                         override_num_blocks=read_parallelism())
     return kneser_ney_scores(
         ds, cache_key=(sf_dir, CORPUS_VERSION))
 
