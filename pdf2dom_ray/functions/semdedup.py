@@ -198,6 +198,13 @@ def semdedup_keep(sf_dir: str, k: int | None = None, iters: int = 2,
                                  "cluster": g["cluster"],
                                  "dup": dup.astype(np.int64)})
         a, b = g[g["b"] == lo], g[g["b"] == hi]
+        if not len(a) or not len(b):
+            # skewed ids can leave a band empty (vec_id % t misses a
+            # residue): the cross task then has no pairs to test
+            ids = g["vec_id"].to_numpy()
+            return pd.DataFrame({
+                "vec_id": ids, "cluster": g["cluster"],
+                "dup": np.zeros(len(ids), dtype=np.int64)})
         ia, xa = _group_np(a)
         ib, xb = _group_np(b)
         m = _dup_mask(xa, xb, tau2_num, tau2_den)

@@ -12,9 +12,11 @@ from pdf2dom_ray.functions.semdedup import (
     TAU2_DEN, TAU2_NUM, semdedup_k, semdedup_keep, semdedup_oracle_sql)
 
 
-def _write(tmp_path, vecs):
+def _write(tmp_path, vecs, ids=None):
+    if ids is None:
+        ids = np.arange(len(vecs), dtype=np.int64)
     pq.write_table(pa.table({
-        "vec_id": pa.array(np.arange(len(vecs), dtype=np.int64)),
+        "vec_id": pa.array(np.asarray(ids, dtype=np.int64)),
         "embedding": pa.array([list(map(float, v)) for v in vecs],
                               pa.list_(pa.float32())),
     }), tmp_path / "embeddings.parquet")
@@ -126,3 +128,19 @@ def test_band_split_matches_single_task(ray_session, tmp_path):
         band_sizes = grp["vec_id"].to_numpy() % t
         counts = np.bincount(band_sizes, minlength=t)
         assert counts.max() ** 2 <= 4 * limit * limit
+
+
+def test_band_split_survives_empty_band(ray_session, tmp_path):
+    # all-even vec_ids with t=2 leave band 1 empty: the cross task
+    # must emit no-dup rows instead of stacking an empty frame
+    rng = np.random.default_rng(11)
+    vecs = [(50.0 + rng.uniform(-1, 1), rng.uniform(-1, 1))
+            for _ in range(20)]
+    ids = np.arange(20) * 2          # every id ≡ 0 (mod 2)
+    sf = _write(tmp_path, vecs, ids=ids)
+    base = semdedup_keep(sf, k=1, iters=1).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    banded = semdedup_keep(sf, k=1, iters=1, band_limit=10) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, banded, check_dtype=False)
+    assert (~banded["kept"]).sum() > 0
