@@ -4786,7 +4786,11 @@ def _q_volume_shipping(sf_dir: str):
     (single lineitem scan, map-side fold) with a join_ready hash-join
     fallback; integer cents (pipelines/tpch.py)."""
     from pdf2dom_ray.pipelines.tpch import q7_volume_shipping
-    return q7_volume_shipping(sf_dir)
+    return _schema_safe(q7_volume_shipping(sf_dir), pa.table({
+        "supp_nation": pa.array([], pa.string()),
+        "cust_nation": pa.array([], pa.string()),
+        "l_year": pa.array([], pa.int64()),
+        "revenue_cents": pa.array([], pa.int64())}))
 
 
 def _q_market_share(sf_dir: str):
@@ -4849,6 +4853,19 @@ def _q_product_profit(sf_dir: str):
     return q9_product_profit(sf_dir)
 
 
+def _schema_safe(res, empty):
+    """Ray 2.49 drops the schema of a 0-row Dataset (``to_pandas``
+    yields a column-less frame — this breaks any schema check on a
+    legitimately-empty result). The driver contract accepts
+    ``pyarrow.Table``, so queries that can be empty at small scales
+    hand back their TYPED empty table instead. ``res`` must be cheap
+    to count (all wrapped queries return narrow driver-merged or
+    dimension-bounded results)."""
+    if hasattr(res, "count") and res.count() == 0:
+        return empty
+    return res
+
+
 def _tpch_extra_sql(which: str) -> str:
     from pdf2dom_ray.pipelines.tpch import (
         q2_oracle_sql, q11_oracle_sql, q16_oracle_sql,
@@ -4863,7 +4880,12 @@ def _q_min_cost_supplier(sf_dir: str):
     scan's map stage with the per-part MIN taken in-batch (slots are
     co-batch) — a zero-shuffle pipeline (pipelines/tpch.py)."""
     from pdf2dom_ray.pipelines.tpch import q2_min_cost_supplier
-    return q2_min_cost_supplier(sf_dir)
+    return _schema_safe(q2_min_cost_supplier(sf_dir), pa.table({
+        "s_acctbal_cents": pa.array([], pa.int64()),
+        "s_name": pa.array([], pa.string()),
+        "n_name": pa.array([], pa.string()),
+        "p_partkey": pa.array([], pa.int64()),
+        "ps_supplycost_cents": pa.array([], pa.int64())}))
 
 
 def _q_important_stock(sf_dir: str):
@@ -4872,7 +4894,9 @@ def _q_important_stock(sf_dir: str):
     broadcast key probe, in-batch value reduction, one narrow
     materialized value table (pipelines/tpch.py)."""
     from pdf2dom_ray.pipelines.tpch import q11_important_stock
-    return q11_important_stock(sf_dir)
+    return _schema_safe(q11_important_stock(sf_dir), pa.table({
+        "ps_partkey": pa.array([], pa.int64()),
+        "value_cents": pa.array([], pa.int64())}))
 
 
 def _q_parts_supplier_cnt(sf_dir: str):
@@ -4892,7 +4916,9 @@ def _q_potential_promotion(sf_dir: str):
     driver merge against the synthetic partsupp dimension
     (pipelines/tpch.py)."""
     from pdf2dom_ray.pipelines.tpch import q20_potential_promotion
-    return q20_potential_promotion(sf_dir)
+    return _schema_safe(q20_potential_promotion(sf_dir), pa.table({
+        "s_suppkey": pa.array([], pa.int64()),
+        "s_name": pa.array([], pa.string())}))
 
 
 def _q_vocab_richness(sf_dir: str):
