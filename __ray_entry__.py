@@ -510,6 +510,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "link_bfs_depth_bsp": _q_link_bfs_depth_bsp,
         "link_components": _q_link_components,
         "link_components_bsp": _q_link_components_bsp,
+        "link_scc": _q_link_scc,
+        "link_scc_bsp": _q_link_scc_bsp,
         "link_kcore": _q_link_kcore,
         "link_kcore_bsp": _q_link_kcore_bsp,
         "link_lpa": _q_link_lpa,
@@ -1483,6 +1485,8 @@ def oracle_sql() -> dict[str, str]:
         "link_bfs_depth": _bfs_sql(),
         "link_bfs_depth_bsp": _bfs_sql(),
         "link_components": _cc_sql(),
+        "link_scc": _scc_sql(),
+        "link_scc_bsp": _scc_sql(),
         "link_components_bsp": _cc_sql(),
         "link_kcore": _kcore_sql(),
         "link_kcore_bsp": _kcore_sql(),
@@ -7736,6 +7740,65 @@ def _q_link_components_bsp(sf_dir: str):
     from pdf2dom_ray.functions.ccomp import cc_labels
     return cc_labels(_cc_edges(sf_dir), rounds=8,
                      driver_edge_limit=0)
+
+
+def _doc_digraph_edges(sf_dir: str):
+    """The doc-id digraph i → (2i+1)%N, (3i+7)%N as int64 edges —
+    two nested SCCs (0.8N and 0.2N, reach depth ≤16 at driver
+    scales), the operator-check input for directed-reachability ops."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([ids, ids]), pa.int64()),
+            "target": pa.array(np.concatenate(
+                [(2 * ids + 1) % n, (3 * ids + 7) % n]), pa.int64()),
+        })
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).map_batches(
+        build, batch_format="pyarrow")
+
+
+_DOC_DIGRAPH_SQL = """
+    SELECT CAST(doc_id AS BIGINT) AS src,
+           CAST((2 * doc_id + 1) % (SELECT COUNT(*) FROM documents)
+                AS BIGINT) AS target
+    FROM documents
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT),
+           CAST((3 * doc_id + 7) % (SELECT COUNT(*) FROM documents)
+                AS BIGINT)
+    FROM documents"""
+
+
+def _q_link_scc(sf_dir: str):
+    """Strongly connected components by bounded FW-BW peeling
+    (functions/scc.py): 3 outer peels × 24-hop reaches — exact on
+    the doc digraph's two nested SCCs; composition of the bfs.py
+    dual-path reach."""
+    from pdf2dom_ray.functions.scc import scc_labels
+    return scc_labels(_doc_digraph_edges(sf_dir), outer_rounds=3,
+                      rounds=24)
+
+
+def _q_link_scc_bsp(sf_dir: str):
+    """The SCC peel with the driver BFS path disabled — every reach
+    runs the graphbsp scatter/gather; hash-matches the same unrolled
+    oracle."""
+    from pdf2dom_ray.functions.scc import scc_labels
+    return scc_labels(_doc_digraph_edges(sf_dir), outer_rounds=3,
+                      rounds=24, driver_edge_limit=0)
+
+
+def _scc_sql() -> str:
+    from pdf2dom_ray.functions.scc import scc_oracle_sql
+    return scc_oracle_sql(_DOC_DIGRAPH_SQL, outer_rounds=3,
+                          rounds=24)
 
 
 def _q_link_kcore(sf_dir: str):
