@@ -512,6 +512,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "link_components_bsp": _q_link_components_bsp,
         "link_scc": _q_link_scc,
         "link_scc_bsp": _q_link_scc_bsp,
+        "link_condensation": _q_link_condensation,
         "link_kcore": _q_link_kcore,
         "link_kcore_bsp": _q_link_kcore_bsp,
         "link_lpa": _q_link_lpa,
@@ -1487,6 +1488,7 @@ def oracle_sql() -> dict[str, str]:
         "link_components": _cc_sql(),
         "link_scc": _scc_sql(),
         "link_scc_bsp": _scc_sql(),
+        "link_condensation": _condensation_sql(),
         "link_components_bsp": _cc_sql(),
         "link_kcore": _kcore_sql(),
         "link_kcore_bsp": _kcore_sql(),
@@ -7799,6 +7801,59 @@ def _scc_sql() -> str:
     from pdf2dom_ray.functions.scc import scc_oracle_sql
     return scc_oracle_sql(_DOC_DIGRAPH_SQL, outer_rounds=3,
                           rounds=24)
+
+
+def _bridged_digraph_edges(sf_dir: str):
+    """The doc digraph plus one-way bridges i → (i+1)%N for
+    i % 20 == 4: the digraph's second SCC is exactly {i : i ≡ 4
+    (mod 5)} (verified at both driver scales), so every bridge source
+    sits in the second component and its target in the first — the
+    bridges connect the two otherwise-disjoint components WITHOUT
+    merging them (no first→second path exists), giving the
+    condensation one non-empty quotient edge carrying them all."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        br = ids[ids % 20 == 4]
+        return pa.table({
+            "src": pa.array(np.concatenate([ids, ids, br]),
+                            pa.int64()),
+            "target": pa.array(np.concatenate(
+                [(2 * ids + 1) % n, (3 * ids + 7) % n,
+                 (br + 1) % n]), pa.int64()),
+        })
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).map_batches(
+        build, batch_format="pyarrow")
+
+
+_BRIDGED_DIGRAPH_SQL = _DOC_DIGRAPH_SQL + """
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT),
+           CAST((doc_id + 1) % (SELECT COUNT(*) FROM documents)
+                AS BIGINT)
+    FROM documents WHERE doc_id % 20 = 4"""
+
+
+def _q_link_condensation(sf_dir: str):
+    """SCC quotient DAG (functions/scc.py::condensation_edges):
+    scc_labels + broadcast label attach + pair-count hash aggregate —
+    the cycle-free graph a crawl planner schedules over (bridged doc
+    digraph: two SCCs, one quotient edge carrying the bridges)."""
+    from pdf2dom_ray.functions.scc import condensation_edges
+    return condensation_edges(_bridged_digraph_edges(sf_dir),
+                              outer_rounds=3, rounds=24)
+
+
+def _condensation_sql() -> str:
+    from pdf2dom_ray.functions.scc import condensation_oracle_sql
+    return condensation_oracle_sql(_BRIDGED_DIGRAPH_SQL,
+                                   outer_rounds=3, rounds=24)
 
 
 def _q_link_kcore(sf_dir: str):

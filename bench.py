@@ -185,7 +185,7 @@ def run_bench() -> dict:
                  "crawl_schedule", "dedup_keep_best", "training_mix",
                  "pagerank_bsp", "hits_bsp",
                  "link_bfs_depth", "link_components", "link_scc",
-                 "link_kcore",
+                 "link_condensation", "link_kcore",
                  "trustrank", "link_lpa", "link_harmonic",
                  "link_ball_hll", "salsa_scores", "page_host_rank",
                  "related_cocitation", "host_rank_weighted",

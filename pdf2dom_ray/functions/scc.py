@@ -47,7 +47,8 @@ from .bfs import bfs_depths, bfs_oracle_sql
 from .dedup import join_ready
 from .pagerank import _thin
 
-__all__ = ["scc_labels", "scc_oracle_sql"]
+__all__ = ["scc_labels", "scc_oracle_sql", "condensation_edges",
+           "condensation_oracle_sql"]
 
 
 def _swap(t: pa.Table) -> pa.Table:
@@ -245,3 +246,89 @@ def scc_oracle_sql(edges_cte: str, *, outer_rounds: int = 3,
                   (SELECT src AS node FROM e_0
                    UNION ALL SELECT target FROM e_0))
               WHERE {not_in})"""
+
+
+def condensation_edges(edges: rd.Dataset, *, outer_rounds: int = 3,
+                       rounds: int = 8,
+                       driver_edge_limit: int = 5_000_000,
+                       broadcast_limit: int = 2_000_000,
+                       n_part: int | None = None) -> rd.Dataset:
+    """(scc_src, scc_target, n_edges) — the SCC quotient DAG (the
+    "condensation"): every edge relabeled by its endpoints' SCC
+    labels, self-loops dropped, parallel edges counted. The graph a
+    crawl planner actually schedules over (inter-component reachability
+    without cycles).
+
+    Scale shape: ``scc_labels`` (above) + ONE label attach. The label
+    table is ≤ one narrow row per node; under ``broadcast_limit`` it
+    ships once via ``ray.put`` as sorted arrays and each edge batch
+    relabels map-side (no join), then one narrow groupby counts pair
+    multiplicity. Past the limit the attach is two ``join_ready``
+    hash joins — the same dual path as the peel filter.
+    """
+    import pandas as pd
+
+    from ..scale import scale_partitions
+    from .dedup import _to_arrow_blocks
+
+    npart = n_part or scale_partitions()
+    labels = scc_labels(edges, outer_rounds=outer_rounds,
+                        rounds=rounds,
+                        driver_edge_limit=driver_edge_limit,
+                        broadcast_limit=broadcast_limit,
+                        n_part=npart)
+    lab_blocks = [b for b in ray.get(
+        _to_arrow_blocks(labels).to_arrow_refs()) if b.num_columns]
+    empty = pa.table({"scc_src": pa.array([], pa.int64()),
+                      "scc_target": pa.array([], pa.int64()),
+                      "n_edges": pa.array([], pa.int64())})
+    if not lab_blocks:
+        return rd.from_arrow(empty)
+    lab = pa.concat_tables(lab_blocks)
+    nodes = lab.column("node").to_numpy().astype(np.int64)
+    sccs = lab.column("scc").to_numpy().astype(np.int64)
+    order = np.argsort(nodes)
+    nodes, sccs = nodes[order], sccs[order]
+    lab_ref = ray.put((nodes, sccs))
+
+    thin = _thin(edges, ["src", "target"])
+
+    def relabel(t: pa.Table) -> pa.Table:
+        ks, lb = ray.get(lab_ref)
+        s = t.column("src").to_numpy().astype(np.int64)
+        g = t.column("target").to_numpy().astype(np.int64)
+        ps = np.searchsorted(ks, s)
+        pg = np.searchsorted(ks, g)
+        a, b = lb[ps], lb[pg]
+        keep = a != b                       # quotient drops self-loops
+        df = pd.DataFrame({"scc_src": a[keep],
+                           "scc_target": b[keep]})
+        df["n_edges"] = np.int64(1)
+        g2 = df.groupby(["scc_src", "scc_target"],
+                        as_index=False)["n_edges"].sum()
+        return pa.Table.from_pandas(g2, preserve_index=False)
+
+    from ..stages.hashagg import hash_aggregate
+    out = hash_aggregate(
+        thin.map_batches(relabel, batch_format="pyarrow"),
+        ["scc_src", "scc_target"],
+        lambda df: df.groupby(["scc_src", "scc_target"],
+                              as_index=False)["n_edges"].sum())
+    return out
+
+
+def condensation_oracle_sql(edges_cte: str, *, outer_rounds: int = 3,
+                            rounds: int = 8) -> str:
+    """The peel oracle as a labels CTE + relabel/aggregate."""
+    labels = scc_oracle_sql(edges_cte, outer_rounds=outer_rounds,
+                            rounds=rounds)
+    return f"""
+        WITH lab AS MATERIALIZED ({labels}),
+        raw AS (SELECT DISTINCT src, target FROM ({edges_cte}))
+        SELECT ls.scc AS scc_src, lt.scc AS scc_target,
+               CAST(COUNT(*) AS BIGINT) AS n_edges
+        FROM raw
+        JOIN lab ls ON raw.src = ls.node
+        JOIN lab lt ON raw.target = lt.node
+        WHERE ls.scc <> lt.scc
+        GROUP BY 1, 2"""

@@ -97,3 +97,34 @@ def test_matches_sql_oracle(ray_session):
                      rounds=8).to_pandas() \
         .sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_condensation_hand_case(ray_session):
+    # cycle {0,1,2} -> cycle {5,6} via two parallel quotient edges;
+    # dangler 9 -> 0 adds a singleton->SCC edge
+    from pdf2dom_ray.functions.scc import condensation_edges
+    rows = [(0, 1), (1, 2), (2, 0), (2, 5), (1, 6), (5, 6), (6, 5),
+            (9, 0)]
+    got = condensation_edges(_edges(rows), outer_rounds=3,
+                             rounds=8).to_pandas() \
+        .sort_values(["scc_src", "scc_target"]).reset_index(drop=True)
+    assert got.to_dict("records") == [
+        {"scc_src": 0, "scc_target": 5, "n_edges": 2},
+        {"scc_src": 9, "scc_target": 0, "n_edges": 1}]
+
+
+def test_condensation_matches_oracle(ray_session):
+    from pdf2dom_ray.functions.scc import (condensation_edges,
+                                           condensation_oracle_sql)
+    rows = [(0, 1), (1, 2), (2, 0), (2, 5), (1, 6), (5, 6), (6, 5),
+            (9, 0)]
+    vals = ", ".join(f"({a}, {b})" for a, b in rows)
+    cte = (f"SELECT CAST(col0 AS BIGINT) AS src, "
+           f"CAST(col1 AS BIGINT) AS target FROM (VALUES {vals})")
+    want = duckdb.connect().execute(
+        condensation_oracle_sql(cte, outer_rounds=3, rounds=8)).df() \
+        .sort_values(["scc_src", "scc_target"]).reset_index(drop=True)
+    got = condensation_edges(_edges(rows), outer_rounds=3,
+                             rounds=8).to_pandas() \
+        .sort_values(["scc_src", "scc_target"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
