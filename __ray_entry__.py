@@ -578,6 +578,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "host_modularity": _q_host_modularity,
         "link_rich_club": _q_link_rich_club,
         # -- text analysis (training-data ops)
+        "coverage_select": _q_coverage_select,
         "doc_fingerprint": _q_fingerprint,
         "hashed_features": _q_hashed_features,
         "text_quality": _q_quality,
@@ -1880,6 +1881,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # SCD2 intervals over the same two-snapshot synth: LEAD of
         # the per-url capture sequence
+        "coverage_select": _coverage_sql(),
         "capture_history": f"""
             WITH snaps AS (
               SELECT {_URL_SQL} AS url,
@@ -6223,6 +6225,26 @@ def _q_stale_urls(sf_dir: str):
 
     return stale_urls(synth_snapshots(sf_dir)) \
         .map_batches(to_us, batch_format="pyarrow")
+
+
+def _q_coverage_select(sf_dir: str):
+    """Greedy max-coverage curation (functions/coverage.py): the
+    8 documents that together cover the most distinct tokens —
+    one materialized incidence + k broadcast/argmax rounds."""
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.coverage import coverage_select
+    from pdf2dom_ray.scale import read_parallelism
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"],
+                         override_num_blocks=read_parallelism())
+    return coverage_select(ds, k=8)
+
+
+def _coverage_sql() -> str:
+    from pdf2dom_ray.functions.coverage import coverage_oracle_sql
+    return coverage_oracle_sql("SELECT doc_id, text FROM documents",
+                               k=8)
 
 
 def _q_capture_history(sf_dir: str):

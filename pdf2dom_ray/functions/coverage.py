@@ -1,0 +1,179 @@
+"""Greedy maximum-coverage document selection (submodular curation).
+
+The data-selection primitive behind "pick the k most informative
+documents": coverage of distinct tokens is monotone submodular, so
+the greedy sweep (pick the document adding the most not-yet-covered
+tokens, repeat) is the classic (1 − 1/e)-approximation — the shape
+facility-location / coreset curation pipelines use to seed diverse
+training mixes and dedup-aware samplers.
+
+Deterministic closed form (the repo convention): k greedy rounds,
+ties broken by the LOWEST doc id; the coverage unit is the distinct
+3-word SHINGLE (documents shorter than 3 words contribute their
+whole text — the dedup family's convention), so coverage favors
+genuinely novel text rather than a shared tiny vocabulary, and gains
+are exact integer counts the unrolled DuckDB twin hash-matches.
+
+Scale shape: the (doc_id, token) incidence materializes ONCE as a
+narrow distinct table (combiner-deduped per batch; the text never
+re-enters). Each round is one broadcast + one map + a top-1 fold:
+the covered-token set ships via ``ray.put`` (sorted array probe —
+at web scale swap in the repo's Bloom filter, functions/bloom.py,
+accepting the ε of false-covered tokens), every batch computes its
+docs' marginal gains vectorized and emits its local argmax, the
+driver folds blocks to the global argmax (k and per-round driver
+traffic are both O(blocks), never O(docs)), and the winner's tokens
+(one doc's set) extend the covered array. k rounds = k narrow
+passes over the materialized incidence — no shuffle after the
+initial dedup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+__all__ = ["coverage_select", "coverage_oracle_sql"]
+
+
+def coverage_select(ds: rd.Dataset, k: int = 8, *,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> rd.Dataset:
+    """(rank, doc_id, gain) — the k greedily-selected documents and
+    the number of new tokens each contributed (rank is 1-based
+    selection order)."""
+    from ..stages.hashagg import hash_aggregate
+
+    def incidence(t: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        for d, text in zip(t.column(id_col).to_pylist(),
+                           t.column(text_col).to_pylist()):
+            ws = [w for w in (text or "").split(" ") if w]
+            units = {" ".join(ws[i:i + 3])
+                     for i in range(len(ws) - 2)} \
+                if len(ws) >= 3 else ({text} if text else set())
+            for u in units:
+                ids.append(d)
+                toks.append(u)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "token": pa.array(toks, pa.string())})
+
+    # hash-partition by DOC (not the pair): every doc's rows must be
+    # co-located so a block's per-doc gain is total, not partial —
+    # dedup of (doc, token) still holds within the doc's partition
+    inc = hash_aggregate(
+        ds.select_columns([id_col, text_col])
+          .map_batches(incidence, batch_format="pyarrow"),
+        [id_col],
+        lambda df: df.drop_duplicates([id_col, "token"])) \
+        .materialize()
+
+    refs = inc.to_arrow_refs()
+    covered = np.empty(0, dtype=object)     # sorted token array
+    out_rank, out_doc, out_gain = [], [], []
+
+    @ray.remote
+    def block_best(blk, cov: np.ndarray):
+        t = blk if isinstance(blk, pa.Table) else \
+            pa.Table.from_pandas(blk, preserve_index=False)
+        if not t.num_rows or id_col not in t.schema.names:
+            return None
+        d = t.column(id_col).to_numpy()
+        w = t.column("token").to_numpy(zero_copy_only=False)
+        if len(cov):
+            p = np.minimum(np.searchsorted(cov, w), len(cov) - 1)
+            new = cov[p] != w
+        else:
+            new = np.ones(len(w), dtype=bool)
+        g = pd.DataFrame({"d": d, "n": new.astype(np.int64)}) \
+            .groupby("d")["n"].sum()
+        if not len(g):
+            return None
+        best = g.sort_values(ascending=False)
+        top = best.iloc[0]
+        cand = best[best == top].index.min()   # tie → lowest id
+        return int(top), int(cand)
+
+    @ray.remote
+    def block_tokens(blk, doc: int):
+        t = blk if isinstance(blk, pa.Table) else \
+            pa.Table.from_pandas(blk, preserve_index=False)
+        if not t.num_rows or id_col not in t.schema.names:
+            return np.empty(0, dtype=object)
+        d = t.column(id_col).to_numpy()
+        w = t.column("token").to_numpy(zero_copy_only=False)
+        return w[d == doc]
+
+    for r in range(k):
+        cands = [c for c in ray.get(
+            [block_best.remote(b, covered) for b in refs])
+            if c is not None]
+        if not cands:
+            break
+        cands.sort(key=lambda c: (-c[0], c[1]))
+        gain, doc = cands[0]
+        if gain == 0:
+            # all tokens covered: remaining picks still take the
+            # lowest unselected id with gain 0? No — the greedy stops
+            # (the SQL twin's argmax over 0-gain rows would pick
+            # already-selected docs; stopping keeps both sides exact)
+            break
+        out_rank.append(r + 1)
+        out_doc.append(doc)
+        out_gain.append(gain)
+        toks = np.concatenate(ray.get(
+            [block_tokens.remote(b, doc) for b in refs])
+            or [np.empty(0, dtype=object)])
+        covered = np.unique(np.concatenate([covered, toks]))
+
+    return rd.from_arrow(pa.table({
+        "rank": pa.array(out_rank, pa.int64()),
+        "doc_id": pa.array(out_doc, pa.int64()),
+        "gain": pa.array(out_gain, pa.int64())}))
+
+
+def coverage_oracle_sql(docs_cte: str, k: int = 8, *,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> str:
+    """Unrolled greedy: per round, per-doc uncovered-token counts,
+    the (gain DESC, doc_id) argmax, and the grown covered set — all
+    AS MATERIALIZED (CLAUDE.md invariant)."""
+    parts = [f"""
+        WITH inc AS MATERIALIZED (
+          SELECT DISTINCT CAST({id_col} AS BIGINT) AS doc_id, tok
+          FROM (
+            SELECT {id_col}, unnest(
+              CASE WHEN len(w) < 3 THEN [{text_col}]
+                   ELSE list_distinct(list_transform(
+                          generate_series(1, len(w) - 2),
+                          i -> w[i] || ' ' || w[i+1] || ' '
+                               || w[i+2]))
+              END) AS tok
+            FROM (SELECT {id_col}, {text_col},
+                         string_split({text_col}, ' ') AS w
+                  FROM ({docs_cte})))
+          WHERE tok <> ''),
+        cov_0 AS MATERIALIZED (SELECT tok FROM inc WHERE 1 = 0)"""]
+    for r in range(1, k + 1):
+        parts.append(f""",
+        gain_{r} AS MATERIALIZED (
+          SELECT i.doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+          FROM inc i
+          WHERE i.tok NOT IN (SELECT tok FROM cov_{r - 1})
+          GROUP BY i.doc_id),
+        sel_{r} AS MATERIALIZED (
+          SELECT CAST({r} AS BIGINT) AS rank, doc_id, gain
+          FROM gain_{r} WHERE gain > 0
+          ORDER BY gain DESC, doc_id LIMIT 1),
+        cov_{r} AS MATERIALIZED (
+          SELECT tok FROM cov_{r - 1}
+          UNION
+          SELECT i.tok FROM inc i
+          JOIN sel_{r} s ON i.doc_id = s.doc_id)""")
+    sel = " UNION ALL ".join(
+        f"SELECT rank, doc_id, gain FROM sel_{r}"
+        for r in range(1, k + 1))
+    return "".join(parts) + f"\n        {sel}"
