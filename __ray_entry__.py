@@ -579,6 +579,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "link_rich_club": _q_link_rich_club,
         # -- text analysis (training-data ops)
         "coverage_select": _q_coverage_select,
+        "shingle_novelty": _q_shingle_novelty,
         "doc_fingerprint": _q_fingerprint,
         "hashed_features": _q_hashed_features,
         "text_quality": _q_quality,
@@ -1882,6 +1883,7 @@ def oracle_sql() -> dict[str, str]:
         # SCD2 intervals over the same two-snapshot synth: LEAD of
         # the per-url capture sequence
         "coverage_select": _coverage_sql(),
+        "shingle_novelty": _novelty_sql(),
         "capture_history": f"""
             WITH snaps AS (
               SELECT {_URL_SQL} AS url,
@@ -6245,6 +6247,26 @@ def _coverage_sql() -> str:
     from pdf2dom_ray.functions.coverage import coverage_oracle_sql
     return coverage_oracle_sql("SELECT doc_id, text FROM documents",
                                k=8)
+
+
+def _q_shingle_novelty(sf_dir: str):
+    """Per-doc first-occurrence shingle attribution
+    (functions/coverage.py::shingle_novelty): min-owner hash
+    aggregate + two narrow per-doc counts, join_ready-stitched;
+    exact integer novelty ppm."""
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.coverage import shingle_novelty
+    from pdf2dom_ray.scale import read_parallelism
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"],
+                         override_num_blocks=read_parallelism())
+    return shingle_novelty(ds)
+
+
+def _novelty_sql() -> str:
+    from pdf2dom_ray.functions.coverage import novelty_oracle_sql
+    return novelty_oracle_sql("SELECT doc_id, text FROM documents")
 
 
 def _q_capture_history(sf_dir: str):

@@ -158,7 +158,7 @@ def run_bench() -> dict:
     # secondary pipelines (timed individually)
     import __ray_entry__ as E
     qs = E.queries()
-    for name in ("text_quality", "coverage_select", "dedup_exact",
+    for name in ("text_quality", "coverage_select", "shingle_novelty", "dedup_exact",
                  "dedup_minhash",
                  "dedup_simhash", "dedup_embedding", "ann_brute_topk",
                  "ann_hnsw_topk",

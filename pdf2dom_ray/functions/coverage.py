@@ -36,7 +36,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-__all__ = ["coverage_select", "coverage_oracle_sql"]
+__all__ = ["coverage_select", "coverage_oracle_sql",
+           "shingle_novelty", "novelty_oracle_sql"]
 
 
 def coverage_select(ds: rd.Dataset, k: int = 8, *,
@@ -177,3 +178,130 @@ def coverage_oracle_sql(docs_cte: str, k: int = 8, *,
         f"SELECT rank, doc_id, gain FROM sel_{r}"
         for r in range(1, k + 1))
     return "".join(parts) + f"\n        {sel}"
+
+
+def shingle_novelty(ds: rd.Dataset, *, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    n_part: int | None = None) -> rd.Dataset:
+    """(doc_id, n_shingles, n_novel, novelty_ppm): per-document
+    first-occurrence attribution — a shingle is NOVEL for the lowest
+    doc_id that contains it (the dedup family's earliest-
+    representative convention), and a document's novelty is the ppm
+    fraction of its distinct shingles it introduced. The curation
+    signal behind "contamination curves" and keep-the-original
+    near-dup policies.
+
+    Scale shape: the same doc-partitioned incidence as
+    ``coverage_select``; shingle owners come from ONE hash aggregate
+    keyed by shingle (min doc per shingle — a combiner-friendly
+    reduction); both per-doc counts (total, novel) are narrow
+    hash aggregates, stitched by a ``join_ready`` left join over
+    ≤ one row per doc. No driver pass anywhere.
+    """
+    from ..scale import scale_partitions
+    from ..stages.hashagg import hash_aggregate
+    from .dedup import join_ready
+
+    npart = n_part or scale_partitions()
+
+    def incidence(t: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        for d, text in zip(t.column(id_col).to_pylist(),
+                           t.column(text_col).to_pylist()):
+            ws = [w for w in (text or "").split(" ") if w]
+            units = {" ".join(ws[i:i + 3])
+                     for i in range(len(ws) - 2)} \
+                if len(ws) >= 3 else ({text} if text else set())
+            for u in units:
+                ids.append(d)
+                toks.append(u)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "token": pa.array(toks, pa.string())})
+
+    inc = hash_aggregate(
+        ds.select_columns([id_col, text_col])
+          .map_batches(incidence, batch_format="pyarrow"),
+        [id_col],
+        lambda df: df.drop_duplicates([id_col, "token"])) \
+        .materialize()
+
+    # inc is globally (doc, token)-distinct, so the total is a
+    # sum-of-ones — the idempotent combiner shape hash_aggregate
+    # requires (nunique would re-count its own output on the merge
+    # pass)
+    totals = hash_aggregate(
+        inc.map_batches(
+            lambda df: df.assign(n_shingles=np.int64(1))
+            [[id_col, "n_shingles"]],
+            batch_format="pandas"),
+        [id_col],
+        lambda df: df.groupby(id_col, as_index=False)
+        ["n_shingles"].sum())
+
+    owners = hash_aggregate(
+        inc.map_batches(
+            lambda df: df.rename(columns={id_col: "owner"}),
+            batch_format="pandas"),
+        ["token"],
+        lambda df: df.groupby("token", as_index=False)
+        .agg(owner=("owner", "min")))
+
+    novel = hash_aggregate(
+        owners.map_batches(
+            lambda df: df.assign(n_novel=np.int64(1))
+            [["owner", "n_novel"]],
+            batch_format="pandas"),
+        ["owner"],
+        lambda df: df.groupby("owner", as_index=False)
+        ["n_novel"].sum())
+
+    joined = join_ready(totals, npart).join(
+        join_ready(novel, npart), join_type="left_outer",
+        num_partitions=npart, on=(id_col,), right_on=("owner",))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df["n_shingles"].to_numpy(np.int64)
+        nov = df["n_novel"].fillna(0).to_numpy(np.int64)
+        ppm = np.where(tot > 0, (1_000_000 * nov) // np.maximum(tot, 1),
+                       0).astype(np.int64)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64),
+            "n_shingles": tot, "n_novel": nov,
+            "novelty_ppm": ppm})
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def novelty_oracle_sql(docs_cte: str, *, text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    """Shingle incidence CTE + min-owner + the two counts."""
+    return f"""
+        WITH inc AS MATERIALIZED (
+          SELECT DISTINCT CAST({id_col} AS BIGINT) AS doc_id, tok
+          FROM (
+            SELECT {id_col}, unnest(
+              CASE WHEN len(w) < 3 THEN [{text_col}]
+                   ELSE list_distinct(list_transform(
+                          generate_series(1, len(w) - 2),
+                          i -> w[i] || ' ' || w[i+1] || ' '
+                               || w[i+2]))
+              END) AS tok
+            FROM (SELECT {id_col}, {text_col},
+                         string_split({text_col}, ' ') AS w
+                  FROM ({docs_cte})))
+          WHERE tok <> ''),
+        own AS MATERIALIZED (
+          SELECT tok, MIN(doc_id) AS owner FROM inc GROUP BY tok),
+        nov AS MATERIALIZED (
+          SELECT owner AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+          FROM own GROUP BY owner),
+        tot AS MATERIALIZED (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+          FROM inc GROUP BY doc_id)
+        SELECT t.doc_id, t.n_shingles,
+               CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+               CAST(CASE WHEN t.n_shingles > 0
+                    THEN (1000000 * COALESCE(n.n_novel, 0))
+                         // t.n_shingles
+                    ELSE 0 END AS BIGINT) AS novelty_ppm
+        FROM tot t LEFT JOIN nov n ON t.doc_id = n.doc_id"""

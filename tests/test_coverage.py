@@ -54,3 +54,30 @@ def test_matches_sql_oracle(ray_session):
     got = coverage_select(_docs(rows, 3), k=4).to_pandas() \
         .sort_values("rank").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_novelty_hand_case(ray_session):
+    from pdf2dom_ray.functions.coverage import shingle_novelty
+    rows = [(0, "a b c d"),        # shingles {a b c, b c d} — owns both
+            (1, "a b c d"),        # exact dup → 0 novel
+            (2, "a b c x")]        # {a b c, b c x} → owns b c x
+    got = shingle_novelty(_docs(rows, 2)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["n_shingles"].tolist() == [2, 2, 2]
+    assert got["n_novel"].tolist() == [2, 0, 1]
+    assert got["novelty_ppm"].tolist() == [1000000, 0, 500000]
+
+
+def test_novelty_matches_oracle(ray_session):
+    from pdf2dom_ray.functions.coverage import (novelty_oracle_sql,
+                                                shingle_novelty)
+    rows = [(i, " ".join(f"t{(i * 5 + j) % 31}" for j in range(10)))
+            for i in range(20)]
+    vals = ", ".join(f"({d}, '{t}')" for d, t in rows)
+    cte = (f"SELECT CAST(col0 AS BIGINT) AS doc_id, col1 AS text "
+           f"FROM (VALUES {vals})")
+    want = duckdb.connect().execute(novelty_oracle_sql(cte)).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    got = shingle_novelty(_docs(rows, 3)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
