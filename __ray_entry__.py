@@ -1882,7 +1882,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # SCD2 intervals over the same two-snapshot synth: LEAD of
         # the per-url capture sequence
-        "coverage_select": _coverage_sql(),
+        "coverage_select": _coverage_select_sql(),
         "shingle_novelty": _novelty_sql(),
         "capture_history": f"""
             WITH snaps AS (
@@ -6243,7 +6243,7 @@ def _q_coverage_select(sf_dir: str):
     return coverage_select(ds, k=8)
 
 
-def _coverage_sql() -> str:
+def _coverage_select_sql() -> str:
     from pdf2dom_ray.functions.coverage import coverage_oracle_sql
     return coverage_oracle_sql("SELECT doc_id, text FROM documents",
                                k=8)
