@@ -604,6 +604,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": _q_dedup_incremental,
         "dedup_simhash": _q_dedup_simhash,
         # -- similarity search / embedding dedup / clustering
+        "label_knn_purity": _q_label_knn_purity,
         "kmeans_clusters": _q_kmeans,
         "semdedup": _q_semdedup,
         "ann_brute_topk": _q_ann_brute,
@@ -1883,6 +1884,7 @@ def oracle_sql() -> dict[str, str]:
         # SCD2 intervals over the same two-snapshot synth: LEAD of
         # the per-url capture sequence
         "coverage_select": _coverage_select_sql(),
+        "label_knn_purity": _knn_purity_sql(),
         "shingle_novelty": _novelty_sql(),
         "capture_history": f"""
             WITH snaps AS (
@@ -6227,6 +6229,19 @@ def _q_stale_urls(sf_dir: str):
 
     return stale_urls(synth_snapshots(sf_dir)) \
         .map_batches(to_us, batch_format="pyarrow")
+
+
+def _q_label_knn_purity(sf_dir: str):
+    """k-NN label agreement over the quantized embeddings
+    (functions/knnpurity.py): broadcast matrix + one int64 matmul
+    identity per anchor batch, index-packed exact tie-break."""
+    from pdf2dom_ray.functions.knnpurity import label_knn_purity
+    return label_knn_purity(sf_dir, k=10)
+
+
+def _knn_purity_sql() -> str:
+    from pdf2dom_ray.functions.knnpurity import knn_purity_oracle_sql
+    return knn_purity_oracle_sql(k=10)
 
 
 def _q_coverage_select(sf_dir: str):

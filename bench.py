@@ -174,7 +174,7 @@ def run_bench() -> dict:
                  "source_overlap", "local_supplier_volume",
                  "stale_urls", "events_hopping_window",
                  "bloom_semijoin", "cms_token_counts",
-                 "dsir_weights", "semdedup", "customer_distribution",
+                 "dsir_weights", "semdedup", "label_knn_purity", "customer_distribution",
                  "bpe_pair_counts", "hits_scores",
                  "image_phash_dedup", "distinct_users_by_type",
                  "snapshot_diff", "funnel_steps", "events_rollup",
