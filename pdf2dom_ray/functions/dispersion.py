@@ -98,7 +98,8 @@ def label_dispersion_oracle_sql(table: str = "embeddings",
     return f"""
         WITH e AS (
           SELECT label, generate_subscripts(embedding, 1) AS i,
-                 CAST(floor(unnest(embedding) * {scale} + 0.5)
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                            * {scale} + 0.5)
                       AS BIGINT) AS x
           FROM {table}),
         g AS (SELECT label, i, CAST(COUNT(*) AS BIGINT) AS n,
@@ -201,7 +202,8 @@ def centroid_distances_oracle_sql(table: str = "embeddings",
     return f"""
         WITH e AS (
           SELECT label, generate_subscripts(embedding, 1) AS i,
-                 CAST(floor(unnest(embedding) * {scale} + 0.5)
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                            * {scale} + 0.5)
                       AS BIGINT) AS x
           FROM {table}),
         g AS (SELECT label, i, CAST(COUNT(*) AS BIGINT) AS n,
@@ -356,7 +358,8 @@ def nearest_centroid_oracle_sql(table: str = "embeddings",
         WITH e AS (
           SELECT vec_id, label,
                  generate_subscripts(embedding, 1) AS i,
-                 CAST(floor(unnest(embedding) * {scale} + 0.5)
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                            * {scale} + 0.5)
                       AS BIGINT) AS x
           FROM {table}),
         cent AS (
