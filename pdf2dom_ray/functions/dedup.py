@@ -481,10 +481,17 @@ class _SimHashBands:
         texts = batch.column("text").to_pylist()
         sigs = np.array([_simhash_sig(t, self.shingle_k) for t in texts],
                         dtype=np.uint64)
+        # sorted shingle-hash sets ride along for the exact-Jaccard
+        # verify inside the bucket (the Hamming radius alone is a
+        # PROBABILISTIC similarity proxy — at sf0.1 three background
+        # pairs landed at Hamming 11 and silently merged clusters)
+        shs = [np.array(sorted(shingles(t, self.shingle_k)),
+                        dtype=np.int64) for t in texts]
         n = len(texts)
         out_doc = np.repeat(doc_ids, self.bands)
         out_sig = np.repeat(sigs.view(np.int64), self.bands)
         out_band = np.tile(np.arange(self.bands, dtype=np.int32), n)
+        out_sh = [shs[i] for i in range(n) for _ in range(self.bands)]
         vals = np.empty((n, self.bands), dtype=np.int64)
         for i, (s, m) in enumerate(zip(self.starts, self.masks)):
             vals[:, i] = ((sigs >> np.uint64(s)) & np.uint64(m)).view(np.int64)
@@ -493,6 +500,7 @@ class _SimHashBands:
             "sig": pa.array(out_sig, pa.int64()),
             "band_id": pa.array(out_band, pa.int32()),
             "band_val": pa.array(vals.reshape(-1), pa.int64()),
+            "sh": pa.array(out_sh, pa.list_(pa.int64())),
         })
 
 
@@ -529,6 +537,27 @@ def _simhash_edges(band_rows: rd.Dataset, hamming_thresh: int,
             hd = _popcount64(sig_u[iu] ^ sig_u[ju])
             keep = hd <= hamming_thresh
             pi, pj = iu[keep], ju[keep]
+            if len(pi):
+                # exact-Jaccard verify (2·|∩| > |∪| — integer-exact)
+                # on one representative per distinct sig: the Hamming
+                # radius is a proxy, and rare background pairs DO
+                # land inside it; identical-sig docs stay implicitly
+                # merged (a 64-bit sig collision below the corpus's
+                # similarity gap is negligible)
+                rep_of = {}
+                for r, (v, d) in enumerate(zip(inv, ids)):
+                    if v not in rep_of or d < ids[rep_of[v]]:
+                        rep_of[v] = r
+                shl = grp["sh"].to_numpy()
+                jok = np.zeros(len(pi), dtype=bool)
+                for e in range(len(pi)):
+                    a = np.asarray(shl[rep_of[pi[e]]], dtype=np.int64)
+                    b = np.asarray(shl[rep_of[pj[e]]], dtype=np.int64)
+                    inter = np.intersect1d(a, b,
+                                           assume_unique=True).size
+                    union = len(a) + len(b) - inter
+                    jok[e] = 2 * inter > union
+                pi, pj = pi[jok], pj[jok]
             # vectorized hash-min local CC over distinct sigs
             lab = np.arange(md, dtype=np.int64)
             while True:
@@ -567,9 +596,14 @@ def simhash_cluster(ds: rd.Dataset, *, hamming_thresh: int = 12,
     Guarantee: with ``bands`` ≥ hamming_thresh + 1 contiguous bit-bands
     every qualifying pair shares at least one band bucket (pigeonhole),
     so candidate generation has perfect recall; exact Hamming
-    verification inside buckets removes false positives. Same shuffle
-    shape as ``minhash_cluster``: narrow band rows → one hash-partition
-    shuffle → edges → connected components.
+    verification inside buckets removes banding false positives, and
+    an exact integer Jaccard verify (2·|∩| > |∪| over the hashed
+    shingle sets, one representative per distinct sig) removes the
+    HAMMING false positives — the radius is only a similarity proxy,
+    and at sf0.1 three sub-threshold background pairs sat at Hamming
+    11 and would silently merge clusters. Same shuffle shape as
+    ``minhash_cluster``: band rows (now carrying the shingle sets) →
+    one hash-partition shuffle → edges → connected components.
     """
     if bands <= hamming_thresh:
         raise ValueError("need bands > hamming_thresh for the pigeonhole "
