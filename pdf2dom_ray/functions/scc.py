@@ -139,15 +139,24 @@ def scc_labels(edges: rd.Dataset, *, outer_rounds: int = 3,
                                   batch_format="pyarrow") \
                 .materialize()
         else:
+            # join partition count must not exceed the row count:
+            # surplus hash partitions receive only empty blocks and
+            # the join finalize rejects them (CLAUDE.md join flake)
+            np_eff = max(1, min(npart, cur.count(), len(comp)))
             comp_ds = join_ready(rd.from_arrow(pa.table({
-                "node": pa.array(comp, pa.int64())})), npart)
-            cur = join_ready(cur, npart).join(
+                "node": pa.array(comp, pa.int64())})), np_eff)
+            cur = join_ready(cur, np_eff).join(
                 comp_ds, join_type="left_anti",
-                num_partitions=npart, on=("src",),
-                right_on=("node",))
-            cur = join_ready(cur, npart).join(
+                num_partitions=np_eff, on=("src",),
+                right_on=("node",)).materialize()
+            n1 = cur.count()
+            if n1 == 0:
+                # join_ready cannot save a FULLY empty side
+                # (CLAUDE.md): the target-side peel is vacuous anyway
+                break
+            cur = join_ready(cur, min(np_eff, n1)).join(
                 comp_ds, join_type="left_anti",
-                num_partitions=npart, on=("target",),
+                num_partitions=min(np_eff, n1), on=("target",),
                 right_on=("node",)).materialize()
 
     # every ORIGINAL endpoint not peeled self-labels (deriving the
@@ -188,16 +197,17 @@ def scc_labels(edges: rd.Dataset, *, outer_rounds: int = 3,
         rest = universe.map_batches(unlabeled,
                                     batch_format="pyarrow")
     else:
+        np_eff = max(1, min(npart, universe.count(), len(lab)))
         lab_ds = join_ready(rd.from_arrow(pa.table({
-            "lnode": pa.array(lab, pa.int64())})), npart)
+            "lnode": pa.array(lab, pa.int64())})), np_eff)
 
         def selfl(t: pa.Table) -> pa.Table:
             ids = t.column("node").to_numpy().astype(np.int64)
             return pa.table({"node": pa.array(ids, pa.int64()),
                              "scc": pa.array(ids, pa.int64())})
 
-        rest = join_ready(universe, npart).join(
-            lab_ds, join_type="left_anti", num_partitions=npart,
+        rest = join_ready(universe, np_eff).join(
+            lab_ds, join_type="left_anti", num_partitions=np_eff,
             on=("node",), right_on=("lnode",)) \
             .map_batches(selfl, batch_format="pyarrow")
 

@@ -128,3 +128,13 @@ def test_condensation_matches_oracle(ray_session):
                              rounds=8).to_pandas() \
         .sort_values(["scc_src", "scc_target"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_anti_join_peel_path(ray_session):
+    # broadcast_limit=0 forces the left_anti edge peel and the
+    # join-based self-labeling — must agree with the broadcast path
+    rows = [(0, 1), (1, 2), (2, 0), (2, 5), (5, 6), (6, 5), (9, 0)]
+    a = _got(scc_labels(_edges(rows), outer_rounds=3, rounds=8))
+    b = _got(scc_labels(_edges(rows), outer_rounds=3, rounds=8,
+                        broadcast_limit=0))
+    assert a == b == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5, 9: 9}
