@@ -537,13 +537,15 @@ def _simhash_edges(band_rows: rd.Dataset, hamming_thresh: int,
             hd = _popcount64(sig_u[iu] ^ sig_u[ju])
             keep = hd <= hamming_thresh
             pi, pj = iu[keep], ju[keep]
-            if len(pi):
+            if len(pi) and "sh" in g.columns:
                 # exact-Jaccard verify (2·|∩| > |∪| — integer-exact)
                 # on one representative per distinct sig: the Hamming
                 # radius is a proxy, and rare background pairs DO
                 # land inside it; identical-sig docs stay implicitly
                 # merged (a 64-bit sig collision below the corpus's
-                # similarity gap is negligible)
+                # similarity gap is negligible). Callers whose band
+                # rows carry no shingle sets (perceptual dHash —
+                # phash.py — where Hamming IS the semantic) skip it.
                 rep_of = {}
                 for r, (v, d) in enumerate(zip(inv, ids)):
                     if v not in rep_of or d < ids[rep_of[v]]:
