@@ -601,6 +601,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "dedup_containment": _q_dedup_containment,
         "corpus_dedup_pipeline": _q_corpus_pipeline,
         "dedup_minhash": _q_dedup_minhash,
+        "dedup_cluster_sizes": _q_dedup_cluster_sizes,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_simhash": _q_dedup_simhash,
         # -- similarity search / embedding dedup / clustering
@@ -2297,6 +2298,18 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _PII_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
         "dedup_minhash": _NEAR_DUP_CLUSTER_SQL,
+        "dedup_cluster_sizes": ("WITH RECURSIVE "
+                                + _NEAR_DUP_CLUSTER_BODY.format(
+                                    base="documents") + """,
+            cl AS (SELECT src AS doc_id, min(node) AS cluster_id
+                   FROM reach GROUP BY src),
+            cs AS (SELECT cluster_id,
+                          CAST(COUNT(*) AS BIGINT) AS size
+                   FROM cl GROUP BY 1)
+            SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                   CAST(size * COUNT(*) AS BIGINT) AS n_docs
+            FROM cs GROUP BY size
+        """),
         # delta dedup: exact cross-side Jaccard replays the LSH
         # candidate semantics (minhash recall contract on this corpus)
         "dedup_incremental": """
@@ -7472,6 +7485,37 @@ def _q_dedup_exact(sf_dir: str):
 def _q_dedup_minhash(sf_dir: str):
     from pdf2dom_ray.functions.dedup import minhash_cluster
     return minhash_cluster(_documents(sf_dir))
+
+
+def _q_dedup_cluster_sizes(sf_dir: str):
+    """Near-dup cluster-size census over the MinHash clusters: the
+    dedup QA report (how much of the corpus sits in how-big duplicate
+    groups). Two narrow groupbys over (doc, cluster) labels — nothing
+    wider than one row per cluster ever moves."""
+    from ray.data.aggregate import Count
+
+    from pdf2dom_ray.functions.dedup import (_to_arrow_blocks,
+                                             minhash_cluster)
+    cl = minhash_cluster(_documents(sf_dir))
+    sizes = _to_arrow_blocks(cl.groupby("cluster_id").count())
+
+    def ren(t: pa.Table) -> pa.Table:
+        return pa.table({"size": t.column("count()")
+                         .cast(pa.int64())})
+
+    hist = _to_arrow_blocks(
+        sizes.map_batches(ren, batch_format="pyarrow")
+        .groupby("size").aggregate(Count(alias_name="n_clusters")))
+
+    def fin(t: pa.Table) -> pa.Table:
+        size = t.column("size").to_numpy().astype("int64")
+        ncl = t.column("n_clusters").to_numpy().astype("int64")
+        return pa.table({
+            "size": pa.array(size, pa.int64()),
+            "n_clusters": pa.array(ncl, pa.int64()),
+            "n_docs": pa.array(size * ncl, pa.int64())})
+
+    return hist.map_batches(fin, batch_format="pyarrow")
 
 
 def _q_dedup_incremental(sf_dir: str):

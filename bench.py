@@ -159,7 +159,7 @@ def run_bench() -> dict:
     import __ray_entry__ as E
     qs = E.queries()
     for name in ("text_quality", "coverage_select", "shingle_novelty", "dedup_exact",
-                 "dedup_minhash",
+                 "dedup_minhash", "dedup_cluster_sizes",
                  "dedup_simhash", "dedup_embedding", "ann_brute_topk",
                  "ann_hnsw_topk",
                  "events_hourly", "events_sessionize",

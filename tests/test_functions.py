@@ -1132,3 +1132,17 @@ def test_knn_join_matches_numpy_reference(ray_session):
                       key=lambda r: r["rank"])
         assert [r["vec_id"] for r in rows] == order
         assert rows[0]["vec_id"] == qid and rows[0]["sim"] == 1.0
+
+
+def test_dedup_cluster_sizes_census(ray_session, sf_dir):
+    """Cluster-size histogram conserves documents and matches the
+    cluster labels it derives from."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+    sizes = E.queries()["dedup_cluster_sizes"](sf_dir).to_pandas()
+    labels = E.queries()["dedup_minhash"](sf_dir).to_pandas()
+    assert sizes["n_docs"].sum() == len(labels)
+    want = labels.groupby("cluster_id").size().value_counts()
+    got = dict(zip(sizes["size"], sizes["n_clusters"]))
+    assert got == {int(k): int(v) for k, v in want.items()}
