@@ -551,6 +551,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "csv_ingest": _q_csv_ingest,
         "federated_union": _q_federated_union,
         "bounce_rate": _q_bounce_rate,
+        "user_type_impurity": _q_user_type_impurity,
         "link_lpa_bsp": _q_link_lpa_bsp,
         "link_harmonic": _q_link_harmonic,
         "link_harmonic_bsp": _q_link_harmonic_bsp,
@@ -1920,6 +1921,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text, lang, source, n_chars
             FROM documents
         """,
+        "user_type_impurity": _impurity_sql(),
         "bounce_rate": """
             WITH g AS (
                 SELECT user_id, ts, event_id, event_type,
@@ -6424,6 +6426,24 @@ def _q_federated_union(sf_dir: str):
 
     from pdf2dom_ray.stages.hashagg import hash_aggregate
     return hash_aggregate(u, ["doc_id"], first_copy)
+
+
+def _impurity_sql() -> str:
+    from pdf2dom_ray.functions.impurity import impurity_oracle_sql
+    return impurity_oracle_sql(
+        "SELECT user_id, event_type FROM events")
+
+
+def _q_user_type_impurity(sf_dir: str):
+    """Per-user event-type Gini impurity (functions/impurity.py):
+    bot-vs-organic behavioral diversity, exact integer ppm — two
+    hash-partitioned narrow reductions + a vectorized finish."""
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.impurity import type_impurity
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    return type_impurity(ds)
 
 
 def _q_bounce_rate(sf_dir: str):

@@ -235,6 +235,7 @@ def run_bench() -> dict:
                  "link_matching", "link_eff_diameter",
                  "host_conductance", "decayed_user_value",
                  "csv_ingest", "bounce_rate", "capture_history",
+                 "user_type_impurity",
                  "label_centroid_dist", "link_influence",
                  "impute_group_median", "federated_union",
                  "local_bridges", "link_core_number",
