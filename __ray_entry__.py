@@ -655,12 +655,12 @@ def _registry() -> dict[str, Callable[[str], Any]]:
 # (after the gating extract_* four and the two r3 hash-retry rows)
 # to maximize cumulative driver-verified coverage across rounds.
 _DRIVER_CHECKED = frozenset({
-    "anchor_doc_profile", "anchor_texts", "ann_brute_topk", "ann_ivf_topk",
-    "ann_lsh_topk", "avg_neighbor_degree", "bigram_stats", "bm25_topk",
+    "anchor_doc_profile", "anchor_texts", "ann_brute_topk",
+    "avg_neighbor_degree", "bigram_stats", "bm25_topk",
     "cms_token_counts", "corpus_sample", "corpus_shuffle", "corpus_split",
     "crawl_latest", "crawl_priority", "crawl_schedule",
     "customer_distribution", "decontam_ngram", "dedup_embedding",
-    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_substring",
+    "dedup_exact", "dedup_substring",
     "distinct_users_by_type", "distinct_users_hll", "doc_chunks",
     "doc_fingerprint", "events_hourly", "events_props_agg",
     "events_sessionize", "extract_errors", "extract_full",
@@ -670,7 +670,7 @@ _DRIVER_CHECKED = frozenset({
     "host_graph", "host_quality_gate", "host_rank", "host_rank_weighted",
     "host_rank_weighted_bsp", "host_stats", "html_main_text",
     "html_outlinks", "image_decode", "inverted_index", "jsonl_ingest",
-    "lang_id", "late_shipments", "length_deciles", "length_percentiles",
+    "late_shipments", "length_deciles", "length_percentiles",
     "length_percentiles_by_lang", "link_adjacency", "link_degree_stats",
     "link_triangles", "lm_buckets", "local_supplier_volume",
     "mirror_hosts", "node2vec_walks", "orders_by_segment",
@@ -683,6 +683,24 @@ _DRIVER_CHECKED = frozenset({
     "top_tokens", "top_unshipped_orders", "trustrank", "trustrank_bsp",
     "url_canonicalize", "url_templates", "warc_extract", "web_pipeline",
     "weighted_sample",
+    # -- green in CORRECTNESS_r04 (44 newly driver-hashed):
+    "capture_history", "forecast_revenue", "large_volume_customers",
+    "order_priority_check", "promo_revenue", "disjunctive_revenue",
+    "volume_shipping", "market_share", "top_supplier", "small_qty_revenue",
+    "waiting_suppliers", "sales_opportunity", "product_profit",
+    "min_cost_supplier", "important_stock", "parts_supplier_cnt",
+    "potential_promotion", "vocab_richness", "purchase_attribution",
+    "copurchase_pairs", "rfm_segments", "source_ttr", "label_dispersion",
+    "label_centroid_dist", "centroid_confusion", "hopping_distinct_users",
+    "props_field_histogram", "source_divergence", "metric_rank_corr",
+    "source_keyness", "source_ks_drift", "source_lang_concentration",
+    "source_lang_matrix", "dedup_jaccard_exact", "event_type_trend",
+    "score_percentile_rank", "langid_confusion", "source_lang_long",
+    "integrity_orphans", "link_neighbor_overlap", "local_bridges",
+    "crawl_budget_apportion", "benford_prices", "url_frontcoding",
+    # NOTE: ann_lsh_topk / ann_ivf_topk / dedup_minhash / dedup_simhash /
+    # lang_id were driver-green only as pre-oracle rows-only checks (r1/r2);
+    # their SQL oracles exist now, so they rotate back in for a hash check.
 })
 
 # No SQL oracle (driver records a weaker rows-only check) — keep these
@@ -692,9 +710,10 @@ _ROWS_ONLY = frozenset({
     "embedding_fd_sketch", "bpe_merges", "ann_hnsw_topk",
 })
 
-# Red in CORRECTNESS_r03 (uncast HUGEINT oracle aggregates, fixed in r4):
-# must re-appear in the driver window to prove the fix.
-_RETRY = ("shard_plan", "host_quality_gate")
+# Driver-green only as pre-oracle rows-only checks (r1/r2); their SQL
+# oracles exist now — front-load them so r5 hash-checks all five.
+_RETRY = ("ann_lsh_topk", "ann_ivf_topk", "dedup_minhash",
+          "dedup_simhash", "lang_id")
 
 
 def _rotate_registry(d: dict) -> dict:
