@@ -3586,10 +3586,12 @@ def _q_trust_gap(sf_dir: str):
     from pdf2dom_ray.scale import scale_partitions
 
     n_part = scale_partitions()
-    pr = pagerank(extract_outlinks_ds(synth_html_pages(sf_dir)),
-                  iterations=5)
-    tr = trustrank(extract_outlinks_ds(synth_html_pages(sf_dir)),
-                   _trusted_seeds(sf_dir), iterations=5)
+    # Extract the outlink edges ONCE and materialize the narrow table:
+    # feeding both ranks from the same lineage would re-run the HTML
+    # actor-pool extraction (the "consumed twice" trap in CLAUDE.md).
+    edges = extract_outlinks_ds(synth_html_pages(sf_dir)).materialize()
+    pr = pagerank(edges, iterations=5)
+    tr = trustrank(edges, _trusted_seeds(sf_dir), iterations=5)
     tr = tr.map_batches(
         lambda df: df.rename(columns={"trust": "trank",
                                       "url": "turl"}),

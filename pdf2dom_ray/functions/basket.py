@@ -11,24 +11,31 @@ report exact integer support and LIFT
 and bundle-detection number). All-integer (the CLAUDE.md rule);
 n_ab·N < 2^63 bounds to ~3e9 baskets.
 
-Distributed shape: per-batch DISTINCT (key, item) combiners → one
-narrow (key, item) groupby co-locating each basket → per-basket pair
-emission bounded by C(items-per-basket, 2) — the item universe is
-dashboard-small (event types, tags), so baskets are tiny by
-construction; a ``basket_cap`` guard drops pathological baskets the
-way index.py caps hot postings (documented, and the SQL twin applies
-the same cap) → one pair groupby + broadcast item totals."""
+Distributed shape (single-exchange after the basket dedup): per-batch
+DISTINCT (key, item) combiners → one narrow (key, item) hash-partition
+groupby co-locating each basket → per-partition fused emission of
+pair counts AND per-item totals AND kept-basket counts (the cap is
+enforced basket-locally, so no driver-side (basket, item) collect is
+ever needed) → one small (kind, item_a, item_b) groupby whose output
+is bounded by the item universe (items² + items + 1 rows) — only THAT
+dashboard-small table reaches the driver. Pair emission per basket is
+bounded by C(items-per-basket, 2); a ``basket_cap`` guard drops
+pathological baskets whole, the way index.py caps hot postings
+(documented, and the SQL twin applies the same cap)."""
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
 __all__ = ["basket_lift", "basket_oracle_sql"]
+
+# row-kind discriminator in the fused exchange (a separate column, not
+# an in-band sentinel: "" is a legal item value)
+_K_PAIR, _K_ITEM, _K_BASKET = 0, 1, 2
 
 
 def basket_lift(ds: rd.Dataset, *, key_col: str = "user_id",
@@ -38,6 +45,8 @@ def basket_lift(ds: rd.Dataset, *, key_col: str = "user_id",
     every co-occurring unordered item pair (a < b); baskets larger
     than ``basket_cap`` distinct items are dropped whole (both
     sides)."""
+    from ..scale import scale_partitions
+    from ..stages.hashagg import hash_aggregate
     from .dedup import _to_arrow_blocks
 
     def partial(t: pa.Table) -> pa.Table:
@@ -54,49 +63,46 @@ def basket_lift(ds: rd.Dataset, *, key_col: str = "user_id",
     def dedup_baskets(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(subset=["key", "item"])
 
-    from ..stages.hashagg import hash_aggregate
     baskets = hash_aggregate(
         ds.map_batches(partial, batch_format="pyarrow"),
-        ["key", "item"], dedup_baskets).materialize()
-    # cap filter + item totals collect the DISTINCT (basket, item)
-    # relation — O(baskets·items) driver rows, fine for dashboard
-    # item universes; past ~1e7 rows move both into groupbys (the
-    # pair stage below already re-enforces the cap in-group)
-    tabs = [b for b in ray.get(baskets.to_arrow_refs())
-            if getattr(b, "num_columns", 0)]
-    if not tabs:
-        return rd.from_arrow(_empty())
-    flat = pa.concat_tables(tabs).to_pandas()
-    sizes = flat.groupby("key").size()
-    keep_keys = set(sizes[sizes <= basket_cap].index)
-    flat = flat[flat["key"].isin(keep_keys)]
-    if not len(flat):
-        return rd.from_arrow(_empty())
-    n_baskets = int(flat["key"].nunique())
-    item_tot = flat.groupby("item").size()
+        ["key", "item"], dedup_baskets)
 
-    def emit_pairs(g: pd.DataFrame) -> pa.Table:
-        empty = pa.table({"item_a": pa.array([], pa.string()),
+    def emit(g: pd.DataFrame) -> pa.Table:
+        """Per hash partition (all of each basket is local): emit
+        pair-count rows, per-item total rows and one basket-count
+        row per kept basket — the cap decision is basket-local, so
+        everything the lift formula needs rides ONE exchange."""
+        empty = pa.table({"k": pa.array([], pa.int8()),
+                          "item_a": pa.array([], pa.string()),
                           "item_b": pa.array([], pa.string()),
                           "c": pa.array([], pa.int64())})
         if not len(g):
             return empty
-        outs_a, outs_b = [], []
+        ks, outs_a, outs_b = [], [], []
         for _, grp in g.groupby("key", sort=False):
             items = np.sort(np.asarray(grp["item"].unique(),
                                        dtype=object))
-            if len(items) < 2 or len(items) > basket_cap:
-                continue
-            ia, ib = np.triu_indices(len(items), k=1)
-            outs_a.append(items[ia])
-            outs_b.append(items[ib])
-        if not outs_a:
+            if len(items) > basket_cap:
+                continue                     # dropped whole
+            ks.append(np.full(len(items), _K_ITEM, dtype=np.int8))
+            outs_a.append(items)
+            outs_b.append(np.full(len(items), "", dtype=object))
+            ks.append(np.array([_K_BASKET], dtype=np.int8))
+            outs_a.append(np.array([""], dtype=object))
+            outs_b.append(np.array([""], dtype=object))
+            if len(items) >= 2:
+                ia, ib = np.triu_indices(len(items), k=1)
+                ks.append(np.full(len(ia), _K_PAIR, dtype=np.int8))
+                outs_a.append(items[ia])
+                outs_b.append(items[ib])
+        if not ks:
             return empty
-        a = np.concatenate(outs_a)
-        b = np.concatenate(outs_b)
-        df = pd.DataFrame({"item_a": a, "item_b": b}) \
-            .groupby(["item_a", "item_b"], as_index=False).size()
+        df = pd.DataFrame({"k": np.concatenate(ks),
+                           "item_a": np.concatenate(outs_a),
+                           "item_b": np.concatenate(outs_b)}) \
+            .groupby(["k", "item_a", "item_b"], as_index=False).size()
         return pa.table({
+            "k": pa.array(df["k"].to_numpy(np.int8), pa.int8()),
             "item_a": pa.array(df["item_a"].tolist(), pa.string()),
             "item_b": pa.array(df["item_b"].tolist(), pa.string()),
             "c": pa.array(df["size"].to_numpy(np.int64),
@@ -105,30 +111,33 @@ def basket_lift(ds: rd.Dataset, *, key_col: str = "user_id",
     # one map_groups call per HASH PARTITION, not per basket — the
     # in-call per-key loop over tiny baskets is cheap, per-group
     # callable dispatch over thousands of baskets is not
-    from ..scale import scale_partitions
     P = scale_partitions()
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(df["key"], index=False)
         return df.assign(__part=(h % P).astype("int64").to_numpy())
 
-    pair_counts = _to_arrow_blocks(
+    agg = _to_arrow_blocks(
         baskets.map_batches(tag, batch_format="pandas")
-        .groupby("__part").map_groups(emit_pairs,
-                                      batch_format="pandas")
-        .groupby(["item_a", "item_b"])
-        .aggregate(Sum("c", alias_name="n_ab"))).to_pandas()
-    if not len(pair_counts):
+        .groupby("__part").map_groups(emit, batch_format="pandas")
+        .groupby(["k", "item_a", "item_b"])
+        .aggregate(Sum("c", alias_name="n"))).to_pandas()
+    if not len(agg):
         return rd.from_arrow(_empty())
-    na = item_tot.reindex(pair_counts["item_a"]).to_numpy(np.int64)
-    nb = item_tot.reindex(pair_counts["item_b"]).to_numpy(np.int64)
-    nab = pair_counts["n_ab"].to_numpy(np.int64)
+    n_baskets = int(agg.loc[agg["k"] == _K_BASKET, "n"].sum())
+    it = agg[agg["k"] == _K_ITEM]
+    item_tot = pd.Series(it["n"].to_numpy(np.int64),
+                         index=it["item_a"])
+    pairs = agg[agg["k"] == _K_PAIR]
+    if not len(pairs) or n_baskets == 0:
+        return rd.from_arrow(_empty())
+    na = item_tot.reindex(pairs["item_a"]).to_numpy(np.int64)
+    nb = item_tot.reindex(pairs["item_b"]).to_numpy(np.int64)
+    nab = pairs["n"].to_numpy(np.int64)
     lift = (1_000_000 * nab * n_baskets) // (na * nb)
     return rd.from_arrow(pa.table({
-        "item_a": pa.array(pair_counts["item_a"].tolist(),
-                           pa.string()),
-        "item_b": pa.array(pair_counts["item_b"].tolist(),
-                           pa.string()),
+        "item_a": pa.array(pairs["item_a"].tolist(), pa.string()),
+        "item_b": pa.array(pairs["item_b"].tolist(), pa.string()),
         "n_ab": pa.array(nab, pa.int64()),
         "n_a": pa.array(na, pa.int64()),
         "n_b": pa.array(nb, pa.int64()),

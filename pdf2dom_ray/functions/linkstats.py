@@ -172,84 +172,94 @@ def avg_neighbor_degree(edges: rd.Dataset, *,
     integers (the float-free counterpart of `assortativity.py`'s
     moment Pearson).
 
-    Scale shape: distinct-pair dedup → one degree hash aggregate →
-    TWO ``join_ready`` joins re-attach endpoint degrees per edge →
-    per-node neighbor-degree sums (narrow combiner) → a ≤ max-degree
-    driver fold.
+    Scale shape: JOIN-FREE two-round node-keyed message passing
+    (the standard knn(k) BSP shape). Round 1 hash-partitions the
+    DOUBLED directed copies (u→v and v→u) on u — every directed
+    copy of an edge keyed by u lands in u's partition, so global
+    dedup AND d(u) are both partition-local; each partition then
+    emits (v, d(u)) neighbor-degree messages plus a (u, d(u))
+    marker. Round 2 hash-partitions those on the node: snd(v) and
+    d(v) meet, and each partition bins its (complete) nodes by
+    degree. Only the ≤ P·max-degree bin partials reach the driver.
+    Replaces the previous dedup-exchange + degree-aggregate + two
+    ``join_ready`` joins (≈5 exchanges) with 2 exchanges and no
+    join artifacts to guard.
     """
     from ..scale import scale_partitions
-    from ..stages.hashagg import hash_aggregate
-    from .dedup import join_ready
+    from .fold import bounded_fold_tables
     n_part = num_partitions or scale_partitions()
-
-    def canon(df: pd.DataFrame) -> pd.DataFrame:
-        a, b = df[src_col], df[dst_col]
-        lo, hi = a.where(a <= b, b), b.where(a <= b, a)
-        out = pd.DataFrame({"a": lo, "b": hi})
-        return out[lo != hi].drop_duplicates()
-
-    und = hash_aggregate(
-        edges.map_batches(canon, batch_format="pandas"),
-        ["a", "b"], lambda df: df.drop_duplicates(),
-        num_partitions=n_part).materialize()
     empty = pa.table({"degree": pa.array([], pa.int64()),
                       "n_nodes": pa.array([], pa.int64()),
                       "annd_ppm": pa.array([], pa.int64())})
-    if und.count() == 0:
-        return rd.from_arrow(empty)
 
-    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
-        if "d" in df.columns:
-            return df.groupby("node", as_index=False) \
-                .agg(d=("d", "sum"))
-        out = pd.DataFrame({"node": pd.concat([df["a"], df["b"]],
-                                              ignore_index=True),
-                            "d": 1})
-        return out.groupby("node", as_index=False) \
-            .agg(d=("d", "sum"))
+    def doubled(df: pd.DataFrame) -> pd.DataFrame:
+        a, b = df[src_col], df[dst_col]
+        keep = (a != b).to_numpy()
+        a, b = a[keep], b[keep]
+        out = pd.DataFrame({
+            "u": pd.concat([a, b], ignore_index=True),
+            "v": pd.concat([b, a], ignore_index=True)}) \
+            .drop_duplicates()               # batch-local combiner
+        h = pd.util.hash_pandas_object(out["u"], index=False)
+        out["__part"] = (h % n_part).astype("int64").to_numpy()
+        return out
 
-    deg = join_ready(hash_aggregate(und, ["node"], endpoints,
-                                    num_partitions=n_part), n_part)
-    e1 = join_ready(und, n_part).join(
-        deg, join_type="inner", num_partitions=n_part,
-        on=("a",), right_on=("node",))
-    e1 = join_ready(e1.map_batches(
-        lambda df: df.rename(columns={"d": "da"}),
-        batch_format="pandas"), n_part)
-    e2 = e1.join(deg, join_type="inner", num_partitions=n_part,
-                 on=("b",), right_on=("node",))
-
-    def nd_partial(df: pd.DataFrame) -> pd.DataFrame:
-        if "snd" in df.columns:
-            return df.groupby("node", as_index=False) \
-                .agg(snd=("snd", "sum"), d=("d_", "max")) \
-                .rename(columns={"d": "d_"}) \
-                if "d_" in df.columns else df
+    def degree_messages(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["u", "v"]].drop_duplicates()  # authoritative dedup
+        if not len(g):
+            return pd.DataFrame({
+                "node": pd.Series([], dtype=object),
+                "k": pd.Series([], dtype="int8"),
+                "val": pd.Series([], dtype="int64"),
+                "__p2": pd.Series([], dtype="int64")})
+        d = g.groupby("u")["v"].transform("size") \
+            .to_numpy(np.int64)              # d(u), complete here
+        du = g.groupby("u", as_index=False).size()
         out = pd.concat([
-            pd.DataFrame({"node": df["a"], "snd": df["d"],
-                          "d_": df["da"]}),
-            pd.DataFrame({"node": df["b"], "snd": df["da"],
-                          "d_": df["d"]})], ignore_index=True)
-        return out.groupby("node", as_index=False) \
-            .agg(snd=("snd", "sum"), d_=("d_", "max"))
+            pd.DataFrame({"node": g["v"].to_numpy(dtype=object),
+                          "k": np.int8(0), "val": d}),
+            pd.DataFrame({"node": du["u"].to_numpy(dtype=object),
+                          "k": np.int8(1),
+                          "val": du["size"].to_numpy(np.int64)}),
+        ], ignore_index=True)
+        # pre-combine messages headed to the same neighbor
+        out = out.groupby(["node", "k"], as_index=False)["val"].sum()
+        h = pd.util.hash_pandas_object(out["node"], index=False)
+        out["__p2"] = (h % n_part).astype("int64").to_numpy()
+        return out
 
-    per_node = hash_aggregate(e2, ["node"], nd_partial,
-                              num_partitions=n_part)
+    def bin_partial(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["node", "k"], as_index=False)["val"].sum()
+        mark = s[s["k"] == 1].set_index("node")["val"]
+        msg = s[s["k"] == 0].set_index("node")["val"] \
+            .reindex(mark.index, fill_value=0)
+        df = pd.DataFrame({"d_": mark.to_numpy(np.int64),
+                           "snd": msg.to_numpy(np.int64)})
+        return df.groupby("d_", as_index=False) \
+            .agg(n_nodes=("snd", "size"), snd=("snd", "sum"))
 
-    from .fold import bounded_fold_tables
-    tables = bounded_fold_tables(per_node)
+    partials = edges.map_batches(doubled, batch_format="pandas") \
+        .groupby("__part").map_groups(
+            lambda g: degree_messages(g.drop(columns="__part")),
+            batch_format="pandas") \
+        .groupby("__p2").map_groups(
+            lambda g: bin_partial(g.drop(columns="__p2")),
+            batch_format="pandas")
+
+    tables = bounded_fold_tables(partials)
+    tables = [t for t in tables if getattr(t, "num_columns", 0)]
     if not tables:
         return rd.from_arrow(empty)
-    g = pa.concat_tables(
-        [t.select(["node", "snd", "d_"]).cast(
-            pa.schema([("node", t.schema.field("node").type),
-                       ("snd", pa.int64()), ("d_", pa.int64())]))
+    k = pa.concat_tables(
+        [t.select(["d_", "n_nodes", "snd"]).cast(
+            pa.schema([("d_", pa.int64()), ("n_nodes", pa.int64()),
+                       ("snd", pa.int64())]))
          for t in tables]).to_pandas() \
-        .groupby("node", as_index=False) \
-        .agg(snd=("snd", "sum"), d_=("d_", "max"))
-    k = g.groupby("d_", as_index=False) \
-        .agg(n_nodes=("node", "size"), snd=("snd", "sum")) \
+        .groupby("d_", as_index=False) \
+        .agg(n_nodes=("n_nodes", "sum"), snd=("snd", "sum")) \
         .sort_values("d_")
+    if not len(k):
+        return rd.from_arrow(empty)
     d = k["d_"].to_numpy(np.int64)
     nn = k["n_nodes"].to_numpy(np.int64)
     snd = k["snd"].to_numpy(np.int64)

@@ -57,6 +57,31 @@ def test_basket_oracle_sql_matches(ray_session):
     assert got == want
 
 
+def test_basket_partition_invariance(ray_session):
+    """The fused single-exchange arm (pair counts + item totals +
+    basket counts all emitted partition-locally) must not depend on
+    how input rows are blocked: 1 block vs 16 shuffled blocks."""
+    from pdf2dom_ray.functions.basket import basket_lift
+    rng = np.random.RandomState(71)
+    types = [f"t{i}" for i in range(7)]
+    rows = []
+    for u in range(120):
+        for t in rng.choice(7, size=rng.randint(1, 6),
+                            replace=False):
+            rows.append({"user_id": int(u), "event_type": types[t]})
+
+    def run(ds):
+        return sorted(
+            tuple(r[c] for c in ("item_a", "item_b", "n_ab", "n_a",
+                                 "n_b", "n_baskets", "lift_ppm"))
+            for r in basket_lift(ds, basket_cap=4).take_all())
+
+    one = run(_ds(rows).repartition(1))
+    rng.shuffle(rows)
+    many = run(_ds(rows).repartition(16))
+    assert one == many and len(one) > 0
+
+
 def test_basket_empty(ray_session):
     import pyarrow as pa
     import ray.data as rd
