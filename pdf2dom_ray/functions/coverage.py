@@ -109,8 +109,11 @@ def coverage_select(ds: rd.Dataset, k: int = 8, *,
         return w[d == doc]
 
     for r in range(k):
+        # ship the covered set ONCE per round (zero-copy object-store
+        # read in every task), not re-serialized per block_best call
+        cov_ref = ray.put(covered)
         cands = [c for c in ray.get(
-            [block_best.remote(b, covered) for b in refs])
+            [block_best.remote(b, cov_ref) for b in refs])
             if c is not None]
         if not cands:
             break
@@ -154,7 +157,8 @@ def coverage_oracle_sql(docs_cte: str, k: int = 8, *,
                                || w[i+2]))
               END) AS tok
             FROM (SELECT {id_col}, {text_col},
-                         string_split({text_col}, ' ') AS w
+                         list_filter(string_split({text_col}, ' '),
+                                     x -> x <> '') AS w
                   FROM ({docs_cte})))
           WHERE tok <> ''),
         cov_0 AS MATERIALIZED (SELECT tok FROM inc WHERE 1 = 0)"""]
@@ -287,7 +291,8 @@ def novelty_oracle_sql(docs_cte: str, *, text_col: str = "text",
                                || w[i+2]))
               END) AS tok
             FROM (SELECT {id_col}, {text_col},
-                         string_split({text_col}, ' ') AS w
+                         list_filter(string_split({text_col}, ' '),
+                                     x -> x <> '') AS w
                   FROM ({docs_cte})))
           WHERE tok <> ''),
         own AS MATERIALIZED (

@@ -75,10 +75,16 @@ def label_knn_purity(sf_dir: str, k: int = 10, *,
         kk = min(k, len(ids) - 1)
         nn_ = len(ids)
         if nn_ <= 4096:
-            # pack (d2, column index) into one int64 key: d2 ≤ 2^50
-            # (64 dims × (2^22)²) leaves 12 low bits for the index,
-            # so one argpartition per batch does exact
-            # ties-to-lower-id selection with no Python loop
+            # pack (d2, column index) into one int64 key: with
+            # SCALE_BITS=20 quantization, d2 ≤ dims·(2·2^20)² ≈ 2^48
+            # leaves 12 low bits for the index, so one argpartition
+            # per batch does exact ties-to-lower-id selection with no
+            # Python loop. Guard the bound instead of assuming it: a
+            # larger SCALE_BITS / dims / embedding range must fail
+            # loudly, not silently corrupt neighbor selection.
+            assert d2.size == 0 or \
+                int(d2.max()) < (2 ** 63) // 4096, \
+                "knn purity int64 key packing overflow: d2 too large"
             key = d2 * np.int64(4096) \
                 + np.arange(nn_, dtype=np.int64)[None, :]
             key[np.arange(len(a_ids)), pos] = np.iinfo(np.int64).max

@@ -139,6 +139,14 @@ def bigram_lm_buckets(ds: rd.Dataset, *, text_col: str = "text",
 # driver-side (30k narrow rows at bench scale) keyed by the caller's
 # cache_key (the query wrappers pass (sf_dir, CORPUS_VERSION)), same
 # pattern as the synth shard caches.
+#
+# Invalidation contract: the key deliberately ignores dataset
+# CONTENTS — (cache_key, cols, train_mod) must uniquely identify the
+# corpus. Regenerating documents.parquet in place under an unchanged
+# (sf_dir, CORPUS_VERSION) within one process would return stale
+# counts; any corpus-rule change MUST bump CORPUS_VERSION (the
+# CLAUDE.md coupling rule), which rolls this key too. Callers with
+# mutable inputs should pass cache_key=None (no caching).
 _FUSED_CACHE: dict[tuple, list] = {}
 
 

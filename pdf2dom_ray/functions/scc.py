@@ -280,6 +280,7 @@ def condensation_edges(edges: rd.Dataset, *, outer_rounds: int = 3,
 
     from ..scale import scale_partitions
     from .dedup import _to_arrow_blocks
+    from .pagerank import _distinct
 
     npart = n_part or scale_partitions()
     labels = scc_labels(edges, outer_rounds=outer_rounds,
@@ -301,7 +302,9 @@ def condensation_edges(edges: rd.Dataset, *, outer_rounds: int = 3,
     nodes, sccs = nodes[order], sccs[order]
     lab_ref = ray.put((nodes, sccs))
 
-    thin = _thin(edges, ["src", "target"])
+    # GLOBAL distinct, matching the oracle's SELECT DISTINCT — batch-
+    # local _thin would double-count an edge duplicated across blocks
+    thin = _distinct(edges, ["src", "target"])
 
     def relabel(t: pa.Table) -> pa.Table:
         ks, lb = ray.get(lab_ref)

@@ -138,3 +138,23 @@ def test_anti_join_peel_path(ray_session):
     b = _got(scc_labels(_edges(rows), outer_rounds=3, rounds=8,
                         broadcast_limit=0))
     assert a == b == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5, 9: 9}
+
+
+def test_condensation_cross_block_duplicate_edges(ray_session):
+    """An identical (src, target) edge duplicated in DIFFERENT blocks
+    must count once in n_edges (global distinct, like the oracle's
+    SELECT DISTINCT) — batch-local thinning can't see the twin."""
+    from pdf2dom_ray.functions.scc import condensation_edges
+    rows = [(0, 1), (1, 0), (0, 5), (5, 6)]
+    one = _edges(rows).repartition(1)
+    # same edges + a cross-block duplicate of (0, 5)
+    dup = _edges(rows + [(0, 5)]).repartition(5)
+    a = condensation_edges(one, outer_rounds=3, rounds=8) \
+        .to_pandas().sort_values(["scc_src", "scc_target"]) \
+        .reset_index(drop=True)
+    b = condensation_edges(dup, outer_rounds=3, rounds=8) \
+        .to_pandas().sort_values(["scc_src", "scc_target"]) \
+        .reset_index(drop=True)
+    assert a.equals(b)
+    assert (a.set_index(["scc_src", "scc_target"])["n_edges"]
+            .loc[(0, 5)] == 1)
