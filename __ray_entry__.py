@@ -367,6 +367,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "extract_span_stats": _q_span_stats,
         "extract_errors": _q_errors,
         "extract_full": _q_full,
+        "extract_reference_corpus": _q_reference_corpus,
         "html_main_text": _q_html_main,
         "html_outlinks": _q_html_outlinks,
         "anchor_texts": _q_anchor_texts,
@@ -712,8 +713,10 @@ _ROWS_ONLY = frozenset({
 
 # Driver-green only as pre-oracle rows-only checks (r1/r2); their SQL
 # oracles exist now — front-load them so r5 hash-checks all five.
-_RETRY = ("ann_lsh_topk", "ann_ivf_topk", "dedup_minhash",
-          "dedup_simhash", "lang_id")
+# extract_reference_corpus is new in r5 (real-PDF conformance) and is
+# front-loaded so its first driver round hash-checks it.
+_RETRY = ("extract_reference_corpus", "ann_lsh_topk", "ann_ivf_topk",
+          "dedup_minhash", "dedup_simhash", "lang_id")
 
 
 def _rotate_registry(d: dict) -> dict:
@@ -762,6 +765,7 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'parse: no document catalog' END AS error
             FROM documents
         """,
+        "extract_reference_corpus": _reference_corpus_sql(),
         # htmlgen rules (synth/htmlgen.py docstring): article carries the
         # doc text in ceil(n_words / (8 + doc_id%7)) paragraphs; nav +
         # one-of(breadcrumb|sidebar) + footer always, ad at %4==1,
@@ -2950,6 +2954,95 @@ def _q_errors(sf_dir: str):
         lambda t: pa.table({"url": t.filter(
             pc.is_valid(t.column("error"))).column("url")}),
         batch_format="pyarrow")
+
+
+_REFERENCE_CORPUS_DIR = "/root/reference/src/test/resources"
+_REFERENCE_CORPUS_FILES = (
+    "HorariosMadrid_Segovia.pdf", "images.pdf", "3-page-document.pdf",
+    "fonts/bare-cff.pdf", "shapes/arrow-path.pdf",
+    "text-rendering-mode-neither.pdf", "text-rendering-mode-fill.pdf",
+    "text-rendering-mode-stroke.pdf",
+    "text-rendering-mode-stroke-and-fill.pdf",
+    "page-rotation/object-page-rotate-0.pdf",
+    "page-rotation/object-page-rotate-90.pdf",
+    "page-rotation/object-page-rotate-180.pdf",
+    "page-rotation/object-page-rotate-270.pdf",
+)
+
+
+def _q_reference_corpus(sf_dir: str):
+    """Real-PDF conformance: the reference's own ~15-file test corpus
+    (TestPDFDomTree/TestFonts/TestImages/TestPageRotation/TestPaths
+    inputs under src/test/resources) parsed through the engine's batch
+    kernel, projected to per-doc structural stats plus the sha256 of
+    the full html_dom — the driver's hash check therefore locks BYTE
+    identity of the DOM over real-world fonts/encodings/images, not
+    just counts. The oracle is the literal golden table
+    (tests/goldens/reference_corpus_stats.json), itself pinned by the
+    ported reference structural assertions in
+    tests/test_reference_corpus.py. ``sf_dir`` is unused: the input is
+    the fixed conformance corpus, not a scale table. Task-based (13
+    tiny docs — an actor pool would be pure spin-up cost)."""
+    import hashlib
+    import os
+
+    import ray.data as rd
+
+    from pdf2dom_ray.stages.parser_stage import parse_batch
+
+    rows = []
+    for rel in _REFERENCE_CORPUS_FILES:
+        with open(os.path.join(_REFERENCE_CORPUS_DIR, rel), "rb") as f:
+            rows.append({"url": rel, "html": f.read()})
+    pages = rd.from_items(rows).map_batches(
+        lambda t: pa.table({"url": t.column("url"),
+                            "html": t.column("html")}),
+        batch_format="pyarrow")
+
+    def project(t: pa.Table) -> pa.Table:
+        t = parse_batch(t)
+        sha = [hashlib.sha256(h.encode()).hexdigest()
+               for h in t.column("html_dom").to_pylist()]
+        err = [e if e is not None else ""
+               for e in t.column("error").to_pylist()]
+        return pa.table({
+            "url": t.column("url"),
+            "num_pages": pc.cast(t.column("num_pages"), pa.int64()),
+            "n_spans": pc.cast(t.column("n_spans"), pa.int64()),
+            "n_images": pc.cast(t.column("n_images"), pa.int64()),
+            "n_chars": pa.array(
+                [len(x) for x in
+                 t.column("extracted_text").to_pylist()], pa.int64()),
+            "html_sha": pa.array(sha, pa.string()),
+            "error": pa.array(err, pa.string()),
+        })
+    return pages.map_batches(project, batch_format="pyarrow")
+
+
+def _reference_corpus_sql() -> str:
+    """Literal golden-table oracle for ``extract_reference_corpus``
+    (regenerate with scripts/regen_reference_goldens.py)."""
+    import json
+    import os
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "tests", "goldens",
+                     "reference_corpus_stats.json")
+    with open(p) as f:
+        st = json.load(f)
+    rows = ",\n               ".join(
+        f"('{rel}', {v['num_pages']}, {v['n_spans']}, "
+        f"{v['n_images']}, {v['n_chars']}, '{v['html_sha']}', '')"
+        for rel, v in sorted(st.items()))
+    return f"""
+        SELECT url,
+               CAST(num_pages AS BIGINT) AS num_pages,
+               CAST(n_spans AS BIGINT) AS n_spans,
+               CAST(n_images AS BIGINT) AS n_images,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               html_sha, error
+        FROM (VALUES {rows})
+             AS t(url, num_pages, n_spans, n_images, n_chars,
+                  html_sha, error)"""
 
 
 def _q_full(sf_dir: str):
