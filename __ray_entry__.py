@@ -583,6 +583,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "coverage_select": _q_coverage_select,
         "shingle_novelty": _q_shingle_novelty,
         "doc_fingerprint": _q_fingerprint,
+        "winnow_fingerprints": _q_winnow,
         "hashed_features": _q_hashed_features,
         "text_quality": _q_quality,
         "token_stats_bpe": _q_bpe_tokens,
@@ -2045,6 +2046,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents
         """,
+        "winnow_fingerprints": _winnow_sql(),
         "text_quality": f"""
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -6572,6 +6574,20 @@ def _q_fingerprint(sf_dir: str):
     from pdf2dom_ray.functions.text_stats import fingerprint
     ds = fingerprint(_documents(sf_dir))
     return ds.select_columns(["doc_id", "fp"])
+
+
+def _q_winnow(sf_dir: str):
+    """Winnowing fingerprint selection (Schleimer'03 MOSS; r5) —
+    per-doc shingle-hash window minima with the rightmost-tie rule
+    (functions/winnow.py); shuffle-free per-document map, md5-prefix
+    hashes make the SQL twin replay selection exactly."""
+    from pdf2dom_ray.functions.winnow import winnow_stats
+    return winnow_stats(_documents(sf_dir))
+
+
+def _winnow_sql() -> str:
+    from pdf2dom_ray.functions.winnow import winnow_oracle_sql
+    return winnow_oracle_sql("SELECT doc_id, text FROM documents")
 
 
 def _q_quality(sf_dir: str):
