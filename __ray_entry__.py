@@ -584,6 +584,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "shingle_novelty": _q_shingle_novelty,
         "doc_fingerprint": _q_fingerprint,
         "winnow_fingerprints": _q_winnow,
+        "minhash_error_audit": _q_minhash_audit,
         "hashed_features": _q_hashed_features,
         "text_quality": _q_quality,
         "token_stats_bpe": _q_bpe_tokens,
@@ -2047,6 +2048,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text) AS fp FROM documents
         """,
         "winnow_fingerprints": _winnow_sql(),
+        "minhash_error_audit": _minhash_audit_sql(),
         "text_quality": f"""
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -6588,6 +6590,23 @@ def _q_winnow(sf_dir: str):
 def _winnow_sql() -> str:
     from pdf2dom_ray.functions.winnow import winnow_oracle_sql
     return winnow_oracle_sql("SELECT doc_id, text FROM documents")
+
+
+def _q_minhash_audit(sf_dir: str):
+    """MinHash estimation-error audit (r5) — estimated vs exact
+    Jaccard per LSH candidate pair over SQL-replayable md5 shingles
+    and seeded permutations (functions/minhash_audit.py); the sizing
+    instrument for num_perm/bands before trusting minhash_cluster at
+    scale. Post-LSH pair set only — nothing quadratic in N."""
+    from pdf2dom_ray.functions.minhash_audit import minhash_audit
+    return minhash_audit(_documents(sf_dir))
+
+
+def _minhash_audit_sql() -> str:
+    from pdf2dom_ray.functions.minhash_audit import \
+        minhash_audit_oracle_sql
+    return minhash_audit_oracle_sql(
+        "SELECT doc_id, text FROM documents")
 
 
 def _q_quality(sf_dir: str):
