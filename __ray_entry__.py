@@ -585,6 +585,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_fingerprint,
         "winnow_fingerprints": _q_winnow,
         "minhash_error_audit": _q_minhash_audit,
+        "link_robustness": _q_link_robustness,
         "hashed_features": _q_hashed_features,
         "text_quality": _q_quality,
         "token_stats_bpe": _q_bpe_tokens,
@@ -2049,6 +2050,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "winnow_fingerprints": _winnow_sql(),
         "minhash_error_audit": _minhash_audit_sql(),
+        "link_robustness": _link_robustness_sql(),
         "text_quality": f"""
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -6590,6 +6592,20 @@ def _q_winnow(sf_dir: str):
 def _winnow_sql() -> str:
     from pdf2dom_ray.functions.winnow import winnow_oracle_sql
     return winnow_oracle_sql("SELECT doc_id, text FROM documents")
+
+
+def _q_link_robustness(sf_dir: str):
+    """Targeted-attack tolerance curve (Albert-Jeong-Barabási 2000;
+    r5): giant bounded-hash-min component vs top-k hub removal over
+    the multi-host URL digraph (functions/robustness.py) — how much
+    crawl connectivity hangs off a few hubs."""
+    from pdf2dom_ray.functions.robustness import robustness_curve
+    return robustness_curve(_host_link_edges(sf_dir))
+
+
+def _link_robustness_sql() -> str:
+    from pdf2dom_ray.functions.robustness import robustness_oracle_sql
+    return robustness_oracle_sql(_host_edges_sql())
 
 
 def _q_minhash_audit(sf_dir: str):
