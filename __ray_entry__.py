@@ -586,6 +586,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": _q_winnow,
         "minhash_error_audit": _q_minhash_audit,
         "link_robustness": _q_link_robustness,
+        "sitemap_ingest": _q_sitemap_ingest,
+        "sitemap_gap": _q_sitemap_gap,
         "hashed_features": _q_hashed_features,
         "text_quality": _q_quality,
         "token_stats_bpe": _q_bpe_tokens,
@@ -2051,6 +2053,8 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _winnow_sql(),
         "minhash_error_audit": _minhash_audit_sql(),
         "link_robustness": _link_robustness_sql(),
+        "sitemap_ingest": _sitemap_ingest_sql(),
+        "sitemap_gap": _sitemap_gap_sql(),
         "text_quality": f"""
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -6592,6 +6596,109 @@ def _q_winnow(sf_dir: str):
 def _winnow_sql() -> str:
     from pdf2dom_ray.functions.winnow import winnow_oracle_sql
     return winnow_oracle_sql("SELECT doc_id, text FROM documents")
+
+
+def _sitemap_dir(sf_dir: str) -> str:
+    from pdf2dom_ray.synth.sitemapgen import (SITEMAPGEN_VERSION,
+                                              write_sitemap_files)
+    tag = sf_dir.strip("/").replace("/", "_")
+    cache = f"/tmp/pdf2dom_sitemap/{tag}_v{SITEMAPGEN_VERSION}"
+    return write_sitemap_files(sf_dir, cache, chunk=200)
+
+
+def _q_sitemap_ingest(sf_dir: str):
+    """Sitemap-protocol discovery ingestion (r5): chunked per-host
+    <urlset> files behind <sitemapindex> documents (written once per
+    sf to a /tmp cache by synth/sitemapgen.py, whose rules ARE this
+    oracle) → file-parallel XML scan (sources/sitemap.py) →
+    (host, url, lastmod) inventory rows."""
+    from pdf2dom_ray.sources.sitemap import read_sitemaps
+    return read_sitemaps(_sitemap_dir(sf_dir))
+
+
+def _q_sitemap_gap(sf_dir: str):
+    """Sitemap ↔ crawl reconciliation (r5): per-host both /
+    sitemap-only (frontier work) / crawl-only (stale listing) counts
+    (functions/sitemapgap.py) — one (host, url) flag-merge exchange +
+    one host aggregate. Crawl side = the corpus URL universe on the
+    host-graph URL scheme."""
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.sitemapgap import sitemap_gap
+    from pdf2dom_ray.sources.sitemap import read_sitemaps
+    from pdf2dom_ray.synth.sitemapgen import page_host, page_url
+
+    def crawl(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table({
+            "host": pa.array([page_host(i) for i in ids],
+                             pa.string()),
+            "url": pa.array([page_url(i) for i in ids], pa.string())})
+
+    crawl_rows = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"]) \
+        .map_batches(crawl, batch_format="pyarrow")
+    return sitemap_gap(read_sitemaps(_sitemap_dir(sf_dir)),
+                       crawl_rows)
+
+
+_SM_HOST_SQL = ("(CASE ({x}) % 4 WHEN 0 THEN 'docs' WHEN 1 THEN "
+                "'news' WHEN 2 THEN 'blog' ELSE 'cdn' END) "
+                "|| '.synth.test'")
+
+
+def _sitemap_ids_sql() -> str:
+    """Row source of listed sitemap ids (sitemapgen rules): crawled
+    ids with id%5<>2 plus ceil(N/10) phantom ids N+j."""
+    n = "(SELECT count(*) FROM documents)"
+    return f"""
+        SELECT doc_id AS x FROM documents WHERE doc_id % 5 <> 2
+        UNION ALL
+        SELECT {n} + doc_id FROM documents
+        WHERE doc_id < CAST(ceil({n} / 10.0) AS BIGINT)"""
+
+
+def _sitemap_ingest_sql() -> str:
+    host = _SM_HOST_SQL.format(x="x")
+    return f"""
+        SELECT {host} AS host,
+               'https://' || {host} || '/d/' || CAST(x AS VARCHAR)
+                   AS url,
+               strftime(TIMESTAMP '2024-01-01 00:00:00'
+                        + to_hours(CAST(x AS BIGINT)), '%Y-%m-%d')
+                   AS lastmod
+        FROM ({_sitemap_ids_sql()})"""
+
+
+def _sitemap_gap_sql() -> str:
+    host_i = _SM_HOST_SQL.format(x="doc_id")
+    return f"""
+        WITH cr AS MATERIALIZED (
+          SELECT {host_i} AS host,
+                 CAST(doc_id % 5 <> 2 AS INT) AS listed
+          FROM documents),
+        ph AS MATERIALIZED (
+          SELECT {_SM_HOST_SQL.format(
+              x="(SELECT count(*) FROM documents) + doc_id")} AS host
+          FROM documents
+          WHERE doc_id < CAST(ceil((SELECT count(*) FROM documents)
+                                   / 10.0) AS BIGINT)),
+        base AS (
+          SELECT host,
+                 CAST(SUM(listed) AS BIGINT) AS n_both,
+                 CAST(COUNT(*) AS BIGINT) AS n_crawled,
+                 CAST(COUNT(*) - SUM(listed) AS BIGINT)
+                     AS n_crawl_only
+          FROM cr GROUP BY host),
+        pc AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_ph
+               FROM ph GROUP BY host)
+        SELECT b.host,
+               CAST(b.n_both + COALESCE(pc.n_ph, 0) AS BIGINT)
+                   AS n_sitemap,
+               b.n_crawled, b.n_both,
+               CAST(COALESCE(pc.n_ph, 0) AS BIGINT) AS n_sitemap_only,
+               b.n_crawl_only
+        FROM base b LEFT JOIN pc ON b.host = pc.host"""
 
 
 def _q_link_robustness(sf_dir: str):
