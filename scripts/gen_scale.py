@@ -39,7 +39,13 @@ OFFSETS = {
     "o_orderkey": 1_000_000, "l_orderkey": 1_000_000,
     "l_partkey": 100_000, "l_suppkey": 10_000,
     "event_id": 1_000_000, "user_id": 100_000,
-    "doc_id": 10_000, "vec_id": 10_000,
+    # doc_id / vec_id offsets are filled in dynamically with the
+    # source row count: corpus rules bucket by id RANGE
+    # (``doc_id * B // count(*)`` etc.), so the scaled id universe
+    # must stay contiguous 0..K*N-1 — a gapped universe breaks the
+    # operators' documented contract, not the operators
+    # (found by the first sf0.3 sweep: vocab_growth IndexError).
+    "doc_id": None, "vec_id": None,
 }
 
 TABLES = ("region nation customer supplier part orders lineitem "
@@ -53,8 +59,10 @@ def scaled_copy(t: pa.Table, name: str, k: int) -> pa.Table:
     for field in t.schema:
         col = t.column(field.name)
         if field.name in OFFSETS:
-            col = pc.add(col, pa.scalar(k * OFFSETS[field.name],
-                                        type=field.type))
+            off = OFFSETS[field.name]
+            if off is None:                   # contiguous id universe
+                off = t.num_rows
+            col = pc.add(col, pa.scalar(k * off, type=field.type))
         cols[field.name] = col
     if name == "documents":
         text = pc.binary_join_element_wise(
