@@ -647,6 +647,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": _q_top_docs_per_lang,
         # -- multimodal plumbing
         "image_decode": _q_image_decode,
+        "image_thumbnail": _q_image_thumbnail,
         "image_phash_dedup": _q_image_phash_dedup,
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
@@ -2516,6 +2517,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(doc_id % 251 AS DOUBLE) AS mean_r,
                    94.5 AS mean_g,
                    CAST((doc_id * 7) % 251 AS DOUBLE) AS mean_b
+            FROM documents WHERE doc_id % 7 = 3
+        """,
+        # synth_image rule under 2×2 floor block-mean pooling: R/B are
+        # constant planes (pooled pixel = the plane value, 16 pixels),
+        # G = arange(64)·3 pools to a fixed total of 1504
+        "image_thumbnail": f"""
+            SELECT {_URL_SQL} AS url,
+                   CAST(4 AS BIGINT) AS width,
+                   CAST(4 AS BIGINT) AS height,
+                   CAST(16 * (doc_id % 251) AS BIGINT) AS sum_r,
+                   CAST(1504 AS BIGINT) AS sum_g,
+                   CAST(16 * ((doc_id * 7) % 251) AS BIGINT) AS sum_b
             FROM documents WHERE doc_id % 7 = 3
         """,
         # synth_phash_image rule (functions/phash.py): same
@@ -8967,6 +8980,18 @@ def _q_image_decode(sf_dir: str):
     ds = decode_images(_images_table(sf_dir))
     return ds.select_columns(["url", "width", "height", "mean_r", "mean_g",
                               "mean_b"])
+
+
+def _q_image_thumbnail(sf_dir: str):
+    """Integer block-mean thumbnail stage (r5): actor-pool decode +
+    2×2 area downsample with floor rounding
+    (functions/multimodal.py::ThumbnailPooler); per-channel pooled
+    pixel totals are exact integers the synth_image rule gives in
+    closed form."""
+    from pdf2dom_ray.functions.multimodal import thumbnail_images
+    ds = thumbnail_images(_images_table(sf_dir))
+    return ds.select_columns(["url", "width", "height",
+                              "sum_r", "sum_g", "sum_b"])
 
 
 def _q_image_phash_dedup(sf_dir: str):

@@ -106,6 +106,14 @@ def run_bench() -> dict:
     write_warc_shards(
         sf, f"/tmp/pdf2dom_warc/{tag}_v{WARCGEN_VERSION}.{HTMLGEN_VERSION}")
 
+    # warm the sitemap file cache the same way (timed sitemap queries
+    # then measure scan+parse only)
+    from pdf2dom_ray.synth.sitemapgen import (SITEMAPGEN_VERSION,
+                                              write_sitemap_files)
+    write_sitemap_files(
+        sf, f"/tmp/pdf2dom_sitemap/{tag}_v{SITEMAPGEN_VERSION}",
+        chunk=200)
+
     n_docs = 0
     t0 = time.time()
     # fixed pool: fresh process, one-shot run → no ramp tax. The CPU
@@ -252,7 +260,11 @@ def run_bench() -> dict:
                  "dn_retention", "trust_gap",
                  "session_duration_stats", "link_path_counts",
                  "daily_lag_xcorr", "url_range_splits",
-                 "acctbal_quartile_revenue"):
+                 "acctbal_quartile_revenue",
+                 "extract_reference_corpus", "winnow_fingerprints",
+                 "minhash_error_audit", "link_robustness",
+                 "sitemap_ingest", "sitemap_gap",
+                 "image_thumbnail"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

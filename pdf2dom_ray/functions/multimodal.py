@@ -30,7 +30,8 @@ from ..stages.pool import default_pool
 __all__ = ["decode_engine_png", "ImageDecoder", "decode_images",
            "resize_nearest", "decode_wav", "AudioFeatures",
            "audio_features", "iter_avi_mjpeg_frames", "VideoFrameSampler",
-           "sample_video_frames", "synth_wav", "synth_avi_mjpeg"]
+           "sample_video_frames", "synth_wav", "synth_avi_mjpeg",
+           "pool_block_mean", "ThumbnailPooler", "thumbnail_images"]
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -365,3 +366,82 @@ def synth_avi_mjpeg(doc_id: int, n_frames: int = 4, size: int = 16) -> bytes:
             movi += b"\x00"
     body = b"AVI " + b"LIST" + struct.pack("<I", len(movi)) + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# image: integer block-mean thumbnail (area downsample)
+# ---------------------------------------------------------------------------
+
+def pool_block_mean(img: np.ndarray, factor: int) -> np.ndarray:
+    """Exact integer area downsample: each ``factor``×``factor`` block
+    becomes ``sum(block) // factor²`` per channel (the thumbnail /
+    mip-map kernel, floor-rounded so it is bit-reproducible and
+    SQL-replayable). Trailing rows/cols that don't fill a block are
+    dropped (the standard pooling convention)."""
+    f = int(factor)
+    if f < 1:
+        raise ValueError("factor must be >= 1")
+    h, w = img.shape[:2]
+    oh, ow = h // f, w // f
+    if oh == 0 or ow == 0:
+        raise NotImplementedError("image smaller than pooling block")
+    x = img[:oh * f, :ow * f].astype(np.int64)
+    x = x.reshape(oh, f, ow, f, -1).sum(axis=(1, 3)) // (f * f)
+    return x.astype(np.uint8)
+
+
+class ThumbnailPooler:
+    """Actor-pool decode + integer-pool stage.
+
+    Input batch: (url, image: binary). Output: (url, width, height,
+    sum_r, sum_g, sum_b, error) where the sums are the pooled
+    thumbnail's exact per-channel int64 pixel totals — the integer
+    footprint a DuckDB oracle can hash-match (CLAUDE.md rule), and
+    the quantity QA dashboards chart for brightness drift."""
+
+    def __init__(self, factor: int = 2):
+        self.factor = factor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        blobs = batch.column("image").to_pylist()
+        width, height = [], []
+        sr, sg, sb, err = [], [], [], []
+        for blob in blobs:
+            try:
+                img = ImageDecoder._decode(blob or b"")
+                th = pool_block_mean(img, self.factor)
+                width.append(th.shape[1])
+                height.append(th.shape[0])
+                t = th.astype(np.int64)
+                sr.append(int(t[..., 0].sum()))
+                sg.append(int(t[..., 1].sum()))
+                sb.append(int(t[..., 2].sum()))
+                err.append(None)
+            except NotImplementedError as e:
+                width.append(0)
+                height.append(0)
+                sr.append(0)
+                sg.append(0)
+                sb.append(0)
+                err.append(str(e))
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "width": pa.array(width, pa.int64()),
+            "height": pa.array(height, pa.int64()),
+            "sum_r": pa.array(sr, pa.int64()),
+            "sum_g": pa.array(sg, pa.int64()),
+            "sum_b": pa.array(sb, pa.int64()),
+            "error": pa.array(err, pa.string()),
+        })
+
+
+def thumbnail_images(ds: rd.Dataset, *, factor: int = 2,
+                     batch_size: int = 32,
+                     concurrency=None) -> rd.Dataset:
+    return ds.map_batches(ThumbnailPooler,
+                          fn_constructor_kwargs={"factor": factor},
+                          batch_format="pyarrow",
+                          batch_size=batch_size,
+                          concurrency=concurrency or default_pool(),
+                          num_cpus=1)

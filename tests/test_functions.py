@@ -282,6 +282,36 @@ def test_image_decoder_stage(ray_session):
     assert out.loc["b", "error"] is not None
 
 
+def test_thumbnail_pooler_stage(ray_session):
+    import ray.data as rd
+    from pdf2dom_ray.engine.png import encode_png
+    from pdf2dom_ray.functions.multimodal import (pool_block_mean,
+                                                  thumbnail_images)
+    # known 4x4 → 2x2 floor pooling: blocks sum to 10,18,42,50 → //4
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    img3 = np.stack([img] * 3, axis=-1)
+    th = pool_block_mean(img3, 2)
+    assert th[..., 0].tolist() == [[2, 4], [10, 12]]
+    ds = rd.from_items([
+        {"url": "a", "image": encode_png(img3)},
+        {"url": "b", "image": b"junk"},
+    ])
+    out = thumbnail_images(ds).to_pandas().set_index("url")
+    assert out.loc["a", "width"] == 2 and out.loc["a", "height"] == 2
+    assert out.loc["a", "sum_r"] == 2 + 4 + 10 + 12
+    assert out.loc["b", "error"] is not None
+
+
+def test_thumbnail_matches_synth_rule(ray_session):
+    from pdf2dom_ray.functions.multimodal import pool_block_mean
+    from pdf2dom_ray.synth.corpus import synth_image
+    for d in (3, 10, 500, 2024):
+        th = pool_block_mean(synth_image(d), 2).astype(np.int64)
+        assert int(th[..., 0].sum()) == 16 * (d % 251)
+        assert int(th[..., 1].sum()) == 1504
+        assert int(th[..., 2].sum()) == 16 * ((d * 7) % 251)
+
+
 def test_embedding_near_dup_pairs(ray_session):
     import ray.data as rd
     from pdf2dom_ray.functions.ann import embedding_near_dup_pairs
