@@ -719,9 +719,13 @@ _ROWS_ONLY = frozenset({
 
 # Driver-green only as pre-oracle rows-only checks (r1/r2); their SQL
 # oracles exist now — front-load them so r5 hash-checks all five.
-# extract_reference_corpus is new in r5 (real-PDF conformance) and is
-# front-loaded so its first driver round hash-checks it.
-_RETRY = ("extract_reference_corpus", "ann_lsh_topk", "ann_ivf_topk",
+# The r5-new operators (reference-corpus conformance, winnowing,
+# minhash audit, robustness curve, sitemap source, thumbnail pooling)
+# are front-loaded so their first driver round hash-checks them.
+_RETRY = ("extract_reference_corpus", "winnow_fingerprints",
+          "minhash_error_audit", "link_robustness", "sitemap_ingest",
+          "sitemap_gap", "image_thumbnail",
+          "ann_lsh_topk", "ann_ivf_topk",
           "dedup_minhash", "dedup_simhash", "lang_id")
 
 
