@@ -7,7 +7,7 @@ import pytest
 
 def _ds(rows):
     import ray.data as rd
-    return rd.from_items(rows)
+    return rd.from_items(rows, override_num_blocks=4)
 
 
 def test_apportion_hand_case_with_tie(ray_session):
@@ -63,7 +63,7 @@ def test_apportion_weighted_matches_and_sums(ray_session):
     rows = [{"key": "a", "w": 30}, {"key": "b", "w": 50},
             {"key": "c", "w": 21}]
     got = {r["key"]: (r["w"], r["quota"])
-           for r in apportion_weighted(rd.from_items(rows),
+           for r in apportion_weighted(rd.from_items(rows, override_num_blocks=4),
                                        budget=10).take_all()}
     # shares 2.97/4.95/2.08 → base 2/4/2, remainders .97/.95/.08
     assert got == {"a": (30, 3), "b": (50, 5), "c": (21, 2)}
@@ -75,7 +75,7 @@ def test_apportion_weighted_all_zero_uniform(ray_session):
     from pdf2dom_ray.functions.apportion import apportion_weighted
     rows = [{"key": k, "w": 0} for k in "abc"]
     got = {r["key"]: r["quota"]
-           for r in apportion_weighted(rd.from_items(rows),
+           for r in apportion_weighted(rd.from_items(rows, override_num_blocks=4),
                                        budget=7).take_all()}
     assert sum(got.values()) == 7
     assert max(got.values()) - min(got.values()) <= 1

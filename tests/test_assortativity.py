@@ -24,7 +24,7 @@ def _ref(edges):
 
 def _ds(edges):
     import ray.data as rd
-    return rd.from_items([{"src": u, "target": v} for u, v in edges])
+    return rd.from_items([{"src": u, "target": v} for u, v in edges], override_num_blocks=4)
 
 
 @pytest.mark.parametrize("limit", [5_000_000, 0])

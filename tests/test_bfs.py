@@ -28,7 +28,7 @@ def test_bfs_matches_reference_both_paths(ray_session, limit):
     import ray.data as rd
     from pdf2dom_ray.functions.bfs import bfs_depths
     ds = rd.from_items([{"src": u, "target": v} for u, v in EDGES]
-                       + [{"src": 0, "target": 1}])     # dup edge
+                       + [{"src": 0, "target": 1}], override_num_blocks=4)     # dup edge
     got = {r["node"]: r["depth"]
            for r in bfs_depths(ds, [0], rounds=8,
                                driver_edge_limit=limit).take_all()}
@@ -39,7 +39,7 @@ def test_bfs_matches_reference_both_paths(ray_session, limit):
 def test_bfs_bounded_rounds_and_multi_seed(ray_session):
     import ray.data as rd
     from pdf2dom_ray.functions.bfs import bfs_depths
-    ds = rd.from_items([{"src": u, "target": v} for u, v in EDGES])
+    ds = rd.from_items([{"src": u, "target": v} for u, v in EDGES], override_num_blocks=4)
     got = {r["node"]: r["depth"]
            for r in bfs_depths(ds, [0, 8], rounds=1).take_all()}
     # one round: only direct successors (+ the seeds themselves)

@@ -8,7 +8,7 @@ from pdf2dom_ray.functions.boruvka import boruvka_forest
 
 def _edges(rows):
     return rd.from_items([{"src": a, "target": b, "w": w}
-                          for a, b, w in rows])
+                          for a, b, w in rows], override_num_blocks=4)
 
 
 def _kruskal_max(rows, n_nodes):
@@ -87,10 +87,12 @@ def test_boruvka_dups_and_selfloops(ray_session):
 def test_boruvka_distributed_matches_driver(ray_session):
     rows = [(0, 1, 10), (1, 2, 20), (2, 3, 30), (0, 3, 40),
             (3, 4, 15), (4, 5, 25), (5, 0, 35)]
-    drv = boruvka_forest(_edges(rows), rounds=4,
-                         label_rounds=6).to_pandas() \
+    # bounded rounds: path identity holds at ANY round budget, so the
+    # small budget only cuts BSP fixed cost (suite-time budget)
+    drv = boruvka_forest(_edges(rows), rounds=2,
+                         label_rounds=4).to_pandas() \
         .reset_index(drop=True)
-    bsp = boruvka_forest(_edges(rows), rounds=4, label_rounds=6,
+    bsp = boruvka_forest(_edges(rows), rounds=2, label_rounds=4,
                          driver_edge_limit=0).to_pandas() \
         .reset_index(drop=True)
     assert drv.astype("int64").equals(bsp.astype("int64"))

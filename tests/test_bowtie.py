@@ -17,7 +17,7 @@ def test_bowtie_matches_truth_both_paths(ray_session, limit):
     import ray.data as rd
     from pdf2dom_ray.functions.bowtie import bowtie_classify
     ds = rd.from_items([{"src": u, "target": v} for u, v in EDGES]
-                       + [{"src": 0, "target": 1}])     # dup edge
+                       + [{"src": 0, "target": 1}], override_num_blocks=4)     # dup edge
     got = {r["node"]: r["cls"]
            for r in bowtie_classify(ds, 0, rounds=8,
                                     driver_edge_limit=limit)
@@ -28,7 +28,7 @@ def test_bowtie_matches_truth_both_paths(ray_session, limit):
 def test_bowtie_bounded_rounds(ray_session):
     import ray.data as rd
     from pdf2dom_ray.functions.bowtie import bowtie_classify
-    ds = rd.from_items([{"src": u, "target": v} for u, v in EDGES])
+    ds = rd.from_items([{"src": u, "target": v} for u, v in EDGES], override_num_blocks=4)
     # 1 round: only direct neighbors classified; 11 and 21 fall OTHER
     got = {r["node"]: r["cls"]
            for r in bowtie_classify(ds, 0, rounds=1).take_all()}

@@ -25,7 +25,7 @@ def test_cc_matches_reference_both_paths(ray_session, limit):
     import ray.data as rd
     from pdf2dom_ray.functions.ccomp import cc_labels
     ds = rd.from_items([{"src": u, "target": v} for u, v in EDGES]
-                       + [{"src": 0, "target": 1}])     # dup edge
+                       + [{"src": 0, "target": 1}], override_num_blocks=4)     # dup edge
     got = {r["node"]: r["component"]
            for r in cc_labels(ds, rounds=8,
                               driver_edge_limit=limit).take_all()}
@@ -41,7 +41,7 @@ def test_cc_string_ids_and_bounded_rounds(ray_session, limit):
     # chain a-b-c-d: after ONE synchronous round the min label only
     # travels one hop (b,c keep their 1-hop min; d sees only c)
     chain = [("b", "c"), ("a", "b"), ("c", "d")]
-    ds = rd.from_items([{"src": u, "target": v} for u, v in chain])
+    ds = rd.from_items([{"src": u, "target": v} for u, v in chain], override_num_blocks=4)
     got = {r["node"]: r["component"]
            for r in cc_labels(ds, rounds=1,
                               driver_edge_limit=limit).take_all()}

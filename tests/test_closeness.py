@@ -31,7 +31,7 @@ def test_closeness_matches_reference_both_paths(ray_session, limit):
     import ray.data as rd
     from pdf2dom_ray.functions.closeness import closeness_centrality
     ds = rd.from_items([{"src": u, "target": v} for u, v in EDGES]
-                       + [{"src": 0, "target": 1}])     # dup edge
+                       + [{"src": 0, "target": 1}], override_num_blocks=4)     # dup edge
     got = {r["node"]: (r["reached"], r["totdist_w"])
            for r in closeness_centrality(
                ds, radius=4, driver_edge_limit=limit).take_all()}
@@ -44,7 +44,7 @@ def test_closeness_matches_reference_both_paths(ray_session, limit):
 def test_closeness_bounded_radius(ray_session):
     import ray.data as rd
     from pdf2dom_ray.functions.closeness import closeness_centrality
-    ds = rd.from_items([{"src": u, "target": v} for u, v in EDGES])
+    ds = rd.from_items([{"src": u, "target": v} for u, v in EDGES], override_num_blocks=4)
     got = {r["node"]: (r["reached"], r["totdist_w"])
            for r in closeness_centrality(ds, radius=1).take_all()}
     assert got == _ref(EDGES, 1)

@@ -11,7 +11,7 @@ EDGES = [("u1", "a"), ("u1", "b"),
 
 def _ds(rows):
     import ray.data as rd
-    return rd.from_items([{"src": u, "target": v} for u, v in rows])
+    return rd.from_items([{"src": u, "target": v} for u, v in rows], override_num_blocks=4)
 
 
 @pytest.mark.parametrize("limit", [5_000_000, 0])

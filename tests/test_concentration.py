@@ -6,7 +6,7 @@ import numpy as np
 
 def _ds(rows):
     import ray.data as rd
-    return rd.from_items(rows)
+    return rd.from_items(rows, override_num_blocks=4)
 
 
 def test_hhi_hand_cases_and_extremes(ray_session):

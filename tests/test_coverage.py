@@ -11,7 +11,7 @@ from pdf2dom_ray.functions.coverage import (coverage_oracle_sql,
 
 
 def _docs(rows, nparts=1):
-    ds = rd.from_items([{"doc_id": d, "text": t} for d, t in rows])
+    ds = rd.from_items([{"doc_id": d, "text": t} for d, t in rows], override_num_blocks=4)
     return ds.repartition(nparts) if nparts > 1 else ds
 
 

@@ -28,7 +28,7 @@ def test_dispersion_hand_case(ray_session):
     ds = rd.from_items([
         {"label": 0, "embedding": [0.0, 0.0]},
         {"label": 0, "embedding": [1.0, 1.0]},
-        {"label": 1, "embedding": [0.5, -0.5]}])
+        {"label": 1, "embedding": [0.5, -0.5]}], override_num_blocks=4)
     got = label_dispersion(ds).to_pandas()
     assert got.values.tolist() == [[0, 2, 4_000_000], [1, 1, 0]]
 
@@ -63,7 +63,7 @@ def test_centroid_distances_hand_case(ray_session):
     ds = rd.from_items([
         {"label": 0, "embedding": [0.0, 0.5]},
         {"label": 0, "embedding": [1.0, 0.5]},
-        {"label": 1, "embedding": [-0.5, 0.5]}])
+        {"label": 1, "embedding": [-0.5, 0.5]}], override_num_blocks=4)
     got = label_centroid_distances(ds).to_pandas()
     assert got.values.tolist() == [[0, 1, 1_000_000]]
 
@@ -105,7 +105,7 @@ def test_centroid_confusion_separated_clusters(ray_session):
     rows += [{"vec_id": 10 + i, "label": 1,
               "embedding": [-1.0 - 0.01 * i, 0.0]}
              for i in range(4)]
-    got = nearest_centroid_confusion(rd.from_items(rows)).to_pandas()
+    got = nearest_centroid_confusion(rd.from_items(rows, override_num_blocks=4)).to_pandas()
     assert got.values.tolist() == [[0, 0, 4], [1, 1, 4]]
 
 

@@ -36,7 +36,7 @@ def _ref(rows, scale=SCALE):
 
 def _ds(rows):
     import ray.data as rd
-    return rd.from_items(rows)
+    return rd.from_items(rows, override_num_blocks=4)
 
 
 def test_divergence_matches_reference(ray_session):

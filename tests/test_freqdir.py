@@ -11,7 +11,7 @@ def _gram(b):
 def _ds(mat):
     import ray.data as rd
     return rd.from_items([{"vec_id": i, "embedding": row.tolist()}
-                          for i, row in enumerate(mat)])
+                          for i, row in enumerate(mat)], override_num_blocks=4)
 
 
 def _sketch(ds, ell):
@@ -58,7 +58,7 @@ def test_fd_single_block_equals_reference(ray_session):
     ell = 6
     ds = rd.from_items(
         [{"vec_id": i, "embedding": r.tolist()} for i, r in
-         enumerate(a)]).repartition(1)
+         enumerate(a)], override_num_blocks=4).repartition(1)
     b, _ = _sketch(ds, ell)
     ref = fd_reference(a, ell)
     assert np.allclose(_gram(b), _gram(ref), atol=1e-8)

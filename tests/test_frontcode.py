@@ -6,7 +6,7 @@ import numpy as np
 
 def _ds(urls):
     import ray.data as rd
-    return rd.from_items([{"url": u} for u in urls])
+    return rd.from_items([{"url": u} for u in urls], override_num_blocks=4)
 
 
 def test_frontcoding_hand_case(ray_session):

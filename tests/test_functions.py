@@ -83,7 +83,7 @@ def test_exact_dedup_min_doc_id(ray_session):
         {"doc_id": 5, "text": "aaaa identical prefix here plus tail one"},
         {"doc_id": 2, "text": "aaaa identical prefix here plus tail two"},
         {"doc_id": 9, "text": "bbbb other prefix entirely different xxx"},
-    ])
+    ], override_num_blocks=4)
     out = exact_dedup(ds, key_prefix_chars=20).to_pandas()
     m = dict(zip(out.k, out.doc_id))
     assert m["aaaa identical prefi"] == 2
@@ -100,7 +100,7 @@ def test_minhash_cluster_groups_duplicates(ray_session):
         {"doc_id": 3, "text": base.replace("dog", "cat")},  # near dup
         {"doc_id": 4, "text": "totally different content with other words "
                               "nothing shared at all here whatsoever okay"},
-    ])
+    ], override_num_blocks=4)
     out = minhash_cluster(ds).to_pandas().set_index("doc_id").cluster_id
     assert out[2] == out[1] == 1
     assert out[4] == 4
@@ -127,7 +127,7 @@ def test_minhash_cluster_distributed_cc_matches_driver(ray_session):
     propagation; labels must equal the driver union-find exactly."""
     import ray.data as rd
     from pdf2dom_ray.functions.dedup import minhash_cluster
-    ds = rd.from_items(_near_dup_corpus())
+    ds = rd.from_items(_near_dup_corpus(), override_num_blocks=4)
     drv = minhash_cluster(ds).to_pandas().set_index("doc_id").cluster_id
     dist = minhash_cluster(ds, driver_edge_limit=0) \
         .to_pandas().set_index("doc_id").cluster_id
@@ -139,7 +139,7 @@ def test_minhash_cluster_distributed_cc_matches_driver(ray_session):
 def test_simhash_cluster_groups_near_dups_both_paths(ray_session):
     import ray.data as rd
     from pdf2dom_ray.functions.dedup import simhash_cluster
-    ds = rd.from_items(_near_dup_corpus())
+    ds = rd.from_items(_near_dup_corpus(), override_num_blocks=4)
     for lim in (5_000_000, 0):
         out = simhash_cluster(ds, driver_edge_limit=lim) \
             .to_pandas().set_index("doc_id").cluster_id
@@ -179,7 +179,7 @@ def test_embedding_near_dup_pairs_lsh(ray_session):
     rows += [{"vec_id": 10 + i,
               "embedding": rng.standard_normal(16).tolist()}
              for i in range(6)]
-    ds = rd.from_items(rows)
+    ds = rd.from_items(rows, override_num_blocks=4)
     exact = embedding_near_dup_pairs(ds, threshold=0.9).to_pandas()
     lsh = embedding_near_dup_pairs_lsh(ds, threshold=0.9, dim=16).to_pandas()
     exact_pairs = dict(((a, b), s) for a, b, s in
@@ -196,7 +196,7 @@ def test_brute_topk_matches_numpy(ray_session):
     emb = rng.standard_normal((100, 16)).astype(np.float32)
     q = emb[0].astype(np.float64)
     ds = rd.from_items([{"vec_id": i, "embedding": emb[i].tolist()}
-                        for i in range(100)])
+                        for i in range(100)], override_num_blocks=4)
     out = brute_topk(ds, q, k=5).to_pandas()
     sims = emb.astype(np.float64) @ q / (
         np.linalg.norm(emb.astype(np.float64), axis=1) * np.linalg.norm(q))
@@ -212,7 +212,7 @@ def test_pq_codebooks_shape_and_determinism(ray_session):
     emb = rng.standard_normal((200, 16))
     emb /= np.linalg.norm(emb, axis=1)[:, None]
     ds = rd.from_items([{"vec_id": i, "embedding": emb[i].tolist()}
-                        for i in range(200)])
+                        for i in range(200)], override_num_blocks=4)
     b1 = pq_train_codebooks(ds, n_sub=4, n_codes=8)
     b2 = pq_train_codebooks(ds, n_sub=4, n_codes=8)
     assert b1.shape == (4, 8, 4)
@@ -235,7 +235,7 @@ def test_pq_topk_equals_brute_on_clustered_corpus(ray_session):
                           for c in centers])
     emb /= np.linalg.norm(emb, axis=1)[:, None]
     ds = rd.from_items([{"vec_id": i, "embedding": emb[i].tolist()}
-                        for i in range(len(emb))])
+                        for i in range(len(emb))], override_num_blocks=4)
     q = emb[5].copy()
     want = brute_topk(ds, q, k=10).to_pandas()
     got = pq_topk(ds, q, k=10, n_sub=4, n_codes=16,
@@ -273,7 +273,7 @@ def test_image_decoder_stage(ray_session):
     ds = rd.from_items([
         {"url": "a", "image": encode_png(img)},
         {"url": "b", "image": b"not a png"},
-    ])
+    ], override_num_blocks=4)
     out = decode_images(ds).to_pandas().set_index("url")
     assert out.loc["a", "width"] == 4
     assert out.loc["a", "height"] == 6
@@ -295,7 +295,7 @@ def test_thumbnail_pooler_stage(ray_session):
     ds = rd.from_items([
         {"url": "a", "image": encode_png(img3)},
         {"url": "b", "image": b"junk"},
-    ])
+    ], override_num_blocks=4)
     out = thumbnail_images(ds).to_pandas().set_index("url")
     assert out.loc["a", "width"] == 2 and out.loc["a", "height"] == 2
     assert out.loc["a", "sum_r"] == 2 + 4 + 10 + 12
@@ -323,7 +323,7 @@ def test_embedding_near_dup_pairs(ray_session):
         {"vec_id": 1, "embedding": base.tolist()},
         {"vec_id": 2, "embedding": near.tolist()},
         {"vec_id": 3, "embedding": far.tolist()},
-    ])
+    ], override_num_blocks=4)
     out = embedding_near_dup_pairs(ds, threshold=0.9).to_pandas()
     assert set(zip(out.id_a, out.id_b)) == {(1, 2)}
     assert out.sim.iloc[0] > 0.99
@@ -335,7 +335,7 @@ def test_ivf_topk_finds_query(ray_session):
     rng = np.random.default_rng(2)
     emb = rng.standard_normal((200, 16))
     ds = rd.from_items([{"vec_id": i, "embedding": emb[i].tolist()}
-                        for i in range(200)])
+                        for i in range(200)], override_num_blocks=4)
     out = ivf_topk(ds, emb[17], k=5, n_cells=8, nprobe=3).to_pandas()
     # the query vector itself lives in the probed cell → rank 1
     assert out.vec_id.iloc[0] == 17
@@ -357,7 +357,7 @@ def test_video_frame_sampler_real_decode(ray_session):
     from pdf2dom_ray.functions.multimodal import (VideoFrameSampler,
                                                   synth_avi_mjpeg)
     ds = rd.from_items([{"url": "v1", "video": synth_avi_mjpeg(3)},
-                        {"url": "bad", "video": b"fakepayload"}])
+                        {"url": "bad", "video": b"fakepayload"}], override_num_blocks=4)
     out = ds.map_batches(VideoFrameSampler, batch_format="pyarrow",
                          concurrency=1).to_pandas().set_index(
         ["url", "frame_idx"]).sort_index()
@@ -374,7 +374,7 @@ def test_audio_features_real_decode(ray_session):
     import ray.data as rd
     from pdf2dom_ray.functions.multimodal import AudioFeatures, synth_wav
     ds = rd.from_items([{"url": "a1", "audio": synth_wav(1)},
-                        {"url": "bad", "audio": b"RIFFfake"}])
+                        {"url": "bad", "audio": b"RIFFfake"}], override_num_blocks=4)
     out = ds.map_batches(AudioFeatures, batch_format="pyarrow",
                          concurrency=1).to_pandas().set_index("url")
     assert out.loc["a1"].duration_s == pytest.approx(0.5)
@@ -416,7 +416,7 @@ def test_unigram_logprob(ray_session):
     ds = rd.from_items([
         {"doc_id": 1, "text": "a a b"},
         {"doc_id": 2, "text": "b c"},
-    ])
+    ], override_num_blocks=4)
     out = unigram_logprob(ds).to_pandas().set_index("doc_id")
     # corpus: a=2, b=2, c=1, total=5
     exp1 = (2 * math.log(2 / 5) + math.log(2 / 5)) / 3
@@ -432,9 +432,11 @@ def test_connected_components_random_graphs_match_union_find(ray_session):
     from pdf2dom_ray.functions.dedup import (_union_find_roots,
                                              connected_component_labels)
     rng = np.random.default_rng(11)
-    for trial in range(2):
+    # one larger random graph: each distributed run is BSP fixed cost,
+    # so one 80-edge trial covers the same class as two small ones
+    for trial in range(1):
         n_nodes = int(rng.integers(6, 40))
-        n_edges = int(rng.integers(1, 60))
+        n_edges = int(rng.integers(40, 80))
         a = rng.integers(0, n_nodes, n_edges).astype("int64")
         b = rng.integers(0, n_nodes, n_edges).astype("int64")
         keep = a != b
@@ -442,7 +444,7 @@ def test_connected_components_random_graphs_match_union_find(ray_session):
         if not len(a):
             continue
         edges = rd.from_items([{"a": int(x), "b": int(y)}
-                               for x, y in zip(a, b)])
+                               for x, y in zip(a, b)], override_num_blocks=4)
         dist = dict(connected_component_labels(edges, driver_edge_limit=0)
                     .to_pandas().itertuples(index=False, name=None))
         roots = _union_find_roots(a, b)
@@ -629,7 +631,7 @@ def test_chunk_documents_semantics(ray_session):
     rows = [{"doc_id": 1, "text": "a b c d e"},
             {"doc_id": 2, "text": "x"},
             {"doc_id": 3, "text": ""}]
-    out = chunk_documents(rd.from_items(rows), seq_len=2).take_all()
+    out = chunk_documents(rd.from_items(rows, override_num_blocks=4), seq_len=2).take_all()
     got = {(r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
            for r in out}
     assert got == {(1, 1): (2, "a b"), (1, 2): (2, "c d"),
@@ -647,7 +649,7 @@ def test_pack_sequences_hand_case(ray_session):
             {"doc_id": 2, "text": "x"},
             {"doc_id": 3, "text": ""},
             {"doc_id": 4, "text": "p q r s"}]
-    out = pack_sequences(rd.from_items(rows), seq_len=4).take_all()
+    out = pack_sequences(rd.from_items(rows, override_num_blocks=4), seq_len=4).take_all()
     got = sorted((r["doc_id"], r["seq_id"], r["tok_start"], r["n_toks"])
                  for r in out)
     assert got == [(1, 0, 0, 4), (1, 1, 4, 1), (2, 1, 0, 1),
@@ -660,8 +662,8 @@ def test_pack_sequences_partition_invariance(ray_session):
     from pdf2dom_ray.functions.chunking import pack_sequences
     rows = [{"doc_id": i, "text": " ".join(["w"] * (1 + i * 7 % 13))}
             for i in range(40)]
-    a = pack_sequences(rd.from_items(rows), seq_len=8).take_all()
-    b = pack_sequences(rd.from_items(rows).repartition(7),
+    a = pack_sequences(rd.from_items(rows, override_num_blocks=4), seq_len=8).take_all()
+    b = pack_sequences(rd.from_items(rows, override_num_blocks=4).repartition(7),
                        seq_len=8).take_all()
     key = lambda r: (r["doc_id"], r["seq_id"])
     assert sorted(map(dict.items, a)) == sorted(map(dict.items, b))
@@ -682,7 +684,7 @@ def test_hashed_features_hand_case(ray_session):
     bx = int(hashlib.md5(b"x").hexdigest()[:8], 16) % 16
     by = int(hashlib.md5(b"y").hexdigest()[:8], 16) % 16
     out = sorted((r["doc_id"], r["dim"], r["cnt"]) for r in
-                 hashed_features(rd.from_items(rows),
+                 hashed_features(rd.from_items(rows, override_num_blocks=4),
                                  dim=16).take_all())
     assert out == sorted([(0, bx, 2), (0, by, 1), (1, by, 1)])
 
@@ -692,7 +694,7 @@ def test_heavy_hitters_exact_regime(ray_session):
 
     from pdf2dom_ray.functions.heavyhitters import top_tokens_sketch
     rows = [{"text": "a a a b b c"}, {"text": "a b d"}]
-    out = top_tokens_sketch(rd.from_items(rows), k=3,
+    out = top_tokens_sketch(rd.from_items(rows, override_num_blocks=4), k=3,
                             capacity=100).to_pylist()
     assert [(r["token"], r["count_min"], r["count_max"])
             for r in out] == [("a", 4, 4), ("b", 3, 3), ("c", 1, 1)]
@@ -712,7 +714,7 @@ def test_heavy_hitters_lossy_bounds(ray_session):
     rows = [{"text": " ".join(toks[i:i + 37])}
             for i in range(0, len(toks), 37)]
     true = Counter(toks)
-    out = top_tokens_sketch(rd.from_items(rows), k=8,
+    out = top_tokens_sketch(rd.from_items(rows, override_num_blocks=4), k=8,
                             capacity=8).to_pylist()
     tokens = [r["token"] for r in out]
     # the guaranteed heavy hitter (count > n/capacity) must survive
@@ -720,7 +722,7 @@ def test_heavy_hitters_lossy_bounds(ray_session):
     for r in out:   # MG bound: count_min <= true <= count_max
         assert r["count_min"] <= true[r["token"]] <= r["count_max"]
     # bounds hold under any partitioning of the same stream
-    out2 = top_tokens_sketch(rd.from_items(rows).repartition(5),
+    out2 = top_tokens_sketch(rd.from_items(rows, override_num_blocks=4).repartition(5),
                              k=8, capacity=8).to_pylist()
     for r in out2:
         assert r["count_min"] <= true[r["token"]] <= r["count_max"]
@@ -743,7 +745,7 @@ def test_cohort_retention_hand_case(ray_session):
     for lim in (5_000_000, 0):   # broadcast arm, then join arm
         out = sorted((str(r["cohort_day"]), r["day_offset"],
                       r["n_users"]) for r in cohort_retention(
-                        rd.from_items(rows),
+                        rd.from_items(rows, override_num_blocks=4),
                         broadcast_limit=lim).take_all())
         assert out == [("2024-01-01 00:00:00", 0, 1),
                        ("2024-01-01 00:00:00", 2, 1),
@@ -762,11 +764,11 @@ def test_stale_urls_anti_join(ray_session):
         {"url": "c", "warc_ts": 7, "version": 0},
     ]
     out = sorted((r["url"], r["last_ts"]) for r in
-                 stale_urls(rd.from_items(rows)).take_all())
+                 stale_urls(rd.from_items(rows, override_num_blocks=4)).take_all())
     assert out == [("a", 10), ("c", 7)]
     # the distributed left_anti path (broadcast disabled) is identical
     out_join = sorted((r["url"], r["last_ts"]) for r in
-                      stale_urls(rd.from_items(rows),
+                      stale_urls(rd.from_items(rows, override_num_blocks=4),
                                  broadcast_limit=0).take_all())
     assert out_join == out
 
@@ -782,7 +784,7 @@ def test_source_overlap_hand_case(ray_session):
             {"doc_id": 1, "source": "s1", "text": "b c d"},
             {"doc_id": 2, "source": "s2", "text": "x y"},
             {"doc_id": 3, "source": "s1", "text": "b c"}]
-    out = source_overlap(rd.from_items(rows), n=2).take_all()
+    out = source_overlap(rd.from_items(rows, override_num_blocks=4), n=2).take_all()
     assert [(r["src_a"], r["src_b"], r["shared_ngrams"])
             for r in out] == [("s0", "s1", 1)]
 
@@ -794,7 +796,7 @@ def test_group_quota_caps_each_group(ray_session):
 
     from pdf2dom_ray.functions.sampling import group_quota
     rows = [{"doc_id": i, "source": f"s{i % 3}"} for i in range(30)]
-    out = group_quota(rd.from_items(rows), group_col="source",
+    out = group_quota(rd.from_items(rows, override_num_blocks=4), group_col="source",
                       cap=4, seed="cap").take_all()
     by_src = {}
     for r in out:
@@ -822,7 +824,7 @@ def test_repetition_stats_hand_case(ray_session):
         {"doc_id": 2, "text": "solo"},
     ]
     out = {r["doc_id"]: r for r in
-           repetition_stats(rd.from_items(rows)).take_all()}
+           repetition_stats(rd.from_items(rows, override_num_blocks=4)).take_all()}
     assert out[0]["dup_token_ppm"] == 1_000_000 * 3 // 6
     assert out[0]["top_token_ppm"] == 1_000_000 * 3 // 6
     assert out[0]["top_bigram_ppm"] == 1_000_000 * 2 * 2 // 6
@@ -843,7 +845,7 @@ def test_seeded_shuffle_reproducible_permutation(ray_session):
 
     from pdf2dom_ray.functions.shuffle import seeded_shuffle
     rows = [{"doc_id": i} for i in range(50)]
-    out = seeded_shuffle(rd.from_items(rows), seed="s1",
+    out = seeded_shuffle(rd.from_items(rows, override_num_blocks=4), seed="s1",
                          n_shards=4).take_all()
     # ranks form an exact permutation; order matches the md5 key sort
     got = sorted((r["rank"], r["doc_id"], r["shard"]) for r in out)
@@ -853,11 +855,11 @@ def test_seeded_shuffle_reproducible_permutation(ray_session):
     assert [r[1] for r in got] == exp_order
     assert all(r[2] == r[0] % 4 for r in got)
     # partition invariance
-    out2 = seeded_shuffle(rd.from_items(rows).repartition(7),
+    out2 = seeded_shuffle(rd.from_items(rows, override_num_blocks=4).repartition(7),
                           seed="s1", n_shards=4).take_all()
     assert sorted(map(dict.items, out)) == sorted(map(dict.items, out2))
     # a different seed gives a different permutation
-    out3 = seeded_shuffle(rd.from_items(rows), seed="s2",
+    out3 = seeded_shuffle(rd.from_items(rows, override_num_blocks=4), seed="s2",
                           n_shards=4).take_all()
     order3 = [d for _, d in sorted((r["rank"], r["doc_id"])
                                    for r in out3)]
@@ -874,7 +876,7 @@ def test_classifier_score_hand_case(ray_session):
             {"doc_id": 2, "text": "bad bad mid", "lang": "fr"},
             {"doc_id": 3, "text": "bad mid", "lang": "de"}]
     out = {r["doc_id"]: r for r in
-           classifier_score(rd.from_items(rows)).take_all()}
+           classifier_score(rd.from_items(rows, override_num_blocks=4)).take_all()}
     # counts: good (3,0) bad (0,3) mid (2,2); T_pos=5 T_neg=5 V=3
     w = {"good": 1_000_000 * 4 * 8 // (1 * 8),
          "bad": 1_000_000 * 1 * 8 // (4 * 8),
@@ -894,7 +896,7 @@ def test_classifier_max_vocab_oov_neutral(ray_session):
     rows = [{"doc_id": 0, "text": "good mid mid", "lang": "en"},
             {"doc_id": 1, "text": "bad mid mid", "lang": "fr"}]
     out = {r["doc_id"]: r for r in classifier_score(
-        rd.from_items(rows), max_vocab=1).take_all()}
+        rd.from_items(rows, override_num_blocks=4), max_vocab=1).take_all()}
     # mid: (2,2), capped totals T_pos=T_neg=2, V=1 -> ratio exactly 1
     assert out[0]["score_ppm"] == NEUTRAL_PPM
     assert out[1]["score_ppm"] == NEUTRAL_PPM
@@ -934,7 +936,7 @@ def test_tfidf_topk_k_cap_and_tie_break(ray_session):
     from pdf2dom_ray.functions.tfidf import tfidf_topk
     # every token unique within the doc and df=1 → all scores equal →
     # rank order is token-ascending; k=2 caps the output
-    ds = rd.from_items([{"doc_id": 7, "text": "zeta alpha mid"}])
+    ds = rd.from_items([{"doc_id": 7, "text": "zeta alpha mid"}], override_num_blocks=4)
     out = sorted(tfidf_topk(ds, k=2, strategy="broadcast").take_all(),
                  key=lambda r: r["rnk"])
     assert [(r["token"], r["rnk"]) for r in out] == [("alpha", 1),
@@ -981,7 +983,7 @@ def test_bm25_topk_rare_term_beats_stopword(ray_session):
     # 'common' is in every doc (df=N -> idf floor); 'needle' df=1.
     ds = rd.from_items(
         [{"doc_id": i, "text": "common needle" if i == 0 else
-          "common filler"} for i in range(6)])
+          "common filler"} for i in range(6)], override_num_blocks=4)
     top = {r["doc_id"]: r["token"]
            for r in bm25_topk(ds, k=1).take_all()}
     assert top[0] == "needle"
@@ -999,7 +1001,7 @@ def test_contamination_flags_hand_case(ray_session):
     for blocks in (1, 2):
         out = {r["doc_id"]: r for r in contamination_flags(
             rd.from_items(docs, override_num_blocks=blocks),
-            rd.from_items(bench), n=3).take_all()}
+            rd.from_items(bench, override_num_blocks=4), n=3).take_all()}
         assert (out[1]["n_ngrams"], out[1]["n_overlap"],
                 out[1]["contaminated"]) == (3, 1, True)
         assert (out[2]["n_overlap"], out[2]["contaminated"]) == \
@@ -1015,8 +1017,8 @@ def test_contamination_distinct_gram_counting(ray_session):
     # 'a b a b a b' has windows {a b a, b a b} -> 2 DISTINCT 3-grams,
     # both in bench -> overlap 2 even though 4 window positions exist
     out = contamination_flags(
-        rd.from_items([{"doc_id": 1, "text": "a b a b a b"}]),
-        rd.from_items([{"doc_id": 9, "text": "a b a b"}]),
+        rd.from_items([{"doc_id": 1, "text": "a b a b a b"}], override_num_blocks=4),
+        rd.from_items([{"doc_id": 9, "text": "a b a b"}], override_num_blocks=4),
         n=3).take_all()
     assert (out[0]["n_ngrams"], out[0]["n_overlap"]) == (2, 2)
 
@@ -1067,7 +1069,7 @@ def test_bigram_lm_scores_self_trained_no_oov(ray_session):
     # every bigram the scorer sees is in the self-trained model, so a
     # one-doc corpus of a repeated pair scores the full 1e6 ppm
     out = bigram_lm_scores(rd.from_items(
-        [{"doc_id": 5, "text": "x y x y"}])).take_all()
+        [{"doc_id": 5, "text": "x y x y"}], override_num_blocks=4)).take_all()
     # bigrams: (x,y)x2, (y,x)x1; c1[x]=2, c1[y]=1
     # pairs: (x,y)->1e6*2//2=1e6, (y,x)->1e6, (x,y)->1e6 -> mean 1e6
     assert out[0]["score_ppm"] == 1_000_000

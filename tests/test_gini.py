@@ -26,7 +26,7 @@ def test_gini_hand_cases(ray_session):
     rows = [{"source": "u", "n_chars": 5} for _ in range(4)]
     rows += [{"source": "c", "n_chars": 0} for _ in range(3)]
     rows += [{"source": "c", "n_chars": 100}]
-    got = group_gini(rd.from_items(rows)).to_pandas() \
+    got = group_gini(rd.from_items(rows, override_num_blocks=4)).to_pandas() \
         .set_index("key")
     assert int(got.loc["u", "gini_ppm"]) == 0
     assert int(got.loc["c", "gini_ppm"]) == 750_000   # (n-1)/n
@@ -35,7 +35,7 @@ def test_gini_hand_cases(ray_session):
 def test_gini_matches_pairwise_definition(ray_session):
     vals = [3, 1, 4, 1, 5, 9, 2, 6]
     rows = [{"source": "x", "n_chars": v} for v in vals]
-    got = group_gini(rd.from_items(rows)).to_pandas()
+    got = group_gini(rd.from_items(rows, override_num_blocks=4)).to_pandas()
     x = np.array(vals)
     g = np.abs(x[:, None] - x[None, :]).sum() / (2 * len(x)**2
                                                  * x.mean())

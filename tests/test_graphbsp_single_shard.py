@@ -13,7 +13,7 @@ EDGES = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a"),
 
 
 def _ds(pairs):
-    return rd.from_items([{"src": u, "target": v} for u, v in pairs])
+    return rd.from_items([{"src": u, "target": v} for u, v in pairs], override_num_blocks=4)
 
 
 def test_pagerank_single_shard(ray_session):

@@ -43,7 +43,7 @@ def test_harmonic_matches_reference_both_paths(ray_session, limit):
     from pdf2dom_ray.functions.harmonic import harmonic_centrality
     # duplicate rows must not change the score (OR is idempotent)
     rows = EDGES + [(0, 1), (2, 3)]
-    ds = rd.from_items([{"src": u, "target": v} for u, v in rows])
+    ds = rd.from_items([{"src": u, "target": v} for u, v in rows], override_num_blocks=4)
     got = {r["node"]: r["harmonic_w"]
            for r in harmonic_centrality(
                ds, radius=4, driver_edge_limit=limit).take_all()}
@@ -59,7 +59,7 @@ def test_harmonic_radius_truncation_and_string_ids(ray_session, limit):
     import ray.data as rd
     from pdf2dom_ray.functions.harmonic import harmonic_centrality
     chain = [("a", "b"), ("b", "c"), ("c", "d")]
-    ds = rd.from_items([{"src": u, "target": v} for u, v in chain])
+    ds = rd.from_items([{"src": u, "target": v} for u, v in chain], override_num_blocks=4)
     for radius in (1, 2, 3):
         got = {r["node"]: r["harmonic_w"]
                for r in harmonic_centrality(
@@ -77,7 +77,7 @@ def test_harmonic_partition_invariance(ray_session):
     rng = np.random.RandomState(5)
     rows = [{"src": int(u), "target": int(v)}
             for u, v in rng.randint(0, 60, size=(400, 2))]
-    ds = rd.from_items(rows)
+    ds = rd.from_items(rows, override_num_blocks=4)
     want = sorted((r["node"], r["harmonic_w"]) for r in
                   harmonic_centrality(ds, radius=4).take_all())
     for n_part in (1, 2, 3):
@@ -94,7 +94,7 @@ def test_harmonic_empty_and_self_loops_only(ray_session):
     empty = rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
                                     "target": pa.array([], pa.int64())}))
     assert harmonic_centrality(empty).take_all() == []
-    loops = rd.from_items([{"src": 3, "target": 3}])
+    loops = rd.from_items([{"src": 3, "target": 3}], override_num_blocks=4)
     got = harmonic_centrality(loops).take_all()
     assert [(r["node"], r["harmonic_w"]) for r in got] == [(3, 0)]
 
@@ -108,7 +108,7 @@ def test_harmonic_oracle_sql_matches(ray_session):
     rng = np.random.RandomState(23)
     pairs = rng.randint(0, 40, size=(120, 2))
     ds = rd.from_items([{"src": int(u), "target": int(v)}
-                        for u, v in pairs])
+                        for u, v in pairs], override_num_blocks=4)
     got = sorted((r["node"], r["harmonic_w"]) for r in
                  harmonic_centrality(ds, radius=3).take_all())
     vals = ", ".join(f"({u}, {v})" for u, v in pairs)

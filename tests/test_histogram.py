@@ -6,7 +6,7 @@ import numpy as np
 
 def _ds(vals):
     import ray.data as rd
-    return rd.from_items([{"v": int(x)} for x in vals])
+    return rd.from_items([{"v": int(x)} for x in vals], override_num_blocks=4)
 
 
 def test_histogram_hand_bins(ray_session):

@@ -41,11 +41,14 @@ def test_matches_reference_on_random_graphs():
 
 
 def test_driver_and_distributed_paths_identical():
+    # 2 iterations: path identity is per-round bit-equality, so extra
+    # rounds only add BSP fixed cost (suite-time budget)
     pairs = _rand_graph(7, n=30, m=120)
-    a = _as_map(hits(_edges_ds(pairs, nparts=4)).take_all())
-    bsp = _as_map(hits(_edges_ds(pairs, nparts=4),
+    a = _as_map(hits(_edges_ds(pairs, nparts=4),
+                     iterations=2).take_all())
+    bsp = _as_map(hits(_edges_ds(pairs, nparts=4), iterations=2,
                        driver_edge_limit=0).take_all())
-    joins = _as_map(hits(_edges_ds(pairs, nparts=4),
+    joins = _as_map(hits(_edges_ds(pairs, nparts=4), iterations=2,
                          driver_edge_limit=0, mode="joins").take_all())
     assert a == bsp == joins
 

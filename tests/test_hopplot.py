@@ -8,7 +8,7 @@ EDGES = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")]
 
 def _ds(rows):
     import ray.data as rd
-    return rd.from_items([{"src": u, "target": v} for u, v in rows])
+    return rd.from_items([{"src": u, "target": v} for u, v in rows], override_num_blocks=4)
 
 
 @pytest.mark.parametrize("limit", [5_000_000, 0])
@@ -76,7 +76,7 @@ def test_effective_diameter_hand_case(ray_session):
     # directed 4-cycle: N(0)=4, N(1)=8, N(2)=12, N(3)=16 pairs;
     # 90% of N(3)=14.4 -> first h with 100*N >= 90*16=1440 is h=3
     edges = rd.from_items([{"src": i, "target": (i + 1) % 4}
-                           for i in range(4)])
+                           for i in range(4)], override_num_blocks=4)
     got = effective_diameter(edges, radius=3, pct=90).to_pandas()
     assert got.values.tolist() == [[3, 16, 16]]
     # pct=50: 100*N >= 800 first at h=1 (N=8)
@@ -89,7 +89,7 @@ def test_effective_diameter_empty(ray_session):
 
     from pdf2dom_ray.functions.hopplot import effective_diameter
     got = effective_diameter(
-        rd.from_items([{"src": 1, "target": 1}]),
+        rd.from_items([{"src": 1, "target": 1}], override_num_blocks=4),
         radius=2).to_pandas()
     # self-loop only: N(r) = 1 pair at every level -> diameter 0
     assert got.eff_diameter.tolist() == [0]

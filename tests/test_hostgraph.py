@@ -14,7 +14,7 @@ EDGES = [
 
 def _ds(rows):
     import ray.data as rd
-    return rd.from_items([{"src": u, "target": v} for u, v in rows])
+    return rd.from_items([{"src": u, "target": v} for u, v in rows], override_num_blocks=4)
 
 
 def test_host_collapse_counts_occurrences(ray_session):
@@ -89,7 +89,7 @@ def test_crawl_priority_composition(ray_session, broadcast_limit):
     frontier_urls = [u for e in EDGES for u in e] + \
         ["https://ghost.test/z"]          # host absent from the graph
     frontier = rd.from_items([{"url": u}
-                              for u in sorted(set(frontier_urls))])
+                              for u in sorted(set(frontier_urls))], override_num_blocks=4)
     got = {r["url"]: (r["host"], r["shard"], r["fetch_round"],
                       r["host_rank"])
            for r in crawl_priority(frontier, _ds(EDGES), iterations=4,

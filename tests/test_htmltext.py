@@ -249,7 +249,7 @@ def test_anchor_profiles(ray_session):
     counts = [("t1", "Home", 5), ("t1", "News", 5), ("t1", "Zed", 1),
               ("t2", "Only", 3)]
     ds = rd.from_items([{"target": t, "anchor_text": a, "n_refs": n}
-                        for t, a, n in counts])
+                        for t, a, n in counts], override_num_blocks=4)
     got = {r["target"]: (r["anchor_profile"], r["n_anchors"],
                          r["total_refs"])
            for r in anchor_profiles(ds, top_k=2).take_all()}

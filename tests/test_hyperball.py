@@ -55,7 +55,7 @@ def test_hyperball_matches_reference_both_paths(ray_session, limit):
     import ray.data as rd
     from pdf2dom_ray.functions.hyperball import hyperball_sketch
     rows = EDGES + [(0, 1), (2, 3)]       # duplicates are no-ops
-    ds = rd.from_items([{"src": u, "target": v} for u, v in rows])
+    ds = rd.from_items([{"src": u, "target": v} for u, v in rows], override_num_blocks=4)
     got = {r["node"]: (r["ball_regsum"], r["zero_regs"])
            for r in hyperball_sketch(
                ds, radius=4, driver_edge_limit=limit).take_all()}
@@ -68,7 +68,7 @@ def test_hyperball_radius_and_string_ids(ray_session, limit):
     import ray.data as rd
     from pdf2dom_ray.functions.hyperball import hyperball_sketch
     chain = [("a", "b"), ("b", "c"), ("c", "d")]
-    ds = rd.from_items([{"src": u, "target": v} for u, v in chain])
+    ds = rd.from_items([{"src": u, "target": v} for u, v in chain], override_num_blocks=4)
     for radius in (1, 2, 3):
         got = {r["node"]: (r["ball_regsum"], r["zero_regs"])
                for r in hyperball_sketch(
@@ -86,7 +86,7 @@ def test_hyperball_partition_invariance(ray_session):
     rng = np.random.RandomState(7)
     rows = [{"src": int(u), "target": int(v)}
             for u, v in rng.randint(0, 60, size=(400, 2))]
-    ds = rd.from_items(rows)
+    ds = rd.from_items(rows, override_num_blocks=4)
     want = sorted((r["node"], r["ball_regsum"], r["zero_regs"]) for r
                   in hyperball_sketch(ds, radius=4).take_all())
     for n_part in (1, 2, 3):
@@ -105,7 +105,7 @@ def test_hyperball_estimate_tracks_exact_ball_size(ray_session):
     rng = np.random.RandomState(11)
     pairs = [(int(u), int(v)) for u, v in rng.randint(0, 300,
                                                       size=(900, 2))]
-    ds = rd.from_items([{"src": u, "target": v} for u, v in pairs])
+    ds = rd.from_items([{"src": u, "target": v} for u, v in pairs], override_num_blocks=4)
     got = {r["node"]: (r["ball_regsum"], r["zero_regs"])
            for r in hyperball_sketch(ds, radius=3).take_all()}
     exact = {n: len(b) for n, b in _ball(pairs, 3).items()}
@@ -125,7 +125,7 @@ def test_hyperball_empty_and_self_loops_only(ray_session):
     empty = rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
                                     "target": pa.array([], pa.int64())}))
     assert hyperball_sketch(empty).take_all() == []
-    loops = rd.from_items([{"src": 3, "target": 3}])
+    loops = rd.from_items([{"src": 3, "target": 3}], override_num_blocks=4)
     got = hyperball_sketch(loops).take_all()
     assert [(r["node"], r["ball_regsum"], r["zero_regs"])
             for r in got] == [(3, *_ref_regsum({3}))]
@@ -140,7 +140,7 @@ def test_hyperball_oracle_sql_matches(ray_session):
     rng = np.random.RandomState(29)
     pairs = rng.randint(0, 40, size=(120, 2))
     ds = rd.from_items([{"src": int(u), "target": int(v)}
-                        for u, v in pairs])
+                        for u, v in pairs], override_num_blocks=4)
     got = sorted((r["node"], r["ball_regsum"], r["zero_regs"])
                  for r in hyperball_sketch(ds, radius=3).take_all())
     vals = ", ".join(f"({u}, {v})" for u, v in pairs)

@@ -11,7 +11,7 @@ from pdf2dom_ray.functions.impurity import (impurity_oracle_sql,
 
 def _ds(rows, nparts=1):
     ds = rd.from_items([{"user_id": u, "event_type": t}
-                        for u, t in rows])
+                        for u, t in rows], override_num_blocks=4)
     return ds.repartition(nparts) if nparts > 1 else ds
 
 

@@ -8,8 +8,8 @@ import pytest
 def _dsets():
     import ray.data as rd
     child = rd.from_items(
-        [{"fk": k} for k in [1, 2, 2, 3, 99, 99, 100]])   # 3 orphans
-    parent = rd.from_items([{"pk": k} for k in [1, 2, 3, 4]])
+        [{"fk": k} for k in [1, 2, 2, 3, 99, 99, 100]], override_num_blocks=4)   # 3 orphans
+    parent = rd.from_items([{"pk": k} for k in [1, 2, 3, 4]], override_num_blocks=4)
     return child, parent
 
 
@@ -26,8 +26,8 @@ def test_orphans_planted_both_paths(ray_session, limit):
 def test_orphans_clean_and_empty_parent(ray_session):
     import ray.data as rd
     from pdf2dom_ray.functions.integrity import fk_orphans
-    child = rd.from_items([{"fk": 1}, {"fk": 2}])
-    parent = rd.from_items([{"pk": 1}, {"pk": 2}, {"pk": 3}])
+    child = rd.from_items([{"fk": 1}, {"fk": 2}], override_num_blocks=4)
+    parent = rd.from_items([{"pk": 1}, {"pk": 2}, {"pk": 3}], override_num_blocks=4)
     empty = rd.from_arrow(pa.table({"pk": pa.array([], pa.int64())}))
     got = fk_orphans([
         ("clean", child, "fk", parent, "pk"),

@@ -51,7 +51,7 @@ def _got(rows, **kw):
     from pdf2dom_ray.functions.jaccardjoin import jaccard_pairs
     return sorted((r["doc_a"], r["doc_b"], r["inter"], r["uni"],
                    r["jaccard_ppm"])
-                  for r in jaccard_pairs(rd.from_items(rows),
+                  for r in jaccard_pairs(rd.from_items(rows, override_num_blocks=4),
                                          **kw).take_all())
 
 
@@ -92,7 +92,7 @@ def test_jaccard_short_docs_and_empty(ray_session):
     from pdf2dom_ray.functions.jaccardjoin import jaccard_pairs
     # docs shorter than k produce no shingles → no pairs
     rows = [{"doc_id": 0, "text": "a b"}, {"doc_id": 1, "text": "a b"}]
-    assert jaccard_pairs(rd.from_items(rows)).take_all() == []
+    assert jaccard_pairs(rd.from_items(rows, override_num_blocks=4)).take_all() == []
     ds = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
                                  "text": pa.array([], pa.string())}))
     assert jaccard_pairs(ds).take_all() == []

@@ -17,7 +17,7 @@ def test_katz_matches_reference_both_paths(ray_session, limit):
     import ray.data as rd
     from pdf2dom_ray.functions.katz import katz_centrality
     ds = rd.from_items([{"src": u, "target": v} for u, v in EDGES]
-                       + [{"src": 0, "target": 1}])     # dup edge
+                       + [{"src": 0, "target": 1}], override_num_blocks=4)     # dup edge
     got = {r["node"]: r["katz"]
            for r in katz_centrality(ds, iterations=5,
                                     driver_edge_limit=limit).take_all()}
@@ -30,7 +30,7 @@ def test_katz_string_nodes_and_zero_rounds(ray_session):
     import ray.data as rd
     from pdf2dom_ray.functions.katz import katz_centrality
     ds = rd.from_items([{"src": "a", "target": "b"},
-                        {"src": "b", "target": "c"}])
+                        {"src": "b", "target": "c"}], override_num_blocks=4)
     got = {r["node"]: r["katz"]
            for r in katz_centrality(ds, iterations=0).take_all()}
     assert got == {"a": 10 ** 9, "b": 10 ** 9, "c": 10 ** 9}

@@ -37,7 +37,7 @@ def test_kcore_matches_reference_both_paths(ray_session, limit):
     from pdf2dom_ray.functions.kcore import kcore_nodes
     # dup + reversed + self-loop rows must not change degrees
     rows = EDGES + [(1, 0), (2, 1), (4, 4)]
-    ds = rd.from_items([{"src": u, "target": v} for u, v in rows])
+    ds = rd.from_items([{"src": u, "target": v} for u, v in rows], override_num_blocks=4)
     got = {r["node"]: r["core_degree"]
            for r in kcore_nodes(ds, k=2, rounds=8,
                                 driver_edge_limit=limit).take_all()}
@@ -52,7 +52,7 @@ def test_kcore_bounded_rounds_and_cascade(ray_session, limit):
     # path a-b-c-d-e with k=2: each peel removes the two endpoints,
     # so bounded rounds freeze the cascade mid-way
     chain = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
-    ds = rd.from_items([{"src": u, "target": v} for u, v in chain])
+    ds = rd.from_items([{"src": u, "target": v} for u, v in chain], override_num_blocks=4)
     got1 = {r["node"]: r["core_degree"]
             for r in kcore_nodes(ds, k=2, rounds=1,
                                  driver_edge_limit=limit).take_all()}
@@ -69,7 +69,7 @@ def test_kcore_partition_invariance(ray_session):
     rng = np.random.RandomState(7)
     rows = [{"src": int(u), "target": int(v)}
             for u, v in rng.randint(0, 60, size=(400, 2))]
-    ds = rd.from_items(rows)
+    ds = rd.from_items(rows, override_num_blocks=4)
     want = sorted((r["node"], r["core_degree"]) for r in
                   kcore_nodes(ds, k=3, rounds=8).take_all())
     for n_part in (1, 2, 3):
@@ -85,7 +85,7 @@ def test_kcore_empty_and_kwarg_validation(ray_session):
     empty = rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
                                     "target": pa.array([], pa.int64())}))
     assert kcore_nodes(empty, k=2).take_all() == []
-    loops = rd.from_items([{"src": 3, "target": 3}])
+    loops = rd.from_items([{"src": 3, "target": 3}], override_num_blocks=4)
     assert kcore_nodes(loops, k=1).take_all() == []
     with pytest.raises(ValueError):
         kcore_nodes(empty, k=0)
@@ -99,7 +99,7 @@ def test_kcore_oracle_sql_matches(ray_session):
     rng = np.random.RandomState(11)
     pairs = rng.randint(0, 40, size=(250, 2))
     ds = rd.from_items([{"src": int(u), "target": int(v)}
-                        for u, v in pairs])
+                        for u, v in pairs], override_num_blocks=4)
     got = sorted((r["node"], r["core_degree"]) for r in
                  kcore_nodes(ds, k=3, rounds=4).take_all())
     vals = ", ".join(f"({u}, {v})" for u, v in pairs)

@@ -13,7 +13,7 @@ ROWS = [
 
 def _ds(rows):
     import ray.data as rd
-    return rd.from_items(rows)
+    return rd.from_items(rows, override_num_blocks=4)
 
 
 def _sql(rows, **kw):

@@ -38,7 +38,7 @@ def test_ks_matches_brute_reference(ray_session):
     rows = _rows()
     got = {(r["source_a"], r["source_b"]):
            (r["d_num"], r["n_a"], r["n_b"], r["ks_ppm"])
-           for r in ks_pairwise(rd.from_items(rows)).take_all()}
+           for r in ks_pairwise(rd.from_items(rows, override_num_blocks=4)).take_all()}
     assert got == _ref(rows)
     # the +20 shifted pair dominates the same-distribution pair
     assert got[("a", "b")][3] > got[("a", "c")][3]
@@ -51,7 +51,7 @@ def test_ks_identical_and_disjoint_extremes(ray_session):
             + [{"source": "y", "v": i % 5} for i in range(40)]
             + [{"source": "z", "v": 100 + i % 3} for i in range(30)])
     got = {(r["source_a"], r["source_b"]): r["ks_ppm"]
-           for r in ks_pairwise(rd.from_items(rows)).take_all()}
+           for r in ks_pairwise(rd.from_items(rows, override_num_blocks=4)).take_all()}
     assert got[("x", "y")] == 0            # identical distributions
     assert got[("x", "z")] == 1_000_000    # fully separated supports
 
@@ -64,7 +64,7 @@ def test_ks_oracle_sql_matches(ray_session):
     rows = _rows()
     got = sorted((r["source_a"], r["source_b"], r["d_num"],
                   r["n_a"], r["n_b"], r["ks_ppm"])
-                 for r in ks_pairwise(rd.from_items(rows)).take_all())
+                 for r in ks_pairwise(rd.from_items(rows, override_num_blocks=4)).take_all())
     vals = " UNION ALL ".join(
         f"SELECT '{r['source']}' AS source, {r['v']} AS v"
         for r in rows)
@@ -77,5 +77,5 @@ def test_ks_single_source_empty(ray_session):
     import ray.data as rd
     from pdf2dom_ray.functions.kstest import ks_pairwise
     got = ks_pairwise(rd.from_items(
-        [{"source": "only", "v": 1}])).take_all()
+        [{"source": "only", "v": 1}], override_num_blocks=4)).take_all()
     assert got == []

@@ -7,7 +7,7 @@ import pytest
 
 def _ds(edges):
     import ray.data as rd
-    return rd.from_items([{"src": u, "target": v} for u, v in edges])
+    return rd.from_items([{"src": u, "target": v} for u, v in edges], override_num_blocks=4)
 
 
 def _got(edges, **kw):

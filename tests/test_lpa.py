@@ -39,7 +39,7 @@ def test_lpa_matches_reference_both_paths(ray_session, limit):
     from pdf2dom_ray.functions.lpa import lpa_communities
     # dup + reversed + self-loop rows must not change the multiset
     rows = EDGES + [(1, 0), (2, 1), (4, 4)]
-    ds = rd.from_items([{"src": u, "target": v} for u, v in rows])
+    ds = rd.from_items([{"src": u, "target": v} for u, v in rows], override_num_blocks=4)
     got = {r["node"]: r["community"]
            for r in lpa_communities(ds, rounds=4,
                                     driver_edge_limit=limit).take_all()}
@@ -57,7 +57,7 @@ def test_lpa_bounded_rounds_and_string_ids(ray_session, limit):
     # star a-(b,c,d): round 1 sends every leaf to label 'a' and 'a'
     # to the smallest leaf label 'b' (3-way tie); round 2 flips back
     star = [("a", "b"), ("a", "c"), ("a", "d")]
-    ds = rd.from_items([{"src": u, "target": v} for u, v in star])
+    ds = rd.from_items([{"src": u, "target": v} for u, v in star], override_num_blocks=4)
     for rounds in (1, 2):
         got = {r["node"]: r["community"]
                for r in lpa_communities(
@@ -74,7 +74,7 @@ def test_lpa_partition_invariance(ray_session):
     rng = np.random.RandomState(3)
     rows = [{"src": int(u), "target": int(v)}
             for u, v in rng.randint(0, 60, size=(400, 2))]
-    ds = rd.from_items(rows)
+    ds = rd.from_items(rows, override_num_blocks=4)
     want = sorted((r["node"], r["community"]) for r in
                   lpa_communities(ds, rounds=4).take_all())
     for n_part in (1, 2, 3):
@@ -90,7 +90,7 @@ def test_lpa_empty_and_self_loops_only(ray_session):
     empty = rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
                                     "target": pa.array([], pa.int64())}))
     assert lpa_communities(empty).take_all() == []
-    loops = rd.from_items([{"src": 3, "target": 3}])
+    loops = rd.from_items([{"src": 3, "target": 3}], override_num_blocks=4)
     assert lpa_communities(loops).take_all() == []
 
 
@@ -103,7 +103,7 @@ def test_lpa_oracle_sql_matches(ray_session):
     rng = np.random.RandomState(17)
     pairs = rng.randint(0, 40, size=(250, 2))
     ds = rd.from_items([{"src": int(u), "target": int(v)}
-                        for u, v in pairs])
+                        for u, v in pairs], override_num_blocks=4)
     got = sorted((r["node"], r["community"]) for r in
                  lpa_communities(ds, rounds=3).take_all())
     vals = ", ".join(f"({u}, {v})" for u, v in pairs)

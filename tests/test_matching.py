@@ -7,7 +7,7 @@ from pdf2dom_ray.functions.matching import maximal_matching
 
 
 def _edges(pairs):
-    return rd.from_items([{"src": a, "target": b} for a, b in pairs])
+    return rd.from_items([{"src": a, "target": b} for a, b in pairs], override_num_blocks=4)
 
 
 def _is_matching(df):

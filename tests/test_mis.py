@@ -30,7 +30,7 @@ def _check(got):
 def test_mis_valid_and_paths_identical(ray_session, limit):
     import ray.data as rd
     from pdf2dom_ray.functions.mis import mis_select
-    ds = rd.from_items([{"src": u, "target": v} for u, v in EDGES])
+    ds = rd.from_items([{"src": u, "target": v} for u, v in EDGES], override_num_blocks=4)
     got = {r["node"]: r["status"]
            for r in mis_select(ds, rounds=8,
                                driver_edge_limit=limit).take_all()}
@@ -49,7 +49,7 @@ def test_mis_empty_and_selfloop_only(ray_session):
     ds = rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
                                  "target": pa.array([], pa.int64())}))
     assert mis_select(ds, rounds=3).take_all() == []
-    only_self = rd.from_items([{"src": 5, "target": 5}])
+    only_self = rd.from_items([{"src": 5, "target": 5}], override_num_blocks=4)
     assert mis_select(only_self, rounds=3).take_all() == []
 
 
@@ -63,7 +63,7 @@ def test_mis_oracle_sql_matches_operator(ray_session):
                     [list(e) for e in EDGES])
     sql = mis_oracle_sql("SELECT src, target FROM edg", rounds=8)
     want = {n: s for n, s in con.execute(sql).fetchall()}
-    ds = rd.from_items([{"src": u, "target": v} for u, v in EDGES])
+    ds = rd.from_items([{"src": u, "target": v} for u, v in EDGES], override_num_blocks=4)
     got = {r["node"]: r["status"]
            for r in mis_select(ds, rounds=8).take_all()}
     assert got == want

@@ -5,7 +5,7 @@ import numpy as np
 
 def _ds(edges):
     import ray.data as rd
-    return rd.from_items([{"src": u, "target": v} for u, v in edges])
+    return rd.from_items([{"src": u, "target": v} for u, v in edges], override_num_blocks=4)
 
 
 def _url(h, i):
@@ -71,7 +71,7 @@ def test_conductance_hand_case(ray_session):
     # host a: internal edge (a/1, a/2); one crossing edge a/1 - b/1
     edges = rd.from_items([
         {"src": "https://a.x/1", "target": "https://a.x/2"},
-        {"src": "https://a.x/1", "target": "https://b.x/1"}])
+        {"src": "https://a.x/1", "target": "https://b.x/1"}], override_num_blocks=4)
     got = host_conductance(edges).to_pandas() \
         .sort_values("host").reset_index(drop=True)
     # m=2, 2m=4. host a.x: vol=3, cut=1, denom=min(3,1)=1 -> 1e6
@@ -88,7 +88,7 @@ def test_conductance_isolated_host_zero(ray_session):
     from pdf2dom_ray.functions.modularity import host_conductance
     edges = rd.from_items([
         {"src": "https://a.x/1", "target": "https://a.x/2"},
-        {"src": "https://b.x/1", "target": "https://b.x/2"}])
+        {"src": "https://b.x/1", "target": "https://b.x/2"}], override_num_blocks=4)
     got = host_conductance(edges).to_pandas()
     assert (got.conductance_ppm == 0).all()
     assert (got.cut == 0).all()

@@ -17,7 +17,7 @@ import ray.data as rd
 def test_gini_rank_sum_equals_pairwise(ray_session, vals):
     from pdf2dom_ray.functions.gini import group_gini
     rows = [{"source": "g", "n_chars": int(v)} for v in vals]
-    got = group_gini(rd.from_items(rows)).to_pandas()
+    got = group_gini(rd.from_items(rows, override_num_blocks=4)).to_pandas()
     x = np.array(vals, dtype=np.int64)
     tot = int(x.sum())
     if tot == 0:
@@ -44,7 +44,7 @@ def test_boruvka_weight_optimal_on_random_graphs(ray_session,
         return
     rows = [{"src": a, "target": b, "w": w}
             for (a, b), w in dd.items()]
-    got = boruvka_forest(rd.from_items(rows), rounds=8,
+    got = boruvka_forest(rd.from_items(rows, override_num_blocks=4), rounds=8,
                          label_rounds=16).to_pandas()
     # Kruskal reference
     nodes = sorted({n for ab in dd for n in ab})

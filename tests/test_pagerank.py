@@ -42,7 +42,7 @@ def test_reference_conserves_bounded_mass():
 def test_ray_matches_reference_tiny(ray_session):
     import ray.data as rd
     ds = rd.from_items([{"src": u, "target": v} for u, v in TINY]
-                       + [{"src": "a", "target": "b"}])  # dup edge
+                       + [{"src": "a", "target": "b"}], override_num_blocks=4)  # dup edge
     got = {r["url"]: r["rank"]
            for r in pagerank(ds, iterations=3,
                              driver_edge_limit=0).take_all()}
@@ -51,7 +51,7 @@ def test_ray_matches_reference_tiny(ray_session):
 
 def test_driver_and_distributed_paths_identical(ray_session):
     import ray.data as rd
-    ds = rd.from_items([{"src": u, "target": v} for u, v in TINY])
+    ds = rd.from_items([{"src": u, "target": v} for u, v in TINY], override_num_blocks=4)
     bsp = {r["url"]: r["rank"]
            for r in pagerank(ds, iterations=4,
                              driver_edge_limit=0).take_all()}
@@ -108,7 +108,7 @@ def test_bsp_survives_schemaless_empty_blocks(ray_session):
         assert len(se) == len(te) == len(st) == len(tt) == len(urls) == 0
 
     # full BSP run over a dataset that carries an injected empty block
-    tiny = rd.from_items([{"src": u, "target": v} for u, v in TINY])
+    tiny = rd.from_items([{"src": u, "target": v} for u, v in TINY], override_num_blocks=4)
     tiny = tiny.union(rd.from_arrow(empty))
     got = {r["url"]: r["rank"]
            for r in pagerank(tiny, iterations=3,

@@ -67,7 +67,7 @@ def test_skew_routing(ray_session):
             for i in range(4)]
     giant_text = " ".join(f"w{i}" for i in range(30000))  # many pages
     rows.append({"url": "giant", "html": doc_to_pdf(1000, giant_text)})
-    ds = rd.from_items(rows)
+    ds = rd.from_items(rows, override_num_blocks=4)
     out = extract(ds, skew_threshold=50_000, emit_html=False).to_pandas()
     assert len(out) == 5
     g = out[out.url == "giant"].iloc[0]

@@ -21,7 +21,7 @@ def _ref(a, b):
 def _ds(a, b):
     import ray.data as rd
     return rd.from_items([{"ma": int(x), "mb": int(y)}
-                          for x, y in zip(a, b)])
+                          for x, y in zip(a, b)], override_num_blocks=4)
 
 
 def test_spearman_matches_reference_with_ties(ray_session):

@@ -19,7 +19,7 @@ def test_redirects_match_reference_both_paths(ray_session, limit):
     import ray.data as rd
     from pdf2dom_ray.functions.redirects import resolve_redirects
     ds = rd.from_items([{"src": u, "target": v} for u, v in EDGES]
-                       + [{"src": "a", "target": "b"}])   # dup row
+                       + [{"src": "a", "target": "b"}], override_num_blocks=4)   # dup row
     got = {r["node"]: (r["final"], r["hops"])
            for r in resolve_redirects(ds, rounds=4,
                                       driver_edge_limit=limit)
@@ -38,7 +38,7 @@ def test_redirects_min_target_and_long_chain(ray_session):
     from pdf2dom_ray.functions.redirects import resolve_redirects
     # dirty data: two targets for one src -> MIN target wins
     ds = rd.from_items([{"src": "s", "target": "b"},
-                        {"src": "s", "target": "a"}])
+                        {"src": "s", "target": "a"}], override_num_blocks=4)
     got = {r["node"]: (r["final"], r["hops"])
            for r in resolve_redirects(ds, rounds=2).take_all()}
     assert got["s"] == ("a", 1)
@@ -46,12 +46,12 @@ def test_redirects_min_target_and_long_chain(ray_session):
     chain = [{"src": i, "target": i + 1} for i in range(10)]
     got2 = {r["node"]: (r["final"], r["hops"])
             for r in resolve_redirects(
-                rd.from_items(chain), rounds=4).take_all()}
+                rd.from_items(chain, override_num_blocks=4), rounds=4).take_all()}
     assert got2[0] == (10, 10) and got2[10] == (10, 0)
     # under-provisioned rounds resolve only 2^rounds hops
     got3 = {r["node"]: (r["final"], r["hops"])
             for r in resolve_redirects(
-                rd.from_items(chain), rounds=2).take_all()}
+                rd.from_items(chain, override_num_blocks=4), rounds=2).take_all()}
     assert got3[0] == (4, 4)
 
 
@@ -60,7 +60,7 @@ def test_redirects_bsp_int_nodes(ray_session):
     from pdf2dom_ray.functions.redirects import resolve_redirects
     chain = [{"src": i, "target": i + 1} for i in range(6)]
     got = {r["node"]: (r["final"], r["hops"])
-           for r in resolve_redirects(rd.from_items(chain), rounds=3,
+           for r in resolve_redirects(rd.from_items(chain, override_num_blocks=4), rounds=3,
                                       driver_edge_limit=0).take_all()}
     assert got[0] == (6, 6) and got[5] == (6, 1)
 

@@ -48,4 +48,4 @@ def test_rendezvous_requires_shards(ray_session):
     import ray.data as rd
     from pdf2dom_ray.functions.rendezvous import rendezvous_assign
     with pytest.raises(ValueError):
-        rendezvous_assign(rd.from_items([{"url": "x"}]), [])
+        rendezvous_assign(rd.from_items([{"url": "x"}], override_num_blocks=4), [])

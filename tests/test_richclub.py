@@ -5,7 +5,7 @@ import numpy as np
 
 def _ds(edges):
     import ray.data as rd
-    return rd.from_items([{"src": u, "target": v} for u, v in edges])
+    return rd.from_items([{"src": u, "target": v} for u, v in edges], override_num_blocks=4)
 
 
 def test_richclub_hand_case(ray_session):

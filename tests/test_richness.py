@@ -40,7 +40,7 @@ def test_richness_bigrams_nondegenerate(ray_session, sf_dir):
 
 def test_richness_hand_case(ray_session):
     # "a b a" ⇒ unigrams: a×2, b×1 → N=3 V=2 f1=1 f2=1
-    ds = rd.from_items([{"text": "a b a"}])
+    ds = rd.from_items([{"text": "a b a"}], override_num_blocks=4)
     got = vocab_richness(ds, ngram=1).to_pandas()
     assert got.values.tolist() == [[3, 2, 1, 1,
                                     (1_000_000 * 1) // 3,
@@ -52,7 +52,7 @@ def test_richness_hand_case(ray_session):
 
 def test_richness_empty_and_single_token_docs(ray_session):
     ds = rd.from_items([{"text": ""}, {"text": "x"},
-                        {"text": "  "}])
+                        {"text": "  "}], override_num_blocks=4)
     got = vocab_richness(ds, ngram=2).to_pandas()
     # no within-doc bigram exists anywhere
     assert int(got.n_tokens[0]) == 0
@@ -91,7 +91,7 @@ def test_source_ttr_partition_invariance(ray_session, sf_dir):
 def test_source_ttr_hand_case(ray_session):
     from pdf2dom_ray.functions.richness import source_ttr
     ds = rd.from_items([{"source": "s1", "text": "a b a"},
-                        {"source": "s2", "text": "x"}])
+                        {"source": "s2", "text": "x"}], override_num_blocks=4)
     got = source_ttr(ds).to_pandas()
     assert got.values.tolist() == [
         ["s1", 3, 2, (1_000_000 * 2) // 3],

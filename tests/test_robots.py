@@ -69,7 +69,7 @@ def test_frontier_filter_stage(ray_session):
         {"target": "https://docs.synth.test/buy"},
         {"target": "https://docs.synth.test/news"},
         {"target": "https://other.example/x"},       # no robots → allowed
-    ])
+    ], override_num_blocks=4)
     out = filter_frontier(targets, {"docs.synth.test": SYNTH_ROBOTS})
     got = {r["target"].rsplit("/", 1)[1]: r["allowed"]
            for r in out.take_all()}

@@ -63,7 +63,7 @@ def test_sample_hash_zero_and_one(ray_session):
     import ray.data as rd
 
     from pdf2dom_ray.functions.sampling import sample_hash
-    ds = rd.from_items([{"url": f"u{i}"} for i in range(50)])
+    ds = rd.from_items([{"url": f"u{i}"} for i in range(50)], override_num_blocks=4)
     assert sample_hash(ds, 0.0).count() == 0
     assert sample_hash(ds, 1.0).count() == 50
 

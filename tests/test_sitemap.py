@@ -70,10 +70,10 @@ def test_gap_hand_case(ray_session):
     from pdf2dom_ray.functions.sitemapgap import sitemap_gap
     sm = rd.from_items([
         {"host": "h1", "url": "u1"}, {"host": "h1", "url": "u2"},
-        {"host": "h2", "url": "u5"}])
+        {"host": "h2", "url": "u5"}], override_num_blocks=4)
     cr = rd.from_items([
         {"host": "h1", "url": "u1"}, {"host": "h1", "url": "u3"},
-        {"host": "h1", "url": "u3"}])            # dup crawl row
+        {"host": "h1", "url": "u3"}], override_num_blocks=4)            # dup crawl row
     got = {r["host"]: (r["n_sitemap"], r["n_crawled"], r["n_both"],
                        r["n_sitemap_only"], r["n_crawl_only"])
            for r in sitemap_gap(sm, cr).take_all()}

@@ -7,7 +7,7 @@ import pytest
 
 def _ds(rows, n_blocks=1):
     import ray.data as rd
-    ds = rd.from_items(rows)
+    ds = rd.from_items(rows, override_num_blocks=4)
     return ds.repartition(n_blocks) if n_blocks > 1 else ds
 
 

@@ -37,7 +37,7 @@ def test_sssp_matches_reference_both_paths(ray_session, limit):
     # duplicate parallel edge with a WORSE weight: MIN rule drops it
     rows.append({"src": 0, "target": 2, "w": 9})
     got = {r["node"]: r["dist"]
-           for r in sssp_distances(rd.from_items(rows), [0], rounds=8,
+           for r in sssp_distances(rd.from_items(rows, override_num_blocks=4), [0], rounds=8,
                                    driver_edge_limit=limit).take_all()}
     assert got == _ref(EDGES, [0], 8)
     assert got[1] == 2 and got[3] == 12 and 7 not in got
@@ -48,7 +48,7 @@ def test_sssp_bounded_rounds(ray_session):
     from pdf2dom_ray.functions.sssp import sssp_distances
     rows = [{"src": u, "target": v, "w": w} for u, v, w in EDGES]
     got = {r["node"]: r["dist"]
-           for r in sssp_distances(rd.from_items(rows), [0],
+           for r in sssp_distances(rd.from_items(rows, override_num_blocks=4), [0],
                                    rounds=1).take_all()}
     # one round: direct edges only — 0→1 still costs 5
     assert got == {0: 0, 1: 5, 2: 1}

@@ -45,7 +45,7 @@ def _ref(edges, pivots, radius, salt="stress"):
 
 def _ds(rows):
     import ray.data as rd
-    return rd.from_items([{"src": u, "target": v} for u, v in rows])
+    return rd.from_items([{"src": u, "target": v} for u, v in rows], override_num_blocks=4)
 
 
 @pytest.mark.parametrize("limit", [5_000_000, 0])

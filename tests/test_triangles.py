@@ -96,5 +96,5 @@ def test_triangles_wedge_free_distributed_path(ray_session):
     and the finalize fails with "No match ... FieldRef")."""
     import ray.data as rd
     from pdf2dom_ray.functions.triangles import triangle_counts
-    ds = rd.from_items([{"a": i, "b": i + 1} for i in range(6)])
+    ds = rd.from_items([{"a": i, "b": i + 1} for i in range(6)], override_num_blocks=4)
     assert triangle_counts(ds, driver_edge_limit=0).take_all() == []

@@ -86,7 +86,7 @@ def test_keep_best_matches_reference(ray_session):
         {"doc_id": 4, "text": "beta", "n_chars": 4},
     ]
     got = {r["k"]: (r["doc_id"], r["n_chars"], r["n_members"])
-           for r in keep_best(rd.from_items(rows)).take_all()}
+           for r in keep_best(rd.from_items(rows, override_num_blocks=4)).take_all()}
     # cluster 'alpha...' keeps max n_chars then min doc_id (doc 2 of 2,3)
     assert got[("alpha " * 5)[:20]] == (2, 31, 3)
     assert got["beta"] == (4, 4, 1)
@@ -103,7 +103,7 @@ def test_mirror_hosts_hand_case(ray_session):
         {"k": "k4", "host": "c"},              # lone host: no pair
     ]
     got = {(r["host_a"], r["host_b"]): r["shared"]
-           for r in mirror_hosts(rd.from_items(rows)).take_all()}
+           for r in mirror_hosts(rd.from_items(rows, override_num_blocks=4)).take_all()}
     assert got == {("a", "b"): 2, ("a", "c"): 1}
 
 
@@ -113,7 +113,7 @@ def test_mirror_hosts_cap_drops_template_keys(ray_session):
     rows = [{"k": "tpl", "host": f"h{i}"} for i in range(5)] + \
            [{"k": "real", "host": "h0"}, {"k": "real", "host": "h1"}]
     got = {(r["host_a"], r["host_b"]): r["shared"]
-           for r in mirror_hosts(rd.from_items(rows),
+           for r in mirror_hosts(rd.from_items(rows, override_num_blocks=4),
                                  max_hosts_per_key=4).take_all()}
     assert got == {("h0", "h1"): 1}            # 'tpl' on 5 hosts: capped
 
@@ -145,7 +145,7 @@ def test_url_templates_hand_case(ray_session):
     urls = ["https://a.test/d/1", "https://a.test/d/23?p=4",
             "https://a.test/d/5#frag", "https://a.test/about",
             "https://b.test/cal/2024/01", "https://b.test/cal/2024/02"]
-    ds = rd.from_items([{"url": u} for u in urls])
+    ds = rd.from_items([{"url": u} for u in urls], override_num_blocks=4)
     got = {r["template"]: r["n_urls"]
            for r in url_templates(ds).take_all()}
     assert got == {"https://a.test/d/{n}": 3, "https://a.test/about": 1,
@@ -163,7 +163,7 @@ def test_url_templates_oracle_matches(ray_session):
                                                url_templates_oracle_sql)
     urls = [f"https://h{i % 3}.test/p{i % 5}/x{i}?s={i}"
             for i in range(40)]
-    ds = rd.from_items([{"url": u} for u in urls])
+    ds = rd.from_items([{"url": u} for u in urls], override_num_blocks=4)
     got = sorted((r["template"], r["n_urls"])
                  for r in url_templates(ds, min_count=2).take_all())
     vals = ", ".join(f"('{u}')" for u in urls)

@@ -9,7 +9,7 @@ SEEDS = [(0, "a"), (1, "c"), (2, "x"), (3, "ghost")]
 
 def _ds(rows):
     import ray.data as rd
-    return rd.from_items([{"src": u, "target": v} for u, v in rows])
+    return rd.from_items([{"src": u, "target": v} for u, v in rows], override_num_blocks=4)
 
 
 @pytest.mark.parametrize("limit", [5_000_000, 0])
@@ -92,7 +92,7 @@ def test_skipgram_pairs_matches_duckdb(ray_session):
             (1, 0, "x"), (1, 1, "y"),
             (2, 0, "solo")]
     ds = rd.from_items([{"walk_id": w, "step": s, "url": u}
-                        for w, s, u in rows])
+                        for w, s, u in rows], override_num_blocks=4)
     got = sorted((r["center"], r["context"], r["n_pairs"]) for r in
                  skipgram_pairs(ds, window=2).take_all())
     vals = ", ".join(f"({w}, {s}, '{u}')" for w, s, u in rows)
@@ -116,7 +116,7 @@ def test_skipgram_pairs_partition_invariance(ray_session):
     rows = [(int(w), int(s), f"n{rng.randint(0, 9)}")
             for w in range(20) for s in range(6)]
     ds = rd.from_items([{"walk_id": w, "step": s, "url": u}
-                        for w, s, u in rows])
+                        for w, s, u in rows], override_num_blocks=4)
     want = sorted((r["center"], r["context"], r["n_pairs"]) for r in
                   skipgram_pairs(ds, window=2,
                                  num_partitions=1).take_all())

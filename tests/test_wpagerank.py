@@ -10,7 +10,7 @@ EDGES = [("a", "b", 3), ("a", "c", 1), ("b", "c", 2), ("c", "a", 5),
 def _ds(rows):
     import ray.data as rd
     return rd.from_items([{"src": u, "target": v, "w": w}
-                          for u, v, w in rows])
+                          for u, v, w in rows], override_num_blocks=4)
 
 
 @pytest.mark.parametrize("limit,mode", [(5_000_000, "bsp"),
@@ -104,7 +104,7 @@ def test_host_rank_weighted_composition(ray_session):
              ("https://a.test/2", "https://b.test/2"),
              ("https://a.test/1", "https://a.test/2"),
              ("https://b.test/1", "https://c.test/1")]
-    ds = rd.from_items([{"src": u, "target": v} for u, v in edges])
+    ds = rd.from_items([{"src": u, "target": v} for u, v in edges], override_num_blocks=4)
     got = {r["host"]: r["rank"]
            for r in host_rank(ds, iterations=4,
                               weighted=True).take_all()}
