@@ -594,6 +594,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_merges": _q_bpe_merges,              # rows-only (iterative)
         "oov_rate": _q_oov_rate,
+        "oov_curve": _q_oov_curve,
         "quality_filter": _q_gopher,
         "repetition_stats": _q_repetition,
         "unigram_logprob": _q_unigram_logprob,
@@ -617,6 +618,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "semdedup": _q_semdedup,
         "ann_brute_topk": _q_ann_brute,
         "ann_knn_join": _q_ann_knn_join,
+        "hard_negatives": _q_hard_negatives,
         "embedding_cluster_cc": _q_embedding_cluster_cc,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -2118,6 +2120,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY pair_count DESC, lhs, rhs LIMIT 50
         """,
         "oov_rate": _oov_sql(),
+        "oov_curve": _oov_curve_sql(),
         "quality_filter": f"""
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
                               length(text) AS L FROM documents),
@@ -2435,6 +2438,23 @@ def oracle_sql() -> dict[str, str]:
         # kNN similarity join: ranks over the SAME rounded sims and
         # the same vec_id tie-break as the Ray path
         "embedding_cluster_cc": _embed_cc_sql(),
+        "hard_negatives": """
+            WITH q AS (SELECT vec_id AS qid,
+                              CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id % 50 = 0),
+                 s AS (SELECT q.qid, e.vec_id,
+                              round(list_cosine_similarity(
+                                  CAST(e.embedding AS DOUBLE[]), q.qv),
+                                  4) AS sim
+                       FROM embeddings e, q
+                       WHERE e.vec_id <> q.qid),
+                 f AS (SELECT * FROM s WHERE sim < 0.9),
+                 r AS (SELECT *, row_number() OVER (
+                           PARTITION BY qid
+                           ORDER BY sim DESC, vec_id) AS rn
+                       FROM f)
+            SELECT qid, vec_id, sim FROM r WHERE rn = 1
+        """,
         "ann_knn_join": """
             WITH q AS (SELECT vec_id AS qid,
                               CAST(embedding AS DOUBLE[]) AS qv
@@ -6816,6 +6836,21 @@ def _q_oov_rate(sf_dir: str):
     return oov_rate(_documents(sf_dir), vocab_size=256)
 
 
+def _q_oov_curve(sf_dir: str):
+    """OOV-rate-vs-vocab-size ladder (r5) — the BPE budget-sizing
+    curve (functions/oovcurve.py): exact top-V coverage fractions at
+    V in (64, 256, 1024, 4096) from ONE token-keyed aggregate + a
+    max(V)-row takeOrdered merge; the count table never reaches the
+    driver."""
+    from pdf2dom_ray.functions.oovcurve import oov_curve
+    return oov_curve(_documents(sf_dir))
+
+
+def _oov_curve_sql() -> str:
+    from pdf2dom_ray.functions.oovcurve import oov_curve_oracle_sql
+    return oov_curve_oracle_sql("SELECT text FROM documents")
+
+
 def _q_top_tokens(sf_dir: str):
     """Misra-Gries heavy-hitters sketch: per-batch exact counts cut to
     capacity-sized mergeable summaries, driver fold of O(blocks x
@@ -8848,6 +8883,25 @@ def _q_ann_knn_join(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     return knn_join(ds, Q, ids[sel], k=5)
+
+
+def _q_hard_negatives(sf_dir: str):
+    """Contrastive hard-negative mining (r5): per anchor (every 50th
+    vector), the most similar OTHER vector with rounded cosine sim
+    < 0.9 (functions/ann.py::hard_negatives — knn_join's broadcast
+    matmul shape with a band mask and k=1)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from pdf2dom_ray.functions.ann import hard_negatives
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id"))
+    sel = ids % 50 == 0
+    Q = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in t.column("embedding").to_pylist()])[sel]
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return hard_negatives(ds, Q, ids[sel], hi=0.9)
 
 
 def _q_ann_lsh(sf_dir: str):

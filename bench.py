@@ -264,7 +264,8 @@ def run_bench() -> dict:
                  "extract_reference_corpus", "winnow_fingerprints",
                  "minhash_error_audit", "link_robustness",
                  "sitemap_ingest", "sitemap_gap",
-                 "image_thumbnail"):
+                 "image_thumbnail",
+                 "oov_curve", "hard_negatives"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

@@ -18,7 +18,8 @@ import ray.data as rd
 
 from ..stages.pool import default_pool
 
-__all__ = ["brute_topk", "knn_join", "lsh_buckets", "lsh_topk", "ivf_topk",
+__all__ = ["brute_topk", "knn_join", "hard_negatives",
+           "lsh_buckets", "lsh_topk", "ivf_topk",
            "embedding_near_dup_pairs", "embedding_near_dup_pairs_lsh",
            "embedding_near_dup_pairs_banded",
            "ivf_build_centroids", "pq_train_codebooks", "pq_topk"]
@@ -138,6 +139,58 @@ def knn_join(ds: rd.Dataset, queries: np.ndarray, qids, k: int = 5, *,
     partials = ds.map_batches(score, batch_format="pyarrow")
     return grouped_topk(partials, "qid", ["sim", "vec_id"],
                         [False, True], k)
+
+
+def hard_negatives(ds: rd.Dataset, queries: np.ndarray, qids, *,
+                   hi: float = 0.9,
+                   round_decimals: int = 4) -> rd.Dataset:
+    """(qid, vec_id, sim): for each anchor, the single most similar
+    OTHER vector whose ROUNDED cosine sim is strictly below ``hi`` —
+    contrastive-training hard-negative mining (the "most confusable
+    non-duplicate" per anchor; pairs at/above ``hi`` are near-dup
+    territory and excluded). Same broadcast/b×m-matmul/narrow-partial
+    shape as ``knn_join`` with k=1 and a band mask; rounding before
+    selection + vec_id tie-break make it exactly the SQL twin.
+    """
+    from .topk import grouped_topk
+
+    Q = np.asarray(queries, dtype=np.float64)
+    qid_arr = np.asarray(qids, dtype=np.int64)
+    qn = np.maximum(np.linalg.norm(Q, axis=1), 1e-30)
+    qref = ray.put((Q, qn, qid_arr))
+
+    def score(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return _KNN_EMPTY
+        Qm, qnorm, qi = ray.get(qref)
+        e = _emb_matrix(batch).astype(np.float64)
+        en = np.maximum(np.linalg.norm(e, axis=1), 1e-30)
+        sims = np.round((e @ Qm.T) / np.outer(en, qnorm),
+                        round_decimals)                    # b×m
+        vid = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        masked = np.where((sims < hi) & (vid[:, None] != qi[None, :]),
+                          sims, -np.inf)
+        out_q, out_v, out_s = [], [], []
+        for c in range(Qm.shape[0]):                       # m anchors
+            col = masked[:, c]
+            best = col.max()
+            if not np.isfinite(best):
+                continue
+            cand = vid[col == best]
+            out_q.append(qi[c])
+            out_v.append(int(cand.min()))                  # tie → low id
+            out_s.append(best)
+        return pa.table({
+            "qid": pa.array(np.asarray(out_q, np.int64), pa.int64()),
+            "vec_id": pa.array(np.asarray(out_v, np.int64),
+                               pa.int64()),
+            "sim": pa.array(np.asarray(out_s, np.float64),
+                            pa.float64())})
+
+    partials = ds.map_batches(score, batch_format="pyarrow")
+    return grouped_topk(partials, "qid", ["sim", "vec_id"],
+                        [False, True], 1) \
+        .select_columns(["qid", "vec_id", "sim"])
 
 
 class _LshSigner:
