@@ -373,6 +373,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "anchor_texts": _q_anchor_texts,
         "anchor_doc_profile": _q_anchor_doc_profile,
         "pagerank": _q_pagerank,
+        "pagerank_convergence": _q_pagerank_convergence,
         "pagerank_bsp": _q_pagerank_bsp,
         "trustrank": _q_trustrank,
         "trustrank_bsp": _q_trustrank_bsp,
@@ -811,6 +812,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_texts": _anchor_counts_sql(),
         "anchor_doc_profile": _anchor_profile_sql(),
         "pagerank": _pagerank_sql(),
+        "pagerank_convergence": _pagerank_convergence_sql(),
         "pagerank_bsp": _pagerank_sql(),
         "trustrank": _trustrank_sql(),
         "trustrank_bsp": _trustrank_sql(),
@@ -3251,6 +3253,27 @@ def _pagerank_sql() -> str:
              f"'https://docs.synth.test' || path AS target "
              f"FROM ({_LINKS_SQL}) l")
     return pagerank_oracle_sql(edges, iterations=5)
+
+
+def _q_pagerank_convergence(sf_dir: str):
+    """Per-iteration L1 rank deltas of the PageRank recurrence (r5) —
+    the iteration-budget diagnostic (functions/pagerank.py::
+    pagerank_convergence); bit-identical on driver and BSP paths, one
+    extra O(P) scalar fold per round on the scale path."""
+    from pdf2dom_ray.functions.pagerank import pagerank_convergence
+    from pdf2dom_ray.pipelines.html_extract import (extract_outlinks_ds,
+                                                    synth_html_pages)
+    return pagerank_convergence(
+        extract_outlinks_ds(synth_html_pages(sf_dir)), iterations=5)
+
+
+def _pagerank_convergence_sql() -> str:
+    from pdf2dom_ray.functions.pagerank import \
+        pagerank_convergence_oracle_sql
+    edges = (f"SELECT {_URL_SQL} AS src, "
+             f"'https://docs.synth.test' || path AS target "
+             f"FROM ({_LINKS_SQL}) l")
+    return pagerank_convergence_oracle_sql(edges, iterations=5)
 
 
 def _trustrank_sql() -> str:

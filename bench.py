@@ -265,7 +265,8 @@ def run_bench() -> dict:
                  "minhash_error_audit", "link_robustness",
                  "sitemap_ingest", "sitemap_gap",
                  "image_thumbnail",
-                 "oov_curve", "hard_negatives"):
+                 "oov_curve", "hard_negatives",
+                 "pagerank_convergence"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

@@ -51,7 +51,8 @@ from ray.data.aggregate import Count, Sum
 from .dedup import _to_arrow_blocks
 
 __all__ = ["SCALE", "DAMP_NUM", "DAMP_DEN", "pagerank",
-           "pagerank_reference", "pagerank_oracle_sql"]
+           "pagerank_reference", "pagerank_oracle_sql",
+           "pagerank_convergence", "pagerank_convergence_oracle_sql"]
 
 SCALE = 10 ** 9
 DAMP_NUM, DAMP_DEN = 85, 100      # d = 0.85
@@ -319,6 +320,136 @@ def _pagerank_driver(e: rd.Dataset, iterations: int,
         "url": pa.array(urls.tolist(), pa.string()),
         "rank": pa.array(rank, pa.int64()),
     }))
+
+
+def pagerank_convergence(edges: rd.Dataset, *, iterations: int = 5,
+                         scale: int = SCALE,
+                         driver_edge_limit: int = 5_000_000,
+                         n_part: int | None = None) -> rd.Dataset:
+    """(iteration, l1_delta): per-round Σ|rank_k − rank_{k−1}| of the
+    SAME integer PageRank recurrence — the convergence diagnostic that
+    tells you whether the iteration budget is sized right before
+    spending K passes over a 100 TB graph (a flat tail means wasted
+    rounds, a fat tail means under-iterated ranks). Exact int64, so
+    the unrolled oracle hash-matches, and bit-identical on the driver
+    and BSP paths (the recurrence and the delta are both
+    order-independent integer sums).
+
+    Scale shape: the pagerank BSP loop with one extra O(P) scalar
+    fold per round (each gather also returns its shard's Σ|Δ|); the
+    K-row curve is the only driver-side state beyond the usual
+    dangling-mass sync."""
+    empty = pa.table({"iteration": pa.array([], pa.int64()),
+                      "l1_delta": pa.array([], pa.int64())})
+    thin = _thin(edges, ["src", "target"]).materialize()
+    n_thin = thin.count()
+    if n_thin == 0:
+        return rd.from_arrow(empty)
+    if n_thin <= driver_edge_limit:
+        t = pa.concat_tables(b for b in ray.get(thin.to_arrow_refs())
+                             if b.num_columns)
+        src = np.asarray(t.column("src").to_pandas(), dtype=object)
+        tgt = np.asarray(t.column("target").to_pandas(), dtype=object)
+        urls, idx = np.unique(np.concatenate([src, tgt]),
+                              return_inverse=True)
+        n = len(urls)
+        codes = np.unique(idx[:len(src)].astype(np.int64) * n
+                          + idx[len(src):])
+        src_id, tgt_id = codes // n, codes % n
+        outdeg = np.bincount(src_id, minlength=n).astype(np.int64)
+        rank = np.full(n, scale, dtype=np.int64)
+        base = scale * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+        dangling = outdeg == 0
+        safe_od = np.where(dangling, 1, outdeg)
+        deltas = []
+        for _ in range(iterations):
+            dang_share = int(rank[dangling].sum()) // n
+            contrib = rank // safe_od
+            in_sum = np.zeros(n, dtype=np.int64)
+            np.add.at(in_sum, tgt_id, contrib[src_id])
+            new = base + (in_sum + dang_share) * DAMP_NUM // DAMP_DEN
+            deltas.append(int(np.abs(new - rank).sum()))
+            rank = new
+        return rd.from_arrow(pa.table({
+            "iteration": pa.array(
+                np.arange(1, iterations + 1, dtype=np.int64),
+                pa.int64()),
+            "l1_delta": pa.array(np.asarray(deltas, np.int64),
+                                 pa.int64())}))
+
+    from .graphbsp import ShardedGraph
+    base = scale * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+    g = ShardedGraph.build(thin, n_part or _n_partitions())
+    P = g.n_part
+
+    @ray.remote
+    def scatter(edge_shard, node_shard, rank):
+        src_idx, tgt_idx, offsets = edge_shard
+        outdeg = node_shard[1]
+        contrib = rank[src_idx] // outdeg[src_idx]
+        out = tuple((tgt_idx[offsets[q]:offsets[q + 1]],
+                     contrib[offsets[q]:offsets[q + 1]])
+                    for q in range(P))
+        return out if P > 1 else out[0]
+
+    @ray.remote(num_returns=3)
+    def gather(node_shard, share: int, old_rank, *pieces):
+        urls, outdeg = node_shard
+        in_sum = np.zeros(len(urls), dtype=np.int64)
+        for tgt_idx, contrib in pieces:
+            np.add.at(in_sum, tgt_idx, contrib)
+        rank = base + (in_sum + share) * DAMP_NUM // DAMP_DEN
+        return (rank, int(rank[outdeg == 0].sum()),
+                int(np.abs(rank - old_rank).sum()))
+
+    inits = [_pr_init_shard.remote(s, scale) for s in g.node_shards]
+    parts = ray.get(inits)
+    ranks = [ray.put(p[0]) for p in parts]
+    dang = sum(p[1] for p in parts)
+    n_nodes = sum(p[2] for p in parts)
+    if n_nodes == 0:
+        return rd.from_arrow(empty)
+    deltas = []
+    for _ in range(iterations):
+        share = dang // n_nodes
+        scat = [scatter.options(num_returns=P)
+                .remote(g.edges_by_src[p], g.node_shards[p], ranks[p])
+                for p in range(P)]
+        if P == 1:
+            scat = [[s] for s in scat]
+        outs = [gather.remote(g.node_shards[q], share, ranks[q],
+                              *[scat[p][q] for p in range(P)])
+                for q in range(P)]
+        ranks = [o[0] for o in outs]
+        dparts = ray.get([o[1] for o in outs])
+        dang = sum(dparts)
+        deltas.append(sum(ray.get([o[2] for o in outs])))
+    return rd.from_arrow(pa.table({
+        "iteration": pa.array(
+            np.arange(1, iterations + 1, dtype=np.int64), pa.int64()),
+        "l1_delta": pa.array(np.asarray(deltas, np.int64),
+                             pa.int64())}))
+
+
+def pagerank_convergence_oracle_sql(edges_cte: str, *,
+                                    iterations: int = 5,
+                                    scale: int = SCALE) -> str:
+    """Unrolled twin: the pagerank CTE chain + per-round |Δ| sums."""
+    inner = pagerank_oracle_sql(edges_cte, iterations=iterations,
+                                scale=scale)
+    # strip the final SELECT, keep the CTE chain
+    head = inner.rsplit("SELECT url, rank FROM", 1)[0].rstrip()
+    parts = [head]
+    for k in range(iterations):
+        parts.append(f""",
+        dl{k} AS MATERIALIZED (
+            SELECT CAST(SUM(ABS(a.rank - b.rank)) AS BIGINT) AS d
+            FROM r{k + 1} a JOIN r{k} b ON a.url = b.url)""")
+    arms = [f"SELECT CAST({k + 1} AS BIGINT) AS iteration, "
+            f"(SELECT d FROM dl{k}) AS l1_delta"
+            for k in range(iterations)]
+    parts.append("\n        " + "\n        UNION ALL ".join(arms))
+    return "".join(parts)
 
 
 def pagerank_reference(edge_list, *, iterations: int = 5,
