@@ -584,6 +584,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "coverage_select": _q_coverage_select,
         "shingle_novelty": _q_shingle_novelty,
         "doc_fingerprint": _q_fingerprint,
+        "compression_ratio": _q_compression_ratio,
         "winnow_fingerprints": _q_winnow,
         "minhash_error_audit": _q_minhash_audit,
         "link_robustness": _q_link_robustness,
@@ -718,6 +719,7 @@ _DRIVER_CHECKED = frozenset({
 _ROWS_ONLY = frozenset({
     "distinct_users_hll", "distinct_users_by_type",
     "embedding_fd_sketch", "bpe_merges", "ann_hnsw_topk",
+    "compression_ratio",
 })
 
 # Driver-green only as pre-oracle rows-only checks (r1/r2); their SQL
@@ -6790,6 +6792,15 @@ def _minhash_audit_sql() -> str:
         minhash_audit_oracle_sql
     return minhash_audit_oracle_sql(
         "SELECT doc_id, text FROM documents")
+
+
+def _q_compression_ratio(sf_dir: str):
+    """zlib compression-ratio quality signal (r5) — the classic
+    repetition/templating detector (Gopher/FineWeb recipes); zlib is
+    deterministic but not SQL-expressible, so the driver records a
+    rows-only check (pytest locks semantics + determinism)."""
+    from pdf2dom_ray.functions.text_stats import compression_ratio
+    return compression_ratio(_documents(sf_dir))
 
 
 def _q_quality(sf_dir: str):

@@ -266,7 +266,7 @@ def run_bench() -> dict:
                  "sitemap_ingest", "sitemap_gap",
                  "image_thumbnail",
                  "oov_curve", "hard_negatives",
-                 "pagerank_convergence"):
+                 "pagerank_convergence", "compression_ratio"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

@@ -22,6 +22,7 @@ from ..stages.pool import default_pool
 
 __all__ = ["STOPWORDS", "text_quality_batch", "text_quality",
            "fingerprint_batch", "fingerprint", "lang_id_batch", "lang_id",
+           "compression_ratio_batch", "compression_ratio",
            "BPE_SPLIT_PATTERN", "bpe_token_count_batch", "bpe_token_count",
            "gopher_quality_batch", "gopher_quality", "unigram_counts",
            "unigram_logprob", "repetition_stats_batch",
@@ -402,3 +403,46 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
 def repetition_stats(ds: rd.Dataset) -> rd.Dataset:
     return ds.select_columns(["doc_id", "text"]).map_batches(
         repetition_stats_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# compression-ratio quality signal (zlib)
+# ---------------------------------------------------------------------------
+
+def compression_ratio_batch(batch: pa.Table, *,
+                            level: int = 6) -> pa.Table:
+    """(doc_id, n_bytes, n_compressed, ratio_ppm) per document.
+
+    The classic repetition/templating detector (used by the Gopher
+    and FineWeb curation recipes): highly repetitive or templated
+    text compresses far below natural prose, and near-random noise
+    barely compresses at all — both tails get filtered. zlib level 6
+    is deterministic for a given input, so the column is stable
+    across runs/partitionings, but NOT SQL-expressible (DuckDB has no
+    zlib) — the driver records a rows-only check and pytest locks the
+    semantics.
+
+        ratio_ppm = 10⁶ · n_compressed // max(n_bytes, 1)
+    """
+    import zlib
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    nb, nc = [], []
+    for t in texts:
+        raw = (t or "").encode("utf-8")
+        nb.append(len(raw))
+        nc.append(len(zlib.compress(raw, level)))
+    nbv = np.asarray(nb, dtype=np.int64)
+    ncv = np.asarray(nc, dtype=np.int64)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_bytes": pa.array(nbv, pa.int64()),
+        "n_compressed": pa.array(ncv, pa.int64()),
+        "ratio_ppm": pa.array(
+            (1_000_000 * ncv) // np.maximum(nbv, 1), pa.int64())})
+
+
+def compression_ratio(ds: "rd.Dataset") -> "rd.Dataset":
+    """Shuffle-free per-document map (payload read once, narrow out)."""
+    return ds.map_batches(compression_ratio_batch,
+                          batch_format="pyarrow")

@@ -1178,3 +1178,24 @@ def test_dedup_cluster_sizes_census(ray_session, sf_dir):
     want = labels.groupby("cluster_id").size().value_counts()
     got = dict(zip(sizes["size"], sizes["n_clusters"]))
     assert got == {int(k): int(v) for k, v in want.items()}
+
+
+def test_compression_ratio_signal(ray_session):
+    import ray.data as rd
+    from pdf2dom_ray.functions.text_stats import compression_ratio
+    rows = [
+        {"doc_id": 0, "text": "spam spam spam " * 50},      # templated
+        {"doc_id": 1, "text": " ".join(
+            f"w{i * 7919 % 104729}" for i in range(150))},  # high-entropy
+        {"doc_id": 2, "text": ""},
+    ]
+    ds = rd.from_items(rows, override_num_blocks=3)
+    out = compression_ratio(ds).to_pandas().set_index("doc_id")
+    # repetitive text compresses far better than high-entropy text
+    assert out.loc[0, "ratio_ppm"] < out.loc[1, "ratio_ppm"] // 3
+    assert out.loc[2, "n_bytes"] == 0 and out.loc[2, "ratio_ppm"] >= 0
+    # deterministic across a second run
+    out2 = compression_ratio(
+        rd.from_items(rows, override_num_blocks=1)).to_pandas() \
+        .set_index("doc_id")
+    assert out.equals(out2)
