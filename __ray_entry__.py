@@ -588,6 +588,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": _q_winnow,
         "minhash_error_audit": _q_minhash_audit,
         "link_robustness": _q_link_robustness,
+        "link_triad_census": _q_triad_census,
         "sitemap_ingest": _q_sitemap_ingest,
         "sitemap_gap": _q_sitemap_gap,
         "hashed_features": _q_hashed_features,
@@ -2064,6 +2065,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _winnow_sql(),
         "minhash_error_audit": _minhash_audit_sql(),
         "link_robustness": _link_robustness_sql(),
+        "link_triad_census": _triad_census_sql(),
         "sitemap_ingest": _sitemap_ingest_sql(),
         "sitemap_gap": _sitemap_gap_sql(),
         "text_quality": f"""
@@ -6761,6 +6763,58 @@ def _sitemap_gap_sql() -> str:
                CAST(COALESCE(pc.n_ph, 0) AS BIGINT) AS n_sitemap_only,
                b.n_crawl_only
         FROM base b LEFT JOIN pc ON b.host = pc.host"""
+
+
+def _triad_edges(sf_dir: str):
+    """Bounded mixed-type digraph for the triad census: nodes are the
+    first K = min(N, 120) doc ids with edges i→(3i+1)%K, i→(7i+2)%K
+    and a reverse edge (3i+1)%K→i when i%3==0 (mutual dyads) — K is
+    capped because the ORACLE brute-enumerates C(K,3) triples; the
+    engine path has no such bound."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    k = min(n, 120)
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        ids = ids[ids < k]
+        t1 = (3 * ids + 1) % k
+        t2 = (7 * ids + 2) % k
+        rev = ids[ids % 3 == 0]
+        return pa.table({
+            "src": pa.array(np.concatenate(
+                [ids, ids, (3 * rev + 1) % k]), pa.int64()),
+            "target": pa.array(np.concatenate([t1, t2, rev]),
+                               pa.int64())})
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]) \
+        .map_batches(build, batch_format="pyarrow")
+
+
+def _q_triad_census(sf_dir: str):
+    """Holland-Leinhardt 16-type directed triad census (r5;
+    functions/triadcensus.py) — dyad exchange → wedge bit-partials →
+    triple OR-combine, single-dyad/empty classes in closed form; the
+    shared 64-entry LUT classifies on both sides."""
+    from pdf2dom_ray.functions.triadcensus import triad_census
+    return triad_census(_triad_edges(sf_dir))
+
+
+def _triad_census_sql() -> str:
+    from pdf2dom_ray.functions.triadcensus import \
+        triad_census_oracle_sql
+    k = "(SELECT LEAST(count(*), 120) FROM documents)"
+    edges = f"""
+        SELECT doc_id AS src, (3 * doc_id + 1) % {k} AS target
+        FROM documents WHERE doc_id < {k}
+        UNION ALL
+        SELECT doc_id, (7 * doc_id + 2) % {k}
+        FROM documents WHERE doc_id < {k}
+        UNION ALL
+        SELECT (3 * doc_id + 1) % {k}, doc_id
+        FROM documents WHERE doc_id < {k} AND doc_id % 3 = 0"""
+    return triad_census_oracle_sql(edges)
 
 
 def _q_link_robustness(sf_dir: str):

@@ -266,7 +266,8 @@ def run_bench() -> dict:
                  "sitemap_ingest", "sitemap_gap",
                  "image_thumbnail",
                  "oov_curve", "hard_negatives",
-                 "pagerank_convergence", "compression_ratio"):
+                 "pagerank_convergence", "compression_ratio",
+                 "link_triad_census"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
