@@ -452,6 +452,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "text_normalize": _q_text_normalize,
         "frontier_filter": _q_frontier_filter,
         "distinct_users_hll": _q_distinct_hll,        # rows-only
+        "hll_register_audit": _q_hll_register_audit,
         "distinct_users_by_type": _q_distinct_by_type,  # rows-only
         "inverted_index": _q_inverted_index,
         "top_tokens": _q_top_tokens,
@@ -2062,6 +2063,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents
         """,
+        "hll_register_audit": _hll_register_audit_sql(),
         "winnow_fingerprints": _winnow_sql(),
         "minhash_error_audit": _minhash_audit_sql(),
         "link_robustness": _link_robustness_sql(),
@@ -4725,6 +4727,30 @@ def _q_distinct_hll(sf_dir: str):
         batch_format="pyarrow")
     est = hll_distinct(ds, "user_id")
     return pd.DataFrame({"p": [12], "estimate": [est]})
+
+
+def _q_hll_register_audit(sf_dir: str):
+    """Register-level HLL audit (r5): the full 2^12-bucket sketch
+    state over distinct user_id keys, hash-checked against an md5
+    hex-nibble replay in DuckDB (functions/hll.py::hll_registers) —
+    upgrades HLL verification from rows-only estimates to an exact
+    external check of the whole sketch pipeline."""
+    import ray.data as rd
+
+    from pdf2dom_ray.functions.hll import hll_registers
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id"])
+    ds = ds.map_batches(
+        lambda t: pa.table({"user_id": t.column("user_id")
+                            .cast(pa.string())}),
+        batch_format="pyarrow")
+    return hll_registers(ds, "user_id")
+
+
+def _hll_register_audit_sql() -> str:
+    from pdf2dom_ray.functions.hll import hll_registers_oracle_sql
+    return hll_registers_oracle_sql(
+        "SELECT CAST(user_id AS VARCHAR) AS k FROM events")
 
 
 def _q_distinct_by_type(sf_dir: str):

@@ -267,7 +267,7 @@ def run_bench() -> dict:
                  "image_thumbnail",
                  "oov_curve", "hard_negatives",
                  "pagerank_convergence", "compression_ratio",
-                 "link_triad_census"):
+                 "link_triad_census", "hll_register_audit"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

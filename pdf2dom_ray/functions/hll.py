@@ -35,7 +35,8 @@ import ray
 import ray.data as rd
 
 __all__ = ["hll_sketch_batch", "hll_merge", "hll_estimate",
-           "hll_distinct", "hll_distinct_by"]
+           "hll_distinct", "hll_distinct_by", "hll_registers",
+           "hll_registers_oracle_sql"]
 
 
 def _alpha(m: int) -> float:
@@ -144,3 +145,69 @@ def hll_distinct_by(ds: rd.Dataset, col: str, by: str, *,
             "distinct_est": pa.array([hll_estimate(merged)], pa.int64())})
 
     return parts.groupby(by).map_groups(merge, batch_format="pandas")
+
+
+def hll_registers(ds: rd.Dataset, col: str, *, p: int = 12) -> rd.Dataset:
+    """(bucket, register) rows of the merged sketch — ALL 2^p buckets,
+    0 where empty.
+
+    The register-level audit surface: because the hash is md5, every
+    register is SQL-replayable (at p ≡ 0 (mod 4) the bucket is the
+    first p/4 hex nibbles and the rank operand the next 13), so a
+    DuckDB oracle can hash-check the ENTIRE sketch state — a far
+    stronger external check than comparing estimates (which no SQL
+    engine reproduces, hence ``hll_distinct``'s rows-only status).
+    Same scale shape as ``hll_distinct``: per-block 2^p-byte partials,
+    one elementwise-max driver fold."""
+    def partial(t: pa.Table) -> pa.Table:
+        regs = hll_sketch_batch(
+            [k for k in t.column(col).to_pylist() if k is not None], p)
+        return pa.table({"regs": pa.array([regs.tobytes()],
+                                          pa.binary())})
+
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow")
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for ref in parts.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_columns == 0:
+            continue
+        for blob in t.column("regs").to_pylist():
+            merged = hll_merge(merged,
+                               np.frombuffer(blob, dtype=np.uint8))
+    return rd.from_arrow(pa.table({
+        "bucket": pa.array(np.arange(1 << p, dtype=np.int64),
+                           pa.int64()),
+        "register": pa.array(merged.astype(np.int64), pa.int64())}))
+
+
+def hll_registers_oracle_sql(keys_cte: str, *, p: int = 12) -> str:
+    """DuckDB twin of ``hll_registers`` (md5 hex-nibble replay).
+
+    ``keys_cte`` must yield one VARCHAR column ``k``. Requires
+    p ≡ 0 (mod 4) so the bucket aligns on hex nibbles (p=12: bucket =
+    first 3 nibbles, rank operand = the next 13 = the low 52 bits;
+    rho = leading zeros within the 52-bit window + 1 = 53 −
+    bitlength)."""
+    if p % 4 != 0:
+        raise ValueError("oracle requires p % 4 == 0")
+    nib = p // 4
+    return f"""
+        WITH k AS MATERIALIZED (SELECT k FROM ({keys_cte})),
+        r AS MATERIALIZED (
+          SELECT CAST(('0x' || substr(md5(k), 1, {nib})) AS INT)
+                     AS bucket,
+                 CAST(('0x' || substr(md5(k), {nib + 1}, 13))
+                      AS BIGINT) AS v
+          FROM k),
+        mx AS MATERIALIZED (
+          SELECT bucket,
+                 MAX(CASE WHEN v = 0 THEN 53
+                     ELSE 53 - length(ltrim(bin(v), '0')) END)
+                     AS register
+          FROM r GROUP BY bucket),
+        grid AS (SELECT unnest(generate_series(0, {(1 << p) - 1}))
+                     AS bucket)
+        SELECT CAST(g.bucket AS BIGINT) AS bucket,
+               CAST(COALESCE(m.register, 0) AS BIGINT) AS register
+        FROM grid g LEFT JOIN mx m ON g.bucket = m.bucket"""

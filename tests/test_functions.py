@@ -1199,3 +1199,25 @@ def test_compression_ratio_signal(ray_session):
         rd.from_items(rows, override_num_blocks=1)).to_pandas() \
         .set_index("doc_id")
     assert out.equals(out2)
+
+
+def test_hll_registers_oracle_replay(ray_session):
+    """Every register of the md5 HLL sketch must equal the DuckDB
+    hex-nibble replay (and re-derive the same estimate)."""
+    import duckdb
+    import ray.data as rd
+    from pdf2dom_ray.functions.hll import (hll_estimate,
+                                           hll_registers,
+                                           hll_registers_oracle_sql)
+    keys = [f"user{i * 13 % 977}" for i in range(400)]
+    ds = rd.from_items([{"k": k} for k in keys], override_num_blocks=5)
+    got = hll_registers(ds, "k").to_pandas()
+    vals = " UNION ALL ".join(f"SELECT '{k}' AS k" for k in set(keys))
+    want = duckdb.sql(hll_registers_oracle_sql(vals)).df() \
+        .sort_values("bucket").reset_index(drop=True)
+    assert got.sort_values("bucket").reset_index(drop=True) \
+        .astype("int64").equals(want.astype("int64"))
+    est = hll_estimate(got.sort_values("bucket")["register"]
+                       .to_numpy("uint8"))
+    true = len(set(keys))
+    assert abs(est - true) / true < 0.1
