@@ -40,6 +40,60 @@ __all__ = ["coverage_select", "coverage_oracle_sql",
            "shingle_novelty", "novelty_oracle_sql"]
 
 
+def _shingle_incidence(t: "pa.Table", id_col: str,
+                       text_col: str) -> "pa.Table":
+    """Distinct (doc, 3-gram) incidence rows, VECTORIZED: flattened
+    Arrow token buffer + two shifted pandas concats instead of a
+    per-document Python loop (was the slowest shingler of the repo —
+    the oov.py flat-buffer discipline). Empty tokens filtered exactly
+    like the SQL twins' list_filter; docs with 1-2 nonempty tokens
+    contribute their whole text as the single unit."""
+    import pyarrow.compute as pc
+    col = t.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.split_pattern(col, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False)
+    parent = np.repeat(np.arange(len(toks)), np.diff(offsets))
+    vals = toks.values
+    keep = pc.greater(pc.utf8_length(vals), 0).to_numpy(
+        zero_copy_only=False)
+    parent = parent[keep]
+    ids_all = np.asarray(t.column(id_col), dtype=np.int64)
+    s = pd.Series(np.asarray(vals.filter(pa.array(keep)).to_pandas(),
+                             dtype=object))
+    ids_out, tok_out = [], []
+    if len(s) >= 3:
+        same = parent[:-2] == parent[2:]
+        if same.any():
+            g = (s.iloc[:-2].reset_index(drop=True)
+                 + " " + s.iloc[1:-1].reset_index(drop=True)
+                 + " " + s.iloc[2:].reset_index(drop=True))
+            df = pd.DataFrame({
+                "d": ids_all[parent[:-2][same]],
+                "u": g[same].to_numpy(dtype=object)}).drop_duplicates()
+            ids_out.append(df["d"].to_numpy(np.int64))
+            tok_out.append(df["u"].to_numpy(dtype=object))
+    tok_counts = np.zeros(len(toks), dtype=np.int64)
+    np.add.at(tok_counts, parent, 1)
+    short = (tok_counts > 0) & (tok_counts < 3)
+    if short.any():
+        texts = col.to_pylist()
+        sid = np.nonzero(short)[0]
+        ids_out.append(ids_all[sid])
+        tok_out.append(np.array([texts[i] for i in sid], dtype=object))
+    if not ids_out:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "token": pa.array([], pa.string())})
+    return pa.table({
+        id_col: pa.array(np.concatenate(ids_out), pa.int64()),
+        "token": pa.array(np.concatenate(tok_out).tolist(),
+                          pa.string())})
+
+
+
 def coverage_select(ds: rd.Dataset, k: int = 8, *,
                     text_col: str = "text",
                     id_col: str = "doc_id") -> rd.Dataset:
@@ -49,18 +103,7 @@ def coverage_select(ds: rd.Dataset, k: int = 8, *,
     from ..stages.hashagg import hash_aggregate
 
     def incidence(t: pa.Table) -> pa.Table:
-        ids, toks = [], []
-        for d, text in zip(t.column(id_col).to_pylist(),
-                           t.column(text_col).to_pylist()):
-            ws = [w for w in (text or "").split(" ") if w]
-            units = {" ".join(ws[i:i + 3])
-                     for i in range(len(ws) - 2)} \
-                if len(ws) >= 3 else ({text} if text else set())
-            for u in units:
-                ids.append(d)
-                toks.append(u)
-        return pa.table({id_col: pa.array(ids, pa.int64()),
-                         "token": pa.array(toks, pa.string())})
+        return _shingle_incidence(t, id_col, text_col)
 
     # hash-partition by DOC (not the pair): every doc's rows must be
     # co-located so a block's per-doc gain is total, not partial —
@@ -209,18 +252,7 @@ def shingle_novelty(ds: rd.Dataset, *, text_col: str = "text",
     npart = n_part or scale_partitions()
 
     def incidence(t: pa.Table) -> pa.Table:
-        ids, toks = [], []
-        for d, text in zip(t.column(id_col).to_pylist(),
-                           t.column(text_col).to_pylist()):
-            ws = [w for w in (text or "").split(" ") if w]
-            units = {" ".join(ws[i:i + 3])
-                     for i in range(len(ws) - 2)} \
-                if len(ws) >= 3 else ({text} if text else set())
-            for u in units:
-                ids.append(d)
-                toks.append(u)
-        return pa.table({id_col: pa.array(ids, pa.int64()),
-                         "token": pa.array(toks, pa.string())})
+        return _shingle_incidence(t, id_col, text_col)
 
     inc = hash_aggregate(
         ds.select_columns([id_col, text_col])
