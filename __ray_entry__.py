@@ -587,6 +587,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_fingerprint,
         "compression_ratio": _q_compression_ratio,
         "winnow_fingerprints": _q_winnow,
+        "winnow_candidates": _q_winnow_candidates,
         "minhash_error_audit": _q_minhash_audit,
         "link_robustness": _q_link_robustness,
         "link_triad_census": _q_triad_census,
@@ -2065,6 +2066,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hll_register_audit": _hll_register_audit_sql(),
         "winnow_fingerprints": _winnow_sql(),
+        "winnow_candidates": _winnow_candidates_sql(),
         "minhash_error_audit": _minhash_audit_sql(),
         "link_robustness": _link_robustness_sql(),
         "link_triad_census": _triad_census_sql(),
@@ -6855,6 +6857,22 @@ def _q_link_robustness(sf_dir: str):
 def _link_robustness_sql() -> str:
     from pdf2dom_ray.functions.robustness import robustness_oracle_sql
     return robustness_oracle_sql(_host_edges_sql())
+
+
+def _q_winnow_candidates(sf_dir: str):
+    """MOSS candidate pairs from shared winnowing fingerprints (r5;
+    functions/winnow.py::winnow_candidates) — the local-similarity
+    complement of MinHash banding, df-capped so no fingerprint bucket
+    is quadratic."""
+    from pdf2dom_ray.functions.winnow import winnow_candidates
+    return winnow_candidates(_documents(sf_dir))
+
+
+def _winnow_candidates_sql() -> str:
+    from pdf2dom_ray.functions.winnow import \
+        winnow_candidates_oracle_sql
+    return winnow_candidates_oracle_sql(
+        "SELECT doc_id, text FROM documents")
 
 
 def _q_minhash_audit(sf_dir: str):

@@ -267,7 +267,8 @@ def run_bench() -> dict:
                  "image_thumbnail",
                  "oov_curve", "hard_negatives",
                  "pagerank_convergence", "compression_ratio",
-                 "link_triad_census", "hll_register_audit"):
+                 "link_triad_census", "hll_register_audit",
+                 "winnow_candidates"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):

@@ -30,7 +30,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-__all__ = ["winnow_stats", "winnow_oracle_sql"]
+__all__ = ["winnow_stats", "winnow_oracle_sql",
+           "winnow_candidates", "winnow_candidates_oracle_sql"]
 
 _POS_BITS = 20
 _POS_CAP = 1 << _POS_BITS
@@ -132,3 +133,141 @@ def winnow_oracle_sql(docs_cte: str, *, k: int = 3, w: int = 4,
         FROM sel
         UNION ALL
         SELECT doc_id, 0, 0, 0 FROM t WHERE len(ws) = 0"""
+
+
+def winnow_candidates(ds: rd.Dataset, *, k: int = 3, w: int = 4,
+                      df_cap: int = 32, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      num_partitions: int | None = None) -> rd.Dataset:
+    """(doc_a, doc_b, n_shared) — the MOSS candidate generator: pairs
+    of documents sharing ≥ 1 selected winnowing fingerprint, with the
+    count of shared selected fingerprints. The matching guarantee
+    makes this the local-similarity complement of MinHash banding:
+    any shared run of ≥ w + k − 1 tokens SURFACES here.
+
+    Scale shape: per-doc selected-hash sets (the shuffle-free
+    ``winnow_stats`` pass) → one fingerprint-keyed exchange emits
+    pairs bucket-locally — fingerprints selected by more than
+    ``df_cap`` documents are dropped WHOLE (boilerplate shingles; the
+    index.py hot-postings discipline, replayed by the SQL twin's
+    HAVING) so no bucket is quadratic — → one pair-keyed aggregate
+    sums shared counts. Payloads never shuffle."""
+    import pandas as pd
+
+    from ..scale import scale_partitions
+    from ..stages.hashagg import hash_aggregate
+
+    n_part = num_partitions or scale_partitions()
+
+    def selected(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        out_d, out_h = [], []
+        for did, text in zip(ids, texts):
+            ws = [x for x in (text or "").split(" ") if x]
+            if len(ws) >= k:
+                grams = [" ".join(ws[i:i + k])
+                         for i in range(len(ws) - k + 1)]
+            elif ws:
+                grams = [text]
+            else:
+                continue
+            h = np.array(
+                [int(hashlib.md5(g.encode("utf-8")).hexdigest()[:10],
+                     16) for g in grams], dtype=np.int64)
+            n = len(h)
+            pos = np.arange(n, dtype=np.int64)
+            key = h * _POS_CAP + (_POS_CAP - 1 - pos)
+            n_win = max(n - w, 0) + 1
+            mins = key[:n_win].copy()
+            for s in range(1, w):
+                end = min(n_win + s, n)
+                np.minimum(mins[: end - s], key[s:end],
+                           out=mins[: end - s])
+            sel = np.unique(np.unique(mins) // _POS_CAP)
+            out_d.append(np.full(len(sel), did, dtype=np.int64))
+            out_h.append(sel)
+        if not out_d:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.int64())})
+        return pa.table({
+            "h": pa.array(np.concatenate(out_h), pa.int64()),
+            "d": pa.array(np.concatenate(out_d), pa.int64())})
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        hsh = pd.util.hash_pandas_object(df["h"], index=False)
+        return df.assign(__part=(hsh % n_part).astype("int64")
+                         .to_numpy())
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        out_a, out_b = [], []
+        for _, grp in g.groupby("h", sort=False):
+            mem = np.unique(grp["d"].to_numpy(np.int64))
+            if len(mem) < 2 or len(mem) > df_cap:
+                continue                     # solo or boilerplate
+            ia, ib = np.triu_indices(len(mem), k=1)
+            out_a.append(mem[ia])
+            out_b.append(mem[ib])
+        if not out_a:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "n_shared": pa.array([], pa.int64())})
+        df = pd.DataFrame({"doc_a": np.concatenate(out_a),
+                           "doc_b": np.concatenate(out_b)}) \
+            .groupby(["doc_a", "doc_b"], as_index=False).size()
+        return pa.table({
+            "doc_a": pa.array(df["doc_a"].to_numpy(np.int64),
+                              pa.int64()),
+            "doc_b": pa.array(df["doc_b"].to_numpy(np.int64),
+                              pa.int64()),
+            "n_shared": pa.array(df["size"].to_numpy(np.int64),
+                                 pa.int64())})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["doc_a", "doc_b"], as_index=False) \
+            .agg(n_shared=("n_shared", "sum"))
+
+    emitted = ds.map_batches(selected, batch_format="pyarrow") \
+        .map_batches(tag, batch_format="pandas") \
+        .groupby("__part").map_groups(
+            lambda g: pairs(g.drop(columns="__part")),
+            batch_format="pandas")
+    out = hash_aggregate(emitted, ["doc_a", "doc_b"], combine,
+                         num_partitions=n_part)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if "doc_a" not in df.columns:
+            return pd.DataFrame({
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "n_shared": pd.Series([], dtype="int64")})
+        for c in ("doc_a", "doc_b", "n_shared"):
+            df[c] = df[c].astype("int64")
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def winnow_candidates_oracle_sql(docs_cte: str, *, k: int = 3,
+                                 w: int = 4, df_cap: int = 32,
+                                 text_col: str = "text",
+                                 id_col: str = "doc_id") -> str:
+    """Winnow CTEs → per-doc distinct selected hashes → df-capped
+    self-join twin."""
+    base = winnow_oracle_sql(docs_cte, k=k, w=w, text_col=text_col,
+                             id_col=id_col)
+    # reuse the mk CTE chain: rebuild it here with a sel-hash tail
+    head = base.split("sel AS (")[0].rstrip().rstrip(",")
+    return f"""{head},
+        selh AS MATERIALIZED (
+          SELECT DISTINCT doc_id, mkey // {_POS_CAP} AS h
+          FROM mk WHERE pos <= GREATEST(n - {w}, 0)),
+        ok AS MATERIALIZED (
+          SELECT h FROM selh GROUP BY h
+          HAVING COUNT(*) BETWEEN 2 AND {df_cap})
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM selh x JOIN selh y
+          ON x.h = y.h AND x.doc_id < y.doc_id
+        WHERE x.h IN (SELECT h FROM ok)
+        GROUP BY 1, 2"""

@@ -94,3 +94,40 @@ def test_matches_oracle(ray_session):
         (int(r[0]), (int(r[1]), int(r[2]), int(r[3])))
         for r in duckdb.sql(winnow_oracle_sql(vals)).fetchall())
     assert got == want
+
+
+def test_candidates_matching_guarantee_and_cap(ray_session):
+    """Docs sharing a ≥ w+k−1-token run must pair; a fingerprint
+    selected by > df_cap docs is dropped whole."""
+    from pdf2dom_ray.functions.winnow import winnow_candidates
+    shared = "alpha beta gamma delta epsilon zeta"     # 6 = w+k−1
+    rows = [(0, "pre words here " + shared),
+            (1, shared + " tail other stuff"),
+            (2, "completely unrelated text body here now")]
+    # plus 40 docs sharing one boilerplate run > cap
+    boiler = "x1 x2 x3 x4 x5 x6"
+    rows += [(10 + i, f"unique{i} " + boiler) for i in range(40)]
+    got = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+           for r in winnow_candidates(
+               _ds(rows), df_cap=32).take_all()}
+    assert any(p == (0, 1) for p in got)               # guarantee
+    assert all(not (a >= 10 and b >= 10) for a, b in got), \
+        "boilerplate bucket beyond df_cap must not pair"
+
+
+def test_candidates_match_oracle(ray_session):
+    import duckdb
+    from pdf2dom_ray.functions.winnow import (
+        winnow_candidates, winnow_candidates_oracle_sql)
+    rows = [(0, "a b c d e f g h"), (1, "a b c d e f g X"),
+            (2, "q w e r t y u i"), (3, "a b c d e f g h"),
+            (4, "")]
+    got = sorted(
+        ((r["doc_a"], r["doc_b"]), r["n_shared"])
+        for r in winnow_candidates(_ds(rows)).take_all())
+    vals = " UNION ALL ".join(
+        f"SELECT {d} AS doc_id, '{t}' AS text" for d, t in rows)
+    want = sorted(((int(a), int(b)), int(n)) for a, b, n in
+                  duckdb.sql(winnow_candidates_oracle_sql(vals))
+                  .fetchall())
+    assert got == want and len(got) > 0
