@@ -592,6 +592,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "link_robustness": _q_link_robustness,
         "link_triad_census": _q_triad_census,
         "sitemap_ingest": _q_sitemap_ingest,
+        "robots_ingest": _q_robots_ingest,
         "sitemap_gap": _q_sitemap_gap,
         "hashed_features": _q_hashed_features,
         "text_quality": _q_quality,
@@ -2071,6 +2072,7 @@ def oracle_sql() -> dict[str, str]:
         "link_robustness": _link_robustness_sql(),
         "link_triad_census": _triad_census_sql(),
         "sitemap_ingest": _sitemap_ingest_sql(),
+        "robots_ingest": _robots_ingest_sql(),
         "sitemap_gap": _sitemap_gap_sql(),
         "text_quality": f"""
             SELECT doc_id,
@@ -6696,6 +6698,34 @@ def _sitemap_dir(sf_dir: str) -> str:
     tag = sf_dir.strip("/").replace("/", "_")
     cache = f"/tmp/pdf2dom_sitemap/{tag}_v{SITEMAPGEN_VERSION}"
     return write_sitemap_files(sf_dir, cache, chunk=200)
+
+
+def _q_robots_ingest(sf_dir: str):
+    """robots.txt rule ingestion (r5): per-host RFC 9309 files
+    (synth/robotsgen.py — rules ARE this oracle) → file-parallel
+    parse (sources/robots.py) → normalized (host, agent, seq, field,
+    value) rule rows: group merging, global Sitemap field, comment
+    and unknown-field handling all exercised. ``sf_dir`` unused (the
+    host set is fixed)."""
+    from pdf2dom_ray.sources.robots import read_robots
+    from pdf2dom_ray.synth.robotsgen import (ROBOTSGEN_VERSION,
+                                             write_robots_files)
+    cache = f"/tmp/pdf2dom_robots/v{ROBOTSGEN_VERSION}"
+    return read_robots(write_robots_files(cache))
+
+
+def _robots_ingest_sql() -> str:
+    from pdf2dom_ray.synth.robotsgen import expected_rows
+    rows = []
+    for h in range(4):
+        rows += expected_rows(h)
+    vals = ",\n               ".join(
+        f"('{r[0]}', '{r[1]}', {r[2]}, '{r[3]}', '{r[4]}')"
+        for r in rows)
+    return f"""
+        SELECT host, agent, CAST(seq AS BIGINT) AS seq, field, value
+        FROM (VALUES {vals})
+             AS t(host, agent, seq, field, value)"""
 
 
 def _q_sitemap_ingest(sf_dir: str):

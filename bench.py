@@ -268,7 +268,7 @@ def run_bench() -> dict:
                  "oov_curve", "hard_negatives",
                  "pagerank_convergence", "compression_ratio",
                  "link_triad_census", "hll_register_audit",
-                 "winnow_candidates"):
+                 "winnow_candidates", "robots_ingest"):
         t0 = time.time()
         res = qs[name](sf)
         if hasattr(res, "materialize"):
