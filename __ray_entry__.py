@@ -732,8 +732,11 @@ _ROWS_ONLY = frozenset({
 # minhash audit, robustness curve, sitemap source, thumbnail pooling)
 # are front-loaded so their first driver round hash-checks them.
 _RETRY = ("extract_reference_corpus", "winnow_fingerprints",
-          "minhash_error_audit", "link_robustness", "sitemap_ingest",
-          "sitemap_gap", "image_thumbnail",
+          "winnow_candidates", "minhash_error_audit",
+          "link_robustness", "link_triad_census", "sitemap_ingest",
+          "sitemap_gap", "robots_ingest", "image_thumbnail",
+          "hll_register_audit", "oov_curve", "hard_negatives",
+          "pagerank_convergence",
           "ann_lsh_topk", "ann_ivf_topk",
           "dedup_minhash", "dedup_simhash", "lang_id")
 
